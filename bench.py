@@ -1,0 +1,68 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "hybrid_search",       # flagship: vector top-k + grouping + BM25 + boost
+    "vector_topk",         # flat KNN over the corpus
+    "bm25_unigram",        # keyword index build + score
+    "tpch_q1_pricing",     # wide aggregation over lineitem
+    "tpch_q3_topk",        # 3-way join + top-k
+    "sync_plan",           # full-outer reconcile planner
+    "dedup_minhash_lsh",   # shingle -> minhash -> band -> pair join
+    "knn_bruteforce",      # brute-force cosine top-k
+    "events_sessionize",   # stateful-shaped window pipeline
+    "text_quality",        # per-doc analytics scan
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from mcp_local_rag_spark.queries import queries
+    from mcp_local_rag_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = queries()
+    # warm the JVM/codegen path once so per-query numbers measure the plan,
+    # not session startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Vector math as pure Column expressions — JVM-side, codegen-friendly.
+
+The reference computes dot-product distance over L2-normalized embeddings
+(distance = 1 - dot: 0 identical, 1 orthogonal, 2 opposite; see reference
+src/vectordb/types.ts:114 and cosine impls src/chunker/semantic-chunker.ts:333).
+Here the same math is expressed with ``zip_with``/``aggregate`` higher-order
+functions so no Python UDF sits in the hot path. All accumulation is cast
+to DOUBLE (embeddings are stored float32) so results are stable and
+reproducible against the duckdb oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def vec_lit(values: Sequence[float]) -> Column:
+    """A literal array<double> column for a query vector (broadcast by value)."""
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns, accumulated in DOUBLE.
+
+    ``aggregate`` folds sequentially over the array, so summation order is
+    deterministic (unlike a SUM over exploded rows).
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def dot_distance(a: Column, b: Column) -> Column:
+    """1 - dot(a, b): the reference's distance for normalized vectors."""
+    return F.lit(1.0) - dot(a, b)
+
+
+def l2_normalize(a: Column) -> Column:
+    """Scale an array column to unit L2 norm (zero vectors pass through)."""
+    n = l2_norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x.cast("double") / n)).otherwise(
+        F.transform(a, lambda x: x.cast("double"))
+    )

@@ -1,0 +1,223 @@
+"""Hybrid search pipeline — the reference's ``query_documents`` hot path.
+
+Reference pipeline (src/server/index.ts:389-508, src/vectordb/index.ts:330-430,
+src/vectordb/search-filters.ts): embed query -> flat-KNN top-(2k) by dot
+distance with optional scope/max-distance pushdown -> statistical grouping
+filter on raw distances -> BM25 keyword scores restricted to candidate files
+-> LEFT OUTER boost join -> re-sort -> top-N-files filter -> LIMIT k.
+
+Spark-first shape: one declarative DAG. The top-k is ``orderBy(...).limit``
+(physical ``TakeOrderedAndProject`` — per-partition heaps + driver merge, no
+global sort shuffle; survives 1000 executors). The candidate set is small
+(2k <= 40 rows) after that, so every later stage (grouping stats, boost join,
+file filter) operates on a tiny DataFrame the optimizer will broadcast.
+
+Determinism contract (for the duckdb oracle): ranking keys are
+(round(score, 6), *id_cols) — rounding first removes float32-accumulation
+last-bit noise, the id tie-break makes LIMIT a total order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.paths import scope_predicate
+from ..functions.vector import dot_distance, vec_lit
+
+# reference constants
+CANDIDATE_MULTIPLIER = 2  # src/vectordb/types.ts:10
+DEFAULT_HYBRID_WEIGHT = 0.6  # src/vectordb/types.ts:19
+GROUPING_STD_MULTIPLIER = 1.5  # src/vectordb/search-filters.ts:10
+SCORE_DECIMALS = 6
+
+
+def _rounded(col: Column) -> Column:
+    # + 0.0 canonicalizes IEEE -0.0 (a 1-dot distance can round to -0.0
+    # when dot > 1 by an ulp) so the oracle compare sees one zero
+    return F.round(col, SCORE_DECIMALS) + F.lit(0.0)
+
+
+def vector_topk(
+    chunks: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    *,
+    vec_col: str = "vector",
+    id_cols: Sequence[str] = ("filePath", "chunkIndex"),
+    scope: list[str] | None = None,
+    max_distance: float | None = None,
+    overfetch: int = CANDIDATE_MULTIPLIER,
+) -> DataFrame:
+    """Flat (exact) KNN: distance = 1 - dot, candidates = k * overfetch.
+
+    The reference never builds a vector index — exact brute-force is the
+    semantics (src/vectordb/index.ts:346-367). ``orderBy().limit()`` compiles
+    to TakeOrderedAndProject: each partition keeps a (k*overfetch)-row heap,
+    the driver merges — O(n) scan, no shuffle, scale-safe.
+    """
+    df = chunks
+    if scope:
+        df = df.filter(scope_predicate(F.col("filePath"), scope))
+    df = df.withColumn("score", _rounded(dot_distance(F.col(vec_col), vec_lit(query_vec))))
+    if max_distance is not None:
+        df = df.filter(F.col("score") <= max_distance)
+    order = [F.col("score").asc()] + [F.col(c).asc() for c in id_cols]
+    return df.orderBy(*order).limit(k * overfetch).drop(vec_col)
+
+
+def grouping_filter(
+    hits: DataFrame,
+    mode: str | None,
+    *,
+    score_col: str = "score",
+    id_cols: Sequence[str] = ("filePath", "chunkIndex"),
+) -> DataFrame:
+    """Statistical relevance-gap grouping (reference W3).
+
+    Sort ascending by score; gap_i = score[i+1] - score[i]; a boundary is a
+    gap > mean(gaps) + 1.5*std(gaps) (population std). 'similar' keeps rows
+    up to the 1st boundary, 'related' up to the 2nd
+    (src/vectordb/search-filters.ts:23-64). Runs on the raw candidate set
+    BEFORE boost, deliberately (src/vectordb/index.ts:372-376).
+
+    The candidate set is tiny (<= 2k rows) so the single-partition window is
+    free; at scale this stage always follows a top-k.
+    """
+    if mode is None:
+        return hits
+    cuts = {"similar": 1, "related": 2}[mode]
+    order = [F.col(score_col).asc()] + [F.col(c).asc() for c in id_cols]
+    w = Window.orderBy(*order)
+    gap = F.lead(score_col).over(w) - F.col(score_col)
+    df = hits.withColumn("_gap", gap)
+    stats = Window.partitionBy()
+    df = df.withColumn("_mean", F.mean("_gap").over(stats)).withColumn(
+        "_std", F.stddev_pop("_gap").over(stats)
+    )
+    boundary = F.when(
+        F.col("_gap") > F.col("_mean") + GROUPING_STD_MULTIPLIER * F.col("_std"), 1
+    ).otherwise(0)
+    df = df.withColumn(
+        "_boundaries_before",
+        F.coalesce(
+            F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ),
+    )
+    return df.filter(F.col("_boundaries_before") < cuts).drop(
+        "_gap", "_mean", "_std", "_boundaries_before"
+    )
+
+
+def keyword_boost(
+    hits: DataFrame,
+    keyword_scores: DataFrame,
+    *,
+    on: Sequence[str] = ("filePath", "chunkIndex"),
+    weight: float = DEFAULT_HYBRID_WEIGHT,
+    score_col: str = "score",
+    kw_col: str = "_score",
+) -> DataFrame:
+    """J1 + T9: LEFT OUTER join FTS scores, normalize by max, boost.
+
+    boosted = distance / (1 + kw_norm * weight); unmatched rows keep their
+    distance (kw=0). (src/vectordb/search-filters.ts:116-156)
+    The keyword side is at most 2x the candidate count -> broadcast join.
+    """
+    max_kw = keyword_scores.agg(F.max(kw_col).alias("_max_kw"))
+    kw = (
+        keyword_scores.crossJoin(max_kw)
+        .withColumn(
+            "_kw_norm",
+            F.when(F.col("_max_kw") > 0, F.col(kw_col) / F.col("_max_kw")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .select(*on, "_kw_norm")
+    )
+    joined = hits.join(kw, list(on), "left")
+    boosted = F.col(score_col) / (
+        F.lit(1.0) + F.coalesce(F.col("_kw_norm"), F.lit(0.0)) * F.lit(weight)
+    )
+    return joined.withColumn(score_col, _rounded(boosted)).drop("_kw_norm")
+
+
+def file_topn_filter(
+    hits: DataFrame,
+    max_files: int | None,
+    *,
+    file_col: str = "filePath",
+    score_col: str = "score",
+) -> DataFrame:
+    """W4: rank files by their best (lowest) chunk score, keep chunks of the
+    top ``max_files`` files (src/vectordb/search-filters.ts:76-101)."""
+    if max_files is None:
+        return hits
+    best = hits.groupBy(file_col).agg(F.min(score_col).alias("_best"))
+    w = Window.orderBy(F.col("_best").asc(), F.col(file_col).asc())
+    keep = best.withColumn("_rank", F.row_number().over(w)).filter(
+        F.col("_rank") <= max_files
+    )
+    return hits.join(keep.select(file_col), [file_col], "left_semi")
+
+
+def final_topk(
+    hits: DataFrame,
+    k: int,
+    *,
+    score_col: str = "score",
+    id_cols: Sequence[str] = ("filePath", "chunkIndex"),
+) -> DataFrame:
+    order = [F.col(score_col).asc()] + [F.col(c).asc() for c in id_cols]
+    return hits.orderBy(*order).limit(k)
+
+
+def hybrid_search(
+    chunks: DataFrame,
+    query_vec: Sequence[float],
+    query_terms: Sequence[str],
+    *,
+    k: int = 10,
+    vec_col: str = "vector",
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("filePath", "chunkIndex"),
+    scope: list[str] | None = None,
+    max_distance: float | None = None,
+    grouping: str | None = "related",
+    weight: float = DEFAULT_HYBRID_WEIGHT,
+    max_files: int | None = 3,
+    file_col: str = "filePath",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """The full query_documents pipeline (reference §3.1 steps 4-8).
+
+    The candidate set (<= 2k rows) is persisted AND materialized eagerly:
+    five downstream stages reference it (grouping, BM25 restriction, boost
+    join, file filter, final top-k), several of them from broadcast/subquery
+    jobs that would otherwise race a lazy cache and re-run the corpus scan +
+    distance top-k each. Eager stage boundaries mirror the reference's own
+    sequential pipeline (§3.1). ``postings`` lets callers pass a
+    prebuilt/persisted BM25 index — the production shape, where the index
+    is a bucketed table.
+    """
+    from .bm25 import bm25_scores, build_postings
+
+    cands = vector_topk(
+        chunks, query_vec, k, vec_col=vec_col, id_cols=id_cols,
+        scope=scope, max_distance=max_distance,
+    ).persist()
+    cands.count()
+    grouped = grouping_filter(cands, grouping, id_cols=id_cols).persist()
+    grouped.count()
+    if postings is None:
+        postings = build_postings(chunks, id_cols=id_cols, text_col=text_col)
+    postings = postings.persist()
+    postings.count()
+    kw = bm25_scores(
+        postings, query_terms, id_cols=id_cols, candidates=grouped, materialize=False
+    )
+    boosted = keyword_boost(grouped, kw, on=id_cols, weight=weight).persist()
+    filtered = file_topn_filter(boosted, max_files, file_col=file_col)
+    return final_topk(filtered, k, id_cols=id_cols)

@@ -1,0 +1,307 @@
+"""Training-data-pipeline paired queries: dedup (exact / MinHash-LSH /
+SimHash / Jaccard / embedding-cosine), similarity search (brute-force KNN
+and cluster-pruned IVF), and text analytics (lang-ID, quality, tokens,
+fingerprints).
+
+The dedup corpus plants exact copies (doc_id + 1_000_000 for every 50th
+doc) so duplicate groups provably exist; all hashing is md5 of
+deterministic strings, reproducible bit-for-bit in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import dedup, similarity
+from ..session import load
+from .common import register
+
+# ---------------------------------------------------------------------------
+# shared corpus with planted duplicates
+
+def _dedup_corpus(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(planted)
+
+
+CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+)
+"""
+
+SHINGLES_CTE = """
+tokd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM corpus
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM tokd, unnest(range(1, len(toks) - 1)) AS r(i)
+  WHERE len(toks) >= 3
+)
+"""
+
+SIGS_CTE = """
+sigs AS (
+  SELECT doc_id, s.seed,
+         min(md5(s.seed || '|' || shingles.shingle)) AS sig
+  FROM shingles, (SELECT unnest(range(16)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5( max(CASE WHEN seed % 4 = 0 THEN sig END) || '|' ||
+              max(CASE WHEN seed % 4 = 1 THEN sig END) || '|' ||
+              max(CASE WHEN seed % 4 = 2 THEN sig END) || '|' ||
+              max(CASE WHEN seed % 4 = 3 THEN sig END) ) AS band_key
+  FROM sigs GROUP BY doc_id, seed // 4
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    f"""WITH {CORPUS_CTE.strip()},
+h AS (SELECT doc_id, md5(text) AS content_hash FROM corpus),
+g AS (SELECT content_hash, count(*)::BIGINT AS dup_count, min(doc_id) AS representative
+      FROM h GROUP BY content_hash)
+SELECT content_hash, dup_count, representative FROM g WHERE dup_count > 1""",
+)
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_dedup_corpus(spark, sf_dir))
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"WITH {CORPUS_CTE.strip()}, {SHINGLES_CTE.strip()}, {SIGS_CTE.strip()} "
+    "SELECT id1, id2 FROM pairs",
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    corpus = _dedup_corpus(spark, sf_dir)
+    shingles = dedup.shingle_sets(corpus).persist()
+    shingles.count()
+    sigs = dedup.minhash_signatures(shingles)
+    return dedup.lsh_candidate_pairs(sigs)
+
+
+@register(
+    "dedup_jaccard",
+    f"""WITH {CORPUS_CTE.strip()}, {SHINGLES_CTE.strip()}, {SIGS_CTE.strip()},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.id1, p.id2, count(*)::BIGINT AS c
+  FROM pairs p
+  JOIN shingles s1 ON s1.doc_id = p.id1
+  JOIN shingles s2 ON s2.doc_id = p.id2 AND s2.shingle = s1.shingle
+  GROUP BY p.id1, p.id2
+),
+jac AS (
+  SELECT i.id1, i.id2,
+         round(i.c::DOUBLE / (n1.n + n2.n - i.c), 6) AS jaccard
+  FROM inter i
+  JOIN sizes n1 ON n1.doc_id = i.id1
+  JOIN sizes n2 ON n2.doc_id = i.id2
+)
+SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.7""",
+)
+def q_dedup_jaccard(spark, sf_dir):
+    # shingles feed four subtrees (minhash, sizes, both intersection sides)
+    # — persist once instead of re-running the shingle transform each time
+    corpus = _dedup_corpus(spark, sf_dir)
+    shingles = dedup.shingle_sets(corpus).persist()
+    shingles.count()
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(shingles)).persist()
+    pairs.count()
+    return dedup.jaccard_verify(pairs, shingles, threshold=0.7)
+
+
+_SIMHASH_SQL = f"""WITH {CORPUS_CTE.strip()},
+tf AS (
+  SELECT doc_id, t.tok, count(*)::BIGINT AS tf, md5(t.tok) AS h
+  FROM corpus,
+       unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '')) AS t(tok)
+  GROUP BY doc_id, t.tok
+)
+SELECT doc_id, ({dedup.simhash_sum_sql('duckdb')}) AS simhash
+FROM tf GROUP BY doc_id"""
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_dedup_corpus(spark, sf_dir))
+
+
+_COS_PAIR = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""WITH scored AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2, round({_COS_PAIR}, 6) + 0 AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id1, id2, cos FROM scored WHERE cos >= 0.9""",
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(emb, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+_QSET = "(0, 1, 2)"
+
+
+@register(
+    "knn_bruteforce",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding, label FROM embeddings
+           WHERE vec_id IN {_QSET}),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(b.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) + 0 AS cos
+  FROM embeddings b, q
+  WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10""",
+)
+def q_knn_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_knn(q, emb, k=10)
+
+
+@register(
+    "knn_ivf_probe",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding, label FROM embeddings
+           WHERE vec_id IN {_QSET}),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(b.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) + 0 AS cos
+  FROM embeddings b JOIN q ON b.label = q.label
+  WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""",
+)
+def q_knn_ivf_probe(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return similarity.cosine_knn(q, emb, k=5, block_col="label")
+
+
+# ---------------------------------------------------------------------------
+# text analytics
+
+_MARKERS_SQL = {
+    lang: "[" + ",".join(f"'{m}'" for m in TX.LANG_MARKERS[lang]) + "]"
+    for lang in TX.LANG_MARKERS
+}
+
+_LANGID_SQL = f"""WITH tokd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+scores AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> list_contains({_MARKERS_SQL['en']}, t)))::BIGINT AS s_en,
+         len(list_filter(toks, t -> list_contains({_MARKERS_SQL['es']}, t)))::BIGINT AS s_es,
+         len(list_filter(toks, t -> list_contains({_MARKERS_SQL['de']}, t)))::BIGINT AS s_de,
+         len(list_filter(toks, t -> list_contains({_MARKERS_SQL['fr']}, t)))::BIGINT AS s_fr
+  FROM tokd
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'und'
+            WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+            WHEN s_en > s_es AND s_en > s_fr THEN 'en'
+            WHEN s_es > s_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM scores"""
+
+
+@register("text_langid", _LANGID_SQL)
+def q_text_langid(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.predict_lang(F.col("text")).alias("pred_lang"))
+
+
+@register(
+    "text_quality",
+    r"""WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+         length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_alnum_sp
+  FROM documents
+)
+SELECT doc_id,
+       round( 0.4 * least(n::DOUBLE / 500.0, 1.0)
+            + 0.3 * (CASE WHEN len(toks) > 0
+                          THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END)
+            + 0.3 * (1.0 - (CASE WHEN n > 0
+                                 THEN (n - n_alnum_sp)::DOUBLE / n ELSE 0.0 END)), 6) AS quality
+FROM base""",
+)
+def q_text_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+@register(
+    "text_token_stats",
+    r"""SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens
+FROM documents""",
+)
+def q_text_token_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        TX.bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                               ' +', ' ', 'g'))) AS fingerprint
+FROM documents""",
+)
+def q_text_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))

@@ -1,0 +1,446 @@
+"""Search-family paired queries: vector top-k, grouping, BM25, hybrid boost,
+neighbors, sync planning, hashing, scalar functions.
+
+Every query has a DuckDB oracle that re-expresses the operator's semantics
+in ANSI SQL over the same parquet views. The Spark side uses the operator
+library (operators/search.py, operators/bm25.py, operators/sync.py) — the
+SQL is the specification, the library is the scalable implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import bm25, search
+from ..operators.sync import plan_sync
+from ..functions.paths import base64url_decode, base64url_encode
+from ..session import load
+from .common import CHUNKS_CTE, chunks_df, query_vector, qvec_sql, register
+
+TERMS = ["spark", "join", "filter", "merge"]
+TERMS_SQL = "['spark','join','filter','merge']"
+
+# shared SQL fragments ------------------------------------------------------
+
+SCORED_CTE = f"""
+scored AS (
+  SELECT filePath, chunkIndex,
+         round(1.0 - list_dot_product(vector::DOUBLE[], {qvec_sql(0)}), 6) + 0 AS score
+  FROM chunks
+)
+"""
+
+CAND_CTE = """
+cand AS (
+  SELECT filePath, chunkIndex, score
+  FROM scored ORDER BY score, chunkIndex LIMIT 20
+)
+"""
+
+# W3 grouping: gap > mean + 1.5*std boundaries, cumulative boundary count.
+def _grouping_cte(cuts: int) -> str:
+    return f"""
+gaps AS (
+  SELECT *, lead(score) OVER (ORDER BY score, chunkIndex) - score AS gap
+  FROM cand
+),
+gstats AS (SELECT avg(gap) AS m, stddev_pop(gap) AS s FROM gaps),
+flagged AS (
+  SELECT g.*, CASE WHEN g.gap > gstats.m + 1.5 * gstats.s THEN 1 ELSE 0 END AS b
+  FROM gaps g, gstats
+),
+grouped AS (
+  SELECT filePath, chunkIndex, score,
+         coalesce(sum(b) OVER (ORDER BY score, chunkIndex
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bb
+  FROM flagged
+),
+kept AS (SELECT filePath, chunkIndex, score FROM grouped WHERE bb < {cuts})
+"""
+
+
+# unigram BM25 over chunks.text (k1=1.2, b=0.75), corpus stats global.
+BM25_CTE = f"""
+toks AS (
+  SELECT chunkIndex, t.term
+  FROM chunks,
+       unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '')) AS t(term)
+),
+dl AS (SELECT chunkIndex, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+tf AS (SELECT chunkIndex, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+corpus AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms AS (SELECT unnest({TERMS_SQL}) AS term),
+dfreq AS (
+  SELECT term, count(DISTINCT chunkIndex)::BIGINT AS df
+  FROM tf JOIN qterms USING (term) GROUP BY 1
+),
+kwscore AS (
+  SELECT tf.chunkIndex,
+         sum( ln(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl)) ) AS s
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl USING (chunkIndex), corpus
+  GROUP BY 1
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# W1: flat-KNN top-k with 2x over-fetch (k=10 -> 20 candidates)
+
+@register(
+    "vector_topk",
+    f"WITH {CHUNKS_CTE.strip()}, {SCORED_CTE.strip()}, {CAND_CTE.strip()} "
+    "SELECT filePath, chunkIndex, score FROM cand",
+)
+def q_vector_topk(spark, sf_dir):
+    qv = query_vector(spark, sf_dir, 0)
+    hits = search.vector_topk(chunks_df(spark, sf_dir), qv, k=10, id_cols=("chunkIndex",))
+    return hits.select("filePath", "chunkIndex", "score")
+
+
+# P4+P5: scope (exact-or-descendant) and max-distance pushdown
+
+@register(
+    "vector_topk_scoped",
+    f"""WITH {CHUNKS_CTE.strip()}, {SCORED_CTE.strip()}
+SELECT filePath, chunkIndex, score
+FROM scored
+WHERE (filePath = '/corpus/src3' OR filePath LIKE '/corpus/src3/%')
+  AND score <= 0.9
+ORDER BY score, chunkIndex LIMIT 20""",
+)
+def q_vector_topk_scoped(spark, sf_dir):
+    qv = query_vector(spark, sf_dir, 0)
+    hits = search.vector_topk(
+        chunks_df(spark, sf_dir), qv, k=10, id_cols=("chunkIndex",),
+        scope=["/corpus/src3"], max_distance=0.9,
+    )
+    return hits.select("filePath", "chunkIndex", "score")
+
+
+# W3: statistical relevance-gap grouping ('similar' = cut at 1st boundary)
+
+@register(
+    "grouping_similar",
+    f"WITH {CHUNKS_CTE.strip()}, {SCORED_CTE.strip()}, {CAND_CTE.strip()}, "
+    f"{_grouping_cte(1).strip()} SELECT filePath, chunkIndex, score FROM kept",
+)
+def q_grouping_similar(spark, sf_dir):
+    qv = query_vector(spark, sf_dir, 0)
+    hits = search.vector_topk(chunks_df(spark, sf_dir), qv, k=10, id_cols=("chunkIndex",))
+    return search.grouping_filter(hits, "similar", id_cols=("chunkIndex",)).select(
+        "filePath", "chunkIndex", "score"
+    )
+
+
+# A3: the gap statistics themselves (mean / population std / count)
+
+@register(
+    "gap_stats",
+    f"""WITH {CHUNKS_CTE.strip()}, {SCORED_CTE.strip()}, {CAND_CTE.strip()},
+gaps AS (
+  SELECT lead(score) OVER (ORDER BY score, chunkIndex) - score AS gap FROM cand
+)
+SELECT round(avg(gap), 6) AS mean_gap,
+       round(stddev_pop(gap), 6) AS std_gap,
+       count(gap)::BIGINT AS n_gaps
+FROM gaps""",
+)
+def q_gap_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    qv = query_vector(spark, sf_dir, 0)
+    hits = search.vector_topk(chunks_df(spark, sf_dir), qv, k=10, id_cols=("chunkIndex",))
+    w = Window.orderBy(F.col("score").asc(), F.col("chunkIndex").asc())
+    gaps = hits.withColumn("gap", F.lead("score").over(w) - F.col("score"))
+    return gaps.agg(
+        F.round(F.avg("gap"), 6).alias("mean_gap"),
+        F.round(F.stddev_pop("gap"), 6).alias("std_gap"),
+        F.count("gap").alias("n_gaps"),
+    )
+
+
+# T8: BM25 keyword scoring (unigram tokenizer, global corpus stats)
+
+@register(
+    "bm25_unigram",
+    f"""WITH {CHUNKS_CTE.strip()}, {BM25_CTE.strip()}
+SELECT chunkIndex, round(s, 6) AS kw_score
+FROM kwscore ORDER BY kw_score DESC, chunkIndex LIMIT 15""",
+)
+def q_bm25_unigram(spark, sf_dir):
+    ch = chunks_df(spark, sf_dir)
+    postings = bm25.build_postings(ch, id_cols=("chunkIndex",), tokenizer="unigram")
+    scores = bm25.bm25_scores(postings, TERMS, id_cols=("chunkIndex",))
+    return (
+        scores.select("chunkIndex", F.round("_score", 6).alias("kw_score"))
+        .orderBy(F.col("kw_score").desc(), F.col("chunkIndex").asc())
+        .limit(15)
+    )
+
+
+# J1 + T9 + A5 in isolation: boost join with a deterministic synthetic
+# keyword table (kw = n_chars for every 3rd chunk), normalize by max,
+# boosted = score / (1 + kw_norm * 0.6); unmatched keep their distance.
+
+@register(
+    "keyword_boost",
+    f"""WITH {CHUNKS_CTE.strip()}, {SCORED_CTE.strip()}, {CAND_CTE.strip()},
+kw AS (
+  SELECT chunkIndex, n_chars::DOUBLE AS ks FROM chunks WHERE chunkIndex % 3 = 0
+),
+kwmax AS (SELECT max(ks) AS mx FROM kw),
+boosted AS (
+  SELECT c.filePath, c.chunkIndex,
+         round(c.score / (1.0 + coalesce(kw.ks / kwmax.mx, 0.0) * 0.6), 6) + 0 AS score
+  FROM cand c LEFT JOIN kw USING (chunkIndex), kwmax
+)
+SELECT filePath, chunkIndex, score FROM boosted""",
+)
+def q_keyword_boost(spark, sf_dir):
+    qv = query_vector(spark, sf_dir, 0)
+    ch = chunks_df(spark, sf_dir)
+    hits = search.vector_topk(ch, qv, k=10, id_cols=("chunkIndex",))
+    kw = ch.filter(F.col("chunkIndex") % 3 == 0).select(
+        "chunkIndex", F.col("n_chars").cast("double").alias("_score")
+    )
+    boosted = search.keyword_boost(hits, kw, on=("chunkIndex",), weight=0.6)
+    return boosted.select("filePath", "chunkIndex", "score")
+
+
+# The flagship: full hybrid pipeline (W1 -> W3 -> T8 restricted to
+# candidates -> J1/T9 boost -> W4 top-files -> final top-k).
+
+HYBRID_SQL = f"""WITH {CHUNKS_CTE.strip()}, {SCORED_CTE.strip()}, {CAND_CTE.strip()},
+{_grouping_cte(2).strip()},
+{BM25_CTE.strip()},
+kwcand AS (
+  SELECT k.chunkIndex, k.s FROM kwscore k JOIN kept USING (chunkIndex)
+),
+kwmax AS (SELECT max(s) AS mx FROM kwcand),
+boosted AS (
+  SELECT c.filePath, c.chunkIndex,
+         round(c.score / (1.0 + coalesce(k.s / kwmax.mx, 0.0) * 0.6), 6) + 0 AS score
+  FROM kept c LEFT JOIN kwcand k USING (chunkIndex), kwmax
+),
+bestfile AS (
+  SELECT filePath, min(score) AS best FROM boosted GROUP BY 1
+),
+topfiles AS (
+  SELECT filePath FROM bestfile ORDER BY best, filePath LIMIT 3
+)
+SELECT b.filePath, b.chunkIndex, b.score
+FROM boosted b JOIN topfiles USING (filePath)
+ORDER BY b.score, b.chunkIndex LIMIT 10"""
+
+
+@register("hybrid_search", HYBRID_SQL)
+def q_hybrid_search(spark, sf_dir):
+    qv = query_vector(spark, sf_dir, 0)
+    ch = chunks_df(spark, sf_dir)
+    final = search.hybrid_search(
+        ch, qv, TERMS, k=10, id_cols=("chunkIndex",), grouping="related",
+        weight=0.6, max_files=3,
+    )
+    return final.select("filePath", "chunkIndex", "score")
+
+
+# W5: neighbor frame — chunkIndex in [target-2, target+2] of one document
+# (expressed over lineitem: one order's line numbers around a target line).
+
+NEIGHBORS_SQL = """WITH target AS (
+  SELECT min(l_orderkey) AS k FROM (
+    SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) >= 6
+  ) t
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem, target
+WHERE l_orderkey = target.k AND l_linenumber BETWEEN 2 AND 6
+ORDER BY l_linenumber"""
+
+
+@register("neighbors_frame", NEIGHBORS_SQL)
+def q_neighbors_frame(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    target = (
+        li.groupBy("l_orderkey").count().filter(F.col("count") >= 6)
+        .agg(F.min("l_orderkey")).first()[0]
+    )
+    return (
+        li.filter((F.col("l_orderkey") == target) & F.col("l_linenumber").between(2, 6))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_linenumber")
+    )
+
+
+# S2/P2: filtered range read on the chunks view
+
+@register(
+    "range_read",
+    f"""WITH {CHUNKS_CTE.strip()}
+SELECT chunkIndex, n_chars FROM chunks
+WHERE filePath LIKE '/corpus/src5/%' AND chunkIndex BETWEEN 100 AND 300
+ORDER BY chunkIndex""",
+)
+def q_range_read(spark, sf_dir):
+    ch = chunks_df(spark, sf_dir)
+    return (
+        ch.filter(
+            F.col("filePath").startswith("/corpus/src5/")
+            & F.col("chunkIndex").between(100, 300)
+        )
+        .select("chunkIndex", "n_chars")
+        .orderBy("chunkIndex")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 incremental-sync planner (J2 + convergence rules) over synthetic
+# disk/db manifests derived deterministically from `documents`.
+
+SYNC_MANIFESTS_CTE = """
+base AS (
+  SELECT doc_id, source, text,
+         '/corpus/' || source || '/doc' || doc_id || '.md' AS fp
+  FROM documents
+),
+db AS (
+  SELECT fp AS filePath, lower(fp) AS key, source,
+         CASE WHEN doc_id % 17 = 0 THEN NULL
+              ELSE md5(text || CASE WHEN doc_id % 13 = 0 THEN ':stale' ELSE '' END)
+         END AS hash
+  FROM base WHERE doc_id % 10 <> 7
+  UNION ALL
+  SELECT upper(fp), lower(fp), source, md5(text)
+  FROM base WHERE doc_id % 10 <> 7 AND doc_id % 23 = 0
+),
+disk AS (
+  SELECT lower(fp) AS key, md5(text) AS hash
+  FROM base WHERE doc_id % 11 <> 3 AND source <> 'src0'
+)
+"""
+
+SYNC_PLAN_SQL = f"""WITH {SYNC_MANIFESTS_CTE.strip()},
+db_agg AS (
+  SELECT d.key,
+         count(DISTINCT d.filePath)::BIGINT AS n_spellings,
+         count(*) FILTER (WHERE d.hash IS NULL)::BIGINT AS n_null_hash,
+         count(*) FILTER (WHERE k.hash IS NOT NULL
+                          AND d.hash IS DISTINCT FROM k.hash)::BIGINT AS n_mismatch,
+         max(d.source) AS source
+  FROM db d LEFT JOIN disk k ON d.key = k.key
+  GROUP BY d.key
+),
+plan AS (
+  SELECT coalesce(a.key, k.key) AS key,
+         CASE WHEN a.key IS NULL THEN 'upsert_new'
+              WHEN k.key IS NULL AND a.source = 'src0' THEN 'keep_excluded'
+              WHEN k.key IS NULL THEN 'prune'
+              WHEN a.n_spellings > 1 OR a.n_null_hash > 0 OR a.n_mismatch > 0
+                   THEN 'upsert'
+              ELSE 'skip' END AS action
+  FROM db_agg a FULL OUTER JOIN disk k ON a.key = k.key
+)
+SELECT key, action FROM plan"""
+
+
+def _sync_manifests(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", "text",
+        F.concat_ws(
+            "", F.lit("/corpus/"), F.col("source"), F.lit("/doc"),
+            F.col("doc_id").cast("string"), F.lit(".md"),
+        ).alias("fp"),
+    )
+    db_main = base.filter(F.col("doc_id") % 10 != 7).select(
+        F.col("fp").alias("filePath"),
+        F.lower("fp").alias("key"),
+        "source",
+        F.when(F.col("doc_id") % 17 == 0, F.lit(None).cast("string")).otherwise(
+            F.md5(
+                F.concat(
+                    F.col("text"),
+                    F.when(F.col("doc_id") % 13 == 0, F.lit(":stale")).otherwise(F.lit("")),
+                )
+            )
+        ).alias("hash"),
+    )
+    db_alias = (
+        base.filter((F.col("doc_id") % 10 != 7) & (F.col("doc_id") % 23 == 0))
+        .select(
+            F.upper("fp").alias("filePath"),
+            F.lower("fp").alias("key"),
+            "source",
+            F.md5("text").alias("hash"),
+        )
+    )
+    db = db_main.unionByName(db_alias)
+    disk = base.filter((F.col("doc_id") % 11 != 3) & (F.col("source") != "src0")).select(
+        F.lower("fp").alias("key"), F.md5("text").alias("hash")
+    )
+    return db, disk
+
+
+@register("sync_plan", SYNC_PLAN_SQL)
+def q_sync_plan(spark, sf_dir):
+    db, disk = _sync_manifests(spark, sf_dir)
+    return plan_sync(db, disk, excluded_sources=["src0"]).select("key", "action")
+
+
+@register(
+    "sync_counters",
+    f"WITH plan_q AS ({SYNC_PLAN_SQL}) "
+    "SELECT action, count(*)::BIGINT AS n FROM plan_q GROUP BY action",
+)
+def q_sync_counters(spark, sf_dir):
+    db, disk = _sync_manifests(spark, sf_dir)
+    plan = plan_sync(db, disk, excluded_sources=["src0"])
+    return plan.groupBy("action").agg(F.count("*").alias("n"))
+
+
+# T13: content-hash change detection (sha-256 of document bytes)
+
+@register(
+    "content_hash",
+    "SELECT doc_id, sha256(text) AS content_hash FROM documents",
+)
+def q_content_hash(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2("text", 256).alias("content_hash"))
+
+
+# §2.8 scalar-function battery: quote-escape, truncate+ellipsis, whitespace
+# normalization, base64url source identity round-trip.
+
+@register(
+    "scalar_funcs",
+    r"""SELECT doc_id,
+       length(replace(text, '''', '''''')) AS esc_len,
+       CASE WHEN length(text) > 120 THEN substring(text, 1, 120) || '…'
+            ELSE text END AS truncated,
+       regexp_replace(trim(text), '\s+', ' ', 'g') AS norm_ws,
+       rtrim(translate(to_base64(source::BLOB), '+/', '-_'), '=') AS source_key,
+       from_base64(translate(rtrim(translate(to_base64(source::BLOB), '+/', '-_'), '='), '-_', '+/')
+                   || repeat('=', (4 - length(rtrim(translate(to_base64(source::BLOB), '+/', '-_'), '=')) % 4) % 4)
+       )::VARCHAR AS source_back
+FROM documents""",
+)
+def q_scalar_funcs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    key = base64url_encode(F.col("source"))
+    return docs.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", "'", "''")).alias("esc_len"),
+        F.when(
+            F.length("text") > 120, F.concat(F.substring("text", 1, 120), F.lit("…"))
+        ).otherwise(F.col("text")).alias("truncated"),
+        F.regexp_replace(F.trim(F.col("text")), "\\s+", " ").alias("norm_ws"),
+        key.alias("source_key"),
+        base64url_decode(key).alias("source_back"),
+    )

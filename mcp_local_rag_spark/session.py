@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for the engine.
+
+Local mode is the test bed; the configs are chosen to also be sane on a
+real cluster (AQE on, skew-join handling, arrow batching). On a cluster
+``spark.sql.shuffle.partitions`` should scale with cores — here it is
+pinned to the local core count via SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "mcp-local-rag-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle = cpus if cpus != "*" else str(os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime coalescing, skew-join splitting, broadcast demotion —
+        # the 100 TB posture (skewed keys get split without manual salting).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        # duckdb-oracle comparison: duckdb timestamps are UTC-naive.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # NOTE: keep autoBroadcastJoinThreshold at default (10 MB). In local
+        # single-JVM mode a broadcast exchange is pure serialization overhead
+        # (measured: 64 MB threshold turned every mid-size join into a
+        # collect+rebroadcast, ~7x slower end-to-end). Small dims still
+        # broadcast; operators place explicit broadcast() hints where the
+        # cluster plan needs them.
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str):
+    """Load one driver-generated parquet table (TESTDATA.md).
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; read nanos as long (runtime SQL conf, safe to set on any
+    session) and truncate to microseconds — the same value DuckDB produces
+    when it casts ns to its us-precision TIMESTAMP.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # integer div: epoch-nanos exceed 2^53, float division would lose
+        # microsecond exactness
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1,0 +1,53 @@
+"""BM25 math checked against hand-computed Okapi/Lucene values."""
+
+import math
+
+from mcp_local_rag_spark.operators import bm25
+
+
+def test_bm25_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            ("/a", 0, "spark spark fast"),
+            ("/a", 1, "slow words only"),
+            ("/b", 0, "spark appears once here"),
+        ],
+        "filePath string, chunkIndex int, text string",
+    )
+    postings = bm25.build_postings(docs)
+    scores = {
+        (r.filePath, r.chunkIndex): r._score
+        for r in bm25.bm25_scores(postings, ["spark"], materialize=False).collect()
+    }
+    # N=3, df(spark)=2 -> idf = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6)
+    idf = math.log(1.6)
+    avgdl = (3 + 3 + 4) / 3
+    # doc (/a,0): tf=2, dl=3
+    expected_a0 = idf * (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * 3 / avgdl))
+    # doc (/b,0): tf=1, dl=4
+    expected_b0 = idf * (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * 4 / avgdl))
+    assert abs(scores[("/a", 0)] - expected_a0) < 1e-9
+    assert abs(scores[("/b", 0)] - expected_b0) < 1e-9
+    assert ("/a", 1) not in scores
+
+
+def test_bm25_candidate_restriction_keeps_global_stats(spark):
+    docs = spark.createDataFrame(
+        [("/a", 0, "spark"), ("/b", 0, "spark"), ("/c", 0, "spark")],
+        "filePath string, chunkIndex int, text string",
+    )
+    postings = bm25.build_postings(docs)
+    cands = docs.select("filePath", "chunkIndex").filter("filePath = '/a'")
+    out = bm25.bm25_scores(postings, ["spark"], candidates=cands, materialize=False).collect()
+    assert len(out) == 1 and out[0].filePath == "/a"
+    # idf uses the GLOBAL df=3, N=3: ln(1 + 0.5/3.5)
+    idf = math.log(1 + 0.5 / 3.5)
+    expected = idf * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75))
+    assert abs(out[0]._score - expected) < 1e-9
+
+
+def test_ngram23_tokenizer(spark):
+    docs = spark.createDataFrame([("/a", 0, "ab")], "filePath string, chunkIndex int, text string")
+    postings = bm25.build_postings(docs, tokenizer="ngram23")
+    terms = {r.term for r in postings.collect()}
+    assert terms == {"ab"}  # len 2 -> one 2-gram, no 3-grams

@@ -1,0 +1,104 @@
+"""Search-pipeline unit tests with hand-computed expectations, mirroring the
+reference's search-filters test style (src/vectordb/__tests__/search-filters.test.ts)."""
+
+from mcp_local_rag_spark.operators import search
+
+
+def _chunks(spark, rows):
+    return spark.createDataFrame(
+        rows, "filePath string, chunkIndex int, vector array<float>"
+    )
+
+
+def test_vector_topk_overfetch_and_order(spark):
+    # distances to [1,0]: a=0, b=1, c=0.2, d=2
+    rows = [
+        ("/a", 0, [1.0, 0.0]),
+        ("/a", 1, [0.0, 1.0]),
+        ("/b", 0, [0.8, 0.6]),
+        ("/b", 1, [-1.0, 0.0]),
+    ]
+    out = search.vector_topk(_chunks(spark, rows), [1.0, 0.0], k=1).collect()
+    assert len(out) == 2  # k * overfetch
+    assert [(r.filePath, r.chunkIndex) for r in out] == [("/a", 0), ("/b", 0)]
+    assert out[0].score == 0.0 and abs(out[1].score - 0.2) < 1e-9
+
+
+def test_vector_topk_scope_and_max_distance(spark):
+    rows = [
+        ("/a/x", 0, [1.0, 0.0]),
+        ("/ab/x", 0, [1.0, 0.0]),  # scope '/a' must NOT match '/ab'
+        ("/a/y", 0, [-1.0, 0.0]),  # distance 2, cut by max_distance
+    ]
+    out = search.vector_topk(
+        _chunks(spark, rows), [1.0, 0.0], k=5, scope=["/a"], max_distance=1.0
+    ).collect()
+    assert [(r.filePath) for r in out] == ["/a/x"]
+
+
+def test_grouping_filter_boundary_math(spark):
+    # scores: 0.1, 0.12, 0.14, 0.5 -> gaps 0.02, 0.02, 0.36
+    # mean=0.1333.., std_pop=0.16027.., boundary 0.36 > 0.1333+1.5*0.16027=0.3737? NO
+    # -> no boundary, all kept for 'similar'
+    hits = spark.createDataFrame(
+        [("/a", 0, 0.10), ("/a", 1, 0.12), ("/a", 2, 0.14), ("/a", 3, 0.50)],
+        "filePath string, chunkIndex int, score double",
+    )
+    kept = search.grouping_filter(hits, "similar")
+    assert kept.count() == 4
+
+    # scores: .10 .11 .12 .13 .14 .15 .80 -> gaps .01 x5, .65
+    # mean=.11667, std_pop=.23851; boundary .65 > .11667+1.5*.23851=.47443 -> cut
+    # 'similar' keeps the 6 rows before the boundary gap
+    hits2 = spark.createDataFrame(
+        [("/a", i, 0.10 + 0.01 * i) for i in range(6)] + [("/a", 6, 0.80)],
+        "filePath string, chunkIndex int, score double",
+    )
+    kept2 = search.grouping_filter(hits2, "similar").collect()
+    assert [r.chunkIndex for r in kept2] == [0, 1, 2, 3, 4, 5]
+    # 'related' cuts at the 2nd boundary -> everything survives one boundary
+    assert search.grouping_filter(hits2, "related").count() == 7
+
+
+def test_keyword_boost_formula(spark):
+    hits = spark.createDataFrame(
+        [("/a", 0, 0.4), ("/a", 1, 0.4)], "filePath string, chunkIndex int, score double"
+    )
+    kw = spark.createDataFrame(
+        [("/a", 0, 5.0), ("/x", 9, 10.0)],
+        "filePath string, chunkIndex int, _score double",
+    )
+    out = {
+        (r.filePath, r.chunkIndex): r.score
+        for r in search.keyword_boost(hits, kw, weight=0.6).collect()
+    }
+    # kw_norm = 5/10 = 0.5 -> 0.4 / (1 + 0.5*0.6) = 0.307692; unmatched keeps 0.4
+    assert abs(out[("/a", 0)] - 0.307692) < 1e-6
+    assert out[("/a", 1)] == 0.4
+
+
+def test_file_topn_filter(spark):
+    hits = spark.createDataFrame(
+        [("/a", 0, 0.1), ("/a", 1, 0.9), ("/b", 0, 0.2), ("/c", 0, 0.05)],
+        "filePath string, chunkIndex int, score double",
+    )
+    kept = search.file_topn_filter(hits, 2)
+    files = {r.filePath for r in kept.collect()}
+    assert files == {"/c", "/a"}  # best scores 0.05 (/c), 0.1 (/a), 0.2 (/b)
+    assert kept.count() == 3  # both /a chunks survive
+
+
+def test_hybrid_search_end_to_end(spark):
+    rows = [
+        ("/a", 0, [1.0, 0.0], "spark join fast"),
+        ("/a", 1, [0.9, 0.1], "other words here"),
+        ("/b", 0, [0.0, 1.0], "spark spark spark"),
+    ]
+    chunks = spark.createDataFrame(
+        rows, "filePath string, chunkIndex int, vector array<float>, text string"
+    )
+    out = search.hybrid_search(
+        chunks, [1.0, 0.0], ["spark"], k=2, grouping=None, max_files=None
+    ).collect()
+    assert len(out) == 2
+    assert out[0].filePath == "/a" and out[0].chunkIndex == 0

@@ -1,0 +1,76 @@
+from pyspark.sql import functions as F
+
+from mcp_local_rag_spark.functions import paths, text
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_garbage_chunk_filter(spark):
+    df = spark.createDataFrame(
+        [("",), ("-----",), ("aaaaaaaaaaab",), ("a normal sentence with words",)],
+        "t string",
+    )
+    out = [r.g for r in df.select(text.is_garbage_chunk(F.col("t")).alias("g")).collect()]
+    assert out == [True, True, True, False]  # 11/12 'a' chars > 80%
+
+
+def test_min_length_filter_atomic_exemption(spark):
+    df = spark.createDataFrame([("short", True), ("short", False)], "t string, atomic boolean")
+    out = [
+        r.ok
+        for r in df.select(
+            text.passes_min_length(F.col("t"), 50, F.col("atomic")).alias("ok")
+        ).collect()
+    ]
+    assert out == [True, False]
+
+
+def test_char_ngrams_short_string(spark):
+    assert _one(spark, text.char_ngrams(F.lit("ab"), 3)) == []
+    assert _one(spark, text.char_ngrams(F.lit("abc"), 2)) == ["ab", "bc"]
+
+
+def test_word_shingles(spark):
+    assert _one(spark, text.word_shingles(F.lit("a b c d"), 3)) == ["a b c", "b c d"]
+    assert _one(spark, text.word_shingles(F.lit("a b"), 3)) == []
+
+
+def test_predict_lang(spark):
+    assert _one(spark, text.predict_lang(F.lit("the cat and the dog is here"))) == "en"
+    assert _one(spark, text.predict_lang(F.lit("der hund und die katze"))) == "de"
+    assert _one(spark, text.predict_lang(F.lit("zzz qqq"))) == "und"
+
+
+def test_token_counts(spark):
+    assert _one(spark, text.whitespace_token_count(F.lit("a b  c"))) == 3
+    # BPE-ish: 'abc' '123' ',' '!' -> 4
+    assert _one(spark, text.bpe_token_count(F.lit("abc123,!"))) == 4
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, text.fingerprint(F.lit("Hello,   World!")))
+    b = _one(spark, text.fingerprint(F.lit("hello world")))
+    assert a == b
+
+
+def test_scope_predicate_boundary(spark):
+    df = spark.createDataFrame([("/a/b",), ("/a/b/c",), ("/a/bc",)], "p string")
+    kept = [
+        r.p
+        for r in df.filter(paths.scope_predicate(F.col("p"), ["/a/b"])).collect()
+    ]
+    assert kept == ["/a/b", "/a/b/c"]
+
+
+def test_base64url_roundtrip(spark):
+    src = "https://example.com/page?q=1"
+    enc = _one(spark, paths.base64url_encode(F.lit(src)))
+    assert "=" not in enc and "+" not in enc and "/" not in enc
+    assert _one(spark, paths.base64url_decode(F.lit(enc))) == src
+
+
+def test_extension(spark):
+    assert _one(spark, paths.extension(F.lit("/x/y/doc.MD"))) == "md"
+    assert _one(spark, paths.extension(F.lit("/x/noext"))) == ""
