@@ -43,11 +43,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        spark.catalog.clearCache()
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        # two passes, keep the min: smooths JIT/codegen warmup and the
+        # sporadic multi-second scheduler stalls seen in this container
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -1,0 +1,147 @@
+"""Max-Min semantic chunking (reference T4,
+src/chunker/semantic-chunker.ts:100-327; algorithm from the Max-Min semantic
+chunking paper, Springer 2025).
+
+Semantics reproduced exactly:
+  * first sentence always opens a chunk;
+  * 2nd sentence joins iff initConst * cos(s0, s1) > hardThreshold;
+  * later sentences join iff maxSim(new, chunk) >
+      max(c * minSim(chunk) * sigmoid(|chunk|), hardThreshold),
+    where minSim is the min pairwise cosine over the LAST window(=5)
+    sentences (O(1) approximation) and |chunk| counts sentences;
+  * force split at max_sentences(=15);
+  * chunk text = sentences joined with ' ';
+  * chunks shorter than min_chunk_length(=50) are dropped unless they
+    contain an atomic unit; garbage chunks (empty / decoration / >80%
+    one-char) are dropped.
+
+Execution model: the grouping is inherently sequential per document, so it
+runs as a grouped-map ``applyInPandas`` — parallel across documents (the
+100 TB axis), sequential within one. Vector math is numpy over an Arrow
+batch; no per-row Python round trips.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+HARD_THRESHOLD = 0.6
+INIT_CONST = 1.5
+C = 0.9
+WINDOW_SIZE = 5
+MAX_SENTENCES = 15
+MIN_CHUNK_LENGTH = 50
+
+_DECOR_RE = re.compile(r"^[-=*_#~•·\s]+$")
+
+
+def _is_garbage(text: str) -> bool:
+    t = text.strip()
+    if not t:
+        return True
+    if _DECOR_RE.match(t):
+        return True
+    counts: dict[str, int] = {}
+    for ch in t:
+        counts[ch] = counts.get(ch, 0) + 1
+    return max(counts.values()) / len(t) > 0.8
+
+
+def _cos(a: np.ndarray, b: np.ndarray) -> float:
+    na, nb = float(np.linalg.norm(a)), float(np.linalg.norm(b))
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return float(np.dot(a, b)) / (na * nb)
+
+
+def group_sentences(vectors: np.ndarray) -> list[list[int]]:
+    """Return sentence-index groups for one document (pure, testable)."""
+    n = len(vectors)
+    if n == 0:
+        return []
+    groups: list[list[int]] = []
+    cur: list[int] = [0]
+    for i in range(1, n):
+        v = vectors[i]
+        if len(cur) == 1:
+            join = INIT_CONST * _cos(vectors[cur[0]], v) > HARD_THRESHOLD
+        elif len(cur) >= MAX_SENTENCES:
+            join = False
+        else:
+            window = cur[-WINDOW_SIZE:]
+            if len(window) < 2:
+                min_sim = 1.0
+            else:
+                min_sim = min(
+                    _cos(vectors[window[a]], vectors[window[b]])
+                    for a in range(len(window))
+                    for b in range(a + 1, len(window))
+                )
+            max_sim = max(_cos(vectors[j], v) for j in cur)
+            sigmoid = 1.0 / (1.0 + math.exp(-len(cur)))
+            threshold = max(C * min_sim * sigmoid, HARD_THRESHOLD)
+            join = max_sim > threshold
+        if join:
+            cur.append(i)
+        else:
+            groups.append(cur)
+            cur = [i]
+    groups.append(cur)
+    return groups
+
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_key", StringType()),
+        StructField("chunk_index", IntegerType()),
+        StructField("text", StringType()),
+        StructField("n_sentences", IntegerType()),
+    ]
+)
+
+
+def maxmin_chunk(
+    sentences: DataFrame,
+    *,
+    key_col: str = "doc_key",
+    seq_col: str = "seq",
+    text_col: str = "text",
+    vec_col: str = "vector",
+    atomic_col: str | None = None,
+    min_chunk_length: int = MIN_CHUNK_LENGTH,
+) -> DataFrame:
+    """Group (doc_key, seq, text, vector[, atomic]) sentence rows into chunks.
+
+    One shuffle keyed by document; each group is processed in one pandas
+    batch. Output: (doc_key, chunk_index, text, n_sentences).
+    """
+    cols = [key_col, seq_col, text_col, vec_col]
+    has_atomic = atomic_col is not None
+    if has_atomic:
+        cols.append(atomic_col)
+
+    def _chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq_col)
+        vectors = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        texts = pdf[text_col].tolist()
+        atomics = pdf[atomic_col].tolist() if has_atomic else [False] * len(texts)
+        key = pdf[key_col].iloc[0]
+        rows = []
+        idx = 0
+        for group in group_sentences(vectors):
+            chunk_text = " ".join(texts[i] for i in group)
+            has_atomic_unit = any(atomics[i] for i in group)
+            if (
+                has_atomic_unit or len(chunk_text) >= min_chunk_length
+            ) and not _is_garbage(chunk_text):
+                rows.append((key, idx, chunk_text, len(group)))
+                idx += 1
+        return pd.DataFrame(rows, columns=["doc_key", "chunk_index", "text", "n_sentences"])
+
+    return sentences.select(*cols).groupBy(key_col).applyInPandas(_chunk, CHUNK_SCHEMA)

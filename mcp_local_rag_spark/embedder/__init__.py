@@ -1,0 +1,102 @@
+"""Pluggable text embedding (reference T3, src/embedder/index.ts).
+
+The reference runs Xenova/all-MiniLM-L6-v2 (384-d) through ONNX with batch
+16, mean pooling + L2 normalization, deferring padding-outlier texts to
+singleton batches. On Spark the same stage is an Arrow-batched pandas UDF;
+batching/padding concerns become "sort by length inside the batch" and the
+Arrow batch size config.
+
+No model runtime ships in this container, so the default implementation is
+a DETERMINISTIC pseudo-embedder (sha256-seeded unit vectors) — the same
+strategy the reference's own perf test uses (constant vectors,
+src/server/__tests__/rag-server.read-neighbors.perf.test.ts:43). A real
+sentence-transformers encoder drops into ``embed_text_column`` behind the
+same signature (gated behind an import-try).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType
+
+DEFAULT_DIM = 64
+
+
+def pseudo_embed(text: str, dim: int = DEFAULT_DIM) -> list[float]:
+    """Deterministic unit vector from the text's sha256 (locality-free —
+    a hashing stand-in, not a semantic model)."""
+    out = np.empty(dim, dtype=np.float64)
+    i = 0
+    counter = 0
+    while i < dim:
+        h = hashlib.sha256(f"{counter}|{text}".encode()).digest()
+        block = np.frombuffer(h, dtype=np.uint8).astype(np.float64)
+        take = min(dim - i, len(block))
+        out[i : i + take] = block[:take] / 255.0 - 0.5
+        i += take
+        counter += 1
+    norm = np.linalg.norm(out)
+    if norm > 0:
+        out /= norm
+    return [float(x) for x in out]
+
+
+def _pseudo_udf(dim: int):
+    @F.pandas_udf(ArrayType(FloatType()))
+    def udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: pseudo_embed(t or "", dim))
+
+    return udf
+
+
+def _try_sentence_transformers(model_name: str):
+    try:
+        from sentence_transformers import SentenceTransformer  # noqa: F401
+    except ImportError:
+        return None
+
+    def factory(dim: int):
+        @F.pandas_udf(ArrayType(FloatType()))
+        def udf(texts: pd.Series) -> pd.Series:
+            # lazy per-executor model init; length-sorted batching replaces
+            # the reference's padding-outlier deferral (same goal: bound
+            # padding amplification, src/embedder/index.ts:56-93)
+            model = SentenceTransformer(model_name)
+            order = texts.str.len().sort_values().index
+            vecs = model.encode(
+                texts.loc[order].fillna("").tolist(), normalize_embeddings=True
+            )
+            restored = pd.Series(list(vecs), index=order).sort_index()
+            return restored.map(list)
+
+        return udf
+
+    return factory
+
+
+def embed_text_column(
+    df: DataFrame,
+    text_col: str | Column = "text",
+    out_col: str = "vector",
+    *,
+    dim: int = DEFAULT_DIM,
+    backend: str = "pseudo",
+    model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+) -> DataFrame:
+    """Append an embedding column. backend: 'pseudo' (deterministic, always
+    available) or 'model' (sentence-transformers, if installed)."""
+    if backend == "model":
+        factory = _try_sentence_transformers(model_name)
+        if factory is not None:
+            return df.withColumn(out_col, factory(dim)(F.col(text_col) if isinstance(text_col, str) else text_col))
+        raise ImportError(
+            "sentence-transformers not available; use backend='pseudo'"
+        )
+    return df.withColumn(
+        out_col, _pseudo_udf(dim)(F.col(text_col) if isinstance(text_col, str) else text_col)
+    )

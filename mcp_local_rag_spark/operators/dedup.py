@@ -14,13 +14,28 @@ lexicographic MIN over hex digests is a valid min-hash).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens, word_shingles
+from ..functions.text import tokens
 
 N_HASHES = 16
 BAND_SIZE = 4
+
+# MinHash affine family over the Mersenne prime 2^31-1: sig_i = min over
+# shingles of (A[i]*h + B[i]) mod P, where h is a 60-bit integer from the
+# shingle's md5. ONE md5 per shingle + integer math per hash — vs 16 md5s —
+# keeps the whole signature build inside whole-stage codegen, and the same
+# arithmetic is reproducible bit-for-bit in the DuckDB oracle.
+P_MINHASH = 2_147_483_647
+MINHASH_A = [
+    7, 13, 31, 101, 257, 1031, 4099, 16411,
+    65537, 262147, 1048583, 4194319, 16777259, 67108879, 268435459, 1073741827,
+]
+MINHASH_B = [
+    3, 17, 53, 211, 523, 2081, 8219, 32771,
+    131101, 524309, 2097169, 8388617, 33554467, 134217757, 536870923, 2147483629,
+]
 
 
 def exact_duplicates(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -34,46 +49,87 @@ def exact_duplicates(docs: DataFrame, *, id_col: str = "doc_id", text_col: str =
 
 
 def shingle_sets(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per document: (id, shingle)."""
-    return docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingle"),
-    )
+    """Distinct word k-shingles per document: (id, shingle).
 
-
-def minhash_signatures(shingles: DataFrame, *, id_col: str = "doc_id", n_hashes: int = N_HASHES) -> DataFrame:
-    """(id, seed, sig): sig = lexicographic min of md5('<seed>|<shingle>').
-
-    One shuffle keyed by (id, seed); the seed fan-out is a cheap array
-    explode, not a join.
+    Window-lead formulation (posexplode tokens, concat k leads) instead of
+    an array higher-order transform: HOFs are interpreted per element, the
+    window version stays in codegen. One shuffle keyed by document id —
+    the same key the downstream signature groupBy needs.
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    fanned = shingles.select(id_col, "shingle", seeds)
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cols = [F.col("tok")] + [
+        F.lead("tok", j).over(w).alias(f"_t{j}") for j in range(1, k)
+    ]
+    with_leads = toks.select(F.col(id_col), *cols)
     return (
-        fanned.withColumn(
-            "h",
-            F.md5(F.concat_ws("", F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))),
+        with_leads.filter(F.col(f"_t{k-1}").isNotNull())
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", "tok", *[f"_t{j}" for j in range(1, k)]).alias("shingle"),
         )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("sig"))
+        .distinct()
     )
+
+
+def shingle_hash(shingle) -> F.Column:
+    """60-bit integer from a shingle's md5, reduced mod P (both engines:
+    Spark conv(hex,16,10); DuckDB ('0x'||hex)::BIGINT — verified identical)."""
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long") % P_MINHASH
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, *, id_col: str = "doc_id", n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Wide signature row per doc: (id, sig0..sig{n-1}).
+
+    Single groupBy with n min-aggregates — no row fan-out, no extra shuffle
+    beyond the one keyed by doc id.
+    """
+    base = shingles.select(F.col(id_col), shingle_hash(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % P_MINHASH).alias(
+            f"sig{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return base.groupBy(id_col).agg(*aggs)
+
+
+def band_keys(
+    sigs: DataFrame, *, id_col: str = "doc_id", band_size: int = BAND_SIZE
+) -> DataFrame:
+    """Long-format (id, band, band_key): band_key = md5 of the band's sigs."""
+    n_sigs = sum(1 for c in sigs.columns if c.startswith("sig"))
+    n_bands = n_sigs // band_size
+    keys = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"sig{b * band_size + j}").cast("string") for j in range(band_size)],
+            )
+        ).alias(f"bk{b}")
+        for b in range(n_bands)
+    ]
+    wide = sigs.select(F.col(id_col), *keys)
+    stack = ", ".join(f"{b}, bk{b}" for b in range(n_bands))
+    return wide.selectExpr(id_col, f"stack({n_bands}, {stack}) as (band, band_key)")
 
 
 def lsh_candidate_pairs(
     sigs: DataFrame, *, id_col: str = "doc_id", band_size: int = BAND_SIZE
 ) -> DataFrame:
-    """Band the signatures and emit distinct candidate pairs (id1 < id2).
+    """Distinct candidate pairs (id1 < id2) sharing any band bucket.
 
-    band_key = md5 of the band's sigs joined in seed order. The pair join is
-    an equi-join on (band, band_key) — bucket-local at scale.
+    The pair join is an equi-join on (band, band_key) — bucket-local at
+    scale; hot buckets split by AQE skew handling.
     """
-    parts = [
-        F.max(F.when(F.col("seed") % band_size == j, F.col("sig"))) for j in range(band_size)
-    ]
-    bands = (
-        sigs.groupBy(id_col, (F.col("seed") / band_size).cast("int").alias("band"))
-        .agg(F.md5(F.concat_ws("|", *parts)).alias("band_key"))
-    )
+    bands = band_keys(sigs, id_col=id_col, band_size=band_size)
     a = bands.select(F.col(id_col).alias("id1"), "band", "band_key")
     b = bands.select(F.col(id_col).alias("id2"), "band", "band_key")
     return (
@@ -119,36 +175,40 @@ def jaccard_verify(
 # ---------------------------------------------------------------------------
 # SimHash: 32-bit signature from unigram term frequencies. The bit math is
 # generated as SQL expression text so the Spark and DuckDB sides share one
-# generator (dialect differences: instr vs strpos, integer division).
+# generator (dialect differences: instr vs strpos, integer division). The
+# 8 hex digits of the token hash are projected ONCE as columns; each bit is
+# then two integer ops — keeps the generated code small enough for
+# whole-stage codegen (a per-bit strpos chain was compile-time-bound).
 
 SIMHASH_BITS = 32
 
 
-def _bit_exprs(dialect: str) -> list[str]:
-    """Per-bit expressions over columns (h: md5 hex of token, tf: count)."""
+def digit_exprs(dialect: str) -> list[str]:
+    """d0..d7: value of each hex digit of column h (md5 prefix)."""
     pos_fn = {"spark": "instr", "duckdb": "strpos"}[dialect]
-    exprs = []
-    for j in range(SIMHASH_BITS):
-        hexpos = j // 4 + 1
-        shift = 2 ** (j % 4)
-        digit = f"({pos_fn}('0123456789abcdef', substring(h, {hexpos}, 1)) - 1)"
-        if dialect == "spark":
-            bit = f"(({digit} div {shift}) % 2)"
-        else:
-            bit = f"(({digit} // {shift}) % 2)"
-        exprs.append(f"(tf * (2 * {bit} - 1))")
-    return exprs
-
-
-def simhash_sum_sql(dialect: str) -> str:
-    """SELECT-list fragment: sum signed bit contributions, assemble the
-    signature as a BIGINT. Expects a relation (id, h, tf)."""
-    parts = _bit_exprs(dialect)
-    bits = [
-        f"(CASE WHEN sum({parts[j]}) > 0 THEN {2**j} ELSE 0 END)"
-        for j in range(SIMHASH_BITS)
+    return [
+        f"({pos_fn}('0123456789abcdef', substring(h, {i + 1}, 1)) - 1)"
+        for i in range(SIMHASH_BITS // 4)
     ]
-    return " + ".join(f"CAST({b} AS BIGINT)" for b in bits)
+
+
+def bit_sum_exprs(dialect: str) -> list[str]:
+    """s0..s31 aggregate expressions over (tf, d0..d7): signed tf sums."""
+    intdiv = "div" if dialect == "spark" else "//"
+    out = []
+    for j in range(SIMHASH_BITS):
+        shift = 2 ** (j % 4)
+        bit = f"((d{j // 4} {intdiv} {shift}) % 2)"
+        out.append(f"sum(tf * (2 * {bit} - 1))")
+    return out
+
+
+def assemble_expr() -> str:
+    """simhash BIGINT from the s0..s31 sums (same text both dialects)."""
+    return " + ".join(
+        f"CAST((CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END) AS BIGINT)"
+        for j in range(SIMHASH_BITS)
+    )
 
 
 def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -159,7 +219,15 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") 
         .agg(F.count("*").alias("tf"))
         .withColumn("h", F.md5("tok"))
     )
-    return tf.groupBy(id_col).agg(F.expr(simhash_sum_sql("spark")).alias("simhash"))
+    digits = tf.select(
+        F.col(id_col),
+        "tf",
+        *[F.expr(e).alias(f"d{i}") for i, e in enumerate(digit_exprs("spark"))],
+    )
+    sums = digits.groupBy(id_col).agg(
+        *[F.expr(e).alias(f"s{j}") for j, e in enumerate(bit_sum_exprs("spark"))]
+    )
+    return sums.select(F.col(id_col), F.expr(assemble_expr()).alias("simhash"))
 
 
 def hamming_distance(a, b):

@@ -1,0 +1,142 @@
+"""End-to-end ingest: directory -> parsed docs -> sentence split -> embed ->
+Max-Min chunk -> chunks table (reference §3.2 ingest_file / §1.1 schema).
+
+The chunks table mirrors the reference's single-table data model
+(src/vectordb/types.ts:83-102): id, filePath, chunkIndex, text, vector,
+metadata{fileName,fileSize,fileType}, fileTitle, contentHash, timestamp.
+
+Write discipline for scale: partitioned by a hash bucket of filePath so
+per-document operators (delete-and-replace S8, neighbor reads W5) touch one
+partition; idempotent re-ingest = dynamic partition overwrite of the
+affected buckets (the Spark analogue of the reference's
+backup/delete/insert/rollback transaction simulation,
+src/server/index.ts:644-702 — Delta/Iceberg would make this a MERGE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..chunking.maxmin import maxmin_chunk
+from ..chunking.splitter import split_sentences_udf
+from ..embedder import embed_text_column
+from ..sources.parsers import parse_files
+from ..sources.scan import read_files, scan_directory
+
+N_BUCKETS = 64
+
+
+def ingest_directory(
+    spark: SparkSession,
+    root: str,
+    *,
+    dim: int = 64,
+    backend: str = "pseudo",
+) -> tuple[DataFrame, list[str]]:
+    """Scan + parse + chunk + embed one directory.
+
+    Returns (chunks DataFrame, unobserved_prefixes coverage facts).
+    """
+    scan = scan_directory(root)
+    files = read_files(spark, [f["path"] for f in scan.files])
+    # content hash BEFORE parse — a mid-ingest rewrite re-ingests next sync
+    # (reference race-direction rationale, src/server/index.ts:583-591)
+    hashed = files.withColumn("contentHash", F.lower(F.sha2(F.col("content"), 256)))
+    parsed = parse_files(hashed).join(
+        hashed.select("path", "contentHash", "length"), "path"
+    )
+    docs = parsed.filter(F.col("parse_error").isNull())
+    return build_chunks(docs, dim=dim, backend=backend), scan.unobserved_prefixes
+
+
+def build_chunks(
+    docs: DataFrame,
+    *,
+    path_col: str = "path",
+    text_col: str = "text",
+    dim: int = 64,
+    backend: str = "pseudo",
+) -> DataFrame:
+    """(path, text, title, contentHash, length) -> reference-shaped chunks."""
+    sentences = (
+        docs.select(
+            F.col(path_col).alias("doc_key"),
+            "title",
+            "contentHash",
+            F.col(text_col).alias("_doc_text"),
+        )
+        .withColumn("_sents", split_sentences_udf(F.col("_doc_text")))
+        .select(
+            "doc_key",
+            "title",
+            "contentHash",
+            F.length("_doc_text").alias("_doc_len"),
+            F.posexplode("_sents").alias("seq", "text"),
+        )
+    )
+    embedded = embed_text_column(sentences, "text", "vector", dim=dim, backend=backend)
+    chunks = maxmin_chunk(embedded)
+    # chunk-level embeddings (reference embeds the joined chunk text,
+    # src/ingest/compute.ts:49-65)
+    chunks = embed_text_column(chunks, "text", "vector", dim=dim, backend=backend)
+    meta = docs.select(
+        F.col(path_col).alias("doc_key"),
+        F.col("title").alias("fileTitle"),
+        "contentHash",
+        F.col("length").alias("_fileSize"),
+    )
+    out = (
+        chunks.join(meta, "doc_key")
+        .select(
+            F.expr("uuid()").alias("id"),
+            F.col("doc_key").alias("filePath"),
+            F.col("chunk_index").alias("chunkIndex"),
+            "text",
+            "vector",
+            F.struct(
+                F.element_at(F.split("doc_key", "/"), -1).alias("fileName"),
+                F.col("_fileSize").alias("fileSize"),
+                F.lower(F.regexp_extract(F.element_at(F.split("doc_key", "/"), -1), "\\.([A-Za-z0-9]+)$", 1)).alias("fileType"),
+            ).alias("metadata"),
+            "fileTitle",
+            "contentHash",
+            F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias(
+                "timestamp"
+            ),
+        )
+    )
+    return out
+
+
+def write_chunks(chunks: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Persist the chunks table partitioned by filePath hash bucket."""
+    (
+        chunks.withColumn(
+            "bucket", F.pmod(F.xxhash64("filePath"), F.lit(N_BUCKETS)).cast("int")
+        )
+        .write.partitionBy("bucket")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def delete_document(spark: SparkSession, table_path: str, file_path: str) -> int:
+    """S8 delete-by-file over a parquet chunks table: rewrite only the one
+    hash bucket that can contain the document (partition pruning does the
+    rest). Returns the number of deleted rows. With Delta this is a
+    one-line DELETE WHERE; parquet needs the bucket rewrite."""
+    df = spark.read.parquet(table_path)
+    bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(file_path)), F.lit(N_BUCKETS)).cast("int").alias("b")
+    ).first()["b"]
+    part = df.filter(F.col("bucket") == bucket)
+    # localCheckpoint cuts lineage so the overwrite below does not read the
+    # very files it replaces
+    keep = part.filter(F.col("filePath") != file_path).drop("bucket").localCheckpoint()
+    n_deleted = part.count() - keep.count()
+    if n_deleted:
+        keep.write.mode("overwrite").parquet(f"{table_path}/bucket={bucket}")
+        # the session-global FileStatusCache still lists the replaced files
+        spark.catalog.refreshByPath(table_path)
+    return n_deleted

@@ -50,20 +50,34 @@ shingles AS (
 )
 """
 
-SIGS_CTE = """
+def _sigs_cte() -> str:
+    """MinHash/band CTEs generated from the SAME constants as operators/dedup.py."""
+    p = dedup.P_MINHASH
+    sig_exprs = ",\n         ".join(
+        f"min(({dedup.MINHASH_A[i]} * h + {dedup.MINHASH_B[i]}) % {p}) AS sig{i}"
+        for i in range(dedup.N_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"sig{b * dedup.BAND_SIZE + j}" for j in range(dedup.BAND_SIZE)
+            ),
+        )
+        for b in range(dedup.N_HASHES // dedup.BAND_SIZE)
+    )
+    return f"""
+sigh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {p} AS h
+  FROM shingles
+),
 sigs AS (
-  SELECT doc_id, s.seed,
-         min(md5(s.seed || '|' || shingles.shingle)) AS sig
-  FROM shingles, (SELECT unnest(range(16)) AS seed) s
-  GROUP BY doc_id, s.seed
+  SELECT doc_id,
+         {sig_exprs}
+  FROM sigh GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, seed // 4 AS band,
-         md5( max(CASE WHEN seed % 4 = 0 THEN sig END) || '|' ||
-              max(CASE WHEN seed % 4 = 1 THEN sig END) || '|' ||
-              max(CASE WHEN seed % 4 = 2 THEN sig END) || '|' ||
-              max(CASE WHEN seed % 4 = 3 THEN sig END) ) AS band_key
-  FROM sigs GROUP BY doc_id, seed // 4
+{band_selects}
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
@@ -72,6 +86,9 @@ pairs AS (
              AND a.doc_id < b.doc_id
 )
 """
+
+
+SIGS_CTE = _sigs_cte()
 
 
 @register(
@@ -130,16 +147,36 @@ def q_dedup_jaccard(spark, sf_dir):
     return dedup.jaccard_verify(pairs, shingles, threshold=0.7)
 
 
-_SIMHASH_SQL = f"""WITH {CORPUS_CTE.strip()},
+def _simhash_sql() -> str:
+    digits = ",\n         ".join(
+        f"{e} AS d{i}" for i, e in enumerate(dedup.digit_exprs("duckdb"))
+    )
+    sums = ",\n         ".join(
+        f"{e} AS s{j}" for j, e in enumerate(dedup.bit_sum_exprs("duckdb"))
+    )
+    return f"""WITH {CORPUS_CTE.strip()},
 tf AS (
   SELECT doc_id, t.tok, count(*)::BIGINT AS tf, md5(t.tok) AS h
   FROM corpus,
        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                           x -> x <> '')) AS t(tok)
   GROUP BY doc_id, t.tok
+),
+digits AS (
+  SELECT doc_id, tf,
+         {digits}
+  FROM tf
+),
+sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM digits GROUP BY doc_id
 )
-SELECT doc_id, ({dedup.simhash_sum_sql('duckdb')}) AS simhash
-FROM tf GROUP BY doc_id"""
+SELECT doc_id, ({dedup.assemble_expr()}) AS simhash
+FROM sums"""
+
+
+_SIMHASH_SQL = _simhash_sql()
 
 
 @register("dedup_simhash", _SIMHASH_SQL)

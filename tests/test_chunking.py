@@ -1,0 +1,59 @@
+import numpy as np
+
+from mcp_local_rag_spark.chunking.maxmin import group_sentences, maxmin_chunk
+from mcp_local_rag_spark.chunking.splitter import split_sentences
+
+
+def test_split_sentences_basics():
+    text = "# Heading\n\nFirst sentence. Second sentence!\n\nNew para here."
+    out = split_sentences(text)
+    assert out == ["# Heading", "First sentence.", "Second sentence!", "New para here."]
+
+
+def test_split_sentences_code_fence_protected():
+    text = "Intro line.\n\n```\ncode. with periods. here\n```\n\nAfter."
+    out = split_sentences(text)
+    assert any("code. with periods. here" in s for s in out)
+    assert "After." in out
+
+
+def test_group_sentences_similar_join_and_split():
+    a = np.array([1.0, 0.0])
+    b = np.array([0.99, 0.14])  # cos ~0.99 with a
+    far = np.array([0.0, 1.0])
+    # 2nd sentence: 1.5*cos(a,b) > 0.6 -> join; 3rd: far from chunk -> split
+    groups = group_sentences(np.array([a, b, far]))
+    assert groups == [[0, 1], [2]]
+
+
+def test_group_sentences_second_sentence_rejected():
+    a = np.array([1.0, 0.0])
+    far = np.array([0.0, 1.0])  # 1.5 * 0 < 0.6 -> new group
+    assert group_sentences(np.array([a, far])) == [[0], [1]]
+
+
+def test_group_sentences_force_split_at_15():
+    vecs = np.array([[1.0, 0.0]] * 20)  # identical -> always joins
+    groups = group_sentences(vecs)
+    assert [len(g) for g in groups] == [15, 5]
+
+
+def test_maxmin_chunk_dataframe(spark):
+    long_a = "this sentence talks about one single coherent subject matter"
+    long_b = "this sentence continues the very same coherent subject matter"
+    other = "completely unrelated topic about databases and shuffle joins now"
+    rows = [
+        ("/d1", 0, long_a, [1.0, 0.0]),
+        ("/d1", 1, long_b, [0.98, 0.2]),
+        ("/d1", 2, other, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc_key string, seq int, text string, vector array<double>")
+    out = maxmin_chunk(df).orderBy("chunk_index").collect()
+    assert [r.n_sentences for r in out] == [2, 1]
+    assert out[0].text == f"{long_a} {long_b}"
+
+
+def test_maxmin_min_length_filter(spark):
+    rows = [("/d1", 0, "tiny", [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "doc_key string, seq int, text string, vector array<double>")
+    assert maxmin_chunk(df).count() == 0

@@ -1,0 +1,96 @@
+"""End-to-end ingest -> chunks table -> search, on a temp directory of
+md/txt files (the reference's Phase-1 slice, SURVEY §7)."""
+
+import os
+
+import pytest
+
+from mcp_local_rag_spark.embedder import pseudo_embed
+from mcp_local_rag_spark.operators import search
+from mcp_local_rag_spark.operators.neighbors import read_neighbors
+from mcp_local_rag_spark.plans.ingest import (
+    delete_document,
+    ingest_directory,
+    write_chunks,
+)
+from mcp_local_rag_spark.sources.parsers import extract_md_title, extract_txt_title
+from mcp_local_rag_spark.sources.scan import scan_directory
+
+DOC_MD = """---
+title: Spark Joins
+---
+
+# Ignored H1
+
+Spark supports broadcast hash joins for small tables and they are fast enough.
+Sort merge joins shuffle both sides by the join keys before merging sorted runs.
+
+----
+
+Completely different paragraph about cooking pasta with tomato sauce and basil.
+"""
+
+DOC_TXT = """My Plain Title
+
+Body line one talks about streaming watermarks and late arriving data handling.
+"""
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    (d / "joins.md").write_text(DOC_MD)
+    (d / "notes.txt").write_text(DOC_TXT)
+    (d / "skip.bin").write_text("not supported")
+    sub = d / "deep"
+    sub.mkdir()
+    (sub / "extra.md").write_text("# Extra\n\nA sufficiently long sentence about extra content lives here today.\n")
+    return str(d)
+
+
+def test_scan_directory(corpus_dir):
+    scan = scan_directory(corpus_dir)
+    names = {os.path.basename(f["path"]) for f in scan.files}
+    assert names == {"joins.md", "notes.txt", "extra.md"}
+    assert scan.unobserved_prefixes == []
+
+
+def test_title_extraction():
+    assert extract_md_title(DOC_MD, "/x/joins.md") == "Spark Joins"
+    assert extract_md_title("# H1 Title\n\nbody", "/x/a.md") == "H1 Title"
+    assert extract_md_title("no title here", "/x/fallback.md") == "fallback"
+    assert extract_txt_title(DOC_TXT, "/x/notes.txt") == "My Plain Title"
+    assert extract_txt_title("line1\nline2", "/x/notes.txt") == "notes"
+
+
+def test_ingest_to_search_end_to_end(spark, corpus_dir, tmp_path):
+    chunks, unobserved = ingest_directory(spark, corpus_dir)
+    table = str(tmp_path / "chunks")
+    write_chunks(chunks, table)
+    stored = spark.read.parquet(table)
+    n_before = stored.count()
+    assert n_before > 0
+    md_rows = stored.filter(stored.filePath.endswith("joins.md")).collect()
+    assert md_rows and all(r.fileTitle == "Spark Joins" for r in md_rows)
+    assert all(r.contentHash and len(r.contentHash) == 64 for r in md_rows)
+    assert all(r.metadata.fileType == "md" for r in md_rows)
+
+    # search: query with the exact text of an ingested sentence -> its chunk
+    # must rank first (pseudo-embeddings are hash-based: identical text,
+    # identical vector)
+    target = min(md_rows, key=lambda r: r.chunkIndex)
+    qv = pseudo_embed(target.text)
+    hits = search.vector_topk(stored, qv, k=3, overfetch=1).collect()
+    assert hits[0].filePath.endswith("joins.md")
+    assert hits[0].score <= 1e-6
+
+    # neighbors: frame read around the first chunk of joins.md
+    neigh = read_neighbors(stored, target.filePath, target.chunkIndex).collect()
+    assert any(r.chunkIndex == target.chunkIndex for r in neigh)
+
+    # delete-and-replace idempotence (S8)
+    n = delete_document(spark, table, target.filePath)
+    assert n == len(md_rows)
+    left = spark.read.parquet(table)
+    assert left.filter(left.filePath == target.filePath).count() == 0
+    assert left.count() == n_before - n
