@@ -35,6 +35,18 @@ def _tokenize(col, tokenizer: str):
     raise ValueError(tokenizer)
 
 
+def _ngram_explode(docs: DataFrame, id_cols, text_col: str, n: int) -> DataFrame:
+    """All position-n character n-grams, one row each, without array HOFs."""
+    d = docs.filter(F.length(text_col) >= n).select(
+        *id_cols, F.lower(F.col(text_col)).alias("_s")
+    )
+    return d.select(
+        *id_cols,
+        F.explode(F.sequence(F.lit(1), F.length("_s") - (n - 1))).alias("_i"),
+        "_s",
+    ).select(*id_cols, F.expr(f"substring(_s, _i, {n})").alias("term"))
+
+
 def build_postings(
     docs: DataFrame,
     *,
@@ -56,6 +68,11 @@ def build_postings(
             *id_cols,
             F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
         ).filter(F.col("term") != "")
+    elif tokenizer == "ngram23":
+        # explode positions + substring instead of an array-transform lambda
+        exploded = _ngram_explode(docs, id_cols, text_col, 2).unionByName(
+            _ngram_explode(docs, id_cols, text_col, 3)
+        )
     else:
         exploded = docs.select(
             *id_cols, F.explode(_tokenize(F.col(text_col), tokenizer)).alias("term")

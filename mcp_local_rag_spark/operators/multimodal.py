@@ -1,0 +1,150 @@
+"""Multimodal column operators: image/audio/video as opaque binary columns
+with typed metadata (the training-data-pipeline extension; analogous to the
+reference's visual-PDF path T10-T12, src/pdf-visual/).
+
+The Spark-side plumbing is real and tested — schemas, partitioning-safe
+batch shapes, Arrow-batched ``mapInPandas`` signatures. The actual media
+decode (PIL / ffmpeg / torchaudio are not in this container) is isolated in
+one function per modality that raises NotImplementedError unless a
+deterministic fake decoder is injected — the same stub discipline the
+reference applies to optional VLM captioning (dynamic import,
+src/ingest/visual.ts:108-117).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+def media_table(df: DataFrame, *, id_col: str, content_col: str, modality: str) -> DataFrame:
+    """Normalize any (id, binary) source into the canonical media schema:
+    (media_id, modality, content binary, media_meta struct). The metadata
+    struct is typed so downstream filters prune without touching bytes."""
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.col(content_col).cast("binary").alias("content"),
+        F.struct(
+            F.length(F.col(content_col)).alias("n_bytes"),
+            F.lower(F.sha2(F.col(content_col).cast("binary"), 256)).alias("content_hash"),
+        ).alias("media_meta"),
+    )
+
+
+def default_image_decoder(content: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "image decode needs PIL/opencv (not in container); inject a decoder"
+        " via decode_fn — the pipeline around it is fully wired"
+    )
+
+
+def fake_image_decoder(content: bytes) -> np.ndarray:
+    """Deterministic stand-in decoder: 8x8x3 uint8 'image' seeded from the
+    byte hash — lets the full pipeline run and be asserted in tests."""
+    h = hashlib.sha256(content).digest()
+    rng = np.frombuffer((h * 6)[: 8 * 8 * 3], dtype=np.uint8)
+    return rng.reshape(8, 8, 3).copy()
+
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_luma", FloatType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def image_features(
+    media: DataFrame,
+    *,
+    decode_fn: Callable[[bytes], np.ndarray] = default_image_decoder,
+    embed_dim: int = 16,
+) -> DataFrame:
+    """Decode -> feature-extract per image, Arrow-batched.
+
+    Output embedding = channel-mean histogram (a deterministic, model-free
+    feature); swap decode_fn/feature math for a real vision model without
+    touching the Spark plumbing.
+    """
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = decode_fn(bytes(content))
+                luma = float(img.mean())
+                hist = np.histogram(img, bins=embed_dim, range=(0, 255))[0]
+                total = hist.sum() or 1
+                rows.append(
+                    (
+                        mid,
+                        int(img.shape[0]),
+                        int(img.shape[1]),
+                        int(img.shape[2]) if img.ndim == 3 else 1,
+                        luma,
+                        [float(x) / total for x in hist],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "height", "width", "channels", "mean_luma", "embedding"],
+            )
+
+    return media.filter(F.col("modality") == "image").select(
+        "media_id", "content"
+    ).mapInPandas(_feats, IMAGE_FEATURES_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame", StringType()),  # binary-ish payload (hash id here)
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    *,
+    every_n: int = 10,
+    n_frames: int = 4,
+    extract_fn: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame — the UDTF
+    shape (1 row in, N rows out) used by every media pipeline. The default
+    extract_fn is a deterministic hash stub; a real one shells to ffmpeg."""
+
+    def _default(content: bytes, idx: int) -> bytes:
+        return hashlib.sha256(content + idx.to_bytes(4, "big")).digest()
+
+    fn = extract_fn or _default
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for j in range(n_frames):
+                    rows.append((mid, j * every_n, fn(bytes(content), j * every_n).hex()))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_index", "frame"])
+
+    return media.filter(F.col("modality") == "video").select(
+        "media_id", "content"
+    ).mapInPandas(_frames, FRAME_SAMPLE_SCHEMA)

@@ -121,6 +121,24 @@ def write_chunks(chunks: DataFrame, path: str, *, mode: str = "overwrite") -> No
     )
 
 
+def compact_chunks(spark: SparkSession, table_path: str, target_files_per_bucket: int = 1) -> None:
+    """S9 compaction — the reference's amortized ``optimize()``
+    (src/vectordb/index.ts:317-324; one call per bulk run, src/server/index.ts:543-549).
+
+    Streaming appends and per-file upserts leave many small files per
+    bucket; rewrite each bucket into ``target_files_per_bucket`` files.
+    With Delta/Iceberg this is OPTIMIZE / rewrite_data_files.
+    """
+    df = spark.read.parquet(table_path).localCheckpoint()
+    (
+        df.repartition(target_files_per_bucket * N_BUCKETS, "bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(table_path)
+    )
+    spark.catalog.refreshByPath(table_path)
+
+
 def delete_document(spark: SparkSession, table_path: str, file_path: str) -> int:
     """S8 delete-by-file over a parquet chunks table: rewrite only the one
     hash bucket that can contain the document (partition pruning does the

@@ -213,6 +213,196 @@ def q_keyword_boost(spark, sf_dir):
     return boosted.select("filePath", "chunkIndex", "score")
 
 
+# T8 with the reference's ACTUAL FTS tokenizer: ngram(2,3), no stemming
+# (src/vectordb/index.ts:258-271) — CJK-safe substring matching.
+
+NGRAM_TERMS = ["spar", "joi"]  # query ngrams come from the same tokenizer
+NGRAM_TERMS_TOKENS_SQL = (
+    "SELECT unnest(['sp','pa','ar','spa','par','jo','oi','joi']) AS term"
+)
+NGRAM_QUERY_TOKENS = ["sp", "pa", "ar", "spa", "par", "jo", "oi", "joi"]
+
+BM25_NGRAM_SQL = f"""WITH {CHUNKS_CTE.strip()},
+toks AS (
+  SELECT chunkIndex, substring(lower(text), i, 2) AS term
+  FROM chunks, unnest(range(1, len(text))) AS r(i)
+  UNION ALL
+  SELECT chunkIndex, substring(lower(text), i, 3) AS term
+  FROM chunks, unnest(range(1, len(text) - 1)) AS r(i)
+),
+dl AS (SELECT chunkIndex, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+tf AS (SELECT chunkIndex, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+corpus AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms AS ({NGRAM_TERMS_TOKENS_SQL}),
+dfreq AS (
+  SELECT term, count(DISTINCT chunkIndex)::BIGINT AS df
+  FROM tf JOIN qterms USING (term) GROUP BY 1
+),
+kwscore AS (
+  SELECT tf.chunkIndex,
+         sum( ln(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl)) ) AS s
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl USING (chunkIndex), corpus
+  GROUP BY 1
+)
+SELECT chunkIndex, round(s, 6) AS kw_score
+FROM kwscore ORDER BY kw_score DESC, chunkIndex LIMIT 15"""
+
+
+@register("bm25_ngram23", BM25_NGRAM_SQL)
+def q_bm25_ngram23(spark, sf_dir):
+    ch = chunks_df(spark, sf_dir)
+    postings = bm25.build_postings(ch, id_cols=("chunkIndex",), tokenizer="ngram23")
+    scores = bm25.bm25_scores(postings, NGRAM_QUERY_TOKENS, id_cols=("chunkIndex",))
+    return (
+        scores.select("chunkIndex", F.round("_score", 6).alias("kw_score"))
+        .orderBy(F.col("kw_score").desc(), F.col("chunkIndex").asc())
+        .limit(15)
+    )
+
+
+# J3: list cross-reference — scanned files LEFT JOIN ingested summary (A1),
+# with never-ingested and orphan rows visible (src/features/list.ts:31-77)
+
+LIST_XREF_SQL = f"""WITH {CHUNKS_CTE.strip()},
+scanned AS (
+  SELECT '/corpus/' || source || '/doc' || doc_id || '.md' AS filePath
+  FROM documents
+  UNION ALL
+  SELECT '/corpus/extra/doc' || doc_id || '.md' FROM documents WHERE doc_id % 9 = 0
+),
+ingested AS (
+  SELECT filePath, count(*)::BIGINT AS chunk_count, max(n_chars) AS max_chars
+  FROM chunks WHERE chunkIndex % 7 <> 0
+  GROUP BY filePath
+)
+SELECT s.filePath,
+       coalesce(i.chunk_count, 0) AS chunk_count,
+       i.chunk_count IS NOT NULL AS is_ingested
+FROM scanned s LEFT JOIN ingested i USING (filePath)"""
+
+
+@register("list_cross_reference", LIST_XREF_SQL)
+def q_list_cross_reference(spark, sf_dir):
+    ch = chunks_df(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    path = F.concat_ws(
+        "", F.lit("/corpus/"), F.col("source"), F.lit("/doc"),
+        F.col("doc_id").cast("string"), F.lit(".md"),
+    )
+    extra = docs.filter(F.col("doc_id") % 9 == 0).select(
+        F.concat_ws(
+            "", F.lit("/corpus/extra/doc"), F.col("doc_id").cast("string"), F.lit(".md")
+        ).alias("filePath")
+    )
+    scanned = docs.select(path.alias("filePath")).unionByName(extra)
+    ingested = (
+        ch.filter(F.col("chunkIndex") % 7 != 0)
+        .groupBy("filePath")
+        .agg(F.count("*").alias("chunk_count"), F.max("n_chars").alias("max_chars"))
+    )
+    return scanned.join(ingested, "filePath", "left").select(
+        "filePath",
+        F.coalesce("chunk_count", F.lit(0)).alias("chunk_count"),
+        F.col("chunk_count").isNotNull().alias("is_ingested"),
+    )
+
+
+# P6: ''<->null normalization on read (src/vectordb/types.ts:245-250)
+
+@register(
+    "null_normalization",
+    """SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN ''
+            WHEN doc_id % 3 = 1 THEN 'Title ' || doc_id
+            ELSE NULL END AS raw_title,
+       CASE WHEN length(CASE WHEN doc_id % 3 = 0 THEN ''
+                             WHEN doc_id % 3 = 1 THEN 'Title ' || doc_id
+                             ELSE NULL END) > 0
+            THEN CASE WHEN doc_id % 3 = 1 THEN 'Title ' || doc_id END
+            ELSE NULL END AS file_title
+FROM documents""",
+)
+def q_null_normalization(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    raw = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(""))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("Title "), F.col("doc_id").cast("string")))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return docs.select(
+        "doc_id",
+        raw.alias("raw_title"),
+        F.when(F.length(raw) > 0, raw).alias("file_title"),
+    )
+
+
+# A6: median pairwise cosine similarity within a sample (the reference's
+# outlier-robust header/footer signal, src/parser/pdf-filter.ts:239-266)
+
+@register(
+    "median_pairwise_sim",
+    """WITH sample AS (
+  SELECT vec_id, embedding FROM embeddings WHERE label = 0 AND vec_id < 200
+),
+pairs AS (
+  SELECT round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) + 0 AS sim
+  FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+)
+SELECT round(quantile_cont(sim, 0.5), 6) AS median_sim,
+       count(*)::BIGINT AS n_pairs
+FROM pairs""",
+)
+def q_median_pairwise_sim(spark, sf_dir):
+    from ..functions.vector import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    sample = emb.filter((F.col("label") == 0) & (F.col("vec_id") < 200)).select(
+        "vec_id", "embedding"
+    )
+    a = sample.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("_v1"))
+    b = sample.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("_v2"))
+    pairs = a.crossJoin(b).filter(F.col("id1") < F.col("id2")).select(
+        (F.round(cosine(F.col("_v1"), F.col("_v2")), 6) + F.lit(0.0)).alias("sim")
+    )
+    return pairs.agg(
+        F.round(F.percentile("sim", F.lit(0.5)), 6).alias("median_sim"),
+        F.count("*").alias("n_pairs"),
+    )
+
+
+# T1+T3+T4 as a queries() entry: the full chunking pipeline over the
+# documents table (sequential per doc -> no SQL oracle; rows-only check)
+
+@register("chunk_documents", None)
+def q_chunk_documents(spark, sf_dir):
+    from ..chunking.maxmin import maxmin_chunk
+    from ..chunking.splitter import split_sentences_udf
+    from ..embedder import embed_text_column
+
+    docs = load(spark, sf_dir, "documents")
+    sentences = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_key"),
+            F.posexplode(split_sentences_udf(F.col("text"))).alias("seq", "text"),
+        )
+    )
+    embedded = embed_text_column(sentences, "text", "vector", dim=32)
+    chunks = maxmin_chunk(embedded, min_chunk_length=30)
+    return chunks.select(
+        F.col("doc_key").cast("long").alias("doc_id"),
+        "chunk_index",
+        F.length("text").alias("chunk_len"),
+        "n_sentences",
+    )
+
+
 # The flagship: full hybrid pipeline (W1 -> W3 -> T8 restricted to
 # candidates -> J1/T9 boost -> W4 top-files -> final top-k).
 

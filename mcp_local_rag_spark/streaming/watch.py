@@ -1,0 +1,117 @@
+"""Structured Streaming ingest — the file-watcher extension.
+
+The reference is batch-only (SURVEY §2.10: sync_start is an async batch job
+with polling); this module is the Spark-native continuous counterpart: a
+file-source stream over a drop directory, the SAME batch ingest pipeline
+applied per micro-batch via foreachBatch, appending to the chunks table.
+
+Design points for scale:
+  * file source tracks processed files in the checkpoint — exactly-once per
+    file, restart-safe (replaces the reference's in-memory job record);
+  * foreachBatch reuses plans/ingest.build_chunks unchanged — one code path
+    for batch and streaming (the Dataflow/kappa stance);
+  * maxFilesPerTrigger bounds micro-batch size so embed/chunk stages see
+    steady Arrow batch shapes;
+  * Trigger.AvailableNow drains the backlog then stops — used in tests and
+    for catch-up runs.
+
+Also here: watermarked sliding-window aggregation over an event stream —
+the standard late-data pattern (not in the reference; part of the
+training-pipeline extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_ingest(
+    spark: SparkSession,
+    watch_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    *,
+    pattern: str = "*.txt",
+    dim: int = 64,
+    max_files_per_trigger: int = 100,
+    available_now: bool = False,
+):
+    """Watch a directory; parse+chunk+embed new files into the chunks table.
+
+    Returns the StreamingQuery. Uses the text source with wholetext so each
+    file is one row; the path comes from input_file_name(). Non-utf8 /
+    unsupported formats belong in a binaryFile batch sweep — the streaming
+    text source is the md/txt hot path.
+    """
+    from ..plans.ingest import N_BUCKETS, build_chunks
+    from ..sources.parsers import extract_md_title, extract_txt_title
+
+    raw = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", pattern)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(watch_dir)
+        .select(
+            F.regexp_replace(F.input_file_name(), "^file:", "").alias("path"),
+            F.col("value").alias("text"),
+        )
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        docs = batch.select(
+            "path",
+            "text",
+            F.udf(lambda p, t: (
+                extract_md_title(t or "", p) if p.endswith(".md")
+                else extract_txt_title(t or "", p)
+            ))("path", "text").alias("title"),
+            F.lower(F.sha2(F.col("text").cast("binary"), 256)).alias("contentHash"),
+            F.length("text").cast("long").alias("length"),
+        )
+        chunks = build_chunks(docs, dim=dim)
+        (
+            chunks.withColumn(
+                "bucket", F.pmod(F.xxhash64("filePath"), F.lit(N_BUCKETS)).cast("int")
+            )
+            .write.partitionBy("bucket")
+            .mode("append")
+            .parquet(table_path)
+        )
+
+    writer = raw.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked (sliding) window counts — works on a stream or a batch DF.
+
+    On a stream the watermark bounds state: late rows beyond it are dropped
+    and window state is evicted — the knob that keeps 100 TB/day of events
+    from accumulating unbounded state.
+    """
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    df = events
+    if events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(win.alias("win"), F.col(key_col)).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("total_value"),
+    )
