@@ -1,0 +1,223 @@
+"""RagEngine — the user-facing facade, mirroring the reference's MCP tool
+surface (src/server/index.ts dispatcher): query_documents, ingest_file/
+ingest_directory, delete_document, list_documents, get_status,
+read_chunk_neighbors, sync. A user of the reference maps each tool onto
+one method here; results carry the same fields.
+
+State = one chunks table (parquet, bucketed by filePath hash) — the
+reference's single LanceDB table (§1.1). All methods are DataFrame
+pipelines; only file listings and per-query literals touch the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .embedder import embed_text_column, pseudo_embed
+from .operators import search
+from .operators.bm25 import bm25_scores, build_postings
+from .operators.neighbors import read_neighbors
+from .operators.sync import plan_sync, sync_counters
+from .plans.ingest import (
+    N_BUCKETS,
+    build_chunks,
+    compact_chunks,
+    delete_document,
+    ingest_directory,
+    write_chunks,
+)
+from .sources.parsers import parse_files
+from .sources.scan import read_files, scan_directory
+
+
+@dataclass
+class SyncReport:
+    counters: dict[str, int] = field(default_factory=dict)
+    warnings: list[str] = field(default_factory=list)
+
+
+class RagEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        *,
+        dim: int = 64,
+        backend: str = "pseudo",
+    ):
+        self.spark = spark
+        self.table_path = table_path
+        self.dim = dim
+        self.backend = backend
+
+    # -- reads ------------------------------------------------------------
+
+    def chunks(self) -> DataFrame:
+        return self.spark.read.parquet(self.table_path)
+
+    def query_documents(
+        self,
+        query_text: str,
+        *,
+        limit: int = 10,
+        scope: list[str] | None = None,
+        max_distance: float | None = None,
+        grouping: str | None = None,
+        hybrid_weight: float = search.DEFAULT_HYBRID_WEIGHT,
+        max_files: int | None = None,
+    ) -> DataFrame:
+        """The hot path (§3.1): embed query -> hybrid vector+BM25 search.
+
+        limit is clamped to [1, 20] as in the reference
+        (src/server/tool-input.ts:76-79).
+        """
+        limit = max(1, min(20, limit))
+        qv = pseudo_embed(query_text, self.dim)
+        terms = [t for t in query_text.lower().split() if t]
+        return search.hybrid_search(
+            self.chunks(),
+            qv,
+            terms,
+            k=limit,
+            scope=scope,
+            max_distance=max_distance,
+            grouping=grouping,
+            weight=hybrid_weight,
+            max_files=max_files,
+        ).select("filePath", "chunkIndex", "text", "fileTitle", "score")
+
+    def read_chunk_neighbors(
+        self, file_path: str, chunk_index: int, *, before: int = 2, after: int = 2
+    ) -> DataFrame:
+        return read_neighbors(
+            self.chunks(), file_path, chunk_index, before=before, after=after
+        ).select("filePath", "chunkIndex", "text")
+
+    def list_documents(self) -> DataFrame:
+        """A1 per-file summary: chunkCount + max timestamp + title."""
+        return (
+            self.chunks()
+            .groupBy("filePath")
+            .agg(
+                F.count("*").alias("chunkCount"),
+                F.max("timestamp").alias("timestamp"),
+                F.max("fileTitle").alias("fileTitle"),
+                F.max("contentHash").alias("contentHash"),
+            )
+        )
+
+    def get_status(self) -> dict:
+        """A2: chunk + document counts."""
+        row = self.chunks().agg(
+            F.count("*").alias("chunks"), F.countDistinct("filePath").alias("documents")
+        ).first()
+        return {"chunkCount": row["chunks"], "documentCount": row["documents"]}
+
+    # -- writes -----------------------------------------------------------
+
+    def ingest_directory(self, root: str) -> int:
+        chunks, _ = ingest_directory(
+            self.spark, root, dim=self.dim, backend=self.backend
+        )
+        mode = "append" if self._exists() else "overwrite"
+        write_chunks(chunks, self.table_path, mode=mode)
+        self.spark.catalog.refreshByPath(self.table_path)
+        return self.chunks().count()
+
+    def delete_document(self, file_path: str) -> int:
+        return delete_document(self.spark, self.table_path, file_path)
+
+    def optimize(self) -> None:
+        compact_chunks(self.spark, self.table_path)
+
+    # -- incremental sync (§2.7 plan + execute) ---------------------------
+
+    def sync(self, root: str, *, exclude_prefixes: tuple[str, ...] = ()) -> SyncReport:
+        """Gather -> plan -> execute: upserts (changed/new/dirty docs
+        re-ingested), prunes (stored docs gone from disk, unless under an
+        unobserved region or excluded), one compaction at the end —
+        matching the reference's execution order and amortized optimize
+        (src/features/sync.ts:401-468, src/server/index.ts:543-549)."""
+        scan = scan_directory(root, exclude_prefixes=exclude_prefixes)
+        spark = self.spark
+
+        files = read_files(spark, [f["path"] for f in scan.files])
+        disk = files.select(
+            F.col("path").alias("filePath"),
+            F.lower(F.col("path")).alias("key"),
+            F.lower(F.sha2(F.col("content"), 256)).alias("hash"),
+        ).drop("content")
+
+        if self._exists():
+            db = self.chunks().select(
+                "filePath", F.lower("filePath").alias("key"),
+                F.col("contentHash").alias("hash"),
+            )
+        else:
+            db = spark.createDataFrame([], "filePath string, key string, hash string")
+
+        plan = plan_sync(
+            db.withColumn("source", F.lit(None).cast("string")),
+            disk.select("key", "hash"),
+            unobserved_prefixes=[p.lower() for p in scan.unobserved_prefixes],
+        ).persist()
+        counters = {r["action"]: r["n"] for r in sync_counters(plan).collect()}
+
+        # execute: upserts first (delete stale rows + re-ingest), then prunes
+        upsert_keys = {
+            r["key"]
+            for r in plan.filter(F.col("action").isin("upsert", "upsert_new")).collect()
+        }
+        prune_keys = [r["key"] for r in plan.filter(F.col("action") == "prune").collect()]
+
+        upsert_paths = [f["path"] for f in scan.files if f["path"].lower() in upsert_keys]
+        if upsert_paths:
+            if self._exists():
+                for p in sorted({d for d in upsert_paths}):
+                    delete_document(spark, self.table_path, p)
+            content = read_files(spark, upsert_paths)
+            hashed = content.withColumn(
+                "contentHash", F.lower(F.sha2(F.col("content"), 256))
+            )
+            parsed = parse_files(hashed).join(
+                hashed.select("path", "contentHash", "length"), "path"
+            )
+            docs = parsed.filter(F.col("parse_error").isNull())
+            new_chunks = build_chunks(docs, dim=self.dim, backend=self.backend)
+            mode = "append" if self._exists() else "overwrite"
+            write_chunks(new_chunks, self.table_path, mode=mode)
+            spark.catalog.refreshByPath(self.table_path)
+
+        for key in prune_keys:
+            # stored spelling(s) for the key
+            for r in (
+                self.chunks().filter(F.lower("filePath") == key)
+                .select("filePath").distinct().collect()
+            ):
+                delete_document(spark, self.table_path, r["filePath"])
+
+        if upsert_paths or prune_keys:
+            self.optimize()
+        plan.unpersist()
+        return SyncReport(counters=counters)
+
+    # -- keyword-only search (FTS surface) --------------------------------
+
+    def keyword_search(self, query_text: str, *, limit: int = 10) -> DataFrame:
+        postings = build_postings(self.chunks(), tokenizer="unigram")
+        terms = [t for t in query_text.lower().split() if t]
+        scores = bm25_scores(postings, terms)
+        return (
+            scores.orderBy(F.col("_score").desc(), "filePath", "chunkIndex")
+            .limit(max(1, min(20, limit)))
+        )
+
+    def _exists(self) -> bool:
+        return os.path.isdir(self.table_path) and any(
+            name.startswith("bucket=") or name.endswith(".parquet")
+            for name in os.listdir(self.table_path)
+        )

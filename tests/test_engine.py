@@ -1,0 +1,91 @@
+"""RagEngine facade: the reference's full MCP tool journey — ingest,
+query, neighbors, list, status, delete, incremental sync (modify / add /
+remove files) — end-to-end on a real directory."""
+
+import pytest
+
+from mcp_local_rag_spark.engine import RagEngine
+
+DOC_A = """---
+title: Alpha Doc
+---
+
+The alpha document describes shuffle partitioning strategies in detail today.
+A second sentence keeps the chunk comfortably above the minimum length bar.
+"""
+
+DOC_B = """Beta Title
+
+The beta document concerns broadcast joins and adaptive query execution only.
+"""
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "alpha.md").write_text(DOC_A)
+    (d / "beta.txt").write_text(DOC_B)
+    return d
+
+
+def test_full_journey(spark, corpus, tmp_path):
+    eng = RagEngine(spark, str(tmp_path / "chunks"))
+    n = eng.ingest_directory(str(corpus))
+    assert n >= 2
+
+    # status + list
+    status = eng.get_status()
+    assert status["documentCount"] == 2 and status["chunkCount"] == n
+    listed = {r.filePath.rsplit("/", 1)[-1]: r for r in eng.list_documents().collect()}
+    assert listed["alpha.md"].fileTitle == "Alpha Doc"
+    assert listed["alpha.md"].chunkCount >= 1
+
+    # query: exact sentence of alpha -> alpha ranks first (hash embeddings)
+    target = (
+        eng.chunks().filter("filePath LIKE '%alpha.md'").orderBy("chunkIndex").first()
+    )
+    hits = eng.query_documents(target.text, limit=2).collect()
+    assert hits and hits[0].filePath.endswith("alpha.md")
+
+    # neighbors
+    neigh = eng.read_chunk_neighbors(target.filePath, target.chunkIndex).collect()
+    assert neigh and neigh[0].chunkIndex >= 0
+
+    # keyword search finds beta via its distinctive term
+    kw = eng.keyword_search("broadcast joins", limit=3).collect()
+    assert any(r.filePath.endswith("beta.txt") for r in kw)
+
+
+def test_incremental_sync(spark, corpus, tmp_path):
+    eng = RagEngine(spark, str(tmp_path / "chunks2"))
+    eng.ingest_directory(str(corpus))
+    before = eng.get_status()
+
+    # no changes -> everything skips
+    rep = eng.sync(str(corpus))
+    assert rep.counters.get("skip", 0) == 2
+    assert rep.counters.get("upsert", 0) == 0 and rep.counters.get("prune", 0) == 0
+    assert eng.get_status() == before
+
+    # modify alpha, add gamma, remove beta
+    (corpus / "alpha.md").write_text(DOC_A + "\nAn appended paragraph changes the stored content hash materially.\n")
+    (corpus / "gamma.txt").write_text("Gamma Title\n\nA new gamma document arrives with sufficient length for chunking.\n")
+    (corpus / "beta.txt").unlink()
+
+    rep2 = eng.sync(str(corpus))
+    assert rep2.counters.get("upsert", 0) == 1      # alpha changed
+    assert rep2.counters.get("upsert_new", 0) == 1  # gamma new
+    assert rep2.counters.get("prune", 0) == 1       # beta gone
+
+    files = {r.filePath.rsplit("/", 1)[-1] for r in eng.list_documents().collect()}
+    assert files == {"alpha.md", "gamma.txt"}
+    # alpha's stored hash reflects the new content
+    alpha = eng.list_documents().filter("filePath LIKE '%alpha.md'").first()
+    import hashlib
+
+    assert alpha.contentHash == hashlib.sha256((corpus / "alpha.md").read_bytes()).hexdigest()
+
+    # idempotence: a second sync is all skips
+    rep3 = eng.sync(str(corpus))
+    assert rep3.counters.get("skip", 0) == 2
