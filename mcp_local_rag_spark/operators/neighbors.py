@@ -29,8 +29,15 @@ def read_neighbors(
     after = min(max(after, 0), MAX_SPAN)
     lo = max(target - before, 0)
     hi = target + after
+    df = chunks
+    if "bucket" in chunks.columns:
+        # partition pruning: only the document's hash bucket is scanned
+        from ..plans.ingest import N_BUCKETS
+
+        b = F.pmod(F.xxhash64(F.lit(file_path)), F.lit(N_BUCKETS)).cast("int")
+        df = df.filter(F.col("bucket") == b)
     return (
-        chunks.filter(
+        df.filter(
             (F.col("filePath") == file_path) & F.col("chunkIndex").between(lo, hi)
         )
         .orderBy("chunkIndex")

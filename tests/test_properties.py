@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis) over the pure kernels — a layer the
+reference's own suite lacks (SURVEY §5 'not present: property-based')."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mcp_local_rag_spark.chunking.maxmin import MAX_SENTENCES, group_sentences
+from mcp_local_rag_spark.chunking.splitter import split_sentences
+from mcp_local_rag_spark.embedder import pseudo_embed
+from mcp_local_rag_spark.plans.raw_data import (
+    normalize_source,
+    path_to_source,
+    source_to_path,
+)
+
+text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_split_sentences_total_and_nonempty(text):
+    out = split_sentences(text)
+    assert all(isinstance(s, str) and s.strip() for s in out)
+    # splitting never invents visible words: token multiset of the output is
+    # a subset of the input's (placeholder round-trips restore code blocks)
+    in_tokens = set(text.split())
+    for s in out:
+        for tok in s.split():
+            assert tok in in_tokens or "```" in text
+
+
+@given(st.lists(st.lists(st.floats(-1, 1), min_size=4, max_size=4), min_size=1, max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_group_sentences_partition_properties(vecs):
+    arr = np.array(vecs)
+    groups = group_sentences(arr)
+    # exact partition of [0, n) in order
+    flat = [i for g in groups for i in g]
+    assert flat == list(range(len(vecs)))
+    # every group non-empty and within the force-split cap... the cap bounds
+    # growth: a group can reach MAX_SENTENCES and then must close
+    assert all(0 < len(g) <= MAX_SENTENCES for g in groups)
+    # groups are contiguous runs
+    for g in groups:
+        assert g == list(range(g[0], g[0] + len(g)))
+
+
+@given(st.text(max_size=200), st.integers(min_value=4, max_value=128))
+@settings(max_examples=100, deadline=None)
+def test_pseudo_embed_unit_norm_and_deterministic(text, dim):
+    v1 = pseudo_embed(text, dim)
+    v2 = pseudo_embed(text, dim)
+    assert v1 == v2
+    assert len(v1) == dim
+    assert abs(math.sqrt(sum(x * x for x in v1)) - 1.0) < 1e-9
+
+
+@given(st.text(min_size=1, max_size=100).filter(lambda s: "\x00" not in s))
+@settings(max_examples=200, deadline=None)
+def test_raw_data_path_roundtrip(source):
+    p = source_to_path(source)
+    assert path_to_source(p) == normalize_source(source)
+
+
+@given(st.text(min_size=1, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_normalize_source_idempotent(source):
+    once = normalize_source(source)
+    assert normalize_source(once) == once
