@@ -64,6 +64,29 @@ def cosine_knn(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_clusters: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, "object"]:
+    """Build real IVF cluster assignments with MLlib KMeans.
+
+    Returns (emb + 'label' column, fitted model). The probe path is then
+    ``cosine_knn(..., block_col='label')`` — the same signature used with
+    pre-supplied assignments. At 100 TB: fit on a sample, assign with the
+    broadcast model (transform is a map-only stage, no shuffle)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    feat = emb.withColumn("_features", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_features", predictionCol="label").fit(feat)
+    assigned = model.transform(feat).drop("_features")
+    return assigned, model
+
+
 def embedding_near_dups(
     emb: DataFrame,
     *,

@@ -178,6 +178,60 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+# TPC-H Q6 shape: highly selective scan-side filters (pushdown showcase)
+
+@register(
+    "tpch_q6_selective",
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*)::BIGINT AS n
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+  AND l_shipdate >= TIMESTAMP '1995-01-01'""",
+)
+def q_tpch_q6(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+            & (F.col("l_shipdate") >= "1995-01-01")
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# TPC-H Q18 shape: group-having subquery (large-order customers)
+
+@register(
+    "tpch_q18_big_orders",
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       CAST(big.qty AS DOUBLE) AS total_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 120
+) big ON big.l_orderkey = o.o_orderkey""",
+)
+def q_tpch_q18(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+        .filter(F.col("_q") > 120)
+        .select("l_orderkey", F.col("_q").cast("double").alias("total_qty"))
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "total_qty"
+    )
+
+
 # J4 shape: orphan anti-join (customers with no orders)
 
 @register(

@@ -1,0 +1,50 @@
+from pyspark.sql import functions as F
+
+from mcp_local_rag_spark.operators.similarity import cosine_knn, ivf_assign
+from mcp_local_rag_spark.operators.skew import cap_bucket_size, salted_count
+
+
+def test_salted_count_matches_plain(spark):
+    df = spark.range(10_000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    salted = {
+        (r.k): (r.n, r.sv)
+        for r in salted_count(
+            df, ["k"], agg_cols={"sv": F.sum("v")}
+        ).collect()
+    }
+    plain = {
+        (r.k): (r.n, r.sv)
+        for r in df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("sv")).collect()
+    }
+    assert salted == plain
+
+
+def test_cap_bucket_size(spark):
+    rows = [(0, "hot", i) for i in range(50)] + [(0, "cold", 1), (0, "cold", 2)]
+    bands = spark.createDataFrame(rows, "band int, band_key string, doc_id int")
+    kept, dropped = cap_bucket_size(bands, max_bucket=10)
+    assert kept.count() == 2
+    d = dropped.first()
+    assert d.band_key == "hot" and d.bucket_size == 50
+
+
+def test_ivf_assign_and_probe(spark):
+    import random
+
+    random.seed(7)
+    # two well-separated clusters in 4-d
+    rows = [(i, [10.0 + random.random(), 0.0, 0.0, random.random()]) for i in range(20)]
+    rows += [(100 + i, [0.0, 10.0 + random.random(), random.random(), 0.0]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, model = ivf_assign(emb, 2)
+    sizes = sorted(r.n for r in assigned.groupBy("label").agg(F.count("*").alias("n")).collect())
+    assert sizes == [20, 20]
+    # probe: query = first vector; all neighbors must come from its own cluster
+    q = assigned.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = cosine_knn(q, assigned, k=5, block_col="label").collect()
+    assert len(out) == 5
+    assert all(r.neighbor_id < 100 for r in out)
