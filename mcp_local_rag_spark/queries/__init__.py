@@ -9,6 +9,8 @@ from .common import REGISTRY  # noqa: F401
 from . import rag  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import ext  # noqa: F401,E402
+from . import tpch  # noqa: F401,E402
+from . import events  # noqa: F401,E402
 
 
 def queries():
