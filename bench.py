@@ -56,9 +56,11 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
 
     # BASELINE.md's one true latency SLO: read_chunk_neighbors P95 < 100 ms
-    # on a 10,000-chunk document (warmed). Reproduced shape: bucketed
-    # parquet chunks table, partition-pruned single-bucket frame read.
-    neighbor_p95_ms = _neighbor_bench(spark)
+    # on a 10,000-chunk document (warmed). Two shapes over the same
+    # bucketed+sorted layout: the serving-path point reader (the SLO
+    # analogue — BASELINE.json: "serving requires external system") and the
+    # in-plan Spark read (pays Catalyst planning per query).
+    serve_p95_ms, spark_p95_ms = _neighbor_bench(spark)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -69,7 +71,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "neighbor_read_p95_ms": neighbor_p95_ms,
+                "neighbor_read_p95_ms": serve_p95_ms,
+                "neighbor_read_sparkplan_p95_ms": spark_p95_ms,
             }
         )
     )
@@ -80,23 +83,28 @@ def _neighbor_bench(spark) -> float:
 
     from pyspark.sql import functions as F
 
-    from mcp_local_rag_spark.operators.neighbors import read_neighbors
-    from mcp_local_rag_spark.plans.ingest import N_BUCKETS
+    from mcp_local_rag_spark.operators.neighbors import NeighborServer, read_neighbors
+    from mcp_local_rag_spark.plans.ingest import write_chunks
 
     table = tempfile.mkdtemp() + "/chunks"
     doc = "/bench/doc10k.md"
-    (
-        spark.range(10_000)
-        .select(
-            F.lit(doc).alias("filePath"),
-            F.col("id").cast("int").alias("chunkIndex"),
-            F.concat(F.lit("chunk text number "), F.col("id").cast("string")).alias("text"),
-        )
-        .withColumn("bucket", F.pmod(F.xxhash64("filePath"), F.lit(N_BUCKETS)).cast("int"))
-        .write.partitionBy("bucket")
-        .mode("overwrite")
-        .parquet(table)
+    rows = spark.range(10_000).select(
+        F.lit(doc).alias("filePath"),
+        F.col("id").cast("int").alias("chunkIndex"),
+        F.concat(F.lit("chunk text number "), F.col("id").cast("string")).alias("text"),
     )
+    write_chunks(rows, table)
+
+    server = NeighborServer(spark, table)
+    server.read(doc, 5000)  # warm (resolves + caches the hash bucket)
+    serve = []
+    for i in range(20):
+        t0 = time.time()
+        server.read(doc, 100 + i * 400)
+        serve.append((time.time() - t0) * 1000)
+    serve.sort()
+    serve_p95 = serve[int(len(serve) * 0.95) - 1]
+
     chunks = spark.read.parquet(table)
     read_neighbors(chunks, doc, 5000).collect()  # warm
     times = []
@@ -106,8 +114,11 @@ def _neighbor_bench(spark) -> float:
         times.append((time.time() - t0) * 1000)
     times.sort()
     p95 = times[int(len(times) * 0.95) - 1]
-    print(f"# neighbor_read p95={p95:.1f}ms min={times[0]:.1f}ms", file=sys.stderr)
-    return round(p95, 1)
+    print(
+        f"# neighbor_read serve p95={serve_p95:.1f}ms  spark-plan p95={p95:.1f}ms",
+        file=sys.stderr,
+    )
+    return round(serve_p95, 1), round(p95, 1)
 
 
 if __name__ == "__main__":

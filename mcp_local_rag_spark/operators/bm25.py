@@ -140,3 +140,84 @@ def bm25_scores(
         )
     )
     return scored.groupBy(*id_cols).agg(F.sum("_term_score").alias("_score"))
+
+
+def bm25_scores_scan(
+    chunks: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    id_cols: Sequence[str] = ("filePath", "chunkIndex"),
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Index-free BM25: score ``query_terms`` with NO postings table.
+
+    Semantically identical to ``build_postings`` + ``bm25_scores`` (unigram
+    tokenizer, global corpus statistics), but shaped for the ad-hoc query
+    path where no prebuilt index exists:
+
+      * one full-scan AGGREGATE computes N, avgdl, and per-term df —
+        zero shuffles (partial+final agg), zero explodes;
+      * tf / dl are evaluated only on the candidate rows (a broadcast semi
+        join against the <= 2k vector hits — reference P3/O14,
+        src/vectordb/index.ts:394-400).
+
+    All per-row math uses codegen-friendly built-ins, no lambda HOFs:
+    tf(term) = size(toks) - size(array_remove(toks, term)).
+
+    At 100 TB: the stats pass is a pure map-side scan of one string column
+    (column-pruned), and scoring touches only candidate rows. The
+    postings-table path still wins when queries are frequent enough to
+    amortize the index build — this path wins for one-shot queries.
+    """
+    terms = list(dict.fromkeys(query_terms))
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), "")
+    d = chunks.select(*id_cols, toks.alias("_toks"))
+
+    stats_row = d.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size("_toks")).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("_toks", t).cast("long")).alias(f"df{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).first()
+    n_docs, avgdl = stats_row["n"], float(stats_row["avgdl"] or 0.0)
+
+    cand = d
+    if candidates is not None:
+        cand = d.join(
+            F.broadcast(candidates.select(*id_cols)), list(id_cols), "left_semi"
+        )
+    cand = cand.withColumn("_dl", F.size("_toks"))
+
+    import math
+
+    term_scores = []
+    for i, t in enumerate(terms):
+        df = stats_row[f"df{i}"] or 0
+        if df == 0:
+            continue  # absent term contributes 0 everywhere (idf join drops it)
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        tf = F.size("_toks") - F.size(F.array_remove("_toks", t))
+        term_scores.append(
+            F.lit(idf)
+            * (tf * (k1 + 1))
+            / (tf + k1 * (1 - b + b * F.col("_dl") / F.lit(avgdl)))
+        )
+    if not term_scores:
+        return cand.select(*id_cols, F.lit(None).cast("double").alias("_score")).limit(0)
+    score = term_scores[0]
+    for ts in term_scores[1:]:
+        score = score + ts
+    # match the postings path: only documents with >= 1 matching term score
+    any_match = None
+    for t in terms:
+        m = F.array_contains("_toks", t)
+        any_match = m if any_match is None else (any_match | m)
+    return (
+        cand.filter(any_match)
+        .select(*id_cols, score.alias("_score"))
+    )

@@ -36,9 +36,81 @@ def read_neighbors(
 
         b = F.pmod(F.xxhash64(F.lit(file_path)), F.lit(N_BUCKETS)).cast("int")
         df = df.filter(F.col("bucket") == b)
+    # coalesce(1) + sortWithinPartitions keeps the ascending-order contract
+    # without orderBy's range-partitioner sampling job — the frame is at
+    # most MAX_SPAN*2+1 rows from one pruned bucket, so a global sort
+    # machinery would double the job count for nothing.
     return (
         df.filter(
             (F.col("filePath") == file_path) & F.col("chunkIndex").between(lo, hi)
         )
-        .orderBy("chunkIndex")
+        .coalesce(1)
+        .sortWithinPartitions("chunkIndex")
     )
+
+
+class NeighborServer:
+    """Serving-path neighbor reads over the Spark-written chunks layout.
+
+    BASELINE.json's stated architecture: "Batch index build via DataFrame
+    ops, serving requires external system". This is that external system's
+    smallest possible form — a driver/sidecar point-reader over the SAME
+    bucketed parquet table ``write_chunks`` produces. No Spark job per
+    read: the layout does the work.
+
+      * hash-bucket directory prunes to one partition (bucket resolved via
+        one Spark lookup per document, then cached);
+      * row groups are sorted by (filePath, chunkIndex) at write time, so
+        parquet min/max stats prune to the one row group holding the frame.
+
+    Matches the reference's read_chunk_neighbors SLO shape
+    (src/server/__tests__/rag-server.read-neighbors.perf.test.ts:68-89):
+    warmed repeated reads of one document, P95 < 100 ms. The DataFrame
+    operator ``read_neighbors`` stays the in-plan (batch) form.
+    """
+
+    def __init__(self, spark, table_path: str):
+        self._spark = spark
+        self._path = table_path
+        self._buckets: dict[str, int] = {}
+
+    def _bucket_of(self, file_path: str) -> int:
+        if file_path not in self._buckets:
+            from ..plans.ingest import N_BUCKETS
+
+            row = (
+                self._spark.range(1)
+                .select(
+                    F.pmod(F.xxhash64(F.lit(file_path)), F.lit(N_BUCKETS))
+                    .cast("int")
+                    .alias("b")
+                )
+                .first()
+            )
+            self._buckets[file_path] = row["b"]
+        return self._buckets[file_path]
+
+    def read(
+        self,
+        file_path: str,
+        target: int,
+        *,
+        before: int = DEFAULT_BEFORE,
+        after: int = DEFAULT_AFTER,
+    ):
+        """Return the neighbor frame as a list of pyarrow-backed dict rows,
+        ascending by chunkIndex."""
+        import pyarrow.dataset as ds
+
+        before = min(max(before, 0), MAX_SPAN)
+        after = min(max(after, 0), MAX_SPAN)
+        lo, hi = max(target - before, 0), target + after
+        bucket_dir = f"{self._path}/bucket={self._bucket_of(file_path)}"
+        dataset = ds.dataset(bucket_dir, format="parquet")
+        expr = (
+            (ds.field("filePath") == file_path)
+            & (ds.field("chunkIndex") >= lo)
+            & (ds.field("chunkIndex") <= hi)
+        )
+        tbl = dataset.to_table(filter=expr).sort_by("chunkIndex")
+        return tbl.to_pylist()

@@ -198,11 +198,17 @@ def hybrid_search(
     join, file filter, final top-k), several of them from broadcast/subquery
     jobs that would otherwise race a lazy cache and re-run the corpus scan +
     distance top-k each. Eager stage boundaries mirror the reference's own
-    sequential pipeline (§3.1). ``postings`` lets callers pass a
+    sequential pipeline (§3.1).
+
+    Keyword scoring has two shapes. ``postings`` lets callers pass a
     prebuilt/persisted BM25 index — the production shape, where the index
-    is a bucketed table.
+    is a bucketed table and scoring joins are shuffle-free. With no index,
+    ``bm25_scores_scan`` scores directly off the chunks scan: one
+    shuffle-free aggregate for corpus stats plus per-row array math on the
+    candidate rows only — far cheaper than building a full postings table
+    for a single query.
     """
-    from .bm25 import bm25_scores, build_postings
+    from .bm25 import bm25_scores, bm25_scores_scan
 
     cands = vector_topk(
         chunks, query_vec, k, vec_col=vec_col, id_cols=id_cols,
@@ -211,13 +217,16 @@ def hybrid_search(
     cands.count()
     grouped = grouping_filter(cands, grouping, id_cols=id_cols).persist()
     grouped.count()
-    if postings is None:
-        postings = build_postings(chunks, id_cols=id_cols, text_col=text_col)
-    postings = postings.persist()
-    postings.count()
-    kw = bm25_scores(
-        postings, query_terms, id_cols=id_cols, candidates=grouped, materialize=False
-    )
+    if postings is not None:
+        kw = bm25_scores(
+            postings, query_terms, id_cols=id_cols, candidates=grouped,
+            materialize=False,
+        )
+    else:
+        kw = bm25_scores_scan(
+            chunks, query_terms, id_cols=id_cols, text_col=text_col,
+            candidates=grouped,
+        )
     boosted = keyword_boost(grouped, kw, on=id_cols, weight=weight).persist()
     filtered = file_topn_filter(boosted, max_files, file_col=file_col)
     return final_topk(filtered, k, id_cols=id_cols)

@@ -110,11 +110,20 @@ def build_chunks(
 
 
 def write_chunks(chunks: DataFrame, path: str, *, mode: str = "overwrite") -> None:
-    """Persist the chunks table partitioned by filePath hash bucket."""
+    """Persist the chunks table partitioned by filePath hash bucket.
+
+    One shuffle clusters each bucket into one output file, sorted by
+    (filePath, chunkIndex) so parquet row-group min/max stats prune both
+    document lookups and neighbor-frame reads (reference W5's <100 ms SLO).
+    Without the repartition, every input partition appends a file to every
+    bucket — M*N small files that the read side then pays for.
+    """
     (
         chunks.withColumn(
             "bucket", F.pmod(F.xxhash64("filePath"), F.lit(N_BUCKETS)).cast("int")
         )
+        .repartition(N_BUCKETS, "bucket")
+        .sortWithinPartitions("filePath", "chunkIndex")
         .write.partitionBy("bucket")
         .mode(mode)
         .parquet(path)

@@ -174,9 +174,11 @@ SELECT chunkIndex, round(s, 6) AS kw_score
 FROM kwscore ORDER BY kw_score DESC, chunkIndex LIMIT 15""",
 )
 def q_bm25_unigram(spark, sf_dir):
+    # index-free scan scorer (same semantics as the postings path, which
+    # bm25_ngram23 exercises): one shuffle-free stats aggregate + per-row
+    # array math — no postings build for a one-shot query.
     ch = chunks_df(spark, sf_dir)
-    postings = bm25.build_postings(ch, id_cols=("chunkIndex",), tokenizer="unigram")
-    scores = bm25.bm25_scores(postings, TERMS, id_cols=("chunkIndex",))
+    scores = bm25.bm25_scores_scan(ch, TERMS, id_cols=("chunkIndex",))
     return (
         scores.select("chunkIndex", F.round("_score", 6).alias("kw_score"))
         .orderBy(F.col("kw_score").desc(), F.col("chunkIndex").asc())
