@@ -215,8 +215,11 @@ def hybrid_search(
         scope=scope, max_distance=max_distance,
     ).persist()
     cands.count()
+    # grouped derives from the persisted <=2k candidate rows; persist keeps
+    # its window result stable across the three downstream uses but an
+    # eager count() would only add a job (recompute off the cache is
+    # window-over-20-rows cheap).
     grouped = grouping_filter(cands, grouping, id_cols=id_cols).persist()
-    grouped.count()
     if postings is not None:
         kw = bm25_scores(
             postings, query_terms, id_cols=id_cols, candidates=grouped,

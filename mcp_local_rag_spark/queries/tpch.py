@@ -681,3 +681,43 @@ def q_tpch_q22(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+# Q11 shape: important-stock screen — per-key aggregate kept only when it
+# exceeds a fraction of the grand total (scalar-subquery threshold). The
+# comparison is exact decimal (v * 1000 > total) so the cut never depends
+# on float rounding.
+
+@register(
+    "tpch_q11_important_stock",
+    """WITH val AS (
+  SELECT l.l_partkey, sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS v
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY l.l_partkey
+), tot AS (SELECT sum(v) AS t FROM val)
+SELECT l_partkey, CAST(v AS DOUBLE) AS value
+FROM val, tot
+WHERE v * 1000 > t
+ORDER BY value DESC, l_partkey LIMIT 100""",
+)
+def q_tpch_q11(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC2)).alias("v"))
+    )
+    tot = val.agg(F.sum("v").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("v") * 1000 > F.col("t"))
+        .select("l_partkey", F.col("v").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), F.col("l_partkey"))
+        .limit(100)
+    )

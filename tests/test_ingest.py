@@ -94,3 +94,35 @@ def test_ingest_to_search_end_to_end(spark, corpus_dir, tmp_path):
     left = spark.read.parquet(table)
     assert left.filter(left.filePath == target.filePath).count() == 0
     assert left.count() == n_before - n
+
+
+def test_neighbor_server(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.operators.neighbors import NeighborServer
+
+    table = str(tmp_path / "chunks")
+    rows = spark.range(100).select(
+        F.concat(F.lit("/corpus/doc"), (F.col("id") % 4).cast("string"), F.lit(".md")).alias(
+            "filePath"
+        ),
+        (F.col("id") / 4).cast("int").alias("chunkIndex"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    write_chunks(rows, table)
+    server = NeighborServer(spark, table)
+
+    # default frame: target +/- 2, ascending, only the requested doc
+    frame = server.read("/corpus/doc1.md", 10)
+    assert [r["chunkIndex"] for r in frame] == [8, 9, 10, 11, 12]
+    assert all(r["filePath"] == "/corpus/doc1.md" for r in frame)
+
+    # clamp at zero, asymmetric spans
+    assert [r["chunkIndex"] for r in server.read("/corpus/doc2.md", 1)] == [0, 1, 2, 3]
+    assert [
+        r["chunkIndex"] for r in server.read("/corpus/doc0.md", 20, before=0, after=1)
+    ] == [20, 21]
+
+    # agrees with the in-plan DataFrame operator
+    df_rows = read_neighbors(spark.read.parquet(table), "/corpus/doc1.md", 10).collect()
+    assert [r.chunkIndex for r in df_rows] == [r["chunkIndex"] for r in frame]
