@@ -1,0 +1,124 @@
+"""Physical-plan quality gates.
+
+Correctness says the numbers match; these tests pin the *plan shapes* that
+make the operators survive a 100x scale-up: parquet filter pushdown, column
+pruning, broadcast joins on bounded dimensions, top-k as
+TakeOrderedAndProject (never a global sort), partition pruning on the
+bucketed chunks layout, and shuffle budgets per query.
+
+If a refactor regresses one of these (a filter stops reaching the scan, a
+dim join silently becomes a shuffle join), correctness stays green but the
+100 TB plan is broken — these tests are the tripwire.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_local_rag_spark.queries import queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jqe.explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+def test_q6_pushdown_and_pruning(spark, qs):
+    p = plan(qs["tpch_q6_selective"](spark, SF_DIR))
+    # range predicates reach the parquet scan
+    assert "PushedFilters: [" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity" in p
+    # column pruning: 4 needed columns, never the 12-column wide row
+    read = next(line for line in p.splitlines() if "ReadSchema" in line)
+    assert read.count(":") - 1 <= 4, read
+    assert "l_comment" not in read and "l_orderkey" not in read
+
+
+def test_scan_projection_prunes_columns(spark, qs):
+    p = plan(qs["scan_projection"](spark, SF_DIR))
+    read = next(line for line in p.splitlines() if "ReadSchema" in line)
+    for unused in ("o_totalprice", "o_comment", "o_clerk"):
+        assert unused not in read, read
+    assert "EqualTo(o_orderstatus,O)" in p
+
+
+def test_star_join_broadcasts_dimensions(spark, qs):
+    p = plan(qs["tpch_q5_region"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, qs):
+    for name in ("vector_topk", "tpch_q3_topk", "tpch_q10_returns"):
+        p = plan(qs[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in p, name
+
+
+def test_q1_single_aggregation_shuffle(spark, qs):
+    p = plan(qs["tpch_q1_pricing"](spark, SF_DIR))
+    # partial+final agg -> exactly one hash-partition exchange, plus at most
+    # the final ORDER BY's range exchange; anything more is a regression
+    assert p.count("+- Exchange") + p.count("(Exchange") <= 2, p
+
+
+def test_semi_join_for_exists(spark, qs):
+    p = plan(qs["tpch_q4_priority"](spark, SF_DIR))
+    assert "LeftSemi" in p
+    # EXISTS must not degenerate into an inner join + distinct
+    assert "Distinct" not in p
+
+
+def test_anti_join_for_not_in(spark, qs):
+    p = plan(qs["tpch_q16_supplier_cnt"](spark, SF_DIR))
+    assert "LeftAnti" in p
+
+
+def test_neighbor_read_prunes_partitions(spark, tmp_path):
+    from mcp_local_rag_spark.operators.neighbors import read_neighbors
+    from mcp_local_rag_spark.plans.ingest import write_chunks
+
+    table = str(tmp_path / "chunks")
+    rows = spark.range(1000).select(
+        F.concat(F.lit("/d"), (F.col("id") % 7).cast("string"), F.lit(".md")).alias(
+            "filePath"
+        ),
+        (F.col("id") / 7).cast("int").alias("chunkIndex"),
+        F.lit("t").alias("text"),
+    )
+    write_chunks(rows, table)
+    df = read_neighbors(spark.read.parquet(table), "/d3.md", 50)
+    p = plan(df)
+    # the bucket equality must land in PartitionFilters (directory pruning),
+    # and filePath/chunkIndex bounds must be pushed to the row-group level
+    assert "PartitionFilters: [" in p and "bucket" in p.split("PartitionFilters")[1][:200]
+    assert "EqualTo(filePath,/d3.md)" in p
+    assert "GreaterThanOrEqual(chunkIndex,48)" in p
+    # no shuffle at all in a point read
+    assert "Exchange" not in p
+
+
+def test_bm25_scan_scorer_has_no_shuffle_before_agg(spark):
+    from mcp_local_rag_spark.operators.bm25 import bm25_scores_scan
+    from mcp_local_rag_spark.queries.common import chunks_df
+
+    ch = chunks_df(spark, SF_DIR)
+    scored = bm25_scores_scan(ch, ["spark", "join"], id_cols=("chunkIndex",))
+    p = plan(scored)
+    # scoring side: map-side row math over the scan — no shuffle exchange
+    # (the broadcast exchange of the docs<->embeddings chunk join is fine;
+    # the stats aggregate ran eagerly at build time, also shuffle-free)
+    assert " Exchange (" not in p, p
+    # and no interpreted lambda HOFs in the hot path
+    assert "ArrayFilter" not in p and "ArrayTransform" not in p
