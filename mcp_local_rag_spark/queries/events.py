@@ -178,3 +178,134 @@ def q_events_error_rate(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# As-of join (backward, inclusive): each purchase joined to the user's
+# most recent click at or before it. Spark side is the union+running-last
+# shape (operators/asof.py — one shuffle, no theta join); the oracle uses
+# DuckDB's native ASOF LEFT JOIN. (user_id, ts) is unique per event type
+# in this corpus, so the payload column is deterministic.
+
+@register(
+    "events_asof_lastclick",
+    """SELECT p.user_id, p.event_id, p.ts AS p_ts,
+       c.ts AS click_ts,
+       round(CAST(c.value AS DECIMAL(18,6)), 6) + 0.0 AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.user_id, p.event_id""",
+)
+def q_events_asof_lastclick(spark, sf_dir):
+    from ..operators.asof import asof_join_backward
+
+    e = load(spark, sf_dir, "events")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    res = asof_join_backward(
+        purch,
+        clicks,
+        on=["user_id"],
+        right_payload=("value",),
+        tiebreak="event_id",
+        out_ts="click_ts",
+    )
+    # inner-ASOF: purchases with no prior click are dropped (keeps the
+    # result NULL-free for the value-hash compare)
+    return (
+        res.filter(F.col("click_ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("p_ts"),
+            "click_ts",
+            (F.round(F.col("click_ts_value").cast(DEC6), 6) + 0.0).alias("click_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# Bounded range join: clicks in the hour before each purchase, counted.
+# Spark side is the bucketed equi-join (operators/asof.py) — never a
+# nested-loop; the oracle states the range condition directly.
+
+@register(
+    "events_range_prev_hour",
+    """SELECT p.user_id, p.event_id,
+       count(c.event_id)::BIGINT AS n_clicks_prev_hour
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.user_id, p.event_id
+ORDER BY p.user_id, p.event_id""",
+)
+def q_events_range_prev_hour(spark, sf_dir):
+    from ..operators.asof import bucketed_range_join
+
+    e = load(spark, sf_dir, "events")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("ts").alias("p_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    joined = bucketed_range_join(
+        purch, clicks, on=["user_id"], left_ts="p_ts", right_ts="c_ts",
+        window_seconds=3600, bucket_seconds=3600,
+    )
+    counts = joined.groupBy("user_id", "event_id").agg(
+        F.count("c_id").alias("n_clicks_prev_hour")
+    )
+    return (
+        purch.join(counts, ["user_id", "event_id"], "left")
+        .select(
+            "user_id",
+            "event_id",
+            F.coalesce("n_clicks_prev_hour", F.lit(0)).alias("n_clicks_prev_hour"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ROLLUP grouping sets: (day, type) -> (day) -> grand total in one pass.
+
+@register(
+    "events_rollup",
+    """SELECT coalesce(date_trunc('day', ts), TIMESTAMP '1900-01-01') AS day,
+       coalesce(event_type, '<all>') AS event_type,
+       grouping(date_trunc('day', ts))::BIGINT AS g_day,
+       grouping(event_type)::BIGINT AS g_type,
+       count(*)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+ORDER BY g_day, g_type, day, event_type""",
+)
+def q_events_rollup(spark, sf_dir):
+    e = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    return (
+        e.rollup("day", "event_type")
+        .agg(
+            F.grouping("day").cast("bigint").alias("g_day"),
+            F.grouping("event_type").cast("bigint").alias("g_type"),
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("1900-01-01").cast("timestamp")).alias("day"),
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            "g_day",
+            "g_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("g_day", "g_type", "day", "event_type")
+    )

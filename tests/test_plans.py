@@ -122,3 +122,18 @@ def test_bm25_scan_scorer_has_no_shuffle_before_agg(spark):
     assert " Exchange (" not in p, p
     # and no interpreted lambda HOFs in the hot path
     assert "ArrayFilter" not in p and "ArrayTransform" not in p
+
+
+def test_asof_join_is_window_not_nested_loop(spark, qs):
+    p = plan(qs["events_asof_lastclick"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Window" in p
+    # one shuffle for the window key + the final presentation sort
+    assert p.count("+- Exchange") + p.count("(Exchange") <= 2, p
+
+
+def test_range_join_is_bucketed_equi_join(spark, qs):
+    p = plan(qs["events_range_prev_hour"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # the bucketed formulation joins hash-style on (user_id, bucket)
+    assert "Join" in p

@@ -42,6 +42,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def values_equal(a, b) -> bool:
+    try:
+        if pd.isna(a) and pd.isna(b):  # None/NaN/NaT on both sides
+            return True
+    except (TypeError, ValueError):
+        pass
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
