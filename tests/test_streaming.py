@@ -56,3 +56,67 @@ def test_windowed_event_counts_batch_twin(spark):
     }
     assert out[("2026-01-01 00:00:00", "click")] == (2, 3.0)
     assert out[("2026-01-01 00:10:00", "click")] == (1, 4.0)
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """Sessions closed by a gap-exceeding later event must match the batch
+    sessionizer's semantics; state carries sessions across microbatches."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.streaming.sessionize import sessionize_stream
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp" / name))
+        # move the data file into the source dir as one atomic new file
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / "tmp" / name / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    # user 1: session A (09:00, 09:10) closed by the 10:30 event (gap 80min)
+    # user 2: session B (09:05) closed by its 11:00 event
+    write_file("f1", [(1, t("2024-01-01 09:00:00"), 1.0),
+                      (1, t("2024-01-01 09:10:00"), 2.0),
+                      (2, t("2024-01-01 09:05:00"), 5.0)])
+    write_file("f2", [(1, t("2024-01-01 10:30:00"), 3.0),
+                      (2, t("2024-01-01 11:00:00"), 6.0)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    must_have = {
+        (1, "2024-01-01 09:00:00", "2024-01-01 09:10:00", 2, 3.0),
+        (2, "2024-01-01 09:05:00", "2024-01-01 09:05:00", 1, 5.0),
+    }
+    assert must_have <= got, got
+    # nothing emitted may contradict the batch semantics: the only other
+    # possible rows are the final (timeout-flushed) sessions
+    extras = got - must_have
+    allowed = {
+        (1, "2024-01-01 10:30:00", "2024-01-01 10:30:00", 1, 3.0),
+        (2, "2024-01-01 11:00:00", "2024-01-01 11:00:00", 1, 6.0),
+    }
+    assert extras <= allowed, extras
