@@ -309,3 +309,36 @@ def q_events_rollup(spark, sf_dir):
         )
         .orderBy("g_day", "g_type", "day", "event_type")
     )
+
+
+# RANGE-frame moving aggregate: per-user trailing 1-hour average of value.
+# Frame bounds are exact integer microseconds on BOTH engines so the
+# inclusive boundary never floats.
+
+@register(
+    "events_moving_avg",
+    """SELECT user_id, event_id,
+       round(avg(CAST(value AS DECIMAL(18,6)))
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6)
+         + 0.0 AS avg_1h
+FROM events
+ORDER BY user_id, event_id""",
+)
+def q_events_moving_avg(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            (F.round(F.avg(F.col("value").cast(DEC6)).over(w), 6) + 0.0).alias(
+                "avg_1h"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )

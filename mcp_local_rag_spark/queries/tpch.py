@@ -721,3 +721,73 @@ def q_tpch_q11(spark, sf_dir):
         .orderBy(F.col("value").desc(), F.col("l_partkey"))
         .limit(100)
     )
+
+
+# Fuzzy-match join (training-data dedup shape): near-identical part names
+# within edit distance 2, blocked by (p_brand, p_type) so the pair space
+# stays bounded — the same block-then-verify pattern as MinHash LSH, with
+# Levenshtein as the verifier.
+
+@register(
+    "part_fuzzy_pairs",
+    """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+       levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY id1, id2""",
+)
+def q_part_fuzzy_pairs(spark, sf_dir):
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_name")
+    a = p.select(
+        F.col("p_partkey").alias("id1"),
+        "p_brand",
+        "p_type",
+        F.col("p_name").alias("name1"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id2"),
+        "p_brand",
+        "p_type",
+        F.col("p_name").alias("name2"),
+    )
+    return (
+        a.join(b, ["p_brand", "p_type"])
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("dist", F.levenshtein("name1", "name2").cast("bigint"))
+        .filter(F.col("dist") <= 2)
+        .select("id1", "id2", "dist")
+        .orderBy("id1", "id2")
+    )
+
+
+# NTILE decile summary over customer balances: rank-bucket aggregation.
+
+@register(
+    "customer_balance_deciles",
+    """SELECT decile, count(*)::BIGINT AS n,
+       CAST(min(c_acctbal) AS DOUBLE) AS lo,
+       CAST(max(c_acctbal) AS DOUBLE) AS hi
+FROM (
+  SELECT c_acctbal,
+         ntile(10) OVER (ORDER BY c_acctbal, c_custkey)::BIGINT AS decile
+  FROM customer
+) t
+GROUP BY decile ORDER BY decile""",
+)
+def q_customer_deciles(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_acctbal", F.ntile(10).over(w).cast("bigint").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").cast("double").alias("lo"),
+            F.max("c_acctbal").cast("double").alias("hi"),
+        )
+        .orderBy("decile")
+    )
