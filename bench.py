@@ -44,9 +44,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best, n = None, 0
-        # two passes, keep the min: smooths JIT/codegen warmup and the
+        # three passes, keep the min: smooths JIT/codegen warmup and the
         # sporadic multi-second scheduler stalls seen in this container
-        for _ in range(2):
+        # (observed: a 30 s stall on an otherwise ~1 s warm query)
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.time()
             n = qs[name](spark, sf_dir).count()

@@ -122,14 +122,26 @@ def band_keys(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, *, id_col: str = "doc_id", band_size: int = BAND_SIZE
+    sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    band_size: int = BAND_SIZE,
+    materialize: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (id1 < id2) sharing any band bucket.
 
     The pair join is an equi-join on (band, band_key) — bucket-local at
     scale; hot buckets split by AQE skew handling.
+
+    ``materialize`` persists the band table before the self-join: both
+    join sides (and Spark's plan for each) otherwise re-run the whole
+    shingle→minhash→band pipeline — measured as two extra full
+    aggregations. In production the signature table is a persisted
+    artifact anyway (it is also what incremental dedup diffs against).
     """
     bands = band_keys(sigs, id_col=id_col, band_size=band_size)
+    if materialize:
+        bands = bands.persist()
     a = bands.select(F.col(id_col).alias("id1"), "band", "band_key")
     b = bands.select(F.col(id_col).alias("id2"), "band", "band_key")
     return (
