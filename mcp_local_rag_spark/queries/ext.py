@@ -342,3 +342,38 @@ FROM documents""",
 def q_text_fingerprint(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# Embedding analytics: per-label centroid, one row per (label, dimension).
+# posexplode keeps the dimension math JVM-side; at scale this is one
+# shuffle keyed by (label, dim) with partial aggregation — the standard
+# shape for class prototypes / embedding-drift monitoring in a training
+# pipeline. Exact DECIMAL mean keeps both engines bit-equal.
+
+@register(
+    "embedding_centroids",
+    """WITH expl AS (
+  SELECT label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+)
+SELECT label, dim::BIGINT AS dim,
+       round(CAST(avg(CAST(x AS DECIMAL(18,9))) AS DOUBLE), 6) + 0.0 AS centroid,
+       count(*)::BIGINT AS n
+FROM expl GROUP BY label, dim
+ORDER BY label, dim""",
+)
+def q_embedding_centroids(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            (F.round(F.avg(F.col("x").cast("decimal(18,9)")).cast("double"), 6) + 0.0).alias(
+                "centroid"
+            ),
+            F.count("*").alias("n"),
+        )
+        .select("label", F.col("dim").cast("bigint").alias("dim"), "centroid", "n")
+        .orderBy("label", "dim")
+    )
