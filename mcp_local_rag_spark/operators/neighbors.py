@@ -73,6 +73,18 @@ class NeighborServer:
         self._spark = spark
         self._path = table_path
         self._buckets: dict[str, int] = {}
+        self._datasets: dict[int, object] = {}  # bucket -> pyarrow dataset
+
+    def _dataset_of(self, bucket: int):
+        # cache the dataset handle: directory listing + parquet footer
+        # parsing would otherwise repeat on every point read
+        if bucket not in self._datasets:
+            import pyarrow.dataset as ds
+
+            self._datasets[bucket] = ds.dataset(
+                f"{self._path}/bucket={bucket}", format="parquet"
+            )
+        return self._datasets[bucket]
 
     def _bucket_of(self, file_path: str) -> int:
         if file_path not in self._buckets:
@@ -105,8 +117,7 @@ class NeighborServer:
         before = min(max(before, 0), MAX_SPAN)
         after = min(max(after, 0), MAX_SPAN)
         lo, hi = max(target - before, 0), target + after
-        bucket_dir = f"{self._path}/bucket={self._bucket_of(file_path)}"
-        dataset = ds.dataset(bucket_dir, format="parquet")
+        dataset = self._dataset_of(self._bucket_of(file_path))
         expr = (
             (ds.field("filePath") == file_path)
             & (ds.field("chunkIndex") >= lo)
