@@ -377,3 +377,77 @@ def q_embedding_centroids(spark, sf_dir):
         .select("label", F.col("dim").cast("bigint").alias("dim"), "centroid", "n")
         .orderBy("label", "dim")
     )
+
+
+# Nearest-centroid assignment + confusion counts: the evaluation shape of
+# similarity search (assign every vector to the closest label prototype,
+# tabulate true-label x assigned-label). Centroids are the exact-decimal
+# rounded means from embedding_centroids, so both engines score against
+# bit-identical prototypes; the dot product folds dimensions in ascending
+# order on both sides; ties break on assigned label.
+# Scale shape: centroids are a broadcast (labels x dim, tiny); assignment
+# is map-side math over the vector scan; the confusion tabulation is one
+# partial+final aggregate — the same plan as IVF assignment at 100 TB.
+
+@register(
+    "embedding_confusion",
+    """WITH expl AS (
+  SELECT label, vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS c_label, dim,
+         round(CAST(avg(CAST(x AS DECIMAL(18,9))) AS DOUBLE), 6) + 0.0 AS c
+  FROM expl GROUP BY c_label, dim
+),
+cvec AS (
+  SELECT c_label, list(c ORDER BY dim) AS cv FROM cent GROUP BY c_label
+),
+scored AS (
+  SELECT e.vec_id, e.label, c.c_label,
+         round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.cv), 6) + 0.0 AS dist
+  FROM embeddings e, cvec c
+),
+assigned AS (
+  SELECT vec_id, label, c_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rk
+  FROM scored
+)
+SELECT label, c_label AS assigned_label, count(*)::BIGINT AS n
+FROM assigned WHERE rk = 1
+GROUP BY label, assigned_label
+ORDER BY label, assigned_label""",
+)
+def q_embedding_confusion(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy(F.col("label").alias("c_label"), "dim")
+        .agg(
+            (F.round(F.avg(F.col("x").cast("decimal(18,9)")).cast("double"), 6) + 0.0).alias("c")
+        )
+    )
+    cvec = cent.groupBy("c_label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = e.crossJoin(F.broadcast(cvec)).select(
+        "vec_id", "label", "c_label", (F.round(F.lit(1.0) - dot, 6) + 0.0).alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("label", F.col("c_label").alias("assigned_label"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "assigned_label")
+    )
