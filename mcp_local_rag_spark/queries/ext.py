@@ -451,3 +451,42 @@ def q_embedding_confusion(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("label", "assigned_label")
     )
+
+
+# CUBE grouping sets over document metadata: all four (source, lang)
+# grouping combinations in one pass — the marginal-totals companion to
+# events_rollup. NULL group keys are coalesced to sentinels so the
+# value-hash compare never sees engine-specific null encodings.
+
+@register(
+    "documents_cube",
+    """SELECT coalesce(source, '<all>') AS source,
+       coalesce(lang, '<all>') AS lang,
+       grouping(source)::BIGINT AS g_source,
+       grouping(lang)::BIGINT AS g_lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents
+GROUP BY CUBE(source, lang)
+ORDER BY g_source, g_lang, source, lang""",
+)
+def q_documents_cube(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.cube("source", "lang")
+        .agg(
+            F.grouping("source").cast("bigint").alias("g_source"),
+            F.grouping("lang").cast("bigint").alias("g_lang"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "g_source",
+            "g_lang",
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("g_source", "g_lang", "source", "lang")
+    )
