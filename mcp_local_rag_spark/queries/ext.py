@@ -490,3 +490,33 @@ def q_documents_cube(spark, sf_dir):
         )
         .orderBy("g_source", "g_lang", "source", "lang")
     )
+
+
+# Fixed-width histogram of document lengths: the data-profiling scan every
+# corpus audit starts with. Bucket = floor(n_chars / 100) in integer math
+# (identical on both engines); one partial+final aggregate.
+
+@register(
+    "documents_length_histogram",
+    """SELECT (n_chars // 100)::BIGINT AS bucket,
+       (n_chars // 100)::BIGINT * 100 AS bucket_lo,
+       count(*)::BIGINT AS n,
+       round(count(*) * 100.0 / (SELECT count(*) FROM documents), 6) AS pct
+FROM documents
+GROUP BY n_chars // 100 ORDER BY bucket""",
+)
+def q_documents_length_histogram(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    total = d.count()
+    b = F.floor(F.col("n_chars") / 100).cast("bigint")
+    return (
+        d.groupBy(b.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 100).alias("bucket_lo"),
+            "n",
+            F.round(F.col("n") * 100.0 / F.lit(total), 6).alias("pct"),
+        )
+        .orderBy("bucket")
+    )
