@@ -38,13 +38,19 @@ WINDOW_SIZE = 5
 MAX_SENTENCES = 15
 MIN_CHUNK_LENGTH = 50
 
-_DECOR_RE = re.compile(r"^[-=*_#~•·\s]+$")
+_ALNUM_RE = re.compile(r"[a-zA-Z0-9]")
+_DECOR_RE = re.compile(r"^[-=_.*#|~`@!%^&*()\[\]{}\\/<>:+\s]+$")
 
 
 def _is_garbage(text: str) -> bool:
+    """reference isGarbageChunk (semantic-chunker.ts:65-84): empty -> garbage;
+    any ASCII alphanumeric -> keep; decoration-only -> garbage; >80% one
+    character -> garbage."""
     t = text.strip()
     if not t:
         return True
+    if _ALNUM_RE.search(t):
+        return False
     if _DECOR_RE.match(t):
         return True
     counts: dict[str, int] = {}

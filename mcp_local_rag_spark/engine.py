@@ -12,6 +12,7 @@ pipelines; only file listings and per-query literals touch the driver.
 from __future__ import annotations
 
 import os
+import sys
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +21,7 @@ from pyspark.sql import functions as F
 from .embedder import embed_text_column, pseudo_embed
 from .operators import search
 from .operators.bm25 import bm25_scores, build_postings
+from .functions.paths import sync_path_key
 from .operators.neighbors import read_neighbors
 from .operators.sync import plan_sync, sync_counters
 from .plans.ingest import (
@@ -32,6 +34,19 @@ from .plans.ingest import (
 )
 from .sources.parsers import parse_files
 from .sources.scan import read_files, scan_directory
+
+
+# Sync keys are case-folded only on case-insensitive filesystems, mirroring
+# the reference's platform switch (src/utils/sync-path-key.ts:29-34). On
+# Linux, /a/README.md and /a/readme.md are distinct files and must stay
+# distinct sync keys — unconditional lowering would merge them and classify
+# the merged key as upsert forever (n_spellings=2 never converges).
+CASE_FOLD_KEYS = sys.platform == "win32"
+
+
+def _py_sync_key(path: str) -> str:
+    """Driver-side twin of functions.paths.sync_path_key."""
+    return path.lower() if CASE_FOLD_KEYS else path
 
 
 @dataclass
@@ -148,13 +163,14 @@ class RagEngine:
         files = read_files(spark, [f["path"] for f in scan.files])
         disk = files.select(
             F.col("path").alias("filePath"),
-            F.lower(F.col("path")).alias("key"),
+            sync_path_key(F.col("path"), case_fold=CASE_FOLD_KEYS).alias("key"),
             F.lower(F.sha2(F.col("content"), 256)).alias("hash"),
         ).drop("content")
 
         if self._exists():
             db = self.chunks().select(
-                "filePath", F.lower("filePath").alias("key"),
+                "filePath",
+                sync_path_key(F.col("filePath"), case_fold=CASE_FOLD_KEYS).alias("key"),
                 F.col("contentHash").alias("hash"),
             )
         else:
@@ -163,7 +179,7 @@ class RagEngine:
         plan = plan_sync(
             db.withColumn("source", F.lit(None).cast("string")),
             disk.select("key", "hash"),
-            unobserved_prefixes=[p.lower() for p in scan.unobserved_prefixes],
+            unobserved_prefixes=[_py_sync_key(p) for p in scan.unobserved_prefixes],
         ).persist()
         counters = {r["action"]: r["n"] for r in sync_counters(plan).collect()}
 
@@ -174,7 +190,9 @@ class RagEngine:
         }
         prune_keys = [r["key"] for r in plan.filter(F.col("action") == "prune").collect()]
 
-        upsert_paths = [f["path"] for f in scan.files if f["path"].lower() in upsert_keys]
+        upsert_paths = [
+            f["path"] for f in scan.files if _py_sync_key(f["path"]) in upsert_keys
+        ]
         if upsert_paths:
             if self._exists():
                 for p in sorted({d for d in upsert_paths}):
@@ -195,7 +213,8 @@ class RagEngine:
         for key in prune_keys:
             # stored spelling(s) for the key
             for r in (
-                self.chunks().filter(F.lower("filePath") == key)
+                self.chunks()
+                .filter(sync_path_key(F.col("filePath"), case_fold=CASE_FOLD_KEYS) == key)
                 .select("filePath").distinct().collect()
             ):
                 delete_document(spark, self.table_path, r["filePath"])

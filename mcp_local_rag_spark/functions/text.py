@@ -59,21 +59,20 @@ def word_shingles(col: Column, k: int) -> Column:
 # ---------------------------------------------------------------------------
 # chunk-quality predicates (reference parity)
 
-_DECOR_RE = "^[-=*_#~•·\\s]+$"  # decoration-only lines like '----'
+# decoration-only lines like '----' (reference semantic-chunker.ts:73)
+_DECOR_RE = "^[-=_.*#|~`@!%^&*()\\[\\]{}\\\\/<>:+\\s]+$"
 
 
 def is_garbage_chunk(col: Column) -> Column:
-    """Reference P8: empty, decoration-only, or >80% single-char repetition.
-
-    Chunks containing alphanumerics with diverse characters are kept.
-    (reference src/chunker/semantic-chunker.ts:65-84)
+    """Reference P8 (src/chunker/semantic-chunker.ts:65-84), exact order:
+    empty -> garbage; any ASCII alphanumeric -> keep; decoration-only ->
+    garbage; >80% single-char repetition -> garbage.
     """
     trimmed = F.trim(col)
     n = F.length(trimmed)
-    # dominant single character ratio: max occurrences of any char / length.
-    # Approximated JVM-side: length minus length-with-most-common-char-removed.
-    # Exact reference logic counts the most frequent char; we compute it via
-    # aggregate over the distinct chars of the string.
+    has_alnum = trimmed.rlike("[a-zA-Z0-9]")
+    # dominant single character ratio: max occurrences of any char / length,
+    # computed via aggregate over the distinct chars of the string.
     chars = F.split(trimmed, "")
     top_char_count = F.array_max(
         F.transform(
@@ -81,10 +80,12 @@ def is_garbage_chunk(col: Column) -> Column:
             lambda c: F.size(F.filter(chars, lambda x: x == c)),
         )
     )
-    return (
-        (n == 0)
-        | trimmed.rlike(_DECOR_RE)
-        | ((n > 0) & ((top_char_count.cast("double") / n) > 0.8))
+    return (n == 0) | (
+        ~has_alnum
+        & (
+            trimmed.rlike(_DECOR_RE)
+            | ((n > 0) & ((top_char_count.cast("double") / n) > 0.8))
+        )
     )
 
 

@@ -120,7 +120,9 @@ def bucketed_range_join(
     this shuffles each side once on (key, bucket) — AQE splits hot buckets.
     """
     on = list(on)
-    n_buckets = window_seconds // bucket_seconds + 1
+    # ceiling division: a window that is not a whole number of buckets still
+    # overlaps the oldest partial bucket
+    n_buckets = -(-window_seconds // bucket_seconds) + 1
     lb = F.floor(F.unix_timestamp(F.col(left_ts)) / bucket_seconds)
     rb = F.floor(F.unix_timestamp(F.col(right_ts)) / bucket_seconds)
 

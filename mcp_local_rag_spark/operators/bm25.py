@@ -176,7 +176,10 @@ def bm25_scores_scan(
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), "")
     d = chunks.select(*id_cols, toks.alias("_toks"))
 
-    stats_row = d.agg(
+    # align with the postings path: docs that tokenize to zero tokens
+    # (punctuation-only / CJK under the unigram tokenizer) contribute no
+    # postings rows there, so they must not inflate N or deflate avgdl here
+    stats_row = d.filter(F.size("_toks") > 0).agg(
         F.count("*").alias("n"),
         F.avg(F.size("_toks")).alias("avgdl"),
         *[

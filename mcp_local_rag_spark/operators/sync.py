@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.paths import scope_predicate
+
 ACTION_UPSERT_NEW = "upsert_new"
 ACTION_UPSERT = "upsert"
 ACTION_SKIP = "skip"
@@ -67,9 +69,13 @@ def plan_sync(
     excluded = F.lit(False)
     for s in excluded_sources or []:
         excluded = excluded | (F.col("_source") == s)
-    unobserved = F.lit(False)
-    for p in unobserved_prefixes or []:
-        unobserved = unobserved | F.col(key_col).startswith(p)
+    # boundary-aware exact-or-descendant (reference isUnderOrEqual): an
+    # unobserved '/docs/sub' protects '/docs/sub/x.md' but NOT '/docs/subfile.md'
+    unobserved = (
+        scope_predicate(F.col(key_col), list(unobserved_prefixes))
+        if unobserved_prefixes
+        else F.lit(False)
+    )
 
     action = (
         F.when(F.col(key_col).isNull(), ACTION_UPSERT_NEW)

@@ -59,3 +59,26 @@ def test_bucketed_range_join_window_bounds(spark):
         ).collect()
     )
     assert got == [1, 3]
+
+
+def test_bucketed_range_join_non_divisible_window(spark):
+    """window=5400 with bucket=3600: the oldest overlapping (partial) bucket
+    must not be dropped — requires ceil(window/bucket)+1 probe buckets."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 100)],
+        "user_id long, p_ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 08:30:00"), 1),   # exactly -window -> included
+         (1, _ts("2024-01-01 08:29:59"), 2),   # just outside    -> excluded
+         (1, _ts("2024-01-01 08:45:00"), 3)],  # oldest partial bucket -> included
+        "user_id long, c_ts timestamp, c_id long",
+    )
+    got = sorted(
+        r["c_id"]
+        for r in bucketed_range_join(
+            left, right, on=["user_id"], left_ts="p_ts", right_ts="c_ts",
+            window_seconds=5400, bucket_seconds=3600,
+        ).collect()
+    )
+    assert got == [1, 3]

@@ -46,6 +46,32 @@ def test_bm25_candidate_restriction_keeps_global_stats(spark):
     assert abs(out[0]._score - expected) < 1e-9
 
 
+def test_scan_stats_exclude_zero_token_docs(spark):
+    """Docs that tokenize to nothing (punctuation-only) produce no postings
+    rows, so the index-free scan path must exclude them from N/avgdl too —
+    both paths score identically."""
+    docs = spark.createDataFrame(
+        [
+            ("/a", 0, "spark spark fast"),
+            ("/a", 1, "!!! ???"),          # zero tokens under unigram
+            ("/b", 0, "spark appears once here"),
+        ],
+        "filePath string, chunkIndex int, text string",
+    )
+    postings = bm25.build_postings(docs)
+    via_postings = {
+        (r.filePath, r.chunkIndex): r._score
+        for r in bm25.bm25_scores(postings, ["spark"], materialize=False).collect()
+    }
+    via_scan = {
+        (r.filePath, r.chunkIndex): r._score
+        for r in bm25.bm25_scores_scan(docs, ["spark"]).collect()
+    }
+    assert via_postings.keys() == via_scan.keys()
+    for k in via_postings:
+        assert abs(via_postings[k] - via_scan[k]) < 1e-9
+
+
 def test_ngram23_tokenizer(spark):
     docs = spark.createDataFrame([("/a", 0, "ab")], "filePath string, chunkIndex int, text string")
     postings = bm25.build_postings(docs, tokenizer="ngram23")

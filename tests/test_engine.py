@@ -89,3 +89,30 @@ def test_incremental_sync(spark, corpus, tmp_path):
     # idempotence: a second sync is all skips
     rep3 = eng.sync(str(corpus))
     assert rep3.counters.get("skip", 0) == 2
+
+
+def test_sync_case_sensitive_keys_on_linux(spark, tmp_path):
+    """On a case-sensitive filesystem, README.md and readme.md are distinct
+    documents with distinct sync keys (reference lowercases only on win32,
+    src/utils/sync-path-key.ts:29-34). Unconditional folding would merge
+    them into one never-converging upsert key."""
+    import sys
+
+    if sys.platform == "win32":
+        pytest.skip("case-insensitive platform")
+    d = tmp_path / "cased"
+    d.mkdir()
+    (d / "README.md").write_text(
+        "Upper Readme\n\nThe uppercase readme file has enough text for one chunk.\n"
+    )
+    (d / "readme.md").write_text(
+        "Lower Readme\n\nThe lowercase readme file also has enough text to chunk.\n"
+    )
+    eng = RagEngine(spark, str(tmp_path / "chunks3"))
+    eng.ingest_directory(str(d))
+    assert eng.get_status()["documentCount"] == 2
+
+    # both keys converge to skip — they never collapse into one dirty key
+    rep = eng.sync(str(d))
+    assert rep.counters.get("skip", 0) == 2
+    assert rep.counters.get("upsert", 0) == 0

@@ -59,3 +59,23 @@ def test_prune_and_protections(spark):
         "/excl": "keep_excluded",
         "/unob/x": "keep_unobserved",
     }
+
+
+def test_unobserved_prefix_is_boundary_aware(spark):
+    """'/docs/sub' protects '/docs/sub/x.md' and itself, but NOT the
+    unrelated sibling '/docs/subfile.md' (reference isUnderOrEqual)."""
+    actions = _plan(
+        spark,
+        [
+            ("/docs/sub/x.md", "/docs/sub/x.md", "s", "h1"),
+            ("/docs/sub", "/docs/sub", "s", "h2"),
+            ("/docs/subfile.md", "/docs/subfile.md", "s", "h3"),
+        ],
+        [],
+        unobserved_prefixes=["/docs/sub"],
+    )
+    assert actions == {
+        "/docs/sub/x.md": "keep_unobserved",
+        "/docs/sub": "keep_unobserved",
+        "/docs/subfile.md": "prune",
+    }

@@ -9,11 +9,18 @@ def _one(spark, col):
 
 def test_garbage_chunk_filter(spark):
     df = spark.createDataFrame(
-        [("",), ("-----",), ("aaaaaaaaaaab",), ("a normal sentence with words",)],
+        [
+            ("",),
+            ("-----",),
+            ("aaaaaaaaaaab",),               # alnum -> keep (reference early-return)
+            ("a normal sentence with words",),
+            ("。。。。。。。。。。。、。",),   # no ASCII alnum, >80% one char -> garbage
+            (".|.|.|====",),                # widened decoration class -> garbage
+        ],
         "t string",
     )
     out = [r.g for r in df.select(text.is_garbage_chunk(F.col("t")).alias("g")).collect()]
-    assert out == [True, True, True, False]  # 11/12 'a' chars > 80%
+    assert out == [True, True, False, False, True, True]
 
 
 def test_min_length_filter_atomic_exemption(spark):
