@@ -48,6 +48,34 @@ def dot_distance(a: Column, b: Column) -> Column:
     return F.lit(1.0) - dot(a, b)
 
 
+def cosine_pairs_pandas() -> "object":
+    """Arrow-batched rowwise cosine of two array columns.
+
+    The Column-expression ``cosine`` above is interpreted per element
+    (higher-order functions break codegen); for pair-join shapes where both
+    sides carry a vector per row, a vectorized numpy kernel over the Arrow
+    batch is ~10x faster. Accumulates in float64 like the Column version.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(a, b):
+        if a.empty:
+            return pd.Series([], dtype="float64")
+        am = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        bm = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        num = np.einsum("ij,ij->i", am, bm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = num / (np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1))
+        return pd.Series(out)
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # would otherwise leave pandas_udf unable to infer the series signature
+    _cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(_cos, "double")
+
+
 def l2_normalize(a: Column) -> Column:
     """Scale an array column to unit L2 norm (zero vectors pass through)."""
     n = l2_norm(a)

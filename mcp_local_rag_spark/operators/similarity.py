@@ -7,14 +7,27 @@ probing one cluster turns the cross join into a co-partitioned equi-join,
 cutting the scanned fraction to ~1/n_clusters. An MLlib
 BucketedRandomProjectionLSH variant is a drop-in alternative behind the
 same signature when no assignment exists.
+
+Kernel design: per-row higher-order-function dot products are interpreted
+per element (~10-100x slower than native); the hot path here is an
+Arrow-batched ``mapInPandas`` doing one numpy matmul per corpus batch
+against the broadcast query matrix, emitting only its LOCAL top-k rows per
+query. The global top-k is then a window over <= k * n_queries *
+n_partitions rows. At 100 TB this is a map-only scan plus a tiny final
+reduce — the same shape as TakeOrderedAndProject.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
-from ..functions.vector import cosine
+
+def _np_matrix(cells) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in cells])
 
 
 def cosine_knn(
@@ -31,36 +44,75 @@ def cosine_knn(
 ) -> DataFrame:
     """Top-k corpus rows per query by cosine similarity.
 
+    The query side (a handful of rows by contract — the reference's search
+    path has exactly one, src/vectordb/index.ts:346) is collected and
+    broadcast to executors as a numpy matrix inside the kernel closure.
     ``block_col`` (present on both sides) restricts the search to matching
-    blocks — the IVF probe. Without it the join is a broadcast cross join
-    (queries are few); with it, an equi-join on the block key that
-    co-partitions at scale. Ranking is on (round(cos, 6) desc, corpus_id)
-    — a total order, oracle-stable.
+    blocks — the IVF probe — applied as a mask inside the kernel.
+
+    Ranking is on (round(cos, 6) desc, corpus_id asc) — a total order, so
+    per-partition partial top-k under the same order is exact, and results
+    are oracle-stable.
     """
-    q = queries.select(
-        F.col(query_id).alias("_qid"),
-        F.col(query_vec).alias("_qvec"),
-        *([F.col(block_col).alias("_qblock")] if block_col else []),
-    )
+    q_cols = [query_id, query_vec] + ([block_col] if block_col else [])
+    q_rows = queries.select(*q_cols).collect()
+    qids = [r[query_id] for r in q_rows]
+    qmat = _np_matrix([r[query_vec] for r in q_rows]) if q_rows else np.zeros((0, 1))
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qblocks = [r[block_col] for r in q_rows] if block_col else None
+
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("_cvec"),
         *([F.col(block_col).alias("_cblock")] if block_col else []),
     )
-    if block_col:
-        joined = c.join(F.broadcast(q), F.col("_cblock") == F.col("_qblock"))
-    else:
-        joined = c.crossJoin(F.broadcast(q))
-    if exclude_self:
-        joined = joined.filter(F.col("neighbor_id") != F.col("_qid"))
-    scored = joined.withColumn(
-        "cos", F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6) + F.lit(0.0)
+    out_schema = StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType),
+            StructField("neighbor_id", corpus.schema[corpus_id].dataType),
+            StructField("cos", DoubleType()),
+        ]
     )
-    w = Window.partitionBy("_qid").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+
+    def _local_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = _np_matrix(pdf["_cvec"])
+            cnorm = np.linalg.norm(cmat, axis=1)
+            ids = pdf["neighbor_id"].to_numpy()
+            blocks = pdf["_cblock"].to_numpy() if qblocks is not None else None
+            parts = []
+            for j, qid in enumerate(qids):
+                mask = np.ones(len(ids), dtype=bool)
+                if blocks is not None:
+                    mask &= blocks == qblocks[j]
+                if exclude_self:
+                    mask &= ids != qid
+                if not mask.any():
+                    continue
+                sub = cmat[mask]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (sub @ qmat[j]) / (cnorm[mask] * qnorm[j])
+                cos = np.round(cos, 6) + 0.0
+                top = (
+                    pd.DataFrame({"neighbor_id": ids[mask], "cos": cos})
+                    .sort_values(["cos", "neighbor_id"], ascending=[False, True])
+                    .head(k)
+                )
+                top.insert(0, query_id, qid)
+                parts.append(top)
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    partial = c.mapInPandas(_local_topk, out_schema)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
+        partial.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
-        .select(F.col("_qid").alias(query_id), "neighbor_id", "cos")
+        .select(query_id, "neighbor_id", "cos")
     )
 
 
@@ -100,7 +152,11 @@ def embedding_near_dups(
     Blocking (cluster id / LSH bucket) keeps the pair join equi-keyed; an
     unblocked variant would be a full cross join — never do that at scale.
     Threshold compares the ROUNDED cosine so the cut is oracle-stable.
+    The per-pair cosine runs as a vectorized Arrow pandas UDF (same kernel
+    family as cosine_knn), not an interpreted array HOF.
     """
+    from ..functions.vector import cosine_pairs_pandas
+
     a = emb.select(
         F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"), F.col(block_col).alias("_b")
     )
@@ -108,7 +164,8 @@ def embedding_near_dups(
         F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"), F.col(block_col).alias("_b")
     )
     pairs = a.join(b, "_b").filter(F.col("id1") < F.col("id2"))
+    cos_pd = cosine_pairs_pandas()
     scored = pairs.withColumn(
-        "cos", F.round(cosine(F.col("_v1"), F.col("_v2")), 6) + F.lit(0.0)
+        "cos", F.round(cos_pd(F.col("_v1"), F.col("_v2")), 6) + F.lit(0.0)
     )
     return scored.filter(F.col("cos") >= threshold).select("id1", "id2", "cos")
