@@ -21,7 +21,13 @@ import re
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 _FENCE_RE = re.compile(r"```.*?```", re.DOTALL)
 _PARA_RE = re.compile(r"\n{2,}|\n(?=\S)")
@@ -66,3 +72,56 @@ def split_sentences(text: str) -> list[str]:
 @F.pandas_udf(ArrayType(StringType()))
 def split_sentences_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: split_sentences(t or ""))
+
+
+def split_sentence_units(
+    text: str, atomic_ranges: list | None = None
+) -> list[tuple[str, bool]]:
+    """T2: split while preserving [start, end) spans as indivisible units
+    (reference splitIntoSentenceUnits, sentence-splitter.ts:148-205).
+
+    Ranges must be ordered, non-overlapping, in-bounds, and non-empty after
+    trim — same validation, same errors, as the reference."""
+    # atomic_ranges may arrive as a numpy array from Arrow — no truthiness
+    ranges = (
+        []
+        if atomic_ranges is None or len(atomic_ranges) == 0
+        else [(int(r[0]), int(r[1])) for r in atomic_ranges]
+    )
+    prev_end = 0
+    for start, end in ranges:
+        if not (0 <= start < end <= len(text)) or start < prev_end:
+            raise ValueError(
+                f"Invalid atomic range [{start}, {end}) for text length {len(text)}"
+            )
+        prev_end = end
+    if not ranges:
+        return [(s, False) for s in split_sentences(text)]
+    units: list[tuple[str, bool]] = []
+    cursor = 0
+    for start, end in ranges:
+        units.extend((s, False) for s in split_sentences(text[cursor:start]))
+        atomic_text = text[start:end].strip()
+        if not atomic_text:
+            raise ValueError(f"Invalid atomic range [{start}, {end}): empty text")
+        units.append((atomic_text, True))
+        cursor = end
+    units.extend((s, False) for s in split_sentences(text[cursor:]))
+    return units
+
+
+_UNITS_TYPE = ArrayType(
+    StructType(
+        [StructField("text", StringType()), StructField("atomic", BooleanType())]
+    )
+)
+
+
+@F.pandas_udf(_UNITS_TYPE)
+def split_units_udf(texts: pd.Series, ranges: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            split_sentence_units(t or "", r if r is not None else [])
+            for t, r in zip(texts, ranges)
+        ]
+    )

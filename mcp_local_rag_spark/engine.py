@@ -143,6 +143,48 @@ class RagEngine:
         self.spark.catalog.refreshByPath(self.table_path)
         return self.chunks().count()
 
+    def ingest_data(
+        self,
+        content: str,
+        source: str,
+        *,
+        format: str = "markdown",
+        db_path: str = "/data/db",
+    ) -> int:
+        """ingest_data tool: content not backed by a file (reference
+        src/server/index.ts ingest_data dispatch). HTML goes through the
+        main-content extractor (T14); the row is stored under the managed
+        raw-data path <db>/raw-data/<base64url(source)>.md so the source is
+        recoverable (S10, src/utils/raw-data-utils.ts:106-141). Re-ingest of
+        the same source replaces the stored rows. Returns the chunk count."""
+        import hashlib
+
+        from .plans.raw_data import source_to_path
+        from .sources.html import parse_html_text
+        from .sources.parsers import extract_md_title, extract_txt_title
+
+        path = source_to_path(source, db_path)
+        if format == "html":
+            parsed = parse_html_text(path, content)
+            text, title = parsed["text"], parsed["title"]
+        elif format == "markdown":
+            text, title = content, extract_md_title(content, path)
+        else:
+            text, title = content, extract_txt_title(content, path)
+        if self._exists():
+            delete_document(self.spark, self.table_path, path)
+        docs = self.spark.createDataFrame(
+            [(path, text, title,
+              hashlib.sha256(content.encode()).hexdigest(), len(text))],
+            "path string, text string, title string, contentHash string,"
+            " length long",
+        )
+        new_chunks = build_chunks(docs, dim=self.dim, backend=self.backend)
+        mode = "append" if self._exists() else "overwrite"
+        write_chunks(new_chunks, self.table_path, mode=mode)
+        self.spark.catalog.refreshByPath(self.table_path)
+        return self.chunks().filter(F.col("filePath") == path).count()
+
     def delete_document(self, file_path: str) -> int:
         return delete_document(self.spark, self.table_path, file_path)
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..chunking.maxmin import maxmin_chunk
-from ..chunking.splitter import split_sentences_udf
+from ..chunking.splitter import split_units_udf
 from ..embedder import embed_text_column
 from ..sources.parsers import parse_files
 from ..sources.scan import read_files, scan_directory
@@ -58,25 +58,43 @@ def build_chunks(
     dim: int = 64,
     backend: str = "pseudo",
 ) -> DataFrame:
-    """(path, text, title, contentHash, length) -> reference-shaped chunks."""
+    """(path, text, title, contentHash, length[, atomic_ranges]) ->
+    reference-shaped chunks. ``atomic_ranges`` ([start, end) spans, e.g.
+    DOCX table rows) become indivisible sentence units that bypass the
+    min-length filter (reference T2)."""
+    ranges = (
+        F.col("atomic_ranges")
+        if "atomic_ranges" in docs.columns
+        else F.array().cast("array<array<int>>")
+    )
     sentences = (
         docs.select(
             F.col(path_col).alias("doc_key"),
             "title",
             "contentHash",
             F.col(text_col).alias("_doc_text"),
+            ranges.alias("_ranges"),
         )
-        .withColumn("_sents", split_sentences_udf(F.col("_doc_text")))
+        .withColumn("_units", split_units_udf(F.col("_doc_text"), F.col("_ranges")))
         .select(
             "doc_key",
             "title",
             "contentHash",
             F.length("_doc_text").alias("_doc_len"),
-            F.posexplode("_sents").alias("seq", "text"),
+            F.posexplode("_units").alias("seq", "_unit"),
+        )
+        .select(
+            "doc_key",
+            "title",
+            "contentHash",
+            "_doc_len",
+            "seq",
+            F.col("_unit.text").alias("text"),
+            F.col("_unit.atomic").alias("atomic"),
         )
     )
     embedded = embed_text_column(sentences, "text", "vector", dim=dim, backend=backend)
-    chunks = maxmin_chunk(embedded)
+    chunks = maxmin_chunk(embedded, atomic_col="atomic")
     # chunk-level embeddings (reference embeds the joined chunk text,
     # src/ingest/compute.ts:49-65)
     chunks = embed_text_column(chunks, "text", "vector", dim=dim, backend=backend)

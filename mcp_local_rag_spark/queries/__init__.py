@@ -11,6 +11,7 @@ from . import relational  # noqa: F401,E402
 from . import ext  # noqa: F401,E402
 from . import tpch  # noqa: F401,E402
 from . import events  # noqa: F401,E402
+from . import parsing  # noqa: F401,E402
 
 
 # Queries whose correctness the driver has already recorded green (round 1,

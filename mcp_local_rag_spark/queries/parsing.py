@@ -1,0 +1,185 @@
+"""Parser round-trip queries with SQL oracles.
+
+Each query BUILDS a real container format (a .docx zip / an HTML page)
+from rows of the ``documents`` table inside an Arrow ``mapInPandas``
+batch, runs the actual stdlib parser over the bytes, and emits fields a
+SQL oracle can independently derive from the construction template:
+title chain, parsed-text length, atomic-range offsets, noise-stripping
+effects. A parser bug (missed table row, broken title chain, unstripped
+<nav>, wrong whitespace normalization) shifts the lengths/offsets and
+fails the hash compare — this is the CORRECTNESS gate for S6/T7/T14
+(reference src/parser/docx-parser.ts, html-parser.ts,
+title-extractor.ts).
+
+Whitespace collapse is ASCII-only in the template (synthetic testdata is
+ASCII), matching both Python ``\\s`` and RE2 ``\\s`` over it.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from html import escape as html_escape
+from xml.sax.saxutils import escape as xml_escape
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..session import load
+from .common import register
+
+_OUT_SCHEMA = (
+    "doc_id long, title string, text_len long, n_atomic long,"
+    " atomic_start long, atomic_end long"
+)
+
+_W = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+
+
+def _docx_bytes(doc_id: int, text: str, n_chars: int) -> bytes:
+    def p(t: str) -> str:
+        return f"<w:p><w:r><w:t>{xml_escape(t)}</w:t></w:r></w:p>"
+
+    def tc(t: str) -> str:
+        return f"<w:tc>{p(t)}</w:tc>"
+
+    table = (
+        "<w:tbl>"
+        f"<w:tr>{tc('id')}{tc('chars')}</w:tr>"
+        f"<w:tr>{tc(str(doc_id))}{tc(str(n_chars))}</w:tr>"
+        "</w:tbl>"
+    )
+    doc = (
+        f'<?xml version="1.0"?><w:document {_W}><w:body>'
+        f"{p(text)}{table}</w:body></w:document>"
+    )
+    core = (
+        '<?xml version="1.0"?>'
+        '<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/'
+        'package/2006/metadata/core-properties" '
+        'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        f"<dc:title>Doc {doc_id}</dc:title></cp:coreProperties>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+        zf.writestr("docProps/core.xml", core)
+    return buf.getvalue()
+
+
+@register(
+    "parsed_docx_roundtrip",
+    r"""WITH base AS (
+  SELECT doc_id, n_chars,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id % 5 = 0
+),
+tmpl AS (
+  SELECT doc_id,
+         'Doc ' || doc_id AS title,
+         length(norm) AS body_len,
+         length('id: ' || doc_id || chr(10) || 'chars: ' || n_chars) AS row_len
+  FROM base
+)
+SELECT doc_id, title,
+       (body_len + 2 + row_len)::BIGINT AS text_len,
+       1::BIGINT AS n_atomic,
+       (body_len + 2)::BIGINT AS atomic_start,
+       (body_len + 2 + row_len)::BIGINT AS atomic_end
+FROM tmpl""",
+)
+def q_parsed_docx_roundtrip(spark, sf_dir):
+    """Build one .docx per document (body paragraph + core title + a 2x2
+    table whose data row is atomic), parse it with the real stdlib parser,
+    and emit offsets the oracle derives from the template."""
+    from ..sources.docx import parse_docx_bytes
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text", "n_chars")
+    )
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                parsed = parse_docx_bytes(
+                    f"/mem/{doc_id}.docx", _docx_bytes(doc_id, text or "", n_chars)
+                )
+                ar = parsed["atomic_ranges"]
+                rows.append(
+                    (
+                        doc_id,
+                        parsed["title"],
+                        len(parsed["text"]),
+                        len(ar),
+                        ar[0][0] if ar else -1,
+                        ar[-1][1] if ar else -1,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "title", "text_len", "n_atomic",
+                    "atomic_start", "atomic_end",
+                ],
+            )
+
+    return docs.mapInPandas(_roundtrip, _OUT_SCHEMA)
+
+
+def _html_page(doc_id: int, text: str) -> str:
+    body = html_escape(text)
+    return (
+        "<!doctype html><html><head>"
+        f"<title>Doc {doc_id}</title>"
+        "<style>.x{color:red}</style></head><body>"
+        "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+        "<div id='content'>"
+        f"<h1>Heading {doc_id}</h1>"
+        f"<p>{body}</p>"
+        "</div>"
+        "<footer>footer noise to strip</footer>"
+        "</body></html>"
+    )
+
+
+@register(
+    "parsed_html_roundtrip",
+    r"""WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id % 5 = 1
+)
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       (length('# Heading ' || doc_id) + 2 + length(norm))::BIGINT AS text_len
+FROM base""",
+)
+def q_parsed_html_roundtrip(spark, sf_dir):
+    """Build one HTML page per document (title tag, nav/footer/style noise,
+    a dense content div with h1 + paragraph), run the stdlib main-content
+    extractor, and emit title + markdown length; unstripped noise or a
+    broken title chain shifts the values."""
+    from ..sources.html import parse_html_text
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 1)
+        .select("doc_id", "text")
+    )
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                parsed = parse_html_text(
+                    f"/mem/{doc_id}.html", _html_page(doc_id, text or "")
+                )
+                rows.append((doc_id, parsed["title"], len(parsed["text"])))
+            yield pd.DataFrame(rows, columns=["doc_id", "title", "text_len"])
+
+    return docs.mapInPandas(_roundtrip, "doc_id long, title string, text_len long")

@@ -1,15 +1,17 @@
 """Per-format parsers + title extraction (reference S6/T7/T14,
 src/parser/index.ts:272-289, src/parser/title-extractor.ts).
 
-MD/TXT are fully implemented. PDF (mupdf positions + header/footer
-filtering), DOCX (mammoth HTML walker + table atomic ranges), and HTML
-(Readability + Turndown) need native libs not present in this container —
-their Spark-side plumbing (dispatch, schema, batch shape) is real, the
-decode step is stubbed behind import-tries that raise a clear
-NotImplementedError, matching the brief's multimodal-stub guidance.
+MD/TXT/DOCX/HTML are fully implemented with the stdlib (DOCX via
+zipfile+ElementTree in sources/docx.py; HTML via html.parser in
+sources/html.py). PDF needs pymupdf for structured text + positions
+(reference src/parser/pdf-extract.ts); when the lib is absent the decode
+step raises a clear NotImplementedError while the layout math
+(operators/pdf_layout.py) stays real and tested.
 
 Parsers run inside ``mapInPandas`` over (path, content) binary rows — the
-bytes never leave the executor.
+bytes never leave the executor. DOCX table rows surface as atomic
+[start, end) ranges that bypass sentence splitting and the min-length
+filter downstream (reference T2).
 """
 
 from __future__ import annotations
@@ -19,16 +21,20 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .docx import filename_title, parse_docx_bytes
+from .html import parse_html_text
 
 _FRONTMATTER_RE = re.compile(r"\A---\s*\n(.*?)\n---\s*\n", re.DOTALL)
 _FM_TITLE_RE = re.compile(r"^title:\s*[\"']?(.+?)[\"']?\s*$", re.MULTILINE)
 _H1_RE = re.compile(r"^#\s+(.+?)\s*$", re.MULTILINE)
-
-
-def _filename_title(path: str) -> str:
-    name = path.rsplit("/", 1)[-1]
-    return name.rsplit(".", 1)[0] if "." in name else name
 
 
 def extract_md_title(text: str, path: str) -> str:
@@ -42,7 +48,7 @@ def extract_md_title(text: str, path: str) -> str:
     m = _H1_RE.search(text)
     if m:
         return m.group(1).strip()
-    return _filename_title(path)
+    return filename_title(path)
 
 
 def extract_txt_title(text: str, path: str) -> str:
@@ -51,36 +57,42 @@ def extract_txt_title(text: str, path: str) -> str:
     lines = text.split("\n")
     if len(lines) >= 2 and lines[0].strip() and not lines[1].strip():
         return lines[0].strip()
-    return _filename_title(path)
+    return filename_title(path)
+
+
+def parse_pdf_bytes(path: str, content: bytes) -> dict:
+    """PDF via pymupdf when available (import-try); the position-row
+    pipeline (assemble_text / header-footer strip, operators/pdf_layout.py)
+    consumes whatever decoder produces these rows."""
+    try:
+        import fitz  # noqa: F401  (pymupdf)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "PDF parsing needs pymupdf (not in container); position-row"
+            " layout math is implemented in operators/pdf_layout.py per"
+            " reference src/parser/pdf-extract.ts + pdf-filter.ts"
+        ) from exc
+    from ..operators.pdf_layout import parse_pdf_with_fitz
+
+    return parse_pdf_with_fitz(path, content)
 
 
 def parse_text_bytes(path: str, content: bytes) -> dict:
-    """Parse one md/txt file: {text, title, atomic_ranges}."""
+    """Parse one file: {text, title, atomic_ranges}."""
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    if ext == "docx":
+        return parse_docx_bytes(path, content)
+    if ext == "pdf":
+        return parse_pdf_bytes(path, content)
     text = content.decode("utf-8", errors="replace")
     if ext == "md":
-        title = extract_md_title(text, path)
-    elif ext == "txt":
-        title = extract_txt_title(text, path)
-    elif ext == "pdf":
-        raise NotImplementedError(
-            "PDF parsing needs pymupdf (not in container); plumbing is ready —"
-            " structured text + position extraction per reference"
-            " src/parser/pdf-extract.ts, header/footer filter per pdf-filter.ts"
-        )
-    elif ext == "docx":
-        raise NotImplementedError(
-            "DOCX parsing needs a docx reader (not in container); table rows"
-            " become atomic ranges per reference src/parser/docx-parser.ts:166-190"
-        )
-    elif ext in ("html", "htm"):
-        raise NotImplementedError(
-            "HTML parsing needs readability-lxml (not in container); reference"
-            " src/parser/html-parser.ts:69-130"
-        )
-    else:
-        raise ValueError(f"unsupported extension: {path}")
-    return {"text": text, "title": title}
+        return {"text": text, "title": extract_md_title(text, path), "atomic_ranges": []}
+    if ext == "txt":
+        return {"text": text, "title": extract_txt_title(text, path), "atomic_ranges": []}
+    if ext in ("html", "htm"):
+        parsed = parse_html_text(path, text)
+        return {"text": parsed["text"], "title": parsed["title"], "atomic_ranges": []}
+    raise ValueError(f"unsupported extension: {path}")
 
 
 PARSED_SCHEMA = StructType(
@@ -88,14 +100,16 @@ PARSED_SCHEMA = StructType(
         StructField("path", StringType()),
         StructField("text", StringType()),
         StructField("title", StringType()),
+        StructField("atomic_ranges", ArrayType(ArrayType(IntegerType()))),
         StructField("parse_error", StringType()),
     ]
 )
 
 
 def parse_files(files: DataFrame) -> DataFrame:
-    """(path, content) -> (path, text, title, parse_error); unparseable files
-    carry the error instead of failing the job (coverage, not crash)."""
+    """(path, content) -> (path, text, title, atomic_ranges, parse_error);
+    unparseable files carry the error instead of failing the job (coverage,
+    not crash)."""
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -103,9 +117,14 @@ def parse_files(files: DataFrame) -> DataFrame:
             for path, content in zip(pdf["path"], pdf["content"]):
                 try:
                     parsed = parse_text_bytes(path, bytes(content))
-                    rows.append((path, parsed["text"], parsed["title"], None))
-                except (NotImplementedError, ValueError, UnicodeDecodeError) as e:
-                    rows.append((path, None, None, f"{type(e).__name__}: {e}"))
-            yield pd.DataFrame(rows, columns=["path", "text", "title", "parse_error"])
+                    rows.append(
+                        (path, parsed["text"], parsed["title"],
+                         parsed.get("atomic_ranges") or [], None)
+                    )
+                except Exception as e:  # noqa: BLE001 — coverage fact, not crash
+                    rows.append((path, None, None, None, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(
+                rows, columns=["path", "text", "title", "atomic_ranges", "parse_error"]
+            )
 
     return files.select("path", "content").mapInPandas(_parse, PARSED_SCHEMA)

@@ -91,6 +91,57 @@ def test_incremental_sync(spark, corpus, tmp_path):
     assert rep3.counters.get("skip", 0) == 2
 
 
+def test_docx_ingest_end_to_end(spark, tmp_path):
+    """A .docx in the corpus parses (stdlib zip+XML), its table rows become
+    atomic chunks that survive the min-length filter, and the title chain
+    resolves from core.xml."""
+    from tests.test_parsers import _p, _tbl, make_docx
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    body = (
+        _p("Quarterly Report", style="Heading1")
+        + _p(
+            "The quarterly report paragraph carries enough prose to clear the"
+            " minimum chunk length threshold comfortably."
+        )
+        + _tbl([["Name", "Role"], ["Ada", "Engineer"]])
+    )
+    (d / "report.docx").write_bytes(make_docx(body, core_title="Q3 Report"))
+    eng = RagEngine(spark, str(tmp_path / "chunks_docx"))
+    n = eng.ingest_directory(str(d))
+    assert n >= 2
+
+    listed = eng.list_documents().first()
+    assert listed.fileTitle == "Q3 Report"
+    texts = [r.text for r in eng.chunks().collect()]
+    # the short atomic table row survives despite being < 50 chars
+    assert any("Name: Ada" in t and "Role: Engineer" in t for t in texts)
+
+
+def test_html_ingest_data_end_to_end(spark, tmp_path):
+    """ingest_data with format=html runs main-content extraction; the
+    stored raw-data path recovers the source."""
+    from mcp_local_rag_spark.plans.raw_data import path_to_source
+
+    html = (
+        "<html><head><title>Spark Guide</title></head><body>"
+        "<nav>menu noise</nav><article>"
+        "<h1>Shuffles</h1>"
+        "<p>A long paragraph describing shuffle behavior in distributed joins"
+        " with enough text to form a chunk of its own.</p>"
+        "</article><footer>footer</footer></body></html>"
+    )
+    eng = RagEngine(spark, str(tmp_path / "chunks_html"))
+    n = eng.ingest_data(html, "https://example.com/guide?utm=x", format="html")
+    assert n >= 1
+    row = eng.chunks().first()
+    assert row.fileTitle == "Spark Guide"
+    assert "menu noise" not in row.text and "footer" not in row.text
+    # source identity: query+fragment stripped, path recoverable
+    assert path_to_source(row.filePath) == "https://example.com/guide"
+
+
 def test_sync_case_sensitive_keys_on_linux(spark, tmp_path):
     """On a case-sensitive filesystem, README.md and readme.md are distinct
     documents with distinct sync keys (reference lowercases only on win32,
