@@ -29,6 +29,7 @@ from .plans.ingest import (
     build_chunks,
     compact_chunks,
     delete_document,
+    delete_documents,
     ingest_directory,
     write_chunks,
 )
@@ -237,8 +238,23 @@ class RagEngine:
         ]
         if upsert_paths:
             if self._exists():
-                for p in sorted({d for d in upsert_paths}):
-                    delete_document(spark, self.table_path, p)
+                # ALL stored spellings of the upsert keys go in ONE batched
+                # delete (grouped by bucket, <= N_BUCKETS rewrite jobs) —
+                # per-file delete jobs are a driver bottleneck at 100x file
+                # counts. Spelling lookup is a single distinct scan.
+                stale = [
+                    r["filePath"]
+                    for r in self.chunks()
+                    .filter(
+                        sync_path_key(
+                            F.col("filePath"), case_fold=CASE_FOLD_KEYS
+                        ).isin(sorted(upsert_keys))
+                    )
+                    .select("filePath")
+                    .distinct()
+                    .collect()
+                ]
+                delete_documents(spark, self.table_path, stale)
             content = read_files(spark, upsert_paths)
             hashed = content.withColumn(
                 "contentHash", F.lower(F.sha2(F.col("content"), 256))
@@ -252,14 +268,22 @@ class RagEngine:
             write_chunks(new_chunks, self.table_path, mode=mode)
             spark.catalog.refreshByPath(self.table_path)
 
-        for key in prune_keys:
-            # stored spelling(s) for the key
-            for r in (
-                self.chunks()
-                .filter(sync_path_key(F.col("filePath"), case_fold=CASE_FOLD_KEYS) == key)
-                .select("filePath").distinct().collect()
-            ):
-                delete_document(spark, self.table_path, r["filePath"])
+        if prune_keys:
+            # one distinct scan resolves every stored spelling of every
+            # prune key; one batched delete rewrites each touched bucket once
+            prune_spellings = [
+                r["filePath"]
+                for r in self.chunks()
+                .filter(
+                    sync_path_key(F.col("filePath"), case_fold=CASE_FOLD_KEYS).isin(
+                        sorted(prune_keys)
+                    )
+                )
+                .select("filePath")
+                .distinct()
+                .collect()
+            ]
+            delete_documents(spark, self.table_path, prune_spellings)
 
         if upsert_paths or prune_keys:
             self.optimize()

@@ -166,22 +166,58 @@ def compact_chunks(spark: SparkSession, table_path: str, target_files_per_bucket
     spark.catalog.refreshByPath(table_path)
 
 
-def delete_document(spark: SparkSession, table_path: str, file_path: str) -> int:
-    """S8 delete-by-file over a parquet chunks table: rewrite only the one
-    hash bucket that can contain the document (partition pruning does the
-    rest). Returns the number of deleted rows. With Delta this is a
-    one-line DELETE WHERE; parquet needs the bucket rewrite."""
+def delete_documents(
+    spark: SparkSession, table_path: str, file_paths: list[str]
+) -> int:
+    """Batched S8: delete every chunk row of the given documents.
+
+    Paths are grouped by their hash bucket and each TOUCHED bucket is
+    rewritten exactly once — job count is bounded by min(len(paths),
+    N_BUCKETS) regardless of how many documents a sync upserts or prunes
+    (a 10k-file sync is <= 64 bucket rewrites, not 10k per-file jobs).
+    Returns the number of deleted rows. With Delta this is one
+    DELETE WHERE filePath IN (...); parquet needs the bucket rewrite.
+    """
+    targets = sorted(set(file_paths))
+    if not targets:
+        return 0
+    # bucket ids via the same Spark expression the write path uses
+    assignments = (
+        spark.createDataFrame([(p,) for p in targets], "filePath string")
+        .select(
+            "filePath",
+            F.pmod(F.xxhash64("filePath"), F.lit(N_BUCKETS)).cast("int").alias("b"),
+        )
+        .collect()
+    )
+    by_bucket: dict[int, list[str]] = {}
+    for r in assignments:
+        by_bucket.setdefault(r["b"], []).append(r["filePath"])
+
     df = spark.read.parquet(table_path)
-    bucket = spark.range(1).select(
-        F.pmod(F.xxhash64(F.lit(file_path)), F.lit(N_BUCKETS)).cast("int").alias("b")
-    ).first()["b"]
-    part = df.filter(F.col("bucket") == bucket)
-    # localCheckpoint cuts lineage so the overwrite below does not read the
-    # very files it replaces
-    keep = part.filter(F.col("filePath") != file_path).drop("bucket").localCheckpoint()
-    n_deleted = part.count() - keep.count()
-    if n_deleted:
-        keep.write.mode("overwrite").parquet(f"{table_path}/bucket={bucket}")
+    n_deleted = 0
+    touched = False
+    for bucket, bucket_paths in sorted(by_bucket.items()):
+        part = df.filter(F.col("bucket") == bucket)
+        # localCheckpoint cuts lineage so the overwrite below does not read
+        # the very files it replaces
+        keep = (
+            part.filter(~F.col("filePath").isin(bucket_paths))
+            .drop("bucket")
+            .localCheckpoint()
+        )
+        n = part.count() - keep.count()
+        if n:
+            keep.write.mode("overwrite").parquet(f"{table_path}/bucket={bucket}")
+            n_deleted += n
+            touched = True
+    if touched:
         # the session-global FileStatusCache still lists the replaced files
         spark.catalog.refreshByPath(table_path)
     return n_deleted
+
+
+def delete_document(spark: SparkSession, table_path: str, file_path: str) -> int:
+    """S8 delete-by-file: the single-document form of ``delete_documents``
+    (one bucket rewrite; partition pruning skips the other 63)."""
+    return delete_documents(spark, table_path, [file_path])

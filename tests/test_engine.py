@@ -91,6 +91,53 @@ def test_incremental_sync(spark, corpus, tmp_path):
     assert rep3.counters.get("skip", 0) == 2
 
 
+def test_sync_many_files_batched_execute(spark, tmp_path):
+    """A sync touching many documents executes as batched bucket rewrites:
+    30 modified + 20 pruned files converge in one pass with correct final
+    state (upsert-before-prune ordering preserved)."""
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(50):
+        (d / f"doc{i:02d}.md").write_text(
+            f"# Doc {i}\n\nDocument number {i} has a body paragraph long enough"
+            " to produce at least one chunk after splitting.\n"
+        )
+    eng = RagEngine(spark, str(tmp_path / "chunks_many"))
+    eng.ingest_directory(str(d))
+    assert eng.get_status()["documentCount"] == 50
+
+    for i in range(30):
+        (d / f"doc{i:02d}.md").write_text(
+            f"# Doc {i} v2\n\nDocument number {i} now carries completely revised"
+            " body content that changes its stored hash materially.\n"
+        )
+    for i in range(30, 50):
+        (d / f"doc{i:02d}.md").unlink()
+
+    rep = eng.sync(str(d))
+    assert rep.counters.get("upsert", 0) == 30
+    assert rep.counters.get("prune", 0) == 20
+    assert eng.get_status()["documentCount"] == 30
+    titles = {r.fileTitle for r in eng.list_documents().collect()}
+    assert titles == {f"Doc {i} v2" for i in range(30)}
+
+    rep2 = eng.sync(str(d))
+    assert rep2.counters.get("skip", 0) == 30
+
+
+def test_delete_documents_batched(spark, tmp_path, corpus):
+    from mcp_local_rag_spark.plans.ingest import delete_documents
+
+    eng = RagEngine(spark, str(tmp_path / "chunks_del"))
+    eng.ingest_directory(str(corpus))
+    paths = [r.filePath for r in eng.list_documents().collect()]
+    before = eng.get_status()["chunkCount"]
+    n = delete_documents(spark, eng.table_path, paths + ["/nonexistent.md"])
+    assert n == before
+    assert eng.get_status()["chunkCount"] == 0
+    assert delete_documents(spark, eng.table_path, []) == 0
+
+
 def test_docx_ingest_end_to_end(spark, tmp_path):
     """A .docx in the corpus parses (stdlib zip+XML), its table rows become
     atomic chunks that survive the min-length filter, and the title chain
