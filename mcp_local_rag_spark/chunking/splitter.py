@@ -1,15 +1,26 @@
 """Sentence splitting (reference T1/T2, src/chunker/sentence-splitter.ts).
 
 Reference behavior reproduced:
-  * paragraphs pre-split on blank lines or newline-before-non-space
-    (``\\n{2,}|\\n(?=\\S)``);
+  * paragraphs pre-split on blank lines, newline-before-non-space, or a
+    newline right after a code placeholder
+    (``\\n{2,}|\\n(?=\\S)|(?<=\\u0000)\\n``, sentence-splitter.ts:117);
   * markdown headings are single sentences;
-  * fenced code blocks are protected from splitting (placeholder swap);
-  * sentence boundaries at ./!/? followed by whitespace.
+  * fenced AND inline code are protected from splitting (placeholder
+    swap-out/in, sentence-splitter.ts:42-82);
+  * sentence boundaries per a UAX#29 approximation (the reference uses
+    ``Intl.Segmenter('und')``; PyICU is not in the container):
+      - Latin terminators ``.!?…`` plus trailing close-punctuation,
+        followed by whitespace;
+      - CJK full-width terminators ``。！？；…`` plus close-quotes/brackets,
+        with NO whitespace required — no-space scripts split correctly
+        (the very case the reference's ngram FTS exists for,
+        src/vectordb/index.ts:258-271);
+      - abbreviation guard (Mr./Dr./e.g./single initials) suppresses false
+        Latin breaks — strictly fewer spurious fragments than the
+        reference, which documents abbreviation splits as acceptable noise.
 
-The reference uses Intl.Segmenter (UAX#29); this is a regex approximation
-(PyICU is not in the container) — the pipeline treats the splitter as a
-pluggable pure function, so a UAX#29 implementation can drop in.
+The pipeline treats the splitter as a pluggable pure function, so a full
+ICU implementation can drop in.
 
 Runs as a plain Python function inside Arrow-batched pandas UDFs — the
 per-document work is string processing, inherently row-local.
@@ -30,24 +41,70 @@ from pyspark.sql.types import (
 )
 
 _FENCE_RE = re.compile(r"```.*?```", re.DOTALL)
-_PARA_RE = re.compile(r"\n{2,}|\n(?=\S)")
+_INLINE_CODE_RE = re.compile(r"`[^`\n]+`")
+_PARA_RE = re.compile(r"\n{2,}|\n(?=\S)|(?<=\x00)\n")
 _HEADING_RE = re.compile(r"^#{1,6}\s")
-_SENT_RE = re.compile(r"(?<=[.!?])\s+")
 _PLACEHOLDER = "\x00CODE{}\x00"
+
+# Latin boundary: terminator run + optional closers, then whitespace.
+# CJK boundary: full-width terminator run + optional close quotes/brackets,
+# no whitespace required (UAX#29 STerm behavior for no-space scripts).
+_BOUNDARY_RE = re.compile(
+    r"(?P<latin>[.!?…]+[)\]\"'”’»]*)\s+"
+    r"|(?P<cjk>[。！？；…‼⁇⁈⁉]+"
+    r"[」』）】”’\"']*)"
+)
+# tokens (possibly dotted, e.g. "e.g") that suppress a Latin '.' break
+_ABBREVIATIONS = {
+    "mr", "mrs", "ms", "dr", "prof", "st", "no", "fig", "vs", "etc",
+    "e.g", "i.e", "al", "jr", "sr", "inc", "ltd", "dept", "est", "approx",
+}
+_PRE_WORD_RE = re.compile(r"([A-Za-z][A-Za-z.]*)$")
+
+
+def _is_abbreviation_break(para: str, punct_start: int, punct: str) -> bool:
+    """True when the '.' at para[punct_start] ends a guarded abbreviation."""
+    if not punct.startswith("."):
+        return False
+    m = _PRE_WORD_RE.search(para, 0, punct_start)
+    if not m:
+        return False
+    word = m.group(1)
+    return word.lower() in _ABBREVIATIONS or (len(word) == 1 and word.isupper())
+
+
+def _split_paragraph(para: str) -> list[str]:
+    out: list[str] = []
+    start = 0
+    for m in _BOUNDARY_RE.finditer(para):
+        if m.group("latin") is not None:
+            seg_end = m.end("latin")
+            if _is_abbreviation_break(para, m.start("latin"), m.group("latin")):
+                continue
+        else:
+            seg_end = m.end("cjk")
+        sent = para[start:seg_end].strip()
+        if sent:
+            out.append(sent)
+        start = m.end()
+    tail = para[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
 
 
 def split_sentences(text: str) -> list[str]:
     """Split one document into sentences; returns trimmed non-empty strings."""
     if not text:
         return []
-    # protect fenced code blocks
+    # protect fenced blocks first, then inline code (reference order)
     fences: list[str] = []
 
     def _stash(m: re.Match) -> str:
         fences.append(m.group(0))
         return _PLACEHOLDER.format(len(fences) - 1)
 
-    protected = _FENCE_RE.sub(_stash, text)
+    protected = _INLINE_CODE_RE.sub(_stash, _FENCE_RE.sub(_stash, text))
     out: list[str] = []
     for para in _PARA_RE.split(protected):
         para = para.strip()
@@ -56,15 +113,13 @@ def split_sentences(text: str) -> list[str]:
         if _HEADING_RE.match(para):
             out.append(para)
             continue
-        for sent in _SENT_RE.split(para):
-            sent = sent.strip()
-            if sent:
-                out.append(sent)
-    # restore code blocks
+        out.extend(_split_paragraph(para))
+    # restore code blocks (fenced may nest inline placeholders: two passes)
     restored = []
     for s in out:
-        for i, code in enumerate(fences):
-            s = s.replace(_PLACEHOLDER.format(i), code)
+        for _ in range(2):
+            for i, code in enumerate(fences):
+                s = s.replace(_PLACEHOLDER.format(i), code)
         restored.append(s)
     return restored
 

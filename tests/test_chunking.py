@@ -17,6 +17,50 @@ def test_split_sentences_code_fence_protected():
     assert "After." in out
 
 
+def test_split_sentences_inline_code_protected():
+    out = split_sentences("Use `a. b` carefully. Then stop.")
+    assert out == ["Use `a. b` carefully.", "Then stop."]
+
+
+def test_split_sentences_cjk_no_space():
+    out = split_sentences("これは最初の文です。これは二番目の文です。最後の文！")
+    assert out == ["これは最初の文です。", "これは二番目の文です。", "最後の文！"]
+
+
+def test_split_sentences_cjk_close_quote():
+    # UAX#29 SB11: break after terminator + Close* — the quoted sentence
+    # ends at the close bracket, matching Intl.Segmenter behavior
+    out = split_sentences("彼は「行こう。」と言った。次の文です。")
+    assert out == ["彼は「行こう。」", "と言った。", "次の文です。"]
+
+
+def test_split_sentences_mixed_scripts():
+    out = split_sentences("Hello world. 你好世界。再见！Done now.")
+    assert out == ["Hello world.", "你好世界。", "再见！", "Done now."]
+
+
+def test_split_sentences_abbreviation_guard():
+    assert split_sentences("Dr. Smith arrived. He left.") == [
+        "Dr. Smith arrived.",
+        "He left.",
+    ]
+    assert split_sentences("See e.g. the docs. Next point.") == [
+        "See e.g. the docs.",
+        "Next point.",
+    ]
+    assert split_sentences("A. Lovelace wrote programs. True story.") == [
+        "A. Lovelace wrote programs.",
+        "True story.",
+    ]
+
+
+def test_split_sentences_closing_quotes_attach():
+    assert split_sentences('He said "stop." Then ran.') == [
+        'He said "stop."',
+        "Then ran.",
+    ]
+
+
 def test_group_sentences_similar_join_and_split():
     a = np.array([1.0, 0.0])
     b = np.array([0.99, 0.14])  # cos ~0.99 with a
