@@ -45,7 +45,7 @@ def stream_ingest(
     text source is the md/txt hot path.
     """
     from ..plans.ingest import N_BUCKETS, build_chunks
-    from ..sources.parsers import extract_md_title, extract_txt_title
+    from ..sources.parsers import title_udf
 
     raw = (
         spark.readStream.format("text")
@@ -59,16 +59,15 @@ def stream_ingest(
         )
     )
 
+    _title = title_udf()
+
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         docs = batch.select(
             "path",
             "text",
-            F.udf(lambda p, t: (
-                extract_md_title(t or "", p) if p.endswith(".md")
-                else extract_txt_title(t or "", p)
-            ))("path", "text").alias("title"),
+            _title("path", "text").alias("title"),
             F.lower(F.sha2(F.col("text").cast("binary"), 256)).alias("contentHash"),
             F.length("text").cast("long").alias("length"),
         )
