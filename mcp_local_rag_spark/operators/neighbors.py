@@ -75,10 +75,17 @@ class NeighborServer:
         self._buckets: dict[str, int] = {}
         self._datasets: dict[int, object] = {}  # bucket -> pyarrow dataset
 
-    def _dataset_of(self, bucket: int):
+    def invalidate(self) -> None:
+        """Drop cached dataset handles. Call after compact/delete/ingest:
+        bucket rewrites replace the parquet files a cached handle points at
+        (stale-footer reads would fail or, worse, see pre-delete rows).
+        Bucket assignments are pure hashes and stay valid."""
+        self._datasets.clear()
+
+    def _dataset_of(self, bucket: int, *, refresh: bool = False):
         # cache the dataset handle: directory listing + parquet footer
         # parsing would otherwise repeat on every point read
-        if bucket not in self._datasets:
+        if refresh or bucket not in self._datasets:
             import pyarrow.dataset as ds
 
             self._datasets[bucket] = ds.dataset(
@@ -117,11 +124,21 @@ class NeighborServer:
         before = min(max(before, 0), MAX_SPAN)
         after = min(max(after, 0), MAX_SPAN)
         lo, hi = max(target - before, 0), target + after
-        dataset = self._dataset_of(self._bucket_of(file_path))
+        bucket = self._bucket_of(file_path)
         expr = (
             (ds.field("filePath") == file_path)
             & (ds.field("chunkIndex") >= lo)
             & (ds.field("chunkIndex") <= hi)
         )
-        tbl = dataset.to_table(filter=expr).sort_by("chunkIndex")
-        return tbl.to_pylist()
+        try:
+            tbl = self._dataset_of(bucket).to_table(filter=expr)
+        except (FileNotFoundError, OSError):
+            # self-heal: a compact/delete rewrote this bucket under a cached
+            # handle — re-open once and retry; a bucket whose last document
+            # was deleted has no directory at all -> empty frame
+            self._datasets.pop(bucket, None)
+            try:
+                tbl = self._dataset_of(bucket, refresh=True).to_table(filter=expr)
+            except FileNotFoundError:
+                return []
+        return tbl.sort_by("chunkIndex").to_pylist()

@@ -126,3 +126,40 @@ def test_neighbor_server(spark, tmp_path):
     # agrees with the in-plan DataFrame operator
     df_rows = read_neighbors(spark.read.parquet(table), "/corpus/doc1.md", 10).collect()
     assert [r.chunkIndex for r in df_rows] == [r["chunkIndex"] for r in frame]
+
+
+def test_neighbor_server_survives_delete_and_compact(spark, tmp_path):
+    """Bucket rewrites replace the files behind cached dataset handles; the
+    SAME server instance must keep answering correctly afterwards
+    (stale-footer self-heal / invalidate)."""
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.operators.neighbors import NeighborServer
+    from mcp_local_rag_spark.plans.ingest import compact_chunks
+
+    table = str(tmp_path / "chunks_inval")
+    rows = spark.range(40).select(
+        F.concat(F.lit("/c/doc"), (F.col("id") % 2).cast("string"), F.lit(".md")).alias(
+            "filePath"
+        ),
+        (F.col("id") / 2).cast("int").alias("chunkIndex"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+    )
+    write_chunks(rows, table)
+    server = NeighborServer(spark, table)
+    # warm the cache for both docs' buckets
+    assert [r["chunkIndex"] for r in server.read("/c/doc0.md", 5)] == [3, 4, 5, 6, 7]
+    assert len(server.read("/c/doc1.md", 5)) == 5
+
+    # delete doc1 and compact: every touched bucket is rewritten
+    delete_document(spark, table, "/c/doc1.md")
+    compact_chunks(spark, table)
+    server.invalidate()
+    assert server.read("/c/doc1.md", 5) == []
+    assert [r["chunkIndex"] for r in server.read("/c/doc0.md", 5)] == [3, 4, 5, 6, 7]
+
+    # self-heal without explicit invalidate: rewrite again under the
+    # re-cached handles, then read through the same instance
+    delete_document(spark, table, "/c/doc0.md")
+    compact_chunks(spark, table)
+    assert server.read("/c/doc0.md", 5) == []
