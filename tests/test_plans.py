@@ -137,3 +137,64 @@ def test_range_join_is_bucketed_equi_join(spark, qs):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     # the bucketed formulation joins hash-style on (user_id, bucket)
     assert "Join" in p
+
+
+def test_q21_exists_pair_stays_hash_equi_joined(spark, qs):
+    """Q21's exists/not-exists pair runs as the aggregate formulation (one
+    countDistinct pass over the joined fact + an equi-join on the stats) —
+    all joins hash/sort-merge, never a nested loop over lineitem."""
+    p = plan(qs["tpch_q21_sole_late"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "HashAggregate" in p
+
+
+def test_q17_scalar_avg_broadcasts(spark, qs):
+    """Per-part avg-quantity threshold joins the fact on partkey — hash
+    join, no nested loop; the 0.2*avg compare is post-join."""
+    p = plan(qs["tpch_q17_small_qty"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Join" in p
+
+
+def test_q22_scalar_subquery_is_single_row_broadcast(spark, qs):
+    """The global avg-balance scalar rides a broadcast of a ONE-ROW
+    aggregate — the only acceptable nested-loop shape (Cross with a 1-row
+    build side); the NOT EXISTS stays a hash anti join."""
+    import re
+
+    p = plan(qs["tpch_q22_idle_rich"](spark, SF_DIR))
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    bnlj_types = set(re.findall(r"BroadcastNestedLoopJoin (\w+)", p))
+    assert bnlj_types <= {"Cross"}, bnlj_types
+    assert "BroadcastExchange" in p
+
+
+def test_moving_avg_is_partitioned_range_window(spark, qs):
+    """RANGE-frame moving average: the window is keyed by user_id (one
+    hash shuffle, state bounded per key), with a RangeFrame — never a
+    single-partition window over the whole fact."""
+    p = plan(qs["events_moving_avg"](spark, SF_DIR))
+    assert "Window" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "RangeFrame" in p
+    assert "windowspecdefinition(user_id" in p
+
+
+def test_fuzzy_join_is_blocked_equi_join(spark, qs):
+    """Levenshtein candidate pairs come from an equi-join on the blocking
+    key — the edit-distance filter runs post-join, never as a cross join."""
+    p = plan(qs["part_fuzzy_pairs"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_knn_kernel_is_mapinpandas_partial_topk(spark, qs):
+    """Brute-force kNN: Arrow kernel emits per-partition top-k; the global
+    pick is a WindowGroupLimit over k*queries*partitions rows — no
+    cartesian pair explosion, at most the one final-shuffle exchange."""
+    p = plan(qs["knn_bruteforce"](spark, SF_DIR))
+    assert "MapInPandas" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "WindowGroupLimit" in p
+    assert p.count("+- Exchange") + p.count("(Exchange") <= 2, p
