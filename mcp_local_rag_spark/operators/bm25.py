@@ -142,6 +142,40 @@ def bm25_scores(
     return scored.groupBy(*id_cols).agg(F.sum("_term_score").alias("_score"))
 
 
+def corpus_stats_scan(
+    chunks: DataFrame,
+    terms: Sequence[str],
+    *,
+    text_col: str = "text",
+) -> dict:
+    """One shuffle-free pass computing the BM25 corpus statistics
+    ``{"n": N, "avgdl": avgdl, "df": {term: df}}`` for ``terms``.
+
+    This is the driver-side round trip ``bm25_scores_scan`` needs; callers
+    issuing many queries against one corpus snapshot should call it once
+    (or maintain the postings table, whose doc-length/df sides are the
+    persisted form of the same numbers) and pass the result via ``stats``
+    — otherwise every query pays one full-scan aggregate job.
+    Zero-token docs are excluded, matching the postings path.
+    """
+    terms = list(dict.fromkeys(terms))
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), "")
+    d = chunks.select(toks.alias("_toks")).filter(F.size("_toks") > 0)
+    row = d.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size("_toks")).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("_toks", t).cast("long")).alias(f"df{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).first()
+    return {
+        "n": row["n"],
+        "avgdl": float(row["avgdl"] or 0.0),
+        "df": {t: (row[f"df{i}"] or 0) for i, t in enumerate(terms)},
+    }
+
+
 def bm25_scores_scan(
     chunks: DataFrame,
     query_terms: Sequence[str],
@@ -151,6 +185,7 @@ def bm25_scores_scan(
     candidates: DataFrame | None = None,
     k1: float = K1,
     b: float = B,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Index-free BM25: score ``query_terms`` with NO postings table.
 
@@ -171,23 +206,22 @@ def bm25_scores_scan(
     (column-pruned), and scoring touches only candidate rows. The
     postings-table path still wins when queries are frequent enough to
     amortize the index build — this path wins for one-shot queries.
+
+    ``stats`` (from ``corpus_stats_scan``) skips the per-query stats job —
+    the repeated-query shape over one corpus snapshot. Without it, the one
+    eager ``.first()`` here is the known driver round trip of the
+    index-free form; the fully persisted alternative is the postings path.
     """
     terms = list(dict.fromkeys(query_terms))
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), "")
     d = chunks.select(*id_cols, toks.alias("_toks"))
 
-    # align with the postings path: docs that tokenize to zero tokens
-    # (punctuation-only / CJK under the unigram tokenizer) contribute no
-    # postings rows there, so they must not inflate N or deflate avgdl here
-    stats_row = d.filter(F.size("_toks") > 0).agg(
-        F.count("*").alias("n"),
-        F.avg(F.size("_toks")).alias("avgdl"),
-        *[
-            F.sum(F.array_contains("_toks", t).cast("long")).alias(f"df{i}")
-            for i, t in enumerate(terms)
-        ],
-    ).first()
-    n_docs, avgdl = stats_row["n"], float(stats_row["avgdl"] or 0.0)
+    if stats is None:
+        # align with the postings path: docs that tokenize to zero tokens
+        # (punctuation-only / CJK under the unigram tokenizer) contribute no
+        # postings rows there, so they must not inflate N or deflate avgdl
+        stats = corpus_stats_scan(chunks, terms, text_col=text_col)
+    n_docs, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
 
     cand = d
     if candidates is not None:
@@ -200,7 +234,7 @@ def bm25_scores_scan(
 
     term_scores = []
     for i, t in enumerate(terms):
-        df = stats_row[f"df{i}"] or 0
+        df = stats["df"].get(t, 0)
         if df == 0:
             continue  # absent term contributes 0 everywhere (idf join drops it)
         idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))

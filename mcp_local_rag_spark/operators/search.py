@@ -190,6 +190,7 @@ def hybrid_search(
     max_files: int | None = 3,
     file_col: str = "filePath",
     postings: DataFrame | None = None,
+    bm25_stats: dict | None = None,
 ) -> DataFrame:
     """The full query_documents pipeline (reference §3.1 steps 4-8).
 
@@ -226,9 +227,11 @@ def hybrid_search(
             materialize=False,
         )
     else:
+        # bm25_stats (corpus_stats_scan result, computed once per corpus
+        # snapshot) removes the per-query stats job of the index-free path
         kw = bm25_scores_scan(
             chunks, query_terms, id_cols=id_cols, text_col=text_col,
-            candidates=grouped,
+            candidates=grouped, stats=bm25_stats,
         )
     boosted = keyword_boost(grouped, kw, on=id_cols, weight=weight).persist()
     filtered = file_topn_filter(boosted, max_files, file_col=file_col)

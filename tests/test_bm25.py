@@ -72,6 +72,22 @@ def test_scan_stats_exclude_zero_token_docs(spark):
         assert abs(via_postings[k] - via_scan[k]) < 1e-9
 
 
+def test_precomputed_stats_skip_per_query_job(spark):
+    """corpus_stats_scan computed once feeds bm25_scores_scan via stats=
+    with identical scores to the self-computed path."""
+    docs = spark.createDataFrame(
+        [("/a", 0, "spark spark fast"), ("/b", 0, "spark appears once here")],
+        "filePath string, chunkIndex int, text string",
+    )
+    stats = bm25.corpus_stats_scan(docs, ["spark", "absent"])
+    assert stats["n"] == 2 and stats["df"] == {"spark": 2, "absent": 0}
+    a = {(r.filePath, r.chunkIndex): r._score
+         for r in bm25.bm25_scores_scan(docs, ["spark"]).collect()}
+    b = {(r.filePath, r.chunkIndex): r._score
+         for r in bm25.bm25_scores_scan(docs, ["spark"], stats=stats).collect()}
+    assert a == b
+
+
 def test_ngram23_tokenizer(spark):
     docs = spark.createDataFrame([("/a", 0, "ab")], "filePath string, chunkIndex int, text string")
     postings = bm25.build_postings(docs, tokenizer="ngram23")
