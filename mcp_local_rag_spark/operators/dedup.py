@@ -246,3 +246,68 @@ def hamming_distance(a, b):
     """Hamming distance between two simhash BIGINT columns (JVM-side)."""
     x = a.bitwiseXOR(b)
     return F.bit_count(x)
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id1_col: str = "id1",
+    id2_col: str = "id2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-group clustering: connected components over a pair list,
+    labeling every member with the component's MINIMUM id.
+
+    (id1, id2) pairs (e.g. Jaccard-verified LSH candidates) -> (id, label).
+    Iterative min-label propagation: each round joins labels across edges
+    and keeps the per-node minimum, converging in O(component diameter)
+    rounds — duplicate clusters are near-cliques from banded LSH, so 2-3
+    rounds in practice. Each round is one equi-join + one aggregate, both
+    keyed shuffles; nothing is ever quadratic.
+
+    At 100 TB with adversarial long-chain graphs, swap the body for the
+    large-star/small-star alternating algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) behind this signature;
+    label propagation is the right default for dedup-shaped graphs.
+    """
+    edges = (
+        pairs.select(F.col(id1_col).alias("src"), F.col(id2_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id2_col).alias("src"), F.col(id1_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "label")
+            .groupBy("id")
+            .agg(F.min("label").alias("_min_nbr"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("label", "_old")
+            .join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("_old"), F.coalesce(F.col("_min_nbr"), F.col("_old"))
+                ).alias("label"),
+                "_old",
+            )
+            .persist()
+        )
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels.unpersist()
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

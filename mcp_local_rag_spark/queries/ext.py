@@ -147,6 +147,60 @@ def q_dedup_jaccard(spark, sf_dir):
     return dedup.jaccard_verify(pairs, shingles, threshold=0.7)
 
 
+# Duplicate-GROUP clustering: connected components over the verified pairs,
+# every member labeled with its component's minimum doc_id — the form a
+# training pipeline consumes ("keep cluster representative, drop the rest").
+# Spark side is iterative min-label propagation (one keyed join + aggregate
+# per round, O(diameter) rounds); the oracle is a recursive CTE computing
+# min reachable id — different algorithms, identical fixpoint.
+
+_JACCARD_PAIRS_CTES = f"""{CORPUS_CTE.strip()}, {SHINGLES_CTE.strip()}, {SIGS_CTE.strip()},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.id1, p.id2, count(*)::BIGINT AS c
+  FROM pairs p
+  JOIN shingles s1 ON s1.doc_id = p.id1
+  JOIN shingles s2 ON s2.doc_id = p.id2 AND s2.shingle = s1.shingle
+  GROUP BY p.id1, p.id2
+),
+jpairs AS (
+  SELECT i.id1, i.id2
+  FROM inter i
+  JOIN sizes n1 ON n1.doc_id = i.id1
+  JOIN sizes n2 ON n2.doc_id = i.id2
+  WHERE round(i.c::DOUBLE / (n1.n + n2.n - i.c), 6) >= 0.7
+)"""
+
+
+@register(
+    "dedup_clusters",
+    f"""WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM jpairs
+  UNION
+  SELECT id2, id1 FROM jpairs
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(lab)::BIGINT AS cluster_id
+FROM reach GROUP BY id""",
+)
+def q_dedup_clusters(spark, sf_dir):
+    corpus = _dedup_corpus(spark, sf_dir)
+    shingles = dedup.shingle_sets(corpus).persist()
+    shingles.count()
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(shingles)).persist()
+    pairs.count()
+    verified = dedup.jaccard_verify(pairs, shingles, threshold=0.7)
+    labels = dedup.connected_components(verified)
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
+    )
+
+
 def _simhash_sql() -> str:
     digits = ",\n         ".join(
         f"{e} AS d{i}" for i, e in enumerate(dedup.digit_exprs("duckdb"))

@@ -44,3 +44,23 @@ def test_hamming_distance(spark):
         dedup.hamming_distance(F.lit(0b1011), F.lit(0b0010)).alias("d")
     ).first()
     assert row.d == 2
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain converges to one min-label component (needs multi-round
+    propagation); a separate pair stays its own component."""
+    from mcp_local_rag_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (100, 200)], "id1 long, id2 long"
+    )
+    labels = {r.id: r.label for r in connected_components(pairs).collect()}
+    assert labels == {10: 10, 20: 10, 30: 10, 40: 10, 100: 100, 200: 100}
+
+
+def test_connected_components_direction_agnostic(spark):
+    from mcp_local_rag_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(5, 1), (2, 5)], "id1 long, id2 long")
+    labels = {r.id: r.label for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 5: 1}
