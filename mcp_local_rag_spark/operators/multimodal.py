@@ -148,3 +148,71 @@ def sample_frames(
     return media.filter(F.col("modality") == "video").select(
         "media_id", "content"
     ).mapInPandas(_frames, FRAME_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# T12 caption chunks (reference src/ingest/visual.ts:151-159,
+# src/pdf-visual/captioners/shared.ts:96-127)
+
+MAX_CAPTION_LENGTH = 1000
+
+
+def post_process_caption(col) -> "F.Column":
+    """Caption post-processing as column expressions: strip C0/C1 control
+    characters (keeping \\t and \\n), trim, cap at 1000 chars with an
+    ellipsis; empty results become NULL (dropped upstream)."""
+    # JS .trim() strips all whitespace incl. \n; Spark's trim() is space-only
+    stripped = F.regexp_replace(
+        F.regexp_replace(col, "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]", ""),
+        "^\\s+|\\s+$",
+        "",
+    )
+    capped = F.when(
+        F.length(stripped) > MAX_CAPTION_LENGTH,
+        F.concat(F.substring(stripped, 1, MAX_CAPTION_LENGTH), F.lit("…")),
+    ).otherwise(stripped)
+    return F.when(F.length(stripped) > 0, capped)
+
+
+def caption_chunks(
+    text_chunks: DataFrame,
+    captions: DataFrame,
+    *,
+    key_col: str = "doc_key",
+    index_col: str = "chunk_index",
+    page_col: str = "page_num",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Captions become DEDICATED chunks appended after a document's text
+    chunks — `[Visual content on page N: …]`, indices continuing from the
+    last text chunk — so the semantic chunker can never split a caption's
+    internal structure. Output: (key, chunk_index, text), union-ready with
+    the text chunk rows.
+
+    One broadcast-sized aggregate (per-doc max index) + a per-doc window
+    over the captions; both keyed by document, no global shuffle beyond
+    the groupBy.
+    """
+    from pyspark.sql import Window
+
+    base = text_chunks.groupBy(key_col).agg(
+        (F.max(index_col) + 1).alias("_base")
+    )
+    processed = captions.withColumn("_cap", post_process_caption(F.col(caption_col)))
+    processed = processed.filter(F.col("_cap").isNotNull())
+    w = Window.partitionBy(key_col).orderBy(page_col)
+    return (
+        processed.join(base, key_col, "left")
+        .withColumn("_rk", F.row_number().over(w) - 1)
+        .select(
+            key_col,
+            (F.coalesce(F.col("_base"), F.lit(0)) + F.col("_rk")).alias(index_col),
+            F.concat(
+                F.lit("[Visual content on page "),
+                F.col(page_col).cast("string"),
+                F.lit(": "),
+                F.col("_cap"),
+                F.lit("]"),
+            ).alias("text"),
+        )
+    )

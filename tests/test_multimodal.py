@@ -40,3 +40,37 @@ def test_sample_frames_udtf_shape(spark):
     frames = mm.sample_frames(vids, every_n=5, n_frames=3).collect()
     assert [(r.media_id, r.frame_index) for r in frames] == [("7", 0), ("7", 5), ("7", 10)]
     assert len({r.frame for r in frames}) == 3
+
+
+def test_caption_postprocess_and_chunk_append(spark):
+    """Captions become dedicated chunks appended after the text chunks with
+    continuing indices; control chars stripped, 1000-char cap, empty
+    captions dropped (reference visual.ts:151-159, shared.ts:96-127)."""
+    text_chunks = spark.createDataFrame(
+        [("/d.pdf", 0, "intro"), ("/d.pdf", 1, "body"), ("/e.pdf", 0, "only")],
+        "doc_key string, chunk_index int, text string",
+    )
+    captions = spark.createDataFrame(
+        [
+            ("/d.pdf", 2, "A chart of\x07 revenue.\n"),
+            ("/d.pdf", 1, "  An early diagram. "),
+            ("/d.pdf", 3, "\x00\x1f"),           # empty after strip -> dropped
+            ("/orphan.pdf", 1, "No text chunks doc."),
+            ("/e.pdf", 9, "x" * 1500),
+        ],
+        "doc_key string, page_num int, caption string",
+    )
+    rows = {
+        (r.doc_key, r.chunk_index): r.text
+        for r in mm.caption_chunks(text_chunks, captions).collect()
+    }
+    # /d.pdf text chunks end at 1 -> captions at 2, 3, ordered by page
+    assert rows[("/d.pdf", 2)] == "[Visual content on page 1: An early diagram.]"
+    assert rows[("/d.pdf", 3)] == "[Visual content on page 2: A chart of revenue.]"
+    # doc with no text chunks starts at 0
+    assert rows[("/orphan.pdf", 0)] == "[Visual content on page 1: No text chunks doc.]"
+    # 1000-char cap with ellipsis
+    capped = rows[("/e.pdf", 1)]
+    assert capped.startswith("[Visual content on page 9: " + "x" * 100)
+    assert "…" in capped and len(capped) < 1100
+    assert ("/d.pdf", 4) not in rows  # empty caption dropped
