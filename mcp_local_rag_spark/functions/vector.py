@@ -51,10 +51,12 @@ def dot_distance(a: Column, b: Column) -> Column:
 def cosine_pairs_pandas() -> "object":
     """Arrow-batched rowwise cosine of two array columns.
 
-    The Column-expression ``cosine`` above is interpreted per element
-    (higher-order functions break codegen); for pair-join shapes where both
-    sides carry a vector per row, a vectorized numpy kernel over the Arrow
-    batch is ~10x faster. Accumulates in float64 like the Column version.
+    Measured on Spark 4 local[32]: at 64 dims this ties the Column
+    expression ``cosine`` (HOF folds are codegen'd); at 384 dims / 500k
+    pairs the numpy kernel wins ~5x (three folds per row vs one einsum).
+    Use it for pair-join shapes with real embedding dims; single-query
+    distance stays the Column expression (see operators/search.vector_topk).
+    Accumulates in float64 like the Column version.
     """
     import numpy as np
     import pandas as pd
