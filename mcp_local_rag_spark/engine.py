@@ -144,6 +144,45 @@ class RagEngine:
         self.spark.catalog.refreshByPath(self.table_path)
         return self.chunks().count()
 
+    def ingest_file(self, file_path: str) -> dict:
+        """ingest_file tool (reference §3.2, src/server/index.ts:530-719):
+        parse one file, chunk+embed, and REPLACE its stored rows.
+
+        Zero-chunk outcomes fail fast BEFORE any destructive write — the
+        existing rows survive (reference :635-642). The delete+append pair
+        below is the parquet analogue of the reference's backup/delete/
+        insert/rollback transaction simulation; with Delta it would be one
+        atomic replaceWhere. Returns {filePath, chunkCount, fileTitle}.
+        """
+        file_path = os.path.abspath(file_path)
+        spark = self.spark
+        content = read_files(spark, [file_path])
+        hashed = content.withColumn(
+            "contentHash", F.lower(F.sha2(F.col("content"), 256))
+        )
+        parsed = parse_files(hashed).join(
+            hashed.select("path", "contentHash", "length"), "path"
+        )
+        docs = parsed.filter(F.col("parse_error").isNull())
+        err = parsed.select("parse_error").first()
+        if err and err["parse_error"]:
+            raise ValueError(f"parse failed for {file_path}: {err['parse_error']}")
+        new_chunks = build_chunks(docs, dim=self.dim, backend=self.backend).persist()
+        n = new_chunks.count()
+        if n == 0:
+            new_chunks.unpersist()
+            raise ValueError(
+                f"no chunks produced for {file_path}; existing rows left intact"
+            )
+        if self._exists():
+            delete_document(spark, self.table_path, file_path)
+        mode = "append" if self._exists() else "overwrite"
+        write_chunks(new_chunks, self.table_path, mode=mode)
+        new_chunks.unpersist()
+        spark.catalog.refreshByPath(self.table_path)
+        title = docs.select("title").first()["title"]
+        return {"filePath": file_path, "chunkCount": n, "fileTitle": title}
+
     def ingest_data(
         self,
         content: str,

@@ -91,6 +91,26 @@ def test_incremental_sync(spark, corpus, tmp_path):
     assert rep3.counters.get("skip", 0) == 2
 
 
+def test_ingest_file_replace_and_zero_chunk_failfast(spark, corpus, tmp_path):
+    """Single-file ingest replaces a document's rows idempotently; a file
+    that yields zero chunks fails BEFORE any destructive write."""
+    eng = RagEngine(spark, str(tmp_path / "chunks_one"))
+    res = eng.ingest_file(str(corpus / "alpha.md"))
+    assert res["chunkCount"] >= 1 and res["fileTitle"] == "Alpha Doc"
+    before = eng.get_status()
+
+    # re-ingest same file -> replaced, not duplicated
+    res2 = eng.ingest_file(str(corpus / "alpha.md"))
+    assert res2["chunkCount"] == res["chunkCount"]
+    assert eng.get_status() == before
+
+    # zero-chunk outcome (garbage-only content) -> error, rows intact
+    (corpus / "alpha.md").write_text("----\n\n----\n")
+    with pytest.raises(ValueError, match="no chunks"):
+        eng.ingest_file(str(corpus / "alpha.md"))
+    assert eng.get_status() == before
+
+
 def test_sync_many_files_batched_execute(spark, tmp_path):
     """A sync touching many documents executes as batched bucket rewrites:
     30 modified + 20 pruned files converge in one pass with correct final
