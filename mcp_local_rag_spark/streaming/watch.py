@@ -114,3 +114,29 @@ def windowed_event_counts(
         F.count("*").alias("n"),
         F.sum("value").alias("total_value"),
     )
+
+
+def dedupe_event_stream(
+    events: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exactly-once event dedup — the ingestion guard in front of
+    every at-least-once delivery source (Kafka replays, retried producers).
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key while only
+    retaining state inside the watermark horizon: duplicates arriving
+    within ``watermark`` of the first sighting are dropped, and the per-key
+    state is evicted once the watermark passes it — bounded state at any
+    throughput, unlike a plain dropDuplicates whose state grows forever.
+
+    Works on a batch DataFrame too (plain dropDuplicates on the keys) so
+    the batch backfill and the streaming path share one call site.
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(list(key_cols))
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -120,3 +120,52 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         (2, "2024-01-01 11:00:00", "2024-01-01 11:00:00", 1, 6.0),
     }
     assert extras <= allowed, extras
+
+
+def test_dedupe_event_stream(spark, tmp_path):
+    """Replayed event ids within the watermark are dropped exactly-once in
+    streaming mode; the batch twin dedups the same keys."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from mcp_local_rag_spark.streaming.watch import dedupe_event_stream
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    t = lambda s: dt.datetime.fromisoformat(s)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp2" / name))
+        part = glob.glob(str(tmp_path / "tmp2" / name / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    write_file("f1", [(1, t("2024-01-01 09:00:00"), 1.0),
+                      (2, t("2024-01-01 09:01:00"), 2.0)])
+    write_file("f2", [(1, t("2024-01-01 09:02:00"), 1.0),   # replay of id 1
+                      (3, t("2024-01-01 09:03:00"), 3.0)])
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        dedupe_event_stream(stream, key_cols=("event_id",))
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert ids == [1, 2, 3]
+
+    # batch twin: same call site, plain dropDuplicates
+    batch = spark.createDataFrame(
+        [(1, t("2024-01-01 09:00:00"), 1.0), (1, t("2024-01-01 09:02:00"), 1.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    assert dedupe_event_stream(batch).count() == 1
