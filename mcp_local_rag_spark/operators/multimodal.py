@@ -216,3 +216,89 @@ def caption_chunks(
             ).alias("text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T11 page render + T10-T12 composed visual pipeline (reference
+# src/pdf-visual/renderer.ts:29-87, src/ingest/visual.ts:100-160)
+
+RENDER_DPI = 200  # renderer.ts:25-29: 150 loses sub-10pt glyphs, 300 = 2x bytes
+
+
+def default_page_renderer(doc_bytes: bytes, page_num: int, crop: dict | None) -> bytes:
+    """T11: rasterize one page (cropped) at 200 DPI. Real implementation
+    needs pymupdf; import-guarded like the other decoders."""
+    try:
+        import fitz
+    except ImportError as exc:
+        raise NotImplementedError(
+            "page render needs pymupdf; inject render_fn (the pipeline"
+            " around it is fully wired)"
+        ) from exc
+    doc = fitz.open(stream=doc_bytes, filetype="pdf")
+    page = doc[page_num]
+    zoom = RENDER_DPI / 72.0
+    clip = None
+    if crop is not None:
+        clip = fitz.Rect(crop["x0"], crop["y0"], crop["x1"], crop["y1"])
+    pix = page.get_pixmap(matrix=fitz.Matrix(zoom, zoom), clip=clip, alpha=False)
+    return pix.tobytes("png")
+
+
+def fake_page_renderer(doc_bytes: bytes, page_num: int, crop: dict | None) -> bytes:
+    """Deterministic render stand-in: hash of (doc, page, crop)."""
+    key = f"{page_num}|{crop}".encode()
+    return hashlib.sha256(doc_bytes + key).digest()
+
+
+def fake_captioner(image_bytes: bytes) -> str:
+    """Deterministic caption stand-in (the real ones are SmolVLM-256M /
+    Qwen2.5-VL q4, captioners/fast.ts + quality.ts — not in container)."""
+    return f"figure {hashlib.sha256(image_bytes).hexdigest()[:8]}"
+
+
+CAPTION_SCHEMA = StructType(
+    [
+        StructField("doc_key", StringType()),
+        StructField("page_num", IntegerType()),
+        StructField("caption", StringType()),
+    ]
+)
+
+
+def caption_candidate_pages(
+    docs: DataFrame,
+    candidates: DataFrame,
+    *,
+    render_fn: Callable[[bytes, int, dict | None], bytes] = default_page_renderer,
+    caption_fn: Callable[[bytes], str] = fake_captioner,
+    doc_col: str = "doc_key",
+    content_col: str = "content",
+) -> DataFrame:
+    """T10->T12 composition: join candidate pages (from
+    pdf_layout.visual_candidates) back to their document bytes, render each
+    candidate's crop, caption the render, post-process.
+
+    The join ships each doc's bytes once per candidate page — at scale,
+    candidates are sparse (the detector's entire point), so this stays
+    proportional to the visual surface, not the corpus. Render+caption run
+    inside one Arrow batch stage; both are injected so model-free tests
+    drive the full pipeline and real backends drop in unchanged.
+    """
+    cand = candidates.filter(F.col("is_candidate")).select(
+        doc_col, F.col("page").alias("page_num"), "crop"
+    )
+    joined = cand.join(docs.select(doc_col, content_col), doc_col)
+
+    def _caption(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, page_num, crop, content in zip(
+                pdf[doc_col], pdf["page_num"], pdf["crop"], pdf[content_col]
+            ):
+                crop_dict = dict(crop) if crop is not None else None
+                img = render_fn(bytes(content), int(page_num), crop_dict)
+                rows.append((key, int(page_num), caption_fn(img)))
+            yield pd.DataFrame(rows, columns=["doc_key", "page_num", "caption"])
+
+    return joined.mapInPandas(_caption, CAPTION_SCHEMA)

@@ -74,3 +74,56 @@ def test_caption_postprocess_and_chunk_append(spark):
     assert capped.startswith("[Visual content on page 9: " + "x" * 100)
     assert "…" in capped and len(capped) < 1100
     assert ("/d.pdf", 4) not in rows  # empty caption dropped
+
+
+def test_visual_pipeline_candidates_to_caption_chunks(spark):
+    """T10->T12 end-to-end with injected render/caption: candidate pages
+    (from block geometry) are rendered+captioned and land as dedicated
+    chunks after the text chunks."""
+    from mcp_local_rag_spark.operators.pdf_layout import visual_candidates
+
+    blocks = spark.createDataFrame(
+        [
+            # page 1 of /v.pdf: large image -> candidate
+            ("/v.pdf", 1, 300.0, 300.0, "image", 100.0, 100.0, 200.0, 200.0),
+            # page 2: tiny image -> NOT a candidate
+            ("/v.pdf", 2, 300.0, 300.0, "image", 0.0, 0.0, 10.0, 10.0),
+        ],
+        "doc_key string, page int, page_width double, page_height double,"
+        " kind string, x0 double, y0 double, x1 double, y1 double",
+    )
+    cands = visual_candidates(blocks, doc_col="doc_key")
+    docs = spark.createDataFrame(
+        [("/v.pdf", bytearray(b"%PDF-fake-bytes"))], "doc_key string, content binary"
+    )
+    captions = mm.caption_candidate_pages(
+        docs, cands,
+        render_fn=mm.fake_page_renderer, caption_fn=mm.fake_captioner,
+    )
+    rows = captions.collect()
+    assert [(r.doc_key, r.page_num) for r in rows] == [("/v.pdf", 1)]
+    assert rows[0].caption.startswith("figure ")
+
+    # deterministic: same doc/crop -> same caption
+    again = mm.caption_candidate_pages(
+        docs, cands, render_fn=mm.fake_page_renderer, caption_fn=mm.fake_captioner
+    ).collect()
+    assert again[0].caption == rows[0].caption
+
+    text_chunks = spark.createDataFrame(
+        [("/v.pdf", 0, "intro text")], "doc_key string, chunk_index int, text string"
+    )
+    final = mm.caption_chunks(text_chunks, captions).collect()
+    assert final[0].chunk_index == 1
+    assert final[0].text.startswith("[Visual content on page 1: figure ")
+
+
+def test_default_page_renderer_raises_without_fitz(spark):
+    import importlib.util
+
+    import pytest as _pytest
+
+    if importlib.util.find_spec("fitz") is not None:
+        _pytest.skip("pymupdf present; covered by real-backend smoke test")
+    with _pytest.raises(NotImplementedError):
+        mm.default_page_renderer(b"x", 0, None)
