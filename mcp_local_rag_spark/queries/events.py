@@ -342,3 +342,28 @@ def q_events_moving_avg(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# Skew-safe aggregation: the salted two-phase aggregate MUST produce exactly
+# the numbers a plain GROUP BY produces — the oracle here runs the plain
+# form, proving salting is a pure execution-strategy change. event_type has
+# ~5 hot values over every row: the canonical hot-key shape.
+
+@register(
+    "events_salted_agg",
+    """SELECT event_type, count(*)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type""",
+)
+def q_events_salted_agg(spark, sf_dir):
+    from ..operators.skew import salted_count
+
+    ev = load(spark, sf_dir, "events")
+    out = salted_count(
+        ev,
+        ["event_type"],
+        agg_cols={"total_value": F.sum(F.col("value").cast(DEC6))},
+    )
+    return out.select(
+        "event_type", "n", F.col("total_value").cast("double").alias("total_value")
+    )

@@ -574,3 +574,33 @@ def q_documents_length_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# Caption post-processing math (T12, captioners/shared.ts:96-127) under the
+# oracle: synthesize a dirty caption per document (leading/trailing space,
+# an embedded BEL control char, doubled text so long docs cross the
+# 1000-char cap), run the production column expressions, compare against
+# the SQL-derived template.
+
+@register(
+    "caption_postprocess",
+    r"""WITH raw AS (
+  SELECT doc_id, ' ' || text || chr(7) || text || ' ' AS cap FROM documents
+),
+stripped AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(cap, '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g'),
+           '^\s+|\s+$', '', 'g') AS s
+  FROM raw
+)
+SELECT doc_id,
+       CASE WHEN length(s) > 1000 THEN substring(s, 1, 1000) || '…' ELSE s END AS caption
+FROM stripped""",
+)
+def q_caption_postprocess(spark, sf_dir):
+    from ..operators.multimodal import post_process_caption
+
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(F.lit(" "), F.col("text"), F.lit("\x07"), F.col("text"), F.lit(" "))
+    return docs.select("doc_id", post_process_caption(raw).alias("caption"))
