@@ -1,0 +1,110 @@
+"""Persisted BM25 postings table + incremental refresh — the production
+form of the FTS index (reference: LanceDB FTS index on ``text``,
+ngram(2,3), refreshed by ``optimize()`` after writes,
+src/vectordb/index.ts:243-324; one refresh per bulk run,
+src/server/index.ts:543-549).
+
+Layout mirrors the chunks table: bucketed by filePath hash (same
+N_BUCKETS) so index maintenance is document-aligned — upserting or
+deleting a document rewrites the SAME bucket in both tables. Within each
+bucket file the rows are sorted by ``term`` so per-query scoring scans
+prune to the row groups containing the query's terms (parquet min/max
+stats), the layout-level stand-in for a term-partitioned index.
+
+At 100 TB the query-side alternative is a second copy bucketed BY TERM
+(shuffle-free scoring joins); this module keeps the maintenance-aligned
+copy because the reference's workload is ingest-heavy + candidate-
+restricted scoring (P3/O14), where per-query term row-group pruning is
+enough and index refresh cost dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.bm25 import build_postings
+from .ingest import N_BUCKETS
+
+
+def write_postings(
+    chunks: DataFrame,
+    path: str,
+    *,
+    tokenizer: str = "unigram",
+    mode: str = "overwrite",
+) -> None:
+    """Full index build: tokenize + aggregate the chunks into postings
+    (filePath, chunkIndex, term, tf, dl) and write them bucket-aligned
+    with the chunks table, term-sorted within each bucket."""
+    postings = build_postings(chunks, tokenizer=tokenizer)
+    (
+        postings.withColumn(
+            "bucket", F.pmod(F.xxhash64("filePath"), F.lit(N_BUCKETS)).cast("int")
+        )
+        .repartition(N_BUCKETS, "bucket")
+        .sortWithinPartitions("term", "filePath", "chunkIndex")
+        .write.partitionBy("bucket")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def read_postings(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("bucket")
+
+
+def refresh_postings(
+    spark: SparkSession,
+    path: str,
+    *,
+    changed_chunks: DataFrame | None = None,
+    deleted_paths: list[str] | None = None,
+    tokenizer: str = "unigram",
+) -> None:
+    """Incremental refresh after ingest/delete — the reference's amortized
+    per-bulk-run ``optimize()``: ONE bucket-local rewrite per touched
+    bucket covering both removals and re-tokenized upserts, never a full
+    index rebuild.
+
+    ``changed_chunks``: the new/updated chunk rows (their old postings are
+    replaced). ``deleted_paths``: documents whose postings must go.
+    """
+    changed_paths: set[str] = set(deleted_paths or [])
+    new_postings = None
+    if changed_chunks is not None:
+        new_postings = build_postings(changed_chunks, tokenizer=tokenizer).persist()
+        changed_paths.update(
+            r["filePath"]
+            for r in new_postings.select("filePath").distinct().collect()
+        )
+    if not changed_paths:
+        return
+
+    targets = sorted(changed_paths)
+    assignments = (
+        spark.createDataFrame([(p,) for p in targets], "filePath string")
+        .select(
+            "filePath",
+            F.pmod(F.xxhash64("filePath"), F.lit(N_BUCKETS)).cast("int").alias("b"),
+        )
+        .collect()
+    )
+    by_bucket: dict[int, list[str]] = {}
+    for r in assignments:
+        by_bucket.setdefault(r["b"], []).append(r["filePath"])
+
+    existing = spark.read.parquet(path)
+    for bucket, bucket_paths in sorted(by_bucket.items()):
+        part = existing.filter(F.col("bucket") == bucket)
+        keep = part.filter(~F.col("filePath").isin(bucket_paths)).drop("bucket")
+        if new_postings is not None:
+            adds = new_postings.filter(F.col("filePath").isin(bucket_paths))
+            keep = keep.unionByName(adds)
+        out = keep.sortWithinPartitions("term", "filePath", "chunkIndex").coalesce(1)
+        out.localCheckpoint().write.mode("overwrite").parquet(
+            f"{path}/bucket={bucket}"
+        )
+    if new_postings is not None:
+        new_postings.unpersist()
+    spark.catalog.refreshByPath(path)

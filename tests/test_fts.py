@@ -1,0 +1,107 @@
+"""Persisted postings index: build, score, incremental refresh (plans/fts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_local_rag_spark.operators.bm25 import bm25_scores, build_postings
+from mcp_local_rag_spark.plans.fts import (
+    read_postings,
+    refresh_postings,
+    write_postings,
+)
+
+
+def _chunks(spark, rows):
+    return spark.createDataFrame(rows, "filePath string, chunkIndex int, text string")
+
+
+def test_postings_roundtrip_scores_match_inmemory(spark, tmp_path):
+    chunks = _chunks(
+        spark,
+        [
+            ("/a.md", 0, "spark shuffles data across executors"),
+            ("/a.md", 1, "broadcast joins avoid the shuffle"),
+            ("/b.md", 0, "spark spark spark tuning notes"),
+        ],
+    )
+    path = str(tmp_path / "postings")
+    write_postings(chunks, path)
+    stored = read_postings(spark, path)
+
+    mem = {
+        (r.filePath, r.chunkIndex): r._score
+        for r in bm25_scores(build_postings(chunks), ["spark"], materialize=False).collect()
+    }
+    disk = {
+        (r.filePath, r.chunkIndex): r._score
+        for r in bm25_scores(stored, ["spark"], materialize=False).collect()
+    }
+    assert mem == disk and len(disk) == 2
+
+
+def test_refresh_upsert_and_delete_bucket_local(spark, tmp_path):
+    """Refresh replaces a changed document's postings and removes a deleted
+    document's, leaving untouched documents' rows byte-identical."""
+    chunks = _chunks(
+        spark,
+        [
+            ("/a.md", 0, "alpha text about shuffles"),
+            ("/b.md", 0, "beta text about joins"),
+            ("/c.md", 0, "gamma text about caching"),
+        ],
+    )
+    path = str(tmp_path / "postings2")
+    write_postings(chunks, path)
+
+    changed = _chunks(spark, [("/a.md", 0, "alpha rewritten about broadcast")])
+    refresh_postings(
+        spark, path, changed_chunks=changed, deleted_paths=["/b.md"]
+    )
+    stored = read_postings(spark, path)
+    terms = {
+        r.filePath: set()
+        for r in stored.select("filePath").distinct().collect()
+    }
+    for r in stored.collect():
+        terms[r.filePath].add(r.term)
+    assert set(terms) == {"/a.md", "/c.md"}           # /b.md gone
+    assert "broadcast" in terms["/a.md"]              # re-tokenized
+    assert "shuffles" not in terms["/a.md"]           # old postings replaced
+    assert "caching" in terms["/c.md"]                # untouched doc intact
+
+    # refresh with nothing to do is a no-op
+    refresh_postings(spark, path)
+    assert read_postings(spark, path).count() == stored.count()
+
+
+def test_refreshed_index_scores_equal_full_rebuild(spark, tmp_path):
+    """After a refresh, scoring over the index equals scoring over a from-
+    scratch rebuild of the same logical corpus — the invariant the
+    reference's optimize() maintains."""
+    base = _chunks(
+        spark,
+        [("/a.md", 0, "spark query planning"), ("/b.md", 0, "spark shuffle service")],
+    )
+    path = str(tmp_path / "postings3")
+    write_postings(base, path)
+    changed = _chunks(spark, [("/b.md", 0, "rewritten spark executor sizing")])
+    refresh_postings(spark, path, changed_chunks=changed)
+
+    final_corpus = _chunks(
+        spark,
+        [("/a.md", 0, "spark query planning"), ("/b.md", 0, "rewritten spark executor sizing")],
+    )
+    via_refresh = {
+        (r.filePath, r.chunkIndex): r._score
+        for r in bm25_scores(
+            read_postings(spark, path), ["spark", "executor"], materialize=False
+        ).collect()
+    }
+    via_rebuild = {
+        (r.filePath, r.chunkIndex): r._score
+        for r in bm25_scores(
+            build_postings(final_corpus), ["spark", "executor"], materialize=False
+        ).collect()
+    }
+    assert via_refresh == via_rebuild
