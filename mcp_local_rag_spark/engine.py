@@ -64,16 +64,44 @@ class RagEngine:
         *,
         dim: int = 64,
         backend: str = "pseudo",
+        postings_path: str | None = None,
     ):
+        """``postings_path`` opts into a maintained BM25 postings index
+        (plans/fts): ingest/delete/sync refresh it bucket-locally during
+        optimize(), and query_documents/keyword_search score against it
+        instead of re-tokenizing the corpus per query — the reference's
+        transparent FTS index (src/vectordb/index.ts:243-324). Without it,
+        scoring uses the index-free scan shape."""
         self.spark = spark
         self.table_path = table_path
         self.dim = dim
         self.backend = backend
+        self.postings_path = postings_path
+        # mutation tracking for the amortized index refresh in optimize()
+        self._dirty_upserts: set[str] = set()
+        self._dirty_deletes: set[str] = set()
+        self._needs_full_index = True
 
     # -- reads ------------------------------------------------------------
 
     def chunks(self) -> DataFrame:
         return self.spark.read.parquet(self.table_path)
+
+    def _postings(self) -> DataFrame | None:
+        """The maintained postings index, only when it is FRESH — stale
+        (un-optimized mutations pending) falls back to the index-free scan
+        so results are always correct; optimize() restores the fast path."""
+        if (
+            self.postings_path is None
+            or self._needs_full_index
+            or self._dirty_upserts
+            or self._dirty_deletes
+            or not os.path.isdir(self.postings_path)
+        ):
+            return None
+        from .plans.fts import read_postings
+
+        return read_postings(self.spark, self.postings_path)
 
     def query_documents(
         self,
@@ -104,6 +132,7 @@ class RagEngine:
             grouping=grouping,
             weight=hybrid_weight,
             max_files=max_files,
+            postings=self._postings(),
         ).select("filePath", "chunkIndex", "text", "fileTitle", "score")
 
     def read_chunk_neighbors(
@@ -142,6 +171,7 @@ class RagEngine:
         mode = "append" if self._exists() else "overwrite"
         write_chunks(chunks, self.table_path, mode=mode)
         self.spark.catalog.refreshByPath(self.table_path)
+        self._needs_full_index = True
         return self.chunks().count()
 
     def ingest_file(self, file_path: str) -> dict:
@@ -180,6 +210,8 @@ class RagEngine:
         write_chunks(new_chunks, self.table_path, mode=mode)
         new_chunks.unpersist()
         spark.catalog.refreshByPath(self.table_path)
+        self._dirty_upserts.add(file_path)
+        self._dirty_deletes.discard(file_path)
         title = docs.select("title").first()["title"]
         return {"filePath": file_path, "chunkCount": n, "fileTitle": title}
 
@@ -223,13 +255,45 @@ class RagEngine:
         mode = "append" if self._exists() else "overwrite"
         write_chunks(new_chunks, self.table_path, mode=mode)
         self.spark.catalog.refreshByPath(self.table_path)
+        self._dirty_upserts.add(path)
+        self._dirty_deletes.discard(path)
         return self.chunks().filter(F.col("filePath") == path).count()
 
     def delete_document(self, file_path: str) -> int:
-        return delete_document(self.spark, self.table_path, file_path)
+        n = delete_document(self.spark, self.table_path, file_path)
+        if n:
+            self._dirty_deletes.add(file_path)
+            self._dirty_upserts.discard(file_path)
+        return n
 
     def optimize(self) -> None:
+        """S9 + index refresh — the reference's amortized per-bulk-run
+        ``optimize()`` (compaction + FTS refresh in one call,
+        src/vectordb/index.ts:310-324)."""
         compact_chunks(self.spark, self.table_path)
+        if self.postings_path is None:
+            return
+        from .plans.fts import refresh_postings, write_postings
+
+        if self._needs_full_index or not os.path.isdir(self.postings_path):
+            write_postings(self.chunks(), self.postings_path)
+        elif self._dirty_upserts or self._dirty_deletes:
+            changed = (
+                self.chunks().filter(
+                    F.col("filePath").isin(sorted(self._dirty_upserts))
+                )
+                if self._dirty_upserts
+                else None
+            )
+            refresh_postings(
+                self.spark,
+                self.postings_path,
+                changed_chunks=changed,
+                deleted_paths=sorted(self._dirty_deletes),
+            )
+        self._dirty_upserts.clear()
+        self._dirty_deletes.clear()
+        self._needs_full_index = False
 
     # -- incremental sync (§2.7 plan + execute) ---------------------------
 
@@ -294,6 +358,7 @@ class RagEngine:
                     .collect()
                 ]
                 delete_documents(spark, self.table_path, stale)
+                self._dirty_deletes.update(set(stale) - set(upsert_paths))
             content = read_files(spark, upsert_paths)
             hashed = content.withColumn(
                 "contentHash", F.lower(F.sha2(F.col("content"), 256))
@@ -306,6 +371,8 @@ class RagEngine:
             mode = "append" if self._exists() else "overwrite"
             write_chunks(new_chunks, self.table_path, mode=mode)
             spark.catalog.refreshByPath(self.table_path)
+            self._dirty_upserts.update(upsert_paths)
+            self._dirty_deletes.difference_update(upsert_paths)
 
         if prune_keys:
             # one distinct scan resolves every stored spelling of every
@@ -323,6 +390,8 @@ class RagEngine:
                 .collect()
             ]
             delete_documents(spark, self.table_path, prune_spellings)
+            self._dirty_deletes.update(prune_spellings)
+            self._dirty_upserts.difference_update(prune_spellings)
 
         if upsert_paths or prune_keys:
             self.optimize()
@@ -332,7 +401,9 @@ class RagEngine:
     # -- keyword-only search (FTS surface) --------------------------------
 
     def keyword_search(self, query_text: str, *, limit: int = 10) -> DataFrame:
-        postings = build_postings(self.chunks(), tokenizer="unigram")
+        postings = self._postings()
+        if postings is None:
+            postings = build_postings(self.chunks(), tokenizer="unigram")
         terms = [t for t in query_text.lower().split() if t]
         scores = bm25_scores(postings, terms)
         return (

@@ -91,6 +91,36 @@ def test_incremental_sync(spark, corpus, tmp_path):
     assert rep3.counters.get("skip", 0) == 2
 
 
+def test_maintained_postings_index_lifecycle(spark, corpus, tmp_path):
+    """With postings_path set, optimize() builds/refreshes the index; fresh
+    queries use it, stale states fall back to the scan shape with identical
+    results; per-document refresh tracks upserts and deletes."""
+    eng = RagEngine(
+        spark,
+        str(tmp_path / "chunks_idx"),
+        postings_path=str(tmp_path / "postings_idx"),
+    )
+    eng.ingest_directory(str(corpus))
+    assert eng._postings() is None  # stale until optimize
+    kw_scan = {(r.filePath, r.chunkIndex) for r in eng.keyword_search("broadcast joins").collect()}
+
+    eng.optimize()
+    assert eng._postings() is not None
+    kw_idx = {(r.filePath, r.chunkIndex) for r in eng.keyword_search("broadcast joins").collect()}
+    assert kw_idx == kw_scan and kw_idx
+
+    # delete beta -> stale; optimize refreshes bucket-locally; its postings go
+    beta = next(
+        r.filePath for r in eng.list_documents().collect() if r.filePath.endswith("beta.txt")
+    )
+    eng.delete_document(beta)
+    assert eng._postings() is None
+    eng.optimize()
+    stored = spark.read.parquet(eng.postings_path)
+    assert stored.filter(stored.filePath == beta).count() == 0
+    assert not eng.keyword_search("broadcast joins").collect()
+
+
 def test_ingest_file_replace_and_zero_chunk_failfast(spark, corpus, tmp_path):
     """Single-file ingest replaces a document's rows idempotently; a file
     that yields zero chunks fails BEFORE any destructive write."""
