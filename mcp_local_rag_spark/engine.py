@@ -116,13 +116,19 @@ class RagEngine:
     ) -> DataFrame:
         """The hot path (§3.1): embed query -> hybrid vector+BM25 search.
 
-        limit is clamped to [1, 20] as in the reference
-        (src/server/tool-input.ts:76-79).
+        limit is clamped to [1, 20] and the hybrid weight to [0, 1] as in
+        the reference (src/server/tool-input.ts:76-79,
+        src/vectordb/types.ts:19). Raw-data rows get their ``source``
+        restored from the managed path (response shaping, §3.1 step 9,
+        src/server/index.ts:480-497); file rows carry source = NULL.
         """
+        from .plans.raw_data import restore_sources
+
         limit = max(1, min(20, limit))
+        hybrid_weight = max(0.0, min(1.0, hybrid_weight))
         qv = pseudo_embed(query_text, self.dim)
         terms = [t for t in query_text.lower().split() if t]
-        return search.hybrid_search(
+        hits = search.hybrid_search(
             self.chunks(),
             qv,
             terms,
@@ -134,6 +140,7 @@ class RagEngine:
             max_files=max_files,
             postings=self._postings(),
         ).select("filePath", "chunkIndex", "text", "fileTitle", "score")
+        return restore_sources(hits)
 
     def read_chunk_neighbors(
         self, file_path: str, chunk_index: int, *, before: int = 2, after: int = 2

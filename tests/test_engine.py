@@ -91,6 +91,43 @@ def test_incremental_sync(spark, corpus, tmp_path):
     assert rep3.counters.get("skip", 0) == 2
 
 
+def test_cross_path_ingest_equivalence(spark, corpus, tmp_path):
+    """Directory ingest and per-file ingest produce identical queryable
+    state (the reference's CLI-vs-MCP equivalence contract,
+    src/__tests__/cli/ingest-cross-path-equivalence.test.ts) — identical
+    chunk text/order/titles/hashes; only ids and timestamps may differ."""
+    a = RagEngine(spark, str(tmp_path / "via_dir"))
+    a.ingest_directory(str(corpus))
+    b = RagEngine(spark, str(tmp_path / "via_files"))
+    for f in sorted(corpus.iterdir()):
+        b.ingest_file(str(f))
+
+    def state(eng):
+        return sorted(
+            (r.filePath.rsplit("/", 1)[-1], r.chunkIndex, r.text, r.fileTitle,
+             r.contentHash, tuple(r.vector))
+            for r in eng.chunks().collect()
+        )
+
+    assert state(a) == state(b)
+
+
+def test_query_documents_restores_raw_data_source(spark, tmp_path):
+    """Raw-data hits carry their recovered source; file hits carry NULL
+    (reference response shaping, src/server/index.ts:480-497)."""
+    eng = RagEngine(spark, str(tmp_path / "chunks_src"))
+    eng.ingest_data(
+        "# Raw Guide\n\nA raw-data document about broadcast joins with plenty"
+        " of text to chunk.",
+        "https://example.com/raw-guide",
+    )
+    hits = eng.query_documents("broadcast joins", limit=3).collect()
+    assert hits and hits[0].source == "https://example.com/raw-guide"
+
+    # weight outside [0,1] is clamped, not an error
+    assert eng.query_documents("broadcast joins", hybrid_weight=7.5).count() >= 1
+
+
 def test_maintained_postings_index_lifecycle(spark, corpus, tmp_path):
     """With postings_path set, optimize() builds/refreshes the index; fresh
     queries use it, stale states fall back to the scan shape with identical
