@@ -48,3 +48,42 @@ def test_ivf_assign_and_probe(spark):
     out = cosine_knn(q, assigned, k=5, block_col="label").collect()
     assert len(out) == 5
     assert all(r.neighbor_id < 100 for r in out)
+
+
+def test_ivf_multiprobe_recall(spark):
+    """nprobe = n_clusters recovers exact brute-force top-k; nprobe = 1
+    stays within its own cluster (the recall/throughput knob)."""
+    import random
+
+    from mcp_local_rag_spark.operators.similarity import ivf_multiprobe
+
+    random.seed(11)
+    # two clusters whose members are cosine-similar ACROSS clusters for a
+    # boundary query: cluster A along +x, cluster B along x+y diagonal
+    rows = [(i, [10.0 + random.random(), random.random() * 0.1]) for i in range(10)]
+    rows += [(100 + i, [7.0 + random.random(), 7.0 + random.random()]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, model = ivf_assign(emb, 2)
+    q = emb.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+
+    exact = [
+        r.neighbor_id for r in cosine_knn(q, emb, k=8).collect()
+    ]
+    probe_all = [
+        r.neighbor_id
+        for r in ivf_multiprobe(q, assigned, model, k=8, nprobe=2).collect()
+    ]
+    assert probe_all == exact  # full probe == brute force
+
+    probe_one = [
+        r.neighbor_id
+        for r in ivf_multiprobe(q, assigned, model, k=8, nprobe=1).collect()
+    ]
+    own_cluster = {
+        r.vec_id
+        for r in assigned.join(
+            assigned.filter("vec_id = 0").select(F.col("label").alias("_ql")),
+            F.col("label") == F.col("_ql"),
+        ).collect()
+    }
+    assert set(probe_one) <= own_cluster - {0}
