@@ -604,3 +604,87 @@ def q_caption_postprocess(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     raw = F.concat(F.lit(" "), F.col("text"), F.lit("\x07"), F.col("text"), F.lit(" "))
     return docs.select("doc_id", post_process_caption(raw).alias("caption"))
+
+
+# Multi-probe IVF under the oracle: probe the 2 nearest per-label centroids
+# (exact-decimal means rounded to 6, so both engines probe from
+# bit-identical centers; probe distance rounded to 6 with a label
+# tiebreak), then cosine top-k restricted to the probed clusters. This
+# registers the ANN *scale path* in the correctness gate, not just the
+# exact form.
+
+@register(
+    "knn_ivf_multiprobe",
+    """WITH expl AS (
+  SELECT label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS c_label, dim,
+         round(CAST(avg(CAST(x AS DECIMAL(18,9))) AS DOUBLE), 6) + 0.0 AS c
+  FROM expl GROUP BY c_label, dim
+),
+cvec AS (
+  SELECT c_label, list(c ORDER BY dim) AS cv FROM cent GROUP BY c_label
+),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)),
+probe AS (
+  SELECT query_id, c_label AS label FROM (
+    SELECT q.query_id, c.c_label,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_distance(q.embedding::DOUBLE[], c.cv), 6), c.c_label
+           ) AS rk
+    FROM q, cvec c) t
+  WHERE rk <= 2
+),
+scored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(b.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) + 0 AS cos
+  FROM probe p
+  JOIN embeddings b ON b.label = p.label
+  JOIN q ON q.query_id = p.query_id
+  WHERE b.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""",
+)
+def q_knn_ivf_multiprobe(spark, sf_dir):
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            (F.round(F.avg(F.col("x").cast("decimal(18,9)")).cast("double"), 6) + 0.0).alias("c")
+        )
+        .collect()
+    )
+    centers: dict[int, dict[int, float]] = {}
+    for r in cent:
+        centers.setdefault(r["label"], {})[r["dim"]] = r["c"]
+    center_mat = {
+        lbl: np.array([dims[d] for d in sorted(dims)], dtype=np.float64)
+        for lbl, dims in centers.items()
+    }
+
+    q_rows = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        "vec_id", "embedding"
+    ).collect()
+    probes = []
+    for r in q_rows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        ranked = sorted(
+            center_mat,
+            key=lambda lbl: (round(float(np.linalg.norm(center_mat[lbl] - qv)), 6), lbl),
+        )
+        for lbl in ranked[:2]:
+            probes.append((r["vec_id"], int(lbl), [float(x) for x in qv]))
+    probe_df = spark.createDataFrame(
+        probes, "query_id long, label int, embedding array<double>"
+    )
+    return similarity.cosine_knn(probe_df, emb, k=5, block_col="label")
