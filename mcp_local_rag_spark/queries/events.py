@@ -367,3 +367,77 @@ def q_events_salted_agg(spark, sf_dir):
     return out.select(
         "event_type", "n", F.col("total_value").cast("double").alias("total_value")
     )
+
+
+# Gap-fill resampling: a per-user hourly grid between first and last event,
+# forward-filled with the most recent observation — the alignment step
+# every time-series feature pipeline needs and Spark has no built-in for.
+# Shape: bounds aggregate -> sequence+explode grid (no driver loop) ->
+# per-hour last observation (window) -> forward fill via
+# last(ignoreNulls) over the grid. Two keyed shuffles (user, user+slot);
+# state per user is one row — the batch twin of a stateful stream
+# resampler. Sampled to user_id % 100 = 0 to keep the compare tractable.
+
+@register(
+    "events_resample_ffill",
+    """WITH ev AS (
+  SELECT user_id, ts, value, event_id FROM events WHERE user_id % 100 = 0
+),
+bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM ev GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS slot
+  FROM bounds
+),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS slot, value
+  FROM ev
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id, date_trunc('hour', ts)
+    ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT g.user_id, g.slot,
+       round(last_value(h.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.slot), 6) + 0.0 AS value
+FROM grid g LEFT JOIN hourly h
+  ON h.user_id = g.user_id AND h.slot = g.slot""",
+)
+def q_events_resample_ffill(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 100 == 0)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("slot"),
+    )
+    w_last = Window.partitionBy(
+        "user_id", F.date_trunc("hour", F.col("ts"))
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    hourly = (
+        ev.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("slot"), "value"
+        )
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "slot"], "left")
+        .select(
+            "user_id",
+            "slot",
+            (F.round(F.last("value", ignorenulls=True).over(w_fill), 6) + 0.0).alias(
+                "value"
+            ),
+        )
+    )
