@@ -688,3 +688,36 @@ def q_knn_ivf_multiprobe(spark, sf_dir):
         probes, "query_id long, label int, embedding array<double>"
     )
     return similarity.cosine_knn(probe_df, emb, k=5, block_col="label")
+
+
+# Data profiling: the one-pass table summary every pipeline runs before
+# training (null counts, cardinalities, numeric moments). One partial+final
+# aggregate, no shuffle beyond it; exact distinct counts here because the
+# compare needs determinism — at 100 TB swap approx_count_distinct.
+
+@register(
+    "documents_profile",
+    """SELECT count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_text,
+       sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_lang,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       min(n_chars)::BIGINT AS min_chars,
+       max(n_chars)::BIGINT AS max_chars,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(CAST(stddev_pop(n_chars) AS DOUBLE), 6) AS std_chars
+FROM documents""",
+)
+def q_documents_profile(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("null_text"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)).alias("null_lang"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.stddev_pop("n_chars"), 6).alias("std_chars"),
+    )

@@ -198,3 +198,12 @@ def test_knn_kernel_is_mapinpandas_partial_topk(spark, qs):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "WindowGroupLimit" in p
     assert p.count("+- Exchange") + p.count("(Exchange") <= 2, p
+
+
+def test_resample_grid_has_no_cartesian(spark, qs):
+    """Gap-fill grid: sequence+explode (no per-user driver loop), keyed
+    windows, equi-join of grid to hourly observations."""
+    p = plan(qs["events_resample_ffill"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Generate explode" in p or "Generate" in p
+    assert "windowspecdefinition(user_id" in p
