@@ -214,7 +214,6 @@ def bm25_scores_scan(
     """
     terms = list(dict.fromkeys(query_terms))
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), "")
-    d = chunks.select(*id_cols, toks.alias("_toks"))
 
     if stats is None:
         # align with the postings path: docs that tokenize to zero tokens
@@ -223,11 +222,18 @@ def bm25_scores_scan(
         stats = corpus_stats_scan(chunks, terms, text_col=text_col)
     n_docs, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
 
-    cand = d
-    if candidates is not None:
-        cand = d.join(
-            F.broadcast(candidates.select(*id_cols)), list(id_cols), "left_semi"
-        )
+    if candidates is not None and text_col in candidates.columns:
+        # the candidate rows already carry their text (hybrid_search's
+        # persisted <=2k top-k set): tokenize THEM instead of re-scanning
+        # the corpus and semi-joining — same values, one less full scan
+        cand = candidates.select(*id_cols, toks.alias("_toks"))
+    else:
+        d = chunks.select(*id_cols, toks.alias("_toks"))
+        cand = d
+        if candidates is not None:
+            cand = d.join(
+                F.broadcast(candidates.select(*id_cols)), list(id_cols), "left_semi"
+            )
     cand = cand.withColumn("_dl", F.size("_toks"))
 
     import math

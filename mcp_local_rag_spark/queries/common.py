@@ -62,15 +62,19 @@ chunks AS (
 
 
 def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
-    """The fixed query vector: embedding of a given vec_id (a query parameter,
-    not data-plane — one-row driver lookup)."""
-    row = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == vec_id)
-        .select("embedding")
-        .first()
+    """The fixed query vector: embedding of a given vec_id (a query
+    parameter, not data-plane). Read via pyarrow directly — a one-row
+    point lookup does not need a Spark job (same stance as the
+    NeighborServer serving path)."""
+    import os
+
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+    tbl = dataset.to_table(
+        columns=["embedding"], filter=ds.field("vec_id") == vec_id
     )
-    return [float(x) for x in row[0]]
+    return [float(x) for x in tbl["embedding"][0].as_py()]
 
 
 # SQL fragment for the same query vector, usable as a scalar list subquery.
