@@ -254,22 +254,56 @@ def connected_components(
     id1_col: str = "id1",
     id2_col: str = "id2",
     max_iter: int = 25,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Duplicate-group clustering: connected components over a pair list,
     labeling every member with the component's MINIMUM id.
 
     (id1, id2) pairs (e.g. Jaccard-verified LSH candidates) -> (id, label).
-    Iterative min-label propagation: each round joins labels across edges
-    and keeps the per-node minimum, converging in O(component diameter)
-    rounds — duplicate clusters are near-cliques from banded LSH, so 2-3
-    rounds in practice. Each round is one equi-join + one aggregate, both
-    keyed shuffles; nothing is ever quadratic.
 
-    At 100 TB with adversarial long-chain graphs, swap the body for the
-    large-star/small-star alternating algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14) behind this signature;
-    label propagation is the right default for dedup-shaped graphs.
+    Two execution strategies behind one signature:
+
+    * pair count <= ``driver_threshold``: collect + union-find on the
+      driver (microseconds). The verified-duplicate graph is EDGES of the
+      corpus graph, typically orders of magnitude smaller than the corpus
+      itself — the distributed machinery would spend seconds of scheduling
+      per round labeling a few thousand nodes.
+    * larger graphs: iterative min-label propagation — each round joins
+      labels across edges and keeps the per-node minimum, converging in
+      O(component diameter) rounds (duplicate clusters are near-cliques
+      from banded LSH, so 2-3 rounds). Each round is one equi-join + one
+      aggregate, both keyed shuffles; nothing is ever quadratic. For
+      adversarial long-chain graphs swap in large-star/small-star
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC'14).
     """
+    n_pairs = pairs.count()
+    if n_pairs <= driver_threshold:
+        rows = pairs.select(id1_col, id2_col).collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = r[id1_col], r[id2_col]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN so the representative is the component min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(x, find(x)) for x in parent]
+        schema_src = pairs.schema[id1_col].dataType.simpleString()
+        return pairs.sparkSession.createDataFrame(
+            out, f"id {schema_src}, label {schema_src}"
+        )
     edges = (
         pairs.select(F.col(id1_col).alias("src"), F.col(id2_col).alias("dst"))
         .unionByName(

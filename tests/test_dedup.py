@@ -48,14 +48,21 @@ def test_hamming_distance(spark):
 
 def test_connected_components_chain_and_islands(spark):
     """A 4-node chain converges to one min-label component (needs multi-round
-    propagation); a separate pair stays its own component."""
+    propagation); a separate pair stays its own component. Both execution
+    strategies (driver union-find, distributed propagation) must agree."""
     from mcp_local_rag_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
         [(10, 20), (20, 30), (30, 40), (100, 200)], "id1 long, id2 long"
     )
-    labels = {r.id: r.label for r in connected_components(pairs).collect()}
-    assert labels == {10: 10, 20: 10, 30: 10, 40: 10, 100: 100, 200: 100}
+    expected = {10: 10, 20: 10, 30: 10, 40: 10, 100: 100, 200: 100}
+    via_driver = {r.id: r.label for r in connected_components(pairs).collect()}
+    assert via_driver == expected
+    via_dist = {
+        r.id: r.label
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert via_dist == expected
 
 
 def test_connected_components_direction_agnostic(spark):
