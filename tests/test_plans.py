@@ -207,3 +207,46 @@ def test_resample_grid_has_no_cartesian(spark, qs):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "Generate explode" in p or "Generate" in p
     assert "windowspecdefinition(user_id" in p
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Catalog-bucketed chunks and postings tables join on filePath with
+    ZERO exchanges — the co-located join the bucket layout exists for."""
+    from mcp_local_rag_spark.plans.bucketed import cogrouped_join, save_bucketed
+
+    rows = spark.range(2000).select(
+        F.concat(F.lit("/d"), (F.col("id") % 50).cast("string")).alias("filePath"),
+        (F.col("id") / 50).cast("int").alias("chunkIndex"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    postings = rows.select(
+        "filePath", "chunkIndex", F.explode(F.split("text", " ")).alias("term")
+    )
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    ct, pt = f"chunks_b_{suffix}", f"postings_b_{suffix}"
+    save_bucketed(rows, ct, n_buckets=8)
+    save_bucketed(
+        postings, pt, sort_cols=("filePath", "chunkIndex", "term"), n_buckets=8,
+    )
+    # at toy sizes the planner rightly broadcasts; disable it so the plan
+    # shows what a 100 TB fact-fact join would do with the bucket metadata
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_req = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # join keys (filePath, chunkIndex) are a SUPERSET of the bucket key;
+    # co-partition on the subset is exactly what document-aligned buckets
+    # guarantee, so relax the all-keys requirement (skew on filePath is the
+    # AQE skew-join's problem, not this join's)
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try:
+        joined = cogrouped_join(spark, ct, pt, ["filePath", "chunkIndex"])
+        p = plan(joined)
+        assert "SortMergeJoin" in p
+        # co-located: per-partition Sort is fine, data movement is not
+        assert "Exchange" not in p, p
+        assert joined.count() == postings.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", old_req)
