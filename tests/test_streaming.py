@@ -169,3 +169,60 @@ def test_dedupe_event_stream(spark, tmp_path):
         "event_id long, ts timestamp, value double",
     )
     assert dedupe_event_stream(batch).count() == 1
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """Our lag/cumsum sessionizer and Spark's built-in session_window agree
+    on session boundaries and aggregates (same 30-min gap). session_window
+    closes a session gap_seconds after the LAST event, so its window end =
+    our session_end + gap. (Boundary nuance: at a gap of EXACTLY
+    gap_seconds ours keeps the session — strict > — while session_window
+    starts a new one; the oracle-checked strict-> form is the contract,
+    this test keeps gaps away from the exact boundary.)"""
+    import datetime as dt
+
+    from pyspark.sql import Window, functions as F
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    rows = [
+        (1, 10, t("2024-01-01 09:00:00"), 1.0),
+        (1, 11, t("2024-01-01 09:10:00"), 2.0),
+        (1, 12, t("2024-01-01 10:30:00"), 3.0),   # gap > 30min -> new session
+        (2, 20, t("2024-01-01 09:05:00"), 5.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+
+    # ours: lag/cumsum
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.col("ts").cast("double")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(es - F.lag(es).over(w) > 1800, 1).otherwise(0),
+    ).withColumn("sess", F.sum("new_sess").over(w))
+    ours = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n, r.total)
+        for r in flagged.groupBy("user_id", "sess")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+        )
+        .collect()
+    }
+
+    native = {
+        (
+            r.user_id,
+            str(r.win.start),
+            str(r.win.end - dt.timedelta(seconds=1800)),
+            r.n,
+            r.total,
+        )
+        for r in ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert ours == native
