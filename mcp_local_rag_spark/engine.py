@@ -403,7 +403,16 @@ class RagEngine:
         if upsert_paths or prune_keys:
             self.optimize()
         plan.unpersist()
-        return SyncReport(counters=counters)
+        # coverage facts surface as warnings (reference SyncStatusResult
+        # warnings, src/server/types.ts:300-339): every unobserved region
+        # that withheld prunes is reported, not silently swallowed
+        warnings = (
+            [f"unreadable dir: {p}" for p in scan.unreadable_dirs]
+            + [f"depth-limited dir: {p}" for p in scan.depth_limited_dirs]
+            + [f"skipped symlink: {p}" for p in scan.skipped_symlinks]
+            + [f"oversized file: {p}" for p in scan.oversized_files]
+        )
+        return SyncReport(counters=counters, warnings=warnings)
 
     # -- keyword-only search (FTS surface) --------------------------------
 
