@@ -65,6 +65,7 @@ class RagEngine:
         dim: int = 64,
         backend: str = "pseudo",
         postings_path: str | None = None,
+        db_path: str = "/data/db",
     ):
         """``postings_path`` opts into a maintained BM25 postings index
         (plans/fts): ingest/delete/sync refresh it bucket-locally during
@@ -77,6 +78,11 @@ class RagEngine:
         self.dim = dim
         self.backend = backend
         self.postings_path = postings_path
+        # ONE managed raw-data root for the whole engine: ingest_data writes
+        # under it and query_documents restores sources against the SAME
+        # root, so non-default roots round-trip (reference keeps a single
+        # db path, src/server/index.ts constructor).
+        self.db_path = db_path
         # mutation tracking for the amortized index refresh in optimize()
         self._dirty_upserts: set[str] = set()
         self._dirty_deletes: set[str] = set()
@@ -140,7 +146,7 @@ class RagEngine:
             max_files=max_files,
             postings=self._postings(),
         ).select("filePath", "chunkIndex", "text", "fileTitle", "score")
-        return restore_sources(hits)
+        return restore_sources(hits, db_path=self.db_path)
 
     def read_chunk_neighbors(
         self, file_path: str, chunk_index: int, *, before: int = 2, after: int = 2
@@ -228,43 +234,61 @@ class RagEngine:
         source: str,
         *,
         format: str = "markdown",
-        db_path: str = "/data/db",
+        db_path: str | None = None,
     ) -> int:
         """ingest_data tool: content not backed by a file (reference
         src/server/index.ts ingest_data dispatch). HTML goes through the
         main-content extractor (T14); the row is stored under the managed
         raw-data path <db>/raw-data/<base64url(source)>.md so the source is
         recoverable (S10, src/utils/raw-data-utils.ts:106-141). Re-ingest of
-        the same source replaces the stored rows. Returns the chunk count."""
+        the same source replaces the stored rows. Returns the chunk count.
+
+        Zero-chunk outcomes (empty/whitespace content, HTML that extracts
+        to nothing) fail fast BEFORE the delete, exactly like ingest_file —
+        the reference routes ingest_data through the same zero-chunk guard
+        (src/server/index.ts:637-642, 753-757), so a bad re-ingest never
+        destroys the stored rows."""
         import hashlib
 
         from .plans.raw_data import source_to_path
         from .sources.html import parse_html_text
         from .sources.parsers import extract_md_title, extract_txt_title
 
-        path = source_to_path(source, db_path)
+        path = source_to_path(source, db_path or self.db_path)
         if format == "html":
             parsed = parse_html_text(path, content)
             text, title = parsed["text"], parsed["title"]
+            if not (text or "").strip():
+                raise ValueError(
+                    f"HTML extraction produced no text for {source};"
+                    " existing rows left intact"
+                )
         elif format == "markdown":
             text, title = content, extract_md_title(content, path)
         else:
             text, title = content, extract_txt_title(content, path)
-        if self._exists():
-            delete_document(self.spark, self.table_path, path)
         docs = self.spark.createDataFrame(
             [(path, text, title,
               hashlib.sha256(content.encode()).hexdigest(), len(text))],
             "path string, text string, title string, contentHash string,"
             " length long",
         )
-        new_chunks = build_chunks(docs, dim=self.dim, backend=self.backend)
+        new_chunks = build_chunks(docs, dim=self.dim, backend=self.backend).persist()
+        n = new_chunks.count()
+        if n == 0:
+            new_chunks.unpersist()
+            raise ValueError(
+                f"no chunks produced for {source}; existing rows left intact"
+            )
+        if self._exists():
+            delete_document(self.spark, self.table_path, path)
         mode = "append" if self._exists() else "overwrite"
         write_chunks(new_chunks, self.table_path, mode=mode)
+        new_chunks.unpersist()
         self.spark.catalog.refreshByPath(self.table_path)
         self._dirty_upserts.add(path)
         self._dirty_deletes.discard(path)
-        return self.chunks().filter(F.col("filePath") == path).count()
+        return n
 
     def delete_document(self, file_path: str) -> int:
         n = delete_document(self.spark, self.table_path, file_path)

@@ -248,6 +248,37 @@ def hamming_distance(a, b):
     return F.bit_count(x)
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its STRICTLY LARGER
+    neighbors to the minimum of its neighborhood (including itself)."""
+    nbrs = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        nbrs.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge max->min; every node connects
+    its smaller neighbors (and itself) to its minimum smaller neighbor."""
+    oriented = edges.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .unionByName(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -255,6 +286,7 @@ def connected_components(
     id2_col: str = "id2",
     max_iter: int = 25,
     driver_threshold: int = 200_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Duplicate-group clustering: connected components over a pair list,
     labeling every member with the component's MINIMUM id.
@@ -263,23 +295,24 @@ def connected_components(
 
     Two execution strategies behind one signature:
 
-    * pair count <= ``driver_threshold``: collect + union-find on the
-      driver (microseconds). The verified-duplicate graph is EDGES of the
-      corpus graph, typically orders of magnitude smaller than the corpus
-      itself — the distributed machinery would spend seconds of scheduling
-      per round labeling a few thousand nodes.
-    * larger graphs: iterative min-label propagation — each round joins
-      labels across edges and keeps the per-node minimum, converging in
-      O(component diameter) rounds (duplicate clusters are near-cliques
-      from banded LSH, so 2-3 rounds). Each round is one equi-join + one
-      aggregate, both keyed shuffles; nothing is ever quadratic. For
-      adversarial long-chain graphs swap in large-star/small-star
-      (Kiveris et al., "Connected Components in MapReduce and Beyond",
-      SoCC'14).
+    * small graphs: ONE job collects up to ``driver_threshold + 1`` pairs
+      (limit-collect — no separate count pre-pass); if the limit isn't hit,
+      union-find on the driver finishes in microseconds. The verified-
+      duplicate graph is EDGES of the corpus graph, typically orders of
+      magnitude smaller than the corpus itself — distributed rounds would
+      spend seconds of scheduling per round labeling a few thousand nodes.
+    * larger graphs: alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+      in O(log n) rounds even on adversarial chain-shaped graphs, where
+      plain min-label propagation needs O(diameter) rounds. Each round is
+      one keyed aggregate + one equi-join; nothing is ever quadratic.
+
+    Raises RuntimeError if ``max_iter`` rounds pass without convergence
+    (2*ceil(log2 n) + 4 suffices in practice; never silently mislabels).
+    ``stats`` (optional dict) receives {"strategy", "rounds"} for tests.
     """
-    n_pairs = pairs.count()
-    if n_pairs <= driver_threshold:
-        rows = pairs.select(id1_col, id2_col).collect()
+    head = pairs.select(id1_col, id2_col).limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -290,7 +323,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in rows:
+        for r in head:
             a, b = r[id1_col], r[id2_col]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -300,48 +333,58 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         out = [(x, find(x)) for x in parent]
+        if stats is not None:
+            stats.update(strategy="driver_union_find", rounds=0)
         schema_src = pairs.schema[id1_col].dataType.simpleString()
         return pairs.sparkSession.createDataFrame(
             out, f"id {schema_src}, label {schema_src}"
         )
+
+    nodes = (
+        pairs.select(F.col(id1_col).alias("id"))
+        .unionByName(pairs.select(F.col(id2_col).alias("id")))
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint per round truncates lineage — without it the plan
+    # tree nests one whole round per iteration and the driver dies
+    # re-stringifying it long before the data is a problem (the same
+    # pattern GraphX/Pregel uses for iterative convergence).
     edges = (
-        pairs.select(F.col(id1_col).alias("src"), F.col(id2_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id2_col).alias("src"), F.col(id1_col).alias("dst"))
-        )
+        pairs.select(F.col(id1_col).alias("a"), F.col(id2_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .persist()
-    )
-    labels.count()
+    rounds = 0
+    converged = False
     for _ in range(max_iter):
-        prop = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .select(F.col("dst").alias("id"), "label")
-            .groupBy("id")
-            .agg(F.min("label").alias("_min_nbr"))
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        rounds += 1
+        # converged when the star forest is stable: every edge already
+        # points at the neighborhood min, so the round is a fixpoint
+        # (both sides are distinct sets, so two one-sided excepts suffice)
+        changed = (not new_edges.exceptAll(edges).isEmpty()) or (
+            not edges.exceptAll(new_edges).isEmpty()
         )
-        new_labels = (
-            labels.withColumnRenamed("label", "_old")
-            .join(prop, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("_old"), F.coalesce(F.col("_min_nbr"), F.col("_old"))
-                ).alias("label"),
-                "_old",
-            )
-            .persist()
-        )
-        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
-        labels.unpersist()
-        labels = new_labels.drop("_old")
-        if changed == 0:
+        edges = new_edges
+        if not changed:
+            converged = True
             break
-    edges.unpersist()
+    if not converged:
+        nodes.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds; raise max_iter"
+        )
+    # fixpoint edge set is (member -> component min) stars; singletons
+    # (self-pairs only) label themselves
+    labels = (
+        nodes.join(edges, nodes["id"] == edges["a"], "left")
+        .select("id", F.coalesce(F.col("b"), F.col("id")).alias("label"))
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
+    )
+    if stats is not None:
+        stats.update(strategy="star_contraction", rounds=rounds)
     return labels

@@ -95,8 +95,17 @@ def cosine_knn(
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = (sub @ qmat[j]) / (cnorm[mask] * qnorm[j])
                 cos = np.round(cos, 6) + 0.0
+                # Zero-norm vectors yield NaN cosine; pandas sorts NaN last
+                # but the final Spark window ranks NaN ABOVE every double, so
+                # a NaN surviving an under-full partition would surface
+                # nondeterministically. Drop non-finite scores here.
+                finite = np.isfinite(cos)
+                if not finite.all():
+                    cos = cos[finite]
+                    if not len(cos):
+                        continue
                 top = (
-                    pd.DataFrame({"neighbor_id": ids[mask], "cos": cos})
+                    pd.DataFrame({"neighbor_id": ids[mask][finite], "cos": cos})
                     .sort_values(["cos", "neighbor_id"], ascending=[False, True])
                     .head(k)
                 )
@@ -165,6 +174,8 @@ def ivf_multiprobe(
     """
     import numpy as np
 
+    from pyspark.sql.types import ArrayType, IntegerType
+
     centers = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
     q_rows = queries.select(query_id, query_vec).collect()
     replicated = []
@@ -175,9 +186,16 @@ def ivf_multiprobe(
         d2 = ((centers - qv) ** 2).sum(axis=1)
         for lbl in np.argsort(d2)[:nprobe]:
             replicated.append((r[query_id], int(lbl), [float(x) for x in qv]))
-    probe_df = queries.sparkSession.createDataFrame(
-        replicated, f"{query_id} long, {block_col} int, {query_vec} array<double>"
+    # the probe frame's id field mirrors the incoming id type (string/int32
+    # query ids work exactly as they do in cosine_knn itself)
+    probe_schema = StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType),
+            StructField(block_col, IntegerType()),
+            StructField(query_vec, ArrayType(DoubleType())),
+        ]
     )
+    probe_df = queries.sparkSession.createDataFrame(replicated, probe_schema)
     return cosine_knn(
         probe_df,
         corpus,

@@ -65,6 +65,29 @@ def test_connected_components_chain_and_islands(spark):
     assert via_dist == expected
 
 
+def test_connected_components_chain_log_rounds(spark):
+    """Adversarial chain graph: alternating large-star/small-star (Kiveris
+    et al., SoCC'14) converges in O(log n) rounds where min-label
+    propagation needs O(n) — the scale guarantee for long duplicate chains
+    (shingled boilerplate drift)."""
+    import math
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id1 long, id2 long"
+    )
+    stats = {}
+    labels = {
+        r.id: r.label
+        for r in dedup.connected_components(
+            pairs, driver_threshold=0, stats=stats
+        ).collect()
+    }
+    assert labels == {i: 0 for i in range(n + 1)}
+    assert stats["strategy"] == "star_contraction"
+    assert stats["rounds"] <= math.ceil(math.log2(n)) + 4
+
+
 def test_connected_components_direction_agnostic(spark):
     from mcp_local_rag_spark.operators.dedup import connected_components
 

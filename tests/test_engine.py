@@ -144,6 +144,42 @@ def test_query_documents_restores_raw_data_source(spark, tmp_path):
     assert eng.query_documents("broadcast joins", hybrid_weight=7.5).count() >= 1
 
 
+def test_ingest_data_zero_chunk_failfast(spark, tmp_path):
+    """A re-ingest that chunks to zero (empty HTML extraction, whitespace
+    content) fails BEFORE the delete — stored rows survive, mirroring
+    ingest_file (reference src/server/index.ts:637-642, 753-757)."""
+    import pytest
+
+    eng = RagEngine(spark, str(tmp_path / "chunks_guard"))
+    src = "https://example.com/guarded"
+    n = eng.ingest_data(
+        "# Guarded\n\nReal content about shuffle partitions that chunks fine.",
+        src,
+    )
+    assert n > 0
+    with pytest.raises(ValueError, match="left intact"):
+        eng.ingest_data("<html><body><nav>menu only</nav></body></html>", src, format="html")
+    with pytest.raises(ValueError, match="left intact"):
+        eng.ingest_data("   \n\t  ", src)
+    # original rows untouched by both failed re-ingests
+    assert eng.chunks().count() == n
+
+
+def test_ingest_data_custom_db_path_restores_source(spark, tmp_path):
+    """Engine-level db_path: raw-data rows ingested under a non-default
+    root still get their source restored in query results (ADVICE r2)."""
+    eng = RagEngine(
+        spark, str(tmp_path / "chunks_dbp"), db_path=str(tmp_path / "mydb")
+    )
+    eng.ingest_data(
+        "# Custom Root\n\nPlenty of text about watermark semantics and late"
+        " data handling so the chunker keeps this document around.",
+        "https://example.com/custom-root",
+    )
+    hits = eng.query_documents("watermark semantics", limit=3).collect()
+    assert hits and hits[0].source == "https://example.com/custom-root"
+
+
 def test_maintained_postings_index_lifecycle(spark, corpus, tmp_path):
     """With postings_path set, optimize() builds/refreshes the index; fresh
     queries use it, stale states fall back to the scan shape with identical

@@ -50,6 +50,37 @@ def test_ivf_assign_and_probe(spark):
     assert all(r.neighbor_id < 100 for r in out)
 
 
+def test_cosine_knn_drops_zero_norm_vectors(spark):
+    """Zero-norm corpus vectors yield NaN cosine; they must never surface
+    in the top-k regardless of partitioning (kernel masks non-finite)."""
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, embedding array<double>")
+    out = cosine_knn(q, emb, k=3, exclude_self=False).collect()
+    ids = [r.neighbor_id for r in out]
+    assert 3 not in ids and ids == [1, 2]
+
+
+def test_ivf_multiprobe_string_query_ids(spark):
+    """The probe frame mirrors the incoming query-id type — string ids work
+    end-to-end (ADVICE r2: schema was hardcoded to long)."""
+    import random
+
+    from mcp_local_rag_spark.operators.similarity import ivf_multiprobe
+
+    random.seed(3)
+    rows = [(i, [5.0 + random.random(), random.random()]) for i in range(8)]
+    rows += [(100 + i, [random.random(), 5.0 + random.random()]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, model = ivf_assign(emb, 2)
+    q = spark.createDataFrame(
+        [("query-a", [5.5, 0.5])], "query_id string, embedding array<double>"
+    )
+    out = ivf_multiprobe(q, assigned, model, k=3, nprobe=1).collect()
+    assert len(out) == 3 and all(r.query_id == "query-a" for r in out)
+    assert all(r.neighbor_id < 100 for r in out)
+
+
 def test_ivf_multiprobe_recall(spark):
     """nprobe = n_clusters recovers exact brute-force top-k; nprobe = 1
     stays within its own cluster (the recall/throughput knob)."""
