@@ -14,12 +14,13 @@ from . import events  # noqa: F401,E402
 from . import parsing  # noqa: F401,E402
 
 
-# Queries whose correctness the driver has already recorded green (round 1,
-# CORRECTNESS_r01.json). If the driver caps per-round checks, queries that
-# have never had a correctness row must register FIRST so every registry
-# entry eventually gets verified. Registration order within each group is
-# preserved (dicts are insertion-ordered).
-_PREVIOUSLY_VERIFIED = {
+# Rotation against the driver's per-round check window (50 queries/round):
+# never-verified queries go FIRST, then the queries whose last green row is
+# OLDEST (round 1 only), then the ones re-verified most recently (round 2).
+# Every registry entry keeps a green row at most two rounds old, so silent
+# regressions in "settled" queries still surface. Update these sets each
+# round from the latest CORRECTNESS_r{N}.json.
+_VERIFIED_R1 = {
     "agg_per_file", "bm25_ngram23", "bm25_unigram", "chunk_documents",
     "content_hash", "corpus_stats", "dedup_embedding_cosine", "dedup_exact",
     "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash",
@@ -37,12 +38,32 @@ _PREVIOUSLY_VERIFIED = {
     "window_rank_orders",
 }
 
+_VERIFIED_R2 = {
+    "bm25_ngram23", "bm25_unigram", "caption_postprocess", "chunk_documents",
+    "customer_balance_deciles", "dedup_clusters", "documents_length_histogram",
+    "documents_profile", "events_asof_lastclick", "events_error_rate",
+    "events_funnel", "events_moving_avg", "events_range_prev_hour",
+    "events_resample_ffill", "events_retention", "events_rollup",
+    "events_salted_agg", "events_topk_per_group", "gap_stats",
+    "grouping_similar", "hybrid_search", "keyword_boost",
+    "knn_ivf_multiprobe", "list_cross_reference", "median_pairwise_sim",
+    "neighbors_frame", "null_normalization", "parsed_docx_roundtrip",
+    "parsed_html_roundtrip", "part_fuzzy_pairs", "range_read",
+    "tpch_q10_returns", "tpch_q11_important_stock", "tpch_q12_priority_lines",
+    "tpch_q13_custdist", "tpch_q14_promo", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt", "tpch_q17_small_qty", "tpch_q19_brackets",
+    "tpch_q20_blue_suppliers", "tpch_q21_sole_late", "tpch_q22_idle_rich",
+    "tpch_q2_best_supplier", "tpch_q4_priority", "tpch_q7_volume",
+    "tpch_q8_mktshare", "tpch_q9_profit", "vector_topk", "vector_topk_scoped",
+}
+
 
 def _ordered_names():
     names = list(REGISTRY)
-    fresh = [n for n in names if n not in _PREVIOUSLY_VERIFIED]
-    seen = [n for n in names if n in _PREVIOUSLY_VERIFIED]
-    return fresh + seen
+    fresh = [n for n in names if n not in _VERIFIED_R1 and n not in _VERIFIED_R2]
+    stale = [n for n in names if n in _VERIFIED_R1 and n not in _VERIFIED_R2]
+    recent = [n for n in names if n in _VERIFIED_R2]
+    return fresh + stale + recent
 
 
 def queries():

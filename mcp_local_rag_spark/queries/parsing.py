@@ -131,6 +131,83 @@ def q_parsed_docx_roundtrip(spark, sf_dir):
     return docs.mapInPandas(_roundtrip, _OUT_SCHEMA)
 
 
+def _pdf_bytes(doc_id: int, norm: str) -> bytes:
+    """3-page PDF: identical small-font header+footer on every page (T5
+    must strip them), one body sentence per page carrying the sanitized
+    document text (no internal terminators — assembly is then exact and
+    the oracle can derive the final length arithmetically)."""
+    from ..sources.pdf_mini import build_pdf
+
+    pages = []
+    for p in range(1, 4):
+        pages.append(
+            [
+                (50.0, 780.0, 6.0, "Repeated header boilerplate."),
+                (50.0, 400.0, 11.0, f"Page {p} body {norm}."),
+                (50.0, 10.0, 6.0, "Repeated footer boilerplate."),
+            ]
+        )
+    return build_pdf(pages, title=f"Doc {doc_id}")
+
+
+@register(
+    "parsed_pdf_roundtrip",
+    r"""WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9 ]+', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id % 5 = 2
+)
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       (3 * length('Page 1 body ' || norm || '.') + 4)::BIGINT AS text_len,
+       TRUE AS stripped
+FROM base""",
+)
+def q_parsed_pdf_roundtrip(spark, sf_dir):
+    """Build one real .pdf per document (Flate-compressed content streams,
+    /Info title, repeated header/footer), parse it with the stdlib
+    extractor (sources/pdf_mini.py), and emit title + stripped-text length
+    the oracle derives from the template: a decode bug, a missed strip, or
+    a broken title chain shifts the values (S6-pdf / T5 / T7 gate)."""
+    from ..sources.pdf_mini import parse_pdf_mini
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 2)
+        .select(
+            "doc_id",
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace("text", "[^a-zA-Z0-9 ]+", " "), " +", " "
+                )
+            ).alias("norm"),
+        )
+    )
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, norm in zip(pdf["doc_id"], pdf["norm"]):
+                parsed = parse_pdf_mini(
+                    f"/mem/{doc_id}.pdf", _pdf_bytes(doc_id, norm or "")
+                )
+                stripped = (
+                    "Repeated header" not in parsed["text"]
+                    and "Repeated footer" not in parsed["text"]
+                )
+                rows.append(
+                    (doc_id, parsed["title"], len(parsed["text"]), stripped)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "title", "text_len", "stripped"]
+            )
+
+    return docs.mapInPandas(
+        _roundtrip, "doc_id long, title string, text_len long, stripped boolean"
+    )
+
+
 def _html_page(doc_id: int, text: str) -> str:
     body = html_escape(text)
     return (

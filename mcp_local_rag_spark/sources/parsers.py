@@ -1,12 +1,11 @@
 """Per-format parsers + title extraction (reference S6/T7/T14,
 src/parser/index.ts:272-289, src/parser/title-extractor.ts).
 
-MD/TXT/DOCX/HTML are fully implemented with the stdlib (DOCX via
+MD/TXT/DOCX/HTML/PDF are all fully implemented with the stdlib (DOCX via
 zipfile+ElementTree in sources/docx.py; HTML via html.parser in
-sources/html.py). PDF needs pymupdf for structured text + positions
-(reference src/parser/pdf-extract.ts); when the lib is absent the decode
-step raises a clear NotImplementedError while the layout math
-(operators/pdf_layout.py) stays real and tested.
+sources/html.py; PDF via the object-scan + FlateDecode + text-state
+interpreter in sources/pdf_mini.py). pymupdf, when importable, takes
+precedence for PDF (the reference's engine, src/parser/pdf-extract.ts).
 
 Parsers run inside ``mapInPandas`` over (path, content) binary rows — the
 bytes never leave the executor. DOCX table rows surface as atomic
@@ -61,17 +60,18 @@ def extract_txt_title(text: str, path: str) -> str:
 
 
 def parse_pdf_bytes(path: str, content: bytes) -> dict:
-    """PDF via pymupdf when available (import-try); the position-row
-    pipeline (assemble_text / header-footer strip, operators/pdf_layout.py)
-    consumes whatever decoder produces these rows."""
+    """PDF decode: pymupdf when importable (the reference's engine,
+    src/parser/pdf-extract.ts), else the pure-stdlib extractor
+    (sources/pdf_mini.py — object scan, FlateDecode, page-tree walk,
+    text-state interpreter). Both produce the same position-row shape, so
+    the T5/T6/T7 pipeline (operators/pdf_layout.py) runs unchanged on
+    real bytes either way."""
     try:
         import fitz  # noqa: F401  (pymupdf)
-    except ImportError as exc:
-        raise NotImplementedError(
-            "PDF parsing needs pymupdf (not in container); position-row"
-            " layout math is implemented in operators/pdf_layout.py per"
-            " reference src/parser/pdf-extract.ts + pdf-filter.ts"
-        ) from exc
+    except ImportError:
+        from .pdf_mini import parse_pdf_mini
+
+        return parse_pdf_mini(path, content)
     from ..operators.pdf_layout import parse_pdf_with_fitz
 
     return parse_pdf_with_fitz(path, content)

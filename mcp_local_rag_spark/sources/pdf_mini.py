@@ -1,0 +1,726 @@
+"""Minimal pure-stdlib PDF text extractor + writer (S6 PDF decode).
+
+Covers the subset of ISO 32000 needed to ingest digitally-born text PDFs
+without pymupdf: object scanning (classic xref AND xref-stream files),
+object streams (/ObjStm), FlateDecode, page-tree walk with inherited
+MediaBox, and a text-state interpreter over content streams (BT/ET, Tf,
+Td/TD/Tm/T*/TL, Tj/'/\"/TJ) emitting positioned items
+(x, y, font_size, text) in PDF user space — y grows UP, exactly the
+orientation operators/pdf_layout.py expects, so the T5/T6/T7 pipeline
+(assembly, 2-stage header/footer strip, title chain) runs unchanged on
+real bytes. The reference decodes with mupdf
+(src/parser/pdf-extract.ts:112); this is an independent implementation
+against the public PDF spec, not a port — when pymupdf IS importable the
+fitz path takes precedence (sources/parsers.py).
+
+Out of scope (explicit, not wrong): encrypted PDFs (raises), non-Flate
+stream filters (DCT/LZW/ASCII85 — stream skipped), CID/Type0 composite
+fonts with custom CMaps (bytes decode best-effort latin-1 / UTF-16BE),
+and glyph-accurate advance widths (after a show the pen x advances by an
+0.5-em-per-char estimate; items written by distinct Td/Tm positionings —
+the overwhelmingly common layout — are exact).
+
+``build_pdf`` is the matching writer: deterministic, Flate-compressed
+content streams, classic xref, /Info /Title — used by the ingest tests
+and the ``parsed_pdf_roundtrip`` oracle query to flow REAL .pdf bytes
+through the whole pipeline.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["extract_pdf_items", "parse_pdf_mini", "build_pdf", "PdfError"]
+
+
+class PdfError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# object model: python primitives + Name / Ref wrappers
+
+
+class Name(str):
+    """A PDF name token (/Foo) — distinct from a string literal."""
+
+
+class Ref(tuple):
+    """Indirect reference (num, gen)."""
+
+    def __new__(cls, num: int, gen: int):
+        return super().__new__(cls, (num, gen))
+
+
+_WHITESPACE = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    """Tokenizer over the body of a PDF object or content stream."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WHITESPACE:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment to EOL
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def peek_byte(self) -> int | None:
+        self._skip_ws()
+        return self.data[self.pos] if self.pos < len(self.data) else None
+
+    def read_token(self) -> bytes | None:
+        """Next raw token: delimiter pair starts, numbers, keywords."""
+        self._skip_ws()
+        d, n = self.data, len(self.data)
+        if self.pos >= n:
+            return None
+        c = d[self.pos]
+        if c == 0x3C:  # '<'
+            if self.pos + 1 < n and d[self.pos + 1] == 0x3C:
+                self.pos += 2
+                return b"<<"
+            self.pos += 1
+            return b"<"
+        if c == 0x3E and self.pos + 1 < n and d[self.pos + 1] == 0x3E:
+            self.pos += 2
+            return b">>"
+        if c in b"[]{}()/":
+            self.pos += 1
+            return bytes([c])
+        start = self.pos
+        while self.pos < n and d[self.pos] not in _WHITESPACE and d[self.pos] not in _DELIM:
+            self.pos += 1
+        return d[start : self.pos]
+
+
+_NUM_RE = re.compile(rb"^[+-]?(\d+\.?\d*|\.\d+)$")
+
+
+def _decode_string(raw: bytes) -> str:
+    if raw.startswith(b"\xfe\xff"):
+        try:
+            return raw[2:].decode("utf-16-be", errors="replace")
+        except Exception:
+            pass
+    return raw.decode("latin-1", errors="replace")
+
+
+class _Parser(_Lexer):
+    """Recursive-descent parser for PDF objects (dicts, arrays, strings,
+    names, numbers, refs, booleans, null)."""
+
+    def parse_object(self):
+        tok = self.read_token()
+        if tok is None:
+            raise PdfError("unexpected EOF")
+        if tok == b"<<":
+            return self._parse_dict()
+        if tok == b"[":
+            return self._parse_array()
+        if tok == b"(":
+            return self._parse_literal_string()
+        if tok == b"<":
+            return self._parse_hex_string()
+        if tok == b"/":
+            return Name(self._parse_name())
+        if tok == b"true":
+            return True
+        if tok == b"false":
+            return False
+        if tok == b"null":
+            return None
+        if _NUM_RE.match(tok):
+            # try "N G R" indirect reference
+            save = self.pos
+            t2 = self.read_token()
+            if t2 is not None and t2.isdigit():
+                t3 = self.read_token()
+                if t3 == b"R":
+                    return Ref(int(tok), int(t2))
+            self.pos = save
+            return float(tok) if b"." in tok else int(tok)
+        raise PdfError(f"unexpected token {tok!r}")
+
+    def _parse_name(self) -> str:
+        d, n = self.data, len(self.data)
+        start = self.pos
+        while self.pos < n and d[self.pos] not in _WHITESPACE and d[self.pos] not in _DELIM:
+            self.pos += 1
+        raw = d[start : self.pos]
+        # #xx hex escapes in names
+        return re.sub(
+            rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw
+        ).decode("latin-1")
+
+    def _parse_dict(self) -> dict:
+        out: dict = {}
+        while True:
+            tok = self.read_token()
+            if tok == b">>":
+                return out
+            if tok != b"/":
+                raise PdfError(f"dict key must be a name, got {tok!r}")
+            key = self._parse_name()
+            out[key] = self.parse_object()
+
+    def _parse_array(self) -> list:
+        out = []
+        while True:
+            if self.peek_byte() == 0x5D:  # ']'
+                self.pos += 1
+                return out
+            out.append(self.parse_object())
+
+    def _parse_literal_string(self) -> str:
+        d, n = self.data, len(self.data)
+        depth, buf = 1, bytearray()
+        while self.pos < n:
+            c = d[self.pos]
+            self.pos += 1
+            if c == 0x5C:  # backslash
+                if self.pos >= n:
+                    break
+                e = d[self.pos]
+                self.pos += 1
+                mapped = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}.get(e)
+                if mapped is not None:
+                    buf.append(mapped)
+                elif e in b"()\\":
+                    buf.append(e)
+                elif e in b"01234567":  # octal up to 3 digits
+                    oct_digits = chr(e)
+                    for _ in range(2):
+                        if self.pos < n and d[self.pos] in b"01234567":
+                            oct_digits += chr(d[self.pos])
+                            self.pos += 1
+                    buf.append(int(oct_digits, 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    if e == 0x0D and self.pos < n and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    buf.append(e)
+            elif c == 0x28:  # '('
+                depth += 1
+                buf.append(c)
+            elif c == 0x29:  # ')'
+                depth -= 1
+                if depth == 0:
+                    return _decode_string(bytes(buf))
+                buf.append(c)
+            else:
+                buf.append(c)
+        raise PdfError("unterminated string")
+
+    def _parse_hex_string(self) -> str:
+        d, n = self.data, len(self.data)
+        hex_chars = []
+        while self.pos < n and d[self.pos] != 0x3E:  # '>'
+            c = d[self.pos]
+            if c not in _WHITESPACE:
+                hex_chars.append(chr(c))
+            self.pos += 1
+        self.pos += 1
+        if len(hex_chars) % 2:
+            hex_chars.append("0")
+        return _decode_string(bytes.fromhex("".join(hex_chars)))
+
+
+# ---------------------------------------------------------------------------
+# document structure
+
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_RE = re.compile(rb"stream\r?\n")
+
+
+class _Doc:
+    def __init__(self, objects: dict, trailer: dict):
+        self.objects = objects
+        self.trailer = trailer
+
+    def resolve(self, obj, depth: int = 0):
+        while isinstance(obj, Ref) and depth < 32:
+            obj = self.objects.get(obj[0], (None, None))[0]
+            depth += 1
+        return obj
+
+
+def _scan_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
+    """All `N G obj ... endobj` bodies, later definitions winning (matches
+    incremental-update append order). Values are (parsed_value, raw_stream)."""
+    objects: dict[int, tuple[object, bytes | None]] = {}
+    for m in _OBJ_HEAD_RE.finditer(data):
+        num = int(m.group(1))
+        body_start = m.end()
+        end = data.find(b"endobj", body_start)
+        if end == -1:
+            end = len(data)
+        body = data[body_start:end]
+        sm = _STREAM_RE.search(body)
+        stream = None
+        if sm:
+            dict_part = body[: sm.start()]
+            try:
+                value = _Parser(dict_part).parse_object()
+            except PdfError:
+                continue
+            # a direct /Length slices exactly (never eats checksum bytes
+            # that happen to end in \r\n); indirect/absent falls back to
+            # the endstream keyword
+            length = value.get("Length") if isinstance(value, dict) else None
+            if isinstance(length, int):
+                # absolute slice from the full buffer: a compressed stream
+                # can coincidentally contain b"endobj", truncating `body`
+                abs_start = body_start + sm.end()
+                stream = data[abs_start : abs_start + length]
+            else:
+                s_end = body.rfind(b"endstream")
+                if s_end == -1:
+                    s_end = len(body)
+                stream = body[sm.end() : s_end].rstrip(b"\r\n")
+            objects[num] = (value, stream)
+            continue
+        try:
+            value = _Parser(body).parse_object()
+        except PdfError:
+            continue
+        objects[num] = (value, stream)
+    return objects
+
+
+def _decode_stream(doc: _Doc, meta: dict, raw: bytes) -> bytes | None:
+    filt = doc.resolve(meta.get("Filter"))
+    filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+    out = raw
+    for f in filters:
+        f = doc.resolve(f)
+        if f == "FlateDecode":
+            try:
+                out = zlib.decompress(out)
+            except zlib.error:
+                try:  # tolerate trailing garbage
+                    out = zlib.decompressobj().decompress(out)
+                except zlib.error:
+                    return None
+            parms = doc.resolve(meta.get("DecodeParms"))
+            if isinstance(parms, dict) and doc.resolve(parms.get("Predictor", 1)) not in (None, 1):
+                out = _unpredict(out, parms, doc)
+        elif f in (None,):
+            continue
+        else:
+            return None  # unsupported filter — explicit skip
+    return out
+
+
+def _unpredict(data: bytes, parms: dict, doc: _Doc) -> bytes:
+    """PNG Up/Sub/Paeth predictors (used by xref/object streams)."""
+    predictor = int(doc.resolve(parms.get("Predictor", 1)))
+    if predictor < 10:
+        return data
+    columns = int(doc.resolve(parms.get("Columns", 1)))
+    colors = int(doc.resolve(parms.get("Colors", 1)))
+    bpc = int(doc.resolve(parms.get("BitsPerComponent", 8)))
+    bpp = max(1, colors * bpc // 8)
+    row_len = columns * bpp
+    out = bytearray()
+    prev = bytearray(row_len)
+    pos = 0
+    while pos + 1 + row_len <= len(data):
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + row_len])
+        pos += 1 + row_len
+        if ft == 1:  # Sub
+            for i in range(bpp, row_len):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(row_len):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(row_len):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(row_len):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _expand_object_streams(doc: _Doc) -> None:
+    """Pull objects embedded in /ObjStm streams into the object map
+    (how xref-stream PDFs store most of their bodies)."""
+    for num in list(doc.objects):
+        value, raw = doc.objects[num]
+        if not (isinstance(value, dict) and value.get("Type") == "ObjStm" and raw):
+            continue
+        decoded = _decode_stream(doc, value, raw)
+        if decoded is None:
+            continue
+        n = int(doc.resolve(value.get("N", 0)))
+        first = int(doc.resolve(value.get("First", 0)))
+        header = _Lexer(decoded[:first])
+        pairs = []
+        for _ in range(n):
+            a, b = header.read_token(), header.read_token()
+            if a is None or b is None:
+                break
+            pairs.append((int(a), int(b)))
+        for obj_num, offset in pairs:
+            if obj_num in doc.objects:
+                continue  # top-level definition wins
+            try:
+                obj = _Parser(decoded, first + offset).parse_object()
+            except PdfError:
+                continue
+            doc.objects[obj_num] = (obj, None)
+
+
+def _load(data: bytes) -> _Doc:
+    objects = _scan_objects(data)
+    if not objects:
+        raise PdfError("no PDF objects found")
+    # trailer dict(s): classic files; xref-stream files carry /Root on the
+    # /Type /XRef stream dict instead
+    trailer: dict = {}
+    for m in re.finditer(rb"trailer\b", data):
+        try:
+            t = _Parser(data, m.end()).parse_object()
+        except PdfError:
+            continue
+        if isinstance(t, dict):
+            trailer.update(t)
+    doc = _Doc(objects, trailer)
+    if "Root" not in trailer:
+        for num, (value, _s) in objects.items():
+            if isinstance(value, dict) and value.get("Type") == "XRef":
+                trailer.update({k: v for k, v in value.items() if k in ("Root", "Info")})
+    if "Encrypt" in trailer:
+        raise PdfError("encrypted PDF not supported")
+    _expand_object_streams(doc)
+    return doc
+
+
+def _find_catalog(doc: _Doc) -> dict:
+    cat = doc.resolve(doc.trailer.get("Root"))
+    if isinstance(cat, dict) and "Pages" in cat:
+        return cat
+    for _num, (value, _s) in doc.objects.items():
+        if isinstance(value, dict) and value.get("Type") == "Catalog":
+            return value
+    raise PdfError("no document catalog")
+
+
+_INHERITABLE = ("MediaBox", "Resources", "Rotate")
+
+
+def _walk_pages(doc: _Doc, node, inherited: dict, out: list, depth: int = 0) -> None:
+    node = doc.resolve(node)
+    if not isinstance(node, dict) or depth > 64:
+        return
+    inh = dict(inherited)
+    for k in _INHERITABLE:
+        if k in node:
+            inh[k] = node[k]
+    if node.get("Type") == "Page" or ("Contents" in node and "Kids" not in node):
+        out.append({**inh, **node})
+        return
+    for kid in doc.resolve(node.get("Kids")) or []:
+        _walk_pages(doc, kid, inh, out, depth + 1)
+
+
+# ---------------------------------------------------------------------------
+# content-stream text interpreter
+
+_ID6 = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m1, m2):
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+# word-gap heuristic for TJ kerning adjustments (thousandths of an em):
+# a reverse displacement beyond this inserts a space
+_TJ_WORD_GAP = 180.0
+
+
+def _interpret_text(content: bytes) -> list[dict]:
+    """Run the text-state machine over one page's content; emit
+    {x, y, font_size, text} items, one per show that produced glyphs."""
+    lex = _Parser(content)
+    items: list[dict] = []
+    stack: list = []
+    tm = lm = _ID6
+    ctm = _ID6
+    gs_stack: list = []
+    font_size = 0.0
+    leading = 0.0
+
+    def eff():
+        m = _mat_mul(tm, ctm)
+        scale = (m[1] ** 2 + m[3] ** 2) ** 0.5
+        return m[4], m[5], round(font_size * scale, 3)
+
+    def show(text: str):
+        nonlocal tm
+        if not text:
+            return
+        x, y, size = eff()
+        items.append({"x": round(x, 3), "y": round(y, 3), "font_size": size, "text": text})
+        # crude advance: 0.5 em per char — keeps multiple shows on one
+        # line ordered left-to-right even without glyph metrics
+        tm = _mat_mul((1, 0, 0, 1, 0.5 * font_size * len(text), 0), tm)
+
+    data, n = lex.data, len(lex.data)
+    while True:
+        lex._skip_ws()
+        if lex.pos >= n:
+            break
+        c = data[lex.pos]
+        if c in b"[(</+-.0123456789":
+            try:
+                stack.append(lex.parse_object())
+            except PdfError:
+                lex.pos += 1
+            continue
+        tok = lex.read_token()
+        if tok is None:
+            break
+        op = tok.decode("latin-1", errors="replace")
+        try:
+            if op == "BT":
+                tm = lm = _ID6
+            elif op == "ET":
+                pass
+            elif op == "Tf" and len(stack) >= 2:
+                font_size = float(stack[-1])
+            elif op == "TL" and stack:
+                leading = float(stack[-1])
+            elif op == "Td" and len(stack) >= 2:
+                lm = _mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), lm)
+                tm = lm
+            elif op == "TD" and len(stack) >= 2:
+                leading = -float(stack[-1])
+                lm = _mat_mul((1, 0, 0, 1, float(stack[-2]), float(stack[-1])), lm)
+                tm = lm
+            elif op == "Tm" and len(stack) >= 6:
+                lm = tm = tuple(float(v) for v in stack[-6:])
+            elif op == "T*":
+                lm = _mat_mul((1, 0, 0, 1, 0.0, -leading), lm)
+                tm = lm
+            elif op == "Tj" and stack:
+                show(str(stack[-1]))
+            elif op == "'" and stack:
+                lm = _mat_mul((1, 0, 0, 1, 0.0, -leading), lm)
+                tm = lm
+                show(str(stack[-1]))
+            elif op == '"' and len(stack) >= 3:
+                lm = _mat_mul((1, 0, 0, 1, 0.0, -leading), lm)
+                tm = lm
+                show(str(stack[-1]))
+            elif op == "TJ" and stack and isinstance(stack[-1], list):
+                parts: list[str] = []
+                for el in stack[-1]:
+                    if isinstance(el, str):
+                        parts.append(el)
+                    elif isinstance(el, (int, float)) and el < -_TJ_WORD_GAP:
+                        parts.append(" ")
+                show("".join(parts))
+            elif op == "q":
+                gs_stack.append(ctm)
+            elif op == "Q":
+                ctm = gs_stack.pop() if gs_stack else _ID6
+            elif op == "cm" and len(stack) >= 6:
+                ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
+            elif op == "BI":
+                # inline image: skip to EI
+                ei = data.find(b"\nEI", lex.pos)
+                lex.pos = (ei + 3) if ei != -1 else n
+        except (TypeError, ValueError):
+            pass
+        stack.clear()
+    return items
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+
+def extract_pdf_items(content: bytes) -> tuple[list[dict], str | None]:
+    """bytes -> (pages, metadata_title). Each page:
+    {"page": int, "page_height": float, "items": [{x, y, font_size, text}]}
+    — the exact shape operators/pdf_layout.py consumes (y grows up)."""
+    doc = _load(content)
+    catalog = _find_catalog(doc)
+    page_nodes: list[dict] = []
+    _walk_pages(doc, catalog.get("Pages"), {}, page_nodes)
+    pages = []
+    for pno, node in enumerate(page_nodes):
+        media = doc.resolve(node.get("MediaBox")) or [0, 0, 612, 792]
+        height = float(doc.resolve(media[3])) - float(doc.resolve(media[1]))
+        contents = doc.resolve(node.get("Contents"))
+        parts: list[bytes] = []
+        for ref in contents if isinstance(contents, list) else [node.get("Contents")]:
+            if isinstance(ref, Ref):
+                meta, raw = doc.objects.get(ref[0], (None, None))
+            else:
+                meta, raw = doc.resolve(ref), None
+            if raw is None and isinstance(ref, Ref):
+                continue
+            if isinstance(meta, dict) and raw is not None:
+                decoded = _decode_stream(doc, meta, raw)
+                if decoded is not None:
+                    parts.append(decoded)
+        items = _interpret_text(b"\n".join(parts)) if parts else []
+        pages.append({"page": pno, "page_height": height, "items": items})
+    info = doc.resolve(doc.trailer.get("Info"))
+    meta_title = None
+    if isinstance(info, dict):
+        t = doc.resolve(info.get("Title"))
+        if isinstance(t, str):
+            meta_title = t
+    return pages, meta_title
+
+
+def parse_pdf_mini(path: str, content: bytes, *, dim: int = 64) -> dict:
+    """Full S6 PDF parse without pymupdf: stdlib extraction feeding the
+    T5 stage-1+2 strip and the T7 title chain — same return contract as
+    parse_pdf_with_fitz ({text, title, atomic_ranges})."""
+    from ..embedder import pseudo_embed
+    from ..operators.pdf_layout import (
+        extract_pdf_title,
+        filter_page_boundary_sentences,
+    )
+
+    pages, meta_title = extract_pdf_items(content)
+
+    def _embed(sentences):
+        return [pseudo_embed(s, dim) for s in sentences]
+
+    page_texts = filter_page_boundary_sentences(pages, _embed)
+    text = "\n\n".join(t for t in page_texts if t)
+    first_items = pages[0]["items"] if pages else []
+    font_hint = max(first_items, key=lambda i: i["font_size"]) if first_items else None
+    title = extract_pdf_title(
+        meta_title,
+        page_texts[0].strip() if page_texts else None,
+        path.rsplit("/", 1)[-1],
+        {"text": font_hint["text"], "font_size": font_hint["font_size"]}
+        if font_hint
+        else None,
+    )
+    return {"text": text, "title": title, "atomic_ranges": []}
+
+
+# ---------------------------------------------------------------------------
+# writer (fixtures + oracle queries)
+
+
+def _esc_literal(s: str) -> bytes:
+    return (
+        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    ).encode("latin-1", errors="replace")
+
+
+def build_pdf(
+    pages: list[list[tuple[float, float, float, str]]],
+    *,
+    title: str | None = None,
+    page_width: float = 612.0,
+    page_height: float = 792.0,
+    compress: bool = True,
+) -> bytes:
+    """Deterministic single-font PDF: ``pages`` is a list of pages, each a
+    list of (x, y, font_size, text) items (y grows up from the bottom-left
+    origin, PDF user space). Content streams are Flate-compressed by
+    default so the parser's decode path is exercised; classic xref +
+    trailer, /Info /Title when given."""
+    objects: list[bytes] = []  # bodies, 1-indexed
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    font_num = add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+    )
+    page_nums: list[int] = []
+    content_nums: list[int] = []
+    for items in pages:
+        ops = [b"BT"]
+        for x, y, size, text in items:
+            ops.append(
+                b"/F1 %.2f Tf 1 0 0 1 %.2f %.2f Tm (%s) Tj"
+                % (size, x, y, _esc_literal(text))
+            )
+        ops.append(b"ET")
+        stream = b"\n".join(ops)
+        if compress:
+            stream = zlib.compress(stream)
+            head = b"<< /Length %d /Filter /FlateDecode >>" % len(stream)
+        else:
+            head = b"<< /Length %d >>" % len(stream)
+        content_nums.append(add(head + b"\nstream\n" + stream + b"\nendstream"))
+
+    pages_num = len(objects) + len(pages) + 1  # page objects then the tree node
+    for cn in content_nums:
+        page_nums.append(
+            add(
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %.2f %.2f]"
+                b" /Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+                % (pages_num, page_width, page_height, font_num, cn)
+            )
+        )
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    tree_num = add(
+        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_nums))
+    )
+    if tree_num != pages_num:
+        raise AssertionError(f"page tree numbering drifted: {tree_num} != {pages_num}")
+    catalog_num = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    info_num = None
+    if title is not None:
+        info_num = add(b"<< /Title (%s) >>" % _esc_literal(title))
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    trailer = b"<< /Size %d /Root %d 0 R" % (len(objects) + 1, catalog_num)
+    if info_num is not None:
+        trailer += b" /Info %d 0 R" % info_num
+    trailer += b" >>"
+    out += b"trailer\n" + trailer + b"\nstartxref\n%d\n%%%%EOF\n" % xref_pos
+    return bytes(out)

@@ -1,0 +1,162 @@
+"""The stdlib PDF extractor (sources/pdf_mini.py): real bytes through
+object scan, FlateDecode, page-tree walk, and the text-state interpreter
+— then end-to-end through the T5 strip + T7 title chain. No Spark needed
+for most cases; the engine test lives in test_engine.py."""
+
+import zlib
+
+import pytest
+
+from mcp_local_rag_spark.sources.pdf_mini import (
+    PdfError,
+    build_pdf,
+    extract_pdf_items,
+    parse_pdf_mini,
+)
+
+
+def _three_pages(with_title=True):
+    pages = []
+    for p in range(1, 4):
+        items = [
+            (50.0, 780.0, 6.0, "Shared header sentence."),
+            (50.0, 400.0, 11.0, f"Page {p} body words differ on every page number {p}."),
+            (50.0, 10.0, 6.0, "Shared footer sentence."),
+        ]
+        if p == 1 and with_title:
+            items.insert(1, (50.0, 700.0, 24.0, "The Big Document Title"))
+        pages.append(items)
+    return pages
+
+
+def test_roundtrip_positions_sizes_and_meta_title():
+    data = build_pdf(_three_pages(), title="Doc 42")
+    pages, meta = extract_pdf_items(data)
+    assert meta == "Doc 42"
+    assert [p["page"] for p in pages] == [0, 1, 2]
+    assert all(p["page_height"] == 792.0 for p in pages)
+    first = pages[0]["items"]
+    assert first[0] == {"x": 50.0, "y": 780.0, "font_size": 6.0, "text": "Shared header sentence."}
+    assert first[1]["font_size"] == 24.0 and first[1]["text"] == "The Big Document Title"
+
+
+def test_uncompressed_streams_parse_identically():
+    plain = build_pdf(_three_pages(), title="T", compress=False)
+    comp = build_pdf(_three_pages(), title="T", compress=True)
+    assert extract_pdf_items(plain)[0] == extract_pdf_items(comp)[0]
+
+
+def test_t5_strip_and_title_chain_on_real_bytes():
+    """filter_page_boundary_sentences removes the repeated header AND
+    footer sentence from EVERY page; title comes from /Info /Title."""
+    parsed = parse_pdf_mini("/mem/report.pdf", build_pdf(_three_pages(), title="Doc 42"))
+    assert parsed["title"] == "Doc 42"
+    assert "Shared header" not in parsed["text"]
+    assert "Shared footer" not in parsed["text"]
+    assert "Page 2 body words" in parsed["text"]
+
+
+def test_title_falls_back_to_large_font_then_filename():
+    # no /Info: largest page-1 font > 14pt wins (T7 chain step 2)
+    parsed = parse_pdf_mini("/mem/a.pdf", build_pdf(_three_pages(with_title=True)))
+    assert parsed["title"] == "The Big Document Title"
+    # no /Info, no large font: the strip removes boundary sentences and the
+    # first page chunk (its body line) becomes the title
+    parsed2 = parse_pdf_mini("/mem/some-file.pdf", build_pdf(_three_pages(with_title=False)))
+    assert parsed2["title"].startswith("Page 1 body words")
+
+
+def _pdf_from_content(content: bytes, n_extra_objects: bytes = b"") -> bytes:
+    """Hand-rolled single-page PDF around a raw content stream."""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 200 100] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content
+        + b"\nendstream endobj\n"
+        + n_extra_objects
+        + b"trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_content_operators_td_tstar_tj_array_and_escapes():
+    content = (
+        b"BT /F1 10 Tf 1 0 0 1 20 80 Tm (line one) Tj\n"
+        b"0 -20 Td [(kerned) -250 (words) 30 (glued)] TJ\n"
+        b"2 TL T* (third \\(escaped\\) \\\\ line \\101) Tj\n"
+        b"<68657820414243> Tj ET"
+    )
+    pages, _ = extract_pdf_items(_pdf_from_content(content))
+    items = pages[0]["items"]
+    texts = [i["text"] for i in items]
+    # TJ: gap < -180 becomes a space, small kern glues
+    assert texts[1] == "kerned wordsglued"
+    # literal escapes: \( \) \\ and octal \101 = 'A'
+    assert texts[2] == "third (escaped) \\ line A"
+    # hex string decodes
+    assert texts[3] == "hex ABC"
+    # Td moved down 20, T* down leading=2 from there
+    assert items[0]["y"] == 80.0 and items[1]["y"] == 60.0 and items[2]["y"] == 58.0
+    assert pages[0]["page_height"] == 100.0
+
+
+def test_tm_scaling_scales_font_size():
+    content = b"BT /F1 10 Tf 2 0 0 2 10 50 Tm (big) Tj ET"
+    pages, _ = extract_pdf_items(_pdf_from_content(content))
+    assert pages[0]["items"][0]["font_size"] == 20.0
+    assert pages[0]["items"][0]["x"] == 10.0
+
+
+def test_object_stream_pdf():
+    """Page objects packed in a /ObjStm (how xref-stream PDFs store
+    bodies): the expander must surface them."""
+    bodies = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 300 300] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+    ]
+    inner, offsets = b"", []
+    for body in bodies:
+        offsets.append(len(inner))
+        inner += body + b" "
+    header = b"".join(
+        b"%d %d " % (num, off) for num, off in zip((1, 2, 3), offsets)
+    )
+    packed = zlib.compress(header + inner)
+    content = b"BT /F1 9 Tf 1 0 0 1 10 200 Tm (from objstm) Tj ET"
+    data = (
+        b"%PDF-1.5\n"
+        b"4 0 obj << /Type /ObjStm /N 3 /First " + str(len(header)).encode()
+        + b" /Length " + str(len(packed)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + packed + b"\nendstream endobj\n"
+        b"5 0 obj << /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream endobj\n"
+        b"6 0 obj << /Type /XRef /Root 1 0 R /Size 7 >> endobj\n"
+        b"%%EOF\n"
+    )
+    pages, _ = extract_pdf_items(data)
+    assert len(pages) == 1
+    assert pages[0]["page_height"] == 300.0
+    assert pages[0]["items"][0]["text"] == "from objstm"
+
+
+def test_encrypted_pdf_raises():
+    data = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"trailer << /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF\n"
+    )
+    with pytest.raises(PdfError, match="encrypted"):
+        extract_pdf_items(data)
+
+
+def test_multiple_shows_same_line_stay_ordered():
+    """Shows without repositioning advance the pen — items on one line
+    must come out left-to-right for T6 assembly."""
+    content = b"BT /F1 10 Tf 1 0 0 1 10 50 Tm (alpha ) Tj (beta) Tj ET"
+    pages, _ = extract_pdf_items(_pdf_from_content(content))
+    a, b = pages[0]["items"]
+    assert (a["text"], b["text"]) == ("alpha ", "beta")
+    assert b["x"] > a["x"] and a["y"] == b["y"]
