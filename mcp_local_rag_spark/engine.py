@@ -25,12 +25,12 @@ from .functions.paths import sync_path_key
 from .operators.neighbors import read_neighbors
 from .operators.sync import plan_sync, sync_counters
 from .plans.ingest import (
-    N_BUCKETS,
     build_chunks,
     compact_chunks,
     delete_document,
     delete_documents,
     ingest_directory,
+    table_n_buckets,
     write_chunks,
 )
 from .sources.parsers import parse_files
@@ -152,7 +152,12 @@ class RagEngine:
         self, file_path: str, chunk_index: int, *, before: int = 2, after: int = 2
     ) -> DataFrame:
         return read_neighbors(
-            self.chunks(), file_path, chunk_index, before=before, after=after
+            self.chunks(),
+            file_path,
+            chunk_index,
+            before=before,
+            after=after,
+            n_buckets=table_n_buckets(self.table_path),
         ).select("filePath", "chunkIndex", "text")
 
     def list_documents(self) -> DataFrame:
@@ -307,7 +312,12 @@ class RagEngine:
         from .plans.fts import refresh_postings, write_postings
 
         if self._needs_full_index or not os.path.isdir(self.postings_path):
-            write_postings(self.chunks(), self.postings_path)
+            # bucket-align the index with the chunks table's persisted count
+            write_postings(
+                self.chunks(),
+                self.postings_path,
+                n_buckets=table_n_buckets(self.table_path),
+            )
         elif self._dirty_upserts or self._dirty_deletes:
             changed = (
                 self.chunks().filter(

@@ -24,6 +24,7 @@ def read_neighbors(
     *,
     before: int = DEFAULT_BEFORE,
     after: int = DEFAULT_AFTER,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     before = min(max(before, 0), MAX_SPAN)
     after = min(max(after, 0), MAX_SPAN)
@@ -31,10 +32,13 @@ def read_neighbors(
     hi = target + after
     df = chunks
     if "bucket" in chunks.columns:
-        # partition pruning: only the document's hash bucket is scanned
+        # partition pruning: only the document's hash bucket is scanned.
+        # ``n_buckets`` must be the TABLE's persisted count (engine passes
+        # it); the default matches tables written before the property.
         from ..plans.ingest import N_BUCKETS
 
-        b = F.pmod(F.xxhash64(F.lit(file_path)), F.lit(N_BUCKETS)).cast("int")
+        nb = n_buckets if n_buckets is not None else N_BUCKETS
+        b = F.pmod(F.xxhash64(F.lit(file_path)), F.lit(nb)).cast("int")
         df = df.filter(F.col("bucket") == b)
     # coalesce(1) + sortWithinPartitions keeps the ascending-order contract
     # without orderBy's range-partitioner sampling job — the frame is at
@@ -95,12 +99,15 @@ class NeighborServer:
 
     def _bucket_of(self, file_path: str) -> int:
         if file_path not in self._buckets:
-            from ..plans.ingest import N_BUCKETS
+            from ..plans.ingest import table_n_buckets
 
             row = (
                 self._spark.range(1)
                 .select(
-                    F.pmod(F.xxhash64(F.lit(file_path)), F.lit(N_BUCKETS))
+                    F.pmod(
+                        F.xxhash64(F.lit(file_path)),
+                        F.lit(table_n_buckets(self._path)),
+                    )
                     .cast("int")
                     .alias("b")
                 )

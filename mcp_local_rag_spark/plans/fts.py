@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.bm25 import build_postings
-from .ingest import N_BUCKETS
+from .ingest import N_BUCKETS, table_n_buckets, write_table_meta
 
 
 def write_postings(
@@ -33,21 +33,29 @@ def write_postings(
     *,
     tokenizer: str = "unigram",
     mode: str = "overwrite",
+    n_buckets: int | None = None,
 ) -> None:
     """Full index build: tokenize + aggregate the chunks into postings
     (filePath, chunkIndex, term, tf, dl) and write them bucket-aligned
-    with the chunks table, term-sorted within each bucket."""
+    with the chunks table, term-sorted within each bucket. Pass the chunks
+    table's bucket count as ``n_buckets`` to keep the alignment; the count
+    is persisted as the index's own table property for refreshes."""
+    if mode == "append":
+        nb = table_n_buckets(path, default=n_buckets)
+    else:
+        nb = n_buckets if n_buckets is not None else N_BUCKETS
     postings = build_postings(chunks, tokenizer=tokenizer)
     (
         postings.withColumn(
-            "bucket", F.pmod(F.xxhash64("filePath"), F.lit(N_BUCKETS)).cast("int")
+            "bucket", F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int")
         )
-        .repartition(N_BUCKETS, "bucket")
+        .repartition(nb, "bucket")
         .sortWithinPartitions("term", "filePath", "chunkIndex")
         .write.partitionBy("bucket")
         .mode(mode)
         .parquet(path)
     )
+    write_table_meta(path, nb)
 
 
 def read_postings(spark: SparkSession, path: str) -> DataFrame:
@@ -82,11 +90,12 @@ def refresh_postings(
         return
 
     targets = sorted(changed_paths)
+    nb = table_n_buckets(path)
     assignments = (
         spark.createDataFrame([(p,) for p in targets], "filePath string")
         .select(
             "filePath",
-            F.pmod(F.xxhash64("filePath"), F.lit(N_BUCKETS)).cast("int").alias("b"),
+            F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int").alias("b"),
         )
         .collect()
     )

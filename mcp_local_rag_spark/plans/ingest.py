@@ -15,6 +15,9 @@ src/server/index.ts:644-702 — Delta/Iceberg would make this a MERGE).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,7 +27,38 @@ from ..embedder import embed_text_column
 from ..sources.parsers import parse_files
 from ..sources.scan import read_files, scan_directory
 
+# Default bucket count for NEW tables only. The authoritative count for an
+# EXISTING table is the persisted table property (_table_meta.json, written
+# by write_chunks) — every routing site (delete, compact, neighbor reads,
+# postings refresh) reads it back, so changing this constant never
+# mis-routes rows of a table written under a different count.
+#
+# Sizing for scale: keep each bucket-rewrite job bounded — target <= 64 GB
+# of parquet per bucket, so n_buckets >= ceil(table_bytes / 64 GB), rounded
+# up to a power of two (100 TB => 2048). With Delta/Iceberg the analogue is
+# the bucket(n) partition transform stored in table metadata.
 N_BUCKETS = 64
+
+_TABLE_META = "_table_meta.json"
+
+
+def write_table_meta(path: str, n_buckets: int) -> None:
+    """Persist table properties next to the data. The leading underscore
+    keeps Spark's file index from treating it as a data file."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _TABLE_META), "w") as f:
+        json.dump({"format_version": 1, "n_buckets": int(n_buckets)}, f)
+
+
+def table_n_buckets(path: str, default: int | None = None) -> int:
+    """The table's bucket count: persisted property first, then ``default``
+    (or N_BUCKETS). Tables written before the property existed were all
+    written with N_BUCKETS=64, so the fallback is exact for them."""
+    try:
+        with open(os.path.join(path, _TABLE_META)) as f:
+            return int(json.load(f)["n_buckets"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return default if default is not None else N_BUCKETS
 
 
 def ingest_directory(
@@ -127,7 +161,9 @@ def build_chunks(
     return out
 
 
-def write_chunks(chunks: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+def write_chunks(
+    chunks: DataFrame, path: str, *, mode: str = "overwrite", n_buckets: int | None = None
+) -> None:
     """Persist the chunks table partitioned by filePath hash bucket.
 
     One shuffle clusters each bucket into one output file, sorted by
@@ -135,17 +171,27 @@ def write_chunks(chunks: DataFrame, path: str, *, mode: str = "overwrite") -> No
     document lookups and neighbor-frame reads (reference W5's <100 ms SLO).
     Without the repartition, every input partition appends a file to every
     bucket — M*N small files that the read side then pays for.
+
+    Appends ALWAYS route with the table's persisted bucket count; an
+    explicit ``n_buckets`` only applies to fresh/overwrite writes (and is
+    persisted as the table property for every later consumer).
     """
+    if mode == "append":
+        nb = table_n_buckets(path, default=n_buckets)
+    else:
+        nb = n_buckets if n_buckets is not None else N_BUCKETS
     (
         chunks.withColumn(
-            "bucket", F.pmod(F.xxhash64("filePath"), F.lit(N_BUCKETS)).cast("int")
+            "bucket", F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int")
         )
-        .repartition(N_BUCKETS, "bucket")
+        .repartition(nb, "bucket")
         .sortWithinPartitions("filePath", "chunkIndex")
         .write.partitionBy("bucket")
         .mode(mode)
         .parquet(path)
     )
+    # after the write: overwrite mode clears the directory first
+    write_table_meta(path, nb)
 
 
 def compact_chunks(spark: SparkSession, table_path: str, target_files_per_bucket: int = 1) -> None:
@@ -156,13 +202,15 @@ def compact_chunks(spark: SparkSession, table_path: str, target_files_per_bucket
     bucket; rewrite each bucket into ``target_files_per_bucket`` files.
     With Delta/Iceberg this is OPTIMIZE / rewrite_data_files.
     """
+    nb = table_n_buckets(table_path)
     df = spark.read.parquet(table_path).localCheckpoint()
     (
-        df.repartition(target_files_per_bucket * N_BUCKETS, "bucket")
+        df.repartition(target_files_per_bucket * nb, "bucket")
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(table_path)
     )
+    write_table_meta(table_path, nb)
     spark.catalog.refreshByPath(table_path)
 
 
@@ -181,12 +229,14 @@ def delete_documents(
     targets = sorted(set(file_paths))
     if not targets:
         return 0
-    # bucket ids via the same Spark expression the write path uses
+    # bucket ids via the same Spark expression the write path used, under
+    # the TABLE's persisted bucket count (never the module constant)
+    nb = table_n_buckets(table_path)
     assignments = (
         spark.createDataFrame([(p,) for p in targets], "filePath string")
         .select(
             "filePath",
-            F.pmod(F.xxhash64("filePath"), F.lit(N_BUCKETS)).cast("int").alias("b"),
+            F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int").alias("b"),
         )
         .collect()
     )

@@ -44,7 +44,7 @@ def stream_ingest(
     unsupported formats belong in a binaryFile batch sweep — the streaming
     text source is the md/txt hot path.
     """
-    from ..plans.ingest import N_BUCKETS, build_chunks
+    from ..plans.ingest import build_chunks, table_n_buckets
     from ..sources.parsers import title_udf
 
     raw = (
@@ -72,9 +72,11 @@ def stream_ingest(
             F.length("text").cast("long").alias("length"),
         )
         chunks = build_chunks(docs, dim=dim)
+        # appends route with the table's persisted bucket count
+        nb = table_n_buckets(table_path)
         (
             chunks.withColumn(
-                "bucket", F.pmod(F.xxhash64("filePath"), F.lit(N_BUCKETS)).cast("int")
+                "bucket", F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int")
             )
             .write.partitionBy("bucket")
             .mode("append")

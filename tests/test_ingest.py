@@ -163,3 +163,60 @@ def test_neighbor_server_survives_delete_and_compact(spark, tmp_path):
     delete_document(spark, table, "/c/doc0.md")
     compact_chunks(spark, table)
     assert server.read("/c/doc0.md", 5) == []
+
+
+def test_bucket_count_is_a_table_property(spark, tmp_path):
+    """A table written with 32 buckets keeps routing correctly while the
+    module constant stays 64: deletes, appends, compaction and the
+    NeighborServer all read the persisted property (VERDICT r2 #2 — a
+    changed constant must never silently mis-route bucket rewrites)."""
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.operators.neighbors import NeighborServer
+    from mcp_local_rag_spark.plans.ingest import (
+        N_BUCKETS,
+        compact_chunks,
+        table_n_buckets,
+    )
+
+    assert N_BUCKETS == 64  # the scenario under test: table != constant
+    table = str(tmp_path / "chunks_nb32")
+    rows = spark.range(60).select(
+        F.concat(F.lit("/nb/doc"), (F.col("id") % 3).cast("string"), F.lit(".md")).alias(
+            "filePath"
+        ),
+        (F.col("id") / 3).cast("int").alias("chunkIndex"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+    )
+    write_chunks(rows, table, n_buckets=32)
+    assert table_n_buckets(table) == 32
+    buckets = {
+        r.bucket for r in spark.read.parquet(table).select("bucket").distinct().collect()
+    }
+    assert buckets and all(b < 32 for b in buckets)
+
+    # delete routes with the table property, not the 64 constant
+    n = delete_document(spark, table, "/nb/doc1.md")
+    assert n == 20
+    left = spark.read.parquet(table)
+    assert left.count() == 40
+    assert left.filter(F.col("filePath") == "/nb/doc1.md").count() == 0
+
+    # append keeps the table's count (no bucket id >= 32 appears)
+    more = spark.range(10).select(
+        F.lit("/nb/doc9.md").alias("filePath"),
+        F.col("id").cast("int").alias("chunkIndex"),
+        F.lit("x").alias("text"),
+    )
+    write_chunks(more, table, mode="append")
+    spark.catalog.refreshByPath(table)
+    after = spark.read.parquet(table)
+    assert after.count() == 50
+    assert after.select(F.max("bucket")).first()[0] < 32
+
+    compact_chunks(spark, table)
+    assert table_n_buckets(table) == 32
+
+    server = NeighborServer(spark, table)
+    assert [r["chunkIndex"] for r in server.read("/nb/doc9.md", 5)] == [3, 4, 5, 6, 7]
+    assert delete_document(spark, table, "/nb/doc9.md") == 10
