@@ -61,6 +61,24 @@ _ABBREVIATIONS = {
 }
 _PRE_WORD_RE = re.compile(r"([A-Za-z][A-Za-z.]*)$")
 
+# Thai / Lao / Khmer / Myanmar: scripts with no sentence terminator, where
+# the space conventionally delimits sentences/clauses. When a fragment is
+# predominantly one of these scripts, whitespace runs become boundaries —
+# the spaced-text half of what Intl.Segmenter('und') does
+# (src/chunker/sentence-splitter.ts:90). KNOWN DIVERGENCE: unspaced runs
+# need ICU dictionary segmentation (PyICU not in container) and stay one
+# sentence here; the golden tests pin this behavior.
+_SEA_NO_TERM_RE = re.compile(
+    "[\\u0e00-\\u0e7f\\u0e80-\\u0eff\\u1000-\\u109f\\u1780-\\u17ff]"
+)
+
+
+def _sea_fraction(s: str) -> float:
+    letters = [c for c in s if c.isalpha()]
+    if not letters:
+        return 0.0
+    return sum(1 for c in letters if _SEA_NO_TERM_RE.match(c)) / len(letters)
+
 
 def _is_abbreviation_break(para: str, punct_start: int, punct: str) -> bool:
     """True when the '.' at para[punct_start] ends a guarded abbreviation."""
@@ -90,7 +108,14 @@ def _split_paragraph(para: str) -> list[str]:
     tail = para[start:].strip()
     if tail:
         out.append(tail)
-    return out
+    # space-delimited segmentation for no-terminator SEA scripts
+    final: list[str] = []
+    for sent in out:
+        if " " in sent and _sea_fraction(sent) >= 0.5:
+            final.extend(p for p in sent.split() if p)
+        else:
+            final.append(sent)
+    return final
 
 
 def split_sentences(text: str) -> list[str]:

@@ -226,15 +226,16 @@ RENDER_DPI = 200  # renderer.ts:25-29: 150 loses sub-10pt glyphs, 300 = 2x bytes
 
 
 def default_page_renderer(doc_bytes: bytes, page_num: int, crop: dict | None) -> bytes:
-    """T11: rasterize one page (cropped) at 200 DPI. Real implementation
-    needs pymupdf; import-guarded like the other decoders."""
+    """T11: rasterize one page (cropped) at 200 DPI to PNG. pymupdf gives
+    glyph-accurate rendering; without it the stdlib geometry renderer
+    (sources/pdf_mini.render_page_png) produces a real layout raster from
+    the same bytes — either way the captioner receives actual PNG bytes."""
     try:
         import fitz
-    except ImportError as exc:
-        raise NotImplementedError(
-            "page render needs pymupdf; inject render_fn (the pipeline"
-            " around it is fully wired)"
-        ) from exc
+    except ImportError:
+        from ..sources.pdf_mini import render_page_png
+
+        return render_page_png(doc_bytes, page_num, crop, dpi=RENDER_DPI)
     doc = fitz.open(stream=doc_bytes, filetype="pdf")
     page = doc[page_num]
     zoom = RENDER_DPI / 72.0

@@ -584,6 +584,7 @@ def extract_pdf_items(content: bytes) -> tuple[list[dict], str | None]:
     for pno, node in enumerate(page_nodes):
         media = doc.resolve(node.get("MediaBox")) or [0, 0, 612, 792]
         height = float(doc.resolve(media[3])) - float(doc.resolve(media[1]))
+        width = float(doc.resolve(media[2])) - float(doc.resolve(media[0]))
         contents = doc.resolve(node.get("Contents"))
         parts: list[bytes] = []
         for ref in contents if isinstance(contents, list) else [node.get("Contents")]:
@@ -598,7 +599,9 @@ def extract_pdf_items(content: bytes) -> tuple[list[dict], str | None]:
                 if decoded is not None:
                     parts.append(decoded)
         items = _interpret_text(b"\n".join(parts)) if parts else []
-        pages.append({"page": pno, "page_height": height, "items": items})
+        pages.append(
+            {"page": pno, "page_height": height, "page_width": width, "items": items}
+        )
     info = doc.resolve(doc.trailer.get("Info"))
     meta_title = None
     if isinstance(info, dict):
@@ -636,6 +639,80 @@ def parse_pdf_mini(path: str, content: bytes, *, dim: int = 64) -> dict:
         else None,
     )
     return {"text": text, "title": title, "atomic_ranges": []}
+
+
+# ---------------------------------------------------------------------------
+# T11 geometry renderer: rasterize a page's text boxes into a real PNG
+# (stdlib struct+zlib). Glyph-accurate rendering needs pymupdf; this mini
+# renderer produces an actual image of the page LAYOUT from real bytes —
+# enough for the T10->T12 pipeline (crop math, batch shapes, captioner
+# input contract) to run end-to-end without any imaging library.
+
+
+def _png_gray(pixels: bytearray, width: int, height: int) -> bytes:
+    """8-bit grayscale PNG from a row-major pixel buffer."""
+    import struct
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        body = tag + payload
+        return (
+            struct.pack(">I", len(payload))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * width : (y + 1) * width]) for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def render_page_png(
+    doc_bytes: bytes,
+    page_num: int,
+    crop: dict | None = None,
+    *,
+    dpi: float = 200.0,
+) -> bytes:
+    """Rasterize one page (optionally cropped to {x0,y0,x1,y1} in PDF
+    points, y up) at ``dpi`` — text items become dark boxes sized by their
+    font metrics on a white canvas. Returns real PNG bytes."""
+    pages, _ = extract_pdf_items(doc_bytes)
+    if not 0 <= page_num < len(pages):
+        raise PdfError(f"page {page_num} out of range")
+    page = pages[page_num]
+    page_h = float(page["page_height"])
+    region = crop or {"x0": 0.0, "y0": 0.0, "x1": float(page["page_width"]), "y1": page_h}
+    x0, y0 = float(region["x0"]), float(region["y0"])
+    x1, y1 = float(region["x1"]), float(region["y1"])
+    scale = dpi / 72.0
+    width = max(1, int(round((x1 - x0) * scale)))
+    height = max(1, int(round((y1 - y0) * scale)))
+    pixels = bytearray(b"\xff" * (width * height))
+    for it in page["items"]:
+        size = float(it["font_size"]) or 10.0
+        bx0, by0 = float(it["x"]), float(it["y"])
+        bx1 = bx0 + 0.5 * size * max(1, len(it["text"]))
+        by1 = by0 + size
+        # clip to the crop region, then to pixel space (PNG rows top-down)
+        cx0, cx1 = max(bx0, x0), min(bx1, x1)
+        cy0, cy1 = max(by0, y0), min(by1, y1)
+        if cx0 >= cx1 or cy0 >= cy1:
+            continue
+        px0 = int((cx0 - x0) * scale)
+        px1 = min(width, int((cx1 - x0) * scale))
+        py0 = max(0, int((y1 - cy1) * scale))
+        py1 = min(height, int((y1 - cy0) * scale))
+        for row in range(py0, py1):
+            base = row * width
+            for col in range(px0, px1):
+                pixels[base + col] = 0x20
+    return _png_gray(pixels, width, height)
 
 
 # ---------------------------------------------------------------------------

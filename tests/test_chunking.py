@@ -101,3 +101,33 @@ def test_maxmin_min_length_filter(spark):
     rows = [("/d1", 0, "tiny", [1.0, 0.0])]
     df = spark.createDataFrame(rows, "doc_key string, seq int, text string, vector array<double>")
     assert maxmin_chunk(df).count() == 0
+
+
+def test_split_sentences_thai_space_delimited_golden():
+    """Golden: Thai (no sentence terminator) splits at spaces — the spaced
+    half of Intl.Segmenter('und') behavior. KNOWN DIVERGENCE pinned here:
+    an unspaced Thai run stays ONE sentence (ICU dictionary segmentation
+    not available in this container)."""
+    from mcp_local_rag_spark.chunking.splitter import split_sentences
+
+    spaced = "วันนี้อากาศดีมาก ฉันไปตลาดกับแม่"
+    assert split_sentences(spaced) == ["วันนี้อากาศดีมาก", "ฉันไปตลาดกับแม่"]
+
+    unspaced = "วันนี้อากาศดีมากฉันไปตลาดกับแม่"
+    assert split_sentences(unspaced) == [unspaced]
+
+    # Lao follows the same convention
+    lao = "ມື້ນີ້ອາກາດດີ ຂ້ອຍໄປຕະຫຼາດ"
+    assert len(split_sentences(lao)) == 2
+
+
+def test_split_sentences_sea_guard_leaves_latin_alone():
+    """A mostly-Latin sentence with a few Thai words must NOT fragment at
+    every space (the >= 0.5 script-fraction guard)."""
+    from mcp_local_rag_spark.chunking.splitter import split_sentences
+
+    mixed = "The Thai word ตลาด means market. Next sentence here."
+    assert split_sentences(mixed) == [
+        "The Thai word ตลาด means market.",
+        "Next sentence here.",
+    ]

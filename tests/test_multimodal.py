@@ -118,12 +118,85 @@ def test_visual_pipeline_candidates_to_caption_chunks(spark):
     assert final[0].text.startswith("[Visual content on page 1: figure ")
 
 
-def test_default_page_renderer_raises_without_fitz(spark):
+def test_default_page_renderer_without_fitz_uses_geometry_raster():
+    """No pymupdf: the stdlib geometry renderer produces a REAL PNG from
+    real PDF bytes (T11 no longer stubs out); invalid bytes still raise."""
     import importlib.util
+    import struct
+    import zlib as _zlib
 
     import pytest as _pytest
 
+    from mcp_local_rag_spark.sources.pdf_mini import PdfError, build_pdf
+
     if importlib.util.find_spec("fitz") is not None:
         _pytest.skip("pymupdf present; covered by real-backend smoke test")
-    with _pytest.raises(NotImplementedError):
+
+    with _pytest.raises(PdfError):
         mm.default_page_renderer(b"x", 0, None)
+
+    data = build_pdf(
+        [[(50.0, 700.0, 20.0, "A headline"), (50.0, 400.0, 10.0, "body words")]]
+    )
+    png = mm.default_page_renderer(data, 0, None)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", png[16:24])
+    # full page at 200 DPI: 612x792 pt * 200/72
+    assert (w, h) == (1700, 2200)
+    # there are dark pixels where the text boxes are
+    idat = png[png.index(b"IDAT") + 4 :]
+    raw = _zlib.decompress(idat[: len(idat) - 12])
+    assert b"\x20" in raw
+    # crop renders just the region, scaled by the same DPI
+    crop = {"x0": 40.0, "y0": 690.0, "x1": 240.0, "y1": 730.0}
+    png_crop = mm.default_page_renderer(data, 0, crop)
+    cw, ch = struct.unpack(">II", png_crop[16:24])
+    assert (cw, ch) == (round(200 * 200 / 72), round(40 * 200 / 72))
+    # deterministic
+    assert mm.default_page_renderer(data, 0, crop) == png_crop
+
+
+def test_captioner_interface_contract(spark):
+    """Pin the T12 decode/captioner batch contract: render_fn is called
+    once per candidate page with (bytes, int, dict-with-x0..y1|None) and
+    caption_fn receives EXACTLY the render output bytes and returns str —
+    the seam a real VLM (SmolVLM / Qwen2.5-VL, captioners/fast.ts:38,
+    quality.ts:43-49) drops into unchanged."""
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.operators.pdf_layout import visual_candidates
+
+    blocks = spark.createDataFrame(
+        [
+            ("/c.pdf", 0, 200.0, 100.0, "image", 10.0, 10.0, 90.0, 60.0),
+            ("/c.pdf", 1, 200.0, 100.0, "image", 0.0, 0.0, 1.0, 1.0),
+        ],
+        "doc_key string, page int, page_width double, page_height double,"
+        " kind string, x0 double, y0 double, x1 double, y1 double",
+    )
+    cands = visual_candidates(blocks, doc_col="doc_key")
+    n_candidates = cands.filter(F.col("is_candidate")).count()
+    assert n_candidates == 1
+    docs = spark.createDataFrame(
+        [("/c.pdf", bytearray(b"%PDF-contract"))], "doc_key string, content binary"
+    )
+
+    def recording_render(doc_bytes, page_num, crop):
+        assert type(doc_bytes) is bytes and doc_bytes == b"%PDF-contract"
+        assert type(page_num) is int
+        assert crop is None or set(crop) == {"x0", "y0", "x1", "y1"}
+        if crop is not None:
+            assert all(type(v) is float for v in crop.values())
+        return b"PNG:" + f"{page_num}:{crop}".encode()
+
+    def recording_caption(image_bytes):
+        assert type(image_bytes) is bytes and image_bytes.startswith(b"PNG:")
+        return "caption of " + image_bytes.decode()
+
+    rows = mm.caption_candidate_pages(
+        docs, cands, render_fn=recording_render, caption_fn=recording_caption
+    ).collect()
+    # one caption per candidate page, carrying the rendered bytes through
+    assert len(rows) == n_candidates
+    assert rows[0].page_num == 0
+    assert rows[0].caption.startswith("caption of PNG:0:")
