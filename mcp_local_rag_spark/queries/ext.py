@@ -721,3 +721,144 @@ def q_documents_profile(spark, sf_dir):
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         F.round(F.stddev_pop("n_chars"), 6).alias("std_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation operators: deterministic splits, sequence packing,
+# benchmark decontamination — the steps between "deduped corpus" and
+# "training shards" in a large-scale data pipeline.
+
+
+@register(
+    "corpus_split_assign",
+    """WITH assigned AS (
+  SELECT lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::BIGINT AS h,
+         n_chars
+  FROM documents
+)
+SELECT CASE WHEN h < 230 THEN 'train'
+            WHEN h < 243 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM assigned
+GROUP BY 1, 2""",
+)
+def q_corpus_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment by content-free id hash
+    (~90/5/5 over 256 md5 buckets): reproducible across engines and runs,
+    no RNG state, stable under re-partitioning — the property a training
+    pipeline needs so a re-run never leaks val docs into train. Pure
+    map-side expression + one aggregate; linear at any scale."""
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "long"
+    )
+    split = (
+        F.when(h < 230, "train").when(h < 243, "val").otherwise("test").alias("split")
+    )
+    return d.groupBy(split, "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@register(
+    "documents_pack_bins",
+    """WITH packed AS (
+  SELECT lang, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT lang,
+       ((cum - n_chars) // 8192)::BIGINT AS bin,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS bin_chars
+FROM packed
+GROUP BY 1, 2""",
+)
+def q_documents_pack_bins(spark, sf_dir):
+    """Sequence packing: assign docs to fixed-budget context bins by the
+    running length of their shard (bin = start offset / budget) — the
+    streaming approximation of greedy packing used when materializing
+    training sequences. Packing is PER LANGUAGE shard, so the window is
+    partitioned (no single-partition global sort); at 100 TB the shard key
+    is (lang, hash-shard) and each shard packs independently."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.select(
+        "lang",
+        "n_chars",
+        (((F.sum("n_chars").over(w) - F.col("n_chars")) / F.lit(8192)).cast("long")).alias(
+            "bin"
+        ),
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("bin_chars")
+    )
+
+
+@register(
+    "corpus_decontaminate",
+    """WITH tokd AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, lang,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS gram
+  FROM tokd, unnest(range(1, len(toks) - 3)) AS r(i)
+  WHERE len(toks) >= 5
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+),
+contaminated AS (
+  SELECT DISTINCT g.doc_id, g.lang
+  FROM grams g JOIN bench b ON g.gram = b.gram
+  WHERE g.doc_id % 97 <> 0
+)
+SELECT t.lang,
+       count(DISTINCT c.doc_id)::BIGINT AS n_contaminated,
+       count(DISTINCT t.doc_id)::BIGINT AS n_train
+FROM tokd t LEFT JOIN contaminated c ON t.doc_id = c.doc_id AND t.lang = c.lang
+WHERE t.doc_id % 97 <> 0
+GROUP BY t.lang""",
+)
+def q_corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any 5-gram
+    with the held-out benchmark slice (doc_id % 97 = 0 stands in for the
+    eval set). Shingle explode -> distinct -> semi join on the gram — the
+    join is equi-keyed on the n-gram, so at 100 TB it is one keyed shuffle
+    of the (sparse) benchmark gram set against the corpus grams, with the
+    benchmark side broadcastable when the eval suite is small."""
+    d = load(spark, sf_dir, "documents")
+    grams = dedup.shingle_sets(d, k=5).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    bench_grams = grams.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        train.join(bench_grams, "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    base = d.filter(F.col("doc_id") % 97 != 0).select("doc_id", "lang")
+    return (
+        base.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.when(F.col("_c") == 1, 1)).alias("n_contaminated"),
+            F.countDistinct("doc_id").alias("n_train"),
+        )
+    )
