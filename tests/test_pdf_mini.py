@@ -160,3 +160,46 @@ def test_multiple_shows_same_line_stay_ordered():
     a, b = pages[0]["items"]
     assert (a["text"], b["text"]) == ("alpha ", "beta")
     assert b["x"] > a["x"] and a["y"] == b["y"]
+
+
+def test_utf16_metadata_title_and_hex_name_escapes():
+    """/Info strings may be UTF-16BE with BOM; names may carry #xx hex
+    escapes — both decode per the PDF spec."""
+    content = b"BT /F1 9 Tf 1 0 0 1 10 50 Tm (body) Tj ET"
+    title_utf16 = "Déjà Vu".encode("utf-16-be")
+    data = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Ty#70e /Pages /Kids [3 0 R] /Count 1"
+        b" /MediaBox [0 0 100 100] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream endobj\n"
+        b"5 0 obj << /Title (\xfe\xff" + title_utf16 + b") >> endobj\n"
+        b"trailer << /Root 1 0 R /Info 5 0 R >>\n%%EOF\n"
+    )
+    pages, meta = extract_pdf_items(data)
+    assert meta == "Déjà Vu"
+    # the #70 escape in /Ty#70e still resolves the page tree
+    assert len(pages) == 1 and pages[0]["items"][0]["text"] == "body"
+
+
+def test_contents_array_concatenates_streams():
+    """/Contents may be an ARRAY of streams forming one logical content
+    stream."""
+    part1 = b"BT /F1 9 Tf 1 0 0 1 10 80 Tm (first) Tj ET"
+    part2 = b"BT /F1 9 Tf 1 0 0 1 10 40 Tm (second) Tj ET"
+    data = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1"
+        b" /MediaBox [0 0 100 100] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >> endobj\n"
+        b"4 0 obj << /Length " + str(len(part1)).encode() + b" >>\nstream\n"
+        + part1 + b"\nendstream endobj\n"
+        b"5 0 obj << /Length " + str(len(part2)).encode() + b" >>\nstream\n"
+        + part2 + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    pages, _ = extract_pdf_items(data)
+    assert [i["text"] for i in pages[0]["items"]] == ["first", "second"]

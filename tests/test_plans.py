@@ -250,3 +250,31 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", old_req)
+
+
+def test_decontaminate_gram_join_is_equi_join(spark, qs):
+    """The benchmark-overlap join must key on the n-gram (shuffled or
+    broadcast hash/merge equi-join) — never a nested-loop over doc pairs."""
+    p = plan(qs["corpus_decontaminate"](spark, SF_DIR))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_pack_bins_window_is_partitioned(spark, qs):
+    """Sequence packing windows per language shard — a global (empty
+    partition-by) running sum would serialize the corpus on one task."""
+    p = plan(qs["documents_pack_bins"](spark, SF_DIR))
+    assert "Window" in p
+    # the window's partition spec carries the lang column
+    import re
+
+    w = re.search(r"\(\d+\) Window(?:.|\n)*?Arguments: .*", p)
+    assert w and "lang" in w.group(0)
+
+
+def test_split_assign_is_single_aggregate(spark, qs):
+    """Hash-split assignment is a map-side expression + one aggregate:
+    exactly one shuffle, no join anywhere."""
+    p = plan(qs["corpus_split_assign"](spark, SF_DIR))
+    assert "Join" not in p
+    assert p.count("Exchange") <= 2  # partial->final agg (+AQE read)
