@@ -842,8 +842,12 @@ def q_corpus_decontaminate(spark, sf_dir):
     of the (sparse) benchmark gram set against the corpus grams, with the
     benchmark side broadcastable when the eval suite is small."""
     d = load(spark, sf_dir, "documents")
-    grams = dedup.shingle_sets(d, k=5).join(
-        d.select("doc_id", "lang"), "doc_id"
+    # persist: the gram table feeds the benchmark side AND the training
+    # side — lazy recompute would run the explode+distinct three times
+    grams = (
+        dedup.shingle_sets(d, k=5)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .persist()
     )
     bench_grams = grams.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
     train = grams.filter(F.col("doc_id") % 97 != 0)
