@@ -54,6 +54,54 @@ def _pseudo_udf(dim: int):
     return udf
 
 
+def hashing_embed(text: str, dim: int = DEFAULT_DIM) -> list[float]:
+    """Feature-hashing bag-of-tokens embedding (the HashingVectorizer
+    construction): each token hashes to a bucket with a ±1 sign, counts
+    L2-normalized. Unlike ``pseudo_embed`` (locality-free), this is a REAL
+    lexical-similarity embedding — token overlap produces high cosine — so
+    ranking-quality assertions ("the chunk about X ranks first") are
+    testable without a model runtime. A trained encoder still adds what
+    hashing cannot: synonymy and word order."""
+    import re as _re
+
+    vec = np.zeros(dim, dtype=np.float64)
+    for tok in _re.findall(r"[a-z0-9]+", (text or "").lower()):
+        h = hashlib.md5(tok.encode()).digest()
+        idx = int.from_bytes(h[:4], "big") % dim
+        vec[idx] += 1.0 if h[4] & 1 else -1.0
+    norm = np.linalg.norm(vec)
+    if norm > 0:
+        vec /= norm
+    return [float(x) for x in vec]
+
+
+def _hashing_udf(dim: int):
+    @F.pandas_udf(ArrayType(FloatType()))
+    def udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: hashing_embed(t or "", dim))
+
+    return udf
+
+
+def embed_query(text: str, dim: int = DEFAULT_DIM, backend: str = "pseudo") -> list[float]:
+    """Driver-side query-vector twin of ``embed_text_column`` — the query
+    MUST embed under the same backend as the corpus or distances are
+    meaningless."""
+    if backend == "hashing":
+        return hashing_embed(text, dim)
+    if backend == "model":
+        factory = _try_sentence_transformers(
+            "sentence-transformers/all-MiniLM-L6-v2"
+        )
+        if factory is None:
+            raise ImportError("sentence-transformers not available")
+        from sentence_transformers import SentenceTransformer
+
+        model = SentenceTransformer("sentence-transformers/all-MiniLM-L6-v2")
+        return [float(x) for x in model.encode([text], normalize_embeddings=True)[0]]
+    return pseudo_embed(text, dim)
+
+
 def _try_sentence_transformers(model_name: str):
     try:
         from sentence_transformers import SentenceTransformer  # noqa: F401
@@ -89,14 +137,17 @@ def embed_text_column(
     model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
 ) -> DataFrame:
     """Append an embedding column. backend: 'pseudo' (deterministic, always
-    available) or 'model' (sentence-transformers, if installed)."""
+    available), 'hashing' (feature-hashing bag of tokens — real lexical
+    similarity, no model runtime), or 'model' (sentence-transformers, if
+    installed)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
     if backend == "model":
         factory = _try_sentence_transformers(model_name)
         if factory is not None:
-            return df.withColumn(out_col, factory(dim)(F.col(text_col) if isinstance(text_col, str) else text_col))
+            return df.withColumn(out_col, factory(dim)(col))
         raise ImportError(
             "sentence-transformers not available; use backend='pseudo'"
         )
-    return df.withColumn(
-        out_col, _pseudo_udf(dim)(F.col(text_col) if isinstance(text_col, str) else text_col)
-    )
+    if backend == "hashing":
+        return df.withColumn(out_col, _hashing_udf(dim)(col))
+    return df.withColumn(out_col, _pseudo_udf(dim)(col))

@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .embedder import embed_text_column, pseudo_embed
+from .embedder import embed_query, embed_text_column, pseudo_embed  # noqa: F401
 from .operators import search
 from .operators.bm25 import bm25_scores, build_postings
 from .functions.paths import sync_path_key
@@ -132,7 +132,8 @@ class RagEngine:
 
         limit = max(1, min(20, limit))
         hybrid_weight = max(0.0, min(1.0, hybrid_weight))
-        qv = pseudo_embed(query_text, self.dim)
+        # query vector under the SAME backend as the stored corpus vectors
+        qv = embed_query(query_text, self.dim, self.backend)
         terms = [t for t in query_text.lower().split() if t]
         hits = search.hybrid_search(
             self.chunks(),

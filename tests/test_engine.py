@@ -395,3 +395,34 @@ def test_sync_case_sensitive_keys_on_linux(spark, tmp_path):
     rep = eng.sync(str(d))
     assert rep.counters.get("skip", 0) == 2
     assert rep.counters.get("upsert", 0) == 0
+
+
+def test_hashing_backend_semantic_ranking(spark, tmp_path):
+    """The reference's search integration test shape ("the chunk about X
+    ranks first", src/server/__tests__/rag-server.search.integration.
+    test.ts) — runnable without a model via the feature-hashing backend,
+    which gives REAL lexical similarity (token overlap => cosine), unlike
+    the locality-free pseudo embedder."""
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "joins.md").write_text(
+        "# Joins\n\nBroadcast hash joins replicate the small build side to"
+        " every executor so the probe side streams without any shuffle.\n"
+    )
+    (d / "streams.md").write_text(
+        "# Streams\n\nWatermarks bound how late events may arrive before"
+        " a window closes and state is evicted from the store.\n"
+    )
+    (d / "storage.md").write_text(
+        "# Storage\n\nParquet row groups carry min and max statistics that"
+        " let scans skip pages which cannot match a predicate.\n"
+    )
+    eng = RagEngine(spark, str(tmp_path / "chunks_hash"), backend="hashing")
+    eng.ingest_directory(str(d))
+
+    top = eng.query_documents("broadcast hash joins executor", limit=3).first()
+    assert top.filePath.endswith("joins.md")
+    top2 = eng.query_documents("watermark late events window", limit=3).first()
+    assert top2.filePath.endswith("streams.md")
+    top3 = eng.query_documents("parquet row group statistics", limit=3).first()
+    assert top3.filePath.endswith("storage.md")
