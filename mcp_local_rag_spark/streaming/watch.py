@@ -91,6 +91,68 @@ def stream_ingest(
     return writer.start()
 
 
+def stream_ingest_binary(
+    spark: SparkSession,
+    watch_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    *,
+    pattern: str = "*.{pdf,docx,md,txt,html}",
+    dim: int = 64,
+    max_files_per_trigger: int = 20,
+    available_now: bool = False,
+):
+    """Binary-format watcher: the ``binaryFile`` streaming source feeds the
+    SAME parse_files -> build_chunks pipeline as batch ingest, so PDFs and
+    DOCX stream in with full title chains and header/footer strip — the
+    text-source watcher above stays the md/txt hot path (no byte copy).
+    Unparseable files are dropped with their parse_error recorded in the
+    batch, never failing the stream (coverage, not crash)."""
+    from ..plans.ingest import build_chunks, table_n_buckets
+    from ..sources.parsers import parse_files
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require the schema up front; binaryFile's is fixed
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", pattern)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(watch_dir)
+        .select(
+            F.regexp_replace(F.col("path"), "^file:", "").alias("path"),
+            F.col("content"),
+        )
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        hashed = batch.withColumn(
+            "contentHash", F.lower(F.sha2(F.col("content"), 256))
+        ).withColumn("length", F.length("content").cast("long"))
+        parsed = parse_files(hashed).join(
+            hashed.select("path", "contentHash", "length"), "path"
+        )
+        docs = parsed.filter(F.col("parse_error").isNull())
+        chunks = build_chunks(docs, dim=dim)
+        nb = table_n_buckets(table_path)
+        (
+            chunks.withColumn(
+                "bucket", F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int")
+            )
+            .write.partitionBy("bucket")
+            .mode("append")
+            .parquet(table_path)
+        )
+
+    writer = raw.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     *,

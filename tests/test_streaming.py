@@ -226,3 +226,58 @@ def test_sessionize_matches_native_session_window(spark):
         .collect()
     }
     assert ours == native
+
+
+def test_stream_ingest_binary_pdf_and_docx(spark, tmp_path):
+    """The binaryFile watcher streams PDF and DOCX through the SAME
+    parse+chunk pipeline as batch ingest: titles resolve per format,
+    header/footer strip runs, exactly-once per file via the checkpoint."""
+    from mcp_local_rag_spark.sources.pdf_mini import build_pdf
+    from mcp_local_rag_spark.streaming.watch import stream_ingest_binary
+    from tests.test_parsers import _p, make_docx
+
+    watch = tmp_path / "bindrop"
+    watch.mkdir()
+    pdf_pages = []
+    for p in range(1, 4):
+        pdf_pages.append(
+            [
+                (50.0, 780.0, 6.0, "Streamed header boilerplate."),
+                (
+                    50.0,
+                    400.0,
+                    11.0,
+                    f"Page {p} streams structured query planning prose with"
+                    f" enough characters to chunk, variant {p}.",
+                ),
+                (50.0, 10.0, 6.0, "Streamed footer boilerplate."),
+            ]
+        )
+    (watch / "guide.pdf").write_bytes(build_pdf(pdf_pages, title="Streamed Guide"))
+    (watch / "memo.docx").write_bytes(
+        make_docx(
+            _p(
+                "A memo paragraph streamed through the binary watcher with"
+                " comfortably enough text for one chunk."
+            ),
+            core_title="Streamed Memo",
+        )
+    )
+    table = str(tmp_path / "chunks_bin")
+    ckpt = str(tmp_path / "ckpt_bin")
+
+    q = stream_ingest_binary(spark, str(watch), table, ckpt, available_now=True)
+    q.awaitTermination(120)
+    stored = spark.read.parquet(table)
+    titles = {r.fileTitle for r in stored.collect()}
+    assert titles == {"Streamed Guide", "Streamed Memo"}
+    pdf_text = "\n".join(
+        r.text for r in stored.filter("filePath LIKE '%guide.pdf'").collect()
+    )
+    assert "Streamed header" not in pdf_text and "structured query planning" in pdf_text
+
+    # exactly-once on re-drain
+    q2 = stream_ingest_binary(spark, str(watch), table, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    spark.catalog.refreshByPath(table)
+    assert spark.read.parquet(table).count() == stored.count()
