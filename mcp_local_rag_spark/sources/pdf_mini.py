@@ -13,10 +13,12 @@ real bytes. The reference decodes with mupdf
 against the public PDF spec, not a port — when pymupdf IS importable the
 fitz path takes precedence (sources/parsers.py).
 
-Out of scope (explicit, not wrong): encrypted PDFs (raises), non-Flate
-stream filters (DCT/LZW/ASCII85 — stream skipped), CID/Type0 composite
-fonts with custom CMaps (bytes decode best-effort latin-1 / UTF-16BE),
-and glyph-accurate advance widths (after a show the pen x advances by an
+Stream filters: FlateDecode (+PNG predictors), LZWDecode (TIFF-style,
+EarlyChange), ASCIIHexDecode, ASCII85Decode, applied as chains in order.
+Out of scope (explicit, not wrong): encrypted PDFs (raises), image-only
+filters (DCT/JBIG2/CCITT — stream skipped), CID/Type0 composite fonts
+with custom CMaps (bytes decode best-effort latin-1 / UTF-16BE), and
+glyph-accurate advance widths (after a show the pen x advances by an
 0.5-em-per-char estimate; items written by distinct Td/Tm positionings —
 the overwhelmingly common layout — are exact).
 
@@ -299,27 +301,94 @@ def _scan_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
     return objects
 
 
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """TIFF-style LZW per the PDF spec: MSB-first codes, 9→12 bit widths,
+    CLEAR=256, EOD=257, EarlyChange widens one code early (the default)."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    bitbuf = bitcnt = 0
+    prev: int | None = None
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            else:  # KwKwK case
+                entry = table[prev] + table[prev][:1]
+            out += entry
+            if prev is not None:
+                table[next_code] = table[prev] + entry[:1]
+                next_code += 1
+            prev = code
+            # the decoder's table lags the encoder's by one entry, so it
+            # widens one code earlier in its own next_code terms
+            if next_code + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    body = data.split(b">", 1)[0]
+    hexstr = b"".join(body.split())
+    if len(hexstr) % 2:
+        hexstr += b"0"
+    return bytes.fromhex(hexstr.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = b"".join(data.split())
+    if body.endswith(b"~>"):
+        body = body[:-2]
+    return base64.a85decode(b"<~" + body + b"~>", adobe=True)
+
+
 def _decode_stream(doc: _Doc, meta: dict, raw: bytes) -> bytes | None:
     filt = doc.resolve(meta.get("Filter"))
     filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+    parms_raw = doc.resolve(meta.get("DecodeParms"))
+    parms_list = parms_raw if isinstance(parms_raw, list) else [parms_raw] * len(filters)
     out = raw
-    for f in filters:
+    for f, parms in zip(filters, parms_list):
         f = doc.resolve(f)
-        if f == "FlateDecode":
-            try:
-                out = zlib.decompress(out)
-            except zlib.error:
-                try:  # tolerate trailing garbage
+        parms = doc.resolve(parms)
+        try:
+            if f == "FlateDecode":
+                try:
+                    out = zlib.decompress(out)
+                except zlib.error:  # tolerate trailing garbage
                     out = zlib.decompressobj().decompress(out)
-                except zlib.error:
-                    return None
-            parms = doc.resolve(meta.get("DecodeParms"))
-            if isinstance(parms, dict) and doc.resolve(parms.get("Predictor", 1)) not in (None, 1):
+            elif f == "LZWDecode":
+                ec = 1
+                if isinstance(parms, dict):
+                    ec = int(doc.resolve(parms.get("EarlyChange", 1)))
+                out = _lzw_decode(out, early_change=ec)
+            elif f == "ASCIIHexDecode":
+                out = _ascii_hex_decode(out)
+            elif f == "ASCII85Decode":
+                out = _ascii85_decode(out)
+            elif f is None:
+                continue
+            else:
+                return None  # unsupported filter (DCT/JBIG2/...) — explicit skip
+        except Exception:
+            return None
+        if f in ("FlateDecode", "LZWDecode") and isinstance(parms, dict):
+            if doc.resolve(parms.get("Predictor", 1)) not in (None, 1):
                 out = _unpredict(out, parms, doc)
-        elif f in (None,):
-            continue
-        else:
-            return None  # unsupported filter — explicit skip
     return out
 
 

@@ -203,3 +203,103 @@ def test_contents_array_concatenates_streams():
     )
     pages, _ = extract_pdf_items(data)
     assert [i["text"] for i in pages[0]["items"]] == ["first", "second"]
+
+
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Minimal TIFF-LZW encoder (test-only) mirroring the spec the decoder
+    implements: MSB-first, CLEAR first, widths 9->12 with EarlyChange."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    buf = cnt = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal buf, cnt
+        buf = (buf << width) | code
+        cnt += width
+        while cnt >= 8:
+            out.append((buf >> (cnt - 8)) & 0xFF)
+            cnt -= 8
+
+    emit(256)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        if next_code + early_change - 1 >= (1 << width) and width < 12:
+            width += 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)
+    if cnt:
+        out.append((buf << (8 - cnt)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_roundtrip_and_filter():
+    from mcp_local_rag_spark.sources.pdf_mini import _lzw_decode
+
+    short = b"AAAA"
+    assert _lzw_decode(_lzw_encode(short)) == short
+    # long enough to cross the 9->10 bit width switch and hit KwKwK
+    long = bytes((i * 7 + i // 3) % 256 for i in range(1500)) + b"ababababab" * 20
+    assert _lzw_decode(_lzw_encode(long)) == long
+
+    content = b"BT /F1 9 Tf 1 0 0 1 10 50 Tm (lzw text) Tj ET"
+    packed = _lzw_encode(content)
+    data = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1"
+        b" /MediaBox [0 0 100 100] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(packed)).encode()
+        + b" /Filter /LZWDecode >>\nstream\n" + packed + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    pages, _ = extract_pdf_items(data)
+    assert pages[0]["items"][0]["text"] == "lzw text"
+
+
+def test_asciihex_and_ascii85_filter_chain():
+    """ASCIIHexDecode alone, and the classic [/ASCII85Decode /FlateDecode]
+    chain (filters apply in order)."""
+    import base64
+
+    content = b"BT /F1 9 Tf 1 0 0 1 10 50 Tm (encoded) Tj ET"
+
+    hexed = content.hex().encode() + b">"
+    data_hex = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1"
+        b" /MediaBox [0 0 100 100] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(hexed)).encode()
+        + b" /Filter /ASCIIHexDecode >>\nstream\n" + hexed + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    pages, _ = extract_pdf_items(data_hex)
+    assert pages[0]["items"][0]["text"] == "encoded"
+
+    flated = zlib.compress(content)
+    a85 = base64.a85encode(flated, adobe=True)[2:]  # strip <~, keep ~>
+    data_85 = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1"
+        b" /MediaBox [0 0 100 100] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(a85)).encode()
+        + b" /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n" + a85
+        + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    pages, _ = extract_pdf_items(data_85)
+    assert pages[0]["items"][0]["text"] == "encoded"
