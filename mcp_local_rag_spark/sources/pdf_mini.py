@@ -777,10 +777,10 @@ def render_page_png(
         px1 = min(width, int((cx1 - x0) * scale))
         py0 = max(0, int((y1 - cy1) * scale))
         py1 = min(height, int((y1 - cy0) * scale))
+        run = b"\x20" * (px1 - px0)
         for row in range(py0, py1):
             base = row * width
-            for col in range(px0, px1):
-                pixels[base + col] = 0x20
+            pixels[base + px0 : base + px1] = run
     return _png_gray(pixels, width, height)
 
 
