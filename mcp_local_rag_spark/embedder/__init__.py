@@ -16,6 +16,7 @@ same signature (gated behind an import-try).
 
 from __future__ import annotations
 
+import functools as _functools
 import hashlib
 
 import numpy as np
@@ -83,21 +84,34 @@ def _hashing_udf(dim: int):
     return udf
 
 
-def embed_query(text: str, dim: int = DEFAULT_DIM, backend: str = "pseudo") -> list[float]:
+DEFAULT_MODEL = "sentence-transformers/all-MiniLM-L6-v2"
+
+
+@_functools.lru_cache(maxsize=4)
+def _cached_model(model_name: str):
+    """Driver-side SentenceTransformer cache — loading the model is seconds
+    of work; re-instantiating per query would dominate every search."""
+    from sentence_transformers import SentenceTransformer
+
+    return SentenceTransformer(model_name)
+
+
+def embed_query(
+    text: str,
+    dim: int = DEFAULT_DIM,
+    backend: str = "pseudo",
+    *,
+    model_name: str = DEFAULT_MODEL,
+) -> list[float]:
     """Driver-side query-vector twin of ``embed_text_column`` — the query
-    MUST embed under the same backend as the corpus or distances are
-    meaningless."""
+    MUST embed under the same backend (and, for 'model', the same
+    ``model_name``) as the corpus or distances are meaningless."""
     if backend == "hashing":
         return hashing_embed(text, dim)
     if backend == "model":
-        factory = _try_sentence_transformers(
-            "sentence-transformers/all-MiniLM-L6-v2"
-        )
-        if factory is None:
+        if _try_sentence_transformers(model_name) is None:
             raise ImportError("sentence-transformers not available")
-        from sentence_transformers import SentenceTransformer
-
-        model = SentenceTransformer("sentence-transformers/all-MiniLM-L6-v2")
+        model = _cached_model(model_name)
         return [float(x) for x in model.encode([text], normalize_embeddings=True)[0]]
     return pseudo_embed(text, dim)
 

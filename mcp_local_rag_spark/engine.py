@@ -188,7 +188,7 @@ class RagEngine:
             self.spark, root, dim=self.dim, backend=self.backend
         )
         mode = "append" if self._exists() else "overwrite"
-        write_chunks(chunks, self.table_path, mode=mode)
+        write_chunks(chunks, self.table_path, mode=mode, backend=self.backend, dim=self.dim)
         self.spark.catalog.refreshByPath(self.table_path)
         self._needs_full_index = True
         return self.chunks().count()
@@ -226,7 +226,7 @@ class RagEngine:
         if self._exists():
             delete_document(spark, self.table_path, file_path)
         mode = "append" if self._exists() else "overwrite"
-        write_chunks(new_chunks, self.table_path, mode=mode)
+        write_chunks(new_chunks, self.table_path, mode=mode, backend=self.backend, dim=self.dim)
         new_chunks.unpersist()
         spark.catalog.refreshByPath(self.table_path)
         self._dirty_upserts.add(file_path)
@@ -289,7 +289,7 @@ class RagEngine:
         if self._exists():
             delete_document(self.spark, self.table_path, path)
         mode = "append" if self._exists() else "overwrite"
-        write_chunks(new_chunks, self.table_path, mode=mode)
+        write_chunks(new_chunks, self.table_path, mode=mode, backend=self.backend, dim=self.dim)
         new_chunks.unpersist()
         self.spark.catalog.refreshByPath(self.table_path)
         self._dirty_upserts.add(path)
@@ -411,7 +411,7 @@ class RagEngine:
             docs = parsed.filter(F.col("parse_error").isNull())
             new_chunks = build_chunks(docs, dim=self.dim, backend=self.backend)
             mode = "append" if self._exists() else "overwrite"
-            write_chunks(new_chunks, self.table_path, mode=mode)
+            write_chunks(new_chunks, self.table_path, mode=mode, backend=self.backend, dim=self.dim)
             spark.catalog.refreshByPath(self.table_path)
             self._dirty_upserts.update(upsert_paths)
             self._dirty_deletes.difference_update(upsert_paths)

@@ -384,7 +384,13 @@ def connected_components(
         .select("id", F.coalesce(F.col("b"), F.col("id")).alias("label"))
         .groupBy("id")
         .agg(F.min("label").alias("label"))
+        # eager checkpoint materializes labels NOW so the cached inputs can
+        # be released before returning — otherwise `nodes` plus every
+        # round's checkpointed edge RDD stays pinned in executor storage
+        # for the rest of the session
+        .localCheckpoint(eager=True)
     )
+    nodes.unpersist()
     if stats is not None:
         stats.update(strategy="star_contraction", rounds=rounds)
     return labels

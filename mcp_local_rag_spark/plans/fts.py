@@ -41,7 +41,9 @@ def write_postings(
     table's bucket count as ``n_buckets`` to keep the alignment; the count
     is persisted as the index's own table property for refreshes."""
     if mode == "append":
-        nb = table_n_buckets(path, default=n_buckets)
+        # appends always route with the index's persisted bucket count;
+        # pre-property indexes resolve to the exact historical 64
+        nb = table_n_buckets(path)
     else:
         nb = n_buckets if n_buckets is not None else N_BUCKETS
     postings = build_postings(chunks, tokenizer=tokenizer)

@@ -42,12 +42,43 @@ N_BUCKETS = 64
 _TABLE_META = "_table_meta.json"
 
 
-def write_table_meta(path: str, n_buckets: int) -> None:
+def read_table_meta(path: str) -> dict:
+    """The table's persisted properties, or {} for pre-property tables."""
+    try:
+        with open(os.path.join(path, _TABLE_META)) as f:
+            meta = json.load(f)
+        return meta if isinstance(meta, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def write_table_meta(
+    path: str,
+    n_buckets: int,
+    *,
+    backend: str | None = None,
+    dim: int | None = None,
+) -> None:
     """Persist table properties next to the data. The leading underscore
-    keeps Spark's file index from treating it as a data file."""
+    keeps Spark's file index from treating it as a data file.
+
+    Besides the bucket count this records the embedding space the table was
+    written under (backend + dim) so appenders — the streaming watchers in
+    particular — embed new rows in the SAME space instead of silently
+    mixing incompatible vectors. ``None`` preserves whatever an existing
+    meta file already recorded (read-modify-write), so routing-only writers
+    (FTS refresh, compaction) never erase the embedding record."""
     os.makedirs(path, exist_ok=True)
+    prev = read_table_meta(path)
+    meta = {"format_version": 2, "n_buckets": int(n_buckets)}
+    b = backend if backend is not None else prev.get("backend")
+    d = dim if dim is not None else prev.get("dim")
+    if b is not None:
+        meta["backend"] = str(b)
+    if d is not None:
+        meta["dim"] = int(d)
     with open(os.path.join(path, _TABLE_META), "w") as f:
-        json.dump({"format_version": 1, "n_buckets": int(n_buckets)}, f)
+        json.dump(meta, f)
 
 
 def table_n_buckets(path: str, default: int | None = None) -> int:
@@ -55,10 +86,22 @@ def table_n_buckets(path: str, default: int | None = None) -> int:
     (or N_BUCKETS). Tables written before the property existed were all
     written with N_BUCKETS=64, so the fallback is exact for them."""
     try:
-        with open(os.path.join(path, _TABLE_META)) as f:
-            return int(json.load(f)["n_buckets"])
-    except (OSError, ValueError, KeyError, TypeError):
+        return int(read_table_meta(path)["n_buckets"])
+    except (ValueError, KeyError, TypeError):
         return default if default is not None else N_BUCKETS
+
+
+def table_embedding(path: str, *, default_backend: str = "pseudo", default_dim: int = 64) -> tuple[str, int]:
+    """(backend, dim) the table's vectors were written under — appenders
+    must embed in this space. Pre-property tables fall back to the
+    historical defaults (every such table was written pseudo/64)."""
+    meta = read_table_meta(path)
+    backend = meta.get("backend") or default_backend
+    try:
+        dim = int(meta.get("dim", default_dim))
+    except (ValueError, TypeError):
+        dim = default_dim
+    return str(backend), dim
 
 
 def ingest_directory(
@@ -162,7 +205,13 @@ def build_chunks(
 
 
 def write_chunks(
-    chunks: DataFrame, path: str, *, mode: str = "overwrite", n_buckets: int | None = None
+    chunks: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    n_buckets: int | None = None,
+    backend: str | None = None,
+    dim: int | None = None,
 ) -> None:
     """Persist the chunks table partitioned by filePath hash bucket.
 
@@ -172,12 +221,17 @@ def write_chunks(
     Without the repartition, every input partition appends a file to every
     bucket — M*N small files that the read side then pays for.
 
-    Appends ALWAYS route with the table's persisted bucket count; an
-    explicit ``n_buckets`` only applies to fresh/overwrite writes (and is
-    persisted as the table property for every later consumer).
+    Appends ALWAYS route with the table's persisted bucket count — the
+    caller's ``n_buckets`` is ignored in append mode (pre-property tables
+    resolve to the exact historical 64, never a caller override that would
+    mis-route rows). An explicit ``n_buckets`` applies to fresh/overwrite
+    writes only and is persisted as the table property.
+
+    ``backend``/``dim`` record the embedding space in the table meta so
+    later appenders (streaming watchers) embed in the same space.
     """
     if mode == "append":
-        nb = table_n_buckets(path, default=n_buckets)
+        nb = table_n_buckets(path)
     else:
         nb = n_buckets if n_buckets is not None else N_BUCKETS
     (
@@ -191,7 +245,7 @@ def write_chunks(
         .parquet(path)
     )
     # after the write: overwrite mode clears the directory first
-    write_table_meta(path, nb)
+    write_table_meta(path, nb, backend=backend, dim=dim)
 
 
 def compact_chunks(spark: SparkSession, table_path: str, target_files_per_bucket: int = 1) -> None:

@@ -52,16 +52,22 @@ TABLES = (
 def load(spark: SparkSession, sf_dir: str, name: str):
     """Load one driver-generated parquet table (TESTDATA.md).
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects; read nanos as long (runtime SQL conf, safe to set on any
-    session) and truncate to microseconds — the same value DuckDB produces
-    when it casts ns to its us-precision TIMESTAMP.
+    ``events.parquet`` has shipped with two physical types for ``ts``
+    across testdata generations: TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects (read nanos as long and truncate to micros — the value
+    DuckDB produces casting ns to its us-precision TIMESTAMP), and plain
+    TIMESTAMP(MICROS), which reads natively. Branch on the read type so
+    both generations load identically.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
         # integer div: epoch-nanos exceed 2^53, float division would lose
         # microsecond exactness
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -33,7 +33,8 @@ def stream_ingest(
     checkpoint_dir: str,
     *,
     pattern: str = "*.txt",
-    dim: int = 64,
+    dim: int | None = None,
+    backend: str | None = None,
     max_files_per_trigger: int = 100,
     available_now: bool = False,
 ):
@@ -43,9 +44,19 @@ def stream_ingest(
     file is one row; the path comes from input_file_name(). Non-utf8 /
     unsupported formats belong in a binaryFile batch sweep — the streaming
     text source is the md/txt hot path.
+
+    ``backend``/``dim`` default to the table's persisted embedding space
+    (_table_meta.json, written at ingest) so streamed appends land in the
+    SAME vector space as the batch-built corpus — a watcher appending
+    pseudo-64 vectors to a hashing- or model-embedded table would make
+    every later query distance against those rows meaningless.
     """
-    from ..plans.ingest import build_chunks, table_n_buckets
+    from ..plans.ingest import build_chunks, table_embedding, table_n_buckets
     from ..sources.parsers import title_udf
+
+    meta_backend, meta_dim = table_embedding(table_path)
+    backend = backend if backend is not None else meta_backend
+    dim = dim if dim is not None else meta_dim
 
     raw = (
         spark.readStream.format("text")
@@ -71,7 +82,7 @@ def stream_ingest(
             F.lower(F.sha2(F.col("text").cast("binary"), 256)).alias("contentHash"),
             F.length("text").cast("long").alias("length"),
         )
-        chunks = build_chunks(docs, dim=dim)
+        chunks = build_chunks(docs, dim=dim, backend=backend)
         # appends route with the table's persisted bucket count
         nb = table_n_buckets(table_path)
         (
@@ -97,19 +108,31 @@ def stream_ingest_binary(
     table_path: str,
     checkpoint_dir: str,
     *,
-    pattern: str = "*.{pdf,docx,md,txt,html}",
-    dim: int = 64,
+    pattern: str = "*.{pdf,docx,html}",
+    dim: int | None = None,
+    backend: str | None = None,
     max_files_per_trigger: int = 20,
     available_now: bool = False,
 ):
     """Binary-format watcher: the ``binaryFile`` streaming source feeds the
     SAME parse_files -> build_chunks pipeline as batch ingest, so PDFs and
-    DOCX stream in with full title chains and header/footer strip — the
-    text-source watcher above stays the md/txt hot path (no byte copy).
+    DOCX stream in with full title chains and header/footer strip.
     Unparseable files are dropped with their parse_error recorded in the
-    batch, never failing the stream (coverage, not crash)."""
-    from ..plans.ingest import build_chunks, table_n_buckets
+    batch, never failing the stream (coverage, not crash).
+
+    The default pattern deliberately EXCLUDES md/txt: those are the text
+    watcher's scope (``stream_ingest``), and both watchers on one directory
+    with overlapping globs would double-ingest every md/txt file — the
+    append-only stream path has no replace/dedup semantics to undo that.
+
+    ``backend``/``dim`` default to the table's persisted embedding space,
+    same rationale as ``stream_ingest``."""
+    from ..plans.ingest import build_chunks, table_embedding, table_n_buckets
     from ..sources.parsers import parse_files
+
+    meta_backend, meta_dim = table_embedding(table_path)
+    backend = backend if backend is not None else meta_backend
+    dim = dim if dim is not None else meta_dim
 
     raw = (
         spark.readStream.format("binaryFile")
@@ -134,7 +157,7 @@ def stream_ingest_binary(
             hashed.select("path", "contentHash", "length"), "path"
         )
         docs = parsed.filter(F.col("parse_error").isNull())
-        chunks = build_chunks(docs, dim=dim)
+        chunks = build_chunks(docs, dim=dim, backend=backend)
         nb = table_n_buckets(table_path)
         (
             chunks.withColumn(
