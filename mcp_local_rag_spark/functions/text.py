@@ -190,3 +190,36 @@ def fingerprint(col: Column) -> Column:
     For rolling/windowed fingerprints see operators/dedup.py (minhash/simhash).
     """
     return F.md5(normalized_text(col))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data curation)
+#
+# Patterns are restricted to the Java-regex ∩ RE2 common subset (no
+# backreferences, no lookaround) so the DuckDB oracle runs the literally
+# identical pattern strings. Order matters: URLs are redacted FIRST so an
+# address embedded in a URL can't be double-counted by a later pattern.
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+[0-9]{2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+)
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind match counts, keyed by pattern name (cast to long)."""
+    return {
+        name: F.regexp_count(col, F.lit(pat)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with its placeholder token, in PII_PATTERNS
+    order. Pure JVM regexp_replace chain — no UDF in the hot path."""
+    out = col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

@@ -12,6 +12,7 @@ from . import ext  # noqa: F401,E402
 from . import tpch  # noqa: F401,E402
 from . import events  # noqa: F401,E402
 from . import parsing  # noqa: F401,E402
+from . import curation  # noqa: F401,E402
 
 
 # Rotation against the driver's per-round check window (50 queries/round):
@@ -58,12 +59,37 @@ _VERIFIED_R2 = {
 }
 
 
+_VERIFIED_R3 = {
+    "agg_per_file", "bm25_ngram23", "bm25_unigram", "content_hash",
+    "corpus_decontaminate", "corpus_split_assign", "corpus_stats",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "distinct_event_types",
+    "documents_cube", "documents_pack_bins", "embedding_centroids",
+    "embedding_confusion", "embeddings_quantized_topk", "events_hourly",
+    "events_json_extract", "events_sessionize", "first_event_per_user",
+    "gap_stats", "grouping_similar", "keyword_boost", "knn_bruteforce",
+    "knn_ivf_probe", "list_cross_reference", "null_normalization",
+    "orphan_customers", "parsed_pdf_roundtrip", "percentile_by_lang",
+    "scalar_funcs", "scan_projection", "semi_join_candidates", "sync_counters",
+    "sync_plan", "text_fingerprint", "text_langid", "text_quality",
+    "text_token_stats", "tpch_q18_big_orders", "tpch_q1_pricing",
+    "tpch_q3_topk", "tpch_q5_region", "tpch_q6_selective", "vector_topk",
+    "vector_topk_scoped", "viewers_never_purchased", "window_rank_orders",
+}
+
+
 def _ordered_names():
+    """Never-verified queries first, then by the age of the last green row
+    (oldest round first), so the driver's 50-query window always covers the
+    fresh surface and re-verifies the stalest settled queries."""
     names = list(REGISTRY)
-    fresh = [n for n in names if n not in _VERIFIED_R1 and n not in _VERIFIED_R2]
-    stale = [n for n in names if n in _VERIFIED_R1 and n not in _VERIFIED_R2]
-    recent = [n for n in names if n in _VERIFIED_R2]
-    return fresh + stale + recent
+    rounds = (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3)
+
+    def last_green(n):
+        seen = [i + 1 for i, s in enumerate(rounds) if n in s]
+        return max(seen) if seen else 0
+
+    return sorted(names, key=lambda n: (last_green(n), names.index(n)))
 
 
 def queries():

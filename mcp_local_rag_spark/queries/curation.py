@@ -1,0 +1,262 @@
+"""Corpus-curation queries: PII scrubbing, repetition statistics, and a
+Gopher-style composite quality filter (Rae et al. 2021, "Scaling Language
+Models" §A1.1 — the published web-corpus filter family).
+
+The synthetic documents are digit-free word salad, so PII features are
+PLANTED deterministically from doc_id (same technique as the dedup
+corpus's planted duplicates): both engines construct byte-identical dirty
+text, so counts and redaction hashes have a known ground truth instead of
+vacuous all-zero matches.
+
+Threshold comparisons in the quality filter are INTEGER-exact (e.g. mean
+word length in [2,12] tested as ``sum_chars BETWEEN 2*n AND 12*n``) so no
+float boundary can disagree between engines.
+
+All regexes live in the Java-regex ∩ RE2 common subset; the oracle uses
+the literally identical pattern strings from functions/text.PII_PATTERNS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..session import load
+from .common import register
+
+# ---------------------------------------------------------------------------
+# planted-PII construction (keep the Spark and SQL templates in lockstep)
+
+
+def _dirty_col():
+    did = F.col("doc_id")
+    s = did.cast("string")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" Contact user"), s, F.lit("@example.com now.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" Host 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+                F.lit("."),
+                ((did % 100) + 1).cast("string"),
+                F.lit(" up."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" Call +49-555-"),
+                F.lpad(((did * 13) % 10000).cast("string"), 4, "0"),
+                F.lit("."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" See https://example.org/doc/"), s, F.lit(" page.")),
+        ).otherwise(F.lit("")),
+    )
+
+
+_DIRTY_CTE = """
+dirty AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' Contact user' || doc_id || '@example.com now.' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' Host 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                      || '.' || ((doc_id % 100) + 1) || ' up.' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' Call +49-555-' || lpad(((doc_id * 13) % 10000)::VARCHAR, 4, '0')
+                      || '.' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' See https://example.org/doc/' || doc_id || ' page.' ELSE '' END
+         AS t
+  FROM documents
+)
+"""
+
+
+def _pii_sql() -> str:
+    pats = {name: pat for name, pat, _ in TX.PII_PATTERNS}
+    # nested replace chain, outermost = last applied (phone), matching the
+    # Spark redact_pii application order url -> email -> ipv4 -> phone
+    redacted = "t"
+    for name, pat, token in TX.PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{token}', 'g')"
+    return f"""WITH {_DIRTY_CTE.strip()}
+SELECT doc_id,
+       len(regexp_extract_all(t, '{pats["url"]}'))::BIGINT AS n_url,
+       len(regexp_extract_all(t, '{pats["email"]}'))::BIGINT AS n_email,
+       len(regexp_extract_all(t, '{pats["ipv4"]}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(t, '{pats["phone"]}'))::BIGINT AS n_phone,
+       md5({redacted}) AS redacted_hash
+FROM dirty"""
+
+
+@register("text_pii_redact", _pii_sql())
+def q_text_pii_redact(spark, sf_dir):
+    """Count and redact planted PII (url/email/ipv4/phone). Counts come
+    from the dirty text; the hash proves the redaction chain rewrote every
+    occurrence byte-identically to the oracle's chain."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = docs.select("doc_id", _dirty_col().alias("t"))
+    counts = TX.pii_counts(F.col("t"))
+    return dirty.select(
+        "doc_id",
+        counts["url"].alias("n_url"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+        F.md5(TX.redact_pii(F.col("t"))).alias("redacted_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher's duplicate-n-gram family)
+
+
+@register(
+    "text_repetition",
+    r"""WITH tokd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+  FROM tokd, unnest(range(1, len(toks))) AS r(i)
+  WHERE len(toks) >= 2
+),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+agg AS (
+  SELECT doc_id, max(c) AS top, sum(c) AS tot,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(coalesce(a.top::DOUBLE / a.tot, 0.0), 6) + 0.0 AS top_bigram_frac,
+       round(coalesce(a.dup::DOUBLE / a.tot, 0.0), 6) + 0.0 AS dup_bigram_frac
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+)
+def q_text_repetition(spark, sf_dir):
+    """Per-doc word-bigram repetition: share of the single most frequent
+    bigram, and share of all bigram occurrences that are repeats.
+
+    ONE shuffle total: the explicit repartition on doc_id is the only
+    exchange — HashPartitioning(doc_id) satisfies the clustered
+    distribution of BOTH downstream aggregations (doc_id+bg, then doc_id),
+    so they chain shuffle-free. explode_outer keeps zero-bigram docs as a
+    null-bg row (filtered out of the stats but holding the doc's place),
+    which eliminates the join-back that would otherwise broadcast the
+    whole per-doc aggregate. Partitioning by doc alone is skew-safe:
+    document length is bounded, so no key exceeds one doc's bigrams."""
+    docs = load(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode_outer(TX.word_shingles(F.col("text"), 2)).alias("bg")
+    )
+    real = F.col("bg").isNotNull()
+    agg = (
+        bg.repartition("doc_id")
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(real, F.col("c"))).alias("top"),
+            F.sum(F.when(real, F.col("c"))).alias("tot"),
+            F.sum(F.when(real & (F.col("c") > 1), F.col("c")).otherwise(0)).alias(
+                "dup"
+            ),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        (
+            F.round(
+                F.coalesce(
+                    F.col("top").cast("double") / F.col("tot"), F.lit(0.0)
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("top_bigram_frac"),
+        (
+            F.round(
+                F.coalesce(
+                    F.col("dup").cast("double") / F.col("tot"), F.lit(0.0)
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# composite quality filter (integer-exact thresholds)
+
+
+@register(
+    "text_gopher_filter",
+    r"""WITH tokd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tok,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS sum_chars,
+         len(list_distinct(toks))::BIGINT AS n_distinct
+  FROM tokd
+)
+SELECT doc_id, n_tok, sum_chars, n_distinct,
+       (n_tok BETWEEN 5 AND 10000)::INT AS ok_len,
+       (sum_chars BETWEEN 2 * n_tok AND 12 * n_tok)::INT AS ok_word,
+       (n_distinct * 5 >= n_tok)::INT AS ok_div,
+       (n_tok BETWEEN 5 AND 10000
+        AND sum_chars BETWEEN 2 * n_tok AND 12 * n_tok
+        AND n_distinct * 5 >= n_tok)::INT AS keep
+FROM m""",
+)
+def q_text_gopher_filter(spark, sf_dir):
+    """Gopher-style keep/drop per document: token-count bounds [5,10000],
+    mean word length in [2,12], distinct-token ratio >= 0.2 — all tested
+    in integer arithmetic so the decision is bit-exact across engines.
+    One narrow scan, zero shuffles: every metric is a per-row array
+    expression inside whole-stage codegen."""
+    docs = load(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    sum_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    base = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        sum_chars.alias("sum_chars"),
+        n_distinct.alias("n_distinct"),
+    )
+    ok_len = F.col("n_tok").between(5, 10000)
+    ok_word = F.col("sum_chars").between(
+        2 * F.col("n_tok"), 12 * F.col("n_tok")
+    )
+    ok_div = F.col("n_distinct") * 5 >= F.col("n_tok")
+    return base.select(
+        "doc_id",
+        "n_tok",
+        "sum_chars",
+        "n_distinct",
+        ok_len.cast("int").alias("ok_len"),
+        ok_word.cast("int").alias("ok_word"),
+        ok_div.cast("int").alias("ok_div"),
+        (ok_len & ok_word & ok_div).cast("int").alias("keep"),
+    )

@@ -278,3 +278,30 @@ def test_split_assign_is_single_aggregate(spark, qs):
     p = plan(qs["corpus_split_assign"](spark, SF_DIR))
     assert "Join" not in p
     assert p.count("Exchange") <= 2  # partial->final agg (+AQE read)
+
+
+def test_gopher_filter_is_single_pass_no_shuffle(spark, qs):
+    p = plan(qs["text_gopher_filter"](spark, SF_DIR))
+    # every metric is a per-row array expression: one narrow scan, no
+    # exchange anywhere — the filter streams at scan speed on any corpus
+    assert "Exchange" not in p, p
+    read = next(line for line in p.splitlines() if "ReadSchema" in line)
+    assert "text" in read and "embedding" not in read and "source" not in read
+
+
+def test_pii_redact_is_map_only(spark, qs):
+    p = plan(qs["text_pii_redact"](spark, SF_DIR))
+    assert "Exchange" not in p, p
+    read = next(line for line in p.splitlines() if "ReadSchema" in line)
+    # reads only the two columns the construction needs
+    assert "doc_id" in read and "text" in read and "n_chars" not in read
+
+
+def test_repetition_is_single_shuffle(spark, qs):
+    p = plan(qs["text_repetition"](spark, SF_DIR))
+    # the explicit doc_id repartition is the ONLY exchange: both chained
+    # aggregations reuse its partitioning, and explode_outer removes the
+    # join-back (no broadcast side at all)
+    n_exchanges = p.count("+- Exchange") + p.count("(Exchange")
+    assert n_exchanges <= 1, p
+    assert "Join" not in p, p

@@ -81,3 +81,36 @@ def test_base64url_roundtrip(spark):
 def test_extension(spark):
     assert _one(spark, paths.extension(F.lit("/x/y/doc.MD"))) == "md"
     assert _one(spark, paths.extension(F.lit("/x/noext"))) == ""
+
+
+def test_pii_redaction_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail me at a.b+c@ex-ample.co.uk or bob@x.io",),
+            ("server 192.168.0.1 then visit https://a.b/c?d=1 now",),
+            ("call +49-555-0134 today",),
+            ("clean text with no pii at all",),
+        ],
+        "t string",
+    )
+    c = text.pii_counts(F.col("t"))
+    rows = df.select(
+        c["email"].alias("e"), c["ipv4"].alias("i"), c["url"].alias("u"),
+        c["phone"].alias("p"), text.redact_pii(F.col("t")).alias("r"),
+    ).collect()
+    assert [r.e for r in rows] == [2, 0, 0, 0]
+    assert [r.i for r in rows] == [0, 1, 0, 0]
+    assert [r.u for r in rows] == [0, 1, 0, 0]
+    assert [r.p for r in rows] == [0, 0, 1, 0]
+    assert rows[0].r == "mail me at <EMAIL> or <EMAIL>"
+    assert rows[1].r == "server <IP> then visit <URL> now"
+    assert rows[2].r == "call <PHONE> today"
+    assert rows[3].r == "clean text with no pii at all"
+
+
+def test_pii_url_redacted_before_inner_patterns(spark):
+    # an IP inside a URL is swallowed by the URL placeholder, not
+    # double-redacted by the ipv4 pass
+    df = spark.createDataFrame([("go to http://10.0.0.1/x then stop",)], "t string")
+    r = df.select(text.redact_pii(F.col("t")).alias("r")).first().r
+    assert r == "go to <URL> then stop"
