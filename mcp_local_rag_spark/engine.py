@@ -296,6 +296,72 @@ class RagEngine:
         self._dirty_deletes.discard(path)
         return n
 
+    def ingest_records_file(self, file_path: str) -> dict:
+        """Ingest a multi-record container (.jsonl / .csv): each record
+        becomes its own document at ``<file>#r<index>``, chunked and
+        embedded through the SAME build_chunks pipeline as file ingest.
+
+        Extension beyond the reference's one-file-one-document parser
+        registry (src/parser/index.ts) — training corpora arrive as record
+        containers. Replace semantics cover the whole container: rows from
+        a previous version of the file (including records that no longer
+        exist) are deleted in ONE batched bucket rewrite, but only after
+        the new parse produced at least one chunk (zero-chunk guard, same
+        contract as ingest_file).
+        """
+        from .sources.structured import parse_structured_files
+
+        file_path = os.path.abspath(file_path)
+        spark = self.spark
+        content = read_files(spark, [file_path])
+        records = parse_structured_files(content)
+        err = records.select("parse_error").first()
+        if err and err["parse_error"]:
+            raise ValueError(f"parse failed for {file_path}: {err['parse_error']}")
+        docs = records.select(
+            F.concat(
+                F.col("path"), F.lit("#r"), F.col("record_index").cast("string")
+            ).alias("path"),
+            "text",
+            "title",
+            F.lower(F.sha2(F.col("text").cast("binary"), 256)).alias("contentHash"),
+            F.length("text").cast("long").alias("length"),
+        )
+        new_chunks = build_chunks(docs, dim=self.dim, backend=self.backend).persist()
+        n = new_chunks.count()
+        if n == 0:
+            new_chunks.unpersist()
+            raise ValueError(
+                f"no chunks produced for {file_path}; existing rows left intact"
+            )
+        n_records = docs.count()
+        stale: list[str] = []
+        if self._exists():
+            # every stored row of this container, under any previous record
+            # set — prefix match on '<file>#r', one batched delete
+            stale = [
+                r["filePath"]
+                for r in self.chunks()
+                .select("filePath")
+                .where(F.col("filePath").startswith(file_path + "#r"))
+                .distinct()
+                .collect()
+            ]
+            if stale:
+                delete_documents(spark, self.table_path, stale)
+        mode = "append" if self._exists() else "overwrite"
+        write_chunks(new_chunks, self.table_path, mode=mode, backend=self.backend, dim=self.dim)
+        new_chunks.unpersist()
+        spark.catalog.refreshByPath(self.table_path)
+        # index dirtiness is tracked at RECORD granularity — the postings
+        # refresh filters chunks by exact filePath, and stored rows live
+        # under the per-record paths, not the container path
+        new_paths = {f"{file_path}#r{i}" for i in range(n_records)}
+        self._dirty_upserts.update(new_paths)
+        self._dirty_deletes.update(set(stale) - new_paths)
+        self._dirty_upserts.difference_update(set(stale) - new_paths)
+        return {"filePath": file_path, "recordCount": n_records, "chunkCount": n}
+
     def delete_document(self, file_path: str) -> int:
         n = delete_document(self.spark, self.table_path, file_path)
         if n:

@@ -260,3 +260,97 @@ def q_parsed_html_roundtrip(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["doc_id", "title", "text_len"])
 
     return docs.mapInPandas(_roundtrip, "doc_id long, title string, text_len long")
+
+
+# ---------------------------------------------------------------------------
+# structured multi-record containers (JSONL / CSV) — one file expands to
+# many documents. Each query builds ONE container per `source` group
+# (applyInPandas), runs the real stdlib record parser, and emits per-record
+# fields the oracle derives relationally: record_index must equal the
+# rank of the doc within its source file, so a skipped/duplicated/
+# reordered record breaks the hash compare.
+
+_RECORDS_RT_SCHEMA = "doc_id long, record_index long, title string, text_len long"
+
+
+@register(
+    "parsed_jsonl_roundtrip",
+    """SELECT doc_id,
+       (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::BIGINT
+         AS record_index,
+       'Doc ' || doc_id AS title,
+       length(text)::BIGINT AS text_len
+FROM documents""",
+)
+def q_parsed_jsonl_roundtrip(spark, sf_dir):
+    """Serialize each source's documents to a real .jsonl (one JSON object
+    per line, id/title/text keys), parse it back with the record parser,
+    and emit identity + position + exact text length (JSON round-trips
+    text byte-exactly, so text_len is length(text) — no normalization)."""
+    import json
+
+    from ..sources.structured import parse_jsonl_bytes
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    def _rt(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        lines = [
+            json.dumps(
+                {"id": int(d), "title": f"Doc {d}", "text": t},
+                ensure_ascii=False,
+            )
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        recs = parse_jsonl_bytes(
+            f"/mem/{key[0]}.jsonl", "\n".join(lines).encode("utf-8")
+        )
+        return pd.DataFrame(
+            [
+                (int(r["id"]), r["record_index"], r["title"], len(r["text"]))
+                for r in recs
+            ],
+            columns=["doc_id", "record_index", "title", "text_len"],
+        )
+
+    return docs.groupBy("source").applyInPandas(_rt, _RECORDS_RT_SCHEMA)
+
+
+@register(
+    "parsed_csv_roundtrip",
+    """SELECT doc_id,
+       (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::BIGINT
+         AS record_index,
+       trim(substr(text, 1, 100)) AS title,
+       length(text)::BIGINT AS text_len
+FROM documents""",
+)
+def q_parsed_csv_roundtrip(spark, sf_dir):
+    """Serialize each source's documents to a real header CSV (id,text —
+    deliberately NO title column, exercising the first-line-of-text title
+    fallback), parse via csv.DictReader, and emit the same relational
+    identity fields as the JSONL twin."""
+    import csv
+    import io
+
+    from ..sources.structured import parse_csv_bytes
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    def _rt(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        buf = io.StringIO()
+        w = csv.writer(buf)
+        w.writerow(["id", "text"])
+        for d, t in zip(pdf["doc_id"], pdf["text"]):
+            w.writerow([int(d), t])
+        recs = parse_csv_bytes(f"/mem/{key[0]}.csv", buf.getvalue().encode("utf-8"))
+        return pd.DataFrame(
+            [
+                (int(r["id"]), r["record_index"], r["title"], len(r["text"]))
+                for r in recs
+            ],
+            columns=["doc_id", "record_index", "title", "text_len"],
+        )
+
+    return docs.groupBy("source").applyInPandas(_rt, _RECORDS_RT_SCHEMA)

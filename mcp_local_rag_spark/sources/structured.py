@@ -1,0 +1,155 @@
+"""Multi-record structured sources: JSONL and CSV.
+
+The reference's parser registry is strictly one-file-one-document
+(src/parser/index.ts dispatch); training corpora, however, arrive as
+record containers — a .jsonl of {"id","title","text"} objects or a .csv
+with a text column — so this module extends S6 with a flatMap-shaped
+parser: one input file row expands to N document rows. Everything is
+stdlib (json / csv) inside an Arrow ``mapInPandas`` batch; the Spark
+plan is a pure map stage, no shuffle, parallel across files.
+
+Record identity: each record keeps its 0-based position in the file
+(``record_index``) plus the container path, so ``<path>#r<index>`` is a
+stable per-record path for the chunks table; an explicit ``id`` field
+(JSONL key / CSV column) rides along when present.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# keys tried in order for the text / title payload of one record
+TEXT_KEYS = ("text", "content", "body")
+TITLE_KEYS = ("title", "heading", "name")
+
+
+def _first_key(obj: dict, keys: tuple[str, ...]) -> str | None:
+    for k in keys:
+        v = obj.get(k)
+        if isinstance(v, str) and v:
+            return v
+    return None
+
+
+def _record(obj: dict, idx: int, path: str) -> dict:
+    text = _first_key(obj, TEXT_KEYS)
+    if text is None:
+        raise ValueError(f"record {idx} has no text field (tried {TEXT_KEYS})")
+    title = _first_key(obj, TITLE_KEYS)
+    if title is None:
+        # txt-style fallback: first line of the record's own text
+        title = text.split("\n", 1)[0][:100].strip() or f"{path}#r{idx}"
+    rid = obj.get("id")
+    return {
+        "record_index": idx,
+        "id": None if rid is None else str(rid),
+        "title": title,
+        "text": text,
+    }
+
+
+def parse_jsonl_bytes(path: str, content: bytes) -> list[dict]:
+    """One JSON object per non-blank line -> list of records. A bad line
+    raises (the caller records the error for the whole file — a container
+    with undecodable records is a coverage fact, not a partial parse)."""
+    records = []
+    idx = 0
+    for lineno, line in enumerate(content.decode("utf-8").splitlines(), 1):
+        if not line.strip():
+            continue
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError as e:
+            raise ValueError(f"line {lineno}: invalid JSON ({e.msg})") from e
+        if not isinstance(obj, dict):
+            raise ValueError(f"line {lineno}: not a JSON object")
+        records.append(_record(obj, idx, path))
+        idx += 1
+    return records
+
+
+def parse_csv_bytes(path: str, content: bytes) -> list[dict]:
+    """Header CSV -> list of records via csv.DictReader (handles quoting,
+    embedded newlines/commas). Text column resolution follows TEXT_KEYS."""
+    reader = csv.DictReader(io.StringIO(content.decode("utf-8")))
+    if reader.fieldnames is None:
+        raise ValueError("empty CSV (no header row)")
+    records = []
+    for idx, row in enumerate(reader):
+        records.append(_record(row, idx, path))
+    return records
+
+
+def parse_structured_bytes(path: str, content: bytes) -> list[dict]:
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    if ext == "jsonl":
+        return parse_jsonl_bytes(path, content)
+    if ext == "csv":
+        return parse_csv_bytes(path, content)
+    raise ValueError(f"unsupported structured extension: {path}")
+
+
+RECORDS_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("record_index", LongType()),
+        StructField("record_id", StringType()),
+        StructField("title", StringType()),
+        StructField("text", StringType()),
+        StructField("parse_error", StringType()),
+    ]
+)
+
+
+def parse_structured_files(files: DataFrame) -> DataFrame:
+    """(path, content) -> one row per record (flatMap expansion).
+
+    A file that fails to parse yields ONE row with parse_error set and
+    null record fields — same coverage-not-crash contract as
+    parsers.parse_files. Downstream chunking uses
+    ``path || '#r' || record_index`` as the per-record file path.
+    """
+    import pandas as pd
+
+    def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    for rec in parse_structured_bytes(path, bytes(content)):
+                        rows.append(
+                            (
+                                path,
+                                rec["record_index"],
+                                rec["id"],
+                                rec["title"],
+                                rec["text"],
+                                None,
+                            )
+                        )
+                except Exception as e:  # noqa: BLE001 — coverage fact
+                    rows.append((path, None, None, None, None, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path",
+                    "record_index",
+                    "record_id",
+                    "title",
+                    "text",
+                    "parse_error",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(_parse, RECORDS_SCHEMA)

@@ -1,0 +1,125 @@
+"""Structured multi-record sources (.jsonl / .csv): parser unit behavior,
+the flatMap Spark expansion, and the engine's container-level replace
+semantics (extension beyond the reference's one-file-one-document parser
+registry, src/parser/index.ts)."""
+
+import json
+
+import pytest
+
+from mcp_local_rag_spark.engine import RagEngine
+from mcp_local_rag_spark.sources.structured import (
+    parse_csv_bytes,
+    parse_jsonl_bytes,
+    parse_structured_files,
+)
+
+LONG_A = (
+    "The alpha record explains shuffle partitioning strategies in enough"
+    " prose to clear the minimum chunk length bar easily."
+)
+LONG_B = (
+    "The beta record concerns broadcast joins plus adaptive execution and"
+    " also comfortably exceeds fifty characters."
+)
+LONG_C = (
+    "The gamma record describes watermarked streaming aggregation windows"
+    " with a comfortable amount of descriptive prose."
+)
+
+
+def test_jsonl_parse_fields_and_fallbacks():
+    lines = [
+        json.dumps({"id": 7, "title": "Alpha", "text": LONG_A}),
+        "",  # blank lines skipped, indices stay dense
+        json.dumps({"content": LONG_B}),  # text fallback key, no id/title
+    ]
+    recs = parse_jsonl_bytes("/x/a.jsonl", "\n".join(lines).encode())
+    assert [r["record_index"] for r in recs] == [0, 1]
+    assert recs[0]["id"] == "7" and recs[0]["title"] == "Alpha"
+    assert recs[1]["id"] is None
+    # title fallback = first line of the record's own text
+    assert recs[1]["title"] == LONG_B.split("\n", 1)[0][:100].strip()
+
+
+def test_jsonl_bad_line_raises_with_line_number():
+    with pytest.raises(ValueError, match="line 2"):
+        parse_jsonl_bytes("/x/a.jsonl", b'{"text": "ok"}\nnot json')
+
+
+def test_csv_parse_quoting_and_text_column():
+    csv_bytes = (
+        'id,note,text\n1,plain,"has, comma and ""quote"""\n2,x,' + LONG_B + "\n"
+    ).encode()
+    recs = parse_csv_bytes("/x/a.csv", csv_bytes)
+    assert recs[0]["text"] == 'has, comma and "quote"'
+    assert recs[1]["text"] == LONG_B
+    assert [r["id"] for r in recs] == ["1", "2"]
+
+
+def test_structured_files_flatmap_and_error_row(spark):
+    good = "\n".join(
+        json.dumps({"id": i, "title": f"T{i}", "text": t})
+        for i, t in enumerate([LONG_A, LONG_B])
+    ).encode()
+    bad = b"\x00\xff not a container"
+    df = spark.createDataFrame(
+        [("/d/good.jsonl", bytearray(good)), ("/d/bad.jsonl", bytearray(bad))],
+        "path string, content binary",
+    )
+    rows = parse_structured_files(df).collect()
+    by_path = {}
+    for r in rows:
+        by_path.setdefault(r.path, []).append(r)
+    assert len(by_path["/d/good.jsonl"]) == 2
+    assert {r.record_index for r in by_path["/d/good.jsonl"]} == {0, 1}
+    errs = by_path["/d/bad.jsonl"]
+    assert len(errs) == 1 and errs[0].parse_error and errs[0].text is None
+
+
+def test_engine_ingest_records_replace_semantics(spark, tmp_path):
+    f = tmp_path / "corpus.jsonl"
+    f.write_text(
+        "\n".join(
+            json.dumps({"id": i, "title": f"Rec {i}", "text": t})
+            for i, t in enumerate([LONG_A, LONG_B, LONG_C])
+        )
+    )
+    eng = RagEngine(spark, str(tmp_path / "chunks"))
+    out = eng.ingest_records_file(str(f))
+    assert out["recordCount"] == 3 and out["chunkCount"] >= 3
+
+    paths = {r.filePath for r in eng.chunks().select("filePath").collect()}
+    assert paths == {f"{f}#r0", f"{f}#r1", f"{f}#r2"}
+
+    # shrink the container: record 2 disappears, record 0's text changes —
+    # re-ingest must replace everything, leaving no orphan #r2 rows
+    f.write_text(
+        "\n".join(
+            json.dumps({"id": i, "title": f"Rec {i}", "text": t})
+            for i, t in enumerate([LONG_B, LONG_C])
+        )
+    )
+    out2 = eng.ingest_records_file(str(f))
+    assert out2["recordCount"] == 2
+    paths2 = {r.filePath for r in eng.chunks().select("filePath").collect()}
+    assert paths2 == {f"{f}#r0", f"{f}#r1"}
+    texts = {
+        r.filePath: r.text
+        for r in eng.chunks().select("filePath", "text").collect()
+    }
+    assert "beta" in texts[f"{f}#r0"]
+
+
+def test_engine_ingest_records_zero_chunk_guard(spark, tmp_path):
+    f = tmp_path / "c.jsonl"
+    f.write_text(json.dumps({"id": 0, "title": "T", "text": LONG_A}))
+    eng = RagEngine(spark, str(tmp_path / "chunks"))
+    eng.ingest_records_file(str(f))
+    before = eng.chunks().count()
+
+    f.write_text("not json at all")
+    with pytest.raises(ValueError, match="parse failed"):
+        eng.ingest_records_file(str(f))
+    # stored rows survived the failed re-ingest
+    assert eng.chunks().count() == before
