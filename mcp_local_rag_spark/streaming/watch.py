@@ -26,6 +26,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _append_chunk_batch(
+    chunks: DataFrame,
+    table_path: str,
+    postings_path: str | None,
+    tokenizer: str,
+) -> None:
+    """Append one micro-batch of chunk rows to the bucketed chunks table
+    and, when an FTS index rides along, append the batch's postings to it.
+
+    Postings maintenance is APPEND-only here: streaming file sources see
+    each file exactly once (files are immutable to the source), so there
+    are never stale postings to replace — the bucket-local rewrite path
+    (plans/fts.refresh_postings) is for batch upsert/delete. A first batch
+    against a missing index bootstraps it bucket-aligned with the chunks
+    table so later batch refreshes stay document-aligned."""
+    import os
+
+    from ..plans.fts import write_postings
+    from ..plans.ingest import table_n_buckets
+
+    nb = table_n_buckets(table_path)
+    (
+        chunks.withColumn(
+            "bucket", F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int")
+        )
+        .write.partitionBy("bucket")
+        .mode("append")
+        .parquet(table_path)
+    )
+    if postings_path is not None:
+        mode = "append" if os.path.isdir(postings_path) else "overwrite"
+        write_postings(
+            chunks, postings_path, tokenizer=tokenizer, mode=mode, n_buckets=nb
+        )
+
+
 def stream_ingest(
     spark: SparkSession,
     watch_dir: str,
@@ -35,6 +71,8 @@ def stream_ingest(
     pattern: str = "*.txt",
     dim: int | None = None,
     backend: str | None = None,
+    postings_path: str | None = None,
+    tokenizer: str = "unigram",
     max_files_per_trigger: int = 100,
     available_now: bool = False,
 ):
@@ -50,8 +88,12 @@ def stream_ingest(
     SAME vector space as the batch-built corpus — a watcher appending
     pseudo-64 vectors to a hashing- or model-embedded table would make
     every later query distance against those rows meaningless.
+
+    ``postings_path`` keeps the persisted BM25 index warm per micro-batch
+    (append-only — see _append_chunk_batch), so hybrid search over the
+    table never waits for a batch optimize() to see streamed documents.
     """
-    from ..plans.ingest import build_chunks, table_embedding, table_n_buckets
+    from ..plans.ingest import build_chunks, table_embedding
     from ..sources.parsers import title_udf
 
     meta_backend, meta_dim = table_embedding(table_path)
@@ -83,16 +125,7 @@ def stream_ingest(
             F.length("text").cast("long").alias("length"),
         )
         chunks = build_chunks(docs, dim=dim, backend=backend)
-        # appends route with the table's persisted bucket count
-        nb = table_n_buckets(table_path)
-        (
-            chunks.withColumn(
-                "bucket", F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int")
-            )
-            .write.partitionBy("bucket")
-            .mode("append")
-            .parquet(table_path)
-        )
+        _append_chunk_batch(chunks, table_path, postings_path, tokenizer)
 
     writer = raw.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -111,6 +144,8 @@ def stream_ingest_binary(
     pattern: str = "*.{pdf,docx,html}",
     dim: int | None = None,
     backend: str | None = None,
+    postings_path: str | None = None,
+    tokenizer: str = "unigram",
     max_files_per_trigger: int = 20,
     available_now: bool = False,
 ):
@@ -126,8 +161,9 @@ def stream_ingest_binary(
     append-only stream path has no replace/dedup semantics to undo that.
 
     ``backend``/``dim`` default to the table's persisted embedding space,
+    and ``postings_path`` appends the batch's postings to the BM25 index —
     same rationale as ``stream_ingest``."""
-    from ..plans.ingest import build_chunks, table_embedding, table_n_buckets
+    from ..plans.ingest import build_chunks, table_embedding
     from ..sources.parsers import parse_files
 
     meta_backend, meta_dim = table_embedding(table_path)
@@ -158,15 +194,7 @@ def stream_ingest_binary(
         )
         docs = parsed.filter(F.col("parse_error").isNull())
         chunks = build_chunks(docs, dim=dim, backend=backend)
-        nb = table_n_buckets(table_path)
-        (
-            chunks.withColumn(
-                "bucket", F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int")
-            )
-            .write.partitionBy("bucket")
-            .mode("append")
-            .parquet(table_path)
-        )
+        _append_chunk_batch(chunks, table_path, postings_path, tokenizer)
 
     writer = raw.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

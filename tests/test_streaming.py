@@ -281,3 +281,44 @@ def test_stream_ingest_binary_pdf_and_docx(spark, tmp_path):
     q2.awaitTermination(120)
     spark.catalog.refreshByPath(table)
     assert spark.read.parquet(table).count() == stored.count()
+
+
+def test_stream_ingest_maintains_postings_index(spark, tmp_path):
+    from mcp_local_rag_spark.plans.fts import read_postings
+    from mcp_local_rag_spark.streaming.watch import stream_ingest
+
+    watch = tmp_path / "drop"
+    watch.mkdir()
+    (watch / "a.txt").write_text(
+        "Watermark Doc\n\nStreaming watermark semantics bound the state kept for late arrivals.\n"
+    )
+    table = str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ckpt")
+    postings = str(tmp_path / "postings")
+
+    q = stream_ingest(
+        spark, str(watch), table, ckpt, postings_path=postings, available_now=True
+    )
+    q.awaitTermination(120)
+    idx = read_postings(spark, postings)
+    assert idx.filter("term = 'watermark'").count() >= 1
+
+    # the index grows with a later micro-batch, without reprocessing a.txt
+    (watch / "b.txt").write_text(
+        "Second streamed doc mentioning broadcast joins at a comfortable length for chunking.\n"
+    )
+    q2 = stream_ingest(
+        spark, str(watch), table, ckpt, postings_path=postings, available_now=True
+    )
+    q2.awaitTermination(120)
+    spark.catalog.refreshByPath(postings)
+    idx2 = read_postings(spark, postings)
+    assert idx2.filter("term = 'broadcast'").count() >= 1
+    # a.txt postings present exactly once (no double-append on re-drain)
+    a_rows = idx2.filter("term = 'watermark'").count()
+    assert a_rows == idx.filter("term = 'watermark'").count()
+
+    # postings stayed bucket-aligned with the chunks table
+    from mcp_local_rag_spark.plans.ingest import table_n_buckets
+
+    assert table_n_buckets(postings) == table_n_buckets(table)
