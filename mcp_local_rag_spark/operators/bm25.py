@@ -215,13 +215,6 @@ def bm25_scores_scan(
     terms = list(dict.fromkeys(query_terms))
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), "")
 
-    if stats is None:
-        # align with the postings path: docs that tokenize to zero tokens
-        # (punctuation-only / CJK under the unigram tokenizer) contribute no
-        # postings rows there, so they must not inflate N or deflate avgdl
-        stats = corpus_stats_scan(chunks, terms, text_col=text_col)
-    n_docs, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
-
     if candidates is not None and text_col in candidates.columns:
         # the candidate rows already carry their text (hybrid_search's
         # persisted <=2k top-k set): tokenize THEM instead of re-scanning
@@ -236,25 +229,50 @@ def bm25_scores_scan(
             )
     cand = cand.withColumn("_dl", F.size("_toks"))
 
-    import math
-
-    term_scores = []
-    for i, t in enumerate(terms):
-        df = stats["df"].get(t, 0)
-        if df == 0:
-            continue  # absent term contributes 0 everywhere (idf join drops it)
-        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-        tf = F.size("_toks") - F.size(F.array_remove("_toks", t))
-        term_scores.append(
-            F.lit(idf)
-            * (tf * (k1 + 1))
-            / (tf + k1 * (1 - b + b * F.col("_dl") / F.lit(avgdl)))
+    if stats is not None:
+        # precomputed snapshot stats (corpus_stats_scan / maintained index
+        # side numbers): fold them in as literals — no extra scan at all
+        n_col = F.lit(int(stats["n"]))
+        avgdl_col = F.lit(float(stats["avgdl"] or 0.0))
+        df_cols = {t: F.lit(int(stats["df"].get(t, 0))) for t in terms}
+    else:
+        # align with the postings path: docs that tokenize to zero tokens
+        # (punctuation-only / CJK under the unigram tokenizer) contribute no
+        # postings rows there, so they must not inflate N or deflate avgdl.
+        # The 1-row aggregate is broadcast-cross-joined onto the candidate
+        # rows instead of .first()'d to the driver: stats + scoring stay ONE
+        # DAG / one job submission, and no eager round trip sits between a
+        # caller's candidate materialization and the final top-k.
+        stats_row = (
+            chunks.select(toks.alias("_st")).filter(F.size("_st") > 0).agg(
+                F.count("*").alias("__n"),
+                F.coalesce(F.avg(F.size("_st")), F.lit(0.0)).alias("__avgdl"),
+                *[
+                    F.coalesce(
+                        F.sum(F.array_contains("_st", t).cast("long")), F.lit(0)
+                    ).alias(f"__df{i}")
+                    for i, t in enumerate(terms)
+                ],
+            )
         )
-    if not term_scores:
-        return cand.select(*id_cols, F.lit(None).cast("double").alias("_score")).limit(0)
-    score = term_scores[0]
-    for ts in term_scores[1:]:
-        score = score + ts
+        cand = cand.crossJoin(F.broadcast(stats_row))
+        n_col = F.col("__n")
+        avgdl_col = F.col("__avgdl")
+        df_cols = {t: F.col(f"__df{i}") for i, t in enumerate(terms)}
+
+    score = F.lit(0.0)
+    for t in terms:
+        df = df_cols[t]
+        # when df = 0 the term contributes nothing (old driver-side skip,
+        # now a column guard so stats may arrive either way)
+        idf = F.log(F.lit(1.0) + (n_col - df + 0.5) / (df + 0.5))
+        tf = F.size("_toks") - F.size(F.array_remove("_toks", t))
+        score = score + F.when(
+            df > 0,
+            idf
+            * (tf * (k1 + 1))
+            / (tf + k1 * (1 - b + b * F.col("_dl") / avgdl_col)),
+        ).otherwise(F.lit(0.0))
     # match the postings path: only documents with >= 1 matching term score
     any_match = None
     for t in terms:

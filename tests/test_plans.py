@@ -116,10 +116,15 @@ def test_bm25_scan_scorer_has_no_shuffle_before_agg(spark):
     ch = chunks_df(spark, SF_DIR)
     scored = bm25_scores_scan(ch, ["spark", "join"], id_cols=("chunkIndex",))
     p = plan(scored)
-    # scoring side: map-side row math over the scan — no shuffle exchange
-    # (the broadcast exchange of the docs<->embeddings chunk join is fine;
-    # the stats aggregate ran eagerly at build time, also shuffle-free)
-    assert " Exchange (" not in p, p
+    # scoring side: map-side row math over the scan. The ONLY allowed
+    # exchanges are (a) broadcast sides (dim join / the 1-row stats cross
+    # join) and (b) the SinglePartition gather of per-partition partial
+    # stats rows — one tiny row per task, not a data shuffle. Never a
+    # hash-partitioned exchange of corpus or candidate rows.
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\b[^\n]*\n((?:[^\n]+\n)*?)\n", p):
+        assert "SinglePartition" in m.group(1), p
     # and no interpreted lambda HOFs in the hot path
     assert "ArrayFilter" not in p and "ArrayTransform" not in p
 
