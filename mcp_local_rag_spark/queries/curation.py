@@ -260,3 +260,133 @@ def q_text_gopher_filter(spark, sf_dir):
         ok_div.cast("int").alias("ok_div"),
         (ok_len & ok_word & ok_div).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD'03 "Winnowing:
+# Local Algorithms for Document Fingerprinting", the MOSS algorithm).
+# k=5 char-grams hashed with md5; window w=4; one fingerprint = the minimum
+# hash in each window (lexicographic over the hex digest — identical total
+# order in both engines). Guarantees: any shared substring of length
+# >= w + k - 1 (= 8) contributes at least one common fingerprint.
+
+_WINNOW_K = 5
+_WINNOW_W = 4
+
+
+@register(
+    "text_winnowing",
+    f"""WITH g AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(length(lower(text)) - {_WINNOW_K} + 2, 1)),
+           i -> md5(substring(lower(text), i, {_WINNOW_K}))
+         ) AS hashes
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           range(1, greatest(len(hashes) - {_WINNOW_W} + 2, 1)),
+           i -> list_min(list_slice(hashes, i, i + {_WINNOW_W} - 1))
+         ))) AS fps
+  FROM g
+)
+SELECT doc_id,
+       len(fps)::BIGINT AS n_fp,
+       md5(array_to_string(fps, '')) AS fp_digest
+FROM m""",
+)
+def q_text_winnowing(spark, sf_dir):
+    """Per-doc winnowing fingerprint set, emitted as (count, digest of the
+    sorted set) so the oracle checks the exact selected hashes, not just a
+    cardinality.
+
+    Implemented as an Arrow-batched pandas UDF, NOT Catalyst array
+    expressions: one md5 per gram times a window-min per position is
+    exactly the shape where interpreted HOF lambdas collapse (measured
+    ~160s for 500 docs via transform/slice/array_min vs ~2s batched) —
+    the documented exception where Python-side batch code beats
+    staying JVM-side. Still a pure map stage: no shuffle; at scale this
+    feeds a fingerprint-join dedup (group by fingerprint -> candidate
+    pairs), the same block-then-verify shape as dedup_minhash_lsh."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    k, w = _WINNOW_K, _WINNOW_W
+
+    def _winnow(texts):
+        n_fps, digests = [], []
+        for t in texts:
+            t = (t or "").lower()
+            hs = [
+                hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()
+                for i in range(len(t) - k + 1)
+            ]
+            mins = {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+            fps = sorted(mins)
+            n_fps.append(len(fps))
+            digests.append(hashlib.md5("".join(fps).encode("ascii")).hexdigest())
+        return pd.DataFrame({"n_fp": n_fps, "fp_digest": digests})
+
+    _winnow.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    udf = pandas_udf(_winnow, "n_fp long, fp_digest string")
+
+    docs = load(spark, sf_dir, "documents")
+    out = docs.select("doc_id", udf(F.col("text")).alias("_w"))
+    return out.select("doc_id", "_w.n_fp", "_w.fp_digest")
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+
+
+@register(
+    "corpus_stratified_sample",
+    """WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket
+  FROM documents
+),
+kept AS (
+  SELECT * FROM h
+  WHERE bucket < CASE lang WHEN 'en' THEN 60 WHEN 'es' THEN 40
+                           WHEN 'de' THEN 40 WHEN 'fr' THEN 30
+                           WHEN 'zh' THEN 20 ELSE 10 END
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+FROM kept GROUP BY lang""",
+)
+def q_corpus_stratified_sample(spark, sf_dir):
+    """Per-language sampling at language-specific rates (downsample
+    over-represented languages — the standard corpus-mixing move) using a
+    content-free md5 id-hash instead of RNG: the same doc is kept in every
+    run, on every engine, under any partitioning. Map-side filter + one
+    aggregate; the CASE rate table is the only 'configuration'."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 60)
+        .when(F.col("lang") == "es", 40)
+        .when(F.col("lang") == "de", 40)
+        .when(F.col("lang") == "fr", 30)
+        .when(F.col("lang") == "zh", 20)
+        .otherwise(10)
+    )
+    return (
+        d.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
