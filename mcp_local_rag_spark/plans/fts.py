@@ -64,6 +64,29 @@ def read_postings(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("bucket")
 
 
+def compact_postings(spark: SparkSession, path: str) -> None:
+    """Fold the small files that per-micro-batch streaming appends leave in
+    each bucket back into ONE term-sorted file per bucket.
+
+    The term sort is the index's pruning property (per-query scoring scans
+    prune to the row groups holding the query's terms via parquet min/max
+    stats) — plain compaction that merely concatenates batch files would
+    silently lose it, so compaction here re-sorts within the bucket. The
+    chunks-table twin is plans/ingest.compact_chunks.
+    """
+    nb = table_n_buckets(path)
+    df = spark.read.parquet(path).localCheckpoint()
+    (
+        df.repartition(nb, "bucket")
+        .sortWithinPartitions("term", "filePath", "chunkIndex")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    write_table_meta(path, nb)
+    spark.catalog.refreshByPath(path)
+
+
 def refresh_postings(
     spark: SparkSession,
     path: str,

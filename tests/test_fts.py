@@ -105,3 +105,39 @@ def test_refreshed_index_scores_equal_full_rebuild(spark, tmp_path):
         ).collect()
     }
     assert via_refresh == via_rebuild
+
+
+def test_compact_postings_folds_stream_appends(spark, tmp_path):
+    """Per-micro-batch appends leave multiple files per bucket; compaction
+    folds each bucket to one term-sorted file with identical content."""
+    import glob
+
+    from mcp_local_rag_spark.plans.fts import compact_postings, read_postings, write_postings
+    from mcp_local_rag_spark.plans.ingest import table_n_buckets
+
+    def chunks_for(idx, term):
+        return spark.createDataFrame(
+            [(f"/d{idx}.md", 0, f"{term} content appears here")],
+            "filePath string, chunkIndex long, text string",
+        )
+
+    path = str(tmp_path / "postings")
+    write_postings(chunks_for(0, "alpha"), path, n_buckets=8)
+    for i, term in enumerate(["beta", "gamma"], start=1):
+        write_postings(chunks_for(i, term), path, mode="append")
+
+    before = {
+        tuple(r) for r in read_postings(spark, path).collect()
+    }
+    buckets_with_many = [
+        b for b in glob.glob(f"{path}/bucket=*")
+        if len(glob.glob(f"{b}/*.parquet")) > 1
+    ] or None  # appends may land in distinct buckets; content check still holds
+
+    compact_postings(spark, path)
+    after_files = {
+        b: len(glob.glob(f"{b}/*.parquet")) for b in glob.glob(f"{path}/bucket=*")
+    }
+    assert all(n == 1 for n in after_files.values()), after_files
+    assert {tuple(r) for r in read_postings(spark, path).collect()} == before
+    assert table_n_buckets(path) == 8
