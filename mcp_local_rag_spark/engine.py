@@ -314,27 +314,39 @@ class RagEngine:
         file_path = os.path.abspath(file_path)
         spark = self.spark
         content = read_files(spark, [file_path])
-        records = parse_structured_files(content)
-        err = records.select("parse_error").first()
-        if err and err["parse_error"]:
-            raise ValueError(f"parse failed for {file_path}: {err['parse_error']}")
-        docs = records.select(
-            F.concat(
-                F.col("path"), F.lit("#r"), F.col("record_index").cast("string")
-            ).alias("path"),
-            "text",
-            "title",
-            F.lower(F.sha2(F.col("text").cast("binary"), 256)).alias("contentHash"),
-            F.length("text").cast("long").alias("length"),
-        )
-        new_chunks = build_chunks(docs, dim=self.dim, backend=self.backend).persist()
-        n = new_chunks.count()
-        if n == 0:
-            new_chunks.unpersist()
-            raise ValueError(
-                f"no chunks produced for {file_path}; existing rows left intact"
+        # ONE materialization of the parsed container: the error check,
+        # record count, and chunk build below all read the persisted
+        # records instead of re-reading + re-parsing the file per job
+        records = parse_structured_files(content).persist()
+        try:
+            err = (
+                records.filter(F.col("parse_error").isNotNull())
+                .select("parse_error")
+                .first()
             )
-        n_records = docs.count()
+            if err:
+                raise ValueError(
+                    f"parse failed for {file_path}: {err['parse_error']}"
+                )
+            n_records = records.count()
+            docs = records.select(
+                F.concat(
+                    F.col("path"), F.lit("#r"), F.col("record_index").cast("string")
+                ).alias("path"),
+                "text",
+                "title",
+                F.lower(F.sha2(F.col("text").cast("binary"), 256)).alias("contentHash"),
+                F.length("text").cast("long").alias("length"),
+            )
+            new_chunks = build_chunks(docs, dim=self.dim, backend=self.backend).persist()
+            n = new_chunks.count()
+            if n == 0:
+                new_chunks.unpersist()
+                raise ValueError(
+                    f"no chunks produced for {file_path}; existing rows left intact"
+                )
+        finally:
+            records.unpersist()
         stale: list[str] = []
         if self._exists():
             # every stored row of this container, under any previous record
@@ -422,10 +434,24 @@ class RagEngine:
         ).drop("content")
 
         if self._exists():
-            db = self.chunks().select(
-                "filePath",
-                sync_path_key(F.col("filePath"), case_fold=CASE_FOLD_KEYS).alias("key"),
-                F.col("contentHash").alias("hash"),
+            # managed rows are NOT subject to directory reconciliation
+            # (reference: "prune unless protected ... managed raw-data",
+            # src/features/sync.ts): raw-data virtual paths never exist on
+            # disk, and '<file>#rN' record rows are owned by
+            # ingest_records_file — scan_directory never lists either, so
+            # leaving them in the plan would classify every one as prune
+            # and a routine sync would silently destroy them.
+            managed = F.col("filePath").rlike(r"#r\d+$") | F.col(
+                "filePath"
+            ).startswith(self.db_path.rstrip("/") + "/raw-data/")
+            db = (
+                self.chunks()
+                .filter(~managed)
+                .select(
+                    "filePath",
+                    sync_path_key(F.col("filePath"), case_fold=CASE_FOLD_KEYS).alias("key"),
+                    F.col("contentHash").alias("hash"),
+                )
             )
         else:
             db = spark.createDataFrame([], "filePath string, key string, hash string")
@@ -501,7 +527,42 @@ class RagEngine:
             self._dirty_deletes.update(prune_spellings)
             self._dirty_upserts.difference_update(prune_spellings)
 
-        if upsert_paths or prune_keys:
+        # record-container rows were excluded from the plan; the one sync
+        # action they DO honor is container deletion — records of a
+        # container that no longer exists on disk are pruned (mapped back
+        # to the container path, per-container driver check: bounded by
+        # container count, not record count)
+        stale_records: list[str] = []
+        if self._exists():
+            containers = [
+                r["c"]
+                for r in self.chunks()
+                .filter(F.col("filePath").rlike(r"#r\d+$"))
+                .select(
+                    F.regexp_extract("filePath", r"^(.*)#r\d+$", 1).alias("c")
+                )
+                .distinct()
+                .collect()
+            ]
+            gone = sorted(c for c in containers if c and not os.path.isfile(c))
+            if gone:
+                stale_records = [
+                    r["filePath"]
+                    for r in self.chunks()
+                    .filter(F.col("filePath").rlike(r"#r\d+$"))
+                    .filter(
+                        F.regexp_extract("filePath", r"^(.*)#r\d+$", 1).isin(gone)
+                    )
+                    .select("filePath")
+                    .distinct()
+                    .collect()
+                ]
+                delete_documents(spark, self.table_path, stale_records)
+                self._dirty_deletes.update(stale_records)
+                self._dirty_upserts.difference_update(stale_records)
+                counters["prune"] = counters.get("prune", 0) + len(stale_records)
+
+        if upsert_paths or prune_keys or stale_records:
             self.optimize()
         plan.unpersist()
         # coverage facts surface as warnings (reference SyncStatusResult

@@ -213,6 +213,14 @@ def bm25_scores_scan(
     index-free form; the fully persisted alternative is the postings path.
     """
     terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        # whitespace-only / empty query: no term can match any document —
+        # the postings path would return an empty scores frame, so this
+        # path must too (not a TypeError from filter(None) below)
+        src = candidates if candidates is not None else chunks
+        return src.select(
+            *id_cols, F.lit(None).cast("double").alias("_score")
+        ).limit(0)
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), "")
 
     if candidates is not None and text_col in candidates.columns:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.bm25 import build_postings
-from .ingest import N_BUCKETS, table_n_buckets, write_table_meta
+from .ingest import N_BUCKETS, atomic_rewrite, table_n_buckets, write_table_meta
 
 
 def write_postings(
@@ -73,17 +73,25 @@ def compact_postings(spark: SparkSession, path: str) -> None:
     stats) — plain compaction that merely concatenates batch files would
     silently lose it, so compaction here re-sorts within the bucket. The
     chunks-table twin is plans/ingest.compact_chunks.
+
+    Writes to a temp sibling + rename (plans/ingest.atomic_rewrite): the
+    live index stays intact until the full replacement exists, so a
+    mid-write executor loss cannot silently destroy it.
     """
     nb = table_n_buckets(path)
-    df = spark.read.parquet(path).localCheckpoint()
-    (
-        df.repartition(nb, "bucket")
-        .sortWithinPartitions("term", "filePath", "chunkIndex")
-        .write.partitionBy("bucket")
-        .mode("overwrite")
-        .parquet(path)
-    )
-    write_table_meta(path, nb)
+    df = spark.read.parquet(path)
+
+    def _write(tmp: str) -> None:
+        (
+            df.repartition(nb, "bucket")
+            .sortWithinPartitions("term", "filePath", "chunkIndex")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        write_table_meta(tmp, nb)
+
+    atomic_rewrite(path, _write)
     spark.catalog.refreshByPath(path)
 
 

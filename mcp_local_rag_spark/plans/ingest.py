@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -102,6 +103,31 @@ def table_embedding(path: str, *, default_backend: str = "pseudo", default_dim: 
     except (ValueError, TypeError):
         dim = default_dim
     return str(backend), dim
+
+
+def atomic_rewrite(table_path: str, write_to) -> None:
+    """Full-table rewrite without a destroy-then-write window.
+
+    ``mode('overwrite')`` onto the table's own path clears the directory
+    before the new files land — an executor/block loss mid-write leaves
+    the table destroyed (localCheckpoint protects the lineage, not the
+    files). Instead: ``write_to(tmp)`` builds the complete replacement in
+    a sibling directory, then two renames swap it in; the old table is
+    only removed after the swap. Meta properties the rewrite didn't set
+    (embedding space) are carried over from the old table's meta file.
+    """
+    base = table_path.rstrip("/")
+    tmp, old = base + "__rewrite_tmp", base + "__rewrite_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    write_to(tmp)
+    merged = {**read_table_meta(base), **read_table_meta(tmp)}
+    if merged:
+        with open(os.path.join(tmp, _TABLE_META), "w") as f:
+            json.dump(merged, f)
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old)
 
 
 def ingest_directory(
@@ -257,14 +283,21 @@ def compact_chunks(spark: SparkSession, table_path: str, target_files_per_bucket
     With Delta/Iceberg this is OPTIMIZE / rewrite_data_files.
     """
     nb = table_n_buckets(table_path)
-    df = spark.read.parquet(table_path).localCheckpoint()
-    (
-        df.repartition(target_files_per_bucket * nb, "bucket")
-        .write.partitionBy("bucket")
-        .mode("overwrite")
-        .parquet(table_path)
-    )
-    write_table_meta(table_path, nb)
+    df = spark.read.parquet(table_path)
+
+    def _write(tmp: str) -> None:
+        (
+            df.repartition(target_files_per_bucket * nb, "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        write_table_meta(tmp, nb)
+
+    # temp-sibling + rename: the source table stays intact (and readable)
+    # until the full replacement exists, so a mid-write failure cannot
+    # destroy it — no localCheckpoint materialization needed either
+    atomic_rewrite(table_path, _write)
     spark.catalog.refreshByPath(table_path)
 
 

@@ -22,8 +22,32 @@ training-pipeline extension surface).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _batch_already_applied(checkpoint_dir: str, batch_id: int) -> bool:
+    """foreachBatch is at-least-once: after a crash between the sink append
+    and the checkpoint commit, the NEXT run re-delivers the same batch_id.
+    Both sinks here (chunks parquet + postings) are non-idempotent appends,
+    so re-applying a fully-applied batch would duplicate rows. A marker
+    file written AFTER both appends turns the pair effectively-once: a
+    re-delivered batch whose marker exists is skipped. (A crash strictly
+    between the two appends still leaves a partial batch — compaction-level
+    dedup is the remaining cover; the marker closes the common full-replay
+    case.)"""
+    return os.path.exists(
+        os.path.join(checkpoint_dir, "applied_batches", str(batch_id))
+    )
+
+
+def _mark_batch_applied(checkpoint_dir: str, batch_id: int) -> None:
+    d = os.path.join(checkpoint_dir, "applied_batches")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, str(batch_id)), "w") as f:
+        f.write("1")
 
 
 def _append_chunk_batch(
@@ -41,8 +65,6 @@ def _append_chunk_batch(
     (plans/fts.refresh_postings) is for batch upsert/delete. A first batch
     against a missing index bootstraps it bucket-aligned with the chunks
     table so later batch refreshes stay document-aligned."""
-    import os
-
     from ..plans.fts import write_postings
     from ..plans.ingest import table_n_buckets
 
@@ -115,7 +137,7 @@ def stream_ingest(
     _title = title_udf()
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
+        if batch.isEmpty() or _batch_already_applied(checkpoint_dir, batch_id):
             return
         docs = batch.select(
             "path",
@@ -126,6 +148,7 @@ def stream_ingest(
         )
         chunks = build_chunks(docs, dim=dim, backend=backend)
         _append_chunk_batch(chunks, table_path, postings_path, tokenizer)
+        _mark_batch_applied(checkpoint_dir, batch_id)
 
     writer = raw.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -184,7 +207,7 @@ def stream_ingest_binary(
     )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
+        if batch.isEmpty() or _batch_already_applied(checkpoint_dir, batch_id):
             return
         hashed = batch.withColumn(
             "contentHash", F.lower(F.sha2(F.col("content"), 256))
@@ -195,6 +218,7 @@ def stream_ingest_binary(
         docs = parsed.filter(F.col("parse_error").isNull())
         chunks = build_chunks(docs, dim=dim, backend=backend)
         _append_chunk_batch(chunks, table_path, postings_path, tokenizer)
+        _mark_batch_applied(checkpoint_dir, batch_id)
 
     writer = raw.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -93,3 +93,19 @@ def test_ngram23_tokenizer(spark):
     postings = bm25.build_postings(docs, tokenizer="ngram23")
     terms = {r.term for r in postings.collect()}
     assert terms == {"ab"}  # len 2 -> one 2-gram, no 3-grams
+
+
+def test_empty_query_returns_empty_scores(spark):
+    """Whitespace-only query -> no terms: the scan path must return an
+    empty scores frame (the postings path's behavior), not raise from
+    filter(None) (ADVICE r4)."""
+    docs = spark.createDataFrame(
+        [("/a", 0, "spark is fast")],
+        "filePath string, chunkIndex int, text string",
+    )
+    out = bm25.bm25_scores_scan(docs, [])
+    assert out.columns == ["filePath", "chunkIndex", "_score"]
+    assert out.count() == 0
+    # and with a candidate set carrying text
+    out2 = bm25.bm25_scores_scan(docs, [], candidates=docs)
+    assert out2.count() == 0

@@ -426,3 +426,56 @@ def test_hashing_backend_semantic_ranking(spark, tmp_path):
     assert top2.filePath.endswith("streams.md")
     top3 = eng.query_documents("parquet row group statistics", limit=3).first()
     assert top3.filePath.endswith("storage.md")
+
+
+def test_query_documents_whitespace_query(spark, corpus, tmp_path):
+    """A whitespace-only query has zero terms: the hybrid path must still
+    answer (vector-only ranking), not raise (ADVICE r4 bm25 guard)."""
+    eng = RagEngine(spark, str(tmp_path / "chunks_ws"))
+    eng.ingest_directory(str(corpus))
+    rows = eng.query_documents("   \t  ", limit=3).collect()
+    assert len(rows) >= 1
+
+
+def test_sync_protects_managed_rows(spark, corpus, tmp_path):
+    """Raw-data rows (virtual paths) and '#rN' record rows are managed by
+    their own ingest paths — a routine directory sync must NOT classify
+    them prune (ADVICE r4). Records ARE pruned once their container file
+    is deleted from disk."""
+    import json
+
+    eng = RagEngine(
+        spark, str(tmp_path / "chunks_m"), db_path=str(tmp_path / "db")
+    )
+    eng.ingest_directory(str(corpus))
+    eng.ingest_data(
+        "A raw data document with enough real sentence content to chunk.",
+        "https://example.com/x",
+    )
+    cont = tmp_path / "recs.jsonl"
+    cont.write_text(
+        "\n".join(
+            json.dumps(
+                {
+                    "id": i,
+                    "title": f"Rec {i}",
+                    "text": f"Record {i} body text long enough to pass the minimum chunk length bar.",
+                }
+            )
+            for i in range(3)
+        )
+    )
+    eng.ingest_records_file(str(cont))
+    before = eng.get_status()
+
+    rep = eng.sync(str(corpus))
+    assert rep.counters.get("prune", 0) == 0
+    assert eng.get_status() == before  # managed rows survived the sync
+
+    # container deleted on disk -> its records prune on the next sync
+    cont.unlink()
+    rep2 = eng.sync(str(corpus))
+    assert rep2.counters.get("prune", 0) == 3
+    files = {r.filePath for r in eng.list_documents().collect()}
+    assert not any("#r" in f for f in files)
+    assert any("/raw-data/" in f for f in files)  # raw-data still intact

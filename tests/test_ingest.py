@@ -220,3 +220,50 @@ def test_bucket_count_is_a_table_property(spark, tmp_path):
     server = NeighborServer(spark, table)
     assert [r["chunkIndex"] for r in server.read("/nb/doc9.md", 5)] == [3, 4, 5, 6, 7]
     assert delete_document(spark, table, "/nb/doc9.md") == 10
+
+
+def test_compact_atomic_and_meta_preserving(spark, tmp_path):
+    """Compaction rewrites via temp-sibling + rename (no destroy-then-write
+    window, ADVICE r4) and preserves table meta it didn't set (embedding
+    space) across the swap."""
+    import os
+
+    from mcp_local_rag_spark.plans.ingest import (
+        build_chunks,
+        compact_chunks,
+        read_table_meta,
+        write_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "/m.md",
+                "A document with several sentences of real content for chunking. "
+                "Another sentence keeps it above the minimum length bar.",
+                "M",
+                "h1",
+                120,
+            )
+        ],
+        "path string, text string, title string, contentHash string, length long",
+    )
+    table = str(tmp_path / "chunks_atomic")
+    write_chunks(
+        build_chunks(docs, dim=16, backend="hashing"),
+        table,
+        backend="hashing",
+        dim=16,
+    )
+    before_meta = read_table_meta(table)
+    assert before_meta.get("backend") == "hashing"
+    before_rows = spark.read.parquet(table).count()
+
+    compact_chunks(spark, table)
+    after_meta = read_table_meta(table)
+    assert after_meta.get("backend") == "hashing" and after_meta.get("dim") == 16
+    assert after_meta.get("n_buckets") == before_meta.get("n_buckets")
+    assert spark.read.parquet(table).count() == before_rows
+    # no temp/old sibling directories left behind
+    assert not os.path.exists(table + "__rewrite_tmp")
+    assert not os.path.exists(table + "__rewrite_old")

@@ -322,3 +322,38 @@ def test_stream_ingest_maintains_postings_index(spark, tmp_path):
     from mcp_local_rag_spark.plans.ingest import table_n_buckets
 
     assert table_n_buckets(postings) == table_n_buckets(table)
+
+
+def test_batch_markers_make_replay_a_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: a marker written after both sink
+    appends makes a full-batch replay a no-op (ADVICE r4). Simulated by
+    wiping the checkpoint (so the source re-delivers batch 0) while
+    keeping the marker directory."""
+    import shutil
+
+    from mcp_local_rag_spark.streaming.watch import (
+        _batch_already_applied,
+        stream_ingest,
+    )
+
+    watch = tmp_path / "drop"
+    watch.mkdir()
+    (watch / "a.txt").write_text(
+        "Marker Doc\n\nA sufficiently long sentence about replayed micro batches.\n"
+    )
+    table = str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_ingest(spark, str(watch), table, ckpt, available_now=True)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(table).count()
+    assert _batch_already_applied(ckpt, 0)
+
+    # wipe Spark's own offset tracking but keep the applied-batch markers:
+    # the source re-delivers batch 0, the marker suppresses the re-append
+    for sub in ("offsets", "commits", "sources"):
+        shutil.rmtree(f"{ckpt}/{sub}", ignore_errors=True)
+    q2 = stream_ingest(spark, str(watch), table, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    spark.catalog.refreshByPath(table)
+    assert spark.read.parquet(table).count() == n1
