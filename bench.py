@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "hybrid_search",       # flagship: vector top-k + grouping + BM25 + boost
+    "hybrid_search_indexed",  # steady-state: same pipeline over the persisted FTS index
     "vector_topk",         # flat KNN over the corpus
     "bm25_unigram",        # keyword index build + score
     "tpch_q1_pricing",     # wide aggregation over lineitem

@@ -109,6 +109,11 @@ class RagEngine:
 
         return read_postings(self.spark, self.postings_path)
 
+    def _fts_stats(self) -> dict | None:
+        from .plans.fts import read_fts_stats
+
+        return read_fts_stats(self.postings_path) if self.postings_path else None
+
     def query_documents(
         self,
         query_text: str,
@@ -135,6 +140,7 @@ class RagEngine:
         # query vector under the SAME backend as the stored corpus vectors
         qv = embed_query(query_text, self.dim, self.backend)
         terms = [t for t in query_text.lower().split() if t]
+        postings = self._postings()
         hits = search.hybrid_search(
             self.chunks(),
             qv,
@@ -145,7 +151,8 @@ class RagEngine:
             grouping=grouping,
             weight=hybrid_weight,
             max_files=max_files,
-            postings=self._postings(),
+            postings=postings,
+            bm25_stats=self._fts_stats() if postings is not None else None,
         ).select("filePath", "chunkIndex", "text", "fileTitle", "score")
         return restore_sources(hits, db_path=self.db_path)
 
@@ -580,10 +587,11 @@ class RagEngine:
 
     def keyword_search(self, query_text: str, *, limit: int = 10) -> DataFrame:
         postings = self._postings()
+        stats = self._fts_stats() if postings is not None else None
         if postings is None:
             postings = build_postings(self.chunks(), tokenizer="unigram")
         terms = [t for t in query_text.lower().split() if t]
-        scores = bm25_scores(postings, terms)
+        scores = bm25_scores(postings, terms, stats=stats)
         return (
             scores.orderBy(F.col("_score").desc(), "filePath", "chunkIndex")
             .limit(max(1, min(20, limit)))

@@ -91,6 +91,7 @@ def bm25_scores(
     k1: float = K1,
     b: float = B,
     materialize: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Score documents against ``query_terms``; returns (id_cols..., _score).
 
@@ -101,18 +102,27 @@ def bm25_scores(
     must not change term weights, matching the reference where the FTS index
     is global but the search is WHERE-filtered.
 
+    ``stats`` (``{"n": N, "avgdl": avgdl}``, e.g. the persisted index
+    properties via ``plans.fts.read_fts_stats``) folds N/avgdl in as
+    literals. Without it the plan pays a full-postings distinct+aggregate
+    PER QUERY for two numbers the index build already knew — the
+    difference between "reads the matched terms' row groups" and "scans
+    the whole index" per query. Per-term df always comes from the matched
+    rows (a term-pruned scan), so it needs no precomputation.
+
     ``materialize`` persists the postings once — the scoring plan reads them
-    three times (doc lengths, document frequencies, matched terms) and would
-    otherwise recompute the tokenize+aggregate subtree on every read. In a
-    real deployment the postings are a persisted bucketed table and this is
-    moot.
+    up to three times (doc lengths, document frequencies, matched terms) and
+    would otherwise recompute the tokenize+aggregate subtree on every read.
+    In a real deployment the postings are a persisted bucketed table and
+    this is moot.
     """
     if materialize:
         postings = postings.persist()
-    doc_lens = postings.select(*id_cols, "dl").distinct()
-    corpus = doc_lens.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    if stats is not None:
+        n_col = F.lit(int(stats["n"]))
+        avgdl_col = F.lit(float(stats["avgdl"] or 0.0))
+    else:
+        n_col, avgdl_col = F.col("n_docs"), F.col("avgdl")
     # literal IN-list beats a broadcast join for a handful of query terms:
     # it pushes into the (cached/bucketed) postings scan as a filter.
     terms = list(dict.fromkeys(query_terms))
@@ -122,21 +132,26 @@ def bm25_scores(
     df_stats = matched.groupBy("term").agg(F.countDistinct(*id_cols).alias("df"))
     if candidates is not None:
         matched = matched.join(candidates.select(*id_cols), list(id_cols), "left_semi")
+    scored = matched.join(df_stats, "term")
+    if stats is None:
+        doc_lens = postings.select(*id_cols, "dl").distinct()
+        corpus = doc_lens.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        scored = scored.crossJoin(corpus)
     scored = (
-        matched.join(df_stats, "term")
-        .crossJoin(corpus)
-        .withColumn(
+        scored.withColumn(
             "_idf",
             F.log(
                 F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+                + (n_col - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
             ),
         )
         .withColumn(
             "_term_score",
             F.col("_idf")
             * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl_col)),
         )
     )
     return scored.groupBy(*id_cols).agg(F.sum("_term_score").alias("_score"))

@@ -228,9 +228,13 @@ def hybrid_search(
     # window-over-20-rows cheap).
     grouped = grouping_filter(cands, grouping, id_cols=id_cols).persist()
     if postings is not None:
+        # bm25_stats here is the index's PERSISTED corpus statistics
+        # (plans/fts.read_fts_stats): with them the per-query plan touches
+        # only the matched terms' row groups; without them it pays a
+        # full-index distinct+aggregate for N/avgdl every query
         kw = bm25_scores(
             postings, query_terms, id_cols=id_cols, candidates=grouped,
-            materialize=False,
+            materialize=False, stats=bm25_stats,
         )
     else:
         # bm25_stats (corpus_stats_scan result, computed once per corpus

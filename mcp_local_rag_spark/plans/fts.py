@@ -44,9 +44,22 @@ def write_postings(
         # appends always route with the index's persisted bucket count;
         # pre-property indexes resolve to the exact historical 64
         nb = table_n_buckets(path)
+        prev = read_fts_stats(path)
     else:
         nb = n_buckets if n_buckets is not None else N_BUCKETS
-    postings = build_postings(chunks, tokenizer=tokenizer)
+        prev = None
+    postings = build_postings(chunks, tokenizer=tokenizer).persist()
+    # the BM25 corpus statistics (N docs, total doc length) are persisted
+    # as index properties at build time — Lucene-style — so per-query
+    # scoring folds them in as literals instead of paying a full-index
+    # distinct+aggregate per query. Appends update them incrementally
+    # (streaming file sources never re-deliver a document, so + is exact).
+    row = (
+        postings.select("filePath", "chunkIndex", "dl").distinct()
+        .agg(F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tdl"))
+        .first()
+    )
+    batch_n, batch_tdl = int(row["n"]), int(row["tdl"])
     (
         postings.withColumn(
             "bucket", F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int")
@@ -57,11 +70,34 @@ def write_postings(
         .mode(mode)
         .parquet(path)
     )
-    write_table_meta(path, nb)
+    postings.unpersist()
+    if prev is not None:
+        n_docs = prev["n"] + batch_n
+        total_dl = prev["total_dl"] + batch_tdl
+    else:
+        n_docs, total_dl = batch_n, batch_tdl
+    write_table_meta(
+        path, nb, extra={"fts_n_docs": n_docs, "fts_total_dl": total_dl}
+    )
 
 
 def read_postings(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("bucket")
+
+
+def read_fts_stats(path: str) -> dict | None:
+    """The index's persisted BM25 corpus statistics, in the shape
+    ``bm25_scores(stats=...)`` consumes — ``{"n", "avgdl", "total_dl"}`` —
+    or None for a pre-stats index (scoring then computes them per query,
+    the old shape)."""
+    from .ingest import read_table_meta
+
+    meta = read_table_meta(path)
+    try:
+        n, tdl = int(meta["fts_n_docs"]), int(meta["fts_total_dl"])
+    except (KeyError, ValueError, TypeError):
+        return None
+    return {"n": n, "avgdl": (tdl / n) if n else 0.0, "total_dl": tdl}
 
 
 def compact_postings(spark: SparkSession, path: str) -> None:
@@ -150,3 +186,16 @@ def refresh_postings(
     if new_postings is not None:
         new_postings.unpersist()
     spark.catalog.refreshByPath(path)
+    # re-derive the persisted corpus statistics from the refreshed index —
+    # one distinct+aggregate job per bulk run, amortized maintenance (the
+    # per-query alternative would pay this on EVERY query)
+    row = (
+        spark.read.parquet(path)
+        .select("filePath", "chunkIndex", "dl")
+        .distinct()
+        .agg(F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tdl"))
+        .first()
+    )
+    write_table_meta(
+        path, nb, extra={"fts_n_docs": int(row["n"]), "fts_total_dl": int(row["tdl"])}
+    )

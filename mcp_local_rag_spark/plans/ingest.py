@@ -59,6 +59,7 @@ def write_table_meta(
     *,
     backend: str | None = None,
     dim: int | None = None,
+    extra: dict | None = None,
 ) -> None:
     """Persist table properties next to the data. The leading underscore
     keeps Spark's file index from treating it as a data file.
@@ -68,16 +69,19 @@ def write_table_meta(
     particular — embed new rows in the SAME space instead of silently
     mixing incompatible vectors. ``None`` preserves whatever an existing
     meta file already recorded (read-modify-write), so routing-only writers
-    (FTS refresh, compaction) never erase the embedding record."""
+    (FTS refresh, compaction) never erase the embedding record. Keys the
+    caller doesn't set are carried over unchanged (the FTS index keeps its
+    persisted corpus statistics here); ``extra`` merges additional
+    properties in."""
     os.makedirs(path, exist_ok=True)
     prev = read_table_meta(path)
-    meta = {"format_version": 2, "n_buckets": int(n_buckets)}
-    b = backend if backend is not None else prev.get("backend")
-    d = dim if dim is not None else prev.get("dim")
-    if b is not None:
-        meta["backend"] = str(b)
-    if d is not None:
-        meta["dim"] = int(d)
+    meta = {**prev, "format_version": 2, "n_buckets": int(n_buckets)}
+    if backend is not None:
+        meta["backend"] = str(backend)
+    if dim is not None:
+        meta["dim"] = int(dim)
+    if extra:
+        meta.update(extra)
     with open(os.path.join(path, _TABLE_META), "w") as f:
         json.dump(meta, f)
 

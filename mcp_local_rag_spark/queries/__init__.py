@@ -78,12 +78,33 @@ _VERIFIED_R3 = {
 }
 
 
+_VERIFIED_R4 = {
+    "caption_postprocess", "chunk_documents", "corpus_stratified_sample",
+    "customer_balance_deciles", "dedup_clusters", "documents_length_histogram",
+    "documents_profile", "events_asof_lastclick", "events_error_rate",
+    "events_funnel", "events_moving_avg", "events_range_prev_hour",
+    "events_resample_ffill", "events_retention", "events_rollup",
+    "events_salted_agg", "events_sessionize", "events_topk_per_group",
+    "hybrid_search", "knn_bruteforce", "knn_ivf_multiprobe",
+    "median_pairwise_sim", "neighbors_frame", "parsed_csv_roundtrip",
+    "parsed_docx_roundtrip", "parsed_html_roundtrip", "parsed_jsonl_roundtrip",
+    "part_fuzzy_pairs", "range_read", "text_gopher_filter", "text_pii_redact",
+    "text_repetition", "text_winnowing", "tpch_q10_returns",
+    "tpch_q11_important_stock", "tpch_q12_priority_lines", "tpch_q13_custdist",
+    "tpch_q14_promo", "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty", "tpch_q19_brackets", "tpch_q20_blue_suppliers",
+    "tpch_q21_sole_late", "tpch_q22_idle_rich", "tpch_q2_best_supplier",
+    "tpch_q4_priority", "tpch_q7_volume", "tpch_q8_mktshare", "tpch_q9_profit",
+    "vector_topk", "vector_topk_scoped",
+}
+
+
 def _ordered_names():
     """Never-verified queries first, then by the age of the last green row
     (oldest round first), so the driver's 50-query window always covers the
     fresh surface and re-verifies the stalest settled queries."""
     names = list(REGISTRY)
-    rounds = (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3)
+    rounds = (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3, _VERIFIED_R4)
 
     def last_green(n):
         seen = [i + 1 for i, s in enumerate(rounds) if n in s]

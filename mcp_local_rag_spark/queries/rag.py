@@ -442,6 +442,65 @@ def q_hybrid_search(spark, sf_dir):
     return final.select("filePath", "chunkIndex", "score")
 
 
+def _indexed_corpus(spark, sf_dir):
+    """Build-once, reuse-forever steady-state corpus: the persisted chunks
+    table plus the persisted BM25 postings index (plans/fts — the
+    reference's LanceDB table + FTS index, src/vectordb/index.ts:243-282),
+    written to a scratch dir keyed by the corpus generation
+    (documents.parquet mtime), so repeated queries measure INDEXED scoring
+    against a stored table — not per-query index builds or the
+    documents×embeddings assembly join. Returns (chunks, postings, stats).
+
+    The postings bucket count scales with corpus size (~1.25k docs per
+    bucket, the chunks-table alignment rule scaled down): a 5k-doc bench
+    corpus gets 4 buckets, not the production 64 — per-query scan overhead
+    is proportional to file count, and 64 near-empty buckets cost more to
+    list+open than they save in pruning. Results must be IDENTICAL to the
+    index-free shape — the oracle is HYBRID_SQL verbatim."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..plans.fts import read_fts_stats, read_postings, write_postings
+
+    gen = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    cpath = os.path.join(root, f"chunks_{tag}_{gen}")
+    ppath = os.path.join(root, f"fts_{tag}_{gen}")
+    if not os.path.isdir(cpath):
+        chunks_df(spark, sf_dir).write.mode("overwrite").parquet(cpath)
+    chunks = spark.read.parquet(cpath)
+    if not os.path.isdir(ppath):
+        n_docs = pq.ParquetFile(
+            os.path.join(sf_dir, "documents.parquet")
+        ).metadata.num_rows
+        nb = max(4, min(64, n_docs // 1250))
+        write_postings(chunks, ppath, tokenizer="unigram", n_buckets=nb)
+    return chunks, read_postings(spark, ppath), read_fts_stats(ppath)
+
+
+# The same flagship pipeline against the PERSISTED postings index — the
+# steady-state production shape (reference: queries hit LanceDB's
+# maintained FTS index, not a per-query corpus re-tokenize). Same oracle,
+# same results; what changes is the physical plan: BM25 reads the bucketed
+# term-sorted postings table instead of re-scanning + re-tokenizing the
+# corpus, so the per-query cost drops the full-corpus stats aggregate.
+
+@register("hybrid_search_indexed", HYBRID_SQL)
+def q_hybrid_search_indexed(spark, sf_dir):
+    qv = query_vector(spark, sf_dir, 0)
+    ch, postings, stats = _indexed_corpus(spark, sf_dir)
+    final = search.hybrid_search(
+        ch, qv, TERMS, k=10, id_cols=("chunkIndex",), grouping="related",
+        weight=0.6, max_files=3, postings=postings, bm25_stats=stats,
+    )
+    return final.select("filePath", "chunkIndex", "score")
+
+
 # W5: neighbor frame — chunkIndex in [target-2, target+2] of one document
 # (expressed over lineitem: one order's line numbers around a target line).
 

@@ -141,3 +141,65 @@ def test_compact_postings_folds_stream_appends(spark, tmp_path):
     assert all(n == 1 for n in after_files.values()), after_files
     assert {tuple(r) for r in read_postings(spark, path).collect()} == before
     assert table_n_buckets(path) == 8
+
+
+def test_persisted_corpus_stats(spark, tmp_path):
+    """The index build persists BM25 corpus statistics (N docs, total doc
+    length) as table properties, appends update them incrementally, and
+    scoring with stats= matches self-computed scores exactly."""
+    import pytest
+
+    from mcp_local_rag_spark.plans.fts import read_fts_stats
+
+    chunks = _chunks(
+        spark,
+        [
+            ("/a.md", 0, "spark shuffles data across executors"),
+            ("/a.md", 1, "broadcast joins avoid the shuffle"),
+            ("/b.md", 0, "spark spark spark tuning notes"),
+        ],
+    )
+    path = str(tmp_path / "postings")
+    write_postings(chunks, path)
+    stats = read_fts_stats(path)
+    assert stats["n"] == 3 and stats["total_dl"] == 15
+    assert stats["avgdl"] == pytest.approx(5.0)
+
+    # streaming-style append: stats update incrementally, no full rescan
+    more = _chunks(spark, [("/c.md", 0, "late arriving doc")])
+    write_postings(more, path, mode="append")
+    stats2 = read_fts_stats(path)
+    assert stats2["n"] == 4 and stats2["total_dl"] == 18
+
+    # scoring with the persisted stats == scoring that self-computes them
+    stored = read_postings(spark, path)
+    self_computed = {
+        (r.filePath, r.chunkIndex): r._score
+        for r in bm25_scores(stored, ["spark"], materialize=False).collect()
+    }
+    with_stats = {
+        (r.filePath, r.chunkIndex): r._score
+        for r in bm25_scores(
+            stored, ["spark"], materialize=False, stats=stats2
+        ).collect()
+    }
+    assert self_computed == with_stats
+
+
+def test_refresh_updates_persisted_stats(spark, tmp_path):
+    from mcp_local_rag_spark.plans.fts import read_fts_stats
+
+    chunks = _chunks(
+        spark,
+        [
+            ("/a.md", 0, "spark shuffles data across executors"),
+            ("/b.md", 0, "spark spark spark tuning notes"),
+        ],
+    )
+    path = str(tmp_path / "postings")
+    write_postings(chunks, path)
+    assert read_fts_stats(path)["n"] == 2
+
+    refresh_postings(spark, path, deleted_paths=["/b.md"])
+    stats = read_fts_stats(path)
+    assert stats["n"] == 1 and stats["total_dl"] == 5
