@@ -29,6 +29,7 @@ from .plans.ingest import (
     compact_chunks,
     delete_document,
     delete_documents,
+    delete_documents_df,
     ingest_directory,
     table_n_buckets,
     write_chunks,
@@ -43,6 +44,11 @@ from .sources.scan import read_files, scan_directory
 # distinct sync keys — unconditional lowering would merge them and classify
 # the merged key as upsert forever (n_spellings=2 never converges).
 CASE_FOLD_KEYS = sys.platform == "win32"
+
+# prune sets up to this size are collected for INCREMENTAL postings
+# refresh routing; beyond it sync flags a full index rebuild instead of
+# materializing an unbounded path list on the driver
+PRUNE_COLLECT_CAP = 10_000
 
 
 def _py_sync_key(path: str) -> str:
@@ -471,35 +477,41 @@ class RagEngine:
         counters = {r["action"]: r["n"] for r in sync_counters(plan).collect()}
 
         # execute: upserts first (delete stale rows + re-ingest), then prunes
+        # the ONLY per-key driver materialization left is the upsert set —
+        # inherent: re-ingest must hand the file list to read_files, and it
+        # is bounded by the bulk run's changed-file count (the reference
+        # drives re-ingest from its own driver the same way). Prune keys
+        # never surface as a list; their delete is DataFrame-native below.
         upsert_keys = {
             r["key"]
             for r in plan.filter(F.col("action").isin("upsert", "upsert_new")).collect()
         }
-        prune_keys = [r["key"] for r in plan.filter(F.col("action") == "prune").collect()]
 
         upsert_paths = [
             f["path"] for f in scan.files if _py_sync_key(f["path"]) in upsert_keys
         ]
         if upsert_paths:
             if self._exists():
-                # ALL stored spellings of the upsert keys go in ONE batched
-                # delete (grouped by bucket, <= N_BUCKETS rewrite jobs) —
-                # per-file delete jobs are a driver bottleneck at 100x file
-                # counts. Spelling lookup is a single distinct scan.
-                stale = [
-                    r["filePath"]
-                    for r in self.chunks()
-                    .filter(
-                        sync_path_key(
-                            F.col("filePath"), case_fold=CASE_FOLD_KEYS
-                        ).isin(sorted(upsert_keys))
-                    )
-                    .select("filePath")
-                    .distinct()
-                    .collect()
-                ]
-                delete_documents(spark, self.table_path, stale)
-                self._dirty_deletes.update(set(stale) - set(upsert_paths))
+                # ALL stored spellings of the upsert keys go in ONE
+                # DataFrame-native batched delete: the key set never
+                # round-trips through the driver as a path list — the
+                # anti-join routes each touched bucket's rewrite
+                # (<= N_BUCKETS jobs), so a whole-corpus resync deletes
+                # without collecting millions of strings.
+                delete_documents_df(
+                    spark,
+                    self.table_path,
+                    plan.filter(
+                        F.col("action").isin("upsert", "upsert_new")
+                    ).select("key"),
+                    case_fold=CASE_FOLD_KEYS,
+                )
+                if CASE_FOLD_KEYS:
+                    # stored spellings differing from the re-ingested path
+                    # can hold postings rows the per-path refresh would
+                    # miss; on case-folding platforms a spelling-churn sync
+                    # rebuilds the index instead of guessing
+                    self._needs_full_index = True
             content = read_files(spark, upsert_paths)
             hashed = content.withColumn(
                 "contentHash", F.lower(F.sha2(F.col("content"), 256))
@@ -515,31 +527,31 @@ class RagEngine:
             self._dirty_upserts.update(upsert_paths)
             self._dirty_deletes.difference_update(upsert_paths)
 
-        if prune_keys:
-            # one distinct scan resolves every stored spelling of every
-            # prune key; one batched delete rewrites each touched bucket once
-            prune_spellings = [
-                r["filePath"]
-                for r in self.chunks()
-                .filter(
-                    sync_path_key(F.col("filePath"), case_fold=CASE_FOLD_KEYS).isin(
-                        sorted(prune_keys)
-                    )
-                )
-                .select("filePath")
-                .distinct()
-                .collect()
-            ]
-            delete_documents(spark, self.table_path, prune_spellings)
-            self._dirty_deletes.update(prune_spellings)
-            self._dirty_upserts.difference_update(prune_spellings)
+        n_prunes = counters.get("prune", 0)
+        if n_prunes:
+            # the prune key set stays a DataFrame end-to-end — the delete
+            # routes bucket rewrites by anti join, collecting only bucket
+            # ids, so pruning the whole corpus never materializes its paths
+            prune_df = plan.filter(F.col("action") == "prune").select("key")
+            delete_documents_df(
+                spark, self.table_path, prune_df, case_fold=CASE_FOLD_KEYS
+            )
+            if n_prunes <= PRUNE_COLLECT_CAP and not CASE_FOLD_KEYS:
+                # small prune sets keep the postings refresh incremental
+                # (keys ARE stored paths on case-sensitive filesystems);
+                # beyond that a rebuild is proportional work anyway
+                pruned = [r["key"] for r in prune_df.collect()]
+                self._dirty_deletes.update(pruned)
+                self._dirty_upserts.difference_update(pruned)
+            else:
+                self._needs_full_index = True
 
         # record-container rows were excluded from the plan; the one sync
         # action they DO honor is container deletion — records of a
         # container that no longer exists on disk are pruned (mapped back
         # to the container path, per-container driver check: bounded by
         # container count, not record count)
-        stale_records: list[str] = []
+        n_stale_records = 0
         if self._exists():
             containers = [
                 r["c"]
@@ -553,23 +565,33 @@ class RagEngine:
             ]
             gone = sorted(c for c in containers if c and not os.path.isfile(c))
             if gone:
-                stale_records = [
-                    r["filePath"]
-                    for r in self.chunks()
+                # persist = a stable snapshot of the doomed record paths:
+                # the delete below rewrites the very files this frame reads
+                stale_df = (
+                    self.chunks()
                     .filter(F.col("filePath").rlike(r"#r\d+$"))
                     .filter(
                         F.regexp_extract("filePath", r"^(.*)#r\d+$", 1).isin(gone)
                     )
                     .select("filePath")
                     .distinct()
-                    .collect()
-                ]
-                delete_documents(spark, self.table_path, stale_records)
-                self._dirty_deletes.update(stale_records)
-                self._dirty_upserts.difference_update(stale_records)
-                counters["prune"] = counters.get("prune", 0) + len(stale_records)
+                    .persist()
+                )
+                n_stale_records = stale_df.count()
+                if n_stale_records:
+                    if n_stale_records <= PRUNE_COLLECT_CAP:
+                        pruned = [r["filePath"] for r in stale_df.collect()]
+                        self._dirty_deletes.update(pruned)
+                        self._dirty_upserts.difference_update(pruned)
+                    else:
+                        self._needs_full_index = True
+                    delete_documents_df(
+                        spark, self.table_path, stale_df, case_fold=CASE_FOLD_KEYS
+                    )
+                    counters["prune"] = counters.get("prune", 0) + n_stale_records
+                stale_df.unpersist()
 
-        if upsert_paths or prune_keys or stale_records:
+        if upsert_paths or n_prunes or n_stale_records:
             self.optimize()
         plan.unpersist()
         # coverage facts surface as warnings (reference SyncStatusResult

@@ -146,43 +146,50 @@ def refresh_postings(
 
     ``changed_chunks``: the new/updated chunk rows (their old postings are
     replaced). ``deleted_paths``: documents whose postings must go.
+
+    The changed-document set stays a DataFrame end-to-end: the driver
+    materializes only the touched BUCKET ids (<= n_buckets ints), never
+    the changed paths — a whole-corpus refresh routes without collecting
+    millions of strings (the chunks-table twin is
+    plans/ingest.delete_documents_df).
     """
-    changed_paths: set[str] = set(deleted_paths or [])
+    nb = table_n_buckets(path)
     new_postings = None
+    parts = []
     if changed_chunks is not None:
         new_postings = build_postings(changed_chunks, tokenizer=tokenizer).persist()
-        changed_paths.update(
-            r["filePath"]
-            for r in new_postings.select("filePath").distinct().collect()
+        parts.append(new_postings.select("filePath"))
+    if deleted_paths:
+        parts.append(
+            spark.createDataFrame(
+                [(p,) for p in sorted(set(deleted_paths))], "filePath string"
+            )
         )
-    if not changed_paths:
+    if not parts:
+        return
+    targets = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    bucket_of = F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int")
+    targets = targets.distinct().withColumn("b", bucket_of).persist()
+    buckets = [r["b"] for r in targets.select("b").distinct().collect()]
+    if not buckets:
+        targets.unpersist()
+        if new_postings is not None:
+            new_postings.unpersist()
         return
 
-    targets = sorted(changed_paths)
-    nb = table_n_buckets(path)
-    assignments = (
-        spark.createDataFrame([(p,) for p in targets], "filePath string")
-        .select(
-            "filePath",
-            F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int").alias("b"),
-        )
-        .collect()
-    )
-    by_bucket: dict[int, list[str]] = {}
-    for r in assignments:
-        by_bucket.setdefault(r["b"], []).append(r["filePath"])
-
     existing = spark.read.parquet(path)
-    for bucket, bucket_paths in sorted(by_bucket.items()):
+    for bucket in sorted(buckets):
         part = existing.filter(F.col("bucket") == bucket)
-        keep = part.filter(~F.col("filePath").isin(bucket_paths)).drop("bucket")
+        t_b = targets.filter(F.col("b") == bucket).select("filePath")
+        keep = part.join(t_b, "filePath", "left_anti").drop("bucket")
         if new_postings is not None:
-            adds = new_postings.filter(F.col("filePath").isin(bucket_paths))
+            adds = new_postings.filter(bucket_of == bucket)
             keep = keep.unionByName(adds)
         out = keep.sortWithinPartitions("term", "filePath", "chunkIndex").coalesce(1)
         out.localCheckpoint().write.mode("overwrite").parquet(
             f"{path}/bucket={bucket}"
         )
+    targets.unpersist()
     if new_postings is not None:
         new_postings.unpersist()
     spark.catalog.refreshByPath(path)

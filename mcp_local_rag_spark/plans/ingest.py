@@ -362,3 +362,52 @@ def delete_document(spark: SparkSession, table_path: str, file_path: str) -> int
     """S8 delete-by-file: the single-document form of ``delete_documents``
     (one bucket rewrite; partition pruning skips the other 63)."""
     return delete_documents(spark, table_path, [file_path])
+
+
+def delete_documents_df(
+    spark: SparkSession,
+    table_path: str,
+    targets: DataFrame,
+    *,
+    case_fold: bool = False,
+) -> int:
+    """DataFrame-native S8: delete every chunk row whose sync key matches a
+    key in ``targets`` (a one-column DataFrame).
+
+    The whole-corpus-resync shape of ``delete_documents``: the key set
+    stays a DataFrame end-to-end — the driver materializes only the
+    TOUCHED BUCKET IDS (<= n_buckets rows), never the matching paths, so
+    a sync that prunes millions of documents collects at most 64 ints
+    where the list form would collect millions of strings. Each touched
+    bucket is rewritten once via an anti join against the targets
+    (Catalyst picks broadcast vs shuffle by target size). Returns the
+    number of deleted rows. With Delta this is
+    ``DELETE WHERE key IN (SELECT key FROM targets)``.
+    """
+    from ..functions.paths import sync_path_key
+
+    keys = targets.toDF("_target_key").distinct()
+    df = spark.read.parquet(table_path)
+    tagged = df.withColumn(
+        "_k", sync_path_key(F.col("filePath"), case_fold=case_fold)
+    )
+    doomed = tagged.join(keys, tagged["_k"] == keys["_target_key"], "left_semi")
+    # one column-pruned pass finds the touched buckets AND the delete count
+    hits = {
+        r["bucket"]: r["n"]
+        for r in doomed.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    if not hits:
+        return 0
+    for bucket in sorted(hits):
+        part = tagged.filter(F.col("bucket") == bucket)
+        # localCheckpoint cuts lineage so the overwrite below does not read
+        # the very files it replaces
+        keep = (
+            part.join(keys, part["_k"] == keys["_target_key"], "left_anti")
+            .drop("bucket", "_k")
+            .localCheckpoint()
+        )
+        keep.write.mode("overwrite").parquet(f"{table_path}/bucket={bucket}")
+    spark.catalog.refreshByPath(table_path)
+    return int(sum(hits.values()))

@@ -777,12 +777,62 @@ FROM (
 GROUP BY decile ORDER BY decile""",
 )
 def q_customer_deciles(spark, sf_dir):
-    c = load(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    """NTILE(10) summary WITHOUT the single-partition window.
+
+    ``ntile(10) OVER (ORDER BY ...)`` forces WindowExec to gather the
+    whole table into ONE partition — the textbook scale-killer. The
+    scale-safe twin: range-partition on the ordering key (ranges ascend
+    with partition id, so global order = (pid, local order)), per-
+    partition row numbers via a partition-local mapInPandas counter (no
+    shuffle — batches arrive sorted after sortWithinPartitions), tiny
+    per-partition counts collected to cumulative offsets, then the decile
+    from NTILE's rank arithmetic: the first N mod 10 tiles get
+    ceil(N/10) rows, the rest floor(N/10). Identical output to the
+    DuckDB ntile oracle; the heavy table never converges on one task.
+    """
+    c = load(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    ranked_parts = (
+        c.repartitionByRange(32, "c_acctbal", "c_custkey")
+        .sortWithinPartitions("c_acctbal", "c_custkey")
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    def _local_rn(batches):
+        import pandas as pd  # noqa: F401
+
+        i = 0
+        for pdf in batches:
+            n = len(pdf)
+            pdf = pdf.assign(rn=range(i + 1, i + n + 1))
+            i += n
+            yield pdf
+
+    ranked = ranked_parts.mapInPandas(
+        _local_rn, "c_acctbal double, c_custkey long, pid int, rn long"
+    )
+
+    # per-partition counts: a handful of rows — cumulative offsets are a
+    # driver-side fold broadcast back as a tiny join table
+    counts = {r["pid"]: r["n"] for r in
+              ranked_parts.groupBy("pid").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+    )
+
+    q, rem = divmod(total, 10)
+    rank = F.col("off") + F.col("rn")
+    head = rem * (q + 1)  # rows covered by the ceil-sized tiles
+    decile = F.when(
+        rank <= head, F.ceil(rank / F.lit(max(q + 1, 1)))
+    ).otherwise(rem + F.ceil((rank - head) / F.lit(max(q, 1))))
     return (
-        c.select(
-            "c_acctbal", F.ntile(10).over(w).cast("bigint").alias("decile")
-        )
+        ranked.join(off, "pid")
+        .select("c_acctbal", decile.cast("bigint").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),

@@ -131,3 +131,69 @@ def test_split_sentences_sea_guard_leaves_latin_alone():
         "The Thai word ตลาด means market.",
         "Next sentence here.",
     ]
+
+
+def test_chunk_documents_boundary_digest_golden(spark):
+    """Regression teeth for the one oracle-less registry entry: the
+    chunker's per-doc boundary structure is pinned as a digest, so a
+    splitter/chunker change can't hide behind a stable row count.
+
+    (a) the driver corpus at sf0.001: every synthetic doc is
+    punctuation-free -> exactly one single-sentence chunk each; the global
+    digest over (doc -> joined sentence counts) is pinned.
+    (b) a constructed multi-sentence corpus through the SAME pipeline
+    pins real boundary decisions (sentence counts per chunk).
+    """
+    import hashlib
+
+    from mcp_local_rag_spark.queries import queries
+
+    rows = queries()["chunk_documents"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append((r.chunk_index, r.n_sentences))
+    digests = {
+        d: hashlib.md5(
+            ",".join(str(n) for _, n in sorted(lst)).encode()
+        ).hexdigest()
+        for d, lst in per_doc.items()
+    }
+    glob = hashlib.md5(
+        "|".join(f"{d}:{digests[d]}" for d in sorted(digests)).encode()
+    ).hexdigest()
+    assert glob == "f6ff02d1abef8e881421a55bc20468f6"
+
+    # (b) constructed corpus: repeated sentences force multi-sentence docs
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.chunking.maxmin import maxmin_chunk
+    from mcp_local_rag_spark.chunking.splitter import split_sentences_udf
+    from mcp_local_rag_spark.embedder import embed_text_column
+
+    texts = [
+        (
+            "0",
+            "Spark shuffles data between executors. Broadcast joins avoid that "
+            "movement entirely. Cats purr on warm windowsills in the afternoon. "
+            "Kittens chase feathers across the floor.",
+        ),
+        ("1", "One lone sentence stands here alone."),
+    ]
+    docs = spark.createDataFrame(texts, "doc_key string, text string")
+    sentences = docs.select(
+        "doc_key",
+        F.posexplode(split_sentences_udf(F.col("text"))).alias("seq", "text"),
+    )
+    chunks = (
+        maxmin_chunk(embed_text_column(sentences, "text", "vector", dim=32),
+                     min_chunk_length=30)
+        .orderBy("doc_key", "chunk_index")
+        .collect()
+    )
+    shape = [(r.doc_key, r.chunk_index, r.n_sentences) for r in chunks]
+    # doc 0: four sentences; doc 1: one; exact grouping pinned
+    assert [s for s in shape if s[0] == "1"] == [("1", 0, 1)]
+    assert sum(n for d, _, n in shape if d == "0") == 4
+    digest_b = hashlib.md5(str(shape).encode()).hexdigest()
+    assert digest_b == "f3bb39ab9de1af11a84f5f46bc769b14"

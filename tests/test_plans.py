@@ -310,3 +310,16 @@ def test_repetition_is_single_shuffle(spark, qs):
     n_exchanges = p.count("+- Exchange") + p.count("(Exchange")
     assert n_exchanges <= 1, p
     assert "Join" not in p, p
+
+
+def test_deciles_have_no_unpartitioned_window(spark, qs):
+    """NTILE-style decile summary must not gather the table into a
+    single-partition WindowExec (the 'No Partition Defined for Window'
+    scale-killer): the two-phase rank plan has NO window at all — range
+    exchange + partition-local rank + tiny broadcast of offsets."""
+    df = qs["customer_balance_deciles"](spark, SF_DIR)
+    p = plan(df)
+    assert "Window" not in p
+    assert "rangepartitioning" in p.lower()
+    rows = {r.decile: r.n for r in df.collect()}
+    assert sum(rows.values()) > 0 and len(rows) == 10

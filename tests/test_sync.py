@@ -79,3 +79,46 @@ def test_unobserved_prefix_is_boundary_aware(spark):
         "/docs/sub": "keep_unobserved",
         "/docs/subfile.md": "prune",
     }
+
+
+def test_sync_execute_is_dataframe_native(spark, tmp_path, monkeypatch):
+    """The sync execute path routes deletes by joining the plan against
+    the stored table — never by materializing matching paths into an
+    IN-list (VERDICT r4 #5). Gated by (a) the list-form delete being
+    unreachable from sync, and (b) above the prune-collect cap, sync
+    collecting NO prune keys at all (full index rebuild instead)."""
+    import mcp_local_rag_spark.engine as engine_mod
+    from mcp_local_rag_spark.engine import RagEngine
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    for i in range(6):
+        (d / f"doc{i}.md").write_text(
+            f"# Doc {i}\n\nDocument number {i} has a full sentence of content "
+            "to survive chunking comfortably.\n"
+        )
+    eng = RagEngine(
+        spark,
+        str(tmp_path / "chunks"),
+        postings_path=str(tmp_path / "postings"),
+    )
+    eng.ingest_directory(str(d))
+    eng.optimize()  # build the postings index
+
+    def _forbid(*a, **k):
+        raise AssertionError("sync must not use the list-form delete")
+
+    monkeypatch.setattr(engine_mod, "delete_documents", _forbid)
+    # force the >cap branch: prune keys must NOT be collected
+    monkeypatch.setattr(engine_mod, "PRUNE_COLLECT_CAP", 0)
+
+    for i in range(3):
+        (d / f"doc{i}.md").unlink()
+    rep = eng.sync(str(d))
+    assert rep.counters.get("prune", 0) == 3
+    assert eng._needs_full_index is False  # optimize() ran and rebuilt
+    files = {r.filePath.rsplit("/", 1)[-1] for r in eng.list_documents().collect()}
+    assert files == {"doc3.md", "doc4.md", "doc5.md"}
+    # the rebuilt index answers keyword queries over the surviving docs only
+    hit = eng.keyword_search("document").first()
+    assert hit is not None
