@@ -209,6 +209,99 @@ def ivf_multiprobe(
     )
 
 
+def hyperplane_planes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes for sign-LSH (random projection
+    / SimHash-over-vectors). Seeded so the Spark signatures and a SQL
+    oracle embedding the same planes as literals agree bit-for-bit."""
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
+def hyperplane_sig_udf(planes: np.ndarray):
+    """Arrow-batched signature kernel: bit i of a vector's signature is
+    ``dot(v, plane_i) > 0``, packed into one integer — one numpy matmul
+    per batch, map-only (the LSH-bucketed scale path for ANN: equal
+    signatures land in one bucket, so search joins buckets instead of
+    cross-joining the corpus)."""
+    P = np.asarray(planes, dtype=np.float64)
+    weights = (1 << np.arange(P.shape[0])).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def _sig(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype="int64")
+        M = _np_matrix(col)
+        bits = (M @ P.T) > 0
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return _sig
+
+
+def lsh_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: np.ndarray,
+    k: int,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    multiprobe: bool = True,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Hyperplane-LSH approximate top-k: corpus rows are signed into
+    2^n_planes buckets (map-only), each query probes its OWN bucket plus
+    every 1-bit flip (``multiprobe``) — the standard recall knob: a
+    near-neighbor differs from the query in few sign bits, so Hamming-1
+    probes recover most of what bucket quantization splits.
+
+    Same shape as ivf_multiprobe: the handful of query rows is replicated
+    per probed bucket driver-side, and the scan kernel masks corpus
+    batches by bucket — a corpus row holds exactly ONE signature, so
+    probes are disjoint and the final window top-k needs no dedup.
+    At 100 TB: signature assign is a map stage; each query reads
+    ~(n_planes+1)/2^n_planes of the corpus.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    P = np.asarray(planes, dtype=np.float64)
+    weights = (1 << np.arange(P.shape[0])).astype(np.int64)
+    corpus_s = corpus.withColumn(
+        "_sig", hyperplane_sig_udf(P)(F.col(corpus_vec))
+    )
+    q_rows = queries.select(query_id, query_vec).collect()
+    replicated = []
+    for r in q_rows:
+        qv = np.asarray(r[query_vec], dtype=np.float64)
+        sig = int(((P @ qv) > 0).astype(np.int64) @ weights)
+        buckets = [sig]
+        if multiprobe:
+            buckets += [sig ^ (1 << i) for i in range(P.shape[0])]
+        for b in buckets:
+            replicated.append((r[query_id], int(b), [float(x) for x in qv]))
+    probe_df = queries.sparkSession.createDataFrame(
+        replicated,
+        StructType(
+            [
+                StructField(query_id, queries.schema[query_id].dataType),
+                StructField("_sig", LongType()),
+                StructField(query_vec, ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    return cosine_knn(
+        probe_df,
+        corpus_s,
+        k,
+        query_id=query_id,
+        corpus_id=corpus_id,
+        query_vec=query_vec,
+        corpus_vec=corpus_vec,
+        block_col="_sig",
+        exclude_self=exclude_self,
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     *,

@@ -311,6 +311,63 @@ def q_knn_ivf_probe(spark, sf_dir):
     return similarity.cosine_knn(q, emb, k=5, block_col="label")
 
 
+# Hyperplane-LSH ANN (sign-LSH): the bucketed scale path that needs no
+# trained model — deterministic seeded planes let the DuckDB oracle carry
+# the SAME planes as literal arrays and reproduce signature, probe set,
+# and ranking exactly. 6 planes -> 64 buckets; each query probes its own
+# bucket + all Hamming-1 flips.
+
+def _lsh_planes():
+    import numpy as np  # noqa: F401
+
+    from ..operators.similarity import hyperplane_planes
+
+    return hyperplane_planes(6, 64, seed=42)
+
+
+def _lsh_sig_sql() -> str:
+    planes = _lsh_planes()
+    cases = []
+    for i, row in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in row) + "]"
+        cases.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) > 0"
+            f" THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(cases) + ")"
+
+
+_LSH_PROBES = "[qsig, " + ", ".join(f"xor(qsig, {1 << i})" for i in range(6)) + "]"
+
+@register(
+    "knn_lsh_hyperplane",
+    f"""WITH sigs AS (
+  SELECT vec_id, embedding, {_lsh_sig_sql()} AS sig FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qemb, sig AS qsig
+      FROM sigs WHERE vec_id IN {_QSET}),
+probes AS (
+  SELECT query_id, qemb, unnest({_LSH_PROBES}) AS bucket FROM q
+),
+scored AS (
+  SELECT p.query_id, s.vec_id AS neighbor_id,
+         round(list_dot_product(s.embedding::DOUBLE[], p.qemb::DOUBLE[]) /
+               (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(p.qemb::DOUBLE[], p.qemb::DOUBLE[]))), 6) + 0 AS cos
+  FROM probes p JOIN sigs s ON s.sig = p.bucket
+  WHERE s.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""",
+)
+def q_knn_lsh_hyperplane(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_knn(q, emb, _lsh_planes(), k=5)
+
+
 # ---------------------------------------------------------------------------
 # text analytics
 

@@ -118,3 +118,43 @@ def test_ivf_multiprobe_recall(spark):
         ).collect()
     }
     assert set(probe_one) <= own_cluster - {0}
+
+
+def test_hyperplane_lsh_recall_and_determinism(spark):
+    """Sign-LSH with Hamming-1 multiprobe: deterministic signatures from
+    seeded planes, disjoint probes (no duplicate pairs), and the probed
+    neighborhood recovers the true top neighbor for most queries on a
+    clustered corpus (recall sanity, not exactness — LSH is approximate
+    by contract)."""
+    import numpy as np
+
+    from mcp_local_rag_spark.operators.similarity import (
+        cosine_knn,
+        hyperplane_planes,
+        lsh_knn,
+    )
+
+    rng = np.random.RandomState(7)
+    # three tight clusters -> near neighbors share most sign bits
+    centers = rng.randn(3, 16) * 3
+    rows = []
+    for i in range(120):
+        c = centers[i % 3]
+        rows.append((i, [float(x) for x in c + rng.randn(16) * 0.1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+    planes = hyperplane_planes(8, 16, seed=42)
+
+    approx = lsh_knn(q, emb, planes, k=3)
+    rows1 = {(r.query_id, r.neighbor_id, r.cos) for r in approx.collect()}
+    rows2 = {(r.query_id, r.neighbor_id, r.cos) for r in lsh_knn(q, emb, planes, k=3).collect()}
+    assert rows1 == rows2  # deterministic end to end
+    # no duplicate (query, neighbor) pairs from multiprobe
+    pairs = [(a, b) for a, b, _ in rows1]
+    assert len(pairs) == len(set(pairs))
+
+    exact = cosine_knn(q, emb, k=1)
+    top1 = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = {(a, b) for a, b, _ in rows1}
+    # every query's true nearest neighbor is in the probed result set
+    assert top1 <= got
