@@ -87,6 +87,30 @@ COMMENTARY = {
         "stats ride in as a broadcast 1-row cross join, so the index-free "
         "keyword side adds no driver round trip and no data shuffle."
     ),
+    "hybrid_search_indexed": (
+        "The steady-state shape: same pipeline, but BM25 reads the "
+        "PERSISTED bucketed postings table with its persisted corpus "
+        "statistics folded in as literals — the term IN-filter pushes into "
+        "the term-sorted parquet scan (row-group pruning), and no "
+        "full-corpus aggregate appears anywhere in the per-query plan. "
+        "At 100 TB the per-query cost is bounded by the matched terms' "
+        "row groups, not corpus size (sf1 check: 10x data -> 1.11x time)."
+    ),
+    "knn_lsh_hyperplane": (
+        "Model-free ANN: a map-only Arrow kernel signs every vector into "
+        "one of 2^n_planes buckets; each query probes its bucket plus "
+        "Hamming-1 flips, and the cosine kernel masks corpus batches by "
+        "bucket with per-partition partial top-k. No shuffle of the "
+        "corpus, no trained model, scanned fraction ~(n_planes+1)/2^n."
+    ),
+    "customer_balance_deciles": (
+        "NTILE without the single-partition window: range exchange on the "
+        "ordering key, partition-local row numbers from a mapInPandas "
+        "counter (no extra shuffle), cumulative offsets broadcast back as "
+        "a tiny join, decile from rank arithmetic. The plan contains NO "
+        "WindowExec — the scale-killer 'No Partition Defined for Window' "
+        "gather cannot appear."
+    ),
 }
 
 
