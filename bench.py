@@ -63,6 +63,7 @@ def main() -> None:
     # analogue — BASELINE.json: "serving requires external system") and the
     # in-plan Spark read (pays Catalyst planning per query).
     serve_p95_ms, spark_p95_ms = _neighbor_bench(spark)
+    anchors = _derived_anchors(spark, qs, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -75,9 +76,65 @@ def main() -> None:
                 "sf": sf,
                 "neighbor_read_p95_ms": serve_p95_ms,
                 "neighbor_read_sparkplan_p95_ms": spark_p95_ms,
+                **anchors,
             }
         )
     )
+
+
+def _derived_anchors(spark, qs, sf_dir) -> dict:
+    """BASELINE.md 'throughput anchors to derive during bench':
+    chunks-embedded/sec through the full split+embed+chunk pipeline, and
+    warmed query p50/p95 for the flat KNN and the indexed hybrid."""
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.plans.ingest import build_chunks
+    from mcp_local_rag_spark.session import load
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .limit(1000)
+        .select(
+            F.concat(F.lit("/bench/doc"), F.col("doc_id").cast("string"), F.lit(".md")).alias("path"),
+            F.col("text"),
+            F.col("text").substr(1, 40).alias("title"),
+            F.md5("text").alias("contentHash"),
+            F.length("text").cast("long").alias("length"),
+        )
+    )
+    t0 = time.time()
+    n_chunks = build_chunks(docs, dim=64, backend="pseudo").count()
+    ingest_sec = time.time() - t0
+    chunks_per_sec = round(n_chunks / ingest_sec, 1) if ingest_sec > 0 else None
+
+    def _latency(name, reps):
+        q = qs[name]
+        q(spark, sf_dir).count()  # warm
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            q(spark, sf_dir).count()
+            times.append(time.time() - t0)
+        times.sort()
+        return (
+            round(times[len(times) // 2] * 1000, 1),
+            round(times[max(0, int(len(times) * 0.95) - 1)] * 1000, 1),
+        )
+
+    v50, v95 = _latency("vector_topk", 10)
+    h50, h95 = _latency("hybrid_search_indexed", 6)
+    print(
+        f"# anchors: ingest {chunks_per_sec} chunks/s; vector_topk p50/p95 "
+        f"{v50}/{v95} ms; hybrid_indexed p50/p95 {h50}/{h95} ms",
+        file=sys.stderr,
+    )
+    return {
+        "ingest_chunks_per_sec": chunks_per_sec,
+        "vector_topk_p50_ms": v50,
+        "vector_topk_p95_ms": v95,
+        "hybrid_indexed_p50_ms": h50,
+        "hybrid_indexed_p95_ms": h95,
+    }
 
 
 def _neighbor_bench(spark) -> float:

@@ -51,25 +51,27 @@ def exact_duplicates(docs: DataFrame, *, id_col: str = "doc_id", text_col: str =
 def shingle_sets(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """Distinct word k-shingles per document: (id, shingle).
 
-    Window-lead formulation (posexplode tokens, concat k leads) instead of
-    an array higher-order transform: HOFs are interpreted per element, the
-    window version stays in codegen. One shuffle keyed by document id —
-    the same key the downstream signature groupBy needs.
+    Map-only formulation: tokenize once into an array, explode the start
+    positions, and build each shingle with ``concat_ws(slice(...))`` —
+    both codegen'd built-ins, NOT lambda higher-order functions (those are
+    interpreted per element). Unlike the earlier window-lead form this
+    needs NO shuffle before the distinct: the old plan paid a per-document
+    hash exchange + sort just to line tokens up for ``lead``, which at
+    100 TB is a full extra pass over the token stream. Shingle generation
+    is embarrassingly parallel; the first (and only pre-aggregation)
+    shuffle is the distinct itself.
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("pos", "tok"),
-    ).filter(F.col("tok") != "")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    cols = [F.col("tok")] + [
-        F.lead("tok", j).over(w).alias(f"_t{j}") for j in range(1, k)
-    ]
-    with_leads = toks.select(F.col(id_col), *cols)
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), "")
+    d = docs.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= k)
     return (
-        with_leads.filter(F.col(f"_t{k-1}").isNotNull())
+        d.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.size("_toks") - (k - 1))).alias("_i"),
+            "_toks",
+        )
         .select(
             F.col(id_col),
-            F.concat_ws(" ", "tok", *[f"_t{j}" for j in range(1, k)]).alias("shingle"),
+            F.concat_ws(" ", F.slice("_toks", F.col("_i"), k)).alias("shingle"),
         )
         .distinct()
     )
