@@ -390,3 +390,40 @@ def q_corpus_stratified_sample(spark, sf_dir):
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate mining: word n-grams shared by many documents
+# (the curation step that finds repeated headers/footers/licenses before
+# line-level dedup — C4/RefinedWeb-style). Reuses the map-only shingle
+# operator; the only shuffles are the per-doc distinct and the gram count.
+
+@register(
+    "corpus_boilerplate_ngrams",
+    """WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 3)) AS r(i)
+  WHERE len(t) >= 5
+)
+SELECT gram, count(*)::BIGINT AS n_docs
+FROM grams GROUP BY 1 HAVING count(*) >= 3
+ORDER BY n_docs DESC, gram LIMIT 20""",
+)
+def q_corpus_boilerplate_ngrams(spark, sf_dir):
+    from ..operators.dedup import shingle_sets
+
+    docs = load(spark, sf_dir, "documents")
+    grams = shingle_sets(docs, id_col="doc_id", text_col="text", k=5)
+    return (
+        grams.groupBy(F.col("shingle").alias("gram"))
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.col("n_docs").desc(), "gram")
+        .limit(20)
+    )

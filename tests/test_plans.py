@@ -323,3 +323,14 @@ def test_deciles_have_no_unpartitioned_window(spark, qs):
     assert "rangepartitioning" in p.lower()
     rows = {r.decile: r.n for r in df.collect()}
     assert sum(rows.values()) > 0 and len(rows) == 10
+
+
+def test_indexed_hybrid_scans_postings_with_pushed_terms(spark, qs):
+    """Steady-state hybrid: BM25 reads the persisted postings table with
+    the query's terms PUSHED into the parquet scan (row-group pruning on
+    the term-sorted layout), and the persisted corpus statistics arrive as
+    literals — no avg(dl) aggregate over the full index appears anywhere
+    in the per-query plan."""
+    p = plan(qs["hybrid_search_indexed"](spark, SF_DIR))
+    assert p.count("In(term") >= 2          # both matched-term scans pruned
+    assert "avgdl" not in p                 # stats folded in, not recomputed
