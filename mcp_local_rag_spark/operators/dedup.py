@@ -154,6 +154,43 @@ def lsh_candidate_pairs(
     )
 
 
+def incremental_candidate_pairs(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """LSH candidate pairs touching at least one NEW document — the
+    incremental production shape: the corpus signature table is computed
+    ONCE and persisted (a parquet artifact, like the FTS postings); an
+    arriving batch signs + bands map-only and band-joins against the
+    stored bands plus itself. The corpus is never re-shingled or
+    re-signed, so per-batch cost scales with the batch, not the corpus.
+
+    Returns (id1, id2) with id1 < id2, exactly the subset of the full
+    ``lsh_candidate_pairs`` output where either side is new (signatures
+    are deterministic, so incremental and full runs agree row-for-row).
+    """
+    new_bands = band_keys(new_sigs, id_col=id_col, band_size=band_size).persist()
+    new_bands.count()
+    all_bands = band_keys(corpus_sigs, id_col=id_col, band_size=band_size).unionByName(
+        new_bands
+    )
+    a = new_bands.select(F.col(id_col).alias("_na"), "band", "band_key")
+    b = all_bands.select(F.col(id_col).alias("_ob"), "band", "band_key")
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("_na") != F.col("_ob"))
+        .select(
+            F.least("_na", "_ob").alias("id1"),
+            F.greatest("_na", "_ob").alias("id2"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
 def jaccard_verify(
     pairs: DataFrame,
     shingles: DataFrame,

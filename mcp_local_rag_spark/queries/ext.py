@@ -116,6 +116,25 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.lsh_candidate_pairs(sigs)
 
 
+# Incremental LSH: new docs (doc_id % 10 = 0 plays the "arriving batch")
+# band-join against the persisted corpus signatures — candidates touching
+# >= 1 new doc. Deterministic signatures make this exactly the full run's
+# pair set restricted to new members, which is what the oracle selects.
+
+@register(
+    "dedup_minhash_incremental",
+    f"WITH {CORPUS_CTE.strip()}, {SHINGLES_CTE.strip()}, {SIGS_CTE.strip()} "
+    "SELECT id1, id2 FROM pairs WHERE id1 % 10 = 0 OR id2 % 10 = 0",
+)
+def q_dedup_minhash_incremental(spark, sf_dir):
+    corpus = _dedup_corpus(spark, sf_dir)
+    new = corpus.filter(F.col("doc_id") % 10 == 0)
+    old = corpus.filter(F.col("doc_id") % 10 != 0)
+    new_sigs = dedup.minhash_signatures(dedup.shingle_sets(new))
+    old_sigs = dedup.minhash_signatures(dedup.shingle_sets(old))
+    return dedup.incremental_candidate_pairs(new_sigs, old_sigs)
+
+
 @register(
     "dedup_jaccard",
     f"""WITH {CORPUS_CTE.strip()}, {SHINGLES_CTE.strip()}, {SIGS_CTE.strip()},

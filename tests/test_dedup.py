@@ -94,3 +94,45 @@ def test_connected_components_direction_agnostic(spark):
     pairs = spark.createDataFrame([(5, 1), (2, 5)], "id1 long, id2 long")
     labels = {r.id: r.label for r in connected_components(pairs).collect()}
     assert labels == {1: 1, 2: 1, 5: 1}
+
+
+def test_incremental_lsh_matches_full_run(spark):
+    """Incremental candidates (new batch vs persisted corpus signatures)
+    are exactly the full run's pairs restricted to pairs touching a new
+    doc — deterministic signatures guarantee agreement, the contract that
+    lets the signature table be a build-once artifact."""
+    from mcp_local_rag_spark.operators.dedup import (
+        incremental_candidate_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    base = (
+        "spark shuffles data between executors and broadcast joins avoid "
+        "that data movement across the cluster entirely today"
+    )
+    rows = []
+    for i in range(12):
+        # groups of 3 near-identical docs -> plenty of LSH collisions
+        rows.append((i, base + f" variant group {i // 3}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = {
+        (r.id1, r.id2)
+        for r in lsh_candidate_pairs(
+            minhash_signatures(shingle_sets(docs))
+        ).collect()
+    }
+    new_ids = {0, 4, 8}
+    new = docs.filter(docs.doc_id.isin(list(new_ids)))
+    old = docs.filter(~docs.doc_id.isin(list(new_ids)))
+    inc = {
+        (r.id1, r.id2)
+        for r in incremental_candidate_pairs(
+            minhash_signatures(shingle_sets(new)),
+            minhash_signatures(shingle_sets(old)),
+        ).collect()
+    }
+    expected = {(a, b) for a, b in full if a in new_ids or b in new_ids}
+    assert inc == expected and len(expected) > 0
