@@ -441,3 +441,91 @@ def q_events_resample_ffill(spark, sf_dir):
             ),
         )
     )
+
+
+# HyperLogLog distinct-user sketch built from relational primitives — the
+# "novel sketch as a composition of built-ins" pattern (with the standard
+# small-range linear-counting correction): a 60-bit md5-derived
+# hash splits into 256 registers (low 8 bits) and a 52-bit suffix whose
+# leading-zero count comes from length(bin(w)) — both engines share every
+# step, so the ESTIMATE itself is oracle-exact (raw HLL, no small-range
+# correction, documented). At 100 TB this is one partial+final aggregate:
+# registers merge with max(), the classic mergeable-sketch property that
+# exact countDistinct lacks.
+
+@register(
+    "events_hll_distinct",
+    """WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM events
+),
+reg AS (
+  SELECT event_type, hv % 256 AS bucket,
+         max(CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END) AS rho
+  FROM h GROUP BY event_type, bucket
+),
+est AS (
+  SELECT event_type,
+         sum(pow(2.0, -rho)) + (256 - count(*)) AS denom,
+         256 - count(*) AS zeros
+  FROM reg GROUP BY event_type
+),
+corrected AS (
+  SELECT event_type,
+         CASE WHEN 0.718 * 256 * 256 / denom <= 640 AND zeros > 0
+              THEN 256 * ln(256.0 / zeros)
+              ELSE 0.718 * 256 * 256 / denom END AS e
+  FROM est
+)
+SELECT c.event_type,
+       round(c.e, 6) + 0 AS hll_estimate,
+       d.exact_distinct
+FROM corrected c
+JOIN (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+      FROM events GROUP BY event_type) d USING (event_type)
+ORDER BY event_type""",
+)
+def q_events_hll_distinct(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    hv = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    h = ev.select("event_type", hv.alias("hv"))
+    reg = (
+        # shiftright = exact integer division by 64 (floor(hv/64.0) would
+        # round through double precision above 2^53 and can misplace w
+        # across a power-of-2 boundary, flipping its bin-length)
+        h.withColumn("bucket", F.col("hv") % 256)
+        .withColumn("w", F.shiftright("hv", 8))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.max(
+                F.when(F.col("w") == 0, 53).otherwise(53 - F.length(F.bin("w")))
+            ).alias("rho")
+        )
+    )
+    est = reg.groupBy("event_type").agg(
+        (F.sum(F.pow(F.lit(2.0), -F.col("rho"))) + (256 - F.count("*"))).alias("denom"),
+        (256 - F.count("*")).alias("zeros"),
+    )
+    # standard small-range correction: raw HLL biases high below ~2.5m;
+    # linear counting over the empty registers is exact-formula
+    # deterministic, so both engines still agree bit-for-bit after round
+    raw = 0.718 * 256 * 256 / F.col("denom")
+    corrected = F.when(
+        (raw <= 640) & (F.col("zeros") > 0),
+        256 * F.log(256.0 / F.col("zeros")),
+    ).otherwise(raw)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            (F.round(corrected, 6) + F.lit(0.0)).alias("hll_estimate"),
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )
