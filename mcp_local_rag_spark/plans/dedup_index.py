@@ -1,0 +1,75 @@
+"""Persisted MinHash signature table — the dedup twin of the FTS postings
+index (plans/fts): computed once when a corpus is ingested, appended per
+arriving batch, and diffed incrementally so deduplication cost scales
+with the batch, not the corpus.
+
+Layout: one row per document, (id, sig0..sig{n-1}), plain parquet.
+Signatures are deterministic (operators/dedup constants), so an
+incremental run against the stored table returns exactly the pairs a
+full recompute would — pinned by tests/test_dedup.py. At 100 TB the
+table would be bucketed by id hash like the chunks table so the
+band-key build co-partitions with other per-doc artifacts; the row
+volume (one narrow row per doc) makes even the plain layout cheap
+relative to the corpus it indexes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    incremental_candidate_pairs,
+    minhash_signatures,
+    shingle_sets,
+)
+
+
+def write_signatures(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Shingle + sign ``docs`` and persist the signature table."""
+    sigs = minhash_signatures(
+        shingle_sets(docs, id_col=id_col, text_col=text_col), id_col=id_col
+    )
+    sigs.write.mode(mode).parquet(path)
+
+
+def read_signatures(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    append: bool = True,
+) -> DataFrame:
+    """Candidate pairs of ``new_docs`` against the stored corpus (plus
+    new-vs-new), then — by default — append the batch's signatures so the
+    table stays current. The corpus is never re-shingled; the batch signs
+    map-only and band-joins the stored bands (operators/dedup.
+    incremental_candidate_pairs). Returns (id1, id2), materialized before
+    the append so the result is stable against the table mutation.
+    """
+    corpus_sigs = read_signatures(spark, path)
+    new_sigs = minhash_signatures(
+        shingle_sets(new_docs, id_col=id_col, text_col=text_col), id_col=id_col
+    ).persist()
+    new_sigs.count()
+    pairs = incremental_candidate_pairs(
+        new_sigs, corpus_sigs, id_col=id_col
+    ).persist()
+    pairs.count()
+    if append:
+        new_sigs.write.mode("append").parquet(path)
+        spark.catalog.refreshByPath(path)
+    new_sigs.unpersist()
+    return pairs

@@ -136,3 +136,47 @@ def test_incremental_lsh_matches_full_run(spark):
     }
     expected = {(a, b) for a, b in full if a in new_ids or b in new_ids}
     assert inc == expected and len(expected) > 0
+
+
+def test_persisted_signature_table_incremental(spark, tmp_path):
+    """The signature table is a build-once artifact: an arriving batch
+    dedups against it without re-signing the corpus, and the append keeps
+    the table current for the NEXT batch."""
+    from mcp_local_rag_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+    from mcp_local_rag_spark.plans.dedup_index import (
+        incremental_dedup,
+        read_signatures,
+        write_signatures,
+    )
+
+    base = (
+        "spark shuffles data between executors and broadcast joins avoid "
+        "that data movement across the cluster entirely today"
+    )
+    all_rows = [(i, base + f" variant group {i // 3}") for i in range(12)]
+    corpus = spark.createDataFrame(all_rows[:9], "doc_id long, text string")
+    batch = spark.createDataFrame(all_rows[9:], "doc_id long, text string")
+    path = str(tmp_path / "sigs")
+    write_signatures(corpus, path)
+    assert read_signatures(spark, path).count() == 9
+
+    pairs = {
+        (r.id1, r.id2) for r in incremental_dedup(spark, path, batch).collect()
+    }
+    full_docs = spark.createDataFrame(all_rows, "doc_id long, text string")
+    full = {
+        (r.id1, r.id2)
+        for r in lsh_candidate_pairs(
+            minhash_signatures(shingle_sets(full_docs))
+        ).collect()
+    }
+    new_ids = {9, 10, 11}
+    assert pairs == {(a, b) for a, b in full if a in new_ids or b in new_ids}
+    assert len(pairs) > 0
+    # append happened: the table now covers all 12 docs, and a SECOND
+    # batch sees the first batch as corpus
+    assert read_signatures(spark, path).count() == 12
