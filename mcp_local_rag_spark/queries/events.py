@@ -529,3 +529,71 @@ def q_events_hll_distinct(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# Count-Min frequency sketch, same oracle-exact construction stance as the
+# HLL entry: d=4 hash rows x w=4096 counters from md5-derived hashes, the
+# per-key estimate is the min across rows (never under true count). The
+# sketch build is one map-only explode + one aggregate into <= 16k cells
+# — mergeable by cell-wise sum — and estimates join the tiny sketch
+# broadcast-style. Keys sampled (user_id % 100 = 0) to keep the compare
+# frame bounded.
+
+@register(
+    "events_countmin_freq",
+    """WITH cells AS (
+  SELECT i, ('0x' || substr(md5(i::VARCHAR || ':' || user_id::VARCHAR), 1, 15))::BIGINT % 4096 AS bucket,
+         count(*)::BIGINT AS c
+  FROM events, unnest([0, 1, 2, 3]) AS r(i)
+  GROUP BY i, bucket
+),
+keys AS (
+  SELECT user_id, count(*)::BIGINT AS true_count FROM events
+  WHERE user_id % 100 = 0 GROUP BY user_id
+),
+est AS (
+  SELECT k.user_id, k.true_count, min(c.c) AS cm_estimate
+  FROM keys k
+  JOIN cells c
+    ON c.bucket = ('0x' || substr(md5(c.i::VARCHAR || ':' || k.user_id::VARCHAR), 1, 15))::BIGINT % 4096
+  GROUP BY k.user_id, k.true_count
+)
+SELECT user_id, cm_estimate, true_count FROM est ORDER BY user_id""",
+)
+def q_events_countmin_freq(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+
+    def bucket_of(i_col, key_col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(i_col.cast("string"), F.lit(":"), key_col.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long") % 4096
+
+    rows = ev.select("user_id", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"))
+    cells = (
+        rows.withColumn("bucket", bucket_of(F.col("i"), F.col("user_id")))
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    keys = (
+        ev.filter(F.col("user_id") % 100 == 0)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("true_count"))
+    )
+    probes = keys.select(
+        "user_id",
+        "true_count",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+    ).withColumn("bucket", bucket_of(F.col("i"), F.col("user_id")))
+    return (
+        probes.join(cells, ["i", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("c").alias("cm_estimate"))
+        .select("user_id", "cm_estimate", "true_count")
+        .orderBy("user_id")
+    )
