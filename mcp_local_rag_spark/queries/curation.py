@@ -427,3 +427,104 @@ def q_corpus_boilerplate_ngrams(spark, sf_dir):
         .orderBy(F.col("n_docs").desc(), "gram")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis-Spirakis, log form): rank by
+# ln(u)/weight with u a content-free md5 uniform — longer documents are
+# proportionally likelier, yet the same docs win on every run, engine, and
+# partitioning (no RNG). Ranking uses the ROUNDED key + unique id so both
+# engines order identically. Map-only scoring + one top-k.
+
+@register(
+    "corpus_weighted_sample",
+    """WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 1)
+           / 4503599627370497.0 AS u
+  FROM documents
+),
+k AS (
+  SELECT doc_id, lang, n_chars,
+         round(ln(u) / n_chars * 100000, 6) + 0 AS skey
+  FROM h WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars, skey FROM k
+ORDER BY skey DESC, doc_id LIMIT 20""",
+)
+def q_corpus_weighted_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(4503599627370497.0)
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.round(F.log(u) / F.col("n_chars") * 100000, 6) + F.lit(0.0)).alias(
+                "skey"
+            ),
+        )
+        .orderBy(F.col("skey").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# Deterministic histogram quantiles: fixed 0.1-wide bins over the value
+# column, estimates read off the cumulative histogram at ceil(q*N) — the
+# fixed-bin sketch every metrics pipeline uses (mergeable: bins sum), with
+# identical integer arithmetic in both engines. The cumulative window runs
+# over <= a few thousand BINS, not rows — bounded at any scale.
+
+@register(
+    "events_value_quantiles_hist",
+    """WITH b AS (
+  SELECT floor(value * 10)::BIGINT AS bin, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT bin, sum(n) OVER (ORDER BY bin) AS cum,
+         (SELECT sum(n) FROM b)::BIGINT AS total
+  FROM b
+)
+SELECT max(total)::BIGINT AS n_events,
+       (min(CASE WHEN cum >= ceiling(0.50 * total) THEN bin END) / 10.0) AS p50,
+       (min(CASE WHEN cum >= ceiling(0.95 * total) THEN bin END) / 10.0) AS p95,
+       (min(CASE WHEN cum >= ceiling(0.99 * total) THEN bin END) / 10.0) AS p99
+FROM c""",
+)
+def q_events_value_quantiles_hist(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.floor(F.col("value") * 10).cast("long").alias("bin")
+    ).agg(F.count("*").alias("n"))
+    # cumulative over BINS (bounded small), not events — the one place an
+    # unpartitioned window is the right tool
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = b.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy())
+    )
+
+    def q_at(q):
+        return (
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(q) * F.col("total")), F.col("bin")
+                )
+            )
+            / 10.0
+        )
+
+    return c.agg(
+        F.max("total").alias("n_events"),
+        q_at(0.50).alias("p50"),
+        q_at(0.95).alias("p95"),
+        q_at(0.99).alias("p99"),
+    )
