@@ -115,7 +115,12 @@ def compact_postings(spark: SparkSession, path: str) -> None:
     mid-write executor loss cannot silently destroy it.
     """
     nb = table_n_buckets(path)
-    df = spark.read.parquet(path)
+    # replayed appends that slipped past the batch markers can only leave
+    # full-row duplicates ((filePath, chunkIndex, term) carries one (tf, dl)
+    # per document version) — compaction is the declared dedup cover
+    df = spark.read.parquet(path).dropDuplicates(
+        ["filePath", "chunkIndex", "term"]
+    )
 
     def _write(tmp: str) -> None:
         (

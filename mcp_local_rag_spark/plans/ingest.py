@@ -287,7 +287,11 @@ def compact_chunks(spark: SparkSession, table_path: str, target_files_per_bucket
     With Delta/Iceberg this is OPTIMIZE / rewrite_data_files.
     """
     nb = table_n_buckets(table_path)
-    df = spark.read.parquet(table_path)
+    # (filePath, chunkIndex) is the table's primary key; duplicate rows can
+    # only come from a replayed at-least-once append that slipped past the
+    # batch markers (crash strictly between the two sink appends).
+    # Compaction is the declared cover: keep one row per key.
+    df = spark.read.parquet(table_path).dropDuplicates(["filePath", "chunkIndex"])
 
     def _write(tmp: str) -> None:
         (

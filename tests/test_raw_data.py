@@ -47,13 +47,20 @@ def test_compaction(spark, tmp_path):
     from mcp_local_rag_spark.plans.ingest import N_BUCKETS, compact_chunks
 
     table = str(tmp_path / "t")
-    df = spark.range(200).select(
-        F.concat(F.lit("/d"), F.col("id").cast("string")).alias("filePath"),
-        F.col("id").alias("chunkIndex"),
-    ).withColumn("bucket", F.pmod(F.xxhash64("filePath"), F.lit(N_BUCKETS)).cast("int"))
-    # two appends -> >=2 files per bucket
-    df.write.partitionBy("bucket").mode("append").parquet(table)
-    df.write.partitionBy("bucket").mode("append").parquet(table)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("/d"), F.col("id").cast("string")).alias("filePath"),
+            F.col("id").alias("chunkIndex"),
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("filePath"), F.lit(N_BUCKETS)).cast("int")
+        )
+
+    # two DISTINCT-keyed appends -> >=2 files per bucket (identical-key
+    # appends are replay duplicates by contract and compaction dedupes
+    # them — covered by test_compaction_dedupes_partial_replay)
+    batch(0, 200).write.partitionBy("bucket").mode("append").parquet(table)
+    batch(200, 400).write.partitionBy("bucket").mode("append").parquet(table)
     before = spark.read.parquet(table).count()
     compact_chunks(spark, table)
     after = spark.read.parquet(table)

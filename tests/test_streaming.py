@@ -357,3 +357,65 @@ def test_batch_markers_make_replay_a_noop(spark, tmp_path):
     q2.awaitTermination(120)
     spark.catalog.refreshByPath(table)
     assert spark.read.parquet(table).count() == n1
+
+
+def test_compaction_dedupes_partial_replay(spark, tmp_path):
+    """The one at-least-once window the batch markers cannot close (crash
+    strictly BETWEEN the chunk append and the marker write, then replay)
+    duplicates rows; compaction keeps one row per (filePath, chunkIndex)
+    and the postings one per (filePath, chunkIndex, term)."""
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.plans.fts import (
+        compact_postings,
+        read_postings,
+        write_postings,
+    )
+    from mcp_local_rag_spark.plans.ingest import (
+        build_chunks,
+        compact_chunks,
+        write_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "/r.md",
+                "A replayed document with enough sentence content to chunk. "
+                "Another sentence keeps the chunk healthy.",
+                "R",
+                "h",
+                100,
+            )
+        ],
+        "path string, text string, title string, contentHash string, length long",
+    )
+    chunks = build_chunks(docs, dim=16, backend="hashing").persist()
+    table = str(tmp_path / "chunks_replay")
+    postings = str(tmp_path / "postings_replay")
+    write_chunks(chunks, table, backend="hashing", dim=16)
+    write_postings(spark.read.parquet(table), postings)
+    n = spark.read.parquet(table).count()
+    np_ = read_postings(spark, postings).count()
+
+    # simulate the replayed second append
+    from mcp_local_rag_spark.plans.ingest import table_n_buckets
+
+    nb = table_n_buckets(table)
+    (
+        chunks.withColumn(
+            "bucket", F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int")
+        )
+        .write.partitionBy("bucket")
+        .mode("append")
+        .parquet(table)
+    )
+    write_postings(spark.read.parquet(str(tmp_path / "chunks_replay")).limit(0), postings, mode="append")  # stats-only append noop
+    spark.catalog.refreshByPath(table)
+    assert spark.read.parquet(table).count() == 2 * n
+
+    compact_chunks(spark, table)
+    assert spark.read.parquet(table).count() == n
+    compact_postings(spark, postings)
+    assert read_postings(spark, postings).count() == np_
+    chunks.unpersist()
