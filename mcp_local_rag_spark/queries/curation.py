@@ -528,3 +528,40 @@ def q_events_value_quantiles_hist(spark, sf_dir):
         q_at(0.95).alias("p95"),
         q_at(0.99).alias("p99"),
     )
+
+
+# Temperature-scaled mixture weights (the multilingual-corpus sampling
+# move: p_i^alpha re-balances toward low-resource groups as alpha -> 0).
+# One aggregate + a broadcast scalar; alpha = 0.7, the usual choice.
+
+@register(
+    "corpus_mixture_weights",
+    """WITH counts AS (
+  SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+),
+powed AS (
+  SELECT lang, n_docs, pow(n_docs, 0.7) AS p FROM counts
+),
+tot AS (SELECT sum(p) AS z FROM powed)
+SELECT lang, n_docs,
+       round(p / z, 6) + 0 AS mixture_weight,
+       round(p / z * 10000, 6) + 0 AS docs_per_10k
+FROM powed, tot ORDER BY lang""",
+)
+def q_corpus_mixture_weights(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    powed = counts.withColumn("p", F.pow("n_docs", F.lit(0.7)))
+    z = powed.agg(F.sum("p").alias("z"))
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            (F.round(F.col("p") / F.col("z"), 6) + F.lit(0.0)).alias("mixture_weight"),
+            (F.round(F.col("p") / F.col("z") * 10000, 6) + F.lit(0.0)).alias(
+                "docs_per_10k"
+            ),
+        )
+        .orderBy("lang")
+    )
