@@ -103,6 +103,20 @@ COMMENTARY = {
         "bucket with per-partition partial top-k. No shuffle of the "
         "corpus, no trained model, scanned fraction ~(n_planes+1)/2^n."
     ),
+    "events_hll_distinct": (
+        "Mergeable HyperLogLog from built-ins: register extraction is "
+        "pure projection, register merge is ONE partial+final max "
+        "aggregate over (key, 256 registers) — the shape that replaces "
+        "exact countDistinct's full shuffle of distinct values at scale. "
+        "The estimate arithmetic is deterministic, so the oracle matches "
+        "it exactly."
+    ),
+    "dedup_minhash_incremental": (
+        "Incremental dedup: the arriving batch shingles+signs map-only "
+        "and band-joins the (persisted) corpus signature table — per-"
+        "batch cost scales with the batch; the corpus is never re-read "
+        "beyond its narrow signature rows."
+    ),
     "customer_balance_deciles": (
         "NTILE without the single-partition window: range exchange on the "
         "ordering key, partition-local row numbers from a mapInPandas "
