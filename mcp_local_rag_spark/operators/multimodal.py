@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     IntegerType,
     StringType,
@@ -148,6 +149,99 @@ def sample_frames(
     return media.filter(F.col("modality") == "video").select(
         "media_id", "content"
     ).mapInPandas(_frames, FRAME_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: REAL PCM WAV decode via stdlib wave (no external libs needed for
+# the uncompressed container) -> fixed-duration windows with per-window
+# signal features. Compressed codecs (mp3/flac/ogg) would need an external
+# decoder — same import-gate stance as image decode.
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("window_index", IntegerType()),
+        StructField("start_sec", DoubleType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossing_rate", DoubleType()),
+    ]
+)
+
+
+def default_audio_decoder(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode PCM16 WAV bytes to (mono float64 in [-1, 1], sample_rate).
+
+    stdlib ``wave`` handles the RIFF container; multi-channel input is
+    averaged to mono. Non-PCM16 encodings raise ``NotImplementedError`` —
+    the declared stub boundary for codecs whose decoders aren't in the
+    container."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content)) as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw != 2:
+        raise NotImplementedError(f"only PCM16 WAV supported, got width {sw}")
+    x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, sr
+
+
+def audio_window_features(
+    media: DataFrame,
+    *,
+    window_sec: float = 1.0,
+    decoder: Callable[[bytes], tuple[np.ndarray, int]] | None = None,
+) -> DataFrame:
+    """Windowed audio features: one row per (media, window) with RMS and
+    zero-crossing rate — the UDTF fan-out shape (1 row in, N windows out)
+    a speech/audio curation pipeline filters on (silence, clipping,
+    voice-activity proxies). Arrow-batched mapInPandas; decode+feature
+    math is numpy over one window at a time, so memory is bounded by the
+    batch's audio bytes, not the corpus."""
+    dec = decoder or default_audio_decoder
+
+    def _windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                x, sr = dec(bytes(content))
+                step = max(1, int(window_sec * sr))
+                for j in range(0, max(len(x), 1), step):
+                    seg = x[j : j + step]
+                    if not len(seg):
+                        continue
+                    zc = float(np.mean(np.abs(np.diff(np.sign(seg))) > 0)) if len(seg) > 1 else 0.0
+                    rows.append(
+                        (
+                            mid,
+                            j // step,
+                            j / sr,
+                            int(len(seg)),
+                            float(np.sqrt(np.mean(seg**2))),
+                            zc,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "window_index",
+                    "start_sec",
+                    "n_samples",
+                    "rms",
+                    "zero_crossing_rate",
+                ],
+            )
+
+    return media.filter(F.col("modality") == "audio").select(
+        "media_id", "content"
+    ).mapInPandas(_windows, AUDIO_WINDOW_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

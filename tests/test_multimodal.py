@@ -200,3 +200,48 @@ def test_captioner_interface_contract(spark):
     assert len(rows) == n_candidates
     assert rows[0].page_num == 0
     assert rows[0].caption.startswith("caption of PNG:0:")
+
+
+def test_audio_window_features_real_wav(spark):
+    """Real PCM WAV decode via stdlib wave: a 440 Hz sine at amplitude 0.5
+    has RMS ~= 0.5/sqrt(2) and zero-crossing rate ~= 2*f/sr in every full
+    window; a stereo file averages to mono."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from mcp_local_rag_spark.operators.multimodal import (
+        audio_window_features,
+        media_table,
+    )
+
+    def make_wav(seconds=2.0, sr=8000, freq=440.0, amp=0.5, channels=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            frames = bytearray()
+            for i in range(int(seconds * sr)):
+                v = int(amp * 32767 * math.sin(2 * math.pi * freq * i / sr))
+                frames += struct.pack("<h", v) * channels
+            w.writeframes(bytes(frames))
+        return buf.getvalue()
+
+    rows = [
+        ("a1", make_wav()),
+        ("a2", make_wav(channels=2)),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    media = media_table(df, id_col="media_id", content_col="content", modality="audio")
+    out = audio_window_features(media, window_sec=1.0).collect()
+
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert {len(v) for v in by_id.values()} == {2}  # 2s audio -> 2 windows
+    for r in out:
+        assert abs(r.rms - 0.5 / math.sqrt(2)) < 0.01
+        assert abs(r.zero_crossing_rate - 2 * 440.0 / 8000) < 0.01
+        assert r.n_samples == 8000
