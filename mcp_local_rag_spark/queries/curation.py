@@ -565,3 +565,68 @@ def q_corpus_mixture_weights(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# Unigram log-probability scoring — the relational stand-in for the
+# LM-perplexity quality filter (no model runtime in container): build the
+# corpus unigram distribution (add-one smoothed) in one explode+aggregate,
+# broadcast-join it back onto each document's tokens, and average log p.
+# Low scores flag out-of-distribution/garbled documents. At 100 TB the
+# vocabulary table is the only shuffled artifact; scoring is an equi-join
+# on token.
+
+@register(
+    "text_unigram_logprob",
+    """WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok
+),
+stats AS (
+  SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS v FROM vocab
+),
+scored AS (
+  SELECT t.doc_id,
+         count(*)::BIGINT AS n_tokens,
+         sum(ln((v2.c + 1.0) / (s.total + s.v))) AS lp
+  FROM toks t JOIN vocab v2 USING (tok), stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, round(lp / n_tokens, 6) + 0 AS avg_logprob
+FROM scored ORDER BY doc_id""",
+)
+def q_text_unigram_logprob(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_remove(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"), ""
+            )
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    stats = vocab.agg(
+        F.sum("c").alias("total"), F.count("*").alias("v")
+    )
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.log((F.col("c") + 1.0) / (F.col("total") + F.col("v")))
+            ).alias("lp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (F.round(F.col("lp") / F.col("n_tokens"), 6) + F.lit(0.0)).alias(
+            "avg_logprob"
+        ),
+    ).orderBy("doc_id")
