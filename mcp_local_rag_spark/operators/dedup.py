@@ -287,6 +287,62 @@ def hamming_distance(a, b):
     return F.bit_count(x)
 
 
+def simhash_near_pairs(
+    sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, WITHOUT the
+    all-pairs join: pigeonhole band blocking. With ``n_bands`` disjoint
+    bit-bands and ``max_hamming < n_bands``, any qualifying pair has at
+    least one band with ZERO differing bits — so an equi-join on
+    (band, band value) produces a candidate superset and the exact
+    ``bit_count(xor)`` check filters it. Same blocked-equi-join scale
+    shape as MinHash LSH (hot bands split by AQE); the quadratic work is
+    confined to per-band buckets.
+
+    Returns (id1 < id2, hamming <= max_hamming).
+    """
+    assert max_hamming < n_bands, "pigeonhole guarantee needs n_bands > max_hamming"
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(F.col(id_col), "simhash", "_b.band", "_b.bv")
+    a = bands.select(
+        F.col(id_col).alias("id1"), F.col("simhash").alias("_s1"), "band", "bv"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id2"), F.col("simhash").alias("_s2"), "band", "bv"
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2", hamming_distance(F.col("_s1"), F.col("_s2")).alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round: every node connects its STRICTLY LARGER
     neighbors to the minimum of its neighborhood (including itself)."""

@@ -257,6 +257,31 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(_dedup_corpus(spark, sf_dir))
 
 
+# SimHash near-dup PAIRS: the Spark side uses pigeonhole band blocking
+# (4 disjoint 8-bit bands; hamming <= 3 guarantees an equal band), so the
+# quadratic step is per-bucket; the oracle brute-forces all pairs — tiny
+# at the check scale — and must agree exactly.
+
+@register(
+    "dedup_simhash_pairs",
+    f"""WITH sims AS ({_SIMHASH_SQL}
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id1, id2""",
+)
+def q_dedup_simhash_pairs(spark, sf_dir):
+    sigs = dedup.simhash(_dedup_corpus(spark, sf_dir)).persist()
+    sigs.count()
+    return (
+        dedup.simhash_near_pairs(sigs, max_hamming=3)
+        .select("id1", "id2", F.col("hamming").cast("bigint").alias("hamming"))
+        .orderBy("id1", "id2")
+    )
+
+
 _COS_PAIR = (
     "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
     "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
