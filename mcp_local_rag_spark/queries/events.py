@@ -597,3 +597,45 @@ def q_events_countmin_freq(spark, sf_dir):
         .select("user_id", "cm_estimate", "true_count")
         .orderBy("user_id")
     )
+
+
+# Hourly anomaly flags: per-type z-scores of hourly counts against the
+# type's own mean/stddev — the monitoring query every event pipeline runs.
+# Two aggregates + a broadcast of per-type stats; no window over raw rows.
+
+@register(
+    "events_hourly_anomalies",
+    """WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sigma
+  FROM hourly GROUP BY 1
+)
+SELECT h.event_type, h.hour, h.n,
+       round((h.n - s.mu) / s.sigma, 6) + 0 AS z
+FROM hourly h JOIN stats s USING (event_type)
+WHERE s.sigma > 0 AND abs((h.n - s.mu) / s.sigma) >= 2.0
+ORDER BY event_type, hour""",
+)
+def q_events_hourly_anomalies(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) >= 2.0))
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            (F.round(z, 6) + F.lit(0.0)).alias("z"),
+        )
+        .orderBy("event_type", "hour")
+    )
