@@ -334,3 +334,19 @@ def test_indexed_hybrid_scans_postings_with_pushed_terms(spark, qs):
     p = plan(qs["hybrid_search_indexed"](spark, SF_DIR))
     assert p.count("In(term") >= 2          # both matched-term scans pruned
     assert "avgdl" not in p                 # stats folded in, not recomputed
+
+
+def test_simhash_pairs_blocked_no_cartesian(spark, qs):
+    """SimHash pair generation must stay a blocked equi-join — no
+    cartesian/nested-loop product of the signature table with itself."""
+    p = plan(qs["dedup_simhash_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_boilerplate_ngrams_is_map_then_two_aggregates(spark, qs):
+    """Boilerplate mining: map-only shingles (no pre-aggregation shuffle
+    beyond the distinct), then one count aggregate + top-k."""
+    p = plan(qs["corpus_boilerplate_ngrams"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
