@@ -630,3 +630,52 @@ def q_text_unigram_logprob(spark, sf_dir):
             "avg_logprob"
         ),
     ).orderBy("doc_id")
+
+
+# Zipf slope: regress ln(freq) on ln(rank) over the top-1000 tokens with
+# the built-in regr_slope aggregate — the classic corpus-health diagnostic
+# (natural language sits near -1; template/boilerplate corpora flatten).
+# The rank window runs over 1000 VOCABULARY rows, never the corpus.
+
+@register(
+    "corpus_zipf_slope",
+    """WITH vocab AS (
+  SELECT tok, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rnk
+  FROM vocab
+)
+SELECT count(*)::BIGINT AS n_tokens_fit,
+       round(regr_slope(ln(freq), ln(rnk)), 6) + 0 AS zipf_slope,
+       round(regr_r2(ln(freq), ln(rnk)), 6) + 0 AS r2
+FROM ranked WHERE rnk <= 1000""",
+)
+def q_corpus_zipf_slope(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = docs.select(
+        F.explode(
+            F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
+        ).alias("tok")
+    ).groupBy("tok").agg(F.count("*").alias("freq"))
+    # TakeOrderedAndProject picks the top-1000 vocabulary rows (per-
+    # partition heaps, no global sort), so the rank window below runs
+    # over <= 1000 rows even when the vocabulary itself is huge
+    top = vocab.orderBy(F.col("freq").desc(), "tok").limit(1000)
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), "tok")),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_tokens_fit"),
+        (F.round(F.regr_slope(F.log("freq"), F.log("rnk")), 6) + F.lit(0.0)).alias(
+            "zipf_slope"
+        ),
+        (F.round(F.regr_r2(F.log("freq"), F.log("rnk")), 6) + F.lit(0.0)).alias("r2"),
+    )
