@@ -85,6 +85,59 @@ def read_postings(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("bucket")
 
 
+def write_term_postings(
+    postings: DataFrame,
+    path: str,
+    *,
+    n_buckets: int | None = None,
+) -> None:
+    """The QUERY-side second copy: the same postings bucketed by TERM hash
+    (partition dirs ``tbucket=N``), term-sorted within each bucket.
+
+    Where the document-aligned copy optimizes maintenance (upsert/delete
+    rewrites one bucket per doc), this one optimizes scoring: a query's
+    terms map to a handful of tbuckets, so the scan PARTITION-PRUNES to
+    those directories before any row is read — at 100 TB a 4-term query
+    touches ~4/n_buckets of the index instead of row-group-pruning its
+    way through every doc bucket. Derive it FROM the maintained copy
+    (one shuffle keyed by term) whenever query volume justifies the
+    second copy; refresh = re-derive (it is never the source of truth).
+    """
+    nb = n_buckets if n_buckets is not None else N_BUCKETS
+    (
+        postings.withColumn(
+            "tbucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int")
+        )
+        .repartition(nb, "tbucket")
+        .sortWithinPartitions("term", "filePath", "chunkIndex")
+        .write.partitionBy("tbucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    write_table_meta(path, nb)
+
+
+def read_term_postings(
+    spark: SparkSession, path: str, terms: list[str] | None = None
+) -> DataFrame:
+    """Read the term-bucketed copy; with ``terms`` given, the returned
+    frame carries the tbucket IN-filter so Catalyst prunes partitions —
+    only the query terms' directories are listed and scanned."""
+    df = spark.read.parquet(path)
+    if terms:
+        nb = table_n_buckets(path)
+        import pyspark.sql.functions as _F
+
+        bucket_rows = (
+            spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+            .select(_F.pmod(_F.xxhash64("term"), _F.lit(nb)).cast("int").alias("b"))
+            .distinct()
+            .collect()
+        )
+        df = df.filter(F.col("tbucket").isin([r["b"] for r in bucket_rows]))
+    return df.drop("tbucket")
+
+
 def read_fts_stats(path: str) -> dict | None:
     """The index's persisted BM25 corpus statistics, in the shape
     ``bm25_scores(stats=...)`` consumes — ``{"n", "avgdl", "total_dl"}`` —

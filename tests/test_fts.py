@@ -203,3 +203,47 @@ def test_refresh_updates_persisted_stats(spark, tmp_path):
     refresh_postings(spark, path, deleted_paths=["/b.md"])
     stats = read_fts_stats(path)
     assert stats["n"] == 1 and stats["total_dl"] == 5
+
+
+def test_term_bucketed_copy_scores_identically_and_prunes(spark, tmp_path):
+    """The query-side term-bucketed copy: identical scores to the
+    document-aligned index, and a terms-filtered read PARTITION-prunes to
+    the query terms' tbucket directories."""
+    from mcp_local_rag_spark.plans.fts import (
+        read_fts_stats,
+        read_term_postings,
+        write_term_postings,
+    )
+
+    chunks = _chunks(
+        spark,
+        [
+            ("/a.md", 0, "spark shuffles data across executors"),
+            ("/a.md", 1, "broadcast joins avoid the shuffle"),
+            ("/b.md", 0, "spark spark spark tuning notes"),
+        ],
+    )
+    doc_path = str(tmp_path / "postings_doc")
+    term_path = str(tmp_path / "postings_term")
+    write_postings(chunks, doc_path)
+    write_term_postings(read_postings(spark, doc_path), term_path, n_buckets=8)
+
+    stats = read_fts_stats(doc_path)
+    base = {
+        (r.filePath, r.chunkIndex): r._score
+        for r in bm25_scores(
+            read_postings(spark, doc_path), ["spark"], materialize=False, stats=stats
+        ).collect()
+    }
+    termside = read_term_postings(spark, term_path, terms=["spark"])
+    got = {
+        (r.filePath, r.chunkIndex): r._score
+        for r in bm25_scores(
+            termside, ["spark"], materialize=False, stats=stats
+        ).collect()
+    }
+    assert base == got and len(got) == 2
+
+    # the pruned read lists only the matching tbucket directories
+    plan = termside._jdf.queryExecution().executedPlan().toString()
+    assert "tbucket" in plan  # partition filter present in the scan
