@@ -1,0 +1,40 @@
+"""Registry-shape invariants: every driver-facing entry is well-formed
+before the driver ever sees it."""
+
+from mcp_local_rag_spark.queries import oracle_sql, queries
+
+
+def test_registry_shape():
+    qs = queries()
+    osql = oracle_sql()
+    assert len(qs) >= 100
+    # every oracle belongs to a registered query
+    assert set(osql) <= set(qs)
+    # at most the documented handful of rows-only entries
+    no_oracle = set(qs) - set(osql)
+    assert no_oracle == {"chunk_documents"}
+    for name, sql in osql.items():
+        assert isinstance(sql, str) and sql.strip(), name
+        assert "SELECT" in sql.upper(), name
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_registry_order_puts_unverified_first():
+    """The driver checks a 50-query window from the head: never-verified
+    entries must sort before previously-green ones."""
+    from mcp_local_rag_spark.queries import (
+        _VERIFIED_R1,
+        _VERIFIED_R2,
+        _VERIFIED_R3,
+        _VERIFIED_R4,
+    )
+
+    seen = _VERIFIED_R1 | _VERIFIED_R2 | _VERIFIED_R3 | _VERIFIED_R4
+    names = list(queries())
+    first_seen_idx = min(i for i, n in enumerate(names) if n in seen)
+    last_new_idx = max(
+        (i for i, n in enumerate(names) if n not in seen), default=-1
+    )
+    assert last_new_idx < 50  # every new query is inside the check window
+    assert first_seen_idx > 0  # and at least one new query precedes the old
