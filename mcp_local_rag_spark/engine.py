@@ -162,6 +162,29 @@ class RagEngine:
         ).select("filePath", "chunkIndex", "text", "fileTitle", "score")
         return restore_sources(hits, db_path=self.db_path)
 
+    def vector_search_batch(
+        self, query_texts: list[str], *, limit: int = 10
+    ) -> DataFrame:
+        """N concurrent vector queries in ONE corpus scan (the serving
+        amortization shape — operators/search.vector_topk_batch). Returns
+        (query_index, filePath, chunkIndex, text, score) rows, per-query
+        ranking identical to N separate ``vector_topk`` calls. Hybrid
+        boost is per-query work on <=2k rows each — callers needing it
+        route single queries through ``query_documents``."""
+        limit = max(1, min(20, limit))
+        qvecs = {
+            str(i): embed_query(t, self.dim, self.backend)
+            for i, t in enumerate(query_texts)
+        }
+        out = search.vector_topk_batch(
+            self.chunks(),
+            qvecs,
+            k=limit,
+            id_cols=("filePath", "chunkIndex"),
+            payload_cols=("text",),
+        )
+        return out.withColumnRenamed("query_id", "query_index")
+
     def read_chunk_neighbors(
         self, file_path: str, chunk_index: int, *, before: int = 2, after: int = 2
     ) -> DataFrame:

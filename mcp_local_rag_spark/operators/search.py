@@ -74,6 +74,86 @@ def vector_topk(
     return df.orderBy(*order).limit(k * overfetch).drop(vec_col)
 
 
+def vector_topk_batch(
+    chunks: DataFrame,
+    query_vecs: dict,
+    k: int,
+    *,
+    vec_col: str = "vector",
+    id_cols: Sequence[str] = ("filePath", "chunkIndex"),
+    payload_cols: Sequence[str] = (),
+    overfetch: int = CANDIDATE_MULTIPLIER,
+) -> DataFrame:
+    """W1 for MANY queries in ONE corpus scan — the concurrent-serving
+    shape: N user queries amortize a single pass instead of N scans.
+    ``payload_cols`` ride along in the output without participating in
+    the (score, *id_cols) ranking order.
+
+    ``query_vecs``: {query_id: vector}. The query matrix broadcasts into
+    an Arrow kernel (one numpy matmul per corpus batch, same kernel
+    choice as operators/similarity.cosine_knn — the multi-query shape is
+    where Arrow beats the codegen'd column fold); each partition emits
+    only its local top-(k*overfetch) rows PER QUERY, and the global pick
+    is a window over <= queries x partitions x k*overfetch rows. Distance
+    is the same rounded ``1 - dot`` as ``vector_topk``, so per-query
+    results are row-identical to N separate calls.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qids = sorted(query_vecs)
+    qmat = np.stack([np.asarray(query_vecs[q], dtype=np.float64) for q in qids])
+    n = k * overfetch
+
+    carry = list(id_cols) + [col for col in payload_cols if col not in id_cols]
+    c = chunks.select(*carry, F.col(vec_col).alias("_v"))
+    # query ids are plain strings from the engine surface
+    from pyspark.sql.types import StringType
+
+    out_schema = StructType(
+        [StructField("query_id", StringType())]
+        + [StructField(col, chunks.schema[col].dataType) for col in carry]
+        + [StructField("score", DoubleType())]
+    )
+
+    def _local(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            parts = []
+            for j, qid in enumerate(qids):
+                score = np.round(1.0 - cmat @ qmat[j], SCORE_DECIMALS) + 0.0
+                top = (
+                    pd.DataFrame(
+                        {col: pdf[col].to_numpy() for col in carry}
+                        | {"score": score}
+                    )
+                    .sort_values(
+                        ["score", *id_cols],
+                        ascending=[True] * (1 + len(id_cols)),
+                    )
+                    .head(n)
+                )
+                top.insert(0, "query_id", str(qid))
+                parts.append(top)
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    partial = c.mapInPandas(_local, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), *[F.col(col).asc() for col in id_cols]
+    )
+    return (
+        partial.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
 def grouping_filter(
     hits: DataFrame,
     mode: str | None,

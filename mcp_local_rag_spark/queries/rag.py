@@ -103,6 +103,40 @@ def q_vector_topk(spark, sf_dir):
     return hits.select("filePath", "chunkIndex", "score")
 
 
+# W1 batched: MANY query vectors in ONE corpus scan (concurrent-serving
+# shape). Per-query results must be row-identical to N separate
+# vector_topk calls — the oracle scores each query independently.
+
+@register(
+    "vector_topk_batch",
+    f"""WITH {CHUNKS_CTE.strip()},
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.vec_id::VARCHAR AS query_id, c.filePath, c.chunkIndex,
+         round(1.0 - list_dot_product(c.vector::DOUBLE[], q.embedding::DOUBLE[]), 6) + 0 AS score
+  FROM chunks c, q
+)
+SELECT query_id, filePath, chunkIndex, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, chunkIndex) <= 20
+ORDER BY query_id, score, chunkIndex""",
+)
+def q_vector_topk_batch(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qvecs = {
+        str(r["vec_id"]): list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(0, 1, 2))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    out = search.vector_topk_batch(
+        chunks_df(spark, sf_dir), qvecs, k=10, id_cols=("chunkIndex",),
+        payload_cols=("filePath",),
+    )
+    return out.select("query_id", "filePath", "chunkIndex", "score").orderBy(
+        "query_id", "score", "chunkIndex"
+    )
+
+
 # P4+P5: scope (exact-or-descendant) and max-distance pushdown
 
 @register(

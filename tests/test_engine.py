@@ -479,3 +479,16 @@ def test_sync_protects_managed_rows(spark, corpus, tmp_path):
     files = {r.filePath for r in eng.list_documents().collect()}
     assert not any("#r" in f for f in files)
     assert any("/raw-data/" in f for f in files)  # raw-data still intact
+
+
+def test_vector_search_batch(spark, corpus, tmp_path):
+    eng = RagEngine(spark, str(tmp_path / "chunks_b"))
+    eng.ingest_directory(str(corpus))
+    out = eng.vector_search_batch(["shuffle partitioning", "broadcast joins"], limit=3)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_index, []).append(r)
+    assert set(by_q) == {"0", "1"}
+    assert all(len(v) >= 1 for v in by_q.values())
+    assert all(r.text for r in rows)

@@ -102,3 +102,34 @@ def test_hybrid_search_end_to_end(spark):
     ).collect()
     assert len(out) == 2
     assert out[0].filePath == "/a" and out[0].chunkIndex == 0
+
+
+def test_vector_topk_batch_matches_single_queries(spark):
+    """Batched multi-query W1 must be row-identical per query to separate
+    vector_topk calls (same rounded distance, same candidate count)."""
+    import numpy as np
+
+    from mcp_local_rag_spark.operators.search import vector_topk, vector_topk_batch
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (f"/d{i}.md", i, [float(x) for x in rng.randn(8)]) for i in range(200)
+    ]
+    chunks = spark.createDataFrame(
+        rows, "filePath string, chunkIndex int, vector array<double>"
+    )
+    qvecs = {
+        "0": [float(x) for x in rng.randn(8)],
+        "1": [float(x) for x in rng.randn(8)],
+    }
+    batch = vector_topk_batch(chunks, qvecs, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.filePath, r.chunkIndex, r.score))
+    for qid, vec in qvecs.items():
+        single = [
+            (r.filePath, r.chunkIndex, r.score)
+            for r in vector_topk(chunks, vec, 5).collect()
+        ]
+        assert sorted(got[qid]) == sorted(single), qid
+        assert len(single) == 10  # k * overfetch
