@@ -103,6 +103,12 @@ COMMENTARY = {
         "bucket with per-partition partial top-k. No shuffle of the "
         "corpus, no trained model, scanned fraction ~(n_planes+1)/2^n."
     ),
+    "vector_topk_batch": (
+        "Concurrent-serving W1: the query matrix broadcasts into ONE "
+        "Arrow scan of the corpus; per-partition local top-k per query, "
+        "then a per-query window merge over <= queries x partitions x 2k "
+        "rows. N queries cost one pass, not N."
+    ),
     "events_hll_distinct": (
         "Mergeable HyperLogLog from built-ins: register extraction is "
         "pure projection, register merge is ONE partial+final max "
