@@ -211,11 +211,25 @@ class RagEngine:
         )
 
     def get_status(self) -> dict:
-        """A2: chunk + document counts."""
+        """A2: chunk + document counts, plus the engine-level facts a
+        caller needs to interpret results: the table's embedding space
+        and whether the maintained keyword index is fresh (stale index ->
+        queries fall back to the index-free scan until optimize())."""
+        from .plans.ingest import table_embedding
+
         row = self.chunks().agg(
             F.count("*").alias("chunks"), F.countDistinct("filePath").alias("documents")
         ).first()
-        return {"chunkCount": row["chunks"], "documentCount": row["documents"]}
+        backend, dim = table_embedding(
+            self.table_path, default_backend=self.backend, default_dim=self.dim
+        )
+        return {
+            "chunkCount": row["chunks"],
+            "documentCount": row["documents"],
+            "backend": backend,
+            "dim": dim,
+            "indexFresh": self._postings() is not None,
+        }
 
     # -- writes -----------------------------------------------------------
 

@@ -220,6 +220,56 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+# The decision artifact a training pipeline actually consumes: every doc
+# labeled keep/drop, duplicates pointing at their cluster representative
+# (min doc_id). Docs in no cluster keep themselves. LEFT join of the
+# corpus against the cluster labels — one extra broadcastable join over
+# the dedup_clusters output.
+
+@register(
+    "dedup_keep_list",
+    f"""WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM jpairs
+  UNION
+  SELECT id2, id1 FROM jpairs
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+labels AS (SELECT id, min(lab)::BIGINT AS cluster_id FROM reach GROUP BY id)
+SELECT c.doc_id,
+       coalesce(l.cluster_id, c.doc_id)::BIGINT AS representative,
+       (l.cluster_id IS NULL OR l.cluster_id = c.doc_id) AS keep
+FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id
+ORDER BY c.doc_id""",
+)
+def q_dedup_keep_list(spark, sf_dir):
+    corpus = _dedup_corpus(spark, sf_dir)
+    shingles = dedup.shingle_sets(corpus).persist()
+    shingles.count()
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(shingles)).persist()
+    pairs.count()
+    verified = dedup.jaccard_verify(pairs, shingles, threshold=0.7)
+    labels = dedup.connected_components(verified)
+    return (
+        corpus.select("doc_id")
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id"))
+            .cast("bigint")
+            .alias("representative"),
+            (
+                F.col("label").isNull() | (F.col("label") == F.col("doc_id"))
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _simhash_sql() -> str:
     digits = ",\n         ".join(
         f"{e} AS d{i}" for i, e in enumerate(dedup.digit_exprs("duckdb"))
