@@ -152,3 +152,53 @@ def test_scope_predicate_python_twin(parts):
     # boundary: sibling with the prefix as a name-prefix must NOT match
     sibling = prefix + "x/file"
     assert not py_scope(sibling, prefix) or prefix == "/"
+
+
+@given(
+    st.lists(
+        st.floats(-10, 10, allow_nan=False).filter(lambda x: abs(x) > 1e-6),
+        min_size=8,
+        max_size=8,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_hyperplane_signature_scale_and_negation(vec):
+    """Sign-LSH signature properties: positive scaling never changes the
+    signature (cosine-similarity hashing must be scale-invariant), and
+    negating the vector flips every decided bit."""
+    from mcp_local_rag_spark.operators.similarity import hyperplane_planes
+
+    P = hyperplane_planes(8, 8, seed=42)
+    v = np.asarray(vec)
+    dots = P @ v
+    # stay away from the undecidable boundary
+    if (np.abs(dots) < 1e-9).any():
+        return
+    bits = dots > 0
+    assert (((P @ (3.5 * v)) > 0) == bits).all()
+    assert (((P @ (-v)) > 0) == ~bits).all()
+
+
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=16, max_size=2048),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=100, deadline=None)
+def test_audio_decoder_roundtrip_exact(samples, sr):
+    """PCM16 WAV write -> default_audio_decoder read is exact (mono) at
+    any sample rate: values back within quantization, length preserved."""
+    import io
+    import struct
+    import wave
+
+    from mcp_local_rag_spark.operators.multimodal import default_audio_decoder
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    x, got_sr = default_audio_decoder(buf.getvalue())
+    assert got_sr == sr and len(x) == len(samples)
+    assert np.allclose(x, np.array(samples) / 32768.0)
