@@ -407,3 +407,48 @@ def q_events_json_extract(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.sum(F.get_json_object("props", "$.k").cast("int")).alias("k_sum")
     )
+
+
+# The NATIVE sessionization operator: session_window merges events whose
+# [ts, ts+gap) windows overlap — the same batch call works on a stream
+# (where it is backed by state-store session merging, the scalable path).
+# Split semantics differ from the lag/cumsum twin at EXACTLY gap seconds
+# (window [t, t+gap) does not include t+gap), so the oracle splits on
+# >= gap. Sampled to user_id % 100 = 0 to bound the compare frame.
+
+@register(
+    "events_session_window_native",
+    """WITH ev AS (
+  SELECT user_id, event_id, ts FROM events WHERE user_id % 100 = 0
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 1800 SECOND AS session_end,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start""",
+)
+def q_events_session_window_native(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 100 == 0)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
