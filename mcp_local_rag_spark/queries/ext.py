@@ -1084,3 +1084,70 @@ def q_embeddings_quantized_topk(spark, sf_dir):
         )
     )
     return scored.orderBy(F.col("cos").desc(), "neighbor_id").limit(10)
+
+
+# Coarse-to-fine retrieval: rank on the first 16 dims (4x cheaper scan —
+# matryoshka-style truncation), keep 50 candidates, then exact full-dim
+# rerank to top-10. The two-stage shape that makes brute-force viable at
+# 100 TB: stage 1 reads a quarter of the vector bytes, stage 2 touches 50
+# rows. Both stages deterministic -> oracle-exact.
+
+@register(
+    "knn_truncated_rerank",
+    f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id = 0
+),
+coarse AS (
+  SELECT b.vec_id AS neighbor_id, b.embedding,
+         round(list_dot_product(b.embedding[1:16]::DOUBLE[], q.embedding[1:16]::DOUBLE[]) /
+               (sqrt(list_dot_product(b.embedding[1:16]::DOUBLE[], b.embedding[1:16]::DOUBLE[])) *
+                sqrt(list_dot_product(q.embedding[1:16]::DOUBLE[], q.embedding[1:16]::DOUBLE[]))), 6) + 0 AS ccos
+  FROM embeddings b, q WHERE b.vec_id <> q.query_id
+),
+cand AS (
+  SELECT neighbor_id, embedding FROM coarse
+  ORDER BY ccos DESC, neighbor_id LIMIT 50
+),
+fine AS (
+  SELECT c.neighbor_id,
+         round(list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) + 0 AS cos
+  FROM cand c, q
+)
+SELECT neighbor_id, cos FROM fine
+ORDER BY cos DESC, neighbor_id LIMIT 10""",
+)
+def q_knn_truncated_rerank(spark, sf_dir):
+    from ..functions.vector import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    qv16 = qv[:16]
+
+    def lit_vec(v):
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    coarse = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "embedding",
+            (
+                F.round(
+                    cosine(F.slice("embedding", 1, 16), lit_vec(qv16)), 6
+                )
+                + F.lit(0.0)
+            ).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), "neighbor_id")
+        .limit(50)
+    )
+    fine = coarse.select(
+        "neighbor_id",
+        (F.round(cosine(F.col("embedding"), lit_vec(qv)), 6) + F.lit(0.0)).alias(
+            "cos"
+        ),
+    )
+    return fine.orderBy(F.col("cos").desc(), "neighbor_id").limit(10)
