@@ -167,10 +167,13 @@ class RagEngine:
     ) -> DataFrame:
         """N concurrent vector queries in ONE corpus scan (the serving
         amortization shape — operators/search.vector_topk_batch). Returns
-        (query_index, filePath, chunkIndex, text, score) rows, per-query
-        ranking identical to N separate ``vector_topk`` calls. Hybrid
-        boost is per-query work on <=2k rows each — callers needing it
-        route single queries through ``query_documents``."""
+        (query_index, filePath, chunkIndex, text, score) rows — exactly
+        ``limit`` rows per query (matching ``query_documents``; the
+        operator's overfetched candidate pool is an internal hybrid-boost
+        input, not the public serving contract), ranked identically to N
+        separate ``vector_topk`` calls. Hybrid boost is per-query work on
+        <=2k rows each — callers needing it route single queries through
+        ``query_documents``."""
         limit = max(1, min(20, limit))
         qvecs = {
             str(i): embed_query(t, self.dim, self.backend)
@@ -182,6 +185,20 @@ class RagEngine:
             k=limit,
             id_cols=("filePath", "chunkIndex"),
             payload_cols=("text",),
+        )
+        # vector_topk_batch returns the overfetched candidate pool (k *
+        # CANDIDATE_MULTIPLIER rows per query, the hybrid-boost input);
+        # this public serving entry point returns exactly ``limit`` rows
+        # per query, matching query_documents
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").asc(), F.col("filePath").asc(), F.col("chunkIndex").asc()
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= limit)
+            .drop("_rn")
         )
         return out.withColumnRenamed("query_id", "query_index")
 
@@ -422,7 +439,33 @@ class RagEngine:
         self._dirty_upserts.update(new_paths)
         self._dirty_deletes.update(set(stale) - new_paths)
         self._dirty_upserts.difference_update(set(stale) - new_paths)
+        # record container membership as a table property: sync classifies
+        # record rows by THIS set, never by the '#rN' path shape alone
+        self._set_record_containers(self._record_containers() | {file_path})
         return {"filePath": file_path, "recordCount": n_records, "chunkCount": n}
+
+    def _record_containers(self) -> set[str]:
+        """Container files whose ``<file>#rN`` record rows this engine
+        wrote (persisted table property). Membership here — not a path
+        pattern — is what makes a row a managed record row: a real
+        on-disk file that happens to be NAMED ``notes#r1`` and was
+        ingested via sync is NOT in this set, so sync reconciles it like
+        any other document instead of silently excluding it and then
+        deleting its rows when the container check finds no file at
+        ``notes``."""
+        from .plans.ingest import read_table_meta
+
+        rc = read_table_meta(self.table_path).get("record_containers")
+        return {str(c) for c in rc} if isinstance(rc, list) else set()
+
+    def _set_record_containers(self, containers: set[str]) -> None:
+        from .plans.ingest import write_table_meta
+
+        write_table_meta(
+            self.table_path,
+            table_n_buckets(self.table_path),
+            extra={"record_containers": sorted(containers)},
+        )
 
     def delete_document(self, file_path: str) -> int:
         n = delete_document(self.spark, self.table_path, file_path)
@@ -483,6 +526,7 @@ class RagEngine:
             F.lower(F.sha2(F.col("content"), 256)).alias("hash"),
         ).drop("content")
 
+        containers = sorted(self._record_containers())
         if self._exists():
             # managed rows are NOT subject to directory reconciliation
             # (reference: "prune unless protected ... managed raw-data",
@@ -490,10 +534,20 @@ class RagEngine:
             # disk, and '<file>#rN' record rows are owned by
             # ingest_records_file — scan_directory never lists either, so
             # leaving them in the plan would classify every one as prune
-            # and a routine sync would silently destroy them.
-            managed = F.col("filePath").rlike(r"#r\d+$") | F.col(
-                "filePath"
-            ).startswith(self.db_path.rstrip("/") + "/raw-data/")
+            # and a routine sync would silently destroy them. Record rows
+            # are identified by CONTAINER MEMBERSHIP (the persisted
+            # record_containers property), never by the '#rN' path shape
+            # alone — a real file named 'notes#r1' ingested via sync stays
+            # in the reconciliation plan.
+            rec_managed = (
+                F.col("filePath").rlike(r"#r\d+$")
+                & F.regexp_extract("filePath", r"^(.*)#r\d+$", 1).isin(containers)
+                if containers
+                else F.lit(False)
+            )
+            managed = rec_managed | F.col("filePath").startswith(
+                self.db_path.rstrip("/") + "/raw-data/"
+            )
             db = (
                 self.chunks()
                 .filter(~managed)
@@ -589,17 +643,10 @@ class RagEngine:
         # to the container path, per-container driver check: bounded by
         # container count, not record count)
         n_stale_records = 0
-        if self._exists():
-            containers = [
-                r["c"]
-                for r in self.chunks()
-                .filter(F.col("filePath").rlike(r"#r\d+$"))
-                .select(
-                    F.regexp_extract("filePath", r"^(.*)#r\d+$", 1).alias("c")
-                )
-                .distinct()
-                .collect()
-            ]
+        if self._exists() and containers:
+            # the container set is the persisted property, not a regex
+            # sweep over stored paths — bounded by container count and
+            # immune to lookalike file names
             gone = sorted(c for c in containers if c and not os.path.isfile(c))
             if gone:
                 # persist = a stable snapshot of the doomed record paths:
@@ -627,6 +674,9 @@ class RagEngine:
                     )
                     counters["prune"] = counters.get("prune", 0) + n_stale_records
                 stale_df.unpersist()
+                # drop the pruned containers from the membership property
+                # (after the delete, so a failed delete keeps them managed)
+                self._set_record_containers(set(containers) - set(gone))
 
         if upsert_paths or n_prunes or n_stale_records:
             self.optimize()

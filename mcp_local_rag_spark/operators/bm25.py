@@ -142,9 +142,17 @@ def bm25_scores(
     scored = (
         scored.withColumn(
             "_idf",
+            # the log argument is floored at 1.0 (idf >= 0): with consistent
+            # stats df <= N keeps it > 1 anyway, but stale persisted counters
+            # (n < df) would otherwise drive it <= 0 -> NULL -> the term is
+            # silently dropped from the sum, corrupting rankings instead of
+            # degrading gracefully
             F.log(
-                F.lit(1.0)
-                + (n_col - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+                F.greatest(
+                    F.lit(1.0),
+                    F.lit(1.0)
+                    + (n_col - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)),
+                )
             ),
         )
         .withColumn(

@@ -126,24 +126,40 @@ def vector_topk_batch(
             )
             parts = []
             for j, qid in enumerate(qids):
-                score = np.round(1.0 - cmat @ qmat[j], SCORE_DECIMALS) + 0.0
-                top = (
-                    pd.DataFrame(
-                        {col: pdf[col].to_numpy() for col in carry}
-                        | {"score": score}
-                    )
-                    .sort_values(
-                        ["score", *id_cols],
-                        ascending=[True] * (1 + len(id_cols)),
-                    )
-                    .head(n)
+                # emit the RAW 1-dot distance: rounding happens once,
+                # Spark-side, through the same _rounded() expression
+                # vector_topk uses (BigDecimal HALF_UP) — np.round is
+                # half-even and documented as sometimes inexact, so
+                # rounding here could disagree at a 1e-6 boundary and
+                # break the "row-identical to N vector_topk calls"
+                # invariant the oracle tests rely on
+                score = 1.0 - cmat @ qmat[j]
+                local = pd.DataFrame(
+                    {col: pdf[col].to_numpy() for col in carry}
+                    | {"score": score}
+                ).sort_values(
+                    ["score", *id_cols],
+                    ascending=[True] * (1 + len(id_cols)),
                 )
+                if len(local) > n:
+                    # raw-order top-n plus every row within one rounding
+                    # quantum of the boundary: a dropped row could only
+                    # outrank a kept one post-rounding if their rounded
+                    # scores tie, which bounds its raw score to within
+                    # 10^-SCORE_DECIMALS of the n-th kept row
+                    cutoff = (
+                        float(local["score"].iloc[n - 1])
+                        + 10.0 ** -SCORE_DECIMALS
+                    )
+                    local = local[local["score"] <= cutoff]
+                top = local
                 top.insert(0, "query_id", str(qid))
                 parts.append(top)
             if parts:
                 yield pd.concat(parts, ignore_index=True)
 
     partial = c.mapInPandas(_local, out_schema)
+    partial = partial.withColumn("score", _rounded(F.col("score")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").asc(), *[F.col(col).asc() for col in id_cols]
     )

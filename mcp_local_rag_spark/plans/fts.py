@@ -45,6 +45,15 @@ def write_postings(
         # pre-property indexes resolve to the exact historical 64
         nb = table_n_buckets(path)
         prev = read_fts_stats(path)
+        if prev is None:
+            # pre-stats index that already holds data: initializing the
+            # persisted counters from the appended batch alone would leave
+            # BM25 scoring with a tiny n_docs (df > n -> negative idf log
+            # argument -> NULL term scores, silently dropped). Derive the
+            # baseline by aggregating the EXISTING postings once — the same
+            # job a bulk refresh runs, paid here exactly once per legacy
+            # index, after which the persisted counters carry it.
+            prev = _aggregate_fts_stats(chunks.sparkSession, path)
     else:
         nb = n_buckets if n_buckets is not None else N_BUCKETS
         prev = None
@@ -79,6 +88,26 @@ def write_postings(
     write_table_meta(
         path, nb, extra={"fts_n_docs": n_docs, "fts_total_dl": total_dl}
     )
+
+
+def _aggregate_fts_stats(spark: SparkSession, path: str) -> dict | None:
+    """Recompute the BM25 corpus statistics from the postings on disk —
+    one distinct+aggregate over (filePath, chunkIndex, dl). Returns the
+    ``read_fts_stats`` shape, or None when the directory holds no data
+    (a genuinely new index)."""
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return None
+    row = (
+        df.select("filePath", "chunkIndex", "dl").distinct()
+        .agg(F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tdl"))
+        .first()
+    )
+    n, tdl = int(row["n"]), int(row["tdl"])
+    if n == 0:
+        return None
+    return {"n": n, "avgdl": tdl / n, "total_dl": tdl}
 
 
 def read_postings(spark: SparkSession, path: str) -> DataFrame:
@@ -183,7 +212,24 @@ def compact_postings(spark: SparkSession, path: str) -> None:
             .mode("overwrite")
             .parquet(tmp)
         )
-        write_table_meta(tmp, nb)
+        # the replayed appends this dedup removes each incremented the
+        # persisted counters — carrying the old meta forward would leave
+        # BM25's n/avgdl double-counted. Recompute from the DEDUPED frame
+        # (same distinct+aggregate as refresh_postings) and write it into
+        # tmp's meta, which wins the atomic_rewrite merge.
+        row = (
+            df.select("filePath", "chunkIndex", "dl").distinct()
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("tdl"),
+            )
+            .first()
+        )
+        write_table_meta(
+            tmp,
+            nb,
+            extra={"fts_n_docs": int(row["n"]), "fts_total_dl": int(row["tdl"])},
+        )
 
     atomic_rewrite(path, _write)
     spark.catalog.refreshByPath(path)

@@ -492,3 +492,50 @@ def test_vector_search_batch(spark, corpus, tmp_path):
     assert set(by_q) == {"0", "1"}
     assert all(len(v) >= 1 for v in by_q.values())
     assert all(r.text for r in rows)
+
+
+def test_sync_reconciles_lookalike_record_filename(spark, corpus, tmp_path):
+    """A REAL on-disk file whose name merely looks like a record row
+    ('notes#r1') and was ingested via sync is a normal document: it must
+    stay in the reconciliation plan (not be silently classified as a
+    managed record row) and must NOT be deleted by the container-gone
+    check (record-row classification is container MEMBERSHIP in the
+    persisted table property, not a path pattern — ADVICE r5)."""
+    lookalike = corpus / "notes#r1.md"
+    lookalike.write_text(
+        "# Lookalike\n\nA document whose file name ends in a record suffix "
+        "pattern but is a real file on disk with enough content to chunk."
+    )
+    eng = RagEngine(spark, str(tmp_path / "chunks_lk"))
+    rep = eng.sync(str(corpus))
+    assert rep.counters.get("upsert_new", 0) >= 3  # lookalike ingested too
+    files = {r.filePath.rsplit("/", 1)[-1] for r in eng.list_documents().collect()}
+    assert "notes#r1.md" in files
+
+    # a second sync with no disk changes must neither prune nor re-ingest it
+    rep2 = eng.sync(str(corpus))
+    assert rep2.counters.get("prune", 0) == 0
+    files2 = {r.filePath.rsplit("/", 1)[-1] for r in eng.list_documents().collect()}
+    assert "notes#r1.md" in files2
+
+    # and deleting it on disk prunes it like any ordinary document
+    lookalike.unlink()
+    rep3 = eng.sync(str(corpus))
+    assert rep3.counters.get("prune", 0) == 1
+    files3 = {r.filePath.rsplit("/", 1)[-1] for r in eng.list_documents().collect()}
+    assert "notes#r1.md" not in files3
+
+
+def test_vector_search_batch_returns_exactly_limit(spark, corpus, tmp_path):
+    """The public serving entry point returns exactly ``limit`` rows per
+    query (matching query_documents), never the overfetched internal
+    candidate pool (ADVICE r5)."""
+    eng = RagEngine(spark, str(tmp_path / "chunks_lim"))
+    n = eng.ingest_directory(str(corpus))
+    limit = min(3, n)
+    out = eng.vector_search_batch(["shuffle partitioning", "broadcast joins"], limit=limit)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r.query_index, []).append(r)
+    assert set(by_q) == {"0", "1"}
+    assert all(len(v) == limit for v in by_q.values())

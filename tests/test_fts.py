@@ -247,3 +247,77 @@ def test_term_bucketed_copy_scores_identically_and_prunes(spark, tmp_path):
     # the pruned read lists only the matching tbucket directories
     plan = termside._jdf.queryExecution().executedPlan().toString()
     assert "tbucket" in plan  # partition filter present in the scan
+
+
+def test_append_to_prestats_index_derives_baseline(spark, tmp_path):
+    """Appending to a legacy index whose meta lacks the persisted corpus
+    counters must derive them from the EXISTING postings, not initialize
+    them from the appended batch alone (which would leave n_docs tiny,
+    drive df > n terms to a negative idf log argument -> NULL -> silently
+    dropped term scores)."""
+    import json
+    import os
+
+    from mcp_local_rag_spark.plans.fts import read_fts_stats
+
+    chunks = _chunks(
+        spark,
+        [
+            ("/a.md", 0, "spark shuffles data across executors"),
+            ("/a.md", 1, "broadcast joins avoid the shuffle"),
+            ("/b.md", 0, "spark spark spark tuning notes"),
+        ],
+    )
+    path = str(tmp_path / "postings")
+    write_postings(chunks, path)
+    # simulate a pre-stats index: strip the persisted counters
+    meta_file = os.path.join(path, "_table_meta.json")
+    with open(meta_file) as f:
+        meta = json.load(f)
+    meta.pop("fts_n_docs"), meta.pop("fts_total_dl")
+    with open(meta_file, "w") as f:
+        json.dump(meta, f)
+    assert read_fts_stats(path) is None
+
+    more = _chunks(spark, [("/c.md", 0, "late arriving doc")])
+    write_postings(more, path, mode="append")
+    stats = read_fts_stats(path)
+    # whole corpus (3 old docs + 1 appended), not just the batch
+    assert stats["n"] == 4 and stats["total_dl"] == 18
+
+    # and scoring with the persisted stats never yields NULL scores
+    scores = bm25_scores(
+        read_postings(spark, path), ["spark"], materialize=False, stats=stats
+    ).collect()
+    assert scores and all(r._score is not None for r in scores)
+
+
+def test_compact_recomputes_stats_after_dedup(spark, tmp_path):
+    """A replayed at-least-once append double-counts the persisted corpus
+    counters; compaction drops the duplicate rows AND recomputes the
+    counters from the deduped frame — BM25's n/avgdl must match a clean
+    single-copy index afterwards."""
+    from mcp_local_rag_spark.plans.fts import compact_postings, read_fts_stats
+
+    chunks = _chunks(
+        spark,
+        [
+            ("/a.md", 0, "spark shuffles data across executors"),
+            ("/b.md", 0, "broadcast joins avoid the shuffle"),
+        ],
+    )
+    batch = _chunks(spark, [("/c.md", 0, "late arriving doc")])
+    path = str(tmp_path / "postings")
+    write_postings(chunks, path)
+    write_postings(batch, path, mode="append")
+    write_postings(batch, path, mode="append")  # the replay
+    assert read_fts_stats(path)["n"] == 4  # inflated by the replay
+
+    compact_postings(spark, path)
+    stats = read_fts_stats(path)
+    assert stats["n"] == 3 and stats["total_dl"] == 13
+    assert read_postings(spark, path).count() == (
+        read_postings(spark, path).dropDuplicates(
+            ["filePath", "chunkIndex", "term"]
+        ).count()
+    )
