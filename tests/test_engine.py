@@ -181,17 +181,25 @@ def test_ingest_data_custom_db_path_restores_source(spark, tmp_path):
 
 
 def test_maintained_postings_index_lifecycle(spark, corpus, tmp_path):
-    """With postings_path set, optimize() builds/refreshes the index; fresh
-    queries use it, stale states fall back to the scan shape with identical
-    results; per-document refresh tracks upserts and deletes."""
+    """The maintained index is ON by default; bulk ingest ends with
+    optimize() so fresh queries use it immediately. Stale states (un-
+    optimized single-file mutations) fall back to the scan shape with
+    identical results; per-document refresh tracks upserts and deletes."""
     eng = RagEngine(
         spark,
         str(tmp_path / "chunks_idx"),
         postings_path=str(tmp_path / "postings_idx"),
     )
     eng.ingest_directory(str(corpus))
+    assert eng._postings() is not None  # bulk ingest auto-optimizes
+    kw_idx0 = {(r.filePath, r.chunkIndex) for r in eng.keyword_search("broadcast joins").collect()}
+
+    # a single-file mutation leaves the index stale -> scan fallback,
+    # identical results; optimize() restores the indexed path
+    eng.ingest_file(str(corpus / "alpha.md"))
     assert eng._postings() is None  # stale until optimize
     kw_scan = {(r.filePath, r.chunkIndex) for r in eng.keyword_search("broadcast joins").collect()}
+    assert kw_scan == kw_idx0
 
     eng.optimize()
     assert eng._postings() is not None

@@ -336,6 +336,19 @@ def test_indexed_hybrid_scans_postings_with_pushed_terms(spark, qs):
     assert "avgdl" not in p                 # stats folded in, not recomputed
 
 
+def test_entry_flagship_is_the_indexed_plan(spark):
+    """The driver-facing flagship entry() must BE the steady-state indexed
+    shape: postings scan with pushed term filter, persisted stats as
+    literals, no full-corpus stats aggregate anywhere in the plan."""
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    p = plan(df)
+    assert p.count("In(term") >= 2
+    assert "avgdl" not in p
+    assert len(df.limit(1).collect()) == 1  # and it still answers
+
+
 def test_simhash_pairs_blocked_no_cartesian(spark, qs):
     """SimHash pair generation must stay a blocked equi-join — no
     cartesian/nested-loop product of the signature table with itself."""
