@@ -431,11 +431,35 @@ def q_chunk_documents(spark, sf_dir):
     )
     embedded = embed_text_column(sentences, "text", "vector", dim=32)
     chunks = maxmin_chunk(embedded, min_chunk_length=30)
-    return chunks.select(
+    out = chunks.select(
         F.col("doc_key").cast("long").alias("doc_id"),
         "chunk_index",
         F.length("text").alias("chunk_len"),
         "n_sentences",
+    )
+    # per-doc boundary digest: md5 over the ordered (chunk_index,
+    # chunk_len, n_sentences) triples. Sequential Max-Min grouping has no
+    # SQL twin, so this column is the HARD check for the no-oracle entry:
+    # the harness recomputes the digest from the returned rows
+    # (tools/check_correctness), and pytest golden-pins exact digests on a
+    # fixed corpus (tests/test_chunking). One extra tiny aggregate over
+    # the already-chunked rows — broadcast back, no second corpus pass.
+    per_doc = out.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(
+                        F.format_string(
+                            "%06d:%d:%d", "chunk_index", "chunk_len", "n_sentences"
+                        )
+                    )
+                ),
+            )
+        ).alias("boundary_digest")
+    )
+    return out.join(F.broadcast(per_doc), "doc_id").select(
+        "doc_id", "chunk_index", "chunk_len", "n_sentences", "boundary_digest"
     )
 
 

@@ -220,3 +220,57 @@ def test_icu_splitter_parity_and_sea_segmentation():
     # unspaced Thai: two sentences with no terminator or space
     thai = split_sentences("ฉันกินข้าวเขาไปโรงเรียน")
     assert len(thai) >= 1  # ICU segments; exact counts are dictionary-version specific
+
+
+def test_chunk_boundary_digest_golden(spark):
+    """Deterministic end-to-end golden for the full T1+T3+T4 pipeline
+    (split -> embed -> Max-Min chunk): exact per-doc chunk boundaries and
+    their md5 digest are pinned on a fixed corpus. This is the hard check
+    backing the no-SQL-oracle `chunk_documents` registry entry — the
+    harness recomputes the same digest from returned rows
+    (tools/check_correctness.digest_check)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.chunking.maxmin import maxmin_chunk
+    from mcp_local_rag_spark.chunking.splitter import split_sentences_udf
+    from mcp_local_rag_spark.embedder import embed_text_column
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Spark shuffles data between executors. Broadcast joins avoid that shuffle entirely. "
+                "Caching hot tables reduces repeated scans. The optimizer reorders joins by cost. "
+                "Columnar formats prune unread columns."),
+            (2, "A tiny doc. Too short bits."),
+            (3, "Watermarks bound state in streaming jobs. Late events beyond the watermark are dropped. "
+                "Session windows merge on gap timeout. Checkpoints make recovery exact."),
+        ],
+        "doc_id long, text string",
+    )
+    sent = docs.select(
+        F.col("doc_id").cast("string").alias("doc_key"),
+        F.posexplode(split_sentences_udf(F.col("text"))).alias("seq", "text"),
+    )
+    emb = embed_text_column(sent, "text", "vector", dim=32)
+    chunks = maxmin_chunk(emb, min_chunk_length=30)
+    rows = sorted(
+        (int(r.doc_key), r.chunk_index, len(r.text), r.n_sentences)
+        for r in chunks.collect()
+    )
+    by_doc = {}
+    for d, i, l, n in rows:
+        by_doc.setdefault(d, []).append((i, l, n))
+    # doc 2 is filtered entirely (every candidate chunk under the 30-char
+    # minimum); docs 1 and 3 chunk sentence-by-sentence under the pseudo
+    # embedding backend
+    assert set(by_doc) == {1, 3}
+    assert by_doc[1] == [(0, 38, 1), (1, 44, 1), (2, 42, 1), (3, 37, 1), (4, 38, 1)]
+    assert by_doc[3] == [(0, 41, 1), (1, 45, 1), (2, 37, 1), (3, 32, 1)]
+
+    def digest(doc):
+        parts = sorted(f"{i:06d}:{l}:{n}" for i, l, n in by_doc[doc])
+        return hashlib.md5(",".join(parts).encode()).hexdigest()
+
+    assert digest(1) == "41614a2612cf2ef9a0cf70f10927e233"
+    assert digest(3) == "475973cecabdc9d287c6fdf934750a52"

@@ -76,6 +76,27 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+def digest_check(sdf: pd.DataFrame) -> list[str]:
+    """Recompute each doc's boundary digest (md5 over the sorted
+    'chunk_index:chunk_len:n_sentences' triples) from the returned rows
+    and compare it with the returned boundary_digest column."""
+    import hashlib
+
+    problems = []
+    for doc_id, grp in sdf.groupby("doc_id"):
+        parts = sorted(
+            f"{int(r.chunk_index):06d}:{int(r.chunk_len)}:{int(r.n_sentences)}"
+            for r in grp.itertuples()
+        )
+        want = hashlib.md5(",".join(parts).encode()).hexdigest()
+        got = set(grp["boundary_digest"])
+        if got != {want}:
+            problems.append(f"doc {doc_id}: digest {got} != recomputed {want}")
+            if len(problems) > 5:
+                break
+    return problems
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -103,7 +124,23 @@ def main():
         t_spark = time.time() - t0
         sql = sqls.get(name)
         if sql is None:
-            print(f"ok(rows-only) {name}: {len(sdf)} rows  spark={t_spark:.1f}s")
+            # no-oracle entries with a boundary_digest column get a HARD
+            # self-check: recompute the per-doc digest from the returned
+            # rows and compare with the returned column (the digest
+            # definition lives in queries/rag.q_chunk_documents)
+            if "boundary_digest" in sdf.columns:
+                probs = digest_check(sdf)
+                if probs:
+                    failed.append(name)
+                    print(f"FAIL {name}: digest self-check")
+                    for p in probs[:6]:
+                        print(f"    {p}")
+                    continue
+                print(
+                    f"ok(rows+digest) {name}: {len(sdf)} rows  spark={t_spark:.1f}s"
+                )
+            else:
+                print(f"ok(rows-only) {name}: {len(sdf)} rows  spark={t_spark:.1f}s")
             continue
         t0 = time.time()
         try:
