@@ -99,12 +99,33 @@ _VERIFIED_R4 = {
 }
 
 
+_VERIFIED_R5 = {
+    "agg_per_file", "bm25_ngram23", "bm25_unigram", "content_hash",
+    "corpus_boilerplate_ngrams", "corpus_mixture_weights", "corpus_stats",
+    "corpus_weighted_sample", "corpus_zipf_slope", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_jaccard", "dedup_keep_list",
+    "dedup_minhash_incremental", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_pairs", "distinct_event_types", "events_countmin_freq",
+    "events_hll_distinct", "events_hourly", "events_hourly_anomalies",
+    "events_json_extract", "events_session_window_native",
+    "events_value_quantiles_hist", "first_event_per_user", "gap_stats",
+    "grouping_similar", "hybrid_search_indexed", "keyword_boost",
+    "knn_lsh_hyperplane", "knn_truncated_rerank", "list_cross_reference",
+    "null_normalization", "orphan_customers", "percentile_by_lang",
+    "scalar_funcs", "scan_projection", "semi_join_candidates",
+    "sync_counters", "sync_plan", "text_unigram_logprob",
+    "tpch_q18_big_orders", "tpch_q1_pricing", "tpch_q3_topk",
+    "tpch_q5_region", "tpch_q6_selective", "vector_topk_batch",
+    "viewers_never_purchased", "window_rank_orders",
+}
+
+
 def _ordered_names():
     """Never-verified queries first, then by the age of the last green row
     (oldest round first), so the driver's 50-query window always covers the
     fresh surface and re-verifies the stalest settled queries."""
     names = list(REGISTRY)
-    rounds = (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3, _VERIFIED_R4)
+    rounds = (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3, _VERIFIED_R4, _VERIFIED_R5)
 
     def last_green(n):
         seen = [i + 1 for i, s in enumerate(rounds) if n in s]

@@ -804,9 +804,20 @@ SELECT query_id, neighbor_id, cos FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""",
 )
 def q_knn_ivf_multiprobe(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_knn(
+        _ivf_probe_frame(spark, emb), emb, k=5, block_col="label"
+    )
+
+
+def _ivf_probe_frame(spark, emb, *, qids=(0, 1, 2), n_probes=2):
+    """Probe frame for multi-probe IVF: per query, one row per probed
+    cluster (the ``n_probes`` nearest per-label centroids by exact-decimal
+    mean, distance rounded to 6 with a label tiebreak) carrying the query
+    vector. Feeding it to ``cosine_knn(..., block_col='label')`` searches
+    the union of probed clusters; the final window merges probes."""
     import numpy as np
 
-    emb = load(spark, sf_dir, "embeddings")
     cent = (
         emb.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
@@ -823,7 +834,7 @@ def q_knn_ivf_multiprobe(spark, sf_dir):
         for lbl, dims in centers.items()
     }
 
-    q_rows = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+    q_rows = emb.filter(F.col("vec_id").isin(*qids)).select(
         "vec_id", "embedding"
     ).collect()
     probes = []
@@ -833,12 +844,11 @@ def q_knn_ivf_multiprobe(spark, sf_dir):
             center_mat,
             key=lambda lbl: (round(float(np.linalg.norm(center_mat[lbl] - qv)), 6), lbl),
         )
-        for lbl in ranked[:2]:
+        for lbl in ranked[:n_probes]:
             probes.append((r["vec_id"], int(lbl), [float(x) for x in qv]))
-    probe_df = spark.createDataFrame(
+    return spark.createDataFrame(
         probes, "query_id long, label int, embedding array<double>"
     )
-    return similarity.cosine_knn(probe_df, emb, k=5, block_col="label")
 
 
 # Data profiling: the one-pass table summary every pipeline runs before
@@ -1151,3 +1161,136 @@ def q_knn_truncated_rerank(spark, sf_dir):
         ),
     )
     return fine.orderBy(F.col("cos").desc(), "neighbor_id").limit(10)
+
+
+# ANN recall instrumentation: the flat KNN is the SEMANTICS (reference
+# never builds a vector index, src/vectordb/index.ts:346); every ANN
+# variant is an optimization whose quality must be MEASURED, not assumed.
+# recall@10 per (variant, query) against the brute-force ground truth —
+# fully deterministic (every component is an oracle-checked ranking), so
+# the report itself is oracle-paired.
+
+RECALL_SQL = f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding, label FROM embeddings WHERE vec_id IN {_QSET}
+),
+allscore AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, b.label AS b_label, q.label AS q_label,
+         round(list_dot_product(b.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) + 0 AS cos
+  FROM embeddings b, q WHERE b.vec_id <> q.query_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM allscore
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM allscore WHERE b_label = q_label
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+),
+expl AS (
+  SELECT label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS c_label, dim,
+         round(CAST(avg(CAST(x AS DECIMAL(18,9))) AS DOUBLE), 6) + 0.0 AS c
+  FROM expl GROUP BY c_label, dim
+),
+cvec AS (SELECT c_label, list(c ORDER BY dim) AS cv FROM cent GROUP BY c_label),
+probe AS (
+  SELECT query_id, c_label AS label FROM (
+    SELECT q.query_id, c.c_label,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_distance(q.embedding::DOUBLE[], c.cv), 6), c.c_label
+           ) AS rk
+    FROM q, cvec c) t
+  WHERE rk <= 2
+),
+mp AS (
+  SELECT a.query_id, a.neighbor_id FROM allscore a
+  JOIN probe p ON p.query_id = a.query_id AND p.label = a.b_label
+  QUALIFY row_number() OVER (PARTITION BY a.query_id ORDER BY a.cos DESC, a.neighbor_id) <= 10
+),
+sigs AS (SELECT vec_id, {{LSH_SIG}} AS sig FROM embeddings),
+qsigs AS (SELECT q.query_id, s.sig AS qsig FROM q JOIN sigs s ON s.vec_id = q.query_id),
+lprobes AS (SELECT query_id, unnest({{LSH_PROBES}}) AS bucket FROM qsigs),
+lsh AS (
+  SELECT a.query_id, a.neighbor_id FROM allscore a
+  JOIN sigs s ON s.vec_id = a.neighbor_id
+  JOIN lprobes p ON p.query_id = a.query_id AND p.bucket = s.sig
+  QUALIFY row_number() OVER (PARTITION BY a.query_id ORDER BY a.cos DESC, a.neighbor_id) <= 10
+),
+hits AS (
+  SELECT 'ivf_probe' AS variant, v.query_id, count(*) AS hits
+  FROM ivf v JOIN truth t USING (query_id, neighbor_id) GROUP BY 2
+  UNION ALL
+  SELECT 'ivf_multiprobe', v.query_id, count(*)
+  FROM mp v JOIN truth t USING (query_id, neighbor_id) GROUP BY 2
+  UNION ALL
+  SELECT 'lsh_hyperplane', v.query_id, count(*)
+  FROM lsh v JOIN truth t USING (query_id, neighbor_id) GROUP BY 2
+),
+grid AS (
+  SELECT v.variant, qq.query_id
+  FROM (SELECT unnest(['ivf_probe', 'ivf_multiprobe', 'lsh_hyperplane']) AS variant) v
+  CROSS JOIN (SELECT DISTINCT query_id FROM q) qq
+)
+SELECT g.variant, g.query_id, coalesce(h.hits, 0)::BIGINT AS hits,
+       round(coalesce(h.hits, 0) / 10.0, 6) + 0 AS recall
+FROM grid g LEFT JOIN hits h ON h.variant = g.variant AND h.query_id = g.query_id
+ORDER BY g.variant, g.query_id"""
+
+
+@register(
+    "knn_recall_report",
+    RECALL_SQL.replace("{LSH_SIG}", _lsh_sig_sql()).replace(
+        "{LSH_PROBES}", _LSH_PROBES
+    ),
+)
+def q_knn_recall_report(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").persist()
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q_lab = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    # the ground-truth subtree is referenced by every variant's semi join:
+    # persist the 30 rows once instead of re-running the brute-force scan
+    # per variant branch
+    truth = (
+        similarity.cosine_knn(q, emb, k=10).select("query_id", "neighbor_id").persist()
+    )
+    truth.count()
+    variants = {
+        "ivf_probe": similarity.cosine_knn(q_lab, emb, k=10, block_col="label"),
+        "ivf_multiprobe": similarity.cosine_knn(
+            _ivf_probe_frame(spark, emb), emb, k=10, block_col="label"
+        ),
+        "lsh_hyperplane": similarity.lsh_knn(q, emb, _lsh_planes(), k=10),
+    }
+    rep = None
+    for vname, vdf in variants.items():
+        hits = (
+            vdf.select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("hits"))
+        )
+        row = (
+            q.select("query_id")
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(vname).alias("variant"),
+                "query_id",
+                F.coalesce("hits", F.lit(0)).alias("hits"),
+            )
+        )
+        rep = row if rep is None else rep.unionByName(row)
+    return (
+        rep.withColumn("recall", F.round(F.col("hits") / 10.0, 6) + F.lit(0.0))
+        .orderBy("variant", "query_id")
+    )

@@ -158,3 +158,20 @@ def test_hyperplane_lsh_recall_and_determinism(spark):
     got = {(a, b) for a, b, _ in rows1}
     # every query's true nearest neighbor is in the probed result set
     assert top1 <= got
+
+
+def test_knn_recall_report_multiprobe_dominates(spark):
+    """The recall report on real testdata: multiprobe IVF recall@10 must be
+    >= single-probe recall@10 for every query (probing a superset of
+    clusters can only add true neighbors), and every recall is hits/10."""
+    from mcp_local_rag_spark.queries.ext import q_knn_recall_report
+
+    rows = q_knn_recall_report(spark, "/root/testdata/sf0.001").collect()
+    by = {(r.variant, r.query_id): r for r in rows}
+    qids = {r.query_id for r in rows}
+    assert len(rows) == 3 * len(qids)
+    for r in rows:
+        assert 0 <= r.hits <= 10
+        assert abs(r.recall - r.hits / 10.0) < 1e-9
+    for qid in qids:
+        assert by[("ivf_multiprobe", qid)].hits >= by[("ivf_probe", qid)].hits
