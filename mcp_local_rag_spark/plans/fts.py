@@ -257,6 +257,8 @@ def refresh_postings(
     millions of strings (the chunks-table twin is
     plans/ingest.delete_documents_df).
     """
+    import shutil
+
     nb = table_n_buckets(path)
     new_postings = None
     parts = []
@@ -274,25 +276,48 @@ def refresh_postings(
     targets = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     bucket_of = F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int")
     targets = targets.distinct().withColumn("b", bucket_of).persist()
-    buckets = [r["b"] for r in targets.select("b").distinct().collect()]
+    buckets = {r["b"] for r in targets.select("b").distinct().collect()}
     if not buckets:
         targets.unpersist()
         if new_postings is not None:
             new_postings.unpersist()
         return
 
+    # ALL touched buckets rewrite in ONE dynamic-partition-overwrite job
+    # (not a per-bucket driver loop — at thousands of touched buckets that
+    # is thousands of job submissions): build keep+adds across the touched
+    # buckets, hash-repartition by bucket (all rows of a bucket land in
+    # exactly one task -> one term-sorted file per bucket, the pruning
+    # layout), and let the writer replace ONLY the partition dirs present
+    # in the output. localCheckpoint materializes the result first, so
+    # reading and overwriting the same path cannot race.
     existing = spark.read.parquet(path)
-    for bucket in sorted(buckets):
-        part = existing.filter(F.col("bucket") == bucket)
-        t_b = targets.filter(F.col("b") == bucket).select("filePath")
-        keep = part.join(t_b, "filePath", "left_anti").drop("bucket")
-        if new_postings is not None:
-            adds = new_postings.filter(bucket_of == bucket)
-            keep = keep.unionByName(adds)
-        out = keep.sortWithinPartitions("term", "filePath", "chunkIndex").coalesce(1)
-        out.localCheckpoint().write.mode("overwrite").parquet(
-            f"{path}/bucket={bucket}"
-        )
+    keep = (
+        existing.filter(F.col("bucket").isin(sorted(buckets)))
+        .drop("bucket")
+        .join(targets.select("filePath"), "filePath", "left_anti")
+    )
+    if new_postings is not None:
+        keep = keep.unionByName(new_postings)
+    out = (
+        keep.withColumn("bucket", bucket_of)
+        .repartition(len(buckets), "bucket")
+        .sortWithinPartitions("bucket", "term", "filePath", "chunkIndex")
+        .localCheckpoint()
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.partitionBy("bucket").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    # a touched bucket whose every document was removed produces no output
+    # rows, so dynamic overwrite never replaces its directory — drop the
+    # now-stale dirs explicitly (posix parquet layout; on an object store
+    # this is the same delete the per-bucket loop would have issued)
+    present = {r["bucket"] for r in out.select("bucket").distinct().collect()}
+    for b in sorted(buckets - present):
+        shutil.rmtree(f"{path}/bucket={b}", ignore_errors=True)
     targets.unpersist()
     if new_postings is not None:
         new_postings.unpersist()

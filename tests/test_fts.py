@@ -321,3 +321,52 @@ def test_compact_recomputes_stats_after_dedup(spark, tmp_path):
             ["filePath", "chunkIndex", "term"]
         ).count()
     )
+
+
+def test_refresh_touches_buckets_in_one_write(spark, tmp_path, monkeypatch):
+    """Incremental refresh rewrites ALL touched buckets in ONE Spark write
+    job (dynamic partition overwrite), not a per-bucket driver loop — and
+    a touched bucket left empty by deletions has its directory dropped."""
+    import glob
+
+    import pyspark.sql.readwriter as rw
+
+    from mcp_local_rag_spark.plans.fts import read_fts_stats
+
+    docs = [(f"/d{i}.md", 0, f"term{i} shared content body") for i in range(12)]
+    chunks = _chunks(spark, docs)
+    path = str(tmp_path / "postings")
+    write_postings(chunks, path, n_buckets=8)
+    buckets_before = {
+        int(b.rsplit("=", 1)[1]) for b in glob.glob(f"{path}/bucket=*")
+    }
+    assert len(buckets_before) > 1  # the refresh below spans >1 bucket
+
+    calls = []
+    orig = rw.DataFrameWriter.parquet
+
+    def counting(self, p, *a, **k):
+        calls.append(p)
+        return orig(self, p, *a, **k)
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", counting)
+    changed = _chunks(
+        spark, [("/d0.md", 0, "rewritten zero body"), ("/d1.md", 0, "rewritten one body")]
+    )
+    refresh_postings(
+        spark, path, changed_chunks=changed,
+        deleted_paths=[f"/d{i}.md" for i in range(2, 12)],
+    )
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", orig)
+
+    assert len(calls) == 1 and calls[0].rstrip("/") == path, calls
+
+    stored = read_postings(spark, path)
+    rows = {(r.filePath, r.term) for r in stored.collect()}
+    assert {f for f, _ in rows} == {"/d0.md", "/d1.md"}
+    assert ("/d0.md", "rewritten") in rows and ("/d0.md", "term0") not in rows
+    # stats re-derived from the refreshed index
+    assert read_fts_stats(path)["n"] == 2
+    # every surviving bucket holds exactly one file; emptied buckets gone
+    for b in glob.glob(f"{path}/bucket=*"):
+        assert len(glob.glob(f"{b}/*.parquet")) == 1
