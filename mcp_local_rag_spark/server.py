@@ -1,0 +1,244 @@
+"""Stdio JSON-RPC serving adapter over RagEngine + NeighborServer.
+
+The reference exposes its engine as tools over stdio JSON-RPC
+(src/server/index.ts:1269-1272) behind a central dispatcher switch
+(src/server/index.ts:389-444) with a single-writer mutation guard that
+read-only tools bypass (:396-403) and async sync jobs that return a jobId
+immediately (:1075-1103). This module is that surface re-expressed over
+the Spark engine: the BATCH plans stay DataFrame DAGs inside RagEngine;
+the adapter is the thin external-system seam BASELINE.json prescribes
+("batch index build via DataFrame ops, serving requires external
+system"), with neighbor point-reads routed through the pyarrow
+NeighborServer so the hot read path never pays a Spark job submission.
+
+Protocol: one JSON-RPC 2.0 object per line on stdin, one response per
+line on stdout. Methods are the reference tool names; params are the
+tool arguments. Errors use -32601 (unknown method), -32602 (invalid
+params), -32000 (execution failure) — the dispatcher never crashes the
+loop on a bad request.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+from typing import Any, Callable
+
+from .engine import RagEngine
+from .operators.neighbors import NeighborServer
+
+
+class RpcError(Exception):
+    def __init__(self, code: int, message: str):
+        super().__init__(message)
+        self.code = code
+
+
+def _require_query(params: dict) -> str:
+    q = params.get("query")
+    if not isinstance(q, str) or not q.strip():
+        raise RpcError(-32602, "query must be a non-empty string")
+    return q
+
+
+def _limit(params: dict, default: int = 10) -> int:
+    lim = params.get("limit", default)
+    if not isinstance(lim, int) or isinstance(lim, bool) or not (1 <= lim <= 20):
+        raise RpcError(-32602, "limit must be an integer in [1, 20]")
+    return lim
+
+
+def _scope(params: dict) -> list[str] | None:
+    scope = params.get("scope")
+    if scope is None:
+        return None
+    if not isinstance(scope, list) or not all(isinstance(s, str) for s in scope):
+        raise RpcError(-32602, "scope must be a list of strings")
+    trimmed = [s.strip() for s in scope if s.strip()]
+    return trimmed or None
+
+
+class RagRpcServer:
+    """Dispatcher + method handlers. ``handle`` serves one request dict;
+    ``serve`` runs the line-delimited stdio loop."""
+
+    def __init__(self, engine: RagEngine, neighbors: NeighborServer | None = None):
+        self.engine = engine
+        self.neighbors = neighbors or NeighborServer(engine.spark, engine.table_path)
+        # the reference's single-writer mutation guard: one mutating tool
+        # at a time; read-only tools bypass it (src/server/index.ts:396-403)
+        self._write_guard = threading.Lock()
+        self._sync_jobs: dict[str, dict] = {}
+        self._methods: dict[str, tuple[Callable[[dict], Any], bool]] = {
+            # name -> (handler, mutates)
+            "query_documents": (self._query_documents, False),
+            "read_chunk_neighbors": (self._read_chunk_neighbors, False),
+            "list_documents": (self._list_documents, False),
+            "get_status": (self._get_status, False),
+            "sync_status": (self._sync_status, False),
+            "ingest_file": (self._ingest_file, True),
+            "ingest_data": (self._ingest_data, True),
+            "delete_document": (self._delete_document, True),
+            "sync_start": (self._sync_start, True),
+        }
+
+    # -- read-only tools --------------------------------------------------
+
+    def _query_documents(self, params: dict) -> dict:
+        rows = self.engine.query_documents(
+            _require_query(params),
+            limit=_limit(params),
+            scope=_scope(params),
+            max_distance=params.get("maxDistance"),
+            grouping=params.get("grouping"),
+        ).collect()
+        return {"results": [r.asDict() for r in rows]}
+
+    def _read_chunk_neighbors(self, params: dict) -> dict:
+        fp, idx = params.get("filePath"), params.get("chunkIndex")
+        if not isinstance(fp, str) or not isinstance(idx, int):
+            raise RpcError(-32602, "filePath (string) and chunkIndex (int) required")
+        rows = self.neighbors.read(
+            fp, idx, before=params.get("before", 2), after=params.get("after", 2)
+        )
+        keep = ("filePath", "chunkIndex", "text")
+        return {"chunks": [{k: r[k] for k in keep if k in r} for r in rows]}
+
+    def _list_documents(self, params: dict) -> dict:
+        return {"documents": [r.asDict() for r in self.engine.list_documents().collect()]}
+
+    def _get_status(self, params: dict) -> dict:
+        return self.engine.get_status()
+
+    # -- mutating tools (guarded) ----------------------------------------
+
+    def _ingest_file(self, params: dict) -> dict:
+        fp = params.get("filePath")
+        if not isinstance(fp, str) or not fp:
+            raise RpcError(-32602, "filePath must be a non-empty string")
+        res = self.engine.ingest_file(fp)
+        self.engine.optimize()
+        self.neighbors.invalidate()
+        return res
+
+    def _ingest_data(self, params: dict) -> dict:
+        content, source = params.get("content"), params.get("source")
+        if not isinstance(content, str) or not isinstance(source, str) or not source:
+            raise RpcError(-32602, "content (string) and source (string) required")
+        n = self.engine.ingest_data(
+            content, source, format=params.get("format", "markdown")
+        )
+        self.engine.optimize()
+        self.neighbors.invalidate()
+        return {"source": source, "chunkCount": n}
+
+    def _delete_document(self, params: dict) -> dict:
+        fp = params.get("filePath")
+        if not isinstance(fp, str) or not fp:
+            raise RpcError(-32602, "filePath must be a non-empty string")
+        n = self.engine.delete_document(fp)
+        self.engine.optimize()
+        self.neighbors.invalidate()
+        return {"filePath": fp, "deletedChunks": n}
+
+    def _sync_start(self, params: dict) -> dict:
+        """Register the job record and return the jobId IMMEDIATELY; the
+        run is a background thread that releases the guard on terminal
+        state (reference :1075-1103). The guard is handed over to the
+        thread — dispatch acquires it, the worker releases it."""
+        root = params.get("path")
+        if not isinstance(root, str) or not root:
+            raise RpcError(-32602, "path must be a non-empty string")
+        job_id = str(uuid.uuid4())
+        record = {"jobId": job_id, "state": "running", "counters": None, "error": None}
+        self._sync_jobs[job_id] = record
+
+        def _run():
+            try:
+                rep = self.engine.sync(root)
+                record["counters"] = rep.counters
+                record["warnings"] = rep.warnings
+                record["state"] = "completed"
+            except Exception as e:  # terminal state, never crash the loop
+                record["error"] = f"{type(e).__name__}: {e}"
+                record["state"] = "failed"
+            finally:
+                self.neighbors.invalidate()
+                self._write_guard.release()
+
+        threading.Thread(target=_run, daemon=True).start()
+        return {"jobId": job_id}
+
+    def _sync_status(self, params: dict) -> dict:
+        job_id = params.get("jobId")
+        rec = self._sync_jobs.get(job_id)
+        if rec is None:
+            raise RpcError(-32602, f"unknown jobId: {job_id}")
+        return rec
+
+    # -- dispatch ---------------------------------------------------------
+
+    def handle(self, request: dict) -> dict:
+        rid = request.get("id")
+        method = request.get("method")
+        entry = self._methods.get(method)
+        if entry is None:
+            return _err(rid, -32601, f"unknown method: {method}")
+        handler, mutates = entry
+        params = request.get("params") or {}
+        if not isinstance(params, dict):
+            return _err(rid, -32602, "params must be an object")
+        holding = False
+        try:
+            if mutates:
+                # one mutating tool at a time (reference mutation guard);
+                # a running sync holds the guard until its terminal state
+                if not self._write_guard.acquire(timeout=300):
+                    return _err(rid, -32000, "mutation guard timeout")
+                holding = True
+            result = handler(params)
+            if method == "sync_start":
+                holding = False  # guard handed to the sync worker thread
+            return {"jsonrpc": "2.0", "id": rid, "result": result}
+        except RpcError as e:
+            return _err(rid, e.code, str(e))
+        except Exception as e:
+            return _err(rid, -32000, f"{type(e).__name__}: {e}")
+        finally:
+            if holding:
+                self._write_guard.release()
+
+    def serve(self, stdin, stdout) -> None:
+        """Line-delimited stdio loop: EOF ends the session; malformed JSON
+        answers with a -32700 parse error instead of crashing."""
+        for line in stdin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                request = json.loads(line)
+            except ValueError:
+                response = _err(None, -32700, "parse error")
+            else:
+                response = self.handle(request)
+            stdout.write(json.dumps(response) + "\n")
+            stdout.flush()
+
+
+def _err(rid, code: int, message: str) -> dict:
+    return {"jsonrpc": "2.0", "id": rid, "error": {"code": code, "message": message}}
+
+
+def main() -> None:  # pragma: no cover - manual entry point
+    import sys
+
+    from .session import get_spark
+
+    table_path = sys.argv[1]
+    engine = RagEngine(get_spark("rag-server"), table_path)
+    RagRpcServer(engine).serve(sys.stdin, sys.stdout)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

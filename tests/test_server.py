@@ -1,0 +1,153 @@
+"""Stdio JSON-RPC serving adapter (mcp_local_rag_spark/server.py): the
+reference tool surface driven end-to-end over a real pipe."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pytest
+
+from mcp_local_rag_spark.engine import RagEngine
+from mcp_local_rag_spark.server import RagRpcServer
+
+DOC = (
+    "# Serving Doc\n\n"
+    "Spark shuffles data between executors during wide transformations. "
+    "Broadcast joins avoid that shuffle for small dimension tables. "
+    "Caching hot tables reduces repeated scans across queries."
+)
+
+
+@pytest.fixture()
+def served(spark, tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "serve.md").write_text(DOC)
+    eng = RagEngine(spark, str(tmp_path / "chunks_srv"))
+    eng.ingest_directory(str(d))
+    return RagRpcServer(eng), d
+
+
+def _call(server, method, params=None, rid=1):
+    return server.handle(
+        {"jsonrpc": "2.0", "id": rid, "method": method, "params": params or {}}
+    )
+
+
+def test_tool_surface_end_to_end(served):
+    server, d = served
+
+    status = _call(server, "get_status")["result"]
+    assert status["documentCount"] == 1 and status["chunkCount"] >= 1
+
+    res = _call(server, "query_documents", {"query": "broadcast joins", "limit": 3})
+    hits = res["result"]["results"]
+    assert hits and hits[0]["filePath"].endswith("serve.md")
+    assert all("text" in h and "score" in h for h in hits)
+
+    fp = hits[0]["filePath"]
+    nb = _call(
+        server, "read_chunk_neighbors", {"filePath": fp, "chunkIndex": hits[0]["chunkIndex"]}
+    )["result"]["chunks"]
+    assert nb and all(c["filePath"] == fp for c in nb)
+    assert [c["chunkIndex"] for c in nb] == sorted(c["chunkIndex"] for c in nb)
+
+    docs = _call(server, "list_documents")["result"]["documents"]
+    assert {doc["filePath"] for doc in docs} == {fp}
+
+    # mutating tools: ingest_data then delete round-trips through the guard
+    res = _call(
+        server,
+        "ingest_data",
+        {
+            "content": "A raw document with one full sentence of real content to chunk.",
+            "source": "https://example.com/raw",
+        },
+    )["result"]
+    assert res["chunkCount"] >= 1
+    assert _call(server, "get_status")["result"]["documentCount"] == 2
+
+
+def test_validation_and_error_codes(served):
+    server, _ = served
+    assert _call(server, "no_such_tool")["error"]["code"] == -32601
+    assert (
+        _call(server, "query_documents", {"query": "  "})["error"]["code"] == -32602
+    )
+    assert (
+        _call(server, "query_documents", {"query": "x", "limit": 0})["error"]["code"]
+        == -32602
+    )
+    assert (
+        _call(server, "query_documents", {"query": "x", "limit": "5"})["error"]["code"]
+        == -32602
+    )
+    assert (
+        _call(server, "read_chunk_neighbors", {"filePath": 3, "chunkIndex": "a"})[
+            "error"
+        ]["code"]
+        == -32602
+    )
+    assert _call(server, "sync_status", {"jobId": "nope"})["error"]["code"] == -32602
+    # execution failures surface as -32000, not a crashed dispatcher
+    assert (
+        _call(server, "ingest_file", {"filePath": "/does/not/exist.md"})["error"][
+            "code"
+        ]
+        == -32000
+    )
+
+
+def test_sync_job_lifecycle(served):
+    server, d = served
+    (d / "late.md").write_text(
+        "# Late\n\nA second document that arrives between syncs with enough text."
+    )
+    job = _call(server, "sync_start", {"path": str(d)})["result"]
+    assert "jobId" in job  # returned immediately, run is background
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        rec = _call(server, "sync_status", {"jobId": job["jobId"]})["result"]
+        if rec["state"] != "running":
+            break
+        time.sleep(0.5)
+    assert rec["state"] == "completed", rec
+    assert rec["counters"].get("upsert_new", 0) >= 1
+    assert _call(server, "get_status")["result"]["documentCount"] == 2
+
+
+def test_serve_loop_over_real_pipe(served):
+    """The stdio loop itself: requests written to a real OS pipe, responses
+    read back line-by-line; malformed JSON answers -32700 and the loop
+    survives to serve the next request."""
+    server, _ = served
+    in_r, in_w = os.pipe()
+    out_r, out_w = os.pipe()
+    stdin = os.fdopen(in_r, "r")
+    stdout = os.fdopen(out_w, "w")
+    t = threading.Thread(target=server.serve, args=(stdin, stdout), daemon=True)
+    t.start()
+
+    writer = os.fdopen(in_w, "w")
+    reader = os.fdopen(out_r, "r")
+    writer.write("this is not json\n")
+    writer.write(
+        json.dumps(
+            {"jsonrpc": "2.0", "id": 7, "method": "query_documents",
+             "params": {"query": "shuffle", "limit": 2}}
+        )
+        + "\n"
+    )
+    writer.flush()
+
+    bad = json.loads(reader.readline())
+    assert bad["error"]["code"] == -32700
+    good = json.loads(reader.readline())
+    assert good["id"] == 7 and good["result"]["results"]
+
+    writer.close()
+    t.join(timeout=30)
+    assert not t.is_alive()  # EOF ends the session
