@@ -62,7 +62,7 @@ def main() -> None:
     # bucketed+sorted layout: the serving-path point reader (the SLO
     # analogue — BASELINE.json: "serving requires external system") and the
     # in-plan Spark read (pays Catalyst planning per query).
-    serve_p95_ms, spark_p95_ms = _neighbor_bench(spark)
+    serve_p95_ms, spark_p95_ms, pinned_p95_ms = _neighbor_bench(spark)
     anchors = _derived_anchors(spark, qs, sf_dir)
 
     total = round(sum(timings.values()), 3)
@@ -76,6 +76,7 @@ def main() -> None:
                 "sf": sf,
                 "neighbor_read_p95_ms": serve_p95_ms,
                 "neighbor_read_sparkplan_p95_ms": spark_p95_ms,
+                "neighbor_read_pinned_p95_ms": pinned_p95_ms,
                 **anchors,
             }
         )
@@ -137,7 +138,7 @@ def _derived_anchors(spark, qs, sf_dir) -> dict:
     }
 
 
-def _neighbor_bench(spark) -> float:
+def _neighbor_bench(spark) -> tuple[float, float, float]:
     import tempfile
 
     from pyspark.sql import functions as F
@@ -173,11 +174,29 @@ def _neighbor_bench(spark) -> float:
         times.append((time.time() - t0) * 1000)
     times.sort()
     p95 = times[int(len(times) * 0.95) - 1]
+
+    # the pinned in-plan variant: repeated reads of one document against a
+    # persisted single-bucket frame (operators/neighbors.pin_document_frame)
+    # — removes per-read parquet re-planning; what remains is Spark's
+    # job-submission floor
+    from mcp_local_rag_spark.operators.neighbors import pin_document_frame
+
+    pinned = pin_document_frame(chunks, doc)
+    read_neighbors(pinned, doc, 5000).collect()  # warm + materialize cache
+    ptimes = []
+    for i in range(20):
+        t0 = time.time()
+        read_neighbors(pinned, doc, 100 + i * 400).collect()
+        ptimes.append((time.time() - t0) * 1000)
+    pinned.unpersist()
+    ptimes.sort()
+    pinned_p95 = ptimes[int(len(ptimes) * 0.95) - 1]
     print(
-        f"# neighbor_read serve p95={serve_p95:.1f}ms  spark-plan p95={p95:.1f}ms",
+        f"# neighbor_read serve p95={serve_p95:.1f}ms  spark-plan p95={p95:.1f}ms"
+        f"  pinned p95={pinned_p95:.1f}ms",
         file=sys.stderr,
     )
-    return round(serve_p95, 1), round(p95, 1)
+    return round(serve_p95, 1), round(p95, 1), round(pinned_p95, 1)
 
 
 if __name__ == "__main__":

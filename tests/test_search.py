@@ -133,3 +133,36 @@ def test_vector_topk_batch_matches_single_queries(spark):
         ]
         assert sorted(got[qid]) == sorted(single), qid
         assert len(single) == 10  # k * overfetch
+
+
+def test_pin_document_frame_neighbors_identical(spark, tmp_path):
+    """Reads against the pinned single-bucket frame return exactly the
+    rows of the unpinned in-plan read — pinning changes the physical
+    source (InMemoryRelation vs parquet scan), never the result."""
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.operators.neighbors import (
+        pin_document_frame,
+        read_neighbors,
+    )
+    from mcp_local_rag_spark.plans.ingest import write_chunks
+
+    table = str(tmp_path / "chunks_pin")
+    doc = "/pin/doc.md"
+    rows = spark.range(200).select(
+        F.lit(doc).alias("filePath"),
+        F.col("id").cast("int").alias("chunkIndex"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    write_chunks(rows, table)
+    chunks = spark.read.parquet(table)
+    pinned = pin_document_frame(chunks, doc)
+    try:
+        for target in (0, 7, 199):
+            plain = [tuple(r) for r in read_neighbors(chunks, doc, target).collect()]
+            fast = [tuple(r) for r in read_neighbors(pinned, doc, target).collect()]
+            assert plain == fast and plain
+        plan = pinned._jdf.queryExecution().executedPlan().toString()
+        assert "InMemory" in plan
+    finally:
+        pinned.unpersist()

@@ -13,6 +13,12 @@ This produces TIMING data only — the correctness gates always run on the
 driver's own sf dirs. Usage:
 
     python tools/make_scaled_sf.py /root/testdata/sf0.1 <dst_dir> 10
+    python tools/make_scaled_sf.py src dst 100 documents,embeddings
+
+The optional 4th arg restricts output to the named tables (the large-
+factor probes only need the corpus tables). Replicas stream through one
+ParquetWriter per table, so peak memory is one base-table copy
+regardless of factor.
 """
 
 from __future__ import annotations
@@ -47,34 +53,44 @@ FAMILY_DOMAIN = {
 }
 
 
-def main(src: str, dst: str, factor: int) -> None:
+def main(src: str, dst: str, factor: int, only: set[str] | None = None) -> None:
     os.makedirs(dst, exist_ok=True)
+    dims = [n for n in DIMS if only is None or n in only]
+    facts = {n: k for n, k in FACTS.items() if only is None or n in only}
+    # key-family domains: read only the tables the selected facts shift by
+    needed_fams = {fam for keys in facts.values() for fam in keys.values()}
+    domain_tables = {FAMILY_DOMAIN[fam][0] for fam in needed_fams}
     tables = {
         name: pq.read_table(os.path.join(src, f"{name}.parquet"))
-        for name in DIMS + list(FACTS)
+        for name in set(dims) | set(facts) | domain_tables
     }
     shifts = {
         fam: int(pc.max(tables[t][c]).as_py()) + 1
         for fam, (t, c) in FAMILY_DOMAIN.items()
+        if fam in needed_fams
     }
-    for name in DIMS:
+    for name in dims:
         pq.write_table(tables[name], os.path.join(dst, f"{name}.parquet"))
-    for name, keys in FACTS.items():
+    for name, keys in facts.items():
         base = tables[name]
-        replicas = [base]
-        for i in range(1, factor):
-            rep = base
-            for col, fam in keys.items():
-                idx = rep.schema.get_field_index(col)
-                shifted = pc.add(rep[col], pa.scalar(i * shifts[fam], type=rep.schema.field(idx).type))
-                rep = rep.set_column(idx, rep.schema.field(idx), shifted)
-            replicas.append(rep)
-        out = pa.concat_tables(replicas)
-        pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
-        print(f"{name}: {base.num_rows} -> {out.num_rows}")
+        out_path = os.path.join(dst, f"{name}.parquet")
+        with pq.ParquetWriter(out_path, base.schema) as writer:
+            for i in range(factor):
+                rep = base
+                if i:
+                    for col, fam in keys.items():
+                        idx = rep.schema.get_field_index(col)
+                        shifted = pc.add(
+                            rep[col],
+                            pa.scalar(i * shifts[fam], type=rep.schema.field(idx).type),
+                        )
+                        rep = rep.set_column(idx, rep.schema.field(idx), shifted)
+                writer.write_table(rep)
+        print(f"{name}: {base.num_rows} -> {base.num_rows * factor}")
 
 
 if __name__ == "__main__":
     src, dst = sys.argv[1], sys.argv[2]
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    main(src, dst, factor)
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    main(src, dst, factor, only)

@@ -1,0 +1,74 @@
+"""Scaling probe for the two heaviest pipelines: run dedup_minhash_lsh
+and hybrid_search_indexed at 10x and 100x the bench scale (corpus tables
+replicated with make_scaled_sf.py) and record per-query scaling exponents
+alpha = log(t_100x / t_10x) / log(10) — alpha ~ 1 is linear, alpha ~ 0 is
+scale-flat. TIMING data only; correctness always gates on the driver's
+own sf dirs. Usage:
+
+    python tools/make_scaled_sf.py /root/testdata/sf0.1 <dir10> 10 documents,embeddings
+    python tools/make_scaled_sf.py /root/testdata/sf0.1 <dir100> 100 documents,embeddings
+    python tools/scale_probe.py <dir10> <dir100> [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = ["hybrid_search_indexed", "dedup_minhash_lsh"]
+PASSES = 3
+
+
+def time_query(spark, fn, sf_dir: str) -> float:
+    best = None
+    for _ in range(PASSES):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def main(dir10: str, dir100: str, out_path: str | None) -> None:
+    from mcp_local_rag_spark.queries import queries
+    from mcp_local_rag_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    qs = queries()
+
+    result: dict = {"metric": "scale_probe", "unit": "sec", "queries": {}}
+    for name in QUERIES:
+        t10 = time_query(spark, qs[name], dir10)
+        t100 = time_query(spark, qs[name], dir100)
+        alpha = math.log(t100 / t10) / math.log(10.0)
+        result["queries"][name] = {
+            "t_10x_sec": t10,
+            "t_100x_sec": t100,
+            "ratio": round(t100 / t10, 3),
+            "exponent": round(alpha, 3),
+        }
+        print(f"# {name}: 10x={t10}s 100x={t100}s ratio={t100/t10:.2f} alpha={alpha:.2f}",
+              file=sys.stderr)
+    result["provenance"] = (
+        "self-measured (round 6): sf0.1 documents/embeddings replicated 10x and "
+        "100x with consistent key shifts (tools/make_scaled_sf.py), min of "
+        f"{PASSES} warmed passes per point, local[32]. hybrid_search_indexed "
+        "timings are steady-state (the persisted chunks+postings scratch is "
+        "built on the first pass and reused); dedup is end-to-end each pass."
+    )
+    line = json.dumps(result)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
