@@ -220,6 +220,40 @@ def q_bm25_unigram(spark, sf_dir):
     )
 
 
+# T8 at the 100 TB QUERY-side layout: the SAME scores from the TERM-
+# bucketed second copy of the postings index (plans/fts.write_term_postings,
+# derived once from the maintained doc-aligned copy). A query's terms map
+# to a handful of tbucket partition dirs, so the scan PARTITION-prunes
+# before any row is read — at scale a 4-term query touches ~4/n_buckets of
+# the index instead of row-group-pruning through every doc bucket. Oracle
+# is bm25_unigram's verbatim: the layout changes, the values don't.
+
+@register(
+    "bm25_term_bucketed",
+    f"""WITH {CHUNKS_CTE.strip()}, {BM25_CTE.strip()}
+SELECT chunkIndex, round(s, 6) AS kw_score
+FROM kwscore ORDER BY kw_score DESC, chunkIndex LIMIT 15""",
+)
+def q_bm25_term_bucketed(spark, sf_dir):
+    import os
+
+    from ..plans.fts import read_term_postings, write_term_postings
+
+    _, postings, stats = _indexed_corpus(spark, sf_dir)
+    tpath = _scratch_path(sf_dir, "fts_term")
+    if not os.path.isdir(tpath):
+        write_term_postings(postings, tpath, n_buckets=16)
+    termside = read_term_postings(spark, tpath, terms=TERMS)
+    scores = bm25.bm25_scores(
+        termside, TERMS, id_cols=("chunkIndex",), stats=stats, materialize=False
+    )
+    return (
+        scores.select("chunkIndex", F.round("_score", 6).alias("kw_score"))
+        .orderBy(F.col("kw_score").desc(), F.col("chunkIndex").asc())
+        .limit(15)
+    )
+
+
 # J1 + T9 + A5 in isolation: boost join with a deterministic synthetic
 # keyword table (kw = n_chars for every 3rd chunk), normalize by max,
 # boosted = score / (1 + kw_norm * 0.6); unmatched keep their distance.
@@ -500,6 +534,21 @@ def q_hybrid_search(spark, sf_dir):
     return final.select("filePath", "chunkIndex", "score")
 
 
+def _scratch_path(sf_dir: str, name: str) -> str:
+    """Scratch location for build-once artifacts derived from ``sf_dir``,
+    keyed by the corpus generation (documents.parquet mtime) so a
+    regenerated testdata dir invalidates them."""
+    import os
+
+    gen = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    return os.path.join(root, f"{name}_{tag}_{gen}")
+
+
 def _indexed_corpus(spark, sf_dir):
     """Build-once, reuse-forever steady-state corpus: the persisted chunks
     table plus the persisted BM25 postings index (plans/fts — the
@@ -521,14 +570,8 @@ def _indexed_corpus(spark, sf_dir):
 
     from ..plans.fts import read_fts_stats, read_postings, write_postings
 
-    gen = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-    )
-    cpath = os.path.join(root, f"chunks_{tag}_{gen}")
-    ppath = os.path.join(root, f"fts_{tag}_{gen}")
+    cpath = _scratch_path(sf_dir, "chunks")
+    ppath = _scratch_path(sf_dir, "fts")
     if not os.path.isdir(cpath):
         chunks_df(spark, sf_dir).write.mode("overwrite").parquet(cpath)
     chunks = spark.read.parquet(cpath)

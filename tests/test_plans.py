@@ -336,6 +336,15 @@ def test_indexed_hybrid_scans_postings_with_pushed_terms(spark, qs):
     assert "avgdl" not in p                 # stats folded in, not recomputed
 
 
+def test_term_bucketed_bm25_partition_prunes(spark, qs):
+    """The query-side term-bucketed index copy: the scan must carry a
+    tbucket partition filter (only the query terms' directories are
+    listed/scanned) and fold the persisted stats in as literals."""
+    p = plan(qs["bm25_term_bucketed"](spark, SF_DIR))
+    assert "tbucket" in p, p             # partition filter present
+    assert "avgdl" not in p              # no corpus stats aggregate
+
+
 def test_entry_flagship_is_the_indexed_plan(spark):
     """The driver-facing flagship entry() must BE the steady-state indexed
     shape: postings scan with pushed term filter, persisted stats as
