@@ -324,14 +324,15 @@ def refresh_postings(
     spark.catalog.refreshByPath(path)
     # re-derive the persisted corpus statistics from the refreshed index —
     # one distinct+aggregate job per bulk run, amortized maintenance (the
-    # per-query alternative would pay this on EVERY query)
-    row = (
-        spark.read.parquet(path)
-        .select("filePath", "chunkIndex", "dl")
-        .distinct()
-        .agg(F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tdl"))
-        .first()
-    )
+    # per-query alternative would pay this on EVERY query). A refresh that
+    # deleted the LAST document leaves no bucket dirs at all (parquet read
+    # would fail on the schemaless dir) — the stats are simply zero.
+    stats = _aggregate_fts_stats(spark, path)
     write_table_meta(
-        path, nb, extra={"fts_n_docs": int(row["n"]), "fts_total_dl": int(row["tdl"])}
+        path,
+        nb,
+        extra={
+            "fts_n_docs": stats["n"] if stats else 0,
+            "fts_total_dl": stats["total_dl"] if stats else 0,
+        },
     )

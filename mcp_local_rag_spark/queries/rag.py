@@ -417,7 +417,8 @@ def q_null_normalization(spark, sf_dir):
 @register(
     "median_pairwise_sim",
     """WITH sample AS (
-  SELECT vec_id, embedding FROM embeddings WHERE label = 0 AND vec_id < 200
+  SELECT vec_id, embedding FROM embeddings WHERE label = 0
+  ORDER BY vec_id LIMIT 40
 ),
 pairs AS (
   SELECT round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -433,8 +434,15 @@ def q_median_pairwise_sim(spark, sf_dir):
     from ..functions.vector import cosine
 
     emb = load(spark, sf_dir, "embeddings")
-    sample = emb.filter((F.col("label") == 0) & (F.col("vec_id") < 200)).select(
-        "vec_id", "embedding"
+    # bounded sample by RANK, not by an id-range literal: the lowest-40
+    # label-0 vec_ids are the same deterministic set under ANY id
+    # distribution, and the pair count stays <= 40*39/2 at every sf
+    # (mirrors the reference's fixed 5-page sample, pdf-filter.ts:239)
+    sample = (
+        emb.filter(F.col("label") == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(40)
     )
     a = sample.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("_v1"))
     b = sample.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("_v2"))

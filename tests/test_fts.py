@@ -370,3 +370,20 @@ def test_refresh_touches_buckets_in_one_write(spark, tmp_path, monkeypatch):
     # every surviving bucket holds exactly one file; emptied buckets gone
     for b in glob.glob(f"{path}/bucket=*"):
         assert len(glob.glob(f"{b}/*.parquet")) == 1
+
+
+def test_refresh_deleting_last_document(spark, tmp_path):
+    """A refresh that removes the final document must leave a valid empty
+    index (zeroed persisted stats, no stale bucket dirs), not crash on the
+    schemaless parquet read."""
+    import glob
+
+    from mcp_local_rag_spark.plans.fts import read_fts_stats
+
+    chunks = _chunks(spark, [("/only.md", 0, "the only document here")])
+    path = str(tmp_path / "postings")
+    write_postings(chunks, path, n_buckets=4)
+    refresh_postings(spark, path, deleted_paths=["/only.md"])
+    assert glob.glob(f"{path}/bucket=*") == []
+    stats = read_fts_stats(path)
+    assert stats["n"] == 0 and stats["total_dl"] == 0 and stats["avgdl"] == 0.0
