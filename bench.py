@@ -180,8 +180,9 @@ def _neighbor_bench(spark) -> tuple[float, float, float]:
     # — removes per-read parquet re-planning; what remains is Spark's
     # job-submission floor
     from mcp_local_rag_spark.operators.neighbors import pin_document_frame
+    from mcp_local_rag_spark.plans.ingest import table_n_buckets
 
-    pinned = pin_document_frame(chunks, doc)
+    pinned = pin_document_frame(chunks, doc, n_buckets=table_n_buckets(table))
     read_neighbors(pinned, doc, 5000).collect()  # warm + materialize cache
     ptimes = []
     for i in range(20):

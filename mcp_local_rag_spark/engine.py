@@ -108,16 +108,19 @@ class RagEngine:
         """The maintained postings index, only when it is FRESH — stale
         (un-optimized mutations pending) falls back to the index-free scan
         so results are always correct; optimize() restores the fast path."""
+        from .plans.fts import index_has_data, read_postings
+
         if (
             self.postings_path is None
             or self._needs_full_index
             or self._dirty_upserts
             or self._dirty_deletes
             or not os.path.isdir(self.postings_path)
+            # an index whose every document was deleted keeps its dir
+            # (meta only) but is schemaless to Spark — scan fallback
+            or not index_has_data(self.postings_path)
         ):
             return None
-        from .plans.fts import read_postings
-
         return read_postings(self.spark, self.postings_path)
 
     def _fts_stats(self) -> dict | None:
@@ -463,11 +466,32 @@ class RagEngine:
         ingested via sync is NOT in this set, so sync reconciles it like
         any other document instead of silently excluding it and then
         deleting its rows when the container check finds no file at
-        ``notes``."""
+        ``notes``.
+
+        Tables written BEFORE the property existed (key absent, not
+        empty) are migrated once: their record rows were only ever
+        identifiable by the historical ``#rN`` path shape, so the
+        property is seeded from that sweep — without this, a routine
+        sync on an upgraded table would classify every legacy record row
+        as prune and silently destroy it."""
         from .plans.ingest import read_table_meta
 
         rc = read_table_meta(self.table_path).get("record_containers")
-        return {str(c) for c in rc} if isinstance(rc, list) else set()
+        if isinstance(rc, list):
+            return {str(c) for c in rc}
+        if not self._exists():
+            return set()
+        seeded = {
+            r["c"]
+            for r in self.chunks()
+            .filter(F.col("filePath").rlike(r"#r\d+$"))
+            .select(F.regexp_extract("filePath", r"^(.*)#r\d+$", 1).alias("c"))
+            .distinct()
+            .collect()
+            if r["c"]
+        }
+        self._set_record_containers(seeded)
+        return seeded
 
     def _set_record_containers(self, containers: set[str]) -> None:
         from .plans.ingest import write_table_meta

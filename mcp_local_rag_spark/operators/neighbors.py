@@ -66,12 +66,15 @@ def pin_document_frame(
     trivial ``collect()`` on a cached 100-row frame alone measures ~half
     the SLO budget, so the <100 ms P95 contract is served by
     ``NeighborServer`` (pyarrow point reads, ~2-5 ms); this helper is for
-    callers that must stay inside a Spark plan. Caller unpersists."""
-    if "bucket" in chunks.columns:
-        from ..plans.ingest import N_BUCKETS
+    callers that must stay inside a Spark plan. Caller unpersists.
 
-        nb = n_buckets if n_buckets is not None else N_BUCKETS
-        b = F.pmod(F.xxhash64(F.lit(file_path)), F.lit(nb)).cast("int")
+    ``n_buckets`` MUST be the table's persisted count (plans.ingest.
+    table_n_buckets) for the bucket partition-prune to apply; without it
+    the one-time pin scans every bucket for the filePath filter — slower
+    to build, but CORRECT on any table, whereas guessing a default count
+    would filter the wrong bucket and silently pin an empty frame."""
+    if "bucket" in chunks.columns and n_buckets is not None:
+        b = F.pmod(F.xxhash64(F.lit(file_path)), F.lit(int(n_buckets))).cast("int")
         chunks = chunks.filter(F.col("bucket") == b)
     return chunks.filter(F.col("filePath") == file_path).persist()
 

@@ -20,6 +20,8 @@ enough and index refresh cost dominates.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -90,17 +92,34 @@ def write_postings(
     )
 
 
+def index_has_data(path: str) -> bool:
+    """Whether the postings directory holds any parquet data files.
+    Distinguishes 'genuinely empty index' (fresh, or every document
+    deleted — only meta/_SUCCESS remain, a schemaless dir Spark cannot
+    read) from a populated one, WITHOUT a Spark call and without
+    swallowing real read errors as emptiness."""
+    import glob
+
+    return bool(
+        glob.glob(os.path.join(path, "bucket=*", "*.parquet"))
+        or glob.glob(os.path.join(path, "*.parquet"))
+    )
+
+
 def _aggregate_fts_stats(spark: SparkSession, path: str) -> dict | None:
     """Recompute the BM25 corpus statistics from the postings on disk —
     one distinct+aggregate over (filePath, chunkIndex, dl). Returns the
     ``read_fts_stats`` shape, or None when the directory holds no data
-    (a genuinely new index)."""
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
+    (a genuinely new or fully-emptied index). Real read failures
+    (corrupt footer, permissions, transient IO) PROPAGATE — mapping them
+    to None would re-initialize the persisted counters from one appended
+    batch and silently corrupt rankings, the exact bug the caller exists
+    to prevent."""
+    if not index_has_data(path):
         return None
     row = (
-        df.select("filePath", "chunkIndex", "dl").distinct()
+        spark.read.parquet(path)
+        .select("filePath", "chunkIndex", "dl").distinct()
         .agg(F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tdl"))
         .first()
     )
@@ -291,14 +310,23 @@ def refresh_postings(
     # layout), and let the writer replace ONLY the partition dirs present
     # in the output. localCheckpoint materializes the result first, so
     # reading and overwriting the same path cannot race.
-    existing = spark.read.parquet(path)
-    keep = (
-        existing.filter(F.col("bucket").isin(sorted(buckets)))
-        .drop("bucket")
-        .join(targets.select("filePath"), "filePath", "left_anti")
-    )
-    if new_postings is not None:
-        keep = keep.unionByName(new_postings)
+    if index_has_data(path):
+        existing = spark.read.parquet(path)
+        keep = (
+            existing.filter(F.col("bucket").isin(sorted(buckets)))
+            .drop("bucket")
+            .join(targets.select("filePath"), "filePath", "left_anti")
+        )
+        if new_postings is not None:
+            keep = keep.unionByName(new_postings)
+    elif new_postings is not None:
+        # fully-emptied (or never-populated) index: nothing on disk to
+        # keep or anti-join — the refresh is just the new postings
+        keep = new_postings
+    else:
+        # deletes against an empty index are a no-op
+        targets.unpersist()
+        return
     out = (
         keep.withColumn("bucket", bucket_of)
         .repartition(len(buckets), "bucket")

@@ -1251,7 +1251,7 @@ ORDER BY g.variant, g.query_id"""
     ),
 )
 def q_knn_recall_report(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings").persist()
+    emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1259,12 +1259,17 @@ def q_knn_recall_report(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding", "label"
     )
     # the ground-truth subtree is referenced by every variant's semi join:
-    # persist the 30 rows once instead of re-running the brute-force scan
-    # per variant branch
-    truth = (
-        similarity.cosine_knn(q, emb, k=10).select("query_id", "neighbor_id").persist()
-    )
-    truth.count()
+    # materialize its <= 30 rows to the driver ONCE and rebuild them as a
+    # literal frame — the brute-force scan runs exactly once, and nothing
+    # stays persisted in executor storage after the query returns (a
+    # .persist() here would leak across the session's other queries)
+    truth_rows = [
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_knn(q, emb, k=10)
+        .select("query_id", "neighbor_id")
+        .collect()
+    ]
+    truth = spark.createDataFrame(truth_rows, "query_id long, neighbor_id long")
     variants = {
         "ivf_probe": similarity.cosine_knn(q_lab, emb, k=10, block_col="label"),
         "ivf_multiprobe": similarity.cosine_knn(

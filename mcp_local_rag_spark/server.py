@@ -63,6 +63,8 @@ class RagRpcServer:
     """Dispatcher + method handlers. ``handle`` serves one request dict;
     ``serve`` runs the line-delimited stdio loop."""
 
+    MAX_JOB_RECORDS = 100  # terminal sync records kept for sync_status
+
     def __init__(self, engine: RagEngine, neighbors: NeighborServer | None = None):
         self.engine = engine
         self.neighbors = neighbors or NeighborServer(engine.spark, engine.table_path)
@@ -97,11 +99,13 @@ class RagRpcServer:
 
     def _read_chunk_neighbors(self, params: dict) -> dict:
         fp, idx = params.get("filePath"), params.get("chunkIndex")
-        if not isinstance(fp, str) or not isinstance(idx, int):
+        if not isinstance(fp, str) or not isinstance(idx, int) or isinstance(idx, bool):
             raise RpcError(-32602, "filePath (string) and chunkIndex (int) required")
-        rows = self.neighbors.read(
-            fp, idx, before=params.get("before", 2), after=params.get("after", 2)
-        )
+        before, after = params.get("before", 2), params.get("after", 2)
+        for name, v in (("before", before), ("after", after)):
+            if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+                raise RpcError(-32602, f"{name} must be a non-negative integer")
+        rows = self.neighbors.read(fp, idx, before=before, after=after)
         keep = ("filePath", "chunkIndex", "text")
         return {"chunks": [{k: r[k] for k in keep if k in r} for r in rows]}
 
@@ -152,6 +156,14 @@ class RagRpcServer:
             raise RpcError(-32602, "path must be a non-empty string")
         job_id = str(uuid.uuid4())
         record = {"jobId": job_id, "state": "running", "counters": None, "error": None}
+        # bounded job history: evict the oldest TERMINAL records beyond the
+        # cap (a long-lived session running periodic syncs must not grow
+        # its record map forever; running jobs are never evicted)
+        terminal = [
+            jid for jid, r in self._sync_jobs.items() if r["state"] != "running"
+        ]
+        for jid in terminal[: max(0, len(terminal) - self.MAX_JOB_RECORDS + 1)]:
+            del self._sync_jobs[jid]
         self._sync_jobs[job_id] = record
 
         def _run():
@@ -197,7 +209,23 @@ class RagRpcServer:
                 if not self._write_guard.acquire(timeout=300):
                     return _err(rid, -32000, "mutation guard timeout")
                 holding = True
-            result = handler(params)
+            try:
+                result = handler(params)
+            except RpcError:
+                raise
+            except Exception:
+                if mutates:
+                    raise
+                # read-during-mutation race: a background sync's bucket
+                # rewrite can invalidate the file listing under a running
+                # Spark scan ("underlying files have been updated"). The
+                # parquet layout has no snapshot isolation (the reference
+                # tolerates this only because LanceDB is versioned), so
+                # reads self-heal the same way NeighborServer does:
+                # refresh the file index once and retry.
+                self.engine.spark.catalog.refreshByPath(self.engine.table_path)
+                self.neighbors.invalidate()
+                result = handler(params)
             if method == "sync_start":
                 holding = False  # guard handed to the sync worker thread
             return {"jsonrpc": "2.0", "id": rid, "result": result}

@@ -547,3 +547,35 @@ def test_vector_search_batch_returns_exactly_limit(spark, corpus, tmp_path):
         by_q.setdefault(r.query_index, []).append(r)
     assert set(by_q) == {"0", "1"}
     assert all(len(v) == limit for v in by_q.values())
+
+
+def test_sync_migrates_legacy_record_tables(spark, corpus, tmp_path):
+    """A table whose meta predates the record_containers property (key
+    absent) must have the property seeded from the historical '#rN' sweep
+    before sync classifies anything — otherwise every legacy record row
+    would be pruned on the first post-upgrade sync."""
+    import json
+
+    eng = RagEngine(spark, str(tmp_path / "chunks_mig"))
+    eng.ingest_directory(str(corpus))
+    cont = tmp_path / "legacy.jsonl"
+    cont.write_text(
+        "\n".join(
+            json.dumps({"id": i, "title": f"R{i}",
+                        "text": f"Legacy record {i} with plenty of body text to chunk."})
+            for i in range(2)
+        )
+    )
+    eng.ingest_records_file(str(cont))
+    # simulate the pre-property table: drop the key from meta
+    meta_file = tmp_path / "chunks_mig" / "_table_meta.json"
+    meta = json.loads(meta_file.read_text())
+    del meta["record_containers"]
+    meta_file.write_text(json.dumps(meta))
+
+    rep = eng.sync(str(corpus))
+    assert rep.counters.get("prune", 0) == 0
+    files = {r.filePath for r in eng.list_documents().collect()}
+    assert sum("#r" in f for f in files) == 2  # legacy records survived
+    # and the property was seeded by the migration
+    assert eng._record_containers() == {str(cont)}

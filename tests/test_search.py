@@ -145,7 +145,7 @@ def test_pin_document_frame_neighbors_identical(spark, tmp_path):
         pin_document_frame,
         read_neighbors,
     )
-    from mcp_local_rag_spark.plans.ingest import write_chunks
+    from mcp_local_rag_spark.plans.ingest import table_n_buckets, write_chunks
 
     table = str(tmp_path / "chunks_pin")
     doc = "/pin/doc.md"
@@ -156,7 +156,7 @@ def test_pin_document_frame_neighbors_identical(spark, tmp_path):
     )
     write_chunks(rows, table)
     chunks = spark.read.parquet(table)
-    pinned = pin_document_frame(chunks, doc)
+    pinned = pin_document_frame(chunks, doc, n_buckets=table_n_buckets(table))
     try:
         for target in (0, 7, 199):
             plain = [tuple(r) for r in read_neighbors(chunks, doc, target).collect()]
