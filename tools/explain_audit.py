@@ -123,6 +123,21 @@ COMMENTARY = {
         "batch cost scales with the batch; the corpus is never re-read "
         "beyond its narrow signature rows."
     ),
+    "bm25_term_bucketed": (
+        "The query-side SECOND copy of the postings index, bucketed by "
+        "TERM hash: the query's terms resolve to a handful of tbucket "
+        "partition directories, so the scan PARTITION-prunes before any "
+        "row is read and the persisted corpus stats fold in as literals. "
+        "At 100 TB a 4-term query touches ~4/n_buckets of the index — the "
+        "layout for query-heavy workloads, derived (never maintained) "
+        "from the doc-aligned maintenance copy."
+    ),
+    "knn_recall_report": (
+        "ANN quality instrumentation: brute-force truth computed once "
+        "(driver-materialized <=30 rows), each variant's top-10 semi-"
+        "joined against it — recall@10 per (variant, query) as data, so "
+        "probe-count / plane-count tradeoffs are measured, not assumed."
+    ),
     "customer_balance_deciles": (
         "NTILE without the single-partition window: range exchange on the "
         "ordering key, partition-local row numbers from a mapInPandas "
