@@ -151,3 +151,28 @@ def test_serve_loop_over_real_pipe(served):
     writer.close()
     t.join(timeout=30)
     assert not t.is_alive()  # EOF ends the session
+
+
+def test_read_tools_retry_once_mutations_do_not(served, monkeypatch):
+    """A transient failure in a read tool (the read-during-background-sync
+    file-listing race) is retried once after a catalog refresh; mutating
+    tools surface the error immediately (retrying a half-applied mutation
+    would double-apply it)."""
+    server, _ = served
+
+    calls = {"n": 0}
+
+    def flaky(params):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("FileNotFoundException: underlying files changed")
+        return {"ok": True}
+
+    server._methods["get_status"] = (flaky, False)
+    res = _call(server, "get_status")
+    assert res["result"] == {"ok": True} and calls["n"] == 2
+
+    calls["n"] = 0
+    server._methods["delete_document"] = (flaky, True)
+    res = _call(server, "delete_document", {"filePath": "/x.md"})
+    assert res["error"]["code"] == -32000 and calls["n"] == 1
