@@ -210,6 +210,56 @@ class RagEngine:
         )
         return out.withColumnRenamed("query_id", "query_index")
 
+    def query_documents_batch(
+        self,
+        query_texts: list[str],
+        *,
+        limit: int = 10,
+        hybrid_weight: float = search.DEFAULT_HYBRID_WEIGHT,
+        grouping: str | None = None,
+        max_files: int | None = None,
+    ) -> DataFrame:
+        """The FULL hybrid pipeline (vector + BM25 boost + filters) for N
+        concurrent queries in ONE corpus scan — query_documents amortized
+        the way vector_search_batch amortizes the vector stage alone.
+        Per-query results are row-identical to N query_documents calls at
+        the same settings; the keyword side reads the maintained postings
+        index when fresh (one pruned scan shared by all queries' terms)
+        and falls back to a batch-built postings frame otherwise. Returns
+        (query_index, filePath, chunkIndex, text, score), exactly
+        ``limit`` rows per query before any file filter trims further."""
+        from .plans.raw_data import restore_sources
+
+        limit = max(1, min(20, limit))
+        hybrid_weight = max(0.0, min(1.0, hybrid_weight))
+        qvecs = {
+            str(i): embed_query(t, self.dim, self.backend)
+            for i, t in enumerate(query_texts)
+        }
+        qterms = {
+            str(i): [w for w in t.lower().split() if w]
+            for i, t in enumerate(query_texts)
+        }
+        postings = self._postings()
+        out = search.hybrid_search_batch(
+            self.chunks(),
+            qvecs,
+            qterms,
+            k=limit,
+            id_cols=("filePath", "chunkIndex"),
+            weight=hybrid_weight,
+            grouping=grouping,
+            max_files=max_files,
+            postings=postings,
+            bm25_stats=self._fts_stats() if postings is not None else None,
+            payload_cols=("text",),
+        )
+        out = restore_sources(
+            out.select("query_id", "filePath", "chunkIndex", "text", "score"),
+            db_path=self.db_path,
+        )
+        return out.withColumnRenamed("query_id", "query_index")
+
     def read_chunk_neighbors(
         self, file_path: str, chunk_index: int, *, before: int = 2, after: int = 2
     ) -> DataFrame:

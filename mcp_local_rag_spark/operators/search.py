@@ -176,6 +176,7 @@ def grouping_filter(
     *,
     score_col: str = "score",
     id_cols: Sequence[str] = ("filePath", "chunkIndex"),
+    part_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Statistical relevance-gap grouping (reference W3).
 
@@ -186,16 +187,18 @@ def grouping_filter(
     BEFORE boost, deliberately (src/vectordb/index.ts:372-376).
 
     The candidate set is tiny (<= 2k rows) so the single-partition window is
-    free; at scale this stage always follows a top-k.
+    free; at scale this stage always follows a top-k. ``part_cols`` applies
+    the whole statistic PER GROUP (the batch shape: one grouping decision
+    per query_id over that query's own candidates).
     """
     if mode is None:
         return hits
     cuts = {"similar": 1, "related": 2}[mode]
     order = [F.col(score_col).asc()] + [F.col(c).asc() for c in id_cols]
-    w = Window.orderBy(*order)
+    w = Window.partitionBy(*part_cols).orderBy(*order)
     gap = F.lead(score_col).over(w) - F.col(score_col)
     df = hits.withColumn("_gap", gap)
-    stats = Window.partitionBy()
+    stats = Window.partitionBy(*part_cols)
     df = df.withColumn("_mean", F.mean("_gap").over(stats)).withColumn(
         "_std", F.stddev_pop("_gap").over(stats)
     )
@@ -342,3 +345,146 @@ def hybrid_search(
     boosted = keyword_boost(grouped, kw, on=id_cols, weight=weight).persist()
     filtered = file_topn_filter(boosted, max_files, file_col=file_col)
     return final_topk(filtered, k, id_cols=id_cols)
+
+
+def hybrid_search_batch(
+    chunks: DataFrame,
+    query_vecs: dict,
+    query_terms: dict,
+    *,
+    k: int = 10,
+    vec_col: str = "vector",
+    id_cols: Sequence[str] = ("filePath", "chunkIndex"),
+    weight: float = DEFAULT_HYBRID_WEIGHT,
+    grouping: str | None = None,
+    max_files: int | None = None,
+    file_col: str = "filePath",
+    postings: DataFrame | None = None,
+    bm25_stats: dict | None = None,
+    text_col: str = "text",
+    payload_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The FULL hybrid pipeline for N concurrent queries in ONE corpus
+    scan — `hybrid_search` amortized the way `vector_topk_batch` amortizes
+    W1. Per-query results are row-identical to N separate `hybrid_search`
+    calls (pytest-pinned): the vector stage is one Arrow scan for all
+    queries; every later stage (grouping, BM25 restricted to candidates,
+    boost normalization, file filter, final top-k) is a window or join
+    PARTITIONED BY query_id over each query's <= 2k candidate rows, so
+    per-query work stays bounded and the plan has no per-query corpus
+    re-scan anywhere.
+
+    BM25 semantics match the single path exactly: per-term df and the
+    corpus statistics are GLOBAL (restricting candidates must not change
+    term weights); with `postings` + `bm25_stats` (the persisted index
+    and its table-property counters) the keyword side touches only the
+    union of all queries' terms — one pruned scan shared by every query.
+
+    ``query_vecs``: {query_id: vector}; ``query_terms``: {query_id:
+    [terms]} (missing/empty term lists mean vector-only for that query).
+    Output: (query_id, *id_cols[, payload], score), exactly k rows/query
+    before the file filter trims further.
+    """
+    from .bm25 import build_postings
+
+    spark = chunks.sparkSession
+    qids = sorted(query_vecs)
+    payload = list(payload_cols)
+    if max_files is not None and file_col not in id_cols and file_col not in payload:
+        payload.append(file_col)
+    cands = vector_topk_batch(
+        chunks, query_vecs, k, vec_col=vec_col, id_cols=id_cols,
+        payload_cols=payload,
+    ).persist()
+    cands.count()
+    grouped = grouping_filter(
+        cands, grouping, id_cols=id_cols, part_cols=("query_id",)
+    ).persist()
+
+    pairs = [
+        (str(q), t)
+        for q in qids
+        for t in dict.fromkeys(query_terms.get(q) or query_terms.get(str(q)) or [])
+    ]
+    if pairs:
+        terms_df = spark.createDataFrame(pairs, "query_id string, term string")
+        all_terms = sorted({t for _, t in pairs})
+        if postings is None:
+            # one tokenize for the whole batch — amortized over N queries,
+            # where the single-query path would prefer the scan scorer
+            postings = build_postings(chunks, id_cols=id_cols, text_col=text_col)
+        matched = postings.filter(F.col("term").isin(all_terms))
+        dfreq = matched.groupBy("term").agg(F.countDistinct(*id_cols).alias("_df"))
+        if bm25_stats is not None:
+            n_col = F.lit(int(bm25_stats["n"]))
+            avgdl_col = F.lit(float(bm25_stats["avgdl"] or 0.0))
+            stats_join = None
+        else:
+            stats_join = (
+                postings.select(*id_cols, "dl").distinct()
+                .agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
+            )
+            n_col, avgdl_col = F.col("_n"), F.col("_avgdl")
+        from .bm25 import B, K1
+
+        scored = (
+            grouped.select("query_id", *id_cols)
+            .join(terms_df, "query_id")
+            .join(matched, [*id_cols, "term"])
+            .join(F.broadcast(dfreq), "term")
+        )
+        if stats_join is not None:
+            scored = scored.crossJoin(F.broadcast(stats_join))
+        idf = F.log(
+            F.greatest(
+                F.lit(1.0),
+                F.lit(1.0)
+                + (n_col - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5)),
+            )
+        )
+        term_score = (
+            idf
+            * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl_col))
+        )
+        kw = scored.groupBy("query_id", *id_cols).agg(
+            F.sum(term_score).alias("_s")
+        )
+        kwmax = kw.groupBy("query_id").agg(F.max("_s").alias("_mx"))
+        norm = F.coalesce(
+            F.when(F.col("_mx") > 0, F.col("_s") / F.col("_mx")), F.lit(0.0)
+        )
+        boosted = (
+            grouped.join(kw, ["query_id", *id_cols], "left")
+            .join(kwmax, "query_id", "left")
+            .withColumn(
+                "score",
+                _rounded(F.col("score") / (F.lit(1.0) + norm * F.lit(weight))),
+            )
+            .drop("_s", "_mx")
+        )
+    else:
+        boosted = grouped
+
+    if max_files is not None:
+        best = boosted.groupBy("query_id", file_col).agg(
+            F.min("score").alias("_best")
+        )
+        wf = Window.partitionBy("query_id").orderBy(
+            F.col("_best").asc(), F.col(file_col).asc()
+        )
+        keep = (
+            best.withColumn("_rank", F.row_number().over(wf))
+            .filter(F.col("_rank") <= max_files)
+            .select("query_id", file_col)
+        )
+        boosted = boosted.join(keep, ["query_id", file_col], "left_semi")
+
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), *[F.col(c).asc() for c in id_cols]
+    )
+    return (
+        boosted.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -610,6 +610,89 @@ def q_hybrid_search_indexed(spark, sf_dir):
     return final.select("filePath", "chunkIndex", "score")
 
 
+# The full hybrid pipeline for N concurrent queries in ONE corpus scan —
+# serving amortization extended from W1-only (vector_topk_batch) to the
+# whole §3.1 chain: per-query BM25 boost with GLOBAL corpus statistics,
+# per-query max-normalization, per-query top-files filter, per-query final
+# top-k, all as query_id-partitioned windows/joins over <= 2k candidate
+# rows each. Steady-state: reads the persisted postings index + its
+# table-property stats (one pruned scan shared by every query's terms).
+
+_BATCH_QTERMS = {"0": ["spark", "join"], "1": ["filter", "merge"], "2": ["spark", "filter"]}
+
+_BATCH_QTERMS_SQL = ", ".join(
+    f"('{q}', '{t}')" for q, ts in sorted(_BATCH_QTERMS.items()) for t in ts
+)
+
+HYBRID_BATCH_SQL = f"""WITH {CHUNKS_CTE.strip()},
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scoredq AS (
+  SELECT q.vec_id::VARCHAR AS query_id, c.filePath, c.chunkIndex,
+         round(1.0 - list_dot_product(c.vector::DOUBLE[], q.embedding::DOUBLE[]), 6) + 0 AS score
+  FROM chunks c, q
+),
+cand AS (
+  SELECT query_id, filePath, chunkIndex, score FROM scoredq
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score, chunkIndex) <= 20
+),
+bqterms(query_id, term) AS (VALUES {_BATCH_QTERMS_SQL}),
+toks AS (
+  SELECT chunkIndex, t.term
+  FROM chunks,
+       unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '')) AS t(term)
+),
+dl AS (SELECT chunkIndex, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+tf AS (SELECT chunkIndex, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+corpus AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT term, count(DISTINCT chunkIndex)::BIGINT AS df
+  FROM tf WHERE term IN (SELECT DISTINCT term FROM bqterms) GROUP BY 1
+),
+kw AS (
+  SELECT c.query_id, c.chunkIndex,
+         sum( ln(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl)) ) AS s
+  FROM cand c
+  JOIN bqterms qt ON qt.query_id = c.query_id
+  JOIN tf ON tf.chunkIndex = c.chunkIndex AND tf.term = qt.term
+  JOIN dfreq ON dfreq.term = qt.term
+  JOIN dl ON dl.chunkIndex = c.chunkIndex, corpus
+  GROUP BY 1, 2
+),
+kwmax AS (SELECT query_id, max(s) AS mx FROM kw GROUP BY 1),
+boosted AS (
+  SELECT c.query_id, c.filePath, c.chunkIndex,
+         round(c.score / (1.0 + coalesce(k.s / m.mx, 0.0) * 0.6), 6) + 0 AS score
+  FROM cand c
+  LEFT JOIN kw k ON k.query_id = c.query_id AND k.chunkIndex = c.chunkIndex
+  LEFT JOIN kwmax m ON m.query_id = c.query_id
+),
+bestfile AS (SELECT query_id, filePath, min(score) AS best FROM boosted GROUP BY 1, 2),
+topfiles AS (
+  SELECT query_id, filePath FROM bestfile
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY best, filePath) <= 3
+)
+SELECT b.query_id, b.filePath, b.chunkIndex, b.score
+FROM boosted b JOIN topfiles USING (query_id, filePath)
+QUALIFY row_number() OVER (PARTITION BY b.query_id ORDER BY b.score, b.chunkIndex) <= 10
+ORDER BY query_id, score, chunkIndex"""
+
+
+@register("hybrid_search_batch", HYBRID_BATCH_SQL)
+def q_hybrid_search_batch(spark, sf_dir):
+    qvecs = {str(i): query_vector(spark, sf_dir, i) for i in (0, 1, 2)}
+    ch, postings, stats = _indexed_corpus(spark, sf_dir)
+    out = search.hybrid_search_batch(
+        ch, qvecs, _BATCH_QTERMS, k=10, id_cols=("chunkIndex",),
+        grouping=None, max_files=3, postings=postings, bm25_stats=stats,
+    )
+    return out.select("query_id", "filePath", "chunkIndex", "score").orderBy(
+        "query_id", "score", "chunkIndex"
+    )
+
+
 # W5: neighbor frame — chunkIndex in [target-2, target+2] of one document
 # (expressed over lineitem: one order's line numbers around a target line).
 

@@ -75,6 +75,7 @@ class RagRpcServer:
         self._methods: dict[str, tuple[Callable[[dict], Any], bool]] = {
             # name -> (handler, mutates)
             "query_documents": (self._query_documents, False),
+            "query_documents_batch": (self._query_documents_batch, False),
             "read_chunk_neighbors": (self._read_chunk_neighbors, False),
             "list_documents": (self._list_documents, False),
             "get_status": (self._get_status, False),
@@ -96,6 +97,25 @@ class RagRpcServer:
             grouping=params.get("grouping"),
         ).collect()
         return {"results": [r.asDict() for r in rows]}
+
+    def _query_documents_batch(self, params: dict) -> dict:
+        """N concurrent queries amortized over one corpus scan (the
+        serving consolidation shape — engine.query_documents_batch).
+        Results arrive grouped per query_index in input order."""
+        queries = params.get("queries")
+        if (
+            not isinstance(queries, list)
+            or not queries
+            or not all(isinstance(s, str) and s.strip() for s in queries)
+        ):
+            raise RpcError(-32602, "queries must be a non-empty list of strings")
+        rows = self.engine.query_documents_batch(
+            queries, limit=_limit(params)
+        ).collect()
+        grouped: list[list] = [[] for _ in queries]
+        for r in rows:
+            grouped[int(r["query_index"])].append(r.asDict())
+        return {"results": grouped}
 
     def _read_chunk_neighbors(self, params: dict) -> dict:
         fp, idx = params.get("filePath"), params.get("chunkIndex")

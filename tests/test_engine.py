@@ -579,3 +579,25 @@ def test_sync_migrates_legacy_record_tables(spark, corpus, tmp_path):
     assert sum("#r" in f for f in files) == 2  # legacy records survived
     # and the property was seeded by the migration
     assert eng._record_containers() == {str(cont)}
+
+
+def test_query_documents_batch_matches_single(spark, corpus, tmp_path):
+    """The batched serving entry returns, per query, the same ranked rows
+    as N separate query_documents calls (same limit, default settings)."""
+    eng = RagEngine(spark, str(tmp_path / "chunks_qb"))
+    eng.ingest_directory(str(corpus))
+    texts = ["shuffle partitioning strategies", "broadcast joins adaptive"]
+    batch = eng.query_documents_batch(texts, limit=3)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(r.query_index, []).append(
+            (r.filePath, r.chunkIndex, r.score)
+        )
+    assert set(by_q) == {"0", "1"}
+    for i, t in enumerate(texts):
+        single = [
+            (r.filePath, r.chunkIndex, r.score)
+            for r in eng.query_documents(t, limit=3).collect()
+        ]
+        assert sorted(by_q[str(i)]) == sorted(single), t
+        assert single

@@ -166,3 +166,48 @@ def test_pin_document_frame_neighbors_identical(spark, tmp_path):
         assert "InMemory" in plan
     finally:
         pinned.unpersist()
+
+
+def test_hybrid_search_batch_matches_single_calls(spark):
+    """The batched full-hybrid pipeline must be row-identical per query to
+    N separate hybrid_search calls — including grouping, BM25 boost with
+    global stats, max-normalization, file filter, and final top-k."""
+    import numpy as np
+
+    from mcp_local_rag_spark.operators.search import (
+        hybrid_search,
+        hybrid_search_batch,
+    )
+
+    rng = np.random.RandomState(11)
+    words = ["spark", "join", "filter", "merge", "cache", "scan", "sort"]
+    rows = []
+    for i in range(120):
+        text = " ".join(words[(i + j) % len(words)] for j in range(3 + i % 5))
+        rows.append((f"/f{i % 7}.md", i, text, [float(x) for x in rng.randn(6)]))
+    chunks = spark.createDataFrame(
+        rows, "filePath string, chunkIndex int, text string, vector array<double>"
+    )
+    qvecs = {
+        "0": [float(x) for x in rng.randn(6)],
+        "1": [float(x) for x in rng.randn(6)],
+        "2": [float(x) for x in rng.randn(6)],
+    }
+    qterms = {"0": ["spark", "join"], "1": ["cache"], "2": []}  # 2 = vector-only
+
+    batch = hybrid_search_batch(
+        chunks, qvecs, qterms, k=5, grouping="related", max_files=2,
+    )
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.filePath, r.chunkIndex, r.score))
+
+    for qid, vec in qvecs.items():
+        single = [
+            (r.filePath, r.chunkIndex, r.score)
+            for r in hybrid_search(
+                chunks, vec, qterms[qid], k=5, grouping="related", max_files=2,
+            ).collect()
+        ]
+        assert sorted(got.get(qid, [])) == sorted(single), qid
+        assert single  # non-degenerate per query

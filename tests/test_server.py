@@ -176,3 +176,23 @@ def test_read_tools_retry_once_mutations_do_not(served, monkeypatch):
     server._methods["delete_document"] = (flaky, True)
     res = _call(server, "delete_document", {"filePath": "/x.md"})
     assert res["error"]["code"] == -32000 and calls["n"] == 1
+
+
+def test_query_documents_batch_tool(served):
+    server, _ = served
+    res = _call(
+        server, "query_documents_batch",
+        {"queries": ["broadcast joins", "caching hot tables"], "limit": 2},
+    )
+    groups = res["result"]["results"]
+    assert len(groups) == 2 and all(g for g in groups)
+    assert all(h["filePath"].endswith("serve.md") for g in groups for h in g)
+    # validation
+    assert (
+        _call(server, "query_documents_batch", {"queries": []})["error"]["code"]
+        == -32602
+    )
+    assert (
+        _call(server, "query_documents_batch", {"queries": ["x", 3]})["error"]["code"]
+        == -32602
+    )
