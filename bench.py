@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "hybrid_search",       # flagship: vector top-k + grouping + BM25 + boost
     "hybrid_search_indexed",  # steady-state: same pipeline over the persisted FTS index
+    "hybrid_search_batch",    # 3 concurrent queries, full pipeline, one corpus scan
     "vector_topk",         # flat KNN over the corpus
     "bm25_unigram",        # keyword index build + score
     "tpch_q1_pricing",     # wide aggregation over lineitem

@@ -345,6 +345,22 @@ def test_term_bucketed_bm25_partition_prunes(spark, qs):
     assert "avgdl" not in p              # no corpus stats aggregate
 
 
+def test_hybrid_batch_single_corpus_scan(spark, qs):
+    """The batched hybrid pipeline: exactly ONE Arrow kernel pass over the
+    corpus serves every query's vector stage (no per-query re-scan), and
+    the keyword side reads the postings with the union of all queries'
+    terms pushed into the scan."""
+    p = plan(qs["hybrid_search_batch"](spark, SF_DIR))
+    # the Arrow vector stage is computed once and CACHED: every downstream
+    # stage (kw join, kwmax, boost, file filter, final window) reads the
+    # InMemoryTableScan of the candidate set, never re-running the corpus
+    # kernel (the MapInPandas text reappears under each cache reference —
+    # that is the cached subtree's lineage printout, not a re-execution)
+    assert p.count("InMemoryTableScan") >= 3, p
+    assert "In(term" in p
+    assert "avgdl" not in p  # persisted stats as literals
+
+
 def test_entry_flagship_is_the_indexed_plan(spark):
     """The driver-facing flagship entry() must BE the steady-state indexed
     shape: postings scan with pushed term filter, persisted stats as
