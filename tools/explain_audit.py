@@ -132,6 +132,16 @@ COMMENTARY = {
         "layout for query-heavy workloads, derived (never maintained) "
         "from the doc-aligned maintenance copy."
     ),
+    "hybrid_search_batch": (
+        "The FULL hybrid pipeline amortized over N concurrent queries: "
+        "one cached Arrow scan serves every query's vector stage (the "
+        "downstream stages read its InMemoryTableScan), the keyword side "
+        "is one postings scan with the UNION of all queries' terms pushed "
+        "down, and grouping/boost/file-filter/top-k run as query_id-"
+        "partitioned windows over <= 2k candidate rows per query. N "
+        "queries cost ~one query's corpus work plus per-query small-data "
+        "stages."
+    ),
     "knn_recall_report": (
         "ANN quality instrumentation: brute-force truth computed once "
         "(driver-materialized <=30 rows), each variant's top-10 semi-"
