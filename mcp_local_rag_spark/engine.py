@@ -671,9 +671,9 @@ class RagEngine:
                 # ALL stored spellings of the upsert keys go in ONE
                 # DataFrame-native batched delete: the key set never
                 # round-trips through the driver as a path list — the
-                # anti-join routes each touched bucket's rewrite
-                # (<= N_BUCKETS jobs), so a whole-corpus resync deletes
-                # without collecting millions of strings.
+                # anti-join rewrites every touched bucket in one dynamic-
+                # partition-overwrite job, so a whole-corpus resync
+                # deletes without collecting millions of strings.
                 delete_documents_df(
                     spark,
                     self.table_path,

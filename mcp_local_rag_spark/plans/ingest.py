@@ -309,16 +309,60 @@ def compact_chunks(spark: SparkSession, table_path: str, target_files_per_bucket
     spark.catalog.refreshByPath(table_path)
 
 
+def _rewrite_touched_buckets(
+    spark: SparkSession, table_path: str, keep: DataFrame, touched: set[int]
+) -> None:
+    """Replace the data of the TOUCHED buckets with ``keep`` (surviving
+    rows, carrying their ``bucket`` column) in ONE dynamic-partition-
+    overwrite write — not a per-bucket driver loop (at thousands of
+    touched buckets that is thousands of job submissions; here it is one,
+    the chunks-table twin of plans/fts.refresh_postings). Rows re-sort by
+    (filePath, chunkIndex) within each bucket, preserving the row-group
+    min/max pruning the NeighborServer point reads rely on.
+    localCheckpoint materializes the survivors first, so reading and
+    overwriting the same path cannot race; buckets emptied entirely have
+    their stale dirs dropped explicitly (dynamic overwrite never touches
+    a partition absent from the output)."""
+    import shutil
+
+    out = (
+        keep.repartition(max(len(touched), 1), "bucket")
+        .sortWithinPartitions("bucket", "filePath", "chunkIndex")
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.partitionBy("bucket").mode("overwrite").parquet(table_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    present = {r["bucket"] for r in out.select("bucket").distinct().collect()}
+    for b in sorted(touched - present):
+        shutil.rmtree(f"{table_path}/bucket={b}", ignore_errors=True)
+    if not present:
+        import glob
+
+        if not glob.glob(os.path.join(table_path, "bucket=*", "*.parquet")):
+            # the delete emptied the LAST populated bucket: a fileless dir
+            # is schemaless to Spark and every subsequent read would fail.
+            # Keep the table READABLE-EMPTY with one schema-only file
+            # (Spark writes the parquet footer even for zero rows).
+            out.drop("bucket").limit(0).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(f"{table_path}/bucket={min(touched)}")
+    # the session-global FileStatusCache still lists the replaced files
+    spark.catalog.refreshByPath(table_path)
+
+
 def delete_documents(
     spark: SparkSession, table_path: str, file_paths: list[str]
 ) -> int:
     """Batched S8: delete every chunk row of the given documents.
 
-    Paths are grouped by their hash bucket and each TOUCHED bucket is
-    rewritten exactly once — job count is bounded by min(len(paths),
-    N_BUCKETS) regardless of how many documents a sync upserts or prunes
-    (a 10k-file sync is <= 64 bucket rewrites, not 10k per-file jobs).
-    Returns the number of deleted rows. With Delta this is one
+    Paths resolve to their hash buckets and ALL touched buckets rewrite
+    in one dynamic-partition-overwrite job — constant job count
+    regardless of how many documents a sync upserts or prunes. Returns
+    the number of deleted rows. With Delta this is one
     DELETE WHERE filePath IN (...); parquet needs the bucket rewrite.
     """
     targets = sorted(set(file_paths))
@@ -330,35 +374,20 @@ def delete_documents(
     assignments = (
         spark.createDataFrame([(p,) for p in targets], "filePath string")
         .select(
-            "filePath",
-            F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int").alias("b"),
+            F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int").alias("b")
         )
+        .distinct()
         .collect()
     )
-    by_bucket: dict[int, list[str]] = {}
-    for r in assignments:
-        by_bucket.setdefault(r["b"], []).append(r["filePath"])
+    touched = {r["b"] for r in assignments}
 
     df = spark.read.parquet(table_path)
-    n_deleted = 0
-    touched = False
-    for bucket, bucket_paths in sorted(by_bucket.items()):
-        part = df.filter(F.col("bucket") == bucket)
-        # localCheckpoint cuts lineage so the overwrite below does not read
-        # the very files it replaces
-        keep = (
-            part.filter(~F.col("filePath").isin(bucket_paths))
-            .drop("bucket")
-            .localCheckpoint()
-        )
-        n = part.count() - keep.count()
-        if n:
-            keep.write.mode("overwrite").parquet(f"{table_path}/bucket={bucket}")
-            n_deleted += n
-            touched = True
-    if touched:
-        # the session-global FileStatusCache still lists the replaced files
-        spark.catalog.refreshByPath(table_path)
+    part = df.filter(F.col("bucket").isin(sorted(touched)))
+    n_deleted = part.filter(F.col("filePath").isin(targets)).count()
+    if not n_deleted:
+        return 0
+    keep = part.filter(~F.col("filePath").isin(targets))
+    _rewrite_touched_buckets(spark, table_path, keep, touched)
     return n_deleted
 
 
@@ -382,10 +411,10 @@ def delete_documents_df(
     stays a DataFrame end-to-end — the driver materializes only the
     TOUCHED BUCKET IDS (<= n_buckets rows), never the matching paths, so
     a sync that prunes millions of documents collects at most 64 ints
-    where the list form would collect millions of strings. Each touched
-    bucket is rewritten once via an anti join against the targets
-    (Catalyst picks broadcast vs shuffle by target size). Returns the
-    number of deleted rows. With Delta this is
+    where the list form would collect millions of strings. ALL touched
+    buckets rewrite in ONE dynamic-partition-overwrite job via an anti
+    join against the targets (Catalyst picks broadcast vs shuffle by
+    target size). Returns the number of deleted rows. With Delta this is
     ``DELETE WHERE key IN (SELECT key FROM targets)``.
     """
     from ..functions.paths import sync_path_key
@@ -403,15 +432,8 @@ def delete_documents_df(
     }
     if not hits:
         return 0
-    for bucket in sorted(hits):
-        part = tagged.filter(F.col("bucket") == bucket)
-        # localCheckpoint cuts lineage so the overwrite below does not read
-        # the very files it replaces
-        keep = (
-            part.join(keys, part["_k"] == keys["_target_key"], "left_anti")
-            .drop("bucket", "_k")
-            .localCheckpoint()
-        )
-        keep.write.mode("overwrite").parquet(f"{table_path}/bucket={bucket}")
-    spark.catalog.refreshByPath(table_path)
+    touched = set(hits)
+    part = tagged.filter(F.col("bucket").isin(sorted(touched)))
+    keep = part.join(keys, part["_k"] == keys["_target_key"], "left_anti").drop("_k")
+    _rewrite_touched_buckets(spark, table_path, keep, touched)
     return int(sum(hits.values()))

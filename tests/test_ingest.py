@@ -341,3 +341,44 @@ def test_delete_documents_df_no_match_is_noop(spark, tmp_path):
     )
     assert delete_documents_df(spark, table, targets) == 0
     assert spark.read.parquet(table).filter("filePath = '/keep.md'").count() > 0
+
+
+def test_batched_delete_is_one_write(spark, tmp_path, monkeypatch):
+    """Deleting documents spread across several buckets rewrites ALL
+    touched buckets in ONE dynamic-partition-overwrite write (the chunks-
+    table twin of the FTS refresh contract), and deleting the last
+    document leaves a readable empty table."""
+    import glob
+
+    import pyspark.sql.readwriter as rw
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.plans.ingest import delete_documents, write_chunks
+
+    table = str(tmp_path / "chunks_onewrite")
+    rows = spark.createDataFrame(
+        [(f"/d{i}.md", 0, f"body {i}") for i in range(12)],
+        "filePath string, chunkIndex long, text string",
+    ).withColumn("vector", F.array(F.lit(0.1), F.lit(0.2)))
+    write_chunks(rows, table, n_buckets=8)
+
+    calls = []
+    orig = rw.DataFrameWriter.parquet
+
+    def counting(self, p, *a, **k):
+        calls.append(p)
+        return orig(self, p, *a, **k)
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", counting)
+    n = delete_documents(spark, table, [f"/d{i}.md" for i in range(10)])
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", orig)
+    assert n == 10
+    assert len(calls) == 1 and calls[0].rstrip("/") == table, calls
+
+    remaining = spark.read.parquet(table)
+    assert {r.filePath for r in remaining.collect()} == {"/d10.md", "/d11.md"}
+
+    # delete the rest: table stays readable with zero rows
+    assert delete_documents(spark, table, ["/d10.md", "/d11.md"]) == 2
+    assert spark.read.parquet(table).count() == 0
+    assert glob.glob(f"{table}/bucket=*/*.parquet")  # schema-only file kept
