@@ -202,3 +202,45 @@ def test_audio_decoder_roundtrip_exact(samples, sr):
     x, got_sr = default_audio_decoder(buf.getvalue())
     assert got_sr == sr and len(x) == len(samples)
     assert np.allclose(x, np.array(samples) / 32768.0)
+
+
+@given(
+    st.lists(
+        st.floats(0.0, 2.0, allow_nan=False, width=32), min_size=1, max_size=60
+    ),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=5),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_batch_topk_tie_margin_is_sufficient(scores, n, n_parts, rnd):
+    """The partition-local selection rule of vector_topk_batch (raw-order
+    top-n plus every row within one rounding quantum of the n-th kept
+    row) must ALWAYS retain a superset of the global top-n under the
+    final (HALF_UP-rounded score, id) order — for any partitioning of
+    the rows, including scores clustered exactly at rounding boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def half_up(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    rows = list(enumerate(scores))  # (id, raw score)
+    # adversarial partitioning
+    parts = [[] for _ in range(n_parts)]
+    for r in rows:
+        parts[rnd.randrange(n_parts)].append(r)
+
+    survivors = []
+    for part in parts:
+        ordered = sorted(part, key=lambda r: (r[1], r[0]))
+        if len(ordered) > n:
+            cutoff = ordered[n - 1][1] + 1e-6
+            ordered = [r for r in ordered if r[1] <= cutoff]
+        survivors.extend(ordered)
+
+    final_order = lambda r: (half_up(r[1]), r[0])
+    want = sorted(rows, key=final_order)[:n]
+    got = sorted(survivors, key=final_order)[:n]
+    assert got == want
