@@ -215,6 +215,8 @@ class RagEngine:
         query_texts: list[str],
         *,
         limit: int = 10,
+        scope: list[str] | None = None,
+        max_distance: float | None = None,
         hybrid_weight: float = search.DEFAULT_HYBRID_WEIGHT,
         grouping: str | None = None,
         max_files: int | None = None,
@@ -225,9 +227,13 @@ class RagEngine:
         Per-query results are row-identical to N query_documents calls at
         the same settings; the keyword side reads the maintained postings
         index when fresh (one pruned scan shared by all queries' terms)
-        and falls back to a batch-built postings frame otherwise. Returns
-        (query_index, filePath, chunkIndex, text, score), exactly
-        ``limit`` rows per query before any file filter trims further."""
+        and falls back to a batch-built postings frame otherwise.
+        ``scope``/``max_distance``/``grouping`` apply to the whole batch
+        (one request, one filter set — per-query filters belong in
+        per-query query_documents calls). Returns (query_index, filePath,
+        chunkIndex, text, fileTitle, score) — the same hit shape as
+        query_documents plus the query_index — exactly ``limit`` rows per
+        query before any file filter trims further."""
         from .plans.raw_data import restore_sources
 
         limit = max(1, min(20, limit))
@@ -250,12 +256,16 @@ class RagEngine:
             weight=hybrid_weight,
             grouping=grouping,
             max_files=max_files,
+            scope=scope,
+            max_distance=max_distance,
             postings=postings,
             bm25_stats=self._fts_stats() if postings is not None else None,
-            payload_cols=("text",),
+            payload_cols=("text", "fileTitle"),
         )
         out = restore_sources(
-            out.select("query_id", "filePath", "chunkIndex", "text", "score"),
+            out.select(
+                "query_id", "filePath", "chunkIndex", "text", "fileTitle", "score"
+            ),
             db_path=self.db_path,
         )
         return out.withColumnRenamed("query_id", "query_index")

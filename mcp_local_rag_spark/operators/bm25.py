@@ -82,6 +82,39 @@ def build_postings(
     return tf.join(dl, list(id_cols))
 
 
+def bm25_term_score(
+    n_col,
+    avgdl_col,
+    df_col,
+    tf_col,
+    dl_col,
+    *,
+    k1: float = K1,
+    b: float = B,
+):
+    """The per-(doc, term) Okapi score as a column expression — the ONE
+    definition both the single-query scorer (``bm25_scores``) and the
+    batched hybrid pipeline fold into their plans, so a formula change
+    (e.g. the idf floor below) can never desynchronize them.
+
+    The idf log argument is floored at 1.0 (idf >= 0): with consistent
+    stats df <= N keeps it > 1 anyway, but stale persisted counters
+    (n < df) would otherwise drive it <= 0 -> NULL -> the term silently
+    drops from the sum, corrupting rankings instead of degrading
+    gracefully."""
+    idf = F.log(
+        F.greatest(
+            F.lit(1.0),
+            F.lit(1.0) + (n_col - df_col + F.lit(0.5)) / (df_col + F.lit(0.5)),
+        )
+    )
+    return (
+        idf
+        * (tf_col * (k1 + 1))
+        / (tf_col + k1 * (1 - b + b * dl_col / avgdl_col))
+    )
+
+
 def bm25_scores(
     postings: DataFrame,
     query_terms: Sequence[str],
@@ -139,28 +172,11 @@ def bm25_scores(
             F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
         )
         scored = scored.crossJoin(corpus)
-    scored = (
-        scored.withColumn(
-            "_idf",
-            # the log argument is floored at 1.0 (idf >= 0): with consistent
-            # stats df <= N keeps it > 1 anyway, but stale persisted counters
-            # (n < df) would otherwise drive it <= 0 -> NULL -> the term is
-            # silently dropped from the sum, corrupting rankings instead of
-            # degrading gracefully
-            F.log(
-                F.greatest(
-                    F.lit(1.0),
-                    F.lit(1.0)
-                    + (n_col - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)),
-                )
-            ),
-        )
-        .withColumn(
-            "_term_score",
-            F.col("_idf")
-            * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl_col)),
-        )
+    scored = scored.withColumn(
+        "_term_score",
+        bm25_term_score(
+            n_col, avgdl_col, F.col("df"), F.col("tf"), F.col("dl"), k1=k1, b=b
+        ),
     )
     return scored.groupBy(*id_cols).agg(F.sum("_term_score").alias("_score"))
 

@@ -83,6 +83,8 @@ def vector_topk_batch(
     id_cols: Sequence[str] = ("filePath", "chunkIndex"),
     payload_cols: Sequence[str] = (),
     overfetch: int = CANDIDATE_MULTIPLIER,
+    scope: list[str] | None = None,
+    max_distance: float | None = None,
 ) -> DataFrame:
     """W1 for MANY queries in ONE corpus scan — the concurrent-serving
     shape: N user queries amortize a single pass instead of N scans.
@@ -106,6 +108,10 @@ def vector_topk_batch(
     qmat = np.stack([np.asarray(query_vecs[q], dtype=np.float64) for q in qids])
     n = k * overfetch
 
+    if scope:
+        # P4 pushdown, shared by the whole batch (one request, one scope —
+        # the filter reaches the parquet scan before the Arrow kernel)
+        chunks = chunks.filter(scope_predicate(F.col("filePath"), scope))
     carry = list(id_cols) + [col for col in payload_cols if col not in id_cols]
     c = chunks.select(*carry, F.col(vec_col).alias("_v"))
     # query ids are plain strings from the engine surface
@@ -137,7 +143,16 @@ def vector_topk_batch(
                 local = pd.DataFrame(
                     {col: pdf[col].to_numpy() for col in carry}
                     | {"score": score}
-                ).sort_values(
+                )
+                if max_distance is not None:
+                    # P5 applied BEFORE local selection (matching
+                    # vector_topk's filter-then-topk order) on the raw
+                    # score with one rounding-quantum slack; the exact
+                    # post-rounding filter below finishes the job
+                    local = local[
+                        local["score"] <= max_distance + 10.0 ** -SCORE_DECIMALS
+                    ]
+                local = local.sort_values(
                     ["score", *id_cols],
                     ascending=[True] * (1 + len(id_cols)),
                 )
@@ -160,6 +175,8 @@ def vector_topk_batch(
 
     partial = c.mapInPandas(_local, out_schema)
     partial = partial.withColumn("score", _rounded(F.col("score")))
+    if max_distance is not None:
+        partial = partial.filter(F.col("score") <= max_distance)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").asc(), *[F.col(col).asc() for col in id_cols]
     )
@@ -255,17 +272,24 @@ def file_topn_filter(
     *,
     file_col: str = "filePath",
     score_col: str = "score",
+    part_cols: Sequence[str] = (),
 ) -> DataFrame:
     """W4: rank files by their best (lowest) chunk score, keep chunks of the
-    top ``max_files`` files (src/vectordb/search-filters.ts:76-101)."""
+    top ``max_files`` files (src/vectordb/search-filters.ts:76-101).
+    ``part_cols`` applies the ranking PER GROUP (the batch shape: one
+    file ranking per query_id)."""
     if max_files is None:
         return hits
-    best = hits.groupBy(file_col).agg(F.min(score_col).alias("_best"))
-    w = Window.orderBy(F.col("_best").asc(), F.col(file_col).asc())
+    best = hits.groupBy(*part_cols, file_col).agg(F.min(score_col).alias("_best"))
+    w = Window.partitionBy(*part_cols).orderBy(
+        F.col("_best").asc(), F.col(file_col).asc()
+    )
     keep = best.withColumn("_rank", F.row_number().over(w)).filter(
         F.col("_rank") <= max_files
     )
-    return hits.join(keep.select(file_col), [file_col], "left_semi")
+    return hits.join(
+        keep.select(*part_cols, file_col), [*part_cols, file_col], "left_semi"
+    )
 
 
 def final_topk(
@@ -274,9 +298,20 @@ def final_topk(
     *,
     score_col: str = "score",
     id_cols: Sequence[str] = ("filePath", "chunkIndex"),
+    part_cols: Sequence[str] = (),
 ) -> DataFrame:
+    """Ungrouped: orderBy().limit() -> TakeOrderedAndProject. With
+    ``part_cols``, a per-group row_number window (the batch shape —
+    bounded input by construction: each group is a <= 2k candidate set)."""
     order = [F.col(score_col).asc()] + [F.col(c).asc() for c in id_cols]
-    return hits.orderBy(*order).limit(k)
+    if not part_cols:
+        return hits.orderBy(*order).limit(k)
+    w = Window.partitionBy(*part_cols).orderBy(*order)
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def hybrid_search(
@@ -363,6 +398,8 @@ def hybrid_search_batch(
     bm25_stats: dict | None = None,
     text_col: str = "text",
     payload_cols: Sequence[str] = (),
+    scope: list[str] | None = None,
+    max_distance: float | None = None,
 ) -> DataFrame:
     """The FULL hybrid pipeline for N concurrent queries in ONE corpus
     scan — `hybrid_search` amortized the way `vector_topk_batch` amortizes
@@ -394,7 +431,7 @@ def hybrid_search_batch(
         payload.append(file_col)
     cands = vector_topk_batch(
         chunks, query_vecs, k, vec_col=vec_col, id_cols=id_cols,
-        payload_cols=payload,
+        payload_cols=payload, scope=scope, max_distance=max_distance,
     ).persist()
     cands.count()
     grouped = grouping_filter(
@@ -407,13 +444,21 @@ def hybrid_search_batch(
         for t in dict.fromkeys(query_terms.get(q) or query_terms.get(str(q)) or [])
     ]
     if pairs:
+        from .bm25 import bm25_term_score
+
         terms_df = spark.createDataFrame(pairs, "query_id string, term string")
         all_terms = sorted({t for _, t in pairs})
         if postings is None:
             # one tokenize for the whole batch — amortized over N queries,
-            # where the single-query path would prefer the scan scorer
-            postings = build_postings(chunks, id_cols=id_cols, text_col=text_col)
-        matched = postings.filter(F.col("term").isin(all_terms))
+            # where the single-query path would prefer the scan scorer.
+            # Persisted for the same reason bm25_scores materializes: the
+            # dfreq broadcast, the stats fallback, and the scored join all
+            # read it — unpersisted, each would recompute the full-corpus
+            # explode+aggregate subtree.
+            postings = build_postings(
+                chunks, id_cols=id_cols, text_col=text_col
+            ).persist()
+        matched = postings.filter(F.col("term").isin(all_terms)).persist()
         dfreq = matched.groupBy("term").agg(F.countDistinct(*id_cols).alias("_df"))
         if bm25_stats is not None:
             n_col = F.lit(int(bm25_stats["n"]))
@@ -425,8 +470,6 @@ def hybrid_search_batch(
                 .agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
             )
             n_col, avgdl_col = F.col("_n"), F.col("_avgdl")
-        from .bm25 import B, K1
-
         scored = (
             grouped.select("query_id", *id_cols)
             .join(terms_df, "query_id")
@@ -435,17 +478,10 @@ def hybrid_search_batch(
         )
         if stats_join is not None:
             scored = scored.crossJoin(F.broadcast(stats_join))
-        idf = F.log(
-            F.greatest(
-                F.lit(1.0),
-                F.lit(1.0)
-                + (n_col - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5)),
-            )
-        )
-        term_score = (
-            idf
-            * (F.col("tf") * (K1 + 1))
-            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl_col))
+        # the ONE Okapi definition, shared with bm25_scores — formula
+        # changes (idf floor etc.) cannot desynchronize batch from single
+        term_score = bm25_term_score(
+            n_col, avgdl_col, F.col("_df"), F.col("tf"), F.col("dl")
         )
         kw = scored.groupBy("query_id", *id_cols).agg(
             F.sum(term_score).alias("_s")
@@ -465,26 +501,12 @@ def hybrid_search_batch(
         )
     else:
         boosted = grouped
+    # the file filter's rank side and the final window both read boosted —
+    # persist so the kw join+aggregate chain runs once (hybrid_search
+    # persists its boosted for the same reason)
+    boosted = boosted.persist()
 
-    if max_files is not None:
-        best = boosted.groupBy("query_id", file_col).agg(
-            F.min("score").alias("_best")
-        )
-        wf = Window.partitionBy("query_id").orderBy(
-            F.col("_best").asc(), F.col(file_col).asc()
-        )
-        keep = (
-            best.withColumn("_rank", F.row_number().over(wf))
-            .filter(F.col("_rank") <= max_files)
-            .select("query_id", file_col)
-        )
-        boosted = boosted.join(keep, ["query_id", file_col], "left_semi")
-
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("score").asc(), *[F.col(c).asc() for c in id_cols]
+    filtered = file_topn_filter(
+        boosted, max_files, file_col=file_col, part_cols=("query_id",)
     )
-    return (
-        boosted.withColumn("_rn", F.row_number().over(wk))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return final_topk(filtered, k, id_cols=id_cols, part_cols=("query_id",))

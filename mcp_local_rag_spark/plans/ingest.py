@@ -323,8 +323,6 @@ def _rewrite_touched_buckets(
     overwriting the same path cannot race; buckets emptied entirely have
     their stale dirs dropped explicitly (dynamic overwrite never touches
     a partition absent from the output)."""
-    import shutil
-
     out = (
         keep.repartition(max(len(touched), 1), "bucket")
         .sortWithinPartitions("bucket", "filePath", "chunkIndex")
@@ -368,27 +366,25 @@ def delete_documents(
     targets = sorted(set(file_paths))
     if not targets:
         return 0
-    # bucket ids via the same Spark expression the write path used, under
-    # the TABLE's persisted bucket count (never the module constant)
-    nb = table_n_buckets(table_path)
-    assignments = (
-        spark.createDataFrame([(p,) for p in targets], "filePath string")
-        .select(
-            F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int").alias("b")
-        )
-        .distinct()
-        .collect()
-    )
-    touched = {r["b"] for r in assignments}
-
     df = spark.read.parquet(table_path)
-    part = df.filter(F.col("bucket").isin(sorted(touched)))
-    n_deleted = part.filter(F.col("filePath").isin(targets)).count()
-    if not n_deleted:
+    # touched buckets come from the rows that actually MATCH, not from the
+    # targets' hashes: a stale path (already deleted, never ingested) must
+    # not trigger a byte-identical rewrite of an innocent bucket. One
+    # column-pruned pass finds the touched buckets AND the delete count.
+    hits = {
+        r["bucket"]: r["n"]
+        for r in df.filter(F.col("filePath").isin(targets))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if not hits:
         return 0
+    touched = set(hits)
+    part = df.filter(F.col("bucket").isin(sorted(touched)))
     keep = part.filter(~F.col("filePath").isin(targets))
     _rewrite_touched_buckets(spark, table_path, keep, touched)
-    return n_deleted
+    return int(sum(hits.values()))
 
 
 def delete_document(spark: SparkSession, table_path: str, file_path: str) -> int:

@@ -64,6 +64,7 @@ class RagRpcServer:
     ``serve`` runs the line-delimited stdio loop."""
 
     MAX_JOB_RECORDS = 100  # terminal sync records kept for sync_status
+    MAX_BATCH_QUERIES = 50  # width cap for query_documents_batch
 
     def __init__(self, engine: RagEngine, neighbors: NeighborServer | None = None):
         self.engine = engine
@@ -109,8 +110,19 @@ class RagRpcServer:
             or not all(isinstance(s, str) and s.strip() for s in queries)
         ):
             raise RpcError(-32602, "queries must be a non-empty list of strings")
+        if len(queries) > self.MAX_BATCH_QUERIES:
+            # the per-query limit is clamped to [1,20]; the batch width is
+            # bounded for the same reason — one request must not broadcast
+            # an unbounded query matrix into the corpus kernel
+            raise RpcError(
+                -32602, f"at most {self.MAX_BATCH_QUERIES} queries per batch"
+            )
         rows = self.engine.query_documents_batch(
-            queries, limit=_limit(params)
+            queries,
+            limit=_limit(params),
+            scope=_scope(params),
+            max_distance=params.get("maxDistance"),
+            grouping=params.get("grouping"),
         ).collect()
         grouped: list[list] = [[] for _ in queries]
         for r in rows:

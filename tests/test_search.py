@@ -211,3 +211,43 @@ def test_hybrid_search_batch_matches_single_calls(spark):
         ]
         assert sorted(got.get(qid, [])) == sorted(single), qid
         assert single  # non-degenerate per query
+
+
+def test_hybrid_search_batch_scope_and_max_distance(spark):
+    """Batch-wide scope and max-distance filters match the single path's
+    pushdown semantics (filter BEFORE top-k, exact post-rounding cut)."""
+    import numpy as np
+
+    from mcp_local_rag_spark.operators.search import (
+        hybrid_search,
+        hybrid_search_batch,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (f"/{'in' if i % 2 else 'out'}/f{i}.md", i, "spark join words",
+         [float(x) for x in rng.randn(6)])
+        for i in range(80)
+    ]
+    chunks = spark.createDataFrame(
+        rows, "filePath string, chunkIndex int, text string, vector array<double>"
+    )
+    qvecs = {"0": [float(x) for x in rng.randn(6)], "1": [float(x) for x in rng.randn(6)]}
+    qterms = {"0": ["spark"], "1": ["join"]}
+
+    batch = hybrid_search_batch(
+        chunks, qvecs, qterms, k=4, scope=["/in"], max_distance=1.2,
+    )
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.filePath, r.chunkIndex, r.score))
+    for qid, vec in qvecs.items():
+        single = [
+            (r.filePath, r.chunkIndex, r.score)
+            for r in hybrid_search(
+                chunks, vec, qterms[qid], k=4, grouping=None, max_files=None,
+                scope=["/in"], max_distance=1.2,
+            ).collect()
+        ]
+        assert sorted(got.get(qid, [])) == sorted(single), qid
+        assert all(fp.startswith("/in/") for fp, _, _ in single)
