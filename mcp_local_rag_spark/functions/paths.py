@@ -37,9 +37,21 @@ def sync_path_key(path_col: Column, case_fold: bool = False) -> Column:
 
 
 def base64url_encode(col: Column) -> Column:
-    """base64url (unpadded) of a string — raw-data source identity key."""
+    """base64url (unpadded) of a string — raw-data source identity key.
+
+    Spark's ``base64()`` emits MIME-chunked output: a CRLF every 76 chars,
+    i.e. for any input over 57 bytes (every real-world URL). Those line
+    breaks are NOT part of the encoding — left in, the key differs from
+    Python's ``urlsafe_b64encode``, round-trip checks fail, and the
+    managed path would embed control characters — so strip them."""
     return F.regexp_replace(
-        F.translate(F.base64(col.cast("binary")), "+/", "-_"), "=+$", ""
+        F.translate(
+            F.regexp_replace(F.base64(col.cast("binary")), "[\\r\\n]", ""),
+            "+/",
+            "-_",
+        ),
+        "=+$",
+        "",
     )
 
 

@@ -66,6 +66,13 @@ def plan_sync(
 
     plan = db_agg.join(disk_k, db_agg[key_col] == disk_k["_dk"], "full_outer")
 
+    if excluded_sources and source_col not in db.columns:
+        # the exclusion predicate reads the aggregated '_source', which
+        # only exists when the db frame carries the (optional) source
+        # column — failing here beats an UNRESOLVED_COLUMN at evaluation
+        raise ValueError(
+            f"excluded_sources requires a '{source_col}' column on the db frame"
+        )
     excluded = F.lit(False)
     for s in excluded_sources or []:
         excluded = excluded | (F.col("_source") == s)

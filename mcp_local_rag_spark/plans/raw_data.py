@@ -34,8 +34,15 @@ def source_to_path(source: str, db_path: str = "/data/db") -> str:
     return f"{db_path.rstrip('/')}/raw-data/{key}.md"
 
 
-def path_to_source(path: str) -> str | None:
-    """Inverse of source_to_path; None for non-raw-data paths."""
+def path_to_source(path: str, db_path: str = "/data/db") -> str | None:
+    """Inverse of source_to_path; None for non-raw-data paths.
+
+    Membership is the MANAGED DIRECTORY, not decodability: an ordinary
+    document whose basename happens to be valid base64url (e.g.
+    '/docs/dGVzdA.md') must not be misreported as a raw-data row (the
+    column-level twin, restore_sources, applies the same prefix guard)."""
+    if not path.startswith(db_path.rstrip("/") + "/raw-data/"):
+        return None
     name = os.path.basename(path)
     if not name.endswith(".md"):
         return None

@@ -61,9 +61,20 @@ def _session_fn(gap_seconds: int):
                 elif ts_us - cur[1] > gap_us:
                     closed.append((user_id, *cur))
                     cur = (ts_us, ts_us, 1, v)
+                elif cur[0] - ts_us > gap_us:
+                    # a LATE event admitted by a nonzero watermark that
+                    # predates the open session by more than the gap: it
+                    # can never belong to this session (nor to any later
+                    # one), so it closes immediately as its own session —
+                    # merging it forward would corrupt both the count and
+                    # the start timestamp
+                    closed.append((user_id, ts_us, ts_us, 1, v))
                 else:
+                    # within-gap events extend the session in BOTH
+                    # directions: a late-but-in-gap event lowers
+                    # session_start (the batch twin takes min(ts))
                     cur = (
-                        cur[0],
+                        min(cur[0], ts_us),
                         max(cur[1], ts_us),
                         cur[2] + 1,
                         cur[3] + v,

@@ -28,6 +28,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+@F.udf("string")
+def _uri_to_path(uri: str) -> str:
+    """File-source paths arrive as percent-encoded file URIs
+    (``file:///a/my%20doc.txt``); stored filePaths are PLAIN local paths
+    (what batch ``read_files`` records). Normalizing here keeps the two
+    ingest paths key-compatible — a mangled spelling would make sync
+    classify every streamed row as prune, bucket it differently, and
+    orphan it from per-file delete/upsert/FTS refresh forever.
+    urllib.unquote (not a www-form decoder) so a literal '+' survives."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    return unquote(parsed.path) if parsed.scheme else unquote(uri)
+
+
 def _batch_already_applied(checkpoint_dir: str, batch_id: int) -> bool:
     """foreachBatch is at-least-once: after a crash between the sink append
     and the checkpoint commit, the NEXT run re-delivers the same batch_id.
@@ -69,6 +84,12 @@ def _append_chunk_batch(
     from ..plans.ingest import table_n_buckets
 
     nb = table_n_buckets(table_path)
+    if postings_path is not None:
+        # the batch is read twice (chunks append + postings build); without
+        # a persist the WHOLE upstream pipeline — parse, chunk, and the
+        # embedding passes, the dominant cost — would re-execute for the
+        # second write
+        chunks = chunks.persist()
     (
         chunks.withColumn(
             "bucket", F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int")
@@ -82,6 +103,7 @@ def _append_chunk_batch(
         write_postings(
             chunks, postings_path, tokenizer=tokenizer, mode=mode, n_buckets=nb
         )
+        chunks.unpersist()
 
 
 def stream_ingest(
@@ -90,7 +112,7 @@ def stream_ingest(
     table_path: str,
     checkpoint_dir: str,
     *,
-    pattern: str = "*.txt",
+    pattern: str = "*.{md,txt}",
     dim: int | None = None,
     backend: str | None = None,
     postings_path: str | None = None,
@@ -129,7 +151,7 @@ def stream_ingest(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(watch_dir)
         .select(
-            F.regexp_replace(F.input_file_name(), "^file:", "").alias("path"),
+            _uri_to_path(F.input_file_name()).alias("path"),
             F.col("value").alias("text"),
         )
     )
@@ -144,7 +166,10 @@ def stream_ingest(
             "text",
             _title("path", "text").alias("title"),
             F.lower(F.sha2(F.col("text").cast("binary"), 256)).alias("contentHash"),
-            F.length("text").cast("long").alias("length"),
+            # BYTE length (octet_length), matching batch ingest's raw-file
+            # length — F.length counts characters and diverges on
+            # multi-byte UTF-8, making fileSize ingest-path-dependent
+            F.octet_length("text").cast("long").alias("length"),
         )
         chunks = build_chunks(docs, dim=dim, backend=backend)
         _append_chunk_batch(chunks, table_path, postings_path, tokenizer)
@@ -201,7 +226,7 @@ def stream_ingest_binary(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(watch_dir)
         .select(
-            F.regexp_replace(F.col("path"), "^file:", "").alias("path"),
+            _uri_to_path(F.col("path")).alias("path"),
             F.col("content"),
         )
     )
@@ -233,6 +258,7 @@ def windowed_event_counts(
     *,
     ts_col: str = "ts",
     key_col: str = "event_type",
+    value_col: str | None = "value",
     window: str = "10 minutes",
     slide: str | None = None,
     watermark: str = "30 minutes",
@@ -241,7 +267,8 @@ def windowed_event_counts(
 
     On a stream the watermark bounds state: late rows beyond it are dropped
     and window state is evicted — the knob that keeps 100 TB/day of events
-    from accumulating unbounded state.
+    from accumulating unbounded state. ``value_col=None`` (or a column the
+    frame lacks) skips the value sum — counts only.
     """
     win = (
         F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
@@ -249,10 +276,10 @@ def windowed_event_counts(
     df = events
     if events.isStreaming:
         df = df.withWatermark(ts_col, watermark)
-    return df.groupBy(win.alias("win"), F.col(key_col)).agg(
-        F.count("*").alias("n"),
-        F.sum("value").alias("total_value"),
-    )
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None and value_col in events.columns:
+        aggs.append(F.sum(value_col).alias("total_value"))
+    return df.groupBy(win.alias("win"), F.col(key_col)).agg(*aggs)
 
 
 def dedupe_event_stream(

@@ -20,7 +20,9 @@ def test_source_path_roundtrip():
         p = source_to_path(src)
         assert p.startswith("/data/db/raw-data/") and p.endswith(".md")
         assert path_to_source(p) == normalize_source(src)
-    assert path_to_source("/data/docs/normal.md") is not None or True  # non-managed
+    # unmanaged paths return None even when the basename is decodable
+    # base64url ('dGVzdA' -> 'test'): membership is the managed directory
+    assert path_to_source("/data/docs/dGVzdA.md") is None
     assert path_to_source("/x/y/file.txt") is None
 
 
@@ -70,3 +72,44 @@ def test_compaction(spark, tmp_path):
     buckets = glob.glob(f"{table}/bucket=*/")
     worst = max(len(glob.glob(b + "*.parquet")) for b in buckets)
     assert worst <= 2  # was >= 2 small files everywhere before compaction
+
+
+def test_base64url_encode_long_source_no_mime_linebreaks(spark):
+    """Spark's base64() MIME-chunks with CRLF every 76 chars (any source
+    over 57 bytes); the url-safe key must strip them or round-trips fail
+    and managed paths embed control characters."""
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.functions.paths import (
+        base64url_decode,
+        base64url_encode,
+    )
+    from mcp_local_rag_spark.plans.raw_data import roundtrip_check_expr
+
+    import base64 as b64
+
+    long_src = "https://example.com/" + "segment/" * 30  # >> 57 bytes
+    row = (
+        spark.range(1)
+        .select(base64url_encode(F.lit(long_src)).alias("key"))
+        .first()
+    )
+    assert "\r" not in row.key and "\n" not in row.key
+    # bit-identical to Python's urlsafe encoding (the ingest-side key)
+    assert row.key == b64.urlsafe_b64encode(long_src.encode()).decode().rstrip("=")
+
+    rt = (
+        spark.range(1)
+        .select(
+            base64url_decode(base64url_encode(F.lit(long_src))).alias("back")
+        )
+        .first()
+    )
+    assert rt.back == long_src
+
+    # the managed-path roundtrip check holds for a long-source path
+    from mcp_local_rag_spark.plans.raw_data import source_to_path
+
+    p = source_to_path(long_src)
+    df = spark.createDataFrame([(p,)], "filePath string")
+    assert df.select(roundtrip_check_expr().alias("ok")).first().ok

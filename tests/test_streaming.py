@@ -419,3 +419,88 @@ def test_compaction_dedupes_partial_replay(spark, tmp_path):
     compact_postings(spark, postings)
     assert read_postings(spark, postings).count() == np_
     chunks.unpersist()
+
+
+def test_stream_ingest_stores_plain_decoded_paths(spark, tmp_path):
+    """The file source hands foreachBatch percent-encoded file URIs; the
+    stored filePath must be the PLAIN local path batch ingest would store
+    (same sync key, same hash bucket) — including names with spaces."""
+    from mcp_local_rag_spark.streaming.watch import stream_ingest
+
+    watch = tmp_path / "drop_uri"
+    watch.mkdir()
+    fname = "my doc.txt"
+    (watch / fname).write_text(
+        "Title Line\n\nA sentence long enough to survive chunking comfortably today.\n"
+    )
+    table = str(tmp_path / "chunks_uri")
+    ckpt = str(tmp_path / "ckpt_uri")
+    q = stream_ingest(spark, str(watch), table, ckpt, available_now=True)
+    q.awaitTermination(120)
+    paths = {r.filePath for r in spark.read.parquet(table).select("filePath").collect()}
+    assert paths == {str(watch / fname)}, paths  # no 'file:', '///', or '%20'
+
+
+def test_stream_ingest_picks_up_markdown_by_default(spark, tmp_path):
+    """The documented md/txt hot path: .md files match the default glob."""
+    from mcp_local_rag_spark.streaming.watch import stream_ingest
+
+    watch = tmp_path / "drop_md"
+    watch.mkdir()
+    (watch / "note.md").write_text(
+        "# Markdown Note\n\nBody text with enough length to produce one chunk.\n"
+    )
+    table = str(tmp_path / "chunks_md")
+    ckpt = str(tmp_path / "ckpt_md")
+    q = stream_ingest(spark, str(watch), table, ckpt, available_now=True)
+    q.awaitTermination(120)
+    stored = spark.read.parquet(table)
+    assert stored.count() >= 1
+    assert stored.first().fileTitle == "Markdown Note"
+
+
+def test_sessionize_late_event_extends_start_backward(spark, tmp_path):
+    """A late-but-in-gap event admitted by the watermark lowers
+    session_start (the batch twin takes min(ts)); it must not be merged
+    forward with the open session's start left untouched."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from mcp_local_rag_spark.streaming.sessionize import sessionize_stream
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp2" / name))
+        part = glob.glob(str(tmp_path / "tmp2" / name / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    write_file("f1", [(3, t("2024-01-01 12:00:00"), 1.0)])
+    # batch 2: a late event 15 min EARLIER (inside the 30-min gap) plus a
+    # far-future event that closes the session by gap
+    write_file("f2", [(3, t("2024-01-01 11:45:00"), 2.0),
+                      (3, t("2024-01-01 14:00:00"), 7.0)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800, watermark="4 hours")
+        .writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM late_sessions").collect()
+    }
+    assert (3, "2024-01-01 11:45:00", "2024-01-01 12:00:00", 2, 3.0) in got, got
