@@ -72,13 +72,19 @@ def is_garbage_chunk(col: Column) -> Column:
     n = F.length(trimmed)
     has_alnum = trimmed.rlike("[a-zA-Z0-9]")
     # dominant single character ratio: max occurrences of any char / length,
-    # computed via aggregate over the distinct chars of the string.
+    # computed via aggregate over the distinct chars of the string. The
+    # O(len x distinct_chars) interpreted HOF is gated behind a CASE WHEN
+    # (whose branches evaluate lazily per row, unlike boolean AND): it only
+    # runs for the rare no-alnum strings, never on ordinary text.
     chars = F.split(trimmed, "")
-    top_char_count = F.array_max(
-        F.transform(
-            F.array_distinct(chars),
-            lambda c: F.size(F.filter(chars, lambda x: x == c)),
-        )
+    top_char_count = F.when(
+        ~has_alnum,
+        F.array_max(
+            F.transform(
+                F.array_distinct(chars),
+                lambda c: F.size(F.filter(chars, lambda x: x == c)),
+            )
+        ),
     )
     return (n == 0) | (
         ~has_alnum
@@ -123,7 +129,10 @@ def predict_lang(col: Column, default: str = "und") -> Column:
     """Argmax of marker scores with deterministic tie-break by language code."""
     expr = F.lit(default)
     best = F.lit(-1)
-    # iterate in reverse-sorted order so earlier alphabetical wins strict ties
+    # reverse-sorted iteration with a strict '>' means the FIRST-processed
+    # (alphabetically LAST) language keeps ties — 'fr' beats 'en' on an
+    # equal score. The DuckDB oracle's CASE chain (queries/ext.py langid)
+    # encodes the same order; changing this tie-break breaks parity.
     for lang in sorted(LANG_MARKERS, reverse=True):
         score = lang_marker_score(col, lang)
         expr = F.when(score > best, F.lit(lang)).otherwise(expr)
@@ -180,8 +189,10 @@ def bpe_token_count(col: Column) -> Column:
 
 
 def normalized_text(col: Column) -> Column:
-    """Canonical form for fingerprinting: lowercase, alnum words, single spaces."""
-    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "), " +", " "))
+    """Canonical form for fingerprinting: lowercase, alnum words, single
+    spaces. One replace suffices — space is in the replaced class, so the
+    output can never contain a run of spaces."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
 
 
 def fingerprint(col: Column) -> Column:
@@ -197,8 +208,12 @@ def fingerprint(col: Column) -> Column:
 #
 # Patterns are restricted to the Java-regex ∩ RE2 common subset (no
 # backreferences, no lookaround) so the DuckDB oracle runs the literally
-# identical pattern strings. Order matters: URLs are redacted FIRST so an
-# address embedded in a URL can't be double-counted by a later pattern.
+# identical pattern strings. Order matters for REDACTION only: URLs are
+# replaced first, so an address embedded in a URL is swallowed by <URL>
+# before later patterns run. pii_counts, by contrast, counts each pattern
+# independently over the RAW text (its DuckDB oracle does the same), so an
+# email inside a URL counts as BOTH url and email — per-kind hit counts,
+# not disjoint-span totals.
 
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("url", r"https?://[^\s]+", "<URL>"),

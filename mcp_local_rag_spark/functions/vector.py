@@ -40,7 +40,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm vector yields NULL (which drops out of
+    # filters and sorts last) instead of DIVIDE_BY_ZERO aborting the whole
+    # job under Spark 4's default ANSI mode
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def dot_distance(a: Column, b: Column) -> Column:

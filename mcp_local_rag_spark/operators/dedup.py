@@ -93,6 +93,11 @@ def minhash_signatures(
     Single groupBy with n min-aggregates — no row fan-out, no extra shuffle
     beyond the one keyed by doc id.
     """
+    if n_hashes > len(MINHASH_A):
+        raise ValueError(
+            f"n_hashes={n_hashes} exceeds the fixed affine hash family "
+            f"({len(MINHASH_A)} functions; extend MINHASH_A/MINHASH_B to go wider)"
+        )
     base = shingles.select(F.col(id_col), shingle_hash(F.col("shingle")).alias("h"))
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % P_MINHASH).alias(

@@ -140,7 +140,7 @@ def ivf_assign(
     pre-supplied assignments. At 100 TB: fit on a sample, assign with the
     broadcast model (transform is a map-only stage, no shuffle)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+    from pyspark.ml.functions import array_to_vector
 
     feat = emb.withColumn("_features", array_to_vector(F.col(vec_col)))
     model = KMeans(k=n_clusters, seed=seed, featuresCol="_features", predictionCol="label").fit(feat)
@@ -172,8 +172,6 @@ def ivf_multiprobe(
     so probes never produce duplicate (query, neighbor) pairs and the final
     window top-k needs no dedup. Scanned fraction ~= nprobe / n_clusters.
     """
-    import numpy as np
-
     from pyspark.sql.types import ArrayType, IntegerType
 
     centers = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
@@ -331,4 +329,9 @@ def embedding_near_dups(
     scored = pairs.withColumn(
         "cos", F.round(cos_pd(F.col("_v1"), F.col("_v2")), 6) + F.lit(0.0)
     )
-    return scored.filter(F.col("cos") >= threshold).select("id1", "id2", "cos")
+    # Spark compares NaN GREATER than any double, so a zero-norm vector's
+    # NaN cosine would pass `>= threshold` and emit bogus pairs — require
+    # finiteness explicitly (cosine_knn's kernel applies the same guard)
+    return scored.filter(
+        ~F.isnan("cos") & (F.col("cos") >= threshold)
+    ).select("id1", "id2", "cos")

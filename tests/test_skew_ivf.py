@@ -175,3 +175,36 @@ def test_knn_recall_report_multiprobe_dominates(spark):
         assert abs(r.recall - r.hits / 10.0) < 1e-9
     for qid in qids:
         assert by[("ivf_multiprobe", qid)].hits >= by[("ivf_probe", qid)].hits
+
+
+def test_near_dups_and_cosine_survive_zero_norm_vectors(spark):
+    """A zero embedding must neither abort the job (ANSI DIVIDE_BY_ZERO)
+    nor emit bogus NaN 'near-duplicate' pairs (Spark compares NaN greater
+    than any double, so an unguarded threshold filter would pass it)."""
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.functions.vector import cosine
+    from mcp_local_rag_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [0.0, 0.0], 0),  # zero-norm
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pairs = embedding_near_dups(emb, threshold=0.9).collect()
+    assert {(r.id1, r.id2) for r in pairs} == {(1, 2)}  # no NaN pair with 3
+
+    # column-expression cosine: NULL (try_divide), not an exception
+    row = (
+        emb.filter(F.col("vec_id").isin(1, 3))
+        .agg(F.min("vec_id"))
+        .crossJoin(
+            spark.createDataFrame([([0.0, 0.0], [1.0, 0.0])], "a array<double>, b array<double>")
+            .select(cosine(F.col("a"), F.col("b")).alias("c"))
+        )
+        .first()
+    )
+    assert row.c is None
