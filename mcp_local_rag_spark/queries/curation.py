@@ -679,3 +679,223 @@ def q_corpus_zipf_slope(spark, sf_dir):
         ),
         (F.round(F.regr_r2(F.log("freq"), F.log("rnk")), 6) + F.lit(0.0)).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): score every raw document by the
+# log-likelihood ratio of a hashed-unigram model of the TARGET domain
+# (here: the English subset) against the raw-corpus model. High scores =
+# "looks like the target distribution" — the published recipe for picking
+# pretraining data that matches a quality domain without a model runtime.
+#
+# Determinism: the per-bucket log-ratio is quantized ONCE to integer
+# micro-nats (round(ln(q)*1e6)); per-document weights are then exact
+# BIGINT sums of (count x micro), so no float-summation-order divergence
+# between engines is possible. The single ln() runs on a correctly-rounded
+# double ratio of exact integer products (each factor < 2^53 at test SF;
+# at extreme corpus sizes switch the ratio to the ln-subtraction form).
+#
+# Scale posture (100 TB): token->bucket is map-only (one md5 + mod); the
+# distributions are ONE 64-row aggregate each (map-side partial combine);
+# the ratio table broadcasts; the only corpus-sized shuffle is the
+# per-(doc,bucket) aggregate, which is the minimum any per-doc scorer pays.
+
+_DSIR_B = 4096  # hashed feature buckets (paper uses 10k; ratio table stays broadcastable)
+
+@register(
+    "corpus_dsir_weights",
+    f"""WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+tb AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(tok), 1, 6))::BIGINT % {_DSIR_B} AS b
+  FROM toks
+),
+raw AS (SELECT b, count(*)::BIGINT AS r FROM tb GROUP BY b),
+tgt AS (SELECT b, count(*)::BIGINT AS t FROM tb WHERE lang = 'en' GROUP BY b),
+tot AS (
+  SELECT (SELECT sum(r) FROM raw)::BIGINT AS rtot,
+         (SELECT coalesce(sum(t), 0) FROM tgt)::BIGINT AS ttot
+),
+ratio AS (
+  SELECT raw.b,
+         CAST(round(ln(((coalesce(tgt.t, 0) + 1.0) * (tot.rtot + {_DSIR_B}))
+                       / ((raw.r + 1.0) * (tot.ttot + {_DSIR_B})))
+                    * 1000000) AS BIGINT) AS micro
+  FROM raw LEFT JOIN tgt USING (b), tot
+),
+perdoc AS (
+  SELECT doc_id, b, count(*)::BIGINT AS c FROM tb GROUP BY doc_id, b
+)
+SELECT p.doc_id,
+       sum(p.c)::BIGINT AS n_tokens,
+       round(sum(p.c * ratio.micro) / 1000000.0 / sum(p.c), 6) + 0 AS dsir_w
+FROM perdoc p JOIN ratio USING (b)
+GROUP BY p.doc_id
+ORDER BY p.doc_id""",
+)
+def q_corpus_dsir_weights(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    tb = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
+        ).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 6), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("b"),
+    )
+    raw = tb.groupBy("b").agg(F.count("*").alias("r"))
+    tgt = tb.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").alias("t")
+    )
+    tot = raw.agg(F.sum("r").alias("rtot")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("ttot"))
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("t"), F.lit(0)) + 1.0) * (F.col("rtot") + _DSIR_B))
+                    / ((F.col("r") + 1.0) * (F.col("ttot") + _DSIR_B))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    perdoc = tb.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    return (
+        perdoc.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("micro")).alias("_wmicro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.round(F.col("_wmicro") / 1000000.0 / F.col("n_tokens"), 6)
+                + F.lit(0.0)
+            ).alias("dsir_w"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-span coverage (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): for every document, the fraction of
+# token positions covered by an exact 8-token span that also occurs in at
+# least one OTHER document. This is the document-level measurement behind
+# substring-level dedup — high-coverage docs are near-copies or heavy
+# boilerplate carriers even when no full-document hash matches.
+#
+# Scale posture (100 TB): gram construction is map-only (explode positions
+# + slice + one md5 — the same codegen shape as shingle_sets, never a
+# window); cross-doc grams come from ONE aggregate on the gram hash; the
+# join back is an equi semi-join; coverage is a bounded 8x position
+# explode + distinct over only the duplicated occurrences. No all-pairs
+# step anywhere — cost is linear in corpus token count.
+
+_SPAN_K = 8  # span length in tokens
+
+@register(
+    "text_dedup_spans",
+    f"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i, md5(array_to_string(t[i:i+{_SPAN_K - 1}], ' ')) AS g
+  FROM toks, unnest(range(1, len(t) - {_SPAN_K - 2})) AS r(i)
+  WHERE len(t) >= {_SPAN_K}
+),
+dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT grams.doc_id, pos
+  FROM grams JOIN dup USING (g),
+       unnest(range(grams.i, grams.i + {_SPAN_K})) AS s(pos)
+),
+n AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks WHERE len(t) >= {_SPAN_K}
+)
+SELECT n.doc_id, n.n_tokens,
+       coalesce(c.n_dup, 0)::BIGINT AS n_dup_tokens,
+       round(coalesce(c.n_dup, 0) / CAST(n.n_tokens AS DOUBLE), 6) + 0 AS dup_frac
+FROM n LEFT JOIN (
+  SELECT doc_id, count(*)::BIGINT AS n_dup FROM cov GROUP BY doc_id
+) c USING (doc_id)
+ORDER BY dup_frac DESC, n.doc_id LIMIT 100""",
+)
+def q_text_dedup_spans(spark, sf_dir):
+    k = _SPAN_K
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "").alias(
+            "_toks"
+        ),
+    ).filter(F.size("_toks") >= k)
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("_toks") - (k - 1))).alias("i"),
+        "_toks",
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(F.concat_ws(" ", F.slice("_toks", F.col("i"), k))).alias("g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    cov = (
+        grams.join(dup, "g", "left_semi")
+        .select(
+            "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (k - 1))).alias("pos")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    n = toks.select("doc_id", F.size("_toks").cast("long").alias("n_tokens"))
+    return (
+        n.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_tokens"),
+            (
+                F.round(
+                    F.coalesce(F.col("n_dup"), F.lit(0))
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("dup_frac"),
+        )
+        .orderBy(F.col("dup_frac").desc(), "doc_id")
+        .limit(100)
+    )

@@ -639,3 +639,137 @@ def q_events_hourly_anomalies(spark, sf_dir):
         )
         .orderBy("event_type", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning — the standard big-join optimization when the
+# build side's KEY SET is small but the probe side is enormous: instead of
+# shuffling the probe table into a semi-join, broadcast an m-bit Bloom
+# filter of the build keys and pre-filter the probe map-side; only the
+# (few, possibly-false-positive) survivors reach the exact join. Spark's
+# own runtime row-group/bloom pruning is opaque to a cross-engine oracle,
+# so the filter here is built from relational primitives with fixed md5
+# hash functions — both engines reproduce the exact same bit set.
+#
+# Key = (user_id, hour-of-day) of purchase events; probe = distinct
+# (user_id, hour) view pairs ("did this user buy in the hour they were
+# browsing?"). m=8192, kh=3 keeps the filter unsaturated but with a real
+# false-positive rate at every test SF, so the report demonstrates the
+# approximation honestly: candidates >= true matches, and the exact join
+# runs only on candidates.
+#
+# Scale posture (100 TB): bit table <= m rows -> broadcast; probing is a
+# map-side explode of 3 positions + broadcast join + one per-key aggregate
+# over probe keys (linear); the summary compares bloom candidates against
+# ground truth from the exact semi-join on the SAME distinct key frame.
+
+_BLOOM_M = 8192
+_BLOOM_K = 3
+
+def _bloom_sql_pos(j: int) -> str:
+    return (
+        f"('0x' || substr(md5(user_id::VARCHAR || ':' || hh::VARCHAR || ':{j}'),"
+        f" 1, 8))::BIGINT % {_BLOOM_M}"
+    )
+
+
+@register(
+    "events_bloom_prune",
+    f"""WITH purch AS (
+  SELECT DISTINCT user_id, extract(hour FROM ts)::BIGINT AS hh
+  FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT DISTINCT user_id, extract(hour FROM ts)::BIGINT AS hh
+  FROM events WHERE event_type = 'view'
+),
+bits AS (
+  SELECT DISTINCT pos FROM purch,
+       unnest([{_bloom_sql_pos(0)}, {_bloom_sql_pos(1)}, {_bloom_sql_pos(2)}]) AS u(pos)
+),
+probe AS (
+  SELECT user_id, hh, unnest([{_bloom_sql_pos(0)}, {_bloom_sql_pos(1)}, {_bloom_sql_pos(2)}]) AS pos
+  FROM views
+),
+hits AS (
+  SELECT p.user_id, p.hh, count(b.pos)::BIGINT AS nhit
+  FROM probe p LEFT JOIN bits b USING (pos)
+  GROUP BY p.user_id, p.hh
+),
+truth AS (
+  SELECT v.user_id, v.hh FROM views v SEMI JOIN purch USING (user_id, hh)
+)
+SELECT (SELECT count(*) FROM views)::BIGINT AS n_probe_keys,
+       (SELECT count(*) FROM bits)::BIGINT AS n_bits_set,
+       (SELECT count(*) FROM hits WHERE nhit = {_BLOOM_K})::BIGINT AS n_candidates,
+       (SELECT count(*) FROM truth)::BIGINT AS n_true_matches,
+       ((SELECT count(*) FROM hits WHERE nhit = {_BLOOM_K})
+        - (SELECT count(*) FROM truth))::BIGINT AS n_false_positives""",
+)
+def q_events_bloom_prune(spark, sf_dir):
+    m, kh = _BLOOM_M, _BLOOM_K
+
+    def positions():
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("user_id").cast("string"),
+                                F.col("hh").cast("string"),
+                                F.lit(str(j)),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+                for j in range(kh)
+            ]
+        )
+
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type", "user_id", F.hour("ts").cast("long").alias("hh")
+    )
+    purch = keyed.filter(F.col("event_type") == "purchase").select(
+        "user_id", "hh"
+    ).distinct()
+    views = keyed.filter(F.col("event_type") == "view").select(
+        "user_id", "hh"
+    ).distinct()
+    bits = purch.select(F.explode(positions()).alias("pos")).distinct()
+    probe = views.select("user_id", "hh", F.explode(positions()).alias("pos"))
+    # the probe's own pos is never null after a left join — count a
+    # build-side marker column, not the join key
+    hits = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("user_id", "hh")
+        .agg(F.count("hit").alias("nhit"))
+    )
+    n_candidates = hits.filter(F.col("nhit") == kh).agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+    truth = views.join(purch, ["user_id", "hh"], "left_semi").agg(
+        F.count("*").cast("long").alias("n_true_matches")
+    )
+    summary = (
+        views.agg(F.count("*").cast("long").alias("n_probe_keys"))
+        .crossJoin(bits.agg(F.count("*").cast("long").alias("n_bits_set")))
+        .crossJoin(n_candidates)
+        .crossJoin(truth)
+    )
+    return summary.select(
+        "n_probe_keys",
+        "n_bits_set",
+        "n_candidates",
+        "n_true_matches",
+        (F.col("n_candidates") - F.col("n_true_matches")).alias(
+            "n_false_positives"
+        ),
+    )

@@ -1,0 +1,102 @@
+"""Semantic invariants for the round-6 curation additions: DSIR importance
+weights, exact repeated-span coverage, and Bloom-filter join pruning.
+(Cross-engine value equality is covered by the duckdb oracle pairs; these
+tests pin the properties the oracle can't express — directionality,
+coverage bounds, and the Bloom superset guarantee.)"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from mcp_local_rag_spark.queries.curation import (
+    q_corpus_dsir_weights,
+    q_text_dedup_spans,
+)
+from mcp_local_rag_spark.queries.events import q_events_bloom_prune
+from mcp_local_rag_spark.session import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dsir_weights_prefer_target_language(spark):
+    """The whole point of importance weighting: documents drawn from the
+    target distribution (lang='en') must average a higher log-ratio score
+    than the rest of the corpus."""
+    w = q_corpus_dsir_weights(spark, SF)
+    docs = load(spark, SF, "documents").select("doc_id", "lang")
+    by_side = (
+        w.join(docs, "doc_id")
+        .groupBy((F.col("lang") == "en").alias("is_target"))
+        .agg(F.avg("dsir_w").alias("mean_w"))
+        .collect()
+    )
+    means = {r.is_target: r.mean_w for r in by_side}
+    assert means[True] > means[False]
+
+
+def test_dsir_weights_cover_every_doc_once(spark):
+    w = q_corpus_dsir_weights(spark, SF)
+    n_docs = load(spark, SF, "documents").count()
+    assert w.count() == n_docs
+    assert w.filter(F.col("n_tokens") <= 0).count() == 0
+
+
+def _write_docs(spark, tmp_path, rows):
+    p = os.path.join(str(tmp_path), "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    return str(tmp_path)
+
+
+def test_dedup_spans_full_copy_and_partial_overlap(spark, tmp_path):
+    base = " ".join(f"tok{i}" for i in range(40))
+    shared = " ".join(f"common{i}" for i in range(12))  # 12-token shared run
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),  # exact copy: coverage 1.0
+        (3, shared + " " + " ".join(f"uniq{i}" for i in range(30)), "en", "s", 0),
+        (4, " ".join(f"other{i}" for i in range(30)) + " " + shared, "en", "s", 0),
+        (5, " ".join(f"alone{i}" for i in range(40)), "en", "s", 0),
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in q_text_dedup_spans(spark, sf_dir).collect()}
+    assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
+    # partial overlap: exactly the 12 shared tokens are covered (runs sit at
+    # the document edge, so every shared token is inside some dup 8-gram)
+    assert out[3].n_dup_tokens == 12 and out[4].n_dup_tokens == 12
+    assert out[5].n_dup_tokens == 0 and out[5].dup_frac == 0.0
+    # bounds hold everywhere
+    for r in out.values():
+        assert 0 <= r.n_dup_tokens <= r.n_tokens
+
+
+def test_dedup_spans_ignores_within_doc_repeats(spark, tmp_path):
+    """A span repeated only WITHIN one document is not cross-doc duplication
+    (count(DISTINCT doc_id) >= 2 gate)."""
+    loop = " ".join(f"w{i % 8}" for i in range(32))  # 8-token cycle, one doc
+    rows = [
+        (1, loop, "en", "s", 0),
+        (2, " ".join(f"x{i}" for i in range(30)), "en", "s", 0),
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in q_text_dedup_spans(spark, sf_dir).collect()}
+    assert out[1].n_dup_tokens == 0
+
+
+def test_bloom_prune_is_a_superset_prefilter(spark):
+    """Bloom guarantee: no false negatives (candidates >= true matches),
+    bounded false positives (candidates <= probe keys), and the filter is
+    not saturated (some probe key fails it) at this SF."""
+    r = q_events_bloom_prune(spark, SF).first()
+    assert r.n_true_matches <= r.n_candidates <= r.n_probe_keys
+    assert r.n_false_positives == r.n_candidates - r.n_true_matches
+    assert r.n_bits_set < 8192  # filter not fully saturated
+    assert r.n_candidates < r.n_probe_keys  # it actually prunes something
+
+
+def test_bloom_prune_probe_side_joins_broadcast(spark):
+    """The scale contract: the probe side must meet the bit table through a
+    broadcast hash join — never a sort-merge shuffle of the big side."""
+    plan = q_events_bloom_prune(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
