@@ -306,3 +306,56 @@ def dedupe_event_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def join_event_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "30 minutes",
+    max_delay: str = "15 minutes",
+) -> DataFrame:
+    """Stream-stream interval join — attribute each right-side event to the
+    left-side event it followed within ``max_delay`` (e.g. purchases to the
+    view that preceded them). The classic funnel/attribution join that a
+    batch engine does with an as-of or range join (operators/asof.py).
+
+    State stays bounded only because BOTH sides carry a watermark AND the
+    join condition constrains the two event times to a finite interval —
+    Spark derives the state-eviction horizon from that pair; drop either
+    one and the join buffers both streams forever (at 100 TB/day that is
+    the difference between a runnable job and an OOM loop).
+
+    Columns: the right side's non-key columns come back prefixed ``r_`` so
+    the caller never hits ambiguous-column resolution; the left side keeps
+    its names (its ts as ``l_ts``). Works identically on batch frames (no
+    watermarks applied) so backfills share this call site.
+    """
+    l = left.withColumnRenamed(left_ts, "l_ts")
+    r = right.withColumnRenamed(right_ts, "r_ts")
+    r = r.select(
+        F.col(key_col),
+        "r_ts",
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in r.columns
+            if c not in (key_col, "r_ts")
+        ],
+    )
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    # alias both sides so the key equality survives self-join lineage (both
+    # frames filtered from the same parent would otherwise resolve to the
+    # same attribute and collapse to a trivially-true predicate)
+    l, r = l.alias("_ssl"), r.alias("_ssr")
+    cond = (
+        (F.col(f"_ssl.{key_col}") == F.col(f"_ssr.{key_col}"))
+        & (F.col("_ssr.r_ts") >= F.col("_ssl.l_ts"))
+        & (F.col("_ssr.r_ts") <= F.col("_ssl.l_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner").drop(F.col(f"_ssr.{key_col}"))

@@ -504,3 +504,94 @@ def test_sessionize_late_event_extends_start_backward(spark, tmp_path):
         for r in spark.sql("SELECT * FROM late_sessions").collect()
     }
     assert (3, "2024-01-01 11:45:00", "2024-01-01 12:00:00", 2, 3.0) in got, got
+
+
+def test_join_event_streams_interval_attribution(spark, tmp_path):
+    """Stream-stream interval join: purchases attach to the view they
+    followed within 15 minutes, per user; outside-window and cross-user
+    purchases drop. The batch twin through the same call site must return
+    the identical row set."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from mcp_local_rag_spark.streaming.watch import join_event_streams
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    view_rows = [
+        (1, t("2024-01-01 09:00:00"), "home"),
+        (1, t("2024-01-01 10:00:00"), "search"),
+        (2, t("2024-01-01 09:05:00"), "home"),
+    ]
+    buy_rows = [
+        (1, t("2024-01-01 09:10:00"), 5.0),   # within 15m of 09:00 view
+        (1, t("2024-01-01 10:20:00"), 7.0),   # 20m after 10:00 view -> drops
+        (2, t("2024-01-01 09:06:00"), 9.0),   # within 1m of user 2's view
+        (3, t("2024-01-01 09:06:00"), 1.0),   # no view at all
+    ]
+    v_schema = "user_id long, ts timestamp, page string"
+    b_schema = "user_id long, ts timestamp, amount double"
+
+    def write_src(name, rows, schema):
+        src = tmp_path / name
+        src.mkdir()
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage" / name))
+        part = glob.glob(str(tmp_path / "stage" / name / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / "data.parquet"))
+        return spark.readStream.schema(schema).parquet(str(src))
+
+    views = write_src("views", view_rows, v_schema)
+    buys = write_src("buys", buy_rows, b_schema)
+    q = (
+        join_event_streams(views, buys)
+        .writeStream.format("memory")
+        .queryName("attrib_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.l_ts.isoformat(), r.r_ts.isoformat(), r.page, r.r_amount)
+        for r in spark.sql("SELECT * FROM attrib_out").collect()
+    }
+    want = {
+        (1, "2024-01-01T09:00:00", "2024-01-01T09:10:00", "home", 5.0),
+        (2, "2024-01-01T09:05:00", "2024-01-01T09:06:00", "home", 9.0),
+    }
+    assert got == want
+
+    # batch twin through the same call site
+    bv = spark.createDataFrame(view_rows, v_schema)
+    bb = spark.createDataFrame(buy_rows, b_schema)
+    batch = {
+        (r.user_id, r.l_ts.isoformat(), r.r_ts.isoformat(), r.page, r.r_amount)
+        for r in join_event_streams(bv, bb).collect()
+    }
+    assert batch == want
+
+
+def test_join_event_streams_self_join_lineage(spark):
+    """Both sides filtered from the SAME parent frame (the common batch
+    backfill shape) must keep the key equality — regression for the
+    trivially-true self-join predicate Spark silently constructs without
+    explicit aliases."""
+    import datetime as dt
+
+    from mcp_local_rag_spark.streaming.watch import join_event_streams
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    ev = spark.createDataFrame(
+        [
+            (1, t("2024-01-01 09:00:00"), "view", 0.0),
+            (2, t("2024-01-01 09:01:00"), "view", 0.0),
+            (1, t("2024-01-01 09:05:00"), "purchase", 5.0),   # same user: match
+            (2, t("2024-01-01 11:00:00"), "purchase", 9.0),   # outside window
+        ],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    v = ev.filter("event_type='view'").select("user_id", "ts")
+    p = ev.filter("event_type='purchase'").select("user_id", "ts", "value")
+    rows = join_event_streams(v, p).collect()
+    assert [(r.user_id, r.r_value) for r in rows] == [(1, 5.0)]
