@@ -388,3 +388,31 @@ def test_boilerplate_ngrams_is_map_then_two_aggregates(spark, qs):
     p = plan(qs["corpus_boilerplate_ngrams"](spark, SF_DIR))
     assert "CartesianProduct" not in p
     assert "Window" not in p
+
+
+def test_dsir_ratio_table_broadcasts(spark, qs):
+    """DSIR scoring must meet the 4096-row bucket-ratio table through a
+    broadcast join; the only corpus-sized exchanges are the token-bucket
+    aggregates. A sort-merge join here would shuffle every token row."""
+    p = plan(qs["corpus_dsir_weights"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_dedup_spans_no_cartesian_gram_join(spark, qs):
+    """Repeated-span coverage joins grams back to the duplicated-gram set
+    on the gram hash — an equi (semi) join, never a cartesian, and gram
+    construction is explode+slice (no per-doc window sort)."""
+    p = plan(qs["text_dedup_spans"](spark, SF_DIR))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Window" not in p, p
+
+
+def test_bloom_probe_never_shuffle_joins_the_bit_table(spark, qs):
+    """The Bloom bit table (<= 8192 rows) must broadcast; the probe side
+    stays map-side until its own per-key aggregate."""
+    p = plan(qs["events_bloom_prune"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p

@@ -156,6 +156,26 @@ COMMENTARY = {
         "WindowExec — the scale-killer 'No Partition Defined for Window' "
         "gather cannot appear."
     ),
+    "corpus_dsir_weights": (
+        "DSIR importance scoring: token->bucket is a map-only md5+mod; the "
+        "target/raw distributions are 4096-row aggregates with map-side "
+        "partial combine; the log-ratio table broadcasts onto the per-"
+        "(doc,bucket) counts. The only corpus-sized shuffle is that one "
+        "per-doc aggregate — the minimum any per-document scorer pays."
+    ),
+    "text_dedup_spans": (
+        "Repeated-span coverage: 8-gram construction is explode+slice+md5 "
+        "(codegen, no per-doc window sort); cross-doc grams come from one "
+        "aggregate on the gram hash; the join back is an equi semi-join; "
+        "coverage is a bounded 8x explode over only duplicated "
+        "occurrences. Linear in corpus tokens, no all-pairs step."
+    ),
+    "events_bloom_prune": (
+        "Bloom join pruning: the <=8192-row bit table broadcasts, so the "
+        "probe side is filtered map-side before its per-key aggregate — "
+        "the probe table never shuffles into a semi-join. At 100 TB the "
+        "probe scan is the only full pass."
+    ),
 }
 
 
