@@ -773,3 +773,28 @@ def q_events_bloom_prune(spark, sf_dir):
             "n_false_positives"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters over bounded memory: Misra-Gries candidates per
+# partition (O(k) state however large the input), then an exact recount of
+# only the candidate keys. The two-pass split is what makes the answer
+# EXACT and deterministic at any partitioning — MG alone returns
+# partitioning-dependent estimates; the recount turns its no-false-negative
+# guarantee into the precise "frequency > n/k" set the oracle can verify
+# with a plain GROUP BY / HAVING.
+
+@register(
+    "events_heavy_hitters",
+    """WITH tot AS (SELECT count(*)::BIGINT AS n FROM events)
+SELECT user_id, count(*)::BIGINT AS cnt
+FROM events, tot
+GROUP BY user_id, tot.n
+HAVING count(*) * 125 > tot.n
+ORDER BY cnt DESC, user_id""",
+)
+def q_events_heavy_hitters(spark, sf_dir):
+    from ..operators.skew import heavy_hitters_exact
+
+    ev = load(spark, sf_dir, "events")
+    return heavy_hitters_exact(ev, "user_id", k=125)

@@ -208,3 +208,43 @@ def test_near_dups_and_cosine_survive_zero_norm_vectors(spark):
         .first()
     )
     assert row.c is None
+
+
+def test_heavy_hitters_exact_matches_groupby_any_partitioning(spark):
+    """The two-pass MG+recount must equal the exact GROUP BY answer under
+    every partitioning (candidates depend on partitioning; the final
+    answer must not)."""
+    from mcp_local_rag_spark.operators.skew import heavy_hitters_exact
+
+    # 3 hot keys + a long uniform tail
+    rows = [(k,) for k in [1] * 400 + [2] * 300 + [3] * 150]
+    rows += [(100 + i % 50,) for i in range(150)]  # tail: 3 each
+    df = spark.createDataFrame(rows, "user_id long")
+    n = len(rows)
+    k = 20  # threshold n/k = 50
+    expect = {
+        (r.user_id, r.cnt)
+        for r in df.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * k > n)
+        .collect()
+    }
+    assert expect == {(1, 400), (2, 300), (3, 150)}
+    for parts in (1, 7, 32):
+        got = {
+            (r.user_id, r.cnt)
+            for r in heavy_hitters_exact(df.repartition(parts), "user_id", k=k).collect()
+        }
+        assert got == expect, parts
+
+
+def test_heavy_hitters_no_false_negatives_at_mg_capacity(spark):
+    """Adversarial MG case: more distinct keys than counters in every
+    partition; the guaranteed-superset candidates must still retain the
+    true heavy hitter."""
+    from mcp_local_rag_spark.operators.skew import heavy_hitters_exact
+
+    rows = [(0,)] * 60 + [(i,) for i in range(1, 201)]  # hot key + 200 singletons
+    df = spark.createDataFrame(rows, "user_id long").repartition(4)
+    out = heavy_hitters_exact(df, "user_id", k=5).collect()  # threshold 52
+    assert [(r.user_id, r.cnt) for r in out] == [(0, 60)]
