@@ -1299,3 +1299,99 @@ def q_knn_recall_report(spark, sf_dir):
         rep.withColumn("recall", F.round(F.col("hits") / 10.0, 6) + F.lit(0.0))
         .orderBy("variant", "query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive/embedding training (the batch-mining
+# step behind every dual-encoder recipe, e.g. DPR/ANCE): for each anchor,
+# the most similar SAME-label vector (positive) and the most similar
+# DIFFERENT-label vector (the hard negative — what the model must learn to
+# push away), plus the margin between them. Low/negative margins mark the
+# anchors whose neighborhoods are contaminated — exactly the pairs worth
+# training on.
+#
+# Scale posture: anchors broadcast (mining batches are bounded); scoring is
+# one map-side pass over the corpus with the Arrow cosine kernel; per-
+# (anchor, class) top-1 is a max(struct) aggregate — no window over corpus
+# rows, no pair materialization beyond the scored stream.
+
+_COS_QB = (
+    "round(list_dot_product(b.embedding::DOUBLE[], q.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) + 0"
+)
+
+
+@register(
+    "knn_hard_negatives",
+    f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding, label FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         CASE WHEN b.label = q.label THEN 1 ELSE 0 END AS is_pos,
+         {_COS_QB} AS cos
+  FROM embeddings b, q
+  WHERE b.vec_id <> q.query_id
+),
+best AS (
+  SELECT query_id, is_pos, neighbor_id, cos FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id, is_pos
+                             ORDER BY cos DESC, neighbor_id) = 1
+)
+SELECT query_id,
+       max(CASE WHEN is_pos = 1 THEN neighbor_id END)::BIGINT AS pos_id,
+       max(CASE WHEN is_pos = 1 THEN cos END) AS pos_cos,
+       max(CASE WHEN is_pos = 0 THEN neighbor_id END)::BIGINT AS neg_id,
+       max(CASE WHEN is_pos = 0 THEN cos END) AS neg_cos,
+       round(max(CASE WHEN is_pos = 1 THEN cos END)
+             - max(CASE WHEN is_pos = 0 THEN cos END), 6) + 0 AS margin
+FROM best GROUP BY query_id ORDER BY query_id""",
+)
+def q_knn_hard_negatives(spark, sf_dir):
+    from ..functions.vector import cosine_pairs_pandas
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("label").alias("_ql"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_bv"),
+        F.col("label").alias("_bl"),
+    )
+    cos_pd = cosine_pairs_pandas()
+    scored = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cos_pd(F.col("_qv"), F.col("_bv")), 6) + F.lit(0.0))
+        .filter(~F.isnan("cos"))
+        .withColumn("is_pos", (F.col("_bl") == F.col("_ql")).cast("int"))
+    )
+    # top-1 per (anchor, class) as a max over (cos, -id) structs: largest
+    # rounded cosine, smallest neighbor_id on ties — no corpus-sized window
+    best = scored.groupBy("query_id", "is_pos").agg(
+        F.max(
+            F.struct(F.col("cos"), (-F.col("neighbor_id")).alias("_nn"))
+        ).alias("m")
+    )
+    return (
+        best.groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("is_pos") == 1, F.col("m"))).alias("p"),
+            F.max(F.when(F.col("is_pos") == 0, F.col("m"))).alias("n"),
+        )
+        .select(
+            "query_id",
+            (-F.col("p._nn")).cast("long").alias("pos_id"),
+            F.col("p.cos").alias("pos_cos"),
+            (-F.col("n._nn")).cast("long").alias("neg_id"),
+            F.col("n.cos").alias("neg_cos"),
+            (F.round(F.col("p.cos") - F.col("n.cos"), 6) + F.lit(0.0)).alias(
+                "margin"
+            ),
+        )
+        .orderBy("query_id")
+    )

@@ -100,3 +100,26 @@ def test_bloom_prune_probe_side_joins_broadcast(spark):
     broadcast hash join — never a sort-merge shuffle of the big side."""
     plan = q_events_bloom_prune(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_hard_negatives_picks_cross_label_top1(spark, tmp_path):
+    from mcp_local_rag_spark.queries.ext import q_knn_hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 1),    # anchor
+        (1, [0.9, 0.1], 1),    # same label, closest -> positive
+        (2, [0.5, 0.5], 1),    # same label, farther
+        (3, [0.8, 0.2], 2),    # different label, closest -> hard negative
+        (4, [0.0, 1.0], 2),    # different label, far
+    ]
+    p = os.path.join(str(tmp_path), "embeddings.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(p)
+    out = {r.query_id: r for r in q_knn_hard_negatives(spark, str(tmp_path)).collect()}
+    a = out[0]
+    assert a.pos_id == 1 and a.neg_id == 3
+    assert a.pos_cos > a.neg_cos > 0
+    assert abs(a.margin - round(a.pos_cos - a.neg_cos, 6)) < 1e-9
+    # anchor 3's hardest negative is the label-1 vector nearest to it
+    assert out[3].neg_id == 1
