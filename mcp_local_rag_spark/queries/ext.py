@@ -1395,3 +1395,80 @@ def q_knn_hard_negatives(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF document keywords: the top-3 most characteristic terms per
+# document (tf * ln(N/df), smoothed) — the classic per-document labeling /
+# topic-hint extraction pass. Scale: tokenize+count is the per-(doc,term)
+# aggregate every scorer pays; document frequencies are ONE vocabulary
+# aggregate joined back by term (equi join); top-3 per doc is a window
+# over each doc's OWN terms, partitioned by doc_id — never a global sort.
+# Determinism: integer tf/df/N; the score is quantized to micro-units
+# (round(tf * ln(N/df) * 1e6) as BIGINT) so ranking ties are integer-exact
+# in both engines, with the term string as the final tie-break.
+
+@register(
+    "text_tfidf_keywords",
+    """WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok
+),
+n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000)
+              AS BIGINT) AS score_micro
+  FROM tf JOIN df USING (tok), n
+)
+SELECT doc_id, tok AS term, score_micro,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score_micro DESC, tok) AS rk
+FROM scored
+QUALIFY rk <= 3
+ORDER BY doc_id, rk""",
+)
+def q_text_tfidf_keywords(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * 1000000
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("tok").alias("term"), "score_micro", "rk")
+        .orderBy("doc_id", "rk")
+    )
