@@ -899,3 +899,140 @@ def q_text_dedup_spans(spark, sf_dir):
         .orderBy(F.col("dup_frac").desc(), "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# The composed curation pipeline — one plan that takes the raw corpus to a
+# per-document training disposition, the way a materialization job actually
+# runs (stages share scans instead of re-reading the corpus per filter):
+#
+#   1. benchmark      — held-out slice (doc_id % 97 = 0), never trained on
+#   2. contaminated   — shares a 5-gram with the benchmark slice
+#   3. exact_dup      — non-representative exact copy among survivors
+#                       (representative = min doc_id per content hash)
+#   4. quality        — fails the Gopher-style integer-exact filter
+#   5. keep           — assigned a deterministic train/val/test split
+#
+# Precedence is top-down; each doc gets exactly one disposition. Dup
+# grouping runs over stage-1/2 SURVIVORS so a contaminated copy never
+# steals representative status from a clean one. Scale: the gram pass is
+# the decontamination cost (map-only + one distinct + semi join); dup
+# grouping is one hash aggregate; quality metrics are per-row array
+# expressions; split is a pure hash expression — nothing quadratic, and
+# the whole disposition is computed in one job.
+
+@register(
+    "corpus_curation_pipeline",
+    """WITH tokd AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+  FROM tokd, unnest(range(1, len(toks) - 3)) AS r(i)
+  WHERE len(toks) >= 5
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+contam AS (
+  SELECT DISTINCT doc_id FROM grams JOIN bench USING (gram)
+  WHERE doc_id % 97 <> 0
+),
+surv AS (
+  SELECT * FROM tokd
+  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)
+),
+reps AS (SELECT md5(text) AS h, min(doc_id) AS rep_id FROM surv GROUP BY 1),
+m AS (
+  SELECT t.doc_id, t.lang,
+         len(t.toks)::BIGINT AS n_tok,
+         coalesce(list_sum(list_transform(t.toks, x -> length(x))), 0)::BIGINT AS sum_chars,
+         len(list_distinct(t.toks))::BIGINT AS n_distinct,
+         md5(t.text) AS h,
+         ('0x' || substr(md5(t.doc_id::VARCHAR), 1, 2))::BIGINT AS hb,
+         (t.doc_id % 97 = 0) AS is_bench,
+         t.doc_id IN (SELECT doc_id FROM contam) AS is_contam
+  FROM tokd t
+),
+d AS (
+  SELECT m.doc_id, m.lang, m.hb,
+         CASE WHEN is_bench THEN 'benchmark'
+              WHEN is_contam THEN 'contaminated'
+              WHEN rr.rep_id IS NOT NULL AND m.doc_id <> rr.rep_id THEN 'exact_dup'
+              WHEN NOT (n_tok BETWEEN 5 AND 10000
+                        AND sum_chars BETWEEN 2 * n_tok AND 12 * n_tok
+                        AND n_distinct * 5 >= n_tok) THEN 'quality'
+              ELSE 'keep' END AS disposition
+  FROM m LEFT JOIN reps rr ON m.h = rr.h
+)
+SELECT doc_id, lang, disposition,
+       CASE WHEN disposition = 'keep'
+            THEN CASE WHEN hb < 230 THEN 'train'
+                      WHEN hb < 243 THEN 'val'
+                      ELSE 'test' END END AS split
+FROM d ORDER BY doc_id""",
+)
+def q_corpus_curation_pipeline(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    tok_col = F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
+    d = docs.select("doc_id", "lang", "text", tok_col.alias("_toks"))
+    grams = (
+        d.filter(F.size("_toks") >= 5)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("_toks") - 4)).alias("_i"),
+            "_toks",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("_toks", F.col("_i"), 5)).alias("gram"),
+        )
+        .distinct()
+    )
+    bench_grams = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    contam = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(bench_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_contam", F.lit(1))
+    )
+    base = d.join(contam, "doc_id", "left")
+    surv = base.filter(
+        (F.col("doc_id") % 97 != 0) & F.col("_contam").isNull()
+    )
+    reps = surv.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("_rep")
+    )
+    m = base.withColumn("_h", F.md5("text")).join(reps, "_h", "left")
+    n_tok = F.size("_toks").cast("long")
+    sum_chars = F.aggregate(
+        F.col("_toks"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_distinct = F.size(F.array_distinct(F.col("_toks"))).cast("long")
+    gopher_ok = (
+        n_tok.between(5, 10000)
+        & sum_chars.between(2 * n_tok, 12 * n_tok)
+        & (n_distinct * 5 >= n_tok)
+    )
+    hb = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "long"
+    )
+    disposition = (
+        F.when(F.col("doc_id") % 97 == 0, "benchmark")
+        .when(F.col("_contam").isNotNull(), "contaminated")
+        .when(
+            F.col("_rep").isNotNull() & (F.col("doc_id") != F.col("_rep")),
+            "exact_dup",
+        )
+        .when(~gopher_ok, "quality")
+        .otherwise("keep")
+    )
+    split = F.when(
+        disposition == "keep",
+        F.when(hb < 230, "train").when(hb < 243, "val").otherwise("test"),
+    )
+    return m.select(
+        "doc_id", "lang", disposition.alias("disposition"), split.alias("split")
+    ).orderBy("doc_id")

@@ -123,3 +123,30 @@ def test_hard_negatives_picks_cross_label_top1(spark, tmp_path):
     assert abs(a.margin - round(a.pos_cos - a.neg_cos, 6)) < 1e-9
     # anchor 3's hardest negative is the label-1 vector nearest to it
     assert out[3].neg_id == 1
+
+
+def test_curation_pipeline_dispositions_are_consistent(spark):
+    from mcp_local_rag_spark.queries.curation import (
+        q_corpus_curation_pipeline,
+        q_text_gopher_filter,
+    )
+
+    out = q_corpus_curation_pipeline(spark, SF).collect()
+    n_docs = load(spark, SF, "documents").count()
+    assert len(out) == n_docs  # exactly one disposition per doc
+    by = {}
+    for r in out:
+        by.setdefault(r.disposition, []).append(r)
+        # split present iff kept
+        assert (r.split is not None) == (r.disposition == "keep")
+    # the held-out slice is exactly the doc_id % 97 == 0 docs
+    assert sorted(r.doc_id for r in by.get("benchmark", [])) == [
+        i for i in range(n_docs) if i % 97 == 0
+    ]
+    # every 'quality' doc does fail the standalone gopher filter
+    gopher = {r.doc_id: r.keep for r in q_text_gopher_filter(spark, SF).collect()}
+    for r in by.get("quality", []):
+        assert gopher[r.doc_id] == 0
+    # kept docs pass it
+    for r in by.get("keep", []):
+        assert gopher[r.doc_id] == 1
