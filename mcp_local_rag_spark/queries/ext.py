@@ -1472,3 +1472,59 @@ def q_text_tfidf_keywords(spark, sf_dir):
         .select("doc_id", F.col("tok").alias("term"), "score_micro", "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic keep-list (Abbas et al. 2023): embedding-space
+# near-duplicate pairs (cosine within a blocking key) -> connected
+# components -> one representative (min id) kept per semantic cluster.
+# This is the embedding-side twin of dedup_keep_list's MinHash pipeline:
+# same decision-artifact shape, different similarity channel — lexical
+# MinHash misses paraphrases that embedding cosine catches. Blocking by
+# cluster/label keeps the pair stage equi-keyed (never all-pairs); the
+# component step is the same bounded star-contraction operator.
+
+@register(
+    "dedup_semantic_keep_list",
+    f"""WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({_COS_PAIR}, 6) + 0 >= 0.9
+),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+labels AS (SELECT id, min(lab)::BIGINT AS cluster_id FROM reach GROUP BY id)
+SELECT e.vec_id,
+       coalesce(l.cluster_id, e.vec_id)::BIGINT AS representative,
+       (l.cluster_id IS NULL OR l.cluster_id = e.vec_id) AS keep
+FROM embeddings e LEFT JOIN labels l ON l.id = e.vec_id
+ORDER BY e.vec_id""",
+)
+def q_dedup_semantic_keep_list(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups(emb, threshold=0.9).persist()
+    pairs.count()
+    labels = dedup.connected_components(pairs)
+    return (
+        emb.select("vec_id")
+        .join(labels.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("label"), F.col("vec_id"))
+            .cast("bigint")
+            .alias("representative"),
+            (
+                F.col("label").isNull() | (F.col("label") == F.col("vec_id"))
+            ).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

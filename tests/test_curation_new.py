@@ -150,3 +150,43 @@ def test_curation_pipeline_dispositions_are_consistent(spark):
     # kept docs pass it
     for r in by.get("keep", []):
         assert gopher[r.doc_id] == 1
+
+
+def test_semantic_keep_list_structure(spark):
+    from mcp_local_rag_spark.queries.ext import q_dedup_semantic_keep_list
+
+    out = {r.vec_id: r for r in q_dedup_semantic_keep_list(spark, SF).collect()}
+    emb = load(spark, SF, "embeddings")
+    assert len(out) == emb.count()
+    for r in out.values():
+        assert r.representative <= r.vec_id
+        assert r.keep == (r.representative == r.vec_id)
+
+
+def test_semantic_keep_list_planted_clusters(spark, tmp_path):
+    """Planted geometry: two tight semantic clusters plus a loner — each
+    cluster keeps exactly its min-id representative."""
+    from mcp_local_rag_spark.queries.ext import q_dedup_semantic_keep_list
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.999, 0.01], 1),   # near-dup of 0
+        (2, [0.0, 1.0], 1),
+        (3, [0.01, 0.999], 1),   # near-dup of 2
+        (4, [0.7, 0.7], 1),      # loner (cos ~0.71 to both axes)
+    ]
+    p = os.path.join(str(tmp_path), "embeddings.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(p)
+    out = {
+        r.vec_id: (r.representative, r.keep)
+        for r in q_dedup_semantic_keep_list(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        0: (0, True),
+        1: (0, False),
+        2: (2, True),
+        3: (2, False),
+        4: (4, True),
+    }
