@@ -1036,3 +1036,55 @@ def q_corpus_curation_pipeline(spark, sf_dir):
     return m.select(
         "doc_id", "lang", disposition.alias("disposition"), split.alias("split")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Epoch plan: convert temperature-scaled mixture weights into the per-
+# source repeat plan a training run actually consumes — how many
+# (milli-)epochs of each source to sample so the mixture hits the target
+# under a fixed token budget, capped at 4 epochs (the published guidance
+# that repeating data much beyond that stops helping — e.g. Muennighoff
+# et al. 2023, "Scaling Data-Constrained Language Models"). One tiny
+# aggregate (|sources| rows) + a broadcast scalar; everything else is
+# per-row arithmetic.
+
+_EPOCH_BUDGET = 2_000_000  # planning budget in chars (stand-in for tokens)
+_EPOCH_CAP_MILLI = 4000    # 4.0 epochs
+
+@register(
+    "corpus_epoch_plan",
+    f"""WITH counts AS (
+  SELECT source, sum(n_chars)::BIGINT AS natural_chars
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(pow(natural_chars, 0.7)) AS z FROM counts)
+SELECT source, natural_chars,
+       round(pow(natural_chars, 0.7) / tot.z, 6) + 0 AS mix_w,
+       least(CAST(round({_EPOCH_BUDGET}.0 * (pow(natural_chars, 0.7) / tot.z)
+                        / natural_chars * 1000) AS BIGINT),
+             {_EPOCH_CAP_MILLI}) AS epochs_milli
+FROM counts, tot
+ORDER BY source""",
+)
+def q_corpus_epoch_plan(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("natural_chars")
+    )
+    tot = counts.agg(F.sum(F.pow("natural_chars", 0.7)).alias("z"))
+    p = F.pow("natural_chars", 0.7) / F.col("z")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "natural_chars",
+            (F.round(p, 6) + F.lit(0.0)).alias("mix_w"),
+            F.least(
+                F.round(
+                    F.lit(float(_EPOCH_BUDGET)) * p / F.col("natural_chars") * 1000
+                ).cast("long"),
+                F.lit(_EPOCH_CAP_MILLI).cast("long"),
+            ).alias("epochs_milli"),
+        )
+        .orderBy("source")
+    )
