@@ -21,11 +21,12 @@ from pyspark.sql import functions as F
 
 
 def tokens(col: Column) -> Column:
-    """Lowercase word tokens: split on non-alphanumeric runs, drop empties."""
-    return F.filter(
-        F.split(F.lower(col), "[^a-z0-9]+"),
-        lambda x: x != F.lit(""),
-    )
+    """Lowercase word tokens: split on non-alphanumeric runs, drop empties.
+
+    ``array_remove`` (codegen'd builtin) rather than a lambda ``F.filter``
+    — higher-order functions evaluate interpreted per element, and this
+    expression sits on the hottest path of every tokenizing query."""
+    return F.array_remove(F.split(F.lower(col), "[^a-z0-9]+"), "")
 
 
 def char_ngrams(col: Column, n: int) -> Column:

@@ -87,6 +87,11 @@ def heavy_hitters_exact(
     This is how exact top-talker reports run over 100 TB of logs: the only
     full-corpus shuffle is the final aggregate over candidate rows only;
     MG state is O(k) per task regardless of input size.
+
+    NULL keys are excluded up front (and from ``n``): pandas drops them in
+    the MG pass and an equi semi-join can never recount them, so counting
+    them anywhere else would silently under-report — the contract is
+    "heavy hitters among non-null keys".
     """
     import pandas as pd
 
@@ -105,7 +110,7 @@ def heavy_hitters_exact(
                 }
         yield pd.DataFrame({key_col: list(counters.keys())})
 
-    keys_only = df.select(key_col)
+    keys_only = df.select(key_col).filter(F.col(key_col).isNotNull())
     schema = f"{key_col} {dict(df.dtypes)[key_col]}"
     cands = keys_only.mapInPandas(mg, schema).distinct()
     total = keys_only.agg(F.count("*").alias("_n"))

@@ -602,11 +602,7 @@ def q_text_unigram_logprob(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.explode(
-            F.array_remove(
-                F.split(F.lower(F.col("text")), "[^a-z0-9]+"), ""
-            )
-        ).alias("tok"),
+        F.explode(TX.tokens(F.col("text"))).alias("tok"),
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
     stats = vocab.agg(
@@ -660,9 +656,7 @@ def q_corpus_zipf_slope(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     vocab = docs.select(
-        F.explode(
-            F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
-        ).alias("tok")
+        F.explode(TX.tokens(F.col("text"))).alias("tok")
     ).groupBy("tok").agg(F.count("*").alias("freq"))
     # TakeOrderedAndProject picks the top-1000 vocabulary rows (per-
     # partition heaps, no global sort), so the rank window below runs
@@ -744,9 +738,7 @@ def q_corpus_dsir_weights(spark, sf_dir):
     tb = docs.select(
         "doc_id",
         "lang",
-        F.explode(
-            F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
-        ).alias("tok"),
+        F.explode(TX.tokens(F.col("text"))).alias("tok"),
     ).select(
         "doc_id",
         "lang",
@@ -852,9 +844,7 @@ def q_text_dedup_spans(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "").alias(
-            "_toks"
-        ),
+        TX.tokens(F.col("text")).alias("_toks"),
     ).filter(F.size("_toks") >= k)
     grams = toks.select(
         "doc_id",
@@ -975,21 +965,11 @@ FROM d ORDER BY doc_id""",
 )
 def q_corpus_curation_pipeline(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    tok_col = F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
+    tok_col = TX.tokens(F.col("text"))
+    from ..operators.dedup import shingle_sets
+
     d = docs.select("doc_id", "lang", "text", tok_col.alias("_toks"))
-    grams = (
-        d.filter(F.size("_toks") >= 5)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.size("_toks") - 4)).alias("_i"),
-            "_toks",
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.slice("_toks", F.col("_i"), 5)).alias("gram"),
-        )
-        .distinct()
-    )
+    grams = shingle_sets(docs, k=5).withColumnRenamed("shingle", "gram")
     bench_grams = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
     contam = (
         grams.filter(F.col("doc_id") % 97 != 0)

@@ -786,9 +786,10 @@ def q_events_bloom_prune(spark, sf_dir):
 
 @register(
     "events_heavy_hitters",
-    """WITH tot AS (SELECT count(*)::BIGINT AS n FROM events)
+    """WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+tot AS (SELECT count(*)::BIGINT AS n FROM ev)
 SELECT user_id, count(*)::BIGINT AS cnt
-FROM events, tot
+FROM ev, tot
 GROUP BY user_id, tot.n
 HAVING count(*) * 125 > tot.n
 ORDER BY cnt DESC, user_id""",

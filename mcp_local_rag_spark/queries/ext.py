@@ -1335,7 +1335,10 @@ scored AS (
   WHERE b.vec_id <> q.query_id
 ),
 best AS (
+  -- zero-norm vectors make the cosine NULL/NaN; the Spark side drops
+  -- them (filter ~isnan), so the oracle must too
   SELECT query_id, is_pos, neighbor_id, cos FROM scored
+  WHERE cos IS NOT NULL AND isfinite(cos)
   QUALIFY row_number() OVER (PARTITION BY query_id, is_pos
                              ORDER BY cos DESC, neighbor_id) = 1
 )
@@ -1367,7 +1370,9 @@ def q_knn_hard_negatives(spark, sf_dir):
         b.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", F.round(cos_pd(F.col("_qv"), F.col("_bv")), 6) + F.lit(0.0))
-        .filter(~F.isnan("cos"))
+        # isnan(NULL) is FALSE in Spark, so a null cosine (Arrow NaN can
+        # surface as null) needs its own guard or it slips through
+        .filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
         .withColumn("is_pos", (F.col("_bl") == F.col("_ql")).cast("int"))
     )
     # top-1 per (anchor, class) as a max over (cos, -id) structs: largest
@@ -1441,9 +1446,7 @@ def q_text_tfidf_keywords(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.explode(
-            F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
-        ).alias("tok"),
+        F.explode(TX.tokens(F.col("text"))).alias("tok"),
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))

@@ -190,3 +190,25 @@ def test_semantic_keep_list_planted_clusters(spark, tmp_path):
         3: (2, False),
         4: (4, True),
     }
+
+
+def test_hard_negatives_drops_zero_norm_vectors(spark, tmp_path):
+    """A zero-norm corpus vector has NaN cosine to everything; it must not
+    surface as positive or negative (both engines drop it — oracle parity
+    is guarded by the isfinite filter in the SQL twin)."""
+    from mcp_local_rag_spark.queries.ext import q_knn_hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.9, 0.1], 1),
+        (2, [0.0, 0.0], 1),    # zero-norm: NaN cosine, same label
+        (3, [0.5, 0.5], 2),
+    ]
+    p = os.path.join(str(tmp_path), "embeddings.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(p)
+    out = {r.query_id: r for r in q_knn_hard_negatives(spark, str(tmp_path)).collect()}
+    assert out[0].pos_id == 1 and out[0].neg_id == 3
+    # the zero-norm vector contributes no row of its own either
+    assert 2 not in out

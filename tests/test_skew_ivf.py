@@ -248,3 +248,16 @@ def test_heavy_hitters_no_false_negatives_at_mg_capacity(spark):
     df = spark.createDataFrame(rows, "user_id long").repartition(4)
     out = heavy_hitters_exact(df, "user_id", k=5).collect()  # threshold 52
     assert [(r.user_id, r.cnt) for r in out] == [(0, 60)]
+
+
+def test_heavy_hitters_excludes_null_keys_from_count_and_output(spark):
+    """NULL keys are excluded from both the candidate set AND n, so a
+    NULL-heavy input neither surfaces a NULL row nor inflates the
+    threshold."""
+    from mcp_local_rag_spark.operators.skew import heavy_hitters_exact
+
+    rows = [(1,)] * 30 + [(None,)] * 100 + [(i,) for i in range(2, 20)]
+    df = spark.createDataFrame(rows, "user_id long")
+    # non-null n = 48; k=4 -> threshold 12: only key 1 qualifies
+    out = heavy_hitters_exact(df, "user_id", k=4).collect()
+    assert [(r.user_id, r.cnt) for r in out] == [(1, 30)]
