@@ -494,3 +494,45 @@ def connected_components(
     if stats is not None:
         stats.update(strategy="star_contraction", rounds=rounds)
     return labels
+
+
+def integer_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    id_col: str = "id",
+) -> DataFrame:
+    """PageRank in integer micro-units — bit-identical on every engine.
+
+    (nodes[id], edges[src,dst]) -> (id, rank) after ``iters`` Pregel-style
+    rounds: contribution = rank // out_degree (integer floor division),
+    new rank = 150000 + (85 * incoming) // 100 (damping 0.85 in exact
+    integer arithmetic, initial rank 1_000_000). No float appears anywhere,
+    so partitioning/summation order cannot perturb the fixpoint — the same
+    recurrence in SQL (// division) reproduces it exactly. Dangling mass is
+    not redistributed (teleport-only nodes hold 150000); fine for
+    centrality ranking, not for probability-normalized scores.
+
+    Cost per round: one equi-join of edges to the |nodes|-row rank frame +
+    one aggregate on dst — linear in |edges|, never corpus-quadratic.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.select(F.col(id_col).alias("id")).withColumn(
+        "rank", F.lit(1_000_000).cast("long")
+    )
+    base = nodes.select(F.col(id_col).alias("id"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg, "src")
+            .select(F.col("dst").alias("id"), F.expr("rank div deg").alias("c"))
+        )
+        inc = contrib.groupBy("id").agg(F.sum("c").alias("inc"))
+        ranks = base.join(inc, "id", "left").select(
+            "id",
+            (F.lit(150_000) + F.expr("(85 * coalesce(inc, 0L)) div 100"))
+            .cast("long")
+            .alias("rank"),
+        )
+    return ranks

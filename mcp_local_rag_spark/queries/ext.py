@@ -1531,3 +1531,78 @@ def q_dedup_semantic_keep_list(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality over the verified duplicate graph — the iterative-
+# algorithm shape (Pregel-style rounds: one equi-join + one aggregate per
+# iteration) that neither a window nor a single aggregate can express.
+# Use case: rank duplicate-cluster members by connectivity so the cluster
+# representative can be the HUB (the doc everything else copies) rather
+# than just the min id.
+#
+# Engine-exact by construction: ranks live in integer micro-units; each
+# round divides by degree and applies damping with INTEGER floor division
+# (Spark `div` == DuckDB `//` on positive BIGINTs), so there is no float
+# summation anywhere and both engines reach bit-identical fixpoints.
+# Dangling mass is not redistributed (teleport-only nodes keep 150000) —
+# documented simplification, fine for a centrality diagnostic. Scale: per
+# round cost is one shuffle join on src + one aggregate on dst; the rank
+# frame is |nodes| rows, never corpus-sized.
+
+_PR_ITERS = 3
+
+
+def _pagerank_sql() -> str:
+    ctes = [
+        """edges AS (
+  SELECT id1 AS src, id2 AS dst FROM jpairs
+  UNION
+  SELECT id2, id1 FROM jpairs
+),
+nodes AS (SELECT DISTINCT doc_id AS id FROM corpus),
+deg AS (SELECT src AS id, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+r0 AS (SELECT id, 1000000::BIGINT AS rank FROM nodes)"""
+    ]
+    for t in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""r{t} AS (
+  SELECT n.id,
+         (150000 + (85 * coalesce(s.inc, 0)) // 100)::BIGINT AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, sum(p.rank // d.deg)::BIGINT AS inc
+    FROM edges e JOIN r{t - 1} p ON p.id = e.src JOIN deg d ON d.id = e.src
+    GROUP BY e.dst
+  ) s ON s.id = n.id
+)"""
+        )
+    return (
+        f"WITH {_JACCARD_PAIRS_CTES},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT id AS doc_id, rank AS rank_micro FROM r{_PR_ITERS}"
+        "\nORDER BY rank_micro DESC, doc_id LIMIT 20"
+    )
+
+
+@register("dedup_graph_pagerank", _pagerank_sql())
+def q_dedup_graph_pagerank(spark, sf_dir):
+    corpus = _dedup_corpus(spark, sf_dir)
+    shingles = dedup.shingle_sets(corpus).persist()
+    shingles.count()
+    cpairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(shingles)).persist()
+    cpairs.count()
+    jp = dedup.jaccard_verify(cpairs, shingles, threshold=0.7).select("id1", "id2")
+    edges = (
+        jp.union(jp.select(F.col("id2"), F.col("id1")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    nodes = corpus.select(F.col("doc_id").alias("id")).distinct()
+    ranks = dedup.integer_pagerank(nodes, edges, iters=_PR_ITERS)
+    return (
+        ranks.select(
+            F.col("id").alias("doc_id"), F.col("rank").alias("rank_micro")
+        )
+        .orderBy(F.col("rank_micro").desc(), "doc_id")
+        .limit(20)
+    )

@@ -180,3 +180,30 @@ def test_persisted_signature_table_incremental(spark, tmp_path):
     # append happened: the table now covers all 12 docs, and a SECOND
     # batch sees the first batch as corpus
     assert read_signatures(spark, path).count() == 12
+
+
+def test_integer_pagerank_star_hub_wins_and_is_partition_stable(spark):
+    """Star graph: the hub must outrank every leaf; isolated nodes keep the
+    teleport-only rank; and the integer recurrence is identical under
+    different partitionings."""
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.operators.dedup import integer_pagerank
+
+    leaves = list(range(1, 9))
+    und = [(0, l) for l in leaves] + [(l, 0) for l in leaves]
+    edges = spark.createDataFrame(und, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")  # 9 = isolated
+
+    out = {r.id: r.rank for r in integer_pagerank(nodes, edges, iters=3).collect()}
+    assert out[9] == 150_000                      # isolated: teleport only
+    assert all(out[0] > out[l] for l in leaves)   # hub dominates
+    assert len(set(out[l] for l in leaves)) == 1  # symmetric leaves tie exactly
+
+    out2 = {
+        r.id: r.rank
+        for r in integer_pagerank(
+            nodes.repartition(7), edges.repartition(5), iters=3
+        ).collect()
+    }
+    assert out == out2
