@@ -1,0 +1,65 @@
+"""Persisted partition-pruned vector index (IVF layout).
+
+The ANN twin of plans/fts.py's term-bucketed postings: corpus vectors are
+stored partitioned by their coarse cell, so a query reads ONLY the probed
+cells' directories — Spark partition pruning keeps the untouched cells'
+files unopened (the scan shows the cell predicate under PartitionFilters,
+not PushedFilters). At 100 TB with n_cells in the thousands and
+nprobe ~ a few, per-query I/O is nprobe/n_cells of the corpus, which is
+the entire point of IVF — and here the pruning is done by the storage
+layout itself, with no index server.
+
+Cell assignment is pluggable: MLlib KMeans labels
+(operators/similarity.ivf_assign) for real deployments, or any
+precomputed integer column when determinism across engines matters
+(the oracle-paired query uses the corpus's own label column).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+META_FILE = "_ann_meta.json"
+
+
+def write_ivf_index(
+    assigned: DataFrame,
+    path: str,
+    *,
+    cell_col: str = "cell",
+    meta: dict | None = None,
+) -> None:
+    """Write the cell-partitioned vector table plus a meta sidecar.
+
+    ``assigned`` must carry ``cell_col`` (integer coarse-cell id); every
+    other column is stored as-is. One write job regardless of cell count
+    (partitionBy fans the files out, no per-cell driver loop).
+    """
+    assigned.write.mode("overwrite").partitionBy(cell_col).parquet(path)
+    with open(os.path.join(path, META_FILE), "w") as f:
+        json.dump({"cell_col": cell_col, **(meta or {})}, f)
+
+
+def read_index_meta(path: str) -> dict:
+    with open(os.path.join(path, META_FILE)) as f:
+        return json.load(f)
+
+
+def read_ivf_cells(
+    spark: SparkSession, path: str, cells: list[int] | None = None
+) -> DataFrame:
+    """Read the index restricted to ``cells`` (None = all).
+
+    The isin filter lands on the PARTITION column, so Spark prunes the
+    unprobed cell directories at planning time — files are never listed
+    into the scan, which is strictly stronger than row-group skipping.
+    """
+    meta = read_index_meta(path)
+    df = spark.read.parquet(path)
+    if cells is not None:
+        df = df.filter(F.col(meta["cell_col"]).isin([int(c) for c in cells]))
+    return df

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..operators import dedup, similarity
 from ..session import load
-from .common import register
+from .common import REGISTRY, register
 
 # ---------------------------------------------------------------------------
 # shared corpus with planted duplicates
@@ -1606,3 +1606,45 @@ def q_dedup_graph_pagerank(spark, sf_dir):
         .orderBy(F.col("rank_micro").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted partition-pruned IVF index — knn_ivf_probe's math over the
+# STORED index layout (plans/ann_index): vectors live partitioned by
+# coarse cell, queries collect their probe cells driver-side (same bounded
+# collect as ivf_multiprobe) and the scan prunes every other cell
+# directory at planning time. Results are row-identical to knn_ivf_probe
+# (same oracle SQL); what changes is the physical access path — per-query
+# I/O ~ nprobe/n_cells of the corpus instead of a full scan.
+
+def _ivf_index_sql() -> str:
+    # identical semantics to knn_ivf_probe — the index changes the access
+    # path, never the answer
+    return REGISTRY["knn_ivf_probe"]["sql"]
+
+
+@register("knn_ivf_indexed", _ivf_index_sql())
+def q_knn_ivf_indexed(spark, sf_dir):
+    import os
+
+    from ..plans.ann_index import read_ivf_cells, write_ivf_index
+    from .rag import _scratch_path
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _scratch_path(sf_dir, "ann_ivf")
+    if not os.path.isdir(path):
+        write_ivf_index(
+            emb.withColumn("cell", F.col("label")), path, meta={"source": "label"}
+        )
+    qrows = (
+        emb.filter(F.col("vec_id").isin(0, 1, 2))
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    cells = sorted({int(r.label) for r in qrows})
+    corpus = read_ivf_cells(spark, path, cells)
+    q = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding], int(r.label)) for r in qrows],
+        "query_id long, embedding array<double>, cell int",
+    )
+    return similarity.cosine_knn(q, corpus, k=5, block_col="cell")

@@ -261,3 +261,36 @@ def test_heavy_hitters_excludes_null_keys_from_count_and_output(spark):
     # non-null n = 48; k=4 -> threshold 12: only key 1 qualifies
     out = heavy_hitters_exact(df, "user_id", k=4).collect()
     assert [(r.user_id, r.cnt) for r in out] == [(1, 30)]
+
+
+def test_ann_index_write_read_prunes_cells(spark, tmp_path):
+    from mcp_local_rag_spark.plans.ann_index import (
+        read_ivf_cells,
+        write_ivf_index,
+    )
+
+    rows = [(i, [float(i), 0.0], i % 4) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, cell int")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(df, path, meta={"n_cells": 4})
+    got = read_ivf_cells(spark, path, [1, 3])
+    assert got.count() == 20
+    assert {r.cell for r in got.select("cell").distinct().collect()} == {1, 3}
+    # the cell restriction must be PARTITION pruning, not a row filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan and " IN (1,3)" in plan
+    # unrestricted read sees everything
+    assert read_ivf_cells(spark, path).count() == 40
+
+
+def test_knn_ivf_indexed_matches_probe_results(spark):
+    """The persisted index changes the access path, never the answer."""
+    from mcp_local_rag_spark.queries.ext import q_knn_ivf_indexed, q_knn_ivf_probe
+
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in q_knn_ivf_indexed(spark, sf).collect()]
+    b = [tuple(r) for r in q_knn_ivf_probe(spark, sf).collect()]
+    assert a == b and len(a) == 15
+    # and the indexed plan prunes cell directories
+    plan = q_knn_ivf_indexed(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
