@@ -315,6 +315,14 @@ def embedding_near_dups(
     Threshold compares the ROUNDED cosine so the cut is oracle-stable.
     The per-pair cosine runs as a vectorized Arrow pandas UDF (same kernel
     family as cosine_knn), not an interpreted array HOF.
+
+    The within-block stage is O(block_size^2): the NUMBER of blocks must
+    grow with the corpus (IVF cells ~ n / target_block_size, SemDeDup uses
+    sqrt-ish cluster counts), or one giant block quietly re-creates the
+    cross join. A fixed 5-value label column is fine for a 500-vector
+    oracle demo and catastrophically quadratic at 100x that — pass
+    ivf_assign labels (or hyperplane-LSH buckets) as block_col at scale,
+    and cap stragglers with operators/skew.cap_bucket_size.
     """
     from ..functions.vector import cosine_pairs_pandas
 

@@ -1486,6 +1486,12 @@ def q_text_tfidf_keywords(spark, sf_dir):
 # MinHash misses paraphrases that embedding cosine catches. Blocking by
 # cluster/label keeps the pair stage equi-keyed (never all-pairs); the
 # component step is the same bounded star-contraction operator.
+#
+# Scale note: the label column (5 values) is the ORACLE-reproducible
+# blocking for this 500-vector corpus; within-block work is quadratic, so
+# production corpora must block on ivf_assign cells with cell count
+# proportional to corpus size (see embedding_near_dups docstring) — a
+# fixed block count re-creates the cross join as data grows.
 
 @register(
     "dedup_semantic_keep_list",
