@@ -438,8 +438,8 @@ class RagEngine:
         return n
 
     def ingest_records_file(self, file_path: str) -> dict:
-        """Ingest a multi-record container (.jsonl / .csv): each record
-        becomes its own document at ``<file>#r<index>``, chunked and
+        """Ingest a multi-record container (.jsonl / .csv / .xml): each
+        record becomes its own document at ``<file>#r<index>``, chunked and
         embedded through the SAME build_chunks pipeline as file ingest.
 
         Extension beyond the reference's one-file-one-document parser

@@ -354,3 +354,45 @@ def q_parsed_csv_roundtrip(spark, sf_dir):
         )
 
     return docs.groupBy("source").applyInPandas(_rt, _RECORDS_RT_SCHEMA)
+
+
+@register(
+    "parsed_xml_roundtrip",
+    """SELECT doc_id,
+       (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::BIGINT
+         AS record_index,
+       'Doc ' || doc_id AS title,
+       length(text)::BIGINT AS text_len
+FROM documents""",
+)
+def q_parsed_xml_roundtrip(spark, sf_dir):
+    """Serialize each source's documents to real XML (<docs><record id=..>
+    <title>/<text> children</record>...</docs>, entity-escaped), parse it
+    back with the XML record parser, and emit identity + position + exact
+    text length — XML escaping round-trips text byte-exactly, so text_len
+    is length(text), same oracle as the JSONL container."""
+    from xml.sax.saxutils import escape
+
+    from ..sources.structured import parse_xml_bytes
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    def _rt(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        parts = ["<docs>"]
+        for d, t in zip(pdf["doc_id"], pdf["text"]):
+            parts.append(
+                f'<record id="{int(d)}"><title>Doc {int(d)}</title>'
+                f"<text>{escape(t)}</text></record>"
+            )
+        parts.append("</docs>")
+        recs = parse_xml_bytes(f"/mem/{key[0]}.xml", "".join(parts).encode("utf-8"))
+        return pd.DataFrame(
+            [
+                (int(r["id"]), r["record_index"], r["title"], len(r["text"]))
+                for r in recs
+            ],
+            columns=["doc_id", "record_index", "title", "text_len"],
+        )
+
+    return docs.groupBy("source").applyInPandas(_rt, _RECORDS_RT_SCHEMA)

@@ -91,12 +91,39 @@ def parse_csv_bytes(path: str, content: bytes) -> list[dict]:
     return records
 
 
+def parse_xml_bytes(path: str, content: bytes) -> list[dict]:
+    """``<root><record id="..."><title>..</title><text>..</text></record>...``
+    -> list of records: every direct child of the root element is one
+    record; its attributes and child-element texts form the field dict
+    (child elements win on tag/attribute clashes). Field resolution then
+    follows the same TEXT_KEYS/TITLE_KEYS chains as JSONL/CSV. Parse
+    errors raise for the whole container (coverage fact, not a partial
+    parse). stdlib ElementTree — local trusted files, same posture as the
+    other stdlib parsers."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(content.decode("utf-8"))
+    except ET.ParseError as e:
+        raise ValueError(f"invalid XML: {e}") from e
+    records = []
+    for idx, el in enumerate(root):
+        obj = dict(el.attrib)
+        for child in el:
+            if child.text is not None:
+                obj[child.tag] = child.text
+        records.append(_record(obj, idx, path))
+    return records
+
+
 def parse_structured_bytes(path: str, content: bytes) -> list[dict]:
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
     if ext == "jsonl":
         return parse_jsonl_bytes(path, content)
     if ext == "csv":
         return parse_csv_bytes(path, content)
+    if ext == "xml":
+        return parse_xml_bytes(path, content)
     raise ValueError(f"unsupported structured extension: {path}")
 
 

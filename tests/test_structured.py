@@ -123,3 +123,66 @@ def test_engine_ingest_records_zero_chunk_guard(spark, tmp_path):
         eng.ingest_records_file(str(f))
     # stored rows survived the failed re-ingest
     assert eng.chunks().count() == before
+
+
+def test_xml_parse_fields_attributes_and_fallbacks():
+    from mcp_local_rag_spark.sources.structured import parse_xml_bytes
+
+    xml = (
+        "<docs>"
+        f'<record id="7"><title>Alpha</title><text>{LONG_A}</text></record>'
+        f"<record><content>{LONG_B}</content></record>"  # no id/title; content key
+        "</docs>"
+    )
+    recs = parse_xml_bytes("/x/a.xml", xml.encode())
+    assert [r["record_index"] for r in recs] == [0, 1]
+    assert recs[0]["id"] == "7" and recs[0]["title"] == "Alpha"
+    assert recs[1]["id"] is None
+    assert recs[1]["title"] == LONG_B.split("\n", 1)[0][:100].strip()
+
+
+def test_xml_child_elements_win_over_attributes():
+    from mcp_local_rag_spark.sources.structured import parse_xml_bytes
+
+    xml = f'<d><r title="attr title"><title>elem title</title><text>{LONG_A}</text></r></d>'
+    recs = parse_xml_bytes("/x/a.xml", xml.encode())
+    assert recs[0]["title"] == "elem title"
+
+
+def test_xml_entity_escaping_roundtrips_text():
+    from xml.sax.saxutils import escape
+
+    from mcp_local_rag_spark.sources.structured import parse_xml_bytes
+
+    tricky = "a < b && \"c\" > 'd' — " + LONG_A
+    xml = f"<d><r><text>{escape(tricky)}</text></r></d>"
+    assert parse_xml_bytes("/x/a.xml", xml.encode())[0]["text"] == tricky
+
+
+def test_xml_bad_document_raises():
+    import pytest as _pytest
+
+    from mcp_local_rag_spark.sources.structured import parse_xml_bytes
+
+    with _pytest.raises(ValueError, match="invalid XML"):
+        parse_xml_bytes("/x/a.xml", b"<docs><r>unclosed</docs>")
+    with _pytest.raises(ValueError, match="no text field"):
+        parse_xml_bytes("/x/a.xml", b"<docs><r><title>t</title></r></docs>")
+
+
+def test_engine_ingests_xml_container(spark, tmp_path):
+    eng = RagEngine(spark, str(tmp_path / "db"))
+    p = tmp_path / "recs.xml"
+    p.write_text(
+        "<docs>"
+        f'<record id="1"><title>Alpha</title><text>{LONG_A}</text></record>'
+        f'<record id="2"><title>Beta</title><text>{LONG_B}</text></record>'
+        "</docs>"
+    )
+    out = eng.ingest_records_file(str(p))
+    assert out["recordCount"] == 2 and out["chunkCount"] >= 2
+    paths = {
+        r.filePath
+        for r in eng.chunks().select("filePath").distinct().collect()
+    }
+    assert {f"{p}#r0", f"{p}#r1"} <= paths
