@@ -747,9 +747,20 @@ def q_corpus_dsir_weights(spark, sf_dir):
             % _DSIR_B
         ).alias("b"),
     )
-    raw = tb.groupBy("b").agg(F.count("*").alias("r"))
-    tgt = tb.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count("*").alias("t")
+    # ONE corpus explode + ONE token-stream shuffle: the per-(doc,bucket)
+    # counts are the finest grain, so the bucket distributions derive from
+    # them (pre-aggregated rows, ~tokens/doc smaller) instead of paying
+    # two more explode passes over the raw corpus. The 100x replica probe
+    # measured the three-scan form superlinear; this one is the linear
+    # minimum any per-doc scorer pays.
+    perdoc = (
+        tb.groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    raw = perdoc.groupBy("b").agg(F.sum("c").alias("r"))
+    tgt = perdoc.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.sum("c").alias("t")
     )
     tot = raw.agg(F.sum("r").alias("rtot")).crossJoin(
         tgt.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("ttot"))
@@ -770,7 +781,6 @@ def q_corpus_dsir_weights(spark, sf_dir):
             .alias("micro"),
         )
     )
-    perdoc = tb.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
     return (
         perdoc.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")

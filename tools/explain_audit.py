@@ -176,6 +176,39 @@ COMMENTARY = {
         "the probe table never shuffles into a semi-join. At 100 TB the "
         "probe scan is the only full pass."
     ),
+    "events_heavy_hitters": (
+        "Two-pass exact heavy hitters: Misra-Gries candidates from a "
+        "mapInPandas stage with O(k) state per task, then the candidate "
+        "set broadcasts into a semi-join and only candidate rows reach "
+        "the exact recount aggregate. The MG pass and the recount are the "
+        "only full passes; both are map-side until their single shuffle."
+    ),
+    "knn_hard_negatives": (
+        "Hard-negative mining: the anchor batch broadcasts onto one "
+        "corpus scan (Arrow cosine kernel), per-(anchor,class) top-1 is a "
+        "max-over-struct aggregate — no corpus-sized window, no pair "
+        "materialization beyond the streamed scored rows."
+    ),
+    "corpus_curation_pipeline": (
+        "The composed materialization decision: decontamination grams, "
+        "dup grouping, quality metrics and split assignment all branch "
+        "from one tokenized scan; joins are equi/semi on doc_id or gram "
+        "hash; the disposition CASE is a pure row expression. One job, "
+        "nothing quadratic."
+    ),
+    "dedup_graph_pagerank": (
+        "Iterative centrality: each PageRank round is one equi-join of "
+        "the edge list to the |nodes|-row rank frame plus one aggregate "
+        "on dst — the Pregel shape, linear in |edges| per round. Integer "
+        "micro-unit arithmetic keeps the fixpoint bit-identical across "
+        "engines and partitionings."
+    ),
+    "knn_ivf_indexed": (
+        "Persisted IVF: probe cells land in PartitionFilters on the "
+        "stored cell-partitioned layout, so unprobed cell directories are "
+        "never listed into the scan — per-query I/O ~ nprobe/n_cells of "
+        "the corpus. Row-identical to knn_ivf_probe by construction."
+    ),
 }
 
 
