@@ -595,3 +595,55 @@ def test_join_event_streams_self_join_lineage(spark):
     p = ev.filter("event_type='purchase'").select("user_id", "ts", "value")
     rows = join_event_streams(v, p).collect()
     assert [(r.user_id, r.r_value) for r in rows] == [(1, 5.0)]
+
+
+def test_streaming_heavy_hitter_candidates(spark, tmp_path):
+    """Sharded MG state over a file stream: the hot key must be in the
+    final candidate set with est <= true count (MG never overcounts), and
+    the batch twin through the same call site retains it too."""
+    import glob
+    import shutil
+
+    from mcp_local_rag_spark.streaming.heavy import heavy_hitter_candidates_stream
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+
+    def write_file(name, ids):
+        df = spark.createDataFrame([(i,) for i in ids], "user_id long")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "st" / name))
+        part = glob.glob(str(tmp_path / "st" / name / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    # hot key 7 split across two micro-batches + singleton noise
+    write_file("f1", [7] * 40 + list(range(100, 140)))
+    write_file("f2", [7] * 35 + list(range(200, 240)))
+
+    stream = spark.readStream.schema("user_id long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = (
+        heavy_hitter_candidates_stream(stream, k=5, n_shards=4)
+        .writeStream.format("memory")
+        .queryName("hh_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hh_out").collect()
+    # last emission per (shard, key) is the current state
+    latest = {}
+    for r in rows:
+        latest[(r.shard, r.key)] = r.est_count
+    hot = [(s, k, c) for (s, k), c in latest.items() if k == "7"]
+    assert hot, "hot key must survive MG state across micro-batches"
+    assert hot[0][2] <= 75  # MG never overcounts
+
+    # batch twin: same call site, same guarantee
+    batch = spark.createDataFrame(
+        [(7,)] * 75 + [(i,) for i in list(range(100, 140)) + list(range(200, 240))],
+        "user_id long",
+    )
+    bkeys = {r.key for r in heavy_hitter_candidates_stream(batch, k=5, n_shards=4).collect()}
+    assert "7" in bkeys
