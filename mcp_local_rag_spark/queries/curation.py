@@ -1078,3 +1078,50 @@ def q_corpus_epoch_plan(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix: for every pair of sources, how many
+# distinct word 5-grams they share — the diagnostic that catches mirrored
+# crawls / re-hosted dumps BEFORE doc-level dedup (two sources sharing
+# half their grams are the same feed twice; per-document LSH then wastes
+# a full pass discovering it pair by pair). Scale: gram generation is the
+# map-only shingle operator keyed by SOURCE (distinct grams per source,
+# not per doc); the pair join is equi-keyed on the gram and bounded by
+# sources^2 rows per gram — never corpus-quadratic.
+
+@register(
+    "corpus_source_overlap",
+    """WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT source, array_to_string(t[i:i+4], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 3)) AS r(i)
+  WHERE len(t) >= 5
+)
+SELECT a.source AS source1, b.source AS source2,
+       count(*)::BIGINT AS shared_grams
+FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY shared_grams DESC, source1, source2
+LIMIT 20""",
+)
+def q_corpus_source_overlap(spark, sf_dir):
+    from ..operators.dedup import shingle_sets
+
+    docs = load(spark, sf_dir, "documents")
+    grams = shingle_sets(docs, id_col="source", k=5)
+    a = grams.select(F.col("source").alias("source1"), "shingle")
+    b = grams.select(F.col("source").alias("source2"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("source1") < F.col("source2"))
+        .groupBy("source1", "source2")
+        .agg(F.count("*").alias("shared_grams"))
+        .orderBy(F.col("shared_grams").desc(), "source1", "source2")
+        .limit(20)
+    )
