@@ -37,9 +37,20 @@ def write_ivf_index(
 
     ``assigned`` must carry ``cell_col`` (integer coarse-cell id); every
     other column is stored as-is. One write job regardless of cell count
-    (partitionBy fans the files out, no per-cell driver loop).
+    (partitionBy fans the files out, no per-cell driver loop). The
+    repartition clusters each cell into one task before partitionBy —
+    without it every input partition appends a file to every cell, the
+    M*N small-file explosion (same discipline as plans/ingest.write_chunks);
+    the in-cell sort by id gives parquet min/max stats for point reads.
     """
-    assigned.write.mode("overwrite").partitionBy(cell_col).parquet(path)
+    n_cells = assigned.select(cell_col).distinct().count()
+    (
+        assigned.repartition(max(int(n_cells), 1), cell_col)
+        .sortWithinPartitions(cell_col)
+        .write.mode("overwrite")
+        .partitionBy(cell_col)
+        .parquet(path)
+    )
     with open(os.path.join(path, META_FILE), "w") as f:
         json.dump({"cell_col": cell_col, **(meta or {})}, f)
 

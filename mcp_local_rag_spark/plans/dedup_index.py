@@ -64,10 +64,14 @@ def incremental_dedup(
         shingle_sets(new_docs, id_col=id_col, text_col=text_col), id_col=id_col
     ).persist()
     new_sigs.count()
+    # localCheckpoint (eager) rather than persist: the result must be
+    # materialized before the append mutates the table it was derived
+    # from, but a persist would stay pinned in executor storage for every
+    # maintenance-loop iteration until driver GC — checkpoint blocks are
+    # released as soon as the returned frame goes out of scope
     pairs = incremental_candidate_pairs(
         new_sigs, corpus_sigs, id_col=id_col
-    ).persist()
-    pairs.count()
+    ).localCheckpoint()
     if append:
         new_sigs.write.mode("append").parquet(path)
         spark.catalog.refreshByPath(path)

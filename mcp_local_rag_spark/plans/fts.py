@@ -295,7 +295,31 @@ def refresh_postings(
     targets = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     bucket_of = F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int")
     targets = targets.distinct().withColumn("b", bucket_of).persist()
-    buckets = {r["b"] for r in targets.select("b").distinct().collect()}
+    # Touched buckets: the hash buckets of the NEW postings (those must
+    # rewrite to absorb the adds — and a changed doc's old rows share its
+    # hash bucket), plus the buckets where a deleted path actually HAS
+    # rows. Deriving delete buckets from the targets' hashes instead would
+    # let a stale/never-ingested path trigger a byte-identical rewrite of
+    # an innocent bucket (the chunks-table twin delete_documents guards
+    # the same way).
+    buckets: set[int] = set()
+    if new_postings is not None:
+        buckets |= {
+            r["b"]
+            for r in new_postings.select(bucket_of.alias("b")).distinct().collect()
+        }
+    if deleted_paths and index_has_data(path):
+        del_df = spark.createDataFrame(
+            [(p,) for p in sorted(set(deleted_paths))], "filePath string"
+        )
+        buckets |= {
+            r["bucket"]
+            for r in spark.read.parquet(path)
+            .join(del_df, "filePath", "left_semi")
+            .select("bucket")
+            .distinct()
+            .collect()
+        }
     if not buckets:
         targets.unpersist()
         if new_postings is not None:

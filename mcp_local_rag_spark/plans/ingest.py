@@ -296,6 +296,10 @@ def compact_chunks(spark: SparkSession, table_path: str, target_files_per_bucket
     def _write(tmp: str) -> None:
         (
             df.repartition(target_files_per_bucket * nb, "bucket")
+            # dropDuplicates shuffles rows arbitrarily; without re-sorting,
+            # compaction would silently destroy the (filePath, chunkIndex)
+            # row-group order every point/neighbor read prunes on
+            .sortWithinPartitions("filePath", "chunkIndex")
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(tmp)

@@ -87,19 +87,34 @@ def heavy_hitter_candidates_stream(
         F.col(key_col),
     )
     if not events.isStreaming:
-        fn = _mg_fn(k, key_col)
+        # mapInPandas over shard-clustered partitions, NOT applyInPandas:
+        # the latter materializes a whole shard (1/n_shards of the input)
+        # as one pandas frame. Here each Arrow batch streams through the
+        # same MG merge, with one summary dict per shard in the partition
+        # — O(k * shards_per_partition) memory at any input size.
+        def batch_fn(batches):
+            summaries: dict[int, dict[str, int]] = {}
+            for pdf in batches:
+                for shard, grp in pdf.groupby("shard"):
+                    counters = summaries.setdefault(int(shard), {})
+                    vc = grp[key_col].dropna().astype(str).value_counts()
+                    for kk, c in vc.items():
+                        counters[kk] = counters.get(kk, 0) + int(c)
+                    if len(counters) > k:
+                        d = sorted(counters.values(), reverse=True)[k]
+                        summaries[int(shard)] = {
+                            kk: c - d for kk, c in counters.items() if c - d > 0
+                        }
+            rows = [
+                (shard, kk, int(c))
+                for shard, counters in summaries.items()
+                for kk, c in counters.items()
+            ]
+            yield pd.DataFrame(rows, columns=["shard", "key", "est_count"])
 
-        def batch_fn(key, pdf):
-            class _NoState:
-                exists = False
-                hasTimedOut = False
-
-                def update(self, _):
-                    pass
-
-            return pd.concat(list(fn(key, iter([pdf]), _NoState())))
-
-        return sharded.groupBy("shard").applyInPandas(batch_fn, OUT_SCHEMA)
+        return sharded.repartition(n_shards, "shard").mapInPandas(
+            batch_fn, OUT_SCHEMA
+        )
     return sharded.groupBy("shard").applyInPandasWithState(
         _mg_fn(k, key_col),
         OUT_SCHEMA,

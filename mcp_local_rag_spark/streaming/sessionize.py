@@ -53,32 +53,50 @@ def _session_fn(gap_seconds: int):
             events.append(pdf[["ts", "value"]])
         if events:
             batch = pd.concat(events).sort_values("ts")
+            # First merge the batch's OWN events into maximal gap-runs,
+            # then fold each run into the open session as an interval.
+            # Folding events one at a time instead would emit two
+            # mutually-in-gap LATE events as two single-event sessions
+            # (each compared only against the much-later open session) —
+            # diverging from the batch twin's maximal-run semantics.
+            runs: list[tuple] = []
+            r: list | None = None
             for ts, value in zip(batch["ts"], batch["value"]):
                 ts_us = int(ts.value // 1000)  # pandas ns -> us
                 v = float(value) if value == value else 0.0
-                if cur is None:
-                    cur = (ts_us, ts_us, 1, v)
-                elif ts_us - cur[1] > gap_us:
-                    closed.append((user_id, *cur))
-                    cur = (ts_us, ts_us, 1, v)
-                elif cur[0] - ts_us > gap_us:
-                    # a LATE event admitted by a nonzero watermark that
-                    # predates the open session by more than the gap: it
-                    # can never belong to this session (nor to any later
-                    # one), so it closes immediately as its own session —
-                    # merging it forward would corrupt both the count and
-                    # the start timestamp
-                    closed.append((user_id, ts_us, ts_us, 1, v))
+                if r is None:
+                    r = [ts_us, ts_us, 1, v]
+                elif ts_us - r[1] > gap_us:
+                    runs.append(tuple(r))
+                    r = [ts_us, ts_us, 1, v]
                 else:
-                    # within-gap events extend the session in BOTH
-                    # directions: a late-but-in-gap event lowers
-                    # session_start (the batch twin takes min(ts))
+                    r[1] = ts_us
+                    r[2] += 1
+                    r[3] += v
+            if r is not None:
+                runs.append(tuple(r))
+            for run in runs:
+                if cur is None:
+                    cur = run
+                elif run[1] >= cur[0] - gap_us and run[0] <= cur[1] + gap_us:
+                    # within gap of the open session on either side —
+                    # merge (a late-but-in-gap run lowers session_start;
+                    # the batch twin takes min(ts))
                     cur = (
-                        min(cur[0], ts_us),
-                        max(cur[1], ts_us),
-                        cur[2] + 1,
-                        cur[3] + v,
+                        min(cur[0], run[0]),
+                        max(cur[1], run[1]),
+                        cur[2] + run[2],
+                        cur[3] + run[3],
                     )
+                elif run[1] < cur[0]:
+                    # a LATE run admitted by a nonzero watermark that
+                    # still predates the open session by more than the
+                    # gap: it can never belong to this or any later
+                    # session — closes immediately as one session
+                    closed.append((user_id, *run))
+                else:
+                    closed.append((user_id, *cur))
+                    cur = run
         if cur is not None:
             state.update(cur)
             state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)  # ms

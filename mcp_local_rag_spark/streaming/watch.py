@@ -81,7 +81,7 @@ def _append_chunk_batch(
     against a missing index bootstraps it bucket-aligned with the chunks
     table so later batch refreshes stay document-aligned."""
     from ..plans.fts import write_postings
-    from ..plans.ingest import table_n_buckets
+    from ..plans.ingest import table_n_buckets, write_chunks
 
     nb = table_n_buckets(table_path)
     if postings_path is not None:
@@ -90,14 +90,11 @@ def _append_chunk_batch(
         # embedding passes, the dominant cost — would re-execute for the
         # second write
         chunks = chunks.persist()
-    (
-        chunks.withColumn(
-            "bucket", F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int")
-        )
-        .write.partitionBy("bucket")
-        .mode("append")
-        .parquet(table_path)
-    )
+    # the SAME append discipline as batch ingest (one sorted file per
+    # bucket) — a hand-rolled partitionBy here would write one unsorted
+    # file per (task, bucket) pair each micro-batch and break the
+    # row-group pruning neighbor reads rely on
+    write_chunks(chunks, table_path, mode="append")
     if postings_path is not None:
         mode = "append" if os.path.isdir(postings_path) else "overwrite"
         write_postings(
@@ -140,10 +137,6 @@ def stream_ingest(
     from ..plans.ingest import build_chunks, table_embedding
     from ..sources.parsers import title_udf
 
-    meta_backend, meta_dim = table_embedding(table_path)
-    backend = backend if backend is not None else meta_backend
-    dim = dim if dim is not None else meta_dim
-
     raw = (
         spark.readStream.format("text")
         .option("wholetext", "true")
@@ -161,6 +154,13 @@ def stream_ingest(
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty() or _batch_already_applied(checkpoint_dir, batch_id):
             return
+        # resolve the table's embedding space PER BATCH, not at stream
+        # construction: a watcher started before the table exists (or
+        # across a re-embed) would otherwise append foreign-space vectors
+        # for its whole lifetime
+        meta_backend, meta_dim = table_embedding(table_path)
+        b = backend if backend is not None else meta_backend
+        d = dim if dim is not None else meta_dim
         docs = batch.select(
             "path",
             "text",
@@ -171,7 +171,7 @@ def stream_ingest(
             # multi-byte UTF-8, making fileSize ingest-path-dependent
             F.octet_length("text").cast("long").alias("length"),
         )
-        chunks = build_chunks(docs, dim=dim, backend=backend)
+        chunks = build_chunks(docs, dim=d, backend=b)
         _append_chunk_batch(chunks, table_path, postings_path, tokenizer)
         _mark_batch_applied(checkpoint_dir, batch_id)
 
@@ -214,10 +214,6 @@ def stream_ingest_binary(
     from ..plans.ingest import build_chunks, table_embedding
     from ..sources.parsers import parse_files
 
-    meta_backend, meta_dim = table_embedding(table_path)
-    backend = backend if backend is not None else meta_backend
-    dim = dim if dim is not None else meta_dim
-
     raw = (
         spark.readStream.format("binaryFile")
         # streaming sources require the schema up front; binaryFile's is fixed
@@ -225,15 +221,22 @@ def stream_ingest_binary(
         .option("pathGlobFilter", pattern)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(watch_dir)
-        .select(
-            _uri_to_path(F.col("path")).alias("path"),
-            F.col("content"),
-        )
+        # binaryFile's path column is a PLAIN path behind a 'file:' scheme
+        # — NOT percent-encoded (verified: 'with space.txt' arrives
+        # literal), unlike input_file_name() in the text watcher. The same
+        # scheme strip as batch read_files keeps the two ingest paths
+        # key-compatible; unquoting here would corrupt literal-% names.
+        .selectExpr("replace(path, 'file:', '') AS path", "content")
     )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty() or _batch_already_applied(checkpoint_dir, batch_id):
             return
+        # per-batch embedding-space resolution — same rationale as
+        # stream_ingest
+        meta_backend, meta_dim = table_embedding(table_path)
+        b = backend if backend is not None else meta_backend
+        d = dim if dim is not None else meta_dim
         hashed = batch.withColumn(
             "contentHash", F.lower(F.sha2(F.col("content"), 256))
         ).withColumn("length", F.length("content").cast("long"))
@@ -241,7 +244,7 @@ def stream_ingest_binary(
             hashed.select("path", "contentHash", "length"), "path"
         )
         docs = parsed.filter(F.col("parse_error").isNull())
-        chunks = build_chunks(docs, dim=dim, backend=backend)
+        chunks = build_chunks(docs, dim=d, backend=b)
         _append_chunk_batch(chunks, table_path, postings_path, tokenizer)
         _mark_batch_applied(checkpoint_dir, batch_id)
 

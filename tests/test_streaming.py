@@ -647,3 +647,175 @@ def test_streaming_heavy_hitter_candidates(spark, tmp_path):
     )
     bkeys = {r.key for r in heavy_hitter_candidates_stream(batch, k=5, n_shards=4).collect()}
     assert "7" in bkeys
+
+
+def test_binary_watcher_preserves_literal_percent_and_space_names(spark, tmp_path):
+    """binaryFile's path column arrives LITERAL (not percent-encoded);
+    unquoting it would corrupt 'a%20b.docx' into 'a b.docx' and orphan the
+    rows from batch-keyed delete/sync forever. The stored filePath must be
+    byte-identical to what batch read_files stores."""
+    from mcp_local_rag_spark.streaming.watch import stream_ingest_binary
+    from tests.test_parsers import _p, make_docx
+
+    watch = tmp_path / "pctdrop"
+    watch.mkdir()
+    body = _p(
+        "A percent-named memo streamed through the binary watcher with"
+        " comfortably enough text for one chunk."
+    )
+    for name in ("a%20b.docx", "with space.docx"):
+        (watch / name).write_bytes(make_docx(body, core_title="Pct"))
+    table = str(tmp_path / "chunks_pct")
+    ckpt = str(tmp_path / "ckpt_pct")
+    q = stream_ingest_binary(spark, str(watch), table, ckpt, available_now=True)
+    q.awaitTermination(120)
+    stored = {
+        r.filePath for r in spark.read.parquet(table).select("filePath").distinct().collect()
+    }
+    assert stored == {str(watch / "a%20b.docx"), str(watch / "with space.docx")}
+
+
+def test_sessionize_merges_mutually_in_gap_late_events(spark, tmp_path):
+    """Two late events within one gap of EACH OTHER (but both > gap before
+    the open session) must close as ONE merged session — the batch twin's
+    maximal-run semantics — not as two single-event sessions."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from mcp_local_rag_spark.streaming.sessionize import sessionize_stream
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    t = lambda s: dt.datetime.fromisoformat(s)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stg" / name))
+        part = glob.glob(str(tmp_path / "stg" / name / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    # batch 1 opens a session at 12:00; batch 2 delivers two late events
+    # 9:00/9:05 (mutually in gap) plus a 12:10 extension
+    write_file("f1", [(1, t("2024-01-01 12:00:00"), 1.0)])
+    write_file("f2", [
+        (1, t("2024-01-01 09:00:00"), 2.0),
+        (1, t("2024-01-01 09:05:00"), 3.0),
+        (1, t("2024-01-01 12:10:00"), 4.0),
+    ])
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(str(src))
+    q = (
+        sessionize_stream(stream, gap_seconds=1800, watermark="12 hours")
+        .writeStream.format("memory")
+        .queryName("late_merge_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        spark.sql("SELECT * FROM late_merge_out").collect(),
+        key=lambda r: r.session_start,
+    )
+    # exactly one closed session for the late pair, merged, n=2
+    late = [r for r in rows if r.session_start.hour == 9]
+    assert len(late) == 1
+    assert late[0].n_events == 2 and late[0].total_value == 5.0
+    assert late[0].session_end.minute == 5
+
+
+def test_compaction_keeps_rowgroup_sort(spark, tmp_path):
+    """compact_chunks must re-sort (filePath, chunkIndex) within buckets —
+    dropDuplicates shuffles arbitrarily and an unsorted rewrite would
+    silently break point-read pruning."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mcp_local_rag_spark.plans.ingest import compact_chunks, write_chunks
+
+    rows = [
+        (f"/d/doc{i % 7}.md", j, f"text {i} {j}")
+        for i in range(21)
+        for j in range(5)
+    ]
+    df = spark.createDataFrame(rows, "filePath string, chunkIndex int, text string")
+    table = str(tmp_path / "chunks_sort")
+    write_chunks(df.repartition(8), table, n_buckets=4)
+    compact_chunks(spark, table)
+    for f in glob.glob(f"{table}/bucket=*/part-*.parquet"):
+        t = pq.read_table(f, columns=["filePath", "chunkIndex"]).to_pandas()
+        key = list(zip(t["filePath"], t["chunkIndex"]))
+        assert key == sorted(key), f
+
+
+def test_watcher_resolves_embedding_space_per_batch(spark, tmp_path):
+    """A watcher constructed BEFORE the table exists must embed its
+    batches in the space the table records at processing time, not a
+    construction-time fallback — otherwise a fresh deployment's stream
+    appends foreign-space vectors forever."""
+    from mcp_local_rag_spark.plans.ingest import build_chunks, write_chunks
+    from mcp_local_rag_spark.streaming.watch import stream_ingest
+
+    watch = tmp_path / "spacedrop"
+    watch.mkdir()
+    table = str(tmp_path / "chunks_space")
+    ckpt = str(tmp_path / "ckpt_space")
+
+    # construct the stream while the table does not exist yet
+    stream_q = None
+    # table is then created by batch ingest in a NON-default space
+    docs = spark.createDataFrame(
+        [("/d/seed.md", "Seed document text with plenty of words to chunk"
+          " comfortably for the table bootstrap.", "Seed", "h", 80)],
+        "path string, text string, title string, contentHash string, length long",
+    )
+    write_chunks(
+        build_chunks(docs, dim=32, backend="hash"), table, backend="hash", dim=32
+    )
+    (watch / "late.md").write_text(
+        "A streamed document arriving after the table was created, long"
+        " enough to produce at least one chunk of text."
+    )
+    stream_q = stream_ingest(spark, str(watch), table, ckpt, available_now=True)
+    stream_q.awaitTermination(120)
+    from pyspark.sql import functions as F
+
+    dims = {
+        r.d
+        for r in spark.read.parquet(table)
+        .select(F.size("vector").alias("d"))
+        .distinct()
+        .collect()
+    }
+    assert dims == {32}
+
+
+def test_fts_refresh_stale_delete_leaves_buckets_untouched(spark, tmp_path):
+    """Deleting paths that have no rows in the index must not rewrite any
+    bucket (the chunks-table delete guards identically): file mtimes and
+    contents stay byte-identical."""
+    import glob
+    import os
+
+    from mcp_local_rag_spark.plans.fts import refresh_postings, write_postings
+
+    rows = [
+        (f"/d/doc{i}.md", 0, f"alpha bravo charlie delta echo text{i}")
+        for i in range(8)
+    ]
+    chunks = spark.createDataFrame(rows, "filePath string, chunkIndex int, text string")
+    path = str(tmp_path / "fts_stale")
+    write_postings(chunks, path, n_buckets=4)
+    before = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for f in glob.glob(f"{path}/bucket=*/part-*.parquet")
+    }
+    refresh_postings(spark, path, deleted_paths=["/never/ingested.md", "/also/stale.md"])
+    after = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for f in glob.glob(f"{path}/bucket=*/part-*.parquet")
+    }
+    assert before == after
