@@ -23,7 +23,12 @@ def scope_predicate(path_col: Column, prefixes: list[str]) -> Column:
     cond = F.lit(False)
     for p in prefixes:
         p = p.rstrip("/") or "/"
-        cond = cond | (path_col == F.lit(p)) | path_col.startswith(p + "/")
+        if p == "/":
+            # root scope: 'p + "/"' would demand a double slash and match
+            # nothing below root — every absolute path is a descendant
+            cond = cond | path_col.startswith("/")
+        else:
+            cond = cond | (path_col == F.lit(p)) | path_col.startswith(p + "/")
     return cond
 
 

@@ -68,11 +68,37 @@ def cosine_pairs_pandas() -> "object":
     def _cos(a, b):
         if a.empty:
             return pd.Series([], dtype="float64")
-        am = np.stack([np.asarray(v, dtype=np.float64) for v in a])
-        bm = np.stack([np.asarray(v, dtype=np.float64) for v in b])
-        num = np.einsum("ij,ij->i", am, bm)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = num / (np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1))
+        # a NULL (or wrong-length) embedding must yield NaN for ITS row,
+        # not crash the whole task in np.stack — callers filter non-finite
+        # cosines, but only if the kernel survives to produce them
+        dim = None
+        for v in a:
+            if v is not None:
+                dim = len(v)
+                break
+        if dim is None:
+            return pd.Series([float("nan")] * len(a), dtype="float64")
+        valid = np.fromiter(
+            (
+                va is not None and vb is not None and len(va) == dim and len(vb) == dim
+                for va, vb in zip(a, b)
+            ),
+            dtype=bool,
+            count=len(a),
+        )
+        out = np.full(len(a), np.nan)
+        if valid.any():
+            am = np.stack(
+                [np.asarray(v, dtype=np.float64) for v, ok in zip(a, valid) if ok]
+            )
+            bm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v, ok in zip(b, valid) if ok]
+            )
+            num = np.einsum("ij,ij->i", am, bm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[valid] = num / (
+                    np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+                )
         return pd.Series(out)
 
     # real (non-string) annotations: `from __future__ import annotations`

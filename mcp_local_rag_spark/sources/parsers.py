@@ -104,10 +104,12 @@ def title_udf():
     from pyspark.sql.functions import pandas_udf
 
     def _title(paths, texts):
+        # case-insensitive extension, matching parse_text_bytes — a
+        # README.MD must get the same title chain on both ingest paths
         return pd.Series(
             [
                 extract_md_title(t or "", p)
-                if p.endswith(".md")
+                if p.lower().endswith(".md")
                 else extract_txt_title(t or "", p)
                 for p, t in zip(paths, texts)
             ]

@@ -262,13 +262,20 @@ def _scan_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
     """All `N G obj ... endobj` bodies, later definitions winning (matches
     incremental-update append order). Values are (parsed_value, raw_stream)."""
     objects: dict[int, tuple[object, bytes | None]] = {}
+    # `resume` skips header matches that begin INSIDE a previous object's
+    # stream bytes: compressed data can coincidentally contain b'N G obj',
+    # and such a false match would clobber the real object N
+    resume = 0
     for m in _OBJ_HEAD_RE.finditer(data):
+        if m.start() < resume:
+            continue
         num = int(m.group(1))
         body_start = m.end()
         end = data.find(b"endobj", body_start)
         if end == -1:
             end = len(data)
         body = data[body_start:end]
+        resume = end + 6
         sm = _STREAM_RE.search(body)
         stream = None
         if sm:
@@ -286,6 +293,7 @@ def _scan_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
                 # can coincidentally contain b"endobj", truncating `body`
                 abs_start = body_start + sm.end()
                 stream = data[abs_start : abs_start + length]
+                resume = max(resume, abs_start + length)
             else:
                 s_end = body.rfind(b"endstream")
                 if s_end == -1:
@@ -553,7 +561,11 @@ def _interpret_text(content: bytes) -> list[dict]:
 
     def eff():
         m = _mat_mul(tm, ctm)
-        scale = (m[1] ** 2 + m[3] ** 2) ** 0.5
+        # vertical text scale: the y-axis unit vector maps to (c, d) under
+        # the row-vector convention, so the factor is sqrt(c^2 + d^2) —
+        # using b (m[1]) instead would inflate sheared/skewed text and let
+        # a decorative item out-size the real max-font title
+        scale = (m[2] ** 2 + m[3] ** 2) ** 0.5
         return m[4], m[5], round(font_size * scale, 3)
 
     def show(text: str):

@@ -52,11 +52,13 @@ def scan_directory(
 ) -> ScanResult:
     """Bounded BFS over one root, recording coverage facts."""
     extensions = extensions if extensions is not None else SUPPORTED_EXTENSIONS
+    from collections import deque
+
     result = ScanResult()
     root = os.path.abspath(root)
-    queue: list[tuple[str, int]] = [(root, 0)]
+    queue: deque[tuple[str, int]] = deque([(root, 0)])
     while queue:
-        dirpath, depth = queue.pop(0)
+        dirpath, depth = queue.popleft()
         if depth > max_depth:
             result.depth_limited_dirs.append(dirpath)
             continue
@@ -78,7 +80,13 @@ def scan_directory(
             ext = os.path.splitext(name)[1].lower()
             if ext not in extensions:
                 continue
-            size = os.path.getsize(path)
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                # deleted between listdir and stat, or unstatable — a
+                # coverage fact like unreadable dirs, never a scan abort
+                result.unreadable_dirs.append(path)
+                continue
             if size > max_file_size:
                 result.oversized_files.append(path)
                 continue
@@ -110,6 +118,8 @@ def read_files(spark: SparkSession, paths: list[str]) -> DataFrame:
             ),
         )
     df = spark.read.format("binaryFile").load(paths)
+    # anchored scheme strip: replace() would also mangle a path whose NAME
+    # contains 'file:' (e.g. '/data/my file:v1.txt')
     return df.selectExpr(
-        "replace(path, 'file:', '') AS path", "length", "content"
+        "regexp_replace(path, '^file:', '') AS path", "length", "content"
     )

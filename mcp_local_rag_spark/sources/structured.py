@@ -65,7 +65,7 @@ def parse_jsonl_bytes(path: str, content: bytes) -> list[dict]:
     with undecodable records is a coverage fact, not a partial parse)."""
     records = []
     idx = 0
-    for lineno, line in enumerate(content.decode("utf-8").splitlines(), 1):
+    for lineno, line in enumerate(content.decode("utf-8-sig").splitlines(), 1):
         if not line.strip():
             continue
         try:
@@ -82,7 +82,7 @@ def parse_jsonl_bytes(path: str, content: bytes) -> list[dict]:
 def parse_csv_bytes(path: str, content: bytes) -> list[dict]:
     """Header CSV -> list of records via csv.DictReader (handles quoting,
     embedded newlines/commas). Text column resolution follows TEXT_KEYS."""
-    reader = csv.DictReader(io.StringIO(content.decode("utf-8")))
+    reader = csv.DictReader(io.StringIO(content.decode("utf-8-sig")))
     if reader.fieldnames is None:
         raise ValueError("empty CSV (no header row)")
     records = []
@@ -103,15 +103,22 @@ def parse_xml_bytes(path: str, content: bytes) -> list[dict]:
     import xml.etree.ElementTree as ET
 
     try:
-        root = ET.fromstring(content.decode("utf-8"))
+        # utf-8-sig: a Windows-exported container's BOM would otherwise
+        # reject the entire (possibly million-record) file as one
+        # parse_error; lossless on BOM-less input (same for JSONL/CSV)
+        root = ET.fromstring(content.decode("utf-8-sig"))
     except ET.ParseError as e:
         raise ValueError(f"invalid XML: {e}") from e
     records = []
     for idx, el in enumerate(root):
         obj = dict(el.attrib)
         for child in el:
-            if child.text is not None:
-                obj[child.tag] = child.text
+            # itertext, not .text: '<text>Hello <b>world</b>!</text>' has
+            # .text == 'Hello ' — nested markup and tails would silently
+            # truncate the ingested document
+            joined = "".join(child.itertext())
+            if joined:
+                obj[child.tag] = joined
         records.append(_record(obj, idx, path))
     return records
 

@@ -224,9 +224,11 @@ def stream_ingest_binary(
         # binaryFile's path column is a PLAIN path behind a 'file:' scheme
         # — NOT percent-encoded (verified: 'with space.txt' arrives
         # literal), unlike input_file_name() in the text watcher. The same
-        # scheme strip as batch read_files keeps the two ingest paths
-        # key-compatible; unquoting here would corrupt literal-% names.
-        .selectExpr("replace(path, 'file:', '') AS path", "content")
+        # anchored scheme strip as batch read_files keeps the two ingest
+        # paths key-compatible; unquoting here would corrupt literal-%
+        # names, and an unanchored replace would mangle names containing
+        # 'file:'.
+        .selectExpr("regexp_replace(path, '^file:', '') AS path", "content")
     )
 
     def _process(batch: DataFrame, batch_id: int) -> None:

@@ -303,3 +303,22 @@ def test_asciihex_and_ascii85_filter_chain():
     )
     pages, _ = extract_pdf_items(data_85)
     assert pages[0]["items"][0]["text"] == "encoded"
+
+
+def test_scan_objects_ignores_false_headers_inside_streams():
+    """Compressed stream bytes can coincidentally contain 'N G obj'; such a
+    match must not clobber the REAL object N defined earlier."""
+    from mcp_local_rag_spark.sources.pdf_mini import _scan_objects
+
+    payload = b"xx 5 0 obj 42 endobj zz"
+    data = (
+        b"5 0 obj\n(real)\nendobj\n"
+        b"6 0 obj\n<< /Length " + str(len(payload)).encode() + b" >>\nstream\n"
+        + payload
+        + b"\nendstream\nendobj\n"
+        b"7 0 obj\n99\nendobj\n"
+    )
+    objs = _scan_objects(data)
+    assert objs[5][0] != 42          # real object survives the in-stream fake
+    assert objs[7][0] == 99          # scanning resumes after the stream
+    assert objs[6][1] == payload

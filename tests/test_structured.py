@@ -186,3 +186,31 @@ def test_engine_ingests_xml_container(spark, tmp_path):
         for r in eng.chunks().select("filePath").distinct().collect()
     }
     assert {f"{p}#r0", f"{p}#r1"} <= paths
+
+
+def test_xml_nested_markup_keeps_full_text():
+    from mcp_local_rag_spark.sources.structured import parse_xml_bytes
+
+    xml = f"<d><r><text>Hello <b>world</b>! {LONG_A}</text></r></d>"
+    recs = parse_xml_bytes("/x/a.xml", xml.encode())
+    assert recs[0]["text"] == f"Hello world! {LONG_A}"
+
+
+def test_bom_containers_parse_cleanly():
+    """Windows-exported containers open with a UTF-8 BOM; it must not
+    reject the file (or corrupt the first record's first field)."""
+    import json
+
+    from mcp_local_rag_spark.sources.structured import (
+        parse_csv_bytes,
+        parse_jsonl_bytes,
+        parse_xml_bytes,
+    )
+
+    bom = b"\xef\xbb\xbf"
+    jl = parse_jsonl_bytes("/x/a.jsonl", bom + json.dumps({"text": LONG_A}).encode())
+    assert jl[0]["text"] == LONG_A
+    csvb = bom + f'id,text\n1,"{LONG_B}"\n'.encode()
+    assert parse_csv_bytes("/x/a.csv", csvb)[0]["id"] == "1"
+    xmlb = bom + f"<d><r><text>{LONG_C}</text></r></d>".encode()
+    assert parse_xml_bytes("/x/a.xml", xmlb)[0]["text"] == LONG_C

@@ -114,3 +114,20 @@ def test_pii_url_redacted_before_inner_patterns(spark):
     df = spark.createDataFrame([("go to http://10.0.0.1/x then stop",)], "t string")
     r = df.select(text.redact_pii(F.col("t")).alias("r")).first().r
     assert r == "go to <URL> then stop"
+
+
+def test_scope_predicate_root_matches_every_absolute_path(spark):
+    """A '/' scope means 'everything': the naive p + '/' startswith would
+    demand a double slash and shield nothing from sync prune."""
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.functions import paths
+
+    df = spark.createDataFrame(
+        [("/",), ("/a",), ("/a/b.md",), ("relative.md",)], "p string"
+    )
+    got = {
+        r.p
+        for r in df.filter(paths.scope_predicate(F.col("p"), ["/"])).collect()
+    }
+    assert got == {"/", "/a", "/a/b.md"}

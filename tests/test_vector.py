@@ -37,3 +37,29 @@ def test_cosine_and_norm(spark):
 def test_normalize_zero_vector(spark):
     df = spark.createDataFrame([([0.0, 0.0],)], "v array<float>")
     assert df.select(l2_normalize(F.col("v")).alias("u")).first()["u"] == [0.0, 0.0]
+
+
+def test_cosine_pairs_null_embedding_yields_nan_not_crash(spark):
+    """A NULL embedding in a pair batch must produce NaN for its own row —
+    np.stack on a None would otherwise abort the whole task before the
+    callers' non-finite guards ever run."""
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.functions.vector import cosine_pairs_pandas
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, None, [1.0, 0.0]),
+            (3, [0.0, 1.0], None),
+            (4, [1.0, 0.0], [0.0, 1.0]),
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    cos = cosine_pairs_pandas()
+    out = {r.id: r.c for r in df.select("id", cos("a", "b").alias("c")).collect()}
+    assert out[1] == 1.0 and out[4] == 0.0
+    import math
+
+    assert out[2] is None or math.isnan(out[2])
+    assert out[3] is None or math.isnan(out[3])
