@@ -62,6 +62,16 @@ class SyncReport:
     warnings: list[str] = field(default_factory=list)
 
 
+def _query_terms(text: str) -> list[str]:
+    """Tokenize a query with the SAME tokenizer the postings are built
+    with (split on [^a-z0-9]+, functions/text.tokens) — a whitespace
+    split leaves punctuation attached ('spark,') and such a term can
+    never match any posting, silently dropping the BM25 signal."""
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
 class RagEngine:
     def __init__(
         self,
@@ -100,6 +110,26 @@ class RagEngine:
         self._needs_full_index = True
 
     # -- reads ------------------------------------------------------------
+
+    def _space(self) -> tuple[str, int]:
+        """The embedding space new vectors must use: the TABLE's persisted
+        space once the table exists (a re-opened engine must never embed
+        queries or appends in a different space than the stored vectors —
+        mixing dims makes every later distance meaningless), the
+        constructor's backend/dim only for a brand-new table."""
+        from .plans.ingest import table_embedding
+
+        if self._exists():
+            return table_embedding(
+                self.table_path,
+                default_backend=self.backend,
+                default_dim=self.dim,
+            )
+        return self.backend, self.dim
+
+    def _embed_query(self, text: str):
+        b, d = self._space()
+        return embed_query(text, d, b)
 
     def chunks(self) -> DataFrame:
         return self.spark.read.parquet(self.table_path)
@@ -152,8 +182,8 @@ class RagEngine:
         limit = max(1, min(20, limit))
         hybrid_weight = max(0.0, min(1.0, hybrid_weight))
         # query vector under the SAME backend as the stored corpus vectors
-        qv = embed_query(query_text, self.dim, self.backend)
-        terms = [t for t in query_text.lower().split() if t]
+        qv = self._embed_query(query_text)
+        terms = _query_terms(query_text)
         postings = self._postings()
         hits = search.hybrid_search(
             self.chunks(),
@@ -184,8 +214,7 @@ class RagEngine:
         ``query_documents``."""
         limit = max(1, min(20, limit))
         qvecs = {
-            str(i): embed_query(t, self.dim, self.backend)
-            for i, t in enumerate(query_texts)
+            str(i): self._embed_query(t) for i, t in enumerate(query_texts)
         }
         out = search.vector_topk_batch(
             self.chunks(),
@@ -239,12 +268,10 @@ class RagEngine:
         limit = max(1, min(20, limit))
         hybrid_weight = max(0.0, min(1.0, hybrid_weight))
         qvecs = {
-            str(i): embed_query(t, self.dim, self.backend)
-            for i, t in enumerate(query_texts)
+            str(i): self._embed_query(t) for i, t in enumerate(query_texts)
         }
         qterms = {
-            str(i): [w for w in t.lower().split() if w]
-            for i, t in enumerate(query_texts)
+            str(i): _query_terms(t) for i, t in enumerate(query_texts)
         }
         postings = self._postings()
         out = search.hybrid_search_batch(
@@ -324,11 +351,10 @@ class RagEngine:
         ingest branch calls vectorDb.optimize() before returning,
         src/server/index.ts:543-549). Steady-state queries therefore hit
         the maintained postings index without any explicit caller step."""
-        chunks, _ = ingest_directory(
-            self.spark, root, dim=self.dim, backend=self.backend
-        )
+        eb, ed = self._space()
+        chunks, _ = ingest_directory(self.spark, root, dim=ed, backend=eb)
         mode = "append" if self._exists() else "overwrite"
-        write_chunks(chunks, self.table_path, mode=mode, backend=self.backend, dim=self.dim)
+        write_chunks(chunks, self.table_path, mode=mode, backend=eb, dim=ed)
         self.spark.catalog.refreshByPath(self.table_path)
         self._needs_full_index = True
         self.optimize()
@@ -354,10 +380,15 @@ class RagEngine:
             hashed.select("path", "contentHash", "length"), "path"
         )
         docs = parsed.filter(F.col("parse_error").isNull())
-        err = parsed.select("parse_error").first()
-        if err and err["parse_error"]:
-            raise ValueError(f"parse failed for {file_path}: {err['parse_error']}")
-        new_chunks = build_chunks(docs, dim=self.dim, backend=self.backend).persist()
+        # one materialization serves both the error gate and the returned
+        # title — re-deriving the title after the write would re-read and
+        # re-parse the file (and could even describe content replaced on
+        # disk after the ingest)
+        head = parsed.select("parse_error", "title").first()
+        if head and head["parse_error"]:
+            raise ValueError(f"parse failed for {file_path}: {head['parse_error']}")
+        eb, ed = self._space()
+        new_chunks = build_chunks(docs, dim=ed, backend=eb).persist()
         n = new_chunks.count()
         if n == 0:
             new_chunks.unpersist()
@@ -367,13 +398,16 @@ class RagEngine:
         if self._exists():
             delete_document(spark, self.table_path, file_path)
         mode = "append" if self._exists() else "overwrite"
-        write_chunks(new_chunks, self.table_path, mode=mode, backend=self.backend, dim=self.dim)
+        write_chunks(new_chunks, self.table_path, mode=mode, backend=eb, dim=ed)
         new_chunks.unpersist()
         spark.catalog.refreshByPath(self.table_path)
         self._dirty_upserts.add(file_path)
         self._dirty_deletes.discard(file_path)
-        title = docs.select("title").first()["title"]
-        return {"filePath": file_path, "chunkCount": n, "fileTitle": title}
+        return {
+            "filePath": file_path,
+            "chunkCount": n,
+            "fileTitle": head["title"] if head else None,
+        }
 
     def ingest_data(
         self,
@@ -381,7 +415,6 @@ class RagEngine:
         source: str,
         *,
         format: str = "markdown",
-        db_path: str | None = None,
     ) -> int:
         """ingest_data tool: content not backed by a file (reference
         src/server/index.ts ingest_data dispatch). HTML goes through the
@@ -401,7 +434,11 @@ class RagEngine:
         from .sources.html import parse_html_text
         from .sources.parsers import extract_md_title, extract_txt_title
 
-        path = source_to_path(source, db_path or self.db_path)
+        # ALWAYS the engine's own managed root: a per-call override would
+        # write rows that source restoration and sync's managed-row
+        # protection (both keyed on self.db_path) can never recognize —
+        # the next sync would classify them as prune and delete them
+        path = source_to_path(source, self.db_path)
         if format == "html":
             parsed = parse_html_text(path, content)
             text, title = parsed["text"], parsed["title"]
@@ -420,7 +457,8 @@ class RagEngine:
             "path string, text string, title string, contentHash string,"
             " length long",
         )
-        new_chunks = build_chunks(docs, dim=self.dim, backend=self.backend).persist()
+        eb, ed = self._space()
+        new_chunks = build_chunks(docs, dim=ed, backend=eb).persist()
         n = new_chunks.count()
         if n == 0:
             new_chunks.unpersist()
@@ -430,7 +468,7 @@ class RagEngine:
         if self._exists():
             delete_document(self.spark, self.table_path, path)
         mode = "append" if self._exists() else "overwrite"
-        write_chunks(new_chunks, self.table_path, mode=mode, backend=self.backend, dim=self.dim)
+        write_chunks(new_chunks, self.table_path, mode=mode, backend=eb, dim=ed)
         new_chunks.unpersist()
         self.spark.catalog.refreshByPath(self.table_path)
         self._dirty_upserts.add(path)
@@ -479,7 +517,8 @@ class RagEngine:
                 F.lower(F.sha2(F.col("text").cast("binary"), 256)).alias("contentHash"),
                 F.length("text").cast("long").alias("length"),
             )
-            new_chunks = build_chunks(docs, dim=self.dim, backend=self.backend).persist()
+            eb, ed = self._space()
+            new_chunks = build_chunks(docs, dim=ed, backend=eb).persist()
             n = new_chunks.count()
             if n == 0:
                 new_chunks.unpersist()
@@ -503,7 +542,7 @@ class RagEngine:
             if stale:
                 delete_documents(spark, self.table_path, stale)
         mode = "append" if self._exists() else "overwrite"
-        write_chunks(new_chunks, self.table_path, mode=mode, backend=self.backend, dim=self.dim)
+        write_chunks(new_chunks, self.table_path, mode=mode, backend=eb, dim=ed)
         new_chunks.unpersist()
         spark.catalog.refreshByPath(self.table_path)
         # index dirtiness is tracked at RECORD granularity — the postings
@@ -655,10 +694,17 @@ class RagEngine:
         else:
             db = spark.createDataFrame([], "filePath string, key string, hash string")
 
+        # excluded subtrees are UNOBSERVED, not absent: scan never lists
+        # them, so without this protection every previously-ingested doc
+        # under an exclude prefix would classify as prune and a routine
+        # sync-with-exclusions would silently delete it from the index
+        shielded = list(scan.unobserved_prefixes) + [
+            p.rstrip("/") for p in exclude_prefixes
+        ]
         plan = plan_sync(
             db.withColumn("source", F.lit(None).cast("string")),
             disk.select("key", "hash"),
-            unobserved_prefixes=[_py_sync_key(p) for p in scan.unobserved_prefixes],
+            unobserved_prefixes=[_py_sync_key(p) for p in shielded],
         ).persist()
         counters = {r["action"]: r["n"] for r in sync_counters(plan).collect()}
 
@@ -676,28 +722,13 @@ class RagEngine:
         upsert_paths = [
             f["path"] for f in scan.files if _py_sync_key(f["path"]) in upsert_keys
         ]
+        upsert_warnings: list[str] = []
         if upsert_paths:
-            if self._exists():
-                # ALL stored spellings of the upsert keys go in ONE
-                # DataFrame-native batched delete: the key set never
-                # round-trips through the driver as a path list — the
-                # anti-join rewrites every touched bucket in one dynamic-
-                # partition-overwrite job, so a whole-corpus resync
-                # deletes without collecting millions of strings.
-                delete_documents_df(
-                    spark,
-                    self.table_path,
-                    plan.filter(
-                        F.col("action").isin("upsert", "upsert_new")
-                    ).select("key"),
-                    case_fold=CASE_FOLD_KEYS,
-                )
-                if CASE_FOLD_KEYS:
-                    # stored spellings differing from the re-ingested path
-                    # can hold postings rows the per-path refresh would
-                    # miss; on case-folding platforms a spelling-churn sync
-                    # rebuilds the index instead of guessing
-                    self._needs_full_index = True
+            # PARSE BEFORE DELETE: a doc whose re-parse fails (or yields
+            # zero chunks) must keep its stored rows — ingest_file's
+            # 'existing rows left intact' contract. Deleting first would
+            # turn a transient parse failure into permanent data loss that
+            # the report counts as a successful upsert.
             content = read_files(spark, upsert_paths)
             hashed = content.withColumn(
                 "contentHash", F.lower(F.sha2(F.col("content"), 256))
@@ -706,12 +737,44 @@ class RagEngine:
                 hashed.select("path", "contentHash", "length"), "path"
             )
             docs = parsed.filter(F.col("parse_error").isNull())
-            new_chunks = build_chunks(docs, dim=self.dim, backend=self.backend)
-            mode = "append" if self._exists() else "overwrite"
-            write_chunks(new_chunks, self.table_path, mode=mode, backend=self.backend, dim=self.dim)
-            spark.catalog.refreshByPath(self.table_path)
-            self._dirty_upserts.update(upsert_paths)
-            self._dirty_deletes.difference_update(upsert_paths)
+            eb, ed = self._space()
+            new_chunks = build_chunks(docs, dim=ed, backend=eb).persist()
+            produced = {
+                r["filePath"]
+                for r in new_chunks.select("filePath").distinct().collect()
+            }
+            for p in upsert_paths:
+                if p not in produced:
+                    upsert_warnings.append(
+                        f"upsert skipped (parse failed or no chunks), stored rows kept: {p}"
+                    )
+            produced_keys = sorted(_py_sync_key(p) for p in produced)
+            if self._exists() and produced_keys:
+                # ALL stored spellings of the SUCCESSFULLY re-parsed keys
+                # go in ONE DataFrame-native batched delete (anti-join
+                # bucket rewrite, one dynamic-partition-overwrite job).
+                delete_documents_df(
+                    spark,
+                    self.table_path,
+                    plan.filter(F.col("action").isin("upsert", "upsert_new"))
+                    .filter(F.col("key").isin(produced_keys))
+                    .select("key"),
+                    case_fold=CASE_FOLD_KEYS,
+                )
+                if CASE_FOLD_KEYS:
+                    # stored spellings differing from the re-ingested path
+                    # can hold postings rows the per-path refresh would
+                    # miss; on case-folding platforms a spelling-churn sync
+                    # rebuilds the index instead of guessing
+                    self._needs_full_index = True
+            if produced:
+                mode = "append" if self._exists() else "overwrite"
+                write_chunks(new_chunks, self.table_path, mode=mode, backend=eb, dim=ed)
+                spark.catalog.refreshByPath(self.table_path)
+            new_chunks.unpersist()
+            done_paths = [p for p in upsert_paths if p in produced]
+            self._dirty_upserts.update(done_paths)
+            self._dirty_deletes.difference_update(done_paths)
 
         n_prunes = counters.get("prune", 0)
         if n_prunes:
@@ -784,6 +847,7 @@ class RagEngine:
             + [f"depth-limited dir: {p}" for p in scan.depth_limited_dirs]
             + [f"skipped symlink: {p}" for p in scan.skipped_symlinks]
             + [f"oversized file: {p}" for p in scan.oversized_files]
+            + upsert_warnings
         )
         return SyncReport(counters=counters, warnings=warnings)
 
@@ -794,7 +858,7 @@ class RagEngine:
         stats = self._fts_stats() if postings is not None else None
         if postings is None:
             postings = build_postings(self.chunks(), tokenizer="unigram")
-        terms = [t for t in query_text.lower().split() if t]
+        terms = _query_terms(query_text)
         scores = bm25_scores(postings, terms, stats=stats)
         return (
             scores.orderBy(F.col("_score").desc(), "filePath", "chunkIndex")

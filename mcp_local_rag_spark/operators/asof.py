@@ -49,7 +49,15 @@ def asof_join_backward(
     stream-stream as-of with keyed state.
     """
     on = list(on)
-    tb_l = F.lit(0) if tiebreak is None else F.col(tiebreak)
+    # the tiebreak orders RIGHT rows; left rows never need one — selecting
+    # it from the left frame would crash when left lacks the column (or
+    # silently order by an unrelated same-named column), so left carries a
+    # typed NULL in that slot
+    tb_l = (
+        F.lit(0)
+        if tiebreak is None
+        else F.lit(None).cast(right.schema[tiebreak].dataType)
+    )
     payload = list(right_payload)
 
     r = right.select(

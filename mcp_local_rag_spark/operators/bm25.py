@@ -311,8 +311,11 @@ def bm25_scores_scan(
     for t in terms:
         df = df_cols[t]
         # when df = 0 the term contributes nothing (old driver-side skip,
-        # now a column guard so stats may arrive either way)
-        idf = F.log(F.lit(1.0) + (n_col - df + 0.5) / (df + 0.5))
+        # now a column guard so stats may arrive either way). greatest(1,.)
+        # floors the log argument exactly like bm25_term_score: stale
+        # stats with df > n would otherwise drive it <= 0 and a NULL term
+        # score would silently null the document's whole _score
+        idf = F.log(F.greatest(F.lit(1.0), F.lit(1.0) + (n_col - df + 0.5) / (df + 0.5)))
         tf = F.size("_toks") - F.size(F.array_remove("_toks", t))
         score = score + F.when(
             df > 0,

@@ -106,11 +106,15 @@ class NeighborServer:
         self._datasets: dict[int, object] = {}  # bucket -> pyarrow dataset
 
     def invalidate(self) -> None:
-        """Drop cached dataset handles. Call after compact/delete/ingest:
-        bucket rewrites replace the parquet files a cached handle points at
-        (stale-footer reads would fail or, worse, see pre-delete rows).
-        Bucket assignments are pure hashes and stay valid."""
+        """Drop cached dataset handles AND cached bucket assignments. Call
+        after compact/delete/ingest: bucket rewrites replace the parquet
+        files a cached handle points at (stale-footer reads would fail or,
+        worse, see pre-delete rows), and a rewrite that changed the
+        table's bucket COUNT re-routes every path — a bucket id computed
+        under the old count would open the wrong directory and silently
+        return empty neighbor frames."""
         self._datasets.clear()
+        self._buckets.clear()
 
     def _dataset_of(self, bucket: int, *, refresh: bool = False):
         # cache the dataset handle: directory listing + parquet footer

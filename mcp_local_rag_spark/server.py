@@ -268,6 +268,16 @@ class RagRpcServer:
         finally:
             if holding:
                 self._write_guard.release()
+            # the per-query pipelines persist intermediates (candidate
+            # sets, postings builds); CacheManager entries are NOT freed
+            # by GC, so a long-running server would accumulate one set per
+            # request until executors hit storage pressure. Results are
+            # already collected by this point; dropping the cache only
+            # costs a recompute if something re-reads a stale handle.
+            try:
+                self.engine.spark.catalog.clearCache()
+            except Exception:
+                pass
 
     def serve(self, stdin, stdout) -> None:
         """Line-delimited stdio loop: EOF ends the session; malformed JSON

@@ -3,6 +3,7 @@ query, neighbors, list, status, delete, incremental sync (modify / add /
 remove files) — end-to-end on a real directory."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from mcp_local_rag_spark.engine import RagEngine
 
@@ -601,3 +602,98 @@ def test_query_documents_batch_matches_single(spark, corpus, tmp_path):
         ]
         assert sorted(by_q[str(i)]) == sorted(single), t
         assert single
+
+
+def test_punctuated_query_terms_still_match_postings(spark, corpus, tmp_path):
+    """Query tokenization must match the corpus tokenizer: 'spark,' split
+    on whitespace would never match any posting and the BM25 signal would
+    silently vanish."""
+    from mcp_local_rag_spark.engine import _query_terms
+
+    assert _query_terms("Spark, streaming!") == ["spark", "streaming"]
+    assert _query_terms("don't foo-bar") == ["don", "t", "foo", "bar"]
+
+    eng = RagEngine(spark, str(tmp_path / "chunks_punct"))
+    eng.ingest_directory(str(corpus))
+    clean = {(r.filePath, r.chunkIndex) for r in eng.keyword_search("partitioning").collect()}
+    punct = {(r.filePath, r.chunkIndex) for r in eng.keyword_search("partitioning,").collect()}
+    assert clean and punct == clean
+
+
+def test_sync_excluded_prefix_protects_stored_docs(spark, corpus, tmp_path):
+    """A sync with exclude_prefixes must SHIELD previously ingested docs
+    under the excluded subtree, not prune them: scan simply does not
+    observe that region."""
+    eng = RagEngine(spark, str(tmp_path / "chunks_excl"))
+    sub = corpus / "secret"
+    sub.mkdir()
+    (sub / "hidden.md").write_text(
+        "# Hidden\n\nA confidential document with clearly enough prose to"
+        " produce at least one chunk of text."
+    )
+    eng.ingest_directory(str(corpus))
+    docs_before = {
+        r.filePath for r in eng.chunks().select("filePath").distinct().collect()
+    }
+    assert str(sub / "hidden.md") in docs_before
+
+    rep = eng.sync(str(corpus), exclude_prefixes=(str(sub),))
+    assert rep.counters.get("prune", 0) == 0
+    docs_after = {
+        r.filePath for r in eng.chunks().select("filePath").distinct().collect()
+    }
+    assert docs_after == docs_before
+
+
+def test_sync_upsert_parse_failure_keeps_stored_rows(spark, corpus, tmp_path):
+    """A doc whose re-parse fails after its hash changed must KEEP its
+    stored rows (delete only runs for successfully re-parsed docs) and the
+    report must carry a warning — not silently vanish as a 'successful'
+    upsert."""
+    eng = RagEngine(spark, str(tmp_path / "chunks_parsefail"))
+    bad = corpus / "fragile.docx"
+    from tests.test_parsers import _p, make_docx
+
+    bad.write_bytes(
+        make_docx(
+            _p(
+                "A fragile document that parses fine the first time and has"
+                " plenty of text for a chunk."
+            ),
+            core_title="Fragile",
+        )
+    )
+    eng.ingest_directory(str(corpus))
+    rows_before = eng.chunks().filter(F.col("filePath") == str(bad)).count()
+    assert rows_before > 0
+
+    bad.write_bytes(b"\x00\x01 not a zip at all")  # corrupt: parse will fail
+    rep = eng.sync(str(corpus))
+    assert any("stored rows kept" in w for w in rep.warnings)
+    assert eng.chunks().filter(F.col("filePath") == str(bad)).count() == rows_before
+
+
+def test_reopened_engine_uses_table_space(spark, corpus, tmp_path):
+    """An engine reopened with mismatched constructor dims must embed
+    queries and appends in the TABLE's persisted space."""
+    table = str(tmp_path / "chunks_space2")
+    eng = RagEngine(spark, table, dim=32, backend="hash")
+    eng.ingest_directory(str(corpus))
+
+    other = RagEngine(spark, table, dim=128, backend="pseudo")
+    assert other._space() == ("hash", 32)
+    # query still works (scores are finite, not NULL from a dim mismatch)
+    hits = other.query_documents("spark partitioning").collect()
+    assert hits and all(r.score is not None for r in hits)
+    # and an append lands in the table's 32-dim space
+    extra = corpus / "gamma.md"
+    extra.write_text(
+        "# Gamma\n\nAnother document carrying plenty of words about shuffle"
+        " planning so the chunker emits a row."
+    )
+    other.ingest_file(str(extra))
+    dims = {
+        r.d
+        for r in other.chunks().select(F.size("vector").alias("d")).distinct().collect()
+    }
+    assert dims == {32}
