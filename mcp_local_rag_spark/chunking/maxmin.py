@@ -71,25 +71,34 @@ def group_sentences(vectors: np.ndarray) -> list[list[int]]:
     n = len(vectors)
     if n == 0:
         return []
+    # norms are fixed per sentence but each one was being recomputed for
+    # every pairwise comparison (up to ~25 cosines per joined sentence);
+    # caching them keeps the ARITHMETIC identical (same dot, same norms,
+    # same division order) so chunk-boundary goldens are unaffected
+    norms = [float(np.linalg.norm(v)) for v in vectors]
+
+    def cos(a: int, b: int) -> float:
+        if norms[a] == 0.0 or norms[b] == 0.0:
+            return 0.0
+        return float(np.dot(vectors[a], vectors[b])) / (norms[a] * norms[b])
+
     groups: list[list[int]] = []
     cur: list[int] = [0]
     for i in range(1, n):
-        v = vectors[i]
         if len(cur) == 1:
-            join = INIT_CONST * _cos(vectors[cur[0]], v) > HARD_THRESHOLD
+            join = INIT_CONST * cos(cur[0], i) > HARD_THRESHOLD
         elif len(cur) >= MAX_SENTENCES:
             join = False
         else:
+            # len(cur) is in [2, MAX_SENTENCES) here, so the window always
+            # holds >= 2 members — no single-member special case exists
             window = cur[-WINDOW_SIZE:]
-            if len(window) < 2:
-                min_sim = 1.0
-            else:
-                min_sim = min(
-                    _cos(vectors[window[a]], vectors[window[b]])
-                    for a in range(len(window))
-                    for b in range(a + 1, len(window))
-                )
-            max_sim = max(_cos(vectors[j], v) for j in cur)
+            min_sim = min(
+                cos(window[a], window[b])
+                for a in range(len(window))
+                for b in range(a + 1, len(window))
+            )
+            max_sim = max(cos(j, i) for j in cur)
             sigmoid = 1.0 / (1.0 + math.exp(-len(cur)))
             threshold = max(C * min_sim * sigmoid, HARD_THRESHOLD)
             join = max_sim > threshold

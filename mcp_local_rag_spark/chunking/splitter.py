@@ -67,9 +67,13 @@ _BOUNDARY_RE = re.compile(
 )
 # tokens (possibly dotted, e.g. "e.g") that suppress a Latin '.' break
 _ABBREVIATIONS = {
-    "mr", "mrs", "ms", "dr", "prof", "st", "no", "fig", "vs", "etc",
-    "e.g", "i.e", "al", "jr", "sr", "inc", "ltd", "dept", "est", "approx",
+    "mr", "mrs", "ms", "dr", "prof", "st", "fig", "vs", "etc",
+    "e.g", "i.e", "al", "jr", "sr", "inc", "ltd", "dept", "approx",
 }
+# ordinary English words that are abbreviations ONLY before a number
+# ("No. 5", "est. 1990") — unconditional guarding would merge every
+# sentence ending in "... no." with its successor
+_ABBREVIATIONS_BEFORE_DIGIT = {"no", "est"}
 _PRE_WORD_RE = re.compile(r"([A-Za-z][A-Za-z.]*)$")
 
 # Thai / Lao / Khmer / Myanmar: scripts with no sentence terminator, where
@@ -91,15 +95,26 @@ def _sea_fraction(s: str) -> float:
     return sum(1 for c in letters if _SEA_NO_TERM_RE.match(c)) / len(letters)
 
 
-def _is_abbreviation_break(para: str, punct_start: int, punct: str) -> bool:
-    """True when the '.' at para[punct_start] ends a guarded abbreviation."""
+def _is_abbreviation_break(
+    para: str, punct_start: int, punct: str, next_start: int | None = None
+) -> bool:
+    """True when the '.' at para[punct_start] ends a guarded abbreviation.
+
+    ``next_start`` (index of the text after the boundary's whitespace)
+    gates the common-word abbreviations on a following digit."""
     if not punct.startswith("."):
         return False
     m = _PRE_WORD_RE.search(para, 0, punct_start)
     if not m:
         return False
-    word = m.group(1)
-    return word.lower() in _ABBREVIATIONS or (len(word) == 1 and word.isupper())
+    word = m.group(1).lower()
+    if word in _ABBREVIATIONS_BEFORE_DIGIT:
+        return (
+            next_start is not None
+            and next_start < len(para)
+            and para[next_start].isdigit()
+        )
+    return word in _ABBREVIATIONS or (len(m.group(1)) == 1 and m.group(1).isupper())
 
 
 def _icu_split_paragraph(para: str) -> list[str]:
@@ -127,7 +142,9 @@ def _split_paragraph(para: str) -> list[str]:
     for m in _BOUNDARY_RE.finditer(para):
         if m.group("latin") is not None:
             seg_end = m.end("latin")
-            if _is_abbreviation_break(para, m.start("latin"), m.group("latin")):
+            if _is_abbreviation_break(
+                para, m.start("latin"), m.group("latin"), m.end()
+            ):
                 continue
         else:
             seg_end = m.end("cjk")
@@ -172,9 +189,15 @@ def split_sentences(text: str) -> list[str]:
     # restore code blocks (fenced may nest inline placeholders: two passes)
     restored = []
     for s in out:
-        for _ in range(2):
+        # most sentences carry no placeholder (\x00 marker) — skipping the
+        # 2*len(fences) replace scans for them keeps restoration near-free
+        # on code-heavy documents
+        while "\x00" in s:
+            before = s
             for i, code in enumerate(fences):
                 s = s.replace(_PLACEHOLDER.format(i), code)
+            if s == before:
+                break  # stray \x00 not ours; avoid an infinite loop
         restored.append(s)
     return restored
 

@@ -113,6 +113,12 @@ def embed_query(
             raise ImportError("sentence-transformers not available")
         model = _cached_model(model_name)
         return [float(x) for x in model.encode([text], normalize_embeddings=True)[0]]
+    if backend != "pseudo":
+        raise ValueError(
+            f"unknown embedding backend {backend!r} (pseudo|hashing|model) — "
+            "silently falling back would embed in a locality-free space and "
+            "make every similarity score garbage with no error anywhere"
+        )
     return pseudo_embed(text, dim)
 
 
@@ -125,10 +131,13 @@ def _try_sentence_transformers(model_name: str):
     def factory(dim: int):
         @F.pandas_udf(ArrayType(FloatType()))
         def udf(texts: pd.Series) -> pd.Series:
-            # lazy per-executor model init; length-sorted batching replaces
-            # the reference's padding-outlier deferral (same goal: bound
-            # padding amplification, src/embedder/index.ts:56-93)
-            model = SentenceTransformer(model_name)
+            # per-PROCESS model init via the lru_cache — constructing the
+            # model inline would reload it for every Arrow batch, paying
+            # the multi-second load hundreds of times per executor.
+            # Length-sorted batching replaces the reference's padding-
+            # outlier deferral (same goal: bound padding amplification,
+            # src/embedder/index.ts:56-93)
+            model = _cached_model(model_name)
             order = texts.str.len().sort_values().index
             vecs = model.encode(
                 texts.loc[order].fillna("").tolist(), normalize_embeddings=True
@@ -164,4 +173,8 @@ def embed_text_column(
         )
     if backend == "hashing":
         return df.withColumn(out_col, _hashing_udf(dim)(col))
+    if backend != "pseudo":
+        raise ValueError(
+            f"unknown embedding backend {backend!r} (pseudo|hashing|model)"
+        )
     return df.withColumn(out_col, _pseudo_udf(dim)(col))

@@ -56,5 +56,12 @@ def cogrouped_join(
 ) -> DataFrame:
     """Join two identically-bucketed tables on (a superset of) the bucket
     column: with matching bucket specs the planner emits a SortMergeJoin
-    with ZERO Exchange operators (gated in tests/test_plans.py)."""
+    with ZERO Exchange operators (gated in tests/test_plans.py).
+
+    The helper sets ``requireAllClusterKeysForCoPartition=false`` itself:
+    join keys that are a SUPERSET of the bucket key (the documented use)
+    would otherwise silently re-shuffle both sides, losing the entire
+    point of the bucketing — relying on the caller to remember a session
+    conf is exactly the failure mode this wrapper exists to remove."""
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     return spark.table(left_table).join(spark.table(right_table), on, how)

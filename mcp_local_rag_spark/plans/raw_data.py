@@ -59,11 +59,16 @@ def restore_sources(df: DataFrame, path_col: str = "filePath", db_path: str = "/
     src/server/index.ts:480-497): raw-data rows get a `source` column."""
     prefix = db_path.rstrip("/") + "/raw-data/"
     key = F.regexp_extract(F.col(path_col), r"/raw-data/(.+)\.md$", 1)
+    # length(key) > 0 guard: a stray non-.md path under the prefix
+    # extracts '' and would decode to source='' — the python twin
+    # (path_to_source) returns None for it, and downstream IS NOT NULL
+    # checks must agree
     return df.withColumn(
         "source",
-        F.when(F.col(path_col).startswith(prefix), base64url_decode(key)).otherwise(
-            F.lit(None).cast("string")
-        ),
+        F.when(
+            F.col(path_col).startswith(prefix) & (F.length(key) > 0),
+            base64url_decode(key),
+        ).otherwise(F.lit(None).cast("string")),
     )
 
 

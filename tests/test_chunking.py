@@ -274,3 +274,20 @@ def test_chunk_boundary_digest_golden(spark):
 
     assert digest(1) == "41614a2612cf2ef9a0cf70f10927e233"
     assert digest(3) == "475973cecabdc9d287c6fdf934750a52"
+
+
+def test_common_word_abbreviations_gated_on_digit():
+    """'no.'/'est.' suppress a break only before a number ('No. 5',
+    'est. 1990'); ordinary prose ending in '... no.' must still split."""
+    from mcp_local_rag_spark.chunking.splitter import split_sentences
+
+    assert split_sentences("She said no. He walked away.") == [
+        "She said no.",
+        "He walked away.",
+    ]
+    assert split_sentences("See item No. 5 for details.") == [
+        "See item No. 5 for details."
+    ]
+    assert split_sentences("Founded est. 1990 in town.") == [
+        "Founded est. 1990 in town."
+    ]

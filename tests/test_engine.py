@@ -677,11 +677,11 @@ def test_reopened_engine_uses_table_space(spark, corpus, tmp_path):
     """An engine reopened with mismatched constructor dims must embed
     queries and appends in the TABLE's persisted space."""
     table = str(tmp_path / "chunks_space2")
-    eng = RagEngine(spark, table, dim=32, backend="hash")
+    eng = RagEngine(spark, table, dim=32, backend="hashing")
     eng.ingest_directory(str(corpus))
 
     other = RagEngine(spark, table, dim=128, backend="pseudo")
-    assert other._space() == ("hash", 32)
+    assert other._space() == ("hashing", 32)
     # query still works (scores are finite, not NULL from a dim mismatch)
     hits = other.query_documents("spark partitioning").collect()
     assert hits and all(r.score is not None for r in hits)

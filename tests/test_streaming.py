@@ -773,7 +773,7 @@ def test_watcher_resolves_embedding_space_per_batch(spark, tmp_path):
         "path string, text string, title string, contentHash string, length long",
     )
     write_chunks(
-        build_chunks(docs, dim=32, backend="hash"), table, backend="hash", dim=32
+        build_chunks(docs, dim=32, backend="hashing"), table, backend="hashing", dim=32
     )
     (watch / "late.md").write_text(
         "A streamed document arriving after the table was created, long"
