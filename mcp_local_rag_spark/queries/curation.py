@@ -1125,3 +1125,33 @@ def q_corpus_source_overlap(spark, sf_dir):
         .orderBy(F.col("shared_grams").desc(), "source1", "source2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# The funnel report over the composed pipeline — what a data engineer
+# actually reads after a materialization run: how many documents each
+# stage consumed, and how the kept set splits. Derived from the SAME
+# disposition logic (one GROUP BY over the pipeline's output), so the
+# two queries cannot drift apart.
+
+def _curation_funnel_sql() -> str:
+    from .common import REGISTRY
+
+    pipeline = REGISTRY["corpus_curation_pipeline"]["sql"]
+    return f"""WITH pipe AS ({pipeline})
+SELECT disposition, coalesce(split, '-') AS split, count(*)::BIGINT AS n_docs
+FROM pipe
+GROUP BY disposition, split
+ORDER BY disposition, split"""
+
+
+@register("corpus_curation_funnel", _curation_funnel_sql())
+def q_corpus_curation_funnel(spark, sf_dir):
+    pipe = q_corpus_curation_pipeline(spark, sf_dir)
+    return (
+        pipe.groupBy(
+            "disposition", F.coalesce("split", F.lit("-")).alias("split")
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("disposition", "split")
+    )
