@@ -244,3 +244,29 @@ def test_batch_topk_tie_margin_is_sufficient(scores, n, n_parts, rnd):
     want = sorted(rows, key=final_order)[:n]
     got = sorted(survivors, key=final_order)[:n]
     assert got == want
+
+
+@given(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", categories=("L", "N", "P", "Z", "S")
+        ),
+        max_size=80,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_query_terms_match_corpus_tokenizer(text):
+    """engine._query_terms (Python re, query side) must tokenize exactly
+    like functions/text.tokens (Spark split, corpus side) — any divergence
+    silently drops BM25 signal for the affected query. Twin the Spark
+    expression in pure Python: split on the same pattern, drop empties."""
+    import re
+
+    from mcp_local_rag_spark.engine import _query_terms
+
+    spark_twin = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t != ""]
+    assert _query_terms(text) == spark_twin
+    # and every emitted term is itself a fixpoint (re-tokenizing a term
+    # yields the term): terms are always directly matchable postings keys
+    for t in _query_terms(text):
+        assert _query_terms(t) == [t]

@@ -131,3 +131,33 @@ def test_scope_predicate_root_matches_every_absolute_path(spark):
         for r in df.filter(paths.scope_predicate(F.col("p"), ["/"])).collect()
     }
     assert got == {"/", "/a", "/a/b.md"}
+
+
+def test_query_terms_agree_with_spark_tokens_on_adversarial_text(spark):
+    """The Python query tokenizer and the JVM corpus tokenizer must agree
+    byte-for-byte, including unicode case-folding edges — disagreement
+    means a query term that can never match its own document's posting."""
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.engine import _query_terms
+    from mcp_local_rag_spark.functions import text as TX
+
+    cases = [
+        "Spark, streaming!",
+        "don't foo-bar_baz",
+        "ALL CAPS 123 mixed99cases",
+        "İstanbul STRASSE Straße",   # dotted capital I, sharp s folding
+        "naïve café résumé",          # accented letters are separators here
+        "ＦＵＬＬＷＩＤＴＨ １２３",  # fullwidth forms
+        "emoji 🙂 splits 7things",
+        "",
+        "    ",
+        "...!!!",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    jvm = {
+        r.t: list(r.toks)
+        for r in df.select("t", TX.tokens(F.col("t")).alias("toks")).collect()
+    }
+    for c in cases:
+        assert _query_terms(c) == jvm[c], repr(c)
