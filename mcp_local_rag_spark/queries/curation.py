@@ -865,20 +865,61 @@ def q_text_dedup_spans(spark, sf_dir):
         "i",
         F.md5(F.concat_ws(" ", F.slice("_toks", F.col("i"), k))).alias("g"),
     )
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("g")
+    # ONE gram construction, not two: the dup-gram aggregate and the
+    # occurrence stream both come from a single groupBy((g, doc_id)) that
+    # compacts each doc's positions for a gram into one row. The
+    # alternative (count_distinct per g, then semi-join the re-built gram
+    # stream back) tokenizes + hashes the whole corpus twice and shuffles
+    # the full gram stream twice; here the stream shuffles once and the
+    # cross-doc test is a count window over the COMPACT (g, doc) rows —
+    # one row per document a gram appears in, so even a corpus-wide
+    # boilerplate gram contributes #docs rows (sort-window, spillable),
+    # never a collected list.
+    from pyspark.sql import Window
+
+    # repartition by g ALONE before the (g, doc_id) aggregate: hash
+    # partitioning on g satisfies the clustered-distribution requirement
+    # of both the aggregate (g is a prefix of its keys) and the count
+    # window below, so the gram stream crosses the wire ONCE instead of
+    # once for the aggregate and again for the window.
+    gd = (
+        grams.repartition("g")
+        .groupBy("g", "doc_id")
+        .agg(F.collect_list("i").alias("_starts"))
     )
+    dupocc = gd.withColumn(
+        "_nd", F.count("*").over(Window.partitionBy("g"))
+    ).filter(F.col("_nd") >= 2)
+    # coverage by PER-DOC INTERVAL MERGE, not position explode: collecting
+    # the duplicated gram starts and merging the [i, i+k) intervals inside
+    # one aggregate HOF shuffles 1x the duplicated-gram stream, where the
+    # explode(pos)+distinct form shuffles kx of it and pays a second
+    # global dedup — an 8x shuffle-volume cut at k=8. Per-doc state is
+    # bounded by the doc's token count (sorted starts), never corpus-sized.
     cov = (
-        grams.join(dup, "g", "left_semi")
-        .select(
-            "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (k - 1))).alias("pos")
-        )
-        .distinct()
+        dupocc.select("doc_id", F.explode("_starts").alias("i"))
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_dup"))
+        .agg(F.sort_array(F.collect_list("i")).alias("_starts"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.col("_starts"),
+                F.struct(
+                    F.lit(0).cast("long").alias("cov"),
+                    F.lit(0).cast("long").alias("end"),
+                ),
+                lambda acc, s: F.struct(
+                    (
+                        acc["cov"]
+                        + F.greatest(
+                            s + F.lit(k) - F.greatest(s, acc["end"]), F.lit(0)
+                        )
+                    ).alias("cov"),
+                    F.greatest(acc["end"], s + F.lit(k)).alias("end"),
+                ),
+                lambda acc: acc["cov"],
+            ).alias("n_dup"),
+        )
     )
     n = toks.select("doc_id", F.size("_toks").cast("long").alias("n_tokens"))
     return (

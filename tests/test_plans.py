@@ -400,14 +400,24 @@ def test_dsir_ratio_table_broadcasts(spark, qs):
     assert "CartesianProduct" not in p, p
 
 
-def test_dedup_spans_no_cartesian_gram_join(spark, qs):
-    """Repeated-span coverage joins grams back to the duplicated-gram set
-    on the gram hash — an equi (semi) join, never a cartesian, and gram
-    construction is explode+slice (no per-doc window sort)."""
+def test_dedup_spans_single_gram_pass(spark, qs):
+    """Repeated-span coverage builds the gram stream ONCE: a (g, doc_id)
+    aggregate pre-partitioned by g feeds both the cross-doc count window
+    (partitioned by g — never a global window) and the occurrence stream,
+    so the corpus is tokenized once and the gram stream crosses the wire
+    once. No cartesian/nested-loop step anywhere, and coverage is the
+    per-doc interval merge (no kx position explode + global distinct)."""
     p = plan(qs["text_dedup_spans"](spark, SF_DIR))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
-    assert "Window" not in p, p
+    # the count window must be keyed by the gram hash, not global
+    assert "windowspecdefinition(g#" in p, p
+    # one gram-stream shuffle (on g) + the final per-doc aggregate only
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    # single tokenize+gram build: exactly one position-sequence explode
+    # (formatted mode lists each Generate's expression once, under its
+    # node detail section)
+    assert p.count("explode(sequence") == 1, p
 
 
 def test_bloom_probe_never_shuffle_joins_the_bit_table(spark, qs):
