@@ -1196,3 +1196,108 @@ def q_corpus_curation_funnel(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .orderBy("disposition", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM score (Jelinek-Mercer mixture) — the CCNet-style
+# perplexity filter primitive (Wenzek et al. 2020 bucket web documents by
+# LM perplexity; Brown et al. 2020 use an LM quality classifier the same
+# way). Each document is scored by the mean log-probability of its bigram
+# positions under the corpus's own counts:
+#
+#     P(cur | prev) = L * c(prev,cur)/c(prev,*)  +  (1-L) * c(cur)/total
+#
+# Self-scoring means every scored bigram occurs at least once, so the MLE
+# mixture needs no smoothing floor. Scale posture: the bigram stream is
+# map-only (position explode + two element_at); counts are two hash
+# aggregates over it; scoring joins the stream back on the (prev, cur)
+# key — equi-joins and broadcast scalars only, cost linear in corpus
+# token count (the unigram twin is text_unigram_logprob).
+
+_JM_LAMBDA = 0.7  # bigram weight in the Jelinek-Mercer mixture
+
+@register(
+    "text_bigram_logprob",
+    f"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+c2 AS (SELECT prev, cur, count(*)::BIGINT AS c2 FROM big GROUP BY prev, cur),
+c1 AS (SELECT prev, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY prev),
+uni AS (
+  SELECT tok, count(*)::BIGINT AS cu
+  FROM (SELECT unnest(t) AS tok FROM toks)
+  GROUP BY tok
+),
+tot AS (SELECT sum(cu)::BIGINT AS total FROM uni),
+scored AS (
+  SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+         sum(ln({_JM_LAMBDA} * (c2.c2 / CAST(c1.c1 AS DOUBLE))
+                + {1.0 - _JM_LAMBDA} * (uni.cu / CAST(tot.total AS DOUBLE)))) AS lp
+  FROM big b
+  JOIN c2 ON b.prev = c2.prev AND b.cur = c2.cur
+  JOIN c1 ON b.prev = c1.prev
+  JOIN uni ON b.cur = uni.tok, tot
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams, round(lp / n_bigrams, 6) + 0 AS avg_logprob
+FROM scored ORDER BY doc_id""",
+)
+def q_text_bigram_logprob(spark, sf_dir):
+    lam = _JM_LAMBDA
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("_t"))
+    big = (
+        toks.filter(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("_t") - 1)).alias("i"),
+            "_t",
+        )
+        .select(
+            "doc_id",
+            F.element_at("_t", F.col("i")).alias("prev"),
+            F.element_at("_t", F.col("i") + 1).alias("cur"),
+        )
+    )
+    c2 = big.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    # context counts derive from the ALREADY-AGGREGATED bigram counts —
+    # one small rollup, never a second pass over the token stream
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    uni = (
+        toks.select(F.explode("_t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cu"))
+    )
+    tot = uni.agg(F.sum("cu").alias("total"))
+    scored = (
+        big.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .join(uni, big["cur"] == uni["tok"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(
+                F.log(
+                    lam * (F.col("c2") / F.col("c1").cast("double"))
+                    + (1.0 - lam)
+                    * (F.col("cu") / F.col("total").cast("double"))
+                )
+            ).alias("lp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        (F.round(F.col("lp") / F.col("n_bigrams"), 6) + F.lit(0.0)).alias(
+            "avg_logprob"
+        ),
+    ).orderBy("doc_id")

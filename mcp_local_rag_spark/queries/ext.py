@@ -1654,3 +1654,129 @@ def q_knn_ivf_indexed(spark, sf_dir):
         "query_id long, embedding array<double>, cell int",
     )
     return similarity.cosine_knn(q, corpus, k=5, block_col="cell")
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality metrics (MRR / nDCG@10) — the evaluation harness side
+# of the search stack: score the brute-force retriever against label-match
+# relevance on the embeddings table, per query. knn_recall_report measures
+# the ANN variants against brute force; this measures the retriever
+# itself against ground truth — together they are the recall/rank-quality
+# dashboard every retrieval deployment runs.
+#
+# Ranking is the shared total order (round(cos, 6) desc, neighbor_id), so
+# ranks are engine-stable; metric floats round at 6 after the aggregates.
+# Scale posture: metric aggregation runs over <= queries x 10 rows; the
+# only corpus-sized work is the one Arrow-kernel scan cosine_knn already
+# bounds, plus a per-label count aggregate for the ideal-DCG term.
+
+@register(
+    "rag_eval_ndcg",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding, label FROM embeddings
+           WHERE vec_id IN {_QSET}),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(b.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) + 0 AS cos,
+         CASE WHEN b.label = q.label THEN 1 ELSE 0 END AS rel
+  FROM embeddings b, q
+  WHERE b.vec_id <> q.query_id
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= 10
+),
+rtot AS (
+  SELECT q.query_id, count(*)::BIGINT AS n_rel_total
+  FROM embeddings b, q
+  WHERE b.vec_id <> q.query_id AND b.label = q.label
+  GROUP BY q.query_id
+),
+idcg AS (
+  SELECT query_id, sum(1.0 / log2(i + 1.0)) AS idcg
+  FROM (SELECT query_id, unnest(range(1, least(n_rel_total, 10) + 1)) AS i
+        FROM rtot)
+  GROUP BY query_id
+),
+m AS (
+  SELECT query_id,
+         sum(rel)::BIGINT AS n_rel_at_10,
+         coalesce(max(CASE WHEN rel = 1 THEN 1.0 / rnk END), 0.0) AS mrr,
+         sum(rel / log2(rnk + 1.0)) AS dcg
+  FROM top GROUP BY query_id
+)
+SELECT m.query_id, m.n_rel_at_10,
+       round(m.mrr, 6) + 0 AS mrr,
+       round(coalesce(m.dcg / i.idcg, 0.0), 6) + 0 AS ndcg
+FROM m LEFT JOIN idcg i USING (query_id)
+ORDER BY m.query_id""",
+)
+def q_rag_eval_ndcg(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    top = similarity.cosine_knn(
+        q.select("query_id", "embedding"), emb, k=10
+    )
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("label").alias("_nl"))
+    qlab = q.select("query_id", F.col("label").alias("_ql"))
+    # rank + relevance over the <= 30 retrieved rows (both sides of the
+    # label join broadcast-sized; the window partitions by query)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    top = (
+        top.join(F.broadcast(qlab), "query_id")
+        .join(labels, "neighbor_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "rel", F.when(F.col("_nl") == F.col("_ql"), 1).otherwise(0)
+        )
+    )
+    m = top.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_rel_at_10"),
+        F.coalesce(
+            F.max(F.when(F.col("rel") == 1, 1.0 / F.col("rnk"))), F.lit(0.0)
+        ).alias("_mrr"),
+        F.sum(F.col("rel") / F.log2(F.col("rnk") + 1.0)).alias("_dcg"),
+    )
+    # ideal DCG from the corpus-wide same-label count (one broadcast-sized
+    # aggregate), expanded to ranks 1..min(R, 10) with a sequence explode
+    rtot = (
+        emb.join(F.broadcast(qlab), emb["label"] == qlab["_ql"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_rel_total"))
+    )
+    idcg = (
+        rtot.select(
+            "query_id",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.col("n_rel_total"), F.lit(10)))
+            ).alias("i"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum(1.0 / F.log2(F.col("i") + 1.0)).alias("_idcg"))
+    )
+    return (
+        m.join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel_at_10",
+            (F.round("_mrr", 6) + F.lit(0.0)).alias("mrr"),
+            (
+                F.round(
+                    F.coalesce(F.col("_dcg") / F.col("_idcg"), F.lit(0.0)), 6
+                )
+                + F.lit(0.0)
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
