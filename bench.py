@@ -109,6 +109,27 @@ def _derived_anchors(spark, qs, sf_dir) -> dict:
     ingest_sec = time.time() - t0
     chunks_per_sec = round(n_chunks / ingest_sec, 1) if ingest_sec > 0 else None
 
+    # bulk anchor: the SAME pipeline over the whole sf's documents table.
+    # The 1000-doc anchor above is fixed-cost dominated (Python-stage
+    # startup + one shuffle ~3 s) and measures the small-batch latency
+    # floor; this one measures marginal throughput, the number that
+    # projects to a bulk backfill (50k replicated docs run ~3.6k chunks/s
+    # on local[32]).
+    bulk = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.concat(F.lit("/bench/bulk"), F.col("doc_id").cast("string"), F.lit(".md")).alias("path"),
+            F.col("text"),
+            F.col("text").substr(1, 40).alias("title"),
+            F.md5("text").alias("contentHash"),
+            F.length("text").cast("long").alias("length"),
+        )
+    )
+    t0 = time.time()
+    n_bulk = build_chunks(bulk, dim=64, backend="pseudo").count()
+    bulk_sec = time.time() - t0
+    bulk_per_sec = round(n_bulk / bulk_sec, 1) if bulk_sec > 0 else None
+
     def _latency(name, reps):
         q = qs[name]
         q(spark, sf_dir).count()  # warm
@@ -126,12 +147,13 @@ def _derived_anchors(spark, qs, sf_dir) -> dict:
     v50, v95 = _latency("vector_topk", 10)
     h50, h95 = _latency("hybrid_search_indexed", 6)
     print(
-        f"# anchors: ingest {chunks_per_sec} chunks/s; vector_topk p50/p95 "
+        f"# anchors: ingest {chunks_per_sec} chunks/s (bulk {bulk_per_sec}); vector_topk p50/p95 "
         f"{v50}/{v95} ms; hybrid_indexed p50/p95 {h50}/{h95} ms",
         file=sys.stderr,
     )
     return {
         "ingest_chunks_per_sec": chunks_per_sec,
+        "ingest_bulk_chunks_per_sec": bulk_per_sec,
         "vector_topk_p50_ms": v50,
         "vector_topk_p95_ms": v95,
         "hybrid_indexed_p50_ms": h50,

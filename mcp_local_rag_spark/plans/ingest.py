@@ -174,6 +174,16 @@ def build_chunks(
         if "atomic_ranges" in docs.columns
         else F.array().cast("array<array<int>>")
     )
+    # shuffle by document at the TOP of the pipeline: the maxmin
+    # groupBy(doc_key) needs hash(doc_key) partitioning anyway (alias-
+    # aware partitioning carries it through the renames below), so paying
+    # the one shuffle on the raw documents (a) runs the sentence-split
+    # and embed pandas UDFs at full parallelism even when the input
+    # arrives in few partitions (a parser's collect funnel, a single-file
+    # source, a limit), and (b) moves whole-doc rows across the wire once
+    # instead of exploded sentences + 64-dim vectors — same shuffle
+    # count, smaller payload, wider UDF stages.
+    docs = docs.repartition(F.col(path_col))
     sentences = (
         docs.select(
             F.col(path_col).alias("doc_key"),
