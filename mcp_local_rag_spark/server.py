@@ -49,6 +49,22 @@ def _limit(params: dict, default: int = 10) -> int:
     return lim
 
 
+def _max_distance(params: dict) -> float | None:
+    md = params.get("maxDistance")
+    if md is None:
+        return None
+    if isinstance(md, bool) or not isinstance(md, (int, float)) or md < 0:
+        raise RpcError(-32602, "maxDistance must be a non-negative number")
+    return float(md)
+
+
+def _grouping(params: dict) -> str | None:
+    g = params.get("grouping")
+    if g is not None and g not in ("similar", "related"):
+        raise RpcError(-32602, "grouping must be 'similar' or 'related'")
+    return g
+
+
 def _scope(params: dict) -> list[str] | None:
     scope = params.get("scope")
     if scope is None:
@@ -94,8 +110,8 @@ class RagRpcServer:
             _require_query(params),
             limit=_limit(params),
             scope=_scope(params),
-            max_distance=params.get("maxDistance"),
-            grouping=params.get("grouping"),
+            max_distance=_max_distance(params),
+            grouping=_grouping(params),
         ).collect()
         return {"results": [r.asDict() for r in rows]}
 
@@ -121,8 +137,8 @@ class RagRpcServer:
             queries,
             limit=_limit(params),
             scope=_scope(params),
-            max_distance=params.get("maxDistance"),
-            grouping=params.get("grouping"),
+            max_distance=_max_distance(params),
+            grouping=_grouping(params),
         ).collect()
         grouped: list[list] = [[] for _ in queries]
         for r in rows:
@@ -236,10 +252,18 @@ class RagRpcServer:
         holding = False
         try:
             if mutates:
-                # one mutating tool at a time (reference mutation guard);
-                # a running sync holds the guard until its terminal state
-                if not self._write_guard.acquire(timeout=300):
-                    return _err(rid, -32000, "mutation guard timeout")
+                # one mutating tool at a time; a running sync holds the
+                # guard until its terminal state. NON-BLOCKING, like the
+                # reference's acquireMutation (src/server/index.ts:397-399,
+                # returns an overlap response immediately): a blocking
+                # acquire here would freeze the single-threaded serve loop
+                # — no reads, no sync_status — for as long as a running
+                # sync holds the guard.
+                if not self._write_guard.acquire(blocking=False):
+                    return _err(
+                        rid, -32000,
+                        "another mutation is in progress; retry after it completes",
+                    )
                 holding = True
             try:
                 result = handler(params)

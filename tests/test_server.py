@@ -196,3 +196,39 @@ def test_query_documents_batch_tool(served):
         _call(server, "query_documents_batch", {"queries": ["x", 3]})["error"]["code"]
         == -32602
     )
+
+
+def test_mutation_guard_rejects_overlap_without_blocking(served):
+    """While one mutation holds the guard, a second mutating request is
+    REJECTED immediately (the reference's acquireMutation overlap
+    response, src/server/index.ts:397-399) — it must not block the
+    single-threaded serve loop — and read-only tools still answer."""
+    server, _ = served
+    assert server._write_guard.acquire(blocking=False)  # simulate running sync
+    try:
+        t0 = time.time()
+        res = _call(server, "delete_document", {"filePath": "/x.md"})
+        assert res["error"]["code"] == -32000
+        assert "in progress" in res["error"]["message"]
+        assert time.time() - t0 < 5  # immediate, not a guard timeout
+        # reads bypass the guard entirely
+        assert _call(server, "get_status")["result"]["documentCount"] == 1
+    finally:
+        server._write_guard.release()
+    # guard free again: mutations proceed
+    res = _call(server, "ingest_data", {"content": "# T\n\n" + DOC, "source": "note://t"})
+    assert "error" not in res
+
+
+def test_query_param_validation(served):
+    """maxDistance and grouping are validated at the protocol boundary:
+    bad values answer -32602 (invalid params), never a -32000 engine
+    stack trace."""
+    server, _ = served
+    for bad in ({"maxDistance": -0.5}, {"maxDistance": "close"},
+                {"maxDistance": True}, {"grouping": "clusters"}):
+        res = _call(server, "query_documents", {"query": "x", **bad})
+        assert res["error"]["code"] == -32602, (bad, res)
+    ok = _call(server, "query_documents",
+               {"query": "broadcast", "maxDistance": 2.0, "grouping": "similar"})
+    assert "result" in ok
