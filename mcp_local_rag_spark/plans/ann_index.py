@@ -31,6 +31,7 @@ def write_ivf_index(
     path: str,
     *,
     cell_col: str = "cell",
+    sort_cols: tuple[str, ...] = (),
     meta: dict | None = None,
 ) -> None:
     """Write the cell-partitioned vector table plus a meta sidecar.
@@ -40,13 +41,14 @@ def write_ivf_index(
     (partitionBy fans the files out, no per-cell driver loop). The
     repartition clusters each cell into one task before partitionBy —
     without it every input partition appends a file to every cell, the
-    M*N small-file explosion (same discipline as plans/ingest.write_chunks);
-    the in-cell sort by id gives parquet min/max stats for point reads.
+    M*N small-file explosion (same discipline as plans/ingest.write_chunks).
+    ``sort_cols`` (e.g. the vector id) adds an in-cell sort so parquet
+    min/max stats serve point reads within a probed cell.
     """
     n_cells = assigned.select(cell_col).distinct().count()
     (
         assigned.repartition(max(int(n_cells), 1), cell_col)
-        .sortWithinPartitions(cell_col)
+        .sortWithinPartitions(cell_col, *sort_cols)
         .write.mode("overwrite")
         .partitionBy(cell_col)
         .parquet(path)

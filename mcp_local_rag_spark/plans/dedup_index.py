@@ -24,6 +24,16 @@ from ..operators.dedup import (
 )
 
 
+def _has_data(path: str) -> bool:
+    """Whether the signature table holds any parquet data files (same
+    posture as plans/fts.index_has_data: no Spark call, and real read
+    errors are never mapped to 'empty')."""
+    import glob
+    import os
+
+    return bool(glob.glob(os.path.join(path, "*.parquet")))
+
+
 def write_signatures(
     docs: DataFrame,
     path: str,
@@ -59,11 +69,17 @@ def incremental_dedup(
     incremental_candidate_pairs). Returns (id1, id2), materialized before
     the append so the result is stable against the table mutation.
     """
-    corpus_sigs = read_signatures(spark, path)
     new_sigs = minhash_signatures(
         shingle_sets(new_docs, id_col=id_col, text_col=text_col), id_col=id_col
     ).persist()
     new_sigs.count()
+    if _has_data(path):
+        corpus_sigs = read_signatures(spark, path)
+    else:
+        # bootstrap: a first batch against a missing/empty table dedups
+        # only within itself (empty corpus side) and then seeds the table
+        # — the streaming watcher needs no separate first-run code path
+        corpus_sigs = spark.createDataFrame([], new_sigs.schema)
     # localCheckpoint (eager) rather than persist: the result must be
     # materialized before the append mutates the table it was derived
     # from, but a persist would stay pinned in executor storage for every

@@ -1640,7 +1640,10 @@ def q_knn_ivf_indexed(spark, sf_dir):
     path = _scratch_path(sf_dir, "ann_ivf")
     if not os.path.isdir(path):
         write_ivf_index(
-            emb.withColumn("cell", F.col("label")), path, meta={"source": "label"}
+            emb.withColumn("cell", F.col("label")),
+            path,
+            sort_cols=("vec_id",),
+            meta={"source": "label"},
         )
     qrows = (
         emb.filter(F.col("vec_id").isin(0, 1, 2))

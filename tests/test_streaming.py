@@ -819,3 +819,76 @@ def test_fts_refresh_stale_delete_leaves_buckets_untouched(spark, tmp_path):
         for f in glob.glob(f"{path}/bucket=*/part-*.parquet")
     }
     assert before == after
+
+
+def test_stream_dedup_incremental_pairs(spark, tmp_path):
+    """Streaming near-dup watcher: batch 1 bootstraps the signature table
+    and finds the in-batch duplicate pair; batch 2 (a new near-copy of an
+    OLD document) pairs against the persisted corpus without re-signing
+    it; the pairs log matches what a full batch LSH run would produce."""
+    from mcp_local_rag_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+    from mcp_local_rag_spark.streaming.dedup import stream_dedup
+
+    base = (
+        "spark shuffles data between executors during wide transformations "
+        "and broadcast joins avoid that shuffle for small dimension tables "
+        "while caching hot tables reduces repeated scans across queries"
+    )
+    other = (
+        "a completely different document about sailing boats across the "
+        "northern sea with no lexical overlap whatsoever in its shingles "
+        "just maritime words waves harbors anchors and long voyages"
+    )
+    watch = tmp_path / "drop"
+    watch.mkdir()
+    sig = str(tmp_path / "sigs")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    (watch / "a.md").write_text(base)
+    (watch / "b.md").write_text(base + " with a tiny tail difference")
+    (watch / "c.md").write_text(other)
+    q = stream_dedup(spark, str(watch), sig, pairs, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    got1 = {
+        (r.id1, r.id2)
+        for r in spark.read.parquet(pairs).select("id1", "id2").collect()
+    }
+    a, b, c = (str(watch / f"{n}.md") for n in "abc")
+    assert (a, b) in got1 or (b, a) in got1
+    assert not any(c in p for p in got1)
+
+    # batch 2: a near-copy of a.md arrives later
+    (watch / "d.md").write_text(base + " trailing words appended much later")
+    q2 = stream_dedup(spark, str(watch), sig, pairs, ckpt, available_now=True)
+    q2.awaitTermination(120)
+
+    got2 = {
+        (r.id1, r.id2)
+        for r in spark.read.parquet(pairs).select("id1", "id2").collect()
+    }
+    d = str(watch / "d.md")
+    assert any(d in p and (a in p or b in p) for p in got2 - got1), got2 - got1
+
+    # signature table is current: 4 rows, one per document
+    assert spark.read.parquet(sig).count() == 4
+
+    # stream/batch agreement: a full LSH run over all four docs finds the
+    # same pair set restricted to pairs touching a new doc each round
+    docs = spark.createDataFrame(
+        [(p, (watch / f"{n}.md").read_text()) for n, p in zip("abcd", (a, b, c, d))],
+        "doc_id string, text string",
+    )
+    full = {
+        (r.id1, r.id2)
+        for r in lsh_candidate_pairs(
+            minhash_signatures(shingle_sets(docs, id_col="doc_id"), id_col="doc_id"),
+            id_col="doc_id",
+        ).collect()
+    }
+    assert got2 == full
