@@ -146,6 +146,7 @@ def _derived_anchors(spark, qs, sf_dir) -> dict:
 
     v50, v95 = _latency("vector_topk", 10)
     h50, h95 = _latency("hybrid_search_indexed", 6)
+    sv50, sv95 = _vector_serve_bench(spark, sf_dir)
     print(
         f"# anchors: ingest {chunks_per_sec} chunks/s (bulk {bulk_per_sec}); vector_topk p50/p95 "
         f"{v50}/{v95} ms; hybrid_indexed p50/p95 {h50}/{h95} ms",
@@ -158,7 +159,32 @@ def _derived_anchors(spark, qs, sf_dir) -> dict:
         "vector_topk_p95_ms": v95,
         "hybrid_indexed_p50_ms": h50,
         "hybrid_indexed_p95_ms": h95,
+        "vector_serve_p50_ms": sv50,
+        "vector_serve_p95_ms": sv95,
     }
+
+
+def _vector_serve_bench(spark, sf_dir) -> tuple[float, float]:
+    """Serving-path vector top-k (operators/vector_serve): warmed per-query
+    latency over the SAME persisted chunks table the indexed hybrid reads
+    — the query-side twin of the NeighborServer SLO anchor."""
+    from mcp_local_rag_spark.embedder import pseudo_embed
+    from mcp_local_rag_spark.operators.vector_serve import VectorSearchServer
+    from mcp_local_rag_spark.queries.rag import _indexed_corpus, _scratch_path
+
+    _indexed_corpus(spark, sf_dir)  # ensure the persisted table exists
+    server = VectorSearchServer(_scratch_path(sf_dir, "chunks"))
+    server.query(pseudo_embed("warm", 64), 10)  # load + warm
+    times = []
+    for i in range(20):
+        t0 = time.time()
+        server.query(pseudo_embed(f"bench query {i}", 64), 10)
+        times.append((time.time() - t0) * 1000)
+    times.sort()
+    return (
+        round(times[len(times) // 2], 2),
+        round(times[int(len(times) * 0.95) - 1], 2),
+    )
 
 
 def _neighbor_bench(spark) -> tuple[float, float, float]:
