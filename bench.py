@@ -147,6 +147,7 @@ def _derived_anchors(spark, qs, sf_dir) -> dict:
     v50, v95 = _latency("vector_topk", 10)
     h50, h95 = _latency("hybrid_search_indexed", 6)
     sv50, sv95 = _vector_serve_bench(spark, sf_dir)
+    hs50, hs95 = _hybrid_serve_bench(spark, sf_dir)
     print(
         f"# anchors: ingest {chunks_per_sec} chunks/s (bulk {bulk_per_sec}); vector_topk p50/p95 "
         f"{v50}/{v95} ms; hybrid_indexed p50/p95 {h50}/{h95} ms",
@@ -161,7 +162,37 @@ def _derived_anchors(spark, qs, sf_dir) -> dict:
         "hybrid_indexed_p95_ms": h95,
         "vector_serve_p50_ms": sv50,
         "vector_serve_p95_ms": sv95,
+        "hybrid_serve_p50_ms": hs50,
+        "hybrid_serve_p95_ms": hs95,
     }
+
+
+def _hybrid_serve_bench(spark, sf_dir) -> tuple[float, float]:
+    """Serving-path FULL hybrid query (operators/hybrid_serve): the
+    complete query_documents pipeline — vector top-k, grouping, BM25 over
+    the persisted postings, boost, file filter — per-query from pyarrow +
+    numpy, against the same persisted tables the indexed Spark path
+    reads. Parity with the Spark pipeline is pinned in tests."""
+    from mcp_local_rag_spark.operators.hybrid_serve import HybridSearchServer
+    from mcp_local_rag_spark.queries.rag import _indexed_corpus, _scratch_path
+
+    _indexed_corpus(spark, sf_dir)
+    server = HybridSearchServer(
+        _scratch_path(sf_dir, "chunks"), _scratch_path(sf_dir, "fts")
+    )
+    server.query("spark join filter merge", limit=10, grouping="related",
+                 max_files=3)  # load + warm
+    times = []
+    for i in range(20):
+        t0 = time.time()
+        server.query(f"spark join filter merge {i}", limit=10,
+                     grouping="related", max_files=3)
+        times.append((time.time() - t0) * 1000)
+    times.sort()
+    return (
+        round(times[len(times) // 2], 2),
+        round(times[int(len(times) * 0.95) - 1], 2),
+    )
 
 
 def _vector_serve_bench(spark, sf_dir) -> tuple[float, float]:

@@ -1,0 +1,311 @@
+"""Serving-path HYBRID search — the complete query_documents pipeline
+(reference §3.1 steps 4-9) served from pyarrow + numpy, no Spark job.
+
+The third sidecar over the Spark-written layout (with
+neighbors.NeighborServer and vector_serve.VectorSearchServer): the corpus
+snapshot loads once (vector matrix + text/title payload), the persisted
+BM25 postings index answers per-term lookups through parquet row-group
+pruning (the buckets are term-sorted at write time — plans/fts), and the
+corpus statistics come from the index's table properties. Per query:
+one matmul top-k, a <= 2k-row grouping pass, a few-term postings read,
+the boost formula, the per-file filter, the final top-k — all in-process.
+
+PARITY IS THE CONTRACT: results are row-identical to
+``RagEngine.query_documents`` at the same settings (pinned by
+tests/test_hybrid_serve.py). The stage-by-stage float discipline that
+makes that hold:
+
+  * vector stage — VectorSearchServer (decimal HALF_UP at 6, shared
+    total order);
+  * grouping stats — gap mean accumulated SEQUENTIALLY in window order
+    and stddev_pop via the same Welford recurrence Spark's
+    CentralMomentAgg runs (numpy pairwise summation would diverge by
+    ulps and flip boundary decisions);
+  * BM25 — the bm25_term_score formula verbatim (idf floored at 1.0),
+    per-doc term sum in sorted-term order;
+  * boost — round(score / (1 + kw_norm * weight), 6) through decimal
+    HALF_UP, like every persisted score in the engine.
+
+Maintenance contract: ``invalidate()`` after ingest/delete/optimize,
+same as the other sidecars. Serving correctness requires a FRESH index
+(the engine falls back to scan scoring when mutations are pending;
+a serving tier swaps snapshots only after optimize()).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+from ..embedder import embed_query
+from ..plans.raw_data import path_to_source
+from .vector_serve import SCORE_DECIMALS, VectorSearchServer, _exact_round
+
+K1 = 1.2
+B = 0.75
+CANDIDATE_MULTIPLIER = 2
+GROUPING_STD_MULTIPLIER = 1.5
+DEFAULT_HYBRID_WEIGHT = 0.6
+
+
+class HybridSearchServer:
+    """query_documents at serving latency over the persisted tables."""
+
+    def __init__(self, table_path: str, postings_path: str | None = None, *,
+                 db_path: str = "/data/db"):
+        if postings_path is None:
+            postings_path = table_path.rstrip("/") + "_fts"
+        self._table = table_path
+        self._postings = postings_path
+        self._db_path = db_path
+        self._vec = VectorSearchServer(table_path)
+        self._payload: dict | None = None  # (path, idx) -> (text, fileTitle)
+        self._pdataset = None
+        self._stats: dict | None = None
+
+    def invalidate(self) -> None:
+        self._vec.invalidate()
+        self._payload = None
+        self._pdataset = None
+        self._stats = None
+
+    # -- snapshot loads ----------------------------------------------------
+
+    def _load_payload(self) -> dict:
+        if self._payload is None:
+            import pyarrow.dataset as ds
+
+            dset = ds.dataset(self._table, format="parquet")
+            names = set(dset.schema.names)
+            # fileTitle is optional (synthetic benchmark tables lack it);
+            # text is the response payload proper
+            cols = ["filePath", "chunkIndex", "text"] + (
+                ["fileTitle"] if "fileTitle" in names else []
+            )
+            tbl = dset.to_table(columns=cols)
+            titles = (
+                tbl["fileTitle"].to_pylist()
+                if "fileTitle" in names
+                else [None] * len(tbl)
+            )
+            self._payload = {
+                (p, int(i)): (t, ft)
+                for p, i, t, ft in zip(
+                    tbl["filePath"].to_pylist(),
+                    tbl["chunkIndex"].to_pylist(),
+                    tbl["text"].to_pylist(),
+                    titles,
+                )
+            }
+        return self._payload
+
+    def _postings_dataset(self):
+        if self._pdataset is None:
+            import pyarrow.dataset as ds
+
+            self._pdataset = ds.dataset(
+                self._postings, format="parquet", partitioning="hive"
+            )
+        return self._pdataset
+
+    def _fts_stats(self) -> dict:
+        if self._stats is None:
+            from ..plans.fts import read_fts_stats
+
+            stats = read_fts_stats(self._postings)
+            if stats is None:
+                raise RuntimeError(
+                    f"postings index at {self._postings} has no persisted "
+                    "corpus statistics; run a bulk build/optimize() first"
+                )
+            self._stats = stats
+        return self._stats
+
+    # -- query -------------------------------------------------------------
+
+    def query(
+        self,
+        query_text: str,
+        *,
+        limit: int = 10,
+        scope: list[str] | None = None,
+        max_distance: float | None = None,
+        grouping: str | None = None,
+        hybrid_weight: float = DEFAULT_HYBRID_WEIGHT,
+        max_files: int | None = None,
+        backend: str | None = None,
+        dim: int | None = None,
+    ) -> list[dict]:
+        """Rows (filePath, chunkIndex, text, fileTitle, score, source),
+        identical to ``RagEngine.query_documents(...).collect()`` under
+        the same settings. The embedding space defaults to the TABLE'S
+        persisted space (_table_meta.json) — the same resolution the
+        engine applies, so the query embeds where the corpus lives."""
+        import re
+
+        from ..plans.ingest import table_embedding
+
+        meta_backend, meta_dim = table_embedding(self._table)
+        backend = backend if backend is not None else meta_backend
+        dim = dim if dim is not None else meta_dim
+        limit = max(1, min(20, limit))
+        hybrid_weight = max(0.0, min(1.0, hybrid_weight))
+        qv = embed_query(query_text, dim, backend)
+        terms = [t for t in re.split(r"[^a-z0-9]+", query_text.lower()) if t]
+
+        # §3.1 step 4: vector candidates (k * overfetch pool, shared order)
+        cands = self._vec.query(
+            qv, limit * CANDIDATE_MULTIPLIER,
+            scope=scope, max_distance=max_distance,
+        )
+        # step 5: relevance-gap grouping on the raw candidate set
+        cands = _grouping_filter(cands, grouping)
+        # step 6: BM25 over the persisted postings, restricted to candidates
+        kw = self._bm25(terms, {(r["filePath"], r["chunkIndex"]) for r in cands})
+        # step 7: boost = distance / (1 + kw_norm * weight)
+        mx = max(kw.values(), default=0.0)
+        boosted = []
+        for r in cands:
+            kw_norm = (kw.get((r["filePath"], r["chunkIndex"]), 0.0) / mx) if mx > 0 else 0.0
+            boosted.append(
+                {
+                    **r,
+                    "score": _exact_round(r["score"] / (1.0 + kw_norm * hybrid_weight)),
+                }
+            )
+        # step 8: top-N files by best chunk, then final top-k
+        if max_files is not None:
+            best: dict[str, float] = {}
+            for r in boosted:
+                s = best.get(r["filePath"])
+                best[r["filePath"]] = r["score"] if s is None else min(s, r["score"])
+            keep = {
+                p
+                for p, _ in sorted(best.items(), key=lambda kv: (kv[1], kv[0]))[
+                    :max_files
+                ]
+            }
+            boosted = [r for r in boosted if r["filePath"] in keep]
+        boosted.sort(key=lambda r: (r["score"], r["filePath"], r["chunkIndex"]))
+        out = boosted[:limit]
+        # step 9: response shaping — payload columns + raw-data source
+        payload = self._load_payload()
+        rows = []
+        for r in out:
+            text, title = payload.get((r["filePath"], r["chunkIndex"]), (None, None))
+            rows.append(
+                {
+                    "filePath": r["filePath"],
+                    "chunkIndex": r["chunkIndex"],
+                    "text": text,
+                    "fileTitle": title,
+                    "score": r["score"],
+                    "source": path_to_source(r["filePath"], self._db_path),
+                }
+            )
+        return rows
+
+    def _bm25(
+        self, terms: list[str], candidates: set[tuple[str, int]]
+    ) -> dict[tuple[str, int], float]:
+        """bm25_scores over the persisted index: per-term pyarrow reads
+        (term-sorted row groups prune), df from ALL matched rows (global
+        term weights — candidate restriction must not change them),
+        scoring summed per doc in sorted-term order."""
+        terms = sorted(dict.fromkeys(terms))
+        if not terms or not candidates:
+            return {}
+        import pyarrow.dataset as ds
+
+        if not os.path.isdir(self._postings):
+            return {}
+        stats = self._fts_stats()
+        n, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+        try:
+            tbl = self._postings_dataset().to_table(
+                columns=["filePath", "chunkIndex", "term", "tf", "dl"],
+                filter=ds.field("term").isin(terms),
+            )
+        except FileNotFoundError:
+            self._pdataset = None
+            tbl = self._postings_dataset().to_table(
+                columns=["filePath", "chunkIndex", "term", "tf", "dl"],
+                filter=ds.field("term").isin(terms),
+            )
+        pdf = tbl.to_pandas()
+        if pdf.empty:
+            return {}
+        # df per term over ALL matched rows (vectorized; the postings are
+        # unique per (filePath, chunkIndex, term) so a plain size() counts
+        # distinct docs)
+        dfc = pdf.groupby("term").size()
+        idf = {
+            t: math.log(max(1.0, 1.0 + (n - int(c) + 0.5) / (int(c) + 0.5)))
+            for t, c in dfc.items()
+        }
+        # candidate restriction + vectorized Okapi term scores, summed per
+        # doc in sorted-term order (pdf sorted by term before the groupby)
+        pdf = pdf[
+            [
+                (p, int(i)) in candidates
+                for p, i in zip(pdf["filePath"], pdf["chunkIndex"])
+            ]
+        ]
+        if pdf.empty:
+            return {}
+        pdf = pdf.sort_values("term", kind="mergesort")
+        tf = pdf["tf"].astype(float)
+        dl = pdf["dl"].astype(float)
+        s = (
+            pdf["term"].map(idf)
+            * (tf * (K1 + 1))
+            / (tf + K1 * (1 - B + B * dl / avgdl))
+        )
+        out = (
+            s.groupby([pdf["filePath"], pdf["chunkIndex"]]).sum()
+        )
+        return {(p, int(i)): float(v) for (p, i), v in out.items()}
+
+
+def _grouping_filter(cands: list[dict], mode: str | None) -> list[dict]:
+    """operators/search.grouping_filter re-expressed over the in-memory
+    candidate list, with Spark's exact float behavior: sequential mean in
+    window order and the Welford/CentralMomentAgg stddev_pop recurrence."""
+    if mode is None or len(cands) == 0:
+        return cands
+    cuts = {"similar": 1, "related": 2}[mode]
+    # cands arrive already in (score, filePath, chunkIndex) order
+    gaps = [
+        cands[i + 1]["score"] - cands[i]["score"] for i in range(len(cands) - 1)
+    ]
+    if not gaps:
+        return cands
+    # TWO distinct float recurrences, matching Spark's two aggregates:
+    # F.mean is Average = sequential sum / count, while F.stddev_pop is
+    # CentralMomentAgg's Welford recurrence (n += 1; delta = x - mean;
+    # mean += delta / n; m2 += delta * (x - mean)) whose internal mean is
+    # NOT the Average — conflating them drifts by ulps and can flip a
+    # boundary decision.
+    total = 0.0
+    cnt, wmean, m2 = 0.0, 0.0, 0.0
+    for g in gaps:
+        total += g
+        cnt += 1.0
+        delta = g - wmean
+        wmean += delta / cnt
+        m2 += delta * (g - wmean)
+    mean = total / cnt
+    std = math.sqrt(m2 / cnt)
+    threshold = mean + GROUPING_STD_MULTIPLIER * std
+    kept = []
+    boundaries = 0
+    for i, r in enumerate(cands):
+        if boundaries >= cuts:
+            break
+        kept.append(r)
+        if i < len(gaps) and gaps[i] > threshold:
+            boundaries += 1
+    return kept

@@ -1,0 +1,126 @@
+"""Serving-path hybrid search (operators/hybrid_serve.HybridSearchServer):
+row-identical to RagEngine.query_documents over an engine-built corpus,
+across grouping modes, scopes, weights, and raw-data rows."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from mcp_local_rag_spark.engine import RagEngine
+from mcp_local_rag_spark.operators.hybrid_serve import HybridSearchServer
+
+DOCS = {
+    "spark.md": (
+        "# Spark Internals\n\n"
+        "Spark shuffles data between executors during wide transformations. "
+        "Broadcast joins avoid that shuffle for small dimension tables. "
+        "The Catalyst optimizer rewrites logical plans before execution. "
+        "Adaptive query execution re-plans stages at runtime boundaries."
+    ),
+    "cache.md": (
+        "# Caching\n\n"
+        "Caching hot tables reduces repeated scans across queries. "
+        "Storage levels trade memory for recomputation cost in Spark. "
+        "Unpersisting frees executor storage for later stages promptly."
+    ),
+    "sail.md": (
+        "# Sailing\n\n"
+        "A completely different document about sailing boats across the "
+        "northern sea with maritime words and long voyages under sail. "
+        "Harbors and anchors share no vocabulary with cluster computing."
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("hsrv")
+    d = root / "docs"
+    d.mkdir()
+    for name, text in DOCS.items():
+        (d / name).write_text(text)
+    eng = RagEngine(spark, str(root / "chunks"), db_path=str(root / "db"))
+    eng.ingest_directory(str(d))
+    eng.ingest_data(
+        "A raw note about shuffle behavior during join stages in Spark.",
+        "note://shuffle",
+    )
+    eng.optimize()  # fresh postings index — the serving precondition
+    return eng
+
+
+def _engine_rows(eng, q, **kw):
+    return [
+        (r.filePath, r.chunkIndex, r.text, r.fileTitle, r.score, r.source)
+        for r in eng.query_documents(q, **kw).collect()
+    ]
+
+
+def _served_rows(server, q, **kw):
+    return [
+        (r["filePath"], r["chunkIndex"], r["text"], r["fileTitle"], r["score"], r["source"])
+        for r in server.query(q, **kw)
+    ]
+
+
+def _server_of(eng):
+    return HybridSearchServer(
+        eng.table_path, eng.postings_path, db_path=eng.db_path
+    )
+
+
+def test_parity_with_engine_default_settings(engine):
+    server = _server_of(engine)
+    for q in ("broadcast joins", "caching storage levels", "sailing the sea",
+              "shuffle during wide transformations"):
+        assert _served_rows(server, q) == _engine_rows(engine, q), q
+
+
+def test_parity_across_settings(engine):
+    server = _server_of(engine)
+    q = "spark shuffle joins"
+    for kw in (
+        {"grouping": "similar"},
+        {"grouping": "related"},
+        {"limit": 3},
+        {"hybrid_weight": 0.0},
+        {"hybrid_weight": 1.0},
+        {"max_files": 1},
+        {"max_files": 2, "grouping": "related"},
+        {"max_distance": 1.2},
+    ):
+        assert _served_rows(server, q, **kw) == _engine_rows(engine, q, **kw), kw
+
+
+def test_parity_with_scope(engine, spark):
+    server = _server_of(engine)
+    # scope to the docs directory (excludes the raw-data row)
+    some_path = spark.read.parquet(engine.table_path).select("filePath").first()[0]
+    scope_dir = some_path.rsplit("/", 1)[0]
+    q = "shuffle joins"
+    assert _served_rows(server, q, scope=[scope_dir]) == _engine_rows(
+        engine, q, scope=[scope_dir]
+    )
+
+
+def test_raw_data_source_restored(engine):
+    server = _server_of(engine)
+    rows = server.query("raw note about shuffle", limit=10)
+    raw = [r for r in rows if r["source"] is not None]
+    assert raw and raw[0]["source"] == "note://shuffle"
+    file_rows = [r for r in rows if r["source"] is None]
+    assert all(r["filePath"].endswith(".md") for r in file_rows)
+
+
+def test_warmed_latency_is_millisecond_scale(engine):
+    server = _server_of(engine)
+    server.query("warm up", limit=10)
+    times = []
+    for i in range(10):
+        t0 = time.time()
+        server.query(f"spark query {i}", limit=10)
+        times.append(time.time() - t0)
+    times.sort()
+    assert times[len(times) // 2] < 0.05  # p50 well under the Spark floor
