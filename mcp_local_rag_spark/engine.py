@@ -134,13 +134,15 @@ class RagEngine:
     def chunks(self) -> DataFrame:
         return self.spark.read.parquet(self.table_path)
 
-    def _postings(self) -> DataFrame | None:
-        """The maintained postings index, only when it is FRESH — stale
-        (un-optimized mutations pending) falls back to the index-free scan
-        so results are always correct; optimize() restores the fast path."""
-        from .plans.fts import index_has_data, read_postings
+    def index_is_fresh(self) -> bool:
+        """Whether the maintained postings index exists AND covers every
+        applied mutation (no un-optimized upserts/deletes pending). The
+        condition the scan fallback and any serving tier both gate on —
+        a sidecar (operators/hybrid_serve) may only answer queries from
+        the persisted tables while this holds."""
+        from .plans.fts import index_has_data
 
-        if (
+        return not (
             self.postings_path is None
             or self._needs_full_index
             or self._dirty_upserts
@@ -149,7 +151,15 @@ class RagEngine:
             # an index whose every document was deleted keeps its dir
             # (meta only) but is schemaless to Spark — scan fallback
             or not index_has_data(self.postings_path)
-        ):
+        )
+
+    def _postings(self) -> DataFrame | None:
+        """The maintained postings index, only when it is FRESH — stale
+        (un-optimized mutations pending) falls back to the index-free scan
+        so results are always correct; optimize() restores the fast path."""
+        from .plans.fts import read_postings
+
+        if not self.index_is_fresh():
             return None
         return read_postings(self.spark, self.postings_path)
 

@@ -85,6 +85,20 @@ class RagRpcServer:
     def __init__(self, engine: RagEngine, neighbors: NeighborServer | None = None):
         self.engine = engine
         self.neighbors = neighbors or NeighborServer(engine.spark, engine.table_path)
+        # serving fast path: the pyarrow+numpy hybrid sidecar answers
+        # query_documents in ~10 ms (row-identical to the Spark pipeline,
+        # operators/hybrid_serve) — used ONLY while the engine reports the
+        # postings index fresh; pending mutations route back through the
+        # Spark path, whose scan fallback stays correct on a stale index
+        from .operators.hybrid_serve import HybridSearchServer
+
+        self._hybrid = (
+            HybridSearchServer(
+                engine.table_path, engine.postings_path, db_path=engine.db_path
+            )
+            if engine.postings_path is not None
+            else None
+        )
         # the reference's single-writer mutation guard: one mutating tool
         # at a time; read-only tools bypass it (src/server/index.ts:396-403)
         self._write_guard = threading.Lock()
@@ -103,16 +117,23 @@ class RagRpcServer:
             "sync_start": (self._sync_start, True),
         }
 
+    def _invalidate_hybrid(self) -> None:
+        if self._hybrid is not None:
+            self._hybrid.invalidate()
+
     # -- read-only tools --------------------------------------------------
 
     def _query_documents(self, params: dict) -> dict:
-        rows = self.engine.query_documents(
-            _require_query(params),
+        q = _require_query(params)
+        kw = dict(
             limit=_limit(params),
             scope=_scope(params),
             max_distance=_max_distance(params),
             grouping=_grouping(params),
-        ).collect()
+        )
+        if self._hybrid is not None and self.engine.index_is_fresh():
+            return {"results": self._hybrid.query(q, **kw)}
+        rows = self.engine.query_documents(q, **kw).collect()
         return {"results": [r.asDict() for r in rows]}
 
     def _query_documents_batch(self, params: dict) -> dict:
@@ -172,6 +193,7 @@ class RagRpcServer:
         res = self.engine.ingest_file(fp)
         self.engine.optimize()
         self.neighbors.invalidate()
+        self._invalidate_hybrid()
         return res
 
     def _ingest_data(self, params: dict) -> dict:
@@ -183,6 +205,7 @@ class RagRpcServer:
         )
         self.engine.optimize()
         self.neighbors.invalidate()
+        self._invalidate_hybrid()
         return {"source": source, "chunkCount": n}
 
     def _delete_document(self, params: dict) -> dict:
@@ -192,6 +215,7 @@ class RagRpcServer:
         n = self.engine.delete_document(fp)
         self.engine.optimize()
         self.neighbors.invalidate()
+        self._invalidate_hybrid()
         return {"filePath": fp, "deletedChunks": n}
 
     def _sync_start(self, params: dict) -> dict:
@@ -225,6 +249,7 @@ class RagRpcServer:
                 record["state"] = "failed"
             finally:
                 self.neighbors.invalidate()
+                self._invalidate_hybrid()
                 self._write_guard.release()
 
         threading.Thread(target=_run, daemon=True).start()
@@ -281,6 +306,7 @@ class RagRpcServer:
                 # refresh the file index once and retry.
                 self.engine.spark.catalog.refreshByPath(self.engine.table_path)
                 self.neighbors.invalidate()
+                self._invalidate_hybrid()
                 result = handler(params)
             if method == "sync_start":
                 holding = False  # guard handed to the sync worker thread

@@ -232,3 +232,28 @@ def test_query_param_validation(served):
     ok = _call(server, "query_documents",
                {"query": "broadcast", "maxDistance": 2.0, "grouping": "similar"})
     assert "result" in ok
+
+
+def test_query_fast_path_matches_spark_path(served):
+    """With a fresh index the adapter answers query_documents from the
+    hybrid sidecar; the rows must be IDENTICAL to the Spark pipeline's,
+    and a mutation must route back to the Spark path until optimize."""
+    server, _ = served
+    assert server.engine.index_is_fresh()
+    q = {"query": "broadcast joins avoid shuffle", "limit": 5}
+    fast = _call(server, "query_documents", q)["result"]["results"]
+    spark_rows = [
+        r.asDict()
+        for r in server.engine.query_documents(q["query"], limit=5).collect()
+    ]
+    assert fast == spark_rows
+    # a mutation marks the index stale -> the adapter falls back (still
+    # correct, just the Spark path); optimize() restores the fast path
+    _call(server, "ingest_data", {"content": "# N\n\n" + DOC, "source": "note://n2"})
+    assert server.engine.index_is_fresh()  # handler ran optimize()
+    after = _call(server, "query_documents", q)["result"]["results"]
+    spark_after = [
+        r.asDict()
+        for r in server.engine.query_documents(q["query"], limit=5).collect()
+    ]
+    assert after == spark_after
