@@ -257,3 +257,25 @@ def test_query_fast_path_matches_spark_path(served):
         for r in server.engine.query_documents(q["query"], limit=5).collect()
     ]
     assert after == spark_after
+
+
+def test_batch_fast_path_matches_spark_path(served):
+    """The batch fast path serves each query from the sidecar; rows (incl.
+    the query_index wire field and per-group ordering) must be identical
+    to the Spark batch pipeline's."""
+    server, _ = served
+    assert server.engine.index_is_fresh()
+    qs = ["broadcast joins", "caching hot tables"]
+    fast = _call(server, "query_documents_batch", {"queries": qs, "limit": 3})[
+        "result"
+    ]["results"]
+    spark_rows = [
+        r.asDict()
+        for r in server.engine.query_documents_batch(qs, limit=3).collect()
+    ]
+    grouped = [[], []]
+    for r in spark_rows:
+        grouped[int(r["query_index"])].append(r)
+    for g in grouped:
+        g.sort(key=lambda r: (r["score"], r["filePath"], r["chunkIndex"]))
+    assert fast == grouped
