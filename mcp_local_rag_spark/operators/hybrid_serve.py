@@ -246,14 +246,17 @@ class HybridSearchServer:
             t: math.log(max(1.0, 1.0 + (n - int(c) + 0.5) / (int(c) + 0.5)))
             for t, c in dfc.items()
         }
-        # candidate restriction + vectorized Okapi term scores, summed per
-        # doc in sorted-term order (pdf sorted by term before the groupby)
-        pdf = pdf[
-            [
-                (p, int(i)) in candidates
-                for p, i in zip(pdf["filePath"], pdf["chunkIndex"])
-            ]
-        ]
+        # candidate restriction via a vectorized merge (the python-loop
+        # membership test was the profile's hottest line at common query
+        # terms — the matched-rows frame is corpus-term-frequency sized,
+        # the candidate frame is <= 2k)
+        import pandas as pd
+
+        cand_df = pd.DataFrame(
+            list(candidates), columns=["filePath", "chunkIndex"]
+        )
+        cand_df["chunkIndex"] = cand_df["chunkIndex"].astype(pdf["chunkIndex"].dtype)
+        pdf = pdf.merge(cand_df, on=["filePath", "chunkIndex"])
         if pdf.empty:
             return {}
         pdf = pdf.sort_values("term", kind="mergesort")
