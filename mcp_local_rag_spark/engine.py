@@ -132,7 +132,22 @@ class RagEngine:
         return embed_query(text, d, b)
 
     def chunks(self) -> DataFrame:
-        return self.spark.read.parquet(self.table_path)
+        """The chunks table with the reference's read-side schema
+        lifecycle applied (src/vectordb/index.ts:289-307, types.ts:245-250):
+        a legacy table written before ``fileTitle``/``contentHash`` existed
+        gains them as NULL string columns (the addColumns forward
+        migration), and empty-string values in those columns normalize to
+        null (LanceDB seeds nullable strings with '' because it cannot
+        infer Arrow types from nulls; read converters undo it — P6)."""
+        df = self.spark.read.parquet(self.table_path)
+        for col in ("fileTitle", "contentHash"):
+            if col not in df.columns:
+                df = df.withColumn(col, F.lit(None).cast("string"))
+            else:
+                df = df.withColumn(
+                    col, F.when(F.length(col) > 0, F.col(col))
+                )
+        return df
 
     def index_is_fresh(self) -> bool:
         """Whether the maintained postings index exists AND covers every

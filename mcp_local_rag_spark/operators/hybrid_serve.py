@@ -92,7 +92,9 @@ class HybridSearchServer:
                 else [None] * len(tbl)
             )
             self._payload = {
-                (p, int(i)): (t, ft)
+                # '' -> None on fileTitle, matching the engine's read-side
+                # normalization (RagEngine.chunks, reference P6)
+                (p, int(i)): (t, ft if ft else None)
                 for p, i, t, ft in zip(
                     tbl["filePath"].to_pylist(),
                     tbl["chunkIndex"].to_pylist(),

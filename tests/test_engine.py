@@ -697,3 +697,38 @@ def test_reopened_engine_uses_table_space(spark, corpus, tmp_path):
         for r in other.chunks().select(F.size("vector").alias("d")).distinct().collect()
     }
     assert dims == {32}
+
+
+def test_legacy_table_forward_migration(spark, tmp_path):
+    """A table written before fileTitle/contentHash existed (the
+    reference's addColumns forward migration, src/vectordb/index.ts:289-307)
+    still serves list/status/query — the columns appear as NULL strings —
+    and '' values normalize to null on read (types.ts:245-250)."""
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.embedder import embed_text_column
+    from mcp_local_rag_spark.engine import RagEngine
+    from mcp_local_rag_spark.plans.ingest import write_chunks
+
+    table = str(tmp_path / "legacy_chunks")
+    rows = spark.range(6).select(
+        F.concat(F.lit("/old/doc"), (F.col("id") % 2).cast("string"), F.lit(".md")).alias("filePath"),
+        (F.col("id") / 2).cast("int").alias("chunkIndex"),
+        F.concat(F.lit("legacy chunk body number "), F.col("id").cast("string")).alias("text"),
+        F.lit("2024-01-01T00:00:00.000Z").alias("timestamp"),
+    )
+    write_chunks(embed_text_column(rows, "text", "vector", dim=64), table)
+
+    eng = RagEngine(spark, table, postings_path=None)
+    docs = {r.filePath: r for r in eng.list_documents().collect()}
+    assert len(docs) == 2
+    assert all(r.fileTitle is None and r.contentHash is None for r in docs.values())
+    assert eng.get_status()["documentCount"] == 2
+
+    # '' normalizes to null on read when the column exists
+    with_empty = spark.read.parquet(table).withColumn("fileTitle", F.lit("")).withColumn("contentHash", F.lit("abc"))
+    table2 = str(tmp_path / "empty_title")
+    write_chunks(with_empty, table2)
+    eng2 = RagEngine(spark, table2, postings_path=None)
+    r = eng2.list_documents().first()
+    assert r.fileTitle is None and r.contentHash == "abc"
