@@ -231,7 +231,9 @@ class HybridSearchServer:
                 columns=["filePath", "chunkIndex", "term", "tf", "dl"],
                 filter=ds.field("term").isin(terms),
             )
-        except FileNotFoundError:
+        except (FileNotFoundError, OSError):
+            # self-heal like NeighborServer: a compaction replaced the
+            # files under a cached dataset handle — re-open once and retry
             self._pdataset = None
             tbl = self._postings_dataset().to_table(
                 columns=["filePath", "chunkIndex", "term", "tf", "dl"],
