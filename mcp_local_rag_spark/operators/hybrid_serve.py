@@ -65,12 +65,19 @@ class HybridSearchServer:
         self._payload: dict | None = None  # (path, idx) -> (text, fileTitle)
         self._pdataset = None
         self._stats: dict | None = None
+        # term -> (df, rows-frame) — repeated query terms skip the parquet
+        # read entirely; bounded (common query vocabularies are small) and
+        # dropped whole on invalidate
+        self._term_cache: dict = {}
+
+    MAX_CACHED_TERMS = 4096
 
     def invalidate(self) -> None:
         self._vec.invalidate()
         self._payload = None
         self._pdataset = None
         self._stats = None
+        self._term_cache = {}
 
     # -- snapshot loads ----------------------------------------------------
 
@@ -226,55 +233,65 @@ class HybridSearchServer:
             return {}
         stats = self._fts_stats()
         n, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
-        try:
-            tbl = self._postings_dataset().to_table(
-                columns=["filePath", "chunkIndex", "term", "tf", "dl"],
-                filter=ds.field("term").isin(terms),
-            )
-        except (FileNotFoundError, OSError):
-            # self-heal like NeighborServer: a compaction replaced the
-            # files under a cached dataset handle — re-open once and retry
-            self._pdataset = None
-            tbl = self._postings_dataset().to_table(
-                columns=["filePath", "chunkIndex", "term", "tf", "dl"],
-                filter=ds.field("term").isin(terms),
-            )
-        pdf = tbl.to_pandas()
-        if pdf.empty:
-            return {}
-        # df per term over ALL matched rows (vectorized; the postings are
-        # unique per (filePath, chunkIndex, term) so a plain size() counts
-        # distinct docs)
-        dfc = pdf.groupby("term").size()
-        idf = {
-            t: math.log(max(1.0, 1.0 + (n - int(c) + 0.5) / (int(c) + 0.5)))
-            for t, c in dfc.items()
-        }
-        # candidate restriction via a vectorized merge (the python-loop
-        # membership test was the profile's hottest line at common query
-        # terms — the matched-rows frame is corpus-term-frequency sized,
-        # the candidate frame is <= 2k)
-        import pandas as pd
-
-        cand_df = pd.DataFrame(
-            list(candidates), columns=["filePath", "chunkIndex"]
-        )
-        cand_df["chunkIndex"] = cand_df["chunkIndex"].astype(pdf["chunkIndex"].dtype)
-        pdf = pdf.merge(cand_df, on=["filePath", "chunkIndex"])
-        if pdf.empty:
-            return {}
-        pdf = pdf.sort_values("term", kind="mergesort")
-        tf = pdf["tf"].astype(float)
-        dl = pdf["dl"].astype(float)
-        s = (
-            pdf["term"].map(idf)
-            * (tf * (K1 + 1))
-            / (tf + K1 * (1 - B + B * dl / avgdl))
-        )
-        out = (
-            s.groupby([pdf["filePath"], pdf["chunkIndex"]]).sum()
-        )
-        return {(p, int(i)): float(v) for (p, i), v in out.items()}
+        # per-term snapshot cache: (df, {(path, idx) -> (tf, dl)}). Only
+        # UNSEEN terms hit parquet; cached terms answer each query with
+        # <= |candidates| dict lookups, so a serving process with a
+        # stable query vocabulary converges to zero postings I/O and
+        # O(terms x candidates) work per query regardless of how common
+        # the terms are in the corpus.
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            cols = ["filePath", "chunkIndex", "term", "tf", "dl"]
+            try:
+                tbl = self._postings_dataset().to_table(
+                    columns=cols, filter=ds.field("term").isin(missing)
+                )
+            except (FileNotFoundError, OSError):
+                # self-heal like NeighborServer: a compaction replaced the
+                # files under a cached dataset handle — re-open and retry
+                self._pdataset = None
+                tbl = self._postings_dataset().to_table(
+                    columns=cols, filter=ds.field("term").isin(missing)
+                )
+            fetched = tbl.to_pandas()
+            if len(self._term_cache) + len(missing) > self.MAX_CACHED_TERMS:
+                self._term_cache.clear()
+            grouped = dict(tuple(fetched.groupby("term"))) if len(fetched) else {}
+            for t in missing:
+                g = grouped.get(t)
+                if g is None:
+                    self._term_cache[t] = (0, {})
+                else:
+                    self._term_cache[t] = (
+                        # postings are unique per (path, idx, term), so
+                        # row count == distinct-doc count (Spark's
+                        # countDistinct over id_cols)
+                        len(g),
+                        {
+                            (p, int(i)): (float(tf_), float(dl_))
+                            for p, i, tf_, dl_ in zip(
+                                g["filePath"], g["chunkIndex"], g["tf"], g["dl"]
+                            )
+                        },
+                    )
+        # score candidates term by term in sorted-term order (the
+        # documented per-doc sum order)
+        scores: dict[tuple[str, int], float] = {}
+        for t in terms:
+            df_count, rows = self._term_cache[t]
+            if df_count == 0:
+                continue
+            idf = math.log(max(1.0, 1.0 + (n - df_count + 0.5) / (df_count + 0.5)))
+            for key in candidates:
+                hit = rows.get(key)
+                if hit is None:
+                    continue
+                tf_, dl_ = hit
+                s = idf * (tf_ * (K1 + 1)) / (
+                    tf_ + K1 * (1 - B + B * dl_ / avgdl)
+                )
+                scores[key] = scores.get(key, 0.0) + s
+        return scores
 
 
 def _grouping_filter(cands: list[dict], mode: str | None) -> list[dict]:

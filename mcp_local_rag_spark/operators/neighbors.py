@@ -129,21 +129,16 @@ class NeighborServer:
 
     def _bucket_of(self, file_path: str) -> int:
         if file_path not in self._buckets:
+            from ..functions.spark_hash import bucket_of
             from ..plans.ingest import table_n_buckets
 
-            row = (
-                self._spark.range(1)
-                .select(
-                    F.pmod(
-                        F.xxhash64(F.lit(file_path)),
-                        F.lit(table_n_buckets(self._path)),
-                    )
-                    .cast("int")
-                    .alias("b")
-                )
-                .first()
+            # local xxHash64 (bit-exact with F.xxhash64, property-tested):
+            # the previous implementation submitted a whole Spark job per
+            # new document just to learn its bucket — a cold point read
+            # paid ~100 ms of scheduling before opening a single file
+            self._buckets[file_path] = bucket_of(
+                file_path, table_n_buckets(self._path)
             )
-            self._buckets[file_path] = row["b"]
         return self._buckets[file_path]
 
     def read(
