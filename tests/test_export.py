@@ -1,0 +1,87 @@
+"""Training-shard export sinks (plans/export): completeness, shard
+routing, file-size bounds, and pack-bin agreement with the oracle-paired
+documents_pack_bins rule."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from mcp_local_rag_spark.plans.export import (
+    assign_pack_bins,
+    export_jsonl_shards,
+    export_packed_parquet,
+)
+from mcp_local_rag_spark.session import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_jsonl_shards_complete_and_bounded(spark, tmp_path):
+    docs = load(spark, SF, "documents").select("doc_id", "text", "lang")
+    out = str(tmp_path / "shards")
+    export_jsonl_shards(docs, out, max_records_per_file=50)
+
+    files = glob.glob(os.path.join(out, "lang=*", "*.json"))
+    assert files
+    seen = set()
+    for f in files:
+        with open(f) as fh:
+            lines = [json.loads(line) for line in fh if line.strip()]
+        assert len(lines) <= 50  # record cap respected
+        lang = f.split("lang=")[1].split(os.sep)[0]
+        for rec in lines:
+            seen.add(rec["doc_id"])
+            assert "text" in rec and rec["text"]
+        # every record in a shard dir belongs to that shard key
+        back = {r.doc_id for r in docs.filter(F.col("lang") == lang).collect()}
+        assert all(rec["doc_id"] in back for rec in lines)
+    assert seen == {r.doc_id for r in docs.collect()}  # nothing dropped
+
+
+def test_packed_parquet_matches_pack_bins_oracle(spark, tmp_path):
+    """The exported (lang, bin) assignment aggregates to EXACTLY the
+    documents_pack_bins result — the export is the row-level face of the
+    oracle-checked rule."""
+    from mcp_local_rag_spark.queries.ext import q_documents_pack_bins
+
+    docs = load(spark, SF, "documents").select("doc_id", "text", "lang", "n_chars")
+    out = str(tmp_path / "packed")
+    export_packed_parquet(docs, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    agg = {
+        (r.lang, r.bin): (r.n_docs, r.bin_chars)
+        for r in back.groupBy("lang", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("bin_chars"))
+        .collect()
+    }
+    expected = {
+        (r.lang, r.bin): (r.n_docs, r.bin_chars)
+        for r in q_documents_pack_bins(spark, SF).collect()
+    }
+    assert agg == expected
+
+
+def test_assign_pack_bins_budget_bound(spark):
+    """No bin's START offset exceeds its budget slot: doc i sits in bin
+    floor(start_i / budget), so within a shard the bins are monotone and
+    a bin's accumulated chars exceed the budget only via its LAST doc
+    (the streaming-packing overflow rule)."""
+    docs = load(spark, SF, "documents").select("doc_id", "lang", "n_chars")
+    packed = assign_pack_bins(docs, budget=4096)
+    rows = sorted(
+        packed.collect(), key=lambda r: (r.lang, r.doc_id)
+    )
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.lang, []).append(r)
+    for lang, rs in by_shard.items():
+        start = 0
+        for r in rs:
+            assert r.bin == start // 4096, (lang, r.doc_id)
+            start += r.n_chars
