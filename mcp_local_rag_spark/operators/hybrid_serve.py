@@ -65,9 +65,11 @@ class HybridSearchServer:
         self._payload: dict | None = None  # (path, idx) -> (text, fileTitle)
         self._pdataset = None
         self._stats: dict | None = None
-        # term -> (df, rows-frame) — repeated query terms skip the parquet
-        # read entirely; bounded (common query vocabularies are small) and
-        # dropped whole on invalidate
+        # term -> (df, {(path, idx) -> (tf, dl)}) — repeated query terms
+        # skip the parquet read entirely; bounded (common query
+        # vocabularies are small). invalidate() REPLACES the dict (never
+        # mutates it) so a concurrent query's local ref stays a coherent
+        # point-in-time snapshot — same discipline as the other sidecars.
         self._term_cache: dict = {}
 
     MAX_CACHED_TERMS = 4096
@@ -220,6 +222,7 @@ class HybridSearchServer:
     def _bm25(
         self, terms: list[str], candidates: set[tuple[str, int]]
     ) -> dict[tuple[str, int], float]:
+        cache = self._term_cache  # local snapshot ref (see __init__)
         """bm25_scores over the persisted index: per-term pyarrow reads
         (term-sorted row groups prune), df from ALL matched rows (global
         term weights — candidate restriction must not change them),
@@ -239,7 +242,7 @@ class HybridSearchServer:
         # stable query vocabulary converges to zero postings I/O and
         # O(terms x candidates) work per query regardless of how common
         # the terms are in the corpus.
-        missing = [t for t in terms if t not in self._term_cache]
+        missing = [t for t in terms if t not in cache]
         if missing:
             cols = ["filePath", "chunkIndex", "term", "tf", "dl"]
             try:
@@ -254,15 +257,16 @@ class HybridSearchServer:
                     columns=cols, filter=ds.field("term").isin(missing)
                 )
             fetched = tbl.to_pandas()
-            if len(self._term_cache) + len(missing) > self.MAX_CACHED_TERMS:
-                self._term_cache.clear()
+            if len(cache) + len(missing) > self.MAX_CACHED_TERMS:
+                cache = {}
+                self._term_cache = cache
             grouped = dict(tuple(fetched.groupby("term"))) if len(fetched) else {}
             for t in missing:
                 g = grouped.get(t)
                 if g is None:
-                    self._term_cache[t] = (0, {})
+                    cache[t] = (0, {})
                 else:
-                    self._term_cache[t] = (
+                    cache[t] = (
                         # postings are unique per (path, idx, term), so
                         # row count == distinct-doc count (Spark's
                         # countDistinct over id_cols)
@@ -278,7 +282,7 @@ class HybridSearchServer:
         # documented per-doc sum order)
         scores: dict[tuple[str, int], float] = {}
         for t in terms:
-            df_count, rows = self._term_cache[t]
+            df_count, rows = cache[t]
             if df_count == 0:
                 continue
             idf = math.log(max(1.0, 1.0 + (n - df_count + 0.5) / (df_count + 0.5)))

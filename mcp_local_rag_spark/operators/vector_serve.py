@@ -49,20 +49,19 @@ class VectorSearchServer:
 
     def __init__(self, table_path: str):
         self._path = table_path
-        self._mat: np.ndarray | None = None
-        self._paths: np.ndarray | None = None
-        self._idx: np.ndarray | None = None
-        self._order: np.ndarray | None = None
+        # ONE snapshot attribute, swapped atomically: invalidate() from a
+        # background maintenance thread must never leave a concurrent
+        # query() holding half-cleared state (queries take a local ref
+        # and never re-read self after that)
+        self._snap: tuple | None = None
 
     def invalidate(self) -> None:
-        self._mat = None
-        self._paths = None
-        self._idx = None
-        self._order = None
+        self._snap = None
 
-    def _load(self) -> None:
-        if self._mat is not None:
-            return
+    def _load(self) -> tuple:
+        snap = self._snap
+        if snap is not None:
+            return snap
         import pyarrow.dataset as ds
 
         tbl = ds.dataset(self._path, format="parquet").to_table(
@@ -71,19 +70,25 @@ class VectorSearchServer:
         vec = tbl["vector"].combine_chunks()
         n = len(tbl)
         if n == 0:
-            self._mat = np.zeros((0, 1), dtype=np.float64)
-            self._paths = np.array([], dtype=object)
-            self._idx = np.array([], dtype=np.int64)
-            self._order = np.array([], dtype=np.int64)
-            return
+            snap = (
+                np.zeros((0, 1), dtype=np.float64),
+                np.array([], dtype=object),
+                np.array([], dtype=np.int64),
+                np.array([], dtype=np.int64),
+            )
+            self._snap = snap
+            return snap
         flat = vec.flatten().to_numpy(zero_copy_only=False)
-        self._mat = np.asarray(flat, dtype=np.float64).reshape(n, -1)
-        self._paths = np.asarray(tbl["filePath"].to_pylist(), dtype=object)
-        self._idx = tbl["chunkIndex"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.asarray(flat, dtype=np.float64).reshape(n, -1)
+        paths = np.asarray(tbl["filePath"].to_pylist(), dtype=object)
+        idx = tbl["chunkIndex"].to_numpy(zero_copy_only=False).astype(np.int64)
         # the tie-break order (filePath asc, chunkIndex asc) is fixed per
         # snapshot — precompute each row's rank in it once so per-query
         # ordering works on ints, not strings
-        self._order = np.lexsort((self._idx, self._paths)).argsort()
+        order = np.lexsort((idx, paths)).argsort()
+        snap = (mat, paths, idx, order)
+        self._snap = snap
+        return snap
 
     def query(
         self,
@@ -96,15 +101,15 @@ class VectorSearchServer:
         """Top-k rows as dicts (filePath, chunkIndex, score), the exact
         first-k prefix of ``vector_topk``'s (score, filePath, chunkIndex)
         order under the same scope / max-distance filters."""
-        self._load()
-        n = len(self._idx)
+        mat, paths, idx, tiebreak = self._load()
+        n = len(idx)
         if n == 0 or k <= 0:
             return []
         q = np.asarray(query_vec, dtype=np.float64)
-        raw = 1.0 - self._mat @ q
+        raw = 1.0 - mat @ q
         mask = np.ones(n, dtype=bool)
         if scope:
-            mask &= _scope_mask(self._paths, scope)
+            mask &= _scope_mask(paths, scope)
         if max_distance is not None:
             # one rounding-quantum slack; the exact post-rounding filter
             # runs on the decimal-rounded frontier below
@@ -120,7 +125,7 @@ class VectorSearchServer:
         cutoff = np.partition(approx[cand], kk - 1)[kk - 1]
         sel = cand[approx[cand] <= cutoff + 10.0**-SCORE_DECIMALS]
         if sel.size > 4096:
-            sel = sel[np.lexsort((self._order[sel], approx[sel]))[:4096]]
+            sel = sel[np.lexsort((tiebreak[sel], approx[sel]))[:4096]]
         # exact decimal rounding on the (small) frontier, then the shared
         # total order (score, filePath, chunkIndex) via the precomputed
         # tie-break ranks
@@ -128,11 +133,11 @@ class VectorSearchServer:
         if max_distance is not None:
             keep = scores <= max_distance
             sel, scores = sel[keep], scores[keep]
-        order = np.lexsort((self._order[sel], scores))[:k]
+        order = np.lexsort((tiebreak[sel], scores))[:k]
         return [
             {
-                "filePath": str(self._paths[i]),
-                "chunkIndex": int(self._idx[i]),
+                "filePath": str(paths[i]),
+                "chunkIndex": int(idx[i]),
                 "score": float(s),
             }
             for i, s in zip(sel[order], scores[order])
