@@ -84,34 +84,37 @@ class HybridSearchServer:
     # -- snapshot loads ----------------------------------------------------
 
     def _load_payload(self) -> dict:
-        if self._payload is None:
-            import pyarrow.dataset as ds
+        payload = self._payload
+        if payload is not None:
+            return payload
+        import pyarrow.dataset as ds
 
-            dset = ds.dataset(self._table, format="parquet")
-            names = set(dset.schema.names)
-            # fileTitle is optional (synthetic benchmark tables lack it);
-            # text is the response payload proper
-            cols = ["filePath", "chunkIndex", "text"] + (
-                ["fileTitle"] if "fileTitle" in names else []
+        dset = ds.dataset(self._table, format="parquet")
+        names = set(dset.schema.names)
+        # fileTitle is optional (synthetic benchmark tables lack it);
+        # text is the response payload proper
+        cols = ["filePath", "chunkIndex", "text"] + (
+            ["fileTitle"] if "fileTitle" in names else []
+        )
+        tbl = dset.to_table(columns=cols)
+        titles = (
+            tbl["fileTitle"].to_pylist()
+            if "fileTitle" in names
+            else [None] * len(tbl)
+        )
+        payload = {
+            # '' -> None on fileTitle, matching the engine's read-side
+            # normalization (RagEngine.chunks, reference P6)
+            (p, int(i)): (t, ft if ft else None)
+            for p, i, t, ft in zip(
+                tbl["filePath"].to_pylist(),
+                tbl["chunkIndex"].to_pylist(),
+                tbl["text"].to_pylist(),
+                titles,
             )
-            tbl = dset.to_table(columns=cols)
-            titles = (
-                tbl["fileTitle"].to_pylist()
-                if "fileTitle" in names
-                else [None] * len(tbl)
-            )
-            self._payload = {
-                # '' -> None on fileTitle, matching the engine's read-side
-                # normalization (RagEngine.chunks, reference P6)
-                (p, int(i)): (t, ft if ft else None)
-                for p, i, t, ft in zip(
-                    tbl["filePath"].to_pylist(),
-                    tbl["chunkIndex"].to_pylist(),
-                    tbl["text"].to_pylist(),
-                    titles,
-                )
-            }
-        return self._payload
+        }
+        self._payload = payload
+        return payload
 
     def _postings_dataset(self):
         if self._pdataset is None:
