@@ -55,11 +55,19 @@ class HybridSearchServer:
     """query_documents at serving latency over the persisted tables."""
 
     def __init__(self, table_path: str, postings_path: str | None = None, *,
+                 term_postings_path: str | None = None,
                  db_path: str = "/data/db"):
         if postings_path is None:
             postings_path = table_path.rstrip("/") + "_fts"
         self._table = table_path
         self._postings = postings_path
+        # the TERM-bucketed second copy (plans/fts.write_term_postings):
+        # when present, a cold term's read computes its tbucket locally
+        # (functions/spark_hash, bit-exact with the writer's F.xxhash64)
+        # and PARTITION-prunes to that one directory — at a large index
+        # this replaces row-group pruning across every doc bucket with
+        # opening ~1/n_buckets of the index per new term
+        self._term_postings = term_postings_path
         self._db_path = db_path
         self._vec = VectorSearchServer(table_path)
         self._payload: dict | None = None  # (path, idx) -> (text, fileTitle)
@@ -116,14 +124,15 @@ class HybridSearchServer:
         self._payload = payload
         return payload
 
-    def _postings_dataset(self):
-        if self._pdataset is None:
+    def _dataset_of(self, path: str):
+        if self._pdataset is None or self._pdataset[0] != path:
             import pyarrow.dataset as ds
 
-            self._pdataset = ds.dataset(
-                self._postings, format="parquet", partitioning="hive"
+            self._pdataset = (
+                path,
+                ds.dataset(path, format="parquet", partitioning="hive"),
             )
-        return self._pdataset
+        return self._pdataset[1]
 
     def _fts_stats(self) -> dict:
         if self._stats is None:
@@ -248,17 +257,24 @@ class HybridSearchServer:
         missing = [t for t in terms if t not in cache]
         if missing:
             cols = ["filePath", "chunkIndex", "term", "tf", "dl"]
+            flt = ds.field("term").isin(missing)
+            if self._term_postings is not None and os.path.isdir(self._term_postings):
+                from ..functions.spark_hash import bucket_of
+                from ..plans.ingest import table_n_buckets
+
+                nb = table_n_buckets(self._term_postings)
+                buckets = sorted({bucket_of(t, nb) for t in missing})
+                flt = flt & ds.field("tbucket").isin(buckets)
+                src_path = self._term_postings
+            else:
+                src_path = self._postings
             try:
-                tbl = self._postings_dataset().to_table(
-                    columns=cols, filter=ds.field("term").isin(missing)
-                )
+                tbl = self._dataset_of(src_path).to_table(columns=cols, filter=flt)
             except (FileNotFoundError, OSError):
                 # self-heal like NeighborServer: a compaction replaced the
                 # files under a cached dataset handle — re-open and retry
                 self._pdataset = None
-                tbl = self._postings_dataset().to_table(
-                    columns=cols, filter=ds.field("term").isin(missing)
-                )
+                tbl = self._dataset_of(src_path).to_table(columns=cols, filter=flt)
             fetched = tbl.to_pandas()
             if len(cache) + len(missing) > self.MAX_CACHED_TERMS:
                 cache = {}

@@ -124,3 +124,27 @@ def test_warmed_latency_is_millisecond_scale(engine):
         times.append(time.time() - t0)
     times.sort()
     assert times[len(times) // 2] < 0.05  # p50 well under the Spark floor
+
+
+def test_term_bucketed_copy_gives_identical_results(engine, spark, tmp_path):
+    """With the term-bucketed postings copy configured, cold-term reads
+    partition-prune via the locally computed tbucket (spark_hash) and
+    results stay row-identical to both the doc-bucketed sidecar and the
+    engine."""
+    from mcp_local_rag_spark.plans.fts import read_postings, write_term_postings
+
+    tpath = str(tmp_path / "fts_term")
+    write_term_postings(
+        read_postings(engine.spark, engine.postings_path), tpath, n_buckets=8
+    )
+    base = _server_of(engine)
+    term_srv = HybridSearchServer(
+        engine.table_path,
+        engine.postings_path,
+        term_postings_path=tpath,
+        db_path=engine.db_path,
+    )
+    for q in ("broadcast joins", "spark shuffle during wide transformations"):
+        assert _served_rows(term_srv, q) == _served_rows(base, q) == _engine_rows(
+            engine, q
+        ), q
