@@ -1783,3 +1783,98 @@ def q_rag_eval_ndcg(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle count + degree profile over the near-duplicate graph — the
+# graph-health diagnostic behind template/mirror detection: duplicate
+# families arising from one shared template form near-cliques (many
+# triangles), while chains of pairwise-similar revisions stay
+# triangle-poor. Complements dedup_clusters (component membership) and
+# dedup_graph_pagerank (centrality) with a local-density signal.
+#
+# Scale posture (the standard distributed-triangle recipe): edges are
+# ORIENTED from the lower-degree endpoint to the higher (ties by id), so
+# every wedge is generated at its lowest-degree vertex — the join
+# fan-out per vertex is bounded by its out-degree, which orientation
+# caps at O(sqrt(E)) even for hub vertices. Both joins are equi-joins on
+# vertex ids; nothing is quadratic in the corpus.
+
+@register(
+    "dedup_graph_triangles",
+    f"""WITH {_JACCARD_PAIRS_CTES},
+deg AS (
+  SELECT id, count(*)::BIGINT AS deg FROM (
+    SELECT id1 AS id FROM jpairs UNION ALL SELECT id2 FROM jpairs
+  ) GROUP BY id
+),
+oriented AS (
+  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND p.id1 < p.id2)
+              THEN p.id1 ELSE p.id2 END AS src,
+         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND p.id1 < p.id2)
+              THEN p.id2 ELSE p.id1 END AS dst
+  FROM jpairs p JOIN deg d1 ON d1.id = p.id1 JOIN deg d2 ON d2.id = p.id2
+),
+wedges AS (
+  SELECT a.src, a.dst AS mid, b.dst
+  FROM oriented a JOIN oriented b ON a.dst = b.src
+),
+tris AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM wedges w JOIN oriented o ON o.src = w.src AND o.dst = w.dst
+)
+SELECT t.n_triangles,
+       (SELECT count(*)::BIGINT FROM jpairs) AS n_edges,
+       (SELECT count(*)::BIGINT FROM deg) AS n_vertices,
+       (SELECT max(deg) FROM deg)::BIGINT AS max_degree
+FROM tris t""",
+)
+def q_dedup_graph_triangles(spark, sf_dir):
+    corpus = _dedup_corpus(spark, sf_dir)
+    shingles = dedup.shingle_sets(corpus).persist()
+    shingles.count()
+    cpairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(shingles)).persist()
+    cpairs.count()
+    jp = (
+        dedup.jaccard_verify(cpairs, shingles, threshold=0.7)
+        .select("id1", "id2")
+        .persist()
+    )
+    deg = (
+        jp.select(F.col("id1").alias("id"))
+        .unionByName(jp.select(F.col("id2").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    d1 = deg.select(F.col("id").alias("id1"), F.col("deg").alias("_d1"))
+    d2 = deg.select(F.col("id").alias("id2"), F.col("deg").alias("_d2"))
+    lower_first = (F.col("_d1") < F.col("_d2")) | (
+        (F.col("_d1") == F.col("_d2")) & (F.col("id1") < F.col("id2"))
+    )
+    oriented = (
+        jp.join(d1, "id1")
+        .join(d2, "id2")
+        .select(
+            F.when(lower_first, F.col("id1")).otherwise(F.col("id2")).alias("src"),
+            F.when(lower_first, F.col("id2")).otherwise(F.col("id1")).alias("dst"),
+        )
+        .persist()
+    )
+    a = oriented.select(F.col("src"), F.col("dst").alias("mid"))
+    b = oriented.select(F.col("src").alias("mid"), F.col("dst"))
+    wedges = a.join(b, "mid").select("src", "dst")
+    # inner join, not semi: each wedge that closes counts once per its
+    # distinct mid vertex — count(*) over the closed wedges IS the
+    # triangle count (each triangle generates exactly one wedge at its
+    # lowest-degree vertex under the orientation)
+    tris = wedges.join(oriented, ["src", "dst"])
+    n_tri = tris.count()
+    n_edges = jp.count()
+    n_vertices = deg.count()
+    max_deg = deg.agg(F.max("deg").alias("m")).first()["m"]
+    jp.unpersist()
+    oriented.unpersist()
+    return spark.createDataFrame(
+        [(n_tri, n_edges, n_vertices, int(max_deg))],
+        "n_triangles long, n_edges long, n_vertices long, max_degree long",
+    )

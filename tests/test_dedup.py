@@ -207,3 +207,33 @@ def test_integer_pagerank_star_hub_wins_and_is_partition_stable(spark):
         ).collect()
     }
     assert out == out2
+
+
+def test_triangle_count_on_known_graph(spark, tmp_path):
+    """Hand-built corpus: one 3-clique of near-copies (exactly 1
+    triangle) plus a pairwise chain that closes no triangle."""
+    import os
+
+    from mcp_local_rag_spark.queries.ext import q_dedup_graph_triangles
+
+    base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(20))
+    chain_a = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        # 3-clique: three near-identical docs
+        (1, base + " tail one"),
+        (2, base + " tail two"),
+        (3, base + " tail three"),
+        # isolated doc, no pairs
+        (4, " ".join(f"solo{i}" for i in range(40))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # write a documents.parquet the query loader accepts
+    p = os.path.join(str(tmp_path), "documents.parquet")
+    docs.selectExpr(
+        "doc_id", "text", "'en' as lang", "'s' as source",
+        "cast(length(text) as long) as n_chars",
+    ).coalesce(1).write.parquet(p)
+    out = q_dedup_graph_triangles(spark, str(tmp_path)).first()
+    assert out.n_triangles == 1
+    assert out.n_edges == 3  # the clique's three edges
+    assert out.max_degree == 2
