@@ -1301,3 +1301,51 @@ def q_text_bigram_logprob(spark, sf_dir):
             "avg_logprob"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-mix diversity: Shannon entropy (and its exponential, the
+# "effective number of sources") of the source distribution per language
+# — the data-mixing health metric read next to corpus_mixture_weights:
+# a language whose effective source count collapses toward 1 is
+# single-source and over-exposed to that source's biases. One grouped
+# aggregate + one tiny per-language reduce; nothing corpus-sized moves.
+
+@register(
+    "corpus_source_entropy",
+    """WITH counts AS (
+  SELECT lang, source, count(*)::BIGINT AS n
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT lang, sum(n)::BIGINT AS t FROM counts GROUP BY lang),
+ent AS (
+  SELECT c.lang,
+         sum(-(c.n / CAST(tt.t AS DOUBLE)) * ln(c.n / CAST(tt.t AS DOUBLE))) AS h,
+         count(*)::BIGINT AS n_sources
+  FROM counts c JOIN tot tt ON c.lang = tt.lang
+  GROUP BY c.lang
+)
+SELECT lang, n_sources,
+       round(h, 6) + 0 AS entropy_nats,
+       round(exp(h), 6) + 0 AS effective_sources
+FROM ent ORDER BY lang""",
+)
+def q_corpus_source_entropy(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    tot = counts.groupBy("lang").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t").cast("double")
+    ent = (
+        counts.join(tot, "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum(-p * F.log(p)).alias("h"),
+            F.count("*").alias("n_sources"),
+        )
+    )
+    return ent.select(
+        "lang",
+        "n_sources",
+        (F.round("h", 6) + F.lit(0.0)).alias("entropy_nats"),
+        (F.round(F.exp("h"), 6) + F.lit(0.0)).alias("effective_sources"),
+    ).orderBy("lang")

@@ -799,3 +799,53 @@ def q_events_heavy_hitters(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     return heavy_hitters_exact(ev, "user_id", k=125)
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov estimate) per user
+# stream: P(next = b | cur = a) with transition counts — the sequence-
+# analytics primitive behind funnel discovery and behavioral anomaly
+# baselines. One lag window PARTITIONED BY USER (each partition is one
+# user's bounded stream — never a global sort) and one count aggregate
+# over (a, b) pairs; probabilities divide by the per-a total.
+
+@register(
+    "events_markov_transitions",
+    """WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS cur, nxt, count(*)::BIGINT AS n
+  FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+),
+tot AS (SELECT cur, sum(n)::BIGINT AS t FROM pairs GROUP BY cur)
+SELECT p.cur, p.nxt, p.n,
+       round(p.n / CAST(tt.t AS DOUBLE), 6) + 0 AS prob
+FROM pairs p JOIN tot tt ON p.cur = tt.cur
+ORDER BY p.cur, p.nxt""",
+)
+def q_events_markov_transitions(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy(F.col("event_type").alias("cur"), "nxt").agg(
+        F.count("*").alias("n")
+    )
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("t"))
+    return (
+        pairs.join(tot, "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            (F.round(F.col("n") / F.col("t").cast("double"), 6) + F.lit(0.0)).alias(
+                "prob"
+            ),
+        )
+        .orderBy("cur", "nxt")
+    )
