@@ -1798,7 +1798,14 @@ def q_rag_eval_ndcg(spark, sf_dir):
 # every wedge is generated at its lowest-degree vertex — the join
 # fan-out per vertex is bounded by its out-degree, which orientation
 # caps at O(sqrt(E)) even for hub vertices. Both joins are equi-joins on
-# vertex ids; nothing is quadratic in the corpus.
+# vertex ids; nothing is quadratic in the CORPUS — but triangle counting
+# is inherently O(E^1.5) in the EDGE set, and a heavily-duplicated
+# corpus makes the near-dup graph edge-quadratic per duplicate family
+# (k copies -> a k-clique -> k(k-1)/2 edges). Production ordering is
+# dedup first, diagnose the representative graph after — or cap family
+# size via operators/skew.cap_bucket_size before the pair join (same
+# rule as the LSH bucket cap; the replica-based scale probe excluded
+# this query for exactly that reason, see BENCH_SCALE_r07).
 
 @register(
     "dedup_graph_triangles",
