@@ -1885,3 +1885,90 @@ def q_dedup_graph_triangles(spark, sf_dir):
         [(n_tri, n_edges, n_vertices, int(max_deg))],
         "n_triangles long, n_edges long, n_vertices long, max_degree long",
     )
+
+
+# ---------------------------------------------------------------------------
+# FUZZY benchmark decontamination — the MinHash complement to the exact
+# 5-gram corpus_decontaminate: an eval item that leaked into training
+# data with light edits (appended boilerplate, paraphrased tail) shares
+# no exact 5-gram window yet keeps near-identical shingle sets. Bench
+# docs band-join the train side (cross-pairs only — never bench x bench
+# or train x train), and candidates verify by true Jaccard >= 0.7.
+# Leaks are PLANTED deterministically (bench text + an edit tail, same
+# technique as the dedup corpus) so the result is non-vacuous and both
+# engines construct byte-identical inputs.
+#
+# Scale posture: identical to incremental LSH dedup — shingle/sign is
+# map-only, the cross join is equi-keyed on (band, band_key) with the
+# (small) bench side broadcastable, and the quadratic verify runs on
+# candidates only.
+
+_FUZZY_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         text || ' appended leak marker tail words' AS text
+  FROM documents WHERE doc_id % 97 = 0
+)
+"""
+
+@register(
+    "corpus_decontaminate_fuzzy",
+    f"""WITH {_FUZZY_CORPUS_CTE.strip()}, {SHINGLES_CTE.strip()}, {SIGS_CTE.strip()},
+crossp AS (
+  SELECT id1, id2 FROM pairs
+  WHERE (id1 % 97 = 0 AND id1 < 2000000) <> (id2 % 97 = 0 AND id2 < 2000000)
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.id1, p.id2, count(*)::BIGINT AS c
+  FROM crossp p
+  JOIN shingles s1 ON s1.doc_id = p.id1
+  JOIN shingles s2 ON s2.doc_id = p.id2 AND s2.shingle = s1.shingle
+  GROUP BY p.id1, p.id2
+),
+jac AS (
+  SELECT i.id1, i.id2,
+         round(i.c::DOUBLE / (n1.n + n2.n - i.c), 6) AS jaccard
+  FROM inter i
+  JOIN sizes n1 ON n1.doc_id = i.id1
+  JOIN sizes n2 ON n2.doc_id = i.id2
+)
+SELECT id1 AS bench_or_train_lo, id2 AS bench_or_train_hi, jaccard
+FROM jac WHERE jaccard >= 0.7
+ORDER BY id1, id2""",
+)
+def q_corpus_decontaminate_fuzzy(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended leak marker tail words")).alias(
+            "text"
+        ),
+    )
+    corpus = docs.unionByName(planted)
+    shingles = dedup.shingle_sets(corpus).persist()
+    shingles.count()
+    is_bench = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 2_000_000)
+    sigs = dedup.minhash_signatures(shingles)
+    bands = dedup.band_keys(sigs)
+    bench_b = bands.filter(is_bench).select(
+        F.col("doc_id").alias("_b"), "band", "band_key"
+    )
+    train_b = bands.filter(~is_bench).select(
+        F.col("doc_id").alias("_t"), "band", "band_key"
+    )
+    cand = (
+        bench_b.join(train_b, ["band", "band_key"])
+        .select(
+            F.least("_b", "_t").alias("id1"), F.greatest("_b", "_t").alias("id2")
+        )
+        .distinct()
+    )
+    out = dedup.jaccard_verify(cand, shingles, threshold=0.7)
+    return out.select(
+        F.col("id1").alias("bench_or_train_lo"),
+        F.col("id2").alias("bench_or_train_hi"),
+        "jaccard",
+    ).orderBy("bench_or_train_lo", "bench_or_train_hi")
