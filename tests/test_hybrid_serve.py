@@ -148,3 +148,32 @@ def test_term_bucketed_copy_gives_identical_results(engine, spark, tmp_path):
         assert _served_rows(term_srv, q) == _served_rows(base, q) == _engine_rows(
             engine, q
         ), q
+
+
+def test_randomized_parity_sweep(engine):
+    """Seeded randomized sweep: 12 random query/settings combinations —
+    the broadest guard on the grouping float-recurrence replication and
+    rounding boundaries (any mean/stddev or HALF_UP divergence flips a
+    row somewhere in a sweep like this)."""
+    import random
+
+    rng = random.Random(714)
+    words = (
+        "spark shuffle broadcast join cache storage executor catalyst "
+        "adaptive sailing harbor anchor voyage maritime table scan stage"
+    ).split()
+    server = _server_of(engine)
+    for i in range(12):
+        q = " ".join(rng.sample(words, rng.randint(1, 5)))
+        kw = {
+            "limit": rng.choice([1, 3, 10, 20]),
+            "grouping": rng.choice([None, "similar", "related"]),
+            "hybrid_weight": rng.choice([0.0, 0.3, 0.6, 1.0]),
+            "max_files": rng.choice([None, 1, 2, 3]),
+        }
+        if rng.random() < 0.3:
+            kw["max_distance"] = rng.choice([0.9, 1.0, 1.2])
+        assert _served_rows(server, q, **kw) == _engine_rows(engine, q, **kw), (
+            q,
+            kw,
+        )
