@@ -1,0 +1,138 @@
+"""Command-line surface over RagEngine — the reference's CLI subcommands
+(src/cli/: ingest, query, list, delete, status, sync, read-neighbors)
+re-expressed as one argparse entry point, plus ``serve`` for the stdio
+JSON-RPC adapter.
+
+Output contract: one JSON document per result on stdout (the reference's
+JSON-output subcommands behave the same; human-facing notes go to
+stderr), so the CLI composes with shell pipelines. The engine/table
+location comes from ``--table`` or $SPARK_RAG_TABLE.
+
+Testability: ``run(argv, engine, out)`` is pure given an engine —
+tests drive it in-process; ``main()`` only assembles the session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mcp_local_rag_spark",
+        description="PySpark RAG engine CLI (reference tool surface)",
+    )
+    p.add_argument(
+        "--table",
+        default=os.environ.get("SPARK_RAG_TABLE"),
+        help="chunks table path (or $SPARK_RAG_TABLE)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="ingest a file or directory")
+    ing.add_argument("path")
+
+    q = sub.add_parser("query", help="hybrid search")
+    q.add_argument("text")
+    q.add_argument("--limit", type=int, default=10)
+    q.add_argument("--scope", action="append", default=None)
+    q.add_argument("--max-distance", type=float, default=None)
+    q.add_argument("--grouping", choices=["similar", "related"], default=None)
+
+    sub.add_parser("list", help="per-document summary")
+    sub.add_parser("status", help="corpus + index status")
+
+    d = sub.add_parser("delete", help="delete a document")
+    d.add_argument("path")
+
+    s = sub.add_parser("sync", help="reconcile a directory into the table")
+    s.add_argument("path")
+
+    nb = sub.add_parser("read-neighbors", help="neighbor frame point read")
+    nb.add_argument("path")
+    nb.add_argument("index", type=int)
+    nb.add_argument("--before", type=int, default=2)
+    nb.add_argument("--after", type=int, default=2)
+
+    sub.add_parser("serve", help="stdio JSON-RPC loop (reference MCP surface)")
+    return p
+
+
+def run(argv: list[str], engine, out=None) -> int:
+    """Execute one subcommand against ``engine``; JSON results to ``out``."""
+    out = out or sys.stdout
+    args = _parser().parse_args(argv)
+
+    def emit(obj) -> None:
+        out.write(json.dumps(obj, default=str) + "\n")
+
+    if args.cmd == "ingest":
+        target = os.path.abspath(args.path)
+        if os.path.isdir(target):
+            emit(engine.ingest_directory(target))
+        else:
+            emit(engine.ingest_file(target))
+        engine.optimize()
+        return 0
+    if args.cmd == "query":
+        rows = engine.query_documents(
+            args.text,
+            limit=args.limit,
+            scope=args.scope,
+            max_distance=args.max_distance,
+            grouping=args.grouping,
+        ).collect()
+        emit({"results": [r.asDict() for r in rows]})
+        return 0
+    if args.cmd == "list":
+        emit({"documents": [r.asDict() for r in engine.list_documents().collect()]})
+        return 0
+    if args.cmd == "status":
+        emit(engine.get_status())
+        return 0
+    if args.cmd == "delete":
+        n = engine.delete_document(os.path.abspath(args.path))
+        engine.optimize()
+        emit({"filePath": os.path.abspath(args.path), "deletedChunks": n})
+        return 0
+    if args.cmd == "sync":
+        rep = engine.sync(os.path.abspath(args.path))
+        engine.optimize()
+        emit({"counters": rep.counters, "warnings": rep.warnings})
+        return 0
+    if args.cmd == "read-neighbors":
+        from .operators.neighbors import NeighborServer
+
+        rows = NeighborServer(engine.spark, engine.table_path).read(
+            os.path.abspath(args.path), args.index,
+            before=args.before, after=args.after,
+        )
+        keep = ("filePath", "chunkIndex", "text")
+        emit({"chunks": [{k: r[k] for k in keep if k in r} for r in rows]})
+        return 0
+    if args.cmd == "serve":
+        from .server import RagRpcServer
+
+        RagRpcServer(engine).serve(sys.stdin, out)
+        return 0
+    raise AssertionError(f"unhandled command {args.cmd}")
+
+
+def main() -> int:  # pragma: no cover - session assembly
+    argv = sys.argv[1:]
+    args, _ = _parser().parse_known_args(argv)
+    if not args.table:
+        print("--table (or $SPARK_RAG_TABLE) is required", file=sys.stderr)
+        return 2
+    from .engine import RagEngine
+    from .session import get_spark
+
+    engine = RagEngine(get_spark("rag-cli"), args.table)
+    return run(argv, engine)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

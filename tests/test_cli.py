@@ -1,0 +1,59 @@
+"""CLI surface (mcp_local_rag_spark/cli.py): every reference subcommand
+driven in-process against a real engine, JSON-per-line output contract."""
+
+from __future__ import annotations
+
+import io
+import json
+
+from mcp_local_rag_spark.cli import run
+from mcp_local_rag_spark.engine import RagEngine
+
+DOC = (
+    "# CLI Doc\n\n"
+    "Spark shuffles data between executors during wide transformations. "
+    "Broadcast joins avoid that shuffle for small dimension tables."
+)
+
+
+def _run(engine, *argv):
+    buf = io.StringIO()
+    rc = run(["--table", engine.table_path, *argv], engine, out=buf)
+    assert rc == 0
+    return [json.loads(line) for line in buf.getvalue().splitlines()]
+
+
+def test_cli_surface_end_to_end(spark, tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.md").write_text(DOC)
+    eng = RagEngine(spark, str(tmp_path / "chunks_cli"))
+
+    (out,) = _run(eng, "ingest", str(d))
+    assert out >= 1  # chunk count
+
+    (status,) = _run(eng, "status")
+    assert status["documentCount"] == 1
+
+    (res,) = _run(eng, "query", "broadcast joins", "--limit", "3")
+    hits = res["results"]
+    assert hits and hits[0]["filePath"].endswith("a.md")
+
+    (lst,) = _run(eng, "list")
+    assert len(lst["documents"]) == 1
+
+    fp = hits[0]["filePath"]
+    (nb,) = _run(eng, "read-neighbors", fp, str(hits[0]["chunkIndex"]))
+    assert nb["chunks"] and nb["chunks"][0]["filePath"] == fp
+
+    # sync picks up a new file
+    (d / "b.md").write_text(DOC + " More sentences about caching hot tables.")
+    (rep,) = _run(eng, "sync", str(d))
+    assert rep["counters"].get("upsert_new", 0) >= 1
+    (status2,) = _run(eng, "status")
+    assert status2["documentCount"] == 2
+
+    (deleted,) = _run(eng, "delete", str(d / "b.md"))
+    assert deleted["deletedChunks"] >= 1
+    (status3,) = _run(eng, "status")
+    assert status3["documentCount"] == 1
