@@ -131,7 +131,11 @@ def main() -> int:  # pragma: no cover - session assembly
     from .session import get_spark
 
     engine = RagEngine(get_spark("rag-cli"), args.table)
-    return run(argv, engine)
+    try:
+        return run(argv, engine)
+    except Exception as e:  # clean one-line error, not a JVM stack trace
+        print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":  # pragma: no cover
