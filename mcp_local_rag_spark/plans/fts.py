@@ -76,7 +76,10 @@ def write_postings(
             "bucket", F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int")
         )
         .repartition(nb, "bucket")
-        .sortWithinPartitions("term", "filePath", "chunkIndex")
+        # lead the sort with the partition column (see plans/ingest.
+        # write_chunks): otherwise the partitioned writer re-sorts by
+        # bucket alone, non-stably, destroying the term order
+        .sortWithinPartitions("bucket", "term", "filePath", "chunkIndex")
         .write.partitionBy("bucket")
         .mode(mode)
         .parquet(path)
@@ -157,7 +160,7 @@ def write_term_postings(
             "tbucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int")
         )
         .repartition(nb, "tbucket")
-        .sortWithinPartitions("term", "filePath", "chunkIndex")
+        .sortWithinPartitions("tbucket", "term", "filePath", "chunkIndex")
         .write.partitionBy("tbucket")
         .mode("overwrite")
         .parquet(path)
@@ -226,7 +229,7 @@ def compact_postings(spark: SparkSession, path: str) -> None:
     def _write(tmp: str) -> None:
         (
             df.repartition(nb, "bucket")
-            .sortWithinPartitions("term", "filePath", "chunkIndex")
+            .sortWithinPartitions("bucket", "term", "filePath", "chunkIndex")
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(tmp)
@@ -351,11 +354,16 @@ def refresh_postings(
         # deletes against an empty index are a no-op
         targets.unpersist()
         return
+    # checkpoint FIRST, sort AFTER (same rule as plans/ingest.
+    # _rewrite_touched_buckets): a pre-checkpoint sort loses its catalyst
+    # ordering metadata and the partitioned writer re-sorts by bucket
+    # alone with a non-stable sort — silently destroying the term order
+    # the per-query row-group pruning depends on.
     out = (
         keep.withColumn("bucket", bucket_of)
         .repartition(len(buckets), "bucket")
-        .sortWithinPartitions("bucket", "term", "filePath", "chunkIndex")
         .localCheckpoint()
+        .sortWithinPartitions("bucket", "term", "filePath", "chunkIndex")
     )
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -290,7 +290,12 @@ def write_chunks(
             "bucket", F.pmod(F.xxhash64("filePath"), F.lit(nb)).cast("int")
         )
         .repartition(nb, "bucket")
-        .sortWithinPartitions("filePath", "chunkIndex")
+        # the sort MUST lead with the partition column: a partitioned
+        # write whose child ordering does not start with it gets a
+        # writer-inserted sort by that column alone — radix-based and
+        # NOT stable — which scrambles the secondary (filePath,
+        # chunkIndex) order the row-group pruning depends on
+        .sortWithinPartitions("bucket", "filePath", "chunkIndex")
         .write.partitionBy("bucket")
         .mode(mode)
         .parquet(path)
@@ -303,35 +308,36 @@ def compact_chunks(spark: SparkSession, table_path: str, target_files_per_bucket
     """S9 compaction — the reference's amortized ``optimize()``
     (src/vectordb/index.ts:317-324; one call per bulk run, src/server/index.ts:543-549).
 
-    Streaming appends and per-file upserts leave many small files per
-    bucket; rewrite each bucket into ``target_files_per_bucket`` files.
-    With Delta/Iceberg this is OPTIMIZE / rewrite_data_files.
+    SELECTIVE, like LanceDB's fragment compaction: only the buckets whose
+    file count exceeds ``target_files_per_bucket`` rewrite (one directory
+    listing finds them; already-compact buckets are never read or
+    written, and a no-op table returns without submitting any job). The
+    previous full-table atomic rewrite made every per-request optimize()
+    O(corpus) — at 100 TB a single-file ingest must not rewrite 100 TB.
+
+    Duplicate rows — the at-least-once replay cover — can only exist
+    where a second FILE was appended (an append never rewrites in
+    place), so the needs-compaction buckets are exactly the buckets that
+    can hold duplicates; ``dropDuplicates`` over those buckets keeps one
+    row per (filePath, chunkIndex). Rows re-sort per bucket inside
+    ``_rewrite_touched_buckets`` (dynamic partition overwrite), which
+    preserves the row-group order point reads prune on and replaces each
+    touched directory only after its replacement data is materialized.
     """
-    nb = table_n_buckets(table_path)
-    # (filePath, chunkIndex) is the table's primary key; duplicate rows can
-    # only come from a replayed at-least-once append that slipped past the
-    # batch markers (crash strictly between the two sink appends).
-    # Compaction is the declared cover: keep one row per key.
-    df = spark.read.parquet(table_path).dropDuplicates(["filePath", "chunkIndex"])
+    import glob
 
-    def _write(tmp: str) -> None:
-        (
-            df.repartition(target_files_per_bucket * nb, "bucket")
-            # dropDuplicates shuffles rows arbitrarily; without re-sorting,
-            # compaction would silently destroy the (filePath, chunkIndex)
-            # row-group order every point/neighbor read prunes on
-            .sortWithinPartitions("filePath", "chunkIndex")
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(tmp)
-        )
-        write_table_meta(tmp, nb)
-
-    # temp-sibling + rename: the source table stays intact (and readable)
-    # until the full replacement exists, so a mid-write failure cannot
-    # destroy it — no localCheckpoint materialization needed either
-    atomic_rewrite(table_path, _write)
-    spark.catalog.refreshByPath(table_path)
+    need: set[int] = set()
+    for d in glob.glob(os.path.join(table_path, "bucket=*")):
+        if len(glob.glob(os.path.join(d, "*.parquet"))) > target_files_per_bucket:
+            need.add(int(d.rsplit("=", 1)[1]))
+    if not need:
+        return
+    df = (
+        spark.read.parquet(table_path)
+        .filter(F.col("bucket").isin(sorted(need)))
+        .dropDuplicates(["filePath", "chunkIndex"])
+    )
+    _rewrite_touched_buckets(spark, table_path, df, need)
 
 
 def _rewrite_touched_buckets(
@@ -348,10 +354,17 @@ def _rewrite_touched_buckets(
     overwriting the same path cannot race; buckets emptied entirely have
     their stale dirs dropped explicitly (dynamic overwrite never touches
     a partition absent from the output)."""
+    # checkpoint FIRST, sort AFTER: a checkpointed RDD carries no catalyst
+    # ordering metadata, so a pre-checkpoint sort makes the partitioned
+    # writer insert its own sort by the partition column alone — a
+    # NON-STABLE sort that scrambles the (filePath, chunkIndex) order
+    # inside each bucket file (observed: chunk indexes shuffled within a
+    # doc). Sorting above the checkpoint keeps the Sort node in the write
+    # plan, which satisfies the writer's requirement outright.
     out = (
         keep.repartition(max(len(touched), 1), "bucket")
-        .sortWithinPartitions("bucket", "filePath", "chunkIndex")
         .localCheckpoint()
+        .sortWithinPartitions("bucket", "filePath", "chunkIndex")
     )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -382,3 +382,32 @@ def test_batched_delete_is_one_write(spark, tmp_path, monkeypatch):
     assert delete_documents(spark, table, ["/d10.md", "/d11.md"]) == 2
     assert spark.read.parquet(table).count() == 0
     assert glob.glob(f"{table}/bucket=*/*.parquet")  # schema-only file kept
+
+
+def test_write_chunks_files_are_key_sorted(spark, tmp_path):
+    """Every data file the PRIMARY writer produces must be sorted by
+    (filePath, chunkIndex) — the row-group min/max pruning the neighbor
+    point reads rely on. Regression for the writer-inserted partition
+    sort: a partitionBy write whose child ordering does not LEAD with the
+    partition column gets re-sorted by that column alone (radix-based,
+    not stable), silently scrambling the secondary order."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.plans.ingest import write_chunks
+
+    rows = spark.range(60).select(
+        F.concat(F.lit("/d/doc"), (F.col("id") % 12).cast("string"), F.lit(".md")).alias("filePath"),
+        (F.col("id") / 12).cast("int").alias("chunkIndex"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    table = str(tmp_path / "chunks_sorted")
+    write_chunks(rows.repartition(8), table, n_buckets=4)
+    files = glob.glob(f"{table}/bucket=*/part-*.parquet")
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["filePath", "chunkIndex"]).to_pandas()
+        key = list(zip(t["filePath"], t["chunkIndex"]))
+        assert key == sorted(key), f
