@@ -107,7 +107,29 @@ class RagEngine:
         # mutation tracking for the amortized index refresh in optimize()
         self._dirty_upserts: set[str] = set()
         self._dirty_deletes: set[str] = set()
-        self._needs_full_index = True
+        # version handshake: every row mutation bumps the chunks table's
+        # persisted content version, and optimize() stamps the version the
+        # postings cover. A RESTARTED engine whose on-disk index covers
+        # the table's current version trusts it — without this, the first
+        # optimize() after every process restart rebuilt the full index
+        # (O(corpus) — at 100 TB a restart must not re-tokenize 100 TB).
+        self._needs_full_index = not self._index_covers_table()
+
+    def _index_covers_table(self) -> bool:
+        from .plans.fts import index_has_data, read_fts_stats
+        from .plans.ingest import read_table_meta, table_version
+
+        if self.postings_path is None or not os.path.isdir(self.postings_path):
+            return False
+        tv = table_version(self.table_path)
+        if tv is None:  # legacy table without version stamps
+            return False
+        covered = read_table_meta(self.postings_path).get("covers_table_version")
+        return (
+            covered == tv
+            and index_has_data(self.postings_path)
+            and read_fts_stats(self.postings_path) is not None
+        )
 
     # -- reads ------------------------------------------------------------
 
@@ -666,6 +688,19 @@ class RagEngine:
         self._dirty_upserts.clear()
         self._dirty_deletes.clear()
         self._needs_full_index = False
+        # record which table version the index now covers — the restart
+        # handshake read by _index_covers_table. Stamped AFTER the
+        # compaction above, whose bucket rewrite bumps the version.
+        from .plans.ingest import table_n_buckets as _nb
+        from .plans.ingest import table_version, write_table_meta
+
+        tv = table_version(self.table_path)
+        if tv is not None:
+            write_table_meta(
+                self.postings_path,
+                _nb(self.postings_path),
+                extra={"covers_table_version": tv},
+            )
 
     # -- incremental sync (§2.7 plan + execute) ---------------------------
 

@@ -86,6 +86,24 @@ def write_table_meta(
         json.dump(meta, f)
 
 
+def bump_table_version(path: str) -> str:
+    """Stamp a new content version into the table meta. Every mutation of
+    the table's ROWS bumps it (write_chunks, the delete paths, the
+    touched-bucket rewrites); index maintenance records the version it
+    covered, so a RESTARTED engine can trust an on-disk index instead of
+    scheduling a full O(corpus) rebuild on its first optimize()."""
+    import uuid
+
+    v = uuid.uuid4().hex
+    write_table_meta(path, table_n_buckets(path), extra={"table_version": v})
+    return v
+
+
+def table_version(path: str) -> str | None:
+    v = read_table_meta(path).get("table_version")
+    return str(v) if v else None
+
+
 def table_n_buckets(path: str, default: int | None = None) -> int:
     """The table's bucket count: persisted property first, then ``default``
     (or N_BUCKETS). Tables written before the property existed were all
@@ -302,6 +320,7 @@ def write_chunks(
     )
     # after the write: overwrite mode clears the directory first
     write_table_meta(path, nb, backend=backend, dim=dim)
+    bump_table_version(path)
 
 
 def compact_chunks(spark: SparkSession, table_path: str, target_files_per_bucket: int = 1) -> None:
@@ -388,6 +407,7 @@ def _rewrite_touched_buckets(
             ).parquet(f"{table_path}/bucket={min(touched)}")
     # the session-global FileStatusCache still lists the replaced files
     spark.catalog.refreshByPath(table_path)
+    bump_table_version(table_path)
 
 
 def delete_documents(

@@ -101,6 +101,18 @@ def _append_chunk_batch(
             chunks, postings_path, tokenizer=tokenizer, mode=mode, n_buckets=nb
         )
         chunks.unpersist()
+        # restart handshake: the appended index covers the just-bumped
+        # table version, so an engine opened on this table later trusts
+        # the index instead of scheduling a full rebuild
+        from ..plans.ingest import table_version, write_table_meta
+
+        tv = table_version(table_path)
+        if tv is not None:
+            write_table_meta(
+                postings_path,
+                table_n_buckets(postings_path),
+                extra={"covers_table_version": tv},
+            )
 
 
 def stream_ingest(

@@ -732,3 +732,51 @@ def test_legacy_table_forward_migration(spark, tmp_path):
     eng2 = RagEngine(spark, table2, postings_path=None)
     r = eng2.list_documents().first()
     assert r.fileTitle is None and r.contentHash == "abc"
+
+
+def test_restart_trusts_covering_index(spark, tmp_path):
+    """A restarted engine whose on-disk postings cover the table's
+    persisted content version must NOT rebuild the index on its first
+    optimize(); an out-of-band mutation (version bump without a covering
+    stamp) must trigger the rebuild."""
+    import glob
+    import os as _os
+
+    from mcp_local_rag_spark.engine import RagEngine
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.md").write_text(
+        "# Doc\n\nSpark shuffles data between executors during wide stages."
+    )
+    table = str(tmp_path / "chunks_restart")
+    eng = RagEngine(spark, table)
+    eng.ingest_directory(str(d))  # ends with optimize() -> stamped
+
+    # restart: new engine on the same paths trusts the index
+    eng2 = RagEngine(spark, table)
+    assert not eng2._needs_full_index
+    assert eng2.index_is_fresh()
+    before = {
+        f: _os.path.getmtime(f)
+        for f in glob.glob(f"{eng2.postings_path}/bucket=*/*.parquet")
+    }
+    eng2.optimize()  # must not rewrite any postings file
+    after = {
+        f: _os.path.getmtime(f)
+        for f in glob.glob(f"{eng2.postings_path}/bucket=*/*.parquet")
+    }
+    assert before == after
+
+    # out-of-band mutation: another engine ingests WITHOUT optimize
+    (d / "b.md").write_text(
+        "# Two\n\nBroadcast joins avoid the shuffle for small tables here."
+    )
+    eng3 = RagEngine(spark, table)
+    eng3.ingest_file(str(d / "b.md"))  # bumps version, no stamp
+    eng4 = RagEngine(spark, table)
+    assert eng4._needs_full_index  # stale stamp detected
+    eng4.optimize()
+    assert eng4.index_is_fresh()
+    # and the fresh stamp holds for the next restart
+    assert not RagEngine(spark, table)._needs_full_index
