@@ -79,6 +79,7 @@ class HybridSearchServer:
         # mutates it) so a concurrent query's local ref stays a coherent
         # point-in-time snapshot — same discipline as the other sidecars.
         self._term_cache: dict = {}
+        self._loaded_version: str | None = None
 
     MAX_CACHED_TERMS = 4096
 
@@ -176,6 +177,19 @@ class HybridSearchServer:
         dim = dim if dim is not None else meta_dim
         limit = max(1, min(20, limit))
         hybrid_weight = max(0.0, min(1.0, hybrid_weight))
+        # self-refresh across processes: one cheap meta read per query —
+        # if the chunks table's content version moved since this snapshot
+        # loaded, drop every cached artifact (the vector sidecar performs
+        # the same check for its matrix)
+        from ..plans.ingest import table_version
+
+        tv = table_version(self._table)
+        if tv != self._loaded_version:
+            self._payload = None
+            self._pdataset = None
+            self._stats = None
+            self._term_cache = {}
+            self._loaded_version = tv
         qv = embed_query(query_text, dim, backend)
         terms = [t for t in re.split(r"[^a-z0-9]+", query_text.lower()) if t]
 

@@ -59,9 +59,17 @@ class VectorSearchServer:
         self._snap = None
 
     def _load(self) -> tuple:
+        from ..plans.ingest import table_version
+
         snap = self._snap
         if snap is not None:
-            return snap
+            # self-refresh: the chunks table stamps a content version on
+            # every mutation (plans/ingest.bump_table_version) — a cheap
+            # sidecar meta read per query detects cross-PROCESS mutations
+            # that in-process invalidate() hooks cannot see
+            if snap[4] == table_version(self._path):
+                return snap[:4]
+            self._snap = None
         import pyarrow.dataset as ds
 
         tbl = ds.dataset(self._path, format="parquet").to_table(
@@ -75,9 +83,10 @@ class VectorSearchServer:
                 np.array([], dtype=object),
                 np.array([], dtype=np.int64),
                 np.array([], dtype=np.int64),
+                table_version(self._path),
             )
             self._snap = snap
-            return snap
+            return snap[:4]
         flat = vec.flatten().to_numpy(zero_copy_only=False)
         mat = np.asarray(flat, dtype=np.float64).reshape(n, -1)
         paths = np.asarray(tbl["filePath"].to_pylist(), dtype=object)
@@ -86,9 +95,9 @@ class VectorSearchServer:
         # snapshot — precompute each row's rank in it once so per-query
         # ordering works on ints, not strings
         order = np.lexsort((idx, paths)).argsort()
-        snap = (mat, paths, idx, order)
+        snap = (mat, paths, idx, order, table_version(self._path))
         self._snap = snap
-        return snap
+        return snap[:4]
 
     def query(
         self,

@@ -177,3 +177,39 @@ def test_randomized_parity_sweep(engine):
             q,
             kw,
         )
+
+
+def test_sidecar_self_refreshes_on_table_version_change(spark, tmp_path):
+    """A mutation from ANOTHER process (simulated: engine mutates, the
+    sidecar's invalidate() is never called) must be visible to the
+    sidecar on its next query — the table-version check, not the
+    in-process hook, is the cross-process staleness cover."""
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.md").write_text(
+        "# A\n\nSpark shuffles data between executors during wide stages."
+    )
+    eng = RagEngine(spark, str(tmp_path / "chunks_sv"), db_path=str(tmp_path / "db"))
+    eng.ingest_directory(str(d))
+    server = HybridSearchServer(
+        eng.table_path, eng.postings_path, db_path=eng.db_path
+    )
+    before = server.query("unpersisting frees executor storage", limit=5)
+    assert all("unpersist" not in (r["text"] or "") for r in before)
+    # out-of-band mutation: new doc lands, sidecar NOT invalidated
+    (d / "b.md").write_text(
+        "# B\n\nUnpersisting frees executor storage for later stages promptly."
+    )
+    eng.ingest_file(str(d / "b.md"))
+    eng.optimize()
+    after = server.query("unpersisting frees executor storage", limit=5)
+    assert any("Unpersisting frees" in (r["text"] or "") for r in after)
+    assert after == [
+        {
+            "filePath": r.filePath, "chunkIndex": r.chunkIndex, "text": r.text,
+            "fileTitle": r.fileTitle, "score": r.score, "source": r.source,
+        }
+        for r in eng.query_documents(
+            "unpersisting frees executor storage", limit=5
+        ).collect()
+    ]
