@@ -294,3 +294,28 @@ def test_knn_ivf_indexed_matches_probe_results(spark):
     # and the indexed plan prunes cell directories
     plan = q_knn_ivf_indexed(spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cell" in plan
+
+
+def test_ivf_index_files_are_id_sorted(spark, tmp_path):
+    """sort_cols gives real in-cell min/max stats: every data file of a
+    cell dir must be sorted by vec_id (leading with the partition column
+    so the writer's own sort cannot scramble it)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.plans.ann_index import write_ivf_index
+
+    df = spark.range(80).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=7), F.rand(seed=8)).alias("embedding"),
+        (F.col("id") % 4).cast("int").alias("cell"),
+    )
+    path = str(tmp_path / "ivf_sorted")
+    write_ivf_index(df.repartition(8), path, sort_cols=("vec_id",))
+    files = glob.glob(f"{path}/cell=*/part-*.parquet")
+    assert files
+    for f in files:
+        ids = pq.read_table(f, columns=["vec_id"]).to_pandas()["vec_id"].tolist()
+        assert ids == sorted(ids), f
