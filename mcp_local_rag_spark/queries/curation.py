@@ -1349,3 +1349,47 @@ def q_corpus_source_entropy(spark, sf_dir):
         (F.round("h", 6) + F.lit(0.0)).alias("entropy_nats"),
         (F.round(F.exp("h"), 6) + F.lit(0.0)).alias("effective_sources"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal: Shannon entropy of the per-document
+# character distribution (bits/char). Degenerate generations and
+# binary-ish noise sit at the extremes (repeated filler -> low entropy;
+# random bytes -> high); natural text clusters in a narrow band — the
+# cheap complement to the Gopher filters. Map-only explode of characters
+# + two grouped aggregates; integer-exact counts, floats only in the
+# final per-doc log fold.
+
+@register(
+    "text_char_entropy",
+    """WITH chars AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+  FROM documents WHERE length(text) > 0
+),
+counts AS (
+  SELECT doc_id, ch, count(*)::BIGINT AS c FROM chars
+  WHERE ch <> '' GROUP BY doc_id, ch
+),
+tot AS (SELECT doc_id, sum(c)::BIGINT AS n FROM counts GROUP BY doc_id)
+SELECT c.doc_id,
+       t.n AS n_chars,
+       round(sum(-(c.c / CAST(t.n AS DOUBLE))
+                 * log2(c.c / CAST(t.n AS DOUBLE))), 6) + 0 AS entropy_bits
+FROM counts c JOIN tot t ON c.doc_id = t.doc_id
+GROUP BY c.doc_id, t.n
+ORDER BY c.doc_id""",
+)
+def q_text_char_entropy(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id", F.col("n").alias("n_chars"))
+        .agg((F.round(F.sum(-p * F.log2(p)), 6) + F.lit(0.0)).alias("entropy_bits"))
+        .orderBy("doc_id")
+    )

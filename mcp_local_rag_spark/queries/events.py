@@ -849,3 +849,41 @@ def q_events_markov_transitions(spark, sf_dir):
         )
         .orderBy("cur", "nxt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full cohort-retention matrix — the long-form (cohort_day, age_days,
+# retained) triangle behind every retention heatmap; events_retention is
+# its fixed d1/d7 summary. One distinct-activity pass, one equi join on
+# user, integer age from a day difference — no window over the corpus,
+# cohorts aggregate in a single shuffle.
+
+@register(
+    "events_cohort_matrix",
+    """WITH first_seen AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS d0 FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+)
+SELECT f.d0 AS cohort_day,
+       date_diff('day', f.d0, a.d)::BIGINT AS age_days,
+       count(DISTINCT f.user_id)::BIGINT AS retained
+FROM first_seen f JOIN activity a ON a.user_id = f.user_id
+GROUP BY cohort_day, age_days
+ORDER BY cohort_day, age_days""",
+)
+def q_events_cohort_matrix(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0")
+    )
+    activity = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            F.col("d0").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("d0")).cast("long").alias("age_days"),
+        )
+        .agg(F.countDistinct("user_id").alias("retained"))
+        .orderBy("cohort_day", "age_days")
+    )
