@@ -125,3 +125,26 @@ def test_warmed_query_latency_is_millisecond_scale(corpus):
         times.append(time.time() - t0)
     times.sort()
     assert times[int(len(times) * 0.95) - 1] < 0.05
+
+
+def test_parity_under_total_score_ties(spark, tmp_path):
+    """Constant-vector corpus (the reference's own perf-test fixture
+    shape): every score ties, so ranking is purely the (filePath,
+    chunkIndex) tie-break — the frontier/tie-cap path must agree with
+    Spark row-for-row."""
+    from mcp_local_rag_spark.embedder import embed_text_column
+
+    rows = spark.range(300).select(
+        F.concat(
+            F.lit("/t/doc"), (F.col("id") % 37).cast("string"), F.lit(".md")
+        ).alias("filePath"),
+        (F.col("id") / 37).cast("int").alias("chunkIndex"),
+        F.lit("identical text").alias("text"),  # constant -> constant vectors
+    )
+    table = str(tmp_path / "chunks_ties")
+    write_chunks(embed_text_column(rows, "text", "vector", dim=16), table)
+    server = VectorSearchServer(table)
+    qv = pseudo_embed("any query", 16)
+    assert _served(server, qv, 10) == _spark_topk(spark, table, qv, 10)
+    # and k beyond the tie frontier
+    assert _served(server, qv, 20) == _spark_topk(spark, table, qv, 20)
