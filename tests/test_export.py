@@ -85,3 +85,42 @@ def test_assign_pack_bins_budget_bound(spark):
         for r in rs:
             assert r.bin == start // 4096, (lang, r.doc_id)
             start += r.n_chars
+
+
+def test_materialization_run_end_to_end(spark, tmp_path):
+    """The full curation-to-trainer path: run the composed pipeline, keep
+    only disposition='keep' docs, export them as JSONL shards keyed by
+    their train/val/test split, and verify the shards reproduce the
+    pipeline's split counts exactly — nothing dropped, nothing leaked
+    from the benchmark/contaminated/duplicate/quality rejects."""
+    from mcp_local_rag_spark.queries.curation import q_corpus_curation_pipeline
+
+    pipe = q_corpus_curation_pipeline(spark, SF).cache()
+    keep = pipe.filter(F.col("disposition") == "keep").select("doc_id", "split")
+    docs = load(spark, SF, "documents").join(keep, "doc_id")
+    out = str(tmp_path / "train_shards")
+    export_jsonl_shards(
+        docs.select("doc_id", "text", "split"), out,
+        shard_col="split", max_records_per_file=200,
+    )
+    back = spark.read.json(out)
+    got = {
+        (r.split, r.n): None
+        for r in back.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    expected = {
+        (r.split, r.n): None
+        for r in pipe.filter(F.col("disposition") == "keep")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
+    # rejects never reach the shards
+    rejects = {
+        r.doc_id
+        for r in pipe.filter(F.col("disposition") != "keep").collect()
+    }
+    exported = {r.doc_id for r in back.select("doc_id").collect()}
+    assert not (rejects & exported)
+    pipe.unpersist()
