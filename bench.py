@@ -74,6 +74,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_registry_queries": len(qs),
                 "sf": sf,
                 "neighbor_read_p95_ms": serve_p95_ms,
                 "neighbor_read_sparkplan_p95_ms": spark_p95_ms,
