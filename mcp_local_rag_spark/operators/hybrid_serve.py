@@ -184,7 +184,10 @@ class HybridSearchServer:
         from ..plans.ingest import table_version
 
         tv = table_version(self._table)
-        if tv != self._loaded_version:
+        # a table with no version stamp (legacy/pre-version) returns None;
+        # None == None would mask every external mutation, so a None
+        # version is treated as never-covered — reload each query
+        if tv is None or tv != self._loaded_version:
             self._payload = None
             self._pdataset = None
             self._stats = None
@@ -291,7 +294,12 @@ class HybridSearchServer:
                 tbl = self._dataset_of(src_path).to_table(columns=cols, filter=flt)
             fetched = tbl.to_pandas()
             if len(cache) + len(missing) > self.MAX_CACHED_TERMS:
-                cache = {}
+                # evict, but seed the replacement with THIS query's hit
+                # terms — the scoring loop below reads cache[t] for every
+                # query term, so dropping a term that was a hit this
+                # query would KeyError once >MAX_CACHED_TERMS distinct
+                # terms accumulate and a query mixes cached + new terms
+                cache = {t: cache[t] for t in terms if t in cache}
                 self._term_cache = cache
             grouped = dict(tuple(fetched.groupby("term"))) if len(fetched) else {}
             for t in missing:

@@ -67,7 +67,10 @@ class VectorSearchServer:
             # every mutation (plans/ingest.bump_table_version) — a cheap
             # sidecar meta read per query detects cross-PROCESS mutations
             # that in-process invalidate() hooks cannot see
-            if snap[4] == table_version(self._path):
+            # a None stamp (legacy table, no version sidecar) must never
+            # satisfy the covered check — None == None would pin a stale
+            # snapshot across external mutations forever
+            if snap[4] is not None and snap[4] == table_version(self._path):
                 return snap[:4]
             self._snap = None
         import pyarrow.dataset as ds

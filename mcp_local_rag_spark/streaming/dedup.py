@@ -53,7 +53,7 @@ def stream_dedup(
     handles the empty-corpus case), so the watcher can be started on an
     empty corpus directory.
     """
-    from ..plans.dedup_index import incremental_dedup
+    from ..plans.dedup_index import incremental_dedup, write_signatures
 
     raw = (
         spark.readStream.format("text")
@@ -70,17 +70,27 @@ def stream_dedup(
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty() or _batch_already_applied(checkpoint_dir, batch_id):
             return
-        # incremental_dedup materializes the pairs BEFORE appending the
-        # batch's signatures, so the pairs log never sees a document
-        # paired against its own just-appended signature
+        # persistence order matches the documented crash contract: pairs
+        # log FIRST, signatures second. A crash between the two appends
+        # leaves "pairs logged without signatures" (the documented
+        # repair: full write_signatures rebuild) — never the reverse,
+        # where a replayed batch would band-join against its own
+        # already-appended signatures and duplicate signature rows.
         pairs = incremental_dedup(
-            spark, sig_path, batch, id_col="doc_id", text_col="text", append=True
+            spark, sig_path, batch, id_col="doc_id", text_col="text", append=False
         )
         (
             pairs.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(pairs_path)
         )
+        # signatures are deterministic (operators/dedup constants), so
+        # re-signing the micro-batch here appends exactly the rows
+        # incremental_dedup computed internally
+        write_signatures(
+            batch, sig_path, id_col="doc_id", text_col="text", mode="append"
+        )
+        spark.catalog.refreshByPath(sig_path)
         _mark_batch_applied(checkpoint_dir, batch_id)
 
     writer = raw.writeStream.foreachBatch(_process).option(

@@ -213,3 +213,20 @@ def test_sidecar_self_refreshes_on_table_version_change(spark, tmp_path):
             "unpersisting frees executor storage", limit=5
         ).collect()
     ]
+
+
+def test_term_cache_eviction_keeps_this_querys_hit_terms(engine):
+    """Eviction regression: with a tiny cache cap, a query mixing
+    already-cached terms with new ones must not KeyError — the evicted
+    replacement dict is seeded with the current query's hit terms."""
+    server = _server_of(engine)
+    server.MAX_CACHED_TERMS = 1  # instance override; every refill evicts
+    baseline = HybridSearchServer(
+        engine.table_path, engine.postings_path, db_path=engine.db_path
+    )
+    q1 = "spark shuffles data"
+    q2 = "spark harbors anchors"  # 'spark' is a cache hit, rest are new
+    server.query(q1, limit=5)
+    assert server.query(q2, limit=5) == baseline.query(q2, limit=5)
+    # and the cap actually bit (we didn't silently grow past it)
+    assert len(server._term_cache) <= 4

@@ -148,3 +148,37 @@ def test_parity_under_total_score_ties(spark, tmp_path):
     assert _served(server, qv, 10) == _spark_topk(spark, table, qv, 10)
     # and k beyond the tie frontier
     assert _served(server, qv, 20) == _spark_topk(spark, table, qv, 20)
+
+
+def test_unversioned_table_never_pins_a_stale_snapshot(spark, tmp_path):
+    """A table with NO version stamp (legacy layout: plain parquet, no
+    meta sidecar) can't prove snapshot coverage — the server must treat
+    None as never-covered and reload per query, so an external mutation
+    is visible without any invalidate() call."""
+    from mcp_local_rag_spark.embedder import embed_text_column
+
+    table = str(tmp_path / "legacy_chunks")
+
+    def _write(n):
+        rows = spark.range(n).select(
+            F.concat(F.lit("/l/doc"), F.col("id").cast("string"), F.lit(".md")).alias(
+                "filePath"
+            ),
+            F.lit(0).alias("chunkIndex"),
+            F.concat(F.lit("legacy text "), F.col("id").cast("string")).alias("text"),
+        )
+        embed_text_column(rows, "text", "vector", dim=16).write.mode(
+            "overwrite"
+        ).parquet(table)
+
+    _write(3)
+    server = VectorSearchServer(table)
+    qv = pseudo_embed("legacy text 7", 16)
+    assert len(server.query(qv, 10)) == 3
+    _write(8)  # out-of-band mutation, no invalidate(), no version bump
+    got = server.query(qv, 10)
+    assert len(got) == 8
+    assert got == [
+        {"filePath": r[0], "chunkIndex": r[1], "score": r[2]}
+        for r in _spark_topk(spark, table, qv, 10)
+    ]
