@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.cache import persisted
+
 from ..functions.text import char_ngrams, tokens
 
 K1 = 1.2
@@ -150,7 +152,7 @@ def bm25_scores(
     this is moot.
     """
     if materialize:
-        postings = postings.persist()
+        postings = persisted(postings)
     if stats is not None:
         n_col = F.lit(int(stats["n"]))
         avgdl_col = F.lit(float(stats["avgdl"] or 0.0))
@@ -161,7 +163,7 @@ def bm25_scores(
     terms = list(dict.fromkeys(query_terms))
     matched = postings.filter(F.col("term").isin(terms))
     if materialize:
-        matched = matched.persist()
+        matched = persisted(matched)
     df_stats = matched.groupBy("term").agg(F.countDistinct(*id_cols).alias("df"))
     if candidates is not None:
         matched = matched.join(candidates.select(*id_cols), list(id_cols), "left_semi")

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.paths import scope_predicate
+from ..plans.cache import persisted
 from ..functions.vector import dot_distance, vec_lit
 
 # reference constants
@@ -351,16 +352,16 @@ def hybrid_search(
     """
     from .bm25 import bm25_scores, bm25_scores_scan
 
-    cands = vector_topk(
+    cands = persisted(vector_topk(
         chunks, query_vec, k, vec_col=vec_col, id_cols=id_cols,
         scope=scope, max_distance=max_distance,
-    ).persist()
+    ))
     cands.count()
     # grouped derives from the persisted <=2k candidate rows; persist keeps
     # its window result stable across the three downstream uses but an
     # eager count() would only add a job (recompute off the cache is
     # window-over-20-rows cheap).
-    grouped = grouping_filter(cands, grouping, id_cols=id_cols).persist()
+    grouped = persisted(grouping_filter(cands, grouping, id_cols=id_cols))
     if postings is not None:
         # bm25_stats here is the index's PERSISTED corpus statistics
         # (plans/fts.read_fts_stats): with them the per-query plan touches
@@ -377,7 +378,7 @@ def hybrid_search(
             chunks, query_terms, id_cols=id_cols, text_col=text_col,
             candidates=grouped, stats=bm25_stats,
         )
-    boosted = keyword_boost(grouped, kw, on=id_cols, weight=weight).persist()
+    boosted = persisted(keyword_boost(grouped, kw, on=id_cols, weight=weight))
     filtered = file_topn_filter(boosted, max_files, file_col=file_col)
     return final_topk(filtered, k, id_cols=id_cols)
 
@@ -429,14 +430,14 @@ def hybrid_search_batch(
     payload = list(payload_cols)
     if max_files is not None and file_col not in id_cols and file_col not in payload:
         payload.append(file_col)
-    cands = vector_topk_batch(
+    cands = persisted(vector_topk_batch(
         chunks, query_vecs, k, vec_col=vec_col, id_cols=id_cols,
         payload_cols=payload, scope=scope, max_distance=max_distance,
-    ).persist()
+    ))
     cands.count()
-    grouped = grouping_filter(
+    grouped = persisted(grouping_filter(
         cands, grouping, id_cols=id_cols, part_cols=("query_id",)
-    ).persist()
+    ))
 
     pairs = [
         (str(q), t)
@@ -455,10 +456,10 @@ def hybrid_search_batch(
             # dfreq broadcast, the stats fallback, and the scored join all
             # read it — unpersisted, each would recompute the full-corpus
             # explode+aggregate subtree.
-            postings = build_postings(
+            postings = persisted(build_postings(
                 chunks, id_cols=id_cols, text_col=text_col
-            ).persist()
-        matched = postings.filter(F.col("term").isin(all_terms)).persist()
+            ))
+        matched = persisted(postings.filter(F.col("term").isin(all_terms)))
         dfreq = matched.groupBy("term").agg(F.countDistinct(*id_cols).alias("_df"))
         if bm25_stats is not None:
             n_col = F.lit(int(bm25_stats["n"]))
@@ -504,7 +505,7 @@ def hybrid_search_batch(
     # the file filter's rank side and the final window both read boosted —
     # persist so the kw join+aggregate chain runs once (hybrid_search
     # persists its boosted for the same reason)
-    boosted = boosted.persist()
+    boosted = persisted(boosted)
 
     filtered = file_topn_filter(
         boosted, max_files, file_col=file_col, part_cols=("query_id",)

@@ -120,15 +120,39 @@ _VERIFIED_R5 = {
 }
 
 
+_VERIFIED_R7 = {
+    "bm25_term_bucketed", "caption_postprocess", "corpus_curation_funnel",
+    "corpus_curation_pipeline", "corpus_decontaminate",
+    "corpus_decontaminate_fuzzy", "corpus_dsir_weights",
+    "corpus_epoch_plan", "corpus_source_entropy", "corpus_source_overlap",
+    "corpus_split_assign", "dedup_clusters", "dedup_graph_pagerank",
+    "dedup_graph_triangles", "dedup_semantic_keep_list", "documents_cube",
+    "documents_length_histogram", "documents_pack_bins",
+    "embedding_centroids", "embedding_confusion",
+    "embeddings_quantized_topk", "events_bloom_prune",
+    "events_cohort_matrix", "events_heavy_hitters",
+    "events_markov_transitions", "events_sessionize", "hybrid_search",
+    "hybrid_search_batch", "knn_bruteforce", "knn_hard_negatives",
+    "knn_ivf_indexed", "knn_ivf_probe", "knn_recall_report",
+    "median_pairwise_sim", "neighbors_frame", "parsed_pdf_roundtrip",
+    "parsed_xml_roundtrip", "rag_eval_ndcg", "range_read",
+    "text_bigram_logprob", "text_char_entropy", "text_dedup_spans",
+    "text_fingerprint", "text_langid", "text_quality",
+    "text_tfidf_keywords", "text_token_stats", "vector_topk",
+    "vector_topk_scoped",
+}
+
+
 def _ordered_names():
     """Never-verified queries first, then by the age of the last green row
     (oldest round first), so the driver's 50-query window always covers the
     fresh surface and re-verifies the stalest settled queries."""
     names = list(REGISTRY)
-    rounds = (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3, _VERIFIED_R4, _VERIFIED_R5)
+    rounds = (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3, _VERIFIED_R4,
+              _VERIFIED_R5, _VERIFIED_R7)
 
     def last_green(n):
-        seen = [i + 1 for i, s in enumerate(rounds) if n in s]
+        seen = [i + 1 for i, s in enumerate(rounds) if n in s]  # R7 ranks 6th
         return max(seen) if seen else 0
 
     return sorted(names, key=lambda n: (last_green(n), names.index(n)))

@@ -505,6 +505,149 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
+# T4 with a REAL oracle: the full Max-Min recurrence (join rules, window
+# min-sim, sigmoid scaling, force-split, min-length filter — semantic-
+# chunker.ts:116-327) hash-checked against an INDEPENDENT DuckDB
+# implementation (recursive CTE). The trick making the float comparisons
+# bit-identical across numpy and DuckDB: sentence vectors are small
+# NON-NEGATIVE INTEGERS (4x 16-bit md5 words), so every dot product and
+# squared norm is exact (< 2^53) in both engines, and cos = dot /
+# (sqrt(n2a) * sqrt(n2b)) is the same sequence of correctly-rounded IEEE
+# ops on identical inputs. The sigmoid values (the one transcendental)
+# are embedded as Python-computed literals so DuckDB's libm can't drift
+# an ulp. Sentences are deterministic 8-word windows (the synthetic docs
+# carry no punctuation). The main `chunk_documents` entry keeps the real
+# UAX#29 splitter + pseudo embeddings (rows-only check + unit goldens);
+# THIS entry pins the grouping recurrence itself.
+
+_MM_WORDS = 8
+_MM_MIN_LEN = 30
+
+
+def _mm_cos_sql(x: str, y: str) -> str:
+    dot = "+".join(f"{x}[{j}]*{y}[{j}]" for j in range(1, 5))
+    dx = "+".join(f"{x}[{j}]*{x}[{j}]" for j in range(1, 5))
+    dy = "+".join(f"{y}[{j}]*{y}[{j}]" for j in range(1, 5))
+    return (
+        f"(CASE WHEN ({dx}) = 0 OR ({dy}) = 0 THEN 0.0 "
+        f"ELSE CAST(({dot}) AS DOUBLE) / "
+        f"(sqrt(CAST(({dx}) AS DOUBLE)) * sqrt(CAST(({dy}) AS DOUBLE))) END)"
+    )
+
+
+def _mm_sigmoid_case() -> str:
+    """sigmoid(l) literals for l in [2, 15): repr() round-trips the exact
+    double maxmin.py computes with math.exp, removing the only
+    cross-engine libm dependency."""
+    import math
+
+    whens = " ".join(
+        f"WHEN {k} THEN {1.0 / (1.0 + math.exp(-k))!r}" for k in range(2, 15)
+    )
+    return f"(CASE l {whens} END)"
+
+
+def _mm_join_sql() -> str:
+    """The Max-Min join decision for sentence `nv` against open chunk
+    `pcur` (window `w`, length `l`) — group_sentences' three rules."""
+    pair_min = (
+        "list_min(flatten(list_transform(range(1, len(w)), a -> "
+        f"list_transform(range(a+1, len(w)+1), b -> {_mm_cos_sql('w[a]', 'w[b]')}))))"
+    )
+    max_sim = f"list_max(list_transform(pcur, c -> {_mm_cos_sql('c', 'nv')}))"
+    return f"""(CASE
+      WHEN l = 1 THEN 1.5 * {_mm_cos_sql('pcur[1]', 'nv')} > 0.6
+      WHEN l >= 15 THEN FALSE
+      ELSE {max_sim} >
+           greatest((0.9 * {pair_min}) * {_mm_sigmoid_case()}, 0.6)
+    END)"""
+
+
+CHUNK_ORACLE_SQL = f"""WITH RECURSIVE
+parts AS (
+  SELECT doc_id, g AS pos,
+         array_to_string(list_slice(ws, g*{_MM_WORDS} + 1, g*{_MM_WORDS} + {_MM_WORDS}), ' ') AS sent
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       LATERAL (SELECT unnest(range(0, (len(ws)+{_MM_WORDS - 1})//{_MM_WORDS})) AS g)
+),
+sv AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS seq, sent,
+         [('0x' || substr(md5(sent), 1, 4))::BIGINT,
+          ('0x' || substr(md5(sent), 5, 4))::BIGINT,
+          ('0x' || substr(md5(sent), 9, 4))::BIGINT,
+          ('0x' || substr(md5(sent), 13, 4))::BIGINT] AS v
+  FROM parts WHERE length(sent) > 0 AND regexp_matches(sent, '[a-zA-Z0-9]')
+),
+rec AS (
+  SELECT doc_id, seq, 1 AS chunk_id, [v] AS cur
+  FROM sv WHERE seq = 1
+  UNION ALL
+  SELECT s.doc_id, s.seq,
+         CASE WHEN jn THEN r.chunk_id ELSE r.chunk_id + 1 END,
+         CASE WHEN jn THEN list_append(r.cur, s.v) ELSE [s.v] END
+  FROM rec r
+  JOIN sv s ON s.doc_id = r.doc_id AND s.seq = r.seq + 1,
+  LATERAL (SELECT len(r.cur) AS l, s.v AS nv, r.cur AS pcur,
+                  list_slice(r.cur, greatest(1, len(r.cur)-4), len(r.cur)) AS w),
+  LATERAL (SELECT {_mm_join_sql()} AS jn)
+),
+assembled AS (
+  SELECT r.doc_id, r.chunk_id,
+         string_agg(s.sent, ' ' ORDER BY r.seq) AS text,
+         count(*) AS n_sentences
+  FROM rec r JOIN sv s USING (doc_id, seq)
+  GROUP BY r.doc_id, r.chunk_id
+)
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY chunk_id) - 1)::INT AS chunk_index,
+       length(text)::BIGINT AS chunk_len,
+       n_sentences::INT AS n_sentences
+FROM assembled WHERE length(text) >= {_MM_MIN_LEN}
+ORDER BY doc_id, chunk_index"""
+
+
+@register("chunk_documents_oracle", CHUNK_ORACLE_SQL)
+def q_chunk_documents_oracle(spark, sf_dir):
+    from ..chunking.maxmin import maxmin_chunk
+
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_groups = F.floor((F.size(ws) + F.lit(_MM_WORDS - 1)) / F.lit(_MM_WORDS))
+    # 8-word pseudo-sentences via pure array ops — no explode-then-
+    # collect_list (whose re-assembly order Spark doesn't guarantee)
+    sents = docs.select(
+        F.col("doc_id").cast("string").alias("doc_key"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_groups.cast("int") - 1),
+                lambda g: F.concat_ws(
+                    " ", F.slice(ws, g * _MM_WORDS + 1, _MM_WORDS)
+                ),
+            )
+        ).alias("seq", "text"),
+    ).filter((F.length("text") > 0) & F.col("text").rlike("[a-zA-Z0-9]"))
+    # 4x 16-bit md5 words as the vector: non-negative integers keep every
+    # dot/norm exact, so the applyInPandas operator's numpy cosines are
+    # bit-identical to the oracle's
+    h = F.md5("text")
+    embedded = sents.withColumn(
+        "vector",
+        F.array(
+            *[
+                F.conv(F.substring(h, 1 + 4 * j, 4), 16, 10).cast("double")
+                for j in range(4)
+            ]
+        ),
+    )
+    chunks = maxmin_chunk(embedded, min_chunk_length=_MM_MIN_LEN)
+    return chunks.select(
+        F.col("doc_key").cast("long").alias("doc_id"),
+        "chunk_index",
+        F.length("text").cast("long").alias("chunk_len"),
+        "n_sentences",
+    )
+
+
 # The flagship: full hybrid pipeline (W1 -> W3 -> T8 restricted to
 # candidates -> J1/T9 boost -> W4 top-files -> final top-k).
 

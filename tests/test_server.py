@@ -279,3 +279,32 @@ def test_batch_fast_path_matches_spark_path(served):
     for g in grouped:
         g.sort(key=lambda r: (r["score"], r["filePath"], r["chunkIndex"]))
     assert fast == grouped
+
+
+def test_request_cache_hygiene(served, spark):
+    """The adapter unpersists exactly the request's own intermediates
+    (plans/cache.persist_scope), never the blanket clearCache() of old:
+    a pre-warmed cached frame must survive unrelated requests, and a
+    request loop must not grow the cache manager."""
+    server, _ = served
+    # force the SPARK query path (the hybrid sidecar never persists):
+    # its hybrid_search pipeline persists candidates/grouped/boosted
+    server.engine.index_is_fresh = lambda: False
+    warm = spark.range(100).selectExpr("id", "id * 2 as v").persist()
+    assert warm.count() == 100
+    # the module-scoped session may carry other tests' caches: the
+    # contract is NO GROWTH across the request loop, not an empty session
+    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    try:
+        jvm_cm = spark._jsparkSession.sharedState().cacheManager()
+        for i in range(8):
+            res = _call(server, "query_documents", {"query": "broadcast joins", "limit": 3})
+            assert res["result"]["results"]
+        # the warm frame is still cached (storage level retained)
+        assert warm.storageLevel.useMemory
+        assert not jvm_cm.lookupCachedData(warm._jdf).isEmpty()
+        # and the loop left no per-request residue behind it
+        n_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        assert n_after <= n_before + 1, (n_before, n_after)
+    finally:
+        warm.unpersist()
