@@ -134,11 +134,21 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     band_size: int = BAND_SIZE,
     materialize: bool = True,
+    bucket_cap: int = 128,
 ) -> DataFrame:
     """Distinct candidate pairs (id1 < id2) sharing any band bucket.
 
     The pair join is an equi-join on (band, band_key) — bucket-local at
-    scale; hot buckets split by AQE skew handling.
+    scale. An OVERSIZED bucket (a boilerplate/mega-duplicate band key
+    shared by thousands of documents) would land its whole quadratic
+    self-join in one task; buckets past ``bucket_cap`` members are
+    SALTED: the left side hashes each member to one of ceil(n/cap)
+    salts, the right side replicates to every salt, so the bucket's
+    pair work spreads across ~n/cap tasks while the produced pair set
+    is EXACTLY the unsalted one (pytest + DuckDB-oracle pinned). The
+    hot-bucket list is tiny by construction (count aggregate, then a
+    broadcast join), so cold buckets — the overwhelming majority — pay
+    one broadcast-hash probe and no extra shuffle.
 
     ``materialize`` persists the band table before the self-join: both
     join sides (and Spark's plan for each) otherwise re-run the whole
@@ -149,10 +159,35 @@ def lsh_candidate_pairs(
     bands = band_keys(sigs, id_col=id_col, band_size=band_size)
     if materialize:
         bands = bands.persist()
-    a = bands.select(F.col(id_col).alias("id1"), "band", "band_key")
-    b = bands.select(F.col(id_col).alias("id2"), "band", "band_key")
+    hot = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > bucket_cap)
+        .withColumn(
+            "_nsalt", F.ceil(F.col("_n") / F.lit(bucket_cap)).cast("int")
+        )
+        .drop("_n")
+    )
+    salted = bands.join(F.broadcast(hot), ["band", "band_key"], "left")
+    a = salted.select(
+        F.col(id_col).alias("id1"),
+        "band",
+        "band_key",
+        F.coalesce(
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsalt")).cast("int"),
+            F.lit(0),
+        ).alias("_salt"),
+    )
+    b = salted.select(
+        F.col(id_col).alias("id2"),
+        "band",
+        "band_key",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("_nsalt") - 1, F.lit(0)))
+        ).alias("_salt"),
+    )
     return (
-        a.join(b, ["band", "band_key"])
+        a.join(b, ["band", "band_key", "_salt"])
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
         .distinct()

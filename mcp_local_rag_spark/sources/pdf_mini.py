@@ -557,6 +557,7 @@ def _interpret_text(content: bytes) -> list[dict]:
     ctm = _ID6
     gs_stack: list = []
     font_size = 0.0
+    font_name = None  # active /Fn resource name (glyph-metric lookup)
     leading = 0.0
 
     def eff():
@@ -573,7 +574,15 @@ def _interpret_text(content: bytes) -> list[dict]:
         if not text:
             return
         x, y, size = eff()
-        items.append({"x": round(x, 3), "y": round(y, 3), "font_size": size, "text": text})
+        items.append(
+            {
+                "x": round(x, 3),
+                "y": round(y, 3),
+                "font_size": size,
+                "text": text,
+                "font": font_name,
+            }
+        )
         # crude advance: 0.5 em per char — keeps multiple shows on one
         # line ordered left-to-right even without glyph metrics
         tm = _mat_mul((1, 0, 0, 1, 0.5 * font_size * len(text), 0), tm)
@@ -601,6 +610,8 @@ def _interpret_text(content: bytes) -> list[dict]:
                 pass
             elif op == "Tf" and len(stack) >= 2:
                 font_size = float(stack[-1])
+                if isinstance(stack[-2], str):
+                    font_name = str(stack[-2])
             elif op == "TL" and stack:
                 leading = float(stack[-1])
             elif op == "Td" and len(stack) >= 2:
@@ -680,8 +691,36 @@ def extract_pdf_items(content: bytes) -> tuple[list[dict], str | None]:
                 if decoded is not None:
                     parts.append(decoded)
         items = _interpret_text(b"\n".join(parts)) if parts else []
+        # per-page font metrics for the glyph renderer: embedded /Widths
+        # arrays (simple TrueType/Type1 fonts) keyed by resource name,
+        # plus the /BaseFont for the built-in AFM fallback
+        fonts: dict[str, dict] = {}
+        res = doc.resolve(node.get("Resources"))
+        fdict = doc.resolve(res.get("Font")) if isinstance(res, dict) else None
+        if isinstance(fdict, dict):
+            for fname, fref in fdict.items():
+                fobj = doc.resolve(fref)
+                if not isinstance(fobj, dict):
+                    continue
+                widths = doc.resolve(fobj.get("Widths"))
+                entry: dict = {"base": str(doc.resolve(fobj.get("BaseFont")) or "")}
+                if isinstance(widths, list):
+                    try:
+                        entry["first"] = int(doc.resolve(fobj.get("FirstChar")) or 0)
+                        entry["widths"] = [
+                            float(doc.resolve(w)) for w in widths
+                        ]
+                    except (TypeError, ValueError):
+                        pass
+                fonts[str(fname)] = entry
         pages.append(
-            {"page": pno, "page_height": height, "page_width": width, "items": items}
+            {
+                "page": pno,
+                "page_height": height,
+                "page_width": width,
+                "items": items,
+                "fonts": fonts,
+            }
         )
     info = doc.resolve(doc.trailer.get("Info"))
     meta_title = None
@@ -753,6 +792,51 @@ def _png_gray(pixels: bytearray, width: int, height: int) -> bytes:
     )
 
 
+# Adobe AFM advance widths for the Helvetica base-14 font, 1/1000 em,
+# chars 0x20-0x7E (public Adobe Font Metrics data). Helvetica is both the
+# writer's font and the overwhelmingly common sans default; Courier is
+# fixed 600; everything unknown falls back to 500.
+_HELVETICA_WIDTHS = [
+    278, 278, 355, 556, 556, 889, 667, 191, 333, 333, 389, 584, 278, 333,
+    278, 278, 556, 556, 556, 556, 556, 556, 556, 556, 556, 556, 278, 278,
+    584, 584, 584, 556, 1015, 667, 667, 722, 722, 667, 611, 778, 722, 278,
+    500, 667, 556, 833, 722, 778, 667, 778, 722, 667, 611, 722, 667, 944,
+    667, 667, 611, 278, 278, 278, 469, 556, 333, 556, 556, 500, 556, 556,
+    278, 556, 556, 222, 222, 500, 222, 833, 556, 556, 556, 556, 333, 500,
+    278, 556, 500, 722, 500, 500, 500, 334, 260, 334, 584,
+]
+# Helvetica vertical metrics (AFM): cap height 718, x-height 523,
+# descender -207 — the glyph-box envelope below.
+_ASCENT, _XHEIGHT, _DESCENT = 0.718, 0.523, 0.207
+_ASCENDERS = set("bdfhklt" + "".join(chr(c) for c in range(0x21, 0x61)))
+_DESCENDERS = set("gjpqy")
+
+
+def _advance_fn(font: dict | None):
+    """Per-char advance (em fraction) for one font resource: embedded
+    /Widths array when the PDF carries one, else the base-font AFM table
+    (Helvetica family / Courier), else a 0.5-em estimate."""
+    widths, first = None, 0
+    base = ""
+    if font:
+        widths, first = font.get("widths"), int(font.get("first", 0))
+        base = (font.get("base") or "").lower()
+
+    def adv(ch: str) -> float:
+        code = ord(ch)
+        if widths is not None and first <= code < first + len(widths):
+            w = widths[code - first]
+            if w > 0:
+                return w / 1000.0
+        if "courier" in base or "mono" in base:
+            return 0.6
+        if 0x20 <= code <= 0x7E:
+            return _HELVETICA_WIDTHS[code - 0x20] / 1000.0
+        return 0.5
+
+    return adv
+
+
 def render_page_png(
     doc_bytes: bytes,
     page_num: int,
@@ -761,8 +845,18 @@ def render_page_png(
     dpi: float = 200.0,
 ) -> bytes:
     """Rasterize one page (optionally cropped to {x0,y0,x1,y1} in PDF
-    points, y up) at ``dpi`` — text items become dark boxes sized by their
-    font metrics on a white canvas. Returns real PNG bytes."""
+    points, y up) at ``dpi`` on a white canvas. Returns real PNG bytes.
+
+    GLYPH-box rendering (not one slab per show): the pen advances per
+    character by its real metric — the embedded /Widths array when the
+    font dict carries one, Adobe AFM Helvetica/Courier tables otherwise —
+    and each non-space glyph paints its own box with the font's vertical
+    envelope (x-height body, ascender/cap extension, descender drop) and
+    an inter-glyph gap. Word spacing, proportional widths, and line
+    texture therefore survive into the raster, which is what the caption
+    stage actually consumes (the reference renders real pixmaps via
+    mupdf, src/pdf-visual/renderer.ts:29-87; pymupdf takes precedence
+    here too when importable — operators/multimodal.py)."""
     pages, _ = extract_pdf_items(doc_bytes)
     if not 0 <= page_num < len(pages):
         raise PdfError(f"page {page_num} out of range")
@@ -775,24 +869,36 @@ def render_page_png(
     width = max(1, int(round((x1 - x0) * scale)))
     height = max(1, int(round((y1 - y0) * scale)))
     pixels = bytearray(b"\xff" * (width * height))
-    for it in page["items"]:
-        size = float(it["font_size"]) or 10.0
-        bx0, by0 = float(it["x"]), float(it["y"])
-        bx1 = bx0 + 0.5 * size * max(1, len(it["text"]))
-        by1 = by0 + size
+    fonts = page.get("fonts") or {}
+
+    def paint(bx0: float, by0: float, bx1: float, by1: float, shade: int):
         # clip to the crop region, then to pixel space (PNG rows top-down)
         cx0, cx1 = max(bx0, x0), min(bx1, x1)
         cy0, cy1 = max(by0, y0), min(by1, y1)
         if cx0 >= cx1 or cy0 >= cy1:
-            continue
-        px0 = int((cx0 - x0) * scale)
-        px1 = min(width, int((cx1 - x0) * scale))
+            return
+        px0 = max(0, int((cx0 - x0) * scale))
+        px1 = min(width, max(px0 + 1, int(round((cx1 - x0) * scale))))
         py0 = max(0, int((y1 - cy1) * scale))
-        py1 = min(height, int((y1 - cy0) * scale))
-        run = b"\x20" * (px1 - px0)
+        py1 = min(height, max(py0 + 1, int(round((y1 - cy0) * scale))))
+        run = bytes([shade]) * (px1 - px0)
         for row in range(py0, py1):
             base = row * width
             pixels[base + px0 : base + px1] = run
+
+    for it in page["items"]:
+        size = float(it["font_size"]) or 10.0
+        adv = _advance_fn(fonts.get(it.get("font")))
+        pen = float(it["x"])
+        base_y = float(it["y"])
+        for ch in it["text"]:
+            a = adv(ch) * size
+            if not ch.isspace():
+                top = base_y + (_ASCENT if ch in _ASCENDERS else _XHEIGHT) * size
+                bottom = base_y - (_DESCENT * size if ch in _DESCENDERS else 0.0)
+                # 8% side bearing keeps glyph boxes visually separate
+                paint(pen + 0.08 * a, bottom, pen + 0.92 * a, top, 0x20)
+            pen += a
     return _png_gray(pixels, width, height)
 
 

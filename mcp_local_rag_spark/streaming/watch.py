@@ -28,19 +28,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-@F.udf("string")
-def _uri_to_path(uri: str) -> str:
+def _uri_to_path_py(uri: str) -> str:
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    return unquote(parsed.path) if parsed.scheme else unquote(uri)
+
+
+def _make_uri_to_path():
     """File-source paths arrive as percent-encoded file URIs
     (``file:///a/my%20doc.txt``); stored filePaths are PLAIN local paths
     (what batch ``read_files`` records). Normalizing here keeps the two
     ingest paths key-compatible — a mangled spelling would make sync
     classify every streamed row as prune, bucket it differently, and
     orphan it from per-file delete/upsert/FTS refresh forever.
-    urllib.unquote (not a www-form decoder) so a literal '+' survives."""
-    from urllib.parse import unquote, urlparse
+    urllib.unquote (not a www-form decoder) so a literal '+' survives.
+    Arrow-batched (pandas_udf) like every other Python hook in the
+    package — one Series op per micro-batch, not a per-row round trip."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    parsed = urlparse(uri)
-    return unquote(parsed.path) if parsed.scheme else unquote(uri)
+    def _convert(uris):
+        return pd.Series([_uri_to_path_py(u or "") for u in uris])
+
+    _convert.__annotations__ = {"uris": pd.Series, "return": pd.Series}
+    return pandas_udf(_convert, "string")
+
+
+def _uri_to_path(col):
+    """Column wrapper: the pandas_udf is built lazily (first use inside an
+    active session) — eager construction at import time fails before any
+    SparkSession exists."""
+    return _make_uri_to_path()(col)
 
 
 def _batch_already_applied(checkpoint_dir: str, batch_id: int) -> bool:

@@ -237,3 +237,29 @@ def test_triangle_count_on_known_graph(spark, tmp_path):
     assert out.n_triangles == 1
     assert out.n_edges == 3  # the clique's three edges
     assert out.max_degree == 2
+
+
+def test_salted_lsh_pairs_identical_to_unsalted(spark):
+    """Oversized-bucket salting (operators/dedup.lsh_candidate_pairs
+    bucket_cap) must produce EXACTLY the unsalted pair set: a 40-member
+    mega-cluster with cap=8 exercises multi-salt splitting, replicated
+    right side, and the cold-bucket coalesce path side by side."""
+    from mcp_local_rag_spark.operators import dedup
+
+    mega = " ".join(f"common{i} words{i} here{i}" for i in range(25))
+    rows = [(i, mega + f" tail{i % 2}") for i in range(40)]  # near-identical
+    rows += [(100 + i, " ".join(f"solo{i}_{j}" for j in range(30))) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(dedup.shingle_sets(docs)).persist()
+    sigs.count()
+    salted = {
+        (r.id1, r.id2)
+        for r in dedup.lsh_candidate_pairs(sigs, bucket_cap=8).collect()
+    }
+    unsalted = {
+        (r.id1, r.id2)
+        for r in dedup.lsh_candidate_pairs(sigs, bucket_cap=10**9).collect()
+    }
+    sigs.unpersist()
+    assert salted == unsalted
+    assert len(salted) >= 40 * 39 // 2  # the mega-cluster's full clique

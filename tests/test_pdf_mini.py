@@ -36,7 +36,8 @@ def test_roundtrip_positions_sizes_and_meta_title():
     assert [p["page"] for p in pages] == [0, 1, 2]
     assert all(p["page_height"] == 792.0 for p in pages)
     first = pages[0]["items"]
-    assert first[0] == {"x": 50.0, "y": 780.0, "font_size": 6.0, "text": "Shared header sentence."}
+    assert first[0] == {"x": 50.0, "y": 780.0, "font_size": 6.0,
+                        "text": "Shared header sentence.", "font": "F1"}
     assert first[1]["font_size"] == 24.0 and first[1]["text"] == "The Big Document Title"
 
 
@@ -322,3 +323,83 @@ def test_scan_objects_ignores_false_headers_inside_streams():
     assert objs[5][0] != 42          # real object survives the in-stream fake
     assert objs[7][0] == 99          # scanning resumes after the stream
     assert objs[6][1] == payload
+
+
+def _decode_gray_png(png: bytes):
+    import struct
+
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat, w, h = 8, b"", None, None
+    while pos < len(png):
+        ln = struct.unpack(">I", png[pos : pos + 4])[0]
+        typ = png[pos + 4 : pos + 8]
+        chunk = png[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h = struct.unpack(">II", chunk[:8])
+        if typ == b"IDAT":
+            idat += chunk
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    rows = []
+    for r in range(h):
+        line = raw[r * stride : (r + 1) * stride]
+        assert line[0] == 0  # filter: none
+        rows.append(line[1:])
+    return w, h, rows
+
+
+def test_glyph_render_metrics_and_golden():
+    """T11 glyph-box rendering (render_page_png): per-character AFM
+    advances, word gaps, ascender/descender envelopes — structural
+    checks plus an exact golden digest (the raster is deterministic)."""
+    import hashlib
+
+    from mcp_local_rag_spark.sources.pdf_mini import render_page_png
+
+    data = build_pdf(
+        [[(50.0, 700.0, 24.0, "Wide WAVE words"),
+          (50.0, 650.0, 11.0, "illinois jilly iii"),
+          (50.0, 600.0, 11.0, "two  spaced   words")]],
+        title="G",
+    )
+    png = render_page_png(data, 0, {"x0": 40, "y0": 580, "x1": 400, "y1": 730},
+                          dpi=100.0)
+    w, h, rows = _decode_gray_png(png)
+    assert (w, h) == (500, 208)
+
+    def dark_cols(r0, r1):
+        return {c for r in range(r0, r1) for c, v in enumerate(rows[r]) if v < 128}
+
+    def runs(cols):
+        """Contiguous dark-column runs (glyph/word blocks)."""
+        out, cur = [], None
+        for c in sorted(cols):
+            if cur and c == cur[1] + 1:
+                cur[1] = c
+            else:
+                cur = [c, c]
+                out.append(cur)
+        return out
+
+    # row band of the 24pt line ("Wide WAVE words", baseline y=700):
+    # x-height body spans y 700..712.5 -> rows ~24..41 in the 100dpi crop
+    big = dark_cols(25, 40)
+    assert big, "title line rendered"
+    # word gaps: 3 words -> >= 3 separated blocks of >= 2px gap
+    word_blocks = [r for r in runs(big) if r[1] - r[0] > 3]
+    gaps = [b[0] - a[1] for a, b in zip(word_blocks, word_blocks[1:])]
+    assert sum(1 for g in gaps if g >= 2) >= 2, (word_blocks, gaps)
+    # proportional metrics: 'W' (944/1000 em) paints a wider glyph box
+    # than 'i' (222/1000). Compare widest vs narrowest run on the 11pt
+    # i-line vs the 24pt W-words line, scaled by size.
+    iline = dark_cols(104, 110)  # baseline y=650 (row ~111), x-height top row ~103
+    assert iline
+    widest_big = max(r[1] - r[0] + 1 for r in runs(big))
+    narrow_i = min(r[1] - r[0] + 1 for r in runs(iline))
+    assert widest_big > narrow_i
+    # descender: 'j'/'y' in "jilly" drop BELOW the 11pt baseline row
+    base_row_650 = int(round((730 - 650) * 100 / 72))  # ~111
+    assert dark_cols(base_row_650 + 1, base_row_650 + 3), "descenders painted"
+    # golden digest: any change to metrics/envelope/painting shows up here
+    assert hashlib.md5(png).hexdigest() == "847c6eb1ff1c6e84df21ffebe9524432"
