@@ -57,7 +57,14 @@ def _parser() -> argparse.ArgumentParser:
     nb.add_argument("--before", type=int, default=2)
     nb.add_argument("--after", type=int, default=2)
 
-    sub.add_parser("serve", help="stdio JSON-RPC loop (reference MCP surface)")
+    srv = sub.add_parser(
+        "serve", help="stdio server loop (MCP by default; --bare for the"
+        " legacy method-per-tool JSON-RPC)"
+    )
+    srv.add_argument("--bare", action="store_true",
+                     help="legacy bare JSON-RPC instead of the MCP envelope")
+    srv.add_argument("--base-dir", action="append", default=[],
+                     help="base directory for list_files/sync (repeatable)")
     return p
 
 
@@ -114,9 +121,10 @@ def run(argv: list[str], engine, out=None) -> int:
         emit({"chunks": [{k: r[k] for k in keep if k in r} for r in rows]})
         return 0
     if args.cmd == "serve":
-        from .server import RagRpcServer
+        from .server import McpServer, RagRpcServer
 
-        RagRpcServer(engine).serve(sys.stdin, out)
+        rpc = RagRpcServer(engine, base_dirs=args.base_dir)
+        (rpc if args.bare else McpServer(rpc)).serve(sys.stdin, out)
         return 0
     raise AssertionError(f"unhandled command {args.cmd}")
 

@@ -159,16 +159,38 @@ def lsh_candidate_pairs(
     bands = band_keys(sigs, id_col=id_col, band_size=band_size)
     if materialize:
         bands = bands.persist()
-    hot = (
+    # hot-bucket census: one map-side-combinable count over the (persisted)
+    # bands, collected driver-side — the hot list is oversized buckets
+    # ONLY, so its cardinality is tiny by construction. The common case
+    # (no bucket past the cap) then runs the EXACT unsalted plan: the
+    # census job is the entire overhead.
+    hot_rows = (
         bands.groupBy("band", "band_key")
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > bucket_cap)
-        .withColumn(
-            "_nsalt", F.ceil(F.col("_n") / F.lit(bucket_cap)).cast("int")
-        )
-        .drop("_n")
+        .limit(100_000)  # defensive bound; a list this size means the
+        .collect()       # band scheme itself is wrong, not the salt plan
     )
-    salted = bands.join(F.broadcast(hot), ["band", "band_key"], "left")
+    a = bands.select(F.col(id_col).alias("id1"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("id2"), "band", "band_key")
+    if not hot_rows:
+        return (
+            a.join(b, ["band", "band_key"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+            .distinct()
+        )
+    spark = bands.sparkSession
+    hot = F.broadcast(
+        spark.createDataFrame(
+            [
+                (r["band"], r["band_key"], int(-(-r["_n"] // bucket_cap)))
+                for r in hot_rows
+            ],
+            "band int, band_key string, _nsalt int",
+        )
+    )
+    salted = bands.join(hot, ["band", "band_key"], "left")
     a = salted.select(
         F.col(id_col).alias("id1"),
         "band",

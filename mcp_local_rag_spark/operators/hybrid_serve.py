@@ -181,13 +181,13 @@ class HybridSearchServer:
         # if the chunks table's content version moved since this snapshot
         # loaded, drop every cached artifact (the vector sidecar performs
         # the same check for its matrix)
-        from ..plans.ingest import table_version
+        from ..plans.ingest import table_content_stamp
 
-        tv = table_version(self._table)
-        # a table with no version stamp (legacy/pre-version) returns None;
-        # None == None would mask every external mutation, so a None
-        # version is treated as never-covered — reload each query
-        if tv is None or tv != self._loaded_version:
+        # version stamp when the table carries one, filesystem fingerprint
+        # otherwise — a legacy table can neither pin a stale snapshot
+        # (None == None) nor pay an always-reload per query
+        tv = table_content_stamp(self._table)
+        if tv != self._loaded_version:
             self._payload = None
             self._pdataset = None
             self._stats = None

@@ -59,18 +59,19 @@ class VectorSearchServer:
         self._snap = None
 
     def _load(self) -> tuple:
-        from ..plans.ingest import table_version
+        from ..plans.ingest import table_content_stamp as table_version
 
         snap = self._snap
         if snap is not None:
             # self-refresh: the chunks table stamps a content version on
             # every mutation (plans/ingest.bump_table_version) — a cheap
             # sidecar meta read per query detects cross-PROCESS mutations
-            # that in-process invalidate() hooks cannot see
-            # a None stamp (legacy table, no version sidecar) must never
-            # satisfy the covered check — None == None would pin a stale
-            # snapshot across external mutations forever
-            if snap[4] is not None and snap[4] == table_version(self._path):
+            # that in-process invalidate() hooks cannot see. Legacy tables
+            # without version stamps get a filesystem fingerprint instead
+            # (table_content_stamp), so None == None can never pin a stale
+            # snapshot — and an unversioned table still serves warm
+            # (reloads only when the files actually changed)
+            if snap[4] == table_version(self._path):
                 return snap[:4]
             self._snap = None
         import pyarrow.dataset as ds

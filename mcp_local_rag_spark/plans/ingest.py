@@ -104,6 +104,36 @@ def table_version(path: str) -> str | None:
     return str(v) if v else None
 
 
+def table_content_stamp(path: str) -> str:
+    """A per-query freshness token for the serving sidecars: the stamped
+    table_version when the table has one (every engine-managed table), else
+    a filesystem fingerprint (file count, max mtime_ns, total bytes) of the
+    parquet files. The fallback costs one directory walk (~100 us for a
+    64-bucket layout) and changes on ANY Spark write, so a LEGACY table
+    without version stamps still invalidates snapshots on external
+    mutation — without the always-reload penalty (a full snapshot rebuild
+    per query) the naive None-handling would pay."""
+    v = table_version(path)
+    if v is not None:
+        return v
+    import os
+
+    n = mt = sz = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith((".", "_")) or not f.endswith(".parquet"):
+                continue
+            try:
+                st = os.stat(os.path.join(root, f))
+            except OSError:
+                continue
+            n += 1
+            sz += st.st_size
+            if st.st_mtime_ns > mt:
+                mt = st.st_mtime_ns
+    return f"fs:{n}:{mt}:{sz}"
+
+
 def table_n_buckets(path: str, default: int | None = None) -> int:
     """The table's bucket count: persisted property first, then ``default``
     (or N_BUCKETS). Tables written before the property existed were all

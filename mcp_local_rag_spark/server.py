@@ -335,8 +335,19 @@ class RagRpcServer:
                     "timestamp": r["timestamp"],
                 }
         files: list[dict] = []
+        warnings: list[str] = []
         for base in self.base_dirs:
             scan = scan_directory(base)
+            # per-root coverage facts surface as warnings, like the
+            # reference's per-root scan warning blocks (index.ts:855-860)
+            for p in scan.unreadable_dirs:
+                warnings.append(f"[{base}] unreadable dir: {p}")
+            for p in scan.depth_limited_dirs:
+                warnings.append(f"[{base}] depth-limited dir: {p}")
+            for p in scan.skipped_symlinks:
+                warnings.append(f"[{base}] skipped symlink: {p}")
+            for p in scan.oversized_files:
+                warnings.append(f"[{base}] oversized file: {p}")
             for f in scan.files:
                 path = f["path"]
                 if scope is not None and not any(
@@ -369,11 +380,19 @@ class RagRpcServer:
                         "timestamp": hit["timestamp"],
                     }
                 )
+        # a relative scope prefix matches nothing by design — surface the
+        # silent miss (reference index.ts:863-873)
+        for p in scope or ():
+            if not os.path.isabs(p):
+                warnings.append(
+                    f'scope prefix "{p}" is not absolute; it matches nothing.'
+                )
         return {
             "baseDir": self.base_dirs[0] if self.base_dirs else None,
             "baseDirs": list(self.base_dirs),
             "files": files,
             "sources": sources,
+            "warnings": warnings,
         }
 
     # -- mutating tools (guarded) ----------------------------------------
@@ -705,12 +724,23 @@ class McpServer:
             # (src/server/index.ts:436-439 toMcpError)
             return _err(rid, -32603, f"{type(e).__name__}: {e}")
         payload = result
+        extra_blocks: list[dict] = []
+        if name == "list_files" and isinstance(result, dict):
+            # warnings ride as separate text blocks AFTER the primary JSON
+            # (reference index.ts:855-874) — the result object itself
+            # mirrors ListFilesResult, which carries no warnings field
+            payload = {k: v for k, v in result.items() if k != "warnings"}
+            extra_blocks = [
+                {"type": "text", "text": f"Warning: {w}"}
+                for w in result.get("warnings") or ()
+            ]
         unwrap = self._UNWRAP.get(name)
         if unwrap is not None and isinstance(result, dict):
             payload = result[unwrap]
         return _ok(rid, {
             "content": [
-                {"type": "text", "text": json.dumps(payload, indent=2, default=str)}
+                {"type": "text", "text": json.dumps(payload, indent=2, default=str)},
+                *extra_blocks,
             ]
         })
 

@@ -259,3 +259,26 @@ def test_mcp_serve_loop_over_real_pipe(mcp):
     writer.close()
     t.join(timeout=30)
     assert not t.is_alive()
+
+
+def test_list_files_warning_blocks(mcp):
+    """Coverage facts and relative-scope misses ride as separate Warning
+    text blocks after the primary JSON (reference index.ts:855-874)."""
+    server, d = mcp
+    resp = _tool(server, "list_files", {"scope": "relative/prefix"})
+    blocks = resp["result"]["content"]
+    primary = json.loads(blocks[0]["text"])
+    assert "warnings" not in primary  # ListFilesResult shape, no warnings key
+    assert primary["files"] == []  # relative prefix matches nothing
+    warn_texts = [b["text"] for b in blocks[1:]]
+    assert any("not absolute" in t for t in warn_texts)
+    # a skipped symlink surfaces as a per-root coverage warning block
+    # (chmod-based unreadable dirs don't apply: tests may run as root)
+    import os
+    os.symlink(str(d / "mcp.md"), str(d / "alias.md"))
+    try:
+        resp = _tool(server, "list_files")
+        warn_texts = [b["text"] for b in resp["result"]["content"][1:]]
+        assert any("skipped symlink" in t and "alias.md" in t for t in warn_texts)
+    finally:
+        os.unlink(str(d / "alias.md"))
