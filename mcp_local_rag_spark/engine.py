@@ -407,7 +407,13 @@ class RagEngine:
         self.optimize()
         return self.chunks().count()
 
-    def ingest_file(self, file_path: str) -> dict:
+    def ingest_file(
+        self,
+        file_path: str,
+        *,
+        visual: bool = False,
+        visual_quality: str = "fast",
+    ) -> dict:
         """ingest_file tool (reference §3.2, src/server/index.ts:530-719):
         parse one file, chunk+embed, and REPLACE its stored rows.
 
@@ -416,6 +422,13 @@ class RagEngine:
         below is the parquet analogue of the reference's backup/delete/
         insert/rollback transaction simulation; with Delta it would be one
         atomic replaceWhere. Returns {filePath, chunkCount, fileTitle}.
+
+        ``visual=True`` (PDF only, reference ingest_file's visual flag,
+        src/ingest/visual.ts:100-160) runs the T10→T12 lane on the SAME
+        bytes: detect figure pages from real image/stroke blocks, render
+        each candidate's crop, caption it (deterministic fake captioner
+        unless a real VLM backend is importable), and append the caption
+        chunks after the document's text chunks before the write.
         """
         file_path = os.path.abspath(file_path)
         spark = self.spark
@@ -437,6 +450,37 @@ class RagEngine:
         eb, ed = self._space()
         new_chunks = build_chunks(docs, dim=ed, backend=eb).persist()
         n = new_chunks.count()
+        if n and visual and file_path.lower().endswith(".pdf"):
+            from .embedder import embed_text_column
+            from .operators.multimodal import visual_caption_rows
+
+            cap = visual_caption_rows(
+                hashed, new_chunks, quality=visual_quality
+            )
+            cap = embed_text_column(cap, "text", "vector", dim=ed, backend=eb)
+            meta = new_chunks.select(
+                "filePath", "metadata", "fileTitle", "contentHash"
+            ).dropDuplicates(["filePath"])
+            cap_rows = (
+                cap.join(meta, cap["doc_key"] == meta["filePath"])
+                .select(
+                    F.expr("uuid()").alias("id"),
+                    "filePath",
+                    F.col("chunk_index").alias("chunkIndex"),
+                    "text",
+                    "vector",
+                    "metadata",
+                    "fileTitle",
+                    "contentHash",
+                    F.date_format(
+                        F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+                    ).alias("timestamp"),
+                )
+            )
+            merged = new_chunks.unionByName(cap_rows).persist()
+            n = merged.count()
+            new_chunks.unpersist()
+            new_chunks = merged
         if n == 0:
             new_chunks.unpersist()
             raise ValueError(

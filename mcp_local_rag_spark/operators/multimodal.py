@@ -397,3 +397,116 @@ def caption_candidate_pages(
             yield pd.DataFrame(rows, columns=["doc_key", "page_num", "caption"])
 
     return joined.mapInPandas(_caption, CAPTION_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Visual ingest end-to-end: real-bytes T10 input + the ingest_file seam
+
+PDF_BLOCKS_SCHEMA = StructType(
+    [
+        StructField("doc_key", StringType()),
+        StructField("page", IntegerType()),
+        StructField("page_width", DoubleType()),
+        StructField("page_height", DoubleType()),
+        StructField("kind", StringType()),
+        StructField("x0", DoubleType()),
+        StructField("y0", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+    ]
+)
+
+
+def pdf_blocks(
+    docs: DataFrame, *, doc_col: str = "path", content_col: str = "content"
+) -> DataFrame:
+    """REAL-bytes input for the T10 detector: image XObject placements and
+    vector strokes per page, extracted from each document's PDF bytes by
+    the stdlib interpreter (sources/pdf_mini — Do placements through the
+    CTM, path-paint ops as strokes; pymupdf drawings/images when
+    importable would slot in here the same way). One Arrow batch stage,
+    parallel across documents; unparseable bytes contribute no rows."""
+
+    def _blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.pdf_mini import extract_pdf_items
+
+        cols = [f.name for f in PDF_BLOCKS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for key, content in zip(pdf[doc_col], pdf[content_col]):
+                try:
+                    pages, _ = extract_pdf_items(bytes(content))
+                except Exception:
+                    continue
+                for p in pages:
+                    for b in p.get("blocks") or ():
+                        rows.append(
+                            (
+                                key,
+                                int(p["page"]),
+                                float(p["page_width"]),
+                                float(p["page_height"]),
+                                b["kind"],
+                                float(b["x0"]),
+                                float(b["y0"]),
+                                float(b["x1"]),
+                                float(b["y1"]),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(
+        F.col(doc_col).alias(doc_col), F.col(content_col)
+    ).mapInPandas(_blocks, PDF_BLOCKS_SCHEMA)
+
+
+def captioner_for(quality: str = "fast") -> Callable[[bytes], str]:
+    """VLM profile seam (reference visualQuality: fast = SmolVLM-256M,
+    quality = Qwen2.5-VL, captioners/fast.ts:38 + quality.ts:43-49).
+    Neither model ships in this container, so both profiles resolve to
+    the deterministic fake unless a real backend imports; the PROFILE
+    CHOICE still flows through the pipeline so wiring is testable."""
+    try:  # pragma: no cover - real backend not in container
+        import transformers  # noqa: F401
+
+        raise NotImplementedError(
+            "real VLM captioning requires a model download; wire a"
+            " captioner callable here"
+        )
+    except ImportError:
+        pass
+    if quality not in ("fast", "quality"):
+        raise ValueError(f"unknown visualQuality: {quality}")
+    return fake_captioner
+
+
+def visual_caption_rows(
+    docs_bytes: DataFrame,
+    text_chunks: DataFrame,
+    *,
+    quality: str = "fast",
+    doc_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """The composed visual lane of ingest_file(visual=true): T10 detect
+    (real blocks) -> T11 render (glyph raster / pymupdf) -> T12 caption ->
+    caption chunk rows appended after each doc's text chunks. Returns
+    (doc_key, chunk_index, text) — union-ready via plans/ingest.
+    Candidate-sparse by construction: every per-page stage downstream of
+    the detector touches only candidate pages."""
+    from .pdf_layout import visual_candidates
+
+    blocks = pdf_blocks(docs_bytes, doc_col=doc_col, content_col=content_col)
+    cands = visual_candidates(blocks, doc_col="doc_key")
+    captions = caption_candidate_pages(
+        docs_bytes.select(
+            F.col(doc_col).alias("doc_key"), F.col(content_col).alias("content")
+        ),
+        cands,
+        caption_fn=captioner_for(quality),
+    )
+    base = text_chunks.select(
+        F.col("filePath").alias("doc_key"),
+        F.col("chunkIndex").alias("chunk_index"),
+    )
+    return caption_chunks(base, captions)

@@ -1393,3 +1393,108 @@ def q_text_char_entropy(spark, sf_dir):
         .agg((F.round(F.sum(-p * F.log2(p)), 6) + F.lit(0.0)).alias("entropy_bits"))
         .orderBy("doc_id")
     )
+
+
+# Model-based domain/quality classification — the LLM-pipeline op behind
+# mixture balancing and fasttext-style quality gates: a multinomial Naive
+# Bayes classifier over word tokens, trained in-plan (class = `source`,
+# Laplace smoothing) and applied to every document. NB training IS SQL:
+# class priors and per-(class, token) counts are two grouped aggregates,
+# scoring is one join + one sum — so unlike gradient-trained models the
+# whole thing carries an exact DuckDB oracle. Float discipline: the
+# per-(doc, class) score is a sum of logs (order-dependent in the last
+# ulps), so the argmax ranks on the ROUNDED score with a class tie-break
+# — the same determinism contract every ranked query here uses.
+# Scale posture: doc_tokens x n_classes rows (classes are a small
+# constant); class-level tables broadcast; the (class, token) likelihood
+# join shuffles on its key and is linear in corpus tokens.
+
+@register(
+    "text_nb_source_classifier",
+    """WITH toks AS (
+  SELECT doc_id, source, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+  FROM documents
+),
+cls AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+n AS (SELECT count(*)::BIGINT AS n_total FROM documents),
+vb AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM toks),
+ctok AS (SELECT source, tok, count(*)::BIGINT AS c FROM toks GROUP BY source, tok),
+csize AS (SELECT source, count(*)::BIGINT AS tok_total FROM toks GROUP BY source),
+doc_toks AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, tok),
+scores AS (
+  SELECT d.doc_id, cs.source,
+         ln(cl.n_docs::DOUBLE / n.n_total)
+         + sum(d.tf * ln((coalesce(ct.c, 0) + 1.0) / (cs.tok_total + vb.v))) AS s
+  FROM doc_toks d
+  CROSS JOIN csize cs
+  LEFT JOIN ctok ct ON ct.source = cs.source AND ct.tok = d.tok
+  JOIN cls cl ON cl.source = cs.source, n, vb
+  GROUP BY d.doc_id, cs.source, cl.n_docs, n.n_total, cs.tok_total, vb.v
+),
+ranked AS (
+  SELECT doc_id, source, round(s, 6) + 0 AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(s, 6) DESC, source) AS rk
+  FROM scores
+)
+SELECT r.doc_id, r.source AS predicted, r.score,
+       (r.source = d.source) AS correct
+FROM ranked r JOIN documents d USING (doc_id)
+WHERE rk = 1 ORDER BY doc_id""",
+)
+def q_text_nb_source_classifier(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    cls = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    scalars = toks.agg(
+        F.countDistinct("tok").alias("v")
+    ).crossJoin(docs.agg(F.count("*").alias("n_total")))
+    ctok = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    csize = toks.groupBy("source").agg(F.count("*").alias("tok_total"))
+    doc_toks = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    scores = (
+        doc_toks.crossJoin(F.broadcast(csize))
+        .join(ctok, ["source", "tok"], "left")
+        .join(F.broadcast(cls), "source")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("doc_id", "source", "n_docs", "n_total", "tok_total", "v")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tok_total") + F.col("v"))
+                )
+            ).alias("_lik")
+        )
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.log(F.col("n_docs").cast("double") / F.col("n_total"))
+                + F.col("_lik")
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("s"), 6).desc(), F.col("source").asc()
+    )
+    ranked = scores.withColumn(
+        "score", F.round(F.col("s"), 6) + F.lit(0.0)
+    ).withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .join(docs.select("doc_id", F.col("source").alias("_true")), "doc_id")
+        .select(
+            "doc_id",
+            F.col("source").alias("predicted"),
+            "score",
+            (F.col("source") == F.col("_true")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )

@@ -401,7 +401,13 @@ class RagRpcServer:
         fp = params.get("filePath")
         if not isinstance(fp, str) or not fp:
             raise RpcError(-32602, "filePath must be a non-empty string")
-        res = self.engine.ingest_file(fp)
+        visual = params.get("visual", False)
+        if not isinstance(visual, bool):
+            raise RpcError(-32602, "visual must be a boolean")
+        vq = params.get("visualQuality", "fast")
+        if vq not in ("fast", "quality"):
+            raise RpcError(-32602, "visualQuality must be 'fast' or 'quality'")
+        res = self.engine.ingest_file(fp, visual=visual, visual_quality=vq)
         self.engine.optimize()
         self.neighbors.invalidate()
         self._invalidate_hybrid()
@@ -654,7 +660,11 @@ class McpServer:
     # tools whose MCP text block is the inner list, not the wrapper dict —
     # the reference stringifies the results array itself
     # (src/server/index.ts:499-503 query_documents, :1044-1062 neighbors)
-    _UNWRAP = {"query_documents": "results", "read_chunk_neighbors": "chunks"}
+    _UNWRAP = {
+        "query_documents": "results",
+        "query_documents_batch": "results",
+        "read_chunk_neighbors": "chunks",
+    }
 
     def handle(self, request: dict) -> dict | None:
         """One JSON-RPC message; None for notifications (no response)."""

@@ -547,11 +547,17 @@ def _mat_mul(m1, m2):
 _TJ_WORD_GAP = 180.0
 
 
-def _interpret_text(content: bytes) -> list[dict]:
+def _interpret_text(
+    content: bytes, image_names: frozenset[str] = frozenset()
+) -> tuple[list[dict], list[dict]]:
     """Run the text-state machine over one page's content; emit
-    {x, y, font_size, text} items, one per show that produced glyphs."""
+    ({x, y, font_size, text, font} items — one per show that produced
+    glyphs — and {kind, x0, y0, x1, y1} BLOCKS: image XObject placements
+    (unit square through the CTM) and path-paint strokes, the T10
+    visual-candidate detector's input)."""
     lex = _Parser(content)
     items: list[dict] = []
+    blocks: list[dict] = []
     stack: list = []
     tm = lm = _ID6
     ctm = _ID6
@@ -650,6 +656,28 @@ def _interpret_text(content: bytes) -> list[dict]:
                 ctm = gs_stack.pop() if gs_stack else _ID6
             elif op == "cm" and len(stack) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
+            elif op == "Do" and stack:
+                nm = stack[-1]
+                if isinstance(nm, str) and str(nm) in image_names:
+                    # image placement: the unit square through the CTM
+                    a_, b_, c_, d_, e_, f_ = ctm
+                    xs = (e_, a_ + e_, c_ + e_, a_ + c_ + e_)
+                    ys = (f_, b_ + f_, d_ + f_, b_ + d_ + f_)
+                    blocks.append(
+                        {
+                            "kind": "image",
+                            "x0": round(min(xs), 3),
+                            "y0": round(min(ys), 3),
+                            "x1": round(max(xs), 3),
+                            "y1": round(max(ys), 3),
+                        }
+                    )
+            elif op in ("S", "s", "f", "F", "f*", "B", "B*", "b", "b*"):
+                # one path-paint = one vector stroke (the detector only
+                # COUNTS strokes; coordinates are not consumed)
+                blocks.append(
+                    {"kind": "stroke", "x0": 0.0, "y0": 0.0, "x1": 0.0, "y1": 0.0}
+                )
             elif op == "BI":
                 # inline image: skip to EI
                 ei = data.find(b"\nEI", lex.pos)
@@ -657,7 +685,7 @@ def _interpret_text(content: bytes) -> list[dict]:
         except (TypeError, ValueError):
             pass
         stack.clear()
-    return items
+    return items, blocks
 
 
 # ---------------------------------------------------------------------------
@@ -690,12 +718,26 @@ def extract_pdf_items(content: bytes) -> tuple[list[dict], str | None]:
                 decoded = _decode_stream(doc, meta, raw)
                 if decoded is not None:
                     parts.append(decoded)
-        items = _interpret_text(b"\n".join(parts)) if parts else []
+        # image XObject names: a /Do of one of these is an image placement
+        img_names = set()
+        res = doc.resolve(node.get("Resources"))
+        xdict = doc.resolve(res.get("XObject")) if isinstance(res, dict) else None
+        if isinstance(xdict, dict):
+            for xname, xref in xdict.items():
+                xobj = doc.resolve(xref)
+                if isinstance(xobj, dict) and str(
+                    doc.resolve(xobj.get("Subtype")) or ""
+                ) == "Image":
+                    img_names.add(str(xname))
+        items, blocks = (
+            _interpret_text(b"\n".join(parts), frozenset(img_names))
+            if parts
+            else ([], [])
+        )
         # per-page font metrics for the glyph renderer: embedded /Widths
         # arrays (simple TrueType/Type1 fonts) keyed by resource name,
         # plus the /BaseFont for the built-in AFM fallback
         fonts: dict[str, dict] = {}
-        res = doc.resolve(node.get("Resources"))
         fdict = doc.resolve(res.get("Font")) if isinstance(res, dict) else None
         if isinstance(fdict, dict):
             for fname, fref in fdict.items():
@@ -720,6 +762,7 @@ def extract_pdf_items(content: bytes) -> tuple[list[dict], str | None]:
                 "page_width": width,
                 "items": items,
                 "fonts": fonts,
+                "blocks": blocks,
             }
         )
     info = doc.resolve(doc.trailer.get("Info"))
@@ -919,12 +962,19 @@ def build_pdf(
     page_width: float = 612.0,
     page_height: float = 792.0,
     compress: bool = True,
+    images: list[list[tuple[float, float, float, float]]] | None = None,
+    strokes: list[int] | None = None,
 ) -> bytes:
     """Deterministic single-font PDF: ``pages`` is a list of pages, each a
     list of (x, y, font_size, text) items (y grows up from the bottom-left
     origin, PDF user space). Content streams are Flate-compressed by
     default so the parser's decode path is exercised; classic xref +
-    trailer, /Info /Title when given."""
+    trailer, /Info /Title when given.
+
+    ``images``: per-page (x, y, w, h) placements of a shared 1x1 gray
+    /Image XObject (`q w 0 0 h x y cm /Im0 Do Q`) and ``strokes``:
+    per-page count of stroked rectangles — together they let tests build
+    REAL figure pages for the T10 detector and the visual pipeline."""
     objects: list[bytes] = []  # bodies, 1-indexed
 
     def add(body: bytes) -> int:
@@ -934,9 +984,16 @@ def build_pdf(
     font_num = add(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
     )
+    image_num = None
+    if images and any(images):
+        image_num = add(
+            b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>"
+            b"\nstream\n\x80\nendstream"
+        )
     page_nums: list[int] = []
     content_nums: list[int] = []
-    for items in pages:
+    for pno, items in enumerate(pages):
         ops = [b"BT"]
         for x, y, size, text in items:
             ops.append(
@@ -944,6 +1001,12 @@ def build_pdf(
                 % (size, x, y, _esc_literal(text))
             )
         ops.append(b"ET")
+        for x, y, w, h in (images[pno] if images and pno < len(images) else ()):
+            ops.append(b"q %.2f 0 0 %.2f %.2f %.2f cm /Im0 Do Q" % (w, h, x, y))
+        for i in range(strokes[pno] if strokes and pno < len(strokes) else 0):
+            ops.append(
+                b"%.2f %.2f 40 20 re S" % (20.0 + 5 * i, 30.0 + 5 * i)
+            )
         stream = b"\n".join(ops)
         if compress:
             stream = zlib.compress(stream)
@@ -953,12 +1016,15 @@ def build_pdf(
         content_nums.append(add(head + b"\nstream\n" + stream + b"\nendstream"))
 
     pages_num = len(objects) + len(pages) + 1  # page objects then the tree node
+    xobj = (
+        b" /XObject << /Im0 %d 0 R >>" % image_num if image_num is not None else b""
+    )
     for cn in content_nums:
         page_nums.append(
             add(
                 b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %.2f %.2f]"
-                b" /Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
-                % (pages_num, page_width, page_height, font_num, cn)
+                b" /Resources << /Font << /F1 %d 0 R >>%s >> /Contents %d 0 R >>"
+                % (pages_num, page_width, page_height, font_num, xobj, cn)
             )
         )
     kids = b" ".join(b"%d 0 R" % p for p in page_nums)

@@ -239,6 +239,37 @@ TOOL_DEFINITIONS: list[dict] = [
         },
     },
     {
+        # EXTENSION beyond the reference surface: N queries amortized over
+        # one corpus pass, results grouped per query in input order.
+        "name": "query_documents_batch",
+        "description": (
+            "Extension: run up to 50 query_documents searches in one call "
+            "(amortized over a single corpus scan on the Spark path). "
+            "Returns results grouped per query, in input order; rows are "
+            "identical to N separate query_documents calls."
+        ),
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "queries": {
+                    "type": "array",
+                    "items": {"type": "string"},
+                    "minItems": 1,
+                    "maxItems": 50,
+                    "description": "The search queries (1-50).",
+                },
+                "limit": {
+                    "type": "number",
+                    "minimum": 1,
+                    "maximum": 20,
+                    "description": "Max results per query (default 10).",
+                },
+                "scope": _SCOPE,
+            },
+            "required": ["queries"],
+        },
+    },
+    {
         "name": "sync_status",
         "description": (
             "Get the current or latest sync job record: { jobId, state "

@@ -282,3 +282,18 @@ def test_list_files_warning_blocks(mcp):
         assert any("skipped symlink" in t and "alias.md" in t for t in warn_texts)
     finally:
         os.unlink(str(d / "alias.md"))
+
+
+def test_batch_tool_over_envelope(mcp):
+    """The batch extension tool is discoverable via tools/list and
+    callable via tools/call."""
+    server, _ = mcp
+    names = {t["name"] for t in _req(server, "tools/list")["result"]["tools"]}
+    assert "query_documents_batch" in names
+    groups = _payload(_tool(server, "query_documents_batch",
+                            {"queries": ["broadcast joins", "caching"], "limit": 2}))
+    assert len(groups) == 2 and all(g for g in groups)
+    singles = _payload(_tool(server, "query_documents",
+                             {"query": "broadcast joins", "limit": 2}))
+    assert [(r["filePath"], r["chunkIndex"], r["score"]) for r in singles] == \
+           [(r["filePath"], r["chunkIndex"], r["score"]) for r in groups[0]]

@@ -245,3 +245,42 @@ def test_audio_window_features_real_wav(spark):
         assert abs(r.rms - 0.5 / math.sqrt(2)) < 0.01
         assert abs(r.zero_crossing_rate - 2 * 440.0 / 8000) < 0.01
         assert r.n_samples == 8000
+
+
+def test_visual_ingest_end_to_end_real_pdf(spark, tmp_path):
+    """ingest_file(visual=True) on REAL pdf bytes: the figure page is
+    detected from actual image-XObject blocks, rendered, captioned
+    (deterministic fake), and appended as a caption chunk after the text
+    chunks; the plain-text page contributes none."""
+    from mcp_local_rag_spark.engine import RagEngine
+    from mcp_local_rag_spark.sources.pdf_mini import build_pdf
+
+    body = ("This is the running text of the figure document, long enough "
+            "to produce a text chunk of respectable size for the test.")
+    data = build_pdf(
+        [[(50, 700, 12, body)], [(50, 700, 12, "A second page of plain prose "
+                                               "with no figures at all here.")]],
+        # page-1 image covers ~40% of the page -> candidate
+        images=[[(100, 200, 350, 400)], []],
+        title="Figure Doc",
+    )
+    pdf_path = tmp_path / "fig.pdf"
+    pdf_path.write_bytes(data)
+    eng = RagEngine(spark, str(tmp_path / "chunks_vis"), db_path=str(tmp_path / "db"))
+    res = eng.ingest_file(str(pdf_path), visual=True)
+    rows = sorted(
+        eng.chunks().select("chunkIndex", "text").collect(),
+        key=lambda r: r.chunkIndex,
+    )
+    caps = [r for r in rows if r.text.startswith("[Visual content on page ")]
+    assert len(caps) == 1, rows
+    # caption chunk indices continue AFTER the text chunks
+    assert caps[0].chunkIndex == max(r.chunkIndex for r in rows)
+    assert res["chunkCount"] == len(rows)
+    # same file WITHOUT visual: no caption chunks
+    eng2 = RagEngine(spark, str(tmp_path / "chunks_novis"), db_path=str(tmp_path / "db2"))
+    eng2.ingest_file(str(pdf_path))
+    assert not [
+        r for r in eng2.chunks().select("text").collect()
+        if r.text.startswith("[Visual content")
+    ]

@@ -5,6 +5,7 @@ DuckDB over the same parquet tables, then compares row count, column names,
 and order-insensitive values. Usage:
 
     python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py --json OUT.json sf_dir   # full-sweep artifact
 """
 
 from __future__ import annotations
@@ -98,8 +99,14 @@ def digest_check(sdf: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from mcp_local_rag_spark.session import get_spark
@@ -119,6 +126,7 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failed.append(name)
+            records[name] = {"status": "fail", "err": f"spark: {type(e).__name__}: {e}"}
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             continue
         t_spark = time.time() - t0
@@ -132,14 +140,23 @@ def main():
                 probs = digest_check(sdf)
                 if probs:
                     failed.append(name)
+                    records[name] = {"status": "fail", "err": "digest self-check"}
                     print(f"FAIL {name}: digest self-check")
                     for p in probs[:6]:
                         print(f"    {p}")
                     continue
+                records[name] = {
+                    "status": "ok_rows_digest", "rows": len(sdf),
+                    "spark_sec": round(t_spark, 2),
+                }
                 print(
                     f"ok(rows+digest) {name}: {len(sdf)} rows  spark={t_spark:.1f}s"
                 )
             else:
+                records[name] = {
+                    "status": "ok_rows_only", "rows": len(sdf),
+                    "spark_sec": round(t_spark, 2),
+                }
                 print(f"ok(rows-only) {name}: {len(sdf)} rows  spark={t_spark:.1f}s")
             continue
         t0 = time.time()
@@ -147,19 +164,40 @@ def main():
             ddf = con.execute(sql).fetchdf()
         except Exception as e:
             failed.append(name)
+            records[name] = {"status": "fail", "err": f"duckdb: {type(e).__name__}: {e}"}
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             continue
         t_duck = time.time() - t0
         problems = compare(name, sdf, ddf)
         if problems:
             failed.append(name)
+            records[name] = {"status": "fail", "err": problems[:3]}
             print(f"FAIL {name}: ({len(sdf)} spark rows, {len(ddf)} duck rows)")
             for p in problems[:6]:
                 print(f"    {p}")
         else:
+            records[name] = {
+                "status": "ok", "rows": len(sdf),
+                "spark_sec": round(t_spark, 2), "duck_sec": round(t_duck, 2),
+            }
             print(
                 f"ok {name}: {len(sdf)} rows  spark={t_spark:.1f}s duck={t_duck:.1f}s"
             )
+    if json_out:
+        import json as _json
+
+        n_ok = sum(1 for r in records.values() if r["status"].startswith("ok"))
+        _json.dump(
+            {
+                "sf_dir": sf_dir,
+                "n_queries": len(records),
+                "n_ok": n_ok,
+                "n_fail": len(failed),
+                "queries": records,
+            },
+            open(json_out, "w"),
+            indent=1,
+        )
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     sys.exit(1 if failed else 0)
 
