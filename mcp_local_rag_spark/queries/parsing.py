@@ -396,3 +396,108 @@ def q_parsed_xml_roundtrip(spark, sf_dir):
         )
 
     return docs.groupBy("source").applyInPandas(_rt, _RECORDS_RT_SCHEMA)
+
+
+# T10 visual-candidate detection gated end-to-end on REAL bytes: each
+# selected document becomes a 2-page PDF with a deterministic figure
+# layout (page 0: one image XObject whose width grows with doc_id;
+# page 1: doc_id%9 stroked rectangles, no image). The Spark side runs the
+# byte-level lane — build_pdf -> pdf_mini block extraction (Do placements
+# through the CTM, path paints) -> operators/pdf_layout.visual_candidates
+# — while the oracle re-derives the same geometry ARITHMETICALLY from
+# doc_id and applies the published thresholds (largest-image >= 0.10,
+# total >= 0.15, strokes >= 5, 8%/12pt crop padding). A drift anywhere —
+# writer, interpreter, CTM math, detector rule, crop padding — breaks the
+# hash. Pages with no blocks at all produce no row on either side (the
+# detector aggregates blocks; strokes=0 text pages are invisible to it).
+
+_VIS_PW, _VIS_PH = 612.0, 792.0
+
+
+@register(
+    "pdf_visual_detect",
+    f"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 1),
+p0 AS (
+  SELECT doc_id, 0 AS page,
+         (40 + doc_id % 20)::DOUBLE AS ix0, 120.0 AS iy0,
+         (40 + doc_id % 20 + 60 + 6 * (doc_id % 60))::DOUBLE AS ix1,
+         320.0 AS iy1, 0::BIGINT AS n_strokes
+  FROM d
+),
+p1 AS (
+  SELECT doc_id, 1 AS page,
+         NULL::DOUBLE AS ix0, NULL::DOUBLE AS iy0,
+         NULL::DOUBLE AS ix1, NULL::DOUBLE AS iy1,
+         (doc_id % 9)::BIGINT AS n_strokes
+  FROM d WHERE doc_id % 9 <> 0
+),
+calc AS (
+  SELECT doc_id, page, n_strokes, ix0, iy0, ix1, iy1,
+         CASE WHEN ix0 IS NULL THEN 0.0
+              ELSE (ix1 - ix0) * (iy1 - iy0) END AS img_area,
+         CASE WHEN ix0 IS NULL THEN NULL
+              ELSE greatest(0.08 * greatest(ix1 - ix0, iy1 - iy0), 12.0) END AS pad
+  FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
+),
+out AS (
+  SELECT doc_id, page,
+         (coalesce(img_area / ({_VIS_PW} * {_VIS_PH}), 0.0) >= 0.10
+          OR img_area / ({_VIS_PW} * {_VIS_PH}) >= 0.15
+          OR n_strokes >= 5) AS is_candidate,
+         CASE WHEN ix0 IS NULL THEN 0.0 ELSE greatest(ix0 - pad, 0.0) END AS cx0,
+         CASE WHEN ix0 IS NULL THEN 0.0 ELSE greatest(iy0 - pad, 0.0) END AS cy0,
+         CASE WHEN ix0 IS NULL THEN {_VIS_PW} ELSE least(ix1 + pad, {_VIS_PW}) END AS cx1,
+         CASE WHEN ix0 IS NULL THEN {_VIS_PH} ELSE least(iy1 + pad, {_VIS_PH}) END AS cy1,
+         img_area / ({_VIS_PW} * {_VIS_PH}) AS image_ratio,
+         n_strokes
+  FROM calc
+)
+SELECT doc_id, page, is_candidate,
+       round(cx0, 6) + 0 AS crop_x0, round(cy0, 6) + 0 AS crop_y0,
+       round(cx1, 6) + 0 AS crop_x1, round(cy1, 6) + 0 AS crop_y1,
+       round(image_ratio, 6) + 0 AS image_ratio, n_strokes
+FROM out ORDER BY doc_id, page""",
+)
+def q_pdf_visual_detect(spark, sf_dir):
+    from ..operators.multimodal import pdf_blocks
+    from ..operators.pdf_layout import visual_candidates
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 1
+    ).select("doc_id")
+
+    def _mk(batches):
+        from ..sources.pdf_mini import build_pdf
+
+        for pdf in batches:
+            paths, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                x0 = 40 + d % 20
+                w = 60 + 6 * (d % 60)
+                blobs.append(
+                    build_pdf(
+                        [
+                            [(50.0, 700.0, 12.0, f"Figure doc {d} page one")],
+                            [(50.0, 700.0, 12.0, f"Doc {d} page two")],
+                        ],
+                        images=[[(float(x0), 120.0, float(w), 200.0)], []],
+                        strokes=[0, d % 9],
+                    )
+                )
+                paths.append(str(d))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    bytes_df = docs.mapInPandas(_mk, "path string, content binary")
+    cands = visual_candidates(pdf_blocks(bytes_df), doc_col="doc_key")
+    return cands.select(
+        F.col("doc_key").cast("long").alias("doc_id"),
+        "page",
+        "is_candidate",
+        (F.round(F.col("crop.x0"), 6) + F.lit(0.0)).alias("crop_x0"),
+        (F.round(F.col("crop.y0"), 6) + F.lit(0.0)).alias("crop_y0"),
+        (F.round(F.col("crop.x1"), 6) + F.lit(0.0)).alias("crop_x1"),
+        (F.round(F.col("crop.y1"), 6) + F.lit(0.0)).alias("crop_y1"),
+        (F.round("image_ratio", 6) + F.lit(0.0)).alias("image_ratio"),
+        F.col("n_strokes").cast("long").alias("n_strokes"),
+    ).orderBy("doc_id", "page")
