@@ -297,3 +297,51 @@ def test_batch_tool_over_envelope(mcp):
                              {"query": "broadcast joins", "limit": 2}))
     assert [(r["filePath"], r["chunkIndex"], r["score"]) for r in singles] == \
            [(r["filePath"], r["chunkIndex"], r["score"]) for r in groups[0]]
+
+
+def test_dispatcher_never_crashes_on_arbitrary_requests(mcp):
+    """Protocol-robustness fuzz: arbitrary JSON values as requests and
+    arbitrary params on every method must always yield a JSON-RPC
+    response (or None for notifications) — never an exception out of
+    handle(). Generated WITHOUT Spark per example, so the sweep is fast."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    server, _ = mcp
+    json_scalars = st.one_of(
+        st.none(), st.booleans(), st.integers(), st.floats(allow_nan=False),
+        st.text(max_size=20),
+    )
+    json_values = st.recursive(
+        json_scalars,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=4),
+            st.dictionaries(st.text(max_size=10), inner, max_size=4),
+        ),
+        max_leaves=10,
+    )
+    methods = st.one_of(
+        st.sampled_from([
+            "initialize", "ping", "tools/list", "tools/call",
+            "notifications/initialized", "resources/list", "", "query_documents",
+        ]),
+        st.text(max_size=20),
+    )
+
+    @given(method=methods, params=json_values, rid=json_scalars)
+    @settings(max_examples=150, deadline=None)
+    def _fuzz(method, params, rid):
+        req = {"jsonrpc": "2.0", "method": method}
+        if rid is not None:
+            req["id"] = rid
+        if params is not None:
+            req["params"] = params
+        resp = server.handle(req)
+        if resp is not None:
+            assert resp.get("jsonrpc") == "2.0"
+            assert ("result" in resp) != ("error" in resp)
+        # non-dict requests at the top level
+        resp2 = server.handle({"method": params} if isinstance(params, dict) else {"method": method, "params": {"name": params}})
+        assert resp2 is None or ("result" in resp2) != ("error" in resp2)
+
+    _fuzz()

@@ -45,7 +45,14 @@ COMMENTARY = {
     "dedup_minhash_lsh": (
         "MinHash signatures are map-side (one md5 per shingle, affine "
         "permutations); the only shuffles are the band-bucket grouping and "
-        "the candidate self-join, both keyed on (band, bucket)."
+        "the candidate self-join, both keyed on (band, bucket). Round 8: a "
+        "driver-side census over the persisted bands detects buckets past "
+        "bucket_cap=128; the empty-census case (this plan) is the r7 plan "
+        "verbatim, hot buckets split across ceil(n/cap) salts (left side "
+        "hashed, right side replicated) so a mega-duplicate bucket's "
+        "quadratic join spreads over ~n/cap tasks with a provably "
+        "identical pair set. 100x replicas: 21.0s -> 14.6s "
+        "(BENCH_SCALE_r08.json)."
     ),
     "knn_bruteforce": (
         "Multi-query exact top-k: an Arrow mapInPandas kernel does one "
@@ -208,6 +215,31 @@ COMMENTARY = {
         "stored cell-partitioned layout, so unprobed cell directories are "
         "never listed into the scan — per-query I/O ~ nprobe/n_cells of "
         "the corpus. Row-identical to knn_ivf_probe by construction."
+    ),
+    "text_nb_source_classifier": (
+        "In-plan Naive Bayes: priors and Laplace likelihoods are two "
+        "grouped aggregates (map-side combinable); class-level tables "
+        "broadcast; the (class, token) likelihood join is the only "
+        "corpus-sized shuffle and is linear in tokens x n_classes "
+        "(classes a small constant). The per-doc argmax window partitions "
+        "by doc_id — never a global gather."
+    ),
+    "chunk_documents_oracle": (
+        "Max-Min grouping under the exact-arithmetic embedding: sentence "
+        "construction is pure array ops (no explode-collect round trip), "
+        "the chunker is ONE applyInPandas keyed by document — sequential "
+        "inside a doc, embarrassingly parallel across docs, the axis that "
+        "grows at 100 TB. The DuckDB oracle re-runs the full recurrence "
+        "as a recursive CTE; integer vectors make every cosine "
+        "bit-identical across engines."
+    ),
+    "pdf_visual_detect": (
+        "Byte-level visual detection: PDF construction and block "
+        "extraction are one mapInPandas stage each (parallel across "
+        "documents), the detector is a single per-(doc, page) aggregate "
+        "over block rects — no window, no join. Candidate sparsity is "
+        "the design: everything downstream of this plan (render, "
+        "caption) touches only candidate pages."
     ),
 }
 
