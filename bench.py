@@ -149,6 +149,7 @@ def _derived_anchors(spark, qs, sf_dir) -> dict:
     h50, h95 = _latency("hybrid_search_indexed", 6)
     sv50, sv95 = _vector_serve_bench(spark, sf_dir)
     hs50, hs95 = _hybrid_serve_bench(spark, sf_dir)
+    iv50, iv95 = _ivf_serve_bench(spark, sf_dir)
     print(
         f"# anchors: ingest {chunks_per_sec} chunks/s (bulk {bulk_per_sec}); vector_topk p50/p95 "
         f"{v50}/{v95} ms; hybrid_indexed p50/p95 {h50}/{h95} ms",
@@ -165,6 +166,8 @@ def _derived_anchors(spark, qs, sf_dir) -> dict:
         "vector_serve_p95_ms": sv95,
         "hybrid_serve_p50_ms": hs50,
         "hybrid_serve_p95_ms": hs95,
+        "ivf_serve_p50_ms": iv50,
+        "ivf_serve_p95_ms": iv95,
     }
 
 
@@ -188,6 +191,42 @@ def _hybrid_serve_bench(spark, sf_dir) -> tuple[float, float]:
         t0 = time.time()
         server.query(f"spark join filter merge {i}", limit=10,
                      grouping="related", max_files=3)
+        times.append((time.time() - t0) * 1000)
+    times.sort()
+    return (
+        round(times[len(times) // 2], 2),
+        round(times[int(len(times) * 0.95) - 1], 2),
+    )
+
+
+def _ivf_serve_bench(spark, sf_dir) -> tuple[float, float]:
+    """Serving-path IVF top-k (operators/ivf_serve): warmed per-query
+    latency against the persisted cell-partitioned index — the serving
+    tier's 100 TB scale path (per-query I/O = probed cells only)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.operators.ivf_serve import IvfVectorServer
+    from mcp_local_rag_spark.plans.ann_index import write_ivf_index
+    from mcp_local_rag_spark.queries.rag import _scratch_path
+    from mcp_local_rag_spark.session import load
+
+    path = _scratch_path(sf_dir, "ann_ivf_serve")
+    emb = load(spark, sf_dir, "embeddings")
+    if not os.path.isdir(path):
+        write_ivf_index(
+            emb.withColumn("cell", F.col("label")), path,
+            sort_cols=("vec_id",), meta={"source": "label"},
+        )
+    qvecs = [r.embedding for r in emb.filter(F.col("vec_id") < 25).collect()]
+    server = IvfVectorServer(path)
+    server.query(qvecs[0], 10, nprobe=2)  # load + warm
+    times = []
+    for i in range(40):
+        qv = qvecs[i % len(qvecs)]
+        t0 = time.time()
+        server.query(qv, 10, nprobe=2)
         times.append((time.time() - t0) * 1000)
     times.sort()
     return (

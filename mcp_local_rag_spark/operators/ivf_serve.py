@@ -1,0 +1,173 @@
+"""IVF serving sidecar — the SCALE PATH of the serving tier.
+
+VectorSearchServer (operators/vector_serve) answers in ~0.2 ms by holding
+the whole corpus matrix in one process — the right trade at the
+reference's scale, impossible at 100 TB. This server holds only the
+COARSE QUANTIZER (the n_cells x dim centroid sidecar plans/ann_index
+writes at build time) and reads, per query, exactly the probed cells'
+parquet directories through pyarrow partition pruning over the
+cell-partitioned index layout. Per-query I/O is therefore
+nprobe/n_cells of the corpus regardless of corpus size; a bounded LRU of
+decoded cells turns repeat traffic on hot cells into pure in-memory
+scoring.
+
+Ranking matches operators/similarity.cosine_knn exactly — the shared
+total order (round(cos, 6) desc, neighbor_id asc) — so the serving path
+is row-identical to the Spark operator over the same probed cells
+(parity-pinned in tests/test_ivf_serve.py).
+
+The reference has no ANN tier at all (flat scan over LanceDB,
+src/vectordb/index.ts:346); this is part of the pipeline-scale extension
+surface, same family as plans/ann_index's partition-pruned Spark path.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+import numpy as np
+
+from ..plans.ann_index import CENTROIDS_FILE, read_index_meta
+
+
+class IvfVectorServer:
+    """Partition-pruned vector serving over a plans/ann_index layout."""
+
+    def __init__(
+        self,
+        index_path: str,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        max_cached_cells: int = 64,
+    ):
+        self._path = index_path
+        self._id_col = id_col
+        self._vec_col = vec_col
+        self._cell_col = read_index_meta(index_path)["cell_col"]
+        self.max_cached_cells = max_cached_cells
+        # cell -> (ids, matrix, norms); OrderedDict as LRU
+        self._cells: OrderedDict[int, tuple] = OrderedDict()
+        self._dataset = None
+        self.cell_loads = 0  # observability: parquet reads performed
+        import pyarrow.parquet as pq
+
+        cents = pq.read_table(os.path.join(index_path, CENTROIDS_FILE))
+        order = np.argsort(cents["cell"].to_numpy(zero_copy_only=False))
+        self._cent_cells = cents["cell"].to_numpy(zero_copy_only=False)[order]
+        mat = np.array(
+            [list(v) for v in cents["centroid"].to_pylist()], dtype=np.float64
+        )[order]
+        self._cent_mat = mat
+        self._cent_norms = np.linalg.norm(mat, axis=1)
+
+    def invalidate(self) -> None:
+        """Drop decoded cells + the dataset handle (after index rebuild)."""
+        self._cells.clear()
+        self._dataset = None
+
+    # -- probing ----------------------------------------------------------
+
+    def probe_cells(self, query_vec, nprobe: int = 2) -> list[int]:
+        """The nprobe nearest coarse cells, ranked on the SAME total order
+        as result rows (round(cos, 6) desc, cell asc) so probe choice is
+        deterministic and engine-stable."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = float(np.linalg.norm(q))
+        denom = self._cent_norms * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, (self._cent_mat @ q) / denom, 0.0)
+        cos = np.round(cos, 6)
+        order = np.lexsort((self._cent_cells, -cos))
+        return [int(c) for c in self._cent_cells[order[: max(1, nprobe)]]]
+
+    # -- cell IO ----------------------------------------------------------
+
+    def _dataset_of(self):
+        if self._dataset is None:
+            import pyarrow.dataset as ds
+
+            self._dataset = ds.dataset(
+                self._path, format="parquet", partitioning="hive"
+            )
+        return self._dataset
+
+    def probed_fragment_paths(self, cells: list[int]) -> list[str]:
+        """The parquet files a probe of ``cells`` touches — the pruning
+        evidence (every path sits under a probed cell=N directory)."""
+        import pyarrow.dataset as ds
+
+        flt = ds.field(self._cell_col).isin([int(c) for c in cells])
+        return [f.path for f in self._dataset_of().get_fragments(filter=flt)]
+
+    def _load_cell(self, cell: int) -> tuple:
+        hit = self._cells.get(cell)
+        if hit is not None:
+            self._cells.move_to_end(cell)
+            return hit
+        import pyarrow.dataset as ds
+
+        tbl = self._dataset_of().to_table(
+            columns=[self._id_col, self._vec_col],
+            filter=ds.field(self._cell_col) == int(cell),
+        )
+        self.cell_loads += 1
+        ids = tbl[self._id_col].to_numpy(zero_copy_only=False)
+        n = len(tbl)
+        if n:
+            flat = tbl[self._vec_col].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            )
+            mat = np.asarray(flat, dtype=np.float64).reshape(n, -1)
+        else:
+            mat = np.zeros((0, 1), dtype=np.float64)
+        entry = (ids, mat, np.linalg.norm(mat, axis=1))
+        self._cells[cell] = entry
+        while len(self._cells) > self.max_cached_cells:
+            self._cells.popitem(last=False)
+        return entry
+
+    # -- query ------------------------------------------------------------
+
+    def query(
+        self,
+        query_vec,
+        k: int = 10,
+        *,
+        nprobe: int = 2,
+        cells: list[int] | None = None,
+        exclude_id=None,
+    ) -> list[dict]:
+        """Top-k rows from the probed cells as
+        [{neighbor_id, cos, cell}] — cosine rounded to 6, ties on
+        neighbor_id asc (the cosine_knn contract). ``cells`` overrides the
+        centroid probe (callers that already know their cells — e.g. the
+        oracle-paired query shape — skip the quantizer)."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = float(np.linalg.norm(q))
+        probe = cells if cells is not None else self.probe_cells(q, nprobe)
+        out_ids, out_cos, out_cell = [], [], []
+        for cell in probe:
+            ids, mat, norms = self._load_cell(cell)
+            if not len(ids):
+                continue
+            denom = norms * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, (mat @ q) / denom, 0.0)
+            out_ids.append(ids)
+            out_cos.append(np.round(cos, 6))
+            out_cell.append(np.full(len(ids), cell, dtype=np.int64))
+        if not out_ids:
+            return []
+        ids = np.concatenate(out_ids)
+        cos = np.concatenate(out_cos)
+        cel = np.concatenate(out_cell)
+        if exclude_id is not None:
+            keep = ids != exclude_id
+            ids, cos, cel = ids[keep], cos[keep], cel[keep]
+        order = np.lexsort((ids, -cos))[:k]
+        return [
+            {"neighbor_id": ids[i].item(), "cos": float(cos[i]), "cell": int(cel[i])}
+            for i in order
+        ]

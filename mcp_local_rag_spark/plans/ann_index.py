@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 META_FILE = "_ann_meta.json"
+CENTROIDS_FILE = "_centroids.parquet"
 
 
 def write_ivf_index(
@@ -33,6 +34,7 @@ def write_ivf_index(
     cell_col: str = "cell",
     sort_cols: tuple[str, ...] = (),
     meta: dict | None = None,
+    vec_col: str | None = "embedding",
 ) -> None:
     """Write the cell-partitioned vector table plus a meta sidecar.
 
@@ -55,6 +57,37 @@ def write_ivf_index(
     )
     with open(os.path.join(path, META_FILE), "w") as f:
         json.dump({"cell_col": cell_col, **(meta or {})}, f)
+    # per-cell centroids ride as a tiny sidecar (n_cells x dim rows) so a
+    # SERVING process can pick probe cells without touching the corpus —
+    # the IVF coarse quantizer is part of the index artifact, exactly like
+    # the FTS stats sidecar (plans/fts). One grouped aggregate, map-side
+    # combinable; skipped when the caller stores no vector column here.
+    if vec_col is not None and vec_col in assigned.columns:
+        cents = (
+            assigned.select(cell_col, F.posexplode(vec_col).alias("_d", "_x"))
+            .groupBy(cell_col, "_d")
+            .agg(F.avg("_x").alias("_m"), F.count("*").alias("_n"))
+            .groupBy(cell_col)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_d", "_m"))
+                ).alias("_dm"),
+                F.max("_n").alias("n"),
+            )
+            .select(
+                F.col(cell_col).alias("cell"),
+                F.transform("_dm", lambda s: s["_m"]).alias("centroid"),
+                "n",
+            )
+            .toPandas()
+        )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(cents, preserve_index=False),
+            os.path.join(path, CENTROIDS_FILE),
+        )
 
 
 def read_index_meta(path: str) -> dict:
