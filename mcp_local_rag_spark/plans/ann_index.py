@@ -63,31 +63,101 @@ def write_ivf_index(
     # the FTS stats sidecar (plans/fts). One grouped aggregate, map-side
     # combinable; skipped when the caller stores no vector column here.
     if vec_col is not None and vec_col in assigned.columns:
-        cents = (
-            assigned.select(cell_col, F.posexplode(vec_col).alias("_d", "_x"))
-            .groupBy(cell_col, "_d")
-            .agg(F.avg("_x").alias("_m"), F.count("*").alias("_n"))
-            .groupBy(cell_col)
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("_d", "_m"))
-                ).alias("_dm"),
-                F.max("_n").alias("n"),
-            )
-            .select(
-                F.col(cell_col).alias("cell"),
-                F.transform("_dm", lambda s: s["_m"]).alias("centroid"),
-                "n",
-            )
-            .toPandas()
-        )
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        _write_centroids(_cell_centroids(assigned, cell_col, vec_col), path)
 
-        pq.write_table(
-            pa.Table.from_pandas(cents, preserve_index=False),
-            os.path.join(path, CENTROIDS_FILE),
+
+def _cell_centroids(assigned: DataFrame, cell_col: str, vec_col: str):
+    """(cell, centroid array, n) as a tiny pandas frame — one grouped
+    aggregate, map-side combinable."""
+    return (
+        assigned.select(cell_col, F.posexplode(vec_col).alias("_d", "_x"))
+        .groupBy(cell_col, "_d")
+        .agg(F.avg("_x").alias("_m"), F.count("*").alias("_n"))
+        .groupBy(cell_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_d", "_m"))).alias("_dm"),
+            F.max("_n").alias("n"),
         )
+        .select(
+            F.col(cell_col).alias("cell"),
+            F.transform("_dm", lambda s: s["_m"]).alias("centroid"),
+            "n",
+        )
+        .toPandas()
+    )
+
+
+def _write_centroids(cents, path: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(cents, preserve_index=False),
+        os.path.join(path, CENTROIDS_FILE),
+    )
+
+
+def append_to_ivf_index(
+    assigned: DataFrame,
+    path: str,
+    *,
+    sort_cols: tuple[str, ...] = (),
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance — the IVF twin of plans/fts.
+    refresh_postings' append lane: an arriving embedding batch lands in
+    its cells' directories (one append job, cost ~ batch) and the
+    centroid sidecar merges by WEIGHTED mean — (old_c*old_n +
+    batch_sum) / (old_n + batch_n) per dimension, exactly the mean of the
+    union — so the coarse quantizer stays the one a full rebuild would
+    produce (up to float associativity; pytest bounds the drift).
+    Serving processes observe the append at their next invalidate()
+    (IvfVectorServer caches by cell, so only touched cells reload)."""
+    import numpy as np
+
+    meta = read_index_meta(path)
+    cell_col = meta["cell_col"]
+    n_cells = assigned.select(cell_col).distinct().count()
+    (
+        assigned.repartition(max(int(n_cells), 1), cell_col)
+        .sortWithinPartitions(cell_col, *sort_cols)
+        .write.mode("append")
+        .partitionBy(cell_col)
+        .parquet(path)
+    )
+    if vec_col is None or vec_col not in assigned.columns:
+        return
+    batch = _cell_centroids(assigned, cell_col, vec_col)
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    cent_path = os.path.join(path, CENTROIDS_FILE)
+    old = (
+        pq.read_table(cent_path).to_pandas()
+        if os.path.exists(cent_path)
+        else pd.DataFrame({"cell": [], "centroid": [], "n": []})
+    )
+    old_map = {
+        int(r.cell): (np.asarray(list(r.centroid), dtype=np.float64), int(r.n))
+        for r in old.itertuples()
+    }
+    for r in batch.itertuples():
+        c = int(r.cell)
+        bvec = np.asarray(list(r.centroid), dtype=np.float64)
+        bn = int(r.n)
+        if c in old_map:
+            ovec, on = old_map[c]
+            old_map[c] = ((ovec * on + bvec * bn) / (on + bn), on + bn)
+        else:
+            old_map[c] = (bvec, bn)
+    merged = pd.DataFrame(
+        {
+            "cell": sorted(old_map),
+            "centroid": [old_map[c][0].tolist() for c in sorted(old_map)],
+            "n": [old_map[c][1] for c in sorted(old_map)],
+        }
+    )
+    _write_centroids(merged, path)
 
 
 def read_index_meta(path: str) -> dict:

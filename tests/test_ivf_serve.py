@@ -92,3 +92,56 @@ def test_exclude_id_and_empty_cells(spark, index):
     assert all(h["neighbor_id"] != 11 for h in hits2)
     # a cell id that exists nowhere yields no rows, not a crash
     assert server.query(emb_row.embedding, 5, cells=[10_000]) == []
+
+
+def test_incremental_append_matches_full_rebuild(spark, tmp_path):
+    """append_to_ivf_index: cell contents equal a full rebuild; the merged
+    centroid sidecar equals the union's means to float tolerance; the
+    serving sidecar observes the append after invalidate()."""
+    import numpy as np
+
+    from mcp_local_rag_spark.plans.ann_index import append_to_ivf_index
+    from mcp_local_rag_spark.operators.ivf_serve import IvfVectorServer
+
+    emb = load(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 0).withColumn("cell", F.col("label"))
+    batch = emb.filter(F.col("vec_id") % 4 == 0).withColumn("cell", F.col("label"))
+
+    inc_path = str(tmp_path / "ann_inc")
+    write_ivf_index(base, inc_path, sort_cols=("vec_id",))
+    server = IvfVectorServer(inc_path)
+    qrow = emb.filter(F.col("vec_id") == 8).first()  # vec 8 is IN the batch
+    own = [int(qrow.label)]  # probe vec 8's own cell explicitly
+    before_ids = {
+        h["neighbor_id"] for h in server.query(qrow.embedding, 10, cells=own)
+    }
+    assert 8 not in before_ids
+
+    append_to_ivf_index(batch, inc_path, sort_cols=("vec_id",))
+    server.invalidate()
+    after = server.query(qrow.embedding, 10, cells=own)
+    assert after[0]["neighbor_id"] == 8  # self is its own NN (cos 1.0)
+
+    # full-rebuild twin: identical row sets per cell, centroids within fp tol
+    full_path = str(tmp_path / "ann_full")
+    write_ivf_index(
+        emb.withColumn("cell", F.col("label")), full_path, sort_cols=("vec_id",)
+    )
+    inc_rows = {
+        (r.vec_id, r.cell)
+        for r in read_ivf_cells(spark, inc_path).select("vec_id", "cell").collect()
+    }
+    full_rows = {
+        (r.vec_id, r.cell)
+        for r in read_ivf_cells(spark, full_path).select("vec_id", "cell").collect()
+    }
+    assert inc_rows == full_rows
+    s_inc, s_full = IvfVectorServer(inc_path), IvfVectorServer(full_path)
+    assert np.allclose(s_inc._cent_mat, s_full._cent_mat, rtol=1e-9, atol=1e-9)
+    assert (s_inc._cent_cells == s_full._cent_cells).all()
+    # and identical answers over the merged index
+    got = s_inc.query(qrow.embedding, 10, nprobe=2)
+    want = s_full.query(qrow.embedding, 10, nprobe=2)
+    assert [(h["neighbor_id"], h["cos"]) for h in got] == [
+        (h["neighbor_id"], h["cos"]) for h in want
+    ]
