@@ -892,3 +892,75 @@ def test_stream_dedup_incremental_pairs(spark, tmp_path):
         ).collect()
     }
     assert got2 == full
+
+
+def test_stream_stream_click_attribution(spark, tmp_path):
+    """Watermarked stream-stream interval join (streaming/joins): the
+    availableNow drain equals the batch twin row-for-row; out-of-window
+    clicks never attribute; the streaming plan carries watermarks on
+    both sides (the state-bounding contract)."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from mcp_local_rag_spark.streaming.joins import (
+        attribute_clicks_batch,
+        attribute_clicks_stream,
+    )
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    SCHEMA = "event_id long, user_id long, ts timestamp"
+
+    def write_files(dirname, batches):
+        src = tmp_path / dirname
+        src.mkdir()
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, SCHEMA)
+            tmp = tmp_path / f"_tmp_{dirname}_{i}"
+            df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+            part = glob.glob(str(tmp / "part-*.parquet"))[0]
+            shutil.copy(part, str(src / f"b{i}.parquet"))
+        return str(src)
+
+    impressions = [
+        (100, 1, t("2024-01-01 09:00:00")),
+        (101, 1, t("2024-01-01 10:00:00")),
+        (102, 2, t("2024-01-01 09:10:00")),
+        (103, 3, t("2024-01-01 09:20:00")),  # user 3 never clicks
+    ]
+    clicks = [
+        (900, 1, t("2024-01-01 09:10:00")),  # 10 min after imp 100 -> attributed
+        (901, 1, t("2024-01-01 09:45:00")),  # 45 min after 100 (out), before 101 (out)
+        (902, 1, t("2024-01-01 10:05:00")),  # 5 min after imp 101 -> attributed
+        (903, 2, t("2024-01-01 09:39:00")),  # 29 min after imp 102 -> attributed
+        (904, 9, t("2024-01-01 09:15:00")),  # unknown user
+    ]
+    imp_src = write_files("imp_src", [impressions[:2], impressions[2:]])
+    clk_src = write_files("clk_src", [clicks[:3], clicks[3:]])
+
+    stream = attribute_clicks_stream(
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(imp_src),
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(clk_src),
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.impression_id, r.click_id, r.latency_s)
+        for r in spark.sql("SELECT * FROM attr_out").collect()
+    }
+    want = {
+        (r.impression_id, r.click_id, r.latency_s)
+        for r in attribute_clicks_batch(
+            spark.createDataFrame(impressions, SCHEMA),
+            spark.createDataFrame(clicks, SCHEMA),
+        ).collect()
+    }
+    assert got == want
+    assert got == {(100, 900, 600.0), (101, 902, 300.0), (102, 903, 1740.0)}
