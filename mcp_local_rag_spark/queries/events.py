@@ -887,3 +887,39 @@ def q_events_cohort_matrix(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("retained"))
         .orderBy("cohort_day", "age_days")
     )
+
+
+# Interval-join click attribution — the BATCH twin of the watermarked
+# stream-stream join (streaming/joins.attribute_clicks_stream, whose
+# availableNow drain is pytest-pinned row-identical to this operator).
+# Registering the batch form gives the streaming semantics a DuckDB
+# oracle: view impressions joined to clicks of the same user landing
+# inside the 30-minute attribution window. Plan shape: user-keyed
+# equi-join (one shuffle per side) with the range condition as a
+# post-filter — never a theta-join cartesian.
+
+@register(
+    "events_click_attribution",
+    """SELECT i.user_id,
+       i.event_id AS impression_id, c.event_id AS click_id,
+       i.ts AS impression_ts, c.ts AS click_ts,
+       round(epoch(c.ts) - epoch(i.ts), 6) + 0 AS latency_s
+FROM (SELECT * FROM events WHERE event_type = 'view') i
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON i.user_id = c.user_id
+ AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 30 MINUTE
+ORDER BY impression_id, click_id""",
+)
+def q_events_click_attribution(spark, sf_dir):
+    from ..streaming.joins import attribute_clicks_batch
+
+    e = load(spark, sf_dir, "events")
+    out = attribute_clicks_batch(
+        e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts"),
+        e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts"),
+        window_seconds=1800,
+    )
+    return out.select(
+        "user_id", "impression_id", "click_id", "impression_ts", "click_ts",
+        (F.round("latency_s", 6) + F.lit(0.0)).alias("latency_s"),
+    ).orderBy("impression_id", "click_id")

@@ -426,3 +426,12 @@ def test_bloom_probe_never_shuffle_joins_the_bit_table(spark, qs):
     p = plan(qs["events_bloom_prune"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_click_attribution_is_keyed_equi_join(spark, qs):
+    """The interval join keys on user_id (one shuffle per side); the time
+    range rides as a join/post condition — never a nested-loop or
+    cartesian pairing of the two event subsets."""
+    p = plan(qs["events_click_attribution"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "user_id" in p
