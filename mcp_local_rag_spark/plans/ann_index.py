@@ -160,6 +160,47 @@ def append_to_ivf_index(
     _write_centroids(merged, path)
 
 
+def compact_ivf_cells(
+    spark: SparkSession,
+    path: str,
+    *,
+    sort_cols: tuple[str, ...] = (),
+    min_files: int = 2,
+) -> int:
+    """Selective cell compaction — the IVF twin of plans/ingest.
+    compact_chunks: every append lands one more file per touched cell, and
+    probed-cell read cost is proportional to file count, so a maintenance
+    pass rewrites ONLY the cells holding >= ``min_files`` parquet files
+    into one sorted file each (dynamic partition overwrite — untouched
+    cell directories keep their bytes). Returns the number of cells
+    rewritten. Centroids are untouched: compaction moves bytes, never
+    rows."""
+    import glob
+
+    meta = read_index_meta(path)
+    cell_col = meta["cell_col"]
+    fragmented: list[int] = []
+    for d in glob.glob(os.path.join(path, f"{cell_col}=*")):
+        if len(glob.glob(os.path.join(d, "*.parquet"))) >= min_files:
+            fragmented.append(int(os.path.basename(d).split("=", 1)[1]))
+    if not fragmented:
+        return 0
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col(cell_col).isin(fragmented))
+        .repartition(len(fragmented), cell_col)
+        .sortWithinPartitions(cell_col, *sort_cols)
+    )
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(cell_col)
+        .parquet(path)
+    )
+    spark.catalog.refreshByPath(path)
+    return len(fragmented)
+
+
 def read_index_meta(path: str) -> dict:
     with open(os.path.join(path, META_FILE)) as f:
         return json.load(f)

@@ -168,6 +168,12 @@ class RagRpcServer:
         # at a time; read-only tools bypass it (src/server/index.ts:396-403)
         self._write_guard = threading.Lock()
         self._sync_jobs: dict[str, dict] = {}
+        # per-tool observability: calls/errors/latency reservoir (bounded).
+        # A serving process needs its own counters — the Spark UI shows
+        # jobs, not tool-level traffic, and the sidecar paths never submit
+        # jobs at all.
+        self._metrics: dict[str, dict] = {}
+        self._metrics_lock = threading.Lock()
         self._methods: dict[str, tuple[Callable[[dict], Any], bool]] = {
             # reference tool names (tool-definitions.ts:12-188)
             "query_documents": (self._query_documents, False),
@@ -181,6 +187,7 @@ class RagRpcServer:
             "sync_start": (self._sync_start, True),
             # Spark-repo extensions + legacy aliases (pre-MCP clients)
             "query_documents_batch": (self._query_documents_batch, False),
+            "metrics": (self._metrics_tool, False),
             "list_documents": (self._list_documents, False),
             "get_status": (self._get_status, False),
             "delete_document": (self._delete_document, True),
@@ -317,6 +324,21 @@ class RagRpcServer:
             "ftsIndexEnabled": fts,
             "searchMode": "hybrid" if fts else "vector-only",
         }
+
+    def _metrics_tool(self, params: dict) -> dict:
+        """Extension: per-tool traffic since process start — calls,
+        errors, and p50/p95 latency over a bounded reservoir."""
+        out = {}
+        with self._metrics_lock:
+            for name, m in sorted(self._metrics.items()):
+                lat = sorted(m["latencies_ms"])
+                out[name] = {
+                    "calls": m["calls"],
+                    "errors": m["errors"],
+                    "p50_ms": lat[len(lat) // 2] if lat else None,
+                    "p95_ms": lat[max(0, int(len(lat) * 0.95) - 1)] if lat else None,
+                }
+        return {"uptime_s": round(time.time() - self._started, 3), "tools": out}
 
     def _list_files(self, params: dict) -> dict:
         """Reference list_files (src/server/index.ts:818-875): scan the
@@ -552,10 +574,35 @@ class RagRpcServer:
 
     # -- dispatch ---------------------------------------------------------
 
+    MAX_LATENCY_SAMPLES = 512  # per-tool reservoir for percentile estimates
+
+    def _record_metric(self, method: str, t0: float, ok: bool) -> None:
+        with self._metrics_lock:
+            m = self._metrics.setdefault(
+                method, {"calls": 0, "errors": 0, "latencies_ms": []}
+            )
+            m["calls"] += 1
+            if not ok:
+                m["errors"] += 1
+            lat = m["latencies_ms"]
+            lat.append(round((time.time() - t0) * 1000, 3))
+            if len(lat) > self.MAX_LATENCY_SAMPLES:
+                del lat[: len(lat) - self.MAX_LATENCY_SAMPLES]
+
     def call_tool(self, method: str, params: dict) -> Any:
-        """One tool invocation: guard, read-retry, persist cleanup.
-        Raises RpcError (-32601 unknown tool, -32602 bad params),
-        MutationOverlap, or the handler's own failure."""
+        """One tool invocation: guard, read-retry, persist cleanup,
+        per-tool metrics. Raises RpcError (-32601 unknown tool, -32602
+        bad params), MutationOverlap, or the handler's own failure."""
+        t0 = time.time()
+        try:
+            result = self._call_tool_inner(method, params)
+        except Exception:
+            self._record_metric(method, t0, ok=False)
+            raise
+        self._record_metric(method, t0, ok=True)
+        return result
+
+    def _call_tool_inner(self, method: str, params: dict) -> Any:
         entry = self._methods.get(method)
         if entry is None:
             raise RpcError(-32601, f"unknown method: {method}")

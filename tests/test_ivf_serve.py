@@ -145,3 +145,47 @@ def test_incremental_append_matches_full_rebuild(spark, tmp_path):
     assert [(h["neighbor_id"], h["cos"]) for h in got] == [
         (h["neighbor_id"], h["cos"]) for h in want
     ]
+
+
+def test_cell_compaction_moves_bytes_not_rows(spark, tmp_path):
+    """compact_ivf_cells: appended cells collapse to one file each,
+    untouched cells keep their files, rows and serving answers are
+    byte-for-byte unaffected."""
+    import glob
+    import os
+
+    from mcp_local_rag_spark.plans.ann_index import (
+        append_to_ivf_index,
+        compact_ivf_cells,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    path = str(tmp_path / "ann_cmp")
+    write_ivf_index(
+        emb.filter(F.col("vec_id") % 3 == 0).withColumn("cell", F.col("label")),
+        path, sort_cols=("vec_id",),
+    )
+    append_to_ivf_index(
+        emb.filter(F.col("vec_id") % 3 == 1).withColumn("cell", F.col("label")),
+        path, sort_cols=("vec_id",),
+    )
+    before = {
+        (r.vec_id, r.cell)
+        for r in read_ivf_cells(spark, path).select("vec_id", "cell").collect()
+    }
+    frag_cells = [
+        d for d in glob.glob(os.path.join(path, "cell=*"))
+        if len(glob.glob(os.path.join(d, "*.parquet"))) >= 2
+    ]
+    assert frag_cells, "appends fragmented at least one cell"
+    n = compact_ivf_cells(spark, path, sort_cols=("vec_id",))
+    assert n == len(frag_cells)
+    for d in glob.glob(os.path.join(path, "cell=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+    after = {
+        (r.vec_id, r.cell)
+        for r in read_ivf_cells(spark, path).select("vec_id", "cell").collect()
+    }
+    assert after == before
+    # second pass: nothing to do
+    assert compact_ivf_cells(spark, path) == 0

@@ -308,3 +308,19 @@ def test_request_cache_hygiene(served, spark):
         assert n_after <= n_before + 1, (n_before, n_after)
     finally:
         warm.unpersist()
+
+
+def test_metrics_tool(served):
+    """Per-tool observability: calls/errors counted, latency percentiles
+    over the bounded reservoir, errors recorded as errors."""
+    server, _ = served
+    for _ in range(3):
+        _call(server, "get_status")
+    _call(server, "query_documents", {"query": "  "})  # validation error
+    res = _call(server, "metrics")["result"]
+    assert res["uptime_s"] > 0
+    st = res["tools"]["get_status"]
+    assert st["calls"] >= 3 and st["errors"] == 0
+    assert st["p50_ms"] is not None and st["p95_ms"] >= st["p50_ms"]
+    qd = res["tools"]["query_documents"]
+    assert qd["errors"] >= 1
