@@ -189,3 +189,24 @@ def test_cell_compaction_moves_bytes_not_rows(spark, tmp_path):
     assert after == before
     # second pass: nothing to do
     assert compact_ivf_cells(spark, path) == 0
+
+
+def test_quantized_cells_memory_and_recall(spark, index):
+    """quantized=True: resident cell cache shrinks ~8x (int8 vs float64)
+    while recall@10 vs the exact server stays >= 0.95 over a query
+    sample, and the result contract (rounded cos, id ties) holds."""
+    exact = IvfVectorServer(index)
+    quant = IvfVectorServer(index, quantized=True)
+    emb = load(spark, SF, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 30).collect()
+    hits = total = 0
+    for r in qrows:
+        cells = exact.probe_cells(r.embedding, nprobe=2)
+        want = {h["neighbor_id"] for h in exact.query(r.embedding, 10, cells=cells)}
+        got = {h["neighbor_id"] for h in quant.query(r.embedding, 10, cells=cells)}
+        hits += len(want & got)
+        total += len(want)
+    assert total > 0 and hits / total >= 0.95, hits / total
+    # same cells resident on both servers -> ~8x memory ratio
+    ratio = exact.cached_bytes() / max(1, quant.cached_bytes())
+    assert ratio > 6.0, ratio
