@@ -101,3 +101,123 @@ def export_packed_parquet(
         .partitionBy(shard_col)
         .parquet(path)
     )
+
+
+MANIFEST_FILE = "_manifest.json"
+
+
+def _shard_files(path: str, shard_col: str) -> dict[str, dict]:
+    """Per-shard data-file census (count + bytes) from the directory
+    layout — no Spark job."""
+    import glob
+    import os
+
+    out: dict[str, dict] = {}
+    for d in sorted(glob.glob(os.path.join(path, f"{shard_col}=*"))):
+        key = os.path.basename(d).split("=", 1)[1]
+        files = [
+            f
+            for f in glob.glob(os.path.join(d, "*"))
+            if os.path.isfile(f) and not os.path.basename(f).startswith((".", "_"))
+        ]
+        out[key] = {
+            "n_files": len(files),
+            "bytes": sum(os.path.getsize(f) for f in files),
+        }
+    return out
+
+
+def write_export_manifest(
+    spark,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    shard_col: str = "lang",
+) -> dict:
+    """Stamp the export with a verifiable manifest: per-shard record
+    counts, an ORDER-INSENSITIVE content checksum (sum of bounded row
+    hashes over the sorted column set — one grouped aggregate, no
+    collect beyond the shard table), and the file census. The manifest is
+    what a training run records next to its data config; `verify_export_
+    manifest` recomputes everything from the shards and reports drift —
+    the reproducibility handshake for the pipeline's last mile."""
+    import json
+    import os
+
+    df = spark.read.json(path) if fmt == "json" else spark.read.parquet(path)
+    cols = sorted(c for c in df.columns)
+    row_hash = F.pmod(
+        F.xxhash64(*[F.col(c).cast("string") for c in cols]), F.lit(2**32)
+    )
+    per = {
+        str(r["shard"]): {"records": r["records"], "content_sum": r["content_sum"]}
+        for r in df.groupBy(F.col(shard_col).cast("string").alias("shard"))
+        .agg(
+            F.count("*").alias("records"),
+            F.sum(row_hash).alias("content_sum"),
+        )
+        .collect()
+    }
+    files = _shard_files(path, shard_col)
+    manifest = {
+        "format": fmt,
+        "shard_col": shard_col,
+        "columns": cols,
+        "total_records": sum(s["records"] for s in per.values()),
+        "shards": {
+            k: {**per.get(k, {"records": 0, "content_sum": 0}), **files.get(k, {})}
+            for k in sorted(set(per) | set(files))
+        },
+    }
+    with open(os.path.join(path, MANIFEST_FILE), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def verify_export_manifest(spark, path: str) -> list[str]:
+    """Recompute the manifest from the shards and diff — [] means the
+    export is byte-movement-safe (counts, content checksums, and the
+    file census all reproduce)."""
+    import json
+    import os
+
+    with open(os.path.join(path, MANIFEST_FILE)) as f:
+        want = json.load(f)
+    # recompute WITHOUT rewriting the stamp
+    df = (
+        spark.read.json(path)
+        if want["format"] == "json"
+        else spark.read.parquet(path)
+    )
+    cols = sorted(df.columns)
+    problems: list[str] = []
+    if cols != want["columns"]:
+        problems.append(f"columns drifted: {cols} != {want['columns']}")
+        return problems
+    row_hash = F.pmod(
+        F.xxhash64(*[F.col(c).cast("string") for c in cols]), F.lit(2**32)
+    )
+    per = {
+        str(r["shard"]): (r["records"], r["content_sum"])
+        for r in df.groupBy(
+            F.col(want["shard_col"]).cast("string").alias("shard")
+        )
+        .agg(F.count("*").alias("records"), F.sum(row_hash).alias("content_sum"))
+        .collect()
+    }
+    files = _shard_files(path, want["shard_col"])
+    for k, rec in want["shards"].items():
+        got_r, got_c = per.get(k, (0, 0))
+        if got_r != rec["records"]:
+            problems.append(f"shard {k}: records {got_r} != {rec['records']}")
+        if got_c != rec["content_sum"]:
+            problems.append(f"shard {k}: content checksum drifted")
+        fc = files.get(k, {"n_files": 0, "bytes": 0})
+        if rec.get("n_files") is not None and fc["n_files"] != rec["n_files"]:
+            problems.append(
+                f"shard {k}: file count {fc['n_files']} != {rec['n_files']}"
+            )
+    extra = set(per) - set(want["shards"])
+    for k in sorted(extra):
+        problems.append(f"unexpected shard {k}")
+    return problems

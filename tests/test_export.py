@@ -124,3 +124,37 @@ def test_materialization_run_end_to_end(spark, tmp_path):
     exported = {r.doc_id for r in back.select("doc_id").collect()}
     assert not (rejects & exported)
     pipe.unpersist()
+
+
+def test_export_manifest_roundtrip_and_drift_detection(spark, tmp_path):
+    """write_export_manifest stamps per-shard counts + order-insensitive
+    content checksums + file census; verify reproduces [] on an intact
+    export and names the shard when a data file disappears."""
+    import glob
+    import os
+
+    from mcp_local_rag_spark.plans.export import (
+        export_packed_parquet,
+        verify_export_manifest,
+        write_export_manifest,
+    )
+    from mcp_local_rag_spark.session import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    path = str(tmp_path / "shards")
+    export_packed_parquet(docs, path)
+    manifest = write_export_manifest(spark, path, fmt="parquet")
+    assert manifest["total_records"] == docs.count()
+    assert manifest["shards"] and all(
+        s["records"] > 0 and s["n_files"] >= 1 for s in manifest["shards"].values()
+    )
+    assert verify_export_manifest(spark, path) == []
+    # tamper: drop one shard's data file -> verify names that shard
+    victim_dir = sorted(glob.glob(os.path.join(path, "lang=*")))[0]
+    victim_key = os.path.basename(victim_dir).split("=", 1)[1]
+    os.remove(glob.glob(os.path.join(victim_dir, "*.parquet"))[0])
+    spark.catalog.refreshByPath(path)
+    problems = verify_export_manifest(spark, path)
+    assert problems and any(victim_key in p for p in problems)
