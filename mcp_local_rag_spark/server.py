@@ -698,6 +698,7 @@ class McpServer:
     """
 
     PROTOCOL_VERSION = "2025-06-18"
+    SUPPORTED_VERSIONS = ("2025-06-18", "2025-03-26", "2024-11-05")
     SERVER_NAME = "rag-mcp-server"  # reference src/server/index.ts:267
 
     def __init__(self, rpc: RagRpcServer):
@@ -728,10 +729,11 @@ class McpServer:
                 params = request.get("params") or {}
                 client = params.get("protocolVersion")
                 return _ok(rid, {
-                    # echo a supported client version, else answer ours
-                    # (MCP version negotiation)
+                    # MCP version negotiation: echo the client's version
+                    # when we support it, otherwise answer our latest and
+                    # let the client decide (the spec's server behavior)
                     "protocolVersion": client
-                    if isinstance(client, str) and client
+                    if client in self.SUPPORTED_VERSIONS
                     else self.PROTOCOL_VERSION,
                     "capabilities": {"tools": {}},
                     "serverInfo": {

@@ -345,3 +345,16 @@ def test_dispatcher_never_crashes_on_arbitrary_requests(mcp):
         assert resp2 is None or ("result" in resp2) != ("error" in resp2)
 
     _fuzz()
+
+
+def test_initialize_version_negotiation(mcp):
+    """Supported client versions echo back; unknown ones answer the
+    server's latest (the client then decides whether to proceed)."""
+    server, _ = mcp
+    for v in ("2024-11-05", "2025-06-18"):
+        res = _req(server, "initialize", {"protocolVersion": v,
+                                          "capabilities": {}, "clientInfo": {}})
+        assert res["result"]["protocolVersion"] == v
+    res = _req(server, "initialize", {"protocolVersion": "1999-01-01",
+                                      "capabilities": {}, "clientInfo": {}})
+    assert res["result"]["protocolVersion"] == "2025-06-18"
