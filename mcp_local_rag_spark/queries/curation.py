@@ -725,13 +725,20 @@ ratio AS (
 ),
 perdoc AS (
   SELECT doc_id, b, count(*)::BIGINT AS c FROM tb GROUP BY doc_id, b
+),
+sums AS (
+  SELECT p.doc_id,
+         sum(p.c)::BIGINT AS n_tokens,
+         sum(p.c * ratio.micro)::BIGINT AS wmicro
+  FROM perdoc p JOIN ratio USING (b)
+  GROUP BY p.doc_id
 )
-SELECT p.doc_id,
-       sum(p.c)::BIGINT AS n_tokens,
-       round(sum(p.c * ratio.micro) / 1000000.0 / sum(p.c), 6) + 0 AS dsir_w
-FROM perdoc p JOIN ratio USING (b)
-GROUP BY p.doc_id
-ORDER BY p.doc_id""",
+SELECT doc_id, n_tokens,
+       (CASE WHEN wmicro < 0
+             THEN -((-2 * wmicro + n_tokens) // (2 * n_tokens))
+             ELSE (2 * wmicro + n_tokens) // (2 * n_tokens) END)
+       / 1000000.0 + 0 AS dsir_w
+FROM sums ORDER BY doc_id""",
 )
 def q_corpus_dsir_weights(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
@@ -762,25 +769,36 @@ def q_corpus_dsir_weights(spark, sf_dir):
     tgt = perdoc.filter(F.col("lang") == "en").groupBy("b").agg(
         F.sum("c").alias("t")
     )
-    tot = raw.agg(F.sum("r").alias("rtot")).crossJoin(
-        tgt.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("ttot"))
-    )
-    ratio = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            F.round(
-                F.log(
-                    ((F.coalesce(F.col("t"), F.lit(0)) + 1.0) * (F.col("rtot") + _DSIR_B))
-                    / ((F.col("r") + 1.0) * (F.col("ttot") + _DSIR_B))
+    # the ratio table is <= B = 4096 rows regardless of corpus size, so it
+    # folds on the DRIVER with python's math.log — the same glibc log
+    # DuckDB's ln() calls, unlike the JVM's StrictMath.log, which drifts
+    # an ulp on knife-edge buckets and flipped one micro unit at sf0.1.
+    # The numerator/denominator products stay exact integers (< 2^53),
+    # so the ONLY float op in the contract is that one shared log.
+    import math
+
+    raw_counts = {int(r["b"]): int(r["r"]) for r in raw.collect()}
+    tgt_counts = {int(r["b"]): int(r["t"]) for r in tgt.collect()}
+    rtot = sum(raw_counts.values())
+    ttot = sum(tgt_counts.values())
+    def _half_away(d: float) -> int:
+        # SQL round(): half away from zero (python's round is half-even)
+        return int(math.floor(abs(d) + 0.5)) * (1 if d >= 0 else -1)
+
+    ratio_rows = [
+        (
+            b,
+            _half_away(
+                math.log(
+                    ((tgt_counts.get(b, 0) + 1.0) * (rtot + _DSIR_B))
+                    / ((r + 1.0) * (ttot + _DSIR_B))
                 )
                 * 1000000
-            )
-            .cast("long")
-            .alias("micro"),
+            ),
         )
-    )
+        for b, r in sorted(raw_counts.items())
+    ]
+    ratio = spark.createDataFrame(ratio_rows, "b long, micro long")
     return (
         perdoc.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
@@ -791,8 +809,20 @@ def q_corpus_dsir_weights(spark, sf_dir):
         .select(
             "doc_id",
             "n_tokens",
+            # per-doc mean in INTEGER micro-units, half-away division —
+            # exact BIGINT arithmetic in both engines, so the output
+            # double (int / 1e6) is bit-identical with NO float round()
+            # in the contract. (round(double, 6) was the last knife edge:
+            # Spark's BigDecimal HALF_UP and DuckDB's float-path round
+            # disagreed on an exactly-half value at sf0.1.)
             (
-                F.round(F.col("_wmicro") / 1000000.0 / F.col("n_tokens"), 6)
+                F.when(
+                    F.col("_wmicro") < 0,
+                    -F.expr("div(-2 * _wmicro + n_tokens, 2 * n_tokens)"),
+                ).otherwise(
+                    F.expr("div(2 * _wmicro + n_tokens, 2 * n_tokens)")
+                )
+                / F.lit(1000000.0)
                 + F.lit(0.0)
             ).alias("dsir_w"),
         )

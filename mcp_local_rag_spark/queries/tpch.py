@@ -807,14 +807,26 @@ def q_customer_deciles(spark, sf_dir):
             i += n
             yield pdf
 
-    ranked = ranked_parts.mapInPandas(
-        _local_rn, "c_acctbal double, c_custkey long, pid int, rn long"
+    from ..plans.cache import persisted
+
+    # ONE materialization: the offsets below and the final aggregate must
+    # observe the SAME range partitioning. Two independent jobs over
+    # repartitionByRange can sample different boundaries (the scan's
+    # split packing is not pinned across jobs), and offsets computed from
+    # a differently-bounded run disagree with the ranks — at sf0.1 this
+    # produced uneven tiles and a phantom 11th decile. Persisting the
+    # ranked rows makes both consumers read one partitioning.
+    ranked = persisted(
+        ranked_parts.mapInPandas(
+            _local_rn, "c_acctbal double, c_custkey long, pid int, rn long"
+        )
     )
 
     # per-partition counts: a handful of rows — cumulative offsets are a
-    # driver-side fold broadcast back as a tiny join table
+    # driver-side fold broadcast back as a tiny join table. Derived from
+    # ``ranked`` itself (the cached frame), never a recomputation.
     counts = {r["pid"]: r["n"] for r in
-              ranked_parts.groupBy("pid").agg(F.count("*").alias("n")).collect()}
+              ranked.groupBy("pid").agg(F.count("*").alias("n")).collect()}
     total = sum(counts.values())
     offsets, acc = [], 0
     for pid in sorted(counts):
