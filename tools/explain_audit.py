@@ -166,8 +166,11 @@ COMMENTARY = {
     "corpus_dsir_weights": (
         "DSIR importance scoring: token->bucket is a map-only md5+mod; the "
         "target/raw distributions are 4096-row aggregates with map-side "
-        "partial combine; the log-ratio table broadcasts onto the per-"
-        "(doc,bucket) counts. The only corpus-sized shuffle is that one "
+        "partial combine; the log-ratio table folds on the DRIVER (<= "
+        "4096 rows at any corpus size, glibc log shared with the oracle) "
+        "and broadcasts onto the per-(doc,bucket) counts; the per-doc "
+        "average runs in integer micro-units (no float round in the "
+        "cross-engine contract). The only corpus-sized shuffle is the "
         "per-doc aggregate — the minimum any per-document scorer pays."
     ),
     "text_dedup_spans": (
