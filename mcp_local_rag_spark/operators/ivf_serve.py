@@ -32,7 +32,14 @@ from ..plans.ann_index import CENTROIDS_FILE, read_index_meta
 
 
 class IvfVectorServer:
-    """Partition-pruned vector serving over a plans/ann_index layout."""
+    """Partition-pruned vector serving over a plans/ann_index layout.
+
+    Concurrency contract: one server instance serves one request at a
+    time (the cell LRU mutates per query). Concurrent callers take one
+    instance each — cells are immutable parquet, so instances share the
+    page cache even though they don't share the decoded LRU. This is the
+    same single-consumer posture as the other sidecars' snapshot swap.
+    """
 
     def __init__(
         self,
