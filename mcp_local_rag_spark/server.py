@@ -280,9 +280,14 @@ class RagRpcServer:
         if not isinstance(idx, int) or isinstance(idx, bool) or idx < 0:
             raise RpcError(-32602, "chunkIndex must be a non-negative integer")
         before, after = params.get("before", 2), params.get("after", 2)
+        coerced = []
         for name, v in (("before", before), ("after", after)):
+            if isinstance(v, float) and v.is_integer():
+                v = int(v)  # MCP schemas say "number"; 2.0 over the wire is 2
             if not isinstance(v, int) or isinstance(v, bool) or not (0 <= v <= 50):
                 raise RpcError(-32602, f"{name} must be an integer in [0, 50]")
+            coerced.append(v)
+        before, after = coerced
         target = source_to_path(src, self.engine.db_path) if has_src else fp
         rows = self.neighbors.read(target, idx, before=before, after=after)
         restored = path_to_source(target, self.engine.db_path)
