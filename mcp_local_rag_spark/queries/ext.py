@@ -1972,3 +1972,128 @@ def q_corpus_decontaminate_fuzzy(spark, sf_dir):
         F.col("id2").alias("bench_or_train_hi"),
         "jaccard",
     ).orderBy("bench_or_train_lo", "bench_or_train_hi")
+
+
+# Containment similarity (Broder): |A ∩ B| / |A| over shingle sets —
+# the ASYMMETRIC near-dup measure that catches documents CONTAINED in a
+# larger one (quotes, excerpts, prefix republications), which resemblance
+# (Jaccard) under-scores. Candidates come from the SAME banded LSH
+# blocking as dedup_minhash_lsh (never all-pairs); the containment is an
+# exact shingle-intersection count over candidate pairs only. Float
+# discipline: containment = intersection / |A| is a ratio of INTEGERS —
+# emitted in half-away micro-units via exact BIGINT division, so no
+# float round() sits in the cross-engine contract.
+
+@register(
+    "dedup_containment",
+    f"""WITH {CORPUS_CTE.strip()}, {SHINGLES_CTE.strip()}, {SIGS_CTE.strip()},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.id1, p.id2, count(*)::BIGINT AS i
+  FROM pairs p
+  JOIN shingles s1 ON s1.doc_id = p.id1
+  JOIN shingles s2 ON s2.doc_id = p.id2 AND s2.shingle = s1.shingle
+  GROUP BY p.id1, p.id2
+)
+SELECT i.id1, i.id2,
+       ((2 * i.i * 1000000 + z1.sz) // (2 * z1.sz)) / 1000000.0 + 0 AS containment_1in2,
+       ((2 * i.i * 1000000 + z2.sz) // (2 * z2.sz)) / 1000000.0 + 0 AS containment_2in1
+FROM inter i
+JOIN sizes z1 ON z1.doc_id = i.id1
+JOIN sizes z2 ON z2.doc_id = i.id2
+ORDER BY id1, id2""",
+)
+def q_dedup_containment(spark, sf_dir):
+    corpus = _dedup_corpus(spark, sf_dir)
+    sh = dedup.shingle_sets(corpus).persist()
+    sh.count()
+    sigs = dedup.minhash_signatures(sh)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("id1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("id2"), "shingle")
+    inter = (
+        pairs.join(s1, "id1")
+        .join(s2, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("i"))
+    )
+
+    def _micro(i_col, sz_col):
+        # half-away integer division in micro-units (exact BIGINT both
+        # engines), then one double division — no float round()
+        return F.expr(f"div(2 * {i_col} * 1000000 + {sz_col}, 2 * {sz_col})") / F.lit(
+            1000000.0
+        ) + F.lit(0.0)
+
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("_z1")), "id1")
+        .join(sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("_z2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            _micro("i", "_z1").alias("containment_1in2"),
+            _micro("i", "_z2").alias("containment_2in1"),
+        )
+        .orderBy("id1", "id2")
+    )
+
+
+# N-gram novelty curve — the dataset-staleness diagnostic: for each
+# document (in doc_id order, the ingestion order proxy), the fraction of
+# its distinct shingles NEVER seen in any earlier document. A corpus of
+# fresh text holds a high floor; template/boilerplate growth shows up as
+# decay. First-occurrence is one min() aggregate on the shingle hash —
+# linear, no self-join — and the per-doc fraction is again an exact
+# integer ratio in micro-units.
+
+@register(
+    "corpus_ngram_novelty",
+    """WITH tokd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM tokd, unnest(range(1, len(toks) - 1)) AS r(i)
+  WHERE len(toks) >= 3
+),
+first_seen AS (SELECT shingle, min(doc_id) AS fd FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT s.doc_id,
+         count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END)::BIGINT AS novel
+  FROM sh s JOIN first_seen f USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, novel,
+       ((2 * novel * 1000000 + n_shingles) // (2 * n_shingles)) / 1000000.0 + 0
+         AS novelty
+FROM per_doc ORDER BY doc_id""",
+)
+def q_corpus_ngram_novelty(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = dedup.shingle_sets(docs).persist()
+    sh.count()
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("fd"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "novel",
+        (
+            F.expr("div(2 * novel * 1000000 + n_shingles, 2 * n_shingles)")
+            / F.lit(1000000.0)
+            + F.lit(0.0)
+        ).alias("novelty"),
+    ).orderBy("doc_id")
