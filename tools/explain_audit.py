@@ -236,6 +236,19 @@ COMMENTARY = {
         "as a recursive CTE; integer vectors make every cosine "
         "bit-identical across engines."
     ),
+    "dedup_containment": (
+        "Containment over LSH candidates: the blocking is the banded "
+        "self-join (never all-pairs); intersection counts are one "
+        "equi-join on (doc, shingle) restricted to candidate pairs, so "
+        "work scales with candidate volume x shingles/doc, linear in "
+        "the blocked output. Ratios leave in exact BIGINT micro-units."
+    ),
+    "corpus_ngram_novelty": (
+        "First-occurrence novelty: one min() aggregate on the shingle "
+        "stream (map-side combinable) + one join back — no self-join, "
+        "no window over the corpus. The per-doc fraction is an exact "
+        "integer micro-division."
+    ),
     "pdf_visual_detect": (
         "Byte-level visual detection: PDF construction and block "
         "extraction are one mapInPandas stage each (parallel across "
