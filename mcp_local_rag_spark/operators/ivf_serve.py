@@ -49,6 +49,7 @@ class IvfVectorServer:
         vec_col: str = "embedding",
         max_cached_cells: int = 64,
         quantized: bool = False,
+        payload_cols: tuple[str, ...] = (),
     ):
         self._path = index_path
         self._id_col = id_col
@@ -62,7 +63,11 @@ class IvfVectorServer:
         # exact on the synthetic corpus, pytest-pinned). The memory story
         # for dense hot-cell caches at scale; exact mode stays the default
         self.quantized = quantized
-        # cell -> (ids, matrix, norms); OrderedDict as LRU
+        # extra columns carried through to result rows (e.g. the chunks
+        # table's filePath/chunkIndex when serving the RAG corpus by its
+        # uuid id) — read with the cell, never re-joined per query
+        self.payload_cols = tuple(payload_cols)
+        # cell -> (ids, matrix, norms, scale, payloads); OrderedDict as LRU
         self._cells: OrderedDict[int, tuple] = OrderedDict()
         self._dataset = None
         self.cell_loads = 0  # observability: parquet reads performed
@@ -124,7 +129,7 @@ class IvfVectorServer:
         import pyarrow.dataset as ds
 
         tbl = self._dataset_of().to_table(
-            columns=[self._id_col, self._vec_col],
+            columns=[self._id_col, self._vec_col, *self.payload_cols],
             filter=ds.field(self._cell_col) == int(cell),
         )
         self.cell_loads += 1
@@ -137,6 +142,9 @@ class IvfVectorServer:
             mat = np.asarray(flat, dtype=np.float64).reshape(n, -1)
         else:
             mat = np.zeros((0, 1), dtype=np.float64)
+        payloads = {
+            c: tbl[c].to_pylist() for c in self.payload_cols
+        }
         if self.quantized and n:
             # symmetric per-dimension scale: q = round(x / scale_d),
             # scale_d = max|x_d| / 127. Norms kept exact (float64 vector
@@ -144,9 +152,9 @@ class IvfVectorServer:
             scale = np.abs(mat).max(axis=0) / 127.0
             scale[scale == 0.0] = 1.0
             qmat = np.clip(np.round(mat / scale), -127, 127).astype(np.int8)
-            entry = (ids, qmat, np.linalg.norm(mat, axis=1), scale)
+            entry = (ids, qmat, np.linalg.norm(mat, axis=1), scale, payloads)
         else:
-            entry = (ids, mat, np.linalg.norm(mat, axis=1), None)
+            entry = (ids, mat, np.linalg.norm(mat, axis=1), None, payloads)
         self._cells[cell] = entry
         while len(self._cells) > self.max_cached_cells:
             self._cells.popitem(last=False)
@@ -176,9 +184,9 @@ class IvfVectorServer:
         q = np.asarray(query_vec, dtype=np.float64)
         qn = float(np.linalg.norm(q))
         probe = cells if cells is not None else self.probe_cells(q, nprobe)
-        out_ids, out_cos, out_cell = [], [], []
+        out_ids, out_cos, out_cell, out_rows = [], [], [], []
         for cell in probe:
-            ids, mat, norms, scale = self._load_cell(cell)
+            ids, mat, norms, scale, payloads = self._load_cell(cell)
             if not len(ids):
                 continue
             denom = norms * qn
@@ -197,16 +205,37 @@ class IvfVectorServer:
             out_ids.append(ids)
             out_cos.append(np.round(cos, 6))
             out_cell.append(np.full(len(ids), cell, dtype=np.int64))
+            out_rows.append(payloads)
         if not out_ids:
             return []
         ids = np.concatenate(out_ids)
         cos = np.concatenate(out_cos)
         cel = np.concatenate(out_cell)
+        pay: dict[str, list] = {
+            c: [v for p in out_rows for v in p[c]] for c in self.payload_cols
+        }
         if exclude_id is not None:
             keep = ids != exclude_id
+            kept_idx = np.nonzero(keep)[0]
             ids, cos, cel = ids[keep], cos[keep], cel[keep]
-        order = np.lexsort((ids, -cos))[:k]
+            pay = {c: [vs[i] for i in kept_idx] for c, vs in pay.items()}
+        if ids.dtype == object:
+            # string ids (e.g. the chunks table's uuid): numpy lexsort
+            # doesn't take object keys — the cells are bounded, a python
+            # sort over the candidate rows preserves the same total order
+            order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))[:k]
+        else:
+            order = np.lexsort((ids, -cos))[:k]
+
+        def _py(v):
+            return v.item() if hasattr(v, "item") else v
+
         return [
-            {"neighbor_id": ids[i].item(), "cos": float(cos[i]), "cell": int(cel[i])}
+            {
+                "neighbor_id": _py(ids[i]),
+                "cos": float(cos[i]),
+                "cell": int(cel[i]),
+                **{c: pay[c][i] for c in self.payload_cols},
+            }
             for i in order
         ]

@@ -220,3 +220,49 @@ def read_ivf_cells(
     if cells is not None:
         df = df.filter(F.col(meta["cell_col"]).isin([int(c) for c in cells]))
     return df
+
+
+def build_chunks_ivf(
+    spark: SparkSession,
+    table_path: str,
+    index_path: str,
+    *,
+    n_cells: int | None = None,
+    seed: int = 42,
+) -> int:
+    """IVF index over the RAG CHUNKS table itself — the approximate
+    serving lane for the corpus the reference searches flat. KMeans cell
+    assignment (operators/similarity.ivf_assign: fit once, broadcast
+    model, map-only transform), then the standard cell-partitioned write
+    with payload columns (filePath, chunkIndex, text is deliberately NOT
+    copied — the serving hit carries the chunk's identity; text comes
+    from the chunks table / payload store like every other sidecar).
+    Returns the cell count. Serve with::
+
+        IvfVectorServer(index_path, id_col="id", vec_col="vector",
+                        payload_cols=("filePath", "chunkIndex"))
+
+    Approximation contract: this lane is OPT-IN and separate from
+    query_documents (which stays exact, the reference's behavior).
+    n_cells defaults to ~sqrt(rows) clamped to [4, 4096] — the standard
+    IVF sizing that keeps probed-cell cost ~sqrt(N) as the corpus grows.
+    """
+    from ..operators.similarity import ivf_assign
+
+    chunks = spark.read.parquet(table_path).select(
+        "id", "filePath", "chunkIndex", "vector"
+    )
+    if n_cells is None:
+        n_rows = chunks.count()
+        n_cells = max(4, min(4096, int(n_rows**0.5)))
+    assigned, _model = ivf_assign(
+        chunks, n_cells, id_col="id", vec_col="vector", seed=seed
+    )
+    write_ivf_index(
+        assigned.withColumnRenamed("label", "cell"),
+        index_path,
+        sort_cols=("filePath", "chunkIndex"),
+        meta={"source": f"chunks:{table_path}", "n_cells": int(n_cells)},
+        vec_col="vector",
+    )
+    return int(n_cells)

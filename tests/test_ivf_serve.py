@@ -210,3 +210,56 @@ def test_quantized_cells_memory_and_recall(spark, index):
     # same cells resident on both servers -> ~8x memory ratio
     ratio = exact.cached_bytes() / max(1, quant.cached_bytes())
     assert ratio > 6.0, ratio
+
+
+def test_chunks_corpus_ivf_lane(spark, tmp_path):
+    """build_chunks_ivf + payload serving over a REAL engine corpus: the
+    approximate lane returns (filePath, chunkIndex)-addressed hits whose
+    recall vs the exact full-matrix server is high, reading only probed
+    cells."""
+    from mcp_local_rag_spark.engine import RagEngine
+    from mcp_local_rag_spark.embedder import pseudo_embed
+    from mcp_local_rag_spark.operators.ivf_serve import IvfVectorServer
+    from mcp_local_rag_spark.operators.vector_serve import VectorSearchServer
+    from mcp_local_rag_spark.plans.ann_index import build_chunks_ivf
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    for i in range(12):
+        (d / f"doc{i}.md").write_text(
+            f"# Doc {i}\n\n" + " ".join(
+                f"topic{i} word{j} term{(i * 7 + j) % 23}" for j in range(60)
+            )
+        )
+    eng = RagEngine(spark, str(tmp_path / "chunks_ivf"), db_path=str(tmp_path / "db"))
+    eng.ingest_directory(str(d))
+
+    idx = str(tmp_path / "ann_chunks")
+    n_cells = build_chunks_ivf(spark, eng.table_path, idx, n_cells=4)
+    assert n_cells == 4
+    server = IvfVectorServer(
+        idx, id_col="id", vec_col="vector",
+        payload_cols=("filePath", "chunkIndex"),
+    )
+    exact = VectorSearchServer(eng.table_path)
+    _, dim = __import__(
+        "mcp_local_rag_spark.plans.ingest", fromlist=["table_embedding"]
+    ).table_embedding(eng.table_path)
+    hits = total = 0
+    for q in ("topic3 word5", "topic7 term2", "doc nine content", "word40 term11"):
+        qv = pseudo_embed(q, dim)
+        approx = server.query(qv, 5, nprobe=2)
+        assert approx and all(
+            "filePath" in h and "chunkIndex" in h for h in approx
+        )
+        got = {(h["filePath"], h["chunkIndex"]) for h in approx}
+        want = {(h["filePath"], h["chunkIndex"]) for h in exact.query(qv, 5)}
+        hits += len(got & want)
+        total += len(want)
+    assert hits / total >= 0.5, (hits, total)  # 2/4 cells probed
+    # full-probe == exact (the approximation is ONLY the probe set)
+    qv = pseudo_embed("topic3 word5", dim)
+    all_cells = sorted(int(c) for c in server._cent_cells)
+    full = [(h["filePath"], h["chunkIndex"]) for h in server.query(qv, 5, cells=all_cells)]
+    exact_rows = [(h["filePath"], h["chunkIndex"]) for h in exact.query(qv, 5)]
+    assert full == exact_rows
