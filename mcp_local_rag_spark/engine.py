@@ -99,6 +99,11 @@ class RagEngine:
         if postings_path == "auto":
             postings_path = table_path.rstrip("/") + "_fts"
         self.postings_path = postings_path
+        # OPT-IN approximate lane: the chunks-corpus IVF index lives next
+        # to the table; built on demand (build_ann_index), served by
+        # operators/ivf_serve — query_documents stays exact (the
+        # reference contract)
+        self.ann_index_path = table_path.rstrip("/") + "_ann"
         # ONE managed raw-data root for the whole engine: ingest_data writes
         # under it and query_documents restores sources against the SAME
         # root, so non-default roots round-trip (reference keeps a single
@@ -745,6 +750,44 @@ class RagEngine:
                 _nb(self.postings_path),
                 extra={"covers_table_version": tv},
             )
+
+    def build_ann_index(self, n_cells: int | None = None) -> int:
+        """Build/refresh the chunks-corpus IVF index (plans/ann_index.
+        build_chunks_ivf) and stamp the table version it covers. Returns
+        the cell count. Serving:
+
+            IvfVectorServer(engine.ann_index_path, id_col="id",
+                            vec_col="vector",
+                            payload_cols=("filePath", "chunkIndex"))
+        """
+        from .plans.ann_index import build_chunks_ivf
+        from .plans.ingest import table_n_buckets as _nb
+        from .plans.ingest import table_version, write_table_meta
+
+        n = build_chunks_ivf(
+            self.spark, self.table_path, self.ann_index_path, n_cells=n_cells
+        )
+        tv = table_version(self.table_path)
+        if tv is not None:
+            write_table_meta(
+                self.ann_index_path,
+                _nb(self.ann_index_path),
+                extra={"covers_table_version": tv},
+            )
+        return n
+
+    def ann_index_is_fresh(self) -> bool:
+        """Whether the ANN index covers the chunks table's CURRENT
+        content version (same restart handshake as the FTS index)."""
+        import os as _os
+
+        from .plans.ingest import read_table_meta, table_version
+
+        if not _os.path.isdir(self.ann_index_path):
+            return False
+        covered = read_table_meta(self.ann_index_path).get("covers_table_version")
+        tv = table_version(self.table_path)
+        return covered is not None and covered == tv
 
     # -- incremental sync (§2.7 plan + execute) ---------------------------
 

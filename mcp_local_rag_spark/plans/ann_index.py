@@ -252,9 +252,12 @@ def build_chunks_ivf(
     chunks = spark.read.parquet(table_path).select(
         "id", "filePath", "chunkIndex", "vector"
     )
+    n_rows = chunks.count()
     if n_cells is None:
-        n_rows = chunks.count()
         n_cells = max(4, min(4096, int(n_rows**0.5)))
+    # MLlib KMeans faults when k exceeds the row count (tiny corpora) —
+    # clamp; one cell is simply the flat layout
+    n_cells = max(1, min(int(n_cells), n_rows))
     assigned, _model = ivf_assign(
         chunks, n_cells, id_col="id", vec_col="vector", seed=seed
     )

@@ -263,3 +263,39 @@ def test_chunks_corpus_ivf_lane(spark, tmp_path):
     full = [(h["filePath"], h["chunkIndex"]) for h in server.query(qv, 5, cells=all_cells)]
     exact_rows = [(h["filePath"], h["chunkIndex"]) for h in exact.query(qv, 5)]
     assert full == exact_rows
+
+
+def test_engine_ann_lane_freshness_handshake(spark, tmp_path):
+    """engine.build_ann_index stamps the covered table version; a
+    mutation invalidates freshness until the next build."""
+    from mcp_local_rag_spark.engine import RagEngine
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    for i in range(4):
+        (d / f"doc{i}.md").write_text(
+            f"# Doc {i}\n\n" + " ".join(
+                f"substantial{i} corpus word{j} content" for j in range(50)
+            )
+        )
+    eng = RagEngine(spark, str(tmp_path / "chunks_h"), db_path=str(tmp_path / "db"))
+    eng.ingest_directory(str(d))
+    assert not eng.ann_index_is_fresh()
+    n = eng.build_ann_index(n_cells=2)
+    assert n == 2 and eng.ann_index_is_fresh()
+    eng.ingest_data(
+        "A new raw note with plenty of durable content to chunk, long "
+        "enough to clear the minimum chunk length comfortably this time.",
+        "note://x",
+    )
+    assert not eng.ann_index_is_fresh()  # table version moved
+    eng.build_ann_index(n_cells=2)
+    assert eng.ann_index_is_fresh()
+    server = IvfVectorServer(
+        eng.ann_index_path, id_col="id", vec_col="vector",
+        payload_cols=("filePath", "chunkIndex"),
+    )
+    from mcp_local_rag_spark.embedder import pseudo_embed
+    hits = server.query(pseudo_embed("raw note content", 64), 3,
+                        cells=sorted(int(c) for c in server._cent_cells))
+    assert any("raw-data" in h["filePath"] for h in hits)
