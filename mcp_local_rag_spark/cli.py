@@ -57,6 +57,12 @@ def _parser() -> argparse.ArgumentParser:
     nb.add_argument("--before", type=int, default=2)
     nb.add_argument("--after", type=int, default=2)
 
+    ab = sub.add_parser(
+        "ann-build", help="build/refresh the chunks-corpus IVF index"
+    )
+    ab.add_argument("--cells", type=int, default=None,
+                    help="cell count (default ~sqrt(rows))")
+
     srv = sub.add_parser(
         "serve", help="stdio server loop (MCP by default; --bare for the"
         " legacy method-per-tool JSON-RPC)"
@@ -119,6 +125,11 @@ def run(argv: list[str], engine, out=None) -> int:
         )
         keep = ("filePath", "chunkIndex", "text")
         emit({"chunks": [{k: r[k] for k in keep if k in r} for r in rows]})
+        return 0
+    if args.cmd == "ann-build":
+        n = engine.build_ann_index(n_cells=args.cells)
+        emit({"annIndexPath": engine.ann_index_path, "nCells": n,
+              "fresh": engine.ann_index_is_fresh()})
         return 0
     if args.cmd == "serve":
         from .server import McpServer, RagRpcServer

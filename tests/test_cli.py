@@ -57,3 +57,17 @@ def test_cli_surface_end_to_end(spark, tmp_path):
     assert deleted["deletedChunks"] >= 1
     (status3,) = _run(eng, "status")
     assert status3["documentCount"] == 1
+
+
+def test_cli_ann_build(spark, tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    for i in range(3):
+        (d / f"d{i}.md").write_text(
+            f"# D{i}\n\n" + " ".join(f"cli{i} corpus word{j}" for j in range(50))
+        )
+    eng = RagEngine(spark, str(tmp_path / "chunks_ann_cli"))
+    eng.ingest_directory(str(d))
+    (out,) = _run(eng, "ann-build", "--cells", "2")
+    assert out["nCells"] == 2 and out["fresh"] is True
+    assert out["annIndexPath"].endswith("_ann")
