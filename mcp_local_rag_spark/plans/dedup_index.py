@@ -53,6 +53,41 @@ def read_signatures(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def append_signature_batch(
+    docs: DataFrame,
+    path: str,
+    *,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """IDEMPOTENT per-batch signature append for at-least-once streaming
+    sinks: the batch's signatures land as ONE deterministically-named
+    parquet file (``batch-<id>``) via an atomic tmp+rename, so a replayed
+    micro-batch overwrites identical bytes instead of appending duplicate
+    rows — replay is a no-op, whatever the crash point.
+
+    Driver-side write is bounded by construction: a micro-batch holds at
+    most ``maxFilesPerTrigger`` documents and each contributes one narrow
+    signature row, so the Arrow collect is a few KB regardless of corpus
+    size. The tmp name is dot-prefixed so Spark's file listing never sees
+    a half-written footer.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    sigs = minhash_signatures(
+        shingle_sets(docs, id_col=id_col, text_col=text_col), id_col=id_col
+    )
+    table = sigs.toArrow()
+    os.makedirs(path, exist_ok=True)
+    final = os.path.join(path, f"batch-{batch_id}.snappy.parquet")
+    tmp = os.path.join(path, f".batch-{batch_id}.tmp")
+    pq.write_table(table, tmp, compression="snappy")
+    os.replace(tmp, final)
+
+
 def incremental_dedup(
     spark: SparkSession,
     path: str,

@@ -505,10 +505,36 @@ class RagRpcServer:
         """Register the job record and return the jobId IMMEDIATELY; the
         run is a background thread that releases the guard on terminal
         state (reference :1075-1103). The guard is handed over to the
-        thread — dispatch acquires it, the worker releases it."""
+        thread — dispatch acquires it, the worker releases it.
+
+        ``path`` is optional, as tool_definitions advertises (and the
+        reference's sync core implements, src/features/sync.ts:502-528):
+        omitted → one job syncing every configured base directory;
+        supplied with base dirs configured → must lie under one of them
+        (reference outsideConfiguredRootsMessage, sync.ts:365-366);
+        supplied with no base dirs configured → accepted as-is (the
+        legacy single-root mode)."""
         root = params.get("path")
-        if not isinstance(root, str) or not root:
-            raise RpcError(-32602, "path must be a non-empty string")
+        if root is not None and (not isinstance(root, str) or not root):
+            raise RpcError(-32602, "path must be a non-empty string when provided")
+        if root is None:
+            if not self.base_dirs:
+                raise RpcError(
+                    -32602,
+                    "path is required: no base directories are configured",
+                )
+            roots = list(self.base_dirs)
+        else:
+            ap = os.path.abspath(root)
+            if self.base_dirs and not any(
+                ap == b or ap.startswith(b.rstrip(os.sep) + os.sep)
+                for b in self.base_dirs
+            ):
+                raise RpcError(
+                    -32602,
+                    f"Sync path is outside every configured root: {root}",
+                )
+            roots = [root]
         job_id = str(uuid.uuid4())
         record = {"jobId": job_id, "state": "running", "counters": None, "error": None}
         # bounded job history: evict the oldest TERMINAL records beyond the
@@ -523,9 +549,18 @@ class RagRpcServer:
 
         def _run():
             try:
-                rep = self.engine.sync(root)
-                record["counters"] = rep.counters
-                record["warnings"] = rep.warnings
+                # one job covering each root: merged counters, concatenated
+                # warnings — the record shape is identical to a single-root
+                # run, so sync_status_mcp needs no changes
+                counters: dict[str, int] = {}
+                warnings: list[str] = []
+                for r in roots:
+                    rep = self.engine.sync(r)
+                    for k, v in rep.counters.items():
+                        counters[k] = counters.get(k, 0) + v
+                    warnings.extend(rep.warnings)
+                record["counters"] = counters
+                record["warnings"] = warnings
                 record["state"] = "completed"
             except Exception as e:  # terminal state, never crash the loop
                 record["error"] = f"{type(e).__name__}: {e}"
@@ -582,6 +617,12 @@ class RagRpcServer:
     MAX_LATENCY_SAMPLES = 512  # per-tool reservoir for percentile estimates
 
     def _record_metric(self, method: str, t0: float, ok: bool) -> None:
+        # client-supplied junk method names (the -32601 path) must not
+        # grow the metric map without bound on a long-lived server: only
+        # registered tools get their own key; everything else shares one
+        # 'unknown' bucket
+        if method not in self._methods:
+            method = "unknown"
         with self._metrics_lock:
             m = self._metrics.setdefault(
                 method, {"calls": 0, "errors": 0, "latencies_ms": []}
@@ -723,9 +764,11 @@ class McpServer:
         """One JSON-RPC message; None for notifications (no response)."""
         method = request.get("method")
         rid = request.get("id")
-        if rid is None and isinstance(method, str) and method.startswith(
-            "notifications/"
-        ):
+        if rid is None:
+            # JSON-RPC 2.0: ANY message without an id is a notification
+            # and MUST NOT receive a response — not only methods under
+            # the notifications/ prefix (an "id": null reply to one is a
+            # spec violation). Side effects still apply.
             if method == "notifications/initialized":
                 self._initialized = True
             return None

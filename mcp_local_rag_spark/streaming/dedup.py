@@ -9,14 +9,17 @@ the table stays current. The batch operator and this watcher agree
 row-for-row because signatures are deterministic (operators/dedup
 constants) — a backfill and the stream produce the same pairs.
 
-Effectively-once: foreachBatch is at-least-once, and both sinks here
-(pairs log + signature table) are non-idempotent appends, so the watcher
-reuses the marker-file discipline of streaming/watch (_mark_batch_applied
-written after both appends; a re-delivered fully-applied batch is
-skipped). A crash strictly between the two appends can leave a batch's
-pairs logged without its signatures — the next full rebuild
-(write_signatures overwrite) is the documented repair, same posture as
-postings compaction.
+Effectively-once: foreachBatch is at-least-once, and BOTH sinks here are
+idempotent per batch — the pairs log is partitioned by batch_id and
+written with dynamic partition overwrite (a replay rewrites only its own
+partition), and the signature append is one deterministically-named file
+per batch (plans/dedup_index.append_signature_batch, atomic tmp+rename).
+A crash at ANY point therefore makes replay a no-op: even a replay whose
+signatures already landed recomputes the identical pair set, because
+incremental_candidate_pairs orders ids (id1 < id2), drops self-pairs,
+and dedups — the batch band-joining its own persisted copy adds no rows.
+The marker file (_mark_batch_applied) survives only as a cheap
+skip-fast-path for fully-applied batches.
 
 Scale posture: one micro-batch holds <= max_files_per_trigger documents;
 the band join's corpus side is an equi-join on (band, band_key) against
@@ -53,7 +56,7 @@ def stream_dedup(
     handles the empty-corpus case), so the watcher can be started on an
     empty corpus directory.
     """
-    from ..plans.dedup_index import incremental_dedup, write_signatures
+    from ..plans.dedup_index import append_signature_batch, incremental_dedup
 
     raw = (
         spark.readStream.format("text")
@@ -70,25 +73,28 @@ def stream_dedup(
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty() or _batch_already_applied(checkpoint_dir, batch_id):
             return
-        # persistence order matches the documented crash contract: pairs
-        # log FIRST, signatures second. A crash between the two appends
-        # leaves "pairs logged without signatures" (the documented
-        # repair: full write_signatures rebuild) — never the reverse,
-        # where a replayed batch would band-join against its own
-        # already-appended signatures and duplicate signature rows.
+        # both sinks are idempotent per batch (module docstring), so the
+        # order of the two writes no longer carries a crash contract. If
+        # the batch's own signature file already landed (crash after the
+        # sig write), the corpus side includes the batch — the recomputed
+        # pair set is still identical because incremental_candidate_pairs
+        # drops self-pairs and dedups.
         pairs = incremental_dedup(
             spark, sig_path, batch, id_col="doc_id", text_col="text", append=False
         )
         (
             pairs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(pairs_path)
         )
         # signatures are deterministic (operators/dedup constants), so
-        # re-signing the micro-batch here appends exactly the rows
-        # incremental_dedup computed internally
-        write_signatures(
-            batch, sig_path, id_col="doc_id", text_col="text", mode="append"
+        # re-signing the micro-batch writes exactly the rows
+        # incremental_dedup computed internally — as one atomic
+        # batch-named file a replay overwrites byte-for-byte
+        append_signature_batch(
+            batch, sig_path, batch_id=batch_id, id_col="doc_id", text_col="text"
         )
         spark.catalog.refreshByPath(sig_path)
         _mark_batch_applied(checkpoint_dir, batch_id)

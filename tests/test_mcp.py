@@ -195,6 +195,72 @@ def test_sync_lifecycle_reference_record(mcp):
     assert status["documentCount"] >= 2
 
 
+def _await_sync(server, job_id):
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        rec = _payload(_tool(server, "sync_status", {"jobId": job_id}))
+        if rec["state"] != "running":
+            return rec
+        time.sleep(0.5)
+    raise AssertionError("sync did not terminate")
+
+
+def test_sync_start_path_optional_covers_base_dirs(mcp, tmp_path):
+    """tool_definitions advertises path as optional ('Omit it to
+    synchronize every configured base directory') — an omitted path must
+    run one job over self.base_dirs, not raise -32602."""
+    server, d = mcp
+    (d / "extra.md").write_text(
+        "# Extra\n\nAnother document with enough words to pass the length filter."
+    )
+    job = _payload(_tool(server, "sync_start", {}))
+    rec = _await_sync(server, job["jobId"])
+    assert rec["state"] == "succeeded", rec
+    assert rec["summary"]["upserted"] >= 1
+
+    # a path OUTSIDE every configured root is refused (reference
+    # outsideConfiguredRootsMessage, src/features/sync.ts:365-366)
+    outside = tmp_path / "elsewhere"
+    outside.mkdir()
+    resp = _tool(server, "sync_start", {"path": str(outside)})
+    assert resp["error"]["code"] == -32602
+    assert "outside every configured root" in resp["error"]["message"]
+
+
+def test_sync_start_no_path_no_base_dirs_rejected(spark, tmp_path):
+    eng = RagEngine(spark, str(tmp_path / "chunks_nb"), db_path=str(tmp_path / "dbnb"))
+    server = McpServer(RagRpcServer(eng))  # no base dirs configured
+    resp = _tool(server, "sync_start", {})
+    assert resp["error"]["code"] == -32602
+    assert "no base directories" in resp["error"]["message"]
+
+
+def test_idless_messages_are_notifications(mcp):
+    """JSON-RPC 2.0: any message without an id is a notification and gets
+    no response — regardless of method prefix. An 'id': null response to
+    one is a spec violation."""
+    server, _ = mcp
+    assert server.handle({"jsonrpc": "2.0", "method": "ping"}) is None
+    assert server.handle({"jsonrpc": "2.0", "method": "tools/list"}) is None
+    assert server.handle({"jsonrpc": "2.0", "method": "no/such"}) is None
+    # with an id, the same methods answer
+    assert _req(server, "ping")["result"] == {}
+
+
+def test_unknown_method_metrics_bounded(mcp):
+    """Junk method names must not grow the metrics map: all -32601 paths
+    share one 'unknown' bucket."""
+    server, _ = mcp
+    rpc = server.rpc
+    for i in range(50):
+        resp = _tool(server, f"junk_method_{i}")
+        assert resp["error"]["code"] == -32602  # MCP maps unknown tool
+    keys = set(rpc._metrics)
+    assert "unknown" in keys
+    assert not any(k.startswith("junk_method_") for k in keys)
+    assert rpc._metrics["unknown"]["errors"] >= 50
+
+
 def test_protocol_errors_and_overlap(mcp):
     server, _ = mcp
     # unknown tool -> InvalidParams protocol error, not a crash

@@ -894,6 +894,59 @@ def test_stream_dedup_incremental_pairs(spark, tmp_path):
     assert got2 == full
 
 
+def test_stream_dedup_replay_is_noop(spark, tmp_path):
+    """At-least-once replay safety: both dedup sinks are idempotent per
+    batch (batch_id-partitioned pairs with dynamic overwrite; one
+    deterministically-named signature file per batch), so replaying a
+    fully-applied batch — the worst crash window, signatures already
+    landed, marker lost — changes neither table."""
+    from mcp_local_rag_spark.streaming.dedup import stream_dedup
+
+    base = (
+        "spark shuffles data between executors during wide transformations "
+        "and broadcast joins avoid that shuffle for small dimension tables "
+        "while caching hot tables reduces repeated scans across queries"
+    )
+    watch = tmp_path / "drop"
+    watch.mkdir()
+    sig = str(tmp_path / "sigs")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    (watch / "a.md").write_text(base)
+    (watch / "b.md").write_text(base + " with a tiny tail difference")
+    q = stream_dedup(spark, str(watch), sig, pairs, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    def snapshot():
+        sig_rows = sorted(
+            tuple(r) for r in spark.read.parquet(sig).collect()
+        )
+        pair_rows = sorted(
+            (r.id1, r.id2, r.batch_id)
+            for r in spark.read.parquet(pairs).collect()
+        )
+        return sig_rows, pair_rows
+
+    before = snapshot()
+    assert len(before[0]) == 2 and len(before[1]) == 1
+
+    # simulate the crash-replay: wipe the checkpoint (stream offsets AND
+    # the applied-batch marker) so the same files re-deliver as the same
+    # batch_id with signatures already present in the table
+    import shutil
+
+    shutil.rmtree(ckpt)
+    spark.catalog.refreshByPath(sig)
+    spark.catalog.refreshByPath(pairs)
+    q2 = stream_dedup(spark, str(watch), sig, pairs, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    spark.catalog.refreshByPath(sig)
+    spark.catalog.refreshByPath(pairs)
+
+    assert snapshot() == before
+
+
 def test_stream_stream_click_attribution(spark, tmp_path):
     """Watermarked stream-stream interval join (streaming/joins): the
     availableNow drain equals the batch twin row-for-row; out-of-window
