@@ -19,8 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import (
     incremental_candidate_pairs,
-    minhash_signatures,
-    shingle_sets,
+    minhash_signatures_docs,
 )
 
 
@@ -43,9 +42,7 @@ def write_signatures(
     mode: str = "overwrite",
 ) -> None:
     """Shingle + sign ``docs`` and persist the signature table."""
-    sigs = minhash_signatures(
-        shingle_sets(docs, id_col=id_col, text_col=text_col), id_col=id_col
-    )
+    sigs = minhash_signatures_docs(docs, id_col=id_col, text_col=text_col)
     sigs.write.mode(mode).parquet(path)
 
 
@@ -77,9 +74,7 @@ def append_signature_batch(
 
     import pyarrow.parquet as pq
 
-    sigs = minhash_signatures(
-        shingle_sets(docs, id_col=id_col, text_col=text_col), id_col=id_col
-    )
+    sigs = minhash_signatures_docs(docs, id_col=id_col, text_col=text_col)
     table = sigs.toArrow()
     os.makedirs(path, exist_ok=True)
     final = os.path.join(path, f"batch-{batch_id}.snappy.parquet")
@@ -104,8 +99,8 @@ def incremental_dedup(
     incremental_candidate_pairs). Returns (id1, id2), materialized before
     the append so the result is stable against the table mutation.
     """
-    new_sigs = minhash_signatures(
-        shingle_sets(new_docs, id_col=id_col, text_col=text_col), id_col=id_col
+    new_sigs = minhash_signatures_docs(
+        new_docs, id_col=id_col, text_col=text_col
     ).persist()
     new_sigs.count()
     if _has_data(path):

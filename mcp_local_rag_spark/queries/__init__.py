@@ -143,16 +143,36 @@ _VERIFIED_R7 = {
 }
 
 
+_VERIFIED_R8 = {
+    "chunk_documents_oracle", "corpus_ngram_novelty",
+    "corpus_stratified_sample", "customer_balance_deciles", "dedup_containment",
+    "documents_profile", "events_asof_lastclick", "events_click_attribution",
+    "events_error_rate", "events_funnel", "events_moving_avg",
+    "events_range_prev_hour", "events_resample_ffill", "events_retention",
+    "events_rollup", "events_salted_agg", "events_topk_per_group", "gap_stats",
+    "grouping_similar", "knn_ivf_multiprobe", "parsed_csv_roundtrip",
+    "parsed_docx_roundtrip", "parsed_html_roundtrip", "parsed_jsonl_roundtrip",
+    "part_fuzzy_pairs", "pdf_visual_detect", "text_gopher_filter",
+    "text_nb_source_classifier", "text_pii_redact", "text_repetition",
+    "text_winnowing", "tpch_q10_returns", "tpch_q11_important_stock",
+    "tpch_q12_priority_lines", "tpch_q13_custdist", "tpch_q14_promo",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt", "tpch_q17_small_qty",
+    "tpch_q19_brackets", "tpch_q20_blue_suppliers", "tpch_q21_sole_late",
+    "tpch_q22_idle_rich", "tpch_q2_best_supplier", "tpch_q4_priority",
+    "tpch_q7_volume", "tpch_q8_mktshare", "tpch_q9_profit", "vector_topk_batch",
+}
+
+
 def _ordered_names():
     """Never-verified queries first, then by the age of the last green row
     (oldest round first), so the driver's 50-query window always covers the
     fresh surface and re-verifies the stalest settled queries."""
     names = list(REGISTRY)
     rounds = (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3, _VERIFIED_R4,
-              _VERIFIED_R5, _VERIFIED_R7)
+              _VERIFIED_R5, _VERIFIED_R7, _VERIFIED_R8)
 
     def last_green(n):
-        seen = [i + 1 for i, s in enumerate(rounds) if n in s]  # R7 ranks 6th
+        seen = [i + 1 for i, s in enumerate(rounds) if n in s]  # R8 ranks 7th
         return max(seen) if seen else 0
 
     return sorted(names, key=lambda n: (last_green(n), names.index(n)))

@@ -923,3 +923,34 @@ def q_events_click_attribution(spark, sf_dir):
         "user_id", "impression_id", "click_id", "impression_ts", "click_ts",
         (F.round("latency_s", 6) + F.lit(0.0)).alias("latency_s"),
     ).orderBy("impression_id", "click_id")
+
+
+# The LEFT-OUTER attribution shape's batch twin (streaming/joins.
+# attribute_impressions_stream_outer drains to the same rows —
+# pytest-pinned): impressions NO click attributes within the window,
+# i.e. exactly what the streaming outer join emits at watermark expiry.
+# The batch plan is a left_anti user-keyed equi-join with the range
+# post-filter — one shuffle per side, and the matched fan-out (an
+# impression with many clicks) is never materialized at all.
+
+@register(
+    "events_impressions_unattributed",
+    """SELECT i.user_id, i.event_id AS impression_id, i.ts AS impression_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') i
+WHERE NOT EXISTS (
+  SELECT 1 FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = i.user_id
+    AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 30 MINUTE
+)
+ORDER BY impression_id""",
+)
+def q_events_impressions_unattributed(spark, sf_dir):
+    from ..streaming.joins import unattributed_impressions_batch
+
+    e = load(spark, sf_dir, "events")
+    out = unattributed_impressions_batch(
+        e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts"),
+        e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts"),
+        window_seconds=1800,
+    )
+    return out.orderBy("impression_id")

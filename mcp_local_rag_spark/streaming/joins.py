@@ -1,6 +1,9 @@
-"""Watermarked stream-stream interval join — click attribution.
+"""Watermarked stream-stream interval joins — click attribution, in both
+canonical shapes: INNER (attributed pairs only) and LEFT-OUTER
+(unattributed impressions emitted with null click columns once the
+watermark proves no click can still arrive).
 
-The canonical two-stream pattern Structured Streaming was built for: an
+The two-stream pattern Structured Streaming was built for: an
 impressions stream joined to a clicks stream on user with the click
 falling inside an attribution window after the impression. Both sides
 carry event-time watermarks, and the join's time-interval condition is
@@ -78,3 +81,68 @@ def attribute_clicks_stream(
     imp = impressions.withWatermark("ts", lateness).alias("imp")
     clk = clicks.withWatermark("ts", lateness).alias("clk")
     return _project(imp.join(clk, _attribution_condition(window_seconds)))
+
+
+def attribute_impressions_batch_outer(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    *,
+    window_seconds: int = DEFAULT_WINDOW_S,
+) -> DataFrame:
+    """Batch twin of the LEFT-OUTER attribution shape: every impression
+    emitted exactly once per matching click, or once with null click
+    columns when no click lands in its window. Spark plans the same
+    user-keyed equi-join with the range post-filter; the outer side adds
+    no shuffle."""
+    imp = impressions.alias("imp")
+    clk = clicks.alias("clk")
+    return _project(
+        imp.join(clk, _attribution_condition(window_seconds), "left_outer")
+    )
+
+
+def unattributed_impressions_batch(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    *,
+    window_seconds: int = DEFAULT_WINDOW_S,
+) -> DataFrame:
+    """Impressions with NO click inside the attribution window — the rows
+    the streaming outer join emits at watermark expiry. A left_anti join
+    beats filtering the outer join's nulls: the anti form never
+    materializes the matched fan-out at all (an impression with 50 clicks
+    contributes 50 joined rows to the outer shape, zero here)."""
+    imp = impressions.alias("imp")
+    clk = clicks.alias("clk")
+    return imp.join(
+        clk, _attribution_condition(window_seconds), "left_anti"
+    ).select(
+        F.col("user_id"),
+        F.col("event_id").alias("impression_id"),
+        F.col("ts").alias("impression_ts"),
+    )
+
+
+def attribute_impressions_stream_outer(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    *,
+    window_seconds: int = DEFAULT_WINDOW_S,
+    lateness: str = DEFAULT_LATENESS,
+) -> DataFrame:
+    """Streaming LEFT-OUTER interval join — the other canonical
+    stream-stream shape: attributed rows emit as matches arrive, and an
+    impression that the click watermark has passed WITHOUT a match emits
+    once with null click columns (Structured Streaming's outer-join
+    contract: null results are produced only when the watermark proves no
+    future match is possible, so the emission lags by the watermark
+    delay). State stays bounded by the same rule as the inner form —
+    watermarks on BOTH sides + the interval condition give the eviction
+    clock. Callers draining with availableNow must push a final watermark
+    past the last window (e.g. a sentinel event) or trailing unmatched
+    impressions stay in state when the query stops."""
+    imp = impressions.withWatermark("ts", lateness).alias("imp")
+    clk = clicks.withWatermark("ts", lateness).alias("clk")
+    return _project(
+        imp.join(clk, _attribution_condition(window_seconds), "leftOuter")
+    )

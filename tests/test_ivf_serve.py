@@ -299,3 +299,41 @@ def test_engine_ann_lane_freshness_handshake(spark, tmp_path):
     hits = server.query(pseudo_embed("raw note content", 64), 3,
                         cells=sorted(int(c) for c in server._cent_cells))
     assert any("raw-data" in h["filePath"] for h in hits)
+
+
+def test_status_reports_ann_index_coverage(spark, tmp_path):
+    """The status tool's annIndex extension block: a RESTARTED server
+    (fresh RagRpcServer over the same paths) reports built/fresh/nCells
+    from the persisted covered-version handshake alone — no Spark job,
+    no rebuild; a table mutation flips fresh to False."""
+    from mcp_local_rag_spark.engine import RagEngine
+    from mcp_local_rag_spark.server import RagRpcServer
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    for i in range(4):
+        (d / f"doc{i}.md").write_text(
+            f"# Doc {i}\n\n" + " ".join(
+                f"substantial{i} corpus word{j} content" for j in range(50)
+            )
+        )
+    eng = RagEngine(spark, str(tmp_path / "chunks_s"), db_path=str(tmp_path / "dbs"))
+    eng.ingest_directory(str(d))
+
+    st = RagRpcServer(eng).call_tool("status", {})["annIndex"]
+    assert st == {"built": False, "fresh": False, "nCells": None,
+                  "path": eng.ann_index_path}
+
+    eng.build_ann_index(n_cells=2)
+    # a NEW server over a NEW engine instance = the restart scenario
+    eng2 = RagEngine(spark, str(tmp_path / "chunks_s"), db_path=str(tmp_path / "dbs"))
+    st = RagRpcServer(eng2).call_tool("status", {})["annIndex"]
+    assert st["built"] is True and st["fresh"] is True and st["nCells"] == 2
+
+    eng2.ingest_data(
+        "A new raw note with plenty of durable content to chunk, long "
+        "enough to clear the minimum chunk length comfortably this time.",
+        "note://y",
+    )
+    st = RagRpcServer(eng2).call_tool("status", {})["annIndex"]
+    assert st["built"] is True and st["fresh"] is False

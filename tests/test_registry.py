@@ -30,11 +30,12 @@ def test_registry_order_puts_unverified_first():
         _VERIFIED_R4,
         _VERIFIED_R5,
         _VERIFIED_R7,
+        _VERIFIED_R8,
     )
 
     seen = (
         _VERIFIED_R1 | _VERIFIED_R2 | _VERIFIED_R3 | _VERIFIED_R4
-        | _VERIFIED_R5 | _VERIFIED_R7
+        | _VERIFIED_R5 | _VERIFIED_R7 | _VERIFIED_R8
     )
     names = list(queries())
     first_seen_idx = min(i for i, n in enumerate(names) if n in seen)

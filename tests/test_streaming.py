@@ -1017,3 +1017,99 @@ def test_stream_stream_click_attribution(spark, tmp_path):
     }
     assert got == want
     assert got == {(100, 900, 600.0), (101, 902, 300.0), (102, 903, 1740.0)}
+
+
+def test_stream_stream_left_outer_attribution(spark, tmp_path):
+    """LEFT-OUTER stream-stream interval join (streaming/joins.
+    attribute_impressions_stream_outer): unattributed impressions emit
+    with null click columns once the watermark passes their window; the
+    drain equals the batch outer twin; the anti-join form
+    (unattributed_impressions_batch) selects exactly the null rows."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from mcp_local_rag_spark.streaming.joins import (
+        attribute_impressions_batch_outer,
+        attribute_impressions_stream_outer,
+        unattributed_impressions_batch,
+    )
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    SCHEMA = "event_id long, user_id long, ts timestamp"
+
+    def write_files(dirname, batches):
+        src = tmp_path / dirname
+        src.mkdir()
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, SCHEMA)
+            tmp = tmp_path / f"_tmp_{dirname}_{i}"
+            df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+            part = glob.glob(str(tmp / "part-*.parquet"))[0]
+            shutil.copy(part, str(src / f"b{i}.parquet"))
+        return str(src)
+
+    impressions = [
+        (100, 1, t("2024-01-01 09:00:00")),  # clicked at 09:10
+        (101, 1, t("2024-01-01 10:00:00")),  # clicked at 10:05
+        (102, 2, t("2024-01-01 09:10:00")),  # user 2's click is at 09:55 (45m, out)
+        (103, 3, t("2024-01-01 09:20:00")),  # user 3 never clicks
+    ]
+    clicks = [
+        (900, 1, t("2024-01-01 09:10:00")),
+        (902, 1, t("2024-01-01 10:05:00")),
+        (903, 2, t("2024-01-01 09:55:00")),  # 45 min after imp 102 -> out of window
+    ]
+    # watermark-advancing sentinels on BOTH sides, far past every window +
+    # lateness: the outer join's null results are emitted only when the
+    # watermark proves no match can arrive, and an availableNow drain
+    # stops at the last batch — without the sentinels the trailing
+    # unmatched impressions would still be sitting in state at stop
+    sent_imp = (999, 99, t("2024-01-02 00:00:00"))
+    sent_clk = (998, 99, t("2024-01-02 00:00:01"))
+    imp_src = write_files("impo_src", [impressions, [sent_imp]])
+    clk_src = write_files("clko_src", [clicks, [sent_clk]])
+
+    stream = attribute_impressions_stream_outer(
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(imp_src),
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(clk_src),
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("attr_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.impression_id, r.click_id, r.latency_s)
+        for r in spark.sql(
+            "SELECT * FROM attr_outer WHERE user_id != 99"
+        ).collect()
+    }
+    want = {
+        (r.impression_id, r.click_id, r.latency_s)
+        for r in attribute_impressions_batch_outer(
+            spark.createDataFrame(impressions, SCHEMA),
+            spark.createDataFrame(clicks, SCHEMA),
+        ).collect()
+    }
+    assert got == want
+    assert got == {
+        (100, 900, 600.0),
+        (101, 902, 300.0),
+        (102, None, None),  # click exists but outside the window
+        (103, None, None),  # user never clicks
+    }
+
+    # the anti-join form is exactly the null rows of the outer shape
+    unattr = {
+        r.impression_id
+        for r in unattributed_impressions_batch(
+            spark.createDataFrame(impressions, SCHEMA),
+            spark.createDataFrame(clicks, SCHEMA),
+        ).collect()
+    }
+    assert unattr == {102, 103}
