@@ -119,6 +119,36 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+# Signature-agreement Jaccard ESTIMATE over the LSH candidates: the
+# verification tier that never re-touches shingles — two equi-joins
+# against the narrow signature table, O(pairs x 16), vs dedup_jaccard's
+# O(pairs x shingles) intersection join. matches/16 is a 1/16 multiple
+# (exactly representable in binary FP), so the contract carries no float
+# round at all.
+
+_SIG_MATCH_SQL = " + ".join(
+    f"CASE WHEN s1.sig{i} = s2.sig{i} THEN 1 ELSE 0 END"
+    for i in range(dedup.N_HASHES)
+)
+
+
+@register(
+    "dedup_minhash_estimate",
+    f"""WITH {CORPUS_CTE.strip()}, {SHINGLES_CTE.strip()}, {SIGS_CTE.strip()}
+SELECT p.id1, p.id2,
+       ({_SIG_MATCH_SQL})::DOUBLE / {dedup.N_HASHES} AS est_jaccard
+FROM pairs p
+JOIN sigs s1 ON s1.doc_id = p.id1
+JOIN sigs s2 ON s2.doc_id = p.id2
+ORDER BY p.id1, p.id2""",
+)
+def q_dedup_minhash_estimate(spark, sf_dir):
+    sigs = dedup.minhash_signatures_docs(_dedup_corpus(spark, sf_dir)).persist()
+    sigs.count()
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    return dedup.minhash_jaccard_estimate(pairs, sigs).orderBy("id1", "id2")
+
+
 # Incremental LSH: new docs (doc_id % 10 = 0 plays the "arriving batch")
 # band-join against the persisted corpus signatures — candidates touching
 # >= 1 new doc. Deterministic signatures make this exactly the full run's

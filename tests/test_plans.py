@@ -435,3 +435,44 @@ def test_click_attribution_is_keyed_equi_join(spark, qs):
     p = plan(qs["events_click_attribution"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "user_id" in p
+
+
+def test_minhash_signature_build_single_shuffle(spark):
+    """The r9 signature build: map-only shingle stream (no distinct —
+    min is duplicate-insensitive) into one partial-aggregated
+    groupBy(id). Exactly ONE Exchange in the whole plan, and it carries
+    the per-doc aggregate, not the exploded shingle stream."""
+    from mcp_local_rag_spark.operators.dedup import minhash_signatures_docs
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * 4) for i in range(6)],
+        "doc_id long, text string",
+    )
+    import re
+
+    p = plan(minhash_signatures_docs(docs))
+    assert len(re.findall(r"\bExchange \(\d+\)", p)) == 1, p
+    # partial aggregation BELOW the exchange: the shuffle moves one
+    # combined row per (doc, map partition), never raw shingles
+    assert "HashAggregate" in p.split("Exchange")[1], p
+
+
+def test_unattributed_impressions_is_anti_join(spark, qs):
+    """The left-outer attribution's expiry set plans as a LeftAnti
+    user-keyed equi-join — matched fan-out never materialized, no
+    nested-loop pairing."""
+    p = plan(qs["events_impressions_unattributed"](spark, SF_DIR))
+    assert "LeftAnti" in p, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "user_id" in p
+
+
+def test_minhash_estimate_joins_narrow_signatures(spark, qs):
+    """The Jaccard estimator must join the 16-column signature table,
+    never the shingle stream: no Generate (explode) downstream of the
+    pair build's own band explode, and both estimator joins are hash
+    equi-joins on the pair ids."""
+    p = plan(qs["dedup_minhash_estimate"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # est_jaccard is a pure column expression over sig equality casts
+    assert "est_jaccard" in p

@@ -43,16 +43,17 @@ COMMENTARY = {
         "file), not chunk rows."
     ),
     "dedup_minhash_lsh": (
-        "MinHash signatures are map-side (one md5 per shingle, affine "
-        "permutations); the only shuffles are the band-bucket grouping and "
-        "the candidate self-join, both keyed on (band, bucket). Round 8: a "
-        "driver-side census over the persisted bands detects buckets past "
-        "bucket_cap=128; the empty-census case (this plan) is the r7 plan "
-        "verbatim, hot buckets split across ceil(n/cap) salts (left side "
-        "hashed, right side replicated) so a mega-duplicate bucket's "
-        "quadratic join spreads over ~n/cap tasks with a provably "
-        "identical pair set. 100x replicas: 21.0s -> 14.6s "
-        "(BENCH_SCALE_r08.json)."
+        "Round 9: the signature build lost its (id, shingle) DISTINCT — "
+        "MinHash's min is duplicate-insensitive, so the pipeline's largest "
+        "shuffle (the whole exploded shingle stream) bought nothing. The "
+        "build is now map-only (explode + concat_ws, whole-stage codegen) "
+        "up to ONE partial-aggregated groupBy(id) whose shuffle carries "
+        "~one narrow row per document; the remaining shuffles are the "
+        "band-bucket census and the candidate self-join, keyed on (band, "
+        "bucket). Hot-bucket salting (r8) unchanged: buckets past "
+        "bucket_cap=128 split across ceil(n/cap) salts with a provably "
+        "identical pair set. 100x replicas: 14.0s -> 11.2s, 10x->100x "
+        "exponent 0.52 -> 0.46 (BENCH_SCALE_r09.json)."
     ),
     "knn_bruteforce": (
         "Multi-query exact top-k: an Arrow mapInPandas kernel does one "
@@ -256,6 +257,17 @@ COMMENTARY = {
         "over block rects — no window, no join. Candidate sparsity is "
         "the design: everything downstream of this plan (render, "
         "caption) touches only candidate pages."
+    ),
+    "events_impressions_unattributed": (
+        "Left-ANTI interval join (the batch twin of the streaming "
+        "left-outer attribution's watermark-expiry emission): Spark plans "
+        "a user_id-keyed equi-join with the 30-minute range condition as "
+        "a join-level post-filter — one shuffle per side, no theta "
+        "cartesian — and the anti form never materializes the matched "
+        "fan-out (an impression with 50 in-window clicks contributes 50 "
+        "rows to the outer shape, zero here). At 100 TB/day both sides "
+        "partition by user; state in the streaming twin is bounded by "
+        "watermark + window."
     ),
 }
 
