@@ -393,6 +393,36 @@ class RagEngine:
             "backend": backend,
             "dim": dim,
             "indexFresh": self._postings() is not None,
+            "annIndex": self.ann_index_status(),
+        }
+
+    def ann_index_status(self) -> dict:
+        """Coverage report for the persisted IVF serving index: built?,
+        covers the table's CURRENT content version (the covered-version
+        handshake)?, cell count from the centroid sidecar. Pure
+        filesystem reads — no Spark job — so a freshly restarted engine
+        (CLI `status`, MCP `status`) can report its serving posture
+        before running anything."""
+        import os as _os
+
+        built = _os.path.isdir(self.ann_index_path)
+        n_cells = None
+        if built:
+            try:
+                import pyarrow.parquet as pq
+
+                from .plans.ann_index import CENTROIDS_FILE
+
+                n_cells = pq.read_metadata(
+                    _os.path.join(self.ann_index_path, CENTROIDS_FILE)
+                ).num_rows
+            except Exception:
+                n_cells = None
+        return {
+            "built": built,
+            "fresh": self.ann_index_is_fresh() if built else False,
+            "nCells": n_cells,
+            "path": self.ann_index_path,
         }
 
     # -- writes -----------------------------------------------------------

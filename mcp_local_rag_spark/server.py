@@ -332,34 +332,10 @@ class RagRpcServer:
             # coverage, so a RESTARTED engine can report whether its
             # persisted IVF index still covers the current table version
             # (the same covered-version handshake ann_index_is_fresh and
-            # the ivf-serve lane gate on) without rebuilding anything
-            "annIndex": self._ann_index_status(),
-        }
-
-    def _ann_index_status(self) -> dict:
-        """Coverage report for the persisted IVF index: built?, covers
-        the table's current content version?, cell count from the
-        centroid sidecar. Pure filesystem reads — no Spark job."""
-        import os as _os
-
-        built = _os.path.isdir(self.engine.ann_index_path)
-        n_cells = None
-        if built:
-            try:
-                import pyarrow.parquet as pq
-
-                from .plans.ann_index import CENTROIDS_FILE
-
-                n_cells = pq.read_metadata(
-                    _os.path.join(self.engine.ann_index_path, CENTROIDS_FILE)
-                ).num_rows
-            except Exception:
-                n_cells = None
-        return {
-            "built": built,
-            "fresh": self.engine.ann_index_is_fresh() if built else False,
-            "nCells": n_cells,
-            "path": self.engine.ann_index_path,
+            # the ivf-serve lane gate on) without rebuilding anything.
+            # eng already carries it (engine.ann_index_status, shared
+            # with the CLI `status` subcommand)
+            "annIndex": eng["annIndex"],
         }
 
     def _metrics_tool(self, params: dict) -> dict:
