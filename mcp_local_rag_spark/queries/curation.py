@@ -1528,3 +1528,80 @@ def q_text_nb_source_classifier(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity split (Wenzek et al. 2020, "CCNet: Extracting
+# High Quality Monolingual Datasets" §4.3): score each document under an
+# add-1-smoothed unigram LM trained PER LANGUAGE on the corpus itself,
+# then split every language into head / middle / tail terciles by
+# perplexity (lower perplexity == higher avg log-prob == head). The
+# language-conditioned LM is the load-bearing detail — absolute
+# perplexities aren't comparable across languages, so each lang is ranked
+# only against itself.
+#
+# Scale shape: the LM build is two partial+final aggregates keyed
+# ((lang, tok), then lang); scoring is an equi-join back to the token
+# stream + one per-doc aggregate. The tercile split here is an exact
+# ntile window per language — the oracle-exact contract; a production
+# 100 TB run swaps that one stage for approx_percentile cutoffs computed
+# in the same pass and a map-side bucket compare (noted in SURVEY §4's
+# sanctioned-swap list), keeping everything shuffle-light.
+
+@register(
+    "corpus_perplexity_buckets",
+    """WITH toks AS (
+  SELECT d.doc_id, d.lang,
+         unnest(list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+  FROM documents d
+),
+vocab AS (SELECT lang, tok, count(*)::BIGINT AS c FROM toks GROUP BY lang, tok),
+stats AS (SELECT lang, sum(c)::BIGINT AS total, count(*)::BIGINT AS v
+          FROM vocab GROUP BY lang),
+scored AS (
+  SELECT t.doc_id, t.lang, count(*)::BIGINT AS n_tokens,
+         round(sum(ln((v.c + 1.0) / (s.total + s.v))) / count(*), 6) + 0
+           AS avg_logprob
+  FROM toks t JOIN vocab v USING (lang, tok) JOIN stats s USING (lang)
+  GROUP BY t.doc_id, t.lang
+)
+SELECT doc_id, lang, n_tokens, avg_logprob,
+       CASE ntile(3) OVER (PARTITION BY lang ORDER BY avg_logprob DESC, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM scored ORDER BY doc_id""",
+)
+def q_corpus_perplexity_buckets(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    stats = vocab.groupBy("lang").agg(
+        F.sum("c").alias("total"), F.count("*").alias("v")
+    )
+    scored = (
+        toks.join(vocab, ["lang", "tok"])
+        .join(F.broadcast(stats), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.round(
+                    F.sum(F.log((F.col("c") + 1.0) / (F.col("total") + F.col("v"))))
+                    / F.count("*"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_logprob"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("avg_logprob").desc(), "doc_id")
+    bucket = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id", "lang", "n_tokens", "avg_logprob",
+        F.when(bucket == 1, "head").when(bucket == 2, "middle")
+         .otherwise("tail").alias("ppl_bucket"),
+    ).orderBy("doc_id")

@@ -2130,3 +2130,233 @@ def q_corpus_ngram_novelty(spark, sf_dir):
             + F.lit(0.0)
         ).alias("novelty"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Seeded deterministic global shuffle + shard manifest — the reproducible
+# training-export primitive (every run of the pipeline must hand the
+# trainer the SAME document order). key = md5(seed || doc_id) gives an
+# order that is uniform, seed-switchable, and engine-independent; shard =
+# 60-bit key prefix mod n_shards; pos / offset_chars are the within-shard
+# write plan (row index + cumulative byte offset) a shard writer needs.
+# Scale shape: the shard assignment is map-side integer math; the only
+# shuffle is the per-shard window sort — and n_shards grows with the
+# corpus (bytes / target_shard_size, e.g. ~1 GB shards -> 100k shards at
+# 100 TB), so each window partition stays shard-sized no matter the total.
+
+_SHUF_SEED = "shuf42|"
+_N_SHARDS = 8
+
+
+@register(
+    "corpus_shuffle_shards",
+    f"""WITH keyed AS (
+  SELECT doc_id, n_chars, md5('{_SHUF_SEED}' || doc_id) AS skey
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, n_chars, skey,
+         ('0x' || substr(skey, 1, 15))::BIGINT % {_N_SHARDS} AS shard
+  FROM keyed
+)
+SELECT doc_id, shard::BIGINT AS shard,
+       (row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1)::BIGINT
+         AS pos,
+       coalesce(sum(n_chars) OVER (PARTITION BY shard ORDER BY skey, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0)::BIGINT AS offset_chars
+FROM sharded ORDER BY shard, pos""",
+)
+def q_corpus_shuffle_shards(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    keyed = docs.withColumn(
+        "skey", F.md5(F.concat(F.lit(_SHUF_SEED), F.col("doc_id").cast("string")))
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("skey", 1, 15), 16, 10).cast("long") % _N_SHARDS),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            F.col("shard").cast("bigint").alias("shard"),
+            (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+            F.coalesce(
+                F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("bigint").alias("offset_chars"),
+        )
+        .orderBy("shard", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplication attribution: the LSH candidate pair set rolled up by SOURCE
+# pair — which corpora are duplicating which (mirror sites, cross-posted
+# boilerplate, scraper overlap). Runs off the same banded candidate set as
+# dedup_minhash_lsh (never all-pairs); the source lookup is two equi-joins
+# against the narrow (doc_id, source) projection — at 100 TB that side is
+# a table join keyed on doc_id, and the final rollup is a partial+final
+# aggregate over source pairs (tiny). Planted duplicates (+1,000,000 ids)
+# map back to their origin's source.
+
+@register(
+    "dedup_rate_by_source",
+    f"""WITH {CORPUS_CTE.strip()}, {SHINGLES_CTE.strip()}, {SIGS_CTE.strip()},
+src AS (SELECT doc_id, source FROM documents),
+lab AS (
+  SELECT least(s1.source, s2.source) AS source_a,
+         greatest(s1.source, s2.source) AS source_b
+  FROM pairs p
+  JOIN src s1 ON s1.doc_id = CASE WHEN p.id1 >= 1000000 THEN p.id1 - 1000000 ELSE p.id1 END
+  JOIN src s2 ON s2.doc_id = CASE WHEN p.id2 >= 1000000 THEN p.id2 - 1000000 ELSE p.id2 END
+)
+SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+FROM lab GROUP BY source_a, source_b ORDER BY source_a, source_b""",
+)
+def q_dedup_rate_by_source(spark, sf_dir):
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures_docs(_dedup_corpus(spark, sf_dir))
+    )
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    origin = lambda c: F.when(c >= 1_000_000, c - 1_000_000).otherwise(c)  # noqa: E731
+    lab = (
+        pairs.withColumn("o1", origin(F.col("id1")))
+        .withColumn("o2", origin(F.col("id2")))
+        .join(src.select(F.col("doc_id").alias("o1"), F.col("source").alias("s1")), "o1")
+        .join(src.select(F.col("doc_id").alias("o2"), F.col("source").alias("s2")), "o2")
+        .select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+        )
+    )
+    return (
+        lab.groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unrolled spherical k-means (k=8, 2 Lloyd iterations, init = the 8
+# smallest vec_ids' embeddings) — the semantic-clustering primitive behind
+# diversity sampling, semantic dedup, and IVF coarse quantizers. Each
+# iteration is the 100 TB-correct plan: centroids (k x dim, tiny) broadcast
+# into a map-side nearest-centroid scoring pass, then ONE partial+final
+# aggregate keyed (cluster, dim) rebuilds them — no iteration ever
+# shuffles the vector table. Determinism discipline: assignment distance
+# is round(1 - dot, 6) with cluster-id tiebreak; centroid means and the
+# final avg_dist are exact DECIMAL(18,9) sums (order-independent), so both
+# engines iterate through bit-identical states.
+
+_KM_K = 8
+
+
+def _km_sql() -> str:
+    return f"""WITH init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_KM_K})
+),
+s1 AS (
+  SELECT e.vec_id, i.cid, e.embedding,
+         round(1.0 - list_dot_product(e.embedding::DOUBLE[], i.cv), 6) + 0 AS dist
+  FROM embeddings e, init i
+),
+a1 AS (
+  SELECT vec_id, cid, embedding,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+  FROM s1
+),
+m1 AS (SELECT vec_id, cid, embedding FROM a1 WHERE rk = 1),
+e1 AS (
+  SELECT cid, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM m1
+),
+c1 AS (
+  SELECT cid, dim, round(CAST(avg(CAST(x AS DECIMAL(18,9))) AS DOUBLE), 6) + 0 AS c
+  FROM e1 GROUP BY cid, dim
+),
+cv1 AS (SELECT cid, list(c ORDER BY dim) AS cv FROM c1 GROUP BY cid),
+s2 AS (
+  SELECT e.vec_id, c.cid,
+         round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.cv), 6) + 0 AS dist
+  FROM embeddings e, cv1 c
+),
+a2 AS (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+  FROM s2
+)
+SELECT cid::BIGINT AS cluster, count(*)::BIGINT AS n_members,
+       round(CAST(avg(CAST(dist AS DECIMAL(18,9))) AS DOUBLE), 6) + 0 AS avg_dist,
+       min(vec_id)::BIGINT AS exemplar
+FROM a2 WHERE rk = 1 GROUP BY cid ORDER BY cluster"""
+
+
+def _km_assign(e, cvec):
+    """Broadcast the (cid, cv) centroid frame and score every vector
+    map-side; returns (vec_id, cid, embedding, dist) nearest-only rows."""
+    from pyspark.sql import Window
+
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), F.col("cv"),
+                   lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = e.crossJoin(F.broadcast(cvec)).select(
+        "vec_id", "cid", "embedding",
+        (F.round(F.lit(1.0) - dot, 6) + 0.0).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+
+
+def _km_centroids(members):
+    """(cluster, dim)-keyed exact-decimal means -> (cid, cv) frame."""
+    cent = (
+        members.select("cid", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("cid", "dim")
+        .agg(
+            (F.round(F.avg(F.col("x").cast("decimal(18,9)")).cast("double"), 6)
+             + 0.0).alias("c")
+        )
+    )
+    return cent.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+
+
+@register("embedding_kmeans", _km_sql())
+def q_embedding_kmeans(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    w0 = Window.orderBy("vec_id")
+    init = (
+        e.orderBy("vec_id").limit(_KM_K)
+        .select((F.row_number().over(w0) - 1).alias("cid"),
+                F.col("embedding").cast("array<double>").alias("cv"))
+    )
+    m1 = _km_assign(e, init).select("vec_id", "cid", "embedding")
+    a2 = _km_assign(e, _km_centroids(m1))
+    return (
+        a2.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            (F.round(F.avg(F.col("dist").cast("decimal(18,9)")).cast("double"), 6)
+             + 0.0).alias("avg_dist"),
+            F.min("vec_id").alias("exemplar"),
+        )
+        .select(
+            F.col("cid").cast("bigint").alias("cluster"),
+            "n_members", "avg_dist",
+            F.col("exemplar").cast("bigint").alias("exemplar"),
+        )
+        .orderBy("cluster")
+    )
