@@ -269,6 +269,32 @@ COMMENTARY = {
         "partition by user; state in the streaming twin is bounded by "
         "watermark + window."
     ),
+    "corpus_shuffle_shards": (
+        "Reproducible training export: the shuffle key and shard id are "
+        "map-side md5/integer math over the scan (no Exchange before the "
+        "window), and the ONLY shuffle is hash-partitioning by shard for "
+        "the per-shard (pos, offset) window sort. Shard count scales with "
+        "corpus bytes (100k+ shards at 100 TB), so each window partition "
+        "stays shard-sized — the sort never sees the whole corpus."
+    ),
+    "embedding_kmeans": (
+        "Each Lloyd iteration is: BroadcastNestedLoopJoin of the k x dim "
+        "centroid frame (tiny, deliberately broadcast) into a map-side "
+        "dot-product scoring pass, a vec_id-keyed window for "
+        "nearest-centroid, then one partial+final aggregate keyed "
+        "(cluster, dim) to rebuild centroids. The vector table itself is "
+        "never shuffled by cluster — the same iteration plan runs "
+        "unchanged on 1B vectors."
+    ),
+    "corpus_perplexity_buckets": (
+        "LM build = two partial+final aggregates ((lang, tok), then "
+        "lang); doc scoring = one equi-join of the token stream back to "
+        "the per-lang vocabulary (token-keyed shuffle, the linear floor "
+        "for a token-level scorer) + a per-doc aggregate. The tercile "
+        "ntile window partitions by language — exact-contract shape; the "
+        "sanctioned 100 TB swap is approx_percentile cutoffs + a "
+        "map-side bucket compare."
+    ),
 }
 
 
