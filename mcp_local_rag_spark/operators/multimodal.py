@@ -3,12 +3,18 @@ with typed metadata (the training-data-pipeline extension; analogous to the
 reference's visual-PDF path T10-T12, src/pdf-visual/).
 
 The Spark-side plumbing is real and tested — schemas, partitioning-safe
-batch shapes, Arrow-batched ``mapInPandas`` signatures. The actual media
-decode (PIL / ffmpeg / torchaudio are not in this container) is isolated in
-one function per modality that raises NotImplementedError unless a
-deterministic fake decoder is injected — the same stub discipline the
-reference applies to optional VLM captioning (dynamic import,
-src/ingest/visual.ts:108-117).
+batch shapes, Arrow-batched ``mapInPandas`` signatures. Decode stance,
+per modality, mirroring the audio lane's from the start:
+
+* UNCOMPRESSED public containers decode for real, in pure numpy/stdlib —
+  PCM16 WAV (audio), netpbm P5/P6 and 24-bit BI_RGB BMP (image), and
+  YUV4MPEG2 (video frames). Resize kernels (nearest / bilinear) are
+  plain numpy.
+* codec formats (JPEG/PNG/mp3/h264 — external decoder territory: PIL /
+  ffmpeg / torchaudio are not in this container) raise
+  NotImplementedError from the same dispatch point; inject a decode_fn
+  to swap one in — the same import-gate discipline the reference applies
+  to optional VLM captioning (dynamic import, src/ingest/visual.ts:108-117).
 """
 
 from __future__ import annotations
@@ -45,11 +51,128 @@ def media_table(df: DataFrame, *, id_col: str, content_col: str, modality: str) 
     )
 
 
+# -- real image decode for uncompressed containers ---------------------------
+
+def _read_pnm_tokens(content: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated ASCII integers from a netpbm header,
+    honoring ``#`` comments; returns (values, offset past last token)."""
+    vals: list[int] = []
+    i = start
+    while len(vals) < n:
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":
+            while i < len(content) and content[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        vals.append(int(content[i:j]))
+        i = j
+    return vals, i + 1  # single whitespace byte terminates the header
+
+
+def decode_netpbm(content: bytes) -> np.ndarray:
+    """Binary netpbm: P5 (grayscale) -> HxW uint8, P6 (RGB) -> HxWx3 uint8.
+    maxval must be < 256 (1 byte/sample)."""
+    magic = content[:2]
+    channels = {b"P5": 1, b"P6": 3}[magic]
+    (w, h, maxval), off = _read_pnm_tokens(content, 3, 2)
+    if maxval >= 256:
+        raise NotImplementedError("16-bit netpbm not supported")
+    data = np.frombuffer(content, dtype=np.uint8, count=h * w * channels, offset=off)
+    img = data.reshape(h, w, channels)
+    return img[:, :, 0].copy() if channels == 1 else img.copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """uint8 HxW (gray -> P5) or HxWx3 (RGB -> P6) to binary netpbm."""
+    img = np.asarray(img, dtype=np.uint8)
+    magic = b"P5" if img.ndim == 2 else b"P6"
+    h, w = img.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP -> HxWx3 uint8 (RGB). Rows are
+    4-byte padded and stored bottom-up (top-down when height < 0)."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", content, 10)
+    header_size, w, h = struct.unpack_from("<Iii", content, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", content, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB BMP supported, got bpp={bpp} comp={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(content, dtype=np.uint8, count=h * stride, offset=data_off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        img = img[::-1]
+    return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 HxWx3 RGB -> uncompressed 24-bit bottom-up BMP."""
+    import struct
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
 def default_image_decoder(content: bytes) -> np.ndarray:
+    """Magic-dispatched real decode for uncompressed containers; codec
+    formats need an injected decoder (PIL/opencv not in container)."""
+    if content[:2] in (b"P5", b"P6"):
+        return decode_netpbm(content)
+    if content[:2] == b"BM":
+        return decode_bmp(content)
     raise NotImplementedError(
-        "image decode needs PIL/opencv (not in container); inject a decoder"
-        " via decode_fn — the pipeline around it is fully wired"
+        "codec image formats (JPEG/PNG/...) need PIL/opencv; inject a"
+        " decoder via decode_fn — netpbm P5/P6 and 24-bit BMP decode natively"
     )
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (floor sampling, the exact-integer kernel:
+    an integer upscale replicates each pixel, preserving sums x factor^2)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys][:, xs].copy()
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize with half-pixel centers (align_corners=False), float32."""
+    h, w = img.shape[:2]
+    fy = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(fy).astype(int)
+    x0 = np.floor(fx).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None]
+    wx = (fx - x0)[None, :]
+    if img.ndim == 3:
+        wy = wy[..., None]
+        wx = wx[..., None]
+    a = img[y0][:, x0].astype(np.float32)
+    b = img[y0][:, x1].astype(np.float32)
+    c = img[y1][:, x0].astype(np.float32)
+    d = img[y1][:, x1].astype(np.float32)
+    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+            + c * wy * (1 - wx) + d * wy * wx)
 
 
 def fake_image_decoder(content: bytes) -> np.ndarray:
@@ -122,18 +245,69 @@ FRAME_SAMPLE_SCHEMA = StructType(
 )
 
 
+def decode_y4m(content: bytes) -> tuple[list[np.ndarray], dict]:
+    """YUV4MPEG2 parse -> (luma planes as HxW uint8 arrays, stream params).
+    Supports C420* (chroma subsampled, skipped) and Cmono; other chroma
+    layouts raise NotImplementedError. The container is raw/uncompressed —
+    pure byte slicing, no codec."""
+    if not content.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = content.index(b"\n")
+    params: dict = {"C": "420"}
+    for tok in content[9:nl].split():
+        key, val = chr(tok[0]), tok[1:].decode()
+        params[key] = val
+    w, h = int(params["W"]), int(params["H"])
+    chroma = params.get("C", "420")
+    if chroma.startswith("420"):
+        frame_len = h * w + 2 * ((h // 2) * (w // 2))
+    elif chroma == "mono":
+        frame_len = h * w
+    else:
+        raise NotImplementedError(f"chroma layout C{chroma} not supported")
+    frames: list[np.ndarray] = []
+    i = nl + 1
+    while i < len(content):
+        fnl = content.index(b"\n", i)
+        if content[i:fnl].split()[0] != b"FRAME":
+            raise ValueError("malformed FRAME header")
+        y = np.frombuffer(content, dtype=np.uint8, count=h * w, offset=fnl + 1)
+        frames.append(y.reshape(h, w).copy())
+        i = fnl + 1 + frame_len
+    return frames, {"width": w, "height": h, "chroma": chroma, "n_frames": len(frames)}
+
+
+def encode_y4m(frames: list[np.ndarray], *, rate: str = "25:1") -> bytes:
+    """Mono-chroma YUV4MPEG2 from HxW uint8 luma planes (test fixture +
+    export helper)."""
+    h, w = frames[0].shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{rate} Ip A1:1 Cmono\n".encode()]
+    for fr in frames:
+        out.append(b"FRAME\n")
+        out.append(np.asarray(fr, dtype=np.uint8).tobytes())
+    return b"".join(out)
+
+
 def sample_frames(
     media: DataFrame,
     *,
     every_n: int = 10,
     n_frames: int = 4,
-    extract_fn: Callable[[bytes, int], bytes] | None = None,
+    extract_fn: Callable[[bytes, int], bytes | None] | None = None,
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame — the UDTF
-    shape (1 row in, N rows out) used by every media pipeline. The default
-    extract_fn is a deterministic hash stub; a real one shells to ffmpeg."""
+    shape (1 row in, N rows out) used by every media pipeline.
 
-    def _default(content: bytes, idx: int) -> bytes:
+    The default extract is REAL for YUV4MPEG2 content (raw container,
+    decode_y4m): the sampled frame's luma plane is returned as PGM bytes,
+    and indices past the end of the stream emit nothing. Codec containers
+    (mp4/h264 — needs ffmpeg) fall back to a deterministic hash stub so
+    the pipeline shape stays assertable without the codec."""
+
+    def _default(content: bytes, idx: int) -> bytes | None:
+        if content.startswith(b"YUV4MPEG2"):
+            frames, _ = decode_y4m(content)
+            return encode_ppm(frames[idx]) if idx < len(frames) else None
         return hashlib.sha256(content + idx.to_bytes(4, "big")).digest()
 
     fn = extract_fn or _default
@@ -143,7 +317,9 @@ def sample_frames(
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 for j in range(n_frames):
-                    rows.append((mid, j * every_n, fn(bytes(content), j * every_n).hex()))
+                    payload = fn(bytes(content), j * every_n)
+                    if payload is not None:
+                        rows.append((mid, j * every_n, payload.hex()))
             yield pd.DataFrame(rows, columns=["media_id", "frame_index", "frame"])
 
     return media.filter(F.col("modality") == "video").select(

@@ -501,3 +501,97 @@ def q_pdf_visual_detect(spark, sf_dir):
         (F.round("image_ratio", 6) + F.lit(0.0)).alias("image_ratio"),
         F.col("n_strokes").cast("long").alias("n_strokes"),
     ).orderBy("doc_id", "page")
+
+
+# ---------------------------------------------------------------------------
+# Image lane, oracle-gated END-TO-END on real bytes (same technique as
+# pdf_visual_detect): deterministic gradient images are ENCODED in-plan —
+# netpbm P6 for even doc_ids, 24-bit BMP for odd (two container parsers,
+# one query) — cross a real binary-column stage boundary, then DECODE
+# through operators/multimodal.default_image_decoder's magic dispatch and
+# a nearest-neighbor 2x resize. Every output is integer-exact: the pixel
+# sum has a closed form the oracle recomputes arithmetically, the resized
+# sum must be exactly 4x (replication), and the mean is micro-unit
+# half-away integer division. A byte-level defect anywhere (header
+# parse, row padding, BGR order, bottom-up flip, resize sampling) breaks
+# the hash.
+
+@register(
+    "media_image_features",
+    """WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 4 = 0 OR doc_id % 4 = 1
+),
+px AS (
+  SELECT doc_id, w, h,
+         sum((31 * doc_id + 17 * y + 7 * x + 3 * c) % 256)::BIGINT AS sum_px
+  FROM d,
+       unnest(range(0, h)) AS ry(y),
+       unnest(range(0, w)) AS rx(x),
+       unnest(range(0, 3)) AS rc(c)
+  GROUP BY doc_id, w, h
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS container,
+       w::BIGINT AS width, h::BIGINT AS height, sum_px,
+       (4 * sum_px)::BIGINT AS resized_sum_px,
+       ((2 * sum_px * 1000000 + h * w * 3) // (2 * h * w * 3)) / 1000000.0 + 0
+         AS mean_px
+FROM px ORDER BY doc_id""",
+)
+def q_media_image_features(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 4 == 0) | (F.col("doc_id") % 4 == 1)
+    ).select("doc_id")
+
+    def _mk(batches):
+        import numpy as np
+
+        from ..operators.multimodal import encode_bmp, encode_ppm
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 7
+                y, x = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [(31 * d + 17 * y + 7 * x + 3 * c) % 256 for c in range(3)],
+                    axis=-1,
+                ).astype(np.uint8)
+                blobs.append(encode_ppm(img) if d % 2 == 0 else encode_bmp(img))
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(_mk, "doc_id long, content binary")
+
+    def _feats(batches):
+        from ..operators.multimodal import default_image_decoder, resize_nearest
+
+        for pdf in batches:
+            rows = []
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                img = default_image_decoder(bytes(content))
+                h, w = img.shape[:2]
+                up = resize_nearest(img, 2 * h, 2 * w)
+                rows.append((int(d), int(img.sum()), int(up.sum()), h, w))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sum_px", "resized_sum_px", "h", "w"]
+            )
+
+    feats = media.mapInPandas(
+        _feats, "doc_id long, sum_px long, resized_sum_px long, h int, w int"
+    )
+    return feats.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "ppm").otherwise("bmp").alias("container"),
+        F.col("w").cast("bigint").alias("width"),
+        F.col("h").cast("bigint").alias("height"),
+        "sum_px",
+        "resized_sum_px",
+        (
+            F.expr("div(2 * sum_px * 1000000 + h * w * 3, 2 * h * w * 3)")
+            / F.lit(1000000.0)
+            + F.lit(0.0)
+        ).alias("mean_px"),
+    ).orderBy("doc_id")

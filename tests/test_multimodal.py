@@ -284,3 +284,61 @@ def test_visual_ingest_end_to_end_real_pdf(spark, tmp_path):
         r for r in eng2.chunks().select("text").collect()
         if r.text.startswith("[Visual content")
     ]
+
+
+# --------------------------------------------------------------------------
+# round-9: real decode lanes for uncompressed containers (no external libs)
+
+import numpy as np
+
+
+def _grad(h, w, seed=0):
+    y, x = np.mgrid[0:h, 0:w]
+    base = (seed * 31 + y * 17 + x * 7) % 256
+    return np.stack([(base + 3 * c) % 256 for c in range(3)], axis=-1).astype(np.uint8)
+
+
+def test_image_features_real_netpbm_and_bmp(spark):
+    img1, img2 = _grad(5, 9, 1), _grad(7, 4, 2)
+    rows = [(1, bytearray(mm.encode_ppm(img1))), (2, bytearray(mm.encode_bmp(img2)))]
+    df = spark.createDataFrame(rows, "id long, data binary")
+    media = mm.media_table(df, id_col="id", content_col="data", modality="image")
+    out = {r.media_id: r for r in mm.image_features(media).collect()}
+    assert (out["1"].height, out["1"].width, out["1"].channels) == (5, 9, 3)
+    assert (out["2"].height, out["2"].width, out["2"].channels) == (7, 4, 3)
+    assert abs(out["1"].mean_luma - float(img1.mean())) < 1e-5
+    assert abs(out["2"].mean_luma - float(img2.mean())) < 1e-5
+
+
+def test_resize_kernels_exact_relations():
+    img = _grad(6, 10, 3)
+    up = mm.resize_nearest(img, 12, 20)
+    # integer upscale replicates pixels: sums scale by the area factor
+    assert int(up.sum()) == 4 * int(img.sum())
+    assert np.array_equal(up[::2, ::2], img)
+    # bilinear at identity size returns the image; downscale midpoints
+    assert np.allclose(mm.resize_bilinear(img, 6, 10), img.astype(np.float32))
+    two = np.array([[0, 255]], dtype=np.uint8)
+    mid = mm.resize_bilinear(two, 1, 1)
+    assert abs(float(mid[0, 0]) - 127.5) < 1e-5
+
+
+def test_sample_frames_real_y4m(spark):
+    frames = [np.full((4, 6), 10 * i, dtype=np.uint8) for i in range(12)]
+    stream = mm.encode_y4m(frames)
+    df = spark.createDataFrame([(3, bytearray(stream))], "id long, data binary")
+    vids = mm.media_table(df, id_col="id", content_col="data", modality="video")
+    out = mm.sample_frames(vids, every_n=5, n_frames=4).collect()
+    # index 15 is past the 12-frame stream -> only 0, 5, 10 emitted
+    assert [r.frame_index for r in out] == [0, 5, 10]
+    for r in out:
+        plane = mm.decode_netpbm(bytes.fromhex(r.frame))
+        assert np.array_equal(plane, frames[r.frame_index])
+
+
+def test_y4m_unsupported_chroma_gates():
+    stream = b"YUV4MPEG2 W4 H2 F25:1 C444\nFRAME\n" + bytes(4 * 2 * 3)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.decode_y4m(stream)
