@@ -595,3 +595,94 @@ def q_media_image_features(spark, sf_dir):
             + F.lit(0.0)
         ).alias("mean_px"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Audio lane, oracle-gated the same way: a deterministic int16 waveform is
+# packed into a REAL PCM16 WAV container in-plan (stdlib wave), crosses a
+# binary stage boundary, decodes through
+# operators/multimodal.default_audio_decoder (RIFF parse, mono fold,
+# [-1,1] scaling), and windows into integer-exact features: sum of squared
+# samples and strict sign-flip zero crossings per 16-sample window. The
+# int16 -> float /32768 -> *32768 round trip is exact in IEEE double, so
+# the oracle recomputes every output arithmetically from the waveform
+# formula; a byte-order / header / scaling defect breaks the hash.
+
+@register(
+    "media_audio_features",
+    """WITH d AS (
+  SELECT doc_id, 48 + doc_id % 16 AS n FROM documents WHERE doc_id % 3 = 0
+),
+s AS (
+  SELECT doc_id, i, ((31 * doc_id + 17 * i) % 2001) - 1000 AS v, i // 16 AS wdx
+  FROM d, unnest(range(0, n)) AS r(i)
+),
+p AS (
+  SELECT doc_id, wdx, v, i,
+         lag(v) OVER (PARTITION BY doc_id, wdx ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id, wdx::BIGINT AS window_index, count(*)::BIGINT AS n_samples,
+       sum(v * v)::BIGINT AS sum_sq,
+       sum(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END)::BIGINT
+         AS zero_crossings
+FROM p GROUP BY doc_id, wdx ORDER BY doc_id, window_index""",
+)
+def q_media_audio_features(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    ).select("doc_id")
+
+    def _mk(batches):
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 48 + d % 16
+                i = np.arange(n)
+                samples = (((31 * d + 17 * i) % 2001) - 1000).astype(np.int16)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(samples.tobytes())
+                ids.append(d)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(_mk, "doc_id long, content binary")
+
+    def _feats(batches):
+        import numpy as np
+
+        from ..operators.multimodal import default_audio_decoder
+
+        for pdf in batches:
+            rows = []
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                x, _sr = default_audio_decoder(bytes(content))
+                s = np.rint(x * 32768.0).astype(np.int64)
+                for w0 in range(0, len(s), 16):
+                    win = s[w0 : w0 + 16]
+                    zc = int(np.sum(win[:-1] * win[1:] < 0))
+                    rows.append(
+                        (int(d), w0 // 16, len(win), int(np.sum(win * win)), zc)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "window_index", "n_samples", "sum_sq",
+                         "zero_crossings"],
+            )
+
+    feats = media.mapInPandas(
+        _feats,
+        "doc_id long, window_index long, n_samples long, sum_sq long,"
+        " zero_crossings long",
+    )
+    return feats.orderBy("doc_id", "window_index")
