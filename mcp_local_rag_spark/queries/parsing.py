@@ -686,3 +686,87 @@ def q_media_audio_features(spark, sf_dir):
         " zero_crossings long",
     )
     return feats.orderBy("doc_id", "window_index")
+
+
+# ---------------------------------------------------------------------------
+# Video lane, completing the oracle-gated multimodal trio: deterministic
+# luma gradients are packed into a REAL YUV4MPEG2 stream in-plan
+# (operators/multimodal.encode_y4m), cross a binary stage boundary, and
+# sample_frames' default extractor (decode_y4m -> PGM payload) pulls every
+# 3rd frame; the decoded planes' integer pixel sums check against a
+# closed-form oracle. Frame count varies per doc (5 + doc_id % 7) so the
+# past-stream-end emission rule is exercised: requested indices beyond the
+# stream produce NO row, and the oracle enumerates exactly the surviving
+# (doc, frame) set.
+
+@register(
+    "media_video_frames",
+    """WITH d AS (
+  SELECT doc_id, 5 + doc_id % 7 AS n_frames
+  FROM documents WHERE doc_id % 6 = 2
+),
+sampled AS (
+  SELECT doc_id, 3 * j AS frame_index
+  FROM d, unnest(range(0, 4)) AS r(j)
+  WHERE 3 * j < n_frames
+),
+px AS (
+  SELECT s.doc_id, s.frame_index,
+         sum((7 * s.doc_id + 13 * s.frame_index + 5 * y + 11 * x) % 256)::BIGINT
+           AS sum_luma
+  FROM sampled s,
+       unnest(range(0, 6)) AS ry(y),
+       unnest(range(0, 8)) AS rx(x)
+  GROUP BY s.doc_id, s.frame_index
+)
+SELECT doc_id, frame_index::BIGINT AS frame_index, sum_luma
+FROM px ORDER BY doc_id, frame_index""",
+)
+def q_media_video_frames(spark, sf_dir):
+    from ..operators.multimodal import media_table, sample_frames
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 6 == 2
+    ).select("doc_id")
+
+    def _mk(batches):
+        import numpy as np
+
+        from ..operators.multimodal import encode_y4m
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                y, x = np.mgrid[0:6, 0:8]
+                frames = [
+                    ((7 * d + 13 * k + 5 * y + 11 * x) % 256).astype(np.uint8)
+                    for k in range(5 + d % 7)
+                ]
+                ids.append(d)
+                blobs.append(encode_y4m(frames))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    media = media_table(
+        docs.mapInPandas(_mk, "doc_id long, content binary"),
+        id_col="doc_id", content_col="content", modality="video",
+    )
+    frames = sample_frames(media, every_n=3, n_frames=4)
+
+    def _sums(batches):
+        import numpy as np
+
+        from ..operators.multimodal import decode_netpbm
+
+        for pdf in batches:
+            rows = []
+            for mid, idx, payload in zip(
+                pdf["media_id"], pdf["frame_index"], pdf["frame"]
+            ):
+                plane = decode_netpbm(bytes.fromhex(payload))
+                rows.append((int(mid), int(idx), int(np.sum(plane, dtype=np.int64))))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_index", "sum_luma"])
+
+    return frames.mapInPandas(
+        _sums, "doc_id long, frame_index long, sum_luma long"
+    ).orderBy("doc_id", "frame_index")
