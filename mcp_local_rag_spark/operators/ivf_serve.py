@@ -49,6 +49,7 @@ class IvfVectorServer:
         vec_col: str = "embedding",
         max_cached_cells: int = 64,
         quantized: bool = False,
+        quantization: str | None = None,
         payload_cols: tuple[str, ...] = (),
     ):
         self._path = index_path
@@ -56,13 +57,36 @@ class IvfVectorServer:
         self._vec_col = vec_col
         self._cell_col = read_index_meta(index_path)["cell_col"]
         self.max_cached_cells = max_cached_cells
-        # int8 cell cache: per-dimension symmetric scalar quantization —
-        # the resident matrix shrinks 8x (int8 vs float64), scoring runs
-        # as an int8 matmul with int32 accumulation against the quantized
-        # QUERY, and cosines come out approximate (recall@10 >= 0.95 vs
-        # exact on the synthetic corpus, pytest-pinned). The memory story
-        # for dense hot-cell caches at scale; exact mode stays the default
-        self.quantized = quantized
+        # Resident-cache quantization ladder (exact float64 is default):
+        # * "int8" (alias quantized=True): per-dimension symmetric scalar
+        #   quantization — 8x smaller, scoring is a dequantized matvec,
+        #   recall@10 >= 0.95 pytest-pinned.
+        # * "pq": residual product quantization (operators/pq, IVFADC) —
+        #   (n, m) uint8 codes of x - centroid(cell), ~dim*8/m x smaller
+        #   (64x at dim=64, m=8); scoring is ADC (one (m, k) table per
+        #   query + m lookups per row) plus the exact per-cell centroid
+        #   dot, then query()'s default refine step exact-rescores a
+        #   refine*k shortlist via one bounded point-read. The 1B-vector
+        #   posture: needs the _pq_codebooks.parquet sidecar
+        #   (pq.train_pq_for_index, O(1) build cost in corpus size).
+        # Norms stay exact per row in every mode — only dots approximate.
+        if quantization is None and quantized:
+            quantization = "int8"
+        if quantization not in (None, "int8", "pq"):
+            raise ValueError(f"unknown quantization {quantization!r}")
+        self.quantization = quantization
+        self.quantized = quantization == "int8"
+        self._pq_books = None
+        if quantization == "pq":
+            from .pq import read_pq_sidecar
+
+            try:
+                self._pq_books = read_pq_sidecar(index_path)
+            except FileNotFoundError as e:
+                raise FileNotFoundError(
+                    "PQ sidecar missing — run pq.train_pq_for_index(index_path)"
+                    " after the index build"
+                ) from e
         # extra columns carried through to result rows (e.g. the chunks
         # table's filePath/chunkIndex when serving the RAG corpus by its
         # uuid id) — read with the cell, never re-joined per query
@@ -70,7 +94,8 @@ class IvfVectorServer:
         # cell -> (ids, matrix, norms, scale, payloads); OrderedDict as LRU
         self._cells: OrderedDict[int, tuple] = OrderedDict()
         self._dataset = None
-        self.cell_loads = 0  # observability: parquet reads performed
+        self.cell_loads = 0  # observability: parquet cell reads performed
+        self.refine_reads = 0  # observability: PQ shortlist point-reads
         import pyarrow.parquet as pq
 
         cents = pq.read_table(os.path.join(index_path, CENTROIDS_FILE))
@@ -145,7 +170,18 @@ class IvfVectorServer:
         payloads = {
             c: tbl[c].to_pylist() for c in self.payload_cols
         }
-        if self.quantized and n:
+        if self.quantization == "pq" and n:
+            from .pq import encode_pq, residualize
+
+            # residual PQ (IVFADC): codes quantize x - centroid(cell);
+            # the exact centroid rides in the scale slot so query() can
+            # reconstruct dot(x,q) = dot(centroid,q) + ADC(residual)
+            resid, cent = residualize(
+                mat, int(cell), self._cent_cells, self._cent_mat
+            )
+            codes = encode_pq(resid, self._pq_books)
+            entry = (ids, codes, np.linalg.norm(mat, axis=1), ("pq", cent), payloads)
+        elif self.quantization == "int8" and n:
             # symmetric per-dimension scale: q = round(x / scale_d),
             # scale_d = max|x_d| / 127. Norms kept exact (float64 vector
             # per row — dim-independent, negligible next to the matrix).
@@ -159,6 +195,33 @@ class IvfVectorServer:
         while len(self._cells) > self.max_cached_cells:
             self._cells.popitem(last=False)
         return entry
+
+    def _exact_cosines(self, cells: list[int], want_ids, q, qn) -> dict:
+        """Exact rounded cosines for specific ids — one column-pruned
+        parquet read, partition-pruned to the probed cells with an id-list
+        pushdown. Result is NOT cached: resident memory stays codes."""
+        import pyarrow.dataset as ds
+
+        flt = ds.field(self._cell_col).isin(
+            [int(c) for c in cells]
+        ) & ds.field(self._id_col).isin(list(want_ids))
+        tbl = self._dataset_of().to_table(
+            columns=[self._id_col, self._vec_col], filter=flt
+        )
+        self.refine_reads += 1
+        n = len(tbl)
+        if not n:
+            return {}
+        rid = tbl[self._id_col].to_numpy(zero_copy_only=False)
+        flat = tbl[self._vec_col].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        mat = np.asarray(flat, dtype=np.float64).reshape(n, -1)
+        denom = np.linalg.norm(mat, axis=1) * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, (mat @ q) / denom, 0.0)
+        cos = np.round(cos, 6)
+        return {i: float(c) for i, c in zip(rid.tolist(), cos)}
 
     def cached_bytes(self) -> int:
         """Resident bytes of the decoded cell matrices (the quantization
@@ -175,22 +238,47 @@ class IvfVectorServer:
         nprobe: int = 2,
         cells: list[int] | None = None,
         exclude_id=None,
+        refine: int = 8,
     ) -> list[dict]:
         """Top-k rows from the probed cells as
         [{neighbor_id, cos, cell}] — cosine rounded to 6, ties on
         neighbor_id asc (the cosine_knn contract). ``cells`` overrides the
         centroid probe (callers that already know their cells — e.g. the
-        oracle-paired query shape — skip the quantizer)."""
+        oracle-paired query shape — skip the quantizer).
+
+        ``refine`` (PQ mode only): ADC ranks a shortlist of refine*k
+        candidates, then ONE column-pruned, partition-pruned parquet
+        point-read fetches their exact vectors and the final top-k is
+        exact-rescored — recall returns to ~1.0 while resident memory
+        stays uint8 codes and per-query exact I/O is O(refine*k) rows,
+        corpus-size-independent (the Faiss IVFPQ+refine posture).
+        refine=0 is pure ADC (no read, lower recall)."""
         q = np.asarray(query_vec, dtype=np.float64)
         qn = float(np.linalg.norm(q))
         probe = cells if cells is not None else self.probe_cells(q, nprobe)
+        adc_table = None
+        if self.quantization == "pq":
+            from .pq import adc_dot_table
+
+            # ONE (m, k) partial-dot table per query; every stored row's
+            # approximate dot is then m uint8-indexed lookups
+            adc_table = adc_dot_table(q, self._pq_books)
         out_ids, out_cos, out_cell, out_rows = [], [], [], []
         for cell in probe:
             ids, mat, norms, scale, payloads = self._load_cell(cell)
             if not len(ids):
                 continue
             denom = norms * qn
-            if scale is not None:
+            if isinstance(scale, tuple) and scale[0] == "pq":
+                from .pq import adc_dots
+
+                # exact centroid dot (one scalar per probed cell) + ADC
+                # over the residual codes
+                cent = scale[1]
+                dots = adc_dots(mat, adc_table)
+                if cent is not None:
+                    dots = dots + float(cent @ q)
+            elif scale is not None:
                 # dequantized dot: fold the per-dim scale into the QUERY
                 # once (qs = scale * q), then one matvec against the int8
                 # matrix — dot(x, q) ~= sum q8[i,d] * qs[d]. The RESIDENT
@@ -219,13 +307,27 @@ class IvfVectorServer:
             kept_idx = np.nonzero(keep)[0]
             ids, cos, cel = ids[keep], cos[keep], cel[keep]
             pay = {c: [vs[i] for i in kept_idx] for c, vs in pay.items()}
-        if ids.dtype == object:
-            # string ids (e.g. the chunks table's uuid): numpy lexsort
-            # doesn't take object keys — the cells are bounded, a python
-            # sort over the candidate rows preserves the same total order
-            order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))[:k]
+        def _order(limit):
+            if ids.dtype == object:
+                # string ids (e.g. the chunks table's uuid): numpy lexsort
+                # doesn't take object keys — the cells are bounded, a
+                # python sort preserves the same total order
+                return sorted(
+                    range(len(ids)), key=lambda i: (-cos[i], ids[i])
+                )[:limit]
+            return list(np.lexsort((ids, -cos))[:limit])
+
+        if self.quantization == "pq" and refine:
+            shortlist = _order(max(1, int(refine)) * k)
+            exact = self._exact_cosines(
+                probe, [ids[i] for i in shortlist], q, qn
+            )
+            for i in shortlist:
+                if ids[i] in exact:
+                    cos[i] = exact[ids[i]]
+            order = sorted(shortlist, key=lambda i: (-cos[i], ids[i]))[:k]
         else:
-            order = np.lexsort((ids, -cos))[:k]
+            order = _order(k)
 
         def _py(v):
             return v.item() if hasattr(v, "item") else v

@@ -1,0 +1,122 @@
+"""Product quantization (operators/pq) + the PQ mode of the IVF server:
+codebook determinism, reconstruction sanity, sidecar round-trip, and the
+serving-path memory/recall trade."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_local_rag_spark.operators import pq
+from mcp_local_rag_spark.operators.ivf_serve import IvfVectorServer
+from mcp_local_rag_spark.plans.ann_index import write_ivf_index
+from mcp_local_rag_spark.session import load
+
+SF = "/root/testdata/sf0.01"
+
+
+def _mat(n=400, dim=64, seed=3):
+    rng = np.random.RandomState(seed)
+    return rng.randn(n, dim)
+
+
+def test_codebooks_deterministic_and_shaped():
+    mat = _mat()
+    b1 = pq.train_pq_codebooks(mat, m=8, k=32, seed=7)
+    b2 = pq.train_pq_codebooks(mat, m=8, k=32, seed=7)
+    assert b1.shape == (8, 32, 8)
+    assert np.array_equal(b1, b2)
+    with pytest.raises(ValueError):
+        pq.train_pq_codebooks(mat, m=7)  # 64 % 7 != 0
+    with pytest.raises(ValueError):
+        pq.train_pq_codebooks(mat, k=300)
+
+
+def test_encode_adc_approximates_dots():
+    mat = _mat()
+    books = pq.train_pq_codebooks(mat, m=8, k=64, seed=0)
+    codes = pq.encode_pq(mat, books)
+    assert codes.shape == (400, 8) and codes.dtype == np.uint8
+    q = _mat(1, seed=9)[0]
+    approx = pq.adc_dots(codes, pq.adc_dot_table(q, books))
+    exact = mat @ q
+    # ADC must track exact dots better than a null predictor — note
+    # i.i.d. gaussians are PQ's worst case (zero structure to exploit;
+    # ~0.75 bits/dim here); real embedding corpora cluster and do far
+    # better (the recall gate below runs on the actual testdata corpus)
+    resid = np.abs(approx - exact).mean()
+    null = np.abs(exact - exact.mean()).mean()
+    assert resid < 0.75 * null, (resid, null)
+    # finer codebooks reduce the residual
+    books2 = pq.train_pq_codebooks(mat, m=16, k=64, seed=0)
+    approx2 = pq.adc_dots(pq.encode_pq(mat, books2), pq.adc_dot_table(q, books2))
+    assert np.abs(approx2 - exact).mean() < resid
+
+
+def test_sidecar_round_trip(tmp_path):
+    books = pq.train_pq_codebooks(_mat(), m=4, k=16, seed=1)
+    pq.write_pq_sidecar(str(tmp_path), books)
+    assert np.array_equal(pq.read_pq_sidecar(str(tmp_path)), books)
+
+
+@pytest.fixture(scope="module")
+def pq_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf_pq") / "ann")
+    emb = load(spark, SF, "embeddings")
+    write_ivf_index(
+        emb.withColumn("cell", F.col("label")),
+        path,
+        sort_cols=("vec_id",),
+        meta={"source": "label"},
+    )
+    pq.train_pq_for_index(path, m=8, k=64, seed=0)
+    return path
+
+
+def test_pq_server_memory_and_recall(spark, pq_index):
+    """quantization='pq': resident cell cache shrinks ~dim*8/m x (uint8
+    codes vs float64 rows; 64x at dim=64, m=8) while the default
+    ADC-shortlist + exact-refine path keeps recall@10 vs the exact server
+    near 1.0 — on a corpus that is PQ's worst case (near-i.i.d. unit
+    vectors; the label cells explain ~2% of variance)."""
+    exact = IvfVectorServer(pq_index)
+    pqs = IvfVectorServer(pq_index, quantization="pq")
+    emb = load(spark, SF, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 30).collect()
+    hits = total = adc_hits = 0
+    for r in qrows:
+        cells = exact.probe_cells(r.embedding, nprobe=2)
+        want = {h["neighbor_id"] for h in exact.query(r.embedding, 10, cells=cells)}
+        got = {h["neighbor_id"] for h in pqs.query(r.embedding, 10, cells=cells)}
+        adc = {
+            h["neighbor_id"]
+            for h in pqs.query(r.embedding, 10, cells=cells, refine=0)
+        }
+        hits += len(want & got)
+        adc_hits += len(want & adc)
+        total += len(want)
+    assert total > 0 and hits / total >= 0.95, hits / total
+    # pure ADC (refine=0, no point-read) is better than chance but below
+    # the refined path — the trade the refine read exists to close
+    assert 0.3 <= adc_hits / total <= hits / total, adc_hits / total
+    # one bounded point-read per refined query, none for refine=0
+    assert pqs.refine_reads == len(qrows)
+    ratio = exact.cached_bytes() / max(1, pqs.cached_bytes())
+    assert ratio > 30.0, ratio
+
+
+def test_pq_mode_requires_sidecar(spark, tmp_path):
+    emb = load(spark, SF, "embeddings")
+    path = str(tmp_path / "ann_nosidecar")
+    write_ivf_index(
+        emb.withColumn("cell", F.col("label")), path,
+        sort_cols=("vec_id",), meta={"source": "label"},
+    )
+    with pytest.raises(FileNotFoundError):
+        IvfVectorServer(path, quantization="pq")
+
+
+def test_unknown_quantization_rejected(spark, pq_index):
+    with pytest.raises(ValueError):
+        IvfVectorServer(pq_index, quantization="fp4")
