@@ -62,6 +62,11 @@ def _parser() -> argparse.ArgumentParser:
     )
     ab.add_argument("--cells", type=int, default=None,
                     help="cell count (default ~sqrt(rows))")
+    ab.add_argument("--pq", action="store_true",
+                    help="also train the residual-PQ codebook sidecar"
+                    " (serve with quantization='pq')")
+    ab.add_argument("--pq-m", type=int, default=8,
+                    help="PQ subspace count (dim %% m == 0)")
 
     srv = sub.add_parser(
         "serve", help="stdio server loop (MCP by default; --bare for the"
@@ -127,9 +132,11 @@ def run(argv: list[str], engine, out=None) -> int:
         emit({"chunks": [{k: r[k] for k in keep if k in r} for r in rows]})
         return 0
     if args.cmd == "ann-build":
-        n = engine.build_ann_index(n_cells=args.cells)
+        n = engine.build_ann_index(n_cells=args.cells, pq=args.pq,
+                                   pq_m=args.pq_m)
         emit({"annIndexPath": engine.ann_index_path, "nCells": n,
-              "fresh": engine.ann_index_is_fresh()})
+              "fresh": engine.ann_index_is_fresh(),
+              "pq": engine.ann_index_status()["pq"]})
         return 0
     if args.cmd == "serve":
         from .server import McpServer, RagRpcServer

@@ -418,10 +418,16 @@ class RagEngine:
                 ).num_rows
             except Exception:
                 n_cells = None
+        from .operators.pq import PQ_CODEBOOKS_FILE
+
         return {
             "built": built,
             "fresh": self.ann_index_is_fresh() if built else False,
             "nCells": n_cells,
+            "pq": built
+            and _os.path.isfile(
+                _os.path.join(self.ann_index_path, PQ_CODEBOOKS_FILE)
+            ),
             "path": self.ann_index_path,
         }
 
@@ -781,10 +787,14 @@ class RagEngine:
                 extra={"covers_table_version": tv},
             )
 
-    def build_ann_index(self, n_cells: int | None = None) -> int:
+    def build_ann_index(
+        self, n_cells: int | None = None, *, pq: bool = False, pq_m: int = 8
+    ) -> int:
         """Build/refresh the chunks-corpus IVF index (plans/ann_index.
         build_chunks_ivf) and stamp the table version it covers. Returns
-        the cell count. Serving:
+        the cell count. ``pq=True`` additionally trains the residual-PQ
+        codebook sidecar (operators/pq, O(1) build cost in corpus size)
+        so the server can run quantization='pq'. Serving:
 
             IvfVectorServer(engine.ann_index_path, id_col="id",
                             vec_col="vector",
@@ -797,6 +807,10 @@ class RagEngine:
         n = build_chunks_ivf(
             self.spark, self.table_path, self.ann_index_path, n_cells=n_cells
         )
+        if pq:
+            from .operators.pq import train_pq_for_index
+
+            train_pq_for_index(self.ann_index_path, vec_col="vector", m=pq_m)
         tv = table_version(self.table_path)
         if tv is not None:
             write_table_meta(

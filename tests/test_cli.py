@@ -71,3 +71,28 @@ def test_cli_ann_build(spark, tmp_path):
     (out,) = _run(eng, "ann-build", "--cells", "2")
     assert out["nCells"] == 2 and out["fresh"] is True
     assert out["annIndexPath"].endswith("_ann")
+    assert out["pq"] is False
+
+
+def test_cli_ann_build_pq(spark, tmp_path):
+    """ann-build --pq trains the residual-PQ sidecar; the status block
+    reports it and the PQ serving mode comes up against the built index."""
+    from mcp_local_rag_spark.operators.ivf_serve import IvfVectorServer
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    for i in range(3):
+        (d / f"d{i}.md").write_text(
+            f"# P{i}\n\n" + " ".join(f"pq{i} corpus word{j}" for j in range(60))
+        )
+    eng = RagEngine(spark, str(tmp_path / "chunks_ann_pq"))
+    eng.ingest_directory(str(d))
+    (out,) = _run(eng, "ann-build", "--cells", "2", "--pq")
+    assert out["pq"] is True and eng.ann_index_status()["pq"] is True
+    server = IvfVectorServer(
+        eng.ann_index_path, id_col="id", vec_col="vector",
+        quantization="pq", payload_cols=("filePath",),
+    )
+    from mcp_local_rag_spark.embedder import pseudo_embed
+    hits = server.query(pseudo_embed("pq0 corpus", 64), 3)
+    assert hits and all("filePath" in h for h in hits)

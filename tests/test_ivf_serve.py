@@ -322,7 +322,7 @@ def test_status_reports_ann_index_coverage(spark, tmp_path):
 
     st = RagRpcServer(eng).call_tool("status", {})["annIndex"]
     assert st == {"built": False, "fresh": False, "nCells": None,
-                  "path": eng.ann_index_path}
+                  "pq": False, "path": eng.ann_index_path}
 
     eng.build_ann_index(n_cells=2)
     # a NEW server over a NEW engine instance = the restart scenario
