@@ -112,6 +112,49 @@ def main(sf_dir: str, out_path: str | None) -> None:
               f"p50={entry['p50_ms']}ms p95={entry['p95_ms']}ms",
               file=sys.stderr)
 
+    # quantization ladder at the frontier knee (nprobe=2): resident
+    # bytes vs recall vs latency for exact / int8 / residual-PQ+refine /
+    # pure-ADC — the 1B-row memory-sizing table
+    from mcp_local_rag_spark.operators.pq import (
+        PQ_CODEBOOKS_FILE, train_pq_for_index,
+    )
+
+    if not os.path.isfile(os.path.join(path, PQ_CODEBOOKS_FILE)):
+        train_pq_for_index(path, m=8, k=256, seed=0)
+    ladder = []
+    for label, kw, qkw in (
+        ("exact", {}, {}),
+        ("int8", {"quantization": "int8"}, {}),
+        ("pq_refine8", {"quantization": "pq"}, {"refine": 8}),
+        ("pq_adc_only", {"quantization": "pq"}, {"refine": 0}),
+    ):
+        srv = IvfVectorServer(path, **kw)
+        srv.query(list(q_rows[0].embedding), K, nprobe=2, **qkw)  # warm
+        hits = total = 0
+        times = []
+        for r in q_rows:
+            t0 = time.time()
+            res = srv.query(
+                list(r.embedding), K, nprobe=2, exclude_id=r.vec_id, **qkw
+            )
+            times.append((time.time() - t0) * 1000)
+            hits += len({int(h["neighbor_id"]) for h in res} & truth[r.vec_id])
+            total += K
+        times.sort()
+        ladder.append({
+            "mode": label,
+            "recall_at_10": round(hits / total, 4),
+            "p50_ms": round(times[len(times) // 2], 2),
+            "p95_ms": round(times[max(0, int(len(times) * 0.95) - 1)], 2),
+            "resident_cache_bytes": int(srv.cached_bytes()),
+            "refine_reads": int(srv.refine_reads),
+        })
+        print(f"# quant={label}: recall@10={ladder[-1]['recall_at_10']} "
+              f"p95={ladder[-1]['p95_ms']}ms "
+              f"resident={ladder[-1]['resident_cache_bytes']}B",
+              file=sys.stderr)
+    report["quantization_ladder_nprobe2"] = ladder
+
     line = json.dumps(report)
     print(line)
     if out_path:
