@@ -221,7 +221,8 @@ def _ivf_serve_bench(spark, sf_dir) -> tuple[float, float]:
         )
     qvecs = [r.embedding for r in emb.filter(F.col("vec_id") < 25).collect()]
     server = IvfVectorServer(path)
-    server.query(qvecs[0], 10, nprobe=2)  # load + warm
+    for qv in qvecs:  # warm every probed cell: the lane measures the
+        server.query(qv, 10, nprobe=2)  # steady state, not first-touch IO
     times = []
     for i in range(40):
         qv = qvecs[i % len(qvecs)]
