@@ -1,0 +1,172 @@
+"""Z-order (Morton) clustered layout — multi-dimensional data skipping.
+
+A single-column sort lets parquet row-group min/max stats prune scans on
+THAT column only; a 100 TB events table queried by both user and time
+needs a layout whose row groups are tight in BOTH dimensions. Z-ordering
+delivers that with plain Spark primitives: quantile-bucketize each
+cluster column (driver-side approxQuantile boundaries — bounded, one
+pass), interleave the bucket bits into a Morton key (pure JVM bit
+arithmetic, whole-stage codegen'd), then repartitionByRange + sort on
+the key. Every output file then covers a small rectangle of the keyed
+space, so the ordinary parquet min/max stats on the NATURAL columns
+prune scans filtered on any clustered dimension — no index structure,
+no reader cooperation beyond standard pushdown.
+
+The same layout idea ships in Delta/Iceberg `OPTIMIZE ZORDER BY`; this
+is the engine-native expression of it. The reference has no analogous
+layout control (single LanceDB table, src/vectordb/index.ts); this is
+part of the pipeline-scale extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+ZKEY = "_zkey"
+
+
+def _bucket_boundaries(
+    df: DataFrame, col: str, bits: int, sample_expr: str | None = None
+):
+    """Strictly-increasing interior split points (<= 2^bits - 1 of them)
+    via the EXACT percentile aggregate over the column cast to double.
+
+    Exact, not approxQuantile: G-K sketches merge in partition order, so
+    the same data in a different layout yields different boundaries —
+    and the z-key must be a pure function of the row (pinned in tests).
+    Exact percentile holds per-distinct-value counts; for corpora where
+    that's too much state, pass ``sample_expr`` (a deterministic,
+    layout-independent row filter like 'xxhash64(event_id) % 100 = 0')
+    to bound it."""
+    n = 2**bits
+    src = df.filter(F.expr(sample_expr)) if sample_expr else df
+    probs = ", ".join(repr(i / n) for i in range(1, n))
+    (qs,) = src.select(
+        F.expr(f"percentile(cast({col} as double), array({probs}))")
+    ).first()
+    out = []
+    for q in qs or []:
+        if q is not None and (not out or q > out[-1]):
+            out.append(q)
+    return out
+
+
+def _bucket_col(col: str, splits: list[float], bits: int):
+    """Bucket id (count of splits <= v) via a BRANCHLESS binary search:
+    ``bits`` rounds of element_at into the literal split array (padded
+    with +inf), not a 2^bits-term comparison chain — O(bits) JVM
+    expressions per row, array folded to a constant. Nulls land in
+    bucket 0."""
+    n = 2**bits
+    pad = list(splits) + [float("inf")] * (n - 1 - len(splits))
+    arr = F.array(*[F.lit(s) for s in pad])
+    v = F.col(col).cast("double")
+    b = F.lit(0)
+    for level in range(bits):
+        step = n >> (level + 1)
+        # 1-based element_at index b+step == 0-based split index b+step-1
+        cond = v >= F.element_at(arr, (b + F.lit(step)).cast("int"))
+        b = b + F.when(cond, F.lit(step)).otherwise(F.lit(0))
+    return b.cast("long")
+
+
+def morton_key(bucket_cols, bits: int):
+    """Interleave ``bits`` low bits of each bucket column into one long:
+    bit j of column i lands at position j * d + i. Pure shiftleft/and/or
+    — codegen-friendly, no UDF."""
+    d = len(bucket_cols)
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(bucket_cols):
+        for j in range(bits):
+            bit = F.shiftright(c, j).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, j * d + i))
+    return key
+
+
+def with_zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    sample_expr: str | None = None,
+) -> DataFrame:
+    """``df`` plus a ``_zkey`` Morton column over quantile-bucketized
+    ``cols``. Quantile (not uniform-width) bucketing keeps the key
+    balanced under skew — each bucket holds ~1/2^bits of the rows, so
+    range partitions of the key are even regardless of value skew."""
+    bucketed = []
+    for c in cols:
+        splits = _bucket_boundaries(df, c, bits, sample_expr)
+        bucketed.append(_bucket_col(c, splits, bits))
+    return df.withColumn(ZKEY, morton_key(bucketed, bits))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    n_files: int = 16,
+    sample_expr: str | None = None,
+) -> None:
+    """Materialize ``df`` z-ordered on ``cols`` into ``n_files`` parquet
+    files. repartitionByRange on the Morton key makes file boundaries
+    key-contiguous (each file = one rectangle-ish region); the
+    sortWithinPartitions tightens row-group stats inside each file.
+    Range boundaries are sampled once — the frame is materialized exactly
+    once here, so the re-sampling hazard does not arise."""
+    zdf = with_zorder_key(df, cols, bits=bits, sample_expr=sample_expr)
+    conf = df.sparkSession.conf
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = conf.get(key, None)
+    # INT96 (the default) carries NO parquet min/max stats — the whole
+    # point of the layout is stats-based skipping, so force MICROS
+    conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        (
+            zdf.repartitionByRange(n_files, F.col(ZKEY))
+            .sortWithinPartitions(ZKEY)
+            .drop(ZKEY)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            conf.unset(key)
+        else:
+            conf.set(key, prev)
+
+
+def rowgroup_prune_stats(path: str, col: str, lo, hi) -> tuple[int, int]:
+    """(total row groups, row groups a [lo, hi] predicate on ``col``
+    could match by min/max stats) across the layout — the data-skipping
+    evidence a reader's pushdown realizes. Driver-side footer reads only."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = matching = 0
+    names = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    for name in names:
+        md = pq.read_metadata(os.path.join(path, name))
+        sch = md.schema.to_arrow_schema()
+        idx = sch.get_field_index(col)
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            total += 1
+            if st is None or not st.has_min_max:
+                matching += 1
+            else:
+                mn, mx = st.min, st.max
+                # TIMESTAMP stats come back tz-aware (UTC) while Spark
+                # collect() hands out naive datetimes — compare naive
+                if hasattr(mn, "tzinfo") and mn.tzinfo is not None:
+                    if getattr(lo, "tzinfo", None) is None:
+                        mn = mn.replace(tzinfo=None)
+                        mx = mx.replace(tzinfo=None)
+                if not (mx < lo or mn > hi):
+                    matching += 1
+    return total, matching

@@ -954,3 +954,52 @@ def q_events_impressions_unattributed(spark, sf_dir):
         window_seconds=1800,
     )
     return out.orderBy("impression_id")
+
+
+# Z-order clustered read (plans/zorder): the query itself is an ordinary
+# two-dimensional range read — its POINT is the layout it reads from, a
+# build-once Morton-clustered copy of events whose parquet row groups
+# are tight in BOTH user_id and ts, so the scan's pushed filters skip
+# user-disjoint AND time-disjoint row groups (tests/test_zorder.py holds
+# the skipping evidence; the single-sort baseline prunes only one
+# dimension). Time bounds are computed driver-side in integer micros
+# (bounded 1-row aggregate) so both engines filter on identical BIGINTs.
+
+@register(
+    "events_zorder_read",
+    """SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE user_id BETWEEN (SELECT max(user_id) // 5 FROM events)
+                  AND (SELECT 2 * (max(user_id) // 5) FROM events)
+  AND epoch_us(ts) < (
+    SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 4
+    FROM events)
+ORDER BY event_id""",
+)
+def q_events_zorder_read(spark, sf_dir):
+    import os
+
+    from ..plans.zorder import write_zordered
+    from .rag import _scratch_path
+
+    path = _scratch_path(sf_dir, "events_zorder")
+    if not os.path.isdir(path):
+        write_zordered(
+            load(spark, sf_dir, "events"), path, ["user_id", "ts"],
+            bits=6, n_files=16,
+        )
+    z = spark.read.parquet(path)
+    t0, t1, umax = z.agg(
+        F.min(F.unix_micros("ts")),
+        F.max(F.unix_micros("ts")),
+        F.max("user_id"),
+    ).first()
+    cut = t0 + (t1 - t0) // 4  # python floor == DuckDB // on positives
+    return (
+        z.filter(
+            F.col("user_id").between(umax // 5, 2 * (umax // 5))
+            & (F.unix_micros("ts") < F.lit(cut))
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )

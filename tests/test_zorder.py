@@ -1,0 +1,82 @@
+"""Z-order clustered layout (plans/zorder): multi-dimensional row-group
+pruning evidence, correctness of the clustered copy, and pushdown."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_local_rag_spark.plans.zorder import (
+    rowgroup_prune_stats, with_zorder_key, write_zordered,
+)
+from mcp_local_rag_spark.session import load
+
+SF = "/root/testdata/sf0.01"
+
+
+def _layouts(spark, tmp_path):
+    ev = load(spark, SF, "events")
+    zpath = str(tmp_path / "events_z")
+    spath = str(tmp_path / "events_ts")
+    write_zordered(ev, zpath, ["user_id", "ts"], bits=6, n_files=16)
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        (
+            ev.repartitionByRange(16, F.col("ts"))
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(spath)
+        )
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    return ev, zpath, spath
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """The z-ordered layout's row-group stats prune range predicates on
+    BOTH clustered columns; the single-column ts sort prunes only ts —
+    every row group matches any user_id range."""
+    ev, zpath, spath = _layouts(spark, tmp_path)
+    lo_ts, hi_ts = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = hi_ts - lo_ts
+    mid_lo, mid_hi = lo_ts + span / 2, lo_ts + span / 2 + span / 8
+
+    zt, zm = rowgroup_prune_stats(zpath, "user_id", 20, 50)
+    st, sm = rowgroup_prune_stats(spath, "user_id", 20, 50)
+    assert sm == st  # ts-sorted layout: user predicate prunes nothing
+    assert zm <= 0.75 * zt, (zm, zt)  # z-order: skips user-disjoint groups
+
+    zt2, zm2 = rowgroup_prune_stats(zpath, "ts", mid_lo, mid_hi)
+    st2, sm2 = rowgroup_prune_stats(spath, "ts", mid_lo, mid_hi)
+    assert sm2 <= 0.5 * st2  # the sort's own dimension prunes hard
+    assert zm2 <= 0.75 * zt2, (zm2, zt2)  # z-order still prunes ts too
+
+
+def test_zordered_copy_is_lossless_and_pushes_down(spark, tmp_path):
+    ev, zpath, _ = _layouts(spark, tmp_path)
+    back = spark.read.parquet(zpath)
+    assert back.count() == ev.count()
+    want = {r.event_id for r in ev.filter("user_id between 20 and 50").collect()}
+    got_df = back.filter("user_id between 20 and 50")
+    assert {r.event_id for r in got_df.collect()} == want
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "user_id" in plan
+
+
+def test_zorder_key_balance_and_determinism(spark):
+    """Quantile bucketing keeps Morton-key range partitions balanced and
+    the key is a pure function of the row (no RNG, no partition order)."""
+    ev = load(spark, SF, "events").select("event_id", "user_id", "ts")
+    k1 = with_zorder_key(ev, ["user_id", "ts"], bits=6)
+    k2 = with_zorder_key(ev.repartition(7), ["user_id", "ts"], bits=6)
+    a = {r.event_id: r._zkey for r in k1.collect()}
+    b = {r.event_id: r._zkey for r in k2.collect()}
+    assert a == b
+    from collections import Counter
+
+    freq = Counter(a.values())
+    # quantile bucketing spreads rows over many distinct keys with no
+    # dominant key — the property that makes repartitionByRange even
+    assert len(freq) >= 64
+    assert max(freq.values()) <= 0.1 * len(a)
