@@ -998,7 +998,10 @@ def q_events_zorder_read(spark, sf_dir):
     return (
         z.filter(
             F.col("user_id").between(umax // 5, 2 * (umax // 5))
-            & (F.unix_micros("ts") < F.lit(cut))
+            # compare the RAW column to a timestamp literal (not
+            # unix_micros(ts) < lit): a wrapped column defeats parquet
+            # pushdown, and the pushed ts range is the layout's point
+            & (F.col("ts") < F.timestamp_micros(F.lit(cut)))
         )
         .select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy("event_id")

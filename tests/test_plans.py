@@ -476,3 +476,13 @@ def test_minhash_estimate_joins_narrow_signatures(spark, qs):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     # est_jaccard is a pure column expression over sig equality casts
     assert "est_jaccard" in p
+
+
+def test_zorder_read_pushes_both_dimensions(spark, qs):
+    """The clustered-layout read must push BOTH range predicates to the
+    parquet scan — a wrapped column (unix_micros(ts) < lit) would defeat
+    ts pushdown and with it the layout's whole point."""
+    p = plan(qs["events_zorder_read"](spark, SF_DIR))
+    assert "PushedFilters" in p, p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    assert "user_id" in pushed and "LessThan(ts" in pushed, pushed

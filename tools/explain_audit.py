@@ -295,6 +295,18 @@ COMMENTARY = {
         "sanctioned 100 TB swap is approx_percentile cutoffs + a "
         "map-side bucket compare."
     ),
+    "events_zorder_read": (
+        "Round 9: a two-dimensional range read against the Morton-"
+        "clustered events copy (plans/zorder). The plan is deliberately "
+        "boring — Scan parquet with BOTH predicates in PushedFilters and "
+        "a 5-column ReadSchema — because the win lives in the LAYOUT: "
+        "every file covers a small (user_id, ts) rectangle, so the "
+        "pushed min/max stats skip user-disjoint AND time-disjoint row "
+        "groups. A single-sort layout prunes only its own sort column "
+        "(tests/test_zorder.py holds the side-by-side skipping counts). "
+        "At 100 TB this is the difference between scanning one user "
+        "stripe and scanning the whole day."
+    ),
 }
 
 
