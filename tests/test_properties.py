@@ -270,3 +270,42 @@ def test_query_terms_match_corpus_tokenizer(text):
     # yields the term): terms are always directly matchable postings keys
     for t in _query_terms(text):
         assert _query_terms(t) == [t]
+
+
+@given(
+    st.integers(2, 12),
+    st.integers(1, 3),
+    st.integers(0, 999),
+)
+@settings(max_examples=60, deadline=None)
+def test_pq_exact_when_points_are_centroids(n, m_pow, seed):
+    """With n <= k distinct training rows, every point becomes its own
+    centroid, so ADC reconstructs exact dots (up to per-subspace
+    summation association) — the zero-quantization-error limit of PQ."""
+    from mcp_local_rag_spark.operators import pq
+
+    m = 2 ** m_pow  # dim=16 divisible by 1,2,4,8
+    rng = np.random.RandomState(seed)
+    mat = rng.randn(n, 16)
+    books = pq.train_pq_codebooks(mat, m=m, k=max(n, 2), iters=6, seed=seed)
+    codes = pq.encode_pq(mat, books)
+    assert codes.dtype == np.uint8 and codes.shape == (n, m)
+    q = rng.randn(16)
+    approx = pq.adc_dots(codes, pq.adc_dot_table(q, books))
+    assert np.allclose(approx, mat @ q, atol=1e-9)
+
+
+@given(st.integers(4, 30), st.integers(0, 99))
+@settings(max_examples=40, deadline=None)
+def test_pq_encode_is_row_equivariant(n, seed):
+    """encode(perm(mat)) == perm(encode(mat)): codes are a pure per-row
+    function of the trained codebooks, independent of batch order."""
+    from mcp_local_rag_spark.operators import pq
+
+    rng = np.random.RandomState(seed)
+    mat = rng.randn(n, 8)
+    books = pq.train_pq_codebooks(mat, m=4, k=8, iters=4, seed=0)
+    perm = rng.permutation(n)
+    a = pq.encode_pq(mat[perm], books)
+    b = pq.encode_pq(mat, books)[perm]
+    assert np.array_equal(a, b)
