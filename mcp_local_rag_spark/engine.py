@@ -808,9 +808,14 @@ class RagEngine:
             self.spark, self.table_path, self.ann_index_path, n_cells=n_cells
         )
         if pq:
-            from .operators.pq import train_pq_for_index
+            from .operators.pq import encode_index_codes, train_pq_for_index
 
             train_pq_for_index(self.ann_index_path, vec_col="vector", m=pq_m)
+            # persisted codes: cold PQ cell loads read m bytes/row instead
+            # of the vector column, and skip the encode CPU
+            encode_index_codes(
+                self.spark, self.ann_index_path, id_col="id", vec_col="vector"
+            )
         tv = table_version(self.table_path)
         if tv is not None:
             write_table_meta(

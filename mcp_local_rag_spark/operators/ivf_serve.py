@@ -29,6 +29,7 @@ from collections import OrderedDict
 import numpy as np
 
 from ..plans.ann_index import CENTROIDS_FILE, read_index_meta
+from .pq import PQ_CODES_DIR
 
 
 class IvfVectorServer:
@@ -94,8 +95,10 @@ class IvfVectorServer:
         # cell -> (ids, matrix, norms, scale, payloads); OrderedDict as LRU
         self._cells: OrderedDict[int, tuple] = OrderedDict()
         self._dataset = None
+        self._codes_dataset = None
         self.cell_loads = 0  # observability: parquet cell reads performed
         self.refine_reads = 0  # observability: PQ shortlist point-reads
+        self.code_loads = 0  # observability: persisted-codes cell reads
         import pyarrow.parquet as pq
 
         cents = pq.read_table(os.path.join(index_path, CENTROIDS_FILE))
@@ -108,9 +111,10 @@ class IvfVectorServer:
         self._cent_norms = np.linalg.norm(mat, axis=1)
 
     def invalidate(self) -> None:
-        """Drop decoded cells + the dataset handle (after index rebuild)."""
+        """Drop decoded cells + the dataset handles (after index rebuild)."""
         self._cells.clear()
         self._dataset = None
+        self._codes_dataset = None
 
     # -- probing ----------------------------------------------------------
 
@@ -146,6 +150,35 @@ class IvfVectorServer:
         flt = ds.field(self._cell_col).isin([int(c) for c in cells])
         return [f.path for f in self._dataset_of().get_fragments(filter=flt)]
 
+    def _codes_for_cell(self, cell: int):
+        """(id -> (code_row, norm)) from the persisted codes sidecar, or
+        None when the sidecar is absent. With it, a cold PQ cell load
+        reads m bytes/row instead of dim*8 and skips the encode."""
+        import pyarrow.dataset as ds
+
+        if not os.path.isdir(os.path.join(self._path, PQ_CODES_DIR)):
+            return None
+        if self._codes_dataset is None:
+            self._codes_dataset = ds.dataset(
+                os.path.join(self._path, PQ_CODES_DIR),
+                format="parquet",
+                partitioning="hive",
+            )
+        tbl = self._codes_dataset.to_table(
+            columns=[self._id_col, "pq_code", "pq_norm"],
+            filter=ds.field(self._cell_col) == int(cell),
+        )
+        self.code_loads += 1
+        m = self._pq_books.shape[0]
+        out = {}
+        for i, buf, norm in zip(
+            tbl[self._id_col].to_pylist(),
+            tbl["pq_code"].to_pylist(),
+            tbl["pq_norm"].to_pylist(),
+        ):
+            out[i] = (np.frombuffer(buf, dtype=np.uint8, count=m), norm)
+        return out
+
     def _load_cell(self, cell: int) -> tuple:
         hit = self._cells.get(cell)
         if hit is not None:
@@ -153,14 +186,22 @@ class IvfVectorServer:
             return hit
         import pyarrow.dataset as ds
 
+        codes_map = (
+            self._codes_for_cell(cell) if self.quantization == "pq" else None
+        )
+        read_cols = (
+            [self._id_col, *self.payload_cols]
+            if codes_map is not None
+            else [self._id_col, self._vec_col, *self.payload_cols]
+        )
         tbl = self._dataset_of().to_table(
-            columns=[self._id_col, self._vec_col, *self.payload_cols],
+            columns=read_cols,
             filter=ds.field(self._cell_col) == int(cell),
         )
         self.cell_loads += 1
         ids = tbl[self._id_col].to_numpy(zero_copy_only=False)
         n = len(tbl)
-        if n:
+        if n and codes_map is None:
             flat = tbl[self._vec_col].combine_chunks().flatten().to_numpy(
                 zero_copy_only=False
             )
@@ -176,11 +217,23 @@ class IvfVectorServer:
             # residual PQ (IVFADC): codes quantize x - centroid(cell);
             # the exact centroid rides in the scale slot so query() can
             # reconstruct dot(x,q) = dot(centroid,q) + ADC(residual)
-            resid, cent = residualize(
-                mat, int(cell), self._cent_cells, self._cent_mat
-            )
-            codes = encode_pq(resid, self._pq_books)
-            entry = (ids, codes, np.linalg.norm(mat, axis=1), ("pq", cent), payloads)
+            if codes_map is not None:
+                # persisted codes: the vector column was never read
+                codes = np.stack([codes_map[i][0] for i in ids.tolist()])
+                norms = np.array(
+                    [codes_map[i][1] for i in ids.tolist()], dtype=np.float64
+                )
+                _, cent = residualize(
+                    np.zeros((0, self._cent_mat.shape[1])),
+                    int(cell), self._cent_cells, self._cent_mat,
+                )
+            else:
+                resid, cent = residualize(
+                    mat, int(cell), self._cent_cells, self._cent_mat
+                )
+                codes = encode_pq(resid, self._pq_books)
+                norms = np.linalg.norm(mat, axis=1)
+            entry = (ids, codes, norms, ("pq", cent), payloads)
         elif self.quantization == "int8" and n:
             # symmetric per-dimension scale: q = round(x / scale_d),
             # scale_d = max|x_d| / 127. Norms kept exact (float64 vector

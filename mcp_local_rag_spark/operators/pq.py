@@ -32,6 +32,7 @@ from __future__ import annotations
 import numpy as np
 
 PQ_CODEBOOKS_FILE = "_pq_codebooks.parquet"
+PQ_CODES_DIR = "_pq_codes"
 
 
 def train_pq_codebooks(
@@ -170,6 +171,72 @@ def residualize(mat: np.ndarray, cell: int, cells: np.ndarray, cents: np.ndarray
         c = cents[pos]
         return mat - c[None, :], c
     return mat, None
+
+
+def encode_index_codes(
+    spark,
+    index_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Materialize the residual codes for EVERY index row as a
+    cell-partitioned sidecar table (id, pq_code binary[m], pq_norm
+    double) — one Spark job, Arrow-batched encoding against broadcast
+    codebooks. A PQ-mode server with this sidecar present reads m bytes
+    per row on a cold cell load instead of dim*8 (and skips the encode
+    CPU); raw vectors are then touched only by the refine point-read —
+    the full IVFADC serving posture. The sidecar lives INSIDE the index
+    directory, so an index rebuild (mode=overwrite of the whole dir)
+    can never leave stale codes behind. Returns rows encoded."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..plans.ann_index import read_index_meta
+
+    books = read_pq_sidecar(index_path)
+    cells, cents = read_cell_centroids(index_path)
+    cell_col = read_index_meta(index_path)["cell_col"]
+    df = spark.read.parquet(index_path).select(cell_col, id_col, vec_col)
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"{cell_col} long, {id_col} {id_type}, pq_code binary, pq_norm double"
+    )
+
+    def _encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            codes = np.empty((len(pdf), books.shape[0]), dtype=np.uint8)
+            cvals = pdf[cell_col].to_numpy()
+            for cell in np.unique(cvals):
+                m = cvals == cell
+                resid, _ = residualize(mat[m], int(cell), cells, cents)
+                codes[m] = encode_pq(resid, books)
+            yield pd.DataFrame(
+                {
+                    cell_col: cvals.astype(np.int64),
+                    id_col: pdf[id_col].to_numpy(),
+                    "pq_code": [c.tobytes() for c in codes],
+                    "pq_norm": norms,
+                }
+            )
+
+    coded = df.mapInPandas(_encode, out_schema)
+    # one task per cell before partitionBy — same small-file discipline
+    # as write_ivf_index
+    (
+        coded.repartition(max(len(cells), 1), cell_col)
+        .write.mode("overwrite")
+        .partitionBy(cell_col)
+        .parquet(os.path.join(index_path, PQ_CODES_DIR))
+    )
+    return spark.read.parquet(os.path.join(index_path, PQ_CODES_DIR)).count()
 
 
 def train_pq_for_index(

@@ -120,3 +120,48 @@ def test_pq_mode_requires_sidecar(spark, tmp_path):
 def test_unknown_quantization_rejected(spark, pq_index):
     with pytest.raises(ValueError):
         IvfVectorServer(pq_index, quantization="fp4")
+
+
+def test_persisted_codes_serve_identically(spark, pq_index):
+    """encode_index_codes materializes the cell-partitioned codes sidecar
+    (one Spark job); a PQ server with it present returns ROW-IDENTICAL
+    results to on-the-fly encoding while never reading the vector column
+    on cell loads (code_loads counts the sidecar reads instead)."""
+    emb = load(spark, SF, "embeddings")
+    onfly = IvfVectorServer(pq_index, quantization="pq")
+    qrows = emb.filter(F.col("vec_id") < 12).collect()
+    want = [
+        onfly.query(r.embedding, 10, cells=onfly.probe_cells(r.embedding, 2))
+        for r in qrows
+    ]
+    n = pq.encode_index_codes(spark, pq_index)
+    assert n == emb.count()
+    coded = IvfVectorServer(pq_index, quantization="pq")
+    got = [
+        coded.query(r.embedding, 10, cells=coded.probe_cells(r.embedding, 2))
+        for r in qrows
+    ]
+    assert got == want
+    assert coded.code_loads > 0 and onfly.code_loads == 0
+
+
+def test_index_rebuild_wipes_codes_sidecar(spark, tmp_path):
+    """The codes sidecar lives INSIDE the index dir: a full index rebuild
+    (overwrite of the whole directory) removes it, so a rebuilt index can
+    never serve stale codes."""
+    import os
+
+    emb = load(spark, SF, "embeddings")
+    path = str(tmp_path / "ann_rebuild")
+    write_ivf_index(
+        emb.withColumn("cell", F.col("label")), path,
+        sort_cols=("vec_id",), meta={"source": "label"},
+    )
+    pq.train_pq_for_index(path, m=8, k=64, seed=0)
+    pq.encode_index_codes(spark, path)
+    assert os.path.isdir(os.path.join(path, pq.PQ_CODES_DIR))
+    write_ivf_index(
+        emb.withColumn("cell", F.col("label")), path,
+        sort_cols=("vec_id",), meta={"source": "label"},
+    )
+    assert not os.path.isdir(os.path.join(path, pq.PQ_CODES_DIR))
