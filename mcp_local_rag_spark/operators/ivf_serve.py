@@ -150,10 +150,12 @@ class IvfVectorServer:
         flt = ds.field(self._cell_col).isin([int(c) for c in cells])
         return [f.path for f in self._dataset_of().get_fragments(filter=flt)]
 
-    def _codes_for_cell(self, cell: int):
-        """(id -> (code_row, norm)) from the persisted codes sidecar, or
-        None when the sidecar is absent. With it, a cold PQ cell load
-        reads m bytes/row instead of dim*8 and skips the encode."""
+    def _load_codes(self, cell: int):
+        """(ids, (n, m) uint8 codes, norms) from the persisted codes
+        sidecar, or None when it's absent. With it, a cold PQ cell load
+        reads m bytes/row instead of dim*8 and skips the encode. The
+        decode is one buffer reshape — every pq_code is exactly m bytes,
+        so the arrow binary column's value buffer IS the code matrix."""
         import pyarrow.dataset as ds
 
         if not os.path.isdir(os.path.join(self._path, PQ_CODES_DIR)):
@@ -170,14 +172,19 @@ class IvfVectorServer:
         )
         self.code_loads += 1
         m = self._pq_books.shape[0]
-        out = {}
-        for i, buf, norm in zip(
-            tbl[self._id_col].to_pylist(),
-            tbl["pq_code"].to_pylist(),
-            tbl["pq_norm"].to_pylist(),
-        ):
-            out[i] = (np.frombuffer(buf, dtype=np.uint8, count=m), norm)
-        return out
+        n = len(tbl)
+        ids = tbl[self._id_col].to_numpy(zero_copy_only=False)
+        norms = tbl["pq_norm"].to_numpy(zero_copy_only=False)
+        bin_arr = tbl["pq_code"].combine_chunks()
+        flat = np.frombuffer(bin_arr.buffers()[2], dtype=np.uint8)
+        if len(flat) == n * m:
+            codes = flat.reshape(n, m).copy()
+        else:  # defensive: non-contiguous values (shouldn't happen)
+            codes = np.stack(
+                [np.frombuffer(b, dtype=np.uint8, count=m)
+                 for b in bin_arr.to_pylist()]
+            ) if n else np.zeros((0, m), dtype=np.uint8)
+        return ids, codes, np.asarray(norms, dtype=np.float64)
 
     def _load_cell(self, cell: int) -> tuple:
         hit = self._cells.get(cell)
@@ -186,12 +193,25 @@ class IvfVectorServer:
             return hit
         import pyarrow.dataset as ds
 
-        codes_map = (
-            self._codes_for_cell(cell) if self.quantization == "pq" else None
-        )
+        coded = self._load_codes(cell) if self.quantization == "pq" else None
+        if coded is not None and not self.payload_cols:
+            # the common serving shape: cold load touches ONLY the codes
+            # sidecar — zero main-table I/O
+            from .pq import residualize
+
+            cids, codes, norms = coded
+            _, cent = residualize(
+                np.zeros((0, self._cent_mat.shape[1])),
+                int(cell), self._cent_cells, self._cent_mat,
+            )
+            entry = (cids, codes, norms, ("pq", cent), {})
+            self._cells[cell] = entry
+            while len(self._cells) > self.max_cached_cells:
+                self._cells.popitem(last=False)
+            return entry
         read_cols = (
             [self._id_col, *self.payload_cols]
-            if codes_map is not None
+            if coded is not None
             else [self._id_col, self._vec_col, *self.payload_cols]
         )
         tbl = self._dataset_of().to_table(
@@ -201,7 +221,7 @@ class IvfVectorServer:
         self.cell_loads += 1
         ids = tbl[self._id_col].to_numpy(zero_copy_only=False)
         n = len(tbl)
-        if n and codes_map is None:
+        if n and coded is None:
             flat = tbl[self._vec_col].combine_chunks().flatten().to_numpy(
                 zero_copy_only=False
             )
@@ -217,12 +237,21 @@ class IvfVectorServer:
             # residual PQ (IVFADC): codes quantize x - centroid(cell);
             # the exact centroid rides in the scale slot so query() can
             # reconstruct dot(x,q) = dot(centroid,q) + ADC(residual)
-            if codes_map is not None:
-                # persisted codes: the vector column was never read
-                codes = np.stack([codes_map[i][0] for i in ids.tolist()])
-                norms = np.array(
-                    [codes_map[i][1] for i in ids.tolist()], dtype=np.float64
-                )
+            if coded is not None:
+                # persisted codes + payload read: align the codes rows
+                # to the main read's id order (vectorized for numeric
+                # ids; bounded dict pass for string ids)
+                cids, ccodes, cnorms = coded
+                if ids.dtype == object:
+                    pos = {v: k for k, v in enumerate(cids.tolist())}
+                    order = np.fromiter(
+                        (pos[i] for i in ids.tolist()), dtype=np.int64, count=n
+                    )
+                else:
+                    s = np.argsort(cids)
+                    order = s[np.searchsorted(cids[s], ids)]
+                codes = ccodes[order]
+                norms = cnorms[order]
                 _, cent = residualize(
                     np.zeros((0, self._cent_mat.shape[1])),
                     int(cell), self._cent_cells, self._cent_mat,

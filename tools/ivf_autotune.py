@@ -121,6 +121,10 @@ def main(sf_dir: str, out_path: str | None) -> None:
 
     if not os.path.isfile(os.path.join(path, PQ_CODEBOOKS_FILE)):
         train_pq_for_index(path, m=8, k=256, seed=0)
+    from mcp_local_rag_spark.operators.pq import PQ_CODES_DIR, encode_index_codes
+
+    if not os.path.isdir(os.path.join(path, PQ_CODES_DIR)):
+        encode_index_codes(spark, path)
     ladder = []
     for label, kw, qkw in (
         ("exact", {}, {}),
@@ -148,6 +152,7 @@ def main(sf_dir: str, out_path: str | None) -> None:
             "p95_ms": round(times[max(0, int(len(times) * 0.95) - 1)], 2),
             "resident_cache_bytes": int(srv.cached_bytes()),
             "refine_reads": int(srv.refine_reads),
+            "code_loads": int(srv.code_loads),
         })
         print(f"# quant={label}: recall@10={ladder[-1]['recall_at_10']} "
               f"p95={ladder[-1]['p95_ms']}ms "
