@@ -175,8 +175,15 @@ class IvfVectorServer:
         n = len(tbl)
         ids = tbl[self._id_col].to_numpy(zero_copy_only=False)
         norms = tbl["pq_norm"].to_numpy(zero_copy_only=False)
+        if not n:
+            return ids, np.zeros((0, m), dtype=np.uint8), np.zeros(0)
         bin_arr = tbl["pq_code"].combine_chunks()
-        flat = np.frombuffer(bin_arr.buffers()[2], dtype=np.uint8)
+        buf = bin_arr.buffers()[2]
+        flat = (
+            np.frombuffer(buf, dtype=np.uint8)
+            if buf is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
         if len(flat) == n * m:
             codes = flat.reshape(n, m).copy()
         else:  # defensive: non-contiguous values (shouldn't happen)
