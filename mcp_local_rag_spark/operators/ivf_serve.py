@@ -170,6 +170,16 @@ class IvfVectorServer:
             columns=[self._id_col, "pq_code", "pq_norm"],
             filter=ds.field(self._cell_col) == int(cell),
         )
+        # per-cell freshness: an incremental append_to_ivf_index leaves
+        # the codes sidecar stale for the appended cells — serving codes
+        # there would silently DROP the appended vectors. Footer row
+        # counts (metadata-only) detect it; a stale cell falls back to
+        # the on-the-fly encode path until codes are rebuilt.
+        main_rows = self._dataset_of().count_rows(
+            filter=ds.field(self._cell_col) == int(cell)
+        )
+        if len(tbl) != main_rows:
+            return None
         self.code_loads += 1
         m = self._pq_books.shape[0]
         n = len(tbl)

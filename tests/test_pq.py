@@ -165,3 +165,47 @@ def test_index_rebuild_wipes_codes_sidecar(spark, tmp_path):
         sort_cols=("vec_id",), meta={"source": "label"},
     )
     assert not os.path.isdir(os.path.join(path, pq.PQ_CODES_DIR))
+
+
+def test_stale_codes_cell_falls_back_after_append(spark, tmp_path):
+    """Incremental append leaves the codes sidecar stale for the touched
+    cells; the per-cell footer row-count check detects it and that cell
+    falls back to on-the-fly encoding — appended vectors are NEVER
+    silently dropped. Untouched cells keep serving from codes."""
+    from mcp_local_rag_spark.plans.ann_index import append_to_ivf_index
+
+    emb = load(spark, SF, "embeddings")
+    path = str(tmp_path / "ann_append")
+    write_ivf_index(
+        emb.withColumn("cell", F.col("label")), path,
+        sort_cols=("vec_id",), meta={"source": "label"},
+    )
+    pq.train_pq_for_index(path, m=8, k=64, seed=0)
+    pq.encode_index_codes(spark, path)
+
+    probe = load(spark, SF, "embeddings").filter(F.col("vec_id") == 0).first()
+    target_cell = int(probe.label)
+    new_id = 10_000_000
+    append_to_ivf_index(
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.lit(new_id).cast("long").alias("vec_id"),
+            F.col("embedding"),
+            F.col("label").cast("long"),
+        )
+        .withColumn("cell", F.col("label")),
+        path,
+        sort_cols=("vec_id",),
+    )
+    server = IvfVectorServer(path, quantization="pq")
+    hits = server.query(probe.embedding, 5, cells=[target_cell])
+    got = {h["neighbor_id"] for h in hits}
+    # the appended duplicate of vec 0 must rank at the top alongside it
+    assert new_id in got and 0 in got, got
+    # an untouched cell still serves straight from the codes sidecar
+    other = next(
+        int(c) for c in server._cent_cells if int(c) != target_cell
+    )
+    before = server.code_loads
+    server.query(probe.embedding, 5, cells=[other])
+    assert server.code_loads == before + 1
