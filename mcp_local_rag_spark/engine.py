@@ -804,6 +804,12 @@ class RagEngine:
         from .plans.ingest import table_n_buckets as _nb
         from .plans.ingest import table_version, write_table_meta
 
+        if pq:
+            # validate BEFORE the (expensive) rebuild: a bad m would
+            # otherwise waste the build and leave the index unstamped
+            _, dim = self._space()
+            if dim % pq_m != 0:
+                raise ValueError(f"dim {dim} not divisible by pq_m {pq_m}")
         n = build_chunks_ivf(
             self.spark, self.table_path, self.ann_index_path, n_cells=n_cells
         )

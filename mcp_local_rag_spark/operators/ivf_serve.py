@@ -28,7 +28,7 @@ from collections import OrderedDict
 
 import numpy as np
 
-from ..plans.ann_index import CENTROIDS_FILE, read_index_meta
+from ..plans.ann_index import read_index_meta
 from .pq import PQ_CODES_DIR
 
 
@@ -99,16 +99,10 @@ class IvfVectorServer:
         self.cell_loads = 0  # observability: parquet cell reads performed
         self.refine_reads = 0  # observability: PQ shortlist point-reads
         self.code_loads = 0  # observability: persisted-codes cell reads
-        import pyarrow.parquet as pq
+        from .pq import read_cell_centroids
 
-        cents = pq.read_table(os.path.join(index_path, CENTROIDS_FILE))
-        order = np.argsort(cents["cell"].to_numpy(zero_copy_only=False))
-        self._cent_cells = cents["cell"].to_numpy(zero_copy_only=False)[order]
-        mat = np.array(
-            [list(v) for v in cents["centroid"].to_pylist()], dtype=np.float64
-        )[order]
-        self._cent_mat = mat
-        self._cent_norms = np.linalg.norm(mat, axis=1)
+        self._cent_cells, self._cent_mat = read_cell_centroids(index_path)
+        self._cent_norms = np.linalg.norm(self._cent_mat, axis=1)
 
     def invalidate(self) -> None:
         """Drop decoded cells + the dataset handles (after index rebuild)."""
@@ -149,6 +143,20 @@ class IvfVectorServer:
 
         flt = ds.field(self._cell_col).isin([int(c) for c in cells])
         return [f.path for f in self._dataset_of().get_fragments(filter=flt)]
+
+    def _centroid_of(self, cell: int):
+        """The coarse centroid of ``cell`` (None if unknown — can't
+        happen on a consistent index)."""
+        pos = int(np.searchsorted(self._cent_cells, cell))
+        if pos < len(self._cent_cells) and self._cent_cells[pos] == cell:
+            return self._cent_mat[pos]
+        return None
+
+    def _cache_put(self, cell: int, entry: tuple) -> tuple:
+        self._cells[cell] = entry
+        while len(self._cells) > self.max_cached_cells:
+            self._cells.popitem(last=False)
+        return entry
 
     def _load_codes(self, cell: int):
         """(ids, (n, m) uint8 codes, norms) from the persisted codes
@@ -214,18 +222,10 @@ class IvfVectorServer:
         if coded is not None and not self.payload_cols:
             # the common serving shape: cold load touches ONLY the codes
             # sidecar — zero main-table I/O
-            from .pq import residualize
-
             cids, codes, norms = coded
-            _, cent = residualize(
-                np.zeros((0, self._cent_mat.shape[1])),
-                int(cell), self._cent_cells, self._cent_mat,
+            return self._cache_put(
+                cell, (cids, codes, norms, ("pq", self._centroid_of(int(cell))), {})
             )
-            entry = (cids, codes, norms, ("pq", cent), {})
-            self._cells[cell] = entry
-            while len(self._cells) > self.max_cached_cells:
-                self._cells.popitem(last=False)
-            return entry
         read_cols = (
             [self._id_col, *self.payload_cols]
             if coded is not None
@@ -269,10 +269,7 @@ class IvfVectorServer:
                     order = s[np.searchsorted(cids[s], ids)]
                 codes = ccodes[order]
                 norms = cnorms[order]
-                _, cent = residualize(
-                    np.zeros((0, self._cent_mat.shape[1])),
-                    int(cell), self._cent_cells, self._cent_mat,
-                )
+                cent = self._centroid_of(int(cell))
             else:
                 resid, cent = residualize(
                     mat, int(cell), self._cent_cells, self._cent_mat
@@ -290,10 +287,7 @@ class IvfVectorServer:
             entry = (ids, qmat, np.linalg.norm(mat, axis=1), scale, payloads)
         else:
             entry = (ids, mat, np.linalg.norm(mat, axis=1), None, payloads)
-        self._cells[cell] = entry
-        while len(self._cells) > self.max_cached_cells:
-            self._cells.popitem(last=False)
-        return entry
+        return self._cache_put(cell, entry)
 
     def _exact_cosines(self, cells: list[int], want_ids, q, qn) -> dict:
         """Exact rounded cosines for specific ids — one column-pruned

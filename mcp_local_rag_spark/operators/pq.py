@@ -105,11 +105,19 @@ def adc_dots(codes: np.ndarray, table: np.ndarray) -> np.ndarray:
 
 def write_pq_sidecar(index_path: str, books: np.ndarray) -> None:
     """Persist codebooks next to the index (same style as the centroid
-    sidecar): columns (sub, code, centroid list<double>)."""
+    sidecar): columns (sub, code, centroid list<double>). Any existing
+    codes sidecar is WIPED first — codes are only meaningful against the
+    codebooks that encoded them, and the server's row-count freshness
+    check cannot tell a codebook swap apart (same counts, wrong ADC)."""
     import os
+    import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    codes_dir = os.path.join(index_path, PQ_CODES_DIR)
+    if os.path.isdir(codes_dir):
+        shutil.rmtree(codes_dir)
 
     m, k, _ = books.shape
     subs = np.repeat(np.arange(m), k)
@@ -272,6 +280,8 @@ def train_pq_for_index(
             seen += len(tbl)
         if seen >= train_rows:
             break
+    if not batches:
+        raise ValueError(f"no vectors to train PQ on in {index_path}")
     mat = np.concatenate(batches)[:train_rows]
     books = train_pq_codebooks(mat, m=m, k=k, seed=seed)
     write_pq_sidecar(index_path, books)

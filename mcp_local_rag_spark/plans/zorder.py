@@ -26,10 +26,12 @@ ZKEY = "_zkey"
 
 
 def _bucket_boundaries(
-    df: DataFrame, col: str, bits: int, sample_expr: str | None = None
+    df: DataFrame, cols: list[str], bits: int, sample_expr: str | None = None
 ):
-    """Strictly-increasing interior split points (<= 2^bits - 1 of them)
-    via the EXACT percentile aggregate over the column cast to double.
+    """Per-column strictly-increasing interior split points (<= 2^bits-1
+    each) via the EXACT percentile aggregate, ALL columns in one
+    aggregation job — one boundary scan regardless of how many
+    dimensions are clustered.
 
     Exact, not approxQuantile: G-K sketches merge in partition order, so
     the same data in a different layout yields different boundaries —
@@ -41,14 +43,20 @@ def _bucket_boundaries(
     n = 2**bits
     src = df.filter(F.expr(sample_expr)) if sample_expr else df
     probs = ", ".join(repr(i / n) for i in range(1, n))
-    (qs,) = src.select(
-        F.expr(f"percentile(cast({col} as double), array({probs}))")
+    row = src.select(
+        *[
+            F.expr(f"percentile(cast({c} as double), array({probs}))")
+            for c in cols
+        ]
     ).first()
-    out = []
-    for q in qs or []:
-        if q is not None and (not out or q > out[-1]):
-            out.append(q)
-    return out
+    splits = []
+    for qs in row:
+        out = []
+        for q in qs or []:
+            if q is not None and (not out or q > out[-1]):
+                out.append(q)
+        splits.append(out)
+    return splits
 
 
 def _bucket_col(col: str, splits: list[float], bits: int):
@@ -75,6 +83,10 @@ def morton_key(bucket_cols, bits: int):
     bit j of column i lands at position j * d + i. Pure shiftleft/and/or
     — codegen-friendly, no UDF."""
     d = len(bucket_cols)
+    if bits * d > 63:
+        # position 63 is the long's sign bit: keys would go negative and
+        # range ordering would silently invert at the top bit
+        raise ValueError(f"bits*cols = {bits * d} exceeds 63 key bits")
     key = F.lit(0).cast("long")
     for i, c in enumerate(bucket_cols):
         for j in range(bits):
@@ -94,10 +106,8 @@ def with_zorder_key(
     ``cols``. Quantile (not uniform-width) bucketing keeps the key
     balanced under skew — each bucket holds ~1/2^bits of the rows, so
     range partitions of the key are even regardless of value skew."""
-    bucketed = []
-    for c in cols:
-        splits = _bucket_boundaries(df, c, bits, sample_expr)
-        bucketed.append(_bucket_col(c, splits, bits))
+    splits = _bucket_boundaries(df, cols, bits, sample_expr)
+    bucketed = [_bucket_col(c, s, bits) for c, s in zip(cols, splits)]
     return df.withColumn(ZKEY, morton_key(bucketed, bits))
 
 

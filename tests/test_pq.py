@@ -209,3 +209,32 @@ def test_stale_codes_cell_falls_back_after_append(spark, tmp_path):
     before = server.code_loads
     server.query(probe.embedding, 5, cells=[other])
     assert server.code_loads == before + 1
+
+
+def test_codebook_retrain_wipes_codes_sidecar(spark, tmp_path):
+    """New codebooks invalidate persisted codes (same row counts, wrong
+    ADC basis) — write_pq_sidecar wipes the codes dir so a retrain can
+    never be served against stale codes."""
+    import os
+
+    emb = load(spark, SF, "embeddings")
+    path = str(tmp_path / "ann_retrain")
+    write_ivf_index(
+        emb.withColumn("cell", F.col("label")), path,
+        sort_cols=("vec_id",), meta={"source": "label"},
+    )
+    pq.train_pq_for_index(path, m=8, k=64, seed=0)
+    pq.encode_index_codes(spark, path)
+    assert os.path.isdir(os.path.join(path, pq.PQ_CODES_DIR))
+    pq.train_pq_for_index(path, m=8, k=64, seed=1)  # retrain
+    assert not os.path.isdir(os.path.join(path, pq.PQ_CODES_DIR))
+
+
+def test_morton_key_width_guard():
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from mcp_local_rag_spark.plans.zorder import morton_key
+
+    with _pytest.raises(ValueError):
+        morton_key([_F.lit(0)] * 8, 8)  # 64 bits: sign-bit inversion
