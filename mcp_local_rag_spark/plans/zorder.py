@@ -20,9 +20,13 @@ part of the pipeline-scale extension surface.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 ZKEY = "_zkey"
+ZORDER_META = "_zorder_meta.json"
 
 
 def _bucket_boundaries(
@@ -126,8 +130,40 @@ def write_zordered(
     sortWithinPartitions tightens row-group stats inside each file.
     Range boundaries are sampled once — the frame is materialized exactly
     once here, so the re-sampling hazard does not arise."""
-    zdf = with_zorder_key(df, cols, bits=bits, sample_expr=sample_expr)
-    conf = df.sparkSession.conf
+    splits = _bucket_boundaries(df, cols, bits, sample_expr)
+    bucketed = [_bucket_col(c, s, bits) for c, s in zip(cols, splits)]
+    zdf = df.withColumn(ZKEY, morton_key(bucketed, bits))
+    _write_clustered(zdf, path, n_files, mode="overwrite")
+    # persist the bucket boundaries: appends MUST bucketize against the
+    # same splits or the key stops being a pure function of the row
+    with open(os.path.join(path, ZORDER_META), "w") as f:
+        json.dump({"cols": list(cols), "bits": bits, "splits": splits}, f)
+
+
+def append_zordered(df: DataFrame, path: str, *, n_files: int = 4) -> None:
+    """Append a batch to an existing z-ordered layout using the PERSISTED
+    bucket boundaries — the batch gets its own key-sorted files (cost ~
+    batch, no rewrite); values beyond the original value range land in
+    the edge buckets, so locality degrades only if the distribution
+    drifts, in which case rewrite with write_zordered (the OPTIMIZE
+    analog). Key assignment is identical to the base write's — pinned by
+    tests — so readers see ONE consistent keyed space."""
+    meta = read_zorder_meta(path)
+    bits = meta["bits"]
+    bucketed = [
+        _bucket_col(c, s, bits) for c, s in zip(meta["cols"], meta["splits"])
+    ]
+    zdf = df.withColumn(ZKEY, morton_key(bucketed, bits))
+    _write_clustered(zdf, path, n_files, mode="append")
+
+
+def read_zorder_meta(path: str) -> dict:
+    with open(os.path.join(path, ZORDER_META)) as f:
+        return json.load(f)
+
+
+def _write_clustered(zdf: DataFrame, path: str, n_files: int, mode: str):
+    conf = zdf.sparkSession.conf
     key = "spark.sql.parquet.outputTimestampType"
     prev = conf.get(key, None)
     # INT96 (the default) carries NO parquet min/max stats — the whole
@@ -138,7 +174,7 @@ def write_zordered(
             zdf.repartitionByRange(n_files, F.col(ZKEY))
             .sortWithinPartitions(ZKEY)
             .drop(ZKEY)
-            .write.mode("overwrite")
+            .write.mode(mode)
             .parquet(path)
         )
     finally:

@@ -80,3 +80,31 @@ def test_zorder_key_balance_and_determinism(spark):
     # dominant key — the property that makes repartitionByRange even
     assert len(freq) >= 64
     assert max(freq.values()) <= 0.1 * len(a)
+
+
+def test_append_uses_persisted_boundaries(spark, tmp_path):
+    """append_zordered bucketizes against the boundaries persisted at
+    base-write time (NOT recomputed from the batch), so base and
+    appended rows with equal cluster values get the same key region;
+    the union is lossless and both dimensions still prune."""
+    from mcp_local_rag_spark.plans.zorder import (
+        append_zordered, read_zorder_meta,
+    )
+
+    ev = load(spark, SF, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    extra = ev.filter(F.col("event_id") % 2 == 1)
+    zpath = str(tmp_path / "events_zappend")
+    write_zordered(base, zpath, ["user_id", "ts"], bits=6, n_files=8)
+    meta = read_zorder_meta(zpath)
+    assert meta["cols"] == ["user_id", "ts"] and meta["bits"] == 6
+    append_zordered(extra, zpath, n_files=4)
+    back = spark.read.parquet(zpath)
+    assert back.count() == ev.count()
+    assert {r.event_id for r in back.collect()} == {
+        r.event_id for r in ev.collect()
+    }
+    # the appended layout still skips on the non-sort dimension
+    umax = ev.agg(F.max("user_id")).first()[0]
+    t, m = rowgroup_prune_stats(zpath, "user_id", 0, umax // 8)
+    assert m < t, (m, t)
