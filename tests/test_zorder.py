@@ -108,3 +108,65 @@ def test_append_uses_persisted_boundaries(spark, tmp_path):
     umax = ev.agg(F.max("user_id")).first()[0]
     t, m = rowgroup_prune_stats(zpath, "user_id", 0, umax // 8)
     assert m < t, (m, t)
+
+
+def _xy2d(n, x, y):
+    """Python twin of the classic Hilbert xy2d recurrence (the test's
+    independent reference; validated bijective + unit-step adjacent)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_column_matches_python_twin(spark):
+    """The Column-expression Hilbert key equals the classic xy2d on the
+    FULL 32x32 grid — which also proves bijectivity (the twin is
+    validated bijective with perfect adjacency below)."""
+    from mcp_local_rag_spark.plans.zorder import hilbert_key
+
+    bits, n = 5, 32
+    grid = spark.range(n * n).selectExpr(
+        "id % 32 as x", "id div 32 as y"
+    )
+    out = grid.withColumn("h", hilbert_key([F.col("x"), F.col("y")], bits))
+    rows = {(r.x, r.y): r.h for r in out.collect()}
+    assert rows == {
+        (x, y): _xy2d(n, x, y) for x in range(n) for y in range(n)
+    }
+    # twin self-check: bijective, consecutive cells are grid neighbors
+    inv = {v: k for k, v in rows.items()}
+    assert len(inv) == n * n
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_layout_prunes_and_appends(spark, tmp_path):
+    """curve='hilbert' writes a layout that prunes both dimensions, and
+    appends keep the persisted curve choice."""
+    from mcp_local_rag_spark.plans.zorder import (
+        append_zordered, read_zorder_meta,
+    )
+
+    ev = load(spark, SF, "events")
+    zpath = str(tmp_path / "events_hilbert")
+    write_zordered(
+        ev.filter("event_id % 2 = 0"), zpath, ["user_id", "ts"],
+        bits=6, n_files=16, curve="hilbert",
+    )
+    assert read_zorder_meta(zpath)["curve"] == "hilbert"
+    append_zordered(ev.filter("event_id % 2 = 1"), zpath, n_files=4)
+    back = spark.read.parquet(zpath)
+    assert back.count() == ev.count()
+    umax = ev.agg(F.max("user_id")).first()[0]
+    t, m = rowgroup_prune_stats(zpath, "user_id", 0, umax // 8)
+    assert m < t, (m, t)
