@@ -982,11 +982,11 @@ def q_events_zorder_read(spark, sf_dir):
     from ..plans.zorder import write_zordered
     from .rag import _scratch_path
 
-    path = _scratch_path(sf_dir, "events_zorder")
+    path = _scratch_path(sf_dir, "events_zorder_h")
     if not os.path.isdir(path):
         write_zordered(
             load(spark, sf_dir, "events"), path, ["user_id", "ts"],
-            bits=6, n_files=16,
+            bits=6, n_files=16, curve="hilbert",
         )
     z = spark.read.parquet(path)
     t0, t1, umax = z.agg(
