@@ -1006,3 +1006,37 @@ def q_events_zorder_read(spark, sf_dir):
         .select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy("event_id")
     )
+
+
+# Declarative data-quality expectations (plans/expectations): one scan
+# tags rows with the rules they fail; quarantine explodes one row per
+# (row, rule) for triage. Every rule is a pure column predicate — the
+# pass runs at scan speed; the companion metrics frame is one map-side
+# aggregate (no shuffle of the corpus). NULL rule results count as
+# violations (an expectation that can't evaluate did not pass).
+
+@register(
+    "events_expectations",
+    """SELECT event_id, rule FROM (
+  SELECT event_id, 'core_type' AS rule FROM events
+   WHERE NOT (event_type IN ('view', 'click', 'purchase'))
+  UNION ALL
+  SELECT event_id, 'value_cap' FROM events
+   WHERE NOT (value <= 300.0)
+  UNION ALL
+  SELECT event_id, 'small_k' FROM events
+   WHERE NOT (CAST(json_extract(props, '$.k') AS INTEGER) < 95)
+)
+ORDER BY event_id, rule""",
+)
+def q_events_expectations(spark, sf_dir):
+    from ..plans.expectations import apply_expectations
+
+    ev = load(spark, sf_dir, "events")
+    rules = [
+        ("core_type", "event_type IN ('view', 'click', 'purchase')"),
+        ("value_cap", "value <= 300.0"),
+        ("small_k", "CAST(get_json_object(props, '$.k') AS INT) < 95"),
+    ]
+    _, quarantine, _ = apply_expectations(ev, rules)
+    return quarantine.select("event_id", "rule").orderBy("event_id", "rule")
