@@ -43,13 +43,18 @@ def apply_expectations(
     clean      — rows satisfying every rule (original schema).
     quarantine — one row per violated (row, rule): original columns plus
                  ``rule`` (string).
-    metrics    — one row: total rows, clean rows, and a per-rule
-                 violation count column named ``viol_<rule>`` — a single
-                 map-side-combinable aggregate, safe to run on any size.
+    metrics    — one row: ``rows`` (total), ``clean_rows``, and a
+                 per-rule violation count ``viol_<rule>`` — a single
+                 map-side-combinable aggregate over the SAME tagged
+                 frame the split uses (one definition of 'violation'),
+                 zero-filled on empty input.
     """
     names = [n for n, _ in rules]
     if len(set(names)) != len(names):
         raise ValueError("duplicate rule names")
+    for taken in (FAILED_COL, "rule"):
+        if taken in df.columns:
+            raise ValueError(f"input already has a {taken!r} column")
     tagged = df.withColumn(FAILED_COL, _failed_array(rules))
     clean = tagged.filter(F.size(FAILED_COL) == 0).drop(FAILED_COL)
     quarantine = (
@@ -57,15 +62,18 @@ def apply_expectations(
         .withColumn("rule", F.explode(FAILED_COL))
         .drop(FAILED_COL)
     )
-    metrics = df.agg(
+
+    def _cnt(cond):
+        return F.coalesce(
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+        )
+
+    metrics = tagged.agg(
         F.count(F.lit(1)).alias("rows"),
+        _cnt(F.size(FAILED_COL) == 0).alias("clean_rows"),
         *[
-            F.sum(
-                F.when(
-                    ~F.coalesce(F.expr(pred), F.lit(False)), F.lit(1)
-                ).otherwise(F.lit(0))
-            ).alias(f"viol_{name}")
-            for name, pred in rules
+            _cnt(F.array_contains(FAILED_COL, name)).alias(f"viol_{name}")
+            for name in names
         ],
     )
     return clean, quarantine, metrics

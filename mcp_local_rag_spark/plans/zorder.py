@@ -99,45 +99,6 @@ def morton_key(bucket_cols, bits: int):
     return key
 
 
-def hilbert_key(bucket_cols, bits: int):
-    """d=2 Hilbert index of two bucket columns — pure bit/arithmetic
-    Column expressions mirroring the classic xy2d recurrence (validated
-    bijective with perfect unit-step adjacency in tests). Hilbert beats
-    Morton on locality: consecutive key values are always grid
-    neighbors, so file rectangles have no diagonal jumps. 2 columns
-    only; Morton handles higher dimensions.
-
-    NOTE: each level re-inlines x/y several times, so the expression
-    tree grows ~6^bits — fine to ~bits=5 (the parity test's grid); the
-    write path uses _with_hilbert_cols, which carries the recurrence
-    through NAMED projection columns and stays linear in bits."""
-    if len(bucket_cols) != 2:
-        raise ValueError("hilbert_key is 2-dimensional; use morton_key")
-    if 2 * bits > 63:
-        raise ValueError(f"2*bits = {2 * bits} exceeds 63 key bits")
-    x, y = (c.cast("long") for c in bucket_cols)
-    d = F.lit(0).cast("long")
-    s = 2 ** (bits - 1)
-    while s > 0:
-        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
-        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
-        d = d + F.lit(s * s).cast("long") * (
-            (F.lit(3) * rx).bitwiseXOR(ry).cast("long")
-        )
-        # rot(s): when ry==0 — flip both if rx==1, then swap x/y
-        nx = F.when(
-            ry == 0,
-            F.when(rx == 1, F.lit(s - 1) - y).otherwise(y),
-        ).otherwise(x)
-        ny = F.when(
-            ry == 0,
-            F.when(rx == 1, F.lit(s - 1) - x).otherwise(x),
-        ).otherwise(y)
-        x, y = nx, ny
-        s //= 2
-    return d
-
-
 def with_zorder_key(
     df: DataFrame,
     cols: list[str],
@@ -157,10 +118,9 @@ def with_zorder_key(
     return _with_key(df, bucketed, bits, curve)
 
 
-def _curve_key(curve: str):
+def _validate_curve(curve: str) -> None:
     if curve not in ("morton", "hilbert"):
         raise ValueError(f"unknown curve {curve!r}")
-    return hilbert_key if curve == "hilbert" else morton_key
 
 
 def _with_hilbert_cols(df: DataFrame, bucketed, bits: int) -> DataFrame:
@@ -173,6 +133,9 @@ def _with_hilbert_cols(df: DataFrame, bucketed, bits: int) -> DataFrame:
         raise ValueError("hilbert curve is 2-dimensional; use morton")
     if 2 * bits > 63:
         raise ValueError(f"2*bits = {2 * bits} exceeds 63 key bits")
+    clash = {"_hx", "_hy", "_hd", "_rx", "_ry"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with hilbert temps: {sorted(clash)}")
     df = (
         df.withColumn("_hx", bucketed[0].cast("long"))
         .withColumn("_hy", bucketed[1].cast("long"))
@@ -221,7 +184,7 @@ def _with_hilbert_cols(df: DataFrame, bucketed, bits: int) -> DataFrame:
 
 
 def _with_key(df: DataFrame, bucketed, bits: int, curve: str) -> DataFrame:
-    _curve_key(curve)  # validate the name
+    _validate_curve(curve)
     if curve == "hilbert":
         return _with_hilbert_cols(df, bucketed, bits)
     return df.withColumn(ZKEY, morton_key(bucketed, bits))
@@ -248,13 +211,18 @@ def write_zordered(
     zdf = _with_key(df, bucketed, bits, curve)
     _write_clustered(zdf, path, n_files, mode="overwrite")
     # persist the bucket boundaries: appends MUST bucketize against the
-    # same splits or the key stops being a pure function of the row
-    with open(os.path.join(path, ZORDER_META), "w") as f:
+    # same splits or the key stops being a pure function of the row.
+    # tmp+rename, and LAST: meta presence therefore implies a complete
+    # layout (zorder_is_built), closing the crash window between the
+    # data write and the sidecar
+    tmp = os.path.join(path, ZORDER_META + ".tmp")
+    with open(tmp, "w") as f:
         json.dump(
             {"cols": list(cols), "bits": bits, "splits": splits,
              "curve": curve},
             f,
         )
+    os.replace(tmp, os.path.join(path, ZORDER_META))
 
 
 def append_zordered(df: DataFrame, path: str, *, n_files: int = 4) -> None:
@@ -272,6 +240,14 @@ def append_zordered(df: DataFrame, path: str, *, n_files: int = 4) -> None:
     ]
     zdf = _with_key(df, bucketed, bits, meta.get("curve", "morton"))
     _write_clustered(zdf, path, n_files, mode="append")
+
+
+def zorder_is_built(path: str) -> bool:
+    """Whether ``path`` holds a COMPLETE z-ordered layout — the meta
+    sidecar is written last via rename, so its presence implies the data
+    write finished (a crashed write leaves no meta and reads as
+    unbuilt)."""
+    return os.path.isfile(os.path.join(path, ZORDER_META))
 
 
 def read_zorder_meta(path: str) -> dict:

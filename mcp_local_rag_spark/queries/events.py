@@ -977,13 +977,11 @@ WHERE user_id BETWEEN (SELECT max(user_id) // 5 FROM events)
 ORDER BY event_id""",
 )
 def q_events_zorder_read(spark, sf_dir):
-    import os
-
-    from ..plans.zorder import write_zordered
+    from ..plans.zorder import write_zordered, zorder_is_built
     from .rag import _scratch_path
 
     path = _scratch_path(sf_dir, "events_zorder_h")
-    if not os.path.isdir(path):
+    if not zorder_is_built(path):
         write_zordered(
             load(spark, sf_dir, "events"), path, ["user_id", "ts"],
             bits=6, n_files=16, curve="hilbert",
@@ -1019,13 +1017,13 @@ def q_events_zorder_read(spark, sf_dir):
     "events_expectations",
     """SELECT event_id, rule FROM (
   SELECT event_id, 'core_type' AS rule FROM events
-   WHERE NOT (event_type IN ('view', 'click', 'purchase'))
+   WHERE (event_type IN ('view', 'click', 'purchase')) IS NOT TRUE
   UNION ALL
   SELECT event_id, 'value_cap' FROM events
-   WHERE NOT (value <= 300.0)
+   WHERE (value <= 300.0) IS NOT TRUE
   UNION ALL
   SELECT event_id, 'small_k' FROM events
-   WHERE NOT (CAST(json_extract(props, '$.k') AS INTEGER) < 95)
+   WHERE (CAST(json_extract(props, '$.k') AS INTEGER) < 95) IS NOT TRUE
 )
 ORDER BY event_id, rule""",
 )

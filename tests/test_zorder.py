@@ -128,16 +128,19 @@ def _xy2d(n, x, y):
 
 
 def test_hilbert_column_matches_python_twin(spark):
-    """The Column-expression Hilbert key equals the classic xy2d on the
-    FULL 32x32 grid — which also proves bijectivity (the twin is
+    """The SHIPPED Hilbert recurrence (_with_hilbert_cols — the exact
+    path write_zordered/append_zordered use) equals the classic xy2d on
+    the FULL 32x32 grid — which also proves bijectivity (the twin is
     validated bijective with perfect adjacency below)."""
-    from mcp_local_rag_spark.plans.zorder import hilbert_key
+    from mcp_local_rag_spark.plans.zorder import ZKEY, _with_hilbert_cols
 
     bits, n = 5, 32
     grid = spark.range(n * n).selectExpr(
         "id % 32 as x", "id div 32 as y"
     )
-    out = grid.withColumn("h", hilbert_key([F.col("x"), F.col("y")], bits))
+    out = _with_hilbert_cols(grid, [F.col("x"), F.col("y")], bits).withColumn(
+        "h", F.col(ZKEY)
+    )
     rows = {(r.x, r.y): r.h for r in out.collect()}
     assert rows == {
         (x, y): _xy2d(n, x, y) for x in range(n) for y in range(n)
@@ -170,3 +173,21 @@ def test_hilbert_layout_prunes_and_appends(spark, tmp_path):
     umax = ev.agg(F.max("user_id")).first()[0]
     t, m = rowgroup_prune_stats(zpath, "user_id", 0, umax // 8)
     assert m < t, (m, t)
+
+
+def test_hilbert_temp_collision_and_built_flag(spark, tmp_path):
+    from mcp_local_rag_spark.plans.zorder import zorder_is_built
+    import pytest as _pytest
+
+    ev = load(spark, SF, "events").withColumn("_hx", F.lit(1))
+    with _pytest.raises(ValueError):
+        write_zordered(
+            ev, str(tmp_path / "clash"), ["user_id", "ts"],
+            bits=4, n_files=2, curve="hilbert",
+        )
+    p = str(tmp_path / "built")
+    assert not zorder_is_built(p)
+    write_zordered(
+        load(spark, SF, "events"), p, ["user_id", "ts"], bits=4, n_files=2
+    )
+    assert zorder_is_built(p)
