@@ -295,6 +295,16 @@ COMMENTARY = {
         "sanctioned 100 TB swap is approx_percentile cutoffs + a "
         "map-side bucket compare."
     ),
+    "events_expectations": (
+        "Round 9: declarative data-quality rules (plans/expectations). "
+        "One scan computes the failed-rule array as a pure column "
+        "expression (array_compact over per-rule whens — codegen'd, no "
+        "UDF), the quarantine stream is filter + explode on that array, "
+        "and the only exchange is the deterministic output sort. The "
+        "rule pass itself adds zero shuffles at any corpus size; the "
+        "companion metrics frame is a single map-side-combinable "
+        "aggregate."
+    ),
     "events_zorder_read": (
         "Round 9: a two-dimensional range read against the Morton-"
         "clustered events copy (plans/zorder). The plan is deliberately "
