@@ -52,3 +52,43 @@ def test_duplicate_rule_names_rejected(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         apply_expectations(df, [("a", "id > 0"), ("a", "id < 5")])
+
+
+def test_expectations_apply_to_streams(spark, tmp_path):
+    """The rule pass is stateless column logic, so the SAME
+    apply_expectations call runs on a streaming frame — clean and
+    quarantine are stream-safe (filter + explode, no state store), and
+    the drained result matches the batch twin row-for-row."""
+    import pandas as pd
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows = [(1, "view", 10.0), (2, "error", 10.0), (3, "view", 999.0),
+            (4, "signup", 500.0)]
+    pd.DataFrame(rows, columns=["id", "event_type", "value"]).to_parquet(
+        src / "b1.parquet"
+    )
+    rules = [
+        ("core_type", "event_type IN ('view', 'click', 'purchase')"),
+        ("value_cap", "value <= 300.0"),
+    ]
+    schema = "id long, event_type string, value double"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    _, quar_s, _ = apply_expectations(stream, rules)
+    q = (
+        quar_s.select("id", "rule")
+        .writeStream.format("memory")
+        .queryName("quar_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.id, r.rule) for r in spark.sql("SELECT * FROM quar_out").collect()}
+    batch = spark.read.schema(schema).parquet(str(src))
+    _, quar_b, _ = apply_expectations(batch, rules)
+    want = {(r.id, r.rule) for r in quar_b.select("id", "rule").collect()}
+    assert got == want == {
+        (2, "core_type"), (3, "value_cap"),
+        (4, "core_type"), (4, "value_cap"),
+    }
