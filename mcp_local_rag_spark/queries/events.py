@@ -1038,3 +1038,36 @@ def q_events_expectations(spark, sf_dir):
     ]
     _, quarantine, _ = apply_expectations(ev, rules)
     return quarantine.select("event_id", "rule").orderBy("event_id", "rule")
+
+
+# The expectations METRICS lane: one map-side-combinable aggregate row —
+# what a pipeline health dashboard polls per batch. Counts must agree
+# with the quarantine stream (same tagged frame, pinned in
+# tests/test_expectations.py).
+
+@register(
+    "events_expectations_metrics",
+    """SELECT count(*)::BIGINT AS rows,
+       sum(CASE WHEN (event_type IN ('view', 'click', 'purchase'))
+                 AND (value <= 300.0)
+                 AND (CAST(json_extract(props, '$.k') AS INTEGER) < 95)
+                THEN 1 ELSE 0 END)::BIGINT AS clean_rows,
+       sum(CASE WHEN (event_type IN ('view', 'click', 'purchase')) IS NOT TRUE
+                THEN 1 ELSE 0 END)::BIGINT AS viol_core_type,
+       sum(CASE WHEN (value <= 300.0) IS NOT TRUE
+                THEN 1 ELSE 0 END)::BIGINT AS viol_value_cap,
+       sum(CASE WHEN (CAST(json_extract(props, '$.k') AS INTEGER) < 95) IS NOT TRUE
+                THEN 1 ELSE 0 END)::BIGINT AS viol_small_k
+FROM events""",
+)
+def q_events_expectations_metrics(spark, sf_dir):
+    from ..plans.expectations import apply_expectations
+
+    ev = load(spark, sf_dir, "events")
+    rules = [
+        ("core_type", "event_type IN ('view', 'click', 'purchase')"),
+        ("value_cap", "value <= 300.0"),
+        ("small_k", "CAST(get_json_object(props, '$.k') AS INT) < 95"),
+    ]
+    _, _, metrics = apply_expectations(ev, rules)
+    return metrics
