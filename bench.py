@@ -212,7 +212,7 @@ def _ivf_serve_bench(spark, sf_dir) -> tuple[float, float]:
     from mcp_local_rag_spark.queries.rag import _scratch_path
     from mcp_local_rag_spark.session import load
 
-    path = _scratch_path(sf_dir, "ann_ivf_serve")
+    path = _scratch_path(sf_dir, "ann_ivf_serve", tables=("embeddings",))
     emb = load(spark, sf_dir, "embeddings")
     if not os.path.isdir(path):
         write_ivf_index(

@@ -51,30 +51,14 @@ def exact_duplicates(docs: DataFrame, *, id_col: str = "doc_id", text_col: str =
 def shingle_sets(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """Distinct word k-shingles per document: (id, shingle).
 
-    Map-only formulation: tokenize once into an array, explode the start
-    positions, and build each shingle with ``concat_ws(slice(...))`` —
-    both codegen'd built-ins, NOT lambda higher-order functions (those are
-    interpreted per element). Unlike the earlier window-lead form this
-    needs NO shuffle before the distinct: the old plan paid a per-document
-    hash exchange + sort just to line tokens up for ``lead``, which at
-    100 TB is a full extra pass over the token stream. Shingle generation
-    is embarrassingly parallel; the first (and only pre-aggregation)
-    shuffle is the distinct itself.
+    Exactly ``shingle_stream`` (the single map-only construction both
+    consumers share — tokenize, explode starts, concat_ws(slice), all
+    codegen'd built-ins) plus the distinct, which is the first (and only
+    pre-aggregation) shuffle. Use this where exact SET semantics matter
+    (Jaccard intersections, containment, novelty); duplicate-insensitive
+    consumers (MinHash) take the stream directly.
     """
-    toks = F.array_remove(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), "")
-    d = docs.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= k)
-    return (
-        d.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(1), F.size("_toks") - (k - 1))).alias("_i"),
-            "_toks",
-        )
-        .select(
-            F.col(id_col),
-            F.concat_ws(" ", F.slice("_toks", F.col("_i"), k)).alias("shingle"),
-        )
-        .distinct()
-    )
+    return shingle_stream(docs, id_col=id_col, text_col=text_col, k=k).distinct()
 
 
 def shingle_stream(

@@ -304,20 +304,30 @@ def sample_frames(
     (mp4/h264 — needs ffmpeg) fall back to a deterministic hash stub so
     the pipeline shape stays assertable without the codec."""
 
-    def _default(content: bytes, idx: int) -> bytes | None:
+    def _default_row(content: bytes):
+        # decode the stream ONCE per row, then index frames — the
+        # per-(frame, content) signature would re-parse the whole
+        # container n_frames times
         if content.startswith(b"YUV4MPEG2"):
             frames, _ = decode_y4m(content)
-            return encode_ppm(frames[idx]) if idx < len(frames) else None
-        return hashlib.sha256(content + idx.to_bytes(4, "big")).digest()
-
-    fn = extract_fn or _default
+            return lambda idx: (
+                encode_ppm(frames[idx]) if idx < len(frames) else None
+            )
+        return lambda idx: hashlib.sha256(
+            content + idx.to_bytes(4, "big")
+        ).digest()
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content)
+                if extract_fn is not None:
+                    get = lambda idx: extract_fn(content, idx)  # noqa: E731
+                else:
+                    get = _default_row(content)
                 for j in range(n_frames):
-                    payload = fn(bytes(content), j * every_n)
+                    payload = get(j * every_n)
                     if payload is not None:
                         rows.append((mid, j * every_n, payload.hex()))
             yield pd.DataFrame(rows, columns=["media_id", "frame_index", "frame"])

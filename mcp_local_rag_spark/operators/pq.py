@@ -41,8 +41,11 @@ def train_pq_codebooks(
     """Per-subspace Lloyd's k-means -> (m, k, dim/m) float64 codebooks.
 
     Deterministic: seeded sample init, ties in assignment break on the
-    lower code, empty cells re-seeded from the worst-quantized points.
-    ``k`` caps at the training-row count (codes stay uint8: k <= 256)."""
+    lower code, empty cells re-seeded from the worst-quantized points —
+    each empty cell takes a DISTINCT point off the ranked-worst list, so
+    several cells emptying in one iteration cannot collapse onto one
+    duplicate centroid. ``k`` caps at the training-row count (codes stay
+    uint8: k <= 256)."""
     mat = np.asarray(mat, dtype=np.float64)
     n, dim = mat.shape
     if dim % m != 0:
@@ -62,12 +65,19 @@ def train_pq_codebooks(
             # argmin ties -> lowest code
             d2 = sub_sq[:, None] - 2.0 * (sub @ cent.T) + (cent ** 2).sum(axis=1)[None, :]
             assign = np.argmin(d2, axis=1)
+            # rank points by how badly they're quantized ONCE per
+            # iteration; each empty cell consumes the next distinct
+            # worst point (reusing a stale argmax would hand every
+            # empty cell the same centroid)
+            worst = np.argsort(-d2.min(axis=1), kind="stable")
+            next_worst = 0
             for j in range(k):
                 mask = assign == j
                 if mask.any():
                     cent[j] = sub[mask].mean(axis=0)
                 else:
-                    cent[j] = sub[np.argmax(d2.min(axis=1))]
+                    cent[j] = sub[worst[next_worst % n]]
+                    next_worst += 1
         books[s] = cent
     return books
 
@@ -244,7 +254,14 @@ def encode_index_codes(
         .partitionBy(cell_col)
         .parquet(os.path.join(index_path, PQ_CODES_DIR))
     )
-    return spark.read.parquet(os.path.join(index_path, PQ_CODES_DIR)).count()
+    import pyarrow.dataset as ds
+
+    # footer-count only — no extra Spark job over the sidecar
+    return ds.dataset(
+        os.path.join(index_path, PQ_CODES_DIR),
+        format="parquet",
+        partitioning="hive",
+    ).count_rows()
 
 
 def train_pq_for_index(

@@ -201,15 +201,24 @@ def write_zordered(
     curve: str = "morton",
 ) -> None:
     """Materialize ``df`` z-ordered on ``cols`` into ``n_files`` parquet
-    files. repartitionByRange on the Morton key makes file boundaries
+    files. repartitionByRange on the curve key makes file boundaries
     key-contiguous (each file = one rectangle-ish region); the
     sortWithinPartitions tightens row-group stats inside each file.
-    Range boundaries are sampled once — the frame is materialized exactly
-    once here, so the re-sampling hazard does not arise."""
-    splits = _bucket_boundaries(df, cols, bits, sample_expr)
-    bucketed = [_bucket_col(c, s, bits) for c, s in zip(cols, splits)]
-    zdf = _with_key(df, bucketed, bits, curve)
-    _write_clustered(zdf, path, n_files, mode="overwrite")
+
+    The input is PERSISTED for the build: three passes read it (the
+    exact-percentile boundary scan, repartitionByRange's range sampling,
+    the write) and they must all see the same rows — an unstable source
+    (sample(), nondeterministic upstream) would otherwise get boundaries
+    computed from rows that were never written (the repartitionByRange
+    re-sampling hazard)."""
+    df = df.persist()
+    try:
+        splits = _bucket_boundaries(df, cols, bits, sample_expr)
+        bucketed = [_bucket_col(c, s, bits) for c, s in zip(cols, splits)]
+        zdf = _with_key(df, bucketed, bits, curve)
+        _write_clustered(zdf, path, n_files, mode="overwrite")
+    finally:
+        df.unpersist()
     # persist the bucket boundaries: appends MUST bucketize against the
     # same splits or the key stops being a pure function of the row.
     # tmp+rename, and LAST: meta presence therefore implies a complete

@@ -980,7 +980,7 @@ def q_events_zorder_read(spark, sf_dir):
     from ..plans.zorder import write_zordered, zorder_is_built
     from .rag import _scratch_path
 
-    path = _scratch_path(sf_dir, "events_zorder_h")
+    path = _scratch_path(sf_dir, "events_zorder_h", tables=("events",))
     if not zorder_is_built(path):
         write_zordered(
             load(spark, sf_dir, "events"), path, ["user_id", "ts"],

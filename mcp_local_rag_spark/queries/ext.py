@@ -1670,7 +1670,7 @@ def q_knn_ivf_indexed(spark, sf_dir):
     from .rag import _scratch_path
 
     emb = load(spark, sf_dir, "embeddings")
-    path = _scratch_path(sf_dir, "ann_ivf")
+    path = _scratch_path(sf_dir, "ann_ivf", tables=("embeddings",))
     if not os.path.isdir(path):
         write_ivf_index(
             emb.withColumn("cell", F.col("label")),

@@ -685,13 +685,20 @@ def q_hybrid_search(spark, sf_dir):
     return final.select("filePath", "chunkIndex", "score")
 
 
-def _scratch_path(sf_dir: str, name: str) -> str:
+def _scratch_path(
+    sf_dir: str, name: str, tables: tuple[str, ...] = ("documents",)
+) -> str:
     """Scratch location for build-once artifacts derived from ``sf_dir``,
-    keyed by the corpus generation (documents.parquet mtime) so a
-    regenerated testdata dir invalidates them."""
+    keyed by the SOURCE tables' parquet mtimes so a regenerated input —
+    including a partial regeneration that touches only the table the
+    artifact derives from — invalidates it. Callers name the tables
+    their artifact actually reads (default: the documents corpus)."""
     import os
 
-    gen = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    gen = max(
+        int(os.path.getmtime(os.path.join(sf_dir, f"{t}.parquet")))
+        for t in tables
+    )
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),

@@ -43,7 +43,7 @@ def main(sf_dir: str, out_path: str | None) -> None:
     n_cells = max(4, min(4096, int(n_rows**0.5)))
     # repo-local .scratch keyed by corpus generation — NEVER inside the
     # (read-only) testdata dir
-    path = _scratch_path(sf_dir, "ann_autotune")
+    path = _scratch_path(sf_dir, "ann_autotune", tables=("embeddings",))
     if not os.path.isdir(path):
         # drop the table's own 'label' column first: ivf_assign appends a
         # KMeans 'label' and the rename to 'cell' must be unambiguous
