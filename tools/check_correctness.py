@@ -109,9 +109,18 @@ def main():
     records: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
-    from mcp_local_rag_spark.session import get_spark
 
-    spark = get_spark("correctness-check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver-twin mode: a PLAIN session (default 200 shuffle
+        # partitions, system timezone, no tuned confs) — catches any
+        # query that silently depends on our session factory
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").getOrCreate()
+    else:
+        from mcp_local_rag_spark.session import get_spark
+
+        spark = get_spark("correctness-check")
     con = duck_connect(sf_dir)
 
     qs = entrymod.queries()
