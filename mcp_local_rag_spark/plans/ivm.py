@@ -1,0 +1,179 @@
+"""Incremental view maintenance (IVM) for additive aggregates.
+
+A 100 TB pipeline cannot recompute its rollups from scratch every time a
+batch lands: the per-batch cost must be O(delta), not O(corpus). This
+module maintains a grouped-aggregate "materialized view" as a
+snapshot-versioned state table (plans/merge machinery — immutable data
+dirs + manifest commits, so a crashed apply is invisible and time travel
+over the view's history is free):
+
+    apply(delta) =
+      1. partial-aggregate the DELTA on the group keys        (delta-sized
+         shuffle; map-side combine makes it pre-aggregated per partition)
+      2. full-outer join the partials with the CURRENT state,
+         restricted to the state buckets the delta's keys hash
+         into (manifest-pruned — untouched buckets unread)
+      3. ADD measure columns (count/sum are commutative monoids;
+         avg/rate derive at read time as sum/count)
+      4. commit the touched buckets as a new snapshot version
+
+    invariant: apply(b1); apply(b2); ... == one batch aggregate over
+    b1 ∪ b2 ∪ ... for ANY batch order (pinned in tests/test_ivm.py and
+    oracle-gated by the events_ivm_hourly registry query).
+
+Scale posture: step 2's join is state-sized-by-touched-bucket vs
+delta-partial-sized — bounded by key cardinality, never by the rows the
+view has absorbed. Deletions/retractions follow the same algebra with
+negated partials (count -1, sum -x): `apply(delta, weight=-1)`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .merge import (
+    _bucketed,
+    _buckets_on_disk,
+    _commit,
+    _write_data_version,
+    read_manifest,
+    read_snapshot,
+)
+
+_KEY = "_ivm_key"
+_SEP = "\x1f"
+
+# measure spec: (output column, op, input column); ops form the additive
+# fragment — every partial merges by +
+_OPS = {"count", "sum"}
+
+
+def _partial(delta: DataFrame, keys: list[str], measures: list[tuple], weight: int) -> DataFrame:
+    aggs = []
+    for name, op, col in measures:
+        if op not in _OPS:
+            raise ValueError(f"non-additive op {op!r}")
+        expr = (
+            F.count(F.lit(1)) if op == "count" else F.sum(F.col(col))
+        )
+        aggs.append((expr * F.lit(weight)).alias(name))
+    return (
+        delta.groupBy(*keys)
+        .agg(*aggs)
+        .withColumn(_KEY, F.concat_ws(_SEP, *[F.col(k).cast("string") for k in keys]))
+    )
+
+
+def ivm_create(
+    spark: SparkSession,
+    table_path: str,
+    schema_delta: DataFrame,
+    keys: list[str],
+    measures: list[tuple],
+    *,
+    n_buckets: int = 16,
+) -> int:
+    """Initialize an EMPTY state table with the view's schema (derived
+    from a zero-row partial aggregate of a delta-shaped frame)."""
+    import os
+
+    from .merge import create_merge_table
+
+    empty = _partial(schema_delta.limit(0), keys, measures, 1)
+    v = create_merge_table(empty, table_path, _KEY, n_buckets=n_buckets)
+    # a zero-row partitioned write leaves no bucket files: pin one
+    # schema-only file so snapshot reads of the empty view stay readable
+    root = os.path.join(table_path, "data_v1")
+    if not _buckets_on_disk(table_path, "data_v1"):
+        empty.drop("bucket").repartition(1).write.mode("overwrite").parquet(
+            os.path.join(root, "bucket=0")
+        )
+    return v
+
+
+def ivm_apply(
+    spark: SparkSession,
+    table_path: str,
+    delta: DataFrame,
+    keys: list[str],
+    measures: list[tuple],
+    *,
+    weight: int = 1,
+) -> int:
+    """Fold one delta batch into the view; ``weight=-1`` retracts (CDC
+    deletes). Returns the committed version."""
+    manifest = read_manifest(table_path)
+    nb, new_version = manifest["n_buckets"], manifest["version"] + 1
+
+    src = _bucketed(_partial(delta, keys, measures, weight), _KEY, nb)
+    touched = sorted(
+        r["bucket"] for r in src.select("bucket").distinct().collect()
+    )
+    if not touched:
+        _commit(table_path, {**manifest, "version": new_version}, new_version)
+        return new_version
+
+    state = read_snapshot(spark, table_path).filter(
+        F.col("bucket").isin(touched)
+    )
+    names = [m[0] for m in measures]
+    # measure columns keep the PARTIAL's dtype across applies: decimal
+    # addition widens precision by one digit per fold, which would drift
+    # the state schema version-over-version (and overflow the decimal cap
+    # after 10 applies); count stays long, sums stay their declared type
+    src_types = dict(src.dtypes)
+    merged = (
+        state.alias("t")
+        .join(src.alias("s"), F.col(f"t.{_KEY}") == F.col(f"s.{_KEY}"), "full_outer")
+        .select(
+            F.coalesce(F.col(f"s.{_KEY}"), F.col(f"t.{_KEY}")).alias(_KEY),
+            *[
+                F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k)
+                for k in keys
+            ],
+            *[
+                (
+                    F.coalesce(F.col(f"s.{n}"), F.lit(0))
+                    + F.coalesce(F.col(f"t.{n}"), F.lit(0))
+                ).cast(src_types[n]).alias(n)
+                for n in names
+            ],
+            F.coalesce(F.col("s.bucket"), F.col("t.bucket")).alias("bucket"),
+        )
+    )
+    # retractions that zero a group's count remove the group entirely (a
+    # key the view has fully forgotten must not linger as a 0-row)
+    count_cols = [n for n, op, _ in measures if op == "count"]
+    if count_cols:
+        merged = merged.filter(F.col(count_cols[0]) != 0)
+
+    data_dir = _write_data_version(
+        merged, table_path, new_version, _KEY, len(touched)
+    )
+    present = set(_buckets_on_disk(table_path, data_dir))
+    buckets = dict(manifest["buckets"])
+    for b in touched:
+        if b in present:
+            buckets[str(b)] = data_dir
+        else:
+            buckets.pop(str(b), None)
+    _commit(
+        table_path,
+        {
+            "version": new_version,
+            "key": _KEY,
+            "n_buckets": nb,
+            "buckets": buckets,
+        },
+        new_version,
+    )
+    return new_version
+
+
+def ivm_read(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """The view's rows (group keys + additive measures), synthetic key
+    column dropped."""
+    return read_snapshot(spark, table_path, version).drop(_KEY, "bucket")

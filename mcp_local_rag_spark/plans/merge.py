@@ -1,0 +1,252 @@
+"""Snapshot-versioned MERGE (upsert/delete) tables with time travel.
+
+The reference simulates transactions with backup/delete/insert/rollback
+around a whole-file replace (src/server/index.ts:644-702); plans/ingest.py
+already generalizes that to bucket-local rewrites. This module adds the
+missing warehouse half: a CDC-style MERGE INTO (update + insert + delete in
+one pass) against a hash-bucketed table, with every version retained as an
+immutable snapshot manifest — the minimal Delta/Iceberg-shaped commit
+protocol, built from plain parquet + JSON.
+
+Layout:
+    <table>/data_v{N}/bucket=<b>/*.parquet   immutable data written by commit N
+    <table>/_snapshots/v{N}.json             manifest: bucket -> data dir
+    <table>/_snapshots/CURRENT               tmp+rename pointer to latest N
+
+Scale posture (the 100 TB question):
+  * A merge reads ONLY the buckets the source touches: the touched-bucket
+    set is computed from the delta (one delta-sized aggregate), and the
+    snapshot read prunes every other bucket via the manifest before any
+    parquet is opened. Write amplification is bounded by touched buckets,
+    never the table.
+  * The merge itself is ONE full-outer equi-join, delta vs touched-bucket
+    rows, both sides hash-partitioned on the key — no driver loop, no
+    per-row path.
+  * Commits are metadata-only beyond the new bucket files: a manifest is
+    O(n_buckets) JSON. Old manifests are never rewritten, so time travel
+    (`read_snapshot(..., version=K)`) is a pure read of version K's file
+    list — the Iceberg snapshot model.
+  * Data dirs are immutable once committed: a crashed merge leaves a
+    data_v{N} dir with no manifest/CURRENT pointing at it — invisible to
+    readers, safely re-written by the retry (same idempotence contract as
+    streaming/dedup's batch files).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SNAP_DIR = "_snapshots"
+
+
+def _snap_path(table_path: str, version: int) -> str:
+    return os.path.join(table_path, _SNAP_DIR, f"v{version:08d}.json")
+
+
+def current_version(table_path: str) -> int:
+    with open(os.path.join(table_path, _SNAP_DIR, "CURRENT")) as f:
+        return int(f.read().strip())
+
+
+def list_versions(table_path: str) -> list[int]:
+    d = os.path.join(table_path, _SNAP_DIR)
+    return sorted(
+        int(n[1:-5]) for n in os.listdir(d)
+        if n.startswith("v") and n.endswith(".json")
+    )
+
+
+def read_manifest(table_path: str, version: int | None = None) -> dict:
+    if version is None:
+        version = current_version(table_path)
+    with open(_snap_path(table_path, version)) as f:
+        return json.load(f)
+
+
+def _commit(table_path: str, manifest: dict, version: int) -> None:
+    """Write manifest v{version} then flip CURRENT via tmp+rename (atomic
+    on POSIX): readers either see the old complete snapshot or the new
+    complete snapshot, never a half-commit."""
+    snap_dir = os.path.join(table_path, _SNAP_DIR)
+    os.makedirs(snap_dir, exist_ok=True)
+    with open(_snap_path(table_path, version), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    tmp = os.path.join(snap_dir, ".CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(snap_dir, "CURRENT"))
+
+
+def _bucketed(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _write_data_version(
+    df: DataFrame, table_path: str, version: int, key: str, n_parts: int
+) -> str:
+    """Materialize one immutable data dir: rows carry their bucket column,
+    one output file per touched bucket, sorted by key inside each file so
+    row-group min/max stats prune point reads. ``n_parts`` is the caller's
+    touched-bucket count — passing it avoids re-running the merge plan
+    just to count distinct buckets."""
+    data_dir = f"data_v{version}"
+    out = (
+        df.repartition(max(n_parts, 1), "bucket")
+        .sortWithinPartitions("bucket", key)
+    )
+    out.write.partitionBy("bucket").mode("overwrite").parquet(
+        os.path.join(table_path, data_dir)
+    )
+    return data_dir
+
+
+def create_merge_table(
+    df: DataFrame, table_path: str, key: str, *, n_buckets: int = 16
+) -> int:
+    """Initial load: version 1 holds every bucket. Returns the version."""
+    if os.path.isdir(table_path):
+        shutil.rmtree(table_path)
+    data_dir = _write_data_version(
+        _bucketed(df, key, n_buckets), table_path, 1, key, n_buckets
+    )
+    present = _buckets_on_disk(table_path, data_dir)
+    manifest = {
+        "version": 1,
+        "key": key,
+        "n_buckets": n_buckets,
+        "buckets": {str(b): data_dir for b in present},
+    }
+    _commit(table_path, manifest, 1)
+    return 1
+
+
+def _buckets_on_disk(table_path: str, data_dir: str) -> list[int]:
+    root = os.path.join(table_path, data_dir)
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("bucket="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def read_snapshot(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table as of ``version`` (default: current). Groups the
+    manifest's buckets by their data dir and reads each dir once with the
+    wanted buckets as a partition-column filter — partition pruning keeps
+    unwanted (superseded) buckets unread, so a snapshot read costs exactly
+    its own live files regardless of how many versions exist."""
+    manifest = read_manifest(table_path, version)
+    by_dir: dict[str, list[int]] = {}
+    for b, d in manifest["buckets"].items():
+        by_dir.setdefault(d, []).append(int(b))
+    if not by_dir:
+        # every row deleted: keep the snapshot READABLE-EMPTY with v1's
+        # schema (v1 data dirs are immutable and never removed)
+        full = os.path.join(table_path, "data_v1")
+        return (
+            spark.read.option("basePath", full).parquet(full).limit(0)
+        )
+    parts = []
+    for d, buckets in sorted(by_dir.items()):
+        full = os.path.join(table_path, d)
+        parts.append(
+            spark.read.option("basePath", full)
+            .parquet(full)
+            .filter(F.col("bucket").isin(buckets))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def merge_into(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    *,
+    delete_col: str | None = None,
+) -> int:
+    """MERGE source INTO table ON key:
+
+      matched  + source[delete_col]      -> row removed
+      matched  + not delete              -> row replaced by the source row
+      not matched (source only)          -> row inserted
+      not matched (target only)          -> row kept as-is
+
+    ``source`` must carry the target's full schema (minus ``bucket``) plus
+    the optional boolean ``delete_col``. Returns the new version.
+
+    Only the buckets the source hashes into are read or rewritten; the new
+    manifest points every untouched bucket at its existing immutable file.
+    """
+    manifest = read_manifest(table_path)
+    key, nb = manifest["key"], manifest["n_buckets"]
+    new_version = manifest["version"] + 1
+
+    src = _bucketed(source, key, nb)
+    touched = sorted(
+        r["bucket"] for r in src.select("bucket").distinct().collect()
+    )
+    if not touched:
+        _commit(table_path, {**manifest, "version": new_version}, new_version)
+        return new_version
+
+    target = read_snapshot(spark, table_path).filter(
+        F.col("bucket").isin(touched)
+    )
+
+    data_cols = [c for c in target.columns if c != "bucket"]
+    del_flag = (
+        F.coalesce(F.col(f"s.{delete_col}"), F.lit(False))
+        if delete_col
+        else F.lit(False)
+    )
+    merged = (
+        target.alias("t")
+        .join(
+            src.alias("s"),
+            F.col(f"t.{key}") == F.col(f"s.{key}"),
+            "full_outer",
+        )
+        # matched-and-deleted rows drop out here; a matched source row
+        # replaces the target row WHOLESALE (not column-coalesced: an
+        # update that sets a column to NULL must stick)
+        .filter(F.col(f"s.{key}").isNull() | ~del_flag)
+        .select(
+            *[
+                F.when(
+                    F.col(f"s.{key}").isNotNull(), F.col(f"s.{c}")
+                ).otherwise(F.col(f"t.{c}")).alias(c)
+                for c in data_cols
+            ],
+            F.coalesce(F.col("s.bucket"), F.col("t.bucket")).alias("bucket"),
+        )
+    )
+
+    data_dir = _write_data_version(
+        merged, table_path, new_version, key, len(touched)
+    )
+    present = set(_buckets_on_disk(table_path, data_dir))
+    buckets = dict(manifest["buckets"])
+    for b in touched:
+        if b in present:
+            buckets[str(b)] = data_dir
+        else:
+            # the merge deleted the bucket's last row
+            buckets.pop(str(b), None)
+    _commit(
+        table_path,
+        {"version": new_version, "key": key, "n_buckets": nb, "buckets": buckets},
+        new_version,
+    )
+    return new_version

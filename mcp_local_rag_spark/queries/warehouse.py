@@ -1,0 +1,312 @@
+"""Warehouse-maintenance lanes: MERGE/CDC upsert, snapshot time travel,
+SCD2 history, and incremental view maintenance.
+
+The reference's only mutation story is whole-file replace inside a
+simulated transaction (src/server/index.ts:644-702); a 100 TB training
+corpus needs the real warehouse verbs — apply a CDC batch as one MERGE,
+read the table as-of an old snapshot, keep dimension history, and fold
+deltas into rollups without recomputing them. Each lane here is
+oracle-paired: the DuckDB SQL re-derives the SAME deterministic CDC batch
+from the raw tables, so a hash match proves the merge/IVM machinery
+(plans/merge.py, plans/ivm.py) converges to the declarative answer.
+
+Determinism: text edits avoid case mapping (locale-dependent); money-style
+sums go through DECIMAL(18,6); every output is totally ordered.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import load
+from .common import register
+from .rag import _scratch_path
+
+DEC6 = "decimal(18,6)"
+
+# ---------------------------------------------------------------------------
+# Shared deterministic CDC batch over documents (both engines derive it
+# from the raw table, so the partition of doc_ids must be engine-neutral):
+#   updates:  doc_id % 10 == 3      -> text := 'v2:' || substr(text, 1, 40)
+#   deletes:  doc_id % 13 == 7 and not an update target
+#   inserts:  for doc_id % 29 == 11 -> new id = doc_id + max_id + 1,
+#             source 'cdc', lang 'xx'
+# (update/delete targets are disjoint and insert ids exceed max_id, so the
+# source has unique keys — the MERGE precondition.)
+
+
+def _cdc_source(spark: SparkSession, sf_dir: str):
+    docs = load(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    new_text = F.concat(F.lit("v2:"), F.substring("text", 1, 40))
+    updates = (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .select(
+            "doc_id",
+            new_text.alias("text"),
+            "lang",
+            "source",
+            F.length(new_text).alias("n_chars"),
+            F.lit(False).alias("is_delete"),
+        )
+    )
+    deletes = (
+        docs.filter((F.col("doc_id") % 13 == 7) & (F.col("doc_id") % 10 != 3))
+        .select(
+            "doc_id", "text", "lang", "source", "n_chars",
+            F.lit(True).alias("is_delete"),
+        )
+    )
+    ins_id = F.col("doc_id") + F.lit(max_id + 1)
+    ins_text = F.concat(F.lit("synthetic insert "), ins_id.cast("string"))
+    inserts = (
+        docs.filter(F.col("doc_id") % 29 == 11)
+        .select(
+            ins_id.alias("doc_id"),
+            ins_text.alias("text"),
+            F.lit("xx").alias("lang"),
+            F.lit("cdc").alias("source"),
+            F.length(ins_text).alias("n_chars"),
+            F.lit(False).alias("is_delete"),
+        )
+    )
+    return updates.unionByName(deletes).unionByName(inserts)
+
+
+def _merged_docs_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once scratch merge table: v1 = raw documents, v2 = after the
+    CDC batch. Returns the table path."""
+    from ..plans.merge import create_merge_table, current_version, merge_into
+
+    path = _scratch_path(sf_dir, "merge_docs", tables=("documents",))
+    done = os.path.join(path, "_snapshots", "CURRENT")
+    if os.path.isfile(done):
+        try:
+            if current_version(path) >= 2:
+                return path
+        except (OSError, ValueError):
+            pass
+    create_merge_table(
+        load(spark, sf_dir, "documents"), path, "doc_id", n_buckets=16
+    )
+    merge_into(spark, path, _cdc_source(spark, sf_dir), delete_col="is_delete")
+    return path
+
+
+def _per_source_audit(df):
+    """Per-source audit row: counts, char sums, an id/char checksum, and
+    the v2-text count — enough to pin the FULL merged state without
+    hashing 5k text blobs through the driver compare."""
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(F.col("doc_id") * 1009 + F.col("n_chars"))
+            .cast("long")
+            .alias("checksum"),
+            F.sum(F.when(F.col("text").startswith("v2:"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_updated"),
+        )
+        .orderBy("source")
+    )
+
+
+_AUDIT_SQL = """SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       sum(doc_id * 1009 + n_chars)::BIGINT AS checksum,
+       sum(CASE WHEN text LIKE 'v2:%' THEN 1 ELSE 0 END)::BIGINT AS n_updated
+FROM {src} GROUP BY source ORDER BY source"""
+
+
+@register(
+    "documents_merge_upsert",
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+upd AS (
+  SELECT doc_id, 'v2:' || substr(text, 1, 40) AS text, lang, source,
+         length('v2:' || substr(text, 1, 40)) AS n_chars
+  FROM documents WHERE doc_id % 10 = 3),
+ins AS (
+  SELECT d.doc_id + mx.m + 1 AS doc_id,
+         'synthetic insert ' || (d.doc_id + mx.m + 1) AS text,
+         'xx' AS lang, 'cdc' AS source,
+         length('synthetic insert ' || (d.doc_id + mx.m + 1)) AS n_chars
+  FROM documents d, mx WHERE d.doc_id % 29 = 11),
+merged AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  WHERE doc_id % 10 <> 3 AND doc_id % 13 <> 7
+  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM upd
+  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM ins)
+"""
+    + _AUDIT_SQL.format(src="merged"),
+)
+def q_documents_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (update + delete + insert in one commit)
+    against the snapshot-versioned bucketed table — the Spark-native
+    answer to the reference's whole-file replace transaction
+    (src/server/index.ts:644-702). Audit of the CURRENT snapshot."""
+    from ..plans.merge import read_snapshot
+
+    path = _merged_docs_table(spark, sf_dir)
+    return _per_source_audit(read_snapshot(spark, path))
+
+
+@register(
+    "documents_merge_time_travel",
+    _AUDIT_SQL.format(src="documents"),
+)
+def q_documents_merge_time_travel(spark, sf_dir):
+    """Time travel: read snapshot v1 of the SAME table the CDC merge has
+    since rewritten — the oracle is the raw documents table, so a hash
+    match proves old versions are bit-stable after later commits."""
+    from ..plans.merge import read_snapshot
+
+    path = _merged_docs_table(spark, sf_dir)
+    return _per_source_audit(read_snapshot(spark, path, version=1))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history: collapse each user's event stream into runs of identical
+# event_type with [valid_from, valid_to) intervals — the slowly-changing-
+# dimension build, as gaps-and-islands over one window pass + one
+# aggregate. Scale: both windows partition by user_id (hash-parallel, no
+# global sort); the aggregate is the same shuffle key.
+
+
+@register(
+    "events_scd2_history",
+    """WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events),
+segd AS (
+  SELECT user_id, ts, event_type,
+         sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS seg
+  FROM seq),
+grp AS (
+  SELECT user_id, seg, event_type, min(ts) AS valid_from,
+         count(*)::BIGINT AS n_events
+  FROM segd GROUP BY user_id, seg, event_type)
+SELECT user_id, seg::BIGINT AS seg, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to,
+       n_events,
+       (lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) IS NULL)
+         AS is_current
+FROM grp ORDER BY user_id, seg""",
+)
+def q_events_scd2_history(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("int")
+    segd = ev.withColumn(
+        "seg",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    grp = segd.groupBy("user_id", "seg", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("seg")
+    return (
+        grp.select(
+            "user_id",
+            F.col("seg").cast("long").alias("seg"),
+            "event_type",
+            "valid_from",
+            F.lead("valid_from").over(w2).alias("valid_to"),
+            "n_events",
+            F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: the hourly rollup maintained by folding
+# three OUT-OF-ORDER delta batches (split by event_id hash, not time)
+# into the snapshot-versioned state table — then read back. The oracle is
+# the flat declarative GROUP BY, so a hash match proves
+# apply∘apply∘apply == batch recompute. Sums ride DECIMAL(18,6): exact
+# decimal addition is order-independent, so the incremental fold cannot
+# drift from the flat sum by float re-association.
+
+
+def _ivm_keys_measures():
+    keys = ["hour", "event_type"]
+    measures = [("cnt", "count", None), ("sum_dec", "sum", "value_dec")]
+    return keys, measures
+
+
+def _ivm_delta(ev, part: int):
+    return (
+        ev.filter(F.pmod("event_id", F.lit(3)) == part)
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .withColumn("value_dec", F.col("value").cast(DEC6))
+    )
+
+
+def _ivm_hourly_table(spark: SparkSession, sf_dir: str) -> str:
+    from ..plans.ivm import ivm_apply, ivm_create
+    from ..plans.merge import current_version
+
+    path = _scratch_path(sf_dir, "ivm_hourly", tables=("events",))
+    done = os.path.join(path, "_snapshots", "CURRENT")
+    if os.path.isfile(done):
+        try:
+            if current_version(path) >= 4:
+                return path
+        except (OSError, ValueError):
+            pass
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load(spark, sf_dir, "events")
+    keys, measures = _ivm_keys_measures()
+    ivm_create(spark, path, _ivm_delta(ev, 0), keys, measures, n_buckets=8)
+    for part in (2, 0, 1):  # deliberately out of order
+        ivm_apply(spark, path, _ivm_delta(ev, part), keys, measures)
+    return path
+
+
+@register(
+    "events_ivm_hourly",
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS cnt,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+)
+def q_events_ivm_hourly(spark, sf_dir):
+    from ..plans.ivm import ivm_read
+
+    path = _ivm_hourly_table(spark, sf_dir)
+    return (
+        ivm_read(spark, path)
+        .select(
+            "hour",
+            "event_type",
+            F.col("cnt").cast("long").alias("cnt"),
+            (F.round(F.col("sum_dec").cast("double"), 6) + F.lit(0.0)).alias(
+                "sum_value"
+            ),
+            (
+                F.round(
+                    F.col("sum_dec").cast("double") / F.col("cnt"), 6
+                )
+                + F.lit(0.0)
+            ).alias("avg_value"),
+        )
+        .orderBy("hour", "event_type")
+    )

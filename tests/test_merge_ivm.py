@@ -1,0 +1,199 @@
+"""Invariants for the snapshot-versioned MERGE table (plans/merge) and
+incremental view maintenance (plans/ivm): time-travel bit-stability,
+touched-bucket-only writes, crash invisibility, wholesale-update NULL
+semantics, out-of-order IVM convergence, retraction, schema stability."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mcp_local_rag_spark.plans.ivm import ivm_apply, ivm_create, ivm_read
+from mcp_local_rag_spark.plans.merge import (
+    create_merge_table,
+    current_version,
+    list_versions,
+    merge_into,
+    read_manifest,
+    read_snapshot,
+)
+
+
+def _base(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+        F.concat(F.lit("row"), F.col("id").cast("string")).alias("tag"),
+    )
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    path = str(tmp_path / "mt")
+    create_merge_table(_base(spark), path, "k", n_buckets=8)
+    return path
+
+
+def test_merge_update_insert_delete(spark, table):
+    src = spark.createDataFrame(
+        [
+            Row(k=5, v=999, tag="upd", is_delete=False),
+            Row(k=10_000, v=1, tag="ins", is_delete=False),
+            Row(k=7, v=0, tag="x", is_delete=True),
+        ]
+    )
+    v = merge_into(spark, table, src, delete_col="is_delete")
+    assert v == 2
+    out = {r["k"]: r for r in read_snapshot(spark, table).collect()}
+    assert len(out) == 200  # 200 - 1 delete + 1 insert
+    assert out[5]["v"] == 999 and out[5]["tag"] == "upd"
+    assert out[10_000]["tag"] == "ins"
+    assert 7 not in out
+
+
+def test_time_travel_is_bit_stable(spark, table):
+    before = read_snapshot(spark, table).orderBy("k").collect()
+    src = spark.createDataFrame([Row(k=5, v=1, tag="z", is_delete=False)])
+    merge_into(spark, table, src, delete_col="is_delete")
+    # v1 read AFTER the commit matches the pre-merge read exactly
+    again = read_snapshot(spark, table, version=1).orderBy("k").collect()
+    assert again == before
+    assert list_versions(table) == [1, 2]
+
+
+def test_merge_touches_only_source_buckets(spark, table):
+    src = spark.createDataFrame([Row(k=5, v=1, tag="z", is_delete=False)])
+    m1 = read_manifest(table)
+    merge_into(spark, table, src, delete_col="is_delete")
+    m2 = read_manifest(table)
+    changed = {b for b in m1["buckets"] if m1["buckets"][b] != m2["buckets"][b]}
+    assert len(changed) == 1  # exactly the bucket k=5 hashes into
+    # every untouched bucket still points at its ORIGINAL immutable file
+    for b in set(m1["buckets"]) - changed:
+        assert m2["buckets"][b] == m1["buckets"][b]
+
+
+def test_update_null_column_sticks(spark, table):
+    """A matched source row replaces the target WHOLESALE: an explicit
+    NULL in the update must not be back-filled from the old row."""
+    src = spark.createDataFrame(
+        [Row(k=3, v=None, tag="nulled", is_delete=False)],
+        "k long, v long, tag string, is_delete boolean",
+    )
+    merge_into(spark, table, src, delete_col="is_delete")
+    row = read_snapshot(spark, table).filter(F.col("k") == 3).first()
+    assert row["v"] is None and row["tag"] == "nulled"
+
+
+def test_uncommitted_data_dir_is_invisible(spark, table):
+    """Crash contract: a data_v dir with no manifest/CURRENT is never
+    read."""
+    os.makedirs(os.path.join(table, "data_v99", "bucket=0"), exist_ok=True)
+    assert current_version(table) == 1
+    assert read_snapshot(spark, table).count() == 200
+
+
+def test_delete_everything_keeps_table_readable(spark, tmp_path):
+    path = str(tmp_path / "small")
+    create_merge_table(_base(spark, 5), path, "k", n_buckets=4)
+    src = _base(spark, 5).withColumn("is_delete", F.lit(True))
+    merge_into(spark, path, src, delete_col="is_delete")
+    snap = read_snapshot(spark, path)
+    assert snap.count() == 0
+    assert set(snap.columns) >= {"k", "v", "tag"}
+    # and v1 still holds all 5 rows
+    assert read_snapshot(spark, path, version=1).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# IVM
+
+
+def _events(spark, n=3000):
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") % 100).cast("decimal(18,6)").alias("amount"),
+    )
+
+
+KEYS = ["grp"]
+MEASURES = [("cnt", "count", None), ("total", "sum", "amount")]
+
+
+def _flat(spark, df):
+    return {
+        r["grp"]: (r["cnt"], r["total"])
+        for r in df.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("amount").cast("decimal(18,6)").alias("total"))
+        .collect()
+    }
+
+
+def _view(spark, path):
+    return {
+        r["grp"]: (r["cnt"], r["total"])
+        for r in ivm_read(spark, path)
+        .select("grp", "cnt", F.col("total").cast("decimal(18,6)").alias("total"))
+        .collect()
+    }
+
+
+def test_ivm_out_of_order_applies_converge_to_batch(spark, tmp_path):
+    path = str(tmp_path / "ivm")
+    ev = _events(spark)
+    ivm_create(spark, path, ev, KEYS, MEASURES, n_buckets=4)
+    for part in (2, 0, 1):
+        ivm_apply(
+            spark, path, ev.filter(F.pmod("event_id", F.lit(3)) == part),
+            KEYS, MEASURES,
+        )
+    assert _view(spark, path) == _flat(spark, ev)
+
+
+def test_ivm_retraction_and_group_removal(spark, tmp_path):
+    path = str(tmp_path / "ivm_r")
+    ev = _events(spark, 70)  # 10 rows per group
+    ivm_create(spark, path, ev, KEYS, MEASURES, n_buckets=4)
+    ivm_apply(spark, path, ev, KEYS, MEASURES)
+    # retract ALL of group 3 and one row of group 5
+    ivm_apply(
+        spark, path, ev.filter(F.col("grp") == 3), KEYS, MEASURES, weight=-1
+    )
+    ivm_apply(
+        spark, path,
+        ev.filter((F.col("grp") == 5) & (F.col("event_id") == 5)),
+        KEYS, MEASURES, weight=-1,
+    )
+    view = _view(spark, path)
+    assert 3 not in view  # fully-retracted group removed, not a 0-row
+    exp = _flat(spark, ev.filter(F.col("grp") != 3).filter(F.col("event_id") != 5))
+    # group 5 lost exactly event 5; all other groups untouched
+    assert view == exp
+
+
+def test_ivm_schema_stable_across_applies(spark, tmp_path):
+    """Decimal sums must not widen version-over-version."""
+    path = str(tmp_path / "ivm_s")
+    ev = _events(spark, 300)
+    ivm_create(spark, path, ev, KEYS, MEASURES, n_buckets=4)
+    types = []
+    for part in (0, 1, 2):
+        ivm_apply(
+            spark, path, ev.filter(F.pmod("event_id", F.lit(3)) == part),
+            KEYS, MEASURES,
+        )
+        types.append(dict(ivm_read(spark, path).dtypes)["total"])
+    assert len(set(types)) == 1
+
+
+def test_ivm_empty_delta_commits_noop_version(spark, tmp_path):
+    path = str(tmp_path / "ivm_e")
+    ev = _events(spark, 30)
+    ivm_create(spark, path, ev, KEYS, MEASURES, n_buckets=4)
+    ivm_apply(spark, path, ev, KEYS, MEASURES)
+    v_before = _view(spark, path)
+    v = ivm_apply(spark, path, ev.limit(0), KEYS, MEASURES)
+    assert v == 3
+    assert _view(spark, path) == v_before
