@@ -100,10 +100,20 @@ def ivm_apply(
     measures: list[tuple],
     *,
     weight: int = 1,
+    batch_key: str | None = None,
 ) -> int:
     """Fold one delta batch into the view; ``weight=-1`` retracts (CDC
-    deletes). Returns the committed version."""
+    deletes). Returns the committed version.
+
+    ``batch_key`` makes the fold EXACTLY-ONCE under at-least-once
+    delivery (streaming foreachBatch): the key is recorded inside the
+    same atomic manifest commit that makes the fold visible, so a replay
+    whose fold already landed is a no-op — there is no window where the
+    data committed but the key did not."""
     manifest = read_manifest(table_path)
+    applied = manifest.get("applied", [])
+    if batch_key is not None and batch_key in applied:
+        return manifest["version"]
     nb, new_version = manifest["n_buckets"], manifest["version"] + 1
 
     src = _bucketed(_partial(delta, keys, measures, weight), _KEY, nb)
@@ -111,7 +121,15 @@ def ivm_apply(
         r["bucket"] for r in src.select("bucket").distinct().collect()
     )
     if not touched:
-        _commit(table_path, {**manifest, "version": new_version}, new_version)
+        _commit(
+            table_path,
+            {
+                **manifest,
+                "version": new_version,
+                "applied": applied + ([batch_key] if batch_key else []),
+            },
+            new_version,
+        )
         return new_version
 
     state = read_snapshot(spark, table_path).filter(
@@ -165,6 +183,7 @@ def ivm_apply(
             "key": _KEY,
             "n_buckets": nb,
             "buckets": buckets,
+            "applied": applied + ([batch_key] if batch_key else []),
         },
         new_version,
     )

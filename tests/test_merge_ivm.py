@@ -197,3 +197,49 @@ def test_ivm_empty_delta_commits_noop_version(spark, tmp_path):
     v = ivm_apply(spark, path, ev.limit(0), KEYS, MEASURES)
     assert v == 3
     assert _view(spark, path) == v_before
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin
+
+
+def test_stream_ivm_matches_batch_and_replay_is_noop(spark, tmp_path):
+    """The watcher folds arriving parquet batches into the same state the
+    flat aggregate would produce; wiping the CHECKPOINT (worst crash:
+    fold committed, offsets lost) and replaying changes nothing because
+    the batch key rides the manifest commit."""
+    from mcp_local_rag_spark.plans.merge import current_version
+    from mcp_local_rag_spark.streaming.ivm import stream_ivm
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = _events(spark, 900)
+    ivm_create(spark, state, ev, KEYS, MEASURES, n_buckets=4)
+    for part in (0, 1, 2):
+        ev.filter(F.pmod("event_id", F.lit(3)) == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(drop))
+
+    schema = ev.schema
+    q = stream_ivm(
+        spark, str(drop), state, ckpt, KEYS, MEASURES, schema,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert _view(spark, state) == _flat(spark, ev)
+
+    v_before = current_version(state)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q2 = stream_ivm(
+        spark, str(drop), state, ckpt, KEYS, MEASURES, schema,
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert _view(spark, state) == _flat(spark, ev)  # not double-counted
+    # replayed folds short-circuited on their recorded batch keys
+    assert current_version(state) == v_before
