@@ -250,3 +250,61 @@ def merge_into(
         new_version,
     )
     return new_version
+
+
+def compact_snapshots(
+    spark: SparkSession, table_path: str, *, max_dirs: int = 1
+) -> int | None:
+    """Rewrite the CURRENT snapshot into one fresh data version when its
+    live files are scattered across more than ``max_dirs`` data dirs —
+    the snapshot-table face of S9 compaction (plans/ingest.compact_chunks):
+    a long merge history leaves each bucket's live file in a different
+    dir, and scan-side file listing plus lost bucket-locality eventually
+    costs more than one rewrite. Time travel is untouched: old manifests
+    keep pointing at the old dirs until `vacuum` retires them.
+
+    Returns the new version, or None when already compact (no job runs).
+    """
+    manifest = read_manifest(table_path)
+    if len(set(manifest["buckets"].values())) <= max_dirs:
+        return None
+    key, nb = manifest["key"], manifest["n_buckets"]
+    new_version = manifest["version"] + 1
+    live = read_snapshot(spark, table_path)
+    data_dir = _write_data_version(live, table_path, new_version, key, nb)
+    buckets = {str(b): data_dir for b in _buckets_on_disk(table_path, data_dir)}
+    _commit(
+        table_path,
+        {**manifest, "version": new_version, "buckets": buckets},
+        new_version,
+    )
+    return new_version
+
+
+def vacuum(table_path: str, *, keep_versions: int = 2) -> list[str]:
+    """Retire history: drop every manifest older than the newest
+    ``keep_versions`` and every data dir no RETAINED manifest references.
+    Returns the removed data dirs.
+
+    The sweep is metadata-only (manifest JSON reads + directory removes)
+    — no Spark job, O(versions + dirs) regardless of table size. CURRENT
+    is never touched, and data_v1 survives even when unreferenced: it is
+    the schema anchor empty snapshots read (read_snapshot's empty guard).
+    """
+    versions = list_versions(table_path)
+    retained = versions[-keep_versions:] if keep_versions > 0 else versions[-1:]
+    cur = current_version(table_path)
+    if cur not in retained:
+        retained.append(cur)
+    referenced = {"data_v1"}
+    for v in retained:
+        referenced.update(read_manifest(table_path, v)["buckets"].values())
+    removed = []
+    for name in sorted(os.listdir(table_path)):
+        if name.startswith("data_v") and name not in referenced:
+            shutil.rmtree(os.path.join(table_path, name))
+            removed.append(name)
+    for v in versions:
+        if v not in retained:
+            os.remove(_snap_path(table_path, v))
+    return removed

@@ -243,3 +243,60 @@ def test_stream_ivm_matches_batch_and_replay_is_noop(spark, tmp_path):
     assert _view(spark, state) == _flat(spark, ev)  # not double-counted
     # replayed folds short-circuited on their recorded batch keys
     assert current_version(state) == v_before
+
+
+# ---------------------------------------------------------------------------
+# Lifecycle: compaction + vacuum
+
+
+def test_compact_rewrites_scattered_snapshot(spark, table):
+    from mcp_local_rag_spark.plans.merge import compact_snapshots, read_manifest
+
+    for k in (1, 2, 3):
+        src = spark.createDataFrame(
+            [Row(k=k, v=k * 100, tag=f"u{k}", is_delete=False)]
+        )
+        merge_into(spark, table, src, delete_col="is_delete")
+    before = read_snapshot(spark, table).orderBy("k").collect()
+    assert len(set(read_manifest(table)["buckets"].values())) > 1
+    v = compact_snapshots(spark, table)
+    assert v == 5
+    m = read_manifest(table)
+    assert set(m["buckets"].values()) == {f"data_v{v}"}
+    assert read_snapshot(spark, table).orderBy("k").collect() == before
+    # already compact -> no-op, no new version
+    assert compact_snapshots(spark, table) is None
+
+
+def test_vacuum_drops_only_unreferenced_history(spark, table):
+    from mcp_local_rag_spark.plans.merge import (
+        compact_snapshots,
+        list_versions,
+        vacuum,
+    )
+
+    for k in (1, 2, 3):
+        src = spark.createDataFrame(
+            [Row(k=k, v=k, tag="u", is_delete=False)]
+        )
+        merge_into(spark, table, src, delete_col="is_delete")
+    compact_snapshots(spark, table)  # v5, self-contained
+    cur = read_snapshot(spark, table).orderBy("k").collect()
+    removed = vacuum(table, keep_versions=1)
+    # v2..v4's dirs retired; v1 survives as the schema anchor
+    assert removed and "data_v1" not in removed
+    assert list_versions(table) == [5]
+    assert read_snapshot(spark, table).orderBy("k").collect() == cur
+
+
+def test_vacuum_keeps_dirs_shared_with_retained_versions(spark, table):
+    """A data dir referenced by ANY retained manifest must survive even
+    when other retained versions moved past it."""
+    from mcp_local_rag_spark.plans.merge import vacuum
+
+    src = spark.createDataFrame([Row(k=1, v=9, tag="u", is_delete=False)])
+    merge_into(spark, table, src, delete_col="is_delete")  # v2
+    removed = vacuum(table, keep_versions=2)  # retains v1+v2
+    assert removed == []
+    # v2's untouched buckets still resolve into data_v1
+    assert read_snapshot(spark, table).count() == 200
