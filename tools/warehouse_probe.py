@@ -1,0 +1,133 @@
+"""Scale probe for the warehouse lanes: does a fixed-size CDC batch cost
+the same against a 10x and a 100x table?
+
+The claim under test (plans/merge, plans/ivm): per-batch cost rides the
+DELTA and the touched buckets, not the rows the table has absorbed. The
+probe holds the delta fixed (base-range keys, present in every replica)
+and scales n_buckets with the table (the sizing rule in
+plans/ingest.N_BUCKETS: buckets sized for constant bytes-per-bucket), so
+a flat exponent is the designed outcome and a linear one is a regression.
+
+    python tools/make_scaled_sf.py /root/testdata/sf0.1 <dir10> 10 documents,events
+    python tools/make_scaled_sf.py /root/testdata/sf0.1 <dir100> 100 documents,events
+    python tools/warehouse_probe.py <dir10> <dir100> [out.json]
+
+TIMING data only; correctness gates on the driver's own sf dirs.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _probe_merge(spark, sf_dir: str, n_buckets: int, scratch: str) -> dict:
+    from mcp_local_rag_spark.plans.merge import create_merge_table, merge_into
+    from mcp_local_rag_spark.session import load
+
+    docs = load(spark, sf_dir, "documents")
+    t0 = time.time()
+    create_merge_table(docs, scratch, "doc_id", n_buckets=n_buckets)
+    t_build = time.time() - t0
+
+    # fixed delta: 500 base-range updates + 100 deletes, same keys at
+    # every scale factor
+    src = (
+        docs.filter(F.col("doc_id") < 600)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") < 500,
+                F.concat(F.lit("cdc:"), F.substring("text", 1, 20)),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn("is_delete", F.col("doc_id") >= 500)
+    )
+    t0 = time.time()
+    merge_into(spark, scratch, src, delete_col="is_delete")
+    t_merge = time.time() - t0
+    return {"t_build_sec": round(t_build, 3), "t_merge_sec": round(t_merge, 3)}
+
+
+def _probe_ivm(spark, sf_dir: str, n_buckets: int, scratch: str) -> dict:
+    from mcp_local_rag_spark.plans.ivm import ivm_apply, ivm_create
+    from mcp_local_rag_spark.session import load
+
+    keys = ["hour", "event_type"]
+    measures = [("cnt", "count", None), ("sum_dec", "sum", "value_dec")]
+
+    def delta(df):
+        return df.withColumn("hour", F.date_trunc("hour", "ts")).withColumn(
+            "value_dec", F.col("value").cast("decimal(18,6)")
+        )
+
+    ev = load(spark, sf_dir, "events")
+    t0 = time.time()
+    ivm_create(spark, scratch, delta(ev), keys, measures, n_buckets=n_buckets)
+    ivm_apply(spark, scratch, delta(ev), keys, measures)  # absorb the corpus
+    t_absorb = time.time() - t0
+
+    micro = delta(ev.filter(F.col("event_id") < 10_000))  # fixed micro-batch
+    t0 = time.time()
+    ivm_apply(spark, scratch, micro, keys, measures)
+    t_apply = time.time() - t0
+    return {
+        "t_absorb_sec": round(t_absorb, 3),
+        "t_apply_sec": round(t_apply, 3),
+    }
+
+
+def main(dir10: str, dir100: str, out_path: str | None) -> None:
+    from mcp_local_rag_spark.session import get_spark
+
+    spark = get_spark("warehouse-probe")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    result: dict = {"metric": "warehouse_scale_probe", "unit": "sec", "lanes": {}}
+    work = os.path.join("/tmp", "warehouse_probe_scratch")
+    shutil.rmtree(work, ignore_errors=True)
+
+    for lane, fn in (("merge_cdc", _probe_merge), ("ivm_microbatch", _probe_ivm)):
+        r10 = fn(spark, dir10, 64, os.path.join(work, f"{lane}_10"))
+        r100 = fn(spark, dir100, 640, os.path.join(work, f"{lane}_100"))
+        tkey = "t_merge_sec" if lane == "merge_cdc" else "t_apply_sec"
+        alpha = math.log(r100[tkey] / r10[tkey]) / math.log(10.0)
+        result["lanes"][lane] = {
+            "x10": r10,
+            "x100": r100,
+            "delta_ratio": round(r100[tkey] / r10[tkey], 3),
+            "delta_exponent": round(alpha, 3),
+        }
+        print(
+            f"# {lane}: 10x {tkey}={r10[tkey]}s 100x={r100[tkey]}s "
+            f"alpha={alpha:.2f}",
+            file=sys.stderr,
+        )
+
+    result["provenance"] = (
+        "self-measured (round 10): sf0.1 documents/events replicated 10x and "
+        "100x via make_scaled_sf.py; fixed base-range CDC delta and "
+        "micro-batch; n_buckets scaled with the table (64 -> 640) per the "
+        "constant-bytes-per-bucket sizing rule, so flat per-batch cost is "
+        "the designed outcome being verified"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    line = json.dumps(result)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
