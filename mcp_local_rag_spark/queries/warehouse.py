@@ -169,6 +169,71 @@ def q_documents_merge_time_travel(spark, sf_dir):
     return _per_source_audit(read_snapshot(spark, path, version=1))
 
 
+@register(
+    "documents_merge_changes",
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+upd AS (
+  SELECT doc_id, 'v2:' || substr(text, 1, 40) AS text, lang, source,
+         length('v2:' || substr(text, 1, 40)) AS n_chars
+  FROM documents WHERE doc_id % 10 = 3),
+ins AS (
+  SELECT d.doc_id + mx.m + 1 AS doc_id,
+         'synthetic insert ' || (d.doc_id + mx.m + 1) AS text,
+         'xx' AS lang, 'cdc' AS source,
+         length('synthetic insert ' || (d.doc_id + mx.m + 1)) AS n_chars
+  FROM documents d, mx WHERE d.doc_id % 29 = 11),
+merged AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  WHERE doc_id % 10 <> 3 AND doc_id % 13 <> 7
+  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM upd
+  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM ins),
+diff AS (
+  SELECT d.doc_id AS o_id, d.text AS o_text, d.lang AS o_lang,
+         d.source AS o_source, d.n_chars AS o_n,
+         m.doc_id AS n_id, m.text AS n_text, m.lang AS n_lang,
+         m.source AS n_source, m.n_chars AS n_n
+  FROM documents d FULL OUTER JOIN merged m ON d.doc_id = m.doc_id),
+changed AS (
+  SELECT * FROM diff
+  WHERE o_id IS NOT NULL AND n_id IS NOT NULL AND
+        (o_text IS DISTINCT FROM n_text OR o_lang IS DISTINCT FROM n_lang
+         OR o_source IS DISTINCT FROM n_source OR o_n IS DISTINCT FROM n_n)),
+changes AS (
+  SELECT 'insert' AS _change_type, n_id AS doc_id, n_source AS source,
+         n_n AS n_chars
+  FROM diff WHERE o_id IS NULL
+  UNION ALL
+  SELECT 'delete', o_id, o_source, o_n FROM diff WHERE n_id IS NULL
+  UNION ALL
+  SELECT 'update_preimage', o_id, o_source, o_n FROM changed
+  UNION ALL
+  SELECT 'update_postimage', n_id, n_source, n_n FROM changed)
+SELECT _change_type, source, count(*)::BIGINT AS n_rows,
+       sum(doc_id * 1009 + n_chars)::BIGINT AS checksum
+FROM changes GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q_documents_merge_changes(spark, sf_dir):
+    """Change data feed (plans/merge.read_changes): net v1->v2 row diff of
+    the CDC-merged table, audited per change type and source. The oracle
+    re-derives the same diff declaratively (FULL OUTER JOIN + IS DISTINCT
+    FROM), so a hash match proves the manifest-pruned CDF emits exactly
+    the changed rows — carried-over rows in rewritten buckets excluded."""
+    from ..plans.merge import read_changes
+
+    path = _merged_docs_table(spark, sf_dir)
+    return (
+        read_changes(spark, path, 1, 2)
+        .groupBy("_change_type", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("doc_id") * 1009 + F.col("n_chars"))
+            .cast("long")
+            .alias("checksum"),
+        )
+        .orderBy("_change_type", "source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SCD2 history: collapse each user's event stream into runs of identical
 # event_type with [valid_from, valid_to) intervals — the slowly-changing-

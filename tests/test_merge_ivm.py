@@ -300,3 +300,63 @@ def test_vacuum_keeps_dirs_shared_with_retained_versions(spark, table):
     assert removed == []
     # v2's untouched buckets still resolve into data_v1
     assert read_snapshot(spark, table).count() == 200
+
+
+# --- change data feed (plans/merge.read_changes) ---
+
+
+def _cdf(spark, table, lo, hi):
+    from mcp_local_rag_spark.plans.merge import read_changes
+
+    return {
+        (r["_change_type"], r["k"]): r
+        for r in read_changes(spark, table, lo, hi).collect()
+    }
+
+
+def test_cdf_classifies_and_drops_carried_rows(spark, table):
+    """A rewritten bucket carries every untouched row through the merge;
+    the CDF must emit ONLY the rows whose content actually changed."""
+    src = spark.createDataFrame(
+        [
+            Row(k=5, v=999, tag="upd", is_delete=False),
+            Row(k=6, v=18, tag="row6", is_delete=False),  # identical no-op
+            Row(k=10_000, v=1, tag="ins", is_delete=False),
+            Row(k=7, v=0, tag="x", is_delete=True),
+        ]
+    )
+    merge_into(spark, table, src, delete_col="is_delete")
+    ch = _cdf(spark, table, 1, 2)
+    assert set(ch) == {
+        ("update_preimage", 5),
+        ("update_postimage", 5),
+        ("insert", 10_000),
+        ("delete", 7),
+    }
+    assert ch[("update_preimage", 5)]["v"] == 15
+    assert ch[("update_postimage", 5)]["v"] == 999
+    assert ch[("delete", 7)]["tag"] == "row7"
+
+
+def test_cdf_null_update_and_net_change(spark, table):
+    src1 = spark.createDataFrame(
+        [Row(k=3, v=None, tag="nulled", is_delete=False)],
+        "k long, v long, tag string, is_delete boolean",
+    )
+    merge_into(spark, table, src1, delete_col="is_delete")
+    ch = _cdf(spark, table, 1, 2)
+    assert ch[("update_postimage", 3)]["v"] is None  # eqNullSafe caught it
+    # update then delete: the 1->3 NET diff is a single delete of the v1 image
+    src2 = spark.createDataFrame([Row(k=3, v=0, tag="z", is_delete=True)])
+    merge_into(spark, table, src2, delete_col="is_delete")
+    ch13 = _cdf(spark, table, 1, 3)
+    assert set(ch13) == {("delete", 3)}
+    assert ch13[("delete", 3)]["tag"] == "row3"  # v1 image, not the nulled one
+
+
+def test_cdf_same_version_is_empty_with_schema(spark, table):
+    from mcp_local_rag_spark.plans.merge import read_changes
+
+    out = read_changes(spark, table, 1, 1)
+    assert out.count() == 0
+    assert out.columns == ["_change_type", "k", "v", "tag"]
