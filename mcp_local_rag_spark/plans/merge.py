@@ -37,11 +37,18 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SNAP_DIR = "_snapshots"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first (optimistic concurrency:
+    the manifest file is created O_EXCL, so exactly one writer can own a
+    version number). Retry from the new current snapshot."""
 
 
 def _snap_path(table_path: str, version: int) -> str:
@@ -71,10 +78,27 @@ def read_manifest(table_path: str, version: int | None = None) -> dict:
 def _commit(table_path: str, manifest: dict, version: int) -> None:
     """Write manifest v{version} then flip CURRENT via tmp+rename (atomic
     on POSIX): readers either see the old complete snapshot or the new
-    complete snapshot, never a half-commit."""
+    complete snapshot, never a half-commit.
+
+    Concurrency: the manifest is created with O_EXCL, so two writers
+    racing to commit the same version number serialize on the filesystem
+    — the loser gets ConcurrentCommitError and must re-derive its change
+    from the winner's snapshot (merge_into(max_retries=...) does this).
+    """
     snap_dir = os.path.join(table_path, _SNAP_DIR)
     os.makedirs(snap_dir, exist_ok=True)
-    with open(_snap_path(table_path, version), "w") as f:
+    try:
+        fd = os.open(
+            _snap_path(table_path, version),
+            os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+            0o644,
+        )
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"version {version} of {table_path} was committed by another "
+            "writer"
+        ) from None
+    with os.fdopen(fd, "w") as f:
         json.dump(manifest, f, sort_keys=True)
     tmp = os.path.join(snap_dir, ".CURRENT.tmp")
     with open(tmp, "w") as f:
@@ -95,8 +119,17 @@ def _write_data_version(
     one output file per touched bucket, sorted by key inside each file so
     row-group min/max stats prune point reads. ``n_parts`` is the caller's
     touched-bucket count — passing it avoids re-running the merge plan
-    just to count distinct buckets."""
-    data_dir = f"data_v{version}"
+    just to count distinct buckets.
+
+    Post-v1 dirs carry a random token so two writers racing toward the
+    same version number can never clobber each other's files — the loser
+    of the O_EXCL manifest race leaves an orphan dir no manifest
+    references (invisible to readers; vacuum collects it). v1 stays plain
+    ``data_v1``: it is the schema anchor read_snapshot's empty guard and
+    vacuum both rely on."""
+    data_dir = (
+        "data_v1" if version == 1 else f"data_v{version}_{uuid.uuid4().hex[:8]}"
+    )
     out = (
         df.repartition(max(n_parts, 1), "bucket")
         .sortWithinPartitions("bucket", key)
@@ -165,7 +198,10 @@ def read_snapshot(
         )
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # allowMissingColumns: after a schema-evolving merge, untouched
+        # buckets still live in pre-evolution dirs — their missing columns
+        # read as NULL, which is exactly the evolved value of those rows
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 
@@ -175,6 +211,8 @@ def merge_into(
     source: DataFrame,
     *,
     delete_col: str | None = None,
+    max_retries: int = 0,
+    schema_evolution: bool = False,
 ) -> int:
     """MERGE source INTO table ON key:
 
@@ -188,7 +226,37 @@ def merge_into(
 
     Only the buckets the source hashes into are read or rewritten; the new
     manifest points every untouched bucket at its existing immutable file.
+
+    Concurrency: commits are optimistic — losing a version race raises
+    ConcurrentCommitError. With ``max_retries`` > 0 the merge re-derives
+    itself against the winner's snapshot and re-commits (correct because
+    the merge is defined against whatever snapshot it reads; the source
+    rows are unchanged).
+
+    Schema evolution: with ``schema_evolution=True`` a source may carry
+    columns the table lacks — they join the schema ADD-ONLY (no drops, no
+    type changes). Pre-existing rows read the new columns as NULL without
+    any rewrite: untouched buckets stay in their pre-evolution files and
+    read_snapshot null-fills on union, so evolving a 100 TB table costs
+    only the touched buckets. Old snapshots keep their old schema.
     """
+    for _ in range(max_retries):
+        try:
+            return _merge_once(
+                spark, table_path, source, delete_col, schema_evolution
+            )
+        except ConcurrentCommitError:
+            continue
+    return _merge_once(spark, table_path, source, delete_col, schema_evolution)
+
+
+def _merge_once(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    delete_col: str | None,
+    schema_evolution: bool = False,
+) -> int:
     manifest = read_manifest(table_path)
     key, nb = manifest["key"], manifest["n_buckets"]
     new_version = manifest["version"] + 1
@@ -204,6 +272,21 @@ def merge_into(
     target = read_snapshot(spark, table_path).filter(
         F.col("bucket").isin(touched)
     )
+
+    src_data_cols = [
+        c for c in source.columns if c != delete_col and c != "bucket"
+    ]
+    new_cols = [c for c in src_data_cols if c not in target.columns]
+    if new_cols:
+        if not schema_evolution:
+            raise ValueError(
+                f"source columns {new_cols} not in table schema; pass "
+                "schema_evolution=True to add them"
+            )
+        for c in new_cols:
+            target = target.withColumn(
+                c, F.lit(None).cast(source.schema[c].dataType)
+            )
 
     data_cols = [c for c in target.columns if c != "bucket"]
     del_flag = (
@@ -283,7 +366,11 @@ def read_changes(
     changed = sorted(
         int(b) for b in set(b0) | set(b1) if b0.get(b) != b1.get(b)
     )
-    anchor = read_snapshot(spark, table_path, from_version)
+    # schema-anchor on the TO version: after a schema-evolving merge the
+    # old side lacks the new columns — null-fill them so the comparison
+    # sees evolution-NULLs as unchanged and update images carry the full
+    # evolved schema
+    anchor = read_snapshot(spark, table_path, to_version)
     data_cols = [c for c in anchor.columns if c != "bucket"]
     if not changed:
         return (
@@ -291,12 +378,14 @@ def read_changes(
             .select(F.lit("insert").alias("_change_type"), *data_cols)
             .limit(0)
         )
-    old = anchor.filter(F.col("bucket").isin(changed)).alias("o")
-    new = (
-        read_snapshot(spark, table_path, to_version)
-        .filter(F.col("bucket").isin(changed))
-        .alias("n")
+    old = read_snapshot(spark, table_path, from_version).filter(
+        F.col("bucket").isin(changed)
     )
+    for c in data_cols:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(anchor.schema[c].dataType))
+    old = old.alias("o")
+    new = anchor.filter(F.col("bucket").isin(changed)).alias("n")
 
     def img(side: str, tag: str):
         return F.struct(

@@ -262,7 +262,8 @@ def test_compact_rewrites_scattered_snapshot(spark, table):
     v = compact_snapshots(spark, table)
     assert v == 5
     m = read_manifest(table)
-    assert set(m["buckets"].values()) == {f"data_v{v}"}
+    dirs = set(m["buckets"].values())
+    assert len(dirs) == 1 and next(iter(dirs)).startswith(f"data_v{v}_")
     assert read_snapshot(spark, table).orderBy("k").collect() == before
     # already compact -> no-op, no new version
     assert compact_snapshots(spark, table) is None
@@ -360,3 +361,89 @@ def test_cdf_same_version_is_empty_with_schema(spark, table):
     out = read_changes(spark, table, 1, 1)
     assert out.count() == 0
     assert out.columns == ["_change_type", "k", "v", "tag"]
+
+
+# --- optimistic concurrency (O_EXCL manifest commits) ---
+
+
+def test_concurrent_commit_loses_version_race(spark, table):
+    from mcp_local_rag_spark.plans.merge import ConcurrentCommitError, _commit
+
+    m = read_manifest(table)
+    _commit(table, {**m, "version": 2}, 2)
+    with pytest.raises(ConcurrentCommitError):
+        _commit(table, {**m, "version": 2}, 2)
+    assert current_version(table) == 2
+
+
+def test_merge_retries_after_lost_race(spark, table, monkeypatch):
+    """Loser of the version race re-derives against the winner's snapshot:
+    simulate a racing writer by committing a competing version from inside
+    the loser's first commit attempt."""
+    import mcp_local_rag_spark.plans.merge as mg
+
+    real_commit = mg._commit
+    fired = {}
+
+    def racing_commit(path, manifest, version):
+        if not fired:
+            fired["x"] = True
+            real_commit(path, {**read_manifest(path), "version": version}, version)
+        return real_commit(path, manifest, version)
+
+    monkeypatch.setattr(mg, "_commit", racing_commit)
+    src = spark.createDataFrame([Row(k=5, v=777, tag="won", is_delete=False)])
+    v = merge_into(spark, table, src, delete_col="is_delete", max_retries=2)
+    assert v == 3  # v2 went to the racer; the retry committed v3
+    assert read_snapshot(spark, table).filter(F.col("k") == 5).first()["v"] == 777
+
+
+# --- schema evolution (add-only) ---
+
+
+def test_schema_evolution_rejected_unless_opted_in(spark, table):
+    src = spark.createDataFrame(
+        [Row(k=5, v=1, tag="z", extra="boom", is_delete=False)]
+    )
+    with pytest.raises(ValueError, match="schema_evolution"):
+        merge_into(spark, table, src, delete_col="is_delete")
+
+
+def test_schema_evolution_null_fills_without_rewrite(spark, table):
+    src = spark.createDataFrame(
+        [
+            Row(k=5, v=999, tag="upd", score=0.5, is_delete=False),
+            Row(k=10_000, v=1, tag="ins", score=1.5, is_delete=False),
+        ]
+    )
+    m1 = read_manifest(table)
+    merge_into(
+        spark, table, src, delete_col="is_delete", schema_evolution=True
+    )
+    m2 = read_manifest(table)
+    # untouched buckets keep their ORIGINAL pre-evolution files
+    touched = {b for b in m1["buckets"] if m1["buckets"][b] != m2["buckets"][b]}
+    assert 0 < len(touched) <= 2
+    cur = read_snapshot(spark, table)
+    assert "score" in cur.columns
+    by_k = {r["k"]: r for r in cur.collect()}
+    assert by_k[5]["score"] == 0.5 and by_k[10_000]["score"] == 1.5
+    assert by_k[0]["score"] is None  # pre-existing row, never rewritten
+    assert len(by_k) == 201
+    # time travel: v1 keeps the PRE-evolution schema
+    assert "score" not in read_snapshot(spark, table, version=1).columns
+
+
+def test_cdf_across_schema_evolution(spark, table):
+    """Evolution-NULLs on carried rows are not changes; images carry the
+    evolved schema."""
+    src = spark.createDataFrame(
+        [Row(k=5, v=999, tag="upd", score=0.5, is_delete=False)]
+    )
+    merge_into(
+        spark, table, src, delete_col="is_delete", schema_evolution=True
+    )
+    ch = _cdf(spark, table, 1, 2)
+    assert set(ch) == {("update_preimage", 5), ("update_postimage", 5)}
+    assert ch[("update_preimage", 5)]["score"] is None
+    assert ch[("update_postimage", 5)]["score"] == 0.5
