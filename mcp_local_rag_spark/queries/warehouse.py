@@ -234,6 +234,63 @@ def q_documents_merge_changes(spark, sf_dir):
     )
 
 
+@register(
+    "documents_cdf_view",
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+upd AS (
+  SELECT doc_id, 'v2:' || substr(text, 1, 40) AS text, lang, source,
+         length('v2:' || substr(text, 1, 40)) AS n_chars
+  FROM documents WHERE doc_id % 10 = 3),
+ins AS (
+  SELECT d.doc_id + mx.m + 1 AS doc_id,
+         'synthetic insert ' || (d.doc_id + mx.m + 1) AS text,
+         'xx' AS lang, 'cdc' AS source,
+         length('synthetic insert ' || (d.doc_id + mx.m + 1)) AS n_chars
+  FROM documents d, mx WHERE d.doc_id % 29 = 11),
+merged AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  WHERE doc_id % 10 <> 3 AND doc_id % 13 <> 7
+  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM upd
+  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM ins)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM merged GROUP BY lang ORDER BY lang""",
+)
+def q_documents_cdf_view(spark, sf_dir):
+    """Downstream view maintained from the change feed
+    (plans/changefeed): bootstrapped over snapshot v1, then advanced to
+    v2 by folding read_changes(1, 2) into the IVM state with signed
+    weights. The oracle is the flat declarative GROUP BY over the merged
+    corpus, so a hash match proves bootstrap + feed == batch recompute —
+    the O(changes) downstream a 100 TB pipeline requires."""
+    from ..plans.changefeed import create_view_over_table, sync_view
+    from ..plans.merge import current_version
+
+    src_path = _merged_docs_table(spark, sf_dir)
+    keys = ["lang"]
+    measures = [("n_docs", "count", None), ("sum_chars", "sum", "n_chars")]
+    view = _scratch_path(sf_dir, "cdf_view", tables=("documents",))
+    try:
+        cv = current_version(view)
+    except (OSError, ValueError):
+        cv = 0
+    if cv == 0:
+        create_view_over_table(
+            spark, src_path, view, keys, measures, at_version=1, n_buckets=8
+        )
+    sync_view(spark, src_path, view, keys, measures)
+    from ..plans.ivm import ivm_read
+
+    return (
+        ivm_read(spark, view)
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("sum_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SCD2 history: collapse each user's event stream into runs of identical
 # event_type with [valid_from, valid_to) intervals — the slowly-changing-

@@ -447,3 +447,90 @@ def test_cdf_across_schema_evolution(spark, table):
     assert set(ch) == {("update_preimage", 5), ("update_postimage", 5)}
     assert ch[("update_preimage", 5)]["score"] is None
     assert ch[("update_postimage", 5)]["score"] == 0.5
+
+
+# --- change-feed-driven view maintenance (plans/changefeed) ---
+
+
+def _view_rows(spark, view):
+    return {
+        r["tagmod"]: (r["n"], r["sv"]) for r in ivm_read(spark, view).collect()
+    }
+
+
+def _cf_setup(spark, tmp_path):
+    from mcp_local_rag_spark.plans.changefeed import create_view_over_table
+
+    src_path = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    create_merge_table(_base(spark), src_path, "k", n_buckets=8)
+    keys = ["tagmod"]
+    measures = [("n", "count", None), ("sv", "sum", "v")]
+
+    def transform(df):
+        return df.withColumn("tagmod", (F.col("k") % 4).cast("int"))
+
+    create_view_over_table(
+        spark, src_path, view, keys, measures, transform=transform,
+        at_version=1, n_buckets=4,
+    )
+    return src_path, view, keys, measures, transform
+
+
+def _batch_expected(spark, src_path):
+    return {
+        r["tagmod"]: (r["n"], r["sv"])
+        for r in read_snapshot(spark, src_path)
+        .withColumn("tagmod", (F.col("k") % 4).cast("int"))
+        .groupBy("tagmod")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .collect()
+    }
+
+
+def test_cdf_view_converges_and_lagged_sync_is_net(spark, tmp_path):
+    from mcp_local_rag_spark.plans.changefeed import sync_view
+
+    src_path, view, keys, measures, tf = _cf_setup(spark, tmp_path)
+    assert _view_rows(spark, view) == _batch_expected(spark, src_path)
+    # two source commits, ONE lagged sync -> net fold
+    merge_into(
+        spark, src_path,
+        spark.createDataFrame([Row(k=5, v=999, tag="u", is_delete=False)]),
+        delete_col="is_delete",
+    )
+    merge_into(
+        spark, src_path,
+        spark.createDataFrame(
+            [Row(k=5, v=0, tag="x", is_delete=True),
+             Row(k=900, v=7, tag="i", is_delete=False)]
+        ),
+        delete_col="is_delete",
+    )
+    assert sync_view(spark, src_path, view, keys, measures, transform=tf) == 3
+    assert _view_rows(spark, view) == _batch_expected(spark, src_path)
+    # already current
+    assert sync_view(spark, src_path, view, keys, measures, transform=tf) is None
+
+
+def test_cdf_view_crash_between_halves_recovers(spark, tmp_path):
+    from mcp_local_rag_spark.plans.changefeed import sync_view
+    from mcp_local_rag_spark.plans.merge import read_changes
+
+    src_path, view, keys, measures, tf = _cf_setup(spark, tmp_path)
+    merge_into(
+        spark, src_path,
+        spark.createDataFrame([Row(k=5, v=999, tag="u", is_delete=False)]),
+        delete_col="is_delete",
+    )
+    # simulate a crash that landed ONLY the add half of range (1, 2]
+    ch = read_changes(spark, src_path, 1, 2)
+    adds = tf(
+        ch.filter(F.col("_change_type").isin("insert", "update_postimage"))
+        .drop("_change_type")
+    )
+    ivm_apply(spark, view, adds, keys, measures, batch_key="cdf:+1->2")
+    # the recovery sync completes the retract half (add half no-ops) and
+    # the view converges — nothing double-folded
+    assert sync_view(spark, src_path, view, keys, measures, transform=tf) == 2
+    assert _view_rows(spark, view) == _batch_expected(spark, src_path)
