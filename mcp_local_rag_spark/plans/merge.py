@@ -449,6 +449,34 @@ def compact_snapshots(
     return new_version
 
 
+def table_status(table_path: str) -> dict:
+    """Metadata-only health summary of a snapshot table (no Spark job):
+    version span, live-bucket count, how many data dirs the CURRENT
+    snapshot spans (compaction signal), and orphan dirs no retained
+    manifest references (vacuum signal — crashed or lost-race writers)."""
+    versions = list_versions(table_path)
+    cur = current_version(table_path)
+    manifest = read_manifest(table_path, cur)
+    referenced = {"data_v1"}
+    for v in versions:
+        referenced.update(read_manifest(table_path, v)["buckets"].values())
+    on_disk = {
+        n for n in os.listdir(table_path) if n.startswith("data_v")
+    }
+    live_dirs = set(manifest["buckets"].values())
+    return {
+        "current_version": cur,
+        "versions": len(versions),
+        "oldest_version": versions[0] if versions else None,
+        "key": manifest["key"],
+        "n_buckets": manifest["n_buckets"],
+        "live_buckets": len(manifest["buckets"]),
+        "current_data_dirs": len(live_dirs),
+        "needs_compaction": len(live_dirs) > 1,
+        "orphan_dirs": sorted(on_disk - referenced),
+    }
+
+
 def vacuum(table_path: str, *, keep_versions: int = 2) -> list[str]:
     """Retire history: drop every manifest older than the newest
     ``keep_versions`` and every data dir no RETAINED manifest references.

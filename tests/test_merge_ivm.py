@@ -534,3 +534,56 @@ def test_cdf_view_crash_between_halves_recovers(spark, tmp_path):
     # the view converges — nothing double-folded
     assert sync_view(spark, src_path, view, keys, measures, transform=tf) == 2
     assert _view_rows(spark, view) == _batch_expected(spark, src_path)
+
+
+# --- status + array-column (embedding) payloads ---
+
+
+def test_table_status_flags_compaction_and_orphans(spark, table):
+    from mcp_local_rag_spark.plans.merge import table_status
+
+    s0 = table_status(table)
+    assert s0["current_version"] == 1 and not s0["needs_compaction"]
+    assert s0["orphan_dirs"] == []
+    merge_into(
+        spark, table,
+        spark.createDataFrame([Row(k=5, v=1, tag="z", is_delete=False)]),
+        delete_col="is_delete",
+    )
+    os.makedirs(os.path.join(table, "data_v9_deadbeef"), exist_ok=True)
+    s1 = table_status(table)
+    assert s1["current_version"] == 2
+    assert s1["needs_compaction"]  # live files span 2 dirs now
+    assert s1["orphan_dirs"] == ["data_v9_deadbeef"]
+
+
+def test_merge_and_cdf_on_embedding_arrays(spark, tmp_path):
+    """A RAG warehouse upserts vectors: MERGE + change feed must handle
+    array<float> payloads (null-safe array comparison included)."""
+    from mcp_local_rag_spark.plans.merge import read_changes
+
+    path = str(tmp_path / "emb")
+    base = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("float"), (F.col("id") % 3).cast("float")
+        ).alias("emb"),
+    )
+    create_merge_table(base, path, "vec_id", n_buckets=4)
+    src = spark.createDataFrame(
+        [
+            Row(vec_id=3, emb=[9.0, 9.0], is_delete=False),   # re-embed
+            Row(vec_id=4, emb=[float(4 % 7), float(4 % 3)], is_delete=False),  # identical
+            Row(vec_id=500, emb=[1.0, 2.0], is_delete=False),  # new vector
+        ],
+        "vec_id long, emb array<float>, is_delete boolean",
+    )
+    merge_into(spark, path, src, delete_col="is_delete")
+    got = {
+        (r["_change_type"], r["vec_id"]): list(r["emb"])
+        for r in read_changes(spark, path, 1, 2).collect()
+    }
+    assert set(got) == {
+        ("update_preimage", 3), ("update_postimage", 3), ("insert", 500)
+    }
+    assert got[("update_postimage", 3)] == [9.0, 9.0]
