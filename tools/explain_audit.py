@@ -317,6 +317,24 @@ COMMENTARY = {
         "At 100 TB this is the difference between scanning one user "
         "stripe and scanning the whole day."
     ),
+    "documents_merge_changes": (
+        "Round 10: the change data feed. Both snapshot scans carry the "
+        "manifest-derived bucket IN-list as a PARTITION filter "
+        "(bucket=... dirs pruned before any parquet footer is read), so "
+        "the full-outer join is churned-buckets vs churned-buckets — "
+        "delta-sized at any table size. Classification is one explode "
+        "over an array of change structs built per joined key: no "
+        "re-join per change type, no second pass."
+    ),
+    "documents_cdf_view": (
+        "Round 10: the downstream of the feed. The audited read is just "
+        "the view's manifest-listed state files; what matters is what "
+        "is ABSENT — no scan of the upstream table, because the view "
+        "was advanced by folding read_changes output (O(churned "
+        "buckets)) into the IVM state (O(touched view buckets)). The "
+        "oracle equality with a flat GROUP BY over the merged corpus is "
+        "the proof the shortcut is lossless."
+    ),
 }
 
 
