@@ -36,6 +36,8 @@ from .merge import (
     _bucketed,
     _buckets_on_disk,
     _commit,
+    _dir_bucket_rows,
+    _trim_applied,
     _write_data_version,
     read_manifest,
     read_snapshot,
@@ -126,7 +128,7 @@ def ivm_apply(
             {
                 **manifest,
                 "version": new_version,
-                "applied": applied + ([batch_key] if batch_key else []),
+                "applied": _trim_applied(applied + ([batch_key] if batch_key else [])),
             },
             new_version,
         )
@@ -171,11 +173,15 @@ def ivm_apply(
     )
     present = set(_buckets_on_disk(table_path, data_dir))
     buckets = dict(manifest["buckets"])
+    rows = dict(manifest.get("rows", {}))
+    new_rows = _dir_bucket_rows(table_path, data_dir)
     for b in touched:
         if b in present:
             buckets[str(b)] = data_dir
+            rows[str(b)] = new_rows.get(str(b), 0)
         else:
             buckets.pop(str(b), None)
+            rows.pop(str(b), None)
     _commit(
         table_path,
         {
@@ -183,7 +189,8 @@ def ivm_apply(
             "key": _KEY,
             "n_buckets": nb,
             "buckets": buckets,
-            "applied": applied + ([batch_key] if batch_key else []),
+            "rows": rows,
+            "applied": _trim_applied(applied + ([batch_key] if batch_key else [])),
         },
         new_version,
     )

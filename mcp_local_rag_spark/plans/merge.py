@@ -45,6 +45,17 @@ from pyspark.sql import functions as F
 _SNAP_DIR = "_snapshots"
 
 
+# replay-dedup keys retained per manifest. Replays come from checkpoint
+# loss and replay only the stream's tail, so a bounded window gives the
+# same exactly-once guarantee without O(batches) manifest growth (Delta
+# keeps one txn version per appId for the same reason).
+_APPLIED_KEEP = 200
+
+
+def _trim_applied(applied: list[str]) -> list[str]:
+    return applied[-_APPLIED_KEEP:]
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first (optimistic concurrency:
     the manifest file is created O_EXCL, so exactly one writer can own a
@@ -155,9 +166,49 @@ def create_merge_table(
         "key": key,
         "n_buckets": n_buckets,
         "buckets": {str(b): data_dir for b in present},
+        "rows": _dir_bucket_rows(table_path, data_dir),
     }
     _commit(table_path, manifest, 1)
     return 1
+
+
+def _dir_bucket_rows(table_path: str, data_dir: str) -> dict[str, int]:
+    """Per-bucket row counts of one data dir from parquet FOOTERS only —
+    O(files) metadata reads, no Spark job, no data pages touched."""
+    import pyarrow.parquet as pq
+
+    root = os.path.join(table_path, data_dir)
+    rows: dict[str, int] = {}
+    for name in os.listdir(root):
+        if not name.startswith("bucket="):
+            continue
+        b = name.split("=", 1)[1]
+        n = 0
+        bdir = os.path.join(root, name)
+        for f in os.listdir(bdir):
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+        rows[b] = n
+    return rows
+
+
+def snapshot_rowcount(table_path: str, version: int | None = None) -> int:
+    """count(*) as of a version, answered from manifest statistics alone
+    — no Spark job, no file reads. At 100 TB this is the difference
+    between a full scan and a JSON lookup. Falls back to footer reads
+    for manifests written before row stats existed."""
+    manifest = read_manifest(table_path, version)
+    rows = manifest.get("rows")
+    if rows is not None:
+        return sum(rows.get(b, 0) for b in manifest["buckets"])
+    by_dir: dict[str, list[str]] = {}
+    for b, d in manifest["buckets"].items():
+        by_dir.setdefault(d, []).append(b)
+    total = 0
+    for d, bs in by_dir.items():
+        counts = _dir_bucket_rows(table_path, d)
+        total += sum(counts.get(b, 0) for b in bs)
+    return total
 
 
 def _buckets_on_disk(table_path: str, data_dir: str) -> list[int]:
@@ -213,6 +264,7 @@ def merge_into(
     delete_col: str | None = None,
     max_retries: int = 0,
     schema_evolution: bool = False,
+    batch_key: str | None = None,
 ) -> int:
     """MERGE source INTO table ON key:
 
@@ -239,15 +291,24 @@ def merge_into(
     any rewrite: untouched buckets stay in their pre-evolution files and
     read_snapshot null-fills on union, so evolving a 100 TB table costs
     only the touched buckets. Old snapshots keep their old schema.
+
+    ``batch_key`` makes the merge EXACTLY-ONCE under at-least-once
+    delivery (streaming foreachBatch): the key is recorded inside the
+    same atomic manifest commit that makes the merge visible, so a
+    replay whose merge already landed is a no-op — the contract
+    streaming/merge_sink relies on (same protocol as ivm_apply).
     """
     for _ in range(max_retries):
         try:
             return _merge_once(
-                spark, table_path, source, delete_col, schema_evolution
+                spark, table_path, source, delete_col, schema_evolution,
+                batch_key,
             )
         except ConcurrentCommitError:
             continue
-    return _merge_once(spark, table_path, source, delete_col, schema_evolution)
+    return _merge_once(
+        spark, table_path, source, delete_col, schema_evolution, batch_key
+    )
 
 
 def _merge_once(
@@ -256,8 +317,12 @@ def _merge_once(
     source: DataFrame,
     delete_col: str | None,
     schema_evolution: bool = False,
+    batch_key: str | None = None,
 ) -> int:
     manifest = read_manifest(table_path)
+    applied = manifest.get("applied", [])
+    if batch_key is not None and batch_key in applied:
+        return manifest["version"]
     key, nb = manifest["key"], manifest["n_buckets"]
     new_version = manifest["version"] + 1
 
@@ -266,7 +331,15 @@ def _merge_once(
         r["bucket"] for r in src.select("bucket").distinct().collect()
     )
     if not touched:
-        _commit(table_path, {**manifest, "version": new_version}, new_version)
+        _commit(
+            table_path,
+            {
+                **manifest,
+                "version": new_version,
+                "applied": _trim_applied(applied + ([batch_key] if batch_key else [])),
+            },
+            new_version,
+        )
         return new_version
 
     target = read_snapshot(spark, table_path).filter(
@@ -321,15 +394,26 @@ def _merge_once(
     )
     present = set(_buckets_on_disk(table_path, data_dir))
     buckets = dict(manifest["buckets"])
+    rows = dict(manifest.get("rows", {}))
+    new_rows = _dir_bucket_rows(table_path, data_dir)
     for b in touched:
         if b in present:
             buckets[str(b)] = data_dir
+            rows[str(b)] = new_rows.get(str(b), 0)
         else:
             # the merge deleted the bucket's last row
             buckets.pop(str(b), None)
+            rows.pop(str(b), None)
     _commit(
         table_path,
-        {"version": new_version, "key": key, "n_buckets": nb, "buckets": buckets},
+        {
+            "version": new_version,
+            "key": key,
+            "n_buckets": nb,
+            "buckets": buckets,
+            "rows": rows,
+            "applied": _trim_applied(applied + ([batch_key] if batch_key else [])),
+        },
         new_version,
     )
     return new_version
@@ -443,7 +527,12 @@ def compact_snapshots(
     buckets = {str(b): data_dir for b in _buckets_on_disk(table_path, data_dir)}
     _commit(
         table_path,
-        {**manifest, "version": new_version, "buckets": buckets},
+        {
+            **manifest,
+            "version": new_version,
+            "buckets": buckets,
+            "rows": _dir_bucket_rows(table_path, data_dir),
+        },
         new_version,
     )
     return new_version
@@ -467,6 +556,7 @@ def table_status(table_path: str) -> dict:
     return {
         "current_version": cur,
         "versions": len(versions),
+        "rows": snapshot_rowcount(table_path, cur),
         "oldest_version": versions[0] if versions else None,
         "key": manifest["key"],
         "n_buckets": manifest["n_buckets"],

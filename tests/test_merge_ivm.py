@@ -587,3 +587,94 @@ def test_merge_and_cdf_on_embedding_arrays(spark, tmp_path):
         ("update_preimage", 3), ("update_postimage", 3), ("insert", 500)
     }
     assert got[("update_postimage", 3)] == [9.0, 9.0]
+
+
+# --- manifest row stats + streaming CDC apply ---
+
+
+def test_snapshot_rowcount_is_manifest_only_and_tracks_history(spark, table):
+    from mcp_local_rag_spark.plans.merge import snapshot_rowcount
+
+    assert snapshot_rowcount(table) == 200
+    merge_into(
+        spark, table,
+        spark.createDataFrame(
+            [Row(k=5, v=1, tag="u", is_delete=False),       # update: net 0
+             Row(k=7, v=0, tag="x", is_delete=True),        # delete: -1
+             Row(k=900, v=9, tag="i", is_delete=False)],    # insert: +1
+        ),
+        delete_col="is_delete",
+    )
+    assert snapshot_rowcount(table) == 200
+    assert snapshot_rowcount(table, version=1) == 200
+    assert snapshot_rowcount(table) == read_snapshot(spark, table).count()
+    # the manifest carries the stats: no data dir needed to answer
+    m = read_manifest(table)
+    assert sum(m["rows"].values()) == 200
+
+
+def test_stream_merge_matches_batch_and_replay_is_noop(spark, tmp_path):
+    """CDC micro-batches through the streaming sink converge to the same
+    snapshot a single batch MERGE would produce; checkpoint wipe + replay
+    is a no-op on the recorded batch keys. In-batch multi-change keys
+    collapse last-write-wins on order_col."""
+    from mcp_local_rag_spark.plans.merge import current_version
+    from mcp_local_rag_spark.streaming.merge_sink import stream_merge
+
+    drop = tmp_path / "cdc"
+    drop.mkdir()
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    create_merge_table(_base(spark), table, "k", n_buckets=4)
+
+    b1 = spark.createDataFrame(
+        [
+            Row(k=5, v=1, tag="stale", is_delete=False, lsn=1),
+            Row(k=5, v=2, tag="fresh", is_delete=False, lsn=2),  # same key, later LSN
+            Row(k=7, v=0, tag="x", is_delete=True, lsn=3),
+        ]
+    )
+    b2 = spark.createDataFrame(
+        [Row(k=900, v=9, tag="ins", is_delete=False, lsn=4)]
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(drop))
+    b2.coalesce(1).write.mode("append").parquet(str(drop))
+
+    q = stream_merge(
+        spark, str(drop), table, ckpt, b1.schema,
+        delete_col="is_delete", order_col="lsn", available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    out = {r["k"]: r for r in read_snapshot(spark, table).collect()}
+    assert out[5]["tag"] == "fresh" and out[5]["v"] == 2
+    assert 7 not in out and out[900]["tag"] == "ins"
+    assert len(out) == 200
+
+    v_before = current_version(table)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q2 = stream_merge(
+        spark, str(drop), table, ckpt, b1.schema,
+        delete_col="is_delete", order_col="lsn", available_now=True,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    assert current_version(table) == v_before  # replays short-circuited
+    assert {r["k"]: r["tag"] for r in read_snapshot(spark, table).collect()}[5] == "fresh"
+
+
+def test_applied_keys_are_bounded(spark, tmp_path):
+    from mcp_local_rag_spark.plans.merge import _APPLIED_KEEP
+
+    path = str(tmp_path / "b")
+    ev = _events(spark, 50)
+    ivm_create(spark, path, ev, KEYS, MEASURES, n_buckets=2)
+    for i in range(12):
+        ivm_apply(
+            spark, path, ev.limit(0), KEYS, MEASURES, batch_key=f"k{i}"
+        )
+    applied = read_manifest(path)["applied"]
+    assert applied == [f"k{i}" for i in range(12)]
+    assert len(applied) <= _APPLIED_KEEP
