@@ -55,7 +55,11 @@ def _cursor_state(view_table: str) -> tuple[int | None, tuple[int, int] | None]:
     boot = [int(m.group(1)) for k in applied if (m := _BOOT.match(k))]
     adds = {(int(m.group(1)), int(m.group(2))) for k in applied if (m := _ADD.match(k))}
     rets = {(int(m.group(1)), int(m.group(2))) for k in applied if (m := _RET.match(k))}
-    done = [b for _, b in adds & rets]
+    # a retract key alone proves the range completed: the retract half
+    # commits strictly AFTER the add half, so its presence implies the
+    # add landed even when the bounded applied-log trim (_APPLIED_KEEP)
+    # cut the window between the pair's two keys
+    done = [b for _, b in rets]
     cursor = max(boot + done) if boot or done else None
     dangling = sorted(adds - rets)
     return cursor, (dangling[0] if dangling else None)

@@ -678,3 +678,33 @@ def test_applied_keys_are_bounded(spark, tmp_path):
     applied = read_manifest(path)["applied"]
     assert applied == [f"k{i}" for i in range(12)]
     assert len(applied) <= _APPLIED_KEEP
+
+
+def test_cdf_cursor_survives_trimmed_add_key(spark, tmp_path):
+    """The bounded applied-log can cut between a sync's +/- key pair; the
+    retract key alone must still prove the range completed (else the
+    cursor regresses and the range double-folds)."""
+    import json
+    import os
+
+    from mcp_local_rag_spark.plans.changefeed import _cursor_state, sync_view
+    from mcp_local_rag_spark.plans.merge import _snap_path
+
+    src_path, view, keys, measures, tf = _cf_setup(spark, tmp_path)
+    merge_into(
+        spark, src_path,
+        spark.createDataFrame([Row(k=5, v=999, tag="u", is_delete=False)]),
+        delete_col="is_delete",
+    )
+    assert sync_view(spark, src_path, view, keys, measures, transform=tf) == 2
+    # simulate the trim landing between the pair: drop the add key
+    cur = current_version(view)
+    p = _snap_path(view, cur)
+    m = json.load(open(p))
+    m["applied"] = [k for k in m["applied"] if not k.startswith("cdf:+")]
+    os.remove(p)
+    json.dump(m, open(p, "w"))
+    cursor, pending = _cursor_state(view)
+    assert cursor == 2 and pending is None
+    assert sync_view(spark, src_path, view, keys, measures, transform=tf) is None
+    assert _view_rows(spark, view) == _batch_expected(spark, src_path)
