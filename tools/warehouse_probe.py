@@ -54,7 +54,25 @@ def _probe_merge(spark, sf_dir: str, n_buckets: int, scratch: str) -> dict:
     t0 = time.time()
     merge_into(spark, scratch, src, delete_col="is_delete")
     t_merge = time.time() - t0
-    return {"t_build_sec": round(t_build, 3), "t_merge_sec": round(t_merge, 3)}
+
+    # change feed over the same fixed churn: cost must ride the changed
+    # buckets (manifest diff), not the table
+    from mcp_local_rag_spark.plans.merge import read_changes, snapshot_rowcount
+
+    t0 = time.time()
+    n_changes = read_changes(spark, scratch, 1, 2).count()
+    t_cdf = time.time() - t0
+    t0 = time.time()
+    rc = snapshot_rowcount(scratch)
+    t_count = time.time() - t0
+    return {
+        "t_build_sec": round(t_build, 3),
+        "t_merge_sec": round(t_merge, 3),
+        "t_cdf_sec": round(t_cdf, 3),
+        "n_changes": n_changes,
+        "t_rowcount_ms": round(t_count * 1000, 2),
+        "rowcount": rc,
+    }
 
 
 def _probe_ivm(spark, sf_dir: str, n_buckets: int, scratch: str) -> dict:
@@ -98,19 +116,23 @@ def main(dir10: str, dir100: str, out_path: str | None) -> None:
     for lane, fn in (("merge_cdc", _probe_merge), ("ivm_microbatch", _probe_ivm)):
         r10 = fn(spark, dir10, 64, os.path.join(work, f"{lane}_10"))
         r100 = fn(spark, dir100, 640, os.path.join(work, f"{lane}_100"))
-        tkey = "t_merge_sec" if lane == "merge_cdc" else "t_apply_sec"
-        alpha = math.log(r100[tkey] / r10[tkey]) / math.log(10.0)
-        result["lanes"][lane] = {
-            "x10": r10,
-            "x100": r100,
-            "delta_ratio": round(r100[tkey] / r10[tkey], 3),
-            "delta_exponent": round(alpha, 3),
-        }
-        print(
-            f"# {lane}: 10x {tkey}={r10[tkey]}s 100x={r100[tkey]}s "
-            f"alpha={alpha:.2f}",
-            file=sys.stderr,
+        tkeys = (
+            ["t_merge_sec", "t_cdf_sec"]
+            if lane == "merge_cdc"
+            else ["t_apply_sec"]
         )
+        entry = {"x10": r10, "x100": r100}
+        for tkey in tkeys:
+            alpha = math.log(r100[tkey] / r10[tkey]) / math.log(10.0)
+            suffix = "" if tkey == tkeys[0] else f"_{tkey.split('_')[1]}"
+            entry[f"delta_ratio{suffix}"] = round(r100[tkey] / r10[tkey], 3)
+            entry[f"delta_exponent{suffix}"] = round(alpha, 3)
+            print(
+                f"# {lane}: 10x {tkey}={r10[tkey]}s 100x={r100[tkey]}s "
+                f"alpha={alpha:.2f}",
+                file=sys.stderr,
+            )
+        result["lanes"][lane] = entry
 
     result["provenance"] = (
         "self-measured (round 10): sf0.1 documents/events replicated 10x and "
