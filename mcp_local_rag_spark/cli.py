@@ -68,6 +68,39 @@ def _parser() -> argparse.ArgumentParser:
     ab.add_argument("--pq-m", type=int, default=8,
                     help="PQ subspace count (dim %% m == 0)")
 
+    ts = sub.add_parser(
+        "table-status", help="snapshot-table health (metadata-only)"
+    )
+    ts.add_argument("path")
+
+    th = sub.add_parser(
+        "table-history", help="snapshot versions with manifest row counts"
+    )
+    th.add_argument("path")
+
+    tc = sub.add_parser(
+        "table-compact", help="rewrite a scattered snapshot into one data dir"
+    )
+    tc.add_argument("path")
+    tc.add_argument("--max-dirs", type=int, default=1,
+                    help="compact when live files span more dirs than this")
+
+    tv = sub.add_parser(
+        "table-vacuum", help="retire old snapshot manifests + unreferenced dirs"
+    )
+    tv.add_argument("path")
+    tv.add_argument("--keep", type=int, default=2,
+                    help="manifest versions to retain")
+
+    tch = sub.add_parser(
+        "table-changes", help="net change feed between two snapshot versions"
+    )
+    tch.add_argument("path")
+    tch.add_argument("from_version", type=int)
+    tch.add_argument("to_version", type=int, nargs="?", default=None)
+    tch.add_argument("--limit", type=int, default=1000,
+                     help="max change rows emitted")
+
     srv = sub.add_parser(
         "serve", help="stdio server loop (MCP by default; --bare for the"
         " legacy method-per-tool JSON-RPC)"
@@ -137,6 +170,45 @@ def run(argv: list[str], engine, out=None) -> int:
         emit({"annIndexPath": engine.ann_index_path, "nCells": n,
               "fresh": engine.ann_index_is_fresh(),
               "pq": engine.ann_index_status()["pq"]})
+        return 0
+    if args.cmd == "table-status":
+        from .plans.merge import table_status
+
+        emit(table_status(os.path.abspath(args.path)))
+        return 0
+    if args.cmd == "table-history":
+        from .plans.merge import list_versions, snapshot_rowcount
+
+        path = os.path.abspath(args.path)
+        emit({
+            "versions": [
+                {"version": v, "rows": snapshot_rowcount(path, v)}
+                for v in list_versions(path)
+            ]
+        })
+        return 0
+    if args.cmd == "table-compact":
+        from .plans.merge import compact_snapshots
+
+        v = compact_snapshots(
+            engine.spark, os.path.abspath(args.path), max_dirs=args.max_dirs
+        )
+        emit({"compacted": v is not None, "version": v})
+        return 0
+    if args.cmd == "table-vacuum":
+        from .plans.merge import vacuum
+
+        removed = vacuum(os.path.abspath(args.path), keep_versions=args.keep)
+        emit({"removedDataDirs": removed})
+        return 0
+    if args.cmd == "table-changes":
+        from .plans.merge import read_changes
+
+        rows = read_changes(
+            engine.spark, os.path.abspath(args.path),
+            args.from_version, args.to_version,
+        ).limit(args.limit).collect()
+        emit({"changes": [r.asDict() for r in rows]})
         return 0
     if args.cmd == "serve":
         from .server import McpServer, RagRpcServer

@@ -96,3 +96,43 @@ def test_cli_ann_build_pq(spark, tmp_path):
     from mcp_local_rag_spark.embedder import pseudo_embed
     hits = server.query(pseudo_embed("pq0 corpus", 64), 3)
     assert hits and all("filePath" in h for h in hits)
+
+
+def test_cli_table_verbs(spark, tmp_path):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.plans.merge import create_merge_table, merge_into
+
+    tbl = str(tmp_path / "snap")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    create_merge_table(base, tbl, "k", n_buckets=4)
+    merge_into(
+        spark, tbl,
+        spark.createDataFrame(
+            [Row(k=1, v=99, is_delete=False), Row(k=2, v=0, is_delete=True)]
+        ),
+        delete_col="is_delete",
+    )
+    eng = RagEngine(spark, str(tmp_path / "chunks_unused"))
+
+    (status,) = _run(eng, "table-status", tbl)
+    assert status["current_version"] == 2 and status["rows"] == 99
+
+    (hist,) = _run(eng, "table-history", tbl)
+    assert [h["rows"] for h in hist["versions"]] == [100, 99]
+
+    (ch,) = _run(eng, "table-changes", tbl, "1", "2")
+    kinds = sorted(c["_change_type"] for c in ch["changes"])
+    assert kinds == ["delete", "update_postimage", "update_preimage"]
+
+    (comp,) = _run(eng, "table-compact", tbl)
+    assert comp["compacted"] and comp["version"] == 3
+
+    (vac,) = _run(eng, "table-vacuum", tbl, "--keep", "1")
+    assert vac["removedDataDirs"]  # the superseded merge dirs retired
+
+    (status2,) = _run(eng, "table-status", tbl)
+    assert status2["rows"] == 99 and not status2["needs_compaction"]

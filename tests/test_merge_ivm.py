@@ -708,3 +708,52 @@ def test_cdf_cursor_survives_trimmed_add_key(spark, tmp_path):
     assert cursor == 2 and pending is None
     assert sync_view(spark, src_path, view, keys, measures, transform=tf) is None
     assert _view_rows(spark, view) == _batch_expected(spark, src_path)
+
+
+def test_cdf_reconstructs_any_snapshot_pair(spark, tmp_path):
+    """Fundamental CDF invariant, randomized: for EVERY version pair
+    (a, b) of a seeded 4-batch CDC history, applying read_changes(a, b)
+    onto snapshot a reproduces snapshot b exactly (delete pre-keys,
+    upsert post-images)."""
+    import random
+
+    from mcp_local_rag_spark.plans.merge import read_changes
+
+    rng = random.Random(1009)
+    path = str(tmp_path / "rt")
+    create_merge_table(_base(spark, 120), path, "k", n_buckets=8)
+    live = set(range(120))
+    next_id = 1000
+    for _ in range(4):
+        ups = rng.sample(sorted(live), 10)
+        dels = [k for k in rng.sample(sorted(live), 6) if k not in ups]
+        ins = list(range(next_id, next_id + 4))
+        next_id += 100
+        rows = (
+            [Row(k=k, v=rng.randrange(1000), tag=f"u{k}", is_delete=False) for k in ups]
+            + [Row(k=k, v=0, tag="x", is_delete=True) for k in dels]
+            + [Row(k=k, v=k, tag=f"i{k}", is_delete=False) for k in ins]
+        )
+        merge_into(
+            spark, path, spark.createDataFrame(rows), delete_col="is_delete"
+        )
+        live = (live - set(dels)) | set(ins)
+
+    def snap(v):
+        return {
+            r["k"]: (r["v"], r["tag"])
+            for r in read_snapshot(spark, path, v).collect()
+        }
+
+    snaps = {v: snap(v) for v in range(1, 6)}
+    for a in range(1, 6):
+        for b in range(a + 1, 6):
+            ch = read_changes(spark, path, a, b).collect()
+            rebuilt = dict(snaps[a])
+            for r in ch:
+                if r["_change_type"] in ("delete", "update_preimage"):
+                    rebuilt.pop(r["k"], None)
+            for r in ch:
+                if r["_change_type"] in ("insert", "update_postimage"):
+                    rebuilt[r["k"]] = (r["v"], r["tag"])
+            assert rebuilt == snaps[b], f"pair ({a},{b}) diverged"
