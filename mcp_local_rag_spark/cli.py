@@ -92,6 +92,12 @@ def _parser() -> argparse.ArgumentParser:
     tv.add_argument("--keep", type=int, default=2,
                     help="manifest versions to retain")
 
+    tr = sub.add_parser(
+        "table-rebucket", help="re-hash the table into a new bucket count"
+    )
+    tr.add_argument("path")
+    tr.add_argument("n_buckets", type=int)
+
     tch = sub.add_parser(
         "table-changes", help="net change feed between two snapshot versions"
     )
@@ -200,6 +206,12 @@ def run(argv: list[str], engine, out=None) -> int:
 
         removed = vacuum(os.path.abspath(args.path), keep_versions=args.keep)
         emit({"removedDataDirs": removed})
+        return 0
+    if args.cmd == "table-rebucket":
+        from .plans.merge import rebucket
+
+        v = rebucket(engine.spark, os.path.abspath(args.path), args.n_buckets)
+        emit({"version": v, "nBuckets": args.n_buckets})
         return 0
     if args.cmd == "table-changes":
         from .plans.merge import read_changes

@@ -567,6 +567,50 @@ def table_status(table_path: str) -> dict:
     }
 
 
+def rebucket(
+    spark: SparkSession, table_path: str, new_n_buckets: int
+) -> int:
+    """Re-hash the table into a new bucket count as one snapshot commit
+    — the partition-evolution verb. A table sized for its creation-day
+    volume outgrows its buckets at 100 TB scale (the constant-bytes-per-
+    bucket rule wants buckets ∝ rows); because every manifest records
+    its OWN n_buckets, old versions stay time-travelable against the old
+    layout while later merges hash into the new one.
+
+    This is necessarily one full rewrite (every row changes bucket) —
+    the one table-sized cost in the lifecycle, paid on demand instead of
+    per-merge. Replay-dedup keys carry over, so an in-flight streaming
+    sink keeps its exactly-once guarantee across the rebucket. A
+    read_changes pair spanning the boundary degrades to a full-table
+    comparison (every bucket pointer moved) and correctly reports no
+    changes for untouched rows."""
+    manifest = read_manifest(table_path)
+    key = manifest["key"]
+    new_version = manifest["version"] + 1
+    live = _bucketed(
+        read_snapshot(spark, table_path).drop("bucket"), key, new_n_buckets
+    )
+    data_dir = _write_data_version(
+        live, table_path, new_version, key, new_n_buckets
+    )
+    _commit(
+        table_path,
+        {
+            "version": new_version,
+            "key": key,
+            "n_buckets": new_n_buckets,
+            "buckets": {
+                str(b): data_dir
+                for b in _buckets_on_disk(table_path, data_dir)
+            },
+            "rows": _dir_bucket_rows(table_path, data_dir),
+            "applied": manifest.get("applied", []),
+        },
+        new_version,
+    )
+    return new_version
+
+
 def vacuum(table_path: str, *, keep_versions: int = 2) -> list[str]:
     """Retire history: drop every manifest older than the newest
     ``keep_versions`` and every data dir no RETAINED manifest references.

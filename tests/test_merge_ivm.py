@@ -757,3 +757,48 @@ def test_cdf_reconstructs_any_snapshot_pair(spark, tmp_path):
                 if r["_change_type"] in ("insert", "update_postimage"):
                     rebuilt[r["k"]] = (r["v"], r["tag"])
             assert rebuilt == snaps[b], f"pair ({a},{b}) diverged"
+
+
+def test_rebucket_preserves_data_history_and_exactly_once(spark, table):
+    from mcp_local_rag_spark.plans.merge import (
+        read_changes,
+        rebucket,
+        snapshot_rowcount,
+        table_status,
+    )
+
+    before = {r["k"]: (r["v"], r["tag"])
+              for r in read_snapshot(spark, table).collect()}
+    merge_into(
+        spark, table,
+        spark.createDataFrame([Row(k=5, v=1, tag="z", is_delete=False)]),
+        delete_col="is_delete", batch_key="b1",
+    )
+    v = rebucket(spark, table, 32)
+    assert v == 3
+    m = read_manifest(table)
+    assert m["n_buckets"] == 32 and len(m["buckets"]) > 8
+    after = {r["k"]: (r["v"], r["tag"])
+             for r in read_snapshot(spark, table).collect()}
+    assert after.keys() == before.keys() and after[5] == (1, "z")
+    assert snapshot_rowcount(table) == 200
+    # time travel against the OLD layout still works
+    assert {r["k"] for r in read_snapshot(spark, table, version=1).collect()} \
+        == before.keys()
+    # CDF across the rebucket boundary: no logical changes
+    assert read_changes(spark, table, 2, 3).count() == 0
+    # replay-dedup carries over: re-merging batch b1 is a no-op
+    assert merge_into(
+        spark, table,
+        spark.createDataFrame([Row(k=5, v=777, tag="dup", is_delete=False)]),
+        delete_col="is_delete", batch_key="b1",
+    ) == 3
+    assert read_snapshot(spark, table).filter(F.col("k") == 5).first()["v"] == 1
+    # and a NEW merge hashes into the new bucket space
+    merge_into(
+        spark, table,
+        spark.createDataFrame([Row(k=6, v=66, tag="n", is_delete=False)]),
+        delete_col="is_delete",
+    )
+    assert read_snapshot(spark, table).filter(F.col("k") == 6).first()["v"] == 66
+    assert table_status(table)["n_buckets"] == 32
