@@ -46,20 +46,31 @@ from .merge import (
 _KEY = "_ivm_key"
 _SEP = "\x1f"
 
-# measure spec: (output column, op, input column); ops form the additive
-# fragment — every partial merges by +
-_OPS = {"count", "sum"}
+# measure spec: (output column, op, input column). count/sum form the
+# ADDITIVE fragment (invertible: weight=-1 retracts); min/max are
+# commutative monoids WITHOUT inverses — they fold incrementally but a
+# retraction would need the full group re-scanned, so weight=-1 is
+# rejected when any min/max measure is declared (append-only views).
+_OPS = {"count", "sum", "min", "max"}
+_ADDITIVE = {"count", "sum"}
 
 
 def _partial(delta: DataFrame, keys: list[str], measures: list[tuple], weight: int) -> DataFrame:
     aggs = []
     for name, op, col in measures:
         if op not in _OPS:
-            raise ValueError(f"non-additive op {op!r}")
-        expr = (
-            F.count(F.lit(1)) if op == "count" else F.sum(F.col(col))
-        )
-        aggs.append((expr * F.lit(weight)).alias(name))
+            raise ValueError(f"unsupported op {op!r}")
+        if op in _ADDITIVE:
+            expr = F.count(F.lit(1)) if op == "count" else F.sum(F.col(col))
+            expr = expr * F.lit(weight)
+        else:
+            if weight != 1:
+                raise ValueError(
+                    f"measure {name!r} ({op}) has no inverse; "
+                    "retraction (weight=-1) is only defined for count/sum"
+                )
+            expr = F.min(F.col(col)) if op == "min" else F.max(F.col(col))
+        aggs.append(expr.alias(name))
     return (
         delta.groupBy(*keys)
         .agg(*aggs)
@@ -137,12 +148,25 @@ def ivm_apply(
     state = read_snapshot(spark, table_path).filter(
         F.col("bucket").isin(touched)
     )
-    names = [m[0] for m in measures]
     # measure columns keep the PARTIAL's dtype across applies: decimal
     # addition widens precision by one digit per fold, which would drift
     # the state schema version-over-version (and overflow the decimal cap
     # after 10 applies); count stays long, sums stay their declared type
     src_types = dict(src.dtypes)
+
+    def _fold(name: str, op: str):
+        s, t = F.col(f"s.{name}"), F.col(f"t.{name}")
+        if op in _ADDITIVE:
+            return (
+                (F.coalesce(s, F.lit(0)) + F.coalesce(t, F.lit(0)))
+                .cast(src_types[name])
+                .alias(name)
+            )
+        # least/greatest skip nulls in Spark, so the absent side of the
+        # full-outer join folds away without special-casing
+        fn = F.least if op == "min" else F.greatest
+        return fn(s, t).alias(name)
+
     merged = (
         state.alias("t")
         .join(src.alias("s"), F.col(f"t.{_KEY}") == F.col(f"s.{_KEY}"), "full_outer")
@@ -152,13 +176,7 @@ def ivm_apply(
                 F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k)
                 for k in keys
             ],
-            *[
-                (
-                    F.coalesce(F.col(f"s.{n}"), F.lit(0))
-                    + F.coalesce(F.col(f"t.{n}"), F.lit(0))
-                ).cast(src_types[n]).alias(n)
-                for n in names
-            ],
+            *[_fold(n, op) for n, op, _ in measures],
             F.coalesce(F.col("s.bucket"), F.col("t.bucket")).alias("bucket"),
         )
     )

@@ -188,6 +188,40 @@ def test_ivm_schema_stable_across_applies(spark, tmp_path):
     assert len(set(types)) == 1
 
 
+def test_ivm_minmax_converges_and_rejects_retraction(spark, tmp_path):
+    """min/max fold as commutative monoids across any batch order; they
+    have no inverse, so weight=-1 is rejected up front (no partial
+    state change)."""
+    path = str(tmp_path / "ivm_mm")
+    ev = _events(spark, 200)
+    measures = MEASURES + [("lo", "min", "amount"), ("hi", "max", "amount")]
+    ivm_create(spark, path, ev, KEYS, measures, n_buckets=4)
+    for part in (1, 2, 0):
+        ivm_apply(
+            spark, path, ev.filter(F.pmod("event_id", F.lit(3)) == part),
+            KEYS, measures,
+        )
+    got = {
+        r["grp"]: (r["cnt"], r["lo"], r["hi"])
+        for r in ivm_read(spark, path).collect()
+    }
+    exp = {
+        r["grp"]: (r["cnt"], r["lo"], r["hi"])
+        for r in ev.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("amount").alias("lo"),
+            F.max("amount").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == exp
+    before = ivm_read(spark, path).count()
+    with pytest.raises(ValueError, match="no inverse"):
+        ivm_apply(spark, path, ev.limit(3), KEYS, measures, weight=-1)
+    assert ivm_read(spark, path).count() == before
+
+
 def test_ivm_empty_delta_commits_noop_version(spark, tmp_path):
     path = str(tmp_path / "ivm_e")
     ev = _events(spark, 30)
