@@ -47,11 +47,17 @@ _KEY = "_ivm_key"
 _SEP = "\x1f"
 
 # measure spec: (output column, op, input column). count/sum form the
-# ADDITIVE fragment (invertible: weight=-1 retracts); min/max are
-# commutative monoids WITHOUT inverses — they fold incrementally but a
-# retraction would need the full group re-scanned, so weight=-1 is
-# rejected when any min/max measure is declared (append-only views).
-_OPS = {"count", "sum", "min", "max"}
+# ADDITIVE fragment (invertible: weight=-1 retracts); min/max and
+# approx_ndv are commutative monoids WITHOUT inverses — they fold
+# incrementally but a retraction would need the full group re-scanned,
+# so weight=-1 is rejected when any such measure is declared
+# (append-only views). approx_ndv keeps a Datasketches HLL sketch
+# (binary) in the state table and merges per apply with hll_union —
+# the 100 TB way to maintain per-group distinct counts: O(delta) per
+# batch, a few KB of state per group regardless of how many distinct
+# values the group has absorbed. Read the estimate with
+# F.hll_sketch_estimate over ivm_read's sketch column.
+_OPS = {"count", "sum", "min", "max", "approx_ndv"}
 _ADDITIVE = {"count", "sum"}
 
 
@@ -69,7 +75,10 @@ def _partial(delta: DataFrame, keys: list[str], measures: list[tuple], weight: i
                     f"measure {name!r} ({op}) has no inverse; "
                     "retraction (weight=-1) is only defined for count/sum"
                 )
-            expr = F.min(F.col(col)) if op == "min" else F.max(F.col(col))
+            if op == "approx_ndv":
+                expr = F.hll_sketch_agg(F.col(col))
+            else:
+                expr = F.min(F.col(col)) if op == "min" else F.max(F.col(col))
         aggs.append(expr.alias(name))
     return (
         delta.groupBy(*keys)
@@ -160,6 +169,15 @@ def ivm_apply(
             return (
                 (F.coalesce(s, F.lit(0)) + F.coalesce(t, F.lit(0)))
                 .cast(src_types[name])
+                .alias(name)
+            )
+        if op == "approx_ndv":
+            # hll_union null-propagates; an absent join side means "that
+            # group had no rows there", i.e. the identity sketch
+            return (
+                F.when(s.isNull(), t)
+                .when(t.isNull(), s)
+                .otherwise(F.hll_union(s, t))
                 .alias(name)
             )
         # least/greatest skip nulls in Spark, so the absent side of the

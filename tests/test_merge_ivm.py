@@ -222,6 +222,37 @@ def test_ivm_minmax_converges_and_rejects_retraction(spark, tmp_path):
     assert ivm_read(spark, path).count() == before
 
 
+def test_ivm_approx_ndv_sketch_matches_oneshot(spark, tmp_path):
+    """HLL union is order-insensitive and associative, so the folded
+    sketch's estimate is BIT-IDENTICAL to a one-shot hll_sketch_agg over
+    the union — not merely close. State per group stays a few-KB binary
+    regardless of absorbed distinct values (the 100 TB posture)."""
+    path = str(tmp_path / "ivm_ndv")
+    ev = _events(spark, 900)
+    measures = [("cnt", "count", None), ("ndv_sk", "approx_ndv", "event_id")]
+    ivm_create(spark, path, ev, KEYS, measures, n_buckets=4)
+    for part in (2, 0, 1):
+        ivm_apply(
+            spark, path, ev.filter(F.pmod("event_id", F.lit(3)) == part),
+            KEYS, measures,
+        )
+    got = {
+        r["grp"]: r["ndv"]
+        for r in ivm_read(spark, path)
+        .select("grp", F.hll_sketch_estimate("ndv_sk").alias("ndv"))
+        .collect()
+    }
+    exp = {
+        r["grp"]: r["ndv"]
+        for r in ev.groupBy("grp")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("event_id")).alias("ndv"))
+        .collect()
+    }
+    assert got == exp
+    with pytest.raises(ValueError, match="no inverse"):
+        ivm_apply(spark, path, ev.limit(3), KEYS, measures, weight=-1)
+
+
 def test_ivm_empty_delta_commits_noop_version(spark, tmp_path):
     path = str(tmp_path / "ivm_e")
     ev = _events(spark, 30)
