@@ -57,34 +57,112 @@ _SEP = "\x1f"
 # batch, a few KB of state per group regardless of how many distinct
 # values the group has absorbed. Read the estimate with
 # F.hll_sketch_estimate over ivm_read's sketch column.
-_OPS = {"count", "sum", "min", "max", "approx_ndv"}
+#
+# "approx_topk" / "approx_topk:K" (default K=16) keeps a Misra–Gries
+# heavy-hitters summary as map<string,bigint> — per-group approximate
+# top values with ≤K entries of state no matter how much data the group
+# absorbs. Partials, merges, and compressions are all JVM-side
+# higher-order functions (map_zip_with / array_sort / transform), and
+# the summary is MERGEABLE in the Agarwal et al. "Mergeable Summaries"
+# (TODS 2013) sense: fold any batch order and every item with true
+# frequency > n/(K+1) is guaranteed present, with
+# estimate ≤ true ≤ estimate + n/(K+1).
+_OPS = {"count", "sum", "min", "max", "approx_ndv", "approx_topk"}
 _ADDITIVE = {"count", "sum"}
 
 
-def _partial(delta: DataFrame, keys: list[str], measures: list[tuple], weight: int) -> DataFrame:
-    aggs = []
-    for name, op, col in measures:
-        if op not in _OPS:
-            raise ValueError(f"unsupported op {op!r}")
-        if op in _ADDITIVE:
-            expr = F.count(F.lit(1)) if op == "count" else F.sum(F.col(col))
-            expr = expr * F.lit(weight)
-        else:
-            if weight != 1:
-                raise ValueError(
-                    f"measure {name!r} ({op}) has no inverse; "
-                    "retraction (weight=-1) is only defined for count/sum"
-                )
-            if op == "approx_ndv":
-                expr = F.hll_sketch_agg(F.col(col))
-            else:
-                expr = F.min(F.col(col)) if op == "min" else F.max(F.col(col))
-        aggs.append(expr.alias(name))
-    return (
-        delta.groupBy(*keys)
-        .agg(*aggs)
-        .withColumn(_KEY, F.concat_ws(_SEP, *[F.col(k).cast("string") for k in keys]))
+def _op_kind(op: str) -> tuple[str, int]:
+    """'approx_topk:32' → ('approx_topk', 32); plain ops → (op, 0)."""
+    if op.startswith("approx_topk"):
+        _, _, k = op.partition(":")
+        return "approx_topk", int(k) if k else 16
+    return op, 0
+
+
+def _mg_compress(m, k: int):
+    """One Misra–Gries compress over a count map: keep the K largest
+    entries with the (K+1)-th largest count subtracted, drop the rest
+    (they all fall ≤ 0 after the subtraction, so this equals the
+    textbook decrement loop). Pure JVM expression — no UDF."""
+    ents = F.array_sort(
+        F.map_entries(m),
+        lambda a, b: F.when(a["value"] > b["value"], F.lit(-1))
+        .when(a["value"] < b["value"], F.lit(1))
+        .when(a["key"] < b["key"], F.lit(-1))
+        .when(a["key"] > b["key"], F.lit(1))
+        .otherwise(F.lit(0)),
     )
+    thresh = F.coalesce(
+        F.try_element_at(ents, F.lit(k + 1))["value"], F.lit(0)
+    )
+    adj = F.transform(
+        F.slice(ents, 1, k),
+        lambda e: F.struct(
+            e["key"].alias("key"), (e["value"] - thresh).alias("value")
+        ),
+    )
+    return F.map_from_entries(F.filter(adj, lambda e: e["value"] > 0))
+
+
+def _topk_partial(
+    delta: DataFrame, keys: list[str], name: str, col: str, k: int
+) -> DataFrame:
+    """Per-group MG summary of one delta batch: exact value counts,
+    window-ranked to the top K+1 per group (everything ranked below the
+    (K+1)-th count compresses to ≤0 anyway, so the pre-truncation is
+    lossless), then one compress. Bounded rows per group end-to-end."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col("_c").desc(), F.col("_v"))
+    cnts = (
+        delta.filter(F.col(col).isNotNull())
+        .groupBy(*keys, F.col(col).cast("string").alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k + 1)
+    )
+    m = cnts.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("_v").alias("key"), F.col("_c").alias("value"))
+            )
+        ).alias(name)
+    )
+    return m.select(*keys, _mg_compress(F.col(name), k).alias(name))
+
+
+def _partial(delta: DataFrame, keys: list[str], measures: list[tuple], weight: int) -> DataFrame:
+    aggs, topk = [], []
+    for name, op, col in measures:
+        kind, k = _op_kind(op)
+        if kind not in _OPS:
+            raise ValueError(f"unsupported op {op!r}")
+        if kind in _ADDITIVE:
+            expr = F.count(F.lit(1)) if kind == "count" else F.sum(F.col(col))
+            aggs.append((expr * F.lit(weight)).alias(name))
+            continue
+        if weight != 1:
+            raise ValueError(
+                f"measure {name!r} ({op}) has no inverse; "
+                "retraction (weight=-1) is only defined for count/sum"
+            )
+        if kind == "approx_topk":
+            topk.append((name, col, k))
+        elif kind == "approx_ndv":
+            aggs.append(F.hll_sketch_agg(F.col(col)).alias(name))
+        else:
+            fn = F.min if kind == "min" else F.max
+            aggs.append(fn(F.col(col)).alias(name))
+    key_expr = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in keys])
+    out = (
+        delta.groupBy(*keys).agg(*aggs).withColumn(_KEY, key_expr)
+        if aggs
+        else None
+    )
+    for name, col, k in topk:
+        tp = _topk_partial(delta, keys, name, col, k).withColumn(_KEY, key_expr)
+        out = tp if out is None else out.join(tp.drop(*keys), _KEY, "left")
+    return out.select(*keys, *[m[0] for m in measures], _KEY)
 
 
 def ivm_create(
@@ -165,10 +243,25 @@ def ivm_apply(
 
     def _fold(name: str, op: str):
         s, t = F.col(f"s.{name}"), F.col(f"t.{name}")
+        op, k = _op_kind(op)
         if op in _ADDITIVE:
             return (
                 (F.coalesce(s, F.lit(0)) + F.coalesce(t, F.lit(0)))
                 .cast(src_types[name])
+                .alias(name)
+            )
+        if op == "approx_topk":
+            # count maps add key-wise, then one compress re-bounds the
+            # summary to K entries (errors add, per Mergeable Summaries)
+            summed = F.map_zip_with(
+                s,
+                t,
+                lambda _k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+            )
+            return (
+                F.when(s.isNull(), t)
+                .when(t.isNull(), s)
+                .otherwise(_mg_compress(summed, k))
                 .alias(name)
             )
         if op == "approx_ndv":

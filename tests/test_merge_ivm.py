@@ -253,6 +253,48 @@ def test_ivm_approx_ndv_sketch_matches_oneshot(spark, tmp_path):
         ivm_apply(spark, path, ev.limit(3), KEYS, measures, weight=-1)
 
 
+def test_ivm_approx_topk_mergeable_guarantees(spark, tmp_path):
+    """Misra–Gries heavy hitters folded across shuffled batches keep the
+    mergeable-summaries guarantees: (a) ≤K entries of state per group,
+    (b) any item with true frequency > n/(K+1) is present, (c) every
+    estimate satisfies est ≤ true ≤ est + n/(K+1)."""
+    k = 8
+    path = str(tmp_path / "ivm_tk")
+    # skewed values: cubing the 0..1 ramp concentrates mass on low codes
+    ev = _events(spark, 3000).withColumn(
+        "val",
+        F.floor(F.pow((F.col("event_id") % 100) / 100.0, 3) * 20).cast("string"),
+    )
+    measures = [("cnt", "count", None), ("hot", f"approx_topk:{k}", "val")]
+    ivm_create(spark, path, ev, KEYS, measures, n_buckets=4)
+    for part in (1, 2, 0):
+        ivm_apply(
+            spark, path, ev.filter(F.pmod("event_id", F.lit(3)) == part),
+            KEYS, measures,
+        )
+    got = {
+        r["grp"]: (r["cnt"], r["hot"])
+        for r in ivm_read(spark, path).collect()
+    }
+    true = {
+        (r["grp"], r["val"]): r["c"]
+        for r in ev.groupBy("grp", "val").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for grp, (n, summary) in got.items():
+        assert len(summary) <= k
+        slack = n / (k + 1)
+        for (g, v), c in true.items():
+            if g != grp:
+                continue
+            if c > slack:
+                assert v in summary, f"guaranteed hitter {v!r} missing in grp {grp}"
+            if v in summary:
+                est = summary[v]
+                assert est <= c <= est + slack
+    with pytest.raises(ValueError, match="no inverse"):
+        ivm_apply(spark, path, ev.limit(3), KEYS, measures, weight=-1)
+
+
 def test_ivm_empty_delta_commits_noop_version(spark, tmp_path):
     path = str(tmp_path / "ivm_e")
     ev = _events(spark, 30)
