@@ -400,6 +400,124 @@ def _ivm_hourly_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+# ---------------------------------------------------------------------------
+# Sketch-measure IVM: the same out-of-order fold, but the state carries
+# the full mergeable-measure family — min/max (commutative monoids), an
+# HLL distinct sketch (Datasketches, merged with hll_union), and a
+# Misra–Gries heavy-hitters map. The oracle pairing is EXACT by
+# construction: user_id % 257 keeps every group inside the HLL coupon
+# range where the estimate is the true count (empirically exact through
+# 512 distinct, first drift at 768), and K=40 ≥ 31 possible
+# day-of-month values makes the MG summary the exact per-value counts
+# (compress threshold 0). So a hash match proves the sketch folds —
+# not just the additive ones — converge to the declarative answer.
+
+
+def _ivm_sketch_delta(ev, part: int):
+    return (
+        ev.filter(F.pmod("event_id", F.lit(3)) == part)
+        .withColumn("value_dec", F.col("value").cast(DEC6))
+        .withColumn("ubucket", F.pmod("user_id", F.lit(257)))
+        .withColumn("dom", F.dayofmonth("ts").cast("string"))
+    )
+
+
+_SKETCH_KEYS = ["event_type"]
+_SKETCH_MEASURES = [
+    ("cnt", "count", None),
+    ("vmin", "min", "value_dec"),
+    ("vmax", "max", "value_dec"),
+    ("ndv_sk", "approx_ndv", "ubucket"),
+    ("hot", "approx_topk:40", "dom"),
+]
+
+
+def _ivm_sketch_table(spark: SparkSession, sf_dir: str) -> str:
+    from ..plans.ivm import ivm_apply, ivm_create
+    from ..plans.merge import current_version
+
+    path = _scratch_path(sf_dir, "ivm_sketches", tables=("events",))
+    done = os.path.join(path, "_snapshots", "CURRENT")
+    if os.path.isfile(done):
+        try:
+            if current_version(path) >= 4:
+                return path
+        except (OSError, ValueError):
+            pass
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load(spark, sf_dir, "events")
+    ivm_create(
+        spark, path, _ivm_sketch_delta(ev, 0), _SKETCH_KEYS,
+        _SKETCH_MEASURES, n_buckets=8,
+    )
+    for part in (1, 2, 0):  # deliberately out of order
+        ivm_apply(
+            spark, path, _ivm_sketch_delta(ev, part), _SKETCH_KEYS,
+            _SKETCH_MEASURES,
+        )
+    return path
+
+
+@register(
+    "events_ivm_sketches",
+    """WITH base AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS vdec,
+         user_id % 257 AS ub, CAST(day(ts) AS VARCHAR) AS dom
+  FROM events),
+hot AS (
+  SELECT event_type, dom, count(*)::BIGINT AS c
+  FROM base WHERE dom IS NOT NULL GROUP BY 1, 2),
+hots AS (
+  SELECT event_type,
+         string_agg(dom || ':' || c, ',' ORDER BY c DESC, dom) AS hot_days
+  FROM hot GROUP BY 1)
+SELECT b.event_type, count(*)::BIGINT AS cnt,
+       round(CAST(min(b.vdec) AS DOUBLE), 6) AS vmin,
+       round(CAST(max(b.vdec) AS DOUBLE), 6) AS vmax,
+       count(DISTINCT b.ub)::BIGINT AS ndv_users,
+       min(h.hot_days) AS hot_days
+FROM base b JOIN hots h USING (event_type)
+GROUP BY b.event_type ORDER BY b.event_type""",
+)
+def q_events_ivm_sketches(spark, sf_dir):
+    from ..plans.ivm import ivm_read
+
+    path = _ivm_sketch_table(spark, sf_dir)
+    ents = F.array_sort(
+        F.map_entries("hot"),
+        lambda a, b: F.when(a["value"] > b["value"], F.lit(-1))
+        .when(a["value"] < b["value"], F.lit(1))
+        .when(a["key"] < b["key"], F.lit(-1))
+        .when(a["key"] > b["key"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    hot_str = F.array_join(
+        F.transform(
+            ents,
+            lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+        ),
+        ",",
+    )
+    return (
+        ivm_read(spark, path)
+        .select(
+            "event_type",
+            F.col("cnt").cast("long").alias("cnt"),
+            (F.round(F.col("vmin").cast("double"), 6) + F.lit(0.0)).alias(
+                "vmin"
+            ),
+            (F.round(F.col("vmax").cast("double"), 6) + F.lit(0.0)).alias(
+                "vmax"
+            ),
+            F.hll_sketch_estimate("ndv_sk").alias("ndv_users"),
+            hot_str.alias("hot_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "events_ivm_hourly",
     """SELECT date_trunc('hour', ts) AS hour, event_type,
