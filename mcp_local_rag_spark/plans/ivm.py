@@ -67,7 +67,12 @@ _SEP = "\x1f"
 # (TODS 2013) sense: fold any batch order and every item with true
 # frequency > n/(K+1) is guaranteed present, with
 # estimate ≤ true ≤ estimate + n/(K+1).
-_OPS = {"count", "sum", "min", "max", "approx_ndv", "approx_topk"}
+# "hist" keeps a per-group histogram as map<string,bigint> over a
+# caller-computed BIN column (the caller bounds the bin count — that is
+# what makes it a histogram). Bin counts are plain integers, so the
+# measure is ADDITIVE AND INVERTIBLE: weight=-1 retracts, and bins that
+# net to zero are dropped from the map.
+_OPS = {"count", "sum", "min", "max", "approx_ndv", "approx_topk", "hist"}
 _ADDITIVE = {"count", "sum"}
 
 
@@ -104,6 +109,25 @@ def _mg_compress(m, k: int):
     return F.map_from_entries(F.filter(adj, lambda e: e["value"] > 0))
 
 
+def _hist_partial(
+    delta: DataFrame, keys: list[str], name: str, col: str, weight: int
+) -> DataFrame:
+    """Per-group bin counts of one delta batch as a map, signed by
+    weight (retraction = negative counts that cancel on fold)."""
+    cnts = (
+        delta.filter(F.col(col).isNotNull())
+        .groupBy(*keys, F.col(col).cast("string").alias("_v"))
+        .agg((F.count(F.lit(1)) * F.lit(weight)).alias("_c"))
+    )
+    return cnts.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("_v").alias("key"), F.col("_c").alias("value"))
+            )
+        ).alias(name)
+    )
+
+
 def _topk_partial(
     delta: DataFrame, keys: list[str], name: str, col: str, k: int
 ) -> DataFrame:
@@ -132,7 +156,7 @@ def _topk_partial(
 
 
 def _partial(delta: DataFrame, keys: list[str], measures: list[tuple], weight: int) -> DataFrame:
-    aggs, topk = [], []
+    aggs, map_frames = [], []
     for name, op, col in measures:
         kind, k = _op_kind(op)
         if kind not in _OPS:
@@ -141,13 +165,16 @@ def _partial(delta: DataFrame, keys: list[str], measures: list[tuple], weight: i
             expr = F.count(F.lit(1)) if kind == "count" else F.sum(F.col(col))
             aggs.append((expr * F.lit(weight)).alias(name))
             continue
+        if kind == "hist":  # additive map: signed partial, inverse exists
+            map_frames.append((name, "hist", col, weight))
+            continue
         if weight != 1:
             raise ValueError(
                 f"measure {name!r} ({op}) has no inverse; "
-                "retraction (weight=-1) is only defined for count/sum"
+                "retraction (weight=-1) is only defined for count/sum/hist"
             )
         if kind == "approx_topk":
-            topk.append((name, col, k))
+            map_frames.append((name, "topk", col, k))
         elif kind == "approx_ndv":
             aggs.append(F.hll_sketch_agg(F.col(col)).alias(name))
         else:
@@ -159,8 +186,12 @@ def _partial(delta: DataFrame, keys: list[str], measures: list[tuple], weight: i
         if aggs
         else None
     )
-    for name, col, k in topk:
-        tp = _topk_partial(delta, keys, name, col, k).withColumn(_KEY, key_expr)
+    for name, kind, col, arg in map_frames:
+        tp = (
+            _hist_partial(delta, keys, name, col, arg)
+            if kind == "hist"
+            else _topk_partial(delta, keys, name, col, arg)
+        ).withColumn(_KEY, key_expr)
         out = tp if out is None else out.join(tp.drop(*keys), _KEY, "left")
     return out.select(*keys, *[m[0] for m in measures], _KEY)
 
@@ -250,18 +281,24 @@ def ivm_apply(
                 .cast(src_types[name])
                 .alias(name)
             )
-        if op == "approx_topk":
-            # count maps add key-wise, then one compress re-bounds the
-            # summary to K entries (errors add, per Mergeable Summaries)
+        if op in ("approx_topk", "hist"):
+            # count maps add key-wise; topk then re-bounds with one MG
+            # compress (errors add, per Mergeable Summaries), hist just
+            # drops bins that net to zero (exact, invertible)
             summed = F.map_zip_with(
                 s,
                 t,
                 lambda _k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
             )
+            folded = (
+                _mg_compress(summed, k)
+                if op == "approx_topk"
+                else F.map_filter(summed, lambda _k, v: v != 0)
+            )
             return (
                 F.when(s.isNull(), t)
                 .when(t.isNull(), s)
-                .otherwise(_mg_compress(summed, k))
+                .otherwise(folded)
                 .alias(name)
             )
         if op == "approx_ndv":

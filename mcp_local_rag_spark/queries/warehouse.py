@@ -419,6 +419,10 @@ def _ivm_sketch_delta(ev, part: int):
         .withColumn("value_dec", F.col("value").cast(DEC6))
         .withColumn("ubucket", F.pmod("user_id", F.lit(257)))
         .withColumn("dom", F.dayofmonth("ts").cast("string"))
+        .withColumn(
+            "vbin",
+            F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("string"),
+        )
     )
 
 
@@ -429,6 +433,7 @@ _SKETCH_MEASURES = [
     ("vmax", "max", "value_dec"),
     ("ndv_sk", "approx_ndv", "ubucket"),
     ("hot", "approx_topk:40", "dom"),
+    ("vhist", "hist", "vbin"),
 ]
 
 
@@ -436,7 +441,7 @@ def _ivm_sketch_table(spark: SparkSession, sf_dir: str) -> str:
     from ..plans.ivm import ivm_apply, ivm_create
     from ..plans.merge import current_version
 
-    path = _scratch_path(sf_dir, "ivm_sketches", tables=("events",))
+    path = _scratch_path(sf_dir, "ivm_sketches_v2", tables=("events",))
     done = os.path.join(path, "_snapshots", "CURRENT")
     if os.path.isfile(done):
         try:
@@ -464,7 +469,8 @@ def _ivm_sketch_table(spark: SparkSession, sf_dir: str) -> str:
     "events_ivm_sketches",
     """WITH base AS (
   SELECT event_type, CAST(value AS DECIMAL(18,6)) AS vdec,
-         user_id % 257 AS ub, CAST(day(ts) AS VARCHAR) AS dom
+         user_id % 257 AS ub, CAST(day(ts) AS VARCHAR) AS dom,
+         CAST(CAST(least(floor(value / 50), 9) AS BIGINT) AS VARCHAR) AS vbin
   FROM events),
 hot AS (
   SELECT event_type, dom, count(*)::BIGINT AS c
@@ -472,13 +478,21 @@ hot AS (
 hots AS (
   SELECT event_type,
          string_agg(dom || ':' || c, ',' ORDER BY c DESC, dom) AS hot_days
-  FROM hot GROUP BY 1)
+  FROM hot GROUP BY 1),
+hb AS (
+  SELECT event_type, vbin, count(*)::BIGINT AS c
+  FROM base WHERE vbin IS NOT NULL GROUP BY 1, 2),
+hbs AS (
+  SELECT event_type,
+         string_agg(vbin || ':' || c, ',' ORDER BY vbin) AS value_hist
+  FROM hb GROUP BY 1)
 SELECT b.event_type, count(*)::BIGINT AS cnt,
        round(CAST(min(b.vdec) AS DOUBLE), 6) AS vmin,
        round(CAST(max(b.vdec) AS DOUBLE), 6) AS vmax,
        count(DISTINCT b.ub)::BIGINT AS ndv_users,
-       min(h.hot_days) AS hot_days
-FROM base b JOIN hots h USING (event_type)
+       min(h.hot_days) AS hot_days,
+       min(v.value_hist) AS value_hist
+FROM base b JOIN hots h USING (event_type) JOIN hbs v USING (event_type)
 GROUP BY b.event_type ORDER BY b.event_type""",
 )
 def q_events_ivm_sketches(spark, sf_dir):
@@ -500,6 +514,13 @@ def q_events_ivm_sketches(spark, sf_dir):
         ),
         ",",
     )
+    hist_str = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries("vhist")),  # struct sort: key asc
+            lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+        ),
+        ",",
+    )
     return (
         ivm_read(spark, path)
         .select(
@@ -513,6 +534,7 @@ def q_events_ivm_sketches(spark, sf_dir):
             ),
             F.hll_sketch_estimate("ndv_sk").alias("ndv_users"),
             hot_str.alias("hot_days"),
+            hist_str.alias("value_hist"),
         )
         .orderBy("event_type")
     )

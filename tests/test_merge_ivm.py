@@ -295,6 +295,56 @@ def test_ivm_approx_topk_mergeable_guarantees(spark, tmp_path):
         ivm_apply(spark, path, ev.limit(3), KEYS, measures, weight=-1)
 
 
+def test_ivm_hist_additive_and_retractable(spark, tmp_path):
+    """hist is the INVERTIBLE map measure: shuffled applies converge to
+    the exact per-group histogram, retraction cancels bins exactly, and
+    bins that net to zero leave the map."""
+    path = str(tmp_path / "ivm_h")
+    ev = _events(spark, 1200).withColumn(
+        "bin", (F.col("event_id") % 10).cast("string")
+    )
+    measures = [("cnt", "count", None), ("h", "hist", "bin")]
+    ivm_create(spark, path, ev, KEYS, measures, n_buckets=4)
+    for part in (2, 1, 0):
+        ivm_apply(
+            spark, path, ev.filter(F.pmod("event_id", F.lit(3)) == part),
+            KEYS, measures,
+        )
+
+    def batch_hist(df):
+        return {
+            (r["grp"], r["bin"]): r["c"]
+            for r in df.groupBy("grp", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    def view_hist():
+        return {
+            (r["grp"], b): c
+            for r in ivm_read(spark, path).collect()
+            for b, c in r["h"].items()
+        }
+
+    assert view_hist() == batch_hist(ev)
+    # retract every bin-7 row: bin 7 vanishes, everything else exact
+    ivm_apply(
+        spark, path, ev.filter(F.col("bin") == "7"), KEYS, measures, weight=-1
+    )
+    assert view_hist() == batch_hist(ev.filter(F.col("bin") != "7"))
+    # retract the rest of group 2: the whole group leaves the view
+    ivm_apply(
+        spark, path,
+        ev.filter((F.col("grp") == 2) & (F.col("bin") != "7")),
+        KEYS, measures, weight=-1,
+    )
+    view = ivm_read(spark, path)
+    assert view.filter(F.col("grp") == 2).count() == 0
+    assert view_hist() == batch_hist(
+        ev.filter((F.col("bin") != "7") & (F.col("grp") != 2))
+    )
+
+
 def test_ivm_empty_delta_commits_noop_version(spark, tmp_path):
     path = str(tmp_path / "ivm_e")
     ev = _events(spark, 30)
