@@ -402,6 +402,68 @@ def test_stream_ivm_matches_batch_and_replay_is_noop(spark, tmp_path):
     assert current_version(state) == v_before
 
 
+def test_stream_ivm_carries_sketch_measures(spark, tmp_path):
+    """The streaming twin is the same ivm_apply code path, so sketch
+    measures (min/max, HLL, MG top-k, hist) ride foreachBatch unchanged:
+    after the stream drains, every measure equals its batch aggregate."""
+    from mcp_local_rag_spark.streaming.ivm import stream_ivm
+
+    drop, state = tmp_path / "in", str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    drop.mkdir()
+    ev = _events(spark, 600).withColumn(
+        "bin", (F.col("event_id") % 5).cast("string")
+    )
+    measures = [
+        ("cnt", "count", None),
+        ("lo", "min", "amount"),
+        ("ndv_sk", "approx_ndv", "event_id"),
+        ("hot", "approx_topk:8", "bin"),
+        ("h", "hist", "bin"),
+    ]
+    ivm_create(spark, state, ev, KEYS, measures, n_buckets=4)
+    for part in (0, 1, 2):
+        ev.filter(F.pmod("event_id", F.lit(3)) == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(drop))
+    q = stream_ivm(
+        spark, str(drop), state, ckpt, KEYS, measures, ev.schema,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {
+        r["grp"]: (r["cnt"], r["lo"], r["ndv"], dict(r["hot"]), dict(r["h"]))
+        for r in ivm_read(spark, state)
+        .select(
+            "grp", "cnt", "lo",
+            F.hll_sketch_estimate("ndv_sk").alias("ndv"), "hot", "h",
+        )
+        .collect()
+    }
+    # 5 distinct bins ≤ K=8, so the MG summary IS the exact bin counts —
+    # identical to the hist map
+    bins = ev.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("c"))
+    exp_maps = {
+        r["grp"]: dict(r["m"])
+        for r in bins.groupBy("grp")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bin", "c"))).alias("m"))
+        .collect()
+    }
+    exp = {
+        r["grp"]: (
+            r["cnt"], r["lo"], r["ndv"], exp_maps[r["grp"]], exp_maps[r["grp"]]
+        )
+        for r in ev.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("amount").alias("lo"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("event_id")).alias("ndv"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
 # ---------------------------------------------------------------------------
 # Lifecycle: compaction + vacuum
 
