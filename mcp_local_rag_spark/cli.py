@@ -107,6 +107,34 @@ def _parser() -> argparse.ArgumentParser:
     tch.add_argument("--limit", type=int, default=1000,
                      help="max change rows emitted")
 
+    vc = sub.add_parser(
+        "view-create",
+        help="bootstrap a change-feed-maintained aggregate view over a"
+        " snapshot table",
+    )
+    vc.add_argument("source")
+    vc.add_argument("view")
+    vc.add_argument("--key", action="append", required=True,
+                    help="group-by column (repeatable)")
+    vc.add_argument("--measure", action="append", required=True,
+                    help="NAME:OP[:COL] — ops: count sum min max"
+                    " approx_ndv approx_topk[:K] hist (repeatable)")
+    vc.add_argument("--at-version", type=int, default=None)
+    vc.add_argument("--buckets", type=int, default=16)
+
+    vs = sub.add_parser(
+        "view-sync",
+        help="advance a view to its source's current version via the"
+        " change feed (spec recorded at view-create)",
+    )
+    vs.add_argument("view")
+    vs.add_argument("--source", default=None,
+                    help="override the recorded source table path")
+
+    vr = sub.add_parser("view-read", help="rows of a maintained view")
+    vr.add_argument("view")
+    vr.add_argument("--limit", type=int, default=100)
+
     srv = sub.add_parser(
         "serve", help="stdio server loop (MCP by default; --bare for the"
         " legacy method-per-tool JSON-RPC)"
@@ -221,6 +249,49 @@ def run(argv: list[str], engine, out=None) -> int:
             args.from_version, args.to_version,
         ).limit(args.limit).collect()
         emit({"changes": [r.asDict() for r in rows]})
+        return 0
+    if args.cmd == "view-create":
+        from .plans.changefeed import create_view_over_table
+
+        measures = []
+        for spec in args.measure:
+            parts = spec.split(":")
+            if len(parts) == 2:
+                name, op, col = parts[0], parts[1], None
+            elif len(parts) == 3:
+                # NAME:approx_topk:K is ambiguous with NAME:OP:COL only
+                # when K parses as an int and the op takes a column —
+                # approx_topk always takes a col, so 3 parts = NAME:OP:COL
+                name, op, col = parts
+            elif len(parts) == 4:  # NAME:approx_topk:K:COL
+                name, op, col = parts[0], f"{parts[1]}:{parts[2]}", parts[3]
+            else:
+                raise ValueError(f"bad --measure {spec!r}")
+            measures.append((name, op, col))
+        v = create_view_over_table(
+            engine.spark, os.path.abspath(args.source),
+            os.path.abspath(args.view), args.key, measures,
+            at_version=args.at_version, n_buckets=args.buckets,
+        )
+        emit({"view": os.path.abspath(args.view), "cursor": v})
+        return 0
+    if args.cmd == "view-sync":
+        from .plans.changefeed import sync_view_auto
+
+        v = sync_view_auto(
+            engine.spark, os.path.abspath(args.view),
+            source_table=os.path.abspath(args.source) if args.source else None,
+        )
+        emit({"view": os.path.abspath(args.view), "cursor": v,
+              "advanced": v is not None})
+        return 0
+    if args.cmd == "view-read":
+        from .plans.ivm import ivm_read
+
+        rows = ivm_read(engine.spark, os.path.abspath(args.view)).limit(
+            args.limit
+        ).collect()
+        emit({"rows": [r.asDict() for r in rows]})
         return 0
     if args.cmd == "serve":
         from .server import McpServer, RagRpcServer

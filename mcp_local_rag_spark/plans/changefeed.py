@@ -32,6 +32,8 @@ away cursor fails fast with the missing-manifest error.
 
 from __future__ import annotations
 
+import json
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +41,8 @@ from pyspark.sql import functions as F
 
 from .ivm import ivm_apply, ivm_create
 from .merge import current_version, read_changes, read_manifest, read_snapshot
+
+_SPEC = "_view_spec.json"
 
 _ADD = re.compile(r"^cdf:\+(\d+)->(\d+)$")
 _RET = re.compile(r"^cdf:-(\d+)->(\d+)$")
@@ -79,6 +83,7 @@ def create_view_over_table(
     """Bootstrap the view from one full snapshot read (the only
     table-sized cost the view ever pays); later syncs ride the feed.
     Returns the bootstrapped source version (the initial cursor)."""
+    has_transform = transform is not None
     transform = transform or (lambda df: df)
     snap_v = at_version if at_version is not None else current_version(source_table)
     base = transform(read_snapshot(spark, source_table, snap_v).drop("bucket"))
@@ -87,7 +92,44 @@ def create_view_over_table(
         spark, view_table, base, keys, measures,
         batch_key=f"cdf:bootstrap->{snap_v}",
     )
+    # record the view's spec so later syncs (CLI, a restarted job) need
+    # only the view path; a python transform can't be serialized, so
+    # such views must be synced through the library API
+    spec = {
+        "source_table": os.path.abspath(source_table),
+        "keys": list(keys),
+        "measures": [list(m) for m in measures],
+        "transform": "custom" if has_transform else None,
+    }
+    with open(os.path.join(view_table, _SPEC), "w") as f:
+        json.dump(spec, f)
     return snap_v
+
+
+def load_view_spec(view_table: str) -> dict:
+    with open(os.path.join(view_table, _SPEC)) as f:
+        return json.load(f)
+
+
+def sync_view_auto(
+    spark: SparkSession, view_table: str, *, source_table: str | None = None
+) -> int | None:
+    """Advance a spec-recorded view (see create_view_over_table) without
+    re-supplying keys/measures — the CLI/restart path. Views created
+    with a custom ``transform`` cannot be auto-synced."""
+    spec = load_view_spec(view_table)
+    if spec.get("transform"):
+        raise ValueError(
+            "view was created with a custom transform; sync it via "
+            "sync_view(...) with the same transform"
+        )
+    return sync_view(
+        spark,
+        source_table or spec["source_table"],
+        view_table,
+        spec["keys"],
+        [tuple(m) for m in spec["measures"]],
+    )
 
 
 def sync_view(

@@ -136,3 +136,63 @@ def test_cli_table_verbs(spark, tmp_path):
 
     (status2,) = _run(eng, "table-status", tbl)
     assert status2["rows"] == 99 and not status2["needs_compaction"]
+
+
+def test_cli_view_verbs(spark, tmp_path):
+    """view-create bootstraps a spec-recorded view; a later MERGE on the
+    source advances through view-sync with no keys/measures re-supplied;
+    view-read returns the maintained rows (sketch measure included)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.plans.merge import create_merge_table, merge_into
+
+    tbl = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    base = spark.range(60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    create_merge_table(base, tbl, "k", n_buckets=4)
+    eng = RagEngine(spark, str(tmp_path / "chunks_unused2"))
+
+    (made,) = _run(
+        eng, "view-create", tbl, view,
+        "--key", "g",
+        "--measure", "cnt:count",
+        "--measure", "total:sum:v",
+        "--measure", "hist:hist:g",
+        "--buckets", "4",
+    )
+    assert made["cursor"] == 1
+
+    (r0,) = _run(eng, "view-read", view)
+    assert {row["g"]: row["cnt"] for row in r0["rows"]} == {
+        "0": 20, "1": 20, "2": 20,
+    }
+
+    # already current -> no advance
+    (s0,) = _run(eng, "view-sync", view)
+    assert not s0["advanced"]
+
+    merge_into(
+        spark, tbl,
+        spark.createDataFrame(
+            [Row(k=0, v=1000, g="0", is_delete=False),   # update
+             Row(k=1, v=0, g="1", is_delete=True),       # delete
+             Row(k=999, v=5, g="2", is_delete=False)],   # insert
+        ),
+        delete_col="is_delete",
+    )
+    (s1,) = _run(eng, "view-sync", view)
+    assert s1["advanced"] and s1["cursor"] == 2
+
+    (r1,) = _run(eng, "view-read", view)
+    got = {row["g"]: (row["cnt"], row["total"]) for row in r1["rows"]}
+    exp = {
+        "0": (20, sum(i * 2 for i in range(0, 60, 3)) - 0 + 1000),
+        "1": (19, sum(i * 2 for i in range(1, 60, 3)) - 2),
+        "2": (21, sum(i * 2 for i in range(2, 60, 3)) + 5),
+    }
+    assert got == exp
