@@ -98,6 +98,13 @@ def _parser() -> argparse.ArgumentParser:
     tr.add_argument("path")
     tr.add_argument("n_buckets", type=int)
 
+    tg = sub.add_parser(
+        "table-get", help="point read one key (scans a single bucket)"
+    )
+    tg.add_argument("path")
+    tg.add_argument("key")
+    tg.add_argument("--version", type=int, default=None)
+
     tch = sub.add_parser(
         "table-changes", help="net change feed between two snapshot versions"
     )
@@ -240,6 +247,15 @@ def run(argv: list[str], engine, out=None) -> int:
 
         v = rebucket(engine.spark, os.path.abspath(args.path), args.n_buckets)
         emit({"version": v, "nBuckets": args.n_buckets})
+        return 0
+    if args.cmd == "table-get":
+        from .plans.merge import key_lookup
+
+        rows = key_lookup(
+            engine.spark, os.path.abspath(args.path), args.key,
+            version=args.version,
+        ).collect()
+        emit({"rows": [r.asDict() for r in rows]})
         return 0
     if args.cmd == "table-changes":
         from .plans.merge import read_changes

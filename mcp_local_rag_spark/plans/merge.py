@@ -221,16 +221,28 @@ def _buckets_on_disk(table_path: str, data_dir: str) -> list[int]:
 
 
 def read_snapshot(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    *,
+    only_buckets: list[int] | None = None,
 ) -> DataFrame:
     """Read the table as of ``version`` (default: current). Groups the
     manifest's buckets by their data dir and reads each dir once with the
     wanted buckets as a partition-column filter — partition pruning keeps
     unwanted (superseded) buckets unread, so a snapshot read costs exactly
-    its own live files regardless of how many versions exist."""
+    its own live files regardless of how many versions exist.
+    ``only_buckets`` narrows the manifest before any dir is listed (point
+    reads / delta folds touch one or a few buckets of potentially many
+    dirs)."""
     manifest = read_manifest(table_path, version)
     by_dir: dict[str, list[int]] = {}
+    keep = (
+        None if only_buckets is None else {str(b) for b in only_buckets}
+    )
     for b, d in manifest["buckets"].items():
+        if keep is not None and b not in keep:
+            continue
         by_dir.setdefault(d, []).append(int(b))
     if not by_dir:
         # every row deleted: keep the snapshot READABLE-EMPTY with v1's
@@ -254,6 +266,38 @@ def read_snapshot(
         # read as NULL, which is exactly the evolved value of those rows
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def key_lookup(
+    spark: SparkSession,
+    table_path: str,
+    key_value,
+    version: int | None = None,
+) -> DataFrame:
+    """O(one bucket) point read: hash the key to its bucket with the
+    SAME expression the writer used (xxhash64 over the string cast) and
+    scan only that bucket's partition dir — at any table size the read
+    touches 1/n_buckets of the data, and time travel rides the same
+    manifest. Equality is checked on the string cast, mirroring the
+    bucketing hash, so the lookup is consistent for every key type the
+    writer accepted."""
+    manifest = read_manifest(table_path, version)
+    key, nb = manifest["key"], manifest["n_buckets"]
+    b = (
+        spark.range(1)
+        .select(
+            F.pmod(
+                F.xxhash64(F.lit(key_value).cast("string")), F.lit(nb)
+            )
+            .cast("int")
+            .alias("b")
+        )
+        .first()["b"]
+    )
+    snap = read_snapshot(spark, table_path, version, only_buckets=[b])
+    return snap.filter(
+        F.col(key).cast("string") == F.lit(key_value).cast("string")
+    ).drop("bucket")
 
 
 def merge_into(

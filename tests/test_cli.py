@@ -196,3 +196,21 @@ def test_cli_view_verbs(spark, tmp_path):
         "2": (21, sum(i * 2 for i in range(2, 60, 3)) + 5),
     }
     assert got == exp
+
+
+def test_cli_table_get(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.plans.merge import create_merge_table
+
+    tbl = str(tmp_path / "ptcli")
+    base = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") + 100).alias("v")
+    )
+    create_merge_table(base, tbl, "k", n_buckets=4)
+    eng = RagEngine(spark, str(tmp_path / "chunks_unused3"))
+
+    (hit,) = _run(eng, "table-get", tbl, "7")
+    assert [r["v"] for r in hit["rows"]] == [107]
+    (miss,) = _run(eng, "table-get", tbl, "999")
+    assert miss["rows"] == []

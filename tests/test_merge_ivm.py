@@ -1021,3 +1021,44 @@ def test_rebucket_preserves_data_history_and_exactly_once(spark, table):
     )
     assert read_snapshot(spark, table).filter(F.col("k") == 6).first()["v"] == 66
     assert table_status(table)["n_buckets"] == 32
+
+
+def test_key_lookup_scans_one_bucket_and_time_travels(spark, tmp_path):
+    """Point read hits exactly the key's bucket (single PartitionFilters
+    IN-list with one value), finds updated rows at the current version
+    and originals at v1, returns empty for missing keys, and survives a
+    rebucket (the manifest's per-version n_buckets drives the hash)."""
+    from mcp_local_rag_spark.plans.merge import (
+        create_merge_table,
+        key_lookup,
+        merge_into,
+        rebucket,
+    )
+
+    tbl = str(tmp_path / "pt")
+    base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    create_merge_table(base, tbl, "k", n_buckets=8)
+    merge_into(
+        spark, tbl,
+        spark.createDataFrame([Row(k=7, v=-1, is_delete=False)]),
+        delete_col="is_delete",
+    )
+
+    assert [r["v"] for r in key_lookup(spark, tbl, 7).collect()] == [-1]
+    assert [r["v"] for r in key_lookup(spark, tbl, 7, version=1).collect()] == [21]
+    assert key_lookup(spark, tbl, 10**9).count() == 0
+
+    # the plan reads ONE bucket partition: a single-bucket equality
+    # PartitionFilter, never a multi-bucket IN-list
+    plan = key_lookup(spark, tbl, 7)._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    eqs = _re.findall(r"\(bucket#\d+ = \d+\)", plan)
+    assert eqs, plan
+    assert not _re.search(r"bucket#\d+ IN(?:SET)? \(?\d+,", plan)
+
+    rebucket(spark, tbl, 32)
+    assert [r["v"] for r in key_lookup(spark, tbl, 7).collect()] == [-1]
+    assert [r["v"] for r in key_lookup(spark, tbl, 7, version=1).collect()] == [21]
