@@ -294,10 +294,18 @@ def key_lookup(
         )
         .first()["b"]
     )
-    snap = read_snapshot(spark, table_path, version, only_buckets=[b])
-    return snap.filter(
-        F.col(key).cast("string") == F.lit(key_value).cast("string")
-    ).drop("bucket")
+    d = manifest["buckets"].get(str(b))
+    pred = F.col(key).cast("string") == F.lit(key_value).cast("string")
+    if d is None:  # bucket fully deleted: readable-empty, right schema
+        return read_snapshot(spark, table_path, version).filter(pred).limit(
+            0
+        ).drop("bucket")
+    # read the ONE bucket directory directly — no basePath, so Spark
+    # never lists the sibling bucket dirs (file discovery would
+    # otherwise ride the table's total file count, which is exactly
+    # what a point read must not do)
+    one = spark.read.parquet(os.path.join(table_path, d, f"bucket={b}"))
+    return one.filter(pred)
 
 
 def merge_into(

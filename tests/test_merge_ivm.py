@@ -1050,14 +1050,13 @@ def test_key_lookup_scans_one_bucket_and_time_travels(spark, tmp_path):
     assert [r["v"] for r in key_lookup(spark, tbl, 7, version=1).collect()] == [21]
     assert key_lookup(spark, tbl, 10**9).count() == 0
 
-    # the plan reads ONE bucket partition: a single-bucket equality
-    # PartitionFilter, never a multi-bucket IN-list
+    # the plan reads ONE bucket directory directly (no sibling listing,
+    # no partition-filter pruning needed — the path IS the prune)
     plan = key_lookup(spark, tbl, 7)._jdf.queryExecution().executedPlan().toString()
     import re as _re
 
-    eqs = _re.findall(r"\(bucket#\d+ = \d+\)", plan)
-    assert eqs, plan
-    assert not _re.search(r"bucket#\d+ IN(?:SET)? \(?\d+,", plan)
+    scans = _re.findall(r"InMemoryFileIndex\((\d+) paths?\)", plan)
+    assert scans == ["1"], plan
 
     rebucket(spark, tbl, 32)
     assert [r["v"] for r in key_lookup(spark, tbl, 7).collect()] == [-1]

@@ -103,6 +103,62 @@ def _probe_ivm(spark, sf_dir: str, n_buckets: int, scratch: str) -> dict:
     }
 
 
+def _probe_ivm_sketch(spark, sf_dir: str, n_buckets: int, scratch: str) -> dict:
+    """Sketch-measure fold (HLL + Misra-Gries + hist + min/max): the
+    map-measure partials add delta scans but the fold must still ride
+    the touched buckets — flat micro-batch cost at 10x vs 100x."""
+    from mcp_local_rag_spark.plans.ivm import ivm_apply, ivm_create
+    from mcp_local_rag_spark.session import load
+
+    keys = ["event_type"]
+    measures = [
+        ("cnt", "count", None),
+        ("vmin", "min", "value_dec"),
+        ("ndv_sk", "approx_ndv", "user_id"),
+        ("hot", "approx_topk:40", "dom"),
+        ("vhist", "hist", "vbin"),
+    ]
+
+    def delta(df):
+        return (
+            df.withColumn("value_dec", F.col("value").cast("decimal(18,6)"))
+            .withColumn("dom", F.dayofmonth("ts").cast("string"))
+            .withColumn(
+                "vbin",
+                F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("string"),
+            )
+        )
+
+    ev = load(spark, sf_dir, "events")
+    t0 = time.time()
+    ivm_create(spark, scratch, delta(ev), keys, measures, n_buckets=n_buckets)
+    ivm_apply(spark, scratch, delta(ev), keys, measures)
+    t_absorb = time.time() - t0
+
+    micro = delta(ev.filter(F.col("event_id") < 10_000))
+    t0 = time.time()
+    ivm_apply(spark, scratch, micro, keys, measures)
+    t_apply = time.time() - t0
+
+    # point-read lane: one key, one bucket — constant bytes per bucket
+    # means a flat lookup at any table size
+    from mcp_local_rag_spark.plans.merge import create_merge_table, key_lookup
+
+    pt = os.path.join(scratch + "_pt")
+    docs = load(spark, sf_dir, "documents")
+    create_merge_table(docs, pt, "doc_id", n_buckets=n_buckets)
+    times = []
+    for k in (11, 97, 503):
+        t0 = time.time()
+        key_lookup(spark, pt, k).collect()
+        times.append(time.time() - t0)
+    return {
+        "t_absorb_sec": round(t_absorb, 3),
+        "t_apply_sec": round(t_apply, 3),
+        "t_point_read_p50_ms": round(sorted(times)[1] * 1000, 1),
+    }
+
+
 def main(dir10: str, dir100: str, out_path: str | None) -> None:
     from mcp_local_rag_spark.session import get_spark
 
@@ -113,7 +169,11 @@ def main(dir10: str, dir100: str, out_path: str | None) -> None:
     work = os.path.join("/tmp", "warehouse_probe_scratch")
     shutil.rmtree(work, ignore_errors=True)
 
-    for lane, fn in (("merge_cdc", _probe_merge), ("ivm_microbatch", _probe_ivm)):
+    for lane, fn in (
+        ("merge_cdc", _probe_merge),
+        ("ivm_microbatch", _probe_ivm),
+        ("ivm_sketch", _probe_ivm_sketch),
+    ):
         r10 = fn(spark, dir10, 64, os.path.join(work, f"{lane}_10"))
         r100 = fn(spark, dir100, 640, os.path.join(work, f"{lane}_100"))
         tkeys = (
