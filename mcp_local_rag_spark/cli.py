@@ -142,6 +142,30 @@ def _parser() -> argparse.ArgumentParser:
     vr.add_argument("view")
     vr.add_argument("--limit", type=int, default=100)
 
+    ic = sub.add_parser(
+        "index-create",
+        help="secondary index on a snapshot-table column (changefeed-"
+        "maintained)",
+    )
+    ic.add_argument("source")
+    ic.add_argument("index")
+    ic.add_argument("column")
+    ic.add_argument("--buckets", type=int, default=16)
+
+    isy = sub.add_parser(
+        "index-sync", help="advance a secondary index to the source's"
+        " current version (O(changes))"
+    )
+    isy.add_argument("index")
+
+    il = sub.add_parser(
+        "index-lookup", help="source rows with column == VALUE via two"
+        " point reads (no source scan)"
+    )
+    il.add_argument("index")
+    il.add_argument("value")
+    il.add_argument("--limit", type=int, default=100)
+
     srv = sub.add_parser(
         "serve", help="stdio server loop (MCP by default; --bare for the"
         " legacy method-per-tool JSON-RPC)"
@@ -307,6 +331,31 @@ def run(argv: list[str], engine, out=None) -> int:
         rows = ivm_read(engine.spark, os.path.abspath(args.view)).limit(
             args.limit
         ).collect()
+        emit({"rows": [r.asDict() for r in rows]})
+        return 0
+    if args.cmd == "index-create":
+        from .plans.secondary import create_secondary_index
+
+        v = create_secondary_index(
+            engine.spark, os.path.abspath(args.source),
+            os.path.abspath(args.index), args.column,
+            n_buckets=args.buckets,
+        )
+        emit({"index": os.path.abspath(args.index), "cursor": v})
+        return 0
+    if args.cmd == "index-sync":
+        from .plans.secondary import sync_secondary_index
+
+        v = sync_secondary_index(engine.spark, os.path.abspath(args.index))
+        emit({"index": os.path.abspath(args.index), "cursor": v,
+              "advanced": v is not None})
+        return 0
+    if args.cmd == "index-lookup":
+        from .plans.secondary import lookup_by
+
+        rows = lookup_by(
+            engine.spark, os.path.abspath(args.index), args.value
+        ).limit(args.limit).collect()
         emit({"rows": [r.asDict() for r in rows]})
         return 0
     if args.cmd == "serve":

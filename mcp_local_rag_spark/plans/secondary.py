@@ -1,0 +1,109 @@
+"""Secondary indexes on snapshot tables, maintained from the change feed.
+
+A snapshot table (plans/merge) answers point reads on its PRIMARY key in
+one bucket scan (key_lookup); any other predicate is a full scan. This
+module adds the warehouse answer for selective non-key lookups — a
+SECONDARY index that is itself just composition of existing primitives:
+
+    index  =  changefeed view  KEYED BY the indexed column,
+              measures = [count, hist(primary key)]
+
+The ``hist`` map measure (plans/ivm) stores, per indexed value, the set
+of primary keys carrying that value (map pk -> row count). Because hist
+is ADDITIVE AND INVERTIBLE, the change feed maintains it exactly:
+an update that moves a row from value A to value B retracts the pk from
+A's map (update_preimage, weight -1) and adds it to B's
+(update_postimage, +1); a value whose count empties leaves the index
+(group removal). Sync cost is O(changes) — the changefeed machinery —
+never O(table).
+
+Lookups are two bounded point reads:
+  1. key_lookup on the INDEX by the value  -> one index bucket scan,
+     yielding the pk set (bounded by the value's selectivity);
+  2. one read of the SOURCE restricted to the pks' buckets
+     (read_snapshot(only_buckets=...)) with an IN filter.
+
+No counterpart in the reference (LanceDB tables are scan-or-ANN only,
+src/vectordb/index.ts); modeled on Delta/Hudi secondary-index designs.
+
+Scale posture: index size rides (distinct values x avg pks per value);
+lookup cost rides the value's selectivity, not the table. A value
+matching half the table is not what a secondary index is for — the
+caller picks indexed columns the way they would in any warehouse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .changefeed import create_view_over_table, load_view_spec, sync_view_auto
+from .merge import key_lookup, read_manifest, read_snapshot
+
+_PKS = "_pks"
+_CNT = "_n"
+
+
+def create_secondary_index(
+    spark: SparkSession,
+    source_table: str,
+    index_path: str,
+    col: str,
+    *,
+    n_buckets: int = 16,
+) -> int:
+    """Bootstrap the index over the source's current snapshot; later
+    ``sync_secondary_index`` calls ride the change feed. The source's
+    primary-key column is read from its manifest."""
+    pk = read_manifest(source_table)["key"]
+    return create_view_over_table(
+        spark,
+        source_table,
+        index_path,
+        keys=[col],
+        measures=[(_CNT, "count", None), (_PKS, "hist", pk)],
+        n_buckets=n_buckets,
+    )
+
+
+def sync_secondary_index(spark: SparkSession, index_path: str) -> int | None:
+    """Advance the index to the source's current version (O(changes));
+    the spec sidecar recorded at create time carries source/keys/measures."""
+    return sync_view_auto(spark, index_path)
+
+
+def lookup_by(
+    spark: SparkSession,
+    index_path: str,
+    value,
+    *,
+    source_table: str | None = None,
+) -> DataFrame:
+    """Rows of the SOURCE whose indexed column equals ``value`` — two
+    point reads, never a source scan. Returns an empty frame (source
+    schema) when the value is absent."""
+    spec = load_view_spec(index_path)
+    src = source_table or spec["source_table"]
+    pk = read_manifest(src)["key"]
+    hit = key_lookup(spark, index_path, value).select(_PKS).first()
+    snap_all = read_snapshot(spark, src)
+    if hit is None or not hit[_PKS]:
+        return snap_all.filter(F.lit(False)).drop("bucket")
+    pks = sorted(hit[_PKS].keys())
+    nb = read_manifest(src)["n_buckets"]
+    buckets = sorted(
+        r["b"]
+        for r in spark.createDataFrame([(p,) for p in pks], f"{pk}_s string")
+        .select(
+            F.pmod(F.xxhash64(F.col(f"{pk}_s")), F.lit(nb))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    return (
+        read_snapshot(spark, src, only_buckets=buckets)
+        .filter(F.col(pk).cast("string").isin(pks))
+        .drop("bucket")
+    )

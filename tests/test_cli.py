@@ -214,3 +214,36 @@ def test_cli_table_get(spark, tmp_path):
     assert [r["v"] for r in hit["rows"]] == [107]
     (miss,) = _run(eng, "table-get", tbl, "999")
     assert miss["rows"] == []
+
+
+def test_cli_index_verbs(spark, tmp_path):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.plans.merge import create_merge_table, merge_into
+
+    tbl = str(tmp_path / "isrc")
+    idx = str(tmp_path / "iidx")
+    base = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("string").alias("tag"),
+        F.col("id").alias("v"),
+    )
+    create_merge_table(base, tbl, "k", n_buckets=4)
+    eng = RagEngine(spark, str(tmp_path / "chunks_unused4"))
+
+    (made,) = _run(eng, "index-create", tbl, idx, "tag", "--buckets", "4")
+    assert made["cursor"] == 1
+
+    (hit,) = _run(eng, "index-lookup", idx, "3")
+    assert sorted(r["k"] for r in hit["rows"]) == [3, 8, 13, 18, 23, 28, 33, 38]
+
+    merge_into(
+        spark, tbl,
+        spark.createDataFrame([Row(k=3, tag="0", v=3, is_delete=False)]),
+        delete_col="is_delete",
+    )
+    (s,) = _run(eng, "index-sync", idx)
+    assert s["advanced"]
+    (hit2,) = _run(eng, "index-lookup", idx, "3")
+    assert 3 not in [r["k"] for r in hit2["rows"]]

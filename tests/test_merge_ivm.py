@@ -1061,3 +1061,68 @@ def test_key_lookup_scans_one_bucket_and_time_travels(spark, tmp_path):
     rebucket(spark, tbl, 32)
     assert [r["v"] for r in key_lookup(spark, tbl, 7).collect()] == [-1]
     assert [r["v"] for r in key_lookup(spark, tbl, 7, version=1).collect()] == [21]
+
+
+def test_secondary_index_lookup_and_incremental_sync(spark, tmp_path):
+    """Secondary index = changefeed view with a hist(pk) map: lookups
+    match a full-scan filter exactly, a CDC merge (update moving a value,
+    delete, insert) syncs O(changes), and a value whose last row leaves
+    disappears from the index."""
+    from mcp_local_rag_spark.plans.merge import create_merge_table, merge_into
+    from mcp_local_rag_spark.plans.secondary import (
+        create_secondary_index,
+        lookup_by,
+        sync_secondary_index,
+    )
+
+    src = str(tmp_path / "src2")
+    idx = str(tmp_path / "idx2")
+    base = spark.range(120).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("color"),
+        (F.col("id") * 10).alias("v"),
+    )
+    create_merge_table(base, src, "k", n_buckets=8)
+    create_secondary_index(spark, src, idx, "color", n_buckets=4)
+
+    def scan(val):
+        from mcp_local_rag_spark.plans.merge import read_snapshot
+
+        return {
+            r["k"]: r["v"]
+            for r in read_snapshot(spark, src)
+            .filter(F.col("color") == val)
+            .collect()
+        }
+
+    def via_index(val):
+        return {r["k"]: r["v"] for r in lookup_by(spark, idx, val).collect()}
+
+    assert via_index("2") == scan("2") and len(via_index("2")) == 30
+    assert via_index("nope") == {}
+
+    # CDC: k=2 moves color 2->9 (new value), k=6 deleted, k=500 inserted
+    merge_into(
+        spark, src,
+        spark.createDataFrame(
+            [Row(k=2, color="9", v=20, is_delete=False),
+             Row(k=6, color="2", v=0, is_delete=True),
+             Row(k=500, color="2", v=5000, is_delete=False)],
+        ),
+        delete_col="is_delete",
+    )
+    assert sync_secondary_index(spark, idx) == 2
+    assert via_index("2") == scan("2")  # lost k=2,k=6; gained k=500
+    assert via_index("9") == {2: 20}
+
+    # drain value 9 entirely -> its index group is removed
+    merge_into(
+        spark, src,
+        spark.createDataFrame([Row(k=2, color="1", v=20, is_delete=False)]),
+        delete_col="is_delete",
+    )
+    sync_secondary_index(spark, idx)
+    assert via_index("9") == {}
+    from mcp_local_rag_spark.plans.ivm import ivm_read
+
+    assert ivm_read(spark, idx).filter(F.col("color") == "9").count() == 0
