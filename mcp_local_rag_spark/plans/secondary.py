@@ -78,12 +78,30 @@ def lookup_by(
     value,
     *,
     source_table: str | None = None,
+    stale_ok: bool = False,
 ) -> DataFrame:
     """Rows of the SOURCE whose indexed column equals ``value`` — two
     point reads, never a source scan. Returns an empty frame (source
-    schema) when the value is absent."""
+    schema) when the value is absent.
+
+    Freshness contract: an index lagging the source would silently miss
+    rows, so a lookup against a stale index RAISES unless the caller
+    passes ``stale_ok=True`` (metadata-only check: the index's recorded
+    cursor vs the source's CURRENT pointer)."""
+    from .changefeed import _cursor_state
+    from .merge import current_version
+
     spec = load_view_spec(index_path)
     src = source_table or spec["source_table"]
+    if not stale_ok:
+        cursor, _pending = _cursor_state(index_path)
+        cur = current_version(src)
+        if cursor is None or cursor < cur:
+            raise ValueError(
+                f"index {index_path} is stale (cursor {cursor} < source "
+                f"version {cur}); run sync_secondary_index, or pass "
+                "stale_ok=True to read the index as of its cursor"
+            )
     pk = read_manifest(src)["key"]
     hit = key_lookup(spark, index_path, value).select(_PKS).first()
     snap_all = read_snapshot(spark, src)

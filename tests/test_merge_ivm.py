@@ -1126,3 +1126,34 @@ def test_secondary_index_lookup_and_incremental_sync(spark, tmp_path):
     from mcp_local_rag_spark.plans.ivm import ivm_read
 
     assert ivm_read(spark, idx).filter(F.col("color") == "9").count() == 0
+
+
+def test_secondary_index_stale_lookup_raises(spark, tmp_path):
+    """A lookup against an index lagging its source raises (it would
+    silently miss rows); stale_ok=True reads as-of the cursor."""
+    from mcp_local_rag_spark.plans.merge import create_merge_table, merge_into
+    from mcp_local_rag_spark.plans.secondary import (
+        create_secondary_index,
+        lookup_by,
+        sync_secondary_index,
+    )
+
+    src = str(tmp_path / "src3")
+    idx = str(tmp_path / "idx3")
+    base = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("c")
+    )
+    create_merge_table(base, src, "k", n_buckets=4)
+    create_secondary_index(spark, src, idx, "c", n_buckets=4)
+    assert lookup_by(spark, idx, "1").count() == 10
+
+    merge_into(
+        spark, src,
+        spark.createDataFrame([Row(k=99, c="1", is_delete=False)]),
+        delete_col="is_delete",
+    )
+    with pytest.raises(ValueError, match="stale"):
+        lookup_by(spark, idx, "1")
+    assert lookup_by(spark, idx, "1", stale_ok=True).count() == 10
+    sync_secondary_index(spark, idx)
+    assert lookup_by(spark, idx, "1").count() == 11
