@@ -51,10 +51,12 @@ def create_secondary_index(
     col: str,
     *,
     n_buckets: int = 16,
+    at_version: int | None = None,
 ) -> int:
-    """Bootstrap the index over the source's current snapshot; later
-    ``sync_secondary_index`` calls ride the change feed. The source's
-    primary-key column is read from its manifest."""
+    """Bootstrap the index over the source's snapshot (current, or
+    ``at_version``); later ``sync_secondary_index`` calls ride the
+    change feed. The source's primary-key column is read from its
+    manifest."""
     pk = read_manifest(source_table)["key"]
     return create_view_over_table(
         spark,
@@ -63,6 +65,7 @@ def create_secondary_index(
         keys=[col],
         measures=[(_CNT, "count", None), (_PKS, "hist", pk)],
         n_buckets=n_buckets,
+        at_version=at_version,
     )
 
 

@@ -292,6 +292,83 @@ def q_documents_cdf_view(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Secondary index: the changefeed-maintained non-key lookup path. The
+# index (plans/secondary: an IVM view keyed by lang whose hist map holds
+# doc_ids) bootstraps at source v1 and advances to v2 by SYNC — so the
+# lane proves incremental maintenance, not just the bootstrap: 'xx' docs
+# exist only post-merge (the CDC inserts) and must be found, and the
+# deleted/updated docs must have left their langs' maps. The lookups
+# themselves are two point reads; the oracle is the flat declarative
+# filter over the merged corpus.
+
+
+def _sec_index_path(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import shutil
+
+    from ..plans.changefeed import _cursor_state
+    from ..plans.secondary import (
+        create_secondary_index,
+        sync_secondary_index,
+    )
+
+    src = _merged_docs_table(spark, sf_dir)
+    idx = _scratch_path(sf_dir, "sec_idx_lang", tables=("documents",))
+    try:
+        cursor, _pending = _cursor_state(idx)
+    except (OSError, ValueError):
+        cursor = None
+    if cursor is None or cursor < 2:
+        shutil.rmtree(idx, ignore_errors=True)
+        create_secondary_index(
+            spark, src, idx, "lang", n_buckets=8, at_version=1
+        )
+        sync_secondary_index(spark, idx)
+    return idx, src
+
+
+@register(
+    "documents_secondary_lookup",
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+upd AS (
+  SELECT doc_id, 'v2:' || substr(text, 1, 40) AS text, lang, source,
+         length('v2:' || substr(text, 1, 40)) AS n_chars
+  FROM documents WHERE doc_id % 10 = 3),
+ins AS (
+  SELECT d.doc_id + mx.m + 1 AS doc_id,
+         'synthetic insert ' || (d.doc_id + mx.m + 1) AS text,
+         'xx' AS lang, 'cdc' AS source,
+         length('synthetic insert ' || (d.doc_id + mx.m + 1)) AS n_chars
+  FROM documents d, mx WHERE d.doc_id % 29 = 11),
+merged AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  WHERE doc_id % 10 <> 3 AND doc_id % 13 <> 7
+  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM upd
+  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM ins)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(doc_id * 1009 + n_chars)::BIGINT AS checksum
+FROM merged WHERE lang IN ('xx', 'en')
+GROUP BY lang ORDER BY lang""",
+)
+def q_documents_secondary_lookup(spark, sf_dir):
+    from ..plans.secondary import lookup_by
+
+    idx, src = _sec_index_path(spark, sf_dir)
+    hits = lookup_by(spark, idx, "xx", source_table=src).unionByName(
+        lookup_by(spark, idx, "en", source_table=src)
+    )
+    return (
+        hits.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("doc_id") * 1009 + F.col("n_chars"))
+            .cast("long")
+            .alias("checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD2 history: collapse each user's event stream into runs of identical
 # event_type with [valid_from, valid_to) intervals — the slowly-changing-
 # dimension build, as gaps-and-islands over one window pass + one
