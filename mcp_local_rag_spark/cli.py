@@ -85,6 +85,17 @@ def _parser() -> argparse.ArgumentParser:
     tc.add_argument("--max-dirs", type=int, default=1,
                     help="compact when live files span more dirs than this")
 
+    to = sub.add_parser(
+        "table-optimize",
+        help="clustered compaction: rewrite sorted by columns (or a"
+        " z-order key) for row-group skipping",
+    )
+    to.add_argument("path")
+    to.add_argument("columns", help="comma-separated cluster columns")
+    to.add_argument("--curve", choices=["linear", "morton", "hilbert"],
+                    default="linear")
+    to.add_argument("--max-records-per-file", type=int, default=None)
+
     tv = sub.add_parser(
         "table-vacuum", help="retire old snapshot manifests + unreferenced dirs"
     )
@@ -259,6 +270,17 @@ def run(argv: list[str], engine, out=None) -> int:
             engine.spark, os.path.abspath(args.path), max_dirs=args.max_dirs
         )
         emit({"compacted": v is not None, "version": v})
+        return 0
+    if args.cmd == "table-optimize":
+        from .plans.merge import optimize_table
+
+        v = optimize_table(
+            engine.spark, os.path.abspath(args.path),
+            args.columns.split(","), curve=args.curve,
+            max_records_per_file=args.max_records_per_file,
+        )
+        emit({"version": v, "clusteredBy": args.columns.split(","),
+              "curve": args.curve})
         return 0
     if args.cmd == "table-vacuum":
         from .plans.merge import vacuum

@@ -124,7 +124,15 @@ def _bucketed(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
 
 
 def _write_data_version(
-    df: DataFrame, table_path: str, version: int, key: str, n_parts: int
+    df: DataFrame,
+    table_path: str,
+    version: int,
+    key: str,
+    n_parts: int,
+    *,
+    order_by: list | None = None,
+    drop_after_sort: tuple = (),
+    max_records_per_file: int | None = None,
 ) -> str:
     """Materialize one immutable data dir: rows carry their bucket column,
     one output file per touched bucket, sorted by key inside each file so
@@ -143,11 +151,14 @@ def _write_data_version(
     )
     out = (
         df.repartition(max(n_parts, 1), "bucket")
-        .sortWithinPartitions("bucket", key)
+        .sortWithinPartitions("bucket", *(order_by or [key]))
     )
-    out.write.partitionBy("bucket").mode("overwrite").parquet(
-        os.path.join(table_path, data_dir)
-    )
+    if drop_after_sort:
+        out = out.drop(*drop_after_sort)  # projection keeps the order
+    writer = out.write.partitionBy("bucket").mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(os.path.join(table_path, data_dir))
     return data_dir
 
 
@@ -584,6 +595,62 @@ def compact_snapshots(
             "version": new_version,
             "buckets": buckets,
             "rows": _dir_bucket_rows(table_path, data_dir),
+        },
+        new_version,
+    )
+    return new_version
+
+
+def optimize_table(
+    spark: SparkSession,
+    table_path: str,
+    cluster_cols: list[str],
+    *,
+    curve: str = "linear",
+    bits: int = 8,
+    max_records_per_file: int | None = None,
+) -> int:
+    """Clustered compaction — the snapshot-table ``OPTIMIZE ... ZORDER
+    BY`` verb. Rewrites the CURRENT snapshot into one data dir with rows
+    ordered INSIDE each bucket by ``cluster_cols`` ('linear':
+    lexicographic; 'morton'/'hilbert': a space-filling key from
+    plans/zorder, multi-dimensional locality), so parquet row-group
+    min/max stats prune within-bucket scans on the clustered columns —
+    the within-bucket complement to bucket pruning, and at 100 TB the
+    difference between reading a bucket and reading the row groups a
+    time-range actually touches. ``max_records_per_file`` additionally
+    splits each bucket into several files, each covering a narrow
+    cluster range (file-granular skipping for readers that want it).
+
+    Trade: the within-file sort by the primary key is replaced by the
+    cluster order, so point reads keep their bucket pruning but lose
+    key-sorted row-group locality inside the rewritten files. Time
+    travel is untouched; old manifests keep the old dirs until vacuum.
+    The commit records the clustering under ``clustered``."""
+    manifest = read_manifest(table_path)
+    key, nb = manifest["key"], manifest["n_buckets"]
+    new_version = manifest["version"] + 1
+    live = read_snapshot(spark, table_path)
+    order_by, drop_after = list(cluster_cols), ()
+    if curve != "linear":
+        from .zorder import ZKEY, with_zorder_key
+
+        live = with_zorder_key(live, cluster_cols, bits=bits, curve=curve)
+        order_by, drop_after = [ZKEY], (ZKEY,)
+    data_dir = _write_data_version(
+        live, table_path, new_version, key, nb,
+        order_by=order_by, drop_after_sort=drop_after,
+        max_records_per_file=max_records_per_file,
+    )
+    buckets = {str(b): data_dir for b in _buckets_on_disk(table_path, data_dir)}
+    _commit(
+        table_path,
+        {
+            **manifest,
+            "version": new_version,
+            "buckets": buckets,
+            "rows": _dir_bucket_rows(table_path, data_dir),
+            "clustered": {"cols": list(cluster_cols), "curve": curve},
         },
         new_version,
     )

@@ -247,3 +247,25 @@ def test_cli_index_verbs(spark, tmp_path):
     assert s["advanced"]
     (hit2,) = _run(eng, "index-lookup", idx, "3")
     assert 3 not in [r["k"] for r in hit2["rows"]]
+
+
+def test_cli_table_optimize(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.plans.merge import (
+        create_merge_table,
+        read_manifest,
+        read_snapshot,
+    )
+
+    tbl = str(tmp_path / "optcli")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), ((F.col("id") * 37) % 100).alias("ts")
+    )
+    create_merge_table(base, tbl, "k", n_buckets=4)
+    eng = RagEngine(spark, str(tmp_path / "chunks_unused5"))
+
+    (o,) = _run(eng, "table-optimize", tbl, "ts")
+    assert o["version"] == 2 and o["clusteredBy"] == ["ts"]
+    assert read_manifest(tbl)["clustered"]["cols"] == ["ts"]
+    assert read_snapshot(spark, tbl).count() == 100

@@ -1157,3 +1157,112 @@ def test_secondary_index_stale_lookup_raises(spark, tmp_path):
     assert lookup_by(spark, idx, "1", stale_ok=True).count() == 10
     sync_secondary_index(spark, idx)
     assert lookup_by(spark, idx, "1").count() == 11
+
+
+def _file_ranges(table_path, data_dir, col):
+    """Per-bucket list of per-FILE (min,max) for col, read from parquet
+    row-group stats (what the scan-side skipping consults)."""
+    import pyarrow.parquet as pq
+
+    root = os.path.join(table_path, data_dir)
+    out = {}
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("bucket="):
+            continue
+        ranges = []
+        bdir = os.path.join(root, name)
+        for f in sorted(os.listdir(bdir)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(bdir, f)).metadata
+            ci = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                los.append(st.min)
+                his.append(st.max)
+            ranges.append((min(los), max(his)))
+        out[name] = ranges
+    return out
+
+
+def test_optimize_table_clusters_rowgroups(spark, tmp_path):
+    """Clustered compaction: after optimize_table the per-file min/max
+    ranges on the cluster column are DISJOINT inside every bucket (the
+    stats a range scan skips on), rows and time travel are untouched,
+    and the manifest records the clustering."""
+    from mcp_local_rag_spark.plans.merge import optimize_table
+
+    tbl = str(tmp_path / "opt")
+    # ts is deliberately uncorrelated with the key so pre-optimize files
+    # span the whole ts range
+    base = spark.range(800).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 10_000).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    create_merge_table(base, tbl, "k", n_buckets=4)
+    before = sorted(
+        (r["k"], r["ts"], r["v"])
+        for r in read_snapshot(spark, tbl).collect()
+    )
+
+    v = optimize_table(spark, tbl, ["ts"], max_records_per_file=60)
+    assert v == 2
+    m = read_manifest(tbl)
+    assert m["clustered"] == {"cols": ["ts"], "curve": "linear"}
+
+    after = sorted(
+        (r["k"], r["ts"], r["v"])
+        for r in read_snapshot(spark, tbl).collect()
+    )
+    assert after == before
+    assert sorted(
+        (r["k"], r["ts"], r["v"])
+        for r in read_snapshot(spark, tbl, version=1).collect()
+    ) == before
+
+    (d,) = set(m["buckets"].values())
+    ranges = _file_ranges(tbl, d, "ts")
+    for bucket, rs in ranges.items():
+        assert len(rs) >= 3, (bucket, rs)  # maxRecordsPerFile split
+        rs = sorted(rs)
+        for (lo1, hi1), (lo2, hi2) in zip(rs, rs[1:]):
+            assert hi1 <= lo2, (bucket, rs)  # disjoint -> skippable
+
+
+def test_optimize_table_zorder_tightens_both_dims(spark, tmp_path):
+    """Morton clustering: per-file widths shrink on BOTH dimensions vs
+    the global range (a linear sort can only tighten its first column)."""
+    from mcp_local_rag_spark.plans.merge import optimize_table
+
+    tbl = str(tmp_path / "optz")
+    base = spark.range(2000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 1000).alias("x"),
+        ((F.col("id") * 40503) % 1000).alias("y"),
+    )
+    create_merge_table(base, tbl, "k", n_buckets=2)
+    before = sorted(
+        (r["k"], r["x"], r["y"])
+        for r in read_snapshot(spark, tbl).collect()
+    )
+    optimize_table(
+        spark, tbl, ["x", "y"], curve="morton", max_records_per_file=125
+    )
+    assert sorted(
+        (r["k"], r["x"], r["y"])
+        for r in read_snapshot(spark, tbl).collect()
+    ) == before
+    m = read_manifest(tbl)
+    assert m["clustered"]["curve"] == "morton"
+    assert "_zkey" not in read_snapshot(spark, tbl).columns
+    (d,) = set(m["buckets"].values())
+    for col in ("x", "y"):
+        widths = [
+            hi - lo
+            for rs in _file_ranges(tbl, d, col).values()
+            for lo, hi in rs
+        ]
+        avg = sum(widths) / len(widths)
+        assert avg < 700, (col, widths)  # global width 1000; random ~999
