@@ -158,7 +158,20 @@ def _write_data_version(
     writer = out.write.partitionBy("bucket").mode("overwrite")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.parquet(os.path.join(table_path, data_dir))
+    # INT96 (Spark's default parquet timestamp encoding) carries NO
+    # min/max stats, which silently disables row-group skipping on every
+    # timestamp predicate — force MICROS for all snapshot-table files
+    conf = df.sparkSession.conf
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prev = conf.get(ts_key, None)
+    conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        writer.parquet(os.path.join(table_path, data_dir))
+    finally:
+        if prev is None:
+            conf.unset(ts_key)
+        else:
+            conf.set(ts_key, prev)
     return data_dir
 
 

@@ -159,6 +159,92 @@ def _probe_ivm_sketch(spark, sf_dir: str, n_buckets: int, scratch: str) -> dict:
     }
 
 
+def _probe_optimize(spark, sf_dir: str, n_buckets: int, scratch: str) -> dict:
+    """Does clustered compaction actually prune a range scan? Build the
+    events snapshot table with FEW, LARGE buckets (within-bucket
+    clustering is the lever under test; at 640 tiny buckets there is
+    nothing inside a bucket to skip), time a ~2%-of-range ts aggregate
+    before/after optimize, and — the noise-free evidence — count from
+    the parquet FOOTERS how many row groups' min/max stats intersect
+    the predicate: that is exactly the set a pushed-down reader reads."""
+    from mcp_local_rag_spark.plans.merge import (
+        create_merge_table,
+        optimize_table,
+        read_manifest,
+        read_snapshot,
+    )
+    from mcp_local_rag_spark.session import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    create_merge_table(ev, scratch, "event_id", n_buckets=8)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 50  # ~2% of the time range
+
+    def scan():
+        t0 = time.time()
+        n = (
+            read_snapshot(spark, scratch)
+            .filter((F.col("ts") >= lo) & (F.col("ts") < lo + span))
+            .agg(F.count(F.lit(1)), F.sum("value"))
+            .collect()
+        )
+        return time.time() - t0, n[0][0]
+
+    def intersecting_rowgroups():
+        import pyarrow.parquet as pq
+
+        m = read_manifest(scratch)
+        total = hit = 0
+        for d in sorted(set(m["buckets"].values())):
+            root = os.path.join(scratch, d)
+            for bname in os.listdir(root):
+                if not bname.startswith("bucket="):
+                    continue
+                bdir = os.path.join(root, bname)
+                for f in os.listdir(bdir):
+                    if not f.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(os.path.join(bdir, f)).metadata
+                    names = [
+                        md.schema.column(i).name
+                        for i in range(md.num_columns)
+                    ]
+                    ci = names.index("ts")
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        total += 1
+                        if st is None or not st.has_min_max:
+                            hit += 1  # no stats -> reader must read it
+                            continue
+                        # MICROS stats come back tz-aware (UTC); Spark's
+                        # collected bounds are naive — compare naive
+                        smin = st.min.replace(tzinfo=None)
+                        smax = st.max.replace(tzinfo=None)
+                        if smax >= lo and smin < lo + span:
+                            hit += 1
+        return hit, total
+
+    scan()  # warm listing caches so both timings compare like-for-like
+    t_before, n1 = scan()
+    rg_before, rg_total_before = intersecting_rowgroups()
+    t0 = time.time()
+    optimize_table(spark, scratch, ["ts"], max_records_per_file=100_000)
+    t_opt = time.time() - t0
+    scan()
+    t_after, n2 = scan()
+    rg_after, rg_total_after = intersecting_rowgroups()
+    assert n1 == n2, (n1, n2)
+    return {
+        "t_scan_unclustered_sec": round(t_before, 3),
+        "t_scan_clustered_sec": round(t_after, 3),
+        "t_optimize_sec": round(t_opt, 3),
+        "rows_matched": n1,
+        "rowgroups_intersecting_before": f"{rg_before}/{rg_total_before}",
+        "rowgroups_intersecting_after": f"{rg_after}/{rg_total_after}",
+        "t_apply_sec": round(t_after, 3),  # exponent keys on t_apply_sec
+    }
+
+
 def main(dir10: str, dir100: str, out_path: str | None) -> None:
     from mcp_local_rag_spark.session import get_spark
 
@@ -173,6 +259,7 @@ def main(dir10: str, dir100: str, out_path: str | None) -> None:
         ("merge_cdc", _probe_merge),
         ("ivm_microbatch", _probe_ivm),
         ("ivm_sketch", _probe_ivm_sketch),
+        ("optimize_skipping", _probe_optimize),
     ):
         r10 = fn(spark, dir10, 64, os.path.join(work, f"{lane}_10"))
         r100 = fn(spark, dir100, 640, os.path.join(work, f"{lane}_100"))
