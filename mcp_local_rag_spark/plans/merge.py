@@ -696,6 +696,7 @@ def table_status(table_path: str) -> dict:
         "current_data_dirs": len(live_dirs),
         "needs_compaction": len(live_dirs) > 1,
         "orphan_dirs": sorted(on_disk - referenced),
+        "clustered": manifest.get("clustered"),
     }
 
 

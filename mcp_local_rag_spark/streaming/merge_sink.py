@@ -38,6 +38,7 @@ def stream_merge(
     delete_col: str | None = None,
     prepare=None,
     order_col: str | None = None,
+    sync_indexes: list[str] | None = None,
     max_files_per_trigger: int = 100,
     available_now: bool = False,
 ):
@@ -82,6 +83,14 @@ def stream_merge(
             delete_col=delete_col,
             batch_key=f"stream-{batch_id}",
         )
+        # secondary indexes ride the change feed AFTER the merge commits;
+        # each sync is itself exactly-once (the view's cdf cursor lives
+        # in its own manifest), so a crash between merge and sync just
+        # leaves the index one sync behind — the next batch catches it up
+        for idx in sync_indexes or ():
+            from ..plans.secondary import sync_secondary_index
+
+            sync_secondary_index(spark, idx)
 
     writer = raw.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

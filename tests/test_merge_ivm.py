@@ -1266,3 +1266,53 @@ def test_optimize_table_zorder_tightens_both_dims(spark, tmp_path):
         ]
         avg = sum(widths) / len(widths)
         assert avg < 700, (col, widths)  # global width 1000; random ~999
+
+
+def test_stream_merge_keeps_secondary_index_fresh(spark, tmp_path):
+    """sync_indexes: each CDC micro-batch advances the secondary index
+    right after the merge commits, so a post-drain lookup passes the
+    freshness guard and reflects every batch (insert, tag move, delete)."""
+    from mcp_local_rag_spark.plans.secondary import (
+        create_secondary_index,
+        lookup_by,
+    )
+    from mcp_local_rag_spark.streaming.merge_sink import stream_merge
+
+    drop = tmp_path / "cdcx"
+    drop.mkdir()
+    table = str(tmp_path / "tblx")
+    idx = str(tmp_path / "idxx")
+    ckpt = str(tmp_path / "ckptx")
+    base = spark.range(60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("tag"),
+        F.col("id").alias("v"),
+    )
+    create_merge_table(base, table, "k", n_buckets=4)
+    create_secondary_index(spark, table, idx, "tag", n_buckets=4)
+
+    b1 = spark.createDataFrame(
+        [Row(k=0, tag="9", v=0, is_delete=False),    # move 0: 0 -> 9
+         Row(k=3, tag="0", v=3, is_delete=True)]     # delete a tag-0 row
+    )
+    b2 = spark.createDataFrame(
+        [Row(k=777, tag="9", v=7, is_delete=False)]  # insert into 9
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(drop))
+    b2.coalesce(1).write.mode("append").parquet(str(drop))
+    q = stream_merge(
+        spark, str(drop), table, ckpt, b1.schema,
+        delete_col="is_delete", sync_indexes=[idx], available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    # freshness guard passes (would raise if any batch left the index behind)
+    assert sorted(r["k"] for r in lookup_by(spark, idx, "9").collect()) == [0, 777]
+    got0 = {r["k"] for r in lookup_by(spark, idx, "0").collect()}
+    exp0 = {
+        r["k"]
+        for r in read_snapshot(spark, table)
+        .filter(F.col("tag") == "0")
+        .collect()
+    }
+    assert got0 == exp0 and 0 not in got0 and 3 not in got0
