@@ -363,6 +363,49 @@ def ivm_apply(
     return new_version
 
 
+def hist_quantile(map_col, q: float):
+    """Approximate quantile from a ``hist`` measure with NUMERIC bin
+    labels: the bin holding the q-th ranked row (smallest bin whose
+    cumulative count reaches ceil(q * total)). With log-spaced bins
+    (e.g. floor(log2(x))) the true quantile lies inside the returned
+    bin, i.e. bounded RELATIVE error set by the bin base — the classic
+    mergeable-quantile trade, maintained incrementally and retractably
+    because it rides the invertible hist measure. Pure JVM expression.
+
+    Returns the bin label as a string (null for an empty map)."""
+    m = F.col(map_col) if isinstance(map_col, str) else map_col
+    ents = F.array_sort(
+        F.map_entries(m),
+        lambda a, b: F.when(
+            a["key"].cast("double") < b["key"].cast("double"), F.lit(-1)
+        )
+        .when(a["key"].cast("double") > b["key"].cast("double"), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    total = F.aggregate(
+        F.map_values(m), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    target = F.ceil(F.lit(q) * total.cast("double")).cast("long")
+    found = F.aggregate(
+        ents,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("string").alias("ans"),
+        ),
+        lambda acc, e: F.struct(
+            (acc["cum"] + e["value"]).alias("cum"),
+            F.when(
+                acc["ans"].isNull() & (acc["cum"] + e["value"] >= target),
+                e["key"],
+            )
+            .otherwise(acc["ans"])
+            .alias("ans"),
+        ),
+        lambda acc: acc["ans"],
+    )
+    return found
+
+
 def ivm_read(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:

@@ -1316,3 +1316,49 @@ def test_stream_merge_keeps_secondary_index_fresh(spark, tmp_path):
         .collect()
     }
     assert got0 == exp0 and 0 not in got0 and 3 not in got0
+
+
+def test_hist_quantile_log_bins_bound_true_quantile(spark, tmp_path):
+    """hist on log2 bins + hist_quantile: the returned bin brackets the
+    true per-group quantile ([2^k, 2^(k+1))), across incremental applies
+    and after a retraction."""
+    from mcp_local_rag_spark.plans.ivm import hist_quantile
+
+    path = str(tmp_path / "ivm_q")
+    ev = _events(spark, 2000).withColumn(
+        "x", (F.col("event_id") % 997 + 1).cast("double")
+    ).withColumn("lb", F.floor(F.log2("x")).cast("string"))
+    measures = [("cnt", "count", None), ("h", "hist", "lb")]
+    ivm_create(spark, path, ev, KEYS, measures, n_buckets=4)
+    for part in (1, 0, 2):
+        ivm_apply(
+            spark, path, ev.filter(F.pmod("event_id", F.lit(3)) == part),
+            KEYS, measures,
+        )
+
+    def check(src):
+        got = {
+            r["grp"]: int(r["qbin"])
+            for r in ivm_read(spark, path)
+            .select("grp", hist_quantile("h", 0.5).alias("qbin"))
+            .collect()
+        }
+        # rank-based quantile (the ceil(q*n)-th value), matching the
+        # bin-cumulative definition — Spark's percentile() interpolates
+        # between ranks and can cross a bin edge
+        import math
+
+        true = {}
+        for r in src.groupBy("grp").agg(
+            F.sort_array(F.collect_list("x")).alias("xs")
+        ).collect():
+            xs = r["xs"]
+            true[r["grp"]] = xs[math.ceil(0.5 * len(xs)) - 1]
+        for g, k in got.items():
+            assert 2**k <= true[g] < 2 ** (k + 1), (g, k, true[g])
+
+    check(ev)
+    ivm_apply(
+        spark, path, ev.filter(F.col("x") < 32), KEYS, measures, weight=-1
+    )
+    check(ev.filter(F.col("x") >= 32))
