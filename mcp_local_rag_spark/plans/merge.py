@@ -292,6 +292,32 @@ def read_snapshot(
     return out
 
 
+def _typed_key_pred(df: DataFrame, col: str, values: list):
+    """Equality/IN predicate on the key column that parquet can PUSH
+    DOWN: convert the (possibly stringified) values to the column's
+    native python type so the comparison needs no cast on the column —
+    a cast disables the row-group min/max pruning that the key-sorted
+    files exist for. Falls back to a string-cast compare when a value
+    does not parse as the column's type."""
+    dt = df.schema[col].dataType.simpleString()
+    conv = None
+    if dt in ("bigint", "int", "smallint", "tinyint"):
+        conv = int
+    elif dt in ("float", "double"):
+        conv = float
+    elif dt == "string":
+        conv = str
+    if conv is not None:
+        try:
+            typed = [conv(v) for v in values]
+        except (TypeError, ValueError):
+            conv = None
+        else:
+            return F.col(col).isin(typed)
+    svals = [str(v) for v in values]
+    return F.col(col).cast("string").isin(svals)
+
+
 def key_lookup(
     spark: SparkSession,
     table_path: str,
@@ -319,17 +345,20 @@ def key_lookup(
         .first()["b"]
     )
     d = manifest["buckets"].get(str(b))
-    pred = F.col(key).cast("string") == F.lit(key_value).cast("string")
     if d is None:  # bucket fully deleted: readable-empty, right schema
-        return read_snapshot(spark, table_path, version).filter(pred).limit(
-            0
-        ).drop("bucket")
+        snap = read_snapshot(spark, table_path, version)
+        return (
+            snap.filter(_typed_key_pred(snap, key, [key_value]))
+            .limit(0)
+            .drop("bucket")
+        )
     # read the ONE bucket directory directly — no basePath, so Spark
     # never lists the sibling bucket dirs (file discovery would
     # otherwise ride the table's total file count, which is exactly
-    # what a point read must not do)
+    # what a point read must not do); the typed equality pushes to the
+    # scan, so the key-sorted row groups inside the file prune too
     one = spark.read.parquet(os.path.join(table_path, d, f"bucket={b}"))
-    return one.filter(pred)
+    return one.filter(_typed_key_pred(one, key, [key_value]))
 
 
 def merge_into(

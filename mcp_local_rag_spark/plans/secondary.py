@@ -123,8 +123,9 @@ def lookup_by(
         .distinct()
         .collect()
     )
-    return (
-        read_snapshot(spark, src, only_buckets=buckets)
-        .filter(F.col(pk).cast("string").isin(pks))
-        .drop("bucket")
-    )
+    from .merge import _typed_key_pred
+
+    narrowed = read_snapshot(spark, src, only_buckets=buckets)
+    # typed IN-list pushes to the parquet scan, so inside each touched
+    # bucket the key-sorted row groups prune to the ones holding the pks
+    return narrowed.filter(_typed_key_pred(narrowed, pk, pks)).drop("bucket")
