@@ -1445,3 +1445,52 @@ def test_ivm_randomized_fold_converges(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_view_sync_survives_source_rebucket(spark, tmp_path):
+    """Partition evolution under a maintained view: the source rebuckets
+    (every bucket rewritten, rows unchanged), then takes a CDC merge; the
+    view's next sync folds ONLY the real changes (the rebucket version
+    diffs as all-carried rows) and converges to the declarative answer."""
+    from mcp_local_rag_spark.plans.changefeed import (
+        create_view_over_table,
+        sync_view_auto,
+    )
+    from mcp_local_rag_spark.plans.merge import rebucket
+
+    src = str(tmp_path / "srcrb")
+    view = str(tmp_path / "viewrb")
+    base = spark.range(90).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    create_merge_table(base, src, "k", n_buckets=4)
+    create_view_over_table(
+        spark, src, view, ["g"],
+        [("cnt", "count", None), ("total", "sum", "v")], n_buckets=4,
+    )
+    rebucket(spark, src, 16)  # v2: all buckets move, no row changes
+    merge_into(  # v3: one real update + one insert
+        spark, src,
+        spark.createDataFrame(
+            [Row(k=0, g="0", v=1000, is_delete=False),
+             Row(k=900, g="1", v=7, is_delete=False)],
+        ),
+        delete_col="is_delete",
+    )
+    assert sync_view_auto(spark, view) == 3
+    got = {
+        r["g"]: (r["cnt"], r["total"])
+        for r in __import__("mcp_local_rag_spark.plans.ivm", fromlist=["ivm_read"])
+        .ivm_read(spark, view)
+        .collect()
+    }
+    exp = {
+        r["g"]: (r["cnt"], r["total"])
+        for r in read_snapshot(spark, src)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == exp
