@@ -72,7 +72,20 @@ _SEP = "\x1f"
 # what makes it a histogram). Bin counts are plain integers, so the
 # measure is ADDITIVE AND INVERTIBLE: weight=-1 retracts, and bins that
 # net to zero are dropped from the map.
-_OPS = {"count", "sum", "min", "max", "approx_ndv", "approx_topk", "hist"}
+# "theta" keeps a Datasketches Theta sketch — like approx_ndv but the
+# state supports SET ALGEBRA across groups/views at read time
+# (theta_union / theta_intersection / theta_difference): "users who did
+# A but never B" from two maintained views without touching raw data.
+# Exact below the sketch's nominal entries (4096 by default).
+#
+# "approx_quantile" keeps a Datasketches KLL(double) sketch — true
+# mergeable quantiles with a normalized rank-error guarantee (~1.7%
+# at the default k=200); read with F.kll_sketch_get_quantile_double.
+# The input column must be DOUBLE (cast in the delta prep).
+_OPS = {
+    "count", "sum", "min", "max", "approx_ndv", "approx_topk", "hist",
+    "theta", "approx_quantile",
+}
 _ADDITIVE = {"count", "sum"}
 
 
@@ -177,6 +190,10 @@ def _partial(delta: DataFrame, keys: list[str], measures: list[tuple], weight: i
             map_frames.append((name, "topk", col, k))
         elif kind == "approx_ndv":
             aggs.append(F.hll_sketch_agg(F.col(col)).alias(name))
+        elif kind == "theta":
+            aggs.append(F.theta_sketch_agg(F.col(col)).alias(name))
+        elif kind == "approx_quantile":
+            aggs.append(F.kll_sketch_agg_double(F.col(col)).alias(name))
         else:
             fn = F.min if kind == "min" else F.max
             aggs.append(fn(F.col(col)).alias(name))
@@ -301,13 +318,18 @@ def ivm_apply(
                 .otherwise(folded)
                 .alias(name)
             )
-        if op == "approx_ndv":
-            # hll_union null-propagates; an absent join side means "that
-            # group had no rows there", i.e. the identity sketch
+        if op in ("approx_ndv", "theta", "approx_quantile"):
+            # the union/merge fns null-propagate; an absent join side
+            # means "that group had no rows there" — the identity sketch
+            merge = {
+                "approx_ndv": F.hll_union,
+                "theta": F.theta_union,
+                "approx_quantile": F.kll_sketch_merge_double,
+            }[op]
             return (
                 F.when(s.isNull(), t)
                 .when(t.isNull(), s)
-                .otherwise(F.hll_union(s, t))
+                .otherwise(merge(s, t))
                 .alias(name)
             )
         # least/greatest skip nulls in Spark, so the absent side of the

@@ -292,6 +292,90 @@ def q_documents_cdf_view(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Theta-sketch audience algebra: per-event-type distinct-user sketches
+# maintained by the same out-of-order IVM fold, then SET OPERATIONS over
+# the folded state at read time — union with, intersection with, and
+# difference against the 'purchase' audience, the queries an audience
+# platform answers from sketches without rescanning raw events. The
+# user space is bucketed mod 4001 (< the theta sketch's 4096 nominal
+# entries), so every estimate is EXACT and the DuckDB oracle can pair
+# it declaratively (count(DISTINCT ...) with EXCEPT/INTERSECT logic).
+
+
+_THETA_KEYS = ["event_type"]
+_THETA_MEASURES = [
+    ("cnt", "count", None),
+    ("aud", "theta", "ub"),
+]
+
+
+def _theta_table(spark: SparkSession, sf_dir: str) -> str:
+    from ..plans.ivm import ivm_apply, ivm_create
+    from ..plans.merge import current_version
+
+    path = _scratch_path(sf_dir, "theta_audience", tables=("events",))
+    done = os.path.join(path, "_snapshots", "CURRENT")
+    if os.path.isfile(done):
+        try:
+            if current_version(path) >= 4:
+                return path
+        except (OSError, ValueError):
+            pass
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load(spark, sf_dir, "events")
+
+    def delta(part):
+        return ev.filter(F.pmod("event_id", F.lit(3)) == part).withColumn(
+            "ub", F.pmod("user_id", F.lit(4001))
+        )
+
+    ivm_create(spark, path, delta(0), _THETA_KEYS, _THETA_MEASURES, n_buckets=4)
+    for part in (2, 1, 0):
+        ivm_apply(spark, path, delta(part), _THETA_KEYS, _THETA_MEASURES)
+    return path
+
+
+@register(
+    "events_theta_audience",
+    """WITH base AS (
+  SELECT event_type, user_id % 4001 AS ub FROM events),
+purch AS (SELECT DISTINCT ub FROM base WHERE event_type = 'purchase')
+SELECT b.event_type,
+       count(DISTINCT b.ub)::BIGINT AS aud,
+       count(DISTINCT CASE WHEN p.ub IS NOT NULL THEN b.ub END)::BIGINT
+         AS aud_and_purchase,
+       count(DISTINCT CASE WHEN p.ub IS NULL THEN b.ub END)::BIGINT
+         AS aud_not_purchase
+FROM base b LEFT JOIN purch p ON b.ub = p.ub
+GROUP BY b.event_type ORDER BY b.event_type""",
+)
+def q_events_theta_audience(spark, sf_dir):
+    from ..plans.ivm import ivm_read
+
+    path = _theta_table(spark, sf_dir)
+    view = ivm_read(spark, path)
+    purch = view.filter(F.col("event_type") == "purchase").select(
+        F.col("aud").alias("paud")
+    )
+    return (
+        view.crossJoin(F.broadcast(purch))
+        .select(
+            "event_type",
+            F.theta_sketch_estimate("aud").cast("long").alias("aud"),
+            F.theta_sketch_estimate(F.theta_intersection("aud", "paud"))
+            .cast("long")
+            .alias("aud_and_purchase"),
+            F.theta_sketch_estimate(F.theta_difference("aud", "paud"))
+            .cast("long")
+            .alias("aud_not_purchase"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Secondary index: the changefeed-maintained non-key lookup path. The
 # index (plans/secondary: an IVM view keyed by lang whose hist map holds
 # doc_ids) bootstraps at source v1 and advances to v2 by SYNC — so the

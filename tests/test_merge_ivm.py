@@ -1494,3 +1494,70 @@ def test_view_sync_survives_source_rebucket(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_ivm_theta_set_algebra_and_kll_quantiles(spark, tmp_path):
+    """theta: folded sketches stay exact (≤4096 entries) and support set
+    DIFFERENCE across two maintained views — 'values in group A's stream
+    never seen in group B's'. approx_quantile: the KLL fold's median is
+    within the sketch's normalized rank-error bound of the true rank."""
+    path = str(tmp_path / "ivm_tq")
+    ev = _events(spark, 3000).withColumn(
+        "x", F.col("event_id").cast("double")
+    )
+    measures = [
+        ("cnt", "count", None),
+        ("users", "theta", "event_id"),
+        ("xq", "approx_quantile", "x"),
+    ]
+    ivm_create(spark, path, ev, KEYS, measures, n_buckets=4)
+    for part in (2, 0, 1):
+        ivm_apply(
+            spark, path, ev.filter(F.pmod("event_id", F.lit(3)) == part),
+            KEYS, measures,
+        )
+    view = ivm_read(spark, path)
+    # theta estimates exact per group (<=429 entries each)
+    got = {
+        r["grp"]: r["ndv"]
+        for r in view.select(
+            "grp", F.theta_sketch_estimate("users").cast("long").alias("ndv")
+        ).collect()
+    }
+    exp = {
+        r["grp"]: r["ndv"]
+        for r in ev.groupBy("grp")
+        .agg(F.countDistinct("event_id").alias("ndv"))
+        .collect()
+    }
+    assert got == exp
+    # set difference across two groups' sketches: ids in grp 0 never in
+    # grp 1 — disjoint by construction (id % 7), so |A \ B| = |A|
+    two = {r["grp"]: r["users"] for r in view.filter(F.col("grp") < 2).collect()}
+    d = (
+        spark.range(1)
+        .select(
+            F.theta_sketch_estimate(
+                F.theta_difference(F.lit(two[0]), F.lit(two[1]))
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .first()["d"]
+    )
+    assert d == exp[0]
+    # KLL median: true rank of the returned value within ~2% of 0.5
+    meds = {
+        r["grp"]: r["m"]
+        for r in view.select(
+            "grp", F.kll_sketch_get_quantile_double("xq", F.lit(0.5)).alias("m")
+        ).collect()
+    }
+    for g, m in meds.items():
+        xs = sorted(
+            r["x"] for r in ev.filter(F.col("grp") == g).select("x").collect()
+        )
+        rank = sum(1 for x in xs if x <= m) / len(xs)
+        assert abs(rank - 0.5) < 0.03, (g, m, rank)
+    with pytest.raises(ValueError, match="no inverse"):
+        ivm_apply(spark, path, ev.limit(3), KEYS, measures, weight=-1)
