@@ -1,4 +1,6 @@
-"""Incremental view maintenance (IVM) for additive aggregates.
+"""Incremental view maintenance (IVM): additive aggregates plus a
+mergeable-sketch measure family (min/max, HLL, Misra–Gries, histograms,
+Theta set sketches, KLL quantiles).
 
 A 100 TB pipeline cannot recompute its rollups from scratch every time a
 batch lands: the per-batch cost must be O(delta), not O(corpus). This
