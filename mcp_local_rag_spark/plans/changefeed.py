@@ -52,10 +52,13 @@ _POST = ("insert", "update_postimage")
 _PRE = ("delete", "update_preimage")
 
 
-def _cursor_state(view_table: str) -> tuple[int | None, tuple[int, int] | None]:
+def _cursor_state(
+    view_table: str, version: int | None = None
+) -> tuple[int | None, tuple[int, int] | None]:
     """(cursor, pending): cursor = the source version the view fully
-    reflects; pending = a half-applied (a, b) range to finish first."""
-    applied = read_manifest(view_table).get("applied", [])
+    reflects (as of the view's own ``version``); pending = a
+    half-applied (a, b) range to finish first."""
+    applied = read_manifest(view_table, version).get("applied", [])
     boot = [int(m.group(1)) for k in applied if (m := _BOOT.match(k))]
     adds = {(int(m.group(1)), int(m.group(2))) for k in applied if (m := _ADD.match(k))}
     rets = {(int(m.group(1)), int(m.group(2))) for k in applied if (m := _RET.match(k))}

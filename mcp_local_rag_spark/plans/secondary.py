@@ -75,6 +75,26 @@ def sync_secondary_index(spark: SparkSession, index_path: str) -> int | None:
     return sync_view_auto(spark, index_path)
 
 
+def _index_version_for_source(index_path: str, source_version: int) -> int:
+    """The latest INDEX version whose cdf cursor fully reflects exactly
+    ``source_version`` — the time-travel join point between the two
+    tables' histories (metadata-only: walks the index's manifests)."""
+    from .changefeed import _cursor_state
+    from .merge import list_versions
+
+    seen = []
+    for iv in reversed(list_versions(index_path)):
+        cursor, pending = _cursor_state(index_path, iv)
+        if cursor == source_version and pending is None:
+            return iv
+        seen.append((iv, cursor))
+    raise ValueError(
+        f"no index version reflects source version {source_version} "
+        f"(index versions and cursors: {seen}); the index may have "
+        "skipped it in one multi-version sync, or vacuum retired it"
+    )
+
+
 def lookup_by(
     spark: SparkSession,
     index_path: str,
@@ -82,6 +102,7 @@ def lookup_by(
     *,
     source_table: str | None = None,
     stale_ok: bool = False,
+    at_source_version: int | None = None,
 ) -> DataFrame:
     """Rows of the SOURCE whose indexed column equals ``value`` — two
     point reads, never a source scan. Returns an empty frame (source
@@ -90,13 +111,21 @@ def lookup_by(
     Freshness contract: an index lagging the source would silently miss
     rows, so a lookup against a stale index RAISES unless the caller
     passes ``stale_ok=True`` (metadata-only check: the index's recorded
-    cursor vs the source's CURRENT pointer)."""
+    cursor vs the source's CURRENT pointer).
+
+    ``at_source_version``: AS-OF lookup — both sides time travel to the
+    matching versions (the index version is resolved by its recorded
+    cursor), so the answer is the lookup as it was at that source
+    version."""
     from .changefeed import _cursor_state
     from .merge import current_version
 
     spec = load_view_spec(index_path)
     src = source_table or spec["source_table"]
-    if not stale_ok:
+    idx_version = None
+    if at_source_version is not None:
+        idx_version = _index_version_for_source(index_path, at_source_version)
+    elif not stale_ok:
         cursor, _pending = _cursor_state(index_path)
         cur = current_version(src)
         if cursor is None or cursor < cur:
@@ -106,12 +135,14 @@ def lookup_by(
                 "stale_ok=True to read the index as of its cursor"
             )
     pk = read_manifest(src)["key"]
-    hit = key_lookup(spark, index_path, value).select(_PKS).first()
-    snap_all = read_snapshot(spark, src)
+    hit = key_lookup(spark, index_path, value, version=idx_version).select(
+        _PKS
+    ).first()
+    snap_all = read_snapshot(spark, src, at_source_version)
     if hit is None or not hit[_PKS]:
         return snap_all.filter(F.lit(False)).drop("bucket")
     pks = sorted(hit[_PKS].keys())
-    nb = read_manifest(src)["n_buckets"]
+    nb = read_manifest(src, at_source_version)["n_buckets"]
     buckets = sorted(
         r["b"]
         for r in spark.createDataFrame([(p,) for p in pks], f"{pk}_s string")
@@ -125,7 +156,9 @@ def lookup_by(
     )
     from .merge import _typed_key_pred
 
-    narrowed = read_snapshot(spark, src, only_buckets=buckets)
+    narrowed = read_snapshot(
+        spark, src, at_source_version, only_buckets=buckets
+    )
     # typed IN-list pushes to the parquet scan, so inside each touched
     # bucket the key-sorted row groups prune to the ones holding the pks
     return narrowed.filter(_typed_key_pred(narrowed, pk, pks)).drop("bucket")

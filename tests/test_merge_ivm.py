@@ -1561,3 +1561,44 @@ def test_ivm_theta_set_algebra_and_kll_quantiles(spark, tmp_path):
         assert abs(rank - 0.5) < 0.03, (g, m, rank)
     with pytest.raises(ValueError, match="no inverse"):
         ivm_apply(spark, path, ev.limit(3), KEYS, measures, weight=-1)
+
+
+def test_secondary_index_as_of_lookup(spark, tmp_path):
+    """at_source_version: both sides time travel to the cursor-matched
+    versions, returning the lookup as it stood at that source version —
+    even after later merges moved the value's membership."""
+    from mcp_local_rag_spark.plans.secondary import (
+        create_secondary_index,
+        lookup_by,
+        sync_secondary_index,
+    )
+
+    src = str(tmp_path / "srcav")
+    idx = str(tmp_path / "idxav")
+    base = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("c")
+    )
+    create_merge_table(base, src, "k", n_buckets=4)
+    create_secondary_index(spark, src, idx, "c", n_buckets=4)
+    v1_members = {r["k"] for r in lookup_by(spark, idx, "1").collect()}
+    assert len(v1_members) == 20
+
+    merge_into(  # v2: k=1 leaves c=1, k=100 joins it
+        spark, src,
+        spark.createDataFrame(
+            [Row(k=1, c="0", is_delete=False),
+             Row(k=100, c="1", is_delete=False)],
+        ),
+        delete_col="is_delete",
+    )
+    sync_secondary_index(spark, idx)
+    now = {r["k"] for r in lookup_by(spark, idx, "1").collect()}
+    assert 1 not in now and 100 in now
+
+    asof = {
+        r["k"]
+        for r in lookup_by(spark, idx, "1", at_source_version=1).collect()
+    }
+    assert asof == v1_members
+    with pytest.raises(ValueError, match="no index version"):
+        lookup_by(spark, idx, "1", at_source_version=99)
