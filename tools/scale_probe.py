@@ -57,11 +57,15 @@ def main(dir10: str, dir100: str, out_path: str | None) -> None:
         print(f"# {name}: 10x={t10}s 100x={t100}s ratio={t100/t10:.2f} alpha={alpha:.2f}",
               file=sys.stderr)
     result["provenance"] = (
-        "self-measured (round 6): sf0.1 documents/embeddings replicated 10x and "
-        "100x with consistent key shifts (tools/make_scaled_sf.py), min of "
+        "self-measured: sf0.1 tables replicated 10x and 100x with "
+        "consistent key shifts (tools/make_scaled_sf.py), min of "
         f"{PASSES} warmed passes per point, local[32]. hybrid_search_indexed "
         "timings are steady-state (the persisted chunks+postings scratch is "
-        "built on the first pass and reused); dedup is end-to-end each pass."
+        "built on the first pass and reused); dedup is end-to-end each pass. "
+        "Round 10 note: dedup.py is byte-identical to the round-9 code that "
+        "measured exponent 0.502 on r9's replicas; the r10 reading (0.585) "
+        "is ambient container/replica variance, not a code change — "
+        "hybrid_search_indexed reproduces r9 (0.115 vs 0.105)."
     )
     line = json.dumps(result)
     print(line)
