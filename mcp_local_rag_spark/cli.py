@@ -176,6 +176,9 @@ def _parser() -> argparse.ArgumentParser:
     il.add_argument("index")
     il.add_argument("value")
     il.add_argument("--limit", type=int, default=100)
+    il.add_argument("--at-source-version", type=int, default=None,
+                    help="as-of lookup: time travel both sides to the"
+                    " cursor-matched versions")
 
     srv = sub.add_parser(
         "serve", help="stdio server loop (MCP by default; --bare for the"
@@ -376,7 +379,8 @@ def run(argv: list[str], engine, out=None) -> int:
         from .plans.secondary import lookup_by
 
         rows = lookup_by(
-            engine.spark, os.path.abspath(args.index), args.value
+            engine.spark, os.path.abspath(args.index), args.value,
+            at_source_version=args.at_source_version,
         ).limit(args.limit).collect()
         emit({"rows": [r.asDict() for r in rows]})
         return 0
