@@ -324,10 +324,16 @@ def run(argv: list[str], engine, out=None) -> int:
             if len(parts) == 2:
                 name, op, col = parts[0], parts[1], None
             elif len(parts) == 3:
-                # NAME:approx_topk:K is ambiguous with NAME:OP:COL only
-                # when K parses as an int and the op takes a column —
-                # approx_topk always takes a col, so 3 parts = NAME:OP:COL
+                # approx_topk always takes a column, so 3 parts here
+                # means NAME:OP:COL; an all-digit "column" after
+                # approx_topk is a K the user meant for the 4-part form
                 name, op, col = parts
+                if op == "approx_topk" and col.isdigit():
+                    raise ValueError(
+                        f"--measure {spec!r}: approx_topk needs a column"
+                        " — use NAME:approx_topk:K:COL (or"
+                        " NAME:approx_topk:COL for the default K)"
+                    )
             elif len(parts) == 4:  # NAME:approx_topk:K:COL
                 name, op, col = parts[0], f"{parts[1]}:{parts[2]}", parts[3]
             else:

@@ -156,6 +156,8 @@ def sync_view(
         )
 
     def fold(a: int, b: int) -> None:
+        from .ivm import has_non_invertible, ivm_commit_key
+
         ch = read_changes(spark, source_table, a, b)
         adds = transform(ch.filter(F.col("_change_type").isin(*_POST)).drop("_change_type"))
         rets = transform(ch.filter(F.col("_change_type").isin(*_PRE)).drop("_change_type"))
@@ -163,10 +165,26 @@ def sync_view(
             spark, view_table, adds, keys, measures,
             batch_key=f"cdf:+{a}->{b}",
         )
-        ivm_apply(
-            spark, view_table, rets, keys, measures,
-            weight=-1, batch_key=f"cdf:-{a}->{b}",
-        )
+        ret_key = f"cdf:-{a}->{b}"
+        if has_non_invertible(measures):
+            # min/max/sketch measures have no inverse: the view is only
+            # maintainable over an APPEND-ONLY source. An insert-only
+            # range still needs the retract half's cursor key recorded
+            # (data-less commit); a range carrying deletes/updates is a
+            # hard error, not a silent wrong answer.
+            if rets.limit(1).count() > 0:
+                raise ValueError(
+                    f"source range ({a}, {b}] carries deletes/updates but "
+                    "the view has non-invertible measures (min/max/"
+                    "sketches) — such views are append-only; rebuild the "
+                    "view or drop those measures"
+                )
+            ivm_commit_key(spark, view_table, ret_key)
+        else:
+            ivm_apply(
+                spark, view_table, rets, keys, measures,
+                weight=-1, batch_key=ret_key,
+            )
 
     if pending is not None:
         # finish the half-applied range EXACTLY as recorded before

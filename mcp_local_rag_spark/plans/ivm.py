@@ -200,18 +200,19 @@ def _partial(delta: DataFrame, keys: list[str], measures: list[tuple], weight: i
             fn = F.min if kind == "min" else F.max
             aggs.append(fn(F.col(col)).alias(name))
     key_expr = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in keys])
-    out = (
-        delta.groupBy(*keys).agg(*aggs).withColumn(_KEY, key_expr)
-        if aggs
-        else None
-    )
+    # the base aggregate ALWAYS runs (a hidden count when no scalar
+    # measure was declared): it groups over every delta row, so it is a
+    # superset of each map partial (those drop null values) and the
+    # left joins below cannot lose a group
+    base_aggs = aggs if aggs else [F.count(F.lit(1)).alias("_ivm_base")]
+    out = delta.groupBy(*keys).agg(*base_aggs).withColumn(_KEY, key_expr)
     for name, kind, col, arg in map_frames:
         tp = (
             _hist_partial(delta, keys, name, col, arg)
             if kind == "hist"
             else _topk_partial(delta, keys, name, col, arg)
         ).withColumn(_KEY, key_expr)
-        out = tp if out is None else out.join(tp.drop(*keys), _KEY, "left")
+        out = out.join(tp.drop(*keys), _KEY, "left")
     return out.select(*keys, *[m[0] for m in measures], _KEY)
 
 
@@ -381,6 +382,36 @@ def ivm_apply(
             "buckets": buckets,
             "rows": rows,
             "applied": _trim_applied(applied + ([batch_key] if batch_key else [])),
+        },
+        new_version,
+    )
+    return new_version
+
+
+INVERTIBLE_OPS = {"count", "sum", "hist"}
+
+
+def has_non_invertible(measures: list[tuple]) -> bool:
+    return any(_op_kind(op)[0] not in INVERTIBLE_OPS for _, op, _ in measures)
+
+
+def ivm_commit_key(spark: SparkSession, table_path: str, batch_key: str) -> int:
+    """Record ``batch_key`` in a data-less manifest commit — the noop
+    half of an exactly-once protocol step whose fold had nothing to do
+    (e.g. a change-feed retract half over an insert-only range). Returns
+    the committed version (or the current one if the key is already
+    recorded)."""
+    manifest = read_manifest(table_path)
+    applied = manifest.get("applied", [])
+    if batch_key in applied:
+        return manifest["version"]
+    new_version = manifest["version"] + 1
+    _commit(
+        table_path,
+        {
+            **manifest,
+            "version": new_version,
+            "applied": _trim_applied(applied + [batch_key]),
         },
         new_version,
     )

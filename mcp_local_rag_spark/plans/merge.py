@@ -37,10 +37,13 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_TS_WRITE_LOCK = threading.Lock()
 
 _SNAP_DIR = "_snapshots"
 
@@ -160,18 +163,23 @@ def _write_data_version(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     # INT96 (Spark's default parquet timestamp encoding) carries NO
     # min/max stats, which silently disables row-group skipping on every
-    # timestamp predicate — force MICROS for all snapshot-table files
+    # timestamp predicate — force MICROS for all snapshot-table files.
+    # The switch is a SESSION-GLOBAL conf (no per-write option exists),
+    # so the set/write/restore window is serialized by a module lock:
+    # without it, two threads' finally-restores can interleave and land
+    # a write back on INT96
     conf = df.sparkSession.conf
     ts_key = "spark.sql.parquet.outputTimestampType"
-    prev = conf.get(ts_key, None)
-    conf.set(ts_key, "TIMESTAMP_MICROS")
-    try:
-        writer.parquet(os.path.join(table_path, data_dir))
-    finally:
-        if prev is None:
-            conf.unset(ts_key)
-        else:
-            conf.set(ts_key, prev)
+    with _TS_WRITE_LOCK:
+        prev = conf.get(ts_key, None)
+        conf.set(ts_key, "TIMESTAMP_MICROS")
+        try:
+            writer.parquet(os.path.join(table_path, data_dir))
+        finally:
+            if prev is None:
+                conf.unset(ts_key)
+            else:
+                conf.set(ts_key, prev)
     return data_dir
 
 
@@ -191,6 +199,9 @@ def create_merge_table(
         "n_buckets": n_buckets,
         "buckets": {str(b): data_dir for b in present},
         "rows": _dir_bucket_rows(table_path, data_dir),
+        "columns": {
+            f.name: f.dataType.simpleString() for f in df.schema.fields
+        },
     }
     _commit(table_path, manifest, 1)
     return 1
@@ -358,7 +369,18 @@ def key_lookup(
     # what a point read must not do); the typed equality pushes to the
     # scan, so the key-sorted row groups inside the file prune too
     one = spark.read.parquet(os.path.join(table_path, d, f"bucket={b}"))
-    return one.filter(_typed_key_pred(one, key, [key_value]))
+    one = one.filter(_typed_key_pred(one, key, [key_value]))
+    # align to the manifest-recorded CURRENT schema: after a
+    # schema-evolving merge an untouched bucket's files lack the new
+    # columns — null-fill them so the point read's shape never depends
+    # on which bucket the key hashed into (metadata-only, no listing)
+    cols = manifest.get("columns")
+    if cols:
+        for c, t in cols.items():
+            if c not in one.columns:
+                one = one.withColumn(c, F.lit(None).cast(t))
+        one = one.select(*cols.keys())
+    return one
 
 
 def merge_into(
@@ -517,6 +539,13 @@ def _merge_once(
             "n_buckets": nb,
             "buckets": buckets,
             "rows": rows,
+            # the CURRENT data schema: single-dir readers (key_lookup)
+            # null-fill evolved columns from this, metadata-only
+            "columns": {
+                f.name: f.dataType.simpleString()
+                for f in merged.schema.fields
+                if f.name != "bucket"
+            },
             "applied": _trim_applied(applied + ([batch_key] if batch_key else [])),
         },
         new_version,
@@ -628,7 +657,25 @@ def compact_snapshots(
     key, nb = manifest["key"], manifest["n_buckets"]
     new_version = manifest["version"] + 1
     live = read_snapshot(spark, table_path)
-    data_dir = _write_data_version(live, table_path, new_version, key, nb)
+    # a clustered table compacts IN ITS CLUSTERED ORDER — otherwise the
+    # carried-forward `clustered` marker would lie about the row-group
+    # layout the rewrite just destroyed
+    clustered = manifest.get("clustered")
+    order_by, drop_after = None, ()
+    if clustered:
+        if clustered["curve"] == "linear":
+            order_by = list(clustered["cols"])
+        else:
+            from .zorder import ZKEY, with_zorder_key
+
+            live = with_zorder_key(
+                live, clustered["cols"], curve=clustered["curve"]
+            )
+            order_by, drop_after = [ZKEY], (ZKEY,)
+    data_dir = _write_data_version(
+        live, table_path, new_version, key, nb,
+        order_by=order_by, drop_after_sort=drop_after,
+    )
     buckets = {str(b): data_dir for b in _buckets_on_disk(table_path, data_dir)}
     _commit(
         table_path,
@@ -766,6 +813,11 @@ def rebucket(
                 for b in _buckets_on_disk(table_path, data_dir)
             },
             "rows": _dir_bucket_rows(table_path, data_dir),
+            "columns": {
+                f.name: f.dataType.simpleString()
+                for f in live.schema.fields
+                if f.name != "bucket"
+            },
             "applied": manifest.get("applied", []),
         },
         new_version,

@@ -138,8 +138,10 @@ def lookup_by(
     hit = key_lookup(spark, index_path, value, version=idx_version).select(
         _PKS
     ).first()
-    snap_all = read_snapshot(spark, src, at_source_version)
     if hit is None or not hit[_PKS]:
+        # miss path only: the full-snapshot plan exists just to return
+        # an empty frame with the source schema — never built on a hit
+        snap_all = read_snapshot(spark, src, at_source_version)
         return snap_all.filter(F.lit(False)).drop("bucket")
     pks = sorted(hit[_PKS].keys())
     nb = read_manifest(src, at_source_version)["n_buckets"]

@@ -357,17 +357,29 @@ def q_events_theta_audience(spark, sf_dir):
     path = _theta_table(spark, sf_dir)
     view = ivm_read(spark, path)
     purch = view.filter(F.col("event_type") == "purchase").select(
-        F.col("aud").alias("paud")
+        F.lit(1).alias("_j"), F.col("aud").alias("paud")
     )
+    # LEFT join on a constant, not a crossJoin: with no purchase events
+    # the reference audience is the EMPTY set (intersection 0,
+    # difference = the audience itself) — the oracle's LEFT JOIN shape
     return (
-        view.crossJoin(F.broadcast(purch))
+        view.withColumn("_j", F.lit(1))
+        .join(F.broadcast(purch), "_j", "left")
         .select(
             "event_type",
             F.theta_sketch_estimate("aud").cast("long").alias("aud"),
-            F.theta_sketch_estimate(F.theta_intersection("aud", "paud"))
+            F.when(F.col("paud").isNull(), F.lit(0))
+            .otherwise(
+                F.theta_sketch_estimate(F.theta_intersection("aud", "paud"))
+            )
             .cast("long")
             .alias("aud_and_purchase"),
-            F.theta_sketch_estimate(F.theta_difference("aud", "paud"))
+            F.when(
+                F.col("paud").isNull(), F.theta_sketch_estimate("aud")
+            )
+            .otherwise(
+                F.theta_sketch_estimate(F.theta_difference("aud", "paud"))
+            )
             .cast("long")
             .alias("aud_not_purchase"),
         )

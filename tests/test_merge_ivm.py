@@ -1602,3 +1602,119 @@ def test_secondary_index_as_of_lookup(spark, tmp_path):
     assert asof == v1_members
     with pytest.raises(ValueError, match="no index version"):
         lookup_by(spark, idx, "1", at_source_version=99)
+
+
+def test_view_with_sketch_measures_syncs_append_only(spark, tmp_path):
+    """Changefeed views carrying non-invertible measures ARE syncable
+    over append-only ranges (the retract half commits as a data-less
+    cursor key); a range with a delete raises a clear error instead of
+    folding a wrong answer."""
+    from mcp_local_rag_spark.plans.changefeed import (
+        create_view_over_table,
+        sync_view_auto,
+    )
+
+    src = str(tmp_path / "srcap")
+    view = str(tmp_path / "viewap")
+    base = spark.range(60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    create_merge_table(base, src, "k", n_buckets=4)
+    create_view_over_table(
+        spark, src, view, ["g"],
+        [("cnt", "count", None), ("vmax", "max", "v"),
+         ("nd", "approx_ndv", "k")],
+        n_buckets=4,
+    )
+    merge_into(  # insert-only CDC batch
+        spark, src,
+        spark.createDataFrame(
+            [Row(k=100, g="1", v=9999, is_delete=False),
+             Row(k=101, g="2", v=5, is_delete=False)],
+        ),
+        delete_col="is_delete",
+    )
+    assert sync_view_auto(spark, view) == 2
+    got = {
+        r["g"]: (r["cnt"], r["vmax"], r["nd"])
+        for r in ivm_read(spark, view)
+        .select("g", "cnt", "vmax", F.hll_sketch_estimate("nd").alias("nd"))
+        .collect()
+    }
+    exp = {
+        r["g"]: (r["cnt"], r["vmax"], r["nd"])
+        for r in read_snapshot(spark, src)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("v").alias("vmax"),
+            F.countDistinct("k").alias("nd"),
+        )
+        .collect()
+    }
+    assert got == exp
+    # re-sync is a no-op (cursor advanced past the data-less retract key)
+    assert sync_view_auto(spark, view) is None
+
+    merge_into(  # now a DELETE arrives: the view must refuse, loudly
+        spark, src,
+        spark.createDataFrame([Row(k=100, g="1", v=0, is_delete=True)]),
+        delete_col="is_delete",
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        sync_view_auto(spark, view)
+
+
+def test_ivm_all_map_measures_keep_null_valued_groups(spark, tmp_path):
+    """A view whose measures are ALL map-kind still carries every group:
+    a group whose first map column is entirely NULL must not lose its
+    other maps (the hidden base aggregate covers all delta rows)."""
+    path = str(tmp_path / "ivm_nullmap")
+    ev = spark.createDataFrame(
+        [Row(grp=0, a="x", b="p"), Row(grp=0, a="y", b="p"),
+         Row(grp=1, a=None, b="q"), Row(grp=1, a=None, b="r")],
+    )
+    measures = [("ha", "hist", "a"), ("hb", "hist", "b")]
+    ivm_create(spark, path, ev, ["grp"], measures, n_buckets=2)
+    ivm_apply(spark, path, ev, ["grp"], measures)
+    got = {
+        r["grp"]: (dict(r["ha"] or {}), dict(r["hb"] or {}))
+        for r in ivm_read(spark, path).collect()
+    }
+    assert got == {
+        0: ({"x": 1, "y": 1}, {"p": 2}),
+        1: ({}, {"q": 1, "r": 1}),
+    }
+
+
+def test_key_lookup_schema_stable_across_evolution(spark, tmp_path):
+    """After a schema-evolving merge, point reads on UNTOUCHED buckets
+    null-fill the evolved columns from the manifest schema — the row
+    shape never depends on which bucket the key hashed into."""
+    from mcp_local_rag_spark.plans.merge import key_lookup
+
+    tbl = str(tmp_path / "ptev")
+    base = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    create_merge_table(base, tbl, "k", n_buckets=8)
+    merge_into(
+        spark, tbl,
+        spark.createDataFrame(
+            [Row(k=3, v=6, extra="new", is_delete=False)],
+        ),
+        delete_col="is_delete",
+        schema_evolution=True,
+    )
+    evolved = key_lookup(spark, tbl, 3).first()
+    assert evolved["extra"] == "new"
+    # a key in an untouched (pre-evolution) bucket: same columns, NULL fill
+    for k in range(50):
+        if k == 3:
+            continue
+        row = key_lookup(spark, tbl, k).first()
+        if row is not None:
+            assert "extra" in row.asDict() and row["extra"] is None
+            break
