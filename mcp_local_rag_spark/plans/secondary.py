@@ -164,3 +164,71 @@ def lookup_by(
     # typed IN-list pushes to the parquet scan, so inside each touched
     # bucket the key-sorted row groups prune to the ones holding the pks
     return narrowed.filter(_typed_key_pred(narrowed, pk, pks)).drop("bucket")
+
+
+def lookup_by_many(
+    spark: SparkSession,
+    index_path: str,
+    values: list,
+    *,
+    source_table: str | None = None,
+    stale_ok: bool = False,
+) -> DataFrame:
+    """Batch non-key lookup: rows of the SOURCE whose indexed column is
+    IN ``values`` — ONE index read over the values' buckets, then one
+    source read over the union of their pks' buckets. Cost rides the
+    values' combined selectivity, never the table."""
+    from .changefeed import _cursor_state
+    from .merge import _typed_key_pred, current_version
+
+    spec = load_view_spec(index_path)
+    src = source_table or spec["source_table"]
+    if not stale_ok:
+        cursor, _pending = _cursor_state(index_path)
+        cur = current_version(src)
+        if cursor is None or cursor < cur:
+            raise ValueError(
+                f"index {index_path} is stale (cursor {cursor} < source "
+                f"version {cur}); run sync_secondary_index, or pass "
+                "stale_ok=True"
+            )
+    col = spec["keys"][0]
+    im = read_manifest(index_path)
+    svals = [str(v) for v in values]
+    vb = sorted(
+        r["b"]
+        for r in spark.createDataFrame([(s,) for s in svals], "v string")
+        .select(
+            F.pmod(F.xxhash64("v"), F.lit(im["n_buckets"]))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    idx = read_snapshot(spark, index_path, only_buckets=vb)
+    pks = sorted(
+        {
+            p
+            for r in idx.filter(_typed_key_pred(idx, col, values))
+            .select(F.map_keys(F.col(_PKS)).alias("ks"))
+            .collect()
+            for p in r["ks"]
+        }
+    )
+    if not pks:
+        snap_all = read_snapshot(spark, src)
+        return snap_all.filter(F.lit(False)).drop("bucket")
+    pk = read_manifest(src)["key"]
+    nb = read_manifest(src)["n_buckets"]
+    buckets = sorted(
+        r["b"]
+        for r in spark.createDataFrame([(p,) for p in pks], "p string")
+        .select(
+            F.pmod(F.xxhash64("p"), F.lit(nb)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    narrowed = read_snapshot(spark, src, only_buckets=buckets)
+    return narrowed.filter(_typed_key_pred(narrowed, pk, pks)).drop("bucket")

@@ -1718,3 +1718,33 @@ def test_key_lookup_schema_stable_across_evolution(spark, tmp_path):
         if row is not None:
             assert "extra" in row.asDict() and row["extra"] is None
             break
+
+
+def test_secondary_index_batch_lookup(spark, tmp_path):
+    """lookup_by_many: one index read + one source read answers an
+    IN-list of values exactly; empty value sets return an empty frame."""
+    from mcp_local_rag_spark.plans.secondary import (
+        create_secondary_index,
+        lookup_by_many,
+    )
+
+    src = str(tmp_path / "srcbm")
+    idx = str(tmp_path / "idxbm")
+    base = spark.range(90).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 9).cast("string").alias("c"),
+        F.col("id").alias("v"),
+    )
+    create_merge_table(base, src, "k", n_buckets=8)
+    create_secondary_index(spark, src, idx, "c", n_buckets=4)
+    got = {
+        r["k"] for r in lookup_by_many(spark, idx, ["2", "5", "nope"]).collect()
+    }
+    exp = {
+        r["k"]
+        for r in read_snapshot(spark, src)
+        .filter(F.col("c").isin("2", "5"))
+        .collect()
+    }
+    assert got == exp and len(got) == 20
+    assert lookup_by_many(spark, idx, ["absent"]).count() == 0
