@@ -269,3 +269,42 @@ def test_cli_table_optimize(spark, tmp_path):
     assert o["version"] == 2 and o["clusteredBy"] == ["ts"]
     assert read_manifest(tbl)["clustered"]["cols"] == ["ts"]
     assert read_snapshot(spark, tbl).count() == 100
+
+
+def test_cli_view_create_sketch_measures_and_parse_guard(spark, tmp_path):
+    """The CLI accepts sketch measures (4-part approx_topk form) and the
+    ambiguous 3-part NAME:approx_topk:K form fails with a pointed error
+    instead of a missing-column AnalysisException."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.plans.merge import create_merge_table
+
+    tbl = str(tmp_path / "vsrc")
+    view = str(tmp_path / "vview")
+    base = spark.range(30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 5).cast("string").alias("b"),
+    )
+    create_merge_table(base, tbl, "k", n_buckets=4)
+    eng = RagEngine(spark, str(tmp_path / "chunks_unused6"))
+
+    (made,) = _run(
+        eng, "view-create", tbl, view,
+        "--key", "g",
+        "--measure", "cnt:count",
+        "--measure", "hot:approx_topk:8:b",
+        "--buckets", "4",
+    )
+    assert made["cursor"] == 1
+    (r,) = _run(eng, "view-read", view)
+    assert all(len(row["hot"]) == 5 for row in r["rows"])
+
+    with _pytest.raises(ValueError, match="approx_topk needs a column"):
+        run(
+            ["--table", eng.table_path, "view-create", tbl,
+             str(tmp_path / "vbad"), "--key", "g",
+             "--measure", "hot:approx_topk:8"],
+            eng,
+        )
