@@ -292,6 +292,134 @@ def q_documents_cdf_view(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Clustered compaction under the gate: build the events snapshot table,
+# OPTIMIZE it by ts (within-bucket sort + MICROS stats), then answer a
+# narrow time-range aggregate FROM THE OPTIMIZED TABLE. The oracle is
+# the flat declarative filter over raw events — a hash match proves the
+# clustered rewrite is lossless while the probe (WAREHOUSE_SCALE) shows
+# the row-group skipping it buys.
+
+
+def _optimized_events_table(spark: SparkSession, sf_dir: str) -> str:
+    from ..plans.merge import (
+        create_merge_table,
+        optimize_table,
+        read_manifest,
+    )
+
+    path = _scratch_path(sf_dir, "opt_events", tables=("events",))
+    done = os.path.join(path, "_snapshots", "CURRENT")
+    if os.path.isfile(done):
+        try:
+            if read_manifest(path).get("clustered"):
+                return path
+        except (OSError, ValueError):
+            pass
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    create_merge_table(ev, path, "event_id", n_buckets=8)
+    optimize_table(spark, path, ["ts"], max_records_per_file=100_000)
+    return path
+
+
+@register(
+    "events_optimized_range_read",
+    """WITH lo AS (SELECT min(ts) AS t FROM events)
+SELECT event_type, count(*)::BIGINT AS cnt,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_value
+FROM events, lo
+WHERE ts >= lo.t AND ts < lo.t + INTERVAL 12 HOUR
+GROUP BY event_type ORDER BY event_type""",
+)
+def q_events_optimized_range_read(spark, sf_dir):
+    from ..plans.merge import read_snapshot
+
+    path = _optimized_events_table(spark, sf_dir)
+    snap = read_snapshot(spark, path)
+    lo = snap.agg(F.min("ts")).first()[0]
+    return (
+        snap.filter(
+            (F.col("ts") >= F.lit(lo))
+            & (F.col("ts") < F.lit(lo) + F.expr("INTERVAL 12 HOURS"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (
+                F.round(
+                    F.sum(F.col("value").cast(DEC6)).cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point reads under the gate: key_lookup against the CDC-merged table at
+# BOTH the current version and v1 for a deterministic id set that spans
+# every merge outcome — an updated id, a deleted id (present at v1 only),
+# an untouched id, and a CDC-inserted id (present at v2 only). The plan
+# is a union of single-bucket-directory scans; the oracle re-derives the
+# same rows declaratively.
+
+
+@register(
+    "documents_point_reads",
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+upd AS (
+  SELECT doc_id, 'v2:' || substr(text, 1, 40) AS text, lang, source,
+         length('v2:' || substr(text, 1, 40)) AS n_chars
+  FROM documents WHERE doc_id % 10 = 3),
+ins AS (
+  SELECT d.doc_id + mx.m + 1 AS doc_id,
+         'synthetic insert ' || (d.doc_id + mx.m + 1) AS text,
+         'xx' AS lang, 'cdc' AS source,
+         length('synthetic insert ' || (d.doc_id + mx.m + 1)) AS n_chars
+  FROM documents d, mx WHERE d.doc_id % 29 = 11),
+merged AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  WHERE doc_id % 10 <> 3 AND doc_id % 13 <> 7
+  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM upd
+  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM ins),
+ids AS (SELECT unnest([3, 7, 8, 13, (SELECT 11 + m + 1 FROM mx)]) AS id)
+SELECT 'v2' AS at_version, doc_id, source, n_chars
+FROM merged JOIN ids ON doc_id = id
+UNION ALL
+SELECT 'v1', doc_id, source, n_chars
+FROM documents JOIN ids ON doc_id = id
+ORDER BY at_version, doc_id""",
+)
+def q_documents_point_reads(spark, sf_dir):
+    from ..plans.merge import key_lookup
+
+    path = _merged_docs_table(spark, sf_dir)
+    max_id = load(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    ids = [3, 7, 8, 13, 11 + max_id + 1]
+    parts = []
+    for tag, version in (("v2", None), ("v1", 1)):
+        for i in ids:
+            parts.append(
+                key_lookup(spark, path, i, version=version).select(
+                    F.lit(tag).alias("at_version"),
+                    "doc_id",
+                    "source",
+                    "n_chars",
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("at_version", "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Theta-sketch audience algebra: per-event-type distinct-user sketches
 # maintained by the same out-of-order IVM fold, then SET OPERATIONS over
 # the folded state at read time — union with, intersection with, and
