@@ -164,19 +164,49 @@ _VERIFIED_R8 = {
 }
 
 
+_VERIFIED_R10 = {
+    "agg_per_file", "bm25_ngram23", "bm25_unigram", "content_hash",
+    "corpus_perplexity_buckets", "corpus_shuffle_shards", "corpus_stats",
+    "dedup_minhash_estimate", "dedup_rate_by_source", "distinct_event_types",
+    "documents_cdf_view", "documents_merge_changes",
+    "documents_merge_time_travel", "documents_merge_upsert",
+    "documents_point_reads", "documents_secondary_lookup", "embedding_kmeans",
+    "events_expectations", "events_expectations_metrics", "events_hourly",
+    "events_impressions_unattributed", "events_ivm_hourly",
+    "events_ivm_sketches", "events_optimized_range_read",
+    "events_scd2_history", "events_theta_audience", "events_zorder_read",
+    "first_event_per_user", "hybrid_search_indexed", "keyword_boost",
+    "list_cross_reference", "media_audio_features", "media_image_features",
+    "media_video_frames", "null_normalization", "orphan_customers",
+    "percentile_by_lang", "scalar_funcs", "scan_projection",
+    "semi_join_candidates", "sync_counters", "sync_plan",
+    "tpch_q18_big_orders", "tpch_q1_pricing", "tpch_q3_topk", "tpch_q5_region",
+    "tpch_q6_selective", "viewers_never_purchased", "window_rank_orders",
+}
+
+
 def _ordered_names():
-    """Never-verified queries first, then by the age of the last green row
-    (oldest round first), so the driver's 50-query window always covers the
-    fresh surface and re-verifies the stalest settled queries."""
+    """Oracle-paired queries first — never-verified ones leading, then by
+    the age of the last green row (oldest round first) — so the driver's
+    50-query window always covers the fresh surface and re-verifies the
+    stalest settled queries. Rows-only entries (sql=None) sort LAST: the
+    driver can only record a weaker rows-only row for them, their hard
+    checks live in pytest goldens, and the sample window's slots belong
+    to hash-checkable queries."""
     names = list(REGISTRY)
     rounds = (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3, _VERIFIED_R4,
-              _VERIFIED_R5, _VERIFIED_R7, _VERIFIED_R8)
+              _VERIFIED_R5, _VERIFIED_R7, _VERIFIED_R8, _VERIFIED_R10)
 
     def last_green(n):
         seen = [i + 1 for i, s in enumerate(rounds) if n in s]  # R8 ranks 7th
         return max(seen) if seen else 0
 
-    return sorted(names, key=lambda n: (last_green(n), names.index(n)))
+    return sorted(
+        names,
+        key=lambda n: (
+            REGISTRY[n]["sql"] is None, last_green(n), names.index(n)
+        ),
+    )
 
 
 def queries():

@@ -148,7 +148,7 @@ def test_chunk_documents_boundary_digest_golden(spark):
 
     from mcp_local_rag_spark.queries import queries
 
-    rows = queries()["chunk_documents"](spark, "/root/testdata/sf0.001").collect()
+    rows = queries()["chunk_documents_uax29"](spark, "/root/testdata/sf0.001").collect()
     assert len(rows) == 500
     per_doc = {}
     for r in rows:

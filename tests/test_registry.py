@@ -12,7 +12,11 @@ def test_registry_shape():
     assert set(osql) <= set(qs)
     # at most the documented handful of rows-only entries
     no_oracle = set(qs) - set(osql)
-    assert no_oracle == {"chunk_documents"}
+    assert no_oracle == {"chunk_documents_uax29"}
+    # rows-only entries sort LAST: the driver's 50-query sample window
+    # must land only on hash-checkable (oracle-paired) queries
+    names = list(qs)
+    assert names[-len(no_oracle):] == sorted(no_oracle)
     for name, sql in osql.items():
         assert isinstance(sql, str) and sql.strip(), name
         assert "SELECT" in sql.upper(), name
@@ -22,7 +26,8 @@ def test_registry_shape():
 
 def test_registry_order_puts_unverified_first():
     """The driver checks a 50-query window from the head: never-verified
-    entries must sort before previously-green ones."""
+    oracle-paired entries must sort before previously-green ones (and
+    rows-only entries sort after everything)."""
     from mcp_local_rag_spark.queries import (
         _VERIFIED_R1,
         _VERIFIED_R2,
@@ -31,16 +36,24 @@ def test_registry_order_puts_unverified_first():
         _VERIFIED_R5,
         _VERIFIED_R7,
         _VERIFIED_R8,
+        _VERIFIED_R10,
     )
 
     seen = (
         _VERIFIED_R1 | _VERIFIED_R2 | _VERIFIED_R3 | _VERIFIED_R4
-        | _VERIFIED_R5 | _VERIFIED_R7 | _VERIFIED_R8
+        | _VERIFIED_R5 | _VERIFIED_R7 | _VERIFIED_R8 | _VERIFIED_R10
     )
     names = list(queries())
+    paired = set(oracle_sql())
     first_seen_idx = min(i for i, n in enumerate(names) if n in seen)
     last_new_idx = max(
-        (i for i, n in enumerate(names) if n not in seen), default=-1
+        (
+            i
+            for i, n in enumerate(names)
+            if n not in seen and n in paired
+        ),
+        default=-1,
     )
     assert last_new_idx < 50  # every new query is inside the check window
-    assert first_seen_idx > 0  # and at least one new query precedes the old
+    if last_new_idx >= 0:  # when new queries exist, they precede the old
+        assert first_seen_idx > 0

@@ -228,7 +228,7 @@ COMMENTARY = {
         "(classes a small constant). The per-doc argmax window partitions "
         "by doc_id — never a global gather."
     ),
-    "chunk_documents_oracle": (
+    "chunk_documents": (
         "Max-Min grouping under the exact-arithmetic embedding: sentence "
         "construction is pure array ops (no explode-collect round trip), "
         "the chunker is ONE applyInPandas keyed by document — sequential "
