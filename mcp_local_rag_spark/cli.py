@@ -102,6 +102,9 @@ def _parser() -> argparse.ArgumentParser:
     tv.add_argument("path")
     tv.add_argument("--keep", type=int, default=2,
                     help="manifest versions to retain")
+    tv.add_argument("--grace", type=float, default=600.0,
+                    help="seconds to keep young unreferenced dirs "
+                         "(in-flight-writer protection)")
 
     tr = sub.add_parser(
         "table-rebucket", help="re-hash the table into a new bucket count"
@@ -288,7 +291,11 @@ def run(argv: list[str], engine, out=None) -> int:
     if args.cmd == "table-vacuum":
         from .plans.merge import vacuum
 
-        removed = vacuum(os.path.abspath(args.path), keep_versions=args.keep)
+        removed = vacuum(
+            os.path.abspath(args.path),
+            keep_versions=args.keep,
+            grace_seconds=args.grace,
+        )
         emit({"removedDataDirs": removed})
         return 0
     if args.cmd == "table-rebucket":

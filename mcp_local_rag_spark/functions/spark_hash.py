@@ -84,3 +84,22 @@ def bucket_of(key: str, n_buckets: int, seed: int = 42) -> int:
     layouts route ``key`` to (plans/ingest.write_chunks, plans/fts)."""
     h = xxhash64(key.encode("utf-8"), seed)
     return h % n_buckets if h >= 0 else (h % n_buckets + n_buckets) % n_buckets
+
+
+def spark_string_of(value) -> str:
+    """``CAST(value AS STRING)`` exactly as Spark evaluates it, for the
+    value types the bucketed layouts actually key on — lets a point read
+    route to its bucket driver-locally (bucket_of) instead of paying a
+    whole Spark job for one hash. Raises TypeError for types whose JVM
+    string rendering this mirror does not reproduce bit-exactly (floats:
+    Java Double.toString is not Python repr; timestamps: zone/format),
+    so callers can fall back to the Spark-side expression."""
+    if isinstance(value, bool):  # before int: bool is an int subclass
+        return "true" if value else "false"
+    if isinstance(value, str):
+        return value
+    if isinstance(value, int):
+        return str(value)
+    raise TypeError(
+        f"no exact Spark string-cast mirror for {type(value).__name__}"
+    )

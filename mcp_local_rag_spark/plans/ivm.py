@@ -47,6 +47,49 @@ from .merge import (
 
 _KEY = "_ivm_key"
 _SEP = "\x1f"
+_ESC = "\x1e"
+_NULLTOK = "\x00"
+
+
+def _enc_component(col):
+    """Null-safe, collision-free encoding of ONE key component:
+    escape the escape char, the separator, and the null sentinel inside
+    the value, then map NULL itself to the bare sentinel. concat_ws
+    alone SKIPS nulls, which would collapse (NULL,'x') with ('x',NULL)
+    and NULL with '' into one state row / join key."""
+    s = col.cast("string")
+    s = F.replace(s, F.lit(_ESC), F.lit(_ESC + _ESC))
+    s = F.replace(s, F.lit(_SEP), F.lit(_ESC + "s"))
+    s = F.replace(s, F.lit(_NULLTOK), F.lit(_ESC + "0"))
+    return F.coalesce(s, F.lit(_NULLTOK))
+
+
+def ivm_key_expr(keys: list[str]):
+    """The state-table key for a group: null-safe encoded components
+    joined on the separator. Every writer AND reader of an IVM/view
+    state table must derive keys through this one expression."""
+    return F.concat_ws(_SEP, *[_enc_component(F.col(c)) for c in keys])
+
+
+def ivm_key_of(values) -> str:
+    """Driver-local mirror of ``ivm_key_expr`` for concrete values —
+    lets point reads (plans/secondary) route to the state bucket without
+    a Spark job. Exact for None/str/int/bool; raises TypeError for types
+    whose Spark string cast this mirror can't reproduce (callers fall
+    back to the Spark expression)."""
+    from ..functions.spark_hash import spark_string_of
+
+    parts = []
+    for v in values:
+        if v is None:
+            parts.append(_NULLTOK)
+            continue
+        s = spark_string_of(v)
+        s = s.replace(_ESC, _ESC + _ESC)
+        s = s.replace(_SEP, _ESC + "s")
+        s = s.replace(_NULLTOK, _ESC + "0")
+        parts.append(s)
+    return _SEP.join(parts)
 
 # measure spec: (output column, op, input column). count/sum form the
 # ADDITIVE fragment (invertible: weight=-1 retracts); min/max and
@@ -199,7 +242,7 @@ def _partial(delta: DataFrame, keys: list[str], measures: list[tuple], weight: i
         else:
             fn = F.min if kind == "min" else F.max
             aggs.append(fn(F.col(col)).alias(name))
-    key_expr = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in keys])
+    key_expr = ivm_key_expr(keys)
     # the base aggregate ALWAYS runs (a hidden count when no scalar
     # measure was declared): it groups over every delta row, so it is a
     # superset of each map partial (those drop null values) and the

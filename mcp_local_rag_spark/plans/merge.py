@@ -94,30 +94,74 @@ def _commit(table_path: str, manifest: dict, version: int) -> None:
     on POSIX): readers either see the old complete snapshot or the new
     complete snapshot, never a half-commit.
 
-    Concurrency: the manifest is created with O_EXCL, so two writers
-    racing to commit the same version number serialize on the filesystem
-    — the loser gets ConcurrentCommitError and must re-derive its change
-    from the winner's snapshot (merge_into(max_retries=...) does this).
-    """
+    Concurrency: the manifest is fully written to a hidden tmp file and
+    PUBLISHED with os.link, which fails atomically if the name exists —
+    so two writers racing to commit the same version number serialize on
+    the filesystem (the loser gets ConcurrentCommitError and must
+    re-derive from the winner's snapshot; merge_into(max_retries=...)
+    does this), and a visible v{N}.json is ALWAYS complete: a writer
+    crash can never leave a torn manifest, only an orphan tmp file
+    (vacuum sweeps those). That completeness guarantee is what makes
+    repair_current's roll-forward safe."""
     snap_dir = os.path.join(table_path, _SNAP_DIR)
     os.makedirs(snap_dir, exist_ok=True)
+    tmp = os.path.join(snap_dir, f".v{version}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(
-            _snap_path(table_path, version),
-            os.O_WRONLY | os.O_CREAT | os.O_EXCL,
-            0o644,
-        )
+        os.link(tmp, _snap_path(table_path, version))
     except FileExistsError:
+        os.unlink(tmp)
         raise ConcurrentCommitError(
             f"version {version} of {table_path} was committed by another "
             "writer"
         ) from None
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
+    os.unlink(tmp)
     tmp = os.path.join(snap_dir, ".CURRENT.tmp")
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, os.path.join(snap_dir, "CURRENT"))
+
+
+def repair_current(table_path: str) -> int | None:
+    """Roll CURRENT forward to the newest complete manifest — the
+    recovery path for a writer that crashed AFTER publishing v{N}.json
+    but BEFORE flipping the pointer. Without this, every future writer
+    targets N, collides, re-derives from the same stale CURRENT, and
+    livelocks. Adoption is safe because _commit publishes manifests
+    with os.link, so a visible manifest is complete by construction.
+
+    Returns the version CURRENT advanced to, or None when it was
+    already at the newest manifest. A manifest newer than CURRENT that
+    does not parse (a torn file from a pre-link-protocol crash) fails
+    loudly with removal guidance rather than being silently skipped."""
+    versions = list_versions(table_path)
+    if not versions:
+        return None
+    cur = current_version(table_path)
+    newest = versions[-1]
+    if newest <= cur:
+        return None
+    try:
+        manifest = read_manifest(table_path, newest)
+        ok = manifest.get("version") == newest
+    except (json.JSONDecodeError, OSError):
+        ok = False
+    if not ok:
+        raise RuntimeError(
+            f"manifest v{newest} of {table_path} is newer than CURRENT "
+            f"({cur}) but unreadable — a torn file from a crashed legacy "
+            "writer. Delete it to unwedge the table: "
+            f"{_snap_path(table_path, newest)}"
+        )
+    snap_dir = os.path.join(table_path, _SNAP_DIR)
+    tmp = os.path.join(snap_dir, ".CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(newest))
+    os.replace(tmp, os.path.join(snap_dir, "CURRENT"))
+    return newest
 
 
 def _bucketed(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
@@ -329,6 +373,33 @@ def _typed_key_pred(df: DataFrame, col: str, values: list):
     return F.col(col).cast("string").isin(svals)
 
 
+def _route_bucket(spark: SparkSession, key_value, n_buckets: int) -> int:
+    """The bucket ``key_value`` hashes into, resolved DRIVER-LOCALLY
+    (functions/spark_hash mirrors F.xxhash64 bit-exactly, property-tested)
+    — a point read must not pay a whole Spark job just to learn which
+    directory to open (the job-scheduling overhead dominated the
+    174-188 ms p50 the round-10 probe measured). Types whose Spark
+    string cast the mirror can't reproduce (floats, timestamps) fall
+    back to the one-row Spark job."""
+    from ..functions.spark_hash import bucket_of, spark_string_of
+
+    try:
+        return bucket_of(spark_string_of(key_value), n_buckets)
+    except TypeError:
+        return (
+            spark.range(1)
+            .select(
+                F.pmod(
+                    F.xxhash64(F.lit(key_value).cast("string")),
+                    F.lit(n_buckets),
+                )
+                .cast("int")
+                .alias("b")
+            )
+            .first()["b"]
+        )
+
+
 def key_lookup(
     spark: SparkSession,
     table_path: str,
@@ -344,17 +415,7 @@ def key_lookup(
     writer accepted."""
     manifest = read_manifest(table_path, version)
     key, nb = manifest["key"], manifest["n_buckets"]
-    b = (
-        spark.range(1)
-        .select(
-            F.pmod(
-                F.xxhash64(F.lit(key_value).cast("string")), F.lit(nb)
-            )
-            .cast("int")
-            .alias("b")
-        )
-        .first()["b"]
-    )
+    b = _route_bucket(spark, key_value, nb)
     d = manifest["buckets"].get(str(b))
     if d is None:  # bucket fully deleted: readable-empty, right schema
         snap = read_snapshot(spark, table_path, version)
@@ -432,6 +493,13 @@ def merge_into(
                 batch_key,
             )
         except ConcurrentCommitError:
+            # two causes: a live writer won the race (CURRENT already
+            # points at the winner — re-deriving is enough), or a PRIOR
+            # writer crashed between publishing its manifest and flipping
+            # CURRENT (re-deriving from the same stale CURRENT would
+            # livelock). repair_current rolls the pointer forward in the
+            # second case and no-ops in the first.
+            repair_current(table_path)
             continue
     return _merge_once(
         spark, table_path, source, delete_col, schema_evolution, batch_key
@@ -454,9 +522,33 @@ def _merge_once(
     new_version = manifest["version"] + 1
 
     src = _bucketed(source, key, nb)
-    touched = sorted(
-        r["bucket"] for r in src.select("bucket").distinct().collect()
-    )
+    # ONE delta-sized pass yields the touched-bucket set AND the key
+    # sanity stats: a source with duplicate keys would fan out the
+    # full-outer join and silently write duplicate rows (Delta's MERGE
+    # raises on multiple matches — so do we); a NULL key has no bucket
+    # identity. Streaming CDC sources collapse duplicates first via
+    # stream_merge(order_col=...).
+    stats = src.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count(key).alias("_nk"),
+        F.countDistinct(key).alias("_nd"),
+    ).collect()
+    n_rows = sum(r["_n"] for r in stats)
+    n_keys = sum(r["_nk"] for r in stats)
+    n_distinct = sum(r["_nd"] for r in stats)
+    if n_keys < n_rows:
+        raise ValueError(
+            f"merge source carries {n_rows - n_keys} NULL {key!r} key(s); "
+            "a MERGE key must be non-null"
+        )
+    if n_distinct < n_keys:
+        raise ValueError(
+            f"merge source carries duplicate {key!r} keys "
+            f"({n_keys} rows, {n_distinct} distinct): a MERGE source must "
+            "be unique per key (collapse duplicates first — a CDC stream "
+            "can use stream_merge(order_col=...) for last-write-wins)"
+        )
+    touched = sorted(r["bucket"] for r in stats)
     if not touched:
         _commit(
             table_path,
@@ -825,16 +917,28 @@ def rebucket(
     return new_version
 
 
-def vacuum(table_path: str, *, keep_versions: int = 2) -> list[str]:
+def vacuum(
+    table_path: str, *, keep_versions: int = 2, grace_seconds: float = 600.0
+) -> list[str]:
     """Retire history: drop every manifest older than the newest
     ``keep_versions`` and every data dir no RETAINED manifest references.
     Returns the removed data dirs.
+
+    ``grace_seconds`` (Delta-style retention grace): an unreferenced dir
+    YOUNGER than the grace window is kept — it may belong to an in-flight
+    concurrent merge that has written its data (_write_data_version runs
+    before _commit) but not yet published its manifest; removing it would
+    let that merge commit pointers to deleted files, a silently corrupted
+    snapshot. Pass 0 only when no writer can be in flight.
 
     The sweep is metadata-only (manifest JSON reads + directory removes)
     — no Spark job, O(versions + dirs) regardless of table size. CURRENT
     is never touched, and data_v1 survives even when unreferenced: it is
     the schema anchor empty snapshots read (read_snapshot's empty guard).
+    Orphan manifest tmp files past the grace window are swept too.
     """
+    import time
+
     versions = list_versions(table_path)
     retained = versions[-keep_versions:] if keep_versions > 0 else versions[-1:]
     cur = current_version(table_path)
@@ -843,12 +947,30 @@ def vacuum(table_path: str, *, keep_versions: int = 2) -> list[str]:
     referenced = {"data_v1"}
     for v in retained:
         referenced.update(read_manifest(table_path, v)["buckets"].values())
+    now = time.time()
+
+    def _young(path: str) -> bool:
+        try:
+            return now - os.path.getmtime(path) < grace_seconds
+        except OSError:
+            return True  # vanished mid-sweep: leave it to the next pass
     removed = []
     for name in sorted(os.listdir(table_path)):
+        full = os.path.join(table_path, name)
         if name.startswith("data_v") and name not in referenced:
-            shutil.rmtree(os.path.join(table_path, name))
+            if _young(full):
+                continue
+            shutil.rmtree(full)
             removed.append(name)
     for v in versions:
         if v not in retained:
             os.remove(_snap_path(table_path, v))
+    snap_dir = os.path.join(table_path, _SNAP_DIR)
+    for name in os.listdir(snap_dir):
+        full = os.path.join(snap_dir, name)
+        if name.startswith(".v") and name.endswith(".tmp") and not _young(full):
+            try:
+                os.unlink(full)
+            except OSError:
+                pass
     return removed

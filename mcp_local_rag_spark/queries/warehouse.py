@@ -535,10 +535,14 @@ def _sec_index_path(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         sync_secondary_index,
     )
 
+    from ..plans.changefeed import load_view_spec
+
     src = _merged_docs_table(spark, sf_dir)
     idx = _scratch_path(sf_dir, "sec_idx_lang", tables=("documents",))
     try:
         cursor, _pending = _cursor_state(idx)
+        if "secondary" not in load_view_spec(idx):
+            cursor = None  # pre-round-11 unsharded layout: rebuild
     except (OSError, ValueError):
         cursor = None
     if cursor is None or cursor < 2:
@@ -587,6 +591,85 @@ def q_documents_secondary_lookup(spark, sf_dir):
             F.sum(F.col("doc_id") * 1009 + F.col("n_chars"))
             .cast("long")
             .alias("checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Secondary-index RANGE lookup (round 11): an index on n_chars answers a
+# band predicate via one tiny index scan + a bucket-pruned source read —
+# never a source scan. The index bootstraps at v1 and SYNCS across the
+# CDC merge, so the lane also proves range answers reflect incremental
+# maintenance (updated docs moved to their new n_chars entries, deleted
+# docs gone, CDC inserts found). Oracle: flat declarative BETWEEN over
+# the merged corpus.
+
+
+def _sec_range_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import shutil
+
+    from ..plans.changefeed import _cursor_state, load_view_spec
+    from ..plans.secondary import (
+        create_secondary_index,
+        sync_secondary_index,
+    )
+
+    src = _merged_docs_table(spark, sf_dir)
+    idx = _scratch_path(sf_dir, "sec_idx_nchars", tables=("documents",))
+    try:
+        cursor, _pending = _cursor_state(idx)
+        if "secondary" not in load_view_spec(idx):
+            cursor = None
+    except (OSError, ValueError):
+        cursor = None
+    if cursor is None or cursor < 2:
+        shutil.rmtree(idx, ignore_errors=True)
+        create_secondary_index(
+            spark, src, idx, "n_chars", n_buckets=8, at_version=1
+        )
+        sync_secondary_index(spark, idx)
+    return idx, src
+
+
+@register(
+    "documents_secondary_range",
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+upd AS (
+  SELECT doc_id, 'v2:' || substr(text, 1, 40) AS text, lang, source,
+         length('v2:' || substr(text, 1, 40)) AS n_chars
+  FROM documents WHERE doc_id % 10 = 3),
+ins AS (
+  SELECT d.doc_id + mx.m + 1 AS doc_id,
+         'synthetic insert ' || (d.doc_id + mx.m + 1) AS text,
+         'xx' AS lang, 'cdc' AS source,
+         length('synthetic insert ' || (d.doc_id + mx.m + 1)) AS n_chars
+  FROM documents d, mx WHERE d.doc_id % 29 = 11),
+merged AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  WHERE doc_id % 10 <> 3 AND doc_id % 13 <> 7
+  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM upd
+  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM ins)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(doc_id * 1009 + n_chars)::BIGINT AS checksum,
+       min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars
+FROM merged WHERE n_chars BETWEEN 20 AND 60
+GROUP BY lang ORDER BY lang""",
+)
+def q_documents_secondary_range(spark, sf_dir):
+    from ..plans.secondary import range_lookup
+
+    idx, src = _sec_range_index(spark, sf_dir)
+    hits = range_lookup(spark, idx, 20, 60, source_table=src)
+    return (
+        hits.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("doc_id") * 1009 + F.col("n_chars"))
+            .cast("long")
+            .alias("checksum"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
         )
         .orderBy("lang")
     )

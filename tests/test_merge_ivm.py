@@ -502,7 +502,9 @@ def test_vacuum_drops_only_unreferenced_history(spark, table):
         merge_into(spark, table, src, delete_col="is_delete")
     compact_snapshots(spark, table)  # v5, self-contained
     cur = read_snapshot(spark, table).orderBy("k").collect()
-    removed = vacuum(table, keep_versions=1)
+    # grace_seconds=0: the test's dirs are seconds old and no writer is
+    # in flight (production default keeps young dirs for in-flight merges)
+    removed = vacuum(table, keep_versions=1, grace_seconds=0)
     # v2..v4's dirs retired; v1 survives as the schema anchor
     assert removed and "data_v1" not in removed
     assert list_versions(table) == [5]
@@ -516,7 +518,7 @@ def test_vacuum_keeps_dirs_shared_with_retained_versions(spark, table):
 
     src = spark.createDataFrame([Row(k=1, v=9, tag="u", is_delete=False)])
     merge_into(spark, table, src, delete_col="is_delete")  # v2
-    removed = vacuum(table, keep_versions=2)  # retains v1+v2
+    removed = vacuum(table, keep_versions=2, grace_seconds=0)  # retains v1+v2
     assert removed == []
     # v2's untouched buckets still resolve into data_v1
     assert read_snapshot(spark, table).count() == 200
@@ -1748,3 +1750,354 @@ def test_secondary_index_batch_lookup(spark, tmp_path):
     }
     assert got == exp and len(got) == 20
     assert lookup_by_many(spark, idx, ["absent"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Null-safe IVM keys (round-11 ADVICE fix): concat_ws alone skips NULLs,
+# collapsing distinct groups into one state row.
+
+
+def test_ivm_null_and_empty_keys_stay_distinct(spark, tmp_path):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    path = str(tmp_path / "nullkey")
+    schema = StructType([StructField("g", StringType(), True)])
+    measures = [("cnt", "count", None)]
+
+    def delta(rows):
+        return spark.createDataFrame([(r,) for r in rows], schema)
+
+    ivm_create(spark, path, delta([]), ["g"], measures, n_buckets=4)
+    ivm_apply(spark, path, delta([None, "", None, "x"]), ["g"], measures)
+    ivm_apply(spark, path, delta(["", None]), ["g"], measures)
+    got = {
+        r["g"]: r["cnt"] for r in ivm_read(spark, path).collect()
+    }
+    assert got == {None: 3, "": 2, "x": 1}
+    # retracting one NULL touches only the NULL group
+    ivm_apply(spark, path, delta([None]), ["g"], measures, weight=-1)
+    got = {r["g"]: r["cnt"] for r in ivm_read(spark, path).collect()}
+    assert got == {None: 2, "": 2, "x": 1}
+
+
+def test_ivm_two_column_null_keys_stay_distinct(spark, tmp_path):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    path = str(tmp_path / "nullkey2")
+    schema = StructType(
+        [StructField("a", StringType(), True), StructField("b", StringType(), True)]
+    )
+    measures = [("cnt", "count", None)]
+    rows = [(None, "x"), ("x", None), ("x", "x"), (None, None), (None, "x")]
+    df = spark.createDataFrame(rows, schema)
+    ivm_create(spark, path, df.limit(0), ["a", "b"], measures, n_buckets=4)
+    ivm_apply(spark, path, df, ["a", "b"], measures)
+    got = {
+        (r["a"], r["b"]): r["cnt"] for r in ivm_read(spark, path).collect()
+    }
+    assert got == {
+        (None, "x"): 2,
+        ("x", None): 1,
+        ("x", "x"): 1,
+        (None, None): 1,
+    }
+
+
+def test_ivm_separator_bearing_keys_cannot_collide(spark, tmp_path):
+    """Values containing the key separator / escape / null sentinel must
+    not produce colliding state keys: ('a\\x1fb', 'c') != ('a', 'b\\x1fc')
+    and the escape char round-trips."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    path = str(tmp_path / "sepkey")
+    schema = StructType(
+        [StructField("a", StringType(), True), StructField("b", StringType(), True)]
+    )
+    measures = [("cnt", "count", None)]
+    rows = [
+        ("a\x1fb", "c"),
+        ("a", "b\x1fc"),
+        ("a\x1e", "b"),
+        ("a", "\x1eb"),
+        ("\x00", None),
+        (None, "\x00"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    ivm_create(spark, path, df.limit(0), ["a", "b"], measures, n_buckets=4)
+    ivm_apply(spark, path, df, ["a", "b"], measures)
+    got = {(r["a"], r["b"]): r["cnt"] for r in ivm_read(spark, path).collect()}
+    assert got == {r: 1 for r in rows}
+
+
+def test_ivm_key_of_mirrors_spark_expression(spark):
+    """The driver-local ivm_key_of must be bit-identical to the Spark
+    ivm_key_expr for every supported type and special character."""
+    from mcp_local_rag_spark.plans.ivm import ivm_key_expr, ivm_key_of
+
+    cases = [
+        ("plain", 7, True),
+        (None, 0, False),
+        ("", None, None),
+        ("with\x1fsep", -3, True),
+        ("esc\x1e\x1e", 42, False),
+        ("nul\x00tok", 1, None),
+    ]
+    df = spark.createDataFrame(cases, "a string, b long, c boolean")
+    got = [
+        r["k"]
+        for r in df.select(ivm_key_expr(["a", "b", "c"]).alias("k")).collect()
+    ]
+    assert got == [ivm_key_of(list(c)) for c in cases]
+
+
+# ---------------------------------------------------------------------------
+# Round-11 ADVICE fixes: vacuum grace window, wedged-CURRENT recovery,
+# duplicate/null merge-source keys.
+
+
+def test_vacuum_grace_keeps_young_inflight_dirs(spark, table):
+    """An unreferenced data dir younger than the grace window must
+    survive vacuum: it may belong to an in-flight merge that has written
+    data but not yet committed its manifest."""
+    from mcp_local_rag_spark.plans.merge import (
+        _bucketed,
+        _write_data_version,
+        vacuum,
+    )
+
+    # simulate the in-flight writer: data written, manifest NOT committed
+    df = _bucketed(
+        spark.createDataFrame([Row(k=999, v=1, tag="inflight")]), "k", 8
+    )
+    inflight = _write_data_version(df, table, 2, "k", 1)
+    assert vacuum(table, keep_versions=1) == []  # young: kept
+    assert os.path.isdir(os.path.join(table, inflight))
+    # past the grace window the orphan is collected
+    removed = vacuum(table, keep_versions=1, grace_seconds=0)
+    assert inflight in removed
+
+
+def test_wedged_current_pointer_recovers(spark, table):
+    """A writer that crashed after publishing v2.json but before flipping
+    CURRENT must not livelock the table: the next merge's retry rolls
+    CURRENT forward and commits v3."""
+    from mcp_local_rag_spark.plans.merge import (
+        key_lookup,
+        repair_current,
+    )
+
+    src = spark.createDataFrame([Row(k=1, v=100, tag="w1", is_delete=False)])
+    merge_into(spark, table, src, delete_col="is_delete")  # v2 committed
+    # simulate the crash: rewind CURRENT to v1 (manifest v2 stays)
+    cur_file = os.path.join(table, "_snapshots", "CURRENT")
+    with open(cur_file, "w") as f:
+        f.write("1")
+    assert current_version(table) == 1
+    # a plain retry-less merge would collide on v2 forever; with retries
+    # the repair path adopts v2 and the merge lands as v3
+    src2 = spark.createDataFrame([Row(k=2, v=200, tag="w2", is_delete=False)])
+    v = merge_into(spark, table, src2, delete_col="is_delete", max_retries=2)
+    assert v == 3
+    assert current_version(table) == 3
+    got = {r["k"]: r["v"] for r in read_snapshot(spark, table).filter(
+        F.col("k").isin(1, 2)).collect()}
+    assert got == {1: 100, 2: 200}  # neither writer's rows lost
+    # idempotent no-op when CURRENT is already newest
+    assert repair_current(table) is None
+
+
+def test_merge_rejects_duplicate_and_null_source_keys(spark, table):
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_into(
+            spark,
+            table,
+            spark.createDataFrame(
+                [Row(k=1, v=1, tag="a", is_delete=False),
+                 Row(k=1, v=2, tag="b", is_delete=False)]
+            ),
+            delete_col="is_delete",
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        merge_into(
+            spark,
+            table,
+            spark.createDataFrame(
+                [Row(k=None, v=1, tag="a", is_delete=False)],
+                "k bigint, v bigint, tag string, is_delete boolean",
+            ),
+            delete_col="is_delete",
+        )
+    # the failed merges must not have committed anything
+    assert current_version(table) == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-11 secondary-index rework: sharded posting maps (skew-proof state),
+# composite keys, range lookup, NULL-valued entries.
+
+
+def _skewed_table(spark, tmp_path, n=400, nb=8):
+    """One indexed value ('hot') covers 90% of rows — the shape that blew
+    the old one-map-row-per-value design."""
+    path = str(tmp_path / "skewsrc")
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 7).cast("string")))
+        .alias("grp"),
+        (F.col("id") * 2).alias("v"),
+    )
+    create_merge_table(df, path, "k", n_buckets=nb)
+    return path
+
+
+def test_secondary_index_shards_bound_per_row_state(spark, tmp_path):
+    from mcp_local_rag_spark.plans.secondary import (
+        create_secondary_index,
+        lookup_by,
+    )
+
+    src = _skewed_table(spark, tmp_path)
+    idx = str(tmp_path / "skewidx")
+    create_secondary_index(spark, src, idx, "grp", n_buckets=4)
+    # per-row posting maps are bounded by ~|pks| / S, never one
+    # monolithic map: 360 'hot' pks over S=8 shards
+    sizes = [
+        (r["grp"], r["_pk_shard"], len(r["_pks"]))
+        for r in read_snapshot(spark, idx).select(
+            "grp", "_pk_shard", "_pks"
+        ).collect()
+    ]
+    hot_sizes = [s for g, _, s in sizes if g == "hot"]
+    assert len(hot_sizes) == 8  # sharded across S = source n_buckets
+    assert max(hot_sizes) < 360  # no single monolithic map row
+    assert sum(hot_sizes) == 360
+    # the skewed value's lookup is exact via BOTH plans
+    expected = set(range(400)) - {
+        i for i in range(400) if i % 10 == 9
+    }
+    for cap in (1, 100_000):  # force distributed plan / IN-list plan
+        got = {
+            r["k"]
+            for r in lookup_by(spark, idx, "hot", inlist_cap=cap).collect()
+        }
+        assert got == expected, f"cap={cap}"
+    # a selective value stays a bounded point read
+    cold = {r["k"] for r in lookup_by(spark, idx, "cold0").collect()}
+    assert cold == {i for i in range(400) if i % 10 == 9 and i % 7 == 0}
+
+
+def test_secondary_index_sync_maintains_shards(spark, tmp_path):
+    from mcp_local_rag_spark.plans.secondary import (
+        create_secondary_index,
+        lookup_by,
+        sync_secondary_index,
+    )
+
+    src = _skewed_table(spark, tmp_path)
+    idx = str(tmp_path / "skewidx2")
+    create_secondary_index(spark, src, idx, "grp", n_buckets=4)
+    # CDC: move k=0 from 'hot' to 'moved', delete k=10, insert k=1000 'hot'
+    batch = spark.createDataFrame(
+        [
+            Row(k=0, grp="moved", v=0, is_delete=False),
+            Row(k=10, grp="hot", v=20, is_delete=True),
+            Row(k=1000, grp="hot", v=2000, is_delete=False),
+        ]
+    )
+    merge_into(spark, src, batch, delete_col="is_delete")
+    assert sync_secondary_index(spark, idx) == 2
+    hot = {r["k"] for r in lookup_by(spark, idx, "hot").collect()}
+    assert 0 not in hot and 10 not in hot and 1000 in hot
+    moved = {r["k"] for r in lookup_by(spark, idx, "moved").collect()}
+    assert moved == {0}
+
+
+def test_secondary_index_composite_key(spark, tmp_path):
+    from mcp_local_rag_spark.plans.secondary import (
+        create_secondary_index,
+        lookup_by,
+        lookup_by_many,
+    )
+
+    path = str(tmp_path / "compsrc")
+    df = spark.range(120).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("a"),
+        (F.col("id") % 4).alias("b"),
+    )
+    create_merge_table(df, path, "k", n_buckets=4)
+    idx = str(tmp_path / "compidx")
+    create_secondary_index(spark, path, idx, ["a", "b"], n_buckets=4)
+    got = {
+        r["k"] for r in lookup_by(spark, idx, ("1", 2)).collect()
+    }
+    assert got == {i for i in range(120) if i % 3 == 1 and i % 4 == 2}
+    many = {
+        r["k"]
+        for r in lookup_by_many(spark, idx, [("0", 0), ("2", 3)]).collect()
+    }
+    assert many == {
+        i
+        for i in range(120)
+        if (i % 3 == 0 and i % 4 == 0) or (i % 3 == 2 and i % 4 == 3)
+    }
+
+
+def test_secondary_index_null_values_lookup(spark, tmp_path):
+    from mcp_local_rag_spark.plans.secondary import (
+        create_secondary_index,
+        lookup_by,
+    )
+
+    path = str(tmp_path / "nullsrc")
+    df = spark.range(60).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 5 == 0, F.lit(None).cast("string"))
+        .when(F.col("id") % 5 == 1, F.lit(""))
+        .otherwise(F.lit("x"))
+        .alias("g"),
+    )
+    create_merge_table(df, path, "k", n_buckets=4)
+    idx = str(tmp_path / "nullidx")
+    create_secondary_index(spark, path, idx, "g", n_buckets=4)
+    nulls = {r["k"] for r in lookup_by(spark, idx, None).collect()}
+    assert nulls == {i for i in range(60) if i % 5 == 0}
+    empty = {r["k"] for r in lookup_by(spark, idx, "").collect()}
+    assert empty == {i for i in range(60) if i % 5 == 1}
+
+
+def test_secondary_index_range_lookup(spark, tmp_path):
+    from mcp_local_rag_spark.plans.secondary import (
+        create_secondary_index,
+        range_lookup,
+    )
+
+    path = str(tmp_path / "rangesrc")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 50).alias("score"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("tag"),
+    )
+    create_merge_table(df, path, "k", n_buckets=4)
+    idx = str(tmp_path / "rangeidx")
+    create_secondary_index(spark, path, idx, "score", n_buckets=4)
+    got = {
+        r["k"]
+        for r in range_lookup(spark, idx, 10, 12).collect()
+    }
+    assert got == {i for i in range(300) if 10 <= i % 50 <= 12}
+    half_open = {
+        r["k"]
+        for r in range_lookup(spark, idx, 10, 12, inclusive=False).collect()
+    }
+    assert half_open == {i for i in range(300) if 10 <= i % 50 < 12}
+    # both selectivity plans agree
+    big = {
+        r["k"]
+        for r in range_lookup(spark, idx, 0, 49, inlist_cap=1).collect()
+    }
+    assert big == set(range(300))
+    # empty range: readable-empty with the source schema
+    empty = range_lookup(spark, idx, 1000, 2000)
+    assert empty.count() == 0 and set(empty.columns) == {"k", "score", "tag"}
