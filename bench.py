@@ -150,6 +150,7 @@ def _derived_anchors(spark, qs, sf_dir) -> dict:
     sv50, sv95 = _vector_serve_bench(spark, sf_dir)
     hs50, hs95 = _hybrid_serve_bench(spark, sf_dir)
     iv50, iv95 = _ivf_serve_bench(spark, sf_dir)
+    wp50, wp95 = _warehouse_point_bench(spark, sf_dir)
     print(
         f"# anchors: ingest {chunks_per_sec} chunks/s (bulk {bulk_per_sec}); vector_topk p50/p95 "
         f"{v50}/{v95} ms; hybrid_indexed p50/p95 {h50}/{h95} ms",
@@ -168,7 +169,36 @@ def _derived_anchors(spark, qs, sf_dir) -> dict:
         "hybrid_serve_p95_ms": hs95,
         "ivf_serve_p50_ms": iv50,
         "ivf_serve_p95_ms": iv95,
+        "warehouse_point_p50_ms": wp50,
+        "warehouse_point_p95_ms": wp95,
     }
+
+
+def _warehouse_point_bench(spark, sf_dir) -> tuple[float, float]:
+    """Serving-path snapshot-table point read (plans/point_read
+    SnapshotReader): manifest resolved driver-locally, bucket routed via
+    the xxhash64 mirror, one pyarrow dataset filter — the NeighborServer
+    pattern over the warehouse layer. Reads the CDC-merged documents
+    table the warehouse lanes build."""
+    import time
+
+    from mcp_local_rag_spark.plans.point_read import SnapshotReader
+    from mcp_local_rag_spark.queries.warehouse import _merged_docs_table
+
+    table = _merged_docs_table(spark, sf_dir)
+    reader = SnapshotReader(table)
+    reader.lookup(3)  # warm: manifest + dataset handle + footer
+    times = []
+    for i in range(400):
+        t0 = time.time()
+        rows = reader.lookup(3 + i * 7)
+        times.append((time.time() - t0) * 1000)
+        assert isinstance(rows, list)
+    times.sort()
+    return (
+        round(times[len(times) // 2], 2),
+        round(times[max(0, int(len(times) * 0.95) - 1)], 2),
+    )
 
 
 def _hybrid_serve_bench(spark, sf_dir) -> tuple[float, float]:

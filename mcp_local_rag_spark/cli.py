@@ -305,13 +305,14 @@ def run(argv: list[str], engine, out=None) -> int:
         emit({"version": v, "nBuckets": args.n_buckets})
         return 0
     if args.cmd == "table-get":
-        from .plans.merge import key_lookup
+        # serving path (plans/point_read): manifest + bucket resolved
+        # driver-locally, one pyarrow filter — no Spark job per read
+        from .plans.point_read import SnapshotReader
 
-        rows = key_lookup(
-            engine.spark, os.path.abspath(args.path), args.key,
-            version=args.version,
-        ).collect()
-        emit({"rows": [r.asDict() for r in rows]})
+        rows = SnapshotReader(os.path.abspath(args.path)).lookup(
+            args.key, version=args.version
+        )
+        emit({"rows": rows})
         return 0
     if args.cmd == "table-changes":
         from .plans.merge import read_changes

@@ -608,8 +608,26 @@ def _merge_once(
         )
     )
 
+    # a clustered table's merge rewrites its touched buckets IN THE
+    # CLUSTER ORDER (same rule as compact_snapshots), so the carried
+    # `clustered` marker keeps telling the truth about row-group layout
+    # — otherwise a merge racing an OPTIMIZE would silently degrade the
+    # optimizer's clustering in every bucket it touches
+    clustered = manifest.get("clustered")
+    order_by, drop_after = None, ()
+    if clustered:
+        if clustered["curve"] == "linear":
+            order_by = list(clustered["cols"])
+        else:
+            from .zorder import ZKEY, with_zorder_key
+
+            merged = with_zorder_key(
+                merged, clustered["cols"], curve=clustered["curve"]
+            )
+            order_by, drop_after = [ZKEY], (ZKEY,)
     data_dir = _write_data_version(
-        merged, table_path, new_version, key, len(touched)
+        merged, table_path, new_version, key, len(touched),
+        order_by=order_by, drop_after_sort=drop_after,
     )
     present = set(_buckets_on_disk(table_path, data_dir))
     buckets = dict(manifest["buckets"])
@@ -631,12 +649,14 @@ def _merge_once(
             "n_buckets": nb,
             "buckets": buckets,
             "rows": rows,
+            **({"clustered": clustered} if clustered else {}),
             # the CURRENT data schema: single-dir readers (key_lookup)
             # null-fill evolved columns from this, metadata-only
+            # (drop_after covers the transient z-order key column)
             "columns": {
                 f.name: f.dataType.simpleString()
                 for f in merged.schema.fields
-                if f.name != "bucket"
+                if f.name != "bucket" and f.name not in drop_after
             },
             "applied": _trim_applied(applied + ([batch_key] if batch_key else [])),
         },

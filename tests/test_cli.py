@@ -131,7 +131,9 @@ def test_cli_table_verbs(spark, tmp_path):
     (comp,) = _run(eng, "table-compact", tbl)
     assert comp["compacted"] and comp["version"] == 3
 
-    (vac,) = _run(eng, "table-vacuum", tbl, "--keep", "1")
+    # --grace 0: the dirs are seconds old and no writer is in flight
+    # (the production default keeps young dirs for in-flight merges)
+    (vac,) = _run(eng, "table-vacuum", tbl, "--keep", "1", "--grace", "0")
     assert vac["removedDataDirs"]  # the superseded merge dirs retired
 
     (status2,) = _run(eng, "table-status", tbl)

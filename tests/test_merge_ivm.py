@@ -2101,3 +2101,180 @@ def test_secondary_index_range_lookup(spark, tmp_path):
     # empty range: readable-empty with the source schema
     empty = range_lookup(spark, idx, 1000, 2000)
     assert empty.count() == 0 and set(empty.columns) == {"k", "score", "tag"}
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE vs MERGE concurrency (round-11): the race must serialize via
+# ConcurrentCommitError/retry or fail loudly — never silently drop the
+# optimizer's clustering or the merger's rows.
+
+
+def test_merge_racing_optimize_serializes_and_keeps_clustering(
+    spark, table, monkeypatch
+):
+    import pyarrow.parquet as pq
+
+    from mcp_local_rag_spark.plans import merge as merge_mod
+    from mcp_local_rag_spark.plans.merge import optimize_table, read_manifest
+
+    real_commit = merge_mod._commit
+    state = {"raced": False}
+
+    def racing_commit(table_path, manifest, version):
+        # inject a full OPTIMIZE between the merge's manifest read and
+        # its commit — the merge loses the version race deterministically
+        if not state["raced"]:
+            state["raced"] = True
+            optimize_table(spark, table_path, ["v"])
+        return real_commit(table_path, manifest, version)
+
+    monkeypatch.setattr(merge_mod, "_commit", racing_commit)
+    src = spark.createDataFrame(
+        [Row(k=5, v=-1, tag="raced", is_delete=False),
+         Row(k=300, v=-2, tag="new", is_delete=False)]
+    )
+    v = merge_into(spark, table, src, delete_col="is_delete", max_retries=2)
+    assert v == 3  # v2 = optimize (won), v3 = merge (re-derived)
+    manifest = read_manifest(table)
+    # the merger's rows landed AND the optimizer's clustering survived
+    assert manifest["clustered"] == {"cols": ["v"], "curve": "linear"}
+    got = {r["k"]: (r["v"], r["tag"]) for r in read_snapshot(spark, table)
+           .filter(F.col("k").isin(5, 300, 7)).collect()}
+    assert got[5] == (-1, "raced") and got[300] == (-2, "new")
+    assert got[7] == (21, "row7")  # untouched row intact
+    # rewritten buckets honor the cluster order (v ascending inside files)
+    new_dirs = {
+        d for b, d in manifest["buckets"].items() if d.startswith("data_v3")
+    }
+    assert new_dirs
+    for d in new_dirs:
+        root = os.path.join(table, d)
+        for bname in os.listdir(root):
+            if not bname.startswith("bucket="):
+                continue
+            for fname in os.listdir(os.path.join(root, bname)):
+                if fname.endswith(".parquet"):
+                    vs = pq.read_table(
+                        os.path.join(root, bname, fname), columns=["v"]
+                    )["v"].to_pylist()
+                    assert vs == sorted(vs)
+
+
+def test_optimize_racing_merge_fails_loudly(spark, table, monkeypatch):
+    from mcp_local_rag_spark.plans import merge as merge_mod
+    from mcp_local_rag_spark.plans.merge import (
+        ConcurrentCommitError,
+        optimize_table,
+        read_manifest,
+    )
+
+    real_commit = merge_mod._commit
+    state = {"raced": False}
+
+    def racing_commit(table_path, manifest, version):
+        if not state["raced"]:
+            state["raced"] = True
+            src = spark.createDataFrame(
+                [Row(k=1, v=111, tag="winner", is_delete=False)]
+            )
+            merge_into(spark, table_path, src, delete_col="is_delete")
+        return real_commit(table_path, manifest, version)
+
+    monkeypatch.setattr(merge_mod, "_commit", racing_commit)
+    with pytest.raises(ConcurrentCommitError):
+        optimize_table(spark, table, ["v"])
+    # the winning merge is intact; the lost optimize left no marker
+    assert read_manifest(table).get("clustered") is None
+    got = read_snapshot(spark, table).filter(F.col("k") == 1).first()
+    assert got["v"] == 111 and got["tag"] == "winner"
+
+
+# ---------------------------------------------------------------------------
+# Serving-path point reads (plans/point_read): pyarrow sidecar parity vs
+# the Spark-plan lanes — same manifests, same files, no Spark job.
+
+
+def test_snapshot_reader_parity_with_key_lookup(spark, table):
+    from mcp_local_rag_spark.plans.merge import key_lookup
+    from mcp_local_rag_spark.plans.point_read import SnapshotReader
+
+    src = spark.createDataFrame(
+        [Row(k=5, v=None, tag="edited", is_delete=False),
+         Row(k=7, v=1, tag="x", is_delete=True),
+         Row(k=900, v=2, tag="new", is_delete=False)]
+    )
+    merge_into(spark, table, src, delete_col="is_delete")
+    reader = SnapshotReader(table)
+    for key in (5, 7, 900, 123456):
+        for version in (None, 1):
+            want = [
+                r.asDict()
+                for r in key_lookup(spark, table, key, version=version)
+                .drop("bucket")
+                .collect()
+            ]
+            got = reader.lookup(key, version=version)
+            assert got == want, (key, version)
+
+
+def test_snapshot_reader_schema_evolution_null_fills(spark, table):
+    from mcp_local_rag_spark.plans.point_read import SnapshotReader
+
+    src = spark.createDataFrame(
+        [Row(k=3, v=9, tag="evolved", extra="E", is_delete=False)]
+    )
+    merge_into(spark, table, src, delete_col="is_delete",
+               schema_evolution=True)
+    reader = SnapshotReader(table)
+    # k=3's bucket was rewritten with the new column
+    assert reader.lookup(3)[0]["extra"] == "E"
+    # an untouched bucket's file lacks `extra`: null-filled, same shape
+    other = reader.lookup(4)
+    assert other and other[0]["extra"] is None
+    # same shape as a rewritten bucket (manifest columns are JSON-sorted,
+    # matching key_lookup's manifest-aligned projection)
+    assert list(other[0]) == list(reader.lookup(3)[0])
+
+
+def test_snapshot_reader_stays_fresh_across_commits(spark, table):
+    from mcp_local_rag_spark.plans.point_read import SnapshotReader
+
+    reader = SnapshotReader(table)
+    assert reader.lookup(50)[0]["v"] == 150  # warm the caches at v1
+    src = spark.createDataFrame([Row(k=50, v=-5, tag="upd", is_delete=False)])
+    merge_into(spark, table, src, delete_col="is_delete")
+    assert reader.lookup(50)[0]["v"] == -5  # CURRENT re-read per lookup
+    assert reader.lookup(50, version=1)[0]["v"] == 150
+
+
+def test_snapshot_reader_lookup_many(spark, table):
+    from mcp_local_rag_spark.plans.point_read import SnapshotReader
+
+    reader = SnapshotReader(table)
+    got = {r["k"]: r["v"] for r in reader.lookup_many([1, 2, 3, 999999])}
+    assert got == {1: 3, 2: 6, 3: 9}
+
+
+def test_secondary_reader_parity_with_lookup_by(spark, tmp_path):
+    from mcp_local_rag_spark.plans.point_read import SecondaryReader
+    from mcp_local_rag_spark.plans.secondary import (
+        create_secondary_index,
+        lookup_by,
+    )
+
+    src = _skewed_table(spark, tmp_path)
+    idx = str(tmp_path / "srvidx")
+    create_secondary_index(spark, src, idx, "grp", n_buckets=4)
+    reader = SecondaryReader(idx)
+    for val in ("cold0", "cold3", "absent"):
+        want = sorted(
+            (r["k"], r["grp"], r["v"])
+            for r in lookup_by(spark, idx, val, source_table=src).collect()
+        )
+        got = sorted(
+            (r["k"], r["grp"], r["v"]) for r in reader.lookup_by(val)
+        )
+        assert got == want, val
+    # the skewed value exceeds the serving cap and fails loudly
+    with pytest.raises(ValueError, match="selective"):
+        reader.lookup_by("hot", cap=10)
