@@ -16,8 +16,10 @@ relative to the corpus it indexes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    band_keys,
     incremental_candidate_pairs,
     minhash_signatures_docs,
 )
@@ -81,6 +83,124 @@ def append_signature_batch(
     tmp = os.path.join(path, f".batch-{batch_id}.tmp")
     pq.write_table(table, tmp, compression="snappy")
     os.replace(tmp, final)
+
+
+def write_band_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> None:
+    """Persist the EXPLODED band-key table, hash-bucketed by band key —
+    the bm25_term_bucketed layout applied to dedup: every row carrying
+    one (band, band_key) lands in one bucket directory, sorted by the
+    key inside each file, so candidate generation groups co-located rows
+    instead of shuffling two copies of the corpus-wide band table
+    through a self-join. The expensive upstream (shingle explode + 16
+    min-aggregates) is paid ONCE here; every later dedup pass reads this
+    narrow table (id, band, band_key ~ 50 B/row)."""
+    sigs = minhash_signatures_docs(docs, id_col=id_col, text_col=text_col)
+    bands = band_keys(sigs, id_col=id_col)
+    bb = F.pmod(
+        F.xxhash64(
+            F.concat_ws("|", F.col("band").cast("string"), F.col("band_key"))
+        ),
+        F.lit(n_buckets),
+    ).cast("int")
+    (
+        bands.withColumn("bband", bb)
+        .repartition(n_buckets, "bband")
+        .sortWithinPartitions("bband", "band", "band_key")
+        .write.partitionBy("bband")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def banded_candidate_pairs(
+    spark: SparkSession,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    bucket_cap: int = 128,
+) -> DataFrame:
+    """Distinct candidate pairs (id1 < id2) from the persisted band
+    index — GROUPED, not self-joined: one map-side-combinable aggregate
+    collects each band bucket's (sorted) member list, then a JVM
+    higher-order expression emits the i<j pairs. Exactly ONE shuffle of
+    the narrow band table, vs the self-join's two-sided exchange of the
+    same table — and no re-shingling, ever.
+
+    Oversized buckets (> ``bucket_cap`` members — boilerplate band keys)
+    are excluded from the grouped path and handled by the SAME salted
+    equi-join operators/dedup.lsh_candidate_pairs uses, restricted to
+    just those keys: their quadratic pair fan-out spreads across
+    ~n/cap tasks instead of exploding one aggregate row. The union is
+    provably the unsalted pair set (pytest-pinned vs
+    lsh_candidate_pairs)."""
+    bands = spark.read.parquet(path).drop("bband")
+    grouped = bands.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
+    )
+    small = grouped.filter(
+        (F.size("_ids") >= 2) & (F.size("_ids") <= bucket_cap)
+    )
+    ids = F.col("_ids")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, F.size(ids)),
+                lambda y: F.struct(
+                    F.element_at(ids, i).alias("id1"), y.alias("id2")
+                ),
+            ),
+        )
+    )
+    small_pairs = (
+        small.select(F.explode(pair_arr).alias("p"))
+        .select("p.id1", "p.id2")
+    )
+    hot_rows = (
+        grouped.filter(F.size("_ids") > bucket_cap)
+        .select("band", "band_key", F.size("_ids").alias("_n"))
+        .limit(100_000)
+        .collect()
+    )
+    if not hot_rows:
+        return small_pairs.distinct()
+    hot = F.broadcast(
+        spark.createDataFrame(
+            [
+                (r["band"], r["band_key"], int(-(-r["_n"] // bucket_cap)))
+                for r in hot_rows
+            ],
+            "band int, band_key string, _nsalt int",
+        )
+    )
+    hot_bands = bands.join(hot, ["band", "band_key"])
+    a = hot_bands.select(
+        F.col(id_col).alias("id1"),
+        "band",
+        "band_key",
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsalt"))
+        .cast("int")
+        .alias("_salt"),
+    )
+    b = hot_bands.select(
+        F.col(id_col).alias("id2"),
+        "band",
+        "band_key",
+        F.explode(F.sequence(F.lit(0), F.col("_nsalt") - 1)).alias("_salt"),
+    )
+    hot_pairs = (
+        a.join(b, ["band", "band_key", "_salt"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
+    return small_pairs.unionByName(hot_pairs).distinct()
 
 
 def incremental_dedup(

@@ -119,6 +119,30 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+# The SAME pair set from the persisted band-bucketed layout
+# (plans/dedup_index.write_band_index — the bm25_term_bucketed trick
+# applied to dedup): shingle+sign paid once at index build, candidate
+# generation is ONE grouped pass over the narrow band table instead of
+# the end-to-end pipeline's two-sided self-join. Oracle is
+# dedup_minhash_lsh's verbatim — the layout changes, the pairs don't.
+
+@register(
+    "dedup_minhash_banded",
+    f"WITH {CORPUS_CTE.strip()}, {SHINGLES_CTE.strip()}, {SIGS_CTE.strip()} "
+    "SELECT id1, id2 FROM pairs",
+)
+def q_dedup_minhash_banded(spark, sf_dir):
+    import os
+
+    from ..plans.dedup_index import banded_candidate_pairs, write_band_index
+    from .rag import _scratch_path
+
+    path = _scratch_path(sf_dir, "dedup_bands", tables=("documents",))
+    if not os.path.isdir(path):
+        write_band_index(_dedup_corpus(spark, sf_dir), path)
+    return banded_candidate_pairs(spark, path)
+
+
 # Signature-agreement Jaccard ESTIMATE over the LSH candidates: the
 # verification tier that never re-touches shingles — two equi-joins
 # against the narrow signature table, O(pairs x 16), vs dedup_jaccard's

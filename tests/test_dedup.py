@@ -263,3 +263,36 @@ def test_salted_lsh_pairs_identical_to_unsalted(spark):
     sigs.unpersist()
     assert salted == unsalted
     assert len(salted) >= 40 * 39 // 2  # the mega-cluster's full clique
+
+
+def test_banded_index_pairs_identical_to_join_path(spark, tmp_path):
+    """plans/dedup_index.write_band_index + banded_candidate_pairs (the
+    grouped, band-bucketed layout) must produce EXACTLY the pair set of
+    the end-to-end lsh_candidate_pairs join — across both plans: grouped
+    small buckets and the salted hot-bucket fallback (cap=8 forces a
+    40-member mega-cluster through it)."""
+    from mcp_local_rag_spark.operators import dedup
+    from mcp_local_rag_spark.plans.dedup_index import (
+        banded_candidate_pairs,
+        write_band_index,
+    )
+
+    mega = " ".join(f"common{i} words{i} here{i}" for i in range(25))
+    rows = [(i, mega + f" tail{i % 2}") for i in range(40)]
+    rows += [(100 + i, " ".join(f"solo{i}_{j}" for j in range(30))) for i in range(5)]
+    rows += [(200, rows[0][1]), (201, rows[41][1])]  # exact dup of each kind
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        (r.id1, r.id2)
+        for r in dedup.lsh_candidate_pairs(
+            dedup.minhash_signatures_docs(docs)
+        ).collect()
+    }
+    path = str(tmp_path / "bands")
+    write_band_index(docs, path, n_buckets=4)
+    for cap in (8, 128):
+        got = {
+            (r.id1, r.id2)
+            for r in banded_candidate_pairs(spark, path, bucket_cap=cap).collect()
+        }
+        assert got == want, f"cap={cap}"

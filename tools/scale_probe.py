@@ -20,7 +20,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QUERIES = ["hybrid_search_indexed", "dedup_minhash_lsh"]
+QUERIES = [
+    "hybrid_search_indexed",
+    "dedup_minhash_lsh",
+    "dedup_minhash_banded",
+]
 PASSES = 3
 
 
@@ -60,12 +64,12 @@ def main(dir10: str, dir100: str, out_path: str | None) -> None:
         "self-measured: sf0.1 tables replicated 10x and 100x with "
         "consistent key shifts (tools/make_scaled_sf.py), min of "
         f"{PASSES} warmed passes per point, local[32]. hybrid_search_indexed "
-        "timings are steady-state (the persisted chunks+postings scratch is "
-        "built on the first pass and reused); dedup is end-to-end each pass. "
-        "Round 10 note: dedup.py is byte-identical to the round-9 code that "
-        "measured exponent 0.502 on r9's replicas; the r10 reading (0.585) "
-        "is ambient container/replica variance, not a code change — "
-        "hybrid_search_indexed reproduces r9 (0.115 vs 0.105)."
+        "and dedup_minhash_banded timings are steady-state (their persisted "
+        "scratch artifacts — chunks+postings, band index — are built on the "
+        "first pass and reused); dedup_minhash_lsh is end-to-end each pass. "
+        "Round 11: run on TWO independently generated replica sets in one "
+        "session to separate code from replica-instantiation variance "
+        "(the r9 0.502 vs r10 0.585 dedup readings on byte-identical code)."
     )
     line = json.dumps(result)
     print(line)
