@@ -1,0 +1,139 @@
+"""Interleaved A/B bench between two git refs — the standing artifact
+that separates code regressions from ambient container drift (the
+AB_DRIFT_r09 method, made a tool). Cross-round BENCH absolute deltas on
+this container routinely move ±15% with no code change; the ONLY
+meaningful comparison is two checkouts benched in one session,
+interleaved, fresh JVM per pass, min-of-passes.
+
+    python tools/ab_drift.py <refA> <refB> [out.json] \
+        [--queries q1,q2] [--passes 3] [--sf-dir DIR]
+
+Each pass runs in a SUBPROCESS with cwd+PYTHONPATH pointed at the ref's
+git worktree, so the measured code is exactly that checkout's. Queries
+missing from a ref's registry record null. Worktrees land under
+/tmp/ab_worktrees and are reused across invocations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_QUERIES = [
+    "tpch_q1_pricing",
+    "vector_topk",
+    "hybrid_search",
+    "hybrid_search_indexed",
+    "sync_plan",
+    "dedup_minhash_lsh",
+    "text_quality",
+]
+
+# runs inside each checkout: one timed pass per query, fresh session
+_RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, sys.argv[1])
+sf_dir, names = sys.argv[2], sys.argv[3].split(",")
+from mcp_local_rag_spark.queries import queries
+from mcp_local_rag_spark.session import get_spark
+spark = get_spark("ab-drift")
+spark.range(1000).selectExpr("sum(id)").collect()
+qs = queries()
+out = {}
+for name in names:
+    if name not in qs:
+        out[name] = None
+        continue
+    qs[name](spark, sf_dir).count()  # warm: scratch builds + codegen
+    spark.catalog.clearCache()
+    t0 = time.time()
+    qs[name](spark, sf_dir).count()
+    out[name] = round(time.time() - t0, 3)
+print("ABDRIFT " + json.dumps(out))
+"""
+
+
+def _worktree(ref: str) -> str:
+    short = subprocess.check_output(
+        ["git", "rev-parse", "--short", ref], cwd=REPO, text=True
+    ).strip()
+    path = f"/tmp/ab_worktrees/{short}"
+    if not os.path.isdir(path):
+        os.makedirs("/tmp/ab_worktrees", exist_ok=True)
+        subprocess.check_call(
+            ["git", "worktree", "add", "--detach", path, ref], cwd=REPO
+        )
+    return path
+
+
+def _one_pass(tree: str, sf_dir: str, names: list[str]) -> dict:
+    env = dict(os.environ, PYTHONPATH=tree)
+    proc = subprocess.run(
+        [sys.executable, "-c", _RUNNER, tree, sf_dir, ",".join(names)],
+        cwd=tree,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("ABDRIFT "):
+            return json.loads(line[len("ABDRIFT "):])
+    raise RuntimeError(
+        f"runner in {tree} produced no result:\n{proc.stdout[-2000:]}"
+        f"\n{proc.stderr[-2000:]}"
+    )
+
+
+def main(argv: list[str]) -> None:
+    args = [a for a in argv if not a.startswith("--")]
+    opts = {
+        k.lstrip("-"): v
+        for k, v in (a.split("=", 1) for a in argv if a.startswith("--"))
+    }
+    ref_a, ref_b = args[0], args[1]
+    out_path = args[2] if len(args) > 2 else None
+    names = opts.get("queries", ",".join(DEFAULT_QUERIES)).split(",")
+    passes = int(opts.get("passes", 3))
+    sf_dir = opts.get("sf-dir", "/root/testdata/sf0.1")
+
+    trees = {ref_a: _worktree(ref_a), ref_b: _worktree(ref_b)}
+    raw: dict[str, list[dict]] = {ref_a: [], ref_b: []}
+    for p in range(passes):
+        for ref in (ref_a, ref_b):  # interleaved: drift hits both sides
+            res = _one_pass(trees[ref], sf_dir, names)
+            raw[ref].append(res)
+            print(f"# pass {p + 1} {ref}: {res}", file=sys.stderr)
+
+    def best(ref: str) -> dict:
+        out = {}
+        for n in names:
+            vals = [r[n] for r in raw[ref] if r.get(n) is not None]
+            out[n] = min(vals) if vals else None
+        return out
+
+    result = {
+        "metric": f"ab_{ref_a}_vs_{ref_b}",
+        "passes": passes,
+        "sf_dir": sf_dir,
+        "summary": {ref_a: best(ref_a), ref_b: best(ref_b)},
+        "provenance": (
+            f"{ref_a} and {ref_b} git worktrees benched in ONE session on "
+            f"the same container, interleaved passes x{passes}, fresh JVM "
+            "per pass (subprocess), warmed then timed once per pass, "
+            "min-of-passes; local[32]."
+        ),
+    }
+    line = json.dumps(result)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
