@@ -152,10 +152,23 @@ def _probe_ivm_sketch(spark, sf_dir: str, n_buckets: int, scratch: str) -> dict:
         t0 = time.time()
         key_lookup(spark, pt, k).collect()
         times.append(time.time() - t0)
+    # serving-path twin (plans/point_read): same manifests and files,
+    # no Spark job — flatness AND absolute floor both matter at 100 TB
+    from mcp_local_rag_spark.plans.point_read import SnapshotReader
+
+    reader = SnapshotReader(pt)
+    reader.lookup(11)  # warm: manifest + dataset handle
+    stimes = []
+    for i in range(60):
+        t0 = time.time()
+        reader.lookup(11 + i * 13)
+        stimes.append(time.time() - t0)
+    stimes.sort()
     return {
         "t_absorb_sec": round(t_absorb, 3),
         "t_apply_sec": round(t_apply, 3),
         "t_point_read_p50_ms": round(sorted(times)[1] * 1000, 1),
+        "t_point_serve_p50_ms": round(stimes[len(stimes) // 2] * 1000, 2),
     }
 
 
