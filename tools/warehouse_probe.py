@@ -295,11 +295,15 @@ def main(dir10: str, dir100: str, out_path: str | None) -> None:
         result["lanes"][lane] = entry
 
     result["provenance"] = (
-        "self-measured (round 10): sf0.1 documents/events replicated 10x and "
+        "self-measured: sf0.1 documents/events replicated 10x and "
         "100x via make_scaled_sf.py; fixed base-range CDC delta and "
         "micro-batch; n_buckets scaled with the table (64 -> 640) per the "
         "constant-bytes-per-bucket sizing rule, so flat per-batch cost is "
-        "the designed outcome being verified"
+        "the designed outcome being verified. Round 11: t_point_read is "
+        "the in-plan key_lookup (bucket routed driver-locally — removed "
+        "the one-row hash job that dominated r10's 174-188 ms readings); "
+        "t_point_serve is plans/point_read.SnapshotReader (pyarrow "
+        "sidecar, no Spark job) over the same files and manifests"
     )
     shutil.rmtree(work, ignore_errors=True)
     line = json.dumps(result)
