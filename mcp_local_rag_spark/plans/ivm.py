@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from .merge import (
     _bucketed,
+    _writer_manifest,
     _buckets_on_disk,
     _commit,
     _dir_bucket_rows,
@@ -304,7 +305,7 @@ def ivm_apply(
     same atomic manifest commit that makes the fold visible, so a replay
     whose fold already landed is a no-op — there is no window where the
     data committed but the key did not."""
-    manifest = read_manifest(table_path)
+    manifest = _writer_manifest(table_path)
     applied = manifest.get("applied", [])
     if batch_key is not None and batch_key in applied:
         return manifest["version"]
@@ -444,7 +445,7 @@ def ivm_commit_key(spark: SparkSession, table_path: str, batch_key: str) -> int:
     (e.g. a change-feed retract half over an insert-only range). Returns
     the committed version (or the current one if the key is already
     recorded)."""
-    manifest = read_manifest(table_path)
+    manifest = _writer_manifest(table_path)
     applied = manifest.get("applied", [])
     if batch_key in applied:
         return manifest["version"]

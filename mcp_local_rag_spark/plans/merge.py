@@ -164,6 +164,17 @@ def repair_current(table_path: str) -> int | None:
     return newest
 
 
+def _writer_manifest(table_path: str) -> dict:
+    """CURRENT manifest for a WRITER, healing a stale pointer first: a
+    prior writer that crashed between publishing its manifest and
+    flipping CURRENT would otherwise wedge every future commit on that
+    version number. repair_current is idempotent, metadata-only, and
+    safe (published manifests are link-complete), so every writer entry
+    point self-heals instead of livelocking."""
+    repair_current(table_path)
+    return read_manifest(table_path)
+
+
 def _bucketed(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
     return df.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast("int")
@@ -514,7 +525,7 @@ def _merge_once(
     schema_evolution: bool = False,
     batch_key: str | None = None,
 ) -> int:
-    manifest = read_manifest(table_path)
+    manifest = _writer_manifest(table_path)
     applied = manifest.get("applied", [])
     if batch_key is not None and batch_key in applied:
         return manifest["version"]
@@ -763,7 +774,7 @@ def compact_snapshots(
 
     Returns the new version, or None when already compact (no job runs).
     """
-    manifest = read_manifest(table_path)
+    manifest = _writer_manifest(table_path)
     if len(set(manifest["buckets"].values())) <= max_dirs:
         return None
     key, nb = manifest["key"], manifest["n_buckets"]
@@ -828,7 +839,7 @@ def optimize_table(
     key-sorted row-group locality inside the rewritten files. Time
     travel is untouched; old manifests keep the old dirs until vacuum.
     The commit records the clustering under ``clustered``."""
-    manifest = read_manifest(table_path)
+    manifest = _writer_manifest(table_path)
     key, nb = manifest["key"], manifest["n_buckets"]
     new_version = manifest["version"] + 1
     live = read_snapshot(spark, table_path)
@@ -905,7 +916,7 @@ def rebucket(
     read_changes pair spanning the boundary degrades to a full-table
     comparison (every bucket pointer moved) and correctly reports no
     changes for untouched rows."""
-    manifest = read_manifest(table_path)
+    manifest = _writer_manifest(table_path)
     key = manifest["key"]
     new_version = manifest["version"] + 1
     live = _bucketed(

@@ -2278,3 +2278,27 @@ def test_secondary_reader_parity_with_lookup_by(spark, tmp_path):
     # the skewed value exceeds the serving cap and fails loudly
     with pytest.raises(ValueError, match="selective"):
         reader.lookup_by("hot", cap=10)
+
+
+def test_writers_self_heal_wedged_pointer(spark, tmp_path):
+    """EVERY writer entry point (not just merge retries) heals a stale
+    CURRENT pointer: an ivm_apply against a view whose last committer
+    crashed before the pointer flip must adopt the published manifest
+    and commit on top of it."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    path = str(tmp_path / "healview")
+    schema = StructType([StructField("g", StringType(), True)])
+    measures = [("cnt", "count", None)]
+
+    def delta(rows):
+        return spark.createDataFrame([(r,) for r in rows], schema)
+
+    ivm_create(spark, path, delta([]), ["g"], measures, n_buckets=2)
+    ivm_apply(spark, path, delta(["a", "a", "b"]), ["g"], measures)  # v2
+    with open(os.path.join(path, "_snapshots", "CURRENT"), "w") as f:
+        f.write("1")  # simulate crash-before-flip
+    v = ivm_apply(spark, path, delta(["b"]), ["g"], measures)
+    assert v == 3  # healed to v2, then committed v3 — no collision
+    got = {r["g"]: r["cnt"] for r in ivm_read(spark, path).collect()}
+    assert got == {"a": 2, "b": 2}
