@@ -949,7 +949,11 @@ def rebucket(
 
 
 def vacuum(
-    table_path: str, *, keep_versions: int = 2, grace_seconds: float = 600.0
+    table_path: str,
+    *,
+    keep_versions: int = 2,
+    grace_seconds: float = 600.0,
+    protect_consumers: list[str] | None = None,
 ) -> list[str]:
     """Retire history: drop every manifest older than the newest
     ``keep_versions`` and every data dir no RETAINED manifest references.
@@ -961,6 +965,13 @@ def vacuum(
     before _commit) but not yet published its manifest; removing it would
     let that merge commit pointers to deleted files, a silently corrupted
     snapshot. Pass 0 only when no writer can be in flight.
+
+    ``protect_consumers``: paths of changefeed views / secondary indexes
+    maintained FROM this table. Their next sync reads
+    read_changes(cursor, ...), which needs every manifest from the
+    cursor forward — vacuum additionally retains those versions, so a
+    lagging consumer can never be stranded by retention (the failure
+    mode the changefeed docstring could previously only warn about).
 
     The sweep is metadata-only (manifest JSON reads + directory removes)
     — no Spark job, O(versions + dirs) regardless of table size. CURRENT
@@ -975,6 +986,16 @@ def vacuum(
     cur = current_version(table_path)
     if cur not in retained:
         retained.append(cur)
+    if protect_consumers:
+        from .changefeed import _cursor_state
+
+        floors = []
+        for view in protect_consumers:
+            cursor, pending = _cursor_state(view)
+            # a half-applied range replays from its START version
+            floors.append(pending[0] if pending else (cursor or 0))
+        floor = min(floors)
+        retained.extend(v for v in versions if v >= floor and v not in retained)
     referenced = {"data_v1"}
     for v in retained:
         referenced.update(read_manifest(table_path, v)["buckets"].values())

@@ -2302,3 +2302,42 @@ def test_writers_self_heal_wedged_pointer(spark, tmp_path):
     assert v == 3  # healed to v2, then committed v3 — no collision
     got = {r["g"]: r["cnt"] for r in ivm_read(spark, path).collect()}
     assert got == {"a": 2, "b": 2}
+
+
+def test_vacuum_protects_consumer_cursors(spark, table, tmp_path):
+    """vacuum(protect_consumers=[view]) retains every source manifest
+    from the laggiest consumer's cursor forward, so a later sync still
+    reads its change range; without protection the same retention would
+    strand the cursor."""
+    from mcp_local_rag_spark.plans.changefeed import (
+        create_view_over_table,
+        sync_view,
+    )
+    from mcp_local_rag_spark.plans.ivm import ivm_read
+    from mcp_local_rag_spark.plans.merge import list_versions, vacuum
+
+    view = str(tmp_path / "lagview")
+    keys = ["tag"]
+    measures = [("cnt", "count", None), ("sum_v", "sum", "v")]
+    create_view_over_table(spark, table, view, keys, measures, n_buckets=2)
+    # source moves two versions ahead of the view's cursor (still 1)
+    for k, v in ((1, 111), (2, 222)):
+        merge_into(
+            spark, table,
+            spark.createDataFrame([Row(k=k, v=v, tag="hot", is_delete=False)]),
+            delete_col="is_delete",
+        )
+    removed = vacuum(
+        table, keep_versions=1, grace_seconds=0, protect_consumers=[view]
+    )
+    # v1 (the cursor) and everything after must survive retention
+    assert set(list_versions(table)) == {1, 2, 3}
+    sync_view(spark, table, view, keys, measures)  # must not raise
+    got = {r["tag"]: r["cnt"] for r in ivm_read(spark, view).collect()}
+    assert got["hot"] == 2  # k=1's tag changed to hot, plus k=2
+    # with the consumer caught up, plain retention now retires history
+    # (dirs v3 still references — untouched buckets — survive)
+    vacuum(table, keep_versions=1, grace_seconds=0,
+           protect_consumers=[view])
+    assert list_versions(table) == [3]
+    assert read_snapshot(spark, table).count() == 200  # both were updates
