@@ -250,18 +250,19 @@ def _source_read_for_postings(
     spark: SparkSession,
     src: str,
     src_version: int | None,
-    cols: list[str],
-    vals: tuple,
     shard_counts: list[tuple[int, int]],
     pk: str,
     shards: int,
     pks_df: DataFrame | None,
     inlist_cap: int,
+    big_pred,
 ) -> DataFrame:
     """The source-side half of a lookup, given the (shard, count) rows
     already read from the index. Picks the IN-list or the distributed
     plan by total selectivity; driver state is bounded by
-    min(total, inlist_cap) pks + S counters either way."""
+    min(total, inlist_cap) pks + S counters either way. ``big_pred``
+    builds the distributed plan's filter (equality / IN / range over the
+    indexed columns) against the narrowed source frame."""
     from ..functions.spark_hash import bucket_of
 
     total = sum(c for _, c in shard_counts)
@@ -296,7 +297,7 @@ def _source_read_for_postings(
     else:
         buckets = None
     narrowed = read_snapshot(spark, src, src_version, only_buckets=buckets)
-    return narrowed.filter(_vals_pred(narrowed, cols, vals)).drop("bucket")
+    return narrowed.filter(big_pred(narrowed)).drop("bucket")
 
 
 def lookup_by(
@@ -351,8 +352,9 @@ def lookup_by(
             spark, index_path, spec, vals, idx_version, [_PKS]
         )
     return _source_read_for_postings(
-        spark, src, at_source_version, cols, vals, shard_counts,
+        spark, src, at_source_version, shard_counts,
         sec["pk"], sec["pk_shards"], pks_df, inlist_cap,
+        big_pred=lambda df: _vals_pred(df, cols, vals),
     )
 
 
@@ -397,35 +399,20 @@ def lookup_by_many(
     if key_filter is not None:
         pred = key_filter & pred
     hits = idx.filter(pred)
-    counts = hits.select(_SHARD, _CNT).collect()
-    shard_counts = [(r[_SHARD], r[_CNT]) for r in counts]
-    total = sum(c for _, c in shard_counts)
-    if total == 0:
-        return _empty_like_source(spark, src, None)
-    src_nb = read_manifest(src)["n_buckets"]
-    if total <= inlist_cap:
-        pks = sorted(
-            {
-                p
-                for r in hits.select(F.map_keys(F.col(_PKS)).alias("ks"))
-                .collect()
-                for p in r["ks"]
-            }
-        )
-        buckets = sorted({bucket_of(p, src_nb) for p in pks})
-        narrowed = read_snapshot(spark, src, only_buckets=buckets)
-        return narrowed.filter(
-            _typed_key_pred(narrowed, sec["pk"], pks)
-        ).drop("bucket")
-    if shards % src_nb == 0:
-        buckets = sorted({s % src_nb for s, c in shard_counts if c > 0})
-    else:
-        buckets = None
-    narrowed = read_snapshot(spark, src, only_buckets=buckets)
-    pred = F.lit(False)
-    for vals in vtuples:
-        pred = pred | _vals_pred(narrowed, cols, vals)
-    return narrowed.filter(pred).drop("bucket")
+    shard_counts = [
+        (r[_SHARD], r[_CNT]) for r in hits.select(_SHARD, _CNT).collect()
+    ]
+
+    def many_pred(df):
+        p = F.lit(False)
+        for vals in vtuples:
+            p = p | _vals_pred(df, cols, vals)
+        return p
+
+    return _source_read_for_postings(
+        spark, src, None, shard_counts,
+        sec["pk"], shards, hits, inlist_cap, big_pred=many_pred,
+    )
 
 
 def range_lookup(
@@ -461,36 +448,20 @@ def range_lookup(
     if not stale_ok:
         _check_fresh(index_path, src)
     idx = read_snapshot(spark, index_path)
-    up = (F.col(col) <= F.lit(hi)) if inclusive else (F.col(col) < F.lit(hi))
-    hits = idx.filter((F.col(col) >= F.lit(lo)) & up)
-    counts = hits.select(_SHARD, _CNT).collect()
-    shard_counts = [(r[_SHARD], r[_CNT]) for r in counts]
-    total = sum(c for _, c in shard_counts)
-    if total == 0:
-        return _empty_like_source(spark, src, None)
-    from ..functions.spark_hash import bucket_of
 
-    src_nb = read_manifest(src)["n_buckets"]
-    if total <= inlist_cap:
-        pks = sorted(
-            {
-                p
-                for r in hits.select(F.map_keys(F.col(_PKS)).alias("ks"))
-                .collect()
-                for p in r["ks"]
-            }
+    def range_pred(df):
+        up = (
+            (F.col(col) <= F.lit(hi))
+            if inclusive
+            else (F.col(col) < F.lit(hi))
         )
-        buckets = sorted({bucket_of(p, src_nb) for p in pks})
-        narrowed = read_snapshot(spark, src, only_buckets=buckets)
-        return narrowed.filter(
-            _typed_key_pred(narrowed, sec["pk"], pks)
-        ).drop("bucket")
-    if shards % src_nb == 0:
-        buckets = sorted({s % src_nb for s, c in shard_counts if c > 0})
-    else:
-        buckets = None
-    narrowed = read_snapshot(spark, src, only_buckets=buckets)
-    up = (
-        (F.col(col) <= F.lit(hi)) if inclusive else (F.col(col) < F.lit(hi))
+        return (F.col(col) >= F.lit(lo)) & up
+
+    hits = idx.filter(range_pred(idx))
+    shard_counts = [
+        (r[_SHARD], r[_CNT]) for r in hits.select(_SHARD, _CNT).collect()
+    ]
+    return _source_read_for_postings(
+        spark, src, None, shard_counts,
+        sec["pk"], shards, hits, inlist_cap, big_pred=range_pred,
     )
-    return narrowed.filter((F.col(col) >= F.lit(lo)) & up).drop("bucket")
