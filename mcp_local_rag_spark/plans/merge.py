@@ -455,6 +455,15 @@ def key_lookup(
     return one
 
 
+class ExpectationError(ValueError):
+    """A merge source violated table expectations (on_violation='fail').
+    Carries per-rule violation counts in ``metrics``."""
+
+    def __init__(self, msg: str, metrics: dict):
+        super().__init__(msg)
+        self.metrics = metrics
+
+
 def merge_into(
     spark: SparkSession,
     table_path: str,
@@ -464,6 +473,8 @@ def merge_into(
     max_retries: int = 0,
     schema_evolution: bool = False,
     batch_key: str | None = None,
+    expectations: list[tuple[str, str]] | None = None,
+    on_violation: str = "fail",
 ) -> int:
     """MERGE source INTO table ON key:
 
@@ -496,7 +507,49 @@ def merge_into(
     same atomic manifest commit that makes the merge visible, so a
     replay whose merge already landed is a no-op — the contract
     streaming/merge_sink relies on (same protocol as ivm_apply).
+
+    ``expectations``: Delta-style CHECK constraints on the WRITTEN rows
+    — [(rule name, SQL predicate a good row satisfies)], evaluated over
+    the non-delete source rows (plans/expectations, scan-speed column
+    expressions). ``on_violation='fail'`` (the Delta CHECK semantic)
+    raises ExpectationError with per-rule counts and commits NOTHING;
+    ``'drop'`` merges only the clean rows (delete rows always pass
+    through — they remove data, they don't write it).
     """
+    if expectations:
+        from .expectations import apply_expectations
+
+        data = source
+        deletes = None
+        if delete_col is not None:
+            flag = F.coalesce(F.col(delete_col), F.lit(False))
+            data = source.filter(~flag)
+            deletes = source.filter(flag)
+        clean, _quarantine, metrics_df = apply_expectations(
+            data, expectations
+        )
+        metrics = metrics_df.first().asDict()
+        n_bad = metrics["rows"] - metrics["clean_rows"]
+        if n_bad:
+            if on_violation == "fail":
+                raise ExpectationError(
+                    f"merge source violates expectations ({n_bad} of "
+                    f"{metrics['rows']} rows): "
+                    + ", ".join(
+                        f"{k[5:]}={v}"
+                        for k, v in metrics.items()
+                        if k.startswith("viol_") and v
+                    ),
+                    metrics,
+                )
+            if on_violation != "drop":
+                raise ValueError(
+                    f"on_violation must be 'fail' or 'drop', got "
+                    f"{on_violation!r}"
+                )
+            source = (
+                clean.unionByName(deletes) if deletes is not None else clean
+            )
     for _ in range(max_retries):
         try:
             return _merge_once(

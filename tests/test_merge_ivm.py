@@ -2341,3 +2341,49 @@ def test_vacuum_protects_consumer_cursors(spark, table, tmp_path):
            protect_consumers=[view])
     assert list_versions(table) == [3]
     assert read_snapshot(spark, table).count() == 200  # both were updates
+
+
+def test_merge_expectations_fail_and_drop(spark, table):
+    """Delta-style CHECK constraints on MERGE: 'fail' rejects the whole
+    batch atomically (nothing committed), 'drop' merges only clean rows;
+    delete rows bypass the rules (they remove data, not write it)."""
+    from mcp_local_rag_spark.plans.merge import ExpectationError
+
+    rules = [("v_nonneg", "v >= 0"), ("tag_set", "tag IS NOT NULL")]
+    bad_batch = spark.createDataFrame(
+        [
+            Row(k=1, v=-5, tag="x", is_delete=False),     # violates v_nonneg
+            Row(k=2, v=7, tag=None, is_delete=False),     # violates tag_set
+            Row(k=3, v=8, tag="ok", is_delete=False),     # clean update
+            Row(k=4, v=-1, tag=None, is_delete=True),     # delete: exempt
+        ],
+        "k bigint, v bigint, tag string, is_delete boolean",
+    )
+    with pytest.raises(ExpectationError) as ei:
+        merge_into(
+            spark, table, bad_batch, delete_col="is_delete",
+            expectations=rules,
+        )
+    assert ei.value.metrics["viol_v_nonneg"] == 1
+    assert ei.value.metrics["viol_tag_set"] == 1
+    assert current_version(table) == 1  # nothing committed
+
+    v = merge_into(
+        spark, table, bad_batch, delete_col="is_delete",
+        expectations=rules, on_violation="drop",
+    )
+    assert v == 2
+    snap = {r["k"]: (r["v"], r["tag"]) for r in read_snapshot(spark, table)
+            .filter(F.col("k").isin(1, 2, 3, 4)).collect()}
+    assert snap[3] == (8, "ok")        # clean row merged
+    assert snap[1] == (3, "row1")      # violating update skipped
+    assert snap[2] == (6, "row2")      # violating update skipped
+    assert 4 not in snap               # delete went through
+
+    # a fully clean batch under the same rules commits normally
+    v = merge_into(
+        spark, table,
+        spark.createDataFrame([Row(k=5, v=50, tag="z", is_delete=False)]),
+        delete_col="is_delete", expectations=rules,
+    )
+    assert v == 3
