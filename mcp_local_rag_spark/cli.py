@@ -106,6 +106,21 @@ def _parser() -> argparse.ArgumentParser:
                     help="seconds to keep young unreferenced dirs "
                          "(in-flight-writer protection)")
 
+    trn = sub.add_parser(
+        "table-rename-column",
+        help="metadata-only column rename (schema log; zero data rewritten)",
+    )
+    trn.add_argument("path")
+    trn.add_argument("old")
+    trn.add_argument("new")
+
+    tdc = sub.add_parser(
+        "table-drop-column",
+        help="metadata-only column drop (schema log; zero data rewritten)",
+    )
+    tdc.add_argument("path")
+    tdc.add_argument("column")
+
     tr = sub.add_parser(
         "table-rebucket", help="re-hash the table into a new bucket count"
     )
@@ -297,6 +312,18 @@ def run(argv: list[str], engine, out=None) -> int:
             grace_seconds=args.grace,
         )
         emit({"removedDataDirs": removed})
+        return 0
+    if args.cmd == "table-rename-column":
+        from .plans.merge import rename_column
+
+        v = rename_column(os.path.abspath(args.path), args.old, args.new)
+        emit({"version": v, "renamed": {args.old: args.new}})
+        return 0
+    if args.cmd == "table-drop-column":
+        from .plans.merge import drop_column
+
+        v = drop_column(os.path.abspath(args.path), args.column)
+        emit({"version": v, "dropped": args.column})
         return 0
     if args.cmd == "table-rebucket":
         from .plans.merge import rebucket

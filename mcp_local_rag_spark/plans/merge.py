@@ -301,6 +301,116 @@ def snapshot_rowcount(table_path: str, version: int | None = None) -> int:
     return total
 
 
+def _dir_version(data_dir: str) -> int:
+    """The commit version that wrote ``data_dir`` (encoded in its name:
+    ``data_v1`` or ``data_v{N}_{token}``) — the schema ERA of its files."""
+    return int(data_dir.split("_")[1][1:])
+
+
+def _apply_schema_log(df, dir_version: int, schema_log: list[dict]):
+    """Adapt one data dir's frame to the CURRENT schema: apply, in
+    order, every rename/drop committed AFTER the dir was written. A
+    column dropped then re-added reads NULL from pre-drop dirs (the
+    drop entry removes the old lineage's column here; the union's
+    null-fill supplies the new lineage) — the Iceberg field-id behavior
+    derived from the append-only log instead of per-column ids."""
+    for e in schema_log:
+        if e["v"] <= dir_version:
+            continue
+        if e["op"] == "rename" and e["from"] in df.columns:
+            df = df.withColumnRenamed(e["from"], e["to"])
+        elif e["op"] == "drop" and e["col"] in df.columns:
+            df = df.drop(e["col"])
+    return df
+
+
+def file_column_of(
+    col: str, dir_version: int, schema_log: list[dict]
+) -> str | None:
+    """The FILE-era name of current column ``col`` inside a dir written
+    at ``dir_version`` — the inverse walk of _apply_schema_log, for
+    readers that open parquet directly (plans/point_read). None when
+    the column's lineage did not exist in that era (added, or re-added
+    after a drop): such a column reads NULL from that dir."""
+    name = col
+    for e in sorted(
+        (e for e in schema_log if e["v"] > dir_version),
+        key=lambda e: e["v"],
+        reverse=True,
+    ):
+        if e["op"] == "rename" and e["to"] == name:
+            name = e["from"]
+        elif e["op"] == "drop" and e["col"] == name:
+            return None
+    return name
+
+
+def rename_column(table_path: str, old: str, new: str) -> int:
+    """METADATA-ONLY column rename — one manifest commit, zero data
+    rewritten (a 100 TB table renames in milliseconds). Readers adapt
+    old dirs through the manifest's append-only schema log; old
+    snapshots keep their old names (time travel reads version K with
+    version K's schema). The primary key and clustered columns follow
+    the rename. Secondary indexes / views created over the old name
+    keep their recorded spec — recreate them after renaming an indexed
+    column."""
+    manifest = _writer_manifest(table_path)
+    cols = dict(manifest.get("columns") or {})
+    if old not in cols:
+        raise ValueError(f"no column {old!r} (have {sorted(cols)})")
+    if new in cols:
+        raise ValueError(f"column {new!r} already exists")
+    new_version = manifest["version"] + 1
+    manifest = dict(manifest)
+    manifest["version"] = new_version
+    manifest["columns"] = {
+        (new if c == old else c): t for c, t in cols.items()
+    }
+    if manifest.get("key") == old:
+        manifest["key"] = new
+    clustered = manifest.get("clustered")
+    if clustered and old in clustered.get("cols", []):
+        manifest["clustered"] = {
+            **clustered,
+            "cols": [new if c == old else c for c in clustered["cols"]],
+        }
+    manifest["schema_log"] = manifest.get("schema_log", []) + [
+        {"v": new_version, "op": "rename", "from": old, "to": new}
+    ]
+    _commit(table_path, manifest, new_version)
+    return new_version
+
+
+def drop_column(table_path: str, col: str) -> int:
+    """METADATA-ONLY column drop — one manifest commit, zero data
+    rewritten; the bytes stay in old files but every reader of this and
+    later versions projects them away (Iceberg drop semantics). Old
+    snapshots still show the column. A later schema-evolving merge may
+    re-add the name: pre-drop dirs then read NULL for it (new lineage),
+    never the dropped bytes. The primary key cannot be dropped."""
+    manifest = _writer_manifest(table_path)
+    cols = dict(manifest.get("columns") or {})
+    if col not in cols:
+        raise ValueError(f"no column {col!r} (have {sorted(cols)})")
+    if manifest.get("key") == col:
+        raise ValueError(f"cannot drop the primary key {col!r}")
+    clustered = manifest.get("clustered")
+    if clustered and col in clustered.get("cols", []):
+        raise ValueError(
+            f"column {col!r} is in the clustered order "
+            f"{clustered['cols']}; re-OPTIMIZE before dropping"
+        )
+    new_version = manifest["version"] + 1
+    manifest = dict(manifest)
+    manifest["version"] = new_version
+    manifest["columns"] = {c: t for c, t in cols.items() if c != col}
+    manifest["schema_log"] = manifest.get("schema_log", []) + [
+        {"v": new_version, "op": "drop", "col": col}
+    ]
+    _commit(table_path, manifest, new_version)
+    return new_version
+
+
 def _buckets_on_disk(table_path: str, data_dir: str) -> list[int]:
     root = os.path.join(table_path, data_dir)
     out = []
@@ -326,6 +436,7 @@ def read_snapshot(
     reads / delta folds touch one or a few buckets of potentially many
     dirs)."""
     manifest = read_manifest(table_path, version)
+    schema_log = manifest.get("schema_log", [])
     by_dir: dict[str, list[int]] = {}
     keep = (
         None if only_buckets is None else {str(b) for b in only_buckets}
@@ -338,17 +449,19 @@ def read_snapshot(
         # every row deleted: keep the snapshot READABLE-EMPTY with v1's
         # schema (v1 data dirs are immutable and never removed)
         full = os.path.join(table_path, "data_v1")
-        return (
-            spark.read.option("basePath", full).parquet(full).limit(0)
-        )
+        empty = spark.read.option("basePath", full).parquet(full).limit(0)
+        return _apply_schema_log(empty, 1, schema_log)
     parts = []
     for d, buckets in sorted(by_dir.items()):
         full = os.path.join(table_path, d)
-        parts.append(
+        part = (
             spark.read.option("basePath", full)
             .parquet(full)
             .filter(F.col("bucket").isin(buckets))
         )
+        # renames/drops committed after this dir was written adapt its
+        # files to the CURRENT schema — metadata-only schema evolution
+        parts.append(_apply_schema_log(part, _dir_version(d), schema_log))
     out = parts[0]
     for p in parts[1:]:
         # allowMissingColumns: after a schema-evolving merge, untouched
@@ -441,6 +554,9 @@ def key_lookup(
     # what a point read must not do); the typed equality pushes to the
     # scan, so the key-sorted row groups inside the file prune too
     one = spark.read.parquet(os.path.join(table_path, d, f"bucket={b}"))
+    one = _apply_schema_log(
+        one, _dir_version(d), manifest.get("schema_log", [])
+    )
     one = one.filter(_typed_key_pred(one, key, [key_value]))
     # align to the manifest-recorded CURRENT schema: after a
     # schema-evolving merge an untouched bucket's files lack the new
@@ -714,6 +830,11 @@ def _merge_once(
             "buckets": buckets,
             "rows": rows,
             **({"clustered": clustered} if clustered else {}),
+            **(
+                {"schema_log": manifest["schema_log"]}
+                if manifest.get("schema_log")
+                else {}
+            ),
             # the CURRENT data schema: single-dir readers (key_lookup)
             # null-fill evolved columns from this, metadata-only
             # (drop_after covers the transient z-order key column)
@@ -774,6 +895,13 @@ def read_changes(
         )
     old = read_snapshot(spark, table_path, from_version).filter(
         F.col("bucket").isin(changed)
+    )
+    # the diff compares under the TO version's schema: renames/drops
+    # committed in (from, to] re-map the whole old snapshot (era =
+    # from_version), so a pure rename yields no row changes and update
+    # images carry the current names
+    old = _apply_schema_log(
+        old, from_version, m1.get("schema_log", [])
     )
     for c in data_cols:
         if c not in old.columns:
@@ -995,6 +1123,14 @@ def rebucket(
                 if f.name != "bucket"
             },
             "applied": manifest.get("applied", []),
+            # the rewrite materialized the CURRENT schema into the new
+            # dir, but TIME TRAVEL to pre-rebucket versions still walks
+            # this table's history — keep the log
+            **(
+                {"schema_log": manifest["schema_log"]}
+                if manifest.get("schema_log")
+                else {}
+            ),
         },
         new_version,
     )

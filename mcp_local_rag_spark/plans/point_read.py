@@ -27,7 +27,12 @@ import os
 from typing import Any
 
 from ..functions.spark_hash import bucket_of, spark_string_of
-from .merge import current_version, read_manifest
+from .merge import (
+    _dir_version,
+    current_version,
+    file_column_of,
+    read_manifest,
+)
 
 def _coerce_arrow(value, arrow_type):
     """``value`` as the python type pyarrow needs to compare against a
@@ -109,19 +114,28 @@ class SnapshotReader:
         if data_dir is None:
             return []
         dset = self._dataset(data_dir, b)
-        present = [c for c in out_cols if c in dset.schema.names]
-        typed = _coerce_arrow(key_value, dset.schema.field(key).type)
+        # map current names to the dir's FILE-era names through the
+        # manifest's schema log (rename/drop are metadata-only; old
+        # files keep old names). None = lineage absent then -> NULL.
+        log = manifest.get("schema_log", [])
+        dirv = _dir_version(data_dir)
+        fmap = {c: file_column_of(c, dirv, log) for c in out_cols}
+        key_file = file_column_of(key, dirv, log) or key
+        present = {
+            c: fc
+            for c, fc in fmap.items()
+            if fc is not None and fc in dset.schema.names
+        }
+        typed = _coerce_arrow(key_value, dset.schema.field(key_file).type)
         tbl = dset.to_table(
-            columns=present,
-            filter=ds.field(key) == typed,
+            columns=sorted(set(present.values())),
+            filter=ds.field(key_file) == typed,
         )
         rows = tbl.to_pylist()
-        missing = [c for c in out_cols if c not in present]
-        if missing:
-            for r in rows:
-                for c in missing:
-                    r[c] = None
-        return [{c: r[c] for c in out_cols} for r in rows]
+        return [
+            {c: (r[present[c]] if c in present else None) for c in out_cols}
+            for r in rows
+        ]
 
     def lookup_many(
         self,
@@ -143,25 +157,35 @@ class SnapshotReader:
             by_bucket.setdefault(
                 bucket_of(spark_string_of(v), nb), []
             ).append(v)
+        log = manifest.get("schema_log", [])
         rows: list[dict] = []
         for b, vals in sorted(by_bucket.items()):
             data_dir = manifest["buckets"].get(str(b))
             if data_dir is None:
                 continue
             dset = self._dataset(data_dir, b)
-            present = [c for c in out_cols if c in dset.schema.names]
-            ktype = dset.schema.field(key).type
+            dirv = _dir_version(data_dir)
+            fmap = {c: file_column_of(c, dirv, log) for c in out_cols}
+            key_file = file_column_of(key, dirv, log) or key
+            present = {
+                c: fc
+                for c, fc in fmap.items()
+                if fc is not None and fc in dset.schema.names
+            }
+            ktype = dset.schema.field(key_file).type
             got = dset.to_table(
-                columns=present,
-                filter=ds.field(key).isin(
+                columns=sorted(set(present.values())),
+                filter=ds.field(key_file).isin(
                     [_coerce_arrow(v, ktype) for v in vals]
                 ),
             ).to_pylist()
-            missing = [c for c in out_cols if c not in present]
-            for r in got:
-                for c in missing:
-                    r[c] = None
-            rows.extend({c: r[c] for c in out_cols} for r in got)
+            rows.extend(
+                {
+                    c: (r[present[c]] if c in present else None)
+                    for c in out_cols
+                }
+                for r in got
+            )
         return rows
 
     def _schema_cols(self, manifest: dict) -> list[str]:

@@ -676,6 +676,92 @@ def q_documents_secondary_range(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Metadata-only schema evolution beyond ADD (round 11): rename + drop via
+# the manifest schema log — zero data rewritten — then a schema-evolving
+# merge that RE-ADDS the dropped name. Old dirs must read the renamed
+# column under its new name, NULL for the re-added lineage, and the
+# updated rows their new values. Oracle: the flat declarative derivation
+# over raw documents. A hash match proves the whole log machinery
+# (read_snapshot per-dir adaptation, merge against the evolved schema).
+
+
+def _schema_evo_table(spark: SparkSession, sf_dir: str) -> str:
+    from ..plans.merge import (
+        create_merge_table,
+        current_version,
+        drop_column,
+        merge_into,
+        rename_column,
+    )
+
+    path = _scratch_path(sf_dir, "schema_evo", tables=("documents",))
+    done = os.path.join(path, "_snapshots", "CURRENT")
+    if os.path.isfile(done):
+        try:
+            if current_version(path) >= 4:
+                return path
+        except (OSError, ValueError):
+            pass
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents")
+    create_merge_table(docs, path, "doc_id", n_buckets=8)     # v1
+    rename_column(path, "n_chars", "char_count")              # v2
+    drop_column(path, "source")                               # v3
+    new_text = F.concat(F.lit("v2:"), F.substring("text", 1, 40))
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .select(
+            "doc_id",
+            new_text.alias("text"),
+            "lang",
+            F.length(new_text).cast("long").alias("char_count"),
+            F.lit("cdc-upd").alias("source"),  # re-adds the dropped name
+            F.lit(False).alias("is_delete"),
+        )
+    )
+    merge_into(
+        spark, path, batch, delete_col="is_delete", schema_evolution=True
+    )                                                          # v4
+    return path
+
+
+@register(
+    "documents_schema_evolution",
+    """WITH merged AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 10 = 3
+              THEN length('v2:' || substr(text, 1, 40)) ELSE n_chars END
+           AS char_count,
+         CASE WHEN doc_id % 10 = 3 THEN 'cdc-upd' END AS source
+  FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(char_count)::BIGINT AS sum_chars,
+       count(source)::BIGINT AS n_readded,
+       sum(doc_id * 1009 + char_count)::BIGINT AS checksum
+FROM merged GROUP BY lang ORDER BY lang""",
+)
+def q_documents_schema_evolution(spark, sf_dir):
+    from ..plans.merge import read_snapshot
+
+    path = _schema_evo_table(spark, sf_dir)
+    snap = read_snapshot(spark, path)
+    return (
+        snap.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("char_count").cast("long").alias("sum_chars"),
+            F.count("source").cast("long").alias("n_readded"),
+            F.sum(F.col("doc_id") * 1009 + F.col("char_count"))
+            .cast("long")
+            .alias("checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD2 history: collapse each user's event stream into runs of identical
 # event_type with [valid_from, valid_to) intervals — the slowly-changing-
 # dimension build, as gaps-and-islands over one window pass + one

@@ -2387,3 +2387,116 @@ def test_merge_expectations_fail_and_drop(spark, table):
         delete_col="is_delete", expectations=rules,
     )
     assert v == 3
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only schema evolution beyond ADD: rename/drop via the
+# manifest's append-only schema log (round 11). Zero data rewritten.
+
+
+def test_rename_column_is_metadata_only(spark, table):
+    from mcp_local_rag_spark.plans.merge import (
+        key_lookup,
+        read_manifest,
+        rename_column,
+    )
+    from mcp_local_rag_spark.plans.point_read import SnapshotReader
+
+    dirs_before = {
+        n for n in os.listdir(table) if n.startswith("data_v")
+    }
+    v = rename_column(table, "v", "val")
+    assert v == 2
+    assert {
+        n for n in os.listdir(table) if n.startswith("data_v")
+    } == dirs_before  # nothing rewritten
+    snap = read_snapshot(spark, table)
+    assert "val" in snap.columns and "v" not in snap.columns
+    assert snap.filter(F.col("k") == 7).first()["val"] == 21
+    # time travel keeps the OLD name at the old version
+    old = read_snapshot(spark, table, version=1)
+    assert "v" in old.columns and "val" not in old.columns
+    # point reads (Spark-plan and serving) see the new name
+    assert key_lookup(spark, table, 7).first()["val"] == 21
+    assert SnapshotReader(table).lookup(7)[0]["val"] == 21
+    # a merge against the renamed schema works and keeps the log
+    merge_into(
+        spark, table,
+        spark.createDataFrame([Row(k=7, val=99, tag="upd", is_delete=False)]),
+        delete_col="is_delete",
+    )
+    assert read_manifest(table)["schema_log"]
+    assert key_lookup(spark, table, 7).first()["val"] == 99
+    assert SnapshotReader(table).lookup(8)[0]["val"] == 24  # pre-rename dir
+
+
+def test_rename_key_column_keeps_routing(spark, table):
+    from mcp_local_rag_spark.plans.merge import key_lookup, rename_column
+    from mcp_local_rag_spark.plans.point_read import SnapshotReader
+
+    rename_column(table, "k", "pk")
+    got = key_lookup(spark, table, 13).first()
+    assert got["pk"] == 13 and got["v"] == 39
+    assert SnapshotReader(table).lookup(13)[0]["pk"] == 13
+    merge_into(
+        spark, table,
+        spark.createDataFrame([Row(pk=13, v=-1, tag="r", is_delete=False)]),
+        delete_col="is_delete",
+    )
+    assert key_lookup(spark, table, 13).first()["v"] == -1
+
+
+def test_drop_column_and_readd_reads_null_from_old_dirs(spark, table):
+    from mcp_local_rag_spark.plans.merge import (
+        drop_column,
+        key_lookup,
+        rename_column,
+    )
+    from mcp_local_rag_spark.plans.point_read import SnapshotReader
+
+    drop_column(table, "tag")  # v2, metadata-only
+    snap = read_snapshot(spark, table)
+    assert "tag" not in snap.columns
+    assert "tag" not in key_lookup(spark, table, 5).columns
+    assert "tag" not in SnapshotReader(table).lookup(5)[0]
+    # old snapshot still shows it
+    assert read_snapshot(spark, table, version=1).filter(
+        F.col("k") == 5
+    ).first()["tag"] == "row5"
+    # re-add the NAME via schema evolution: old dirs read NULL (new
+    # lineage), never the dropped bytes
+    merge_into(
+        spark, table,
+        spark.createDataFrame([Row(k=5, v=0, tag="new-lineage",
+                                   is_delete=False)]),
+        delete_col="is_delete", schema_evolution=True,
+    )
+    got = {r["k"]: r["tag"] for r in read_snapshot(spark, table)
+           .filter(F.col("k").isin(5, 6)).collect()}
+    assert got[5] == "new-lineage"
+    assert got[6] is None  # pre-drop dir: NULL, not 'row6'
+    assert SnapshotReader(table).lookup(6)[0]["tag"] is None
+    # guards
+    with pytest.raises(ValueError, match="primary key"):
+        drop_column(table, "k")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(table, "v", "tag")
+
+
+def test_cdf_across_rename(spark, table):
+    """read_changes spanning a rename compares old dirs under the NEW
+    names — a rename alone yields no row changes."""
+    from mcp_local_rag_spark.plans.merge import read_changes, rename_column
+
+    rename_column(table, "v", "val")  # v2
+    assert read_changes(spark, table, 1, 2).count() == 0
+    merge_into(
+        spark, table,
+        spark.createDataFrame([Row(k=1, val=500, tag="c", is_delete=False)]),
+        delete_col="is_delete",
+    )  # v3
+    ch = {r["_change_type"]: r for r in read_changes(spark, table, 1, 3)
+          .collect()}
+    assert set(ch) == {"update_preimage", "update_postimage"}
+    assert ch["update_preimage"]["val"] == 3
+    assert ch["update_postimage"]["val"] == 500
