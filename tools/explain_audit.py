@@ -16,6 +16,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = "/root/testdata/sf0.001"
 
 COMMENTARY = {
+    "documents_secondary_range": (
+        "Range lookup through the sharded secondary index: one tiny "
+        "full-index scan (O(distinct values x S) rows) with the range "
+        "pushed, then either the typed pk IN-list plan (selective; pks "
+        "routed to buckets driver-locally, row-group pruning in the "
+        "key-sorted files) or the distributed shard->bucket plan (skewed; "
+        "driver state <= S counters). Source cost rides the range's "
+        "selectivity, never the table."
+    ),
+    "dedup_minhash_banded": (
+        "Candidates from the persisted band-bucketed index: one "
+        "ObjectHashAggregate over the narrow (id, band, band_key) table "
+        "+ a JVM higher-order pair expansion + distinct. No re-shingling, "
+        "no two-sided self-join exchange; oversized boilerplate buckets "
+        "route through the same salted join lsh_candidate_pairs uses. "
+        "At 100x replicas the lane is output-bound (30M true pairs); "
+        "per-pair cost falls 4.7 -> 0.60 us (BENCH_SCALE_r11)."
+    ),
+    "documents_schema_evolution": (
+        "Rename + drop are manifest-only commits (schema log); the read "
+        "is the same manifest-pruned per-dir union with withColumnRenamed/"
+        "drop applied per data dir by write-era — zero extra shuffles, "
+        "zero data rewritten. The re-added column reads NULL from "
+        "pre-drop dirs via the log, not a rewrite."
+    ),
     "tpch_q6_selective": (
         "Pushdown-heavy scan: every range predicate lands in PushedFilters, "
         "ReadSchema is 4 of 12 lineitem columns, one partial+final aggregate "
