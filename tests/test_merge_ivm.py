@@ -2500,3 +2500,150 @@ def test_cdf_across_rename(spark, table):
     assert set(ch) == {"update_preimage", "update_postimage"}
     assert ch["update_preimage"]["val"] == 3
     assert ch["update_postimage"]["val"] == 500
+
+
+def test_schema_log_randomized_against_model(spark, tmp_path):
+    """Seeded random walk of warehouse ops — upsert, delete, ADD column
+    (schema-evolving merge), RENAME, DROP, re-add of dropped names —
+    checked after every step against a pure-python model, plus
+    time-travel spot checks against the model's recorded history and
+    serving-path point reads. The schema log must keep every reader
+    exact through any interleaving."""
+    import copy
+    import random
+
+    from mcp_local_rag_spark.plans.merge import (
+        create_merge_table,
+        drop_column,
+        read_manifest,
+        rename_column,
+    )
+    from mcp_local_rag_spark.plans.point_read import SnapshotReader
+
+    rng = random.Random(1106)
+    path = str(tmp_path / "fuzz")
+    keys = list(range(24))
+    # model: key -> {col: value}; cols: current non-key schema
+    cols = ["c0", "c1"]
+    model = {
+        k: {"c0": k * 10, "c1": k * 100} for k in keys if k % 3 != 2
+    }
+    rows = [
+        Row(k=k, **{c: v for c, v in m.items()}) for k, m in model.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "k bigint, " + ", ".join(f"{c} bigint" for c in cols)
+    )
+    create_merge_table(df, path, "k", n_buckets=4)
+    history = {1: (copy.deepcopy(model), list(cols))}
+    version = 1
+    next_col = 2
+
+    def spark_state():
+        got = {}
+        for r in read_snapshot(spark, path).drop("bucket").collect():
+            d = r.asDict()
+            got[d.pop("k")] = d
+        return got
+
+    def model_full(m, cs):
+        # model rows padded with None for columns the row never carried
+        return {
+            k: {c: row.get(c) for c in cs} for k, row in m.items()
+        }
+
+    for step in range(18):
+        op = rng.choice(["upsert", "upsert", "delete", "add", "rename", "drop"])
+        if op == "upsert":
+            picks = rng.sample(keys, rng.randint(1, 5))
+            batch = []
+            for k in picks:
+                vals = {c: rng.randint(0, 999) for c in cols}
+                model[k] = vals
+                batch.append(
+                    Row(k=k, **vals, is_delete=False)
+                )
+            src = spark.createDataFrame(
+                batch,
+                "k bigint, "
+                + ", ".join(f"{c} bigint" for c in cols)
+                + ", is_delete boolean",
+            )
+            version = merge_into(spark, path, src, delete_col="is_delete")
+        elif op == "delete":
+            present = [k for k in keys if k in model]
+            if not present:
+                continue
+            k = rng.choice(present)
+            model.pop(k)
+            src = spark.createDataFrame(
+                [Row(k=k, **{c: None for c in cols}, is_delete=True)],
+                "k bigint, "
+                + ", ".join(f"{c} bigint" for c in cols)
+                + ", is_delete boolean",
+            )
+            version = merge_into(spark, path, src, delete_col="is_delete")
+        elif op == "add":
+            new = f"c{next_col}"
+            next_col += 1
+            picks = rng.sample([k for k in keys if k in model] or keys, 2)
+            batch = []
+            for k in picks:
+                vals = {c: rng.randint(0, 999) for c in cols}
+                vals[new] = rng.randint(0, 999)
+                model[k] = vals
+                batch.append(Row(k=k, **vals, is_delete=False))
+            cols.append(new)
+            src = spark.createDataFrame(
+                batch,
+                "k bigint, "
+                + ", ".join(f"{c} bigint" for c in cols)
+                + ", is_delete boolean",
+            )
+            version = merge_into(
+                spark, path, src, delete_col="is_delete",
+                schema_evolution=True,
+            )
+        elif op == "rename":
+            old = rng.choice(cols)
+            new = f"c{next_col}"
+            next_col += 1
+            version = rename_column(path, old, new)
+            cols[cols.index(old)] = new
+            for row in model.values():
+                if old in row:
+                    row[new] = row.pop(old)
+        else:  # drop
+            if len(cols) < 2:
+                continue
+            col = rng.choice(cols)
+            version = drop_column(path, col)
+            cols.remove(col)
+            for row in model.values():
+                row.pop(col, None)
+        history[version] = (copy.deepcopy(model), list(cols))
+        assert spark_state() == model_full(model, cols), f"step {step} {op}"
+
+    # serving-path point reads agree (incl. missing keys)
+    reader = SnapshotReader(path)
+    want_cols = list(read_manifest(path)["columns"])
+    for k in rng.sample(keys, 6):
+        got = reader.lookup(k)
+        if k in model:
+            assert got == [
+                {
+                    c: (model[k].get(c) if c != "k" else k)
+                    for c in want_cols
+                }
+            ], k
+        else:
+            assert got == [], k
+
+    # time travel: three random historical versions replay exactly
+    for v in rng.sample(sorted(history), 3):
+        m, cs = history[v]
+        got = {}
+        for r in read_snapshot(spark, path, version=v).drop("bucket").collect():
+            d = r.asDict()
+            got[d.pop("k")] = d
+        assert got == model_full(m, cs), f"version {v}"
