@@ -106,6 +106,25 @@ def _parser() -> argparse.ArgumentParser:
                     help="seconds to keep young unreferenced dirs "
                          "(in-flight-writer protection)")
 
+    sp = sub.add_parser(
+        "savepoint-create",
+        help="pin the CURRENT versions of several snapshot tables as one "
+             "named cross-table savepoint (dataset versioning)",
+    )
+    sp.add_argument("root")
+    sp.add_argument("name")
+    sp.add_argument("tables", nargs="+")
+
+    spl = sub.add_parser("savepoint-list", help="list savepoints under a root")
+    spl.add_argument("root")
+
+    spv = sub.add_parser(
+        "savepoint-verify",
+        help="check every pinned (table, version) is still readable",
+    )
+    spv.add_argument("root")
+    spv.add_argument("name")
+
     trn = sub.add_parser(
         "table-rename-column",
         help="metadata-only column rename (schema log; zero data rewritten)",
@@ -312,6 +331,27 @@ def run(argv: list[str], engine, out=None) -> int:
             grace_seconds=args.grace,
         )
         emit({"removedDataDirs": removed})
+        return 0
+    if args.cmd == "savepoint-create":
+        from .plans.savepoint import create_savepoint
+
+        rec = create_savepoint(
+            os.path.abspath(args.root), args.name,
+            [os.path.abspath(t) for t in args.tables],
+        )
+        emit({"savepoint": args.name, "tables": rec["tables"]})
+        return 0
+    if args.cmd == "savepoint-list":
+        from .plans.savepoint import list_savepoints
+
+        emit({"savepoints": list_savepoints(os.path.abspath(args.root))})
+        return 0
+    if args.cmd == "savepoint-verify":
+        from .plans.savepoint import verify_savepoint
+
+        out = verify_savepoint(os.path.abspath(args.root), args.name)
+        emit({"savepoint": args.name, "tables": out,
+              "ok": all(v == "ok" for v in out.values())})
         return 0
     if args.cmd == "table-rename-column":
         from .plans.merge import rename_column

@@ -1143,6 +1143,7 @@ def vacuum(
     keep_versions: int = 2,
     grace_seconds: float = 600.0,
     protect_consumers: list[str] | None = None,
+    protect_savepoints: str | None = None,
 ) -> list[str]:
     """Retire history: drop every manifest older than the newest
     ``keep_versions`` and every data dir no RETAINED manifest references.
@@ -1161,6 +1162,11 @@ def vacuum(
     cursor forward — vacuum additionally retains those versions, so a
     lagging consumer can never be stranded by retention (the failure
     mode the changefeed docstring could previously only warn about).
+
+    ``protect_savepoints``: a plans/savepoint root; every version of
+    this table any savepoint under it pins is retained, so
+    dataset-versioning pins (the versions training runs recorded)
+    survive retention by construction.
 
     The sweep is metadata-only (manifest JSON reads + directory removes)
     — no Spark job, O(versions + dirs) regardless of table size. CURRENT
@@ -1185,6 +1191,17 @@ def vacuum(
             floors.append(pending[0] if pending else (cursor or 0))
         floor = min(floors)
         retained.extend(v for v in versions if v >= floor and v not in retained)
+    if protect_savepoints is not None:
+        # savepoint pins (plans/savepoint): every version any savepoint
+        # under the root still pins stays readable — data-versioning
+        # pins survive retention by construction
+        from .savepoint import list_savepoints, load_savepoint
+
+        key = os.path.abspath(table_path)
+        for n in list_savepoints(protect_savepoints):
+            pin = load_savepoint(protect_savepoints, n)["tables"].get(key)
+            if pin is not None and pin in versions and pin not in retained:
+                retained.append(pin)
     referenced = {"data_v1"}
     for v in retained:
         referenced.update(read_manifest(table_path, v)["buckets"].values())

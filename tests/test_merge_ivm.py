@@ -2647,3 +2647,60 @@ def test_schema_log_randomized_against_model(spark, tmp_path):
             d = r.asDict()
             got[d.pop("k")] = d
         assert got == model_full(m, cs), f"version {v}"
+
+
+# ---------------------------------------------------------------------------
+# Savepoints: cross-table snapshot pins (round 11).
+
+
+def test_savepoint_pins_and_survives_vacuum(spark, table, tmp_path):
+    from mcp_local_rag_spark.plans.merge import (
+        compact_snapshots,
+        list_versions,
+        vacuum,
+    )
+    from mcp_local_rag_spark.plans.savepoint import (
+        create_savepoint,
+        list_savepoints,
+        protect_versions_of,
+        read_at_savepoint,
+        verify_savepoint,
+    )
+
+    root = str(tmp_path / "savepoints")
+    other = str(tmp_path / "other")
+    create_merge_table(
+        spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("x")),
+        other, "k", n_buckets=2,
+    )
+    rec = create_savepoint(root, "run-2026-08", [table, other],
+                           metadata={"run": "demo"})
+    assert rec["tables"][os.path.abspath(table)] == 1
+    assert list_savepoints(root) == ["run-2026-08"]
+    with pytest.raises(FileExistsError):
+        create_savepoint(root, "run-2026-08", [table])
+
+    # the source moves on: three merges + a compaction
+    for k in (1, 2, 3):
+        merge_into(
+            spark, table,
+            spark.createDataFrame([Row(k=k, v=-k, tag="m", is_delete=False)]),
+            delete_col="is_delete",
+        )
+    compact_snapshots(spark, table)
+    pinned = read_at_savepoint(spark, root, "run-2026-08", table)
+    assert pinned.filter(F.col("k") == 1).first()["v"] == 3  # pre-merge
+    assert protect_versions_of(root, table) == 1
+
+    # retention WITHOUT protection would retire v1; with it, the pin stays
+    vacuum(table, keep_versions=1, grace_seconds=0, protect_savepoints=root)
+    assert 1 in list_versions(table)
+    assert verify_savepoint(root, "run-2026-08")[os.path.abspath(table)] == "ok"
+    again = read_at_savepoint(spark, root, "run-2026-08", table)
+    assert again.filter(F.col("k") == 1).first()["v"] == 3
+
+    # an unprotected vacuum retires the pin; verify reports it loudly
+    vacuum(table, keep_versions=1, grace_seconds=0)
+    status = verify_savepoint(root, "run-2026-08")
+    assert status[os.path.abspath(table)].startswith("missing")
+    assert status[os.path.abspath(other)] == "ok"
