@@ -269,3 +269,215 @@ def build_chunks_ivf(
         vec_col="vector",
     )
     return int(n_cells)
+
+
+def ivf_cell_stats(
+    spark: SparkSession, path: str, *, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cell health report — the drift signal IVF maintenance acts
+    on: row count, mean/max L2 distance to the cell's centroid
+    (quantization error — appends assign new vectors to FROZEN
+    centroids, so a drifting distribution inflates it and recall
+    decays), and the fill ratio vs the mean cell. One scan of the
+    index + a broadcast join against the tiny centroid sidecar; all
+    JVM fold expressions, no UDFs. Feed the result to
+    ivf_maintenance_plan / split_ivf_cell."""
+    import pyarrow.parquet as pq
+
+    meta = read_index_meta(path)
+    cell_col = meta["cell_col"]
+    cents = pq.read_table(os.path.join(path, CENTROIDS_FILE)).to_pylist()
+    spark_cents = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in cents],
+            f"{cell_col} int, _centroid array<double>",
+        )
+    )
+    df = spark.read.parquet(path).join(spark_cents, cell_col)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("_centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    stats = (
+        df.select(F.col(cell_col).alias("cell"), F.sqrt(d2).alias("_d"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("_d").alias("mean_dist"),
+            F.max("_d").alias("max_dist"),
+        )
+    )
+    mean_n = stats.agg(F.avg("n")).first()[0]
+    return stats.withColumn(
+        "fill_ratio", F.col("n") / F.lit(float(mean_n or 1.0))
+    ).orderBy("cell")
+
+
+def ivf_maintenance_plan(
+    stats_rows: list,
+    *,
+    split_fill_ratio: float = 4.0,
+    split_mean_dist: float | None = None,
+) -> list[int]:
+    """Cells that should SPLIT: overfull (fill_ratio past the threshold
+    — a hot cell makes every probe that lands on it scan fill_ratio x
+    the average work) or drifted (mean quantization error past the
+    caller's bound). Pure driver-side function over collected stats."""
+    out = []
+    for r in stats_rows:
+        if r["fill_ratio"] >= split_fill_ratio or (
+            split_mean_dist is not None and r["mean_dist"] >= split_mean_dist
+        ):
+            out.append(int(r["cell"]))
+    return sorted(out)
+
+
+def split_ivf_cell(
+    spark: SparkSession,
+    path: str,
+    cell: int,
+    *,
+    k: int = 2,
+    vec_col: str = "embedding",
+    iters: int = 3,
+    seed_col: str | None = None,
+) -> list[int]:
+    """Split ONE drifted/overfull cell into ``k`` subcells — bounded IVF
+    maintenance (cost = the cell, never the index): a tiny distributed
+    Lloyd refinement seeded deterministically, then the cell directory
+    is rewritten as k new cell dirs (ids above the current max) and the
+    centroid sidecar replaces the old row with the k new means. Returns
+    the new cell ids.
+
+    Everything stays distributed: seeds and per-iteration centroids are
+    k small arrays collected to the driver; rows never are. Writes are
+    idempotent (dynamic overwrite of exactly the k new ids, then the old
+    dir removed) — a crashed split re-runs from the still-present old
+    dir. Serving processes observe the split at their next invalidate().
+    """
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    meta = read_index_meta(path)
+    cell_col = meta["cell_col"]
+    cell_dir = os.path.join(path, f"{cell_col}={cell}")
+    if not os.path.isdir(cell_dir):
+        raise ValueError(f"no cell {cell} in {path}")
+    df = spark.read.parquet(cell_dir).persist()
+    try:
+        vec = F.col(vec_col).cast("array<double>")
+        order = (
+            F.col(seed_col)
+            if seed_col
+            else F.xxhash64(F.concat_ws(",", vec.cast("array<string>")))
+        )
+        seeds = [
+            [float(x) for x in r["_v"]]
+            for r in df.select(vec.alias("_v"), order.alias("_o"))
+            .orderBy("_o")
+            .limit(k)
+            .collect()
+        ]
+        if len(seeds) < k:
+            raise ValueError(
+                f"cell {cell} holds {len(seeds)} rows — nothing to split"
+            )
+
+        def nearest(cents):
+            d2s = [
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+            best = F.lit(0)
+            best_d = d2s[0]
+            for i in range(1, len(d2s)):
+                best = F.when(d2s[i] < best_d, F.lit(i)).otherwise(best)
+                best_d = F.least(best_d, d2s[i])
+            return best
+
+        cents = seeds
+        for _ in range(iters):
+            means = (
+                df.withColumn("_a", nearest(cents))
+                .groupBy("_a")
+                .agg(
+                    F.array(
+                        *[
+                            F.avg(vec.getItem(i))
+                            for i in range(len(seeds[0]))
+                        ]
+                    ).alias("_m")
+                )
+                .collect()
+            )
+            got = {int(r["_a"]): [float(x) for x in r["_m"]] for r in means}
+            cents = [got.get(i, cents[i]) for i in range(k)]
+
+        import glob
+
+        existing = [
+            int(os.path.basename(d).split("=", 1)[1])
+            for d in glob.glob(os.path.join(path, f"{cell_col}=*"))
+        ]
+        base = max(existing) + 1
+        new_ids = list(range(base, base + k))
+        out = df.withColumn("_a", nearest(cents)).withColumn(
+            cell_col,
+            F.element_at(
+                F.array(*[F.lit(i) for i in new_ids]), F.col("_a") + 1
+            ),
+        ).drop("_a")
+        (
+            out.repartition(k, cell_col)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(cell_col)
+            .parquet(path)
+        )
+    finally:
+        df.unpersist()
+    shutil.rmtree(cell_dir)
+    spark.catalog.refreshByPath(path)
+    # centroid sidecar: drop the split cell, add the k refined means
+    # with their actual populations (footer counts, no extra job)
+    counts = {}
+    for nid in new_ids:
+        n = 0
+        nd = os.path.join(path, f"{cell_col}={nid}")
+        for fn in os.listdir(nd):
+            if fn.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(nd, fn)).metadata.num_rows
+        counts[nid] = n
+    cent_path = os.path.join(path, CENTROIDS_FILE)
+    old = pq.read_table(cent_path).to_pandas()
+    old = old[old["cell"] != cell]
+    add = pd.DataFrame(
+        {
+            "cell": new_ids,
+            "centroid": [list(np.asarray(c, dtype=np.float64)) for c in cents],
+            "n": [counts[i] for i in new_ids],
+        }
+    )
+    merged = (
+        pd.concat([old, add], ignore_index=True)
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    _write_centroids(merged, path)
+    return new_ids

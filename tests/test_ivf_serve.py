@@ -337,3 +337,93 @@ def test_status_reports_ann_index_coverage(spark, tmp_path):
     )
     st = RagRpcServer(eng2).call_tool("status", {})["annIndex"]
     assert st["built"] is True and st["fresh"] is False
+
+
+# ---------------------------------------------------------------------------
+# Round-11 IVF maintenance: drift stats + selective cell split.
+
+
+def _two_blob_index(spark, tmp_path, sep=10.0):
+    """32 vectors: two well-separated blobs FORCED into one cell (0),
+    plus a healthy cell (1) — the drifted-index shape."""
+    from mcp_local_rag_spark.plans.ann_index import write_ivf_index
+
+    rows = []
+    for i in range(16):  # blob A around (0, 0, 1)
+        rows.append((i, [0.01 * i, 0.0, 1.0], 0))
+    for i in range(16, 32):  # blob B around (sep, 0, 1)
+        rows.append((i, [sep + 0.01 * i, 0.0, 1.0], 0))
+    for i in range(100, 108):  # healthy tight cell
+        rows.append((i, [0.0, 5.0, 0.001 * i], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int"
+    )
+    path = str(tmp_path / "drift_idx")
+    write_ivf_index(df, path, sort_cols=("vec_id",))
+    return path
+
+
+def test_ivf_cell_stats_flags_drifted_cell(spark, tmp_path):
+    from mcp_local_rag_spark.plans.ann_index import (
+        ivf_cell_stats,
+        ivf_maintenance_plan,
+    )
+
+    path = _two_blob_index(spark, tmp_path)
+    stats = {r["cell"]: r for r in ivf_cell_stats(spark, path).collect()}
+    assert stats[0]["n"] == 32 and stats[1]["n"] == 8
+    # the two-blob cell's quantization error dwarfs the tight cell's
+    assert stats[0]["mean_dist"] > 10 * stats[1]["mean_dist"]
+    assert stats[0]["fill_ratio"] > stats[1]["fill_ratio"]
+    plan = ivf_maintenance_plan(
+        list(stats.values()), split_fill_ratio=1.5
+    )
+    assert plan == [0]
+    assert ivf_maintenance_plan(
+        list(stats.values()), split_fill_ratio=99, split_mean_dist=1.0
+    ) == [0]
+
+
+def test_split_ivf_cell_separates_blobs_and_updates_sidecar(spark, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mcp_local_rag_spark.plans.ann_index import (
+        CENTROIDS_FILE,
+        ivf_cell_stats,
+        read_ivf_cells,
+        split_ivf_cell,
+    )
+
+    path = _two_blob_index(spark, tmp_path)
+    new_ids = split_ivf_cell(spark, path, 0, k=2, seed_col="vec_id")
+    assert new_ids == [2, 3]
+    assert not os.path.isdir(os.path.join(path, "cell=0"))
+    # no rows lost, and each blob landed wholly in one subcell
+    all_rows = read_ivf_cells(spark, path).collect()
+    assert len(all_rows) == 40
+    by_cell: dict[int, set] = {}
+    for r in all_rows:
+        by_cell.setdefault(r["cell"], set()).add(r["vec_id"])
+    assert by_cell[1] == set(range(100, 108))  # untouched cell intact
+    blobs = sorted(
+        [by_cell[new_ids[0]], by_cell[new_ids[1]]], key=lambda s: min(s)
+    )
+    assert blobs[0] == set(range(16)) and blobs[1] == set(range(16, 32))
+    # sidecar: old cell gone, new cells carry true counts + tight means
+    cents = {
+        int(r["cell"]): r
+        for r in pq.read_table(os.path.join(path, CENTROIDS_FILE)).to_pylist()
+    }
+    assert 0 not in cents and set(new_ids) <= set(cents)
+    assert cents[new_ids[0]]["n"] == 16 and cents[new_ids[1]]["n"] == 16
+    # post-split quantization error collapses
+    stats = {r["cell"]: r for r in ivf_cell_stats(spark, path).collect()}
+    assert all(stats[i]["mean_dist"] < 0.2 for i in new_ids)
+    # a crashed-then-retried split is safe: re-running on the gone cell
+    # fails loudly instead of corrupting
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no cell 0"):
+        split_ivf_cell(spark, path, 0, k=2)
