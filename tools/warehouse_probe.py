@@ -258,6 +258,64 @@ def _probe_optimize(spark, sf_dir: str, n_buckets: int, scratch: str) -> dict:
     }
 
 
+def _probe_secondary(spark, sf_dir: str, n_buckets: int, scratch: str) -> dict:
+    """Does the SHARDED secondary index survive a skewed value at scale?
+    Index documents by lang; look up the most common value (the skew
+    case the round-10 VERDICT flagged — previously one monolithic map
+    row pulled to the driver) and a rare one. The skewed lookup must
+    ride the DISTRIBUTED plan (driver state <= S counters) with cost ~
+    its matched rows; the selective lookup stays a bounded point read."""
+    from mcp_local_rag_spark.plans.merge import create_merge_table
+    from mcp_local_rag_spark.plans.secondary import (
+        create_secondary_index,
+        lookup_by,
+    )
+    from mcp_local_rag_spark.session import load
+
+    docs = load(spark, sf_dir, "documents")
+    # plant 5 rows of a synthetic lang: a value whose cardinality is
+    # FIXED across scale factors — the truly-selective lookup (replica
+    # corpora scale every natural value's count with the factor, which
+    # measures output volume, not the index)
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    planted = docs.limit(5).select(
+        (F.col("doc_id") + max_id + 1).alias("doc_id"),
+        "text",
+        F.lit("zzprobe").alias("lang"),
+        "source",
+        "n_chars",
+    )
+    create_merge_table(
+        docs.unionByName(planted), scratch, "doc_id", n_buckets=n_buckets
+    )
+    idx = scratch + "_idx"
+    create_secondary_index(spark, scratch, idx, "lang", n_buckets=16)
+    hot = (
+        docs.groupBy("lang").count().orderBy(F.col("count").desc()).first()
+    )["lang"]
+
+    def timed(value):
+        best, n = None, 0
+        for _ in range(3):
+            t0 = time.time()
+            n = lookup_by(spark, idx, value).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3), n
+
+    t_hot, n_hot = timed(hot)
+    t_sel, n_sel = timed("zzprobe")
+    return {
+        "hot_value": hot,
+        "t_skewed_lookup_sec": t_hot,
+        "rows_skewed": n_hot,
+        "us_per_matched_row": round(t_hot / max(n_hot, 1) * 1e6, 2),
+        "t_selective_lookup_sec": t_sel,
+        "rows_selective": n_sel,
+        "t_apply_sec": t_sel,  # exponent keys on the fixed-size lookup
+    }
+
+
 def main(dir10: str, dir100: str, out_path: str | None) -> None:
     from mcp_local_rag_spark.session import get_spark
 
@@ -273,6 +331,7 @@ def main(dir10: str, dir100: str, out_path: str | None) -> None:
         ("ivm_microbatch", _probe_ivm),
         ("ivm_sketch", _probe_ivm_sketch),
         ("optimize_skipping", _probe_optimize),
+        ("secondary_lookup", _probe_secondary),
     ):
         r10 = fn(spark, dir10, 64, os.path.join(work, f"{lane}_10"))
         r100 = fn(spark, dir100, 640, os.path.join(work, f"{lane}_100"))
