@@ -47,6 +47,10 @@ _TS_WRITE_LOCK = threading.Lock()
 
 _SNAP_DIR = "_snapshots"
 
+# only_buckets reads at or below this open their bucket dirs DIRECTLY
+# (no sibling-dir listing); larger sets amortize one basePath listing
+_DIRECT_READ_MAX = 32
+
 
 # replay-dedup keys retained per manifest. Replays come from checkpoint
 # loss and replay only the stream's tail, so a bounded window gives the
@@ -452,16 +456,35 @@ def read_snapshot(
         empty = spark.read.option("basePath", full).parquet(full).limit(0)
         return _apply_schema_log(empty, 1, schema_log)
     parts = []
-    for d, buckets in sorted(by_dir.items()):
-        full = os.path.join(table_path, d)
-        part = (
-            spark.read.option("basePath", full)
-            .parquet(full)
-            .filter(F.col("bucket").isin(buckets))
-        )
-        # renames/drops committed after this dir was written adapt its
-        # files to the CURRENT schema — metadata-only schema evolution
-        parts.append(_apply_schema_log(part, _dir_version(d), schema_log))
+    n_wanted = sum(len(bs) for bs in by_dir.values())
+    if keep is not None and n_wanted <= _DIRECT_READ_MAX:
+        # BOUNDED bucket set (point/posting reads): open each wanted
+        # bucket DIRECTORY directly — the basePath form below would list
+        # every sibling bucket dir before partition-pruning them away,
+        # an O(total buckets) listing that at 640 buckets dominated the
+        # whole lookup (the key_lookup lesson, applied to multi-bucket
+        # reads)
+        for d, buckets in sorted(by_dir.items()):
+            for b in sorted(buckets):
+                one = spark.read.parquet(
+                    os.path.join(table_path, d, f"bucket={b}")
+                ).withColumn("bucket", F.lit(b).cast("int"))
+                parts.append(
+                    _apply_schema_log(one, _dir_version(d), schema_log)
+                )
+    else:
+        for d, buckets in sorted(by_dir.items()):
+            full = os.path.join(table_path, d)
+            part = (
+                spark.read.option("basePath", full)
+                .parquet(full)
+                .filter(F.col("bucket").isin(buckets))
+            )
+            # renames/drops committed after this dir was written adapt
+            # its files to the CURRENT schema — metadata-only evolution
+            parts.append(
+                _apply_schema_log(part, _dir_version(d), schema_log)
+            )
     out = parts[0]
     for p in parts[1:]:
         # allowMissingColumns: after a schema-evolving merge, untouched
