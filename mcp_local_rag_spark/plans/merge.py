@@ -457,13 +457,19 @@ def read_snapshot(
         return _apply_schema_log(empty, 1, schema_log)
     parts = []
     n_wanted = sum(len(bs) for bs in by_dir.values())
-    if keep is not None and n_wanted <= _DIRECT_READ_MAX:
-        # BOUNDED bucket set (point/posting reads): open each wanted
+    if (
+        keep is not None
+        and n_wanted <= _DIRECT_READ_MAX
+        and n_wanted * 4 <= len(manifest["buckets"])
+    ):
+        # SPARSE bucket set (point/posting reads): open each wanted
         # bucket DIRECTORY directly — the basePath form below would list
         # every sibling bucket dir before partition-pruning them away,
         # an O(total buckets) listing that at 640 buckets dominated the
         # whole lookup (the key_lookup lesson, applied to multi-bucket
-        # reads)
+        # reads). Dense sets (a big fraction of a small table) keep the
+        # single-listing form: N separate scan nodes plan slower than
+        # one cheap listing.
         for d, buckets in sorted(by_dir.items()):
             for b in sorted(buckets):
                 one = spark.read.parquet(
