@@ -88,13 +88,16 @@ def _cell_centroids(assigned: DataFrame, cell_col: str, vec_col: str):
 
 
 def _write_centroids(cents, path: str) -> None:
+    # tmp + rename: the sidecar is split_ivf_cell's COMMIT POINT, so a
+    # torn write must be impossible — readers see the old complete file
+    # or the new complete file, never a half-written footer
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pq.write_table(
-        pa.Table.from_pandas(cents, preserve_index=False),
-        os.path.join(path, CENTROIDS_FILE),
-    )
+    final = os.path.join(path, CENTROIDS_FILE)
+    tmp = os.path.join(path, f".{CENTROIDS_FILE}.tmp")
+    pq.write_table(pa.Table.from_pandas(cents, preserve_index=False), tmp)
+    os.replace(tmp, final)
 
 
 def append_to_ivf_index(
@@ -177,6 +180,7 @@ def compact_ivf_cells(
     rows."""
     import glob
 
+    recover_ivf_splits(path)
     meta = read_index_meta(path)
     cell_col = meta["cell_col"]
     fragmented: list[int] = []
@@ -284,6 +288,7 @@ def ivf_cell_stats(
     ivf_maintenance_plan / split_ivf_cell."""
     import pyarrow.parquet as pq
 
+    recover_ivf_splits(path)
     meta = read_index_meta(path)
     cell_col = meta["cell_col"]
     cents = pq.read_table(os.path.join(path, CENTROIDS_FILE)).to_pylist()
@@ -337,6 +342,53 @@ def ivf_maintenance_plan(
     return sorted(out)
 
 
+def _split_marker_path(path: str, cell: int) -> str:
+    return os.path.join(path, f"._split_{cell}.json")
+
+
+def recover_ivf_splits(path: str) -> list[int]:
+    """Finish or undo splits that crashed mid-flight. A split's marker
+    records (cell, new_ids); the centroid sidecar update is the COMMIT
+    POINT (atomic rename). Marker present + old cell still in the
+    sidecar -> the split never committed: remove any partial new dirs
+    (the old dir is intact, a re-run starts clean). Marker present + old
+    cell gone from the sidecar -> committed: remove the lingering old
+    dir (roll forward). Returns the cells whose markers were resolved.
+    Idempotent; called by every maintenance entry point."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    resolved: list[int] = []
+    cell_col = read_index_meta(path)["cell_col"]
+    for marker in glob.glob(os.path.join(path, "._split_*.json")):
+        with open(marker) as f:
+            info = json.load(f)
+        cell = int(info["cell"])
+        cent_path = os.path.join(path, CENTROIDS_FILE)
+        sidecar_cells = (
+            set(pq.read_table(cent_path).column("cell").to_pylist())
+            if os.path.exists(cent_path)
+            else set()
+        )
+        if cell in sidecar_cells or not sidecar_cells:
+            # not committed: roll back the partial new dirs
+            for nid in info["new_ids"]:
+                shutil.rmtree(
+                    os.path.join(path, f"{cell_col}={nid}"),
+                    ignore_errors=True,
+                )
+        else:
+            # committed: roll forward — drop the superseded old dir
+            shutil.rmtree(
+                os.path.join(path, f"{cell_col}={cell}"), ignore_errors=True
+            )
+        os.remove(marker)
+        resolved.append(cell)
+    return resolved
+
+
 def split_ivf_cell(
     spark: SparkSession,
     path: str,
@@ -350,15 +402,19 @@ def split_ivf_cell(
     """Split ONE drifted/overfull cell into ``k`` subcells — bounded IVF
     maintenance (cost = the cell, never the index): a tiny distributed
     Lloyd refinement seeded deterministically, then the cell directory
-    is rewritten as k new cell dirs (ids above the current max) and the
-    centroid sidecar replaces the old row with the k new means. Returns
-    the new cell ids.
+    is rewritten as up to k new cell dirs (ids above the current max;
+    an empty Lloyd cluster — duplicate vectors, k > distinct points —
+    simply yields fewer subcells) and the centroid sidecar replaces the
+    old row with the new means. Returns the new cell ids.
 
     Everything stays distributed: seeds and per-iteration centroids are
-    k small arrays collected to the driver; rows never are. Writes are
-    idempotent (dynamic overwrite of exactly the k new ids, then the old
-    dir removed) — a crashed split re-runs from the still-present old
-    dir. Serving processes observe the split at their next invalidate().
+    k small arrays collected to the driver; rows never are. Crash
+    safety: a marker file brackets the split and the atomic sidecar
+    rename is the commit point — recover_ivf_splits (run on entry) rolls
+    a crashed split back (partial new dirs removed, old dir intact) or
+    forward (lingering old dir removed), so no crash point leaves
+    duplicate rows or a sidecar referencing a missing dir. Serving
+    processes observe the split at their next invalidate().
     """
     import shutil
 
@@ -366,6 +422,7 @@ def split_ivf_cell(
     import pandas as pd
     import pyarrow.parquet as pq
 
+    recover_ivf_splits(path)
     meta = read_index_meta(path)
     cell_col = meta["cell_col"]
     cell_dir = os.path.join(path, f"{cell_col}={cell}")
@@ -437,6 +494,9 @@ def split_ivf_cell(
         ]
         base = max(existing) + 1
         new_ids = list(range(base, base + k))
+        marker = _split_marker_path(path, cell)
+        with open(marker, "w") as f:
+            json.dump({"cell": cell, "new_ids": new_ids}, f)
         out = df.withColumn("_a", nearest(cents)).withColumn(
             cell_col,
             F.element_at(
@@ -452,25 +512,36 @@ def split_ivf_cell(
         )
     finally:
         df.unpersist()
-    shutil.rmtree(cell_dir)
-    spark.catalog.refreshByPath(path)
-    # centroid sidecar: drop the split cell, add the k refined means
-    # with their actual populations (footer counts, no extra job)
+    # an EMPTY Lloyd cluster (duplicate/near-identical vectors) writes no
+    # dir under dynamic overwrite — keep only the (id, centroid) pairs
+    # whose dir exists, with their actual populations (footer counts, no
+    # extra job)
     counts = {}
-    for nid in new_ids:
-        n = 0
+    kept: list[tuple[int, list[float]]] = []
+    for nid, c in zip(new_ids, cents):
         nd = os.path.join(path, f"{cell_col}={nid}")
+        if not os.path.isdir(nd):
+            continue
+        n = 0
         for fn in os.listdir(nd):
             if fn.endswith(".parquet"):
                 n += pq.ParquetFile(os.path.join(nd, fn)).metadata.num_rows
         counts[nid] = n
+        kept.append((nid, c))
+    new_ids = [nid for nid, _ in kept]
+    # COMMIT POINT: the sidecar flips (atomic rename) BEFORE the old dir
+    # is removed, so it never references a deleted cell — a crash in the
+    # window leaves the old dir lingering, which recover_ivf_splits rolls
+    # forward (marker + old cell absent from the sidecar)
     cent_path = os.path.join(path, CENTROIDS_FILE)
     old = pq.read_table(cent_path).to_pandas()
     old = old[old["cell"] != cell]
     add = pd.DataFrame(
         {
             "cell": new_ids,
-            "centroid": [list(np.asarray(c, dtype=np.float64)) for c in cents],
+            "centroid": [
+                list(np.asarray(c, dtype=np.float64)) for _, c in kept
+            ],
             "n": [counts[i] for i in new_ids],
         }
     )
@@ -480,4 +551,7 @@ def split_ivf_cell(
         .reset_index(drop=True)
     )
     _write_centroids(merged, path)
+    shutil.rmtree(cell_dir)
+    os.remove(marker)
+    spark.catalog.refreshByPath(path)
     return new_ids

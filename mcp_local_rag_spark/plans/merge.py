@@ -661,6 +661,13 @@ def merge_into(
     ``'drop'`` merges only the clean rows (delete rows always pass
     through — they remove data, they don't write it).
     """
+    if on_violation not in ("fail", "drop"):
+        # validated up front, not lazily at the first violation — a typo
+        # like 'quarantine' must fail on the FIRST merge, not weeks later
+        # in production when the first bad row finally arrives
+        raise ValueError(
+            f"on_violation must be 'fail' or 'drop', got {on_violation!r}"
+        )
     if expectations:
         from .expectations import apply_expectations
 
@@ -686,11 +693,6 @@ def merge_into(
                         if k.startswith("viol_") and v
                     ),
                     metrics,
-                )
-            if on_violation != "drop":
-                raise ValueError(
-                    f"on_violation must be 'fail' or 'drop', got "
-                    f"{on_violation!r}"
                 )
             source = (
                 clean.unionByName(deletes) if deletes is not None else clean

@@ -230,12 +230,32 @@ class SecondaryReader:
         self._index.invalidate()
         self._source.invalidate()
 
+    def _check_fresh(self) -> None:
+        """Same freshness contract as the in-plan lookup (plans/secondary.
+        _check_fresh): a lagging index silently MISSES rows, so a serving
+        read against a stale index raises unless the caller opted into
+        as-of-the-cursor semantics. Driver-local metadata only — the
+        index's recorded changefeed cursor vs the source's CURRENT
+        pointer (two tiny JSON reads, no caching: freshness must see the
+        latest commit)."""
+        from .changefeed import _cursor_state
+
+        cursor, _pending = _cursor_state(self._index_path)
+        cur = current_version(self._src)
+        if cursor is None or cursor < cur:
+            raise ValueError(
+                f"index {self._index_path} is stale (cursor {cursor} < "
+                f"source version {cur}); run sync_secondary_index, or "
+                "pass stale_ok=True to read as of the index's cursor"
+            )
+
     def lookup_by(
         self,
         value,
         *,
         columns: list[str] | None = None,
         cap: int = 10_000,
+        stale_ok: bool = False,
     ) -> list[dict[str, Any]]:
         import pyarrow.dataset as ds
 
@@ -246,6 +266,8 @@ class SecondaryReader:
             raise ValueError(
                 f"index keys {self._cols} need {len(self._cols)} value(s)"
             )
+        if not stale_ok:
+            self._check_fresh()
         shards = self._sec["pk_shards"]
         manifest = self._index._manifest(None)
         nb = manifest["n_buckets"]
@@ -275,4 +297,61 @@ class SecondaryReader:
             return []
         # posting-map keys are the pk's STRING cast; lookup_many types
         # them back from the source file schema itself
+        return self._source.lookup_many(sorted(set(pks)), columns=columns)
+
+    def range_lookup(
+        self,
+        lo,
+        hi,
+        *,
+        inclusive: bool = True,
+        columns: list[str] | None = None,
+        cap: int = 10_000,
+        stale_ok: bool = False,
+    ) -> list[dict[str, Any]]:
+        """Serving twin of plans/secondary.range_lookup: source rows whose
+        (single-column) indexed value lies in [lo, hi] ([lo, hi) with
+        ``inclusive=False``). A range admits no candidate-key enumeration,
+        so the index is scanned with the range pushed as a pyarrow
+        predicate — correct at serving latency because the index is
+        O(distinct values x S) rows, orders of magnitude smaller than the
+        source; the SOURCE read stays a bounded lookup_many over the
+        matching posting maps' pks. ``cap`` bounds the pk fan-out exactly
+        as lookup_by does — wide ranges belong to the distributed plan."""
+        import pyarrow.dataset as ds
+
+        if len(self._cols) != 1:
+            raise ValueError(
+                f"range_lookup needs a single-column index, got keys "
+                f"{self._cols}"
+            )
+        if not stale_ok:
+            self._check_fresh()
+        col = self._cols[0]
+        manifest = self._index._manifest(None)
+        pks: list[str] = []
+        for b in sorted(int(k) for k in manifest["buckets"]):
+            data_dir = manifest["buckets"].get(str(b))
+            if data_dir is None:
+                continue
+            dset = self._index._dataset(data_dir, b)
+            ctype = dset.schema.field(col).type
+            f_lo = ds.field(col) >= _coerce_arrow(lo, ctype)
+            f_hi = (
+                ds.field(col) <= _coerce_arrow(hi, ctype)
+                if inclusive
+                else ds.field(col) < _coerce_arrow(hi, ctype)
+            )
+            tbl = dset.to_table(columns=["_pks"], filter=f_lo & f_hi)
+            for m in tbl.column("_pks").to_pylist():
+                if m:
+                    pks.extend(k for k, _ in m)
+            if len(pks) > cap:
+                raise ValueError(
+                    f"range [{lo!r}, {hi!r}] has > {cap} matching rows — "
+                    "a serving range read is for selective ranges; use "
+                    "plans.secondary.range_lookup (distributed) instead"
+                )
+        if not pks:
+            return []
         return self._source.lookup_many(sorted(set(pks)), columns=columns)

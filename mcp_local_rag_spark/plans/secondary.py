@@ -195,6 +195,25 @@ def _check_fresh(index_path: str, src: str) -> None:
         )
 
 
+def _resolve_idx_version(
+    index_path: str,
+    src: str,
+    stale_ok: bool,
+    at_source_version: int | None,
+) -> int:
+    """The ONE index version a lookup reads end-to-end. AS-OF resolves
+    through the recorded changefeed cursor; otherwise the current version
+    is pinned UP FRONT so a sync commit landing mid-lookup can never make
+    the plan-choosing counter read and the posting read disagree."""
+    from .merge import current_version
+
+    if at_source_version is not None:
+        return _index_version_for_source(index_path, at_source_version)
+    if not stale_ok:
+        _check_fresh(index_path, src)
+    return current_version(index_path)
+
+
 def _vals_pred(df: DataFrame, cols: list[str], vals: tuple):
     """Typed equality over the indexed columns; None matches IS NULL
     (the null-safe key encoding keeps NULL-valued entries distinct)."""
@@ -333,11 +352,9 @@ def lookup_by(
             f"index keys {cols} need {len(cols)} value(s), got {vals!r}"
         )
     src = source_table or spec["source_table"]
-    idx_version = None
-    if at_source_version is not None:
-        idx_version = _index_version_for_source(index_path, at_source_version)
-    elif not stale_ok:
-        _check_fresh(index_path, src)
+    idx_version = _resolve_idx_version(
+        index_path, src, stale_ok, at_source_version
+    )
     # phase 1: shard counters only — parquet column pruning keeps the
     # posting maps unread, so this is cheap even for a skewed value
     counts = _read_index_rows(
@@ -365,12 +382,17 @@ def lookup_by_many(
     *,
     source_table: str | None = None,
     stale_ok: bool = False,
+    at_source_version: int | None = None,
     inlist_cap: int = INLIST_CAP,
 ) -> DataFrame:
     """Batch non-key lookup: rows of the SOURCE whose indexed column is
     IN ``values`` (scalars, or tuples for a composite index) — ONE index
     read over the values' candidate buckets, then one source read. Cost
-    rides the values' combined selectivity, never the table."""
+    rides the values' combined selectivity, never the table.
+
+    ``at_source_version``: AS-OF — same contract as lookup_by (the index
+    version is resolved by its recorded changefeed cursor, the source
+    time-travels to the requested version)."""
     from ..functions.spark_hash import bucket_of
 
     spec = _load_secondary_spec(index_path)
@@ -380,9 +402,10 @@ def lookup_by_many(
         tuple(v) if isinstance(v, (tuple, list)) else (v,) for v in values
     ]
     src = source_table or spec["source_table"]
-    if not stale_ok:
-        _check_fresh(index_path, src)
-    idx_nb = read_manifest(index_path)["n_buckets"]
+    idx_version = _resolve_idx_version(
+        index_path, src, stale_ok, at_source_version
+    )
+    idx_nb = read_manifest(index_path, idx_version)["n_buckets"]
     only, key_filter = None, None
     try:
         keys = [
@@ -392,7 +415,7 @@ def lookup_by_many(
         key_filter = F.col(_KEY).isin(keys)
     except TypeError:
         pass
-    idx = read_snapshot(spark, index_path, only_buckets=only)
+    idx = read_snapshot(spark, index_path, idx_version, only_buckets=only)
     pred = F.lit(False)
     for vals in vtuples:
         pred = pred | _vals_pred(idx, cols, vals)
@@ -410,7 +433,7 @@ def lookup_by_many(
         return p
 
     return _source_read_for_postings(
-        spark, src, None, shard_counts,
+        spark, src, at_source_version, shard_counts,
         sec["pk"], shards, hits, inlist_cap, big_pred=many_pred,
     )
 
@@ -423,6 +446,7 @@ def range_lookup(
     *,
     source_table: str | None = None,
     stale_ok: bool = False,
+    at_source_version: int | None = None,
     inclusive: bool = True,
     inlist_cap: int = INLIST_CAP,
 ) -> DataFrame:
@@ -435,7 +459,11 @@ def range_lookup(
     SOURCE read, and it does: the matching index rows route to source
     buckets exactly as in lookup_by (IN-list plan under the cap, else
     shard->bucket algebra), so source cost rides the range's selectivity,
-    never the table."""
+    never the table.
+
+    ``at_source_version``: AS-OF — same contract as lookup_by (the index
+    version is resolved by its recorded changefeed cursor, the source
+    time-travels to the requested version)."""
     spec = _load_secondary_spec(index_path)
     sec = spec["secondary"]
     cols, shards = sec["cols"], sec["pk_shards"]
@@ -445,9 +473,10 @@ def range_lookup(
         )
     col = cols[0]
     src = source_table or spec["source_table"]
-    if not stale_ok:
-        _check_fresh(index_path, src)
-    idx = read_snapshot(spark, index_path)
+    idx_version = _resolve_idx_version(
+        index_path, src, stale_ok, at_source_version
+    )
+    idx = read_snapshot(spark, index_path, idx_version)
 
     def range_pred(df):
         up = (
@@ -462,6 +491,6 @@ def range_lookup(
         (r[_SHARD], r[_CNT]) for r in hits.select(_SHARD, _CNT).collect()
     ]
     return _source_read_for_postings(
-        spark, src, None, shard_counts,
+        spark, src, at_source_version, shard_counts,
         sec["pk"], shards, hits, inlist_cap, big_pred=range_pred,
     )

@@ -427,3 +427,119 @@ def test_split_ivf_cell_separates_blobs_and_updates_sidecar(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no cell 0"):
         split_ivf_cell(spark, path, 0, k=2)
+
+
+def test_split_ivf_cell_empty_cluster_degrades_cleanly(spark, tmp_path):
+    """A cell of IDENTICAL vectors under k=2: one Lloyd cluster ends up
+    empty, so the dynamic overwrite creates fewer than k dirs — the
+    split degrades to fewer subcells, the sidecar references only dirs
+    that exist, and no row is lost."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mcp_local_rag_spark.plans.ann_index import (
+        CENTROIDS_FILE,
+        read_ivf_cells,
+        split_ivf_cell,
+        write_ivf_index,
+    )
+
+    rows = [(i, [1.0, 2.0, 3.0], 0) for i in range(8)]
+    rows += [(100 + i, [0.0, 5.0, 1.0], 1) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int"
+    )
+    path = str(tmp_path / "dup_idx")
+    write_ivf_index(df, path, sort_cols=("vec_id",))
+    new_ids = split_ivf_cell(spark, path, 0, k=2, seed_col="vec_id")
+    assert len(new_ids) == 1  # the empty cluster was dropped, not kept
+    assert read_ivf_cells(spark, path).count() == 12
+    cents = {
+        int(r["cell"]): r
+        for r in pq.read_table(os.path.join(path, CENTROIDS_FILE)).to_pylist()
+    }
+    assert set(cents) == {1, new_ids[0]}
+    assert cents[new_ids[0]]["n"] == 8
+    # every sidecar cell has a real directory (no dangling references)
+    for c in cents:
+        assert os.path.isdir(os.path.join(path, f"cell={c}")), c
+    assert not os.path.exists(os.path.join(path, "._split_0.json"))
+
+
+def test_split_ivf_cell_crash_before_commit_rolls_back(
+    spark, tmp_path, monkeypatch
+):
+    """Crash AFTER the new-dir write but BEFORE the sidecar commit:
+    recovery removes the partial new dirs, the old dir and sidecar are
+    intact, and a re-run completes normally."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import mcp_local_rag_spark.plans.ann_index as ai
+
+    path = _two_blob_index(spark, tmp_path)
+    real_write = ai._write_centroids
+
+    def boom(cents, p):
+        raise RuntimeError("injected crash before commit")
+
+    monkeypatch.setattr(ai, "_write_centroids", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        ai.split_ivf_cell(spark, path, 0, k=2, seed_col="vec_id")
+    monkeypatch.setattr(ai, "_write_centroids", real_write)
+    # partial state on disk: old dir intact, marker + new dirs present
+    assert os.path.isdir(os.path.join(path, "cell=0"))
+    assert os.path.exists(os.path.join(path, "._split_0.json"))
+    assert ai.recover_ivf_splits(path) == [0]
+    assert not os.path.exists(os.path.join(path, "._split_0.json"))
+    spark.catalog.refreshByPath(path)
+    assert ai.read_ivf_cells(spark, path).count() == 40  # no dup rows
+    cents = pq.read_table(os.path.join(path, ai.CENTROIDS_FILE)).to_pylist()
+    assert 0 in {int(r["cell"]) for r in cents}  # sidecar untouched
+    # the retried split (which itself runs recovery on entry) succeeds
+    new_ids = ai.split_ivf_cell(spark, path, 0, k=2, seed_col="vec_id")
+    assert new_ids == [2, 3]
+    assert ai.read_ivf_cells(spark, path).count() == 40
+
+
+def test_split_ivf_cell_crash_after_commit_rolls_forward(
+    spark, tmp_path, monkeypatch
+):
+    """Crash AFTER the sidecar commit but BEFORE the old dir removal:
+    the lingering old dir (duplicate rows) is rolled FORWARD by
+    recovery — removed, never re-admitted — and the sidecar already
+    points at the new cells."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import mcp_local_rag_spark.plans.ann_index as ai
+
+    path = _two_blob_index(spark, tmp_path)
+    real_rmtree = shutil.rmtree
+
+    def boom(p, **kw):
+        raise RuntimeError("injected crash after commit")
+
+    monkeypatch.setattr(shutil, "rmtree", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        ai.split_ivf_cell(spark, path, 0, k=2, seed_col="vec_id")
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    # partial state: sidecar committed (old cell gone), old dir lingers
+    cents = {
+        int(r["cell"])
+        for r in pq.read_table(
+            os.path.join(path, ai.CENTROIDS_FILE)
+        ).to_pylist()
+    }
+    assert 0 not in cents and {2, 3} <= cents
+    assert os.path.isdir(os.path.join(path, "cell=0"))
+    assert ai.recover_ivf_splits(path) == [0]
+    assert not os.path.isdir(os.path.join(path, "cell=0"))
+    spark.catalog.refreshByPath(path)
+    assert ai.read_ivf_cells(spark, path).count() == 40  # dups reclaimed
+    stats = {r["cell"]: r for r in ai.ivf_cell_stats(spark, path).collect()}
+    assert set(stats) == {1, 2, 3}

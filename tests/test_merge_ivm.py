@@ -2103,6 +2103,120 @@ def test_secondary_index_range_lookup(spark, tmp_path):
     assert empty.count() == 0 and set(empty.columns) == {"k", "score", "tag"}
 
 
+def test_secondary_index_as_of_batch_and_range(spark, tmp_path):
+    """AS-OF parity across ALL three lookup lanes: lookup_by_many and
+    range_lookup honor at_source_version with the same cursor-matching
+    contract lookup_by has — both sides time travel, so the answer is
+    the lookup as it stood at that source version."""
+    from mcp_local_rag_spark.plans.secondary import (
+        create_secondary_index,
+        lookup_by_many,
+        range_lookup,
+        sync_secondary_index,
+    )
+
+    src = str(tmp_path / "srcav2")
+    idx = str(tmp_path / "idxav2")
+    base = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("score")
+    )
+    create_merge_table(base, src, "k", n_buckets=4)
+    create_secondary_index(spark, src, idx, "score", n_buckets=4)
+    v1_batch = {
+        r["k"] for r in lookup_by_many(spark, idx, [3, 7]).collect()
+    }
+    v1_range = {r["k"] for r in range_lookup(spark, idx, 3, 7).collect()}
+
+    merge_into(  # v2: k=3 leaves score=3, k=200 joins score=7
+        spark, src,
+        spark.createDataFrame(
+            [Row(k=3, score=99, is_delete=False),
+             Row(k=200, score=7, is_delete=False)],
+        ),
+        delete_col="is_delete",
+    )
+    sync_secondary_index(spark, idx)
+    now_batch = {
+        r["k"] for r in lookup_by_many(spark, idx, [3, 7]).collect()
+    }
+    assert 3 not in now_batch and 200 in now_batch
+
+    asof_batch = {
+        r["k"]
+        for r in lookup_by_many(
+            spark, idx, [3, 7], at_source_version=1
+        ).collect()
+    }
+    assert asof_batch == v1_batch and 3 in asof_batch
+    asof_range = {
+        r["k"]
+        for r in range_lookup(
+            spark, idx, 3, 7, at_source_version=1
+        ).collect()
+    }
+    assert asof_range == v1_range and 200 not in asof_range
+    for fn, args in ((lookup_by_many, ([3],)), (range_lookup, (3, 7))):
+        with pytest.raises(ValueError, match="no index version"):
+            fn(spark, idx, *args, at_source_version=99)
+
+
+def test_secondary_reader_range_parity_and_freshness(spark, tmp_path):
+    """Serving range path: SecondaryReader.range_lookup matches the
+    distributed plans/secondary.range_lookup row-for-row; both serving
+    lanes enforce the freshness contract (raise on a stale index unless
+    stale_ok=True reads as-of-the-cursor)."""
+    from mcp_local_rag_spark.plans.point_read import SecondaryReader
+    from mcp_local_rag_spark.plans.secondary import (
+        create_secondary_index,
+        range_lookup,
+        sync_secondary_index,
+    )
+
+    src = str(tmp_path / "srvrsrc")
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 40).alias("score")
+    )
+    create_merge_table(df, src, "k", n_buckets=4)
+    idx = str(tmp_path / "srvridx")
+    create_secondary_index(spark, src, idx, "score", n_buckets=4)
+    reader = SecondaryReader(idx)
+    want = sorted(
+        (r["k"], r["score"])
+        for r in range_lookup(spark, idx, 10, 12).collect()
+    )
+    got = sorted((r["k"], r["score"]) for r in reader.range_lookup(10, 12))
+    assert got == want and got
+    half = sorted(
+        (r["k"], r["score"])
+        for r in reader.range_lookup(10, 12, inclusive=False)
+    )
+    assert half == sorted(
+        (r["k"], r["score"])
+        for r in range_lookup(spark, idx, 10, 12, inclusive=False).collect()
+    )
+    assert reader.range_lookup(1000, 2000) == []
+    with pytest.raises(ValueError, match="selective"):
+        reader.range_lookup(0, 39, cap=10)
+
+    # an unsynced source commit makes BOTH serving lanes raise, and
+    # stale_ok reads as of the index's recorded cursor
+    merge_into(
+        spark, src,
+        spark.createDataFrame([Row(k=500, score=11, is_delete=False)]),
+        delete_col="is_delete",
+    )
+    with pytest.raises(ValueError, match="stale"):
+        reader.range_lookup(10, 12)
+    with pytest.raises(ValueError, match="stale"):
+        reader.lookup_by(11)
+    stale = {r["k"] for r in reader.range_lookup(10, 12, stale_ok=True)}
+    assert 500 not in stale and stale == {k for k, _ in want}
+    sync_secondary_index(spark, idx)
+    reader.invalidate()
+    assert 500 in {r["k"] for r in reader.range_lookup(10, 12)}
+    assert 500 in {r["k"] for r in reader.lookup_by(11)}
+
+
 # ---------------------------------------------------------------------------
 # OPTIMIZE vs MERGE concurrency (round-11): the race must serialize via
 # ConcurrentCommitError/retry or fail loudly — never silently drop the
@@ -2387,6 +2501,19 @@ def test_merge_expectations_fail_and_drop(spark, table):
         delete_col="is_delete", expectations=rules,
     )
     assert v == 3
+
+    # a typo'd on_violation fails UP FRONT — even on a clean batch, not
+    # weeks later when the first bad row finally arrives
+    with pytest.raises(ValueError, match="on_violation"):
+        merge_into(
+            spark, table,
+            spark.createDataFrame(
+                [Row(k=6, v=60, tag="w", is_delete=False)]
+            ),
+            delete_col="is_delete", expectations=rules,
+            on_violation="quarantine",
+        )
+    assert current_version(table) == 3
 
 
 # ---------------------------------------------------------------------------
