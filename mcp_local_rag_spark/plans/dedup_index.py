@@ -125,44 +125,86 @@ def banded_candidate_pairs(
     *,
     id_col: str = "doc_id",
     bucket_cap: int = 128,
+    pair_volume_cap: int = 2_000_000,
 ) -> DataFrame:
     """Distinct candidate pairs (id1 < id2) from the persisted band
     index — GROUPED, not self-joined: one map-side-combinable aggregate
-    collects each band bucket's (sorted) member list, then a JVM
-    higher-order expression emits the i<j pairs. Exactly ONE shuffle of
-    the narrow band table, vs the self-join's two-sided exchange of the
-    same table — and no re-shingling, ever.
+    collects each band bucket's (sorted) member list, then the i<j pairs
+    are expanded by ONE of two strategies, picked from the grouped
+    pass's own bucket-size statistics (no extra scan or shuffle of the
+    band table):
+
+      * LOW pair volume (incremental batches, typical corpora): a JVM
+        higher-order expression emits the pairs straight from the
+        collected arrays — exactly one shuffle of the narrow band table.
+      * HIGH pair volume (> ``pair_volume_cap`` estimated pairs — bulk
+        backfills over heavily duplicated corpora): the arrays are
+        re-exploded and expanded by the equi-join on (band, band_key)
+        (the salted-join shape operators/dedup.lsh_candidate_pairs
+        uses). The join's two-sided exchange of exploded rows costs a
+        constant more setup but expands pairs ~30% cheaper per pair at
+        volume (BENCH_SCALE_r11: 0.42 vs 0.60 us/pair at 30M pairs), so
+        it wins exactly where the JVM array expansion loses.
 
     Oversized buckets (> ``bucket_cap`` members — boilerplate band keys)
-    are excluded from the grouped path and handled by the SAME salted
-    equi-join operators/dedup.lsh_candidate_pairs uses, restricted to
-    just those keys: their quadratic pair fan-out spreads across
-    ~n/cap tasks instead of exploding one aggregate row. The union is
-    provably the unsalted pair set (pytest-pinned vs
-    lsh_candidate_pairs)."""
+    are excluded from both grouped expansions and handled by the salted
+    equi-join restricted to just those keys: their quadratic pair
+    fan-out spreads across ~n/cap tasks instead of exploding one
+    aggregate row. Every route returns the same pair set, pytest-pinned
+    vs lsh_candidate_pairs."""
     bands = spark.read.parquet(path).drop("bband")
+    # localCheckpoint (eager), not persist: the grouped frame feeds three
+    # consumers (volume estimate, hot-bucket list, the expansion itself)
+    # — checkpoint blocks are released when the returned frame goes out
+    # of scope, instead of staying pinned for every maintenance-loop
+    # iteration (same discipline as incremental_dedup below)
     grouped = bands.groupBy("band", "band_key").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
-    )
+    ).localCheckpoint()
     small = grouped.filter(
         (F.size("_ids") >= 2) & (F.size("_ids") <= bucket_cap)
     )
-    ids = F.col("_ids")
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ids) - 1),
-            lambda i: F.transform(
-                F.slice(ids, i + 1, F.size(ids)),
-                lambda y: F.struct(
-                    F.element_at(ids, i).alias("id1"), y.alias("id2")
-                ),
-            ),
+    # ONE pass over the (persisted, tiny) grouped frame yields both the
+    # small-bucket pair-volume estimate and the oversized bucket list —
+    # the expansion strategy is chosen from stats the grouped aggregate
+    # already computed, never from a second scan of the band table
+    est_row = grouped.select(F.size("_ids").alias("_n")).agg(
+        F.sum(
+            F.when(
+                (F.col("_n") >= 2) & (F.col("_n") <= bucket_cap),
+                F.col("_n").cast("long") * (F.col("_n") - 1) / 2,
+            ).otherwise(F.lit(0))
+        ).alias("small_pairs"),
+    ).first()
+    est_small = int(est_row["small_pairs"] or 0)
+    if est_small > pair_volume_cap:
+        ex = small.select(
+            "band", "band_key", F.explode("_ids").alias(id_col)
         )
-    )
-    small_pairs = (
-        small.select(F.explode(pair_arr).alias("p"))
-        .select("p.id1", "p.id2")
-    )
+        a = ex.select(F.col(id_col).alias("id1"), "band", "band_key")
+        b = ex.select(F.col(id_col).alias("id2"), "band", "band_key")
+        small_pairs = (
+            a.join(b, ["band", "band_key"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+        )
+    else:
+        ids = F.col("_ids")
+        pair_arr = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ids) - 1),
+                lambda i: F.transform(
+                    F.slice(ids, i + 1, F.size(ids)),
+                    lambda y: F.struct(
+                        F.element_at(ids, i).alias("id1"), y.alias("id2")
+                    ),
+                ),
+            )
+        )
+        small_pairs = (
+            small.select(F.explode(pair_arr).alias("p"))
+            .select("p.id1", "p.id2")
+        )
     hot_rows = (
         grouped.filter(F.size("_ids") > bucket_cap)
         .select("band", "band_key", F.size("_ids").alias("_n"))

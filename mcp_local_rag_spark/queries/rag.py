@@ -172,6 +172,59 @@ def q_grouping_similar(spark, sf_dir):
     )
 
 
+# W3 'related' mode in isolation: cut at the 2ND statistical boundary
+# (src/vectordb/search-filters.ts:23-64 — 'related' keeps one more
+# relevance tier than 'similar'). The flagship exercises this mode inside
+# its pipeline, but the corpus's natural embedding distances carry only
+# ONE boundary (nearest chunk, big gap, smooth tail) — 'related' would
+# never cut. This lane pins the two-boundary semantics on a candidate
+# set with THREE score tiers: deterministic dyadic scores (k/1024 —
+# exact in both engines, no rounding in the contract) over documents
+# rows, run through the real grouping_filter operator. 'related' must
+# keep tiers 1+2 (12 rows) and cut tier 3.
+
+_TIER_CASE_SQL = """CASE WHEN doc_id < 5 THEN doc_id / 1024.0
+       WHEN doc_id < 12 THEN (512 + doc_id) / 1024.0
+       ELSE (800 + doc_id) / 1024.0 END"""
+
+
+@register(
+    "grouping_related",
+    f"""WITH cand AS (
+  SELECT doc_id, {_TIER_CASE_SQL} AS score
+  FROM documents WHERE doc_id < 30
+),
+gaps AS (
+  SELECT *, lead(score) OVER (ORDER BY score, doc_id) - score AS gap
+  FROM cand
+),
+gstats AS (SELECT avg(gap) AS m, stddev_pop(gap) AS s FROM gaps),
+flagged AS (
+  SELECT g.*, CASE WHEN g.gap > gstats.m + 1.5 * gstats.s THEN 1 ELSE 0 END AS b
+  FROM gaps g, gstats
+),
+grouped AS (
+  SELECT doc_id, score,
+         coalesce(sum(b) OVER (ORDER BY score, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bb
+  FROM flagged
+)
+SELECT doc_id, score FROM grouped WHERE bb < 2 ORDER BY score, doc_id""",
+)
+def q_grouping_related(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 30
+    )
+    score = (
+        F.when(F.col("doc_id") < 5, F.col("doc_id") / F.lit(1024.0))
+        .when(F.col("doc_id") < 12, (F.lit(512) + F.col("doc_id")) / F.lit(1024.0))
+        .otherwise((F.lit(800) + F.col("doc_id")) / F.lit(1024.0))
+    )
+    hits = docs.withColumn("score", score)
+    kept = search.grouping_filter(hits, "related", id_cols=("doc_id",))
+    return kept.select("doc_id", "score").orderBy("score", "doc_id")
+
+
 # A3: the gap statistics themselves (mean / population std / count)
 
 @register(

@@ -290,9 +290,16 @@ def test_banded_index_pairs_identical_to_join_path(spark, tmp_path):
     }
     path = str(tmp_path / "bands")
     write_band_index(docs, path, n_buckets=4)
+    # all FOUR routes: {grouped JVM expansion, equi-join expansion
+    # (pair_volume_cap=0 forces the high-volume strategy)} x {with and
+    # without the salted hot-bucket fallback (cap=8 forces a 40-member
+    # mega-cluster through it)} — identical pair sets
     for cap in (8, 128):
-        got = {
-            (r.id1, r.id2)
-            for r in banded_candidate_pairs(spark, path, bucket_cap=cap).collect()
-        }
-        assert got == want, f"cap={cap}"
+        for pv_cap in (0, 2_000_000):
+            got = {
+                (r.id1, r.id2)
+                for r in banded_candidate_pairs(
+                    spark, path, bucket_cap=cap, pair_volume_cap=pv_cap
+                ).collect()
+            }
+            assert got == want, f"cap={cap} pv_cap={pv_cap}"
