@@ -217,6 +217,21 @@ def _parser() -> argparse.ArgumentParser:
                     help="as-of lookup: time travel both sides to the"
                     " cursor-matched versions")
 
+    im = sub.add_parser(
+        "ivf-maintain",
+        help="IVF index maintenance loop: recover crashed splits, split "
+        "drifted/overfull cells worst-first under a budget, compact "
+        "fragmented cells",
+    )
+    im.add_argument("index", help="IVF index path")
+    im.add_argument("--vec-col", default="embedding")
+    im.add_argument("--split-fill-ratio", type=float, default=4.0)
+    im.add_argument("--split-mean-dist", type=float, default=None)
+    im.add_argument("--k", type=int, default=2, help="subcells per split")
+    im.add_argument("--max-splits", type=int, default=None,
+                    help="cost budget: at most this many cells split per run")
+    im.add_argument("--compact-min-files", type=int, default=2)
+
     srv = sub.add_parser(
         "serve", help="stdio server loop (MCP by default; --bare for the"
         " legacy method-per-tool JSON-RPC)"
@@ -464,6 +479,20 @@ def run(argv: list[str], engine, out=None) -> int:
             at_source_version=args.at_source_version,
         ).limit(args.limit).collect()
         emit({"rows": [r.asDict() for r in rows]})
+        return 0
+    if args.cmd == "ivf-maintain":
+        from .plans.ann_index import ivf_maintain
+
+        emit(
+            ivf_maintain(
+                engine.spark, os.path.abspath(args.index),
+                vec_col=args.vec_col,
+                split_fill_ratio=args.split_fill_ratio,
+                split_mean_dist=args.split_mean_dist,
+                k=args.k, max_splits=args.max_splits,
+                compact_min_files=args.compact_min_files,
+            )
+        )
         return 0
     if args.cmd == "serve":
         from .server import McpServer, RagRpcServer

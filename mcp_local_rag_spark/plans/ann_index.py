@@ -342,6 +342,81 @@ def ivf_maintenance_plan(
     return sorted(out)
 
 
+def ivf_maintain(
+    spark: SparkSession,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    split_fill_ratio: float = 4.0,
+    split_mean_dist: float | None = None,
+    k: int = 2,
+    max_splits: int | None = None,
+    compact_min_files: int = 2,
+    seed_col: str | None = None,
+) -> dict:
+    """The maintenance POLICY LOOP tying the verbs together: recover any
+    crashed split, measure cell health (ivf_cell_stats), plan the splits
+    (ivf_maintenance_plan), apply them worst-first under the
+    ``max_splits`` cost budget, then compact fragmented cells. One call
+    keeps an append-drifted index serving at rebuild-quality recall
+    without ever rewriting more than the sick cells — the answer to
+    recall decay on appended indexes (appends assign new vectors to
+    FROZEN centroids; a drifting distribution inflates quantization
+    error until the hot cells split).
+
+    Cost posture: stats is one index scan; each split costs its one
+    cell; compaction costs the fragmented cells. ``max_splits`` bounds a
+    maintenance window — the plan is ordered worst-first (highest fill
+    ratio, then highest mean distance), so a budget of 1 always fixes
+    the sickest cell. Returns a report dict (recovered markers, cells
+    split -> new ids, cells compacted, final cell count)."""
+    recovered = recover_ivf_splits(path)
+    stats = [r.asDict() for r in ivf_cell_stats(spark, path, vec_col=vec_col).collect()]
+    planned = set(
+        ivf_maintenance_plan(
+            stats,
+            split_fill_ratio=split_fill_ratio,
+            split_mean_dist=split_mean_dist,
+        )
+    )
+    by_cell = {int(r["cell"]): r for r in stats}
+
+    def severity(c: int) -> float:
+        # normalized against each trigger's own threshold, so a cell 4x
+        # past the drift bound outranks one 1.2x past the fill bound
+        r = by_cell[c]
+        s = r["fill_ratio"] / split_fill_ratio
+        if split_mean_dist is not None:
+            s = max(s, r["mean_dist"] / split_mean_dist)
+        return s
+
+    order = sorted(planned, key=lambda c: (-severity(c), c))
+    # a cell must hold >= 2 rows to split; k clamps to its population
+    order = [c for c in order if by_cell[c]["n"] >= 2]
+    if max_splits is not None:
+        order = order[:max_splits]
+    splits: dict[int, list[int]] = {}
+    for cell in order:
+        splits[cell] = split_ivf_cell(
+            spark, path, cell,
+            k=min(k, int(by_cell[cell]["n"])),
+            vec_col=vec_col, seed_col=seed_col,
+        )
+    compacted = compact_ivf_cells(spark, path, min_files=compact_min_files)
+    import glob
+
+    cell_col = read_index_meta(path)["cell_col"]
+    n_cells = len(glob.glob(os.path.join(path, f"{cell_col}=*")))
+    return {
+        "recovered": recovered,
+        "planned": sorted(planned),
+        "split": {int(c): ids for c, ids in splits.items()},
+        "deferred": sorted(planned - set(splits)),
+        "compacted": compacted,
+        "n_cells": n_cells,
+    }
+
+
 def _split_marker_path(path: str, cell: int) -> str:
     return os.path.join(path, f"._split_{cell}.json")
 

@@ -504,6 +504,127 @@ def test_split_ivf_cell_crash_before_commit_rolls_back(
     assert ai.read_ivf_cells(spark, path).count() == 40
 
 
+def test_ivf_maintain_restores_recall_after_skewed_append(spark, tmp_path):
+    """The full policy loop (round-12): skewed appends assign a NEW
+    vector region to a frozen centroid, so nprobe=1 queries near that
+    region probe the wrong cell and recall@10 collapses; one
+    ivf_maintain() call detects the drifted cell (mean quantization
+    error), splits it worst-first, and recall returns to >= 0.95 —
+    without touching the healthy cells."""
+    import math
+
+    import numpy as np
+
+    from mcp_local_rag_spark.operators.ivf_serve import IvfVectorServer
+    from mcp_local_rag_spark.plans.ann_index import (
+        append_to_ivf_index,
+        ivf_maintain,
+        write_ivf_index,
+    )
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0]
+
+    # base corpus: blob A at ~0 deg (cell 0), blob B at ~90 deg (cell 1)
+    rows = [(1 + i, unit(0.05 * i), 0) for i in range(60)]
+    rows += [(200 + i, unit(90 + 0.05 * i), 1) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int"
+    )
+    path = str(tmp_path / "drift_maint")
+    write_ivf_index(df, path, sort_cols=("vec_id",))
+
+    # skewed append: blob C at ~40 deg — nearest FROZEN centroid is cell
+    # 0 (cos 40 > cos 50), so all of C lands there and cell 0's centroid
+    # drifts to ~5 deg. vec_id 0 is a C row so a later split's
+    # deterministic seeds span both blobs.
+    c_rows = [(0, unit(40.0), 0)]
+    c_rows += [(1000 + i, unit(40 + 0.05 * (i + 1)), 0) for i in range(9)]
+    batch = spark.createDataFrame(
+        c_rows, "vec_id long, embedding array<double>, cell int"
+    )
+    append_to_ivf_index(batch, path, sort_cols=("vec_id",))
+
+    c_ids = {r[0] for r in c_rows}
+    all_vecs = {r[0]: np.asarray(r[1]) for r in rows + c_rows}
+
+    def recall_at_10(server, qdeg):
+        q = np.asarray(unit(qdeg))
+        true = sorted(
+            all_vecs,
+            key=lambda i: -float(
+                q @ all_vecs[i] / np.linalg.norm(all_vecs[i])
+            ),
+        )[:10]
+        got = {h["neighbor_id"] for h in server.query(list(q), 10, nprobe=1)}
+        return len(got & set(true)) / 10.0
+
+    # queries at 50-52 deg: true top-10 is exactly blob C, but the
+    # drifted centroid 0 (~6.8 deg) loses the probe to centroid 1 (~91.5)
+    before = [recall_at_10(IvfVectorServer(path), d) for d in (50.0, 51.0, 52.0)]
+    assert max(before) == 0.0, before  # recall collapsed
+
+    report = ivf_maintain(
+        spark, path, split_fill_ratio=99.0, split_mean_dist=0.1,
+        seed_col="vec_id",
+    )
+    assert report["planned"] == [0] and 0 in report["split"]
+    assert len(report["split"][0]) == 2 and report["deferred"] == []
+    assert report["n_cells"] == 3  # A-sub + C-sub + untouched B
+
+    server = IvfVectorServer(path)
+    after = [recall_at_10(server, d) for d in (50.0, 51.0, 52.0)]
+    assert min(after) >= 0.95, after
+    # blob C now lives wholly in one subcell
+    by_cell = {}
+    for r in read_ivf_cells(spark, path).select("vec_id", "cell").collect():
+        by_cell.setdefault(r["cell"], set()).add(r["vec_id"])
+    assert any(v == c_ids for v in by_cell.values())
+    # budget honored: a rerun with nothing drifted is a no-op
+    report2 = ivf_maintain(
+        spark, path, split_fill_ratio=99.0, split_mean_dist=0.1,
+        seed_col="vec_id",
+    )
+    assert report2["planned"] == [] and report2["split"] == {}
+
+
+def test_ivf_maintain_budget_defers_worst_last(spark, tmp_path):
+    """max_splits bounds a maintenance window and the plan is ordered
+    worst-first: with two drifted cells and budget 1, only the sicker
+    cell splits; the other is reported deferred."""
+    import math
+
+    from mcp_local_rag_spark.plans.ann_index import (
+        ivf_maintain,
+        write_ivf_index,
+    )
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0]
+
+    # cell 0: two blobs 50 deg apart (sicker); cell 1: two blobs 20 deg
+    # apart (sick); cell 2: tight (healthy)
+    rows = [(i, unit(0.05 * i), 0) for i in range(1, 10)]
+    rows += [(0, unit(50.0), 0)] + [(100 + i, unit(50 + 0.05 * i), 0) for i in range(1, 10)]
+    rows += [(200 + i, unit(120 + 0.05 * i), 1) for i in range(10)]
+    rows += [(250, unit(140.0), 1)] + [(300 + i, unit(140 + 0.05 * i), 1) for i in range(1, 10)]
+    rows += [(400 + i, unit(250 + 0.05 * i), 2) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int"
+    )
+    path = str(tmp_path / "budget_maint")
+    write_ivf_index(df, path, sort_cols=("vec_id",))
+    report = ivf_maintain(
+        spark, path, split_fill_ratio=99.0, split_mean_dist=0.05,
+        max_splits=1, seed_col="vec_id",
+    )
+    assert report["planned"] == [0, 1]
+    assert list(report["split"]) == [0]  # the 50-deg spread is sicker
+    assert report["deferred"] == [1]
+
+
 def test_split_ivf_cell_crash_after_commit_rolls_forward(
     spark, tmp_path, monkeypatch
 ):
