@@ -34,6 +34,7 @@ Scale posture (the 100 TB question):
 
 from __future__ import annotations
 
+import contextvars
 import json
 import os
 import shutil
@@ -46,6 +47,15 @@ from pyspark.sql import functions as F
 _TS_WRITE_LOCK = threading.Lock()
 
 _SNAP_DIR = "_snapshots"
+
+# Active multi-table transaction (plans/txn.transaction). While set,
+# _commit PREPARES manifests (publishes v{N}.json with a txn marker,
+# does NOT flip CURRENT) and current_version resolves a prepared table
+# to its prepared version — read-your-own-writes inside the block,
+# invisible to every other reader until the txn record commits.
+_ACTIVE_TXN: contextvars.ContextVar[dict | None] = contextvars.ContextVar(
+    "spark_graft_txn", default=None
+)
 
 # only_buckets reads at or below this open their bucket dirs DIRECTLY
 # (no sibling-dir listing); larger sets amortize one basePath listing
@@ -73,9 +83,40 @@ def _snap_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, _SNAP_DIR, f"v{version:08d}.json")
 
 
-def current_version(table_path: str) -> int:
+def _current_raw(table_path: str) -> int:
+    """The on-disk CURRENT pointer, ignoring any active transaction."""
     with open(os.path.join(table_path, _SNAP_DIR, "CURRENT")) as f:
         return int(f.read().strip())
+
+
+def current_version(table_path: str) -> int:
+    """Latest committed version — or, inside an active transaction that
+    has prepared this table, the prepared version (the writer's own
+    view; everyone else keeps reading the committed pointer)."""
+    txn = _ACTIVE_TXN.get()
+    if txn is not None:
+        prepared = txn["prepared"].get(os.path.abspath(table_path))
+        if prepared:
+            return prepared[-1]
+    return _current_raw(table_path)
+
+
+def _flip_current(table_path: str, version: int) -> bool:
+    """Advance the CURRENT pointer to ``version`` (tmp+rename, atomic on
+    POSIX). MONOTONIC: a stale flip — a recovery racing a writer that
+    already committed further — is a no-op, so replaying a transaction's
+    roll-forward can never move a table backwards."""
+    snap_dir = os.path.join(table_path, _SNAP_DIR)
+    try:
+        if _current_raw(table_path) >= version:
+            return False
+    except FileNotFoundError:
+        pass
+    tmp = os.path.join(snap_dir, ".CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(snap_dir, "CURRENT"))
+    return True
 
 
 def list_versions(table_path: str) -> list[int]:
@@ -106,7 +147,16 @@ def _commit(table_path: str, manifest: dict, version: int) -> None:
     does this), and a visible v{N}.json is ALWAYS complete: a writer
     crash can never leave a torn manifest, only an orphan tmp file
     (vacuum sweeps those). That completeness guarantee is what makes
-    repair_current's roll-forward safe."""
+    repair_current's roll-forward safe.
+
+    Inside an active transaction (plans/txn) the manifest is PREPARED
+    instead: published with a txn marker — which still reserves the
+    version number via the same O_EXCL link, so concurrent writers
+    collide exactly as they would with a committed version — but CURRENT
+    does not flip until the transaction's single commit record lands."""
+    txn = _ACTIVE_TXN.get()
+    if txn is not None:
+        manifest = {**manifest, "txn": {"id": txn["id"], "log": txn["log"]}}
     snap_dir = os.path.join(table_path, _SNAP_DIR)
     os.makedirs(snap_dir, exist_ok=True)
     tmp = os.path.join(snap_dir, f".v{version}.{uuid.uuid4().hex[:8]}.tmp")
@@ -123,10 +173,15 @@ def _commit(table_path: str, manifest: dict, version: int) -> None:
             "writer"
         ) from None
     os.unlink(tmp)
-    tmp = os.path.join(snap_dir, ".CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(snap_dir, "CURRENT"))
+    if txn is not None:
+        txn["prepared"].setdefault(os.path.abspath(table_path), []).append(
+            version
+        )
+        on_prepare = txn.get("_on_prepare")
+        if on_prepare is not None:
+            on_prepare(txn)
+        return
+    _flip_current(table_path, version)
 
 
 def repair_current(table_path: str) -> int | None:
@@ -140,32 +195,57 @@ def repair_current(table_path: str) -> int | None:
     Returns the version CURRENT advanced to, or None when it was
     already at the newest manifest. A manifest newer than CURRENT that
     does not parse (a torn file from a pre-link-protocol crash) fails
-    loudly with removal guidance rather than being silently skipped."""
-    versions = list_versions(table_path)
-    if not versions:
-        return None
-    cur = current_version(table_path)
-    newest = versions[-1]
-    if newest <= cur:
-        return None
-    try:
-        manifest = read_manifest(table_path, newest)
-        ok = manifest.get("version") == newest
-    except (json.JSONDecodeError, OSError):
-        ok = False
-    if not ok:
-        raise RuntimeError(
-            f"manifest v{newest} of {table_path} is newer than CURRENT "
-            f"({cur}) but unreadable — a torn file from a crashed legacy "
-            "writer. Delete it to unwedge the table: "
-            f"{_snap_path(table_path, newest)}"
-        )
-    snap_dir = os.path.join(table_path, _SNAP_DIR)
-    tmp = os.path.join(snap_dir, ".CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(newest))
-    os.replace(tmp, os.path.join(snap_dir, "CURRENT"))
-    return newest
+    loudly with removal guidance rather than being silently skipped.
+
+    Transactional manifests (plans/txn): a newer manifest carrying a
+    txn marker is adopted only if its transaction COMMITTED; an
+    in-flight foreign transaction is decided by racing an abort record
+    (so a crashed coordinator can never wedge the table — but it also
+    means a concurrent writer ABORTS a transaction still preparing:
+    transactions are short by construction, data is written before the
+    first prepare). Aborted manifests are unlinked, freeing their
+    version numbers."""
+    advanced = None
+    while True:
+        versions = list_versions(table_path)
+        if not versions:
+            return advanced
+        cur = current_version(table_path)
+        newest = versions[-1]
+        if newest <= cur:
+            return advanced
+        try:
+            manifest = read_manifest(table_path, newest)
+            ok = manifest.get("version") == newest
+        except (json.JSONDecodeError, OSError):
+            ok = False
+        if not ok:
+            raise RuntimeError(
+                f"manifest v{newest} of {table_path} is newer than CURRENT "
+                f"({cur}) but unreadable — a torn file from a crashed legacy "
+                "writer. Delete it to unwedge the table: "
+                f"{_snap_path(table_path, newest)}"
+            )
+        txn_info = manifest.get("txn")
+        if txn_info is not None:
+            active = _ACTIVE_TXN.get()
+            if active is not None and active["id"] == txn_info["id"]:
+                # our own prepared write — not adoptable, not abortable
+                return advanced
+            from .txn import resolve_txn
+
+            rec = resolve_txn(txn_info)
+            if rec["state"] != "commit":
+                # aborted (or in-flight, now aborted by us): free the
+                # version number and re-evaluate what is newest
+                try:
+                    os.unlink(_snap_path(table_path, newest))
+                except FileNotFoundError:
+                    pass
+                continue
+        _flip_current(table_path, newest)
+        advanced = newest
+        return advanced
 
 
 def _writer_manifest(table_path: str) -> dict:

@@ -1042,3 +1042,124 @@ def q_events_ivm_hourly(spark, sf_dir):
         )
         .orderBy("hour", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Atomic multi-table commit (round 12, plans/txn): a source merge and its
+# secondary-index sync advance as ONE transaction. The lane first runs an
+# ABORTED transaction (a poison batch that would corrupt both checksums,
+# rolled back by the block exception — nothing of it may be visible),
+# then the committed CDC transaction, then answers through the INDEX with
+# the in-plan freshness check live. Oracle: the flat declarative merged
+# state — a hash match proves the aborted txn left zero trace and the
+# committed txn advanced source + index consistently.
+
+
+def _txn_docs_table(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import shutil
+
+    from ..plans.changefeed import _cursor_state, load_view_spec
+    from ..plans.merge import create_merge_table, merge_into
+    from ..plans.secondary import (
+        create_secondary_index,
+        sync_secondary_index,
+    )
+    from ..plans.txn import transaction
+
+    src = _scratch_path(sf_dir, "txn_docs", tables=("documents",))
+    idx = _scratch_path(sf_dir, "txn_docs_idx", tables=("documents",))
+    log = _scratch_path(sf_dir, "txn_docs_log", tables=("documents",))
+    try:
+        cursor, _pending = _cursor_state(idx)
+        if "secondary" not in load_view_spec(idx):
+            cursor = None
+    except (OSError, ValueError):
+        cursor = None
+    if cursor is not None and cursor >= 2:
+        return idx, src
+    for p in (src, idx, log):
+        shutil.rmtree(p, ignore_errors=True)
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    create_merge_table(base, src, "doc_id", n_buckets=8)
+    create_secondary_index(spark, src, idx, "lang", n_buckets=8)
+    max_id = base.agg(F.max("doc_id")).first()[0]
+
+    # aborted transaction: would poison BOTH output groups (xx rows with
+    # +999999 char counts); the block exception must roll it back whole
+    poison = base.filter(F.col("doc_id") % 10 == 4).select(
+        "doc_id", F.lit("xx").alias("lang"),
+        (F.col("n_chars") + 999999).alias("n_chars"),
+        F.lit(False).alias("is_delete"),
+    )
+    try:
+        with transaction(log):
+            merge_into(spark, src, poison, delete_col="is_delete")
+            sync_secondary_index(spark, idx)
+            raise RuntimeError("injected abort")
+    except RuntimeError:
+        pass
+
+    # committed transaction: updates / deletes / inserts + index sync
+    upd = base.filter(F.col("doc_id") % 10 == 3).select(
+        "doc_id", F.lit("xx").alias("lang"),
+        (F.col("n_chars") + 1000).alias("n_chars"),
+        F.lit(False).alias("is_delete"),
+    )
+    dels = base.filter(
+        (F.col("doc_id") % 13 == 7) & (F.col("doc_id") % 10 != 3)
+    ).select(
+        "doc_id", "lang", "n_chars", F.lit(True).alias("is_delete")
+    )
+    ins = base.filter(F.col("doc_id") % 29 == 11).select(
+        (F.col("doc_id") + F.lit(max_id + 1)).alias("doc_id"),
+        F.lit("xx").alias("lang"),
+        (F.col("n_chars") + 7).alias("n_chars"),
+        F.lit(False).alias("is_delete"),
+    )
+    with transaction(log):
+        merge_into(
+            spark, src, upd.unionByName(dels).unionByName(ins),
+            delete_col="is_delete", batch_key="txn_docs:cdc",
+        )
+        sync_secondary_index(spark, idx)
+    return idx, src
+
+
+@register(
+    "documents_txn_ingest",
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+merged AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE doc_id % 10 <> 3 AND doc_id % 13 <> 7
+  UNION ALL
+  SELECT doc_id, 'xx' AS lang, n_chars + 1000 AS n_chars
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT d.doc_id + mx.m + 1 AS doc_id, 'xx' AS lang,
+         d.n_chars + 7 AS n_chars
+  FROM documents d, mx WHERE d.doc_id % 29 = 11
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(doc_id * 1009 + n_chars)::BIGINT AS checksum
+FROM merged WHERE lang IN ('xx', 'en')
+GROUP BY lang ORDER BY lang""",
+)
+def q_documents_txn_ingest(spark, sf_dir):
+    from ..plans.secondary import lookup_by
+
+    idx, src = _txn_docs_table(spark, sf_dir)
+    hits = lookup_by(spark, idx, "xx", source_table=src).unionByName(
+        lookup_by(spark, idx, "en", source_table=src)
+    )
+    return (
+        hits.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("doc_id") * 1009 + F.col("n_chars"))
+            .cast("long")
+            .alias("checksum"),
+        )
+        .orderBy("lang")
+    )

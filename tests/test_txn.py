@@ -1,0 +1,311 @@
+"""Atomic multi-table commit (plans/txn): a group of table commits —
+merge tables, secondary indexes, IVM views — becomes visible together or
+not at all, across every crash point of the two-phase protocol."""
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+import mcp_local_rag_spark.plans.txn as txn_mod
+from mcp_local_rag_spark.plans.merge import (
+    create_merge_table,
+    current_version,
+    list_versions,
+    merge_into,
+    read_snapshot,
+    repair_current,
+)
+from mcp_local_rag_spark.plans.secondary import (
+    create_secondary_index,
+    lookup_by,
+    sync_secondary_index,
+)
+from mcp_local_rag_spark.plans.txn import (
+    TxnAborted,
+    recover_txns,
+    transaction,
+)
+
+
+def _mk(spark, tmp_path, n=60):
+    """A merge table + a synced secondary index on its 'grp' column."""
+    src = str(tmp_path / "t_src")
+    idx = str(tmp_path / "t_idx")
+    base = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 6).cast("string").alias("grp"),
+        (F.col("id") * 2).alias("v"),
+    )
+    create_merge_table(base, src, "k", n_buckets=4)
+    create_secondary_index(spark, src, idx, "grp", n_buckets=4)
+    return src, idx
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "k bigint, grp string, v bigint, is_delete boolean"
+    )
+
+
+def test_transaction_commits_source_and_index_together(spark, tmp_path):
+    src, idx = _mk(spark, tmp_path)
+    log = str(tmp_path / "txlog")
+    v_src, v_idx = current_version(src), current_version(idx)
+
+    with transaction(log):
+        merge_into(
+            spark, src,
+            _batch(spark, [Row(k=500, grp="9", v=1, is_delete=False)]),
+            delete_col="is_delete",
+        )
+        sync_secondary_index(spark, idx)
+        # read-your-own-writes: the sync above consumed the prepared
+        # merge, and an in-block lookup is fresh + sees the new row
+        got = {r["k"] for r in lookup_by(spark, idx, "9").collect()}
+        assert got == {500}
+
+    assert current_version(src) == v_src + 1
+    # sync_view commits two manifests per range (add + retract halves)
+    assert current_version(idx) > v_idx
+    # the committed state is consistent: freshness check passes, the new
+    # row is indexed
+    assert {r["k"] for r in lookup_by(spark, idx, "9").collect()} == {500}
+    # both manifests carry the SAME txn id (the atomicity witness)
+    from mcp_local_rag_spark.plans.merge import read_manifest
+
+    t1 = read_manifest(src)["txn"]["id"]
+    t2 = read_manifest(idx)["txn"]["id"]
+    assert t1 == t2
+
+
+def test_outside_readers_see_nothing_until_commit(spark, tmp_path):
+    src, idx = _mk(spark, tmp_path)
+    log = str(tmp_path / "txlog")
+    observed = {}
+
+    def outside_observer():
+        # a fresh thread has no txn context: it must see the committed
+        # state only
+        observed["version"] = current_version(src)
+        observed["rows"] = read_snapshot(spark, src).count()
+
+    with transaction(log):
+        merge_into(
+            spark, src,
+            _batch(spark, [Row(k=777, grp="7", v=7, is_delete=False)]),
+            delete_col="is_delete",
+        )
+        assert current_version(src) == 2  # our own view: prepared
+        t = threading.Thread(target=outside_observer)
+        t.start()
+        t.join()
+    assert observed == {"version": 1, "rows": 60}
+    assert read_snapshot(spark, src).count() == 61  # now visible
+
+
+def test_block_exception_rolls_back_everything(spark, tmp_path):
+    src, idx = _mk(spark, tmp_path)
+    log = str(tmp_path / "txlog")
+    v_src0, v_idx0 = current_version(src), current_version(idx)
+    lv_src0, lv_idx0 = list_versions(src), list_versions(idx)
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with transaction(log):
+            merge_into(
+                spark, src,
+                _batch(spark, [Row(k=900, grp="x", v=0, is_delete=False)]),
+                delete_col="is_delete",
+            )
+            sync_secondary_index(spark, idx)
+            raise RuntimeError("boom")
+
+    # nothing visible, no orphan manifests, version numbers freed
+    assert current_version(src) == v_src0 and current_version(idx) == v_idx0
+    assert list_versions(src) == lv_src0 and list_versions(idx) == lv_idx0
+    assert read_snapshot(spark, src).count() == 60
+    # the table is fully usable and the freed version number is reused
+    v = merge_into(
+        spark, src,
+        _batch(spark, [Row(k=901, grp="y", v=1, is_delete=False)]),
+        delete_col="is_delete",
+    )
+    assert v == 2
+    assert {r["k"] for r in read_snapshot(spark, src).collect()} >= {901}
+    assert 900 not in {r["k"] for r in read_snapshot(spark, src).collect()}
+
+
+def test_crash_between_record_and_flip_rolls_forward(
+    spark, tmp_path, monkeypatch
+):
+    """Coordinator dies AFTER the commit record lands but BEFORE any
+    CURRENT flips: the transaction IS committed — recover_txns (or any
+    later table access via repair_current) finishes the flips."""
+    src, idx = _mk(spark, tmp_path)
+    log = str(tmp_path / "txlog")
+    v_src0, v_idx0 = current_version(src), current_version(idx)
+
+    def dead_flip(table_path, version):
+        raise RuntimeError("crashed before flip")
+
+    monkeypatch.setattr(txn_mod, "_flip_current", dead_flip)
+    with pytest.raises(RuntimeError, match="crashed before flip"):
+        with transaction(log):
+            merge_into(
+                spark, src,
+                _batch(spark, [Row(k=501, grp="9", v=1, is_delete=False)]),
+                delete_col="is_delete",
+            )
+            sync_secondary_index(spark, idx)
+    monkeypatch.undo()
+
+    # record says commit, but no pointer moved yet
+    assert current_version(src) == v_src0 and current_version(idx) == v_idx0
+    recs = [n for n in os.listdir(log) if n.endswith(".json")]
+    assert any(not n.endswith(".intent.json") for n in recs)
+
+    report = recover_txns(log)
+    assert len(report["committed"]) == 1 and report["aborted"] == []
+    assert current_version(src) == v_src0 + 1
+    assert current_version(idx) > v_idx0
+    assert {r["k"] for r in lookup_by(spark, idx, "9").collect()} == {501}
+    # idempotent: a second sweep is a no-op (intent consumed)
+    assert recover_txns(log) == {"committed": [], "aborted": []}
+
+
+def test_crash_between_record_and_flip_heals_lazily_too(
+    spark, tmp_path, monkeypatch
+):
+    src, idx = _mk(spark, tmp_path)
+    log = str(tmp_path / "txlog")
+    monkeypatch.setattr(
+        txn_mod, "_flip_current",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("dead")),
+    )
+    with pytest.raises(RuntimeError, match="dead"):
+        with transaction(log):
+            merge_into(
+                spark, src,
+                _batch(spark, [Row(k=502, grp="8", v=1, is_delete=False)]),
+                delete_col="is_delete",
+            )
+    monkeypatch.undo()
+    # ANY later access heals the table without the sweep: a plain writer
+    # entry point runs repair_current, which reads the committed record
+    # through the manifest's txn marker
+    assert repair_current(src) == 2
+    assert current_version(src) == 2  # src was created at v1
+    assert 502 in {r["k"] for r in read_snapshot(spark, src).collect()}
+
+
+def test_coordinator_death_mid_prepare_rolls_back(spark, tmp_path):
+    """Coordinator dies BEFORE the commit record: the prepared manifest
+    is unreachable (CURRENT never moved) and recover_txns aborts the
+    in-flight txn, freeing its version number."""
+    from mcp_local_rag_spark.plans.merge import _ACTIVE_TXN
+    from mcp_local_rag_spark.plans.txn import _write_intent
+
+    src, idx = _mk(spark, tmp_path)
+    log = str(tmp_path / "txlog")
+    # simulate death: enter a txn context manually, prepare, never exit
+    txn = {
+        "id": "deadbeef" * 4,
+        "log": os.path.abspath(log),
+        "prepared": {},
+        "_on_prepare": _write_intent,
+    }
+    token = _ACTIVE_TXN.set(txn)
+    try:
+        merge_into(
+            spark, src,
+            _batch(spark, [Row(k=903, grp="z", v=0, is_delete=False)]),
+            delete_col="is_delete",
+        )
+    finally:
+        _ACTIVE_TXN.reset(token)  # the process "dies": no record, no abort
+
+    assert current_version(src) == 1
+    assert list_versions(src) == [1, 2]  # prepared manifest lingers
+    report = recover_txns(log)
+    assert report["aborted"] == [txn["id"]] and report["committed"] == []
+    assert list_versions(src) == [1]  # version number freed
+    # replaying the work as a proper transaction converges
+    with transaction(log):
+        merge_into(
+            spark, src,
+            _batch(spark, [Row(k=903, grp="z", v=0, is_delete=False)]),
+            delete_col="is_delete",
+        )
+        sync_secondary_index(spark, idx)
+    assert current_version(src) == 2
+    assert {r["k"] for r in lookup_by(spark, idx, "z").collect()} == {903}
+
+
+def test_concurrent_writer_aborts_inflight_txn(spark, tmp_path):
+    """A writer colliding with a PREPARED version resolves the in-flight
+    transaction by aborting it (coordinator presumed dead) and wins the
+    version; the coordinator's later commit attempt raises TxnAborted
+    and nothing of the transaction is visible."""
+    src, idx = _mk(spark, tmp_path)
+    log = str(tmp_path / "txlog")
+    errors = []
+
+    def rival():
+        try:
+            merge_into(
+                spark, src,
+                _batch(spark, [Row(k=600, grp="r", v=6, is_delete=False)]),
+                delete_col="is_delete", max_retries=3,
+            )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    with pytest.raises(TxnAborted):
+        with transaction(log):
+            merge_into(
+                spark, src,
+                _batch(spark, [Row(k=601, grp="t", v=6, is_delete=False)]),
+                delete_col="is_delete",
+            )
+            t = threading.Thread(target=rival)  # fresh context: no txn
+            t.start()
+            t.join()
+
+    assert errors == []
+    ks = {r["k"] for r in read_snapshot(spark, src).collect()}
+    assert 600 in ks and 601 not in ks
+    assert current_version(src) == 2  # the rival's commit
+
+
+def test_exactly_once_replay_inside_transactions(spark, tmp_path):
+    """batch_key replay protection composes with transactions: replaying
+    a committed transactional merge is a visible no-op."""
+    src, idx = _mk(spark, tmp_path)
+    log = str(tmp_path / "txlog")
+
+    def run():
+        with transaction(log):
+            merge_into(
+                spark, src,
+                _batch(spark, [Row(k=700, grp="q", v=7, is_delete=False)]),
+                delete_col="is_delete", batch_key="ingest:700",
+            )
+            sync_secondary_index(spark, idx)
+
+    run()
+    v1, i1 = current_version(src), current_version(idx)
+    run()  # replay: merge no-ops on the batch key, sync has no changes
+    assert current_version(src) == v1
+    assert current_version(idx) == i1
+    assert {r["k"] for r in lookup_by(spark, idx, "q").collect()} == {700}
+
+
+def test_transactions_do_not_nest(spark, tmp_path):
+    log = str(tmp_path / "txlog")
+    with pytest.raises(RuntimeError, match="nest"):
+        with transaction(log):
+            with transaction(log):
+                pass
