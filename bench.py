@@ -67,6 +67,12 @@ def main() -> None:
     anchors = _derived_anchors(spark, qs, sf_dir)
 
     total = round(sum(timings.values()), 3)
+    # the config stamp makes any two runs verifiably same-config: the
+    # round-11 "9.94 s builder vs 10.65 s driver" confusion was two runs
+    # of identical HEAD+config at different container moments — the
+    # stamp proves the config half so notes can attribute the rest to
+    # temporal drift (and BENCH_NOTES must quote BOTH numbers)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     print(
         json.dumps(
             {
@@ -76,6 +82,12 @@ def main() -> None:
                 "queries": timings,
                 "n_registry_queries": len(qs),
                 "sf": sf,
+                "config": {
+                    "sf_dir": sf_dir,
+                    "master": f"local[{cpus}]",
+                    "cpus_env": cpus,
+                    "passes": "min-of-3",
+                },
                 "neighbor_read_p95_ms": serve_p95_ms,
                 "neighbor_read_sparkplan_p95_ms": spark_p95_ms,
                 "neighbor_read_pinned_p95_ms": pinned_p95_ms,

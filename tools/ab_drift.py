@@ -33,11 +33,15 @@ DEFAULT_QUERIES = [
     "text_quality",
 ]
 
-# runs inside each checkout: one timed pass per query, fresh session
+# runs inside each checkout: one timed pass per query, fresh session.
+# With lanes=1 the NON-registry lanes (neighbor read x3 shapes, the
+# serving sidecars, warehouse point reads) ride along via the checkout's
+# own bench.py helpers — round 11's regression hid exactly there, in
+# lanes the registry-only A/B never covered.
 _RUNNER = r"""
 import json, sys, time
 sys.path.insert(0, sys.argv[1])
-sf_dir, names = sys.argv[2], sys.argv[3].split(",")
+sf_dir, names, lanes = sys.argv[2], sys.argv[3].split(","), sys.argv[4] == "1"
 from mcp_local_rag_spark.queries import queries
 from mcp_local_rag_spark.session import get_spark
 spark = get_spark("ab-drift")
@@ -53,6 +57,30 @@ for name in names:
     t0 = time.time()
     qs[name](spark, sf_dir).count()
     out[name] = round(time.time() - t0, 3)
+if lanes:
+    import bench
+    try:
+        s95, sp95, pin95 = bench._neighbor_bench(spark)
+        out["lane:neighbor_serve_p95_ms"] = s95
+        out["lane:neighbor_sparkplan_p95_ms"] = sp95
+        out["lane:neighbor_pinned_p95_ms"] = pin95
+    except Exception as e:
+        out["lane:neighbor_err"] = str(e)[:200]
+    for fname, key in (
+        ("_vector_serve_bench", "vector_serve"),
+        ("_hybrid_serve_bench", "hybrid_serve"),
+        ("_ivf_serve_bench", "ivf_serve"),
+        ("_warehouse_point_bench", "warehouse_point"),
+    ):
+        fn = getattr(bench, fname, None)
+        if fn is None:
+            continue
+        try:
+            p50, p95 = fn(spark, sf_dir)
+            out[f"lane:{key}_p50_ms"] = p50
+            out[f"lane:{key}_p95_ms"] = p95
+        except Exception as e:
+            out[f"lane:{key}_err"] = str(e)[:200]
 print("ABDRIFT " + json.dumps(out))
 """
 
@@ -70,10 +98,15 @@ def _worktree(ref: str) -> str:
     return path
 
 
-def _one_pass(tree: str, sf_dir: str, names: list[str]) -> dict:
+def _one_pass(
+    tree: str, sf_dir: str, names: list[str], lanes: bool
+) -> dict:
     env = dict(os.environ, PYTHONPATH=tree)
     proc = subprocess.run(
-        [sys.executable, "-c", _RUNNER, tree, sf_dir, ",".join(names)],
+        [
+            sys.executable, "-c", _RUNNER, tree, sf_dir, ",".join(names),
+            "1" if lanes else "0",
+        ],
         cwd=tree,
         env=env,
         capture_output=True,
@@ -100,19 +133,27 @@ def main(argv: list[str]) -> None:
     names = opts.get("queries", ",".join(DEFAULT_QUERIES)).split(",")
     passes = int(opts.get("passes", 3))
     sf_dir = opts.get("sf-dir", "/root/testdata/sf0.1")
+    lanes = opts.get("lanes", "1") == "1"
 
     trees = {ref_a: _worktree(ref_a), ref_b: _worktree(ref_b)}
     raw: dict[str, list[dict]] = {ref_a: [], ref_b: []}
     for p in range(passes):
         for ref in (ref_a, ref_b):  # interleaved: drift hits both sides
-            res = _one_pass(trees[ref], sf_dir, names)
+            res = _one_pass(trees[ref], sf_dir, names, lanes)
             raw[ref].append(res)
             print(f"# pass {p + 1} {ref}: {res}", file=sys.stderr)
 
     def best(ref: str) -> dict:
         out = {}
-        for n in names:
-            vals = [r[n] for r in raw[ref] if r.get(n) is not None]
+        keys = list(names) + sorted(
+            {k for r in raw[ref] for k in r if k.startswith("lane:")}
+        )
+        for n in keys:
+            vals = [
+                r[n]
+                for r in raw[ref]
+                if isinstance(r.get(n), (int, float))
+            ]
             out[n] = min(vals) if vals else None
         return out
 
