@@ -185,6 +185,28 @@ _VERIFIED_R10 = {
 }
 
 
+_VERIFIED_R11 = {
+    "bm25_term_bucketed", "caption_postprocess", "chunk_documents",
+    "corpus_boilerplate_ngrams", "corpus_decontaminate",
+    "corpus_mixture_weights", "corpus_split_assign", "corpus_weighted_sample",
+    "corpus_zipf_slope", "dedup_clusters", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_jaccard", "dedup_keep_list", "dedup_minhash_banded",
+    "dedup_minhash_incremental", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_pairs", "documents_cube", "documents_length_histogram",
+    "documents_pack_bins", "documents_schema_evolution",
+    "documents_secondary_range", "embedding_centroids", "embedding_confusion",
+    "embeddings_quantized_topk", "events_countmin_freq", "events_hll_distinct",
+    "events_hourly_anomalies", "events_json_extract",
+    "events_session_window_native", "events_sessionize",
+    "events_value_quantiles_hist", "hybrid_search", "hybrid_search_batch",
+    "knn_bruteforce", "knn_ivf_probe", "knn_lsh_hyperplane",
+    "knn_truncated_rerank", "median_pairwise_sim", "neighbors_frame",
+    "range_read", "text_fingerprint", "text_langid", "text_quality",
+    "text_token_stats", "text_unigram_logprob", "vector_topk",
+    "vector_topk_scoped",
+}
+
+
 def _ordered_names():
     """Oracle-paired queries first — never-verified ones leading, then by
     the age of the last green row (oldest round first) — so the driver's
@@ -195,7 +217,8 @@ def _ordered_names():
     to hash-checkable queries."""
     names = list(REGISTRY)
     rounds = (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3, _VERIFIED_R4,
-              _VERIFIED_R5, _VERIFIED_R7, _VERIFIED_R8, _VERIFIED_R10)
+              _VERIFIED_R5, _VERIFIED_R7, _VERIFIED_R8, _VERIFIED_R10,
+              _VERIFIED_R11)
 
     def last_green(n):
         seen = [i + 1 for i, s in enumerate(rounds) if n in s]  # R8 ranks 7th
