@@ -217,6 +217,13 @@ def _parser() -> argparse.ArgumentParser:
                     help="as-of lookup: time travel both sides to the"
                     " cursor-matched versions")
 
+    txr = sub.add_parser(
+        "txn-recover",
+        help="finish or roll back every multi-table transaction in a txn "
+        "log (committed -> flip CURRENTs, in-flight/aborted -> clean up)",
+    )
+    txr.add_argument("log", help="transaction log directory")
+
     im = sub.add_parser(
         "ivf-maintain",
         help="IVF index maintenance loop: recover crashed splits, split "
@@ -231,6 +238,8 @@ def _parser() -> argparse.ArgumentParser:
     im.add_argument("--max-splits", type=int, default=None,
                     help="cost budget: at most this many cells split per run")
     im.add_argument("--compact-min-files", type=int, default=2)
+    im.add_argument("--seed-col", default=None,
+                    help="deterministic split-seed ordering column")
 
     srv = sub.add_parser(
         "serve", help="stdio server loop (MCP by default; --bare for the"
@@ -480,6 +489,11 @@ def run(argv: list[str], engine, out=None) -> int:
         ).limit(args.limit).collect()
         emit({"rows": [r.asDict() for r in rows]})
         return 0
+    if args.cmd == "txn-recover":
+        from .plans.txn import recover_txns
+
+        emit(recover_txns(os.path.abspath(args.log)))
+        return 0
     if args.cmd == "ivf-maintain":
         from .plans.ann_index import ivf_maintain
 
@@ -491,6 +505,7 @@ def run(argv: list[str], engine, out=None) -> int:
                 split_mean_dist=args.split_mean_dist,
                 k=args.k, max_splits=args.max_splits,
                 compact_min_files=args.compact_min_files,
+                seed_col=args.seed_col,
             )
         )
         return 0

@@ -128,23 +128,24 @@ def banded_candidate_pairs(
     pair_volume_cap: int = 2_000_000,
 ) -> DataFrame:
     """Distinct candidate pairs (id1 < id2) from the persisted band
-    index — GROUPED, not self-joined: one map-side-combinable aggregate
-    collects each band bucket's (sorted) member list, then the i<j pairs
-    are expanded by ONE of two strategies, picked from the grouped
-    pass's own bucket-size statistics (no extra scan or shuffle of the
-    band table):
+    index. A cheap COUNT aggregate over the band table (map-side
+    partials: its shuffle is a few bytes per distinct bucket) yields the
+    per-bucket sizes, and the i<j expansion strategy is picked from the
+    estimated pair volume those sizes imply:
 
-      * LOW pair volume (incremental batches, typical corpora): a JVM
-        higher-order expression emits the pairs straight from the
-        collected arrays — exactly one shuffle of the narrow band table.
+      * LOW pair volume (incremental batches, typical corpora): one
+        grouped collect_list + a JVM higher-order expression emitting
+        the pairs straight from the arrays — one heavy shuffle of the
+        narrow band table, no join exchange.
       * HIGH pair volume (> ``pair_volume_cap`` estimated pairs — bulk
-        backfills over heavily duplicated corpora): the arrays are
-        re-exploded and expanded by the equi-join on (band, band_key)
-        (the salted-join shape operators/dedup.lsh_candidate_pairs
-        uses). The join's two-sided exchange of exploded rows costs a
-        constant more setup but expands pairs ~30% cheaper per pair at
-        volume (BENCH_SCALE_r11: 0.42 vs 0.60 us/pair at 30M pairs), so
-        it wins exactly where the JVM array expansion loses.
+        backfills over heavily duplicated corpora): the equi-join on
+        (band, band_key) over the RAW band table (the join shape
+        operators/dedup.lsh_candidate_pairs uses, minus its shingling
+        upstream) — no array aggregate is materialized at all. The
+        join's two-sided exchange costs a constant more setup but
+        expands pairs ~30% cheaper per pair at volume (0.42-0.50 vs
+        0.60 us/pair at 30M pairs, BENCH_SCALE_r11/12), so it wins
+        exactly where the array expansion loses.
 
     Oversized buckets (> ``bucket_cap`` members — boilerplate band keys)
     are excluded from both grouped expansions and handled by the salted
@@ -153,42 +154,69 @@ def banded_candidate_pairs(
     aggregate row. Every route returns the same pair set, pytest-pinned
     vs lsh_candidate_pairs."""
     bands = spark.read.parquet(path).drop("bband")
-    # localCheckpoint (eager), not persist: the grouped frame feeds three
-    # consumers (volume estimate, hot-bucket list, the expansion itself)
-    # — checkpoint blocks are released when the returned frame goes out
-    # of scope, instead of staying pinned for every maintenance-loop
-    # iteration (same discipline as incremental_dedup below)
-    grouped = bands.groupBy("band", "band_key").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
-    ).localCheckpoint()
-    small = grouped.filter(
-        (F.size("_ids") >= 2) & (F.size("_ids") <= bucket_cap)
+    # strategy pass: a COUNT aggregate over the band table — map-side
+    # partials make its shuffle a few bytes per distinct bucket, and it
+    # yields BOTH the small-bucket pair-volume estimate and the
+    # oversized-bucket list in one derived frame (never a second full
+    # materialization of the band table's arrays)
+    sizes = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .persist()
     )
-    # ONE pass over the (persisted, tiny) grouped frame yields both the
-    # small-bucket pair-volume estimate and the oversized bucket list —
-    # the expansion strategy is chosen from stats the grouped aggregate
-    # already computed, never from a second scan of the band table
-    est_row = grouped.select(F.size("_ids").alias("_n")).agg(
+    est_row = sizes.agg(
         F.sum(
             F.when(
-                (F.col("_n") >= 2) & (F.col("_n") <= bucket_cap),
+                F.col("_n") <= bucket_cap,
                 F.col("_n").cast("long") * (F.col("_n") - 1) / 2,
             ).otherwise(F.lit(0))
         ).alias("small_pairs"),
     ).first()
     est_small = int(est_row["small_pairs"] or 0)
+    hot_rows = (
+        sizes.filter(F.col("_n") > bucket_cap)
+        .select("band", "band_key", "_n")
+        .limit(100_000)
+        .collect()
+    )
+    sizes.unpersist()
     if est_small > pair_volume_cap:
-        ex = small.select(
-            "band", "band_key", F.explode("_ids").alias(id_col)
-        )
-        a = ex.select(F.col(id_col).alias("id1"), "band", "band_key")
-        b = ex.select(F.col(id_col).alias("id2"), "band", "band_key")
+        # HIGH volume: expand by the equi-join on the RAW band table —
+        # no array aggregate is ever materialized; the join's two-sided
+        # exchange amortizes over the pair volume (0.42-0.50 us/pair at
+        # 30M pairs vs 0.60 for array expansion, BENCH_SCALE_r11/12).
+        # Oversized buckets are excluded via a broadcast anti-join and
+        # handled by the salted path below; singleton buckets survive
+        # the join but emit nothing past id1 < id2.
+        small_src = bands
+        if hot_rows:
+            hot_keys = F.broadcast(
+                spark.createDataFrame(
+                    [(r["band"], r["band_key"]) for r in hot_rows],
+                    "band int, band_key string",
+                )
+            )
+            small_src = bands.join(
+                hot_keys, ["band", "band_key"], "left_anti"
+            )
+        a = small_src.select(F.col(id_col).alias("id1"), "band", "band_key")
+        b = small_src.select(F.col(id_col).alias("id2"), "band", "band_key")
         small_pairs = (
             a.join(b, ["band", "band_key"])
             .filter(F.col("id1") < F.col("id2"))
             .select("id1", "id2")
         )
     else:
+        # LOW volume (incremental batches, typical corpora): ONE grouped
+        # collect_list + JVM higher-order pair expansion — exactly one
+        # heavy shuffle of the narrow band table, no join exchange
+        grouped = bands.groupBy("band", "band_key").agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
+        )
+        small = grouped.filter(
+            (F.size("_ids") >= 2) & (F.size("_ids") <= bucket_cap)
+        )
         ids = F.col("_ids")
         pair_arr = F.flatten(
             F.transform(
@@ -205,12 +233,6 @@ def banded_candidate_pairs(
             small.select(F.explode(pair_arr).alias("p"))
             .select("p.id1", "p.id2")
         )
-    hot_rows = (
-        grouped.filter(F.size("_ids") > bucket_cap)
-        .select("band", "band_key", F.size("_ids").alias("_n"))
-        .limit(100_000)
-        .collect()
-    )
     if not hot_rows:
         return small_pairs.distinct()
     hot = F.broadcast(

@@ -310,3 +310,76 @@ def test_cli_view_create_sketch_measures_and_parse_guard(spark, tmp_path):
              "--measure", "hot:approx_topk:8"],
             eng,
         )
+
+
+def test_cli_txn_recover_and_ivf_maintain(spark, tmp_path):
+    """txn-recover finishes a committed-but-unflipped transaction from
+    the CLI; ivf-maintain applies the maintenance loop and reports."""
+    import math
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    import mcp_local_rag_spark.plans.txn as txn_mod
+    from mcp_local_rag_spark.plans.merge import (
+        create_merge_table,
+        current_version,
+        merge_into,
+    )
+    from mcp_local_rag_spark.plans.txn import transaction
+
+    tbl = str(tmp_path / "txnsrc")
+    log = str(tmp_path / "txnlog")
+    base = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    create_merge_table(base, tbl, "k", n_buckets=4)
+    eng = RagEngine(spark, str(tmp_path / "chunks_unused3"))
+
+    # simulate a coordinator that died between record and flip
+    real_flip = txn_mod._flip_current
+    txn_mod._flip_current = lambda *a: (_ for _ in ()).throw(
+        RuntimeError("dead")
+    )
+    try:
+        try:
+            with transaction(log):
+                merge_into(
+                    spark, tbl,
+                    spark.createDataFrame(
+                        [Row(k=900, v=9, is_delete=False)]
+                    ),
+                    delete_col="is_delete",
+                )
+        except RuntimeError:
+            pass
+    finally:
+        txn_mod._flip_current = real_flip
+    assert current_version(tbl) == 1
+
+    (rep,) = _run(eng, "txn-recover", log)
+    assert len(rep["committed"]) == 1 and rep["aborted"] == []
+    assert current_version(tbl) == 2
+
+    # ivf-maintain over a drifted two-blob index
+    from mcp_local_rag_spark.plans.ann_index import write_ivf_index
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0]
+
+    rows = [(0, unit(50.0), 0)]
+    rows += [(1 + i, unit(0.05 * i), 0) for i in range(9)]
+    rows += [(100 + i, unit(50 + 0.05 * (i + 1)), 0) for i in range(9)]
+    rows += [(200 + i, unit(120 + 0.05 * i), 1) for i in range(8)]
+    idx_df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int"
+    )
+    idx = str(tmp_path / "cli_ivf")
+    write_ivf_index(idx_df, idx, sort_cols=("vec_id",))
+    (rep,) = _run(
+        eng, "ivf-maintain", idx, "--split-mean-dist", "0.05",
+        "--split-fill-ratio", "99", "--seed-col", "vec_id",
+    )
+    assert rep["planned"] == [0] and "0" in {str(k) for k in rep["split"]}
+    assert rep["n_cells"] == 3
