@@ -309,3 +309,164 @@ def test_transactions_do_not_nest(spark, tmp_path):
         with transaction(log):
             with transaction(log):
                 pass
+
+
+def test_txn_crash_matrix_every_window_converges(spark, tmp_path):
+    """Systematic crash injection: kill the coordinator at EVERY distinct
+    protocol point — after intent, after the first prepare, between
+    prepares, after the commit record, after the first flip — and verify
+    the invariant at each: recover_txns converges the world to
+    all-visible or none-visible, tables stay writable, and a replay of
+    the same work (batch-keyed) lands exactly once."""
+    from mcp_local_rag_spark.plans.merge import read_snapshot
+
+    crash_points = [
+        "after_first_prepare",   # src prepared, index untouched
+        "after_second_prepare",  # both prepared, no record
+        "after_record",          # committed, no flips
+        "after_first_flip",      # committed, flips torn
+    ]
+    for i, point in enumerate(crash_points):
+        src, idx = _mk(spark, tmp_path / f"m{i}")
+        log = str(tmp_path / f"m{i}" / "txlog")
+        batch = _batch(
+            spark, [Row(k=800 + i, grp="m", v=i, is_delete=False)]
+        )
+
+        real_flip = txn_mod._flip_current
+        real_pub = txn_mod._publish_record
+        flips = {"n": 0}
+
+        def flip_crash(t, v, _real=real_flip, _point=point, _flips=flips):
+            if _point == "after_record":
+                raise RuntimeError("crash")
+            if _point == "after_first_flip":
+                if _flips["n"] >= 1:
+                    raise RuntimeError("crash")
+                _flips["n"] += 1
+            return _real(t, v)
+
+        def pub_crash(log_dir, txn_id, state, tables,
+                      _real=real_pub, _point=point):
+            # the coordinator "dies" INSTEAD of publishing its record
+            if _point in ("after_first_prepare", "after_second_prepare"):
+                raise RuntimeError("crash")
+            return _real(log_dir, txn_id, state, tables)
+
+        try:
+            if point in ("after_record", "after_first_flip"):
+                txn_mod._flip_current = flip_crash
+            else:
+                txn_mod._publish_record = pub_crash
+            # simulate death, not a clean exception-abort: drive the
+            # protocol manually so the context manager's abort path
+            # can't run
+            from mcp_local_rag_spark.plans.merge import _ACTIVE_TXN
+            from mcp_local_rag_spark.plans.txn import _write_intent
+            import uuid as _uuid
+
+            txn = {
+                "id": _uuid.uuid4().hex, "log": os.path.abspath(log),
+                "prepared": {}, "_on_prepare": _write_intent,
+            }
+            token = _ACTIVE_TXN.set(txn)
+            try:
+                merge_into(spark, src, batch, delete_col="is_delete",
+                           batch_key=f"crash:{i}")
+                if point != "after_first_prepare":
+                    sync_secondary_index(spark, idx)
+                if point in ("after_record", "after_first_flip"):
+                    tables = {t: vs[-1] for t, vs in txn["prepared"].items()}
+                    assert txn_mod._publish_record(
+                        txn["log"], txn["id"], "commit", tables
+                    )
+                    with pytest.raises(RuntimeError, match="crash"):
+                        for t, v in sorted(tables.items()):
+                            txn_mod._flip_current(t, v)
+            finally:
+                _ACTIVE_TXN.reset(token)
+        finally:
+            txn_mod._flip_current = real_flip
+            txn_mod._publish_record = real_pub
+
+        committed_expected = point in ("after_record", "after_first_flip")
+        report = recover_txns(log)
+        if committed_expected:
+            assert len(report["committed"]) == 1, point
+            ks = {r["k"] for r in read_snapshot(spark, src).collect()}
+            assert 800 + i in ks, point
+            # index reflects the source exactly (freshness passes)
+            got = {r["k"] for r in lookup_by(spark, idx, "m").collect()}
+            assert got == {800 + i}, point
+        else:
+            assert len(report["aborted"]) == 1, point
+            ks = {r["k"] for r in read_snapshot(spark, src).collect()}
+            assert 800 + i not in ks, point
+            assert current_version(src) == 1, point
+        # the world is writable and a batch-keyed replay lands exactly once
+        with transaction(log):
+            merge_into(spark, src, batch, delete_col="is_delete",
+                       batch_key=f"crash:{i}")
+            sync_secondary_index(spark, idx)
+        got = {r["k"] for r in lookup_by(spark, idx, "m").collect()}
+        assert got == {800 + i}, point
+        assert read_snapshot(spark, src).filter(
+            F.col("k") == 800 + i
+        ).count() == 1, point
+
+
+def test_transaction_spans_optimize_and_merge(spark, tmp_path):
+    """Every verb that commits through the manifest protocol composes
+    with transactions: a merge + clustered OPTIMIZE + index sync group
+    becomes visible as one unit, with the clustering marker intact."""
+    from mcp_local_rag_spark.plans.merge import (
+        optimize_table,
+        read_manifest,
+    )
+
+    src, idx = _mk(spark, tmp_path)
+    log = str(tmp_path / "txlog")
+    v0 = current_version(src)
+    with transaction(log):
+        merge_into(
+            spark, src,
+            _batch(spark, [Row(k=950, grp="o", v=5, is_delete=False)]),
+            delete_col="is_delete",
+        )
+        optimize_table(spark, src, ["v"])
+        sync_secondary_index(spark, idx)
+        assert read_manifest(src)["clustered"]["cols"] == ["v"]  # own view
+    assert current_version(src) == v0 + 2  # merge + optimize
+    assert read_manifest(src)["clustered"]["cols"] == ["v"]
+    assert {r["k"] for r in lookup_by(spark, idx, "o").collect()} == {950}
+
+
+def test_concurrent_transactions_on_disjoint_tables(spark, tmp_path):
+    """Transactions over DISJOINT table groups never interact: two
+    threads each run a merge+sync transaction on their own pair; both
+    commit, both stay internally consistent."""
+    src_a, idx_a = _mk(spark, tmp_path / "a")
+    src_b, idx_b = _mk(spark, tmp_path / "b")
+    log = str(tmp_path / "txlog")
+    errors = []
+
+    def work(src, idx, k, grp):
+        try:
+            with transaction(log):
+                merge_into(
+                    spark, src,
+                    _batch(
+                        spark, [Row(k=k, grp=grp, v=1, is_delete=False)]
+                    ),
+                    delete_col="is_delete",
+                )
+                sync_secondary_index(spark, idx)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    t1 = threading.Thread(target=work, args=(src_a, idx_a, 700, "ca"))
+    t2 = threading.Thread(target=work, args=(src_b, idx_b, 701, "cb"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert errors == []
+    assert {r["k"] for r in lookup_by(spark, idx_a, "ca").collect()} == {700}
+    assert {r["k"] for r in lookup_by(spark, idx_b, "cb").collect()} == {701}
