@@ -248,10 +248,17 @@ def keyword_boost(
     boosted = distance / (1 + kw_norm * weight); unmatched rows keep their
     distance (kw=0). (src/vectordb/search-filters.ts:116-156)
     The keyword side is at most 2x the candidate count -> broadcast join.
+
+    The max-normalizer is an UNPARTITIONED window over the keyword frame
+    (bounded: <= the candidate count by construction) rather than an
+    aggregate + cross join — one exchange instead of two, which matters
+    because every exchange is a separate AQE job and the post-top-k tail
+    is job-submission-bound, not data-bound (round-12 floor profile:
+    21 jobs/query, ~50 ms each).
     """
-    max_kw = keyword_scores.agg(F.max(kw_col).alias("_max_kw"))
+    w = Window.partitionBy()  # bounded input: the candidate set
     kw = (
-        keyword_scores.crossJoin(max_kw)
+        keyword_scores.withColumn("_max_kw", F.max(kw_col).over(w))
         .withColumn(
             "_kw_norm",
             F.when(F.col("_max_kw") > 0, F.col(kw_col) / F.col("_max_kw")).otherwise(
@@ -278,18 +285,25 @@ def file_topn_filter(
     """W4: rank files by their best (lowest) chunk score, keep chunks of the
     top ``max_files`` files (src/vectordb/search-filters.ts:76-101).
     ``part_cols`` applies the ranking PER GROUP (the batch shape: one
-    file ranking per query_id)."""
+    file ranking per query_id).
+
+    Two windows, no join: _best = min(score) over the file's rows, then
+    dense_rank over (_best, file) — equal to row_number over the
+    DISTINCT files because (_best, file) is unique per file. The
+    aggregate + row_number + semi-join shape this replaces carried three
+    exchanges (each its own AQE job); the input here is always a
+    post-top-k candidate set, so the windows are bounded."""
     if max_files is None:
         return hits
-    best = hits.groupBy(*part_cols, file_col).agg(F.min(score_col).alias("_best"))
-    w = Window.partitionBy(*part_cols).orderBy(
+    per_file = Window.partitionBy(*part_cols, file_col)
+    rank_w = Window.partitionBy(*part_cols).orderBy(
         F.col("_best").asc(), F.col(file_col).asc()
     )
-    keep = best.withColumn("_rank", F.row_number().over(w)).filter(
-        F.col("_rank") <= max_files
-    )
-    return hits.join(
-        keep.select(*part_cols, file_col), [*part_cols, file_col], "left_semi"
+    return (
+        hits.withColumn("_best", F.min(score_col).over(per_file))
+        .withColumn("_rank", F.dense_rank().over(rank_w))
+        .filter(F.col("_rank") <= max_files)
+        .drop("_best", "_rank")
     )
 
 
