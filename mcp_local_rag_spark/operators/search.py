@@ -501,13 +501,17 @@ def hybrid_search_batch(
         kw = scored.groupBy("query_id", *id_cols).agg(
             F.sum(term_score).alias("_s")
         )
-        kwmax = kw.groupBy("query_id").agg(F.max("_s").alias("_mx"))
+        # per-query max-normalizer as a window over the (bounded) scored
+        # frame — one exchange instead of a second aggregate + join
+        # (same tail-job discipline as keyword_boost)
+        kw = kw.withColumn(
+            "_mx", F.max("_s").over(Window.partitionBy("query_id"))
+        )
         norm = F.coalesce(
             F.when(F.col("_mx") > 0, F.col("_s") / F.col("_mx")), F.lit(0.0)
         )
         boosted = (
             grouped.join(kw, ["query_id", *id_cols], "left")
-            .join(kwmax, "query_id", "left")
             .withColumn(
                 "score",
                 _rounded(F.col("score") / (F.lit(1.0) + norm * F.lit(weight))),
