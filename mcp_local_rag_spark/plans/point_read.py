@@ -249,6 +249,27 @@ class SecondaryReader:
                 "pass stale_ok=True to read as of the index's cursor"
             )
 
+    def _resolve_versions(
+        self, stale_ok: bool, at_source_version: int | None
+    ) -> tuple[int | None, int | None]:
+        """(index version, source version) for one serving lookup. AS-OF
+        resolves the index version by its recorded changefeed cursor —
+        the same metadata-only walk as plans/secondary (manifest JSON
+        reads, no Spark); otherwise freshness is enforced and both sides
+        read CURRENT."""
+        if at_source_version is not None:
+            from .secondary import _index_version_for_source
+
+            return (
+                _index_version_for_source(
+                    self._index_path, at_source_version
+                ),
+                at_source_version,
+            )
+        if not stale_ok:
+            self._check_fresh()
+        return None, None
+
     def lookup_by(
         self,
         value,
@@ -256,6 +277,7 @@ class SecondaryReader:
         columns: list[str] | None = None,
         cap: int = 10_000,
         stale_ok: bool = False,
+        at_source_version: int | None = None,
     ) -> list[dict[str, Any]]:
         import pyarrow.dataset as ds
 
@@ -266,10 +288,11 @@ class SecondaryReader:
             raise ValueError(
                 f"index keys {self._cols} need {len(self._cols)} value(s)"
             )
-        if not stale_ok:
-            self._check_fresh()
+        idx_version, src_version = self._resolve_versions(
+            stale_ok, at_source_version
+        )
         shards = self._sec["pk_shards"]
-        manifest = self._index._manifest(None)
+        manifest = self._index._manifest(idx_version)
         nb = manifest["n_buckets"]
         keys = [ivm_key_of([*vals, s]) for s in range(shards)]
         by_bucket: dict[int, list[str]] = {}
@@ -297,7 +320,9 @@ class SecondaryReader:
             return []
         # posting-map keys are the pk's STRING cast; lookup_many types
         # them back from the source file schema itself
-        return self._source.lookup_many(sorted(set(pks)), columns=columns)
+        return self._source.lookup_many(
+            sorted(set(pks)), columns=columns, version=src_version
+        )
 
     def range_lookup(
         self,
@@ -308,6 +333,7 @@ class SecondaryReader:
         columns: list[str] | None = None,
         cap: int = 10_000,
         stale_ok: bool = False,
+        at_source_version: int | None = None,
     ) -> list[dict[str, Any]]:
         """Serving twin of plans/secondary.range_lookup: source rows whose
         (single-column) indexed value lies in [lo, hi] ([lo, hi) with
@@ -325,10 +351,11 @@ class SecondaryReader:
                 f"range_lookup needs a single-column index, got keys "
                 f"{self._cols}"
             )
-        if not stale_ok:
-            self._check_fresh()
+        idx_version, src_version = self._resolve_versions(
+            stale_ok, at_source_version
+        )
         col = self._cols[0]
-        manifest = self._index._manifest(None)
+        manifest = self._index._manifest(idx_version)
         pks: list[str] = []
         for b in sorted(int(k) for k in manifest["buckets"]):
             data_dir = manifest["buckets"].get(str(b))
@@ -354,4 +381,6 @@ class SecondaryReader:
                 )
         if not pks:
             return []
-        return self._source.lookup_many(sorted(set(pks)), columns=columns)
+        return self._source.lookup_many(
+            sorted(set(pks)), columns=columns, version=src_version
+        )

@@ -2216,6 +2216,20 @@ def test_secondary_reader_range_parity_and_freshness(spark, tmp_path):
     assert 500 in {r["k"] for r in reader.range_lookup(10, 12)}
     assert 500 in {r["k"] for r in reader.lookup_by(11)}
 
+    # AS-OF on the SERVING lanes: both resolve the index version by its
+    # recorded cursor and read the source at the requested version —
+    # parity with the distributed lanes' v1 answers
+    asof_pt = {r["k"] for r in reader.lookup_by(11, at_source_version=1)}
+    assert 500 not in asof_pt and asof_pt == {
+        k for k in range(200) if k % 40 == 11
+    }
+    asof_rg = {
+        r["k"] for r in reader.range_lookup(10, 12, at_source_version=1)
+    }
+    assert asof_rg == {k for k, _ in want} and 500 not in asof_rg
+    with pytest.raises(ValueError, match="no index version"):
+        reader.lookup_by(11, at_source_version=99)
+
 
 # ---------------------------------------------------------------------------
 # OPTIMIZE vs MERGE concurrency (round-11): the race must serialize via
