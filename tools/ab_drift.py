@@ -92,6 +92,9 @@ def _worktree(ref: str) -> str:
     path = f"/tmp/ab_worktrees/{short}"
     if not os.path.isdir(path):
         os.makedirs("/tmp/ab_worktrees", exist_ok=True)
+        # a manually deleted dir leaves a registered-but-missing
+        # worktree; prune first so re-adding the same ref always works
+        subprocess.check_call(["git", "worktree", "prune"], cwd=REPO)
         subprocess.check_call(
             ["git", "worktree", "add", "--detach", path, ref], cwd=REPO
         )
