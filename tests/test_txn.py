@@ -470,3 +470,42 @@ def test_concurrent_transactions_on_disjoint_tables(spark, tmp_path):
     assert errors == []
     assert {r["k"] for r in lookup_by(spark, idx_a, "ca").collect()} == {700}
     assert {r["k"] for r in lookup_by(spark, idx_b, "cb").collect()} == {701}
+
+
+def test_vacuum_reclaims_aborted_txn_data_dirs(spark, tmp_path):
+    """An aborted transaction's data dirs are invisible orphans (its
+    manifests were unlinked); the EXISTING vacuum sweep reclaims them
+    past the grace window, and the table reads on as if the txn never
+    happened."""
+    from mcp_local_rag_spark.plans.merge import vacuum
+
+    src, idx = _mk(spark, tmp_path)
+    log = str(tmp_path / "txlog")
+    with pytest.raises(RuntimeError, match="boom"):
+        with transaction(log):
+            merge_into(
+                spark, src,
+                _batch(spark, [Row(k=910, grp="v", v=0, is_delete=False)]),
+                delete_col="is_delete",
+            )
+            raise RuntimeError("boom")
+    # the prepared merge wrote a data_v2_<token> dir before its
+    # manifest was unlinked (post-v1 dirs carry a race token)
+    import glob
+
+    orphans = glob.glob(os.path.join(src, "data_v2_*"))
+    assert orphans
+    removed = vacuum(src, keep_versions=2, grace_seconds=0)
+    assert {os.path.basename(o) for o in orphans} <= {
+        os.path.basename(d) for d in removed
+    }
+    assert not glob.glob(os.path.join(src, "data_v2_*"))
+    assert read_snapshot(spark, src).count() == 60
+    # and the freed version number still reuses cleanly post-vacuum
+    v = merge_into(
+        spark, src,
+        _batch(spark, [Row(k=911, grp="w", v=1, is_delete=False)]),
+        delete_col="is_delete",
+    )
+    assert v == 2
+    assert 911 in {r["k"] for r in read_snapshot(spark, src).collect()}
