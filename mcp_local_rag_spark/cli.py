@@ -217,6 +217,22 @@ def _parser() -> argparse.ArgumentParser:
                     help="as-of lookup: time travel both sides to the"
                     " cursor-matched versions")
 
+    tm = sub.add_parser(
+        "table-maintain",
+        help="one idempotent maintenance pass: heal pointer, recover "
+        "transactions, compact scattered snapshots (cluster-order-"
+        "preserving), vacuum under protections",
+    )
+    tm.add_argument("path")
+    tm.add_argument("--txn-log", default=None)
+    tm.add_argument("--compact-max-dirs", type=int, default=1)
+    tm.add_argument("--keep", type=int, default=2)
+    tm.add_argument("--grace", type=float, default=600.0)
+    tm.add_argument("--protect-consumer", action="append", default=[],
+                    help="changefeed view / secondary index path "
+                    "(repeatable)")
+    tm.add_argument("--protect-savepoints", default=None)
+
     txr = sub.add_parser(
         "txn-recover",
         help="finish or roll back every multi-table transaction in a txn "
@@ -488,6 +504,21 @@ def run(argv: list[str], engine, out=None) -> int:
             at_source_version=args.at_source_version,
         ).limit(args.limit).collect()
         emit({"rows": [r.asDict() for r in rows]})
+        return 0
+    if args.cmd == "table-maintain":
+        from .plans.maintain import table_maintain
+
+        emit(
+            table_maintain(
+                engine.spark, os.path.abspath(args.path),
+                txn_log=args.txn_log,
+                compact_max_dirs=args.compact_max_dirs,
+                vacuum_keep_versions=args.keep,
+                vacuum_grace_seconds=args.grace,
+                protect_consumers=args.protect_consumer or None,
+                protect_savepoints=args.protect_savepoints,
+            )
+        )
         return 0
     if args.cmd == "txn-recover":
         from .plans.txn import recover_txns

@@ -509,3 +509,76 @@ def test_vacuum_reclaims_aborted_txn_data_dirs(spark, tmp_path):
     )
     assert v == 2
     assert 911 in {r["k"] for r in read_snapshot(spark, src).collect()}
+
+
+def test_table_maintain_one_pass(spark, tmp_path):
+    """The policy loop (plans/maintain): a table with a wedged pointer,
+    a dead in-flight transaction, a scattered snapshot history, and
+    vacuum-able orphans converges in ONE pass — and a second pass is a
+    no-op."""
+    import glob
+
+    from mcp_local_rag_spark.plans.maintain import table_maintain
+    from mcp_local_rag_spark.plans.merge import (
+        _ACTIVE_TXN,
+        list_versions,
+        read_manifest,
+        read_snapshot,
+    )
+    from mcp_local_rag_spark.plans.txn import _write_intent
+
+    src, idx = _mk(spark, tmp_path)
+    log = str(tmp_path / "txlog")
+    # scatter: three merges leave live files across several data dirs
+    for i in range(3):
+        merge_into(
+            spark, src,
+            _batch(spark, [Row(k=i, grp="s", v=i, is_delete=False)]),
+            delete_col="is_delete",
+        )
+    # dead in-flight transaction (prepared manifest, no record)
+    import uuid as _uuid
+
+    txn = {"id": _uuid.uuid4().hex, "log": os.path.abspath(log),
+           "prepared": {}, "_on_prepare": _write_intent}
+    token = _ACTIVE_TXN.set(txn)
+    try:
+        merge_into(
+            spark, src,
+            _batch(spark, [Row(k=990, grp="x", v=0, is_delete=False)]),
+            delete_col="is_delete",
+        )
+    finally:
+        _ACTIVE_TXN.reset(token)
+    # wedge the pointer one version back (crash-before-flip shape)
+    with open(os.path.join(src, "_snapshots", "CURRENT")) as f:
+        cur = int(f.read())
+    with open(os.path.join(src, "_snapshots", "CURRENT"), "w") as f:
+        f.write(str(cur - 1))
+
+    report = table_maintain(
+        spark, src, txn_log=log, vacuum_grace_seconds=0,
+        protect_consumers=[idx],
+    )
+    assert report["healed_to"] == cur
+    assert report["txns"]["aborted"] and not report["txns"]["committed"]
+    assert report["compacted_to"] == cur + 1  # one compaction rewrite
+    assert report["removed_dirs"]  # scattered + orphan dirs collected
+    snap = {r["k"]: r["v"] for r in read_snapshot(spark, src).collect()}
+    assert snap[0] == 0 and snap[1] == 1 and snap[2] == 2
+    assert 990 not in snap  # dead txn rolled back
+    m = read_manifest(src)
+    assert len(set(m["buckets"].values())) == 1  # compact
+    # second pass: metadata-only no-op
+    report2 = table_maintain(
+        spark, src, txn_log=log, vacuum_grace_seconds=0,
+        protect_consumers=[idx],
+    )
+    assert report2["healed_to"] is None
+    assert report2["compacted_to"] is None
+    assert report2["removed_dirs"] == []
+    # the protected consumer index still syncs after retention
+    v = sync_secondary_index(spark, idx)
+    assert v == current_version(src)
+    got = {r["k"] for r in lookup_by(spark, idx, "s").collect()}
+    assert got == {0, 1, 2}
