@@ -303,3 +303,59 @@ def test_banded_index_pairs_identical_to_join_path(spark, tmp_path):
                 ).collect()
             }
             assert got == want, f"cap={cap} pv_cap={pv_cap}"
+
+
+def test_banded_routes_agree_on_random_corpora(spark, tmp_path):
+    """Randomized route-parity fuzz: on seeded random corpora (mixed
+    duplicate cliques, near-dups, singletons) every strategy combination
+    of banded_candidate_pairs — {JVM array expansion, equi-join
+    expansion} x {with, without the salted hot-bucket path} — returns
+    exactly lsh_candidate_pairs' set. Deterministic seeds, bounded
+    corpus sizes (a hypothesis-style sweep without per-example Spark
+    session churn)."""
+    import random
+
+    from mcp_local_rag_spark.operators import dedup
+    from mcp_local_rag_spark.plans.dedup_index import (
+        banded_candidate_pairs,
+        write_band_index,
+    )
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        rows, next_id = [], 0
+        vocab = [f"w{seed}_{i}" for i in range(60)]
+        # duplicate cliques of random sizes, with light mutation
+        for clique in range(rng.randint(2, 5)):
+            base = " ".join(rng.choices(vocab, k=40))
+            for member in range(rng.randint(2, 12)):
+                text = base
+                if rng.random() < 0.3:  # near-dup: perturb one word
+                    ws = text.split()
+                    ws[rng.randrange(len(ws))] = f"mut{next_id}"
+                    text = " ".join(ws)
+                rows.append((next_id, text))
+                next_id += 1
+        for _ in range(rng.randint(3, 10)):  # singletons
+            rows.append(
+                (next_id, " ".join(f"solo{next_id}_{j}" for j in range(25)))
+            )
+            next_id += 1
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        want = {
+            (r.id1, r.id2)
+            for r in dedup.lsh_candidate_pairs(
+                dedup.minhash_signatures_docs(docs)
+            ).collect()
+        }
+        path = str(tmp_path / f"fuzz_bands_{seed}")
+        write_band_index(docs, path, n_buckets=4)
+        for cap in (3, 128):
+            for pv_cap in (0, 10_000_000):
+                got = {
+                    (r.id1, r.id2)
+                    for r in banded_candidate_pairs(
+                        spark, path, bucket_cap=cap, pair_volume_cap=pv_cap
+                    ).collect()
+                }
+                assert got == want, (seed, cap, pv_cap)
