@@ -1163,3 +1163,92 @@ def q_documents_txn_ingest(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maintenance round-trip (round 12, plans/maintain): three scattering
+# merges, then ONE table_maintain pass (heal -> recover -> compact ->
+# vacuum, grace 0) — and the audit must hash-match the flat declarative
+# derivation, proving compaction rewrote in-place-equivalent bytes and
+# vacuum retired only dead history. The manifest must show the compacted
+# single-dir layout (checked in the builder, not the output).
+
+
+def _maintained_docs_table(spark: SparkSession, sf_dir: str) -> str:
+    import shutil
+
+    from ..plans.maintain import table_maintain
+    from ..plans.merge import (
+        create_merge_table,
+        current_version,
+        merge_into,
+        read_manifest,
+    )
+
+    path = _scratch_path(sf_dir, "maint_docs", tables=("documents",))
+    done = os.path.join(path, "_snapshots", "CURRENT")
+    if os.path.isfile(done):
+        try:
+            if current_version(path) >= 5:
+                return path
+        except (OSError, ValueError):
+            pass
+    shutil.rmtree(path, ignore_errors=True)
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    create_merge_table(base, path, "doc_id", n_buckets=8)
+    max_id = base.agg(F.max("doc_id")).first()[0]
+    # three NARROW merges (single-row deltas) so the live snapshot
+    # scatters across data dirs — the shape a long CDC history leaves
+    m1 = base.filter(F.col("doc_id") == 15).select(
+        "doc_id", "lang", (F.col("n_chars") + 100).alias("n_chars"),
+        F.lit(False).alias("is_delete"),
+    )
+    m2 = base.filter(F.col("doc_id") == 22).select(
+        "doc_id", "lang", "n_chars", F.lit(True).alias("is_delete")
+    )
+    m3 = spark.createDataFrame(
+        [(int(max_id) + 1, "mm", 77, False)],
+        "doc_id bigint, lang string, n_chars bigint, is_delete boolean",
+    )
+    for m in (m1, m2, m3):
+        merge_into(spark, path, m, delete_col="is_delete")
+    report = table_maintain(spark, path, vacuum_grace_seconds=0.0)
+    assert report["compacted_to"] == 5, report
+    assert len(set(read_manifest(path)["buckets"].values())) == 1
+    return path
+
+
+@register(
+    "documents_table_maintain",
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+merged AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id NOT IN (15, 22)
+  UNION ALL
+  SELECT doc_id, lang, n_chars + 100 AS n_chars
+  FROM documents WHERE doc_id = 15
+  UNION ALL
+  SELECT mx.m + 1 AS doc_id, 'mm' AS lang, 77 AS n_chars FROM mx
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(doc_id * 31 + n_chars)::BIGINT AS checksum,
+       min(n_chars)::BIGINT AS min_chars
+FROM merged GROUP BY lang ORDER BY lang""",
+)
+def q_documents_table_maintain(spark, sf_dir):
+    from ..plans.merge import read_snapshot
+
+    path = _maintained_docs_table(spark, sf_dir)
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("doc_id") * 31 + F.col("n_chars"))
+            .cast("long")
+            .alias("checksum"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+        )
+        .orderBy("lang")
+    )
