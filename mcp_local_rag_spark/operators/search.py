@@ -287,23 +287,26 @@ def file_topn_filter(
     ``part_cols`` applies the ranking PER GROUP (the batch shape: one
     file ranking per query_id).
 
-    Two windows, no join: _best = min(score) over the file's rows, then
-    dense_rank over (_best, file) — equal to row_number over the
-    DISTINCT files because (_best, file) is unique per file. The
-    aggregate + row_number + semi-join shape this replaces carried three
-    exchanges (each its own AQE job); the input here is always a
-    post-top-k candidate set, so the windows are bounded."""
+    Two windows, no join: best = min(score) over the file's rows, then
+    dense_rank over (best, file) — equal to row_number over the DISTINCT
+    files because (best, file) is unique per file. The aggregate +
+    row_number + semi-join shape this replaces carried three exchanges
+    (each its own AQE job); the input here is always a post-top-k
+    candidate set, so the windows are bounded. NULL ``file_col`` rows
+    are dropped explicitly, preserving the semi-join shape's semantics
+    (a NULL join key never matched)."""
     if max_files is None:
         return hits
     per_file = Window.partitionBy(*part_cols, file_col)
     rank_w = Window.partitionBy(*part_cols).orderBy(
-        F.col("_best").asc(), F.col(file_col).asc()
+        F.col("_ftf_best").asc(), F.col(file_col).asc()
     )
     return (
-        hits.withColumn("_best", F.min(score_col).over(per_file))
-        .withColumn("_rank", F.dense_rank().over(rank_w))
-        .filter(F.col("_rank") <= max_files)
-        .drop("_best", "_rank")
+        hits.filter(F.col(file_col).isNotNull())
+        .withColumn("_ftf_best", F.min(score_col).over(per_file))
+        .withColumn("_ftf_rank", F.dense_rank().over(rank_w))
+        .filter(F.col("_ftf_rank") <= max_files)
+        .drop("_ftf_best", "_ftf_rank")
     )
 
 

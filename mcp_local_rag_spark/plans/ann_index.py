@@ -210,6 +210,14 @@ def read_index_meta(path: str) -> dict:
         return json.load(f)
 
 
+def _update_index_meta(path: str, **kv) -> None:
+    meta = {**read_index_meta(path), **kv}
+    tmp = os.path.join(path, f".{META_FILE}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, META_FILE))
+
+
 def read_ivf_cells(
     spark: SparkSession, path: str, cells: list[int] | None = None
 ) -> DataFrame:
@@ -380,6 +388,25 @@ def ivf_maintain(
         )
     )
     by_cell = {int(r["cell"]): r for r in stats}
+    # duplicate-heavy cells whose last split degenerated (one identical
+    # subcell — no progress possible) carry a persisted no-split hint so
+    # a cron loop doesn't rewrite the same bytes forever; the hint
+    # expires once the cell's population changes materially (appends may
+    # have made it splittable)
+    no_split = {
+        int(c): int(n)
+        for c, n in (read_index_meta(path).get("no_split") or {}).items()
+    }
+    stale = [
+        c
+        for c in list(no_split)
+        if c not in by_cell
+        or not 0.8 <= by_cell[c]["n"] / no_split[c] <= 1.25
+    ]
+    for c in stale:
+        del no_split[c]
+    skipped = sorted(c for c in planned if c in no_split)
+    planned -= set(skipped)
 
     def severity(c: int) -> float:
         # normalized against each trigger's own threshold, so a cell 4x
@@ -396,11 +423,24 @@ def ivf_maintain(
     if max_splits is not None:
         order = order[:max_splits]
     splits: dict[int, list[int]] = {}
+    unsplittable: dict[int, int] = {}
     for cell in order:
-        splits[cell] = split_ivf_cell(
+        new_ids = split_ivf_cell(
             spark, path, cell,
             k=min(k, int(by_cell[cell]["n"])),
             vec_col=vec_col, seed_col=seed_col,
+        )
+        if len(new_ids) >= 2:
+            splits[cell] = new_ids
+        else:
+            # degenerate: every row landed in one subcell (duplicate /
+            # near-identical vectors) — hint the RENAMED cell so the
+            # next pass doesn't rewrite the same bytes again
+            unsplittable[cell] = new_ids[0]
+            no_split[new_ids[0]] = int(by_cell[cell]["n"])
+    if unsplittable or stale:
+        _update_index_meta(
+            path, no_split={str(c): n for c, n in no_split.items()}
         )
     compacted = compact_ivf_cells(spark, path, min_files=compact_min_files)
     import glob
@@ -411,7 +451,11 @@ def ivf_maintain(
         "recovered": recovered,
         "planned": sorted(planned),
         "split": {int(c): ids for c, ids in splits.items()},
-        "deferred": sorted(planned - set(splits)),
+        "unsplittable": {int(c): nid for c, nid in unsplittable.items()},
+        "skipped_no_split": skipped,
+        "deferred": sorted(
+            planned - set(splits) - set(unsplittable)
+        ),
         "compacted": compacted,
         "n_cells": n_cells,
     }

@@ -172,12 +172,30 @@ def banded_candidate_pairs(
                 F.col("_n").cast("long") * (F.col("_n") - 1) / 2,
             ).otherwise(F.lit(0))
         ).alias("small_pairs"),
+        F.sum(
+            F.when(F.col("_n") > bucket_cap, 1).otherwise(0)
+        ).alias("n_hot"),
     ).first()
     est_small = int(est_row["small_pairs"] or 0)
+    n_hot = int(est_row["n_hot"] or 0)
+    if n_hot > 100_000:
+        # more oversized keys than the salted path's driver-side
+        # enumeration can hold: NOTHING may be dropped, so the whole
+        # table routes through one plain equi-join (complete by
+        # construction; per-key skew is AQE skew-join-split territory
+        # rather than manual salting at this key cardinality)
+        sizes.unpersist()
+        a = bands.select(F.col(id_col).alias("id1"), "band", "band_key")
+        b = bands.select(F.col(id_col).alias("id2"), "band", "band_key")
+        return (
+            a.join(b, ["band", "band_key"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+            .distinct()
+        )
     hot_rows = (
         sizes.filter(F.col("_n") > bucket_cap)
         .select("band", "band_key", "_n")
-        .limit(100_000)
         .collect()
     )
     sizes.unpersist()

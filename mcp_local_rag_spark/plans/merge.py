@@ -210,7 +210,13 @@ def repair_current(table_path: str) -> int | None:
         versions = list_versions(table_path)
         if not versions:
             return advanced
-        cur = current_version(table_path)
+        try:
+            cur = current_version(table_path)
+        except FileNotFoundError:
+            # a table whose FIRST commit was transactional and whose
+            # coordinator died before the flip has manifests but no
+            # CURRENT yet — healable like any other unflipped commit
+            cur = 0
         newest = versions[-1]
         if newest <= cur:
             return advanced
@@ -232,16 +238,19 @@ def repair_current(table_path: str) -> int | None:
             if active is not None and active["id"] == txn_info["id"]:
                 # our own prepared write — not adoptable, not abortable
                 return advanced
-            from .txn import resolve_txn
+            from .txn import resolve_txn, unlink_if_marked
 
             rec = resolve_txn(txn_info)
             if rec["state"] != "commit":
                 # aborted (or in-flight, now aborted by us): free the
-                # version number and re-evaluate what is newest
-                try:
-                    os.unlink(_snap_path(table_path, newest))
-                except FileNotFoundError:
-                    pass
+                # version number and re-evaluate what is newest. The
+                # unlink RE-CHECKS the marker under the current file
+                # state — between our read and now, another repairer may
+                # have freed the number and a writer legitimately reused
+                # it; deleting that foreign commit would lose it.
+                unlink_if_marked(
+                    _snap_path(table_path, newest), txn_info["id"]
+                )
                 continue
         _flip_current(table_path, newest)
         advanced = newest

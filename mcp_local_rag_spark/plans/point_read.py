@@ -231,23 +231,15 @@ class SecondaryReader:
         self._source.invalidate()
 
     def _check_fresh(self) -> None:
-        """Same freshness contract as the in-plan lookup (plans/secondary.
-        _check_fresh): a lagging index silently MISSES rows, so a serving
-        read against a stale index raises unless the caller opted into
-        as-of-the-cursor semantics. Driver-local metadata only — the
-        index's recorded changefeed cursor vs the source's CURRENT
-        pointer (two tiny JSON reads, no caching: freshness must see the
+        """THE freshness contract — plans/secondary._check_fresh itself,
+        not a serving-side copy: a lagging index silently MISSES rows,
+        so a serving read against a stale index raises unless the caller
+        opted into as-of-the-cursor semantics. Driver-local metadata
+        only (two tiny JSON reads, uncached: freshness must see the
         latest commit)."""
-        from .changefeed import _cursor_state
+        from .secondary import _check_fresh
 
-        cursor, _pending = _cursor_state(self._index_path)
-        cur = current_version(self._src)
-        if cursor is None or cursor < cur:
-            raise ValueError(
-                f"index {self._index_path} is stale (cursor {cursor} < "
-                f"source version {cur}); run sync_secondary_index, or "
-                "pass stale_ok=True to read as of the index's cursor"
-            )
+        _check_fresh(self._index_path, self._src)
 
     def _resolve_versions(
         self, stale_ok: bool, at_source_version: int | None

@@ -114,24 +114,33 @@ def _write_intent(txn: dict) -> None:
     os.replace(tmp, _intent_path(txn["log"], txn["id"]))
 
 
+def unlink_if_marked(manifest_path: str, txn_id: str) -> bool:
+    """Unlink ``manifest_path`` ONLY if it still carries ``txn_id``'s
+    marker — the one shared guard for every abort-cleanup site
+    (coordinator rollback, recovery sweep, repair_current): between
+    deciding to free a version number and unlinking it, another repairer
+    may already have freed it and a writer legitimately reused it for
+    its own commit, which must never be deleted."""
+    try:
+        with open(manifest_path) as f:
+            m = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return False
+    if (m.get("txn") or {}).get("id") != txn_id:
+        return False
+    try:
+        os.unlink(manifest_path)
+    except FileNotFoundError:
+        return False
+    return True
+
+
 def _cleanup_prepared(prepared: dict[str, list[int]], txn_id: str) -> None:
-    """Unlink the txn's prepared manifests — ONLY those still carrying
-    its marker: a concurrent writer that aborted us may already have
-    freed a version number and legitimately reused it for its own
-    commit, which must not be deleted."""
+    """Unlink the txn's prepared manifests (marker-checked, see
+    unlink_if_marked)."""
     for table, versions in prepared.items():
         for v in versions:
-            p = _snap_path(table, v)
-            try:
-                with open(p) as f:
-                    m = json.load(f)
-            except (FileNotFoundError, json.JSONDecodeError):
-                continue
-            if (m.get("txn") or {}).get("id") == txn_id:
-                try:
-                    os.unlink(p)
-                except FileNotFoundError:
-                    pass
+            unlink_if_marked(_snap_path(table, int(v)), txn_id)
 
 
 def resolve_txn(txn_info: dict, *, abort_inflight: bool = True) -> dict:
@@ -230,22 +239,7 @@ def recover_txns(log_dir: str) -> dict:
                 _flip_current(t, int(v))
             committed.append(txn_id)
         else:
-            # unlink ONLY manifests still carrying this txn's marker —
-            # an aborted txn's version number may have been legitimately
-            # reused by a later writer after repair_current freed it
-            for table, versions in intent["prepared"].items():
-                for v in versions:
-                    p = _snap_path(table, int(v))
-                    try:
-                        with open(p) as f:
-                            m = json.load(f)
-                    except (FileNotFoundError, json.JSONDecodeError):
-                        continue
-                    if (m.get("txn") or {}).get("id") == txn_id:
-                        try:
-                            os.unlink(p)
-                        except FileNotFoundError:
-                            pass
+            _cleanup_prepared(intent["prepared"], txn_id)
             aborted.append(txn_id)
         try:
             os.unlink(os.path.join(log_dir, name))

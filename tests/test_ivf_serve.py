@@ -664,3 +664,55 @@ def test_split_ivf_cell_crash_after_commit_rolls_forward(
     assert ai.read_ivf_cells(spark, path).count() == 40  # dups reclaimed
     stats = {r["cell"]: r for r in ai.ivf_cell_stats(spark, path).collect()}
     assert set(stats) == {1, 2, 3}
+
+
+def test_ivf_maintain_unsplittable_cell_converges(spark, tmp_path):
+    """A duplicate-heavy overfull cell cannot be split (Lloyd collapses
+    to one subcell): ivf_maintain records it UNSPLITTABLE with a
+    persisted no-split hint, the next pass skips it (no rewrite loop),
+    and the hint expires once the cell's population changes materially."""
+    from mcp_local_rag_spark.plans.ann_index import (
+        append_to_ivf_index,
+        ivf_maintain,
+        read_index_meta,
+        write_ivf_index,
+    )
+
+    rows = [(i, [1.0, 2.0, 3.0], 0) for i in range(8)]  # duplicates
+    rows += [(100 + i, [0.0, 5.0 + 0.001 * i, 1.0], 1) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int"
+    )
+    path = str(tmp_path / "nosplit_idx")
+    write_ivf_index(df, path, sort_cols=("vec_id",))
+
+    r1 = ivf_maintain(
+        spark, path, split_fill_ratio=1.2, seed_col="vec_id"
+    )
+    assert r1["planned"] == [0] and r1["split"] == {}
+    assert list(r1["unsplittable"]) == [0]
+    renamed = r1["unsplittable"][0]
+    assert read_index_meta(path)["no_split"] == {str(renamed): 8}
+
+    # second pass: the hinted cell is SKIPPED — no rewrite loop
+    r2 = ivf_maintain(
+        spark, path, split_fill_ratio=1.2, seed_col="vec_id"
+    )
+    assert r2["planned"] == [] and r2["skipped_no_split"] == [renamed]
+    assert r2["split"] == {} and r2["unsplittable"] == {}
+
+    # population changes materially -> hint expires, cell re-planned
+    more = spark.createDataFrame(
+        [(50 + i, [1.0, 2.0, 3.0], renamed) for i in range(4)],
+        "vec_id long, embedding array<double>, cell int",
+    )
+    append_to_ivf_index(more, path, sort_cols=("vec_id",))
+    r3 = ivf_maintain(
+        spark, path, split_fill_ratio=1.2, seed_col="vec_id"
+    )
+    assert renamed in r3["planned"]
+    assert r3["skipped_no_split"] == []
+    # still duplicates: degenerates again, and the FRESH hint lands
+    assert list(r3["unsplittable"]) == [renamed]
+    new_renamed = r3["unsplittable"][renamed]
+    assert read_index_meta(path)["no_split"] == {str(new_renamed): 12}

@@ -582,3 +582,53 @@ def test_table_maintain_one_pass(spark, tmp_path):
     assert v == current_version(src)
     got = {r["k"] for r in lookup_by(spark, idx, "s").collect()}
     assert got == {0, 1, 2}
+
+
+def test_repair_heals_first_commit_inside_txn(spark, tmp_path, monkeypatch):
+    """A table whose FIRST-EVER commit was transactional, with the
+    coordinator dying after the record but before the flip: there is no
+    CURRENT file yet — repair_current must still roll forward instead of
+    raising FileNotFoundError."""
+    from mcp_local_rag_spark.plans.merge import create_merge_table
+
+    path = str(tmp_path / "firsttxn")
+    log = str(tmp_path / "txlog")
+    monkeypatch.setattr(
+        txn_mod, "_flip_current",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("dead")),
+    )
+    with pytest.raises(RuntimeError, match="dead"):
+        with transaction(log):
+            create_merge_table(
+                spark.range(10).selectExpr("id as k", "id*2 as v"),
+                path, "k", n_buckets=2,
+            )
+    monkeypatch.undo()
+    assert not os.path.exists(os.path.join(path, "_snapshots", "CURRENT"))
+    assert repair_current(path) == 1
+    assert current_version(path) == 1
+    assert read_snapshot(spark, path).count() == 10
+
+
+def test_unlink_if_marked_never_deletes_foreign_manifest(tmp_path):
+    """The one shared abort-cleanup guard: a manifest that no longer
+    carries the aborting txn's marker (the version number was freed and
+    legitimately reused) is left alone."""
+    import json
+
+    from mcp_local_rag_spark.plans.txn import unlink_if_marked
+
+    p = str(tmp_path / "v00000005.json")
+    with open(p, "w") as f:
+        json.dump({"version": 5, "txn": {"id": "AAA", "log": "x"}}, f)
+    assert not unlink_if_marked(p, "BBB")  # foreign txn: untouched
+    assert os.path.exists(p)
+    with open(p, "w") as f:
+        json.dump({"version": 5}, f)  # reused by a PLAIN commit
+    assert not unlink_if_marked(p, "AAA")
+    assert os.path.exists(p)
+    with open(p, "w") as f:
+        json.dump({"version": 5, "txn": {"id": "AAA", "log": "x"}}, f)
+    assert unlink_if_marked(p, "AAA")  # ours: freed
+    assert not os.path.exists(p)
+    assert not unlink_if_marked(p, "AAA")  # idempotent on missing
