@@ -1252,3 +1252,89 @@ def q_documents_table_maintain(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# AS-OF secondary lookups as a driver-visible gate (round 12): the lane
+# answers one value at CURRENT and a batch AS-OF the pre-merge version —
+# through the index both times — and the union must hash-match the flat
+# two-state derivation. Pins the cursor-matched time travel the pytest
+# lanes already cover, but under the external oracle.
+
+
+def _asof_docs_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import shutil
+
+    from ..plans.changefeed import _cursor_state, load_view_spec
+    from ..plans.merge import create_merge_table, merge_into
+    from ..plans.secondary import (
+        create_secondary_index,
+        sync_secondary_index,
+    )
+
+    src = _scratch_path(sf_dir, "asof_docs", tables=("documents",))
+    idx = _scratch_path(sf_dir, "asof_docs_idx", tables=("documents",))
+    try:
+        cursor, _pending = _cursor_state(idx)
+        if "secondary" not in load_view_spec(idx):
+            cursor = None
+    except (OSError, ValueError):
+        cursor = None
+    if cursor is not None and cursor >= 2:
+        return idx, src
+    for p in (src, idx):
+        shutil.rmtree(p, ignore_errors=True)
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    create_merge_table(base, src, "doc_id", n_buckets=8)
+    create_secondary_index(spark, src, idx, "lang", n_buckets=8)
+    moved = base.filter(F.col("doc_id") % 9 == 5).select(
+        "doc_id", F.lit("zz").alias("lang"), "n_chars",
+        F.lit(False).alias("is_delete"),
+    )
+    merge_into(spark, src, moved, delete_col="is_delete")
+    sync_secondary_index(spark, idx)
+    return idx, src
+
+
+@register(
+    "documents_secondary_asof",
+    """WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 5 THEN 'zz' ELSE lang END AS lang,
+         n_chars
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'asof_en' AS tag, count(*)::BIGINT AS n_docs,
+         sum(doc_id * 17 + n_chars)::BIGINT AS checksum
+  FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT 'now_zz' AS tag, count(*)::BIGINT AS n_docs,
+         sum(doc_id * 17 + n_chars)::BIGINT AS checksum
+  FROM v2 WHERE lang = 'zz'
+) ORDER BY tag""",
+)
+def q_documents_secondary_asof(spark, sf_dir):
+    from ..plans.secondary import lookup_by, lookup_by_many
+
+    idx, src = _asof_docs_index(spark, sf_dir)
+
+    def audit(df, tag):
+        return df.agg(
+            F.lit(tag).alias("tag"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("doc_id") * 17 + F.col("n_chars"))
+            .cast("long")
+            .alias("checksum"),
+        )
+
+    now = audit(lookup_by(spark, idx, "zz", source_table=src), "now_zz")
+    asof = audit(
+        lookup_by_many(
+            spark, idx, ["en"], at_source_version=1, source_table=src
+        ),
+        "asof_en",
+    )
+    return asof.unionByName(now).orderBy("tag")
