@@ -119,6 +119,19 @@ def write_band_index(
     )
 
 
+def _equi_join_pairs(src: DataFrame, id_col: str) -> DataFrame:
+    """The ONE pair-expansion join shape (id1 < id2 over (band,
+    band_key)) — shared by the high-volume route and the
+    beyond-enumeration fallback so the routes can never desynchronize."""
+    a = src.select(F.col(id_col).alias("id1"), "band", "band_key")
+    b = src.select(F.col(id_col).alias("id2"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
+
+
 def banded_candidate_pairs(
     spark: SparkSession,
     path: str,
@@ -126,6 +139,7 @@ def banded_candidate_pairs(
     id_col: str = "doc_id",
     bucket_cap: int = 128,
     pair_volume_cap: int = 2_000_000,
+    hot_enum_cap: int = 100_000,
 ) -> DataFrame:
     """Distinct candidate pairs (id1 < id2) from the persisted band
     index. A cheap COUNT aggregate over the band table (map-side
@@ -178,21 +192,16 @@ def banded_candidate_pairs(
     ).first()
     est_small = int(est_row["small_pairs"] or 0)
     n_hot = int(est_row["n_hot"] or 0)
-    if n_hot > 100_000:
+    if n_hot > hot_enum_cap:
         # more oversized keys than the salted path's driver-side
-        # enumeration can hold: NOTHING may be dropped, so the whole
-        # table routes through one plain equi-join (complete by
-        # construction; per-key skew is AQE skew-join-split territory
-        # rather than manual salting at this key cardinality)
+        # enumeration can hold (``hot_enum_cap``, parameterized so the
+        # route-parity fuzz can drive this branch): NOTHING may be
+        # dropped, so the whole table routes through one plain
+        # equi-join (complete by construction; per-key skew is AQE
+        # skew-join-split territory rather than manual salting at this
+        # key cardinality)
         sizes.unpersist()
-        a = bands.select(F.col(id_col).alias("id1"), "band", "band_key")
-        b = bands.select(F.col(id_col).alias("id2"), "band", "band_key")
-        return (
-            a.join(b, ["band", "band_key"])
-            .filter(F.col("id1") < F.col("id2"))
-            .select("id1", "id2")
-            .distinct()
-        )
+        return _equi_join_pairs(bands, id_col).distinct()
     hot_rows = (
         sizes.filter(F.col("_n") > bucket_cap)
         .select("band", "band_key", "_n")
@@ -218,13 +227,7 @@ def banded_candidate_pairs(
             small_src = bands.join(
                 hot_keys, ["band", "band_key"], "left_anti"
             )
-        a = small_src.select(F.col(id_col).alias("id1"), "band", "band_key")
-        b = small_src.select(F.col(id_col).alias("id2"), "band", "band_key")
-        small_pairs = (
-            a.join(b, ["band", "band_key"])
-            .filter(F.col("id1") < F.col("id2"))
-            .select("id1", "id2")
-        )
+        small_pairs = _equi_join_pairs(small_src, id_col)
     else:
         # LOW volume (incremental batches, typical corpora): ONE grouped
         # collect_list + JVM higher-order pair expansion — exactly one

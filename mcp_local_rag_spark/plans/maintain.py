@@ -35,7 +35,12 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from .merge import compact_snapshots, repair_current, vacuum
+from .merge import (
+    ConcurrentCommitError,
+    compact_snapshots,
+    repair_current,
+    vacuum,
+)
 
 
 def table_maintain(
@@ -59,9 +64,20 @@ def table_maintain(
         from .txn import recover_txns
 
         recovered = recover_txns(txn_log)
-    compacted = compact_snapshots(
-        spark, table_path, max_dirs=compact_max_dirs
-    )
+    # a live writer racing the maintenance window may win compaction's
+    # version number — re-derive and retry like merge_into does, and if
+    # the table is THAT busy, skip compaction this cycle rather than
+    # aborting the pass before vacuum (cron-safety: the rest of the
+    # pass must still run)
+    compacted = None
+    for _ in range(3):
+        try:
+            compacted = compact_snapshots(
+                spark, table_path, max_dirs=compact_max_dirs
+            )
+            break
+        except ConcurrentCommitError:
+            repair_current(table_path)
     removed = vacuum(
         table_path,
         keep_versions=vacuum_keep_versions,

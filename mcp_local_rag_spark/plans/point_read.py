@@ -243,12 +243,14 @@ class SecondaryReader:
 
     def _resolve_versions(
         self, stale_ok: bool, at_source_version: int | None
-    ) -> tuple[int | None, int | None]:
-        """(index version, source version) for one serving lookup. AS-OF
-        resolves the index version by its recorded changefeed cursor —
-        the same metadata-only walk as plans/secondary (manifest JSON
-        reads, no Spark); otherwise freshness is enforced and both sides
-        read CURRENT."""
+    ) -> tuple[int, int]:
+        """(index version, source version) for one serving lookup —
+        PINNED up front in every mode (plans/secondary's
+        _resolve_idx_version contract): a commit landing mid-lookup must
+        never make the freshness check, the posting read, and the source
+        read see three different instants. AS-OF resolves the index
+        version by its recorded changefeed cursor — the same
+        metadata-only walk as the in-plan lanes."""
         if at_source_version is not None:
             from .secondary import _index_version_for_source
 
@@ -260,7 +262,10 @@ class SecondaryReader:
             )
         if not stale_ok:
             self._check_fresh()
-        return None, None
+        return (
+            current_version(self._index_path),
+            current_version(self._src),
+        )
 
     def lookup_by(
         self,

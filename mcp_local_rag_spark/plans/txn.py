@@ -120,18 +120,38 @@ def unlink_if_marked(manifest_path: str, txn_id: str) -> bool:
     (coordinator rollback, recovery sweep, repair_current): between
     deciding to free a version number and unlinking it, another repairer
     may already have freed it and a writer legitimately reused it for
-    its own commit, which must never be deleted."""
+    its own commit, which must never be deleted.
+
+    A plain check-then-unlink would leave a check-to-unlink window in
+    which that reuse could still be lost, so the removal is a CLAIM:
+    an atomic rename to a hidden name (exactly one claimer can win;
+    everyone else gets FileNotFoundError and stands down), then the
+    claimed bytes are inspected — ours is unlinked, a foreign commit is
+    renamed straight back (the restore window is a few microseconds of
+    local file ops, and entering it at all requires the reuse to land
+    inside the claim gap)."""
+    claim = f"{manifest_path}.claim.{uuid.uuid4().hex[:8]}"
     try:
-        with open(manifest_path) as f:
-            m = json.load(f)
-    except (FileNotFoundError, json.JSONDecodeError):
-        return False
-    if (m.get("txn") or {}).get("id") != txn_id:
-        return False
-    try:
-        os.unlink(manifest_path)
+        os.rename(manifest_path, claim)
     except FileNotFoundError:
         return False
+    try:
+        with open(claim) as f:
+            m = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        m = {}
+    if (m.get("txn") or {}).get("id") != txn_id:
+        # foreign: restore via link (never clobbers a commit that
+        # retook the name while claimed; in that pathological case the
+        # claimed bytes stay on disk as a .claim.* orphan instead of
+        # being lost)
+        try:
+            os.link(claim, manifest_path)
+        except FileExistsError:
+            return False
+        os.unlink(claim)
+        return False
+    os.unlink(claim)
     return True
 
 

@@ -359,3 +359,13 @@ def test_banded_routes_agree_on_random_corpora(spark, tmp_path):
                     ).collect()
                 }
                 assert got == want, (seed, cap, pv_cap)
+        # the beyond-enumeration FALLBACK (more oversized keys than the
+        # salted path can hold driver-side): hot_enum_cap=0 forces the
+        # complete whole-table equi-join route — same pair set
+        got = {
+            (r.id1, r.id2)
+            for r in banded_candidate_pairs(
+                spark, path, bucket_cap=3, hot_enum_cap=0
+            ).collect()
+        }
+        assert got == want, (seed, "fallback")
