@@ -239,6 +239,14 @@ def _parser() -> argparse.ArgumentParser:
         "log (committed -> flip CURRENTs, in-flight/aborted -> clean up)",
     )
     txr.add_argument("log", help="transaction log directory")
+    txr.add_argument(
+        "--grace", type=float, default=0.0,
+        help="leave undecided txns younger than this many seconds alone "
+        "(0 = presume every undecided coordinator dead)")
+    txr.add_argument(
+        "--record-retention", type=float, default=None,
+        help="prune final txn records older than this many seconds once "
+        "nothing can still need them (default: keep forever)")
 
     im = sub.add_parser(
         "ivf-maintain",
@@ -523,7 +531,11 @@ def run(argv: list[str], engine, out=None) -> int:
     if args.cmd == "txn-recover":
         from .plans.txn import recover_txns
 
-        emit(recover_txns(os.path.abspath(args.log)))
+        emit(recover_txns(
+            os.path.abspath(args.log),
+            grace_seconds=args.grace,
+            record_retention_seconds=args.record_retention,
+        ))
         return 0
     if args.cmd == "ivf-maintain":
         from .plans.ann_index import ivf_maintain

@@ -19,12 +19,68 @@ from __future__ import annotations
 
 import json
 import os
+import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 META_FILE = "_ann_meta.json"
 CENTROIDS_FILE = "_centroids.parquet"
+MAINT_LOCK_FILE = "._ivf_maint.lock"
+
+_MAINT_LOCAL = threading.local()
+
+
+@contextmanager
+def _maintenance_lock(path: str):
+    """Serialize IVF maintenance per index: every verb that can observe
+    or resolve a split marker takes an exclusive flock on
+    ``._ivf_maint.lock`` for its whole critical section. Without it, a
+    second maintenance pass (or a stats probe) overlapping a LIVE split
+    would see the in-flight marker, "recover" it by rmtree-ing the
+    half-written subcell dirs, and the live split would then commit a
+    sidecar missing those rows — permanent loss. Under the lock, a
+    marker observed on entry can only belong to a CRASHED split, so
+    recovery needs no grace heuristics. Reentrant within a thread
+    (ivf_maintain -> split_ivf_cell -> recover_ivf_splits); concurrent
+    threads and processes queue on the flock."""
+    import fcntl
+
+    key = os.path.realpath(path)
+    held = getattr(_MAINT_LOCAL, "held", None)
+    if held is None:
+        held = _MAINT_LOCAL.held = set()
+    if key in held:
+        yield
+        return
+    fd = os.open(os.path.join(path, MAINT_LOCK_FILE), os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        held.add(key)
+        try:
+            yield
+        finally:
+            held.discard(key)
+    finally:
+        os.close(fd)
+
+
+def _with_maintenance_lock(fn):
+    """Run ``fn`` under the index's maintenance flock (the ``path``
+    argument names the index)."""
+    import functools
+    import inspect
+
+    sig = inspect.signature(fn)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        bound = sig.bind(*args, **kwargs)
+        with _maintenance_lock(bound.arguments["path"]):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def write_ivf_index(
@@ -163,6 +219,7 @@ def append_to_ivf_index(
     _write_centroids(merged, path)
 
 
+@_with_maintenance_lock
 def compact_ivf_cells(
     spark: SparkSession,
     path: str,
@@ -283,6 +340,7 @@ def build_chunks_ivf(
     return int(n_cells)
 
 
+@_with_maintenance_lock
 def ivf_cell_stats(
     spark: SparkSession, path: str, *, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -350,6 +408,7 @@ def ivf_maintenance_plan(
     return sorted(out)
 
 
+@_with_maintenance_lock
 def ivf_maintain(
     spark: SparkSession,
     path: str,
@@ -465,6 +524,7 @@ def _split_marker_path(path: str, cell: int) -> str:
     return os.path.join(path, f"._split_{cell}.json")
 
 
+@_with_maintenance_lock
 def recover_ivf_splits(path: str) -> list[int]:
     """Finish or undo splits that crashed mid-flight. A split's marker
     records (cell, new_ids); the centroid sidecar update is the COMMIT
@@ -508,6 +568,7 @@ def recover_ivf_splits(path: str) -> list[int]:
     return resolved
 
 
+@_with_maintenance_lock
 def split_ivf_cell(
     spark: SparkSession,
     path: str,
@@ -669,6 +730,16 @@ def split_ivf_cell(
         .sort_values("cell")
         .reset_index(drop=True)
     )
+    # belt-and-braces under the maintenance flock: if the marker is gone
+    # somebody resolved this split out from under us (only possible if a
+    # caller bypassed the lock) — committing now would publish a sidecar
+    # whose subcell dirs a recovery already rmtree'd
+    if not os.path.exists(marker):
+        raise RuntimeError(
+            f"split marker for cell {cell} vanished before the sidecar "
+            "commit — a concurrent recovery resolved this split; "
+            "aborting without committing"
+        )
     _write_centroids(merged, path)
     shutil.rmtree(cell_dir)
     os.remove(marker)

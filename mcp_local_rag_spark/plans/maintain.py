@@ -48,6 +48,8 @@ def table_maintain(
     table_path: str,
     *,
     txn_log: str | None = None,
+    txn_grace_seconds: float = 600.0,
+    txn_record_retention_seconds: float | None = 86_400.0,
     compact_max_dirs: int = 1,
     vacuum_keep_versions: int = 2,
     vacuum_grace_seconds: float = 600.0,
@@ -63,7 +65,15 @@ def table_maintain(
     if txn_log is not None:
         from .txn import recover_txns
 
-        recovered = recover_txns(txn_log)
+        # cron-safety: a sweep firing during a LIVE ingest's prepare
+        # window must not abort a healthy coordinator — only txns whose
+        # intent has aged past the grace window are presumed dead
+        # (explicit `txn-recover` keeps grace 0 for operator use)
+        recovered = recover_txns(
+            txn_log,
+            grace_seconds=txn_grace_seconds,
+            record_retention_seconds=txn_record_retention_seconds,
+        )
     # a live writer racing the maintenance window may win compaction's
     # version number — re-derive and retry like merge_into does, and if
     # the table is THAT busy, skip compaction this cycle rather than

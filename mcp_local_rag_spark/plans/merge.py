@@ -105,18 +105,37 @@ def _flip_current(table_path: str, version: int) -> bool:
     """Advance the CURRENT pointer to ``version`` (tmp+rename, atomic on
     POSIX). MONOTONIC: a stale flip — a recovery racing a writer that
     already committed further — is a no-op, so replaying a transaction's
-    roll-forward can never move a table backwards."""
+    roll-forward can never move a table backwards.
+
+    Flips are serialized per table with an exclusive flock on
+    ``.CURRENT.lock`` so the monotonic check and the rename are one
+    atomic step (a plain check-then-replace would let a txn replay pass
+    the ``>= version`` check before a live writer's newer flip lands,
+    then move CURRENT backwards), and each flipper writes a
+    uuid-unique tmp so two concurrent flips can never tear or steal
+    each other's tmp file."""
+    import fcntl
+
     snap_dir = os.path.join(table_path, _SNAP_DIR)
+    fd = os.open(
+        os.path.join(snap_dir, ".CURRENT.lock"), os.O_CREAT | os.O_RDWR, 0o644
+    )
     try:
-        if _current_raw(table_path) >= version:
-            return False
-    except FileNotFoundError:
-        pass
-    tmp = os.path.join(snap_dir, ".CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(snap_dir, "CURRENT"))
-    return True
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        try:
+            if _current_raw(table_path) >= version:
+                return False
+        except FileNotFoundError:
+            pass
+        tmp = os.path.join(snap_dir, f".CURRENT.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(snap_dir, "CURRENT"))
+        return True
+    finally:
+        os.close(fd)
 
 
 def list_versions(table_path: str) -> list[int]:
@@ -1346,7 +1365,11 @@ def vacuum(
     snap_dir = os.path.join(table_path, _SNAP_DIR)
     for name in os.listdir(snap_dir):
         full = os.path.join(snap_dir, name)
-        if name.startswith(".v") and name.endswith(".tmp") and not _young(full):
+        if (
+            (name.startswith(".v") or name.startswith(".CURRENT."))
+            and name.endswith(".tmp")
+            and not _young(full)
+        ):
             try:
                 os.unlink(full)
             except OSError:

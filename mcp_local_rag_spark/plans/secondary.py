@@ -48,6 +48,8 @@ table; driver memory is bounded by min(|pks|, inlist_cap) + S counters.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -166,11 +168,34 @@ def _index_version_for_source(index_path: str, source_version: int) -> int:
     ``source_version`` — the time-travel join point between the two
     tables' histories (metadata-only: walks the index's manifests)."""
     from .changefeed import _cursor_state
-    from .merge import list_versions
+    from .merge import _current_raw, list_versions, read_manifest
 
+    # versions <= the committed CURRENT are committed by the monotonic
+    # flip invariant; anything above may be a PREPARED manifest of an
+    # in-flight transaction (published, CURRENT not flipped) — resolving
+    # to one would read uncommitted data that may later abort, so those
+    # are skipped unless their txn record says commit. A manifest
+    # unlinked by a concurrent abort mid-walk is tolerated and skipped.
+    try:
+        committed = _current_raw(index_path)
+    except FileNotFoundError:
+        committed = 0
     seen = []
     for iv in reversed(list_versions(index_path)):
-        cursor, pending = _cursor_state(index_path, iv)
+        if iv > committed:
+            try:
+                txn_info = read_manifest(index_path, iv).get("txn")
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            if txn_info is not None:
+                from .txn import resolve_txn
+
+                if resolve_txn(txn_info, abort_inflight=False)["state"] != "commit":
+                    continue
+        try:
+            cursor, pending = _cursor_state(index_path, iv)
+        except FileNotFoundError:
+            continue
         if cursor == source_version and pending is None:
             return iv
         seen.append((iv, cursor))

@@ -236,24 +236,68 @@ def _remove_intent(txn: dict) -> None:
         pass
 
 
-def recover_txns(log_dir: str) -> dict:
+def recover_txns(
+    log_dir: str,
+    *,
+    grace_seconds: float = 0.0,
+    record_retention_seconds: float | None = None,
+) -> dict:
     """One sweep finishing every transaction the log knows about:
     committed ones roll forward (flip any CURRENT the coordinator did
-    not live to flip), aborted and in-flight ones roll back (prepared
-    manifests unlinked; in-flight ones are aborted first — their
-    coordinator is presumed dead, which is this sweep's contract).
-    Idempotent; returns {"committed": [...], "aborted": [...]}."""
+    not live to flip), decided-aborted ones roll back, and UNDECIDED
+    in-flight ones are aborted only once their intent is older than
+    ``grace_seconds`` — a sweep fired from cron during a live ingest's
+    prepare window must not kill a healthy coordinator (the same
+    age-based liveness heuristic as vacuum's grace window; younger
+    undecided txns are reported as "deferred" and left alone).
+    ``grace_seconds=0`` keeps the original presumed-dead semantics for
+    explicit operator invocation.
+
+    ``record_retention_seconds`` bounds the log directory: a FINAL
+    record (<txn_id>.json) older than the retention with no surviving
+    intent is pruned once nothing can still need it — for commits, every
+    participant table's CURRENT has advanced to (or past) the recorded
+    version, so no manifest above CURRENT still resolves through it; an
+    abort record is re-derivable (any racer re-publishes one), so age +
+    no-intent suffices. Idempotent; returns
+    {"committed": [...], "aborted": [...], "deferred": [...],
+    "pruned_records": N}."""
+    import time
+
     committed: list[str] = []
     aborted: list[str] = []
+    deferred: list[str] = []
+    pruned = 0
     if not os.path.isdir(log_dir):
-        return {"committed": committed, "aborted": aborted}
+        return {
+            "committed": committed,
+            "aborted": aborted,
+            "deferred": deferred,
+            "pruned_records": pruned,
+        }
+    now = time.time()
+    live_intents: set[str] = set()
     for name in sorted(os.listdir(log_dir)):
         if not name.endswith(".intent.json") or name.startswith("."):
             continue
-        with open(os.path.join(log_dir, name)) as f:
-            intent = json.load(f)
+        path = os.path.join(log_dir, name)
+        try:
+            with open(path) as f:
+                intent = json.load(f)
+        except FileNotFoundError:
+            continue
         txn_id = intent["id"]
-        rec = resolve_txn({"log": log_dir, "id": txn_id})
+        rec = resolve_txn({"log": log_dir, "id": txn_id}, abort_inflight=False)
+        if rec["state"] == "inflight":
+            try:
+                age = now - os.path.getmtime(path)
+            except FileNotFoundError:
+                continue
+            if age < grace_seconds:
+                deferred.append(txn_id)
+                live_intents.add(txn_id)
+                continue
+            rec = resolve_txn({"log": log_dir, "id": txn_id})
         if rec["state"] == "commit":
             for t, v in sorted(rec["tables"].items()):
                 _flip_current(t, int(v))
@@ -262,7 +306,49 @@ def recover_txns(log_dir: str) -> dict:
             _cleanup_prepared(intent["prepared"], txn_id)
             aborted.append(txn_id)
         try:
-            os.unlink(os.path.join(log_dir, name))
+            os.unlink(path)
         except FileNotFoundError:
             pass
-    return {"committed": committed, "aborted": aborted}
+    if record_retention_seconds is not None:
+        for name in sorted(os.listdir(log_dir)):
+            if (
+                not name.endswith(".json")
+                or name.endswith(".intent.json")
+                or name.startswith(".")
+            ):
+                continue
+            path = os.path.join(log_dir, name)
+            try:
+                if now - os.path.getmtime(path) < record_retention_seconds:
+                    continue
+                with open(path) as f:
+                    rec = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            if rec.get("id") in live_intents or os.path.exists(
+                _intent_path(log_dir, rec.get("id", ""))
+            ):
+                continue
+            if rec.get("state") == "commit":
+                from .merge import _current_raw
+
+                try:
+                    flipped = all(
+                        _current_raw(t) >= int(v)
+                        for t, v in rec.get("tables", {}).items()
+                    )
+                except FileNotFoundError:
+                    flipped = False
+                if not flipped:
+                    continue
+            try:
+                os.unlink(path)
+                pruned += 1
+            except FileNotFoundError:
+                pass
+    return {
+        "committed": committed,
+        "aborted": aborted,
+        "deferred": deferred,
+        "pruned_records": pruned,
+    }

@@ -716,3 +716,81 @@ def test_ivf_maintain_unsplittable_cell_converges(spark, tmp_path):
     assert list(r3["unsplittable"]) == [renamed]
     new_renamed = r3["unsplittable"][renamed]
     assert read_index_meta(path)["no_split"] == {str(new_renamed): 12}
+
+
+def test_maintenance_lock_blocks_concurrent_recovery(spark, tmp_path):
+    """Mutual exclusion across maintenance verbs (r12 ADVICE): a second
+    maintenance pass (or stats probe) overlapping a LIVE split must not
+    see the in-flight marker and "recover" it — that would rmtree the
+    half-written subcell dirs and the live split would commit a sidecar
+    missing those rows. Every verb takes the per-index flock, so the
+    overlapping recover_ivf_splits queues until the holder releases, by
+    which point the marker is gone."""
+    import json
+    import os
+    import threading
+
+    import mcp_local_rag_spark.plans.ann_index as ai
+
+    path = _two_blob_index(spark, tmp_path)
+    order = []
+    entered = threading.Event()
+    results = {}
+
+    def live_split_holder():
+        with ai._maintenance_lock(path):
+            with open(ai._split_marker_path(path, 0), "w") as f:
+                json.dump({"cell": 0, "new_ids": [98, 99]}, f)
+            entered.set()
+            time.sleep(0.6)  # the overlapping pass must wait this out
+            os.remove(ai._split_marker_path(path, 0))
+            order.append("holder_done")
+
+    def overlapping_recovery():
+        entered.wait()
+        results["resolved"] = ai.recover_ivf_splits(path)
+        order.append("recovery_done")
+
+    t1 = threading.Thread(target=live_split_holder)
+    t2 = threading.Thread(target=overlapping_recovery)
+    t1.start()
+    t2.start()
+    t1.join()
+    t2.join()
+    assert order == ["holder_done", "recovery_done"]
+    assert results["resolved"] == []  # the live marker was never stolen
+    assert read_ivf_cells(spark, path).count() == 40  # nothing rmtree'd
+
+
+def test_split_aborts_if_marker_vanishes_before_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Belt-and-braces under the flock: if something bypassed the lock
+    and resolved our marker mid-split, the sidecar commit must not
+    publish cells whose dirs a recovery already removed."""
+    import os
+
+    import mcp_local_rag_spark.plans.ann_index as ai
+
+    import pandas as pd
+
+    path = _two_blob_index(spark, tmp_path)
+    real_concat = pd.concat
+
+    def steal_then_concat(*a, **kw):
+        # runs while the split assembles the new sidecar rows — just
+        # before the pre-commit marker check
+        marker = ai._split_marker_path(path, 0)
+        if os.path.exists(marker):
+            os.remove(marker)  # a lock-bypassing rogue recovery
+        return real_concat(*a, **kw)
+
+    monkeypatch.setattr(pd, "concat", steal_then_concat)
+    with pytest.raises(RuntimeError, match="marker .* vanished"):
+        ai.split_ivf_cell(spark, path, 0, k=2, seed_col="vec_id")
+    monkeypatch.undo()
+    # sidecar untouched: cell 0 still present, no phantom subcells
+    import pyarrow.parquet as pq
+
+    cents = pq.read_table(os.path.join(path, ai.CENTROIDS_FILE)).to_pylist()
+    assert {int(r["cell"]) for r in cents} == {0, 1}

@@ -2845,3 +2845,66 @@ def test_savepoint_pins_and_survives_vacuum(spark, table, tmp_path):
     status = verify_savepoint(root, "run-2026-08")
     assert status[os.path.abspath(table)].startswith("missing")
     assert status[os.path.abspath(other)] == "ok"
+
+
+def test_as_of_lookup_skips_prepared_txn_manifests(spark, tmp_path):
+    """An AS-OF lookup racing an in-flight transaction must resolve to
+    the COMMITTED index version, never a PREPARED one (published
+    v{N}.json, CURRENT not flipped) — prepared data may abort, and the
+    txn contract says outside readers only ever see committed state.
+    Simulated by preparing a merge+sync inside a txn context that 'dies'
+    before its commit record, then looking up from outside."""
+    import os
+
+    from mcp_local_rag_spark.plans.merge import _ACTIVE_TXN
+    from mcp_local_rag_spark.plans.secondary import (
+        _index_version_for_source,
+        create_secondary_index,
+        lookup_by,
+        sync_secondary_index,
+    )
+    from mcp_local_rag_spark.plans.txn import _write_intent, recover_txns
+
+    src = str(tmp_path / "srcpx")
+    idx = str(tmp_path / "idxpx")
+    log = str(tmp_path / "txlogpx")
+    base = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("c")
+    )
+    create_merge_table(base, src, "k", n_buckets=4)
+    create_secondary_index(spark, src, idx, "c", n_buckets=4)
+    committed_iv = _index_version_for_source(idx, 1)
+
+    txn = {
+        "id": os.urandom(16).hex(),
+        "log": os.path.abspath(log),
+        "prepared": {},
+        "_on_prepare": _write_intent,
+    }
+    token = _ACTIVE_TXN.set(txn)
+    try:
+        merge_into(
+            spark, src,
+            spark.createDataFrame([Row(k=500, c="1", is_delete=False)]),
+            delete_col="is_delete",
+        )
+        sync_secondary_index(spark, idx)
+    finally:
+        _ACTIVE_TXN.reset(token)  # coordinator dies: no record, no abort
+
+    # prepared index manifests linger above CURRENT; the AS-OF walk must
+    # skip them and resolve source v2 to... nothing committed: v2 only
+    # exists as a prepared manifest, so it raises; v1 still resolves to
+    # the committed index version
+    assert _index_version_for_source(idx, 1) == committed_iv
+    with pytest.raises(ValueError, match="no index version"):
+        _index_version_for_source(idx, 2)
+    asof = {
+        r["k"] for r in lookup_by(spark, idx, "1", at_source_version=1).collect()
+    }
+    assert asof == {k for k in range(20) if k % 2 == 1}
+    assert 500 not in asof
+
+    # after recovery rolls the dead txn back, everything is clean
+    recover_txns(log)
+    assert _index_version_for_source(idx, 1) == committed_iv

@@ -173,7 +173,9 @@ def test_crash_between_record_and_flip_rolls_forward(
     assert current_version(idx) > v_idx0
     assert {r["k"] for r in lookup_by(spark, idx, "9").collect()} == {501}
     # idempotent: a second sweep is a no-op (intent consumed)
-    assert recover_txns(log) == {"committed": [], "aborted": []}
+    assert recover_txns(log) == {
+        "committed": [], "aborted": [], "deferred": [], "pruned_records": 0,
+    }
 
 
 def test_crash_between_record_and_flip_heals_lazily_too(
@@ -632,3 +634,162 @@ def test_unlink_if_marked_never_deletes_foreign_manifest(tmp_path):
     assert unlink_if_marked(p, "AAA")  # ours: freed
     assert not os.path.exists(p)
     assert not unlink_if_marked(p, "AAA")  # idempotent on missing
+
+
+def _simulate_dead_coordinator(spark, src, log):
+    """Prepare one merge inside a txn context, then 'die' — no record,
+    no abort. Returns the txn id."""
+    from mcp_local_rag_spark.plans.merge import _ACTIVE_TXN
+    from mcp_local_rag_spark.plans.txn import _write_intent
+
+    txn = {
+        "id": os.urandom(16).hex(),
+        "log": os.path.abspath(log),
+        "prepared": {},
+        "_on_prepare": _write_intent,
+    }
+    token = _ACTIVE_TXN.set(txn)
+    try:
+        merge_into(
+            spark, src,
+            _batch(spark, [Row(k=9999, grp="g", v=0, is_delete=False)]),
+            delete_col="is_delete",
+        )
+    finally:
+        _ACTIVE_TXN.reset(token)
+    return txn["id"]
+
+
+def test_recover_grace_window_defers_live_txn(spark, tmp_path):
+    """A cron sweep firing during a LIVE ingest's prepare window must not
+    abort a healthy coordinator: undecided txns younger than the grace
+    window are deferred untouched; once the intent ages past it they are
+    presumed dead and rolled back."""
+    import time
+
+    src, _idx = _mk(spark, tmp_path)
+    log = str(tmp_path / "txlog")
+    txn_id = _simulate_dead_coordinator(spark, src, log)
+
+    report = recover_txns(log, grace_seconds=300.0)
+    assert report["deferred"] == [txn_id]
+    assert report["aborted"] == [] and report["committed"] == []
+    # prepared manifest untouched, intent still there — the coordinator
+    # could still commit
+    assert list_versions(src) == [1, 2]
+    assert os.path.exists(os.path.join(log, f"{txn_id}.intent.json"))
+
+    old = time.time() - 3600
+    os.utime(os.path.join(log, f"{txn_id}.intent.json"), (old, old))
+    report = recover_txns(log, grace_seconds=300.0)
+    assert report["aborted"] == [txn_id]
+    assert list_versions(src) == [1]  # version number freed
+
+
+def test_record_retention_prunes_only_safe_records(spark, tmp_path):
+    """Final txn records are pruned once aged AND nothing can still need
+    them: commit records only after every participant's CURRENT reached
+    the recorded version; young records and unflipped commits survive."""
+    import time
+
+    src, idx = _mk(spark, tmp_path)
+    log = str(tmp_path / "txlog")
+    with transaction(log):
+        merge_into(
+            spark, src,
+            _batch(spark, [Row(k=700, grp="q", v=1, is_delete=False)]),
+            delete_col="is_delete",
+        )
+        sync_secondary_index(spark, idx)
+    recs = [
+        n for n in os.listdir(log)
+        if n.endswith(".json") and not n.endswith(".intent.json")
+    ]
+    assert len(recs) == 1
+    rec_path = os.path.join(log, recs[0])
+
+    # too young: kept
+    assert recover_txns(log, record_retention_seconds=3600.0)[
+        "pruned_records"] == 0
+    assert os.path.exists(rec_path)
+
+    # an aged commit record whose table never flipped is NOT prunable —
+    # a lingering prepared manifest still resolves through it
+    poison = os.path.join(log, "ffff0000" * 4 + ".json")
+    with open(poison, "w") as f:
+        json.dump({
+            "id": "ffff0000" * 4, "state": "commit",
+            "tables": {src: 99},
+        }, f)
+    old = time.time() - 7200
+    os.utime(rec_path, (old, old))
+    os.utime(poison, (old, old))
+    report = recover_txns(log, record_retention_seconds=3600.0)
+    assert report["pruned_records"] == 1  # only the flipped commit
+    assert not os.path.exists(rec_path)
+    assert os.path.exists(poison)
+    os.unlink(poison)
+
+    # abort records are re-derivable: age + no intent suffices
+    txn_id = _simulate_dead_coordinator(spark, src, log)
+    recover_txns(log)  # aborts it, consumes the intent
+    ab_path = os.path.join(log, f"{txn_id}.json")
+    assert json.load(open(ab_path))["state"] == "abort"
+    os.utime(ab_path, (old, old))
+    assert recover_txns(log, record_retention_seconds=3600.0)[
+        "pruned_records"] == 1
+    assert not os.path.exists(ab_path)
+
+
+def test_flip_current_is_monotonic_under_contention(spark, tmp_path):
+    """Hammer _flip_current from many threads — live writers pushing the
+    pointer forward interleaved with txn replays flipping OLD versions.
+    The flock + uuid-tmp protocol must keep CURRENT monotonic (the r12
+    check-then-act window let a replay pass the >= check, lose the race,
+    then move CURRENT backwards) and never tear or FileNotFoundError on
+    a shared tmp name."""
+    from mcp_local_rag_spark.plans.merge import (
+        _SNAP_DIR,
+        _current_raw,
+        _flip_current,
+    )
+
+    path = str(tmp_path / "flip_t")
+    os.makedirs(os.path.join(path, _SNAP_DIR))
+    _flip_current(path, 1)
+    errors = []
+    observed_regress = []
+    stop = threading.Event()
+
+    def observer():
+        prev = 0
+        while not stop.is_set():
+            cur = _current_raw(path)
+            if cur < prev:
+                observed_regress.append((prev, cur))
+            prev = max(prev, cur)
+
+    def flipper(versions):
+        try:
+            for v in versions:
+                _flip_current(path, v)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    obs = threading.Thread(target=observer)
+    obs.start()
+    threads = [
+        threading.Thread(target=flipper, args=([v for v in range(2, 200)],)),
+        threading.Thread(target=flipper, args=([v for v in range(199, 1, -1)],)),
+        threading.Thread(target=flipper, args=([7] * 300,)),   # stale replay
+        threading.Thread(target=flipper, args=([150] * 300,)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    obs.join()
+    assert errors == []
+    assert observed_regress == []
+    assert _current_raw(path) == 199
