@@ -25,6 +25,7 @@ from .functions.paths import sync_path_key
 from .operators.neighbors import read_neighbors
 from .operators.sync import plan_sync, sync_counters
 from .plans.ingest import (
+    attribute_mutations,
     build_chunks,
     compact_chunks,
     delete_document,
@@ -119,6 +120,106 @@ class RagEngine:
         # optimize() after every process restart rebuilt the full index
         # (O(corpus) — at 100 TB a restart must not re-tokenize 100 TB).
         self._needs_full_index = not self._index_covers_table()
+        # crash recovery (plans/engine_txn): adopt any lingering index
+        # intent — a crash between a row mutation and its index sync left
+        # the pending work recorded; loading it makes the next optimize()
+        # (or recover_indexes()) re-sync exactly that work
+        self._intent_ann: dict | None = None
+        self._load_index_intent()
+
+    def _mark_index_dirty(
+        self,
+        *,
+        full: bool = False,
+        upserts=(),
+        deletes=(),
+    ) -> None:
+        """Record pending index work BEFORE the table mutation it covers —
+        in memory (the optimize() dirty sets) AND as the crash-durable
+        intent sidecar (plans/engine_txn), so a crash anywhere between
+        the row mutation and the covering index stamp re-syncs exactly
+        this work on restart instead of relying on index_is_fresh's
+        scan fallback plus a manual full rebuild."""
+        if not full and not upserts and not deletes:
+            return
+        if full:
+            self._needs_full_index = True
+        self._dirty_upserts.update(upserts)
+        self._dirty_deletes.difference_update(upserts)
+        self._dirty_deletes.update(deletes)
+        self._dirty_upserts.difference_update(deletes)
+        if self.postings_path is None:
+            return
+        from .plans.engine_txn import publish_intent
+
+        publish_intent(
+            self.table_path, full=full, paths=set(upserts) | set(deletes)
+        )
+
+    def _load_index_intent(self) -> None:
+        """Adopt a lingering intent (crashed mutation window) into the
+        dirty sets. Each recorded path goes in BOTH sets — the postings
+        refresh removes a target's old rows and adds its CURRENT table
+        rows, so live paths rebuild and dead paths clear, whichever side
+        of the table write the crash hit. A crash DURING the postings
+        rewrite ('refreshing') degrades to the full rebuild (a torn
+        bucket cannot serve as the keep-set), and a covers-stamp
+        mismatch stays a full rebuild UNLESS the intent's attributed
+        version chain walks from the current table version back to the
+        stamped one — proof that every bump belongs to a recorded
+        mutation (plans/engine_txn.chain_reaches)."""
+        from .plans.engine_txn import chain_reaches, read_intent
+
+        self._intent_ann = None
+        it = read_intent(self.table_path)
+        if not it:
+            return
+        paths = set(it.get("paths") or ())
+        self._dirty_upserts |= paths
+        self._dirty_deletes |= paths
+        self._intent_ann = it.get("ann") or None
+        if it.get("full") or it.get("refreshing"):
+            self._needs_full_index = True
+            return
+        if self._needs_full_index and self.postings_path is not None:
+            from .plans.fts import index_has_data, read_fts_stats
+            from .plans.ingest import read_table_meta, table_version
+
+            tv = table_version(self.table_path)
+            covered = read_table_meta(self.postings_path).get(
+                "covers_table_version"
+            )
+            if (
+                tv is not None
+                and chain_reaches(it, tv, covered)
+                and os.path.isdir(self.postings_path)
+                and index_has_data(self.postings_path)
+                and read_fts_stats(self.postings_path) is not None
+            ):
+                # every version since the stamp is attributed to the
+                # recorded paths: bounded refresh, not O(corpus)
+                self._needs_full_index = False
+
+    def recover_indexes(self) -> dict:
+        """Converge every maintained index after a crash — the engine-tier
+        twin of plans/txn.recover_txns: one optimize() re-syncs the FTS
+        postings (bounded by the intent's recorded paths when the version
+        chain proves them complete), and an interrupted ANN build re-runs
+        with its recorded parameters. Idempotent; a clean engine is a
+        no-op. Returns {"fts": bool, "ann": bool} (what actually ran)."""
+        report = {"fts": False, "ann": False}
+        if self.postings_path is not None and self._exists() and not self.index_is_fresh():
+            self.optimize()
+            report["fts"] = True
+        if self._intent_ann is not None and self._exists():
+            ann = self._intent_ann
+            self.build_ann_index(
+                ann.get("n_cells"),
+                pq=bool(ann.get("pq")),
+                pq_m=int(ann.get("pq_m") or 8),
+            )
+            report["ann"] = True
+        return report
 
     def _index_covers_table(self) -> bool:
         from .plans.fts import index_has_data, read_fts_stats
@@ -442,9 +543,10 @@ class RagEngine:
         eb, ed = self._space()
         chunks, _ = ingest_directory(self.spark, root, dim=ed, backend=eb)
         mode = "append" if self._exists() else "overwrite"
-        write_chunks(chunks, self.table_path, mode=mode, backend=eb, dim=ed)
+        self._mark_index_dirty(full=True)
+        with attribute_mutations(self.table_path):
+            write_chunks(chunks, self.table_path, mode=mode, backend=eb, dim=ed)
         self.spark.catalog.refreshByPath(self.table_path)
-        self._needs_full_index = True
         self.optimize()
         return self.chunks().count()
 
@@ -527,14 +629,14 @@ class RagEngine:
             raise ValueError(
                 f"no chunks produced for {file_path}; existing rows left intact"
             )
-        if self._exists():
-            delete_document(spark, self.table_path, file_path)
-        mode = "append" if self._exists() else "overwrite"
-        write_chunks(new_chunks, self.table_path, mode=mode, backend=eb, dim=ed)
+        self._mark_index_dirty(upserts=[file_path])
+        with attribute_mutations(self.table_path):
+            if self._exists():
+                delete_document(spark, self.table_path, file_path)
+            mode = "append" if self._exists() else "overwrite"
+            write_chunks(new_chunks, self.table_path, mode=mode, backend=eb, dim=ed)
         new_chunks.unpersist()
         spark.catalog.refreshByPath(self.table_path)
-        self._dirty_upserts.add(file_path)
-        self._dirty_deletes.discard(file_path)
         return {
             "filePath": file_path,
             "chunkCount": n,
@@ -597,14 +699,14 @@ class RagEngine:
             raise ValueError(
                 f"no chunks produced for {source}; existing rows left intact"
             )
-        if self._exists():
-            delete_document(self.spark, self.table_path, path)
-        mode = "append" if self._exists() else "overwrite"
-        write_chunks(new_chunks, self.table_path, mode=mode, backend=eb, dim=ed)
+        self._mark_index_dirty(upserts=[path])
+        with attribute_mutations(self.table_path):
+            if self._exists():
+                delete_document(self.spark, self.table_path, path)
+            mode = "append" if self._exists() else "overwrite"
+            write_chunks(new_chunks, self.table_path, mode=mode, backend=eb, dim=ed)
         new_chunks.unpersist()
         self.spark.catalog.refreshByPath(self.table_path)
-        self._dirty_upserts.add(path)
-        self._dirty_deletes.discard(path)
         return n
 
     def ingest_records_file(self, file_path: str) -> dict:
@@ -671,19 +773,20 @@ class RagEngine:
                 .distinct()
                 .collect()
             ]
-            if stale:
-                delete_documents(spark, self.table_path, stale)
-        mode = "append" if self._exists() else "overwrite"
-        write_chunks(new_chunks, self.table_path, mode=mode, backend=eb, dim=ed)
-        new_chunks.unpersist()
-        spark.catalog.refreshByPath(self.table_path)
         # index dirtiness is tracked at RECORD granularity — the postings
         # refresh filters chunks by exact filePath, and stored rows live
         # under the per-record paths, not the container path
         new_paths = {f"{file_path}#r{i}" for i in range(n_records)}
-        self._dirty_upserts.update(new_paths)
-        self._dirty_deletes.update(set(stale) - new_paths)
-        self._dirty_upserts.difference_update(set(stale) - new_paths)
+        self._mark_index_dirty(
+            upserts=new_paths, deletes=set(stale) - new_paths
+        )
+        with attribute_mutations(self.table_path):
+            if stale:
+                delete_documents(spark, self.table_path, stale)
+            mode = "append" if self._exists() else "overwrite"
+            write_chunks(new_chunks, self.table_path, mode=mode, backend=eb, dim=ed)
+        new_chunks.unpersist()
+        spark.catalog.refreshByPath(self.table_path)
         # record container membership as a table property: sync classifies
         # record rows by THIS set, never by the '#rN' path shape alone
         self._set_record_containers(self._record_containers() | {file_path})
@@ -734,10 +837,12 @@ class RagEngine:
         )
 
     def delete_document(self, file_path: str) -> int:
-        n = delete_document(self.spark, self.table_path, file_path)
-        if n:
-            self._dirty_deletes.add(file_path)
-            self._dirty_upserts.discard(file_path)
+        # intent BEFORE the rewrite (crash-durable); a miss (n == 0)
+        # leaves the path in the dirty sets, which the next optimize()
+        # re-derives as a no-op — conservative, never wrong
+        self._mark_index_dirty(deletes=[file_path])
+        with attribute_mutations(self.table_path):
+            n = delete_document(self.spark, self.table_path, file_path)
         return n
 
     def optimize(self) -> None:
@@ -747,9 +852,15 @@ class RagEngine:
         compact_chunks(self.spark, self.table_path)
         if self.postings_path is None:
             return
+        from .plans.engine_txn import clear_fts_intent, publish_intent
         from .plans.fts import refresh_postings, write_postings
 
         if self._needs_full_index or not os.path.isdir(self.postings_path):
+            # 'refreshing' marks the rewrite window: a crash inside it
+            # can tear a postings bucket (dynamic overwrite is atomic per
+            # dir, not per job), so recovery after this point must take
+            # the full rebuild, never a bounded refresh over a torn index
+            publish_intent(self.table_path, refreshing=True, full=True)
             # bucket-align the index with the chunks table's persisted count
             write_postings(
                 self.chunks(),
@@ -757,6 +868,7 @@ class RagEngine:
                 n_buckets=table_n_buckets(self.table_path),
             )
         elif self._dirty_upserts or self._dirty_deletes:
+            publish_intent(self.table_path, refreshing=True)
             changed = (
                 self.chunks().filter(
                     F.col("filePath").isin(sorted(self._dirty_upserts))
@@ -786,6 +898,10 @@ class RagEngine:
                 _nb(self.postings_path),
                 extra={"covers_table_version": tv},
             )
+        # the stamp above is the commit point; clearing after it means a
+        # crash in between re-runs an idempotent no-op refresh — never a
+        # cleared intent with an unstamped index
+        clear_fts_intent(self.table_path)
 
     def build_ann_index(
         self, n_cells: int | None = None, *, pq: bool = False, pq_m: int = 8
@@ -801,6 +917,7 @@ class RagEngine:
                             payload_cols=("filePath", "chunkIndex"))
         """
         from .plans.ann_index import build_chunks_ivf
+        from .plans.engine_txn import clear_ann_intent, publish_intent
         from .plans.ingest import table_n_buckets as _nb
         from .plans.ingest import table_version, write_table_meta
 
@@ -810,6 +927,17 @@ class RagEngine:
             _, dim = self._space()
             if dim % pq_m != 0:
                 raise ValueError(f"dim {dim} not divisible by pq_m {pq_m}")
+        # crash-durable build record: an interrupted build (or a crash
+        # before the covering stamp) re-runs with the SAME parameters via
+        # recover_indexes() instead of serving a stale/torn index
+        publish_intent(
+            self.table_path,
+            ann={
+                "n_cells": n_cells,
+                "pq": bool(pq),
+                "pq_m": int(pq_m),
+            },
+        )
         n = build_chunks_ivf(
             self.spark, self.table_path, self.ann_index_path, n_cells=n_cells
         )
@@ -829,6 +957,8 @@ class RagEngine:
                 _nb(self.ann_index_path),
                 extra={"covers_table_version": tv},
             )
+        clear_ann_intent(self.table_path)
+        self._intent_ann = None
         return n
 
     def ann_index_is_fresh(self) -> bool:
@@ -951,32 +1081,33 @@ class RagEngine:
                         f"upsert skipped (parse failed or no chunks), stored rows kept: {p}"
                     )
             produced_keys = sorted(_py_sync_key(p) for p in produced)
+            done_paths = [p for p in upsert_paths if p in produced]
+            self._mark_index_dirty(upserts=done_paths)
             if self._exists() and produced_keys:
-                # ALL stored spellings of the SUCCESSFULLY re-parsed keys
-                # go in ONE DataFrame-native batched delete (anti-join
-                # bucket rewrite, one dynamic-partition-overwrite job).
-                delete_documents_df(
-                    spark,
-                    self.table_path,
-                    plan.filter(F.col("action").isin("upsert", "upsert_new"))
-                    .filter(F.col("key").isin(produced_keys))
-                    .select("key"),
-                    case_fold=CASE_FOLD_KEYS,
-                )
                 if CASE_FOLD_KEYS:
                     # stored spellings differing from the re-ingested path
                     # can hold postings rows the per-path refresh would
                     # miss; on case-folding platforms a spelling-churn sync
                     # rebuilds the index instead of guessing
-                    self._needs_full_index = True
+                    self._mark_index_dirty(full=True)
+                # ALL stored spellings of the SUCCESSFULLY re-parsed keys
+                # go in ONE DataFrame-native batched delete (anti-join
+                # bucket rewrite, one dynamic-partition-overwrite job).
+                with attribute_mutations(self.table_path):
+                    delete_documents_df(
+                        spark,
+                        self.table_path,
+                        plan.filter(F.col("action").isin("upsert", "upsert_new"))
+                        .filter(F.col("key").isin(produced_keys))
+                        .select("key"),
+                        case_fold=CASE_FOLD_KEYS,
+                    )
             if produced:
                 mode = "append" if self._exists() else "overwrite"
-                write_chunks(new_chunks, self.table_path, mode=mode, backend=eb, dim=ed)
+                with attribute_mutations(self.table_path):
+                    write_chunks(new_chunks, self.table_path, mode=mode, backend=eb, dim=ed)
                 spark.catalog.refreshByPath(self.table_path)
             new_chunks.unpersist()
-            done_paths = [p for p in upsert_paths if p in produced]
-            self._dirty_upserts.update(done_paths)
-            self._dirty_deletes.difference_update(done_paths)
 
         n_prunes = counters.get("prune", 0)
         if n_prunes:
@@ -984,18 +1115,18 @@ class RagEngine:
             # routes bucket rewrites by anti join, collecting only bucket
             # ids, so pruning the whole corpus never materializes its paths
             prune_df = plan.filter(F.col("action") == "prune").select("key")
-            delete_documents_df(
-                spark, self.table_path, prune_df, case_fold=CASE_FOLD_KEYS
-            )
             if n_prunes <= PRUNE_COLLECT_CAP and not CASE_FOLD_KEYS:
                 # small prune sets keep the postings refresh incremental
                 # (keys ARE stored paths on case-sensitive filesystems);
                 # beyond that a rebuild is proportional work anyway
                 pruned = [r["key"] for r in prune_df.collect()]
-                self._dirty_deletes.update(pruned)
-                self._dirty_upserts.difference_update(pruned)
+                self._mark_index_dirty(deletes=pruned)
             else:
-                self._needs_full_index = True
+                self._mark_index_dirty(full=True)
+            with attribute_mutations(self.table_path):
+                delete_documents_df(
+                    spark, self.table_path, prune_df, case_fold=CASE_FOLD_KEYS
+                )
 
         # record-container rows were excluded from the plan; the one sync
         # action they DO honor is container deletion — records of a
@@ -1025,13 +1156,13 @@ class RagEngine:
                 if n_stale_records:
                     if n_stale_records <= PRUNE_COLLECT_CAP:
                         pruned = [r["filePath"] for r in stale_df.collect()]
-                        self._dirty_deletes.update(pruned)
-                        self._dirty_upserts.difference_update(pruned)
+                        self._mark_index_dirty(deletes=pruned)
                     else:
-                        self._needs_full_index = True
-                    delete_documents_df(
-                        spark, self.table_path, stale_df, case_fold=CASE_FOLD_KEYS
-                    )
+                        self._mark_index_dirty(full=True)
+                    with attribute_mutations(self.table_path):
+                        delete_documents_df(
+                            spark, self.table_path, stale_df, case_fold=CASE_FOLD_KEYS
+                        )
                     counters["prune"] = counters.get("prune", 0) + n_stale_records
                 stale_df.unpersist()
                 # drop the pruned containers from the membership property

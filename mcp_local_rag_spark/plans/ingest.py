@@ -86,6 +86,38 @@ def write_table_meta(
         json.dump(meta, f)
 
 
+# tables whose version bumps should be ATTRIBUTED to the index-sync
+# intent (plans/engine_txn): the engine (and any cooperating writer, e.g.
+# the streaming watcher) enters attribute_mutations() around its
+# mutations, and bump_table_version then appends (new -> prev) to the
+# intent's version chain — the proof a restarted engine needs that every
+# bump since the last covering stamp belongs to a recorded mutation,
+# which is the condition for BOUNDED crash recovery instead of a full
+# O(corpus) index rebuild. A contextvar (not a registry) so a direct
+# plans/ingest call OUTSIDE the engine never self-attributes.
+import contextvars as _contextvars
+
+_ATTRIBUTED_TABLE = _contextvars.ContextVar("attributed_table", default=None)
+
+
+class attribute_mutations:
+    """Context manager: version bumps on ``table_path`` inside the block
+    extend the index intent's attributed version chain (see
+    plans/engine_txn.record_derived_version)."""
+
+    def __init__(self, table_path: str):
+        self._path = os.path.abspath(table_path)
+        self._token = None
+
+    def __enter__(self):
+        self._token = _ATTRIBUTED_TABLE.set(self._path)
+        return self
+
+    def __exit__(self, *exc):
+        _ATTRIBUTED_TABLE.reset(self._token)
+        return False
+
+
 def bump_table_version(path: str) -> str:
     """Stamp a new content version into the table meta. Every mutation of
     the table's ROWS bumps it (write_chunks, the delete paths, the
@@ -94,8 +126,13 @@ def bump_table_version(path: str) -> str:
     scheduling a full O(corpus) rebuild on its first optimize()."""
     import uuid
 
+    prev = table_version(path)
     v = uuid.uuid4().hex
     write_table_meta(path, table_n_buckets(path), extra={"table_version": v})
+    if _ATTRIBUTED_TABLE.get() == os.path.abspath(path):
+        from .engine_txn import record_derived_version
+
+        record_derived_version(path, v, prev)
     return v
 
 

@@ -101,27 +101,44 @@ def current_version(table_path: str) -> int:
     return _current_raw(table_path)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _snap_lock(snap_dir: str):
+    """Exclusive per-table flock over the snapshot metadata — serializes
+    CURRENT flips and marker-checked manifest unlinks (plans/txn.
+    unlink_if_marked). Writers publishing manifests do NOT take it: they
+    only CREATE names via O_EXCL link, so the lock's read-then-act
+    critical sections can never observe a name mutating under them."""
+    import fcntl
+
+    os.makedirs(snap_dir, exist_ok=True)
+    fd = os.open(
+        os.path.join(snap_dir, ".CURRENT.lock"), os.O_CREAT | os.O_RDWR, 0o644
+    )
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        os.close(fd)
+
+
 def _flip_current(table_path: str, version: int) -> bool:
     """Advance the CURRENT pointer to ``version`` (tmp+rename, atomic on
     POSIX). MONOTONIC: a stale flip — a recovery racing a writer that
     already committed further — is a no-op, so replaying a transaction's
     roll-forward can never move a table backwards.
 
-    Flips are serialized per table with an exclusive flock on
-    ``.CURRENT.lock`` so the monotonic check and the rename are one
+    Flips are serialized per table with an exclusive flock
+    (``_snap_lock``) so the monotonic check and the rename are one
     atomic step (a plain check-then-replace would let a txn replay pass
     the ``>= version`` check before a live writer's newer flip lands,
     then move CURRENT backwards), and each flipper writes a
     uuid-unique tmp so two concurrent flips can never tear or steal
     each other's tmp file."""
-    import fcntl
-
     snap_dir = os.path.join(table_path, _SNAP_DIR)
-    fd = os.open(
-        os.path.join(snap_dir, ".CURRENT.lock"), os.O_CREAT | os.O_RDWR, 0o644
-    )
-    try:
-        fcntl.flock(fd, fcntl.LOCK_EX)
+    with _snap_lock(snap_dir):
         try:
             if _current_raw(table_path) >= version:
                 return False
@@ -134,8 +151,6 @@ def _flip_current(table_path: str, version: int) -> bool:
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(snap_dir, "CURRENT"))
         return True
-    finally:
-        os.close(fd)
 
 
 def list_versions(table_path: str) -> list[int]:
@@ -242,6 +257,11 @@ def repair_current(table_path: str) -> int | None:
         try:
             manifest = read_manifest(table_path, newest)
             ok = manifest.get("version") == newest
+        except FileNotFoundError:
+            # unlinked between the listing and the read — a concurrent
+            # repairer/abort resolved it (or a claim-rename is in flight);
+            # a transient, not a torn file: re-derive what is newest
+            continue
         except (json.JSONDecodeError, OSError):
             ok = False
         if not ok:

@@ -122,37 +122,29 @@ def unlink_if_marked(manifest_path: str, txn_id: str) -> bool:
     may already have freed it and a writer legitimately reused it for
     its own commit, which must never be deleted.
 
-    A plain check-then-unlink would leave a check-to-unlink window in
-    which that reuse could still be lost, so the removal is a CLAIM:
-    an atomic rename to a hidden name (exactly one claimer can win;
-    everyone else gets FileNotFoundError and stands down), then the
-    claimed bytes are inspected — ours is unlinked, a foreign commit is
-    renamed straight back (the restore window is a few microseconds of
-    local file ops, and entering it at all requires the reuse to land
-    inside the claim gap)."""
-    claim = f"{manifest_path}.claim.{uuid.uuid4().hex[:8]}"
-    try:
-        os.rename(manifest_path, claim)
-    except FileNotFoundError:
-        return False
-    try:
-        with open(claim) as f:
-            m = json.load(f)
-    except (FileNotFoundError, json.JSONDecodeError):
-        m = {}
-    if (m.get("txn") or {}).get("id") != txn_id:
-        # foreign: restore via link (never clobbers a commit that
-        # retook the name while claimed; in that pathological case the
-        # claimed bytes stay on disk as a .claim.* orphan instead of
-        # being lost)
+    The read-then-unlink runs under the table's snapshot flock
+    (merge._snap_lock), which serializes every cleaner while writers —
+    who only CREATE names via O_EXCL link, never mutate them — proceed
+    lock-free: a manifest that reads as ours cannot change before the
+    unlink, and a foreign manifest is simply left alone. (The previous
+    claim-by-rename protocol took the name OFF the namespace for a
+    window; under heavy contention a writer could reuse the name
+    mid-claim and the restoring link lost — the round-13 concurrency
+    fuzz caught a committed manifest stranded as a .claim orphan.)"""
+    from .merge import _snap_lock
+
+    with _snap_lock(os.path.dirname(manifest_path)):
         try:
-            os.link(claim, manifest_path)
-        except FileExistsError:
+            with open(manifest_path) as f:
+                m = json.load(f)
+        except FileNotFoundError:
             return False
-        os.unlink(claim)
-        return False
-    os.unlink(claim)
-    return True
+        except json.JSONDecodeError:
+            m = {}
+        if (m.get("txn") or {}).get("id") != txn_id:
+            return False
+        os.unlink(manifest_path)
+        return True
 
 
 def _cleanup_prepared(prepared: dict[str, list[int]], txn_id: str) -> None:

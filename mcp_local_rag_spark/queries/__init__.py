@@ -207,6 +207,29 @@ _VERIFIED_R11 = {
 }
 
 
+_VERIFIED_R12 = {
+    "corpus_curation_funnel", "corpus_curation_pipeline",
+    "corpus_decontaminate_fuzzy", "corpus_dsir_weights",
+    "corpus_epoch_plan", "corpus_ngram_novelty", "corpus_source_entropy",
+    "corpus_source_overlap", "dedup_containment", "dedup_graph_pagerank",
+    "dedup_graph_triangles", "dedup_semantic_keep_list",
+    "documents_profile", "documents_secondary_asof",
+    "documents_table_maintain", "documents_txn_ingest",
+    "events_bloom_prune", "events_cohort_matrix", "events_heavy_hitters",
+    "events_markov_transitions", "gap_stats", "grouping_related",
+    "grouping_similar", "knn_hard_negatives", "knn_ivf_indexed",
+    "knn_ivf_multiprobe", "knn_recall_report", "parsed_pdf_roundtrip",
+    "parsed_xml_roundtrip", "rag_eval_ndcg", "text_bigram_logprob",
+    "text_char_entropy", "text_dedup_spans", "text_tfidf_keywords",
+    "tpch_q10_returns", "tpch_q12_priority_lines", "tpch_q13_custdist",
+    "tpch_q14_promo", "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty", "tpch_q19_brackets", "tpch_q20_blue_suppliers",
+    "tpch_q21_sole_late", "tpch_q2_best_supplier", "tpch_q4_priority",
+    "tpch_q7_volume", "tpch_q8_mktshare", "tpch_q9_profit",
+    "vector_topk_batch",
+}
+
+
 def _ordered_names():
     """Oracle-paired queries first — never-verified ones leading, then by
     the age of the last green row (oldest round first) — so the driver's
@@ -218,7 +241,7 @@ def _ordered_names():
     names = list(REGISTRY)
     rounds = (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3, _VERIFIED_R4,
               _VERIFIED_R5, _VERIFIED_R7, _VERIFIED_R8, _VERIFIED_R10,
-              _VERIFIED_R11)
+              _VERIFIED_R11, _VERIFIED_R12)
 
     def last_green(n):
         seen = [i + 1 for i, s in enumerate(rounds) if n in s]  # R8 ranks 7th

@@ -1338,3 +1338,125 @@ def q_documents_secondary_asof(spark, sf_dir):
         "asof_en",
     )
     return asof.unionByName(now).orderBy("tag")
+
+
+# ---------------------------------------------------------------------------
+# Engine-tier crash recovery (round 13, plans/engine_txn): the product
+# ingest path (chunks table + FTS postings + ANN sidecar) records pending
+# index work as a crash-durable intent BEFORE each mutation. This lane
+# opens the classic crash window — per-file ingests and a delete with the
+# amortized optimize() never reached — then "restarts" the engine and
+# lets recover_indexes() converge. The builder asserts the recovery took
+# the BOUNDED path (version chain proven, no full rebuild) and that the
+# recovered postings are row-identical to a from-scratch rebuild; the
+# driver-visible result audits the final corpus membership against the
+# flat declarative derivation.
+
+
+def _recovered_engine_table(spark: SparkSession, sf_dir: str) -> str:
+    import json
+    import shutil
+
+    from ..engine import RagEngine
+    from ..plans.engine_txn import read_intent
+    from ..plans.fts import read_postings, write_postings
+
+    path = _scratch_path(sf_dir, "idxrec", tables=("documents",))
+    table = os.path.join(path, "chunks")
+    done = os.path.join(path, "_done.json")
+    if os.path.isfile(done):
+        return table
+    shutil.rmtree(path, ignore_errors=True)
+    files = os.path.join(path, "files")
+    os.makedirs(files)
+    ids = sorted(
+        int(r["doc_id"])
+        for r in load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 60) & (F.col("doc_id") % 7 == 3))
+        .select("doc_id")
+        .collect()
+    )
+
+    def fpath(i: int) -> str:
+        return os.path.join(files, f"d{i}.md")
+
+    def write_doc(i: int) -> None:
+        with open(fpath(i), "w") as f:
+            f.write(
+                f"# Doc {i}\n\nrecovery corpus uniq{i}tok document body with "
+                "deterministic filler words for the chunker minimum."
+            )
+
+    # phase 1: a clean, optimized baseline over the odd ids
+    for i in ids:
+        if i % 2 == 1:
+            write_doc(i)
+    eng = RagEngine(spark, table)
+    eng.ingest_directory(files)
+    assert eng.index_is_fresh() and read_intent(table) is None
+
+    # phase 2: the crash window — even-id ingests and one delete land in
+    # the table and the intent, but the amortized optimize() never runs
+    for i in ids:
+        if i % 2 == 0:
+            write_doc(i)
+            eng.ingest_file(fpath(i))
+    deleted = ids[0]  # doc_id 3: odd, present since phase 1
+    eng.delete_document(fpath(deleted))
+    assert read_intent(table) is not None  # window open; process "dies"
+
+    # phase 3: restart + automatic recovery
+    eng2 = RagEngine(spark, table)
+    assert not eng2._needs_full_index, "version chain must prove the intent"
+    assert not eng2.index_is_fresh()
+    assert eng2.recover_indexes()["fts"] is True
+    assert eng2.index_is_fresh() and read_intent(table) is None
+    # recovered postings are row-identical to a from-scratch rebuild
+    ref = os.path.join(path, "ref_fts")
+    write_postings(eng2.chunks(), ref, n_buckets=4)
+    cols = ("term", "filePath", "chunkIndex", "tf")
+    got = {tuple(r) for r in read_postings(spark, eng2.postings_path).select(*cols).collect()}
+    want = {tuple(r) for r in read_postings(spark, ref).select(*cols).collect()}
+    assert got == want, "recovered postings diverge from a full rebuild"
+    # and the index path (not the scan fallback) serves the new docs
+    even0 = next(i for i in ids if i % 2 == 0)
+    hits = {
+        r["filePath"]
+        for r in eng2.keyword_search(f"uniq{even0}tok", limit=5).collect()
+    }
+    assert hits == {fpath(even0)}
+    assert (
+        eng2.keyword_search(f"uniq{deleted}tok", limit=5).count() == 0
+    ), "deleted doc must be gone from the recovered index"
+    with open(done, "w") as f:
+        json.dump({"ids": ids, "deleted": deleted}, f)
+    return table
+
+
+@register(
+    "documents_index_recovery",
+    """SELECT doc_id % 3 AS grp, count(*)::BIGINT AS n_files,
+       sum(doc_id)::BIGINT AS sum_ids
+FROM documents
+WHERE doc_id < 60 AND doc_id % 7 = 3 AND doc_id <> 3
+GROUP BY grp ORDER BY grp""",
+)
+def q_documents_index_recovery(spark, sf_dir):
+    table = _recovered_engine_table(spark, sf_dir)
+    dids = (
+        spark.read.parquet(table)
+        .select(
+            F.regexp_extract("filePath", r"d(\d+)\.md$", 1)
+            .cast("long")
+            .alias("did")
+        )
+        .distinct()
+    )
+    return (
+        dids.groupBy((F.col("did") % 3).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("did").cast("long").alias("sum_ids"),
+        )
+        .orderBy("grp")
+    )

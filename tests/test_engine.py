@@ -768,15 +768,35 @@ def test_restart_trusts_covering_index(spark, tmp_path):
     }
     assert before == after
 
-    # out-of-band mutation: another engine ingests WITHOUT optimize
+    # out-of-band mutation: another engine ingests WITHOUT optimize.
+    # The ingest published an ATTRIBUTED intent (plans/engine_txn), so a
+    # restarted engine proves the version chain since the stamp and takes
+    # the BOUNDED refresh — not the old full O(corpus) rebuild
     (d / "b.md").write_text(
         "# Two\n\nBroadcast joins avoid the shuffle for small tables here."
     )
     eng3 = RagEngine(spark, table)
     eng3.ingest_file(str(d / "b.md"))  # bumps version, no stamp
     eng4 = RagEngine(spark, table)
-    assert eng4._needs_full_index  # stale stamp detected
+    assert not eng4._needs_full_index  # stale stamp DOWNGRADED via intent
+    assert str(d / "b.md") in eng4._dirty_upserts
+    assert not eng4.index_is_fresh()  # but never trusted until re-synced
     eng4.optimize()
     assert eng4.index_is_fresh()
     # and the fresh stamp holds for the next restart
     assert not RagEngine(spark, table)._needs_full_index
+
+    # a genuinely FOREIGN mutation (direct plans/ingest write, no engine,
+    # no intent) breaks the attribution chain: full rebuild, as before
+    from mcp_local_rag_spark.plans.ingest import build_chunks, write_chunks
+
+    (d / "c.md").write_text("# Three\n\nSkew salting splits hot keys up.")
+    docs = spark.createDataFrame(
+        [(str(d / "c.md"), "Skew salting splits hot keys up.", "Three", "h3", 32)],
+        "path string, text string, title string, contentHash string, length long",
+    )
+    write_chunks(build_chunks(docs, dim=64, backend="pseudo"), table, mode="append")
+    eng5 = RagEngine(spark, table)
+    assert eng5._needs_full_index  # unattributed bump -> no downgrade
+    eng5.optimize()
+    assert eng5.index_is_fresh()

@@ -38,12 +38,13 @@ def test_registry_order_puts_unverified_first():
         _VERIFIED_R8,
         _VERIFIED_R10,
         _VERIFIED_R11,
+        _VERIFIED_R12,
     )
 
     seen = (
         _VERIFIED_R1 | _VERIFIED_R2 | _VERIFIED_R3 | _VERIFIED_R4
         | _VERIFIED_R5 | _VERIFIED_R7 | _VERIFIED_R8 | _VERIFIED_R10
-        | _VERIFIED_R11
+        | _VERIFIED_R11 | _VERIFIED_R12
     )
     names = list(queries())
     paired = set(oracle_sql())

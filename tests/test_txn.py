@@ -793,3 +793,316 @@ def test_flip_current_is_monotonic_under_contention(spark, tmp_path):
     assert errors == []
     assert observed_regress == []
     assert _current_raw(path) == 199
+
+
+# ---------------------------------------------------------------------------
+# Randomized crash/concurrency fuzz (round 13): the crash matrix above
+# covers every FIXED protocol window; this drives random interleavings —
+# random crash points across prepare/record/flip, intent-less coordinators,
+# plain writers colliding with prepares, recovery sweeps at random times,
+# stale flip replays — against a pure-python model of committed state.
+# The protocol is pure file ops, so a seed costs milliseconds: the fuzz
+# drives merge._commit directly with synthetic manifests (no Spark jobs),
+# the same manifests the real merge publishes.
+
+
+def _fuzz_mk_table(path, model):
+    from mcp_local_rag_spark.plans.merge import _commit
+
+    os.makedirs(path, exist_ok=True)
+    _commit(path, {"version": 1, "payload": "init"}, 1)
+    model[path] = {1: "init"}
+
+
+def _fuzz_plain_write(t, payload, model):
+    """A plain writer: repair (resolving any lingering foreign prepare),
+    target current+1, retry on collision — merge_into's loop."""
+    from mcp_local_rag_spark.plans.merge import (
+        ConcurrentCommitError,
+        _commit,
+        current_version,
+        repair_current,
+    )
+
+    for _ in range(30):
+        repair_current(t)
+        v = current_version(t) + 1
+        try:
+            _commit(t, {"version": v, "payload": payload}, v)
+            model[t][v] = payload
+            return v
+        except ConcurrentCommitError:
+            continue
+    raise AssertionError("plain write livelocked")
+
+
+def _fuzz_txn(log, tables, payloads, crash, model, with_intent=True):
+    """Drive one transaction manually so a 'crash' is a real dead
+    coordinator (no context-manager abort path). ``crash`` is one of
+    None (clean), ('prepare', k) (die after k prepares), 'before_record',
+    'after_record', ('flip', j) (die after j flips). Returns the final
+    record state the model expects ('commit'/'abort')."""
+    import uuid as _uuid
+
+    from mcp_local_rag_spark.plans.merge import (
+        _ACTIVE_TXN,
+        ConcurrentCommitError,
+        _commit,
+        current_version,
+        repair_current,
+    )
+    from mcp_local_rag_spark.plans.txn import _publish_record, _write_intent
+
+    txn = {
+        "id": _uuid.uuid4().hex,
+        "log": os.path.abspath(log),
+        "prepared": {},
+        "_on_prepare": _write_intent if with_intent else None,
+    }
+    token = _ACTIVE_TXN.set(txn)
+    try:
+        done = 0
+        for t in tables:
+            for _ in range(30):
+                repair_current(t)
+                v = current_version(t) + 1
+                try:
+                    _commit(t, {"version": v, "payload": payloads[t]}, v)
+                    break
+                except ConcurrentCommitError:
+                    continue
+            else:
+                raise AssertionError("prepare livelocked")
+            done += 1
+            if crash == ("prepare", done):
+                return "abort"
+        if crash == "before_record":
+            return "abort"
+        tables_v = {t: vs[-1] for t, vs in txn["prepared"].items()}
+        assert _publish_record(txn["log"], txn["id"], "commit", tables_v), (
+            "single-threaded seed: nobody can race our record"
+        )
+        for t, v in tables_v.items():
+            model[t][v] = payloads[t]
+        if crash == "after_record":
+            return "commit"
+        from mcp_local_rag_spark.plans.merge import _flip_current
+
+        flips = sorted(tables_v.items())
+        upto = crash[1] if isinstance(crash, tuple) and crash[0] == "flip" else len(flips)
+        for t, v in flips[:upto]:
+            _flip_current(t, v)
+        return "commit"
+    finally:
+        _ACTIVE_TXN.reset(token)
+
+
+@pytest.mark.parametrize("seed_block", range(8))
+def test_txn_random_interleaving_fuzz(tmp_path, seed_block):
+    """>= 200 seeds of randomized protocol interleavings converge to the
+    pure-python model: every commit-recorded transaction is fully visible,
+    everything else leaves no trace, version numbers stay contiguous, and
+    the tables remain writable."""
+    import random
+
+    from mcp_local_rag_spark.plans.merge import (
+        _current_raw,
+        _flip_current,
+        list_versions,
+        read_manifest,
+        repair_current,
+    )
+
+    for seed in range(seed_block * 25, seed_block * 25 + 25):
+        rng = random.Random(seed)
+        base = tmp_path / f"s{seed}"
+        log = str(base / "log")
+        tables = [str(base / f"t{i}") for i in range(rng.randint(2, 3))]
+        model: dict[str, dict[int, str]] = {}
+        for t in tables:
+            _fuzz_mk_table(t, model)
+
+        n_ops = rng.randint(6, 14)
+        for op_i in range(n_ops):
+            op = rng.choices(
+                ["txn", "plain", "recover", "repair", "stale_flip"],
+                weights=[5, 3, 2, 2, 1],
+            )[0]
+            if op == "txn":
+                subset = rng.sample(tables, rng.randint(1, len(tables)))
+                payloads = {
+                    t: f"s{seed}o{op_i}:{os.path.basename(t)}" for t in subset
+                }
+                crash = rng.choice(
+                    [None, None, ("prepare", rng.randint(1, len(subset))),
+                     "before_record", "after_record",
+                     ("flip", rng.randint(0, len(subset)))]
+                )
+                if isinstance(crash, tuple) and crash[0] == "prepare":
+                    crash = ("prepare", min(crash[1], len(subset)))
+                _fuzz_txn(
+                    log, subset, payloads, crash, model,
+                    with_intent=rng.random() > 0.2,
+                )
+            elif op == "plain":
+                t = rng.choice(tables)
+                _fuzz_plain_write(t, f"s{seed}o{op_i}:plain", model)
+            elif op == "recover":
+                recover_txns(log)
+            elif op == "repair":
+                repair_current(rng.choice(tables))
+            elif op == "stale_flip":
+                t = rng.choice(tables)
+                vs = sorted(model[t])
+                if vs:
+                    _flip_current(t, rng.choice(vs))  # replay: must be no-op-safe
+
+        # convergence sweep, in random order, twice (idempotence)
+        for _ in range(2):
+            if rng.random() < 0.5:
+                recover_txns(log)
+                for t in rng.sample(tables, len(tables)):
+                    repair_current(t)
+            else:
+                for t in rng.sample(tables, len(tables)):
+                    repair_current(t)
+                recover_txns(log)
+
+        for t in tables:
+            cur = _current_raw(t)
+            vs = list_versions(t)
+            committed = model[t]
+            assert cur == max(committed), (seed, t, cur, max(committed))
+            assert set(vs) == set(range(1, cur + 1)), (seed, t, vs)
+            for v in vs:
+                m = read_manifest(t, v)
+                assert m["payload"] == committed[v], (seed, t, v)
+        # no undecided intent survives the sweep
+        leftovers = [
+            n for n in os.listdir(log) if n.endswith(".intent.json")
+        ] if os.path.isdir(log) else []
+        assert leftovers == [], (seed, leftovers)
+        # the world stays writable
+        t = tables[0]
+        v = _fuzz_plain_write(t, "final", model)
+        assert _current_raw(t) == v
+
+
+def test_txn_concurrent_writers_and_recovery_fuzz(tmp_path):
+    """True thread concurrency: transactional writers, plain writers, and
+    a recovery sweeper race on shared tables. Losing a commit race raises
+    TxnAborted (nothing visible); every win is fully visible; version
+    numbers stay contiguous and CURRENT converges to the newest commit."""
+    import random
+    import uuid as _uuid
+
+    from mcp_local_rag_spark.plans.merge import (
+        ConcurrentCommitError,
+        _commit,
+        _current_raw,
+        current_version,
+        list_versions,
+        read_manifest,
+        repair_current,
+    )
+
+    base = tmp_path / "conc"
+    log = str(base / "log")
+    tables = [str(base / f"t{i}") for i in range(2)]
+    model: dict[str, dict[int, str]] = {}
+    for t in tables:
+        _fuzz_mk_table(t, model)
+
+    committed_lock = threading.Lock()
+    committed: list[tuple[str, dict]] = []  # (payload_tag, {table: version})
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def txn_writer(wid):
+        rng = random.Random(1000 + wid)
+        try:
+            for i in range(12):
+                tag = f"w{wid}i{i}"
+                try:
+                    with transaction(log) as txn:
+                        for t in rng.sample(tables, rng.randint(1, 2)):
+                            for _ in range(40):
+                                repair_current(t)
+                                v = current_version(t) + 1
+                                try:
+                                    _commit(
+                                        t, {"version": v, "payload": tag}, v
+                                    )
+                                    break
+                                except ConcurrentCommitError:
+                                    continue
+                            else:
+                                raise AssertionError("livelock")
+                        prepared = {
+                            tt: vs[-1] for tt, vs in txn["prepared"].items()
+                        }
+                    with committed_lock:
+                        committed.append((tag, prepared))
+                except TxnAborted:
+                    pass  # raced: nothing visible, by contract
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def plain_writer(wid):
+        rng = random.Random(2000 + wid)
+        try:
+            for i in range(12):
+                t = rng.choice(tables)
+                tag = f"p{wid}i{i}"
+                for _ in range(60):
+                    repair_current(t)
+                    v = current_version(t) + 1
+                    try:
+                        _commit(t, {"version": v, "payload": tag}, v)
+                        with committed_lock:
+                            committed.append((tag, {t: v}))
+                        break
+                    except ConcurrentCommitError:
+                        continue
+                else:
+                    raise AssertionError("plain livelock")
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def sweeper():
+        try:
+            while not stop.is_set():
+                recover_txns(log)
+                for t in tables:
+                    repair_current(t)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = (
+        [threading.Thread(target=txn_writer, args=(i,)) for i in range(3)]
+        + [threading.Thread(target=plain_writer, args=(i,)) for i in range(2)]
+    )
+    sw = threading.Thread(target=sweeper)
+    sw.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    sw.join()
+    assert errors == []
+
+    recover_txns(log)
+    for t in tables:
+        repair_current(t)
+    want: dict[str, dict[int, str]] = {t: {1: "init"} for t in tables}
+    for tag, prepared in committed:
+        for t, v in prepared.items():
+            want[t][int(v)] = tag
+    for t in tables:
+        cur = _current_raw(t)
+        vs = list_versions(t)
+        assert cur == max(want[t]), (t, cur, max(want[t]))
+        assert set(vs) == set(range(1, cur + 1)), (t, sorted(vs)[:5], cur)
+        for v in vs:
+            assert read_manifest(t, v)["payload"] == want[t][v], (t, v)
