@@ -162,12 +162,23 @@ class HybridSearchServer:
         max_files: int | None = None,
         backend: str | None = None,
         dim: int | None = None,
+        at_version: str | None = None,
+        stale_ok: bool = False,
     ) -> list[dict]:
         """Rows (filePath, chunkIndex, text, fileTitle, score, source),
         identical to ``RagEngine.query_documents(...).collect()`` under
         the same settings. The embedding space defaults to the TABLE'S
         persisted space (_table_meta.json) — the same resolution the
-        engine applies, so the query embeds where the corpus lives."""
+        engine applies, so the query embeds where the corpus lives.
+
+        Staleness contract (operators/staleness): the postings index is a
+        MAINTAINED artifact — when its covers-stamp provably lags the
+        chunks table (the state where the engine would fall back to the
+        index-free scan, which a serving process cannot do) the query
+        raises StaleServingError unless ``stale_ok=True`` serves the
+        postings as-of their own stamp. ``at_version`` pins the whole
+        read (vector matrix + payload + term cache) to one table content
+        stamp for cross-query consistency."""
         import re
 
         from ..plans.ingest import table_embedding
@@ -181,13 +192,36 @@ class HybridSearchServer:
         # if the chunks table's content version moved since this snapshot
         # loaded, drop every cached artifact (the vector sidecar performs
         # the same check for its matrix)
-        from ..plans.ingest import table_content_stamp
+        from ..plans.ingest import read_table_meta, table_content_stamp
 
         # version stamp when the table carries one, filesystem fingerprint
         # otherwise — a legacy table can neither pin a stale snapshot
         # (None == None) nor pay an always-reload per query
         tv = table_content_stamp(self._table)
-        if tv != self._loaded_version:
+        pinned_cache = False
+        if at_version is not None:
+            from .staleness import check_pin
+
+            pinned_cache = (
+                check_pin(
+                    "hybrid serving snapshot",
+                    at_version,
+                    tv,
+                    self._loaded_version,
+                )
+                == "cached"
+            )
+        from .staleness import check_covers
+
+        # against the PIN when one is set: postings covering the pinned
+        # version are exactly consistent with a pinned-cache read
+        check_covers(
+            f"hybrid postings index {self._postings}",
+            read_table_meta(self._postings).get("covers_table_version"),
+            at_version if at_version is not None else tv,
+            stale_ok,
+        )
+        if tv != self._loaded_version and not pinned_cache:
             self._payload = None
             self._pdataset = None
             self._stats = None
@@ -200,6 +234,7 @@ class HybridSearchServer:
         cands = self._vec.query(
             qv, limit * CANDIDATE_MULTIPLIER,
             scope=scope, max_distance=max_distance,
+            at_version=at_version,
         )
         # step 5: relevance-gap grouping on the raw candidate set
         cands = _grouping_filter(cands, grouping)

@@ -56,7 +56,13 @@ class IvfVectorServer:
         self._path = index_path
         self._id_col = id_col
         self._vec_col = vec_col
-        self._cell_col = read_index_meta(index_path)["cell_col"]
+        _meta = read_index_meta(index_path)
+        self._cell_col = _meta["cell_col"]
+        # build-time provenance, fixed for the index's lifetime: only a
+        # 'chunks:<table>' source carries a staleness proof, and caching
+        # it here keeps the common (provenance-free) query path at zero
+        # extra file reads
+        self._source = str(_meta.get("source") or "")
         self.max_cached_cells = max_cached_cells
         # Resident-cache quantization ladder (exact float64 is default):
         # * "int8" (alias quantized=True): per-dimension symmetric scalar
@@ -332,6 +338,8 @@ class IvfVectorServer:
         cells: list[int] | None = None,
         exclude_id=None,
         refine: int = 8,
+        at_version: str | None = None,
+        stale_ok: bool = False,
     ) -> list[dict]:
         """Top-k rows from the probed cells as
         [{neighbor_id, cos, cell}] — cosine rounded to 6, ties on
@@ -345,7 +353,40 @@ class IvfVectorServer:
         exact-rescored — recall returns to ~1.0 while resident memory
         stays uint8 codes and per-query exact I/O is O(refine*k) rows,
         corpus-size-independent (the Faiss IVFPQ+refine posture).
-        refine=0 is pure ADC (no read, lower recall)."""
+        refine=0 is pure ADC (no read, lower recall).
+
+        Staleness contract (operators/staleness): when the index records
+        the chunks table it was built from (meta source 'chunks:<path>')
+        and a covers-stamp, a query against a table that has moved on
+        raises StaleServingError unless ``stale_ok=True`` serves the
+        index as-of its own stamp (ANN indexes are guarded-stale by
+        design between rebuilds — the engine's ann_index_is_fresh is the
+        same check). ``at_version`` pins to one covered table version:
+        the index either covers it or the query fails; indexes built
+        outside the engine (no source/stamp) carry no proof and serve as
+        before."""
+        chunks_backed = self._source.startswith("chunks:")
+        if at_version is not None or chunks_backed:
+            from ..plans.ingest import read_table_meta, table_content_stamp
+            from .staleness import check_covers, check_pin
+
+            covered = read_table_meta(self._path).get("covers_table_version")
+            if at_version is not None:
+                # the covers stamp IS this index's snapshot identity
+                check_pin(
+                    f"ivf index {self._path}", at_version, covered, covered
+                )
+            if chunks_backed:
+                table = self._source[len("chunks:"):]
+                if os.path.isdir(table):
+                    check_covers(
+                        f"ivf index {self._path}",
+                        covered,
+                        at_version
+                        if at_version is not None
+                        else table_content_stamp(table),
+                        stale_ok,
+                    )
         q = np.asarray(query_vec, dtype=np.float64)
         qn = float(np.linalg.norm(q))
         probe = cells if cells is not None else self.probe_cells(q, nprobe)

@@ -58,10 +58,28 @@ class VectorSearchServer:
     def invalidate(self) -> None:
         self._snap = None
 
-    def _load(self) -> tuple:
+    def _load(self, at_version: str | None = None) -> tuple:
         from ..plans.ingest import table_content_stamp as table_version
 
         snap = self._snap
+        current = table_version(self._path)
+        if at_version is not None:
+            from .staleness import check_pin
+
+            # 'fresh' falls through to the normal stamp-checked path
+            # below (current == pin); 'cached' serves the resident
+            # snapshot even though the table moved on — the pin IS the
+            # consistency contract
+            if (
+                check_pin(
+                    "vector serving snapshot",
+                    at_version,
+                    current,
+                    snap[4] if snap is not None else None,
+                )
+                == "cached"
+            ):
+                return snap[:4]
         if snap is not None:
             # self-refresh: the chunks table stamps a content version on
             # every mutation (plans/ingest.bump_table_version) — a cheap
@@ -71,11 +89,15 @@ class VectorSearchServer:
             # (table_content_stamp), so None == None can never pin a stale
             # snapshot — and an unversioned table still serves warm
             # (reloads only when the files actually changed)
-            if snap[4] == table_version(self._path):
+            if snap[4] == current:
                 return snap[:4]
             self._snap = None
         import pyarrow.dataset as ds
 
+        # the stamp was read BEFORE the data: a mutation landing mid-read
+        # makes the data at-or-newer than the recorded stamp, so the next
+        # query's stamp compare reloads (conservative). Stamping AFTER
+        # the read could record a new stamp over old data and pin it.
         tbl = ds.dataset(self._path, format="parquet").to_table(
             columns=["filePath", "chunkIndex", "vector"]
         )
@@ -87,7 +109,7 @@ class VectorSearchServer:
                 np.array([], dtype=object),
                 np.array([], dtype=np.int64),
                 np.array([], dtype=np.int64),
-                table_version(self._path),
+                current,
             )
             self._snap = snap
             return snap[:4]
@@ -99,7 +121,7 @@ class VectorSearchServer:
         # snapshot — precompute each row's rank in it once so per-query
         # ordering works on ints, not strings
         order = np.lexsort((idx, paths)).argsort()
-        snap = (mat, paths, idx, order, table_version(self._path))
+        snap = (mat, paths, idx, order, current)
         self._snap = snap
         return snap[:4]
 
@@ -110,11 +132,21 @@ class VectorSearchServer:
         *,
         scope: list[str] | None = None,
         max_distance: float | None = None,
+        at_version: str | None = None,
+        stale_ok: bool = False,
     ) -> list[dict]:
         """Top-k rows as dicts (filePath, chunkIndex, score), the exact
         first-k prefix of ``vector_topk``'s (score, filePath, chunkIndex)
-        order under the same scope / max-distance filters."""
-        mat, paths, idx, tiebreak = self._load()
+        order under the same scope / max-distance filters.
+
+        ``at_version`` pins the read to one table content stamp
+        (operators/staleness): a batch of queries pinned together reads
+        one consistent snapshot even while ingests land mid-batch.
+        ``stale_ok`` is accepted for surface uniformity but has no
+        lagging artifact here — this server reads the table directly and
+        self-refreshes on every stamp change."""
+        del stale_ok  # no maintained artifact can lag: always fresh
+        mat, paths, idx, tiebreak = self._load(at_version)
         n = len(idx)
         if n == 0 or k <= 0:
             return []

@@ -230,3 +230,79 @@ def test_term_cache_eviction_keeps_this_querys_hit_terms(engine):
     assert server.query(q2, limit=5) == baseline.query(q2, limit=5)
     # and the cap actually bit (we didn't silently grow past it)
     assert len(server._term_cache) <= 4
+
+
+def test_stale_postings_raise_unless_stale_ok(spark, tmp_path):
+    """The serving-freshness contract (operators/staleness), mirroring
+    test_merge_ivm's SecondaryReader cases: once the chunks table moves
+    past the postings' covers-stamp — the state where the ENGINE falls
+    back to the index-free scan, which a serving process cannot do — the
+    query raises StaleServingError; stale_ok=True serves the postings
+    as-of their own stamp; optimize() restores the strict path."""
+    from mcp_local_rag_spark.operators.staleness import StaleServingError
+
+    root = tmp_path
+    d = root / "docs"
+    d.mkdir()
+    (d / "a.md").write_text(
+        "# A\n\nSpark shuffles data between executors during wide stages."
+    )
+    eng = RagEngine(spark, str(root / "chunks_st"), db_path=str(root / "db"))
+    eng.ingest_directory(str(d))  # optimize(): postings stamped fresh
+    srv = HybridSearchServer(eng.table_path, eng.postings_path,
+                             db_path=str(root / "db"))
+    fresh = srv.query("shuffle executors")
+    assert fresh and fresh[0]["filePath"] == str(d / "a.md")
+
+    # a mutation without the amortized optimize leaves the postings
+    # provably lagging (covers stamp != table version)
+    (d / "b.md").write_text(
+        "# B\n\nBroadcast joins avoid the shuffle for small dimensions."
+    )
+    eng.ingest_file(str(d / "b.md"))
+    assert not eng.index_is_fresh()
+    with pytest.raises(StaleServingError, match="stale"):
+        srv.query("shuffle executors")
+    # the escape hatch serves index-as-of-its-stamp (old keyword signal,
+    # current vector matrix), explicitly opted into
+    assert srv.query("shuffle executors", stale_ok=True)
+    eng.optimize()
+    assert srv.query("shuffle executors")  # strict path restored
+
+
+def test_hybrid_at_version_pins_served_snapshot(spark, tmp_path):
+    from mcp_local_rag_spark.operators.staleness import StaleServingError
+    from mcp_local_rag_spark.plans.ingest import table_content_stamp
+
+    root = tmp_path
+    d = root / "docs"
+    d.mkdir()
+    (d / "a.md").write_text(
+        "# A\n\nSpark shuffles data between executors during wide stages."
+    )
+    eng = RagEngine(spark, str(root / "chunks_pin"), db_path=str(root / "db"))
+    eng.ingest_directory(str(d))
+    srv = HybridSearchServer(eng.table_path, eng.postings_path,
+                             db_path=str(root / "db"))
+    v1 = table_content_stamp(eng.table_path)
+    pinned = srv.query("shuffle executors", at_version=v1)
+    assert {r["filePath"] for r in pinned} == {str(d / "a.md")}
+
+    (d / "b.md").write_text(
+        "# B\n\nShuffle shuffle shuffle executors everywhere in this doc."
+    )
+    eng.ingest_file(str(d / "b.md"))
+    eng.optimize()
+    v2 = table_content_stamp(eng.table_path)
+    # pinned to v1 while the cache still holds v1: same rows, and the
+    # postings covering v2 are judged against the PIN (consistent cache)
+    # ... postings now cover v2 != v1, so the pin read is only consistent
+    # if the caller also accepts the stale postings explicitly
+    assert srv.query("shuffle executors", at_version=v1, stale_ok=True) == pinned
+    with pytest.raises(StaleServingError):
+        srv.query("shuffle executors", at_version=v1)  # postings moved on
+    fresh = srv.query("shuffle executors", at_version=v2)
+    assert {r["filePath"] for r in fresh} >= {str(d / "b.md")}
+    # after the refresh, v1 is no longer resident
+    with pytest.raises(StaleServingError, match="not reachable"):
+        srv.query("shuffle executors", at_version=v1)

@@ -182,3 +182,53 @@ def test_unversioned_table_never_pins_a_stale_snapshot(spark, tmp_path):
         {"filePath": r[0], "chunkIndex": r[1], "score": r[2]}
         for r in _spark_topk(spark, table, qv, 10)
     ]
+
+
+def test_at_version_pins_a_consistent_snapshot(spark, tmp_path):
+    """at_version (operators/staleness): queries pinned to one table
+    content stamp keep reading that snapshot while mutations land; an
+    unreachable pin raises StaleServingError (the SecondaryReader
+    contract, now uniform across the serving tier)."""
+    from mcp_local_rag_spark.embedder import embed_text_column
+    from mcp_local_rag_spark.operators.staleness import StaleServingError
+    from mcp_local_rag_spark.plans.ingest import table_content_stamp
+
+    table = str(tmp_path / "pin_chunks")
+    rows = spark.range(40).select(
+        F.concat(F.lit("/p/d"), F.col("id").cast("string"), F.lit(".md")).alias(
+            "filePath"
+        ),
+        F.lit(0).alias("chunkIndex"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    write_chunks(embed_text_column(rows, "text", "vector", dim=32), table)
+    srv = VectorSearchServer(table)
+    qv = pseudo_embed("text 7", 32)
+    v1 = table_content_stamp(table)
+    pinned = srv.query(qv, 5, at_version=v1)
+    assert len(pinned) == 5
+
+    # mutation lands; an unpinned query self-refreshes, the pinned one
+    # keeps serving the v1 snapshot from the resident cache
+    extra = spark.range(40, 80).select(
+        F.concat(F.lit("/p/x"), F.col("id").cast("string"), F.lit(".md")).alias(
+            "filePath"
+        ),
+        F.lit(0).alias("chunkIndex"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    write_chunks(
+        embed_text_column(extra, "text", "vector", dim=32), table, mode="append"
+    )
+    v2 = table_content_stamp(table)
+    assert v2 != v1
+    assert srv.query(qv, 5, at_version=v1) == pinned  # pinned: stable
+    fresh = srv.query(qv, 80, at_version=v2)
+    assert len(fresh) == 80  # the new stamp serves the grown corpus
+    # v1 is no longer resident (the v2 load replaced the snapshot)
+    with pytest.raises(StaleServingError, match="not reachable"):
+        srv.query(qv, 5, at_version=v1)
+    with pytest.raises(StaleServingError, match="not reachable"):
+        srv.query(qv, 5, at_version="nonsense")
+    # stale_ok is accepted (uniform surface) and a no-op here
+    assert srv.query(qv, 80, stale_ok=True) == fresh
