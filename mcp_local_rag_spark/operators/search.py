@@ -451,8 +451,10 @@ def hybrid_search_batch(
         chunks, query_vecs, k, vec_col=vec_col, id_cols=id_cols,
         payload_cols=payload, scope=scope, max_distance=max_distance,
     ))
-    cands.count()
-    grouped = persisted(grouping_filter(
+    # grouping=None must not re-persist the same frame (a second cache of
+    # identical bytes plus its materialization job); the first consumer
+    # below materializes the one cache lazily
+    grouped = cands if grouping is None else persisted(grouping_filter(
         cands, grouping, id_cols=id_cols, part_cols=("query_id",)
     ))
 
@@ -464,20 +466,35 @@ def hybrid_search_batch(
     if pairs:
         from .bm25 import bm25_term_score
 
-        terms_df = spark.createDataFrame(pairs, "query_id string, term string")
+        # Job discipline (round 13): every frame on the keyword side is
+        # bounded — the term list, the pruned postings rows for those
+        # terms, and the per-(query, candidate) scores — so the whole
+        # boost chain runs as BROADCAST joins against the candidate set:
+        # zero shuffles of `grouped`, and per-term df folds into the
+        # matched frame as a window instead of a separate aggregate +
+        # broadcast build (one less job). 23 -> ~14 jobs on the sf0.1
+        # bench, value-identical (size(collect_set(struct(ids))) is the
+        # same exact distinct-tuple count as countDistinct(ids)).
+        terms_df = F.broadcast(
+            spark.createDataFrame(pairs, "query_id string, term string")
+        )
         all_terms = sorted({t for _, t in pairs})
         if postings is None:
             # one tokenize for the whole batch — amortized over N queries,
-            # where the single-query path would prefer the scan scorer.
-            # Persisted for the same reason bm25_scores materializes: the
-            # dfreq broadcast, the stats fallback, and the scored join all
-            # read it — unpersisted, each would recompute the full-corpus
-            # explode+aggregate subtree.
-            postings = persisted(build_postings(
+            # where the single-query path would prefer the scan scorer
+            postings = build_postings(
                 chunks, id_cols=id_cols, text_col=text_col
-            ))
-        matched = persisted(postings.filter(F.col("term").isin(all_terms)))
-        dfreq = matched.groupBy("term").agg(F.countDistinct(*id_cols).alias("_df"))
+            )
+        matched = F.broadcast(
+            postings.filter(F.col("term").isin(all_terms)).withColumn(
+                "_df",
+                F.size(
+                    F.collect_set(F.struct(*id_cols)).over(
+                        Window.partitionBy("term")
+                    )
+                ),
+            )
+        )
         if bm25_stats is not None:
             n_col = F.lit(int(bm25_stats["n"]))
             avgdl_col = F.lit(float(bm25_stats["avgdl"] or 0.0))
@@ -492,7 +509,6 @@ def hybrid_search_batch(
             grouped.select("query_id", *id_cols)
             .join(terms_df, "query_id")
             .join(matched, [*id_cols, "term"])
-            .join(F.broadcast(dfreq), "term")
         )
         if stats_join is not None:
             scored = scored.crossJoin(F.broadcast(stats_join))
@@ -514,7 +530,7 @@ def hybrid_search_batch(
             F.when(F.col("_mx") > 0, F.col("_s") / F.col("_mx")), F.lit(0.0)
         )
         boosted = (
-            grouped.join(kw, ["query_id", *id_cols], "left")
+            grouped.join(F.broadcast(kw), ["query_id", *id_cols], "left")
             .withColumn(
                 "score",
                 _rounded(F.col("score") / (F.lit(1.0) + norm * F.lit(weight))),
@@ -523,11 +539,9 @@ def hybrid_search_batch(
         )
     else:
         boosted = grouped
-    # the file filter's rank side and the final window both read boosted —
-    # persist so the kw join+aggregate chain runs once (hybrid_search
-    # persists its boosted for the same reason)
-    boosted = persisted(boosted)
-
+    # no persist on boosted: the r12 aggregate+join file filter read it
+    # twice, but the window-chain tail below is one LINEAR consumer —
+    # file rank, file cut, and final top-k all evaluate in a single pass
     filtered = file_topn_filter(
         boosted, max_files, file_col=file_col, part_cols=("query_id",)
     )
