@@ -395,7 +395,10 @@ def hybrid_search(
             chunks, query_terms, id_cols=id_cols, text_col=text_col,
             candidates=grouped, stats=bm25_stats,
         )
-    boosted = persisted(keyword_boost(grouped, kw, on=id_cols, weight=weight))
+    # no persist on boosted (round 13): since the r12 window-chain file
+    # filter, the tail — file rank, file cut, final top-k — is one LINEAR
+    # consumer, so the persist only added a materialization job
+    boosted = keyword_boost(grouped, kw, on=id_cols, weight=weight)
     filtered = file_topn_filter(boosted, max_files, file_col=file_col)
     return final_topk(filtered, k, id_cols=id_cols)
 
