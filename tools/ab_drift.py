@@ -23,13 +23,22 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# ALL driver headline queries (bench.HEADLINE) — round 13: every
+# headline gets a drift alibi, so a cross-round creep (r12's
+# tpch_q3_topk) is settled by interleaved same-session data instead of
+# argued from three-round history
 DEFAULT_QUERIES = [
-    "tpch_q1_pricing",
-    "vector_topk",
     "hybrid_search",
     "hybrid_search_indexed",
+    "hybrid_search_batch",
+    "vector_topk",
+    "bm25_unigram",
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
     "sync_plan",
     "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "events_sessionize",
     "text_quality",
 ]
 
