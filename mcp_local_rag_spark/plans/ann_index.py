@@ -156,6 +156,7 @@ def _write_centroids(cents, path: str) -> None:
     os.replace(tmp, final)
 
 
+@_with_maintenance_lock
 def append_to_ivf_index(
     assigned: DataFrame,
     path: str,
@@ -171,7 +172,14 @@ def append_to_ivf_index(
     union — so the coarse quantizer stays the one a full rebuild would
     produce (up to float associativity; pytest bounds the drift).
     Serving processes observe the append at their next invalidate()
-    (IvfVectorServer caches by cell, so only touched cells reload)."""
+    (IvfVectorServer caches by cell, so only touched cells reload).
+
+    Takes the index's maintenance flock (round 13): an append racing a
+    split of the same cell would land rows in a directory the split is
+    about to rmtree — permanent loss. Under the lock the append either
+    precedes the split (the rows move with the rewrite) or follows it
+    (the batch re-creates its assigned cell dir and the weighted sidecar
+    merge re-registers the cell, so the rows stay probe-reachable)."""
     import numpy as np
 
     meta = read_index_meta(path)

@@ -863,3 +863,75 @@ def test_ivf_index_without_provenance_serves_unchecked(spark, index):
     assert srv.query(qv, 3, nprobe=2) == srv.query(qv, 3, nprobe=2, stale_ok=True)
     with pytest.raises(StaleServingError, match="not reachable"):
         srv.query(qv, 3, nprobe=2, at_version="v-that-never-was")
+
+
+def test_ivf_maintain_races_live_appender_and_converges(spark, tmp_path):
+    """ivf_maintain from cron while an appender lands batches (round 13):
+    the per-index maintenance flock serializes the append with any split
+    of its target cell, so no interleaving loses rows; the quiesced index
+    holds every vector and no split marker survives."""
+    import glob
+    import os
+    import threading
+
+    from mcp_local_rag_spark.plans.ann_index import (
+        append_to_ivf_index,
+        ivf_maintain,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf_traffic")
+    write_ivf_index(
+        emb.filter(F.col("vec_id") % 3 == 0).withColumn("cell", F.col("label")),
+        path, sort_cols=("vec_id",),
+    )
+    errors: list = []
+
+    def appender():
+        try:
+            for r in (1, 2):
+                append_to_ivf_index(
+                    emb.filter(F.col("vec_id") % 3 == r).withColumn(
+                        "cell", F.col("label")
+                    ),
+                    path, sort_cols=("vec_id",),
+                )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(f"appender: {e!r}")
+
+    def maintainer():
+        try:
+            for _ in range(3):
+                ivf_maintain(
+                    spark, path, split_fill_ratio=2.0, max_splits=2,
+                    seed_col="vec_id",
+                )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(f"maintainer: {e!r}")
+
+    ta = threading.Thread(target=appender)
+    tm = threading.Thread(target=maintainer)
+    ta.start()
+    tm.start()
+    ta.join()
+    tm.join()
+    assert errors == []
+    ivf_maintain(spark, path, split_fill_ratio=2.0, max_splits=2,
+                 seed_col="vec_id")
+    spark.catalog.refreshByPath(path)
+    assert read_ivf_cells(spark, path).count() == emb.count()  # no lost rows
+    assert not glob.glob(os.path.join(path, "._split_*.json"))
+    # every surviving cell dir is registered in the sidecar (probe-reachable)
+    import pyarrow.parquet as pq
+
+    from mcp_local_rag_spark.plans.ann_index import CENTROIDS_FILE
+
+    sidecar = {
+        int(r["cell"])
+        for r in pq.read_table(os.path.join(path, CENTROIDS_FILE)).to_pylist()
+    }
+    on_disk = {
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in glob.glob(os.path.join(path, "cell=*"))
+    }
+    assert on_disk <= sidecar, on_disk - sidecar

@@ -1106,3 +1106,71 @@ def test_txn_concurrent_writers_and_recovery_fuzz(tmp_path):
         assert set(vs) == set(range(1, cur + 1)), (t, sorted(vs)[:5], cur)
         for v in vs:
             assert read_manifest(t, v)["payload"] == want[t][v], (t, v)
+
+
+def test_maintenance_races_live_writer_and_converges(spark, tmp_path):
+    """table_maintain from cron while a writer loop merges (round 13,
+    the unit-scale twin of the WAREHOUSE_SCALE maintain_under_traffic
+    probe): no pass may abort a healthy writer (grace window), compaction
+    retries its version races, vacuum never reclaims a live dir — the
+    quiesced table carries exactly the declarative final state."""
+    from mcp_local_rag_spark.plans.maintain import table_maintain
+    from mcp_local_rag_spark.plans.merge import (
+        _current_raw,
+        create_merge_table,
+        list_versions,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "mt_traffic")
+    base = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("string").alias("grp"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    create_merge_table(base, path, "k", n_buckets=4)
+    errors: list = []
+    N = 5
+
+    def writer():
+        try:
+            for i in range(1, N + 1):
+                delta = spark.range(50).select(
+                    F.col("id").alias("k"),
+                    (F.col("id") % 5).cast("string").alias("grp"),
+                    F.lit(i).cast("long").alias("v"),
+                    F.lit(False).alias("is_delete"),
+                )
+                merge_into(
+                    spark, path, delta, delete_col="is_delete", max_retries=16
+                )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(f"writer: {e!r}")
+
+    def maintainer():
+        try:
+            for _ in range(4):
+                table_maintain(
+                    spark, path,
+                    vacuum_keep_versions=2, vacuum_grace_seconds=2.0,
+                )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(f"maint: {e!r}")
+
+    tw = threading.Thread(target=writer)
+    tm = threading.Thread(target=maintainer)
+    tw.start()
+    tm.start()
+    tw.join()
+    tm.join()
+    assert errors == []
+    table_maintain(spark, path, vacuum_keep_versions=2, vacuum_grace_seconds=2.0)
+    snap = read_snapshot(spark, path)
+    assert snap.count() == 300  # no lost rows
+    got = {r["k"]: r["v"] for r in snap.filter(F.col("k") < 50).collect()}
+    assert got == {k: N for k in range(50)}  # last merge won everywhere
+    assert {
+        r["v"] for r in snap.filter(F.col("k") >= 50).select("v").distinct().collect()
+    } == {0}
+    vs = list_versions(path)
+    assert _current_raw(path) == max(vs)
