@@ -454,9 +454,13 @@ def hybrid_search_batch(
         chunks, query_vecs, k, vec_col=vec_col, id_cols=id_cols,
         payload_cols=payload, scope=scope, max_distance=max_distance,
     ))
+    # EAGER materialization is load-bearing, not belt-and-braces: the
+    # keyword chain references this cache from broadcast-build futures
+    # that run CONCURRENTLY — racing an unmaterialized cache, each future
+    # re-runs the corpus scan + top-k (a 14 s pile-up at the 10x replica)
+    cands.count()
     # grouping=None must not re-persist the same frame (a second cache of
-    # identical bytes plus its materialization job); the first consumer
-    # below materializes the one cache lazily
+    # identical bytes plus its materialization job)
     grouped = cands if grouping is None else persisted(grouping_filter(
         cands, grouping, id_cols=id_cols, part_cols=("query_id",)
     ))
@@ -469,33 +473,34 @@ def hybrid_search_batch(
     if pairs:
         from .bm25 import bm25_term_score
 
-        # Job discipline (round 13): every frame on the keyword side is
-        # bounded — the term list, the pruned postings rows for those
-        # terms, and the per-(query, candidate) scores — so the whole
-        # boost chain runs as BROADCAST joins against the candidate set:
-        # zero shuffles of `grouped`, and per-term df folds into the
-        # matched frame as a window instead of a separate aggregate +
-        # broadcast build (one less job). 23 -> ~14 jobs on the sf0.1
-        # bench, value-identical (size(collect_set(struct(ids))) is the
-        # same exact distinct-tuple count as countDistinct(ids)).
-        terms_df = F.broadcast(
-            spark.createDataFrame(pairs, "query_id string, term string")
-        )
+        # Job discipline (round 13): the BOUNDED side broadcasts. The
+        # candidate set (<= 2k rows/query) crossed with the term list is
+        # small by construction, so it broadcasts INTO the pruned
+        # postings scan; the postings rows for the query's terms are
+        # CORPUS-proportional (a hot term matches O(corpus) documents)
+        # and must stay distributed AND uncached — broadcasting or
+        # persisting them was a 14 s regression at the 10x replica and a
+        # scale-killer at 100 TB. Per-term df stays a map-side-combinable
+        # aggregate over the pruned scan (a window-over-term variant read
+        # nicer on paper but runs inside kw's CACHED — hence non-AQE —
+        # plan, where it cost 4 s at the 10x replica vs the aggregate's
+        # ~0.5). Net on the sf0.1 bench: 23 -> ~15 jobs, zero shuffles of
+        # the candidate frame, and matched is two pruned scans instead of
+        # a corpus-proportional cache.
+        terms_df = spark.createDataFrame(pairs, "query_id string, term string")
         all_terms = sorted({t for _, t in pairs})
         if postings is None:
             # one tokenize for the whole batch — amortized over N queries,
-            # where the single-query path would prefer the scan scorer
-            postings = build_postings(
+            # where the single-query path would prefer the scan scorer.
+            # Persisted: unlike the indexed shape, BOTH matched readers
+            # would otherwise re-run the full-corpus tokenize
+            postings = persisted(build_postings(
                 chunks, id_cols=id_cols, text_col=text_col
-            )
-        matched = F.broadcast(
-            postings.filter(F.col("term").isin(all_terms)).withColumn(
-                "_df",
-                F.size(
-                    F.collect_set(F.struct(*id_cols)).over(
-                        Window.partitionBy("term")
-                    )
-                ),
+            ))
+        matched = postings.filter(F.col("term").isin(all_terms))
+        dfreq = F.broadcast(
+            matched.groupBy("term").agg(
+                F.countDistinct(*id_cols).alias("_df")
             )
         )
         if bm25_stats is not None:
@@ -508,10 +513,11 @@ def hybrid_search_batch(
                 .agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
             )
             n_col, avgdl_col = F.col("_n"), F.col("_avgdl")
-        scored = (
-            grouped.select("query_id", *id_cols)
-            .join(terms_df, "query_id")
-            .join(matched, [*id_cols, "term"])
+        cand_terms = F.broadcast(
+            grouped.select("query_id", *id_cols).join(terms_df, "query_id")
+        )
+        scored = matched.join(cand_terms, [*id_cols, "term"]).join(
+            dfreq, "term"
         )
         if stats_join is not None:
             scored = scored.crossJoin(F.broadcast(stats_join))
