@@ -127,6 +127,17 @@ class RagEngine:
         self._intent_ann: dict | None = None
         self._load_index_intent()
 
+    def _attributed(self):
+        """attribute_mutations for this engine's table — or a no-op when
+        the postings index is opted out (postings_path=None): with no
+        intent consumer, recording version chains would only grow an
+        orphan sidecar nothing ever clears."""
+        from contextlib import nullcontext
+
+        if self.postings_path is None:
+            return nullcontext()
+        return attribute_mutations(self.table_path)
+
     def _mark_index_dirty(
         self,
         *,
@@ -212,13 +223,23 @@ class RagEngine:
             self.optimize()
             report["fts"] = True
         if self._intent_ann is not None and self._exists():
-            ann = self._intent_ann
-            self.build_ann_index(
-                ann.get("n_cells"),
-                pq=bool(ann.get("pq")),
-                pq_m=int(ann.get("pq_m") or 8),
-            )
-            report["ann"] = True
+            if self.ann_index_is_fresh():
+                # crash landed between the covers stamp and the intent
+                # clear: the stamp proves the build completed — clearing
+                # the record is the whole recovery, never an O(corpus)
+                # rebuild for an O(1) problem
+                from .plans.engine_txn import clear_ann_intent
+
+                clear_ann_intent(self.table_path)
+                self._intent_ann = None
+            else:
+                ann = self._intent_ann
+                self.build_ann_index(
+                    ann.get("n_cells"),
+                    pq=bool(ann.get("pq")),
+                    pq_m=int(ann.get("pq_m") or 8),
+                )
+                report["ann"] = True
         return report
 
     def _index_covers_table(self) -> bool:
@@ -544,7 +565,7 @@ class RagEngine:
         chunks, _ = ingest_directory(self.spark, root, dim=ed, backend=eb)
         mode = "append" if self._exists() else "overwrite"
         self._mark_index_dirty(full=True)
-        with attribute_mutations(self.table_path):
+        with self._attributed():
             write_chunks(chunks, self.table_path, mode=mode, backend=eb, dim=ed)
         self.spark.catalog.refreshByPath(self.table_path)
         self.optimize()
@@ -630,7 +651,7 @@ class RagEngine:
                 f"no chunks produced for {file_path}; existing rows left intact"
             )
         self._mark_index_dirty(upserts=[file_path])
-        with attribute_mutations(self.table_path):
+        with self._attributed():
             if self._exists():
                 delete_document(spark, self.table_path, file_path)
             mode = "append" if self._exists() else "overwrite"
@@ -700,7 +721,7 @@ class RagEngine:
                 f"no chunks produced for {source}; existing rows left intact"
             )
         self._mark_index_dirty(upserts=[path])
-        with attribute_mutations(self.table_path):
+        with self._attributed():
             if self._exists():
                 delete_document(self.spark, self.table_path, path)
             mode = "append" if self._exists() else "overwrite"
@@ -780,7 +801,7 @@ class RagEngine:
         self._mark_index_dirty(
             upserts=new_paths, deletes=set(stale) - new_paths
         )
-        with attribute_mutations(self.table_path):
+        with self._attributed():
             if stale:
                 delete_documents(spark, self.table_path, stale)
             mode = "append" if self._exists() else "overwrite"
@@ -841,7 +862,7 @@ class RagEngine:
         # leaves the path in the dirty sets, which the next optimize()
         # re-derives as a no-op — conservative, never wrong
         self._mark_index_dirty(deletes=[file_path])
-        with attribute_mutations(self.table_path):
+        with self._attributed():
             n = delete_document(self.spark, self.table_path, file_path)
         return n
 
@@ -1093,7 +1114,7 @@ class RagEngine:
                 # ALL stored spellings of the SUCCESSFULLY re-parsed keys
                 # go in ONE DataFrame-native batched delete (anti-join
                 # bucket rewrite, one dynamic-partition-overwrite job).
-                with attribute_mutations(self.table_path):
+                with self._attributed():
                     delete_documents_df(
                         spark,
                         self.table_path,
@@ -1104,7 +1125,7 @@ class RagEngine:
                     )
             if produced:
                 mode = "append" if self._exists() else "overwrite"
-                with attribute_mutations(self.table_path):
+                with self._attributed():
                     write_chunks(new_chunks, self.table_path, mode=mode, backend=eb, dim=ed)
                 spark.catalog.refreshByPath(self.table_path)
             new_chunks.unpersist()
@@ -1123,7 +1144,7 @@ class RagEngine:
                 self._mark_index_dirty(deletes=pruned)
             else:
                 self._mark_index_dirty(full=True)
-            with attribute_mutations(self.table_path):
+            with self._attributed():
                 delete_documents_df(
                     spark, self.table_path, prune_df, case_fold=CASE_FOLD_KEYS
                 )
@@ -1159,7 +1180,7 @@ class RagEngine:
                         self._mark_index_dirty(deletes=pruned)
                     else:
                         self._mark_index_dirty(full=True)
-                    with attribute_mutations(self.table_path):
+                    with self._attributed():
                         delete_documents_df(
                             spark, self.table_path, stale_df, case_fold=CASE_FOLD_KEYS
                         )

@@ -281,6 +281,28 @@ class HybridSearchServer:
                     "source": path_to_source(r["filePath"], self._db_path),
                 }
             )
+        # stamp re-check: the payload/stats/term caches load LAZILY during
+        # the query (steps 6-9), so a mutation landing mid-query can fill
+        # them with newer rows than the _loaded_version label claims — a
+        # later at_version pin would then serve that contaminated cache
+        # forever as "the pinned snapshot". If the stamp moved, drop every
+        # cache (nothing mislabeled survives; next query reloads) and fail
+        # a PINNED read instead of lying.
+        if table_content_stamp(self._table) != tv:
+            self._payload = None
+            self._pdataset = None
+            self._stats = None
+            self._term_cache = {}
+            self._loaded_version = None
+            self._vec.invalidate()
+            if at_version is not None:
+                from .staleness import StaleServingError
+
+                raise StaleServingError(
+                    f"hybrid serving snapshot: the table moved past pinned "
+                    f"version {at_version!r} during the read; re-pin to the "
+                    "new stamp"
+                )
         return rows
 
     def _bm25(

@@ -89,18 +89,30 @@ class VectorSearchServer:
             # (table_content_stamp), so None == None can never pin a stale
             # snapshot — and an unversioned table still serves warm
             # (reloads only when the files actually changed)
-            if snap[4] == current:
+            if snap[4] is not None and snap[4] == current:
                 return snap[:4]
             self._snap = None
         import pyarrow.dataset as ds
 
-        # the stamp was read BEFORE the data: a mutation landing mid-read
-        # makes the data at-or-newer than the recorded stamp, so the next
-        # query's stamp compare reloads (conservative). Stamping AFTER
-        # the read could record a new stamp over old data and pin it.
-        tbl = ds.dataset(self._path, format="parquet").to_table(
-            columns=["filePath", "chunkIndex", "vector"]
-        )
+        # Stamp STABILITY loop: the stamp is read before AND after the
+        # data read, and the snapshot is labeled only when they agree —
+        # labeling with the pre-read stamp alone would let a mutation
+        # landing mid-read produce newer data cached under the old
+        # stamp, which an at_version pin then serves FOREVER as "the
+        # pinned snapshot" (the unpinned path self-heals next query;
+        # the pinned path never re-checks). A load that cannot stabilize
+        # is labeled None: servable now, never cacheable or pinnable.
+        tbl = None
+        for _ in range(4):
+            tbl = ds.dataset(self._path, format="parquet").to_table(
+                columns=["filePath", "chunkIndex", "vector"]
+            )
+            post = table_version(self._path)
+            if post == current:
+                break
+            current = post
+        else:
+            current = None
         vec = tbl["vector"].combine_chunks()
         n = len(tbl)
         if n == 0:
@@ -111,18 +123,25 @@ class VectorSearchServer:
                 np.array([], dtype=np.int64),
                 current,
             )
-            self._snap = snap
-            return snap[:4]
-        flat = vec.flatten().to_numpy(zero_copy_only=False)
-        mat = np.asarray(flat, dtype=np.float64).reshape(n, -1)
-        paths = np.asarray(tbl["filePath"].to_pylist(), dtype=object)
-        idx = tbl["chunkIndex"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # the tie-break order (filePath asc, chunkIndex asc) is fixed per
-        # snapshot — precompute each row's rank in it once so per-query
-        # ordering works on ints, not strings
-        order = np.lexsort((idx, paths)).argsort()
-        snap = (mat, paths, idx, order, current)
+        else:
+            flat = vec.flatten().to_numpy(zero_copy_only=False)
+            mat = np.asarray(flat, dtype=np.float64).reshape(n, -1)
+            paths = np.asarray(tbl["filePath"].to_pylist(), dtype=object)
+            idx = tbl["chunkIndex"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # the tie-break order (filePath asc, chunkIndex asc) is fixed
+            # per snapshot — precompute each row's rank in it once so
+            # per-query ordering works on ints, not strings
+            order = np.lexsort((idx, paths)).argsort()
+            snap = (mat, paths, idx, order, current)
         self._snap = snap
+        if at_version is not None and str(current) != str(at_version):
+            from .staleness import StaleServingError
+
+            raise StaleServingError(
+                f"vector serving snapshot: the table moved past pinned "
+                f"version {at_version!r} during the load (now at "
+                f"{current!r}); the pin is no longer reachable"
+            )
         return snap[:4]
 
     def query(

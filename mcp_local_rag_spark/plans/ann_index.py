@@ -19,9 +19,6 @@ from __future__ import annotations
 
 import json
 import os
-import threading
-from contextlib import contextmanager
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,10 +26,7 @@ META_FILE = "_ann_meta.json"
 CENTROIDS_FILE = "_centroids.parquet"
 MAINT_LOCK_FILE = "._ivf_maint.lock"
 
-_MAINT_LOCAL = threading.local()
 
-
-@contextmanager
 def _maintenance_lock(path: str):
     """Serialize IVF maintenance per index: every verb that can observe
     or resolve a split marker takes an exclusive flock on
@@ -45,25 +39,9 @@ def _maintenance_lock(path: str):
     recovery needs no grace heuristics. Reentrant within a thread
     (ivf_maintain -> split_ivf_cell -> recover_ivf_splits); concurrent
     threads and processes queue on the flock."""
-    import fcntl
+    from .locks import flock_dir
 
-    key = os.path.realpath(path)
-    held = getattr(_MAINT_LOCAL, "held", None)
-    if held is None:
-        held = _MAINT_LOCAL.held = set()
-    if key in held:
-        yield
-        return
-    fd = os.open(os.path.join(path, MAINT_LOCK_FILE), os.O_CREAT | os.O_RDWR, 0o644)
-    try:
-        fcntl.flock(fd, fcntl.LOCK_EX)
-        held.add(key)
-        try:
-            yield
-        finally:
-            held.discard(key)
-    finally:
-        os.close(fd)
+    return flock_dir(path, MAINT_LOCK_FILE, reentrant=True)
 
 
 def _with_maintenance_lock(fn):

@@ -60,7 +60,11 @@ def table_maintain(
     (healed version, txn recovery counts, compacted-to version, removed
     dirs). Idempotent: a second immediate pass is a metadata-only no-op.
     """
-    healed = repair_current(table_path)
+    # the heal honors the SAME grace window as the txn sweep below: a
+    # cron pass finding a young undecided transaction via the table's own
+    # manifests must not abort its healthy coordinator either — only a
+    # colliding WRITER takes that trade (it has a version number to win)
+    healed = repair_current(table_path, inflight_grace=txn_grace_seconds)
     recovered = None
     if txn_log is not None:
         from .txn import recover_txns
@@ -83,11 +87,15 @@ def table_maintain(
     for _ in range(3):
         try:
             compacted = compact_snapshots(
-                spark, table_path, max_dirs=compact_max_dirs
+                spark, table_path, max_dirs=compact_max_dirs,
+                inflight_grace=txn_grace_seconds,
             )
             break
         except ConcurrentCommitError:
-            repair_current(table_path)
+            # still graced: losing the version race to a PREPARED txn
+            # manifest means deferring compaction this cycle, not
+            # aborting the healthy coordinator that owns it
+            repair_current(table_path, inflight_grace=txn_grace_seconds)
     removed = vacuum(
         table_path,
         keep_versions=vacuum_keep_versions,

@@ -39,6 +39,7 @@ import json
 import os
 import shutil
 import threading
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -101,27 +102,16 @@ def current_version(table_path: str) -> int:
     return _current_raw(table_path)
 
 
-from contextlib import contextmanager
-
-
-@contextmanager
 def _snap_lock(snap_dir: str):
     """Exclusive per-table flock over the snapshot metadata — serializes
     CURRENT flips and marker-checked manifest unlinks (plans/txn.
     unlink_if_marked). Writers publishing manifests do NOT take it: they
     only CREATE names via O_EXCL link, so the lock's read-then-act
-    critical sections can never observe a name mutating under them."""
-    import fcntl
+    critical sections can never observe a name mutating under them.
+    Non-reentrant by design: no snapshot critical section nests."""
+    from .locks import flock_dir
 
-    os.makedirs(snap_dir, exist_ok=True)
-    fd = os.open(
-        os.path.join(snap_dir, ".CURRENT.lock"), os.O_CREAT | os.O_RDWR, 0o644
-    )
-    try:
-        fcntl.flock(fd, fcntl.LOCK_EX)
-        yield
-    finally:
-        os.close(fd)
+    return flock_dir(snap_dir, ".CURRENT.lock")
 
 
 def _flip_current(table_path: str, version: int) -> bool:
@@ -218,7 +208,9 @@ def _commit(table_path: str, manifest: dict, version: int) -> None:
     _flip_current(table_path, version)
 
 
-def repair_current(table_path: str) -> int | None:
+def repair_current(
+    table_path: str, *, inflight_grace: float | None = None
+) -> int | None:
     """Roll CURRENT forward to the newest complete manifest — the
     recovery path for a writer that crashed AFTER publishing v{N}.json
     but BEFORE flipping the pointer. Without this, every future writer
@@ -238,7 +230,15 @@ def repair_current(table_path: str) -> int | None:
     means a concurrent writer ABORTS a transaction still preparing:
     transactions are short by construction, data is written before the
     first prepare). Aborted manifests are unlinked, freeing their
-    version numbers."""
+    version numbers.
+
+    ``inflight_grace`` is the MAINTENANCE caller's posture (plans/
+    maintain.table_maintain): a cron sweep has no version number to
+    fight for, so unlike a colliding writer it must not abort a healthy
+    coordinator mid-prepare — an undecided transaction whose prepared
+    manifest is younger than the grace window is left alone (the repair
+    stops short of it and returns). Writers keep the default None:
+    abort-to-make-progress is their designed trade."""
     advanced = None
     while True:
         versions = list_versions(table_path)
@@ -279,7 +279,26 @@ def repair_current(table_path: str) -> int | None:
                 return advanced
             from .txn import resolve_txn, unlink_if_marked
 
-            rec = resolve_txn(txn_info)
+            if inflight_grace is not None:
+                rec = resolve_txn(txn_info, abort_inflight=False)
+                if rec["state"] == "inflight":
+                    try:
+                        age = max(
+                            0.0,
+                            time.time()
+                            - os.path.getmtime(
+                                _snap_path(table_path, newest)
+                            ),
+                        )
+                    except FileNotFoundError:
+                        continue
+                    if inflight_grace > 0 and age < inflight_grace:
+                        # young undecided txn: defer — the cron pass
+                        # must not kill a live coordinator
+                        return advanced
+                    rec = resolve_txn(txn_info)
+            else:
+                rec = resolve_txn(txn_info)
             if rec["state"] != "commit":
                 # aborted (or in-flight, now aborted by us): free the
                 # version number and re-evaluate what is newest. The
@@ -1102,7 +1121,11 @@ def read_changes(
 
 
 def compact_snapshots(
-    spark: SparkSession, table_path: str, *, max_dirs: int = 1
+    spark: SparkSession,
+    table_path: str,
+    *,
+    max_dirs: int = 1,
+    inflight_grace: float | None = None,
 ) -> int | None:
     """Rewrite the CURRENT snapshot into one fresh data version when its
     live files are scattered across more than ``max_dirs`` data dirs —
@@ -1113,8 +1136,18 @@ def compact_snapshots(
     keep pointing at the old dirs until `vacuum` retires them.
 
     Returns the new version, or None when already compact (no job runs).
+
+    ``inflight_grace``: the maintenance posture (see repair_current) —
+    the opening heal defers a young undecided transaction instead of
+    aborting its healthy coordinator; the compaction then either loses
+    the version race to the prepared manifest (ConcurrentCommitError,
+    the cron caller skips this cycle) or proceeds normally.
     """
-    manifest = _writer_manifest(table_path)
+    if inflight_grace is not None:
+        repair_current(table_path, inflight_grace=inflight_grace)
+        manifest = read_manifest(table_path)
+    else:
+        manifest = _writer_manifest(table_path)
     if len(set(manifest["buckets"].values())) <= max_dirs:
         return None
     key, nb = manifest["key"], manifest["n_buckets"]

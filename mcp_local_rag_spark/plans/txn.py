@@ -282,10 +282,14 @@ def recover_txns(
         rec = resolve_txn({"log": log_dir, "id": txn_id}, abort_inflight=False)
         if rec["state"] == "inflight":
             try:
-                age = now - os.path.getmtime(path)
+                # clamp: clock skew / a log dir copied from another host
+                # can put an intent mtime in the FUTURE — a negative age
+                # must not defer under grace_seconds=0, whose documented
+                # contract is the original decide-everything sweep
+                age = max(0.0, now - os.path.getmtime(path))
             except FileNotFoundError:
                 continue
-            if age < grace_seconds:
+            if grace_seconds > 0 and age < grace_seconds:
                 deferred.append(txn_id)
                 live_intents.add(txn_id)
                 continue

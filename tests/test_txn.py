@@ -558,9 +558,13 @@ def test_table_maintain_one_pass(spark, tmp_path):
     with open(os.path.join(src, "_snapshots", "CURRENT"), "w") as f:
         f.write(str(cur - 1))
 
+    # txn_grace_seconds=0: this pass models an OPERATOR-invoked
+    # decide-everything-now sweep (the dead txn's intent is seconds old —
+    # the cron default of 600 s would rightly defer it; that posture is
+    # pinned by test_recover_grace_window_defers_live_txn)
     report = table_maintain(
-        spark, src, txn_log=log, vacuum_grace_seconds=0,
-        protect_consumers=[idx],
+        spark, src, txn_log=log, txn_grace_seconds=0,
+        vacuum_grace_seconds=0, protect_consumers=[idx],
     )
     assert report["healed_to"] == cur
     assert report["txns"]["aborted"] and not report["txns"]["committed"]
@@ -573,8 +577,8 @@ def test_table_maintain_one_pass(spark, tmp_path):
     assert len(set(m["buckets"].values())) == 1  # compact
     # second pass: metadata-only no-op
     report2 = table_maintain(
-        spark, src, txn_log=log, vacuum_grace_seconds=0,
-        protect_consumers=[idx],
+        spark, src, txn_log=log, txn_grace_seconds=0,
+        vacuum_grace_seconds=0, protect_consumers=[idx],
     )
     assert report2["healed_to"] is None
     assert report2["compacted_to"] is None
@@ -1174,3 +1178,56 @@ def test_maintenance_races_live_writer_and_converges(spark, tmp_path):
     } == {0}
     vs = list_versions(path)
     assert _current_raw(path) == max(vs)
+
+
+def test_graced_maintenance_never_aborts_live_coordinator(spark, tmp_path):
+    """The round-13 review finding: table_maintain's opening
+    repair_current used to insta-abort a healthy in-flight transaction
+    found via the table's own prepared manifest — before the graced
+    recover_txns got a say. With the maintenance grace applied to the
+    heal too, a cron pass defers the young txn and the coordinator
+    commits normally afterwards."""
+    from mcp_local_rag_spark.plans.maintain import table_maintain
+    from mcp_local_rag_spark.plans.merge import _ACTIVE_TXN, repair_current
+    from mcp_local_rag_spark.plans.txn import _write_intent
+    import uuid as _uuid
+
+    src, idx = _mk(spark, tmp_path)
+    log = str(tmp_path / "txlog")
+    txn = {"id": _uuid.uuid4().hex, "log": os.path.abspath(log),
+           "prepared": {}, "_on_prepare": _write_intent}
+    token = _ACTIVE_TXN.set(txn)
+    try:
+        merge_into(
+            spark, src,
+            _batch(spark, [Row(k=707, grp="g", v=7, is_delete=False)]),
+            delete_col="is_delete",
+        )
+        # cron fires mid-prepare (inside the coordinator's open window,
+        # simulated from its own thread with the context masked)
+        outcome = {}
+
+        def cron():
+            outcome["report"] = table_maintain(
+                spark, src, txn_log=log,
+                txn_grace_seconds=600.0, vacuum_grace_seconds=600.0,
+            )
+
+        t = threading.Thread(target=cron)
+        t.start()
+        t.join()
+        assert outcome["report"]["healed_to"] is None  # deferred, not adopted
+        assert outcome["report"]["txns"]["deferred"] == [txn["id"]]
+        assert outcome["report"]["txns"]["aborted"] == []
+        # the prepared manifest survived the pass
+        assert 2 in list_versions(src)
+        # coordinator still alive: publish the record and flip
+        from mcp_local_rag_spark.plans.txn import _publish_record
+
+        tables = {t_: vs[-1] for t_, vs in txn["prepared"].items()}
+        assert _publish_record(txn["log"], txn["id"], "commit", tables)
+    finally:
+        _ACTIVE_TXN.reset(token)
+    repair_current(src)  # anyone's later access finishes the flip
+    assert current_version(src) == 2
+    assert 707 in {r["k"] for r in read_snapshot(spark, src).collect()}
