@@ -223,11 +223,16 @@ class RagEngine:
             self.optimize()
             report["fts"] = True
         if self._intent_ann is not None and self._exists():
-            if self.ann_index_is_fresh():
+            if self.ann_index_is_fresh() and self._ann_intent_satisfied(
+                self._intent_ann
+            ):
                 # crash landed between the covers stamp and the intent
-                # clear: the stamp proves the build completed — clearing
-                # the record is the whole recovery, never an O(corpus)
-                # rebuild for an O(1) problem
+                # clear: the stamp proves A build completed, and the
+                # parameter check proves it was THIS build (a fresh stamp
+                # alone would also describe a pre-existing index when a
+                # parameter-changing rebuild crashed before its write) —
+                # clearing the record is the whole recovery, never an
+                # O(corpus) rebuild for an O(1) problem
                 from .plans.engine_txn import clear_ann_intent
 
                 clear_ann_intent(self.table_path)
@@ -241,6 +246,31 @@ class RagEngine:
                 )
                 report["ann"] = True
         return report
+
+    def _ann_intent_satisfied(self, ann: dict) -> bool:
+        """Whether the built index matches the intent's recorded BUILD
+        PARAMETERS — the covers stamp only proves some build finished;
+        a crashed parameter-changing rebuild (new n_cells, pq=True) on
+        an unmoved table would otherwise be silently discarded."""
+        from .plans.ann_index import read_index_meta
+
+        try:
+            meta = read_index_meta(self.ann_index_path)
+        except (FileNotFoundError, ValueError):
+            return False
+        want_cells = ann.get("n_cells")
+        if want_cells is not None and int(
+            meta.get("n_cells") or -1
+        ) != int(want_cells):
+            return False
+        if ann.get("pq"):
+            from .operators.pq import read_pq_sidecar
+
+            try:
+                read_pq_sidecar(self.ann_index_path)
+            except FileNotFoundError:
+                return False
+        return True
 
     def _index_covers_table(self) -> bool:
         from .plans.fts import index_has_data, read_fts_stats

@@ -89,6 +89,10 @@ class HybridSearchServer:
         self._pdataset = None
         self._stats = None
         self._term_cache = {}
+        # the version label goes with the caches it labels — keeping it
+        # would let a pinned read find a "cached" version whose payload
+        # is gone and lazily re-fill it from a NEWER table state
+        self._loaded_version = None
 
     # -- snapshot loads ----------------------------------------------------
 
@@ -227,6 +231,24 @@ class HybridSearchServer:
             self._stats = None
             self._term_cache = {}
             self._loaded_version = tv
+        # whether this query can touch the chunks table lazily: a warm
+        # payload means steps 6-9 read only resident caches (+ the vector
+        # snap, which carries its own stamp-stability protection), so a
+        # stamp moving mid-query cannot contaminate anything
+        payload_was_warm = self._payload is not None
+        if pinned_cache and not payload_was_warm and str(tv) != str(at_version):
+            # belt-and-braces: the label matches the pin but its payload
+            # cache is gone (a crash mid-query can leave that state) and
+            # the table has moved — re-filling would read CURRENT rows
+            # into a cache labeled with the pin
+            from .staleness import StaleServingError
+
+            raise StaleServingError(
+                f"hybrid serving snapshot: pinned version {at_version!r} "
+                "is labeled resident but its payload cache is gone and "
+                f"the table moved on (now {tv!r}); re-pin to a reachable "
+                "stamp"
+            )
         qv = embed_query(query_text, dim, backend)
         terms = [t for t in re.split(r"[^a-z0-9]+", query_text.lower()) if t]
 
@@ -281,14 +303,16 @@ class HybridSearchServer:
                     "source": path_to_source(r["filePath"], self._db_path),
                 }
             )
-        # stamp re-check: the payload/stats/term caches load LAZILY during
-        # the query (steps 6-9), so a mutation landing mid-query can fill
-        # them with newer rows than the _loaded_version label claims — a
-        # later at_version pin would then serve that contaminated cache
-        # forever as "the pinned snapshot". If the stamp moved, drop every
-        # cache (nothing mislabeled survives; next query reloads) and fail
-        # a PINNED read instead of lying.
-        if table_content_stamp(self._table) != tv:
+        # stamp re-check, ONLY for queries that lazy-loaded the payload:
+        # a mutation landing mid-load can fill the cache with newer rows
+        # than the _loaded_version label claims — a later at_version pin
+        # would then serve that contaminated cache forever as "the pinned
+        # snapshot". If the stamp moved under a lazy load, drop every
+        # cache (nothing mislabeled survives; next query reloads) and
+        # fail a PINNED read instead of lying. A warm-cache read touched
+        # nothing newer, so pinned batches keep serving their snapshot
+        # while ingests land — the advertised contract.
+        if not payload_was_warm and table_content_stamp(self._table) != tv:
             self._payload = None
             self._pdataset = None
             self._stats = None

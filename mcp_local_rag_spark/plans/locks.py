@@ -21,10 +21,17 @@ _HELD = threading.local()
 
 
 @contextmanager
-def flock_dir(path: str, lockname: str, *, reentrant: bool = False):
+def flock_dir(
+    path: str, lockname: str, *, reentrant: bool = False, create: bool = False
+):
     """Exclusive flock on ``<path>/<lockname>`` for the block. With
     ``reentrant=True`` a thread already holding this (path, lockname)
-    passes straight through (the outermost frame owns the fd)."""
+    passes straight through (the outermost frame owns the fd).
+    ``create=False`` (default) raises FileNotFoundError on a missing
+    directory instead of conjuring a phantom one containing only the
+    lock file — existence probes elsewhere (isdir guards on index paths)
+    must not start passing because somebody tried to LOCK a
+    never-built artifact."""
     import fcntl
 
     key = (os.path.realpath(path), lockname)
@@ -34,7 +41,8 @@ def flock_dir(path: str, lockname: str, *, reentrant: bool = False):
     if reentrant and key in held:
         yield
         return
-    os.makedirs(path, exist_ok=True)
+    if create:
+        os.makedirs(path, exist_ok=True)
     fd = os.open(os.path.join(path, lockname), os.O_CREAT | os.O_RDWR, 0o644)
     try:
         fcntl.flock(fd, fcntl.LOCK_EX)

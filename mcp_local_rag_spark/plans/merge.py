@@ -111,7 +111,7 @@ def _snap_lock(snap_dir: str):
     Non-reentrant by design: no snapshot critical section nests."""
     from .locks import flock_dir
 
-    return flock_dir(snap_dir, ".CURRENT.lock")
+    return flock_dir(snap_dir, ".CURRENT.lock", create=True)
 
 
 def _flip_current(table_path: str, version: int) -> bool:
@@ -1145,7 +1145,20 @@ def compact_snapshots(
     """
     if inflight_grace is not None:
         repair_current(table_path, inflight_grace=inflight_grace)
-        manifest = read_manifest(table_path)
+        try:
+            manifest = read_manifest(table_path)
+        except FileNotFoundError:
+            # a table whose FIRST-ever commit is a deferred young txn has
+            # manifests but no CURRENT: nothing committed to compact, and
+            # the cron pass must keep going (vacuum still runs)
+            return None
+        versions = list_versions(table_path)
+        if versions and versions[-1] > manifest["version"]:
+            # a deferred prepared manifest already holds the next version
+            # number: the rewrite would be a guaranteed O(table) job
+            # thrown away at the O_EXCL collision — skip this cycle for
+            # the cost of the directory listing the heal already did
+            return None
     else:
         manifest = _writer_manifest(table_path)
     if len(set(manifest["buckets"].values())) <= max_dirs:
