@@ -1366,7 +1366,30 @@ def _recovered_engine_table(spark: SparkSession, sf_dir: str) -> str:
     done = os.path.join(path, "_done.json")
     if os.path.isfile(done):
         return table
-    shutil.rmtree(path, ignore_errors=True)
+    # two sweeps (full + vanilla twin) can hit the same sf scratch
+    # concurrently: the build runs under a flock, the loser re-checks the
+    # done marker instead of rmtree-ing the winner's files mid-read
+    from ..plans.locks import flock_dir
+
+    os.makedirs(path, exist_ok=True)
+    with flock_dir(path, "._build.lock", create=True):
+        return _build_recovered_engine_table(spark, sf_dir, path, table, done)
+
+
+def _build_recovered_engine_table(
+    spark: SparkSession, sf_dir: str, path: str, table: str, done: str
+) -> str:
+    import json
+    import shutil
+
+    from ..engine import RagEngine
+    from ..plans.engine_txn import read_intent
+    from ..plans.fts import read_postings, write_postings
+
+    if os.path.isfile(done):
+        return table  # built while we waited on the lock
+    for sub in ("files", "chunks", "chunks_fts", "chunks_ann", "ref_fts"):
+        shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
     files = os.path.join(path, "files")
     os.makedirs(files)
     ids = sorted(
