@@ -99,21 +99,38 @@ def _append_chunk_batch(
     (plans/fts.refresh_postings) is for batch upsert/delete. A first batch
     against a missing index bootstraps it bucket-aligned with the chunks
     table so later batch refreshes stay document-aligned."""
+    from contextlib import nullcontext
+
     from ..plans.fts import write_postings
-    from ..plans.ingest import table_n_buckets, write_chunks
+    from ..plans.ingest import attribute_mutations, table_n_buckets, write_chunks
 
     nb = table_n_buckets(table_path)
-    if postings_path is not None:
-        # the batch is read twice (chunks append + postings build); without
-        # a persist the WHOLE upstream pipeline — parse, chunk, and the
-        # embedding passes, the dominant cost — would re-execute for the
-        # second write
+    attributed = postings_path is not None
+    if attributed:
+        # the batch is read three times (intent paths + chunks append +
+        # postings build); without a persist the WHOLE upstream pipeline —
+        # parse, chunk, and the embedding passes, the dominant cost —
+        # would re-execute for each
         chunks = chunks.persist()
+        # cooperating-writer protocol (plans/engine_txn, round 13): the
+        # watcher records the batch's paths BEFORE mutating and runs its
+        # bumps attributed, so a crash between the chunks append and the
+        # postings append/stamp leaves a PROVEN intent — a restarted
+        # engine on this table recovers with a bounded refresh of these
+        # paths instead of the full O(corpus) rebuild an unattributed
+        # covers-mismatch forces
+        from ..plans.engine_txn import clear_fts_intent, publish_intent
+
+        batch_paths = {
+            r["filePath"] for r in chunks.select("filePath").distinct().collect()
+        }
+        publish_intent(table_path, paths=batch_paths)
     # the SAME append discipline as batch ingest (one sorted file per
     # bucket) — a hand-rolled partitionBy here would write one unsorted
     # file per (task, bucket) pair each micro-batch and break the
     # row-group pruning neighbor reads rely on
-    write_chunks(chunks, table_path, mode="append")
+    with attribute_mutations(table_path) if attributed else nullcontext():
+        write_chunks(chunks, table_path, mode="append")
     if postings_path is not None:
         mode = "append" if os.path.isdir(postings_path) else "overwrite"
         write_postings(
@@ -132,6 +149,8 @@ def _append_chunk_batch(
                 table_n_buckets(postings_path),
                 extra={"covers_table_version": tv},
             )
+        # stamp landed: the batch's crash window is closed
+        clear_fts_intent(table_path)
 
 
 def stream_ingest(

@@ -267,3 +267,67 @@ def test_sync_crash_recovers_bounded(spark, tmp_path, docs_dir):
         .collect()
     }
     assert got == want
+
+
+def test_watcher_batch_crash_recovers_bounded(spark, tmp_path, docs_dir, monkeypatch):
+    """The streaming watcher is a COOPERATING writer (round 13): its
+    micro-batch sink publishes the batch's paths as an intent and runs
+    its bumps attributed, so a crash between the chunks append and the
+    postings append leaves a proven bounded-recovery record — a restarted
+    engine re-derives exactly the batch's paths, never the full corpus."""
+    import mcp_local_rag_spark.streaming.watch as watch_mod
+    from mcp_local_rag_spark.plans.engine_txn import read_intent
+    from mcp_local_rag_spark.plans.ingest import build_chunks
+
+    eng, table = _mk_engine(spark, tmp_path, docs_dir)
+
+    docs = spark.createDataFrame(
+        [(
+            "/stream/w1.md",
+            "A streamed document about watermark semantics in micro batches.",
+            "W1", "h-w1", 63,
+        )],
+        "path string, text string, title string, contentHash string, length long",
+    )
+    batch = build_chunks(docs, dim=64, backend="pseudo")
+
+    real_wp = watch_mod.__dict__  # write_postings is imported inside the fn
+    import mcp_local_rag_spark.plans.fts as fts_mod
+
+    real = fts_mod.write_postings
+    monkeypatch.setattr(
+        fts_mod, "write_postings",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("killed mid-batch")),
+    )
+    with pytest.raises(RuntimeError, match="killed mid-batch"):
+        watch_mod._append_chunk_batch(batch, table, eng.postings_path, "unigram")
+    monkeypatch.setattr(fts_mod, "write_postings", real)
+
+    it = read_intent(table)
+    assert it is not None and "/stream/w1.md" in (it.get("paths") or [])
+
+    eng2 = RagEngine(spark, table)
+    assert not eng2._needs_full_index  # attributed: bounded, not O(corpus)
+    assert "/stream/w1.md" in eng2._dirty_upserts
+    assert eng2.recover_indexes()["fts"] is True
+    assert eng2.index_is_fresh()
+    assert _hits(eng2, "watermark") == {"/stream/w1.md"}
+    assert read_intent(table) is None
+
+    # a CLEAN batch closes its own window (intent cleared, index covered)
+    docs2 = spark.createDataFrame(
+        [(
+            "/stream/w2.md",
+            "Another streamed document about checkpoint commit ordering rules.",
+            "W2", "h-w2", 66,
+        )],
+        "path string, text string, title string, contentHash string, length long",
+    )
+    watch_mod._append_chunk_batch(
+        build_chunks(docs2, dim=64, backend="pseudo"), table,
+        eng2.postings_path, "unigram",
+    )
+    assert read_intent(table) is None
+    eng3 = RagEngine(spark, table)
+    assert eng3.index_is_fresh()  # covers stamp written by the batch
+    assert _hits(eng3, "checkpoint") == {"/stream/w2.md"}
