@@ -233,6 +233,14 @@ def _parser() -> argparse.ArgumentParser:
                     "(repeatable)")
     tm.add_argument("--protect-savepoints", default=None)
 
+    ir = sub.add_parser(
+        "index-recover",
+        help="engine-tier crash recovery: converge the FTS postings and "
+        "ANN index from the table's recorded intent (plans/engine_txn) — "
+        "bounded refresh when the version chain proves the intent, full "
+        "rebuild otherwise; idempotent no-op when clean",
+    )
+
     txr = sub.add_parser(
         "txn-recover",
         help="finish or roll back every multi-table transaction in a txn "
@@ -527,6 +535,9 @@ def run(argv: list[str], engine, out=None) -> int:
                 protect_savepoints=args.protect_savepoints,
             )
         )
+        return 0
+    if args.cmd == "index-recover":
+        emit(engine.recover_indexes())
         return 0
     if args.cmd == "txn-recover":
         from .plans.txn import recover_txns

@@ -539,6 +539,9 @@ class RagEngine:
         backend, dim = table_embedding(
             self.table_path, default_backend=self.backend, default_dim=self.dim
         )
+        from .plans.engine_txn import read_intent
+
+        it = read_intent(self.table_path)
         return {
             "chunkCount": row["chunks"],
             "documentCount": row["documents"],
@@ -546,6 +549,16 @@ class RagEngine:
             "dim": dim,
             "indexFresh": self._postings() is not None,
             "annIndex": self.ann_index_status(),
+            # crash-recovery visibility (plans/engine_txn): an open intent
+            # means a mutation's index sync has not landed — an operator
+            # (or cron) runs recover_indexes()/optimize() to converge
+            "pendingIntent": {
+                "full": bool(it.get("full") or it.get("refreshing")),
+                "paths": len(it.get("paths") or ()),
+                "annBuild": bool(it.get("ann")),
+            }
+            if it
+            else None,
         }
 
     def ann_index_status(self) -> dict:

@@ -230,13 +230,27 @@ def test_ingest_file_replace_and_zero_chunk_failfast(spark, corpus, tmp_path):
     # re-ingest same file -> replaced, not duplicated
     res2 = eng.ingest_file(str(corpus / "alpha.md"))
     assert res2["chunkCount"] == res["chunkCount"]
-    assert eng.get_status() == before
+    after = eng.get_status()
+    # the intent window differs by design: the FIRST ingest's overwrite
+    # wiped the sidecar (fresh table), the re-ingest's append keeps its
+    # recorded path until the amortized optimize() closes the window
+    assert after.pop("pendingIntent") == {
+        "full": False, "paths": 1, "annBuild": False,
+    }
+    before.pop("pendingIntent")
+    assert after == before
 
-    # zero-chunk outcome (garbage-only content) -> error, rows intact
+    # zero-chunk outcome (garbage-only content) -> error, rows intact;
+    # the guard raises BEFORE _mark_index_dirty, so the intent window is
+    # exactly the re-ingest's (unchanged by the failed attempt)
     (corpus / "alpha.md").write_text("----\n\n----\n")
     with pytest.raises(ValueError, match="no chunks"):
         eng.ingest_file(str(corpus / "alpha.md"))
-    assert eng.get_status() == before
+    final = eng.get_status()
+    assert final.pop("pendingIntent") == {
+        "full": False, "paths": 1, "annBuild": False,
+    }
+    assert final == before
 
 
 def test_sync_many_files_batched_execute(spark, tmp_path):
