@@ -2384,3 +2384,126 @@ def q_embedding_kmeans(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding distribution drift (round 13): Population Stability Index per
+# embedding dimension between two corpus populations — the standard
+# monitoring statistic a training pipeline runs between a reference
+# snapshot and each new ingest batch (a drifting embedding distribution
+# invalidates ANN centroids and similarity thresholds long before recall
+# metrics catch it; plans/ann_index.ivf_cell_stats sees the SAME drift
+# from the index side, this lane sees it from the data side). Here the
+# populations are two corpus clusters (label 0 vs label 1), so the drift
+# is real and the expected PSI materially nonzero.
+#
+# Determinism: fixed bin edges (floor(x * 8) clamped to [-5, 4], computed
+# in DOUBLE after an exact float32 -> double cast, identical IEEE ops in
+# both engines), Laplace-smoothed fractions over the FULL 10-bin grid
+# ((c + 1) / (n + 10) — zero-count bins contribute, so no -inf logs), and
+# one final round(psi, 6). ln() agrees between JVM StrictMath and DuckDB
+# here for the same reason text_unigram_logprob's does: inputs are exact
+# small rationals and the sum is far from rounding knife-edges.
+
+PSI_SQL = """WITH vals AS (
+  SELECT CASE WHEN label = 0 THEN 0 ELSE 1 END AS pop,
+         d.dim AS dim,
+         CAST(embedding[d.dim + 1] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS dim) d
+  WHERE label IN (0, 1)
+),
+binned AS (
+  SELECT dim, pop,
+         least(greatest(CAST(floor(x * 8) AS BIGINT), -5), 4) AS bin,
+         count(*)::BIGINT AS c
+  FROM vals GROUP BY 1, 2, 3
+),
+pops AS (SELECT dim, pop, sum(c)::BIGINT AS n FROM binned GROUP BY 1, 2),
+grid AS (
+  SELECT dims.dim, p.pop, b.bin
+  FROM (SELECT DISTINCT dim FROM binned) dims,
+       (SELECT DISTINCT pop FROM binned) p,
+       (SELECT unnest(range(-5, 5)) AS bin) b
+),
+frac AS (
+  SELECT g.dim, g.pop, g.bin,
+         (COALESCE(c.c, 0) + 1.0) / (p.n + 10.0) AS f
+  FROM grid g
+  LEFT JOIN binned c ON c.dim = g.dim AND c.pop = g.pop AND c.bin = g.bin
+  JOIN pops p ON p.dim = g.dim AND p.pop = g.pop
+),
+wide AS (
+  SELECT dim, bin,
+         max(CASE WHEN pop = 0 THEN f END) AS p,
+         max(CASE WHEN pop = 1 THEN f END) AS q
+  FROM frac GROUP BY dim, bin
+)
+SELECT w.dim,
+       (SELECT n FROM pops WHERE dim = w.dim AND pop = 0) AS n_ref,
+       (SELECT n FROM pops WHERE dim = w.dim AND pop = 1) AS n_cand,
+       round(sum((p - q) * ln(p / q)), 6) + 0 AS psi
+FROM wide w GROUP BY w.dim ORDER BY w.dim"""
+
+
+@register("embedding_drift_psi", PSI_SQL)
+def q_embedding_drift_psi(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("label").isin(0, 1))
+    vals = emb.select(
+        F.when(F.col("label") == 0, F.lit(0)).otherwise(F.lit(1)).alias("pop"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    ).filter(F.col("dim") < 4)
+    binned = (
+        vals.withColumn(
+            "bin",
+            F.least(
+                F.greatest(F.floor(F.col("x") * 8).cast("long"), F.lit(-5)),
+                F.lit(4),
+            ),
+        )
+        .groupBy("dim", "pop", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pops = binned.groupBy("dim", "pop").agg(F.sum("c").alias("n"))
+    # full 10-bin grid so zero-count bins still contribute their smoothed
+    # fraction (tiny frames: 4 dims x 2 pops x 10 bins — broadcast-sized)
+    grid = (
+        binned.select("dim").distinct()
+        .crossJoin(binned.select("pop").distinct())
+        .crossJoin(spark.range(-5, 5).select(F.col("id").alias("bin")))
+    )
+    frac = (
+        grid.join(binned, ["dim", "pop", "bin"], "left")
+        .join(pops, ["dim", "pop"])
+        .select(
+            "dim", "pop", "bin",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("n") + F.lit(10.0))
+            ).alias("f"),
+        )
+    )
+    wide = frac.groupBy("dim", "bin").agg(
+        F.max(F.when(F.col("pop") == 0, F.col("f"))).alias("p"),
+        F.max(F.when(F.col("pop") == 1, F.col("f"))).alias("q"),
+    )
+    n_by = pops.groupBy("dim").agg(
+        F.max(F.when(F.col("pop") == 0, F.col("n"))).alias("n_ref"),
+        F.max(F.when(F.col("pop") == 1, F.col("n"))).alias("n_cand"),
+    )
+    return (
+        wide.groupBy("dim")
+        .agg(
+            (
+                F.round(
+                    F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("psi")
+        )
+        .join(n_by, "dim")
+        .select("dim", "n_ref", "n_cand", "psi")
+        .orderBy("dim")
+    )
