@@ -119,7 +119,7 @@ def _append_chunk_batch(
         # engine on this table recovers with a bounded refresh of these
         # paths instead of the full O(corpus) rebuild an unattributed
         # covers-mismatch forces
-        from ..plans.engine_txn import clear_fts_intent, publish_intent
+        from ..plans.engine_txn import publish_intent, retire_fts_paths
 
         batch_paths = {
             r["filePath"] for r in chunks.select("filePath").distinct().collect()
@@ -149,8 +149,13 @@ def _append_chunk_batch(
                 table_n_buckets(postings_path),
                 extra={"covers_table_version": tv},
             )
-        # stamp landed: the batch's crash window is closed
-        clear_fts_intent(table_path)
+        # stamp landed: close THIS batch's crash window only — a scoped
+        # retire, because a blanket clear would erase a pre-existing
+        # intent (a crashed engine mutation's paths, or a torn
+        # optimize()'s refreshing flag) that this batch never
+        # re-derived, and the covers stamp above would then present the
+        # index as fresh with no recovery trigger left
+        retire_fts_paths(table_path, batch_paths, stamped=tv is not None)
 
 
 def stream_ingest(

@@ -331,3 +331,79 @@ def test_watcher_batch_crash_recovers_bounded(spark, tmp_path, docs_dir, monkeyp
     eng3 = RagEngine(spark, table)
     assert eng3.index_is_fresh()  # covers stamp written by the batch
     assert _hits(eng3, "checkpoint") == {"/stream/w2.md"}
+
+
+def test_watcher_batch_preserves_foreign_intent(spark, tmp_path, docs_dir):
+    """A clean watcher batch must close only ITS OWN crash window: a
+    pre-existing intent from a crashed ENGINE mutation (recorded paths
+    the batch never re-derived) survives the batch's scoped retire
+    (plans/engine_txn.retire_fts_paths) — a blanket clear here would
+    erase the record while the batch's covers stamp presents the index
+    as fresh, leaving silently-stale postings with no recovery trigger."""
+    import mcp_local_rag_spark.streaming.watch as watch_mod
+    from mcp_local_rag_spark.plans.ingest import build_chunks
+
+    eng, table = _mk_engine(spark, tmp_path, docs_dir)
+    c = docs_dir / "c.md"
+    c.write_text("# Gamma\n\nSalting splits pathological hot keys apart across partitions.")
+    eng.ingest_file(str(c))  # crash window: table written, NO optimize
+    assert str(c) in (read_intent(table).get("paths") or [])
+
+    # "restart as a watcher": one clean micro-batch on the same table
+    docs2 = spark.createDataFrame(
+        [(
+            "/stream/w3.md",
+            "A streamed document about offset tracking between micro batches.",
+            "W3", "h-w3", 64,
+        )],
+        "path string, text string, title string, contentHash string, length long",
+    )
+    watch_mod._append_chunk_batch(
+        build_chunks(docs2, dim=64, backend="pseudo"), table,
+        eng.postings_path, "unigram",
+    )
+    it = read_intent(table)
+    assert it is not None and str(c) in (it.get("paths") or [])  # preserved
+    assert "/stream/w3.md" not in (it.get("paths") or [])  # own window closed
+
+    eng2 = RagEngine(spark, table)
+    assert str(c) in eng2._dirty_upserts  # adopted, not hidden by the stamp
+    assert not eng2.index_is_fresh()
+    assert eng2.recover_indexes()["fts"] is True
+    assert read_intent(table) is None
+    assert _hits(eng2, "salting") == {str(c)}
+    assert _hits(eng2, "offset") == {"/stream/w3.md"}
+
+
+def test_watcher_batch_preserves_refreshing_flag(spark, tmp_path, docs_dir):
+    """A torn optimize() (crash inside the postings bucket rewrite,
+    'refreshing' flag) still degrades to the full rebuild even when a
+    watcher batch lands in between — the batch's scoped retire must not
+    drop the flag."""
+    import mcp_local_rag_spark.streaming.watch as watch_mod
+    from mcp_local_rag_spark.plans.ingest import build_chunks
+
+    eng, table = _mk_engine(spark, tmp_path, docs_dir)
+    publish_intent(table, refreshing=True)  # torn-rewrite window open
+
+    docs2 = spark.createDataFrame(
+        [(
+            "/stream/w4.md",
+            "A streamed document about trigger intervals and batch sizing.",
+            "W4", "h-w4", 61,
+        )],
+        "path string, text string, title string, contentHash string, length long",
+    )
+    watch_mod._append_chunk_batch(
+        build_chunks(docs2, dim=64, backend="pseudo"), table,
+        eng.postings_path, "unigram",
+    )
+    it = read_intent(table)
+    assert it is not None and it.get("refreshing")  # preserved
+
+    eng2 = RagEngine(spark, table)
+    assert eng2._needs_full_index  # torn bucket: full rebuild, not bounded
+    assert eng2.recover_indexes()["fts"] is True
+    assert read_intent(table) is None
+    assert eng2.index_is_fresh()
+    assert _hits(eng2, "trigger") == {"/stream/w4.md"}
