@@ -1605,3 +1605,138 @@ def q_corpus_perplexity_buckets(spark, sf_dir):
         F.when(bucket == 1, "head").when(bucket == 2, "middle")
          .otherwise("tail").alias("ppl_bucket"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge-pair training: 4 rounds of count-adjacent-pairs ->
+# global argmax -> apply merge, over the corpus word-frequency table (the
+# tokenizer-training step a data pipeline runs before token accounting;
+# Sennrich et al. 2016). Pair frequency uses the greedy leftmost
+# NON-overlapping convention (the count the merge application actually
+# performs on a same-symbol run), which both engines compute with pure
+# replace() arithmetic — no floats anywhere, so the lane is
+# hash-deterministic by construction.
+#
+# Word state is a string with 2-space delimiters and 2-space pads
+# ("  a  b  c  "): a pair pattern ' l  r ' consumes ONE space from each
+# side, so adjacent occurrences never steal each other's boundary and a
+# replace() application preserves the invariant exactly.
+#
+# 100 TB shape: the only corpus-sized job is the word-frequency groupBy;
+# each merge round is a map + explode + 1-row argmax over the DISTINCT
+# word table (vocabulary-sized, persisted once), and the per-round winner
+# is a bounded 1-row control-plane collect — the same driver-folded
+# iteration shape as embedding_kmeans.
+
+def _bpe_iter_sql(i: int) -> str:
+    prev = f"s{i-1}"
+    return f"""
+t{i} AS (
+  SELECT s, wcnt, list_filter(string_split(s, '  '), x -> x <> '') AS t
+  FROM {prev}
+),
+p{i} AS (
+  SELECT DISTINCT s, wcnt, t[i] AS l, t[i+1] AS r
+  FROM t{i}, unnest(range(1, len(t))) AS u(i)
+),
+c{i} AS (
+  SELECT l, r,
+         sum(wcnt * ((length(s) - length(replace(s, ' '||l||'  '||r||' ', '')))
+                     // length(' '||l||'  '||r||' ')))::BIGINT AS cnt
+  FROM p{i} GROUP BY 1, 2
+),
+w{i} AS (
+  SELECT {i}::INT AS step, l AS left_sym, r AS right_sym,
+         l||r AS merged, cnt AS pair_count
+  FROM c{i} ORDER BY cnt DESC, l, r LIMIT 1
+),
+s{i} AS (
+  SELECT replace(s, (SELECT ' '||left_sym||'  '||right_sym||' ' FROM w{i}),
+                    (SELECT ' '||left_sym||right_sym||' ' FROM w{i})) AS s, wcnt
+  FROM {prev}
+)"""
+
+
+_BPE_SQL = (
+    """WITH words AS (
+  SELECT w, count(*)::BIGINT AS wcnt
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY 1
+),
+s0 AS (
+  SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, wcnt FROM words
+),"""
+    + ",".join(_bpe_iter_sql(i) for i in range(1, 5))
+    + """
+SELECT * FROM w1 UNION ALL SELECT * FROM w2
+UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4 ORDER BY step"""
+)
+
+
+@register("text_bpe_merges", _BPE_SQL)
+def q_text_bpe_merges(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wcnt"))
+        .select(
+            F.concat(F.lit("  "), F.regexp_replace("w", "(.)", "$1  ")).alias("s"),
+            "wcnt",
+        )
+        .persist()
+    )
+    try:
+        cur = words
+        rows = []
+        for step in range(1, 5):
+            pat = F.concat_ws("", F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" "))
+            win = (
+                cur.withColumn("t", F.expr("filter(split(s, '  '), x -> x <> '')"))
+                .select(
+                    "s",
+                    "wcnt",
+                    F.explode(
+                        F.array_distinct(
+                            F.expr(
+                                "transform(slice(t, 1, size(t) - 1),"
+                                " (x, i) -> struct(x AS l, t[i + 1] AS r))"
+                            )
+                        )
+                    ).alias("pr"),
+                )
+                .select("s", "wcnt", "pr.l", "pr.r")
+                .withColumn(
+                    "c",
+                    (
+                        (F.length("s") - F.length(F.replace(F.col("s"), pat)))
+                        / F.length(pat)
+                    ).cast("long"),
+                )
+                .groupBy("l", "r")
+                .agg(F.sum(F.col("wcnt") * F.col("c")).alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "l", "r")
+                .limit(1)
+                .collect()  # bounded: ONE row per merge round
+            )
+            if not win:  # vocabulary exhausted (every word one symbol)
+                break
+            win = win[0]
+            rows.append((step, win["l"], win["r"], win["l"] + win["r"], int(win["cnt"])))
+            cur = cur.withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.lit(f" {win['l']}  {win['r']} "),
+                    F.lit(f" {win['l']}{win['r']} "),
+                ),
+            )
+        return spark.createDataFrame(
+            rows,
+            "step int, left_sym string, right_sym string, merged string, pair_count long",
+        ).orderBy("step")
+    finally:
+        words.unpersist()

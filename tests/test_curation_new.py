@@ -212,3 +212,37 @@ def test_hard_negatives_drops_zero_norm_vectors(spark, tmp_path):
     assert out[0].pos_id == 1 and out[0].neg_id == 3
     # the zero-norm vector contributes no row of its own either
     assert 2 not in out
+
+
+def test_bpe_merges_hand_computed(spark, tmp_path):
+    """4-round BPE on a corpus small enough to trace by hand. Words:
+    'aaab' x3, 'ab' x2 (greedy leftmost non-overlapping pair counts).
+    Round 1: (a,b)=3+2=5 beats (a,a)=3 -> 'ab'. Round 2: (a,a)=3 ties
+    (a,ab)=3, tiebreak on the pair -> 'aa'. Round 3: (aa,ab)=3 ->
+    'aaab'. Round 4: every word is one symbol -> no pairs, lane stops
+    at 3 rows (the oracle's empty w4 cascades identically)."""
+    from mcp_local_rag_spark.queries.curation import q_text_bpe_merges
+
+    rows = [
+        (1, "aaab aaab", "en", "s", 9),
+        (2, "aaab ab", "en", "s", 7),
+        (3, "ab", "en", "s", 2),
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    out = [tuple(r) for r in q_text_bpe_merges(spark, sf_dir).collect()]
+    assert out == [
+        (1, "a", "b", "ab", 5),
+        (2, "a", "a", "aa", 3),
+        (3, "aa", "ab", "aaab", 3),
+    ]
+
+
+def test_bpe_greedy_run_counting(spark, tmp_path):
+    """A same-symbol run counts pairs greedily (floor(k/2) for a run of
+    k), matching what the merge application actually performs: 'aaaa'
+    yields (a,a)=2 per word, then one (aa,aa) per word."""
+    from mcp_local_rag_spark.queries.curation import q_text_bpe_merges
+
+    sf_dir = _write_docs(spark, tmp_path, [(1, "aaaa aaaa aaaa", "en", "s", 14)])
+    out = [tuple(r) for r in q_text_bpe_merges(spark, sf_dir).collect()]
+    assert out == [(1, "a", "a", "aa", 6), (2, "aa", "aa", "aaaa", 3)]
