@@ -1740,3 +1740,73 @@ def q_text_bpe_merges(spark, sf_dir):
         ).orderBy("step")
     finally:
         words.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Per-domain frequency capping (C4/Gopher-style): keep at most K documents
+# per source, best-first (longest, doc_id tiebreak), and report the
+# mixture shift — each source's token share before vs after the cap. ONE
+# shuffle (the per-source window) + one aggregate. At 100 TB the same
+# plan holds: the window partitions by domain, so a skewed megadomain is
+# one partition's sort — cap it first with a sampled per-domain K-th
+# order statistic as a pre-filter if a single domain outgrows a task.
+
+@register(
+    "corpus_domain_cap",
+    """WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+),
+tot AS (SELECT sum(n_chars) AS all_chars FROM documents),
+kept AS (SELECT sum(n_chars) AS kept_chars FROM ranked WHERE rn <= 30)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN rn <= 30 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       round(sum(n_chars) * 1000000 // (SELECT all_chars FROM tot)
+             / 1000000.0, 6) + 0 AS share_before,
+       round(sum(CASE WHEN rn <= 30 THEN n_chars ELSE 0 END) * 1000000
+             // (SELECT kept_chars FROM kept) / 1000000.0, 6) + 0 AS share_after
+FROM ranked GROUP BY source ORDER BY source""",
+)
+def q_corpus_domain_cap(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("rn")
+    ).persist()
+    try:
+        # two global scalars, folded on the driver (bounded control-plane
+        # reads); integer micro-unit shares keep the division engine-exact
+        tot = ranked.agg(
+            F.sum("n_chars").alias("a"),
+            F.sum(F.when(F.col("rn") <= 30, F.col("n_chars")).otherwise(0)).alias("k"),
+        ).collect()[0]
+        agg = ranked.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("rn") <= 30, 1).otherwise(0)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_all"),
+            F.sum(F.when(F.col("rn") <= 30, F.col("n_chars")).otherwise(0)).alias(
+                "chars_kept"
+            ),
+        )
+        # integral `div` (not float /+floor): exact at any magnitude, the
+        # same half-truncating division DuckDB's // performs on BIGINT
+        return agg.select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (
+                F.expr(f"(chars_all * 1000000L) div {int(tot['a'])}L") / 1000000.0
+                + F.lit(0.0)
+            ).alias("share_before"),
+            (
+                F.expr(f"(chars_kept * 1000000L) div {int(tot['k'])}L") / 1000000.0
+                + F.lit(0.0)
+            ).alias("share_after"),
+        ).orderBy("source")
+    finally:
+        ranked.unpersist()

@@ -246,3 +246,20 @@ def test_bpe_greedy_run_counting(spark, tmp_path):
     sf_dir = _write_docs(spark, tmp_path, [(1, "aaaa aaaa aaaa", "en", "s", 14)])
     out = [tuple(r) for r in q_text_bpe_merges(spark, sf_dir).collect()]
     assert out == [(1, "a", "a", "aa", 6), (2, "aa", "aa", "aaaa", 3)]
+
+
+def test_domain_cap_caps_and_rebalances(spark, tmp_path):
+    """Cap keeps the 30 LONGEST docs per source (doc_id tiebreak) and the
+    after-shares rebalance toward the uncapped source and sum to ~1."""
+    from mcp_local_rag_spark.queries.curation import q_corpus_domain_cap
+
+    rows = [(i, "x" * (10 + i), "en", "big", 100 + i) for i in range(50)]
+    rows += [(100 + i, "y" * 10, "en", "small", 50) for i in range(5)]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    out = {r.source: r for r in q_corpus_domain_cap(spark, sf_dir).collect()}
+    assert out["big"].n_docs == 50 and out["big"].n_kept == 30
+    assert out["small"].n_docs == 5 and out["small"].n_kept == 5
+    assert out["small"].share_after > out["small"].share_before
+    assert out["big"].share_after < out["big"].share_before
+    total_after = sum(r.share_after for r in out.values())
+    assert 0.999 <= total_after <= 1.0  # floor-division undershoot only
