@@ -1651,7 +1651,8 @@ w{i} AS (
   FROM c{i} ORDER BY cnt DESC, l, r LIMIT 1
 ),
 s{i} AS (
-  SELECT replace(s, (SELECT ' '||left_sym||'  '||right_sym||' ' FROM w{i}),
+  SELECT w,
+         replace(s, (SELECT ' '||left_sym||'  '||right_sym||' ' FROM w{i}),
                     (SELECT ' '||left_sym||right_sym||' ' FROM w{i})) AS s, wcnt
   FROM {prev}
 )"""
@@ -1666,7 +1667,7 @@ _BPE_SQL = (
   GROUP BY 1
 ),
 s0 AS (
-  SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, wcnt FROM words
+  SELECT w, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, wcnt FROM words
 ),"""
     + ",".join(_bpe_iter_sql(i) for i in range(1, 5))
     + """
@@ -1675,8 +1676,15 @@ UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4 ORDER BY step"""
 )
 
 
-@register("text_bpe_merges", _BPE_SQL)
-def q_text_bpe_merges(spark, sf_dir):
+def _bpe_train(spark, sf_dir, rounds: int = 4):
+    """Learn ``rounds`` BPE merges over the corpus word-frequency table.
+
+    Returns (merge_rows, final_word_state, words_base): merge_rows is the
+    [(step, l, r, merged, count)] list, final_word_state the (w, s, wcnt)
+    frame with every learned merge applied, and words_base the PERSISTED
+    base frame the state chain hangs off (caller owns its lifecycle —
+    the merges lane unpersists it, the encode lane keeps it live because
+    its returned plan still reads through the chain)."""
     docs = load(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
@@ -1684,62 +1692,145 @@ def q_text_bpe_merges(spark, sf_dir):
         .groupBy("w")
         .agg(F.count("*").alias("wcnt"))
         .select(
+            "w",
             F.concat(F.lit("  "), F.regexp_replace("w", "(.)", "$1  ")).alias("s"),
             "wcnt",
         )
         .persist()
     )
-    try:
-        cur = words
-        rows = []
-        for step in range(1, 5):
-            pat = F.concat_ws("", F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" "))
-            win = (
-                cur.withColumn("t", F.expr("filter(split(s, '  '), x -> x <> '')"))
-                .select(
-                    "s",
-                    "wcnt",
-                    F.explode(
-                        F.array_distinct(
-                            F.expr(
-                                "transform(slice(t, 1, size(t) - 1),"
-                                " (x, i) -> struct(x AS l, t[i + 1] AS r))"
-                            )
-                        )
-                    ).alias("pr"),
-                )
-                .select("s", "wcnt", "pr.l", "pr.r")
-                .withColumn(
-                    "c",
-                    (
-                        (F.length("s") - F.length(F.replace(F.col("s"), pat)))
-                        / F.length(pat)
-                    ).cast("long"),
-                )
-                .groupBy("l", "r")
-                .agg(F.sum(F.col("wcnt") * F.col("c")).alias("cnt"))
-                .orderBy(F.col("cnt").desc(), "l", "r")
-                .limit(1)
-                .collect()  # bounded: ONE row per merge round
-            )
-            if not win:  # vocabulary exhausted (every word one symbol)
-                break
-            win = win[0]
-            rows.append((step, win["l"], win["r"], win["l"] + win["r"], int(win["cnt"])))
-            cur = cur.withColumn(
+    cur = words
+    rows = []
+    for step in range(1, rounds + 1):
+        pat = F.concat_ws(
+            "", F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" ")
+        )
+        win = (
+            cur.withColumn("t", F.expr("filter(split(s, '  '), x -> x <> '')"))
+            .select(
                 "s",
-                F.replace(
-                    F.col("s"),
-                    F.lit(f" {win['l']}  {win['r']} "),
-                    F.lit(f" {win['l']}{win['r']} "),
-                ),
+                "wcnt",
+                F.explode(
+                    F.array_distinct(
+                        F.expr(
+                            "transform(slice(t, 1, size(t) - 1),"
+                            " (x, i) -> struct(x AS l, t[i + 1] AS r))"
+                        )
+                    )
+                ).alias("pr"),
             )
+            .select("s", "wcnt", "pr.l", "pr.r")
+            .withColumn(
+                "c",
+                (
+                    (F.length("s") - F.length(F.replace(F.col("s"), pat)))
+                    / F.length(pat)
+                ).cast("long"),
+            )
+            .groupBy("l", "r")
+            .agg(F.sum(F.col("wcnt") * F.col("c")).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()  # bounded: ONE row per merge round
+        )
+        if not win:  # vocabulary exhausted (every word one symbol)
+            break
+        win = win[0]
+        rows.append((step, win["l"], win["r"], win["l"] + win["r"], int(win["cnt"])))
+        cur = cur.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f" {win['l']}  {win['r']} "),
+                F.lit(f" {win['l']}{win['r']} "),
+            ),
+        )
+    return rows, cur, words
+
+
+@register("text_bpe_merges", _BPE_SQL)
+def q_text_bpe_merges(spark, sf_dir):
+    rows, _, words = _bpe_train(spark, sf_dir)
+    try:
         return spark.createDataFrame(
             rows,
             "step int, left_sym string, right_sym string, merged string, pair_count long",
         ).orderBy("step")
     finally:
         words.unpersist()
+
+
+
+# ---------------------------------------------------------------------------
+# BPE application — the actual 100 TB hot path: tokenize every document
+# with the learned merges and report per-doc token accounting (words,
+# chars, BPE tokens, chars-per-token compression). The encode is a
+# vocabulary-sized broadcast join (word -> token count under the final
+# merge state), so the corpus-sized side is touched exactly once, map-only.
+
+_BPE_ENCODE_SQL = (
+    """WITH words AS (
+  SELECT w, count(*)::BIGINT AS wcnt
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY 1
+),
+s0 AS (
+  SELECT w, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, wcnt FROM words
+),"""
+    + ",".join(_bpe_iter_sql(i) for i in range(1, 5))
+    + """,
+tok AS (
+  SELECT w,
+         len(list_filter(string_split(s, '  '), x -> x <> ''))::BIGINT AS n_tok
+  FROM s4
+),
+dw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            x -> x <> '')) AS w
+  FROM documents
+)
+SELECT doc_id, count(*)::BIGINT AS n_words,
+       sum(length(w))::BIGINT AS n_chars,
+       sum(n_tok)::BIGINT AS n_tokens,
+       round(sum(length(w)) * 1000000 // sum(n_tok) / 1000000.0, 6) + 0
+         AS chars_per_token
+FROM dw JOIN tok USING (w)
+GROUP BY doc_id ORDER BY doc_id"""
+)
+
+
+@register("text_bpe_encode", _BPE_ENCODE_SQL)
+def q_text_bpe_encode(spark, sf_dir):
+    _, state, _words = _bpe_train(spark, sf_dir)
+    # the returned plan still reads through the persisted word-state
+    # chain, so the base frame stays cached (customer_balance_deciles
+    # precedent: consumers feed from the cache, never re-derive)
+    tok = state.select(
+        "w",
+        F.expr("size(filter(split(s, '  '), x -> x <> ''))")
+        .cast("long")
+        .alias("n_tok"),
+    )
+    docs = load(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+    ).filter(F.col("w") != "")
+    agg = dw.join(F.broadcast(tok), "w").groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("w")).alias("n_chars"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        (
+            F.expr("(n_chars * 1000000L) div n_tokens") / 1000000.0 + F.lit(0.0)
+        ).alias("chars_per_token"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

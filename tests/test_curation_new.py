@@ -263,3 +263,24 @@ def test_domain_cap_caps_and_rebalances(spark, tmp_path):
     assert out["big"].share_after < out["big"].share_before
     total_after = sum(r.share_after for r in out.values())
     assert 0.999 <= total_after <= 1.0  # floor-division undershoot only
+
+
+def test_bpe_encode_accounting(spark, tmp_path):
+    """Token accounting under the learned merges: with words 'aaab' x3 /
+    'ab' x2 the trainer learns ab, aa, aaab (see the merges test), so
+    'aaab' encodes to ONE token and 'ab' to one token. Char counts and
+    compression follow exactly."""
+    from mcp_local_rag_spark.queries.curation import q_text_bpe_encode
+
+    rows = [
+        (1, "aaab aaab", "en", "s", 9),
+        (2, "aaab ab", "en", "s", 7),
+        (3, "ab", "en", "s", 2),
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in q_text_bpe_encode(spark, sf_dir).collect()}
+    assert (out[1].n_words, out[1].n_chars, out[1].n_tokens) == (2, 8, 2)
+    assert (out[2].n_words, out[2].n_chars, out[2].n_tokens) == (2, 6, 2)
+    assert (out[3].n_words, out[3].n_chars, out[3].n_tokens) == (1, 2, 1)
+    assert out[1].chars_per_token == 4.0
+    assert out[3].chars_per_token == 2.0
