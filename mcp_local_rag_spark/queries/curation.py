@@ -1651,9 +1651,14 @@ w{i} AS (
   FROM c{i} ORDER BY cnt DESC, l, r LIMIT 1
 ),
 s{i} AS (
+  -- coalesce: when the round found no pair (w{i} empty -> NULL scalar
+  -- subqueries -> NULL replace), the state passes through UNCHANGED,
+  -- mirroring the Spark trainer's loop break on an exhausted vocabulary
   SELECT w,
-         replace(s, (SELECT ' '||left_sym||'  '||right_sym||' ' FROM w{i}),
-                    (SELECT ' '||left_sym||right_sym||' ' FROM w{i})) AS s, wcnt
+         coalesce(replace(s,
+                          (SELECT ' '||left_sym||'  '||right_sym||' ' FROM w{i}),
+                          (SELECT ' '||left_sym||right_sym||' ' FROM w{i})),
+                  s) AS s, wcnt
   FROM {prev}
 )"""
 
@@ -1696,8 +1701,10 @@ def _bpe_train(spark, sf_dir, rounds: int = 4):
             F.concat(F.lit("  "), F.regexp_replace("w", "(.)", "$1  ")).alias("s"),
             "wcnt",
         )
-        .persist()
     )
+    from ..plans.cache import persisted
+
+    words = persisted(words)
     cur = words
     rows = []
     for step in range(1, rounds + 1):
@@ -1864,40 +1871,48 @@ FROM ranked GROUP BY source ORDER BY source""",
 def q_corpus_domain_cap(spark, sf_dir):
     from pyspark.sql import Window
 
+    from ..plans.cache import persisted
+
     docs = load(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
-    ranked = docs.select(
-        "source", "n_chars", F.row_number().over(w).alias("rn")
-    ).persist()
-    try:
-        # two global scalars, folded on the driver (bounded control-plane
-        # reads); integer micro-unit shares keep the division engine-exact
-        tot = ranked.agg(
-            F.sum("n_chars").alias("a"),
-            F.sum(F.when(F.col("rn") <= 30, F.col("n_chars")).otherwise(0)).alias("k"),
-        ).collect()[0]
-        agg = ranked.groupBy("source").agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.when(F.col("rn") <= 30, 1).otherwise(0)).alias("n_kept"),
-            F.sum("n_chars").alias("chars_all"),
-            F.sum(F.when(F.col("rn") <= 30, F.col("n_chars")).otherwise(0)).alias(
-                "chars_kept"
-            ),
+    # plan-outliving persist (the returned agg reads the ranked frame the
+    # driver fold below also materialized); persisted() registers it with
+    # the server's request scope so long-lived sessions still free it
+    ranked = persisted(
+        docs.select("source", "n_chars", F.row_number().over(w).alias("rn"))
+    )
+    # two global scalars, folded on the driver (bounded control-plane
+    # reads); integer micro-unit shares keep the division engine-exact
+    tot = ranked.agg(
+        F.sum("n_chars").alias("a"),
+        F.sum(F.when(F.col("rn") <= 30, F.col("n_chars")).otherwise(0)).alias("k"),
+    ).collect()[0]
+    agg = ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("rn") <= 30, 1).otherwise(0)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_all"),
+        F.sum(F.when(F.col("rn") <= 30, F.col("n_chars")).otherwise(0)).alias(
+            "chars_kept"
+        ),
+    )
+    # integral `div` on DECIMAL(38,0) (not float /+floor, not bare
+    # BIGINT): exact at any magnitude AND overflow-proof — a 9 TB
+    # source's char sum times 1e6 wraps a BIGINT but not a decimal;
+    # DuckDB's // widens to HUGEINT the same way
+    def share(col: str, denom: int) -> "F.Column":
+        return (
+            F.expr(
+                f"(CAST({col} AS DECIMAL(38,0)) * 1000000)"
+                f" div CAST({denom} AS DECIMAL(38,0))"
+            ).cast("long")
+            / 1000000.0
+            + F.lit(0.0)
         )
-        # integral `div` (not float /+floor): exact at any magnitude, the
-        # same half-truncating division DuckDB's // performs on BIGINT
-        return agg.select(
-            "source",
-            "n_docs",
-            "n_kept",
-            (
-                F.expr(f"(chars_all * 1000000L) div {int(tot['a'])}L") / 1000000.0
-                + F.lit(0.0)
-            ).alias("share_before"),
-            (
-                F.expr(f"(chars_kept * 1000000L) div {int(tot['k'])}L") / 1000000.0
-                + F.lit(0.0)
-            ).alias("share_after"),
-        ).orderBy("source")
-    finally:
-        ranked.unpersist()
+
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        share("chars_all", int(tot["a"])).alias("share_before"),
+        share("chars_kept", int(tot["k"])).alias("share_after"),
+    ).orderBy("source")

@@ -2450,10 +2450,13 @@ def q_embedding_drift_psi(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").filter(F.col("label").isin(0, 1))
     vals = emb.select(
         F.when(F.col("label") == 0, F.lit(0)).otherwise(F.lit(1)).alias("pop"),
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "dim", "x"
-        ),
-    ).filter(F.col("dim") < 4)
+        # slice BEFORE the corpus-sized explode: only the 4 probed dims
+        # ever become rows (a posexplode-then-filter shape generates and
+        # discards 94% of the exploded rows on a 64-dim corpus)
+        F.posexplode(
+            F.slice(F.col("embedding").cast("array<double>"), 1, 4)
+        ).alias("dim", "x"),
+    )
     binned = (
         vals.withColumn(
             "bin",
@@ -2465,6 +2468,11 @@ def q_embedding_drift_psi(spark, sf_dir):
         .groupBy("dim", "pop", "bin")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    from ..plans.cache import persisted
+
+    # <= 80 rows, but its subtree is the corpus scan+explode: the four
+    # consumers below (pops, grid x2, frac's join) must not re-run it
+    binned = persisted(binned)
     pops = binned.groupBy("dim", "pop").agg(F.sum("c").alias("n"))
     # full 10-bin grid so zero-count bins still contribute their smoothed
     # fraction (tiny frames: 4 dims x 2 pops x 10 bins — broadcast-sized)

@@ -129,14 +129,20 @@ def _append_chunk_batch(
     # bucket) — a hand-rolled partitionBy here would write one unsorted
     # file per (task, bucket) pair each micro-batch and break the
     # row-group pruning neighbor reads rely on
-    with attribute_mutations(table_path) if attributed else nullcontext():
-        write_chunks(chunks, table_path, mode="append")
+    try:
+        with attribute_mutations(table_path) if attributed else nullcontext():
+            write_chunks(chunks, table_path, mode="append")
+        if postings_path is not None:
+            mode = "append" if os.path.isdir(postings_path) else "overwrite"
+            write_postings(
+                chunks, postings_path, tokenizer=tokenizer, mode=mode, n_buckets=nb
+            )
+    finally:
+        if attributed:
+            # also on the failure paths: a long-lived watcher must not
+            # accumulate one pinned micro-batch cache per failed batch
+            chunks.unpersist()
     if postings_path is not None:
-        mode = "append" if os.path.isdir(postings_path) else "overwrite"
-        write_postings(
-            chunks, postings_path, tokenizer=tokenizer, mode=mode, n_buckets=nb
-        )
-        chunks.unpersist()
         # restart handshake: the appended index covers the just-bumped
         # table version, so an engine opened on this table later trusts
         # the index instead of scheduling a full rebuild

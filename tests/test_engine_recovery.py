@@ -291,7 +291,6 @@ def test_watcher_batch_crash_recovers_bounded(spark, tmp_path, docs_dir, monkeyp
     )
     batch = build_chunks(docs, dim=64, backend="pseudo")
 
-    real_wp = watch_mod.__dict__  # write_postings is imported inside the fn
     import mcp_local_rag_spark.plans.fts as fts_mod
 
     real = fts_mod.write_postings
@@ -560,10 +559,19 @@ def test_engine_mutation_storm_crash_fuzz(spark, tmp_path, docs_dir, seed, monke
                     elif crash_mode == "stamp":
                         import mcp_local_rag_spark.plans.ingest as ingest_mod
 
+                        real_wtm = ingest_mod.write_table_meta
+
+                        def _stamp_crash(path, *a, **k):
+                            # fire only on the COVERS stamp (the postings
+                            # sidecar), not compact_chunks' table-version
+                            # bump — the window under test is
+                            # rewrite-done-but-unstamped
+                            if path == eng.postings_path:
+                                raise RuntimeError("crash:stamp")
+                            return real_wtm(path, *a, **k)
+
                         monkeypatch.setattr(
-                            ingest_mod, "write_table_meta",
-                            lambda *a, **k: (_ for _ in ()).throw(
-                                RuntimeError("crash:stamp")),
+                            ingest_mod, "write_table_meta", _stamp_crash
                         )
                     else:
                         monkeypatch.setattr(
