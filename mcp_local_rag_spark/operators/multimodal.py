@@ -131,6 +131,188 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + info + data
 
 
+
+
+def _lzw_decode(data: bytes, mcs: int) -> list[int]:
+    """GIF-flavor LZW: LSB-first variable-width codes, CLEAR/EOI, 12-bit
+    cap, the deferred-clear convention real encoders emit."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+    width = mcs + 1
+    prev: list[int] | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [[i] for i in range(1 << mcs)] + [[], []]
+        width = mcs + 1
+        prev = None
+
+    reset()
+    acc = n_bits = pos = 0
+    while True:
+        while n_bits < width:
+            if pos >= len(data):
+                return out  # missing EOI: tolerate truncated streams
+            acc |= data[pos] << n_bits
+            n_bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return out
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the cScSc case
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def _lzw_encode(indices: list[int], mcs: int) -> bytes:
+    """The matching encoder (true LZW, growing dictionary)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = n_bits = 0
+    width = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    emit(clear)
+    buf: tuple[int, ...] = ()
+    for idx in indices:
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        # encoder runs one table entry AHEAD of the decoder, so width
+        # grows at next_code == 2^width + 1 where the decoder grows at
+        # == 2^width — the classic pairing that keeps the wire aligned
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {(i,): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+            width = mcs + 1
+        buf = (idx,)
+    if buf:
+        emit(table[buf])
+    emit(eoi)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(content: bytes) -> np.ndarray:
+    """GIF87a/89a, first image frame -> HxWx3 uint8 (RGB). Real LZW
+    decompression (the package's first COMPRESSED container — netpbm/BMP
+    are raw). Interlaced frames and missing color tables raise
+    NotImplementedError from the dispatch point (contract seam, same
+    policy as the other codecs); extensions (0x21) are skipped."""
+    import struct
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+        elif block == 0x2C:
+            _x, _y, w, h, ipacked = struct.unpack_from("<HHHHB", content, pos + 1)
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            if ct is None:
+                raise NotImplementedError("GIF frame without a color table")
+            mcs = content[pos]
+            pos += 1
+            data = bytearray()
+            while content[pos] != 0:
+                ln = content[pos]
+                data += content[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(data), mcs)
+            if len(idx) < w * h:
+                raise ValueError("short GIF pixel stream")
+            arr = np.asarray(idx[: w * h], dtype=np.int64).reshape(h, w)
+            return ct[np.clip(arr, 0, len(ct) - 1)].astype(np.uint8)
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        continue
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """uint8 HxWx3 RGB -> single-frame GIF87a with a global color table
+    (true LZW). Images with more than 256 distinct colors raise
+    ValueError — GIF is palette-bound by design."""
+    import struct
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF palette overflow: {len(palette)} colors")
+    bits = max(1, int(len(palette) - 1).bit_length())
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    mcs = max(2, bits)  # GIF forbids a 1-bit LZW minimum code size
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
+    out += table.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(mcs)
+    stream = _lzw_encode([int(i) for i in inverse], mcs)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def default_image_decoder(content: bytes) -> np.ndarray:
     """Magic-dispatched real decode for uncompressed containers; codec
     formats need an injected decoder (PIL/opencv not in container)."""
@@ -138,6 +320,8 @@ def default_image_decoder(content: bytes) -> np.ndarray:
         return decode_netpbm(content)
     if content[:2] == b"BM":
         return decode_bmp(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(content)
     raise NotImplementedError(
         "codec image formats (JPEG/PNG/...) need PIL/opencv; inject a"
         " decoder via decode_fn — netpbm P5/P6 and 24-bit BMP decode natively"

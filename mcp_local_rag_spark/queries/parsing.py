@@ -598,6 +598,102 @@ def q_media_image_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# GIF lane — the package's first COMPRESSED container, oracle-gated
+# end-to-end on real bytes: the same deterministic gradients are encoded
+# as single-frame GIF87a (palette build + true LZW compression), cross a
+# binary-column stage boundary, and decode back through
+# default_image_decoder's magic dispatch. GIF is palette-bound, so the
+# lane also pins the palette size (distinct colors has a closed form the
+# oracle recomputes: the gradient's channels are v, v+3, v+6 mod 256, so
+# distinct pixels == distinct v). A defect anywhere in the LZW variable-
+# width bitstream, the code-table growth, the deferred clear, or the
+# palette indexing breaks the hash.
+
+@register(
+    "media_gif_features",
+    """WITH d AS (
+  SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 11 AS h
+  FROM documents WHERE doc_id % 4 = 2
+),
+px AS (
+  SELECT doc_id, w, h,
+         sum((31 * doc_id + 17 * y + 7 * x + 3 * c) % 256)::BIGINT AS sum_px,
+         count(DISTINCT CASE WHEN c = 0
+                             THEN (31 * doc_id + 17 * y + 7 * x) % 256
+                        END)::BIGINT AS n_colors
+  FROM d,
+       unnest(range(0, h)) AS ry(y),
+       unnest(range(0, w)) AS rx(x),
+       unnest(range(0, 3)) AS rc(c)
+  GROUP BY doc_id, w, h
+)
+SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height, n_colors, sum_px,
+       ((2 * sum_px * 1000000 + h * w * 3) // (2 * h * w * 3)) / 1000000.0 + 0
+         AS mean_px
+FROM px ORDER BY doc_id""",
+)
+def q_media_gif_features(spark, sf_dir):
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 2)
+        .select("doc_id")
+    )
+
+    def _mk(batches):
+        import numpy as np
+
+        from ..operators.multimodal import encode_gif
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 9, 3 + d % 11
+                y, x = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [(31 * d + 17 * y + 7 * x + 3 * c) % 256 for c in range(3)],
+                    axis=-1,
+                ).astype(np.uint8)
+                blobs.append(encode_gif(img))
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(_mk, "doc_id long, content binary")
+
+    def _feats(batches):
+        import numpy as np
+
+        from ..operators.multimodal import default_image_decoder
+
+        for pdf in batches:
+            rows = []
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                img = default_image_decoder(bytes(content))
+                h, w = img.shape[:2]
+                n_colors = len(np.unique(img.reshape(-1, 3), axis=0))
+                rows.append((int(d), int(img.sum()), n_colors, h, w))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sum_px", "n_colors", "h", "w"]
+            )
+
+    feats = media.mapInPandas(
+        _feats, "doc_id long, sum_px long, n_colors long, h int, w int"
+    )
+    return feats.select(
+        "doc_id",
+        F.col("w").cast("bigint").alias("width"),
+        F.col("h").cast("bigint").alias("height"),
+        "n_colors",
+        "sum_px",
+        (
+            F.expr("div(2 * sum_px * 1000000 + h * w * 3, 2 * h * w * 3)")
+            / F.lit(1000000.0)
+            + F.lit(0.0)
+        ).alias("mean_px"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Audio lane, oracle-gated the same way: a deterministic int16 waveform is
 # packed into a REAL PCM16 WAV container in-plan (stdlib wave), crosses a
 # binary stage boundary, decodes through

@@ -342,3 +342,46 @@ def test_y4m_unsupported_chroma_gates():
 
     with _pytest.raises(NotImplementedError):
         mm.decode_y4m(stream)
+
+
+def test_gif_roundtrip_and_lzw_edges():
+    """True-LZW GIF87a codec: randomized palette/size roundtrip fuzz
+    (dict growth through several width increments), the 256-color
+    palette ceiling, the cScSc decoder case, palette overflow, and the
+    interlace contract seam."""
+    import numpy as np
+    import pytest as _pytest
+
+    import mcp_local_rag_spark.operators.multimodal as mm
+
+    rng = np.random.RandomState(7)
+    for _ in range(60):
+        h, w = rng.randint(1, 48), rng.randint(1, 48)
+        ncol = int(rng.choice([1, 2, 5, 31, 256]))
+        pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.randint(0, ncol, (h, w))]
+        out = mm.decode_gif(mm.encode_gif(img))
+        assert out.dtype == np.uint8 and (out == img).all()
+
+    # cScSc: a run of one symbol forces the code==len(table) branch
+    img = np.zeros((1, 40, 3), dtype=np.uint8)
+    assert (mm.decode_gif(mm.encode_gif(img)) == img).all()
+
+    # magic dispatch routes GIF bytes without an injected decoder
+    blob = mm.encode_gif(img)
+    assert blob[:6] == b"GIF87a"
+    assert (mm.default_image_decoder(blob) == img).all()
+
+    # >256 distinct colors cannot be paletted
+    y, x = np.mgrid[0:32, 0:32]
+    rich = np.stack([y * 8 % 256, x * 8 % 256, (y + x) % 256], axis=-1).astype(np.uint8)
+    with _pytest.raises(ValueError, match="palette overflow"):
+        mm.encode_gif(rich)
+
+    # interlaced frames are a contract seam, not silent garbage
+    interlaced = bytearray(mm.encode_gif(np.zeros((2, 2, 3), dtype=np.uint8)))
+    # image descriptor starts after header(13) + GCT; flag byte is at +9
+    gct_len = (2 << (interlaced[10] & 0x07)) * 3
+    interlaced[13 + gct_len + 9] |= 0x40
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        mm.decode_gif(bytes(interlaced))
