@@ -313,6 +313,180 @@ def encode_gif(img: np.ndarray) -> bytes:
     return bytes(out)
 
 
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """8-bit PNG -> numpy (gray HxW, gray+alpha HxWx2, RGB HxWx3, RGBA
+    HxWx4, palette -> RGB). Real zlib inflate + all five row filters
+    (None/Sub/Up/Average/Paeth). Adam7 interlace and 16-bit depth raise
+    NotImplementedError (contract seams, same policy as the other
+    codecs). Closes the T11 loop: sources/pdf_mini.render_page_png
+    output decodes natively through this dispatch."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (ln,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG supported, got {depth}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("short PNG pixel stream")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    bpp = channels
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += stride + 1
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: sequential per bpp-lane; mod-256 cumsum
+            for lane in range(bpp):
+                np.cumsum(row[lane::bpp], out=row[lane::bpp], dtype=np.uint8)
+        elif f == 2:  # Up
+            row += prev
+        elif f == 3:  # Average (sequential: left is reconstructed)
+            rec = row.tolist()
+            pv = prev.tolist()
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + ((left + pv[i]) >> 1)) & 0xFF
+            row = np.asarray(rec, dtype=np.uint8)
+        elif f == 4:  # Paeth
+            rec = row.tolist()
+            pv = prev.tolist()
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                ul = pv[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + _paeth(left, pv[i], ul)) & 0xFF
+            row = np.asarray(rec, dtype=np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = row
+        prev = row
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[np.clip(out.astype(np.int64), 0, len(plte) - 1)].astype(
+            np.uint8
+        )
+    if channels == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, channels)
+
+
+def encode_png(img: np.ndarray, *, cycle_filters: bool = True) -> bytes:
+    """uint8 numpy (HxW gray / HxWx{2,3,4}) -> 8-bit PNG. Filters cycle
+    None/Sub/Up/Average/Paeth per row by default so a roundtrip
+    exercises every decode path; ``cycle_filters=False`` writes plain
+    filter-0 rows (what render_page_png emits)."""
+    import struct
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w = img.shape
+        channels = 1
+        flat = img
+    else:
+        h, w, channels = img.shape
+        flat = img.reshape(h, w * channels)
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    bpp = channels
+    stride = w * channels
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = flat[y]
+        f = (y % 5) if cycle_filters else 0
+        if f == 0:
+            filt = row
+        elif f == 1:
+            left = np.zeros(stride, dtype=np.uint8)
+            left[bpp:] = row[:-bpp]
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            rowl, pv = row.tolist(), prev.tolist()
+            filt = bytes(
+                (rowl[i] - (((rowl[i - bpp] if i >= bpp else 0) + pv[i]) >> 1))
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            rowl, pv = row.tolist(), prev.tolist()
+            filt = bytes(
+                (
+                    rowl[i]
+                    - _paeth(
+                        rowl[i - bpp] if i >= bpp else 0,
+                        pv[i],
+                        pv[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        raw.append(f)
+        raw += bytes(filt)
+        prev = row
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def default_image_decoder(content: bytes) -> np.ndarray:
     """Magic-dispatched real decode for uncompressed containers; codec
     formats need an injected decoder (PIL/opencv not in container)."""
@@ -322,6 +496,8 @@ def default_image_decoder(content: bytes) -> np.ndarray:
         return decode_bmp(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(content)
+    if content[:8] == _PNG_MAGIC:
+        return decode_png(content)
     raise NotImplementedError(
         "codec image formats (JPEG/PNG/...) need PIL/opencv; inject a"
         " decoder via decode_fn — netpbm P5/P6 and 24-bit BMP decode natively"

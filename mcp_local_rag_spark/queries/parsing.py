@@ -694,6 +694,91 @@ def q_media_gif_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# PNG lane — zlib-compressed mainstream codec, oracle-gated end-to-end:
+# deterministic RGBA gradients encode as real 8-bit PNGs with the row
+# filter CYCLING None/Sub/Up/Average/Paeth (every decode path crosses
+# the binary stage boundary on every document), then decode back through
+# default_image_decoder. Completes the residue symmetry: ppm/bmp on
+# doc_id%4 in {0,1}, gif on 2, png on 3.
+
+@register(
+    "media_png_features",
+    """WITH d AS (
+  SELECT doc_id, 3 + doc_id % 8 AS w, 2 + doc_id % 10 AS h
+  FROM documents WHERE doc_id % 4 = 3
+),
+px AS (
+  SELECT doc_id, w, h,
+         sum((31 * doc_id + 17 * y + 7 * x + 3 * c) % 256)::BIGINT AS sum_px
+  FROM d,
+       unnest(range(0, h)) AS ry(y),
+       unnest(range(0, w)) AS rx(x),
+       unnest(range(0, 4)) AS rc(c)
+  GROUP BY doc_id, w, h
+)
+SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height, 4::BIGINT AS channels,
+       sum_px,
+       ((2 * sum_px * 1000000 + h * w * 4) // (2 * h * w * 4)) / 1000000.0 + 0
+         AS mean_px
+FROM px ORDER BY doc_id""",
+)
+def q_media_png_features(spark, sf_dir):
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 3)
+        .select("doc_id")
+    )
+
+    def _mk(batches):
+        import numpy as np
+
+        from ..operators.multimodal import encode_png
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 3 + d % 8, 2 + d % 10
+                y, x = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [(31 * d + 17 * y + 7 * x + 3 * c) % 256 for c in range(4)],
+                    axis=-1,
+                ).astype(np.uint8)
+                blobs.append(encode_png(img))  # RGBA, filters cycled per row
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(_mk, "doc_id long, content binary")
+
+    def _feats(batches):
+        from ..operators.multimodal import default_image_decoder
+
+        for pdf in batches:
+            rows = []
+            for d, content in zip(pdf["doc_id"], pdf["content"]):
+                img = default_image_decoder(bytes(content))
+                h, w, ch = img.shape
+                rows.append((int(d), int(img.sum()), h, w, ch))
+            yield pd.DataFrame(rows, columns=["doc_id", "sum_px", "h", "w", "ch"])
+
+    feats = media.mapInPandas(
+        _feats, "doc_id long, sum_px long, h int, w int, ch int"
+    )
+    return feats.select(
+        "doc_id",
+        F.col("w").cast("bigint").alias("width"),
+        F.col("h").cast("bigint").alias("height"),
+        F.col("ch").cast("bigint").alias("channels"),
+        "sum_px",
+        (
+            F.expr("div(2 * sum_px * 1000000 + h * w * 4, 2 * h * w * 4)")
+            / F.lit(1000000.0)
+            + F.lit(0.0)
+        ).alias("mean_px"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Audio lane, oracle-gated the same way: a deterministic int16 waveform is
 # packed into a REAL PCM16 WAV container in-plan (stdlib wave), crosses a
 # binary stage boundary, decodes through
