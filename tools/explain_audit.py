@@ -395,9 +395,29 @@ def main() -> None:
         for s in scans:
             out += ["", s.strip()]
         out += ["```", ""]
-    with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
-        f.write("\n".join(out))
-    print("wrote PLANS.md")
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    # PLANS.md carries the per-round narrative sections ("## Round ...")
+    # AFTER the generated plan dumps — regenerating the dumps must not
+    # clobber them (it did once; the narrative had to be restored from git)
+    narrative = ""
+    marker = "<!-- EXPLAIN-AUDIT:END"
+    try:
+        with open(path) as f:
+            prev = f.read()
+        idx = prev.find(marker)
+        if idx != -1:
+            narrative = "\n" + prev[idx:]
+        elif prev.strip():
+            raise SystemExit(
+                "PLANS.md has no EXPLAIN-AUDIT:END marker — refusing to"
+                " overwrite (the hand-written narrative would be lost);"
+                " add the marker line above the hand-written sections"
+            )
+    except FileNotFoundError:
+        pass
+    with open(path, "w") as f:
+        f.write("\n".join(out) + narrative)
+    print("wrote PLANS.md" + (" (narrative preserved)" if narrative else ""))
 
 
 if __name__ == "__main__":
