@@ -316,6 +316,69 @@ def q_parsed_jsonl_roundtrip(spark, sf_dir):
     return docs.groupBy("source").applyInPandas(_rt, _RECORDS_RT_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Compressed-container roundtrip: the same JSONL serialization wrapped in
+# a rotating stdlib compression envelope per source (gz / bz2 / xz — the
+# shapes training corpora actually ship in; .jsonl.gz above all), parsed
+# back through parse_structured_bytes' transparent maybe_decompress. The
+# inner path drives dispatch, so titles/record identities are byte-equal
+# to the uncompressed twin; the codec column pins the rotation.
+
+@register(
+    "parsed_jsonl_gz_roundtrip",
+    """SELECT doc_id,
+       (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::BIGINT
+         AS record_index,
+       CASE substr(source, 4)::INT % 3 WHEN 0 THEN 'gz' WHEN 1 THEN 'bz2'
+            ELSE 'xz' END AS codec,
+       'Doc ' || doc_id AS title,
+       length(text)::BIGINT AS text_len
+FROM documents""",
+)
+def q_parsed_jsonl_gz_roundtrip(spark, sf_dir):
+    import bz2
+    import gzip
+    import json
+    import lzma
+
+    from ..sources.structured import parse_structured_bytes
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    schema = (
+        "doc_id long, record_index long, codec string, title string,"
+        " text_len long"
+    )
+
+    def _rt(key, pdf):
+        source = key[0]
+        i = int(source[3:]) if source[3:].isdigit() else 0
+        codec = ("gz", "bz2", "xz")[i % 3]
+        comp = {"gz": gzip.compress, "bz2": bz2.compress, "xz": lzma.compress}[
+            codec
+        ]
+        pdf = pdf.sort_values("doc_id")
+        lines = [
+            json.dumps(
+                {"id": int(d), "title": f"Doc {d}", "text": t},
+                ensure_ascii=False,
+            )
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        recs = parse_structured_bytes(
+            f"/mem/{source}.jsonl.{codec}",
+            comp("\n".join(lines).encode("utf-8")),
+        )
+        return pd.DataFrame(
+            [
+                (int(r["id"]), r["record_index"], codec, r["title"], len(r["text"]))
+                for r in recs
+            ],
+            columns=["doc_id", "record_index", "codec", "title", "text_len"],
+        )
+
+    return docs.groupBy("source").applyInPandas(_rt, schema)
+
+
 @register(
     "parsed_csv_roundtrip",
     """SELECT doc_id,

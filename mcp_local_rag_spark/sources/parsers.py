@@ -79,6 +79,9 @@ def parse_pdf_bytes(path: str, content: bytes) -> dict:
 
 def parse_text_bytes(path: str, content: bytes) -> dict:
     """Parse one file: {text, title, atomic_ranges}."""
+    from .structured import maybe_decompress
+
+    path, content = maybe_decompress(path, content)  # a.md.gz -> a.md
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
     if ext == "docx":
         return parse_docx_bytes(path, content)

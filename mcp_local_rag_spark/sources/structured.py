@@ -123,7 +123,36 @@ def parse_xml_bytes(path: str, content: bytes) -> list[dict]:
     return records
 
 
+# transparent compression envelopes: training corpora overwhelmingly ship
+# as .jsonl.gz / .jsonl.zst etc.; gzip/bz2/xz are stdlib, so those three
+# unwrap natively (zstd would need an import-gated backend). The INNER
+# extension drives format dispatch, and the inner path is what parsers
+# receive so titles/record paths stay spelling-stable.
+COMPRESSION_EXTS = ("gz", "bz2", "xz")
+
+
+def maybe_decompress(path: str, content: bytes) -> tuple[str, bytes]:
+    """Strip one compression envelope by extension, or pass through.
+    ``('/x/a.jsonl.gz', <gzip bytes>) -> ('/x/a.jsonl', <plain bytes>)``."""
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    if ext not in COMPRESSION_EXTS:
+        return path, content
+    inner = path[: -(len(ext) + 1)]
+    if ext == "gz":
+        import gzip
+
+        return inner, gzip.decompress(content)
+    if ext == "bz2":
+        import bz2
+
+        return inner, bz2.decompress(content)
+    import lzma
+
+    return inner, lzma.decompress(content)
+
+
 def parse_structured_bytes(path: str, content: bytes) -> list[dict]:
+    path, content = maybe_decompress(path, content)
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
     if ext == "jsonl":
         return parse_jsonl_bytes(path, content)

@@ -214,3 +214,46 @@ def test_bom_containers_parse_cleanly():
     assert parse_csv_bytes("/x/a.csv", csvb)[0]["id"] == "1"
     xmlb = bom + f"<d><r><text>{LONG_C}</text></r></d>".encode()
     assert parse_xml_bytes("/x/a.xml", xmlb)[0]["text"] == LONG_C
+
+
+def test_compression_envelopes_unwrap_transparently():
+    """One compression envelope (.gz/.bz2/.xz) strips by extension; the
+    INNER path drives dispatch on both the records path and the
+    one-file-one-doc path, so titles and record identities match the
+    uncompressed spelling exactly. Unknown inner formats still raise
+    the inner path's error, and corrupt envelopes surface the codec's."""
+    import bz2
+    import gzip
+    import lzma
+
+    import pytest as _pytest
+
+    from mcp_local_rag_spark.sources.parsers import parse_text_bytes
+    from mcp_local_rag_spark.sources.structured import (
+        maybe_decompress,
+        parse_structured_bytes,
+    )
+
+    jl = b'{"id": 7, "title": "T7", "text": "alpha beta"}\n{"text": "second"}'
+    for codec, comp in (("gz", gzip.compress), ("bz2", bz2.compress),
+                        ("xz", lzma.compress)):
+        path = f"/d/corpus.jsonl.{codec}"
+        recs = parse_structured_bytes(path, comp(jl))
+        assert [r["record_index"] for r in recs] == [0, 1]
+        assert recs[0]["id"] == "7" and recs[0]["title"] == "T7"
+
+    # passthrough for unwrapped input
+    assert maybe_decompress("/d/a.jsonl", jl) == ("/d/a.jsonl", jl)
+
+    # one-file-one-doc path: a.md.gz gets the md title chain
+    md = b"# Gz Title\n\nBody."
+    out = parse_text_bytes("/d/a.md.gz", gzip.compress(md))
+    assert out["title"] == "Gz Title"
+
+    # inner dispatch error names the INNER path's extension
+    with _pytest.raises(ValueError, match="unsupported"):
+        parse_structured_bytes("/d/a.parquet.gz", gzip.compress(b"x"))
+
+    # corrupt envelope surfaces the codec error (coverage rows catch it)
+    with _pytest.raises(Exception):
+        parse_structured_bytes("/d/a.jsonl.gz", b"not gzip at all")
