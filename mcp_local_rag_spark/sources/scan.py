@@ -17,6 +17,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .structured import COMPRESSION_EXTS
+
 MAX_DEPTH = 10  # reference src/utils/limits.ts:9
 MAX_FILE_SIZE = 100 * 1024 * 1024  # reference src/utils/limits.ts:15-21
 SUPPORTED_EXTENSIONS = {".md", ".txt", ".pdf", ".docx"}  # src/parser/index.ts:31
@@ -77,7 +79,13 @@ def scan_directory(
             if os.path.isdir(path):
                 queue.append((path, depth + 1))
                 continue
-            ext = os.path.splitext(name)[1].lower()
+            stem, ext = os.path.splitext(name)
+            ext = ext.lower()
+            if ext.lstrip(".") in COMPRESSION_EXTS:
+                # one transparent envelope: a.md.gz scans as .md — the
+                # parser strips the same suffix (structured.maybe_decompress,
+                # output-capped), so discovery and dispatch stay consistent
+                ext = os.path.splitext(stem)[1].lower()
             if ext not in extensions:
                 continue
             try:

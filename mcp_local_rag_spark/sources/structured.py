@@ -131,24 +131,73 @@ def parse_xml_bytes(path: str, content: bytes) -> list[dict]:
 COMPRESSION_EXTS = ("gz", "bz2", "xz")
 
 
-def maybe_decompress(path: str, content: bytes) -> tuple[str, bytes]:
+def _inflate_bounded(new_decomp, content: bytes, limit: int, codec: str) -> bytes:
+    """Streaming decompress with a hard output cap: the scanner's
+    MAX_FILE_SIZE guard sees only the COMPRESSED size, so without this a
+    kilobyte-sized bomb (200 MB of zeros gzips to ~200 KB) would expand
+    unbounded inside an executor's Python worker. Concatenated members
+    (multi-stream .gz/.bz2/.xz, incl. null stream padding) are unwrapped
+    like the stdlib one-shot helpers do."""
+    out = bytearray()
+    d = new_decomp()
+    data = content
+    while True:
+        try:
+            chunk = d.decompress(data, limit + 1 - len(out))
+        except Exception as exc:  # codec-specific error types
+            raise ValueError(f"corrupt {codec} envelope: {exc}") from exc
+        out += chunk
+        if len(out) > limit:
+            raise ValueError(
+                f"{codec} envelope expands past {limit} bytes: {len(content)}"
+                " compressed"
+            )
+        if getattr(d, "eof", False):
+            rest = d.unused_data.lstrip(b"\x00")
+            if not rest:
+                return bytes(out)
+            d = new_decomp()  # next concatenated member
+            data = rest
+            continue
+        tail = getattr(d, "unconsumed_tail", None)
+        if tail is not None:  # zlib object: leftover input rides here
+            if not tail:
+                raise ValueError(f"truncated {codec} stream")
+            data = tail
+            continue
+        if d.needs_input:  # bz2/lzma: input exhausted mid-stream
+            raise ValueError(f"truncated {codec} stream")
+        data = b""  # buffered output pending past the cap check
+
+
+def maybe_decompress(
+    path: str, content: bytes, *, max_bytes: int | None = None
+) -> tuple[str, bytes]:
     """Strip one compression envelope by extension, or pass through.
-    ``('/x/a.jsonl.gz', <gzip bytes>) -> ('/x/a.jsonl', <plain bytes>)``."""
+    ``('/x/a.jsonl.gz', <gzip bytes>) -> ('/x/a.jsonl', <plain bytes>)``.
+    Decompressed output is capped at ``max_bytes`` (default: the
+    scanner's MAX_FILE_SIZE, which only bounds the compressed size)."""
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
     if ext not in COMPRESSION_EXTS:
         return path, content
+    if max_bytes is None:
+        from .scan import MAX_FILE_SIZE  # lazy: scan imports this module
+
+        max_bytes = MAX_FILE_SIZE
     inner = path[: -(len(ext) + 1)]
     if ext == "gz":
-        import gzip
+        import zlib
 
-        return inner, gzip.decompress(content)
-    if ext == "bz2":
+        new_decomp = lambda: zlib.decompressobj(wbits=31)  # noqa: E731
+    elif ext == "bz2":
         import bz2
 
-        return inner, bz2.decompress(content)
-    import lzma
+        new_decomp = bz2.BZ2Decompressor
+    else:
+        import lzma
 
-    return inner, lzma.decompress(content)
+        new_decomp = lzma.LZMADecompressor
+    return inner, _inflate_bounded(new_decomp, content, max_bytes, ext)
 
 
 def parse_structured_bytes(path: str, content: bytes) -> list[dict]:

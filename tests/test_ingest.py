@@ -411,3 +411,35 @@ def test_write_chunks_files_are_key_sorted(spark, tmp_path):
         t = pq.read_table(f, columns=["filePath", "chunkIndex"]).to_pandas()
         key = list(zip(t["filePath"], t["chunkIndex"]))
         assert key == sorted(key), f
+
+
+def test_scan_and_ingest_compressed_envelope(spark, tmp_path):
+    """Directory discovery and parse dispatch agree on compression
+    envelopes: a.md.gz scans as markdown (inner extension), parses
+    through maybe_decompress with the md title chain, and unsupported
+    or extensionless .gz files stay skipped."""
+    import gzip
+
+    d = tmp_path / "gz_corpus"
+    d.mkdir()
+    body = (
+        "This paragraph talks about shuffle partitioning and broadcast joins "
+        "in some depth. It continues with a second sentence about adaptive "
+        "query execution so the chunker has real material to keep.\n"
+    )
+    (d / "plain.md").write_text("# Plain\n\n" + body)
+    (d / "wrapped.md.gz").write_bytes(
+        gzip.compress(("# Wrapped\n\n" + body).encode())
+    )
+    (d / "binary.bin.gz").write_bytes(gzip.compress(b"nope"))
+    (d / "bare.gz").write_bytes(gzip.compress(b"no inner extension"))
+
+    scan = scan_directory(str(d))
+    names = {os.path.basename(f["path"]) for f in scan.files}
+    assert names == {"plain.md", "wrapped.md.gz"}
+
+    chunks, unobserved = ingest_directory(spark, str(d))
+    rows = chunks.select("filePath", "fileTitle").distinct().collect()
+    titles = {os.path.basename(r.filePath): r.fileTitle for r in rows}
+    assert titles["wrapped.md.gz"] == "Wrapped"
+    assert titles["plain.md"] == "Plain"

@@ -257,3 +257,45 @@ def test_compression_envelopes_unwrap_transparently():
     # corrupt envelope surfaces the codec error (coverage rows catch it)
     with _pytest.raises(Exception):
         parse_structured_bytes("/d/a.jsonl.gz", b"not gzip at all")
+
+
+def test_decompress_output_cap_and_multimember():
+    """The envelope unwrap is output-bounded: MAX_FILE_SIZE only sees the
+    COMPRESSED size at scan time, so a kilobyte gzip bomb must be refused
+    at the decode seam, not expanded inside an executor. Concatenated
+    members (multi-stream gz — the bgzf-style shape — plus null stream
+    padding) unwrap like the stdlib one-shot helpers; truncated streams
+    raise instead of silently yielding a prefix."""
+    import bz2
+    import gzip
+    import lzma
+
+    import pytest as _pytest
+
+    from mcp_local_rag_spark.sources.structured import maybe_decompress
+
+    bomb = gzip.compress(b"\x00" * 100_000)  # ~100 KB -> tiny envelope
+    assert len(bomb) < 2_000
+    with _pytest.raises(ValueError, match="expands past"):
+        maybe_decompress("/d/a.txt.gz", bomb, max_bytes=10_000)
+    # at-limit passes, one byte under fails
+    ok = gzip.compress(b"x" * 64)
+    assert maybe_decompress("/d/a.txt.gz", ok, max_bytes=64)[1] == b"x" * 64
+    with _pytest.raises(ValueError, match="expands past"):
+        maybe_decompress("/d/a.txt.gz", ok, max_bytes=63)
+
+    # concatenated members + trailing null padding (all three codecs)
+    for ext, comp in (("gz", gzip.compress), ("bz2", bz2.compress),
+                      ("xz", lzma.compress)):
+        two = comp(b"alpha ") + comp(b"beta") + b"\x00" * 4
+        path, out = maybe_decompress(f"/d/a.txt.{ext}", two, max_bytes=1024)
+        assert (path, out) == ("/d/a.txt", b"alpha beta")
+
+    # truncated stream surfaces, never a silent prefix
+    whole = gzip.compress(b"y" * 500)
+    with _pytest.raises(ValueError, match="gz"):
+        maybe_decompress("/d/a.txt.gz", whole[: len(whole) // 2],
+                         max_bytes=10_000)
+    wx = lzma.compress(b"y" * 500)
+    with _pytest.raises(ValueError, match="xz"):
+        maybe_decompress("/d/a.txt.xz", wx[: len(wx) // 2], max_bytes=10_000)
