@@ -1014,3 +1014,84 @@ def q_media_video_frames(spark, sf_dir):
     return frames.mapInPandas(
         _sums, "doc_id long, frame_index long, sum_luma long"
     ).orderBy("doc_id", "frame_index")
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar-shard roundtrip: each source's documents are packed into
+# a deterministic POSIX tar shard (two members per sample — NNNNNNNN.txt
+# with the text bytes, NNNNNNNN.json with {"id","title"} — adjacent, as
+# the convention requires), odd-numbered sources additionally wrapped in
+# a gzip envelope (shard.tar.gz composes maybe_decompress with the tar
+# walk). The shards cross a binary stage boundary, expand through
+# expand_shards' map-only member walk, and regroup through
+# assemble_samples' slot map. The oracle re-derives every field from the
+# construction template: member grouping, slot routing, byte accounting
+# (ASCII json => char length == byte length), and the envelope rotation.
+# A defect in the tar writer, the member walk, the key/slot split, or
+# the sample aggregation shifts a count or length and breaks the hash.
+
+@register(
+    "webdataset_roundtrip",
+    """SELECT source,
+       substr(source, 4)::INT % 2 AS gz,
+       doc_id,
+       'Doc ' || doc_id AS title,
+       2::BIGINT AS n_slots,
+       length(text)::BIGINT AS text_len,
+       (octet_length(encode(text))
+        + length('{"id": ' || doc_id || ', "title": "Doc ' || doc_id || '"}')
+       )::BIGINT AS total_bytes
+FROM documents ORDER BY doc_id""",
+)
+def q_webdataset_roundtrip(spark, sf_dir):
+    import gzip
+    import json
+
+    from ..sources.webdataset import (
+        assemble_samples,
+        expand_shards,
+        write_tar_shard,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    def _pack(key, pdf):
+        source = key[0]
+        i = int(source[3:]) if source[3:].isdigit() else 0
+        pdf = pdf.sort_values("doc_id")
+        members = []
+        for d, t in zip(pdf["doc_id"], pdf["text"]):
+            d = int(d)
+            members.append((f"{d:08d}.txt", t.encode("utf-8")))
+            members.append(
+                (
+                    f"{d:08d}.json",
+                    json.dumps({"id": d, "title": f"Doc {d}"}).encode(),
+                )
+            )
+        blob = write_tar_shard(members)
+        if i % 2:
+            path = f"/mem/{source}.tar.gz"
+            blob = gzip.compress(blob, mtime=0)
+        else:
+            path = f"/mem/{source}.tar"
+        return pd.DataFrame({"path": [path], "content": [blob]})
+
+    shards = docs.groupBy("source").applyInPandas(
+        _pack, "path string, content binary"
+    )
+    samples = assemble_samples(expand_shards(shards))
+    txt = F.col("slots")["txt"].cast("string")
+    js = F.col("slots")["json"].cast("string")
+    return samples.select(
+        F.regexp_extract("shard", r"/mem/(src\d+)\.tar", 1).alias("source"),
+        F.when(F.col("shard").endswith(".gz"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("gz"),
+        F.col("sample_key").cast("long").alias("doc_id"),
+        F.get_json_object(js, "$.title").alias("title"),
+        "n_slots",
+        F.length(txt).cast("long").alias("text_len"),
+        "total_bytes",
+    ).orderBy("doc_id")

@@ -1,0 +1,160 @@
+"""WebDataset-style tar shard source.
+
+Large multimodal training corpora ship as POSIX tar shards whose members
+group into samples by basename stem — the WebDataset convention (Breuel,
+github.com/webdataset/webdataset): the sample key is the member path up
+to the FIRST dot of the basename, the remainder is the slot extension
+(``e39871fd.jpg`` -> key ``e39871fd``, slot ``jpg``; ``a.seg.png`` ->
+key ``a``, slot ``seg.png``). A shard is the unit of parallelism — the
+whole point of the format is that a 100 TB corpus is just millions of
+independently-readable ~1 GB tars, so the Spark plan is binaryFile over
+shards + a map-only member expansion, no shuffle until the caller asks
+for one.
+
+This module has no reference counterpart (the reference's parser
+registry is one-file-one-document, src/parser/index.ts); it extends S6
+the same way structured.py does, and composes with the compression
+envelopes: ``shard-000.tar.gz`` unwraps through ``maybe_decompress``
+(output-capped) before the tar walk.
+"""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import tarfile
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .structured import maybe_decompress
+
+
+def split_member_key(name: str) -> tuple[str, str]:
+    """WebDataset grouping rule: (sample_key, slot). The key keeps the
+    directory part so same-stem members in different subdirs stay
+    distinct samples; the slot is lowercased (extension semantics)."""
+    dirname, base = posixpath.split(name)
+    if "." not in base:
+        return name, ""
+    stem, slot = base.split(".", 1)
+    return posixpath.join(dirname, stem) if dirname else stem, slot.lower()
+
+
+def parse_tar_bytes(path: str, content: bytes) -> list[dict]:
+    """One shard -> member rows, archive order preserved. Only regular
+    files become rows (directories / links / devices are skipped — links
+    especially, matching the scanner's symlink policy); a corrupt tar
+    raises so the caller's coverage row records it."""
+    path, content = maybe_decompress(path, content)  # shard.tar.gz
+    rows: list[dict] = []
+    try:
+        with tarfile.open(fileobj=io.BytesIO(content), mode="r:") as tf:
+            for member in tf:
+                if not member.isreg():
+                    continue
+                f = tf.extractfile(member)
+                data = f.read() if f is not None else b""
+                key, slot = split_member_key(member.name)
+                rows.append(
+                    {
+                        "member": member.name,
+                        "sample_key": key,
+                        "slot": slot,
+                        "member_index": len(rows),
+                        "size": len(data),
+                        "content": data,
+                    }
+                )
+    except tarfile.TarError as exc:
+        raise ValueError(f"corrupt tar shard {path}: {exc}") from exc
+    return rows
+
+
+MEMBER_SCHEMA = StructType(
+    [
+        StructField("shard", StringType()),
+        StructField("member", StringType()),
+        StructField("sample_key", StringType()),
+        StructField("slot", StringType()),
+        StructField("member_index", LongType()),
+        StructField("size", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def expand_shards(shards: DataFrame) -> DataFrame:
+    """(path, content) shard rows -> member rows. Pure map stage: one
+    input row yields its members in place, executors never exchange
+    bytes. Column pruning upstream keeps metadata-only consumers from
+    reading shard content at all."""
+    import pandas as pd
+
+    def _expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for shard, content in zip(pdf["path"], pdf["content"]):
+                for r in parse_tar_bytes(shard, bytes(content)):
+                    rows.append(
+                        (shard, r["member"], r["sample_key"], r["slot"],
+                         r["member_index"], r["size"], r["content"])
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEMBER_SCHEMA.fields]
+            )
+
+    return shards.select("path", "content").mapInPandas(_expand, MEMBER_SCHEMA)
+
+
+def read_webdataset(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Distributed shard read -> member rows (binaryFile source, one task
+    per shard — WebDataset's native parallelism grain)."""
+    from .scan import read_files
+
+    return expand_shards(read_files(spark, paths))
+
+
+def assemble_samples(members: DataFrame) -> DataFrame:
+    """Member rows -> one row per sample with a slot->content map (the
+    shape a training loader consumes: ``slots['jpg']``, ``slots['txt']``,
+    ...). One shuffle on (shard, sample_key); sample parts are adjacent
+    within a shard so the aggregate's map-side combine sees them in the
+    same input split."""
+    return (
+        members.groupBy("shard", "sample_key")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("slot", "content")))
+            ).alias("slots"),
+            F.count("*").cast("long").alias("n_slots"),
+            F.sum("size").cast("long").alias("total_bytes"),
+            F.min("member_index").cast("long").alias("first_member_index"),
+        )
+    )
+
+
+def write_tar_shard(members: list[tuple[str, bytes]]) -> bytes:
+    """Deterministic single-shard writer (USTAR, zeroed mtime/uid/gid):
+    the same member list always produces byte-identical shards, so
+    export manifests can checksum them and tests can hash-gate
+    roundtrips. Members are written in the given order — WebDataset
+    requires a sample's parts be adjacent."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()

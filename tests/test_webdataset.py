@@ -1,0 +1,107 @@
+"""WebDataset tar-shard source: member walk, key/slot grouping, sample
+assembly, deterministic writer, envelope composition."""
+
+import gzip
+import io
+import tarfile
+
+import pytest
+
+from mcp_local_rag_spark.sources.webdataset import (
+    assemble_samples,
+    expand_shards,
+    parse_tar_bytes,
+    read_webdataset,
+    split_member_key,
+    write_tar_shard,
+)
+
+
+def test_split_member_key_convention():
+    # key = basename up to FIRST dot (directory kept), slot = remainder
+    assert split_member_key("e39871fd.jpg") == ("e39871fd", "jpg")
+    assert split_member_key("a.seg.png") == ("a", "seg.png")
+    assert split_member_key("dir/sub/x.txt") == ("dir/sub/x", "txt")
+    assert split_member_key("noext") == ("noext", "")
+    assert split_member_key("d/UPPER.JSON") == ("d/UPPER", "json")
+
+
+def test_write_parse_roundtrip_deterministic():
+    members = [
+        ("00000001.txt", b"alpha"),
+        ("00000001.json", b'{"id": 1}'),
+        ("00000002.txt", b"beta"),
+    ]
+    blob = write_tar_shard(members)
+    assert blob == write_tar_shard(members)  # byte-identical rebuild
+    rows = parse_tar_bytes("/d/shard-0.tar", blob)
+    assert [r["member"] for r in rows] == [m[0] for m in members]
+    assert [r["member_index"] for r in rows] == [0, 1, 2]
+    assert rows[0]["sample_key"] == "00000001" and rows[0]["slot"] == "txt"
+    assert rows[1]["slot"] == "json"
+    assert rows[0]["content"] == b"alpha" and rows[0]["size"] == 5
+
+    # gzip envelope composes: shard.tar.gz unwraps before the tar walk
+    rows_gz = parse_tar_bytes("/d/shard-0.tar.gz", gzip.compress(blob))
+    assert [(r["member"], r["content"]) for r in rows_gz] == [
+        (r["member"], r["content"]) for r in rows
+    ]
+
+
+def test_non_regular_members_skipped_and_corrupt_raises():
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:") as tf:
+        d = tarfile.TarInfo("subdir")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        link = tarfile.TarInfo("evil.txt")
+        link.type = tarfile.SYMTYPE
+        link.linkname = "/etc/passwd"
+        tf.addfile(link)
+        reg = tarfile.TarInfo("keep.txt")
+        reg.size = 4
+        tf.addfile(reg, io.BytesIO(b"data"))
+    rows = parse_tar_bytes("/d/a.tar", buf.getvalue())
+    assert [r["member"] for r in rows] == ["keep.txt"]
+
+    with pytest.raises(ValueError, match="corrupt tar"):
+        parse_tar_bytes("/d/bad.tar", b"not a tar at all" + b"\x00" * 1024)
+
+
+def test_expand_and_assemble_samples(spark):
+    shard_a = write_tar_shard(
+        [
+            ("s1.txt", b"one"),
+            ("s1.json", b"{}"),
+            ("s2.txt", b"two two"),
+        ]
+    )
+    shard_b = write_tar_shard([("s1.txt", b"other shard, same key")])
+    shards = spark.createDataFrame(
+        [("/mem/a.tar", bytearray(shard_a)), ("/mem/b.tar", bytearray(shard_b))],
+        "path string, content binary",
+    )
+    members = expand_shards(shards)
+    assert members.count() == 4
+    samples = {
+        (r["shard"], r["sample_key"]): r
+        for r in assemble_samples(members).collect()
+    }
+    assert len(samples) == 3  # same key in two shards stays two samples
+    s1 = samples[("/mem/a.tar", "s1")]
+    assert s1["n_slots"] == 2 and s1["total_bytes"] == 5
+    assert bytes(s1["slots"]["txt"]) == b"one"
+    assert bytes(s1["slots"]["json"]) == b"{}"
+    s2 = samples[("/mem/a.tar", "s2")]
+    assert s2["n_slots"] == 1 and bytes(s2["slots"]["txt"]) == b"two two"
+
+
+def test_read_webdataset_distributed(spark, tmp_path):
+    p = tmp_path / "shard-000.tar"
+    p.write_bytes(write_tar_shard([("k.txt", b"payload"), ("k.cls", b"7")]))
+    rows = read_webdataset(spark, [str(p)]).collect()
+    assert {(r["slot"], bytes(r["content"])) for r in rows} == {
+        ("txt", b"payload"),
+        ("cls", b"7"),
+    }
+    assert all(r["shard"].endswith("shard-000.tar") for r in rows)
