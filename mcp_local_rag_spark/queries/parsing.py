@@ -1095,3 +1095,116 @@ def q_webdataset_roundtrip(spark, sf_dir):
         F.length(txt).cast("long").alias("text_len"),
         "total_bytes",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal WebDataset lane — the LAION shape: image+caption samples in
+# tar shards. Every image codec in the package rotates through the SHARD
+# path (doc_id%4 -> ppm / bmp / gif / png-RGBA), each sample carrying an
+# NNNNNNNN.<codec> member and an NNNNNNNN.txt caption; shards expand and
+# assemble exactly as a training loader would, the image slot decodes
+# through default_image_decoder's magic dispatch, and the caption rides
+# the txt slot. One dimension template across codecs keeps the oracle a
+# single closed form: w = 4 + d%7, h = 3 + d%9, channels 4 for png else
+# 3, pixel (31d + 17y + 7x + 3c) % 256. A defect in any codec, the tar
+# writer, the member walk, or the slot map shifts sum_px/caption_len and
+# breaks the hash.
+
+@register(
+    "webdataset_multimodal",
+    """WITH d AS (
+  SELECT doc_id,
+         4 + doc_id % 7 AS w, 3 + doc_id % 9 AS h,
+         CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+              WHEN 2 THEN 'gif' ELSE 'png' END AS codec,
+         CASE WHEN doc_id % 4 = 3 THEN 4 ELSE 3 END AS ch,
+         'caption for doc ' || doc_id AS caption
+  FROM documents WHERE doc_id % 10 < 4
+)
+SELECT doc_id, codec,
+       w::BIGINT AS width, h::BIGINT AS height, ch::BIGINT AS channels,
+       (SELECT sum((31 * doc_id + 17 * y + 7 * x + 3 * c) % 256)
+        FROM unnest(range(0, h)) AS ry(y),
+             unnest(range(0, w)) AS rx(x),
+             unnest(range(0, ch)) AS rc(c))::BIGINT AS sum_px,
+       length(caption)::BIGINT AS caption_len,
+       2::BIGINT AS n_slots
+FROM d ORDER BY doc_id""",
+)
+def q_webdataset_multimodal(spark, sf_dir):
+    from ..sources.webdataset import (
+        assemble_samples,
+        expand_shards,
+        write_tar_shard,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 < 4)
+        .select("doc_id", "source")
+    )
+
+    def _pack(key, pdf):
+        import numpy as np
+
+        from ..operators.multimodal import (
+            encode_bmp,
+            encode_gif,
+            encode_png,
+            encode_ppm,
+        )
+
+        source = key[0]
+        members = []
+        for d in sorted(int(x) for x in pdf["doc_id"]):
+            w, h = 4 + d % 7, 3 + d % 9
+            ch = 4 if d % 4 == 3 else 3
+            y, x = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(31 * d + 17 * y + 7 * x + 3 * c) % 256 for c in range(ch)],
+                axis=-1,
+            ).astype(np.uint8)
+            enc, ext = [
+                (encode_ppm, "ppm"), (encode_bmp, "bmp"),
+                (encode_gif, "gif"), (encode_png, "png"),
+            ][d % 4]
+            members.append((f"{d:08d}.{ext}", enc(img)))
+            members.append((f"{d:08d}.txt", f"caption for doc {d}".encode()))
+        return pd.DataFrame(
+            {"path": [f"/mem/mm-{source}.tar"],
+             "content": [write_tar_shard(members)]}
+        )
+
+    shards = docs.groupBy("source").applyInPandas(
+        _pack, "path string, content binary"
+    )
+    samples = assemble_samples(expand_shards(shards))
+
+    def _feats(batches):
+        from ..operators.multimodal import default_image_decoder
+
+        for pdf in batches:
+            rows = []
+            for key, slots, n_slots in zip(
+                pdf["sample_key"], pdf["slots"], pdf["n_slots"]
+            ):
+                d = int(key)
+                img_slot = next(s for s in slots if s != "txt")
+                img = default_image_decoder(bytes(slots[img_slot]))
+                h, w = img.shape[:2]
+                ch = 1 if img.ndim == 2 else img.shape[2]
+                rows.append(
+                    (d, img_slot, w, h, ch, int(img.sum()),
+                     len(bytes(slots["txt"]).decode("utf-8")), int(n_slots))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "width", "height", "channels",
+                         "sum_px", "caption_len", "n_slots"],
+            )
+
+    return samples.select("sample_key", "slots", "n_slots").mapInPandas(
+        _feats,
+        "doc_id long, codec string, width long, height long, channels long,"
+        " sum_px long, caption_len long, n_slots long",
+    ).orderBy("doc_id")
