@@ -221,3 +221,184 @@ def verify_export_manifest(spark, path: str) -> list[str]:
     for k in sorted(extra):
         problems.append(f"unexpected shard {k}")
     return problems
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar-shard export — the multimodal last mile: member rows
+# (sample_key, slot, content) become size-bounded POSIX tar shards a
+# training loader streams directly. Sample assignment is a per-shard-key
+# window (never a global sort); each shard is written by ONE task via the
+# deterministic write_tar_shard (byte-identical re-export => the sha256
+# manifest is a real reproducibility handshake, not just a size census).
+# Shards land under out_dir via tmp-file + atomic rename, so a crashed
+# export never leaves a half-written .tar a loader could pick up. Paths
+# must be on a filesystem every executor shares (local mode / NFS —
+# the same contract as the warehouse manifest dirs).
+
+WDS_MANIFEST_FILE = "_wds_manifest.json"
+
+
+def assign_wds_shards(
+    members: DataFrame,
+    *,
+    shard_col: str = "lang",
+    samples_per_shard: int = 1000,
+) -> DataFrame:
+    """Deterministic (shard_key, shard_index) per SAMPLE: consecutive
+    sample_keys pack samples_per_shard to a shard. The window runs over
+    the distinct sample table (small side), then joins back — member
+    rows never sort globally."""
+    keys = members.select(shard_col, "sample_key").distinct()
+    w = Window.partitionBy(shard_col).orderBy("sample_key")
+    assign = keys.withColumn(
+        "shard_index",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(samples_per_shard))
+        .cast("long"),
+    )
+    return members.join(assign, [shard_col, "sample_key"])
+
+
+def export_webdataset_shards(
+    members: DataFrame,
+    out_dir: str,
+    *,
+    shard_col: str = "lang",
+    samples_per_shard: int = 1000,
+) -> dict:
+    """Write tar shards + manifest; returns the manifest dict. Member
+    naming is ``<sample_key>.<slot>`` (bare key when slot is empty), and
+    a sample's members are adjacent, ordered by slot — the WebDataset
+    contract."""
+    import hashlib
+    import json
+    import os
+    import uuid
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    assigned = assign_wds_shards(
+        members,
+        shard_col=shard_col,
+        samples_per_shard=samples_per_shard,
+    )
+
+    schema = (
+        f"{shard_col} string, shard_index long, file string, n_samples long,"
+        " n_members long, bytes long, sha256 string"
+    )
+
+    def _write(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..sources.webdataset import write_tar_shard
+
+        shard_key, idx = str(key[0]), int(key[1])
+        pdf = pdf.sort_values(["sample_key", "slot"])
+        mem = [
+            (f"{k}.{s}" if s else str(k), bytes(c))
+            for k, s, c in zip(pdf["sample_key"], pdf["slot"], pdf["content"])
+        ]
+        blob = write_tar_shard(mem)
+        name = f"{shard_key}-{idx:06d}.tar"
+        tmp = os.path.join(out_dir, f".{name}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pd.DataFrame(
+            [
+                {
+                    shard_col: shard_key,
+                    "shard_index": idx,
+                    "file": name,
+                    "n_samples": pdf["sample_key"].nunique(),
+                    "n_members": len(mem),
+                    "bytes": len(blob),
+                    "sha256": hashlib.sha256(blob).hexdigest(),
+                }
+            ]
+        )
+
+    rows = (
+        assigned.groupBy(shard_col, "shard_index")
+        .applyInPandas(_write, schema)
+        .collect()  # bounded: one row per written shard
+    )
+    manifest = {
+        "format": "webdataset",
+        "shard_col": shard_col,
+        "samples_per_shard": samples_per_shard,
+        "total_samples": sum(r["n_samples"] for r in rows),
+        "total_members": sum(r["n_members"] for r in rows),
+        "shards": {
+            r["file"]: {
+                "shard_key": r[shard_col],
+                "shard_index": r["shard_index"],
+                "n_samples": r["n_samples"],
+                "n_members": r["n_members"],
+                "bytes": r["bytes"],
+                "sha256": r["sha256"],
+            }
+            for r in rows
+        },
+    }
+    with open(os.path.join(out_dir, WDS_MANIFEST_FILE), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def verify_webdataset_export(spark, out_dir: str) -> list[str]:
+    """Recompute shard checksums and sample/member counts from the bytes
+    on disk and diff against the manifest — [] means the export
+    reproduces. Checksums hash the files driver-side (bounded: shard
+    count, not corpus size); counts re-walk members through the real
+    tar parser distributed."""
+    import glob
+    import hashlib
+    import json
+    import os
+
+    from ..sources.webdataset import read_webdataset
+
+    with open(os.path.join(out_dir, WDS_MANIFEST_FILE)) as f:
+        want = json.load(f)
+    problems: list[str] = []
+    on_disk = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(out_dir, "*.tar"))
+    }
+    for name in sorted(set(want["shards"]) | on_disk):
+        rec = want["shards"].get(name)
+        if rec is None:
+            problems.append(f"unexpected shard {name}")
+            continue
+        path = os.path.join(out_dir, name)
+        if name not in on_disk:
+            problems.append(f"missing shard {name}")
+            continue
+        with open(path, "rb") as f:
+            blob = f.read()
+        if len(blob) != rec["bytes"]:
+            problems.append(f"shard {name}: {len(blob)} bytes != {rec['bytes']}")
+        if hashlib.sha256(blob).hexdigest() != rec["sha256"]:
+            problems.append(f"shard {name}: checksum drifted")
+    if problems:
+        return problems
+    paths = [os.path.join(out_dir, n) for n in sorted(want["shards"])]
+    if paths:
+        got = {
+            os.path.basename(r["shard"]): (r["n_samples"], r["n_members"])
+            for r in read_webdataset(spark, paths)
+            .groupBy("shard")
+            .agg(
+                F.countDistinct("sample_key").alias("n_samples"),
+                F.count("*").alias("n_members"),
+            )
+            .collect()
+        }
+        for name, rec in want["shards"].items():
+            s, m = got.get(name, (0, 0))
+            if (s, m) != (rec["n_samples"], rec["n_members"]):
+                problems.append(
+                    f"shard {name}: samples/members ({s},{m}) !="
+                    f" ({rec['n_samples']},{rec['n_members']})"
+                )
+    return problems

@@ -158,3 +158,65 @@ def test_export_manifest_roundtrip_and_drift_detection(spark, tmp_path):
     spark.catalog.refreshByPath(path)
     problems = verify_export_manifest(spark, path)
     assert problems and any(victim_key in p for p in problems)
+
+
+def test_webdataset_export_roundtrip_and_verify(spark, tmp_path):
+    """Tar-shard export: deterministic shards, sha256 manifest, atomic
+    writes, verify catches tampering and extra shards."""
+    import json
+    import os
+
+    from mcp_local_rag_spark.plans.export import (
+        WDS_MANIFEST_FILE,
+        export_webdataset_shards,
+        verify_webdataset_export,
+    )
+    from mcp_local_rag_spark.sources.webdataset import read_webdataset
+
+    rows = []
+    for i in range(7):
+        lang = "en" if i % 2 == 0 else "de"
+        rows.append((lang, f"{i:04d}", "txt", bytearray(f"text {i}".encode())))
+        rows.append((lang, f"{i:04d}", "json", bytearray(b'{"k": 1}')))
+    members = spark.createDataFrame(
+        rows, "lang string, sample_key string, slot string, content binary"
+    )
+    out = str(tmp_path / "wds")
+    manifest = export_webdataset_shards(
+        members, out, shard_col="lang", samples_per_shard=2
+    )
+    # 4 en samples -> 2 shards, 3 de samples -> 2 shards
+    assert manifest["total_samples"] == 7 and manifest["total_members"] == 14
+    assert len(manifest["shards"]) == 4
+    assert verify_webdataset_export(spark, out) == []
+
+    # deterministic re-export: same bytes, same checksums
+    manifest2 = export_webdataset_shards(
+        members, out, shard_col="lang", samples_per_shard=2
+    )
+    assert {k: v["sha256"] for k, v in manifest["shards"].items()} == {
+        k: v["sha256"] for k, v in manifest2["shards"].items()
+    }
+
+    # loader-side read: samples come back whole with adjacent members
+    back = read_webdataset(
+        spark, [os.path.join(out, n) for n in manifest["shards"]]
+    )
+    assert back.count() == 14
+    assert back.select("sample_key").distinct().count() == 7
+
+    # tamper -> verify reports; extra shard -> reported
+    victim = sorted(manifest["shards"])[0]
+    with open(os.path.join(out, victim), "r+b") as f:
+        f.seek(600)
+        f.write(b"X")
+    problems = verify_webdataset_export(spark, out)
+    assert any("checksum drifted" in p for p in problems)
+    with open(os.path.join(out, WDS_MANIFEST_FILE)) as f:
+        json.load(f)  # manifest itself stays valid JSON
+    os.rename(
+        os.path.join(out, victim), os.path.join(out, "rogue-000000.tar")
+    )
+    problems = verify_webdataset_export(spark, out)
+    assert any("unexpected shard" in p for p in problems)
+    assert any("missing shard" in p for p in problems)
