@@ -558,3 +558,57 @@ def delete_documents_df(
     keep = part.join(keys, part["_k"] == keys["_target_key"], "left_anti").drop("_k")
     _rewrite_touched_buckets(spark, table_path, keep, touched)
     return int(sum(hits.values()))
+
+
+def ingest_webdataset(
+    spark: SparkSession,
+    shard_paths: list[str],
+    *,
+    dim: int = 64,
+    backend: str = "pseudo",
+) -> DataFrame:
+    """Tar shards -> chunks: WebDataset as a first-class ingest source.
+
+    Each sample's text member (slot priority md > txt > html > htm, then
+    archive order) becomes one document with the stable per-record path
+    ``<shard>#<sample_key>.<slot>`` — the same identity discipline as the
+    structured containers' ``<path>#r<index>`` — and flows through the
+    SAME parse chain as directory ingest (title extraction by inner
+    extension, hash-before-parse, sentence split, Max-Min chunking).
+    Shards are the parallelism grain: member expansion is map-only, the
+    one-text-member pick is a window inside (shard, sample_key), and
+    nothing collects to the driver.
+    """
+    from pyspark.sql import Window
+
+    from ..sources.webdataset import read_webdataset
+
+    text_slots = ["md", "txt", "html", "htm"]
+    members = read_webdataset(spark, shard_paths)
+    texts = members.filter(F.col("slot").isin(text_slots))
+    priority = F.array_position(
+        F.array(*[F.lit(s) for s in text_slots]), F.col("slot")
+    )
+    w = Window.partitionBy("shard", "sample_key").orderBy(
+        priority, "member_index"
+    )
+    picked = (
+        texts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.concat_ws(
+                "", F.col("shard"), F.lit("#"), F.col("sample_key"),
+                F.lit("."), F.col("slot"),
+            ).alias("path"),
+            "content",
+            F.col("size").alias("length"),
+        )
+    )
+    hashed = picked.withColumn(
+        "contentHash", F.lower(F.sha2(F.col("content"), 256))
+    )
+    parsed = parse_files(hashed).join(
+        hashed.select("path", "contentHash", "length"), "path"
+    )
+    docs = parsed.filter(F.col("parse_error").isNull())
+    return build_chunks(docs, dim=dim, backend=backend)

@@ -105,3 +105,32 @@ def test_read_webdataset_distributed(spark, tmp_path):
         ("cls", b"7"),
     }
     assert all(r["shard"].endswith("shard-000.tar") for r in rows)
+
+
+def test_ingest_webdataset_to_chunks(spark, tmp_path):
+    """Shards flow through the full parse->chunk chain: md slot wins over
+    txt, titles come from the inner-extension chain, record identity is
+    shard#sample_key.slot."""
+    from mcp_local_rag_spark.plans.ingest import ingest_webdataset
+
+    body = (
+        "This sample discusses partition pruning and dynamic filters at "
+        "length. A second sentence keeps the chunker interested in the "
+        "material and well past any minimum length gate.\n"
+    )
+    shard = tmp_path / "train-000.tar"
+    shard.write_bytes(
+        write_tar_shard(
+            [
+                ("s1.md", ("# Sample One\n\n" + body).encode()),
+                ("s1.txt", b"loser slot, md outranks txt"),
+                ("s1.json", b'{"meta": 1}'),
+                ("s2.txt", ("Plain Title\n\n" + body).encode()),
+            ]
+        )
+    )
+    chunks = ingest_webdataset(spark, [str(shard)])
+    rows = chunks.select("filePath", "fileTitle").distinct().collect()
+    by_path = {r.filePath.split("#", 1)[1]: r.fileTitle for r in rows}
+    assert by_path == {"s1.md": "Sample One", "s2.txt": "Plain Title"}
+    assert all(r.filePath.startswith(str(shard) + "#") for r in rows)
