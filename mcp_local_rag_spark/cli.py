@@ -296,6 +296,8 @@ def run(argv: list[str], engine, out=None) -> int:
         target = os.path.abspath(args.path)
         if os.path.isdir(target):
             emit(engine.ingest_directory(target))
+        elif target.endswith((".tar", ".tar.gz", ".tar.bz2", ".tar.xz")):
+            emit(engine.ingest_shards([target]))
         else:
             emit(engine.ingest_file(target))
         engine.optimize()

@@ -614,6 +614,22 @@ class RagEngine:
         self.optimize()
         return self.chunks().count()
 
+    def ingest_shards(self, shard_paths: list[str]) -> int:
+        """Bulk ingest from WebDataset tar shards — same commit shape as
+        ingest_directory (append/overwrite + one optimize() at the end),
+        with shards as the parallelism grain."""
+        from .plans.ingest import ingest_webdataset
+
+        eb, ed = self._space()
+        chunks = ingest_webdataset(self.spark, shard_paths, dim=ed, backend=eb)
+        mode = "append" if self._exists() else "overwrite"
+        self._mark_index_dirty(full=True)
+        with self._attributed():
+            write_chunks(chunks, self.table_path, mode=mode, backend=eb, dim=ed)
+        self.spark.catalog.refreshByPath(self.table_path)
+        self.optimize()
+        return self.chunks().count()
+
     def ingest_file(
         self,
         file_path: str,

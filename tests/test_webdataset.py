@@ -134,3 +134,24 @@ def test_ingest_webdataset_to_chunks(spark, tmp_path):
     by_path = {r.filePath.split("#", 1)[1]: r.fileTitle for r in rows}
     assert by_path == {"s1.md": "Sample One", "s2.txt": "Plain Title"}
     assert all(r.filePath.startswith(str(shard) + "#") for r in rows)
+
+
+def test_engine_ingest_shards_and_search(spark, tmp_path):
+    """Engine-level shard ingest: chunks land in the table, the postings
+    index refreshes (optimize runs), and hybrid search finds the text."""
+    from mcp_local_rag_spark.engine import RagEngine
+
+    body = (
+        "Watermarks bound how late an event may arrive before the window "
+        "closes for good. Stateful operators then drop anything older "
+        "than the watermark while keeping the open aggregates compact.\n"
+    )
+    shard = tmp_path / "train-001.tar"
+    shard.write_bytes(
+        write_tar_shard([("w1.md", ("# Watermarks\n\n" + body).encode())])
+    )
+    eng = RagEngine(spark, str(tmp_path / "table"))
+    n = eng.ingest_shards([str(shard)])
+    assert n > 0
+    hits = eng.query_documents("watermark late events", limit=3).collect()
+    assert hits and any(h["fileTitle"] == "Watermarks" for h in hits)
