@@ -579,31 +579,9 @@ def ingest_webdataset(
     one-text-member pick is a window inside (shard, sample_key), and
     nothing collects to the driver.
     """
-    from pyspark.sql import Window
+    from ..sources.webdataset import pick_text_members, read_webdataset
 
-    from ..sources.webdataset import read_webdataset
-
-    text_slots = ["md", "txt", "html", "htm"]
-    members = read_webdataset(spark, shard_paths)
-    texts = members.filter(F.col("slot").isin(text_slots))
-    priority = F.array_position(
-        F.array(*[F.lit(s) for s in text_slots]), F.col("slot")
-    )
-    w = Window.partitionBy("shard", "sample_key").orderBy(
-        priority, "member_index"
-    )
-    picked = (
-        texts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.concat_ws(
-                "", F.col("shard"), F.lit("#"), F.col("sample_key"),
-                F.lit("."), F.col("slot"),
-            ).alias("path"),
-            "content",
-            F.col("size").alias("length"),
-        )
-    )
+    picked = pick_text_members(read_webdataset(spark, shard_paths))
     hashed = picked.withColumn(
         "contentHash", F.lower(F.sha2(F.col("content"), 256))
     )

@@ -158,3 +158,37 @@ def write_tar_shard(members: list[tuple[str, bytes]]) -> bytes:
             info.uname = info.gname = ""
             tf.addfile(info, io.BytesIO(data))
     return buf.getvalue()
+
+
+TEXT_SLOTS = ("md", "txt", "html", "htm")
+
+
+def pick_text_members(
+    members: DataFrame, *, slots: tuple[str, ...] = TEXT_SLOTS
+) -> DataFrame:
+    """One text member per sample -> (path, content, length) rows with
+    the stable record identity ``<shard>#<sample_key>.<slot>``. Slot
+    priority follows ``slots`` order, ties settled by archive order; the
+    window runs inside (shard, sample_key), so it shares the sample
+    shuffle grain and never sorts globally."""
+    from pyspark.sql import Window
+
+    texts = members.filter(F.col("slot").isin(list(slots)))
+    priority = F.array_position(
+        F.array(*[F.lit(s) for s in slots]), F.col("slot")
+    )
+    w = Window.partitionBy("shard", "sample_key").orderBy(
+        priority, "member_index"
+    )
+    return (
+        texts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.concat_ws(
+                "", F.col("shard"), F.lit("#"), F.col("sample_key"),
+                F.lit("."), F.col("slot"),
+            ).alias("path"),
+            "content",
+            F.col("size").alias("length"),
+        )
+    )

@@ -425,3 +425,70 @@ def join_event_streams(
         & (F.col("_ssr.r_ts") <= F.col("_ssl.l_ts") + F.expr(f"INTERVAL {max_delay}"))
     )
     return l.join(r, cond, "inner").drop(F.col(f"_ssr.{key_col}"))
+
+
+def stream_ingest_shards(
+    spark: SparkSession,
+    watch_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    *,
+    pattern: str = "*.tar",
+    dim: int | None = None,
+    backend: str | None = None,
+    postings_path: str | None = None,
+    tokenizer: str = "unigram",
+    max_files_per_trigger: int = 4,
+    available_now: bool = False,
+):
+    """WebDataset watcher: new tar SHARDS dropped into the directory
+    stream through the same member-expand -> text-member-pick ->
+    parse -> chunk chain as batch ``ingest_webdataset``. The file source
+    tracks processed shards in the checkpoint (exactly-once per shard,
+    restart-safe), and a shard is the micro-batch work unit — at corpus
+    scale the drop directory IS the delivery interface, shards arriving
+    from the producer as they close. maxFilesPerTrigger defaults low
+    because one shard already fans out to thousands of samples.
+
+    Compressed shards match by glob (pass ``pattern="*.tar*"`` to watch
+    gz/bz2/xz envelopes too); unparseable members are dropped with their
+    parse_error recorded, never failing the stream."""
+    from ..plans.ingest import build_chunks, table_embedding
+    from ..sources.parsers import parse_files
+    from ..sources.webdataset import expand_shards, pick_text_members
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", pattern)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(watch_dir)
+        # same anchored scheme strip as stream_ingest_binary (binaryFile
+        # paths are plain, not percent-encoded)
+        .selectExpr("regexp_replace(path, '^file:', '') AS path", "content")
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty() or _batch_already_applied(checkpoint_dir, batch_id):
+            return
+        meta_backend, meta_dim = table_embedding(table_path)
+        b = backend if backend is not None else meta_backend
+        d = dim if dim is not None else meta_dim
+        picked = pick_text_members(expand_shards(batch))
+        hashed = picked.withColumn(
+            "contentHash", F.lower(F.sha2(F.col("content"), 256))
+        )
+        parsed = parse_files(hashed).join(
+            hashed.select("path", "contentHash", "length"), "path"
+        )
+        docs = parsed.filter(F.col("parse_error").isNull())
+        chunks = build_chunks(docs, dim=d, backend=b)
+        _append_chunk_batch(chunks, table_path, postings_path, tokenizer)
+        _mark_batch_applied(checkpoint_dir, batch_id)
+
+    writer = raw.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

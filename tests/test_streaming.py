@@ -1113,3 +1113,56 @@ def test_stream_stream_left_outer_attribution(spark, tmp_path):
         ).collect()
     }
     assert unattr == {102, 103}
+
+
+def test_stream_ingest_shards(spark, tmp_path):
+    """The WebDataset watcher: shards dropped into the directory stream
+    through expand -> text-pick -> parse -> chunk; exactly-once per shard
+    via the checkpoint; a later shard appends incrementally."""
+    from mcp_local_rag_spark.sources.webdataset import write_tar_shard
+    from mcp_local_rag_spark.streaming.watch import stream_ingest_shards
+
+    watch = tmp_path / "sharddrop"
+    watch.mkdir()
+    body = (
+        "Shard-delivered prose about checkpointed file sources and "
+        "exactly-once ingestion. A second sentence keeps the chunker fed "
+        "well past the minimum length gate.\n"
+    )
+    (watch / "train-000.tar").write_bytes(
+        write_tar_shard(
+            [
+                ("a1.md", ("# Shard One\n\n" + body).encode()),
+                ("a1.json", b"{}"),
+                ("a2.txt", ("Shard Two Title\n\n" + body).encode()),
+            ]
+        )
+    )
+    table = str(tmp_path / "chunks_wds")
+    ckpt = str(tmp_path / "ckpt_wds")
+
+    q = stream_ingest_shards(spark, str(watch), table, ckpt, available_now=True)
+    q.awaitTermination(120)
+    stored = spark.read.parquet(table)
+    titles = {r.fileTitle for r in stored.collect()}
+    assert titles == {"Shard One", "Shard Two Title"}
+    assert all(
+        "#" in r.filePath for r in stored.select("filePath").collect()
+    )
+    n1 = stored.count()
+
+    # exactly-once on re-drain, then a new shard appends incrementally
+    q2 = stream_ingest_shards(spark, str(watch), table, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    spark.catalog.refreshByPath(table)
+    assert spark.read.parquet(table).count() == n1
+
+    (watch / "train-001.tar").write_bytes(
+        write_tar_shard([("b1.md", ("# Shard Three\n\n" + body).encode())])
+    )
+    q3 = stream_ingest_shards(spark, str(watch), table, ckpt, available_now=True)
+    q3.awaitTermination(120)
+    spark.catalog.refreshByPath(table)
+    after = spark.read.parquet(table)
+    assert after.count() > n1
+    assert "Shard Three" in {r.fileTitle for r in after.collect()}
