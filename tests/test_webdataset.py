@@ -155,3 +155,64 @@ def test_engine_ingest_shards_and_search(spark, tmp_path):
     assert n > 0
     hits = eng.query_documents("watermark late events", limit=3).collect()
     assert hits and any(h["fileTitle"] == "Watermarks" for h in hits)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_name_alpha = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789_-", min_size=1, max_size=12
+)
+_member_name = st.builds(
+    lambda d, stem, ext: (f"{d}/" if d else "") + stem + (f".{ext}" if ext else ""),
+    st.one_of(st.just(""), _name_alpha),
+    _name_alpha,
+    st.one_of(st.just(""), _name_alpha, st.just("seg.png")),
+)
+
+
+@given(
+    st.lists(
+        st.tuples(_member_name, st.binary(max_size=600)),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_tar_roundtrip_property(members):
+    """write_tar_shard ∘ parse_tar_bytes is the identity on (name, bytes,
+    order), member_index is dense, and the key/slot split re-joins to the
+    member name."""
+    blob = write_tar_shard(members)
+    assert blob == write_tar_shard(members)  # deterministic
+    rows = parse_tar_bytes("/d/x.tar", blob)
+    assert [(r["member"], r["content"]) for r in rows] == members
+    assert [r["member_index"] for r in rows] == list(range(len(members)))
+    for r in rows:
+        rejoined = r["sample_key"] + ("." + r["slot"] if r["slot"] else "")
+        assert rejoined == r["member"].lower() or rejoined == r["member"]
+        assert r["size"] == len(r["content"])
+
+
+@given(
+    st.lists(
+        st.tuples(_member_name, st.binary(max_size=200)),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from(["gz", "bz2", "xz"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_tar_envelope_roundtrip_property(members, codec):
+    """Any shard survives any stdlib envelope, bounded decompress
+    included."""
+    import bz2
+    import gzip
+    import lzma
+
+    comp = {"gz": gzip.compress, "bz2": bz2.compress, "xz": lzma.compress}[codec]
+    blob = write_tar_shard(members)
+    rows = parse_tar_bytes(f"/d/x.tar.{codec}", comp(blob))
+    assert [(r["member"], r["content"]) for r in rows] == members
