@@ -296,7 +296,9 @@ def run(argv: list[str], engine, out=None) -> int:
         target = os.path.abspath(args.path)
         if os.path.isdir(target):
             emit(engine.ingest_directory(target))
-        elif target.endswith((".tar", ".tar.gz", ".tar.bz2", ".tar.xz")):
+        elif target.endswith(
+            (".tar", ".tar.gz", ".tar.bz2", ".tar.xz", ".tgz", ".tbz2", ".txz")
+        ):
             emit(engine.ingest_shards([target]))
         else:
             emit(engine.ingest_file(target))

@@ -606,13 +606,7 @@ class RagEngine:
         the maintained postings index without any explicit caller step."""
         eb, ed = self._space()
         chunks, _ = ingest_directory(self.spark, root, dim=ed, backend=eb)
-        mode = "append" if self._exists() else "overwrite"
-        self._mark_index_dirty(full=True)
-        with self._attributed():
-            write_chunks(chunks, self.table_path, mode=mode, backend=eb, dim=ed)
-        self.spark.catalog.refreshByPath(self.table_path)
-        self.optimize()
-        return self.chunks().count()
+        return self._bulk_commit(chunks, eb, ed)
 
     def ingest_shards(self, shard_paths: list[str]) -> int:
         """Bulk ingest from WebDataset tar shards — same commit shape as
@@ -622,6 +616,12 @@ class RagEngine:
 
         eb, ed = self._space()
         chunks = ingest_webdataset(self.spark, shard_paths, dim=ed, backend=eb)
+        return self._bulk_commit(chunks, eb, ed)
+
+    def _bulk_commit(self, chunks: DataFrame, eb: str, ed: int) -> int:
+        """The shared bulk-ingest commit tail: append/overwrite write,
+        full index-dirty mark, one optimize(). One code path so the two
+        bulk sources can never diverge on commit ordering."""
         mode = "append" if self._exists() else "overwrite"
         self._mark_index_dirty(full=True)
         with self._attributed():

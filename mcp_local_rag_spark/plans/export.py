@@ -247,15 +247,24 @@ def assign_wds_shards(
     """Deterministic (shard_key, shard_index) per SAMPLE: consecutive
     sample_keys pack samples_per_shard to a shard. The window runs over
     the distinct sample table (small side), then joins back — member
-    rows never sort globally."""
+    rows never sort globally. The join is NULL-SAFE on both keys: a
+    NULL shard_col or sample_key is still a sample and must land in a
+    shard, not silently vanish from the export (a plain column-list
+    join drops NULL keys with no error, and the manifest would agree
+    with the truncated output)."""
     keys = members.select(shard_col, "sample_key").distinct()
-    w = Window.partitionBy(shard_col).orderBy("sample_key")
+    w = Window.partitionBy(shard_col).orderBy(F.col("sample_key").asc_nulls_first())
     assign = keys.withColumn(
         "shard_index",
         ((F.row_number().over(w) - F.lit(1)) / F.lit(samples_per_shard))
         .cast("long"),
+    ).withColumnsRenamed({shard_col: "_a_key", "sample_key": "_a_sample"})
+    joined = members.join(
+        assign,
+        members[shard_col].eqNullSafe(assign["_a_key"])
+        & members["sample_key"].eqNullSafe(assign["_a_sample"]),
     )
-    return members.join(assign, [shard_col, "sample_key"])
+    return joined.drop("_a_key", "_a_sample")
 
 
 def export_webdataset_shards(
@@ -268,13 +277,26 @@ def export_webdataset_shards(
     """Write tar shards + manifest; returns the manifest dict. Member
     naming is ``<sample_key>.<slot>`` (bare key when slot is empty), and
     a sample's members are adjacent, ordered by slot — the WebDataset
-    contract."""
+    contract. Shard FILE names sanitize the shard key (data values may
+    carry '/', '..', or be NULL — written raw they would escape out_dir
+    or crash the task); a changed spelling gets a short content-hash
+    suffix so distinct raw keys can never collide onto one file."""
     import hashlib
     import json
     import os
+    import re
     import uuid
 
     import pandas as pd
+
+    def _safe_name(key) -> str:
+        # no leading '.'/'_' either: Spark's file sources treat those as
+        # hidden and would silently skip the shard on read-back/verify
+        raw = "null" if key is None else str(key)
+        safe = re.sub(r"[^A-Za-z0-9._-]", "_", raw).lstrip("._") or "key"
+        if safe != raw:
+            safe += "-" + hashlib.sha256(raw.encode()).hexdigest()[:6]
+        return safe
 
     os.makedirs(out_dir, exist_ok=True)
     assigned = assign_wds_shards(
@@ -291,14 +313,15 @@ def export_webdataset_shards(
     def _write(key, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..sources.webdataset import write_tar_shard
 
-        shard_key, idx = str(key[0]), int(key[1])
+        raw_key, idx = key[0], int(key[1])
+        shard_key = "null" if raw_key is None else str(raw_key)
         pdf = pdf.sort_values(["sample_key", "slot"])
         mem = [
             (f"{k}.{s}" if s else str(k), bytes(c))
             for k, s, c in zip(pdf["sample_key"], pdf["slot"], pdf["content"])
         ]
         blob = write_tar_shard(mem)
-        name = f"{shard_key}-{idx:06d}.tar"
+        name = f"{_safe_name(raw_key)}-{idx:06d}.tar"
         tmp = os.path.join(out_dir, f".{name}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "wb") as f:
             f.write(blob)
@@ -348,15 +371,15 @@ def export_webdataset_shards(
 def verify_webdataset_export(spark, out_dir: str) -> list[str]:
     """Recompute shard checksums and sample/member counts from the bytes
     on disk and diff against the manifest — [] means the export
-    reproduces. Both passes are distributed (binaryFile read + executor-
-    side sha256 / tar walk); only one bounded row per shard reaches the
-    driver, so verification scales with the cluster, not the driver."""
+    reproduces. ONE distributed pass reads each shard once and computes
+    all four facts (sha256, bytes, samples, members) executor-side; only
+    one bounded row per shard reaches the driver, so verification scales
+    with the cluster, not the driver, and pays the shard I/O once."""
     import glob
     import json
     import os
 
     from ..sources.scan import read_files
-    from ..sources.webdataset import read_webdataset
 
     with open(os.path.join(out_dir, WDS_MANIFEST_FILE)) as f:
         want = json.load(f)
@@ -364,49 +387,69 @@ def verify_webdataset_export(spark, out_dir: str) -> list[str]:
     on_disk = sorted(
         os.path.basename(p) for p in glob.glob(os.path.join(out_dir, "*.tar"))
     )
-    digests: dict[str, tuple[int, str]] = {}
+    stats: dict[str, dict] = {}
     if on_disk:
+
+        def _stats(batches):
+            import hashlib
+
+            import pandas as pd
+
+            from ..sources.webdataset import parse_tar_bytes
+
+            for pdf in batches:
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    blob = bytes(content)
+                    try:
+                        members = parse_tar_bytes(path, blob)
+                        n_s = len({m["sample_key"] for m in members})
+                        n_m, err = len(members), None
+                    except ValueError as exc:
+                        n_s = n_m = 0
+                        err = str(exc)
+                    yield pd.DataFrame(
+                        [
+                            (path, len(blob),
+                             hashlib.sha256(blob).hexdigest(), n_s, n_m, err)
+                        ],
+                        columns=["path", "nbytes", "sha256", "n_samples",
+                                 "n_members", "error"],
+                    )
+
         files = read_files(spark, [os.path.join(out_dir, n) for n in on_disk])
-        digests = {
-            os.path.basename(r["path"]): (r["nbytes"], r["sha256"])
-            for r in files.select(
-                "path",
-                F.length("content").cast("long").alias("nbytes"),
-                F.lower(F.sha2("content", 256)).alias("sha256"),
-            ).collect()
+        stats = {
+            os.path.basename(r["path"]): r.asDict()
+            for r in files.select("path", "content")
+            .mapInPandas(
+                _stats,
+                "path string, nbytes long, sha256 string, n_samples long,"
+                " n_members long, error string",
+            )
+            .collect()
         }
     for name in sorted(set(want["shards"]) | set(on_disk)):
         rec = want["shards"].get(name)
         if rec is None:
             problems.append(f"unexpected shard {name}")
             continue
-        if name not in digests:
+        got = stats.get(name)
+        if got is None:
             problems.append(f"missing shard {name}")
             continue
-        nbytes, sha = digests[name]
-        if nbytes != rec["bytes"]:
-            problems.append(f"shard {name}: {nbytes} bytes != {rec['bytes']}")
-        if sha != rec["sha256"]:
-            problems.append(f"shard {name}: checksum drifted")
-    if problems:
-        return problems
-    paths = [os.path.join(out_dir, n) for n in sorted(want["shards"])]
-    if paths:
-        got = {
-            os.path.basename(r["shard"]): (r["n_samples"], r["n_members"])
-            for r in read_webdataset(spark, paths)
-            .groupBy("shard")
-            .agg(
-                F.countDistinct("sample_key").alias("n_samples"),
-                F.count("*").alias("n_members"),
+        if got["nbytes"] != rec["bytes"]:
+            problems.append(
+                f"shard {name}: {got['nbytes']} bytes != {rec['bytes']}"
             )
-            .collect()
-        }
-        for name, rec in want["shards"].items():
-            s, m = got.get(name, (0, 0))
-            if (s, m) != (rec["n_samples"], rec["n_members"]):
-                problems.append(
-                    f"shard {name}: samples/members ({s},{m}) !="
-                    f" ({rec['n_samples']},{rec['n_members']})"
-                )
+        if got["sha256"] != rec["sha256"]:
+            problems.append(f"shard {name}: checksum drifted")
+        if got["error"]:
+            problems.append(f"shard {name}: unreadable: {got['error']}")
+        elif (got["n_samples"], got["n_members"]) != (
+            rec["n_samples"], rec["n_members"]
+        ):
+            problems.append(
+                f"shard {name}: samples/members"
+                f" ({got['n_samples']},{got['n_members']}) !="
+                f" ({rec['n_samples']},{rec['n_members']})"
+            )
     return problems

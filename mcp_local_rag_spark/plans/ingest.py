@@ -566,6 +566,7 @@ def ingest_webdataset(
     *,
     dim: int = 64,
     backend: str = "pseudo",
+    errors: str = "raise",
 ) -> DataFrame:
     """Tar shards -> chunks: WebDataset as a first-class ingest source.
 
@@ -581,7 +582,7 @@ def ingest_webdataset(
     """
     from ..sources.webdataset import pick_text_members, read_webdataset
 
-    picked = pick_text_members(read_webdataset(spark, shard_paths))
+    picked = pick_text_members(read_webdataset(spark, shard_paths, errors=errors))
     hashed = picked.withColumn(
         "contentHash", F.lower(F.sha2(F.col("content"), 256))
     )

@@ -130,21 +130,30 @@ def parse_xml_bytes(path: str, content: bytes) -> list[dict]:
 # receive so titles/record paths stay spelling-stable.
 COMPRESSION_EXTS = ("gz", "bz2", "xz")
 
+# short tar spellings: one extension meaning <stem>.tar + envelope
+SHORT_TAR_EXTS = {"tgz": "gz", "tbz2": "bz2", "txz": "xz"}
+
 
 def _inflate_bounded(new_decomp, content: bytes, limit: int, codec: str) -> bytes:
     """Streaming decompress with a hard output cap: the scanner's
     MAX_FILE_SIZE guard sees only the COMPRESSED size, so without this a
     kilobyte-sized bomb (200 MB of zeros gzips to ~200 KB) would expand
     unbounded inside an executor's Python worker. Concatenated members
-    (multi-stream .gz/.bz2/.xz, incl. null stream padding) are unwrapped
-    like the stdlib one-shot helpers do."""
+    and null stream padding unwrap; trailing garbage after a complete
+    stream follows the per-codec stdlib one-shot policy (verified
+    empirically): bz2/xz IGNORE it (return the decoded streams), gzip
+    raises. Truncation mid-stream always raises — never a silent
+    prefix."""
     out = bytearray()
     d = new_decomp()
     data = content
+    members_done = 0
     while True:
         try:
             chunk = d.decompress(data, limit + 1 - len(out))
         except Exception as exc:  # codec-specific error types
+            if members_done and codec != "gz":
+                return bytes(out)  # bz2/xz: trailing junk, stdlib policy
             raise ValueError(f"corrupt {codec} envelope: {exc}") from exc
         out += chunk
         if len(out) > limit:
@@ -153,6 +162,7 @@ def _inflate_bounded(new_decomp, content: bytes, limit: int, codec: str) -> byte
                 " compressed"
             )
         if getattr(d, "eof", False):
+            members_done += 1
             rest = d.unused_data.lstrip(b"\x00")
             if not rest:
                 return bytes(out)
@@ -176,15 +186,21 @@ def maybe_decompress(
     """Strip one compression envelope by extension, or pass through.
     ``('/x/a.jsonl.gz', <gzip bytes>) -> ('/x/a.jsonl', <plain bytes>)``.
     Decompressed output is capped at ``max_bytes`` (default: the
-    scanner's MAX_FILE_SIZE, which only bounds the compressed size)."""
+    scanner's MAX_FILE_SIZE, which only bounds the compressed size).
+    Short tar spellings unwrap too: ``a.tgz`` -> ``a.tar`` (likewise
+    .tbz2/.txz)."""
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
-    if ext not in COMPRESSION_EXTS:
+    if ext in SHORT_TAR_EXTS:
+        inner = path[: -(len(ext) + 1)] + ".tar"
+        ext = SHORT_TAR_EXTS[ext]
+    elif ext in COMPRESSION_EXTS:
+        inner = path[: -(len(ext) + 1)]
+    else:
         return path, content
     if max_bytes is None:
         from .scan import MAX_FILE_SIZE  # lazy: scan imports this module
 
         max_bytes = MAX_FILE_SIZE
-    inner = path[: -(len(ext) + 1)]
     if ext == "gz":
         import zlib
 

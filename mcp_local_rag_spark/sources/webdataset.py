@@ -49,12 +49,21 @@ def split_member_key(name: str) -> tuple[str, str]:
     return posixpath.join(dirname, stem) if dirname else stem, slot.lower()
 
 
-def parse_tar_bytes(path: str, content: bytes) -> list[dict]:
+# Envelope cap for COMPRESSED shards (tar.gz/.tgz/...): shards run ~1 GB
+# by convention, so the document-sized MAX_FILE_SIZE default would refuse
+# legitimate compressed shards. 2 GiB headroom; expand_shards bounds peak
+# executor memory to ONE shard regardless (one yielded frame per shard).
+MAX_SHARD_BYTES = 2 << 30
+
+
+def parse_tar_bytes(
+    path: str, content: bytes, *, max_bytes: int = MAX_SHARD_BYTES
+) -> list[dict]:
     """One shard -> member rows, archive order preserved. Only regular
     files become rows (directories / links / devices are skipped — links
     especially, matching the scanner's symlink policy); a corrupt tar
     raises so the caller's coverage row records it."""
-    path, content = maybe_decompress(path, content)  # shard.tar.gz
+    path, content = maybe_decompress(path, content, max_bytes=max_bytes)
     rows: list[dict] = []
     try:
         with tarfile.open(fileobj=io.BytesIO(content), mode="r:") as tf:
@@ -92,35 +101,68 @@ MEMBER_SCHEMA = StructType(
 )
 
 
-def expand_shards(shards: DataFrame) -> DataFrame:
+CORRUPT_SLOT = "__corrupt__"
+
+
+def expand_shards(
+    shards: DataFrame,
+    *,
+    errors: str = "raise",
+    max_bytes: int = MAX_SHARD_BYTES,
+) -> DataFrame:
     """(path, content) shard rows -> member rows. Pure map stage: one
     input row yields its members in place, executors never exchange
-    bytes. Column pruning upstream keeps metadata-only consumers from
-    reading shard content at all."""
+    bytes, and each shard yields its OWN frame so peak task memory is
+    one decompressed shard, not the whole Arrow batch. Column pruning
+    upstream keeps metadata-only consumers from reading shard content.
+
+    ``errors='record'`` turns a corrupt/oversized shard into one row
+    with slot ``__corrupt__`` and the error text as content (coverage,
+    not crash — the streaming watcher's posture, where one bad shard
+    must not wedge the checkpointed stream); the default raises."""
     import pandas as pd
+
+    if errors not in ("raise", "record"):
+        raise ValueError(f"errors must be 'raise' or 'record': {errors!r}")
+    cols = [f.name for f in MEMBER_SCHEMA.fields]
 
     def _expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
             for shard, content in zip(pdf["path"], pdf["content"]):
-                for r in parse_tar_bytes(shard, bytes(content)):
-                    rows.append(
+                try:
+                    rows = [
                         (shard, r["member"], r["sample_key"], r["slot"],
                          r["member_index"], r["size"], r["content"])
-                    )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in MEMBER_SCHEMA.fields]
-            )
+                        for r in parse_tar_bytes(
+                            shard, bytes(content), max_bytes=max_bytes
+                        )
+                    ]
+                except ValueError as exc:
+                    if errors == "raise":
+                        raise
+                    rows = [
+                        (shard, "", "", CORRUPT_SLOT, 0, 0,
+                         str(exc).encode("utf-8"))
+                    ]
+                yield pd.DataFrame(rows, columns=cols)
 
     return shards.select("path", "content").mapInPandas(_expand, MEMBER_SCHEMA)
 
 
-def read_webdataset(spark: SparkSession, paths: list[str]) -> DataFrame:
+def read_webdataset(
+    spark: SparkSession,
+    paths: list[str],
+    *,
+    errors: str = "raise",
+    max_bytes: int = MAX_SHARD_BYTES,
+) -> DataFrame:
     """Distributed shard read -> member rows (binaryFile source, one task
     per shard — WebDataset's native parallelism grain)."""
     from .scan import read_files
 
-    return expand_shards(read_files(spark, paths))
+    return expand_shards(
+        read_files(spark, paths), errors=errors, max_bytes=max_bytes
+    )
 
 
 def assemble_samples(members: DataFrame) -> DataFrame:
@@ -128,7 +170,9 @@ def assemble_samples(members: DataFrame) -> DataFrame:
     shape a training loader consumes: ``slots['jpg']``, ``slots['txt']``,
     ...). One shuffle on (shard, sample_key); sample parts are adjacent
     within a shard so the aggregate's map-side combine sees them in the
-    same input split."""
+    same input split. A duplicate slot within one sample is a malformed
+    shard and FAILS the job (map_from_entries under Spark's default
+    duplicate-key policy) rather than silently dropping a member."""
     return (
         members.groupBy("shard", "sample_key")
         .agg(

@@ -452,7 +452,11 @@ def stream_ingest_shards(
 
     Compressed shards match by glob (pass ``pattern="*.tar*"`` to watch
     gz/bz2/xz envelopes too); unparseable members are dropped with their
-    parse_error recorded, never failing the stream."""
+    parse_error recorded, and a corrupt/oversized SHARD becomes a
+    ``__corrupt__`` member row instead of an exception (expand_shards
+    errors='record') — a foreachBatch failure would otherwise replay the
+    same checkpointed file list forever, wedging the stream on one bad
+    producer copy."""
     from ..plans.ingest import build_chunks, table_embedding
     from ..sources.parsers import parse_files
     from ..sources.webdataset import expand_shards, pick_text_members
@@ -474,7 +478,7 @@ def stream_ingest_shards(
         meta_backend, meta_dim = table_embedding(table_path)
         b = backend if backend is not None else meta_backend
         d = dim if dim is not None else meta_dim
-        picked = pick_text_members(expand_shards(batch))
+        picked = pick_text_members(expand_shards(batch, errors="record"))
         hashed = picked.withColumn(
             "contentHash", F.lower(F.sha2(F.col("content"), 256))
         )

@@ -220,3 +220,36 @@ def test_webdataset_export_roundtrip_and_verify(spark, tmp_path):
     problems = verify_webdataset_export(spark, out)
     assert any("unexpected shard" in p for p in problems)
     assert any("missing shard" in p for p in problems)
+
+
+def test_webdataset_export_null_and_unsafe_keys(spark, tmp_path):
+    """NULL shard keys and samples still export (null-safe assignment —
+    a plain column-list join would silently drop them), and path-unsafe
+    shard values sanitize into out_dir with a collision-proof suffix."""
+    import os
+
+    from mcp_local_rag_spark.plans.export import (
+        export_webdataset_shards,
+        verify_webdataset_export,
+    )
+
+    rows = [
+        (None, "a1", "txt", bytearray(b"null-lang sample")),
+        ("en/US", "b1", "txt", bytearray(b"slash in key")),
+        ("../evil", "c1", "txt", bytearray(b"traversal attempt")),
+        ("en", "d1", "txt", bytearray(b"plain")),
+    ]
+    members = spark.createDataFrame(
+        rows, "lang string, sample_key string, slot string, content binary"
+    )
+    out = str(tmp_path / "wds_nulls")
+    manifest = export_webdataset_shards(
+        members, out, shard_col="lang", samples_per_shard=10
+    )
+    assert manifest["total_samples"] == 4 and manifest["total_members"] == 4
+    # every shard landed INSIDE out_dir, nothing escaped or crashed
+    names = sorted(manifest["shards"])
+    assert all(os.path.exists(os.path.join(out, n)) for n in names)
+    assert not os.path.exists(str(tmp_path / "evil-000000.tar"))
+    assert any(n.startswith("null-") for n in names)
+    assert verify_webdataset_export(spark, out) == []

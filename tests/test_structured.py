@@ -299,3 +299,33 @@ def test_decompress_output_cap_and_multimember():
     wx = lzma.compress(b"y" * 500)
     with _pytest.raises(ValueError, match="xz"):
         maybe_decompress("/d/a.txt.xz", wx[: len(wx) // 2], max_bytes=10_000)
+
+
+def test_trailing_garbage_matches_stdlib_policy():
+    """Per-codec stdlib one-shot policy, pinned empirically: bz2/xz
+    IGNORE trailing garbage after a complete stream (return the decoded
+    data), gzip raises; .tgz-family short spellings unwrap to .tar."""
+    import bz2
+    import gzip
+    import lzma
+
+    import pytest as _pytest
+
+    from mcp_local_rag_spark.sources.structured import maybe_decompress
+
+    for ext, comp in (("bz2", bz2.compress), ("xz", lzma.compress)):
+        blob = comp(b"hello") + b"GARBAGE-TAIL"
+        path, out = maybe_decompress(f"/d/a.md.{ext}", blob, max_bytes=1024)
+        assert (path, out) == ("/d/a.md", b"hello")
+    with _pytest.raises(ValueError, match="corrupt gz"):
+        maybe_decompress(
+            "/d/a.md.gz", gzip.compress(b"hello") + b"GARBAGE", max_bytes=1024
+        )
+
+    # short tar spellings: a.tgz -> a.tar with the gz codec
+    for short, comp in (("tgz", gzip.compress), ("tbz2", bz2.compress),
+                        ("txz", lzma.compress)):
+        path, out = maybe_decompress(
+            f"/d/shard.{short}", comp(b"tarbytes"), max_bytes=1024
+        )
+        assert (path, out) == ("/d/shard.tar", b"tarbytes")

@@ -216,3 +216,75 @@ def test_tar_envelope_roundtrip_property(members, codec):
     blob = write_tar_shard(members)
     rows = parse_tar_bytes(f"/d/x.tar.{codec}", comp(blob))
     assert [(r["member"], r["content"]) for r in rows] == members
+
+
+def test_expand_shards_error_recording(spark):
+    """errors='record': a corrupt shard becomes one __corrupt__ row and
+    the good shard still expands; default raises. Oversized envelopes
+    route the same way (the 2 GiB MAX_SHARD_BYTES cap is the refusal
+    point for compressed shards, overridable per call)."""
+    import gzip
+
+    import pytest as _pytest
+
+    from mcp_local_rag_spark.sources.webdataset import (
+        CORRUPT_SLOT,
+        expand_shards,
+    )
+
+    good = write_tar_shard([("k.txt", b"fine")])
+    shards = spark.createDataFrame(
+        [("/mem/good.tar", bytearray(good)),
+         ("/mem/bad.tar", bytearray(b"definitely not a tar" + b"\x00" * 600))],
+        "path string, content binary",
+    )
+    with _pytest.raises(Exception):
+        expand_shards(shards).collect()
+    rows = expand_shards(shards, errors="record").collect()
+    by_slot = {r["slot"]: r for r in rows}
+    assert bytes(by_slot["txt"]["content"]) == b"fine"
+    bad = by_slot[CORRUPT_SLOT]
+    assert bad["shard"] == "/mem/bad.tar" and b"corrupt tar" in bytes(bad["content"])
+
+    # oversized compressed shard: record mode captures the cap refusal
+    bomb = spark.createDataFrame(
+        [("/mem/bomb.tar.gz", bytearray(gzip.compress(b"\x00" * 100_000)))],
+        "path string, content binary",
+    )
+    rec = expand_shards(bomb, errors="record", max_bytes=10_000).collect()
+    assert len(rec) == 1 and rec[0]["slot"] == CORRUPT_SLOT
+    assert b"expands past" in bytes(rec[0]["content"])
+
+
+def test_stream_survives_corrupt_shard(spark, tmp_path):
+    """One bad producer copy in the drop directory must not wedge the
+    checkpointed stream: the good shard ingests, the corrupt one is
+    recorded and skipped, and a later drain picks up new shards."""
+    from mcp_local_rag_spark.streaming.watch import stream_ingest_shards
+
+    watch = tmp_path / "drop"
+    watch.mkdir()
+    body = (
+        "Streamed prose with two sentences of comfortable length about "
+        "exactly-once semantics. The second sentence pads well past any "
+        "minimum chunk gate.\n"
+    )
+    (watch / "ok-000.tar").write_bytes(
+        write_tar_shard([("g1.md", ("# Good One\n\n" + body).encode())])
+    )
+    (watch / "bad-000.tar").write_bytes(b"half-copied garbage" + b"\x00" * 512)
+    table = str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_ingest_shards(spark, str(watch), table, ckpt, available_now=True)
+    q.awaitTermination(120)
+    titles = {r.fileTitle for r in spark.read.parquet(table).collect()}
+    assert titles == {"Good One"}
+
+    (watch / "ok-001.tar").write_bytes(
+        write_tar_shard([("g2.md", ("# Good Two\n\n" + body).encode())])
+    )
+    q2 = stream_ingest_shards(spark, str(watch), table, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    spark.catalog.refreshByPath(table)
+    titles = {r.fileTitle for r in spark.read.parquet(table).collect()}
+    assert titles == {"Good One", "Good Two"}
