@@ -51,6 +51,12 @@ def _parser() -> argparse.ArgumentParser:
     s = sub.add_parser("sync", help="reconcile a directory into the table")
     s.add_argument("path")
 
+    ss = sub.add_parser(
+        "sync-shards", help="reconcile a WebDataset shard drop directory"
+    )
+    ss.add_argument("path")
+    ss.add_argument("--pattern", default="*.tar*")
+
     nb = sub.add_parser("read-neighbors", help="neighbor frame point read")
     nb.add_argument("path")
     nb.add_argument("index", type=int)
@@ -328,6 +334,11 @@ def run(argv: list[str], engine, out=None) -> int:
     if args.cmd == "sync":
         rep = engine.sync(os.path.abspath(args.path))
         engine.optimize()
+        emit({"counters": rep.counters, "warnings": rep.warnings})
+        return 0
+
+    if args.cmd == "sync-shards":
+        rep = engine.sync_shards(os.path.abspath(args.path), pattern=args.pattern)
         emit({"counters": rep.counters, "warnings": rep.warnings})
         return 0
     if args.cmd == "read-neighbors":

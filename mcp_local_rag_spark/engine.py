@@ -611,12 +611,23 @@ class RagEngine:
     def ingest_shards(self, shard_paths: list[str]) -> int:
         """Bulk ingest from WebDataset tar shards — same commit shape as
         ingest_directory (append/overwrite + one optimize() at the end),
-        with shards as the parallelism grain."""
+        with shards as the parallelism grain. Shard membership + content
+        hash persist as a table property AFTER the write (the directory-
+        sync shield and sync_shards' change detection key off it)."""
         from .plans.ingest import ingest_webdataset
 
+        shard_paths = [os.path.abspath(p) for p in shard_paths]
         eb, ed = self._space()
         chunks = ingest_webdataset(self.spark, shard_paths, dim=ed, backend=eb)
-        return self._bulk_commit(chunks, eb, ed)
+        n = self._bulk_commit(chunks, eb, ed)
+        hashes = {
+            r["path"]: r["sha"]
+            for r in read_files(self.spark, shard_paths)
+            .select("path", F.lower(F.sha2("content", 256)).alias("sha"))
+            .collect()
+        }
+        self._set_shard_containers({**self._shard_containers(), **hashes})
+        return n
 
     def _bulk_commit(self, chunks: DataFrame, eb: str, ed: int) -> int:
         """The shared bulk-ingest commit tail: append/overwrite write,
@@ -629,6 +640,150 @@ class RagEngine:
         self.spark.catalog.refreshByPath(self.table_path)
         self.optimize()
         return self.chunks().count()
+
+    def _shard_containers(self) -> dict[str, str]:
+        """Tar shards whose ``<shard>#<sample>.<slot>`` rows this engine
+        wrote, mapped to the shard's content sha256 (persisted table
+        property). Membership — not the '#' path shape — is what makes a
+        row shard-managed, the same discipline as record containers:
+        directory sync shields these rows (a scan never lists a sample
+        path, so without the shield every shard row would classify as
+        prune), and sync_shards uses the stored hash for cheap
+        change detection without expanding unchanged shards."""
+        from .plans.ingest import read_table_meta
+
+        sc = read_table_meta(self.table_path).get("shard_containers")
+        if isinstance(sc, dict):
+            return {str(k): str(v) for k, v in sc.items()}
+        return {}
+
+    def _set_shard_containers(self, containers: dict[str, str]) -> None:
+        from .plans.ingest import write_table_meta
+
+        write_table_meta(
+            self.table_path,
+            table_n_buckets(self.table_path),
+            extra={"shard_containers": dict(sorted(containers.items()))},
+        )
+
+    def _shard_row_pred(self, shards):
+        """Predicate: filePath belongs to one of the given shard
+        containers (bounded OR over the driver-known shard list)."""
+        from functools import reduce
+
+        preds = [F.col("filePath").startswith(s + "#") for s in shards]
+        return reduce(lambda a, b: a | b, preds) if preds else F.lit(False)
+
+    def sync_shards(self, shard_dir: str, *, pattern: str = "*.tar*") -> SyncReport:
+        """Reconcile a DROP DIRECTORY of WebDataset tar shards into the
+        table — the shard-grain twin of ``sync()``: new shards ingest,
+        changed shards (content sha256 vs the persisted property)
+        replace their rows wholesale, deleted shards prune theirs.
+        Change detection hashes shard bytes distributed (one bounded row
+        per shard back to the driver) WITHOUT expanding unchanged shards;
+        a corrupt or zero-text shard keeps its stored rows and surfaces a
+        warning (parse-before-delete, ingest_file's contract)."""
+        import glob as _glob
+
+        from .plans.ingest import delete_documents_df, ingest_webdataset
+
+        spark = self.spark
+        shard_dir = os.path.abspath(shard_dir)
+        listing = sorted(
+            p
+            for p in _glob.glob(os.path.join(shard_dir, pattern))
+            if os.path.isfile(p)
+        )
+        known = self._shard_containers()
+        under = {p: h for p, h in known.items() if p.startswith(shard_dir + os.sep)}
+        disk_hash: dict[str, str] = {}
+        if listing:
+            disk_hash = {
+                r["path"]: r["sha"]
+                for r in read_files(spark, listing)
+                .select("path", F.lower(F.sha2("content", 256)).alias("sha"))
+                .collect()
+            }
+        new = sorted(p for p in disk_hash if p not in known)
+        changed = sorted(p for p in disk_hash if p in known and known[p] != disk_hash[p])
+        gone = sorted(p for p in under if p not in disk_hash)
+        warnings: list[str] = []
+        counters = {"upsert_new": 0, "upsert": 0, "prune": 0, "unchanged": 0}
+        counters["unchanged"] = len(disk_hash) - len(new) - len(changed)
+
+        upserts = new + changed
+        produced: set[str] = set()
+        if upserts:
+            eb, ed = self._space()
+            chunks = ingest_webdataset(
+                spark, upserts, dim=ed, backend=eb, errors="record"
+            ).persist()
+            shard_of = F.element_at(
+                F.filter(
+                    F.array(*[F.lit(s) for s in upserts]),
+                    lambda c: F.col("filePath").startswith(F.concat(c, F.lit("#"))),
+                ),
+                1,
+            )
+            produced = {
+                r["s"] for r in chunks.select(shard_of.alias("s")).distinct().collect()
+            }
+            for p in upserts:
+                if p not in produced:
+                    warnings.append(
+                        "shard upsert skipped (corrupt or no text members),"
+                        f" stored rows kept: {p}"
+                    )
+            replaced = [p for p in changed if p in produced]
+            self._mark_index_dirty(full=True)
+            if self._exists() and replaced:
+                stale = (
+                    self.chunks()
+                    .filter(self._shard_row_pred(replaced))
+                    .select(F.col("filePath").alias("key"))
+                    .distinct()
+                )
+                with self._attributed():
+                    delete_documents_df(
+                        spark, self.table_path, stale, case_fold=CASE_FOLD_KEYS
+                    )
+            if produced:
+                kept = chunks.filter(shard_of.isin(sorted(produced)))
+                mode = "append" if self._exists() else "overwrite"
+                with self._attributed():
+                    write_chunks(kept, self.table_path, mode=mode, backend=eb, dim=ed)
+                spark.catalog.refreshByPath(self.table_path)
+            chunks.unpersist()
+            counters["upsert_new"] = len([p for p in new if p in produced])
+            counters["upsert"] = len(replaced)
+
+        if gone and self._exists():
+            stale = (
+                self.chunks()
+                .filter(self._shard_row_pred(gone))
+                .select(F.col("filePath").alias("key"))
+                .distinct()
+                .persist()
+            )
+            n_stale = stale.count()
+            if n_stale:
+                self._mark_index_dirty(full=True)
+                with self._attributed():
+                    delete_documents_df(
+                        spark, self.table_path, stale, case_fold=CASE_FOLD_KEYS
+                    )
+            stale.unpersist()
+            counters["prune"] = len(gone)
+
+        if upserts or gone:
+            updated = dict(known)
+            for p in produced:
+                updated[p] = disk_hash[p]
+            for p in gone:
+                updated.pop(p, None)
+            self._set_shard_containers(updated)
+            self.optimize()
+        return SyncReport(counters=counters, warnings=warnings)
 
     def ingest_file(
         self,
@@ -1094,6 +1249,15 @@ class RagEngine:
             managed = rec_managed | F.col("filePath").startswith(
                 self.db_path.rstrip("/") + "/raw-data/"
             )
+            # shard-member rows (shard#sample.slot) are owned by
+            # ingest_shards/sync_shards — a directory scan never lists a
+            # sample path, so without this shield every shard row would
+            # classify as prune and a routine directory sync would
+            # silently destroy the shard corpus. Membership by the
+            # persisted property, same discipline as record containers.
+            shard_cs = sorted(self._shard_containers())
+            if shard_cs:
+                managed = managed | self._shard_row_pred(shard_cs)
             db = (
                 self.chunks()
                 .filter(~managed)

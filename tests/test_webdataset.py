@@ -288,3 +288,71 @@ def test_stream_survives_corrupt_shard(spark, tmp_path):
     spark.catalog.refreshByPath(table)
     titles = {r.fileTitle for r in spark.read.parquet(table).collect()}
     assert titles == {"Good One", "Good Two"}
+
+
+def test_sync_shards_and_directory_sync_shield(spark, tmp_path):
+    """The shard lifecycle under sync: ingest -> directory sync never
+    prunes shard rows (persisted-membership shield) -> changed shard
+    replaces its rows -> corrupt rewrite keeps stored rows with a
+    warning -> deleted shard prunes -> unchanged shards never expand."""
+    import os
+
+    from mcp_local_rag_spark.engine import RagEngine
+
+    body = (
+        "A paragraph of synced prose long enough to chunk, discussing "
+        "bucketed rewrites. Another sentence pads it comfortably past "
+        "the minimum gate.\n"
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "s0.tar").write_bytes(
+        write_tar_shard([("a.md", ("# Alpha\n\n" + body).encode())])
+    )
+    (drop / "s1.tar").write_bytes(
+        write_tar_shard([("b.md", ("# Beta\n\n" + body).encode())])
+    )
+    eng = RagEngine(spark, str(tmp_path / "table"))
+    eng.ingest_shards([str(drop / "s0.tar"), str(drop / "s1.tar")])
+    titles = lambda: {r.fileTitle for r in eng.chunks().collect()}  # noqa: E731
+    assert titles() == {"Alpha", "Beta"}
+
+    # directory sync over an unrelated dir: shard rows are shielded
+    other = tmp_path / "docs"
+    other.mkdir()
+    (other / "x.md").write_text("# Doc X\n\n" + body)
+    eng.sync(str(other))
+    assert titles() == {"Alpha", "Beta", "Doc X"}
+
+    # no-op shard sync: everything unchanged
+    rep = eng.sync_shards(str(drop))
+    assert rep.counters["unchanged"] == 2
+    assert rep.counters["upsert"] == rep.counters["prune"] == 0
+
+    # changed shard replaces its rows wholesale
+    (drop / "s0.tar").write_bytes(
+        write_tar_shard([("a.md", ("# Alpha Two\n\n" + body).encode())])
+    )
+    rep = eng.sync_shards(str(drop))
+    assert rep.counters["upsert"] == 1 and rep.counters["unchanged"] == 1
+    assert titles() == {"Alpha Two", "Beta", "Doc X"}
+
+    # corrupt rewrite: stored rows kept, warning surfaced, hash NOT
+    # updated (the next sync retries)
+    (drop / "s1.tar").write_bytes(b"torn copy" + b"\x00" * 512)
+    rep = eng.sync_shards(str(drop))
+    assert any("stored rows kept" in w for w in rep.warnings)
+    assert titles() == {"Alpha Two", "Beta", "Doc X"}
+
+    # deleted shard prunes its rows; new shard ingests in the same pass
+    os.unlink(drop / "s1.tar")
+    (drop / "s2.tar").write_bytes(
+        write_tar_shard([("c.md", ("# Gamma\n\n" + body).encode())])
+    )
+    rep = eng.sync_shards(str(drop))
+    assert rep.counters["prune"] == 1 and rep.counters["upsert_new"] == 1
+    assert titles() == {"Alpha Two", "Gamma", "Doc X"}
+
+    # hybrid search still serves after the churn (postings refreshed)
+    hits = eng.query_documents("synced prose bucketed rewrites", limit=5).collect()
+    assert hits
