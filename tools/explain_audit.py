@@ -351,6 +351,17 @@ COMMENTARY = {
         "over an array of change structs built per joined key: no "
         "re-join per change type, no second pass."
     ),
+    "webdataset_roundtrip": (
+        "Round 13: tar shards as a source. The corpus groups once into "
+        "per-source shards (applyInPandas pack), members expand in a "
+        "pure map stage (one yielded frame per shard bounds task memory "
+        "to a single decompressed shard), and sample assembly is the "
+        "ONE exchange — hash on (shard, sample_key) with map-side "
+        "combine, since a sample's members are adjacent in their shard "
+        "split. At 100 TB the shard is the parallelism grain: millions "
+        "of independently-readable tars, no cross-shard coordination "
+        "until the caller aggregates."
+    ),
     "documents_cdf_view": (
         "Round 10: the downstream of the feed. The audited read is just "
         "the view's manifest-listed state files; what matters is what "
