@@ -486,3 +486,28 @@ def test_zorder_read_pushes_both_dimensions(spark, qs):
     assert "PushedFilters" in p, p
     pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
     assert "user_id" in pushed and "LessThan(ts" in pushed, pushed
+
+
+def test_webdataset_assembly_single_exchange(spark):
+    """Shard expansion is a pure map stage; sample assembly adds exactly
+    ONE exchange (hash on shard+sample_key with a partial aggregate
+    before it) — the shard stays the parallelism grain, no global sort,
+    no second shuffle anywhere in the member path."""
+    from mcp_local_rag_spark.sources.webdataset import (
+        assemble_samples,
+        expand_shards,
+        write_tar_shard,
+    )
+
+    shards = spark.createDataFrame(
+        [("/mem/p.tar", bytearray(write_tar_shard([("k.txt", b"v")])))],
+        "path string, content binary",
+    )
+    members = expand_shards(shards)
+    assert "Exchange" not in plan(members)  # map-only
+    p = plan(assemble_samples(members))
+    tree = p.partition("\n\n")[0]  # operator tree (nodes repeat in details)
+    assert tree.count("Exchange") == 1
+    assert "hashpartitioning(shard" in p
+    assert "partial_" in p  # map-side combine before the exchange
+    assert "Sort [" not in p.split("Exchange")[0]  # no global sort
