@@ -734,7 +734,13 @@ class RagEngine:
                         "shard upsert skipped (corrupt or no text members),"
                         f" stored rows kept: {p}"
                     )
-            replaced = [p for p in changed if p in produced]
+            # stale-delete covers ALL produced upserts, not just changed
+            # ones: a crash between a NEW shard's write and the property
+            # update leaves rows the property doesn't know about — the
+            # retry classifies the shard as new again, and without this
+            # the second append would duplicate every sample (for a truly
+            # new shard the delete is a no-op)
+            replaced = [p for p in upserts if p in produced]
             self._mark_index_dirty(full=True)
             if self._exists() and replaced:
                 stale = (
@@ -755,7 +761,7 @@ class RagEngine:
                 spark.catalog.refreshByPath(self.table_path)
             chunks.unpersist()
             counters["upsert_new"] = len([p for p in new if p in produced])
-            counters["upsert"] = len(replaced)
+            counters["upsert"] = len([p for p in changed if p in produced])
 
         if gone and self._exists():
             stale = (

@@ -356,3 +356,30 @@ def test_sync_shards_and_directory_sync_shield(spark, tmp_path):
     # hybrid search still serves after the churn (postings refreshed)
     hits = eng.query_documents("synced prose bucketed rewrites", limit=5).collect()
     assert hits
+
+
+def test_sync_shards_new_shard_crash_retry_no_duplicates(spark, tmp_path):
+    """Crash window: rows written for a NEW shard but the membership
+    property not yet updated — the retry must replace, not duplicate."""
+    from mcp_local_rag_spark.engine import RagEngine
+
+    body = (
+        "Crash-retry prose long enough to chunk, about idempotent shard "
+        "ingestion. A second sentence keeps it past the gate.\n"
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "n0.tar").write_bytes(
+        write_tar_shard([("k.md", ("# Kappa\n\n" + body).encode())])
+    )
+    eng = RagEngine(spark, str(tmp_path / "table"))
+    eng.sync_shards(str(drop))
+    n1 = eng.chunks().count()
+    # simulate the crash: forget the membership (property rollback) while
+    # the rows stay — exactly the state after a crash before
+    # _set_shard_containers
+    eng._set_shard_containers({})
+    rep = eng.sync_shards(str(drop))
+    assert rep.counters["upsert_new"] == 1
+    spark.catalog.refreshByPath(eng.table_path)
+    assert eng.chunks().count() == n1  # replaced, never duplicated
