@@ -617,15 +617,21 @@ class RagEngine:
         from .plans.ingest import ingest_webdataset
 
         shard_paths = [os.path.abspath(p) for p in shard_paths]
-        eb, ed = self._space()
-        chunks = ingest_webdataset(self.spark, shard_paths, dim=ed, backend=eb)
-        n = self._bulk_commit(chunks, eb, ed)
+        # hash BEFORE the chunk build — the reference's race direction
+        # (src/server/index.ts:583-591): if a shard is rewritten mid-
+        # ingest, the property holds the PRE-ingest hash, so the next
+        # sync_shards classifies it as changed and re-ingests; hashing
+        # after would record the newer bytes against the older rows and
+        # the change would go unseen forever
         hashes = {
             r["path"]: r["sha"]
             for r in read_files(self.spark, shard_paths)
             .select("path", F.lower(F.sha2("content", 256)).alias("sha"))
             .collect()
         }
+        eb, ed = self._space()
+        chunks = ingest_webdataset(self.spark, shard_paths, dim=ed, backend=eb)
+        n = self._bulk_commit(chunks, eb, ed)
         self._set_shard_containers({**self._shard_containers(), **hashes})
         return n
 
@@ -668,7 +674,10 @@ class RagEngine:
 
     def _shard_row_pred(self, shards):
         """Predicate: filePath belongs to one of the given shard
-        containers (bounded OR over the driver-known shard list)."""
+        containers (bounded OR over the driver-known shard list —
+        fine at drop-directory counts; a corpus with millions of
+        shards would switch this to a broadcast semi-join on the
+        extracted prefix instead of a literal predicate chain)."""
         from functools import reduce
 
         preds = [F.col("filePath").startswith(s + "#") for s in shards]
