@@ -1208,3 +1208,76 @@ def q_webdataset_multimodal(spark, sf_dir):
         "doc_id long, codec string, width long, height long, channels long,"
         " sum_px long, caption_len long, n_slots long",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC roundtrip: each source's documents serialize into a REAL
+# Arrow IPC file (pyarrow.ipc — the zero-copy interchange ML loaders
+# hand around; odd sources take the .feather spelling through the
+# feather reader, and sources divisible by 3 additionally wear a gzip
+# envelope) and parse back through parse_structured_bytes' dispatch.
+# The id column is written as int64 — the parser's stringify path for
+# non-utf8 cells is part of what the hash gates.
+
+@register(
+    "parsed_arrow_roundtrip",
+    """SELECT doc_id,
+       (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::BIGINT
+         AS record_index,
+       CASE WHEN substr(source, 4)::INT % 2 = 1 THEN 'feather'
+            ELSE 'arrow' END AS container,
+       (substr(source, 4)::INT % 3 = 0)::INT AS gz,
+       'Doc ' || doc_id AS title,
+       length(text)::BIGINT AS text_len
+FROM documents""",
+)
+def q_parsed_arrow_roundtrip(spark, sf_dir):
+    import gzip
+
+    from ..sources.structured import parse_structured_bytes
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    schema = (
+        "doc_id long, record_index long, container string, gz int,"
+        " title string, text_len long"
+    )
+
+    def _rt(key, pdf):
+        import pyarrow as pa
+        from pyarrow import feather
+
+        source = key[0]
+        i = int(source[3:]) if source[3:].isdigit() else 0
+        container = "feather" if i % 2 == 1 else "arrow"
+        pdf = pdf.sort_values("doc_id")
+        table = pa.table(
+            {
+                "id": pa.array([int(d) for d in pdf["doc_id"]], pa.int64()),
+                "title": [f"Doc {int(d)}" for d in pdf["doc_id"]],
+                "text": list(pdf["text"]),
+            }
+        )
+        buf = pa.BufferOutputStream()
+        if container == "feather":
+            feather.write_feather(table, buf)
+        else:
+            with pa.ipc.new_file(buf, table.schema) as writer:
+                writer.write_table(table)
+        blob = buf.getvalue().to_pybytes()
+        path = f"/mem/{source}.{container}"
+        wrapped = 1 if i % 3 == 0 else 0
+        if wrapped:
+            blob = gzip.compress(blob, mtime=0)
+            path += ".gz"
+        recs = parse_structured_bytes(path, blob)
+        return pd.DataFrame(
+            [
+                (int(r["id"]), r["record_index"], container, wrapped,
+                 r["title"], len(r["text"]))
+                for r in recs
+            ],
+            columns=["doc_id", "record_index", "container", "gz", "title",
+                     "text_len"],
+        )
+
+    return docs.groupBy("source").applyInPandas(_rt, schema)

@@ -216,6 +216,37 @@ def maybe_decompress(
     return inner, _inflate_bounded(new_decomp, content, max_bytes, ext)
 
 
+def parse_arrow_bytes(path: str, content: bytes) -> list[dict]:
+    """Arrow IPC file (.arrow / .feather v2) -> list of records — the
+    zero-copy interchange format ML tooling actually hands around.
+    pyarrow is a first-class dependency of this engine (Spark's own
+    Arrow batch transport), so this parser is real, not a seam. Field
+    resolution follows the same TEXT_KEYS/TITLE_KEYS chains as
+    JSONL/CSV; non-string cells stringify (ids arrive as int64 as often
+    as utf8). A malformed file raises for the whole container (coverage
+    fact, not a partial parse)."""
+    import pyarrow as pa
+
+    try:
+        if path.rsplit(".", 1)[-1].lower() == "feather":
+            from pyarrow import feather
+
+            table = feather.read_table(pa.BufferReader(content))  # v1 + v2
+        else:
+            with pa.ipc.open_file(pa.BufferReader(content)) as reader:
+                table = reader.read_all()
+    except pa.ArrowInvalid as exc:
+        raise ValueError(f"invalid Arrow IPC file: {exc}") from exc
+    records = []
+    for idx, row in enumerate(table.to_pylist()):
+        obj = {
+            k: (v if isinstance(v, str) or v is None else str(v))
+            for k, v in row.items()
+        }
+        records.append(_record(obj, idx, path))
+    return records
+
+
 def parse_structured_bytes(path: str, content: bytes) -> list[dict]:
     path, content = maybe_decompress(path, content)
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
@@ -225,6 +256,8 @@ def parse_structured_bytes(path: str, content: bytes) -> list[dict]:
         return parse_csv_bytes(path, content)
     if ext == "xml":
         return parse_xml_bytes(path, content)
+    if ext in ("arrow", "feather"):
+        return parse_arrow_bytes(path, content)
     raise ValueError(f"unsupported structured extension: {path}")
 
 

@@ -329,3 +329,57 @@ def test_trailing_garbage_matches_stdlib_policy():
             f"/d/shard.{short}", comp(b"tarbytes"), max_bytes=1024
         )
         assert (path, out) == ("/d/shard.tar", b"tarbytes")
+
+
+def test_parse_arrow_bytes_containers():
+    """Arrow IPC / feather record containers: int64 ids stringify, the
+    TEXT/TITLE key chains apply, envelopes compose, corrupt files raise
+    for the whole container."""
+    import gzip
+
+    import pyarrow as pa
+    import pytest as _pytest
+    from pyarrow import feather
+
+    from mcp_local_rag_spark.sources.structured import (
+        parse_arrow_bytes,
+        parse_structured_bytes,
+    )
+
+    table = pa.table(
+        {
+            "id": pa.array([7, 8], pa.int64()),
+            "title": ["T7", None],
+            "text": ["alpha beta", "second text"],
+        }
+    )
+    buf = pa.BufferOutputStream()
+    with pa.ipc.new_file(buf, table.schema) as w:
+        w.write_table(table)
+    blob = buf.getvalue().to_pybytes()
+
+    recs = parse_arrow_bytes("/d/a.arrow", blob)
+    assert [r["record_index"] for r in recs] == [0, 1]
+    assert recs[0]["id"] == "7" and recs[0]["title"] == "T7"
+    assert recs[1]["title"] == "second text"  # first-line fallback
+    # dispatch + gzip envelope
+    assert parse_structured_bytes("/d/a.arrow.gz", gzip.compress(blob)) == recs
+
+    # feather spelling (v2 = IPC; also exercises the feather reader)
+    fbuf = pa.BufferOutputStream()
+    feather.write_feather(table, fbuf)
+    frecs = parse_structured_bytes("/d/a.feather", fbuf.getvalue().to_pybytes())
+    assert [(r["id"], r["title"]) for r in frecs] == [
+        (r["id"], r["title"]) for r in recs
+    ]
+
+    with _pytest.raises(ValueError, match="invalid Arrow"):
+        parse_arrow_bytes("/d/bad.arrow", b"not arrow bytes at all")
+
+    # a table with no text-like column is a container-level error
+    no_text = pa.table({"id": pa.array([1], pa.int64())})
+    b2 = pa.BufferOutputStream()
+    with pa.ipc.new_file(b2, no_text.schema) as w:
+        w.write_table(no_text)
+    with _pytest.raises(ValueError, match="no text field"):
+        parse_arrow_bytes("/d/c.arrow", b2.getvalue().to_pybytes())
