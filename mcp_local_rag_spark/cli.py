@@ -299,13 +299,21 @@ def run(argv: list[str], engine, out=None) -> int:
         out.write(json.dumps(obj, default=str) + "\n")
 
     if args.cmd == "ingest":
+        from .sources.structured import COMPRESSION_EXTS
+
         target = os.path.abspath(args.path)
+        inner = target
+        ext = inner.rsplit(".", 1)[-1].lower() if "." in inner else ""
+        if ext in COMPRESSION_EXTS:  # route on the inner spelling: a.jsonl.gz
+            inner = inner[: -(len(ext) + 1)]
         if os.path.isdir(target):
             emit(engine.ingest_directory(target))
-        elif target.endswith(
-            (".tar", ".tar.gz", ".tar.bz2", ".tar.xz", ".tgz", ".tbz2", ".txz")
-        ):
+        elif target.endswith((".tgz", ".tbz2", ".txz")) or inner.endswith(".tar"):
             emit(engine.ingest_shards([target]))
+        elif inner.rsplit(".", 1)[-1].lower() in (
+            "jsonl", "csv", "xml", "arrow", "feather"
+        ):
+            emit(engine.ingest_records_file(target))
         else:
             emit(engine.ingest_file(target))
         engine.optimize()

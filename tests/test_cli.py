@@ -383,3 +383,48 @@ def test_cli_txn_recover_and_ivf_maintain(spark, tmp_path):
     )
     assert rep["planned"] == [0] and "0" in {str(k) for k in rep["split"]}
     assert rep["n_cells"] == 3
+
+
+def test_cli_ingest_routes_containers(spark, tmp_path, capsys=None):
+    """The one ingest verb routes by spelling: record containers
+    (.jsonl, .feather, envelope-compressed) go through
+    ingest_records_file; tar spellings to shard ingest."""
+    import gzip
+    import io
+    import json as _json
+
+    from mcp_local_rag_spark.cli import run
+    from mcp_local_rag_spark.engine import RagEngine
+
+    body = (
+        "Container-routed prose long enough to chunk about CLI dispatch. "
+        "A second sentence keeps it past the minimum gate.\n"
+    )
+    f = tmp_path / "corpus.jsonl.gz"
+    f.write_bytes(
+        gzip.compress(
+            _json.dumps({"id": 1, "title": "R1", "text": body}).encode()
+        )
+    )
+    eng = RagEngine(spark, str(tmp_path / "table"))
+    out = io.StringIO()
+    assert run(["ingest", str(f)], eng, out) == 0
+    res = _json.loads(out.getvalue().splitlines()[-1])
+    assert res["recordCount"] == 1
+    rows = eng.chunks().select("filePath", "fileTitle").collect()
+    assert all("#r0" in r.filePath for r in rows)
+    assert {r.fileTitle for r in rows} == {"R1"}
+
+    # feather container routes the same way
+    import pyarrow as pa
+    from pyarrow import feather
+
+    t = pa.table({"id": pa.array([2], pa.int64()), "title": ["R2"],
+                  "text": [body]})
+    fb = pa.BufferOutputStream()
+    feather.write_feather(t, fb)
+    f2 = tmp_path / "corpus2.feather"
+    f2.write_bytes(fb.getvalue().to_pybytes())
+    out2 = io.StringIO()
+    assert run(["ingest", str(f2)], eng, out2) == 0
+    assert _json.loads(out2.getvalue().splitlines()[-1])["recordCount"] == 1
