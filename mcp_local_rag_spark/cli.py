@@ -311,7 +311,7 @@ def run(argv: list[str], engine, out=None) -> int:
         elif target.endswith((".tgz", ".tbz2", ".txz")) or inner.endswith(".tar"):
             emit(engine.ingest_shards([target]))
         elif inner.rsplit(".", 1)[-1].lower() in (
-            "jsonl", "csv", "xml", "arrow", "feather"
+            "jsonl", "csv", "xml", "arrow", "feather", "parquet"
         ):
             emit(engine.ingest_records_file(target))
         else:

@@ -961,7 +961,8 @@ class RagEngine:
 
     def ingest_records_file(self, file_path: str) -> dict:
         """Ingest a multi-record container (.jsonl / .csv / .xml /
-        .arrow / .feather, optionally envelope-compressed): each
+        .arrow / .feather / .parquet, optionally envelope-compressed):
+        each
         record becomes its own document at ``<file>#r<index>``, chunked and
         embedded through the SAME build_chunks pipeline as file ingest.
 

@@ -247,6 +247,29 @@ def parse_arrow_bytes(path: str, content: bytes) -> list[dict]:
     return records
 
 
+def parse_parquet_bytes(path: str, content: bytes) -> list[dict]:
+    """Parquet file -> list of records through the same key chains.
+    NOTE: this is the RECORD-CONTAINER path for one parquet file handed
+    around as bytes (a member of a tar shard, an upload); corpus-scale
+    parquet is read by Spark's native source (`session.load`), never
+    through here."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        table = pq.read_table(pa.BufferReader(content))
+    except (pa.ArrowInvalid, OSError) as exc:
+        raise ValueError(f"invalid parquet file: {exc}") from exc
+    records = []
+    for idx, row in enumerate(table.to_pylist()):
+        obj = {
+            k: (v if isinstance(v, str) or v is None else str(v))
+            for k, v in row.items()
+        }
+        records.append(_record(obj, idx, path))
+    return records
+
+
 def parse_structured_bytes(path: str, content: bytes) -> list[dict]:
     path, content = maybe_decompress(path, content)
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
@@ -258,6 +281,8 @@ def parse_structured_bytes(path: str, content: bytes) -> list[dict]:
         return parse_xml_bytes(path, content)
     if ext in ("arrow", "feather"):
         return parse_arrow_bytes(path, content)
+    if ext == "parquet":
+        return parse_parquet_bytes(path, content)
     raise ValueError(f"unsupported structured extension: {path}")
 
 

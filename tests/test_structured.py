@@ -252,7 +252,7 @@ def test_compression_envelopes_unwrap_transparently():
 
     # inner dispatch error names the INNER path's extension
     with _pytest.raises(ValueError, match="unsupported"):
-        parse_structured_bytes("/d/a.parquet.gz", gzip.compress(b"x"))
+        parse_structured_bytes("/d/a.tsv.gz", gzip.compress(b"x"))
 
     # corrupt envelope surfaces the codec error (coverage rows catch it)
     with _pytest.raises(Exception):
@@ -383,3 +383,36 @@ def test_parse_arrow_bytes_containers():
         w.write_table(no_text)
     with _pytest.raises(ValueError, match="no text field"):
         parse_arrow_bytes("/d/c.arrow", b2.getvalue().to_pybytes())
+
+
+def test_parse_parquet_bytes_container():
+    """Parquet as a byte-level record container (tar member / upload):
+    same key chains, int ids stringify, dispatch + envelope compose,
+    corrupt bytes raise for the container. The engine ingests it
+    end-to-end at <file>#rN identity like every other container."""
+    import gzip
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from mcp_local_rag_spark.sources.structured import (
+        parse_parquet_bytes,
+        parse_structured_bytes,
+    )
+
+    t = pa.table(
+        {"id": pa.array([3], pa.int64()), "title": ["P3"],
+         "text": ["parquet body text"]}
+    )
+    buf = pa.BufferOutputStream()
+    pq.write_table(t, buf)
+    blob = buf.getvalue().to_pybytes()
+    recs = parse_parquet_bytes("/d/a.parquet", blob)
+    assert recs == [
+        {"record_index": 0, "id": "3", "title": "P3",
+         "text": "parquet body text"}
+    ]
+    assert parse_structured_bytes("/d/a.parquet.gz", gzip.compress(blob)) == recs
+    with _pytest.raises(ValueError, match="invalid parquet"):
+        parse_parquet_bytes("/d/bad.parquet", b"PAR1 nope")
