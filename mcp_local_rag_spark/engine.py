@@ -750,20 +750,55 @@ class RagEngine:
             # the second append would duplicate every sample (for a truly
             # new shard the delete is a no-op)
             replaced = [p for p in upserts if p in produced]
-            self._mark_index_dirty(full=True)
+            kept = chunks.filter(shard_of.isin(sorted(produced)))
+            stale_paths: list[str] = []
             if self._exists() and replaced:
                 stale = (
                     self.chunks()
                     .filter(self._shard_row_pred(replaced))
                     .select(F.col("filePath").alias("key"))
                     .distinct()
+                    .persist()
                 )
+                n_stale = stale.count()
+                stale_paths = (
+                    [r["key"] for r in stale.collect()]
+                    if n_stale <= PRUNE_COLLECT_CAP
+                    else []
+                )
+                stale_is_bounded = n_stale <= PRUNE_COLLECT_CAP
+            else:
+                stale = None
+                stale_is_bounded = True
+            # index-dirty marking is INCREMENTAL when the touched path
+            # sets are bounded — a 2-shard edit must cost an O(changed)
+            # postings refresh, not an O(corpus) rebuild (the directory
+            # sync's PRUNE_COLLECT_CAP discipline). Paths are recorded
+            # BEFORE the mutation (crash-durable intent ordering).
+            new_paths = [
+                r["filePath"]
+                for r in kept.select("filePath").distinct().limit(
+                    PRUNE_COLLECT_CAP + 1
+                ).collect()
+            ]
+            if (
+                not CASE_FOLD_KEYS
+                and stale_is_bounded
+                and len(new_paths) <= PRUNE_COLLECT_CAP
+            ):
+                self._mark_index_dirty(
+                    upserts=new_paths,
+                    deletes=set(stale_paths) - set(new_paths),
+                )
+            else:
+                self._mark_index_dirty(full=True)
+            if stale is not None:
                 with self._attributed():
                     delete_documents_df(
                         spark, self.table_path, stale, case_fold=CASE_FOLD_KEYS
                     )
+                stale.unpersist()
             if produced:
-                kept = chunks.filter(shard_of.isin(sorted(produced)))
                 mode = "append" if self._exists() else "overwrite"
                 with self._attributed():
                     write_chunks(kept, self.table_path, mode=mode, backend=eb, dim=ed)
@@ -782,7 +817,12 @@ class RagEngine:
             )
             n_stale = stale.count()
             if n_stale:
-                self._mark_index_dirty(full=True)
+                if n_stale <= PRUNE_COLLECT_CAP and not CASE_FOLD_KEYS:
+                    self._mark_index_dirty(
+                        deletes=[r["key"] for r in stale.collect()]
+                    )
+                else:
+                    self._mark_index_dirty(full=True)
                 with self._attributed():
                     delete_documents_df(
                         spark, self.table_path, stale, case_fold=CASE_FOLD_KEYS
