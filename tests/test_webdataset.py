@@ -383,3 +383,79 @@ def test_sync_shards_new_shard_crash_retry_no_duplicates(spark, tmp_path):
     assert rep.counters["upsert_new"] == 1
     spark.catalog.refreshByPath(eng.table_path)
     assert eng.chunks().count() == n1  # replaced, never duplicated
+
+
+def test_sync_shards_randomized_model(spark, tmp_path):
+    """Model-based fuzz: random per-round shard edits (add / rewrite /
+    corrupt / delete) against a pure-python model of the engine's served
+    state. Semantics modeled: a sync serves the disk version of every
+    GOOD shard; a corrupt copy keeps whatever was served before (possibly
+    nothing, for a never-good shard); a deleted shard prunes."""
+    import os
+    import random
+
+    from mcp_local_rag_spark.engine import RagEngine
+
+    rng = random.Random(1306)
+    body = (
+        "Fuzzed prose long enough to chunk about reconciliation rounds. "
+        "A second sentence keeps it past the minimum gate.\n"
+    )
+
+    def blob(name: str, version: int) -> bytes:
+        return write_tar_shard(
+            [(f"{name}.md", (f"# {name} v{version}\n\n" + body).encode())]
+        )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    eng = RagEngine(spark, str(tmp_path / "table"))
+    disk: dict[str, tuple] = {}  # name -> ("good", v) | ("corrupt",)
+    served: dict[str, int] = {}  # engine-visible version after last sync
+    next_version: dict[str, int] = {}
+    next_id = 0
+
+    for _ in range(6):
+        for _ in range(rng.randint(1, 2)):
+            op = rng.choice(["add", "rewrite", "corrupt", "delete"])
+            live = sorted(disk)
+            if op == "add" or not live:
+                name = f"s{next_id}"
+                next_id += 1
+                next_version[name] = 1
+                (drop / f"{name}.tar").write_bytes(blob(name, 1))
+                disk[name] = ("good", 1)
+            elif op == "rewrite":
+                name = rng.choice(live)
+                v = next_version.get(name, 0) + 1
+                next_version[name] = v
+                (drop / f"{name}.tar").write_bytes(blob(name, v))
+                disk[name] = ("good", v)
+            elif op == "corrupt":
+                name = rng.choice(live)
+                (drop / f"{name}.tar").write_bytes(
+                    os.urandom(64) + b"\x00" * 600
+                )
+                disk[name] = ("corrupt",)
+            else:
+                name = rng.choice(live)
+                os.unlink(drop / f"{name}.tar")
+                disk.pop(name)
+        eng.sync_shards(str(drop))
+        for name in list(served):
+            if name not in disk:
+                served.pop(name)  # pruned
+        for name, st in disk.items():
+            if st[0] == "good":
+                served[name] = st[1]
+            # corrupt: served stays at the last good copy (or absent)
+        want = {f"{n} v{v}" for n, v in served.items()}
+        if os.path.isdir(eng.table_path):
+            spark.catalog.refreshByPath(eng.table_path)
+            got = {
+                r.fileTitle
+                for r in eng.chunks().select("fileTitle").distinct().collect()
+            }
+        else:  # nothing good ever synced yet
+            got = set()
+        assert got == want, (got, want)
