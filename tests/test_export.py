@@ -253,3 +253,65 @@ def test_webdataset_export_null_and_unsafe_keys(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "evil-000000.tar"))
     assert any(n.startswith("null-") for n in names)
     assert verify_webdataset_export(spark, out) == []
+
+
+def test_curate_export_reingest_loop(spark, tmp_path):
+    """The last mile end-to-end: a curated keep-set exports to
+    WebDataset shards (manifest-verified), and a loader-side read-back
+    reconstructs exactly the kept documents — the full
+    curate -> export -> train-side-ingest loop."""
+    import json
+    import os
+
+    from mcp_local_rag_spark.plans.export import (
+        export_webdataset_shards,
+        verify_webdataset_export,
+    )
+    from mcp_local_rag_spark.session import load
+    from mcp_local_rag_spark.sources.webdataset import (
+        assemble_samples,
+        read_webdataset,
+    )
+    from pyspark.sql import functions as F
+
+    docs = (
+        load(spark, "/root/testdata/sf0.001", "documents")
+        .filter(F.col("n_chars") >= 400)  # stand-in curation keep rule
+        .select("doc_id", "lang", "text")
+    )
+    kept = {(r.doc_id, r.lang, r.text) for r in docs.collect()}
+    assert kept  # rule keeps something at sf0.001
+
+    members = docs.select(
+        "lang",
+        F.format_string("%08d", F.col("doc_id")).alias("sample_key"),
+        F.lit("txt").alias("slot"),
+        F.encode("text", "utf-8").alias("content"),
+    ).union(
+        docs.select(
+            "lang",
+            F.format_string("%08d", F.col("doc_id")).alias("sample_key"),
+            F.lit("json").alias("slot"),
+            F.encode(
+                F.format_string('{"id": %d}', F.col("doc_id")), "utf-8"
+            ).alias("content"),
+        )
+    )
+    out = str(tmp_path / "export")
+    manifest = export_webdataset_shards(
+        members, out, shard_col="lang", samples_per_shard=64
+    )
+    assert manifest["total_samples"] == len(kept)
+    assert verify_webdataset_export(spark, out) == []
+
+    back = read_webdataset(
+        spark, [os.path.join(out, n) for n in manifest["shards"]]
+    )
+    got = {
+        (
+            int(json.loads(bytes(r["slots"]["json"]).decode())["id"]),
+            bytes(r["slots"]["txt"]).decode("utf-8"),
+        )
+        for r in assemble_samples(back).collect()
+    }
+    assert got == {(d, t) for d, _lang, t in kept}
