@@ -559,6 +559,9 @@ class RagEngine:
             }
             if it
             else None,
+            # shard-managed corpus visibility: how many tar shards own
+            # rows in this table (sync_shards' reconciliation domain)
+            "shardContainers": len(self._shard_containers()),
         }
 
     def ann_index_status(self) -> dict:

@@ -153,6 +153,7 @@ def test_engine_ingest_shards_and_search(spark, tmp_path):
     eng = RagEngine(spark, str(tmp_path / "table"))
     n = eng.ingest_shards([str(shard)])
     assert n > 0
+    assert eng.get_status()["shardContainers"] == 1
     hits = eng.query_documents("watermark late events", limit=3).collect()
     assert hits and any(h["fileTitle"] == "Watermarks" for h in hits)
 
