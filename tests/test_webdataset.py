@@ -460,3 +460,32 @@ def test_sync_shards_randomized_model(spark, tmp_path):
         else:  # nothing good ever synced yet
             got = set()
         assert got == want, (got, want)
+
+
+def test_tgz_shard_ingests_end_to_end(spark, tmp_path):
+    """The short spelling: a .tgz shard flows through CLI-style routing
+    into the full ingest chain (envelope unwrap -> tar walk -> chunks)."""
+    import gzip
+    import io
+    import json as _json
+
+    from mcp_local_rag_spark.cli import run
+    from mcp_local_rag_spark.engine import RagEngine
+
+    body = (
+        "Short-spelling prose long enough to chunk about envelope "
+        "routing. A second sentence keeps it past the gate.\n"
+    )
+    shard = tmp_path / "train-000.tgz"
+    shard.write_bytes(
+        gzip.compress(
+            write_tar_shard([("t1.md", ("# Tee One\n\n" + body).encode())]),
+            mtime=0,
+        )
+    )
+    eng = RagEngine(spark, str(tmp_path / "table"))
+    out = io.StringIO()
+    assert run(["ingest", str(shard)], eng, out) == 0
+    assert _json.loads(out.getvalue().splitlines()[-1]) > 0
+    titles = {r.fileTitle for r in eng.chunks().collect()}
+    assert titles == {"Tee One"}
