@@ -693,8 +693,11 @@ class RagEngine:
         replace their rows wholesale, deleted shards prune theirs.
         Change detection hashes shard bytes distributed (one bounded row
         per shard back to the driver) WITHOUT expanding unchanged shards;
-        a corrupt or zero-text shard keeps its stored rows and surfaces a
-        warning (parse-before-delete, ingest_file's contract)."""
+        a CORRUPT shard keeps its stored rows and surfaces a warning every
+        sync (parse-before-delete, ingest_file's contract), while a
+        cleanly-parsed shard with ZERO text members records its hash —
+        unchanged on later syncs, no re-expansion loop — and replaces any
+        stored rows from a previously text-bearing version."""
         import glob as _glob
 
         from .plans.ingest import delete_documents_df, ingest_webdataset
@@ -725,6 +728,7 @@ class RagEngine:
 
         upserts = new + changed
         produced: set[str] = set()
+        clean_empty: set[str] = set()
         if upserts:
             eb, ed = self._space()
             chunks = ingest_webdataset(
@@ -740,19 +744,49 @@ class RagEngine:
             produced = {
                 r["s"] for r in chunks.select(shard_of.alias("s")).distinct().collect()
             }
-            for p in upserts:
-                if p not in produced:
+            # a shard that produced nothing is either CORRUPT (tar parse
+            # failed — keep its stored rows, keep warning every sync:
+            # parse-before-delete) or a CLEANLY-parsed shard with zero
+            # text members — a legitimate state whose hash must persist,
+            # else every later sync re-classifies it as new and re-expands
+            # it forever just to re-emit the same warning. One bounded
+            # re-expand of only the non-producing shards tells them apart
+            # via the errors='record' corrupt-marker rows.
+            not_produced = [p for p in upserts if p not in produced]
+            if not_produced:
+                from .sources.webdataset import CORRUPT_SLOT, expand_shards
+
+                corrupt = {
+                    r["shard"]
+                    for r in expand_shards(
+                        read_files(spark, not_produced), errors="record"
+                    )
+                    .filter(F.col("slot") == F.lit(CORRUPT_SLOT))
+                    .select("shard")
+                    .distinct()
+                    .collect()
+                }
+                clean_empty = set(not_produced) - corrupt
+                for p in sorted(corrupt):
                     warnings.append(
-                        "shard upsert skipped (corrupt or no text members),"
-                        f" stored rows kept: {p}"
+                        f"shard upsert skipped (corrupt), stored rows kept: {p}"
+                    )
+                # a warning on FIRST sight only — the persisted hash makes
+                # later syncs classify the shard as unchanged
+                for p in sorted(clean_empty):
+                    warnings.append(
+                        f"shard has no text members (hash recorded): {p}"
                     )
             # stale-delete covers ALL produced upserts, not just changed
             # ones: a crash between a NEW shard's write and the property
             # update leaves rows the property doesn't know about — the
             # retry classifies the shard as new again, and without this
             # the second append would duplicate every sample (for a truly
-            # new shard the delete is a no-op)
-            replaced = [p for p in upserts if p in produced]
+            # new shard the delete is a no-op). Clean-empty shards are in
+            # the replace set too: a shard REWRITTEN to zero text members
+            # was parsed successfully (parse-before-delete satisfied), so
+            # its new truth — no rows — replaces the stored ones.
+            replaced = [p for p in upserts if p in produced or p in clean_empty]
             kept = chunks.filter(shard_of.isin(sorted(produced)))
             stale_paths: list[str] = []
             if self._exists() and replaced:
@@ -807,8 +841,12 @@ class RagEngine:
                     write_chunks(kept, self.table_path, mode=mode, backend=eb, dim=ed)
                 spark.catalog.refreshByPath(self.table_path)
             chunks.unpersist()
-            counters["upsert_new"] = len([p for p in new if p in produced])
-            counters["upsert"] = len([p for p in changed if p in produced])
+            counters["upsert_new"] = len(
+                [p for p in new if p in produced or p in clean_empty]
+            )
+            counters["upsert"] = len(
+                [p for p in changed if p in produced or p in clean_empty]
+            )
 
         if gone and self._exists():
             stale = (
@@ -835,7 +873,7 @@ class RagEngine:
 
         if upserts or gone:
             updated = dict(known)
-            for p in produced:
+            for p in produced | clean_empty:
                 updated[p] = disk_hash[p]
             for p in gone:
                 updated.pop(p, None)

@@ -214,13 +214,22 @@ def pick_text_members(
     the stable record identity ``<shard>#<sample_key>.<slot>``. Slot
     priority follows ``slots`` order, ties settled by archive order; the
     window runs inside (shard, sample_key), so it shares the sample
-    shuffle grain and never sorts globally."""
+    shuffle grain and never sorts globally.
+
+    A WebDataset slot is the FULL post-first-dot extension chain, so
+    compound spellings are common (``doc.en.txt`` -> slot ``en.txt``,
+    ``caption.txt`` under a dotted stem): matching is therefore by the
+    slot's LAST dot-segment (``en.txt`` matches ``txt``), with priority
+    taken from that segment too — the segment is what names the format,
+    the earlier segments are sample-local qualifiers. The record identity
+    keeps the full slot, so two qualified text members of one sample
+    (``en.txt`` vs ``de.txt``) stay distinct candidate rows and the
+    window picks exactly one."""
     from pyspark.sql import Window
 
-    texts = members.filter(F.col("slot").isin(list(slots)))
-    priority = F.array_position(
-        F.array(*[F.lit(s) for s in slots]), F.col("slot")
-    )
+    fmt = F.element_at(F.split(F.col("slot"), r"\."), -1)
+    texts = members.filter(fmt.isin(list(slots)))
+    priority = F.array_position(F.array(*[F.lit(s) for s in slots]), fmt)
     w = Window.partitionBy("shard", "sample_key").orderBy(
         priority, "member_index"
     )

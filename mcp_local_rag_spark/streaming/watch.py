@@ -84,6 +84,29 @@ def _mark_batch_applied(checkpoint_dir: str, batch_id: int) -> None:
         f.write("1")
 
 
+def _register_shard_containers(table_path: str, hashes: dict[str, str]) -> None:
+    """Merge streamed shard paths -> content sha256 into the table's
+    persisted ``shard_containers`` property — the SAME membership record
+    batch ``ingest_shards`` writes (engine._set_shard_containers), and the
+    record the engine's directory sync() prune shield and sync_shards'
+    change detection key off. Without it every streamed shard row would
+    classify as prune on the next routine directory sync."""
+    if not hashes:
+        return
+    from ..plans.ingest import read_table_meta, table_n_buckets, write_table_meta
+
+    known = read_table_meta(table_path).get("shard_containers")
+    merged = (
+        {str(k): str(v) for k, v in known.items()} if isinstance(known, dict) else {}
+    )
+    merged.update(hashes)
+    write_table_meta(
+        table_path,
+        table_n_buckets(table_path),
+        extra={"shard_containers": dict(sorted(merged.items()))},
+    )
+
+
 def _append_chunk_batch(
     chunks: DataFrame,
     table_path: str,
@@ -456,7 +479,24 @@ def stream_ingest_shards(
     ``__corrupt__`` member row instead of an exception (expand_shards
     errors='record') — a foreachBatch failure would otherwise replay the
     same checkpointed file list forever, wedging the stream on one bad
-    producer copy."""
+    producer copy.
+
+    Each batch's shards register in the table's ``shard_containers``
+    property (path -> content sha256) BEFORE their rows land, the same
+    membership record batch ``ingest_shards`` writes: the engine's
+    directory ``sync()`` shields shard-member rows by that membership, so
+    an unregistered streamed shard's rows would classify as prune on the
+    next routine sync and silently vanish. Registration-first ordering
+    means a crash between the two steps leaves a registered shard with
+    missing rows — which the replayed (unmarked) micro-batch re-appends —
+    never unshielded rows a sync could destroy.
+
+    Shards are IMMUTABLE BY NAME to this watcher: Spark's file source
+    tracks paths in the checkpoint, so a producer re-dropping a corrected
+    shard under the SAME name is never reprocessed and the first copy's
+    rows persist. Corrected shards must arrive under a new name; for
+    in-place replacement semantics run ``engine.sync_shards`` (hash-based
+    change detection) over the directory instead."""
     from ..plans.ingest import build_chunks, table_embedding
     from ..sources.parsers import parse_files
     from ..sources.webdataset import expand_shards, pick_text_members
@@ -478,6 +518,17 @@ def stream_ingest_shards(
         meta_backend, meta_dim = table_embedding(table_path)
         b = backend if backend is not None else meta_backend
         d = dim if dim is not None else meta_dim
+        # membership registration FIRST (see docstring): hash each shard
+        # distributed, one bounded row per shard back to the driver
+        # (≤ maxFilesPerTrigger rows), then merge into the persisted
+        # property before any row append
+        shard_hashes = {
+            r["path"]: r["sha"]
+            for r in batch.select(
+                "path", F.lower(F.sha2("content", 256)).alias("sha")
+            ).collect()
+        }
+        _register_shard_containers(table_path, shard_hashes)
         picked = pick_text_members(expand_shards(batch, errors="record"))
         hashed = picked.withColumn(
             "contentHash", F.lower(F.sha2(F.col("content"), 256))

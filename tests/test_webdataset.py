@@ -6,6 +6,7 @@ import io
 import tarfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from mcp_local_rag_spark.sources.webdataset import (
     assemble_samples,
@@ -489,3 +490,126 @@ def test_tgz_shard_ingests_end_to_end(spark, tmp_path):
     assert _json.loads(out.getvalue().splitlines()[-1]) > 0
     titles = {r.fileTitle for r in eng.chunks().collect()}
     assert titles == {"Tee One"}
+
+
+def test_pick_text_members_compound_slots(spark):
+    """WebDataset slots are the full post-first-dot chain — a text member
+    spelled 'doc.en.txt' (slot 'en.txt') must match by its LAST segment,
+    with priority keyed off that segment (md still outranks a qualified
+    txt); a compressed member ('txt.gz') is NOT a text slot."""
+    from mcp_local_rag_spark.sources.webdataset import (
+        expand_shards,
+        pick_text_members,
+    )
+
+    shard = write_tar_shard(
+        [
+            ("s1.en.txt", b"qualified text loses to md"),
+            ("s1.md", b"# Winner"),
+            ("s2.en.txt", b"only a qualified text slot"),
+            ("s3.txt.gz", b"\x1f\x8b not really text"),
+        ]
+    )
+    members = expand_shards(
+        spark.createDataFrame(
+            [("/mem/c.tar", bytearray(shard))], "path string, content binary"
+        )
+    )
+    picked = {
+        r["path"].split("#", 1)[1]: bytes(r["content"])
+        for r in pick_text_members(members).collect()
+    }
+    # s1: md outranks en.txt; s2: compound slot picked, full slot kept in
+    # the record identity; s3: .gz is not a text format
+    assert picked == {
+        "s1.md": b"# Winner",
+        "s2.en.txt": b"only a qualified text slot",
+    }
+
+
+def test_sync_shards_zero_text_shard_hash_persisted(spark, tmp_path):
+    """A cleanly-parsed shard with zero text members records its hash on
+    first sight (warning once, 'unchanged' thereafter — no re-expansion
+    loop), while a CORRUPT shard keeps warning every sync; a text-bearing
+    shard rewritten to zero text members replaces (prunes) its rows."""
+    from mcp_local_rag_spark.engine import RagEngine
+
+    body = (
+        "Zero-text contract prose long enough to chunk about membership "
+        "hashes. A second sentence keeps it past the minimum gate.\n"
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "t0.tar").write_bytes(
+        write_tar_shard([("a.md", ("# Alpha\n\n" + body).encode())])
+    )
+    (drop / "z0.tar").write_bytes(
+        write_tar_shard([("x.json", b'{"no": "text"}')])
+    )
+    (drop / "bad.tar").write_bytes(b"torn" + b"\xff" * 700)
+    eng = RagEngine(spark, str(tmp_path / "table"))
+
+    rep = eng.sync_shards(str(drop))
+    assert any("no text members" in w for w in rep.warnings)
+    assert any("corrupt" in w for w in rep.warnings)
+    # zero-text shard counts as reconciled and its hash persists
+    assert str(drop / "z0.tar") in eng._shard_containers()
+    assert str(drop / "bad.tar") not in eng._shard_containers()
+    assert rep.counters["upsert_new"] == 2  # t0 + z0; bad excluded
+
+    # second sync: z0 is unchanged (never re-expanded), bad re-warns
+    rep2 = eng.sync_shards(str(drop))
+    assert not any("no text members" in w for w in rep2.warnings)
+    assert any("corrupt" in w for w in rep2.warnings)
+    assert rep2.counters["unchanged"] == 2
+
+    # rewrite the text-bearing shard to zero text: rows replaced wholesale
+    (drop / "t0.tar").write_bytes(
+        write_tar_shard([("a.json", b'{"now": "binary-only"}')])
+    )
+    rep3 = eng.sync_shards(str(drop))
+    assert rep3.counters["upsert"] == 1
+    spark.catalog.refreshByPath(eng.table_path)
+    assert eng.chunks().filter(
+        F.col("filePath").startswith(str(drop / "t0.tar") + "#")
+    ).count() == 0
+    # and the new hash persisted: next sync sees t0+z0 unchanged (the
+    # corrupt shard keeps re-classifying as new — the retry contract)
+    rep4 = eng.sync_shards(str(drop))
+    assert rep4.counters["unchanged"] == 2
+
+
+def test_stream_ingest_shards_registers_membership_shield(spark, tmp_path):
+    """ADVICE r13 (medium): streamed shards must register in the
+    shard_containers property so a routine directory sync() does NOT
+    classify their rows as prune and silently destroy the streamed
+    corpus — the same shield batch ingest_shards rows get."""
+    from mcp_local_rag_spark.engine import RagEngine
+    from mcp_local_rag_spark.streaming.watch import stream_ingest_shards
+
+    body = (
+        "Streamed membership prose long enough to chunk about prune "
+        "shields. A second sentence keeps it past the minimum gate.\n"
+    )
+    watch = tmp_path / "drop"
+    watch.mkdir()
+    (watch / "w0.tar").write_bytes(
+        write_tar_shard([("m1.md", ("# Streamed One\n\n" + body).encode())])
+    )
+    table = str(tmp_path / "table")
+    q = stream_ingest_shards(
+        spark, str(watch), table, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    eng = RagEngine(spark, table)
+    assert str(watch / "w0.tar") in eng._shard_containers()
+
+    # a directory sync over an unrelated dir must leave shard rows alone
+    other = tmp_path / "docs"
+    other.mkdir()
+    (other / "x.md").write_text("# Doc X\n\n" + body)
+    eng.sync(str(other))
+    spark.catalog.refreshByPath(table)
+    titles = {r.fileTitle for r in eng.chunks().collect()}
+    assert titles == {"Streamed One", "Doc X"}
