@@ -65,6 +65,7 @@ def main() -> None:
     # in-plan Spark read (pays Catalyst planning per query).
     serve_p95_ms, spark_p95_ms, pinned_p95_ms = _neighbor_bench(spark)
     anchors = _derived_anchors(spark, qs, sf_dir)
+    ambient = _ambient_control(spark)
 
     total = round(sum(timings.values()), 3)
     # the config stamp makes any two runs verifiably same-config: the
@@ -91,10 +92,72 @@ def main() -> None:
                 "neighbor_read_p95_ms": serve_p95_ms,
                 "neighbor_read_sparkplan_p95_ms": spark_p95_ms,
                 "neighbor_read_pinned_p95_ms": pinned_p95_ms,
+                "ambient_control": ambient,
                 **anchors,
             }
         )
     )
+
+
+def _ambient_control(spark) -> dict:
+    """Container-speed denominators recorded INSIDE every bench artifact,
+    so cross-round comparisons normalize against the machine's speed AT
+    RECORDING TIME instead of a narrative ("the +23% was ambient"). Three
+    probes, none touching any package code path:
+
+      * numpy_matmul_ms — fixed 512x512 matmul median: pure-CPU speed
+        (no Spark, no disk, no JVM). The round-13 evidence lane: when
+        this degrades together with the Spark numbers, the swing is the
+        box, not the code.
+      * spark_jobfloor_p95_ms — re-collect of ONE pre-planned 100-row
+        frame: scheduler + task-launch + result-fetch floor with ZERO
+        per-query planning. The lower bound any cold in-plan read pays.
+      * spark_coldplan_p95_ms — a fresh trivial plan per pass (new
+        literal each time, so analysis/optimization/codegen re-run):
+        the planning-path ambient that dominates the neighbor SLO lane.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((512, 512))
+    (a @ a).sum()  # warm (BLAS thread pool spin-up)
+    ts = []
+    for _ in range(20):
+        t0 = time.time()
+        (a @ a).sum()
+        ts.append((time.time() - t0) * 1000)
+    ts.sort()
+    numpy_ms = round(ts[len(ts) // 2], 2)
+
+    fixed = spark.range(100).filter("id % 7 = 3")
+    fixed.collect()  # warm: plan once
+    ts = []
+    for _ in range(30):
+        t0 = time.time()
+        fixed.collect()
+        ts.append((time.time() - t0) * 1000)
+    ts.sort()
+    jobfloor_p95 = round(ts[int(len(ts) * 0.95) - 1], 1)
+
+    spark.range(100).where("id = 0").collect()  # warm the shape
+    ts = []
+    for i in range(30):
+        t0 = time.time()
+        spark.range(100).where(f"id = {i}").collect()
+        ts.append((time.time() - t0) * 1000)
+    ts.sort()
+    coldplan_p95 = round(ts[int(len(ts) * 0.95) - 1], 1)
+
+    print(
+        f"# ambient: numpy {numpy_ms}ms  jobfloor p95 {jobfloor_p95}ms"
+        f"  coldplan p95 {coldplan_p95}ms",
+        file=sys.stderr,
+    )
+    return {
+        "numpy_matmul_ms": numpy_ms,
+        "spark_jobfloor_p95_ms": jobfloor_p95,
+        "spark_coldplan_p95_ms": coldplan_p95,
+    }
 
 
 def _derived_anchors(spark, qs, sf_dir) -> dict:
@@ -318,12 +381,17 @@ def _neighbor_bench(spark) -> tuple[float, float, float]:
     )
     write_chunks(rows, table)
 
+    # 50 reps per lane (was 20): the SLO gate is a P95, and the p95 of a
+    # 20-sample set is the second-worst sample — one scheduler stall
+    # flips the verdict. 50 samples put 3 above the p95 cut, which is
+    # what the reference's perf test effectively measures (repeated
+    # warmed reads, rag-server.read-neighbors.perf.test.ts:68-89).
     server = NeighborServer(spark, table)
     server.read(doc, 5000)  # warm (resolves + caches the hash bucket)
     serve = []
-    for i in range(20):
+    for i in range(50):
         t0 = time.time()
-        server.read(doc, 100 + i * 400)
+        server.read(doc, 100 + (i % 20) * 400)
         serve.append((time.time() - t0) * 1000)
     serve.sort()
     serve_p95 = serve[int(len(serve) * 0.95) - 1]
@@ -331,9 +399,9 @@ def _neighbor_bench(spark) -> tuple[float, float, float]:
     chunks = spark.read.parquet(table)
     read_neighbors(chunks, doc, 5000).collect()  # warm
     times = []
-    for i in range(20):
+    for i in range(50):
         t0 = time.time()
-        read_neighbors(chunks, doc, 100 + i * 400).collect()
+        read_neighbors(chunks, doc, 100 + (i % 20) * 400).collect()
         times.append((time.time() - t0) * 1000)
     times.sort()
     p95 = times[int(len(times) * 0.95) - 1]
@@ -348,9 +416,9 @@ def _neighbor_bench(spark) -> tuple[float, float, float]:
     pinned = pin_document_frame(chunks, doc, n_buckets=table_n_buckets(table))
     read_neighbors(pinned, doc, 5000).collect()  # warm + materialize cache
     ptimes = []
-    for i in range(20):
+    for i in range(50):
         t0 = time.time()
-        read_neighbors(pinned, doc, 100 + i * 400).collect()
+        read_neighbors(pinned, doc, 100 + (i % 20) * 400).collect()
         ptimes.append((time.time() - t0) * 1000)
     pinned.unpersist()
     ptimes.sort()
