@@ -723,6 +723,133 @@ def q_tpch_q11(spark, sf_dir):
     )
 
 
+# Q5 shape: local-supplier volume — the canonical join-order/broadcast
+# showcase. region->nation->supplier prune broadcast-side; the
+# customer-nation == supplier-nation constraint can only apply after both
+# sides meet, but customers are pre-pruned to ASIA nations (a broadcast
+# semi the optimizer can't infer across the equality), so the two big
+# shuffles (lineitem><orders, ><customer) carry only candidate rows.
+
+@register(
+    "tpch_q5_local_volume",
+    """SELECT n.n_name AS n_name,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name""",
+)
+def q_tpch_q5(spark, sf_dir):
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = (
+        load(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_rev(li)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+# Q6 shape: the pure scan-filter-aggregate forecast — every predicate in
+# PushedFilters, no join, no shuffle beyond the single-row partial-agg
+# merge. The query that shows whether pushdown works at all.
+
+@register(
+    "tpch_q6_forecast",
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""",
+)
+def q_tpch_q6(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC4))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# Q18 shape: large-volume customers — the big-group HAVING. The heavy
+# aggregation (groupBy l_orderkey over all of lineitem) runs FIRST and
+# the >300 filter collapses it to a sliver, so the orders/customer joins
+# see only qualifying keys; AQE turns them into broadcasts at runtime
+# when the sliver is small (not hardcoded — at 100 TB it may not be).
+# sum(l_quantity) is exact (integer-valued doubles), so the HAVING
+# threshold and the output column agree bit-for-bit across engines.
+
+@register(
+    "tpch_q18_large_volume",
+    """WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey LIMIT 100""",
+)
+def q_tpch_q18(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
 # Fuzzy-match join (training-data dedup shape): near-identical part names
 # within edit distance 2, blocked by (p_brand, p_type) so the pair space
 # stays bounded — the same block-then-verify pattern as MinHash LSH, with
