@@ -1,0 +1,175 @@
+"""Training-epoch reader: seeded deterministic shard + sample shuffle, and
+fixed-length token packing — the two operators an LLM training job runs
+against the shard corpus every day.
+
+No reference counterpart (the reference serves retrieval queries,
+src/server/index.ts:471-477; this generalizes its corpus-serving role to
+the training-consumer side). The design follows the WebDataset training
+convention (Breuel, github.com/webdataset/webdataset): an epoch is a
+pseudo-random-but-REPRODUCIBLE ordering — shards shuffled by seed, samples
+shuffled within a bounded window — never a global row shuffle, because at
+100 TB the whole point of shards is that a reader streams each one
+sequentially.
+
+Epoch ordering is a pure function of (seed, shard, sample_key):
+  * shard rank: md5(seed | shard) — shard-level shuffle;
+  * within a shard, samples are shuffled inside BLOCKS of ``buffer``
+    consecutive archive positions: block = archive_idx // buffer, then
+    md5(seed | shard | sample_key) within the block. This is the
+    deterministic analogue of WebDataset's reservoir shuffle(buffer): a
+    sample's displacement from archive order is bounded by ~buffer, so
+    sequential tar reads stay sequential, while the order still changes
+    completely from seed to seed. ``buffer=None`` = full within-shard
+    shuffle.
+md5 (not xxhash64) because both Spark and DuckDB compute identical md5
+hex — the ordering is therefore oracle-checkable bit-for-bit.
+
+At scale the plan is one range-partitioned sort whose leading key is the
+shard rank, so output partitions hold whole shards and a 1000-executor
+reader streams disjoint shard ranges — no shuffle of sample CONTENT ever
+happens (the sort moves rows already grouped by shard; with shard-sized
+input splits the exchange is shard-aligned).
+
+Token packing (``pack_token_spans``) is the GPT-style concat-and-chunk:
+within each partition (shard/source), documents concatenate in epoch
+order and the token stream is cut every ``seq_len`` tokens; a document
+crossing a boundary SPLITS (fragments carry exact token counts, nothing
+is dropped or padded except the final partial pack). Packing is
+per-partition — a window cumsum inside the shard, never a global running
+sum — because that is both the scale shape (each worker packs its own
+shard stream) and the semantics training wants (locality preserved).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def epoch_order(
+    samples: DataFrame,
+    *,
+    seed: int,
+    buffer: int | None = None,
+    shard_col: str = "shard",
+    key_col: str = "sample_key",
+    index_col: str | None = "first_member_index",
+) -> DataFrame:
+    """Add the epoch-ordering keys and return the frame SORTED into the
+    seeded epoch order. Added columns (callers may drop them):
+
+      * ``epoch_shard_ord`` — md5(seed | shard), the shard shuffle rank;
+      * ``epoch_block``     — archive-position block (0 when buffer is
+        None or there is no archive index);
+      * ``epoch_intra``     — md5(seed | shard | sample_key), the
+        within-block shuffle rank.
+
+    Same seed -> identical order (pure hash function of the keys);
+    different seed -> a different order with overwhelming probability.
+    ``index_col`` names the archive-order column (assemble_samples'
+    ``first_member_index``); None disables block bounding."""
+    sseed = F.lit(str(int(seed)))
+    out = samples.withColumn(
+        "epoch_shard_ord", F.md5(F.concat_ws("|", sseed, F.col(shard_col)))
+    ).withColumn(
+        "epoch_intra",
+        F.md5(
+            F.concat_ws(
+                "|", sseed, F.col(shard_col), F.col(key_col).cast("string")
+            )
+        ),
+    )
+    if buffer is not None and index_col is not None:
+        w = Window.partitionBy(shard_col).orderBy(
+            F.col(index_col), F.col(key_col)
+        )
+        out = out.withColumn(
+            "epoch_block",
+            ((F.row_number().over(w) - F.lit(1)) / F.lit(int(buffer)))
+            .cast("long"),
+        )
+    else:
+        out = out.withColumn("epoch_block", F.lit(0).cast("long"))
+    return out.orderBy(
+        "epoch_shard_ord",
+        shard_col,
+        "epoch_block",
+        "epoch_intra",
+        key_col,
+    )
+
+
+def epoch_rank_in_shard(ordered: DataFrame, *, shard_col: str = "shard",
+                        key_col: str = "sample_key") -> DataFrame:
+    """Per-shard epoch position (1-based) — a PARTITIONED window, so it
+    scales; combined with ``epoch_shard_ord`` it determines the total
+    epoch order without any global row-numbering."""
+    w = Window.partitionBy(shard_col).orderBy(
+        "epoch_block", "epoch_intra", key_col
+    )
+    return ordered.withColumn("epoch_rank", F.row_number().over(w))
+
+
+def epoch_samples(
+    spark,
+    shard_paths: list[str],
+    *,
+    seed: int,
+    buffer: int | None = None,
+):
+    """The composed reader over REAL tar shards: expand -> assemble ->
+    seeded epoch order. Returns assembled sample rows (shard, sample_key,
+    slots map, ...) sorted into the epoch order."""
+    from ..sources.webdataset import assemble_samples, read_webdataset
+
+    samples = assemble_samples(read_webdataset(spark, shard_paths))
+    return epoch_order(samples, seed=seed, buffer=buffer)
+
+
+def pack_token_spans(
+    docs: DataFrame,
+    *,
+    seq_len: int,
+    part_col: str,
+    order_cols: list,
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-and-chunk packing: one fragment row per (document, pack) it
+    overlaps, with exact token accounting.
+
+    Within each ``part_col`` partition, documents concatenate in
+    ``order_cols`` order; token offsets come from a window cumsum; a
+    document spanning [start, end) overlaps packs start//L .. (end-1)//L
+    and contributes ``min(end, (p+1)L) - max(start, pL)`` tokens to pack
+    p. Zero-token documents are dropped (they occupy no span — callers
+    that must track them join back on the id). Output adds: ``pack_id``,
+    ``frag_tokens``, ``tok_start`` (offset of the fragment inside the
+    pack), ``n_frags`` (how many packs this document spans)."""
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    w = Window.partitionBy(part_col).orderBy(*order_cols)
+    spans = (
+        docs.filter(F.col(token_col) > 0)
+        .withColumn(
+            "_end", F.sum(token_col).over(w).cast("long")
+        )
+        .withColumn("_start", (F.col("_end") - F.col(token_col)).cast("long"))
+    )
+    first = (F.col("_start") / L).cast("long")
+    last = ((F.col("_end") - 1) / L).cast("long")
+    return (
+        spans.withColumn("n_frags", (last - first + 1).cast("long"))
+        .withColumn("pack_id", F.explode(F.sequence(first, last)))
+        .withColumn(
+            "frag_tokens",
+            F.least(F.col("_end"), (F.col("pack_id") + 1) * L)
+            - F.greatest(F.col("_start"), F.col("pack_id") * L),
+        )
+        .withColumn(
+            "tok_start",
+            F.greatest(F.col("_start"), F.col("pack_id") * L)
+            - F.col("pack_id") * L,
+        )
+        .drop("_start", "_end")
+    )

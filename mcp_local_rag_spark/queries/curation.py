@@ -1639,7 +1639,7 @@ p{i} AS (
   SELECT DISTINCT s, wcnt, t[i] AS l, t[i+1] AS r
   FROM t{i}, unnest(range(1, len(t))) AS u(i)
 ),
-c{i} AS (
+c{i} AS MATERIALIZED (
   SELECT l, r,
          sum(wcnt * ((length(s) - length(replace(s, ' '||l||'  '||r||' ', '')))
                      // length(' '||l||'  '||r||' ')))::BIGINT AS cnt
@@ -1681,17 +1681,11 @@ UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4 ORDER BY step"""
 )
 
 
-def _bpe_train(spark, sf_dir, rounds: int = 4):
-    """Learn ``rounds`` BPE merges over the corpus word-frequency table.
-
-    Returns (merge_rows, final_word_state, words_base): merge_rows is the
-    [(step, l, r, merged, count)] list, final_word_state the (w, s, wcnt)
-    frame with every learned merge applied, and words_base the PERSISTED
-    base frame the state chain hangs off (caller owns its lifecycle —
-    the merges lane unpersists it, the encode lane keeps it live because
-    its returned plan still reads through the chain)."""
+def _bpe_words(spark, sf_dir):
+    """The corpus word-frequency table in BPE state form: (w, s, wcnt)
+    with s the 2-space-delimited, 2-space-padded symbol string."""
     docs = load(spark, sf_dir, "documents")
-    words = (
+    return (
         docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
@@ -1702,39 +1696,63 @@ def _bpe_train(spark, sf_dir, rounds: int = 4):
             "wcnt",
         )
     )
+
+
+def _bpe_pair_counts(cur):
+    """Adjacent-pair frequencies over a (s, wcnt) state frame, greedy
+    leftmost NON-overlapping convention via pure replace() arithmetic
+    (the count a merge application actually performs) — shared by the
+    sequential and batched trainers so the two can never diverge on what
+    a 'count' means."""
+    pat = F.concat_ws(
+        "", F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" ")
+    )
+    return (
+        cur.withColumn("t", F.expr("filter(split(s, '  '), x -> x <> '')"))
+        .select(
+            "s",
+            "wcnt",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(slice(t, 1, size(t) - 1),"
+                        " (x, i) -> struct(x AS l, t[i + 1] AS r))"
+                    )
+                )
+            ).alias("pr"),
+        )
+        .select("s", "wcnt", "pr.l", "pr.r")
+        .withColumn(
+            "c",
+            (
+                (F.length("s") - F.length(F.replace(F.col("s"), pat)))
+                / F.length(pat)
+            ).cast("long"),
+        )
+        .groupBy("l", "r")
+        .agg(F.sum(F.col("wcnt") * F.col("c")).alias("cnt"))
+    )
+
+
+def _bpe_train(spark, sf_dir, rounds: int = 4, words=None):
+    """Learn ``rounds`` BPE merges over the corpus word-frequency table.
+
+    Returns (merge_rows, final_word_state, words_base): merge_rows is the
+    [(step, l, r, merged, count)] list, final_word_state the (w, s, wcnt)
+    frame with every learned merge applied, and words_base the PERSISTED
+    base frame the state chain hangs off (caller owns its lifecycle —
+    the merges lane unpersists it, the encode lane keeps it live because
+    its returned plan still reads through the chain). ``words`` overrides
+    the corpus-derived base frame (fixture injection for the
+    batched-vs-sequential pinning tests)."""
     from ..plans.cache import persisted
 
-    words = persisted(words)
+    words = persisted(_bpe_words(spark, sf_dir) if words is None else words)
     cur = words
     rows = []
     for step in range(1, rounds + 1):
-        pat = F.concat_ws(
-            "", F.lit(" "), F.col("l"), F.lit("  "), F.col("r"), F.lit(" ")
-        )
         win = (
-            cur.withColumn("t", F.expr("filter(split(s, '  '), x -> x <> '')"))
-            .select(
-                "s",
-                "wcnt",
-                F.explode(
-                    F.array_distinct(
-                        F.expr(
-                            "transform(slice(t, 1, size(t) - 1),"
-                            " (x, i) -> struct(x AS l, t[i + 1] AS r))"
-                        )
-                    )
-                ).alias("pr"),
-            )
-            .select("s", "wcnt", "pr.l", "pr.r")
-            .withColumn(
-                "c",
-                (
-                    (F.length("s") - F.length(F.replace(F.col("s"), pat)))
-                    / F.length(pat)
-                ).cast("long"),
-            )
-            .groupBy("l", "r")
-            .agg(F.sum(F.col("wcnt") * F.col("c")).alias("cnt"))
+            _bpe_pair_counts(cur)
             .orderBy(F.col("cnt").desc(), "l", "r")
             .limit(1)
             .collect()  # bounded: ONE row per merge round
@@ -1762,6 +1780,228 @@ def q_text_bpe_merges(spark, sf_dir):
             rows,
             "step int, left_sym string, right_sym string, merged string, pair_count long",
         ).orderBy("step")
+    finally:
+        words.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# BATCHED BPE training (VERDICT r13 item 3): the sequential trainer costs
+# one distributed job wave PER MERGE — a production 32k-merge vocabulary
+# would be 32k sequential waves, days of job-submission overhead alone.
+# The batched trainer counts all pairs ONCE per sweep and applies a whole
+# batch of merges in one distributed replace pass, so the wave count is
+# ~vocab/batch.
+#
+# Batch selection is the LOCAL-MAXIMA rule (parallel greedy matching): a
+# pair is selected iff it is the best pair — by (count DESC, l, r) — among
+# ALL pairs touching either of its symbols. Selected pairs are therefore
+# pairwise symbol-DISJOINT by construction (two pairs sharing a symbol
+# cannot both be that symbol's best), which makes the batch EXACT in two
+# senses: (a) applying the batch in any order yields the same state —
+# replace() patterns over disjoint symbols cannot interact; (b) each
+# selected pair's recorded count equals the count the sequential trainer
+# would see at its application point within the sweep, because merging a
+# symbol-disjoint pair elsewhere can neither destroy an occurrence of
+# this pair nor create a new one (a merge only introduces adjacencies
+# involving its OWN merged symbol).
+#
+# Where batched and sequential DIVERGE — documented, inherent: after the
+# sequential trainer applies a merge, brand-new pairs involving the merged
+# symbol (e.g. ('th','e') after 't'+'h') compete immediately; the batched
+# trainer only sees them at the NEXT sweep's snapshot. Batch-of-1 has no
+# such pairs mid-sweep, so it reproduces the sequential merge sequence
+# exactly (pinned in tests/test_bpe_batched.py).
+#
+# The rule is plain windows + aggregates, so the DuckDB oracle expresses
+# the SAME algorithm: per-symbol best via row_number, selection via
+# max(rn)=1, application via list_reduce over the sweep's merge list.
+
+_BPE_BATCH_CAP = 32
+_BPE_BATCH_SWEEPS = 5
+
+
+def _bpe_batch_sweep_sql(i: int, cap: int) -> str:
+    prev = f"s{i-1}"
+    return f"""
+t{i} AS (
+  SELECT s, wcnt, list_filter(string_split(s, '  '), x -> x <> '') AS t
+  FROM {prev}
+),
+p{i} AS (
+  SELECT DISTINCT s, wcnt, t[i] AS l, t[i+1] AS r
+  FROM t{i}, unnest(range(1, len(t))) AS u(i)
+),
+c{i} AS MATERIALIZED (
+  SELECT l, r,
+         sum(wcnt * ((length(s) - length(replace(s, ' '||l||'  '||r||' ', '')))
+                     // length(' '||l||'  '||r||' ')))::BIGINT AS cnt
+  FROM p{i} GROUP BY 1, 2
+),
+x{i} AS (
+  SELECT sym, l, r, cnt,
+         row_number() OVER (PARTITION BY sym ORDER BY cnt DESC, l, r) AS rn
+  FROM (SELECT unnest(list_distinct([l, r])) AS sym, l, r, cnt FROM c{i})
+),
+sel{i} AS MATERIALIZED (
+  SELECT l, r, cnt FROM (
+    SELECT l, r, cnt FROM x{i} GROUP BY l, r, cnt HAVING max(rn) = 1
+  ) QUALIFY row_number() OVER (ORDER BY cnt DESC, l, r) <= {cap}
+),
+m{i} AS (
+  SELECT list(' '||l||'  '||r||' ' || '|' || l || r
+              ORDER BY cnt DESC, l, r) AS ml
+  FROM sel{i}
+),
+s{i} AS MATERIALIZED (
+  SELECT w,
+         CASE WHEN (SELECT ml FROM m{i}) IS NULL THEN s
+              ELSE list_reduce(
+                     list_prepend(s, (SELECT ml FROM m{i})),
+                     (acc, x) -> replace(acc, split_part(x, '|', 1),
+                                         ' ' || split_part(x, '|', 2) || ' '))
+         END AS s, wcnt
+  FROM {prev}
+)"""
+
+
+_BPE_BATCH_SQL = (
+    """WITH words AS (
+  SELECT w, count(*)::BIGINT AS wcnt
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY 1
+),
+s0 AS (
+  SELECT w, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, wcnt FROM words
+),"""
+    + ",".join(
+        _bpe_batch_sweep_sql(i, _BPE_BATCH_CAP)
+        for i in range(1, _BPE_BATCH_SWEEPS + 1)
+    )
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT {i}::INT AS sweep, l AS left_sym, r AS right_sym,"
+        f" l||r AS merged, cnt AS pair_count FROM sel{i}"
+        for i in range(1, _BPE_BATCH_SWEEPS + 1)
+    )
+    + "\nORDER BY sweep, pair_count DESC, left_sym, right_sym"
+)
+
+
+def _bpe_train_batched(
+    spark,
+    sf_dir,
+    *,
+    sweeps: int = _BPE_BATCH_SWEEPS,
+    batch_cap: int = _BPE_BATCH_CAP,
+    max_merges: int | None = None,
+    words=None,
+    select: str = "local_maxima",
+):
+    """Batched BPE: per sweep, ONE distributed pair count -> symbol-
+    disjoint batch selection (bounded collect, <= batch_cap rows) -> one
+    chained replace pass. localCheckpoint truncates the replace lineage
+    each sweep so sweep N never recomputes sweeps 1..N-1's replaces and
+    the expression tree stays batch-deep, not vocabulary-deep.
+
+    Two selection strategies, both yielding pairwise symbol-disjoint
+    batches (so every exactness property in the module comment holds for
+    either):
+
+      * ``local_maxima`` — a pair survives iff it beats every pair
+        touching either of its symbols. Pure windows+aggregates, so the
+        DuckDB oracle can express it verbatim (the registry lane's
+        strategy). Batches run SMALL when counts concentrate on hub
+        symbols: one dominant pair eliminates every neighbor it beats
+        without selecting them.
+      * ``greedy`` — maximal matching over the global (count DESC, l, r)
+        candidate order: walk the top-(8x cap) collected candidates, keep
+        each pair whose symbols are untouched by earlier keeps. Strictly
+        larger batches (every local maximum is also kept), which is what
+        the vocab/batch job-wave arithmetic needs at production depth;
+        the selection is a driver fold over a bounded collect, not a
+        distributed op, so it has no SQL twin — pinned against the
+        sequential semantics in tests instead.
+
+    Returns (rows, final_state, words_base) like _bpe_train; rows are
+    (sweep, l, r, merged, count) in (count DESC, l, r) order per sweep."""
+    from pyspark.sql import Window
+
+    from ..plans.cache import persisted
+
+    if select not in ("local_maxima", "greedy"):
+        raise ValueError(f"unknown selection strategy: {select!r}")
+    words = persisted(_bpe_words(spark, sf_dir) if words is None else words)
+    cur = words
+    rows: list[tuple] = []
+    for sweep in range(1, sweeps + 1):
+        pairs = _bpe_pair_counts(cur)
+        if select == "local_maxima":
+            w = Window.partitionBy("sym").orderBy(F.col("cnt").desc(), "l", "r")
+            sel = (
+                pairs.select(
+                    F.explode(F.array_distinct(F.array("l", "r"))).alias("sym"),
+                    "l",
+                    "r",
+                    "cnt",
+                )
+                .withColumn("rn", F.row_number().over(w))
+                .groupBy("l", "r", "cnt")
+                .agg(F.max("rn").alias("mx"))
+                .filter(F.col("mx") == 1)
+                .orderBy(F.col("cnt").desc(), "l", "r")
+                .limit(batch_cap)
+                .collect()  # bounded: <= batch_cap rows per sweep
+            )
+        else:
+            cands = (
+                pairs.orderBy(F.col("cnt").desc(), "l", "r")
+                .limit(8 * batch_cap)
+                .collect()  # bounded: the driver-greedy candidate pool
+            )
+            used: set[str] = set()
+            sel = []
+            for r_ in cands:
+                if r_["l"] in used or r_["r"] in used:
+                    continue
+                used.update((r_["l"], r_["r"]))
+                sel.append(r_)
+                if len(sel) >= batch_cap:
+                    break
+        if not sel:
+            break  # vocabulary exhausted (every word one symbol)
+        if max_merges is not None:
+            sel = sel[: max_merges - len(rows)]
+        scol = F.col("s")
+        for r_ in sel:
+            rows.append(
+                (sweep, r_["l"], r_["r"], r_["l"] + r_["r"], int(r_["cnt"]))
+            )
+            # disjoint symbols -> replace order within the batch is
+            # immaterial; rank order kept for determinism of the plan text
+            scol = F.replace(
+                scol,
+                F.lit(f" {r_['l']}  {r_['r']} "),
+                F.lit(f" {r_['l']}{r_['r']} "),
+            )
+        cur = cur.withColumn("s", scol).localCheckpoint(eager=True)
+        if max_merges is not None and len(rows) >= max_merges:
+            break
+    return rows, cur, words
+
+
+@register("text_bpe_merges_batched", _BPE_BATCH_SQL)
+def q_text_bpe_merges_batched(spark, sf_dir):
+    rows, _, words = _bpe_train_batched(spark, sf_dir)
+    try:
+        return spark.createDataFrame(
+            rows,
+            "sweep int, left_sym string, right_sym string,"
+            " merged string, pair_count long",
+        ).orderBy(
+            "sweep", F.col("pair_count").desc(), "left_sym", "right_sym"
+        )
     finally:
         words.unpersist()
 

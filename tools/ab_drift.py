@@ -6,7 +6,13 @@ meaningful comparison is two checkouts benched in one session,
 interleaved, fresh JVM per pass, min-of-passes.
 
     python tools/ab_drift.py <refA> <refB> [out.json] \
-        [--queries q1,q2] [--passes 3] [--sf-dir DIR]
+        [--queries q1,q2] [--passes 3] [--sf-dir DIR] [--order=fixed|swap]
+
+``--order=swap`` alternates which ref runs FIRST each pass (A,B / B,A /
+A,B ...): a fixed order lets any systematic first-runner effect (page
+cache, scratch-dir reuse, CPU-governor ramp) masquerade as a code delta
+— the r13 hybrid_search_indexed residual question. Default stays fixed
+for continuity with the r9-r13 artifacts.
 
 Each pass runs in a SUBPROCESS with cwd+PYTHONPATH pointed at the ref's
 git worktree, so the measured code is exactly that checkout's. Queries
@@ -146,11 +152,15 @@ def main(argv: list[str]) -> None:
     passes = int(opts.get("passes", 3))
     sf_dir = opts.get("sf-dir", "/root/testdata/sf0.1")
     lanes = opts.get("lanes", "1") == "1"
+    order = opts.get("order", "fixed")
 
     trees = {ref_a: _worktree(ref_a), ref_b: _worktree(ref_b)}
     raw: dict[str, list[dict]] = {ref_a: [], ref_b: []}
     for p in range(passes):
-        for ref in (ref_a, ref_b):  # interleaved: drift hits both sides
+        pair = (ref_a, ref_b)
+        if order == "swap" and p % 2 == 1:
+            pair = (ref_b, ref_a)
+        for ref in pair:  # interleaved: drift hits both sides
             res = _one_pass(trees[ref], sf_dir, names, lanes)
             raw[ref].append(res)
             print(f"# pass {p + 1} {ref}: {res}", file=sys.stderr)
@@ -172,6 +182,7 @@ def main(argv: list[str]) -> None:
     result = {
         "metric": f"ab_{ref_a}_vs_{ref_b}",
         "passes": passes,
+        "order": order,
         "sf_dir": sf_dir,
         "summary": {ref_a: best(ref_a), ref_b: best(ref_b)},
         "provenance": (
