@@ -144,11 +144,22 @@ def pack_token_spans(
     p. Zero-token documents are dropped (they occupy no span — callers
     that must track them join back on the id). Output adds: ``pack_id``,
     ``frag_tokens``, ``tok_start`` (offset of the fragment inside the
-    pack), ``n_frags`` (how many packs this document spans)."""
+    pack), ``doc_tok_offset`` (offset of the fragment inside ITS OWN
+    document — slicing the document's token array at
+    [doc_tok_offset, doc_tok_offset + frag_tokens) reconstructs the
+    fragment exactly), ``n_frags`` (how many packs this document
+    spans)."""
     L = int(seq_len)
     if L <= 0:
         raise ValueError(f"seq_len must be positive: {seq_len}")
-    w = Window.partitionBy(part_col).orderBy(*order_cols)
+    # ROWS (not the default RANGE) frame: RANGE sums peers with equal
+    # order keys together — harmless only while keys are unique; ROWS is
+    # the semantics packing means
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     spans = (
         docs.filter(F.col(token_col) > 0)
         .withColumn(
@@ -170,6 +181,11 @@ def pack_token_spans(
             "tok_start",
             F.greatest(F.col("_start"), F.col("pack_id") * L)
             - F.col("pack_id") * L,
+        )
+        .withColumn(
+            "doc_tok_offset",
+            F.greatest(F.col("_start"), F.col("pack_id") * L)
+            - F.col("_start"),
         )
         .drop("_start", "_end")
     )

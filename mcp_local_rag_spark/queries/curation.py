@@ -1991,6 +1991,179 @@ def _bpe_train_batched(
     return rows, cur, words
 
 
+# ---------------------------------------------------------------------------
+# Training-epoch reader lanes (plans/epoch.py): seeded deterministic shard
+# + sample shuffle, and fixed-length token packing composed over the BPE
+# vocabulary — the consumer-side operators of the WebDataset arc (VERDICT
+# r13 item 4). The lanes run the REAL operators over the documents table
+# with source as the shard axis (the tar-backed twin is exercised on real
+# shards in tests/test_epoch.py); the ordering is a pure md5 function of
+# (seed, shard, sample_key), which both engines compute bit-identically,
+# so the EXACT epoch sequence — not just row membership — is oracle-pinned
+# via the per-shard rank column.
+
+_EPOCH_SEED = 1
+_EPOCH_BUFFER = 4
+
+_EPOCH_SQL = f"""WITH s AS (
+  SELECT source, doc_id,
+         md5('{_EPOCH_SEED}|' || source) AS shard_ord,
+         md5('{_EPOCH_SEED}|' || source || '|' || doc_id) AS intra,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+           // {_EPOCH_BUFFER} AS blk
+  FROM documents
+)
+SELECT source, doc_id, shard_ord,
+       row_number() OVER (PARTITION BY source
+                          ORDER BY blk, intra, doc_id)::BIGINT AS epoch_rank
+FROM s
+ORDER BY shard_ord, source, epoch_rank"""
+
+
+@register("corpus_epoch_order", _EPOCH_SQL)
+def q_corpus_epoch_order(spark, sf_dir):
+    from ..plans.epoch import epoch_order, epoch_rank_in_shard
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("source").alias("shard"),
+        F.col("doc_id").cast("string").alias("sample_key"),
+        F.col("doc_id").alias("first_member_index"),
+    )
+    ranked = epoch_rank_in_shard(
+        epoch_order(docs, seed=_EPOCH_SEED, buffer=_EPOCH_BUFFER)
+    )
+    return ranked.select(
+        F.col("shard").alias("source"),
+        F.col("sample_key").cast("long").alias("doc_id"),
+        F.col("epoch_shard_ord").alias("shard_ord"),
+        F.col("epoch_rank").cast("long").alias("epoch_rank"),
+    ).orderBy("shard_ord", "source", "epoch_rank")
+
+
+# Packing lane: BPE-encode (the learned 4-merge vocabulary) -> seeded
+# epoch order -> concat-and-chunk into 512-token sequences, per source
+# (the shard axis). Exact integer token accounting: sum(n_tokens) over
+# packs equals the corpus token count; a document crossing a pack
+# boundary splits and its fragments' tokens sum to its full count.
+
+_PACK_SEQ_LEN = 512
+
+_PACK_SQL = (
+    """WITH words AS (
+  SELECT w, count(*)::BIGINT AS wcnt
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY 1
+),
+s0 AS (
+  SELECT w, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, wcnt FROM words
+),"""
+    + ",".join(_bpe_iter_sql(i) for i in range(1, 5))
+    + f""",
+tok AS (
+  SELECT w,
+         len(list_filter(string_split(s, '  '), x -> x <> ''))::BIGINT AS n_tok
+  FROM s4
+),
+dw AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+pd AS (
+  SELECT doc_id, source, sum(n_tok)::BIGINT AS n_tokens
+  FROM dw JOIN tok USING (w) GROUP BY 1, 2
+),
+ek AS (
+  SELECT doc_id, source, n_tokens,
+         md5('{_EPOCH_SEED}|' || source || '|' || doc_id) AS intra,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+           // {_EPOCH_BUFFER} AS blk
+  FROM pd
+),
+sp AS (
+  -- ::BIGINT: DuckDB widens a window sum over BIGINT to HUGEINT, which
+  -- range() then refuses
+  SELECT source, doc_id, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY source ORDER BY blk, intra, doc_id
+                              ROWS UNBOUNDED PRECEDING))::BIGINT AS e
+  FROM ek WHERE n_tokens > 0
+),
+fr AS (
+  SELECT source, doc_id, n_tokens, e - n_tokens AS st, e,
+         ((e - 1) // {_PACK_SEQ_LEN}) - ((e - n_tokens) // {_PACK_SEQ_LEN})
+           + 1 AS n_frags
+  FROM sp
+),
+fx AS (
+  SELECT source, n_frags, p.pack_id,
+         least(e, (p.pack_id + 1) * {_PACK_SEQ_LEN})
+           - greatest(st, p.pack_id * {_PACK_SEQ_LEN}) AS frag_tokens
+  FROM fr, unnest(range(st // {_PACK_SEQ_LEN},
+                        ((e - 1) // {_PACK_SEQ_LEN}) + 1)) AS p(pack_id)
+)
+SELECT source, pack_id::BIGINT AS pack_id, count(*)::BIGINT AS n_docs,
+       sum(frag_tokens)::BIGINT AS n_tokens,
+       sum(CASE WHEN n_frags > 1 THEN 1 ELSE 0 END)::BIGINT AS n_split_docs
+FROM fx GROUP BY 1, 2 ORDER BY source, pack_id"""
+)
+
+
+@register("corpus_pack_sequences", _PACK_SQL)
+def q_corpus_pack_sequences(spark, sf_dir):
+    from ..plans.epoch import epoch_order, pack_token_spans
+
+    _, state, _words = _bpe_train(spark, sf_dir)
+    # the returned plan reads through the persisted word-state chain —
+    # keep the base cached (text_bpe_encode precedent)
+    tok = state.select(
+        "w",
+        F.expr("size(filter(split(s, '  '), x -> x <> ''))")
+        .cast("long")
+        .alias("n_tok"),
+    )
+    docs = load(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+    ).filter(F.col("w") != "")
+    per_doc = (
+        dw.join(F.broadcast(tok), "w")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    ordered = epoch_order(
+        per_doc.select(
+            F.col("source").alias("shard"),
+            F.col("doc_id").cast("string").alias("sample_key"),
+            F.col("doc_id").alias("first_member_index"),
+            "n_tokens",
+        ),
+        seed=_EPOCH_SEED,
+        buffer=_EPOCH_BUFFER,
+    )
+    frags = pack_token_spans(
+        ordered,
+        seq_len=_PACK_SEQ_LEN,
+        part_col="shard",
+        order_cols=["epoch_block", "epoch_intra", "sample_key"],
+        token_col="n_tokens",
+    )
+    return (
+        frags.groupBy(F.col("shard").alias("source"), "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("frag_tokens").alias("n_tokens"),
+            F.sum(F.when(F.col("n_frags") > 1, 1).otherwise(0)).alias(
+                "n_split_docs"
+            ),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
 @register("text_bpe_merges_batched", _BPE_BATCH_SQL)
 def q_text_bpe_merges_batched(spark, sf_dir):
     rows, _, words = _bpe_train_batched(spark, sf_dir)

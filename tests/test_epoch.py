@@ -1,0 +1,247 @@
+"""Training-epoch reader (plans/epoch.py): seeded determinism over real
+tar shards, buffer-bounded displacement, shard-contiguous streaming, and
+exact concat-and-chunk token accounting through to a packed shard export."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from mcp_local_rag_spark.sources.webdataset import write_tar_shard
+
+BODY = "tok%d word filler"
+
+
+def _make_shards(tmp_path, n_shards=4, samples=6):
+    paths = []
+    for si in range(n_shards):
+        members = []
+        for j in range(samples):
+            # varied word counts so packing spans boundaries
+            text = " ".join(f"s{si}k{j}w{k}" for k in range(3 + (j * 5) % 11))
+            members.append((f"{si:02d}{j:04d}.txt", text.encode()))
+            members.append((f"{si:02d}{j:04d}.json", b"{}"))
+        p = tmp_path / f"shard-{si:03d}.tar"
+        p.write_bytes(write_tar_shard(members))
+        paths.append(str(p))
+    return paths
+
+
+def _order(spark, paths, seed, buffer=None):
+    from mcp_local_rag_spark.plans.epoch import epoch_samples
+
+    return [
+        (r["shard"], r["sample_key"])
+        for r in epoch_samples(spark, paths, seed=seed, buffer=buffer)
+        .select("shard", "sample_key")
+        .collect()
+    ]
+
+
+def test_epoch_seed_determinism_on_real_shards(spark, tmp_path):
+    """Same seed -> identical sample order across runs; different seed ->
+    different order over the same membership."""
+    paths = _make_shards(tmp_path)
+    a1 = _order(spark, paths, seed=7)
+    a2 = _order(spark, paths, seed=7)
+    b = _order(spark, paths, seed=8)
+    assert a1 == a2
+    assert sorted(a1) == sorted(b)  # same membership
+    assert a1 != b  # different order
+
+
+def test_epoch_shards_stay_contiguous_and_shuffled(spark, tmp_path):
+    """Shard-level streaming: all of a shard's samples are CONTIGUOUS in
+    the epoch order (a reader streams one tar at a time), and the shard
+    sequence itself changes with the seed."""
+    paths = _make_shards(tmp_path)
+
+    def shard_runs(order):
+        runs, prev = [], None
+        for shard, _ in order:
+            if shard != prev:
+                runs.append(shard)
+                prev = shard
+        return runs
+
+    r7 = shard_runs(_order(spark, paths, seed=7))
+    r9 = shard_runs(_order(spark, paths, seed=9))
+    assert len(r7) == len(paths)  # contiguous: one run per shard
+    assert len(r9) == len(paths)
+    assert r7 != r9  # shard shuffle responds to the seed
+
+
+def test_epoch_buffer_bounds_displacement(spark, tmp_path):
+    """buffer=B block shuffle: a sample's displacement from archive order
+    within its shard is < B (WebDataset's bounded-buffer contract —
+    sequential tar reads stay sequential)."""
+    from mcp_local_rag_spark.plans.epoch import (
+        epoch_rank_in_shard,
+        epoch_samples,
+    )
+
+    paths = _make_shards(tmp_path, n_shards=2, samples=12)
+    B = 3
+    ranked = epoch_rank_in_shard(
+        epoch_samples(spark, paths, seed=11, buffer=B)
+    ).collect()
+    by_shard: dict = {}
+    for r in ranked:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        archive = {
+            r["sample_key"]: i + 1
+            for i, r in enumerate(
+                sorted(rows, key=lambda r: r["first_member_index"])
+            )
+        }
+        for r in rows:
+            disp = abs(r["epoch_rank"] - archive[r["sample_key"]])
+            assert disp < B, (shard, r["sample_key"], disp)
+
+
+def test_pack_token_spans_exact_accounting(spark):
+    """Concat-and-chunk invariants: every pack except the per-partition
+    last holds exactly L tokens; fragment tokens per document sum to the
+    document's count; zero-token docs are dropped; fragments tile each
+    pack without gaps."""
+    from mcp_local_rag_spark.plans.epoch import pack_token_spans
+
+    rows = [
+        ("s0", "d0", 7), ("s0", "d1", 10), ("s0", "d2", 1), ("s0", "d3", 25),
+        ("s0", "d4", 0),  # zero-token: dropped
+        ("s1", "d5", 16), ("s1", "d6", 16), ("s1", "d7", 3),
+    ]
+    docs = spark.createDataFrame(rows, "part string, doc string, n_tokens long")
+    frags = pack_token_spans(
+        docs, seq_len=16, part_col="part", order_cols=["doc"],
+        token_col="n_tokens",
+    ).collect()
+    assert all(r["doc"] != "d4" for r in frags)
+    # per-document fragment sums
+    per_doc: dict = {}
+    for r in frags:
+        per_doc[r["doc"]] = per_doc.get(r["doc"], 0) + r["frag_tokens"]
+    assert per_doc == {"d0": 7, "d1": 10, "d2": 1, "d3": 25,
+                       "d5": 16, "d6": 16, "d7": 3}
+    # per-pack totals: exactly L except the last pack of each partition
+    packs: dict = {}
+    for r in frags:
+        packs[(r["part"], r["pack_id"])] = (
+            packs.get((r["part"], r["pack_id"]), 0) + r["frag_tokens"]
+        )
+    for part in ("s0", "s1"):
+        ids = sorted(p for q, p in packs if q == part)
+        assert ids == list(range(len(ids)))  # contiguous pack ids
+        for p in ids[:-1]:
+            assert packs[(part, p)] == 16, (part, p)
+        assert 0 < packs[(part, ids[-1])] <= 16
+    # fragments tile each pack: tok_start offsets are gap-free
+    by_pack: dict = {}
+    for r in frags:
+        by_pack.setdefault((r["part"], r["pack_id"]), []).append(r)
+    for (part, p), rs in by_pack.items():
+        rs.sort(key=lambda r: r["tok_start"])
+        pos = 0
+        for r in rs:
+            assert r["tok_start"] == pos, (part, p, r)
+            pos += r["frag_tokens"]
+    # doc_tok_offset reconstructs: d3 (25 tokens) spans two packs with
+    # offsets 0 and then 25-frag2
+    d3 = sorted(
+        (r for r in frags if r["doc"] == "d3"), key=lambda r: r["pack_id"]
+    )
+    assert [r["doc_tok_offset"] for r in d3] == [0, d3[0]["frag_tokens"]]
+    assert all(r["n_frags"] == len(d3) for r in d3)
+
+
+def test_epoch_pack_export_roundtrip(spark, tmp_path):
+    """The composed consumer pipeline over REAL tars: epoch reader ->
+    whitespace tokenize -> concat-and-chunk pack -> reconstruct each
+    pack's token stream by slicing documents at doc_tok_offset -> export
+    the packed sequences as NEW tar shards -> read back and verify the
+    per-shard token stream equals the epoch-ordered concatenation."""
+    from mcp_local_rag_spark.plans.epoch import epoch_samples, pack_token_spans
+    from mcp_local_rag_spark.plans.export import export_webdataset_shards
+    from mcp_local_rag_spark.sources.webdataset import read_webdataset
+
+    paths = _make_shards(tmp_path, n_shards=3, samples=5)
+    L = 16
+    samples = epoch_samples(spark, paths, seed=3, buffer=2).select(
+        "shard",
+        "sample_key",
+        "epoch_block",
+        "epoch_intra",
+        F.expr("filter(split(cast(slots['txt'] AS STRING), ' '), x -> x <> '')")
+        .alias("toks"),
+    ).withColumn("n_tokens", F.size("toks").cast("long"))
+
+    frags = pack_token_spans(
+        samples,
+        seq_len=L,
+        part_col="shard",
+        order_cols=["epoch_block", "epoch_intra", "sample_key"],
+        token_col="n_tokens",
+    ).withColumn(
+        "frag_toks",
+        F.expr("slice(toks, cast(doc_tok_offset AS INT) + 1,"
+               " cast(frag_tokens AS INT))"),
+    )
+
+    # assemble each pack's token stream in fragment order
+    packs = (
+        frags.groupBy("shard", "pack_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("tok_start", "frag_toks"))
+            ).alias("fr"),
+            F.sum("frag_tokens").alias("n_tokens"),
+        )
+        .select(
+            "shard",
+            "pack_id",
+            "n_tokens",
+            F.flatten(F.expr("transform(fr, x -> x.frag_toks)")).alias("toks"),
+        )
+    ).collect()
+
+    # per-shard: concatenating packs in pack_id order reproduces the
+    # epoch-ordered document token stream exactly
+    ordered_docs = samples.collect()
+    want: dict = {}
+    for r in ordered_docs:
+        want.setdefault(r["shard"], []).extend(r["toks"])
+    got: dict = {}
+    for r in sorted(packs, key=lambda r: (r["shard"], r["pack_id"])):
+        got.setdefault(r["shard"], []).extend(r["toks"])
+        assert len(r["toks"]) == r["n_tokens"] <= L
+    assert got == want
+
+    # -> shards: export the packed sequences as new tars and read back
+    out = str(tmp_path / "packed")
+    members = spark.createDataFrame(
+        [
+            (
+                os.path.basename(r["shard"]).split(".")[0],
+                f"p{r['pack_id']:05d}",
+                "txt",
+                bytearray(" ".join(r["toks"]).encode()),
+            )
+            for r in packs
+        ],
+        "pack_shard string, sample_key string, slot string, content binary",
+    )
+    export_webdataset_shards(
+        members, out, shard_col="pack_shard", samples_per_shard=1000
+    )
+    back = (
+        read_webdataset(
+            spark, [os.path.join(out, f) for f in sorted(os.listdir(out))
+                    if f.endswith(".tar")]
+        )
+        .select("sample_key", "content")
+        .collect()
+    )
+    got_back = [bytes(r["content"]).decode().split() for r in back]
+    assert sorted(map(tuple, got_back)) == sorted(
+        tuple(r["toks"]) for r in packs
+    )
