@@ -35,6 +35,90 @@ def _has_data(path: str) -> bool:
     return bool(glob.glob(os.path.join(path, "*.parquet")))
 
 
+# -- staleness contract (operators/staleness, r13 item 7 -> r14) ------------
+#
+# The serving tier got at_version/stale_ok in r12; the dedup index used to
+# answer against whatever was last appended with no freshness guard — a
+# candidate-pairs read against a mid-rebuild index could mix band
+# generations, and a reader holding the corpus's current stamp had no way
+# to learn the index lagged it. Two pieces of persisted state close both:
+#
+#   covers_source_stamp   the SOURCE content stamp (plans/ingest.
+#                         table_content_stamp of the docs table, or any
+#                         caller-chosen generation token) the index was
+#                         built from / last appended under. Readers pass
+#                         the source's CURRENT stamp as ``at_source`` and
+#                         get check_covers semantics: mismatch raises
+#                         StaleServingError unless stale_ok. Unstamped
+#                         (legacy) indexes carry no proof -> no verdict.
+#   refreshing            a SIBLING marker file (``<path>.refreshing``)
+#                         created before an overwrite rebuild's data
+#                         write and removed after the stamp lands. It
+#                         must live OUTSIDE the data directory: Spark's
+#                         overwrite deletes the target dir first, so an
+#                         in-dir flag would vanish exactly when the
+#                         rebuild tears. A torn rebuild leaves the
+#                         marker, and every read fails loudly instead of
+#                         serving a mixed-generation band table
+#                         (plans/engine_txn's flag, same discipline).
+
+
+def _refresh_marker(path: str) -> str:
+    import os
+
+    return os.path.abspath(path).rstrip("/") + ".refreshing"
+
+
+def index_stamp(path: str) -> tuple[str | None, bool]:
+    """(covers_source_stamp, refreshing) for the index at ``path``."""
+    import os
+
+    from .ingest import read_table_meta
+
+    c = read_table_meta(path).get("covers_source_stamp")
+    return (str(c) if c else None, os.path.exists(_refresh_marker(path)))
+
+
+def _stamp_index(path: str, *, covers: str | None) -> None:
+    import os
+
+    from .ingest import table_n_buckets, write_table_meta
+
+    if covers is not None:
+        write_table_meta(
+            path, table_n_buckets(path), extra={"covers_source_stamp": str(covers)}
+        )
+    try:
+        os.remove(_refresh_marker(path))
+    except FileNotFoundError:
+        pass
+
+
+def _mark_refreshing(path: str) -> None:
+    import os
+
+    os.makedirs(os.path.dirname(_refresh_marker(path)) or ".", exist_ok=True)
+    with open(_refresh_marker(path), "w") as f:
+        f.write("1")
+
+
+def check_index_fresh(
+    path: str, *, at_source: str | None = None, stale_ok: bool = False
+) -> None:
+    """The read-side gate: raise StaleServingError when the index is
+    mid-rebuild (torn overwrite) or provably lags ``at_source``."""
+    from ..operators.staleness import StaleServingError, check_covers
+
+    covered, refreshing = index_stamp(path)
+    if refreshing and not stale_ok:
+        raise StaleServingError(
+            f"dedup index {path} is mid-rebuild (refreshing flag set): a "
+            "read now could mix band generations; finish or re-run the "
+            "rebuild, or pass stale_ok=True to read it as-is"
+        )
+    check_covers("dedup band index", covered, at_source, stale_ok)
+
+
 def write_signatures(
     docs: DataFrame,
     path: str,
@@ -42,10 +126,15 @@ def write_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "overwrite",
+    covers: str | None = None,
 ) -> None:
-    """Shingle + sign ``docs`` and persist the signature table."""
+    """Shingle + sign ``docs`` and persist the signature table.
+    ``covers`` stamps the source generation the table reflects."""
     sigs = minhash_signatures_docs(docs, id_col=id_col, text_col=text_col)
+    if mode == "overwrite":
+        _mark_refreshing(path)
     sigs.write.mode(mode).parquet(path)
+    _stamp_index(path, covers=covers)
 
 
 def read_signatures(spark: SparkSession, path: str) -> DataFrame:
@@ -92,6 +181,7 @@ def write_band_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 16,
+    covers: str | None = None,
 ) -> None:
     """Persist the EXPLODED band-key table, hash-bucketed by band key —
     the bm25_term_bucketed layout applied to dedup: every row carrying
@@ -109,6 +199,7 @@ def write_band_index(
         ),
         F.lit(n_buckets),
     ).cast("int")
+    _mark_refreshing(path)
     (
         bands.withColumn("bband", bb)
         .repartition(n_buckets, "bband")
@@ -117,6 +208,7 @@ def write_band_index(
         .mode("overwrite")
         .parquet(path)
     )
+    _stamp_index(path, covers=covers)
 
 
 def _equi_join_pairs(src: DataFrame, id_col: str) -> DataFrame:
@@ -140,6 +232,8 @@ def banded_candidate_pairs(
     bucket_cap: int = 128,
     pair_volume_cap: int = 2_000_000,
     hot_enum_cap: int = 100_000,
+    at_source: str | None = None,
+    stale_ok: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs (id1 < id2) from the persisted band
     index. A cheap COUNT aggregate over the band table (map-side
@@ -166,7 +260,15 @@ def banded_candidate_pairs(
     equi-join restricted to just those keys: their quadratic pair
     fan-out spreads across ~n/cap tasks instead of exploding one
     aggregate row. Every route returns the same pair set, pytest-pinned
-    vs lsh_candidate_pairs."""
+    vs lsh_candidate_pairs.
+
+    Freshness (operators/staleness, same keywords as the serving tier):
+    pass the source's CURRENT content stamp as ``at_source`` — if the
+    index's persisted covers-stamp lags it, StaleServingError instead of
+    silently-stale pairs; a mid-rebuild index (torn overwrite) always
+    raises; ``stale_ok=True`` downgrades both to read-as-is. Unstamped
+    legacy indexes carry no proof and serve as before."""
+    check_index_fresh(path, at_source=at_source, stale_ok=stale_ok)
     bands = spark.read.parquet(path).drop("bband")
     # strategy pass: a COUNT aggregate over the band table — map-side
     # partials make its shuffle a few bytes per distinct bucket, and it
@@ -296,6 +398,7 @@ def incremental_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     append: bool = True,
+    covers: str | None = None,
 ) -> DataFrame:
     """Candidate pairs of ``new_docs`` against the stored corpus (plus
     new-vs-new), then — by default — append the batch's signatures so the
@@ -326,5 +429,8 @@ def incremental_dedup(
     if append:
         new_sigs.write.mode("append").parquet(path)
         spark.catalog.refreshByPath(path)
+        # the batch moved the table to a new source generation — record
+        # it so subsequent at_source reads have the fresh proof
+        _stamp_index(path, covers=covers)
     new_sigs.unpersist()
     return pairs

@@ -369,3 +369,141 @@ def test_banded_routes_agree_on_random_corpora(spark, tmp_path):
             ).collect()
         }
         assert got == want, (seed, "fallback")
+
+
+# -- staleness contract (operators/staleness over the dedup index, r14) -----
+
+
+def _staleness_docs(spark, n=30, tag=""):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(f"shared shingle prose {tag} body number "),
+            (F.col("id") % 5).cast("string"),
+            F.lit(" with enough repeated words to band together nicely"),
+        ).alias("text"),
+    )
+
+
+def test_dedup_index_staleness_contract(spark, tmp_path):
+    """Mirror of test_vector_serve's freshness cases for the band index:
+    matching at_source serves; a lagging covers-stamp raises
+    StaleServingError; stale_ok serves as-of; an unstamped legacy index
+    carries no proof and never raises."""
+    import pytest as _pytest
+
+    from mcp_local_rag_spark.operators.staleness import StaleServingError
+    from mcp_local_rag_spark.plans.dedup_index import (
+        banded_candidate_pairs,
+        index_stamp,
+        write_band_index,
+    )
+
+    path = str(tmp_path / "bands")
+    write_band_index(_staleness_docs(spark), path, covers="gen-1")
+    assert index_stamp(path) == ("gen-1", False)
+    fresh = {
+        (r.id1, r.id2)
+        for r in banded_candidate_pairs(spark, path, at_source="gen-1").collect()
+    }
+    assert fresh  # the fixture bands together
+
+    # the source moves on; the index provably lags it
+    with _pytest.raises(StaleServingError, match="stale"):
+        banded_candidate_pairs(spark, path, at_source="gen-2")
+    # stale_ok: serve as-of the index's own stamp
+    asof = {
+        (r.id1, r.id2)
+        for r in banded_candidate_pairs(
+            spark, path, at_source="gen-2", stale_ok=True
+        ).collect()
+    }
+    assert asof == fresh
+    # no at_source -> no verdict (caller brought no freshness claim)
+    assert {
+        (r.id1, r.id2) for r in banded_candidate_pairs(spark, path).collect()
+    } == fresh
+
+    # legacy index: no stamp, no proof, no verdict even with at_source
+    legacy = str(tmp_path / "legacy_bands")
+    write_band_index(_staleness_docs(spark), legacy)
+    assert index_stamp(legacy) == (None, False)
+    assert {
+        (r.id1, r.id2)
+        for r in banded_candidate_pairs(
+            spark, legacy, at_source="whatever"
+        ).collect()
+    } == fresh
+
+
+def test_dedup_index_mid_rebuild_reads_fail_loudly(spark, tmp_path, monkeypatch):
+    """A torn overwrite rebuild (crash between the refreshing marker and
+    the stamp) must fail every read — a mid-rebuild band table can mix
+    generations — until a completed rebuild clears the marker; stale_ok
+    is the explicit escape hatch."""
+    import pytest as _pytest
+
+    from mcp_local_rag_spark.operators.staleness import StaleServingError
+    from mcp_local_rag_spark.plans import dedup_index as di
+
+    path = str(tmp_path / "bands")
+    di.write_band_index(_staleness_docs(spark), path, covers="gen-1")
+
+    # tear the rebuild: marker lands, data write crashes
+    def _boom(*a, **k):
+        raise RuntimeError("injected crash mid-rebuild")
+
+    monkeypatch.setattr(di, "_stamp_index", _boom)
+    with _pytest.raises(RuntimeError, match="injected"):
+        di.write_band_index(_staleness_docs(spark, tag="v2"), path, covers="gen-2")
+    monkeypatch.undo()
+
+    assert di.index_stamp(path)[1] is True  # refreshing flag survives
+    with _pytest.raises(StaleServingError, match="mid-rebuild"):
+        di.banded_candidate_pairs(spark, path)
+    with _pytest.raises(StaleServingError, match="mid-rebuild"):
+        di.banded_candidate_pairs(spark, path, at_source="gen-2")
+    # explicit escape hatch still reads
+    assert di.banded_candidate_pairs(spark, path, stale_ok=True).count() >= 0
+
+    # a completed rebuild clears the marker and serves the new generation
+    di.write_band_index(_staleness_docs(spark, tag="v2"), path, covers="gen-2")
+    assert di.index_stamp(path) == ("gen-2", False)
+    assert di.banded_candidate_pairs(spark, path, at_source="gen-2").count() > 0
+
+
+def test_incremental_dedup_advances_the_covers_stamp(spark, tmp_path):
+    """The signature table's stamp follows the appends: a batch appended
+    under covers=gen-2 makes at_source=gen-2 reads pass and gen-1 reads
+    fail — the freshness proof moves WITH the data."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.operators.staleness import StaleServingError
+    from mcp_local_rag_spark.plans.dedup_index import (
+        check_index_fresh,
+        incremental_dedup,
+        index_stamp,
+        write_signatures,
+    )
+
+    path = str(tmp_path / "sigs")
+    write_signatures(_staleness_docs(spark), path, covers="gen-1")
+    assert index_stamp(path) == ("gen-1", False)
+
+    batch = spark.range(30, 40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared shingle prose  body number "),
+            (F.col("id") % 5).cast("string"),
+            F.lit(" with enough repeated words to band together nicely"),
+        ).alias("text"),
+    )
+    pairs = incremental_dedup(spark, path, batch, covers="gen-2")
+    assert pairs.count() > 0
+    assert index_stamp(path) == ("gen-2", False)
+    check_index_fresh(path, at_source="gen-2")  # passes
+    with _pytest.raises(StaleServingError, match="stale"):
+        check_index_fresh(path, at_source="gen-3")
