@@ -3,6 +3,7 @@ assembly, deterministic writer, envelope composition."""
 
 import gzip
 import io
+import os
 import tarfile
 
 import pytest
@@ -613,3 +614,171 @@ def test_stream_ingest_shards_registers_membership_shield(spark, tmp_path):
     spark.catalog.refreshByPath(table)
     titles = {r.fileTitle for r in eng.chunks().collect()}
     assert titles == {"Streamed One", "Doc X"}
+
+
+def test_shard_lifecycle_crash_fuzz(spark, tmp_path, monkeypatch):
+    """VERDICT r13 item 5: the model-based shard-sync fuzz composed with
+    engine_txn-style crash injection. 50 rounds; each round makes 1-2
+    random shard edits (add / rewrite / corrupt / delete) and runs
+    sync_shards with ONE crash injected at a random protocol window —
+    member expansion, the stale-row delete, the chunks append, the
+    membership-property write, or the postings refresh — then restarts,
+    recovers, and quiesces with a clean sync. Invariants each round:
+    served state equals the pure model (disk version of every good
+    shard; a corrupt copy keeps the last good one), no duplicate rows
+    survive any crash-retry, the index is fresh with the intent cleared,
+    and crashes AFTER the bounded dirty-mark never degrade to a
+    full-rebuild intent (single-shard crash => bounded recovery).
+    Every 10 rounds the postings index is compared row-identical to a
+    from-scratch rebuild of the final table."""
+    import random
+
+    import mcp_local_rag_spark.engine as engine_mod
+    import mcp_local_rag_spark.plans.fts as fts_mod
+    import mcp_local_rag_spark.plans.ingest as ingest_mod
+    from mcp_local_rag_spark.engine import RagEngine
+    from mcp_local_rag_spark.plans.engine_txn import read_intent
+    from mcp_local_rag_spark.plans.fts import read_postings, write_postings
+
+    body = (
+        "Crash-fuzzed prose about shard reconciliation under intents. "
+        "A second sentence keeps it past the minimum chunk gate.\n"
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    table = str(tmp_path / "table")
+
+    def blob(name: str, v: int) -> bytes:
+        return write_tar_shard(
+            [(f"{name}.md", (f"# {name} v{v}\n\n" + body).encode())]
+        )
+
+    rng = random.Random(4114)
+    disk: dict[str, tuple] = {}
+    served: dict[str, int] = {}
+    next_version: dict[str, int] = {}
+    next_id = 0
+
+    def add_shard():
+        nonlocal next_id
+        name = f"s{next_id}"
+        next_id += 1
+        next_version[name] = 1
+        (drop / f"{name}.tar").write_bytes(blob(name, 1))
+        disk[name] = ("good", 1)
+
+    for _ in range(2):
+        add_shard()
+    eng = RagEngine(spark, table)
+    eng.sync_shards(str(drop))
+    for n, st in disk.items():
+        served[n] = st[1]
+
+    def boom(msg):
+        def _raise(*a, **k):
+            raise RuntimeError(f"crash:{msg}")
+
+        return _raise
+
+    BOUNDED_WINDOWS = ("delete", "append", "property", "refresh")
+
+    for rnd in range(50):
+        for _ in range(rng.randint(1, 2)):
+            op = rng.choice(["add", "rewrite", "corrupt", "delete"])
+            live = sorted(disk)
+            if op == "add" or not live:
+                add_shard()
+            elif op == "rewrite":
+                name = rng.choice(live)
+                v = next_version.get(name, 0) + 1
+                next_version[name] = v
+                (drop / f"{name}.tar").write_bytes(blob(name, v))
+                disk[name] = ("good", v)
+            elif op == "corrupt":
+                name = rng.choice(live)
+                (drop / f"{name}.tar").write_bytes(
+                    bytes([rng.randrange(1, 256)]) * 100 + b"\xff" * 600
+                )
+                disk[name] = ("corrupt",)
+            else:
+                name = rng.choice(live)
+                os.unlink(drop / f"{name}.tar")
+                disk.pop(name)
+
+        window = rng.choice(
+            ["none", "expand", "delete", "append", "property", "refresh"]
+        )
+        if window == "expand":
+            monkeypatch.setattr(ingest_mod, "ingest_webdataset", boom("expand"))
+        elif window == "delete":
+            monkeypatch.setattr(
+                ingest_mod, "delete_documents_df", boom("delete")
+            )
+        elif window == "append":
+            monkeypatch.setattr(engine_mod, "write_chunks", boom("append"))
+        elif window == "property":
+            monkeypatch.setattr(
+                RagEngine, "_set_shard_containers", boom("property")
+            )
+        elif window == "refresh":
+            monkeypatch.setattr(fts_mod, "refresh_postings", boom("refresh"))
+            monkeypatch.setattr(fts_mod, "write_postings", boom("refresh"))
+
+        crashed = False
+        try:
+            eng.sync_shards(str(drop))
+        except RuntimeError as exc:
+            assert "crash:" in str(exc), (rnd, exc)
+            crashed = True
+        monkeypatch.undo()
+
+        if crashed and window in BOUNDED_WINDOWS:
+            # the crash landed past the dirty-mark: the intent must hold
+            # a BOUNDED path set, never the full flag — a 1-2 shard edit
+            # must cost an O(changed) recovery, not O(corpus)
+            it = read_intent(table)
+            if it is not None:
+                assert not it.get("full"), (rnd, window, it)
+
+        # restart + recover + quiesce
+        eng = RagEngine(spark, table)
+        eng.recover_indexes()
+        eng.sync_shards(str(drop))
+
+        for name in list(served):
+            if name not in disk:
+                served.pop(name)
+        for name, st in disk.items():
+            if st[0] == "good":
+                served[name] = st[1]
+        want = {f"{n} v{v}" for n, v in served.items()}
+        spark.catalog.refreshByPath(table)
+        rows = eng.chunks().select("filePath", "chunkIndex", "fileTitle").collect()
+        got = {r.fileTitle for r in rows}
+        assert got == want, (rnd, window, crashed, got, want)
+        # crash-retry must never leave duplicate rows behind
+        keys = [(r.filePath, r.chunkIndex) for r in rows]
+        assert len(keys) == len(set(keys)), (rnd, window)
+        if want:
+            assert eng.index_is_fresh(), (rnd, window)
+        # else: every document deleted — index_is_fresh() deliberately
+        # reports False for a schemaless postings dir and queries fall
+        # back to the index-free scan (engine.index_is_fresh's documented
+        # empty-corpus posture); freshness resumes with the next ingest
+        assert read_intent(table) is None, (rnd, window)
+
+        if want and (rnd % 10 == 9 or rnd == 49):
+            ref = str(tmp_path / f"ref_fts_{rnd}")
+            write_postings(eng.chunks(), ref, n_buckets=4)
+            cols = ("term", "filePath", "chunkIndex", "tf")
+            got_p = {
+                tuple(r)
+                for r in read_postings(spark, eng.postings_path)
+                .select(*cols)
+                .collect()
+            }
+            want_p = {
+                tuple(r)
+                for r in read_postings(spark, ref).select(*cols).collect()
+            }
+            assert got_p == want_p, (rnd, window)
