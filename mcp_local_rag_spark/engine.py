@@ -878,7 +878,12 @@ class RagEngine:
             for p in gone:
                 updated.pop(p, None)
             self._set_shard_containers(updated)
-            self.optimize()
+            # _exists(): a sync whose only work was zero-text membership
+            # (first sync of a metadata-only drop) leaves a table dir with
+            # the property sidecar but NO parquet — optimize()'s compactor
+            # would crash reading a schemaless dir
+            if self._exists():
+                self.optimize()
         return SyncReport(counters=counters, warnings=warnings)
 
     def ingest_file(

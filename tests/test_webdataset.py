@@ -782,3 +782,34 @@ def test_shard_lifecycle_crash_fuzz(spark, tmp_path, monkeypatch):
                 for r in read_postings(spark, ref).select(*cols).collect()
             }
             assert got_p == want_p, (rnd, window)
+
+
+def test_sync_shards_only_zero_text_shards_first_sync(spark, tmp_path):
+    """Edge caught in r14 self-review: the FIRST sync of a drop directory
+    holding only zero-text shards records membership (meta sidecar) but
+    writes no parquet — optimize() must not run against the schemaless
+    dir, and the second sync must classify the shard unchanged."""
+    from mcp_local_rag_spark.engine import RagEngine
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "z0.tar").write_bytes(write_tar_shard([("x.json", b"{}")]))
+    eng = RagEngine(spark, str(tmp_path / "table"))
+    rep = eng.sync_shards(str(drop))
+    assert rep.counters["upsert_new"] == 1
+    assert any("no text members" in w for w in rep.warnings)
+    assert str(drop / "z0.tar") in eng._shard_containers()
+    rep2 = eng.sync_shards(str(drop))
+    assert rep2.counters["unchanged"] == 1 and not rep2.warnings
+
+    # a later text-bearing shard ingests normally into the same table
+    body = (
+        "Follow-up prose long enough to chunk about empty bootstraps. "
+        "A second sentence keeps it past the minimum gate.\n"
+    )
+    (drop / "t0.tar").write_bytes(
+        write_tar_shard([("a.md", ("# Alpha\n\n" + body).encode())])
+    )
+    rep3 = eng.sync_shards(str(drop))
+    assert rep3.counters["upsert_new"] == 1
+    assert {r.fileTitle for r in eng.chunks().collect()} == {"Alpha"}
