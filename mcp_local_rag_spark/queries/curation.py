@@ -1805,6 +1805,18 @@ def q_text_bpe_merges(spark, sf_dir):
 # this pair nor create a new one (a merge only introduces adjacencies
 # involving its OWN merged symbol).
 #
+# Symbol disjointness alone is NOT sufficient (r14 self-review): a
+# selected pair's MERGED string can equal another selected pair's symbol
+# through a different bracketing — ('a','ba') produces 'aba' while symbol
+# 'aba' (from an earlier ('ab','a') merge) sits in the same snapshot's
+# pair ('aba','c'); applying ('a','ba') first then CREATES new
+# ' aba  c ' adjacencies and the second pair's recorded count undercounts
+# what the replay performs. Both selectors therefore also exclude a pair
+# whose symbol equals an earlier-selected pair's concatenation (and vice
+# versa) — the blocked pair simply competes again next sweep, at its then-
+# correct count. With that guard, patterns and replacement strings touch
+# pairwise-distinct symbol strings, so the batch is truly order-free.
+#
 # Where batched and sequential DIVERGE — documented, inherent: after the
 # sequential trainer applies a merge, brand-new pairs involving the merged
 # symbol (e.g. ('th','e') after 't'+'h') compete immediately; the batched
@@ -1812,15 +1824,19 @@ def q_text_bpe_merges(spark, sf_dir):
 # such pairs mid-sweep, so it reproduces the sequential merge sequence
 # exactly (pinned in tests/test_bpe_batched.py).
 #
-# The rule is plain windows + aggregates, so the DuckDB oracle expresses
-# the SAME algorithm: per-symbol best via row_number, selection via
-# max(rn)=1, application via list_reduce over the sweep's merge list.
+# The rule is plain windows + aggregates + a rank-prefix NOT EXISTS, so
+# the DuckDB oracle expresses the SAME algorithm: per-symbol best via
+# row_number, selection via max(rn)=1, the concat guard over the
+# rank-ordered maxima pool, application via list_reduce over the sweep's
+# merge list. The pool is capped (8x batch) on BOTH sides so the guard's
+# quantifier range is identical in the two engines.
 
 _BPE_BATCH_CAP = 32
 _BPE_BATCH_SWEEPS = 5
+_BPE_BATCH_POOL = 8 * _BPE_BATCH_CAP
 
 
-def _bpe_batch_sweep_sql(i: int, cap: int) -> str:
+def _bpe_batch_sweep_sql(i: int, cap: int, pool: int = _BPE_BATCH_POOL) -> str:
     prev = f"s{i-1}"
     return f"""
 t{i} AS (
@@ -1842,10 +1858,26 @@ x{i} AS (
          row_number() OVER (PARTITION BY sym ORDER BY cnt DESC, l, r) AS rn
   FROM (SELECT unnest(list_distinct([l, r])) AS sym, l, r, cnt FROM c{i})
 ),
-sel{i} AS MATERIALIZED (
+mx{i} AS MATERIALIZED (
   SELECT l, r, cnt FROM (
     SELECT l, r, cnt FROM x{i} GROUP BY l, r, cnt HAVING max(rn) = 1
-  ) QUALIFY row_number() OVER (ORDER BY cnt DESC, l, r) <= {cap}
+  ) QUALIFY row_number() OVER (ORDER BY cnt DESC, l, r) <= {pool}
+),
+rkx{i} AS (
+  SELECT l, r, cnt,
+         row_number() OVER (ORDER BY cnt DESC, l, r) AS rk
+  FROM mx{i}
+),
+sel{i} AS MATERIALIZED (
+  SELECT l, r, cnt FROM (
+    SELECT p.l, p.r, p.cnt, p.rk
+    FROM rkx{i} p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM rkx{i} q
+      WHERE q.rk < p.rk
+        AND (q.l || q.r IN (p.l, p.r) OR p.l || p.r IN (q.l, q.r))
+    )
+  ) QUALIFY row_number() OVER (ORDER BY rk) <= {cap}
 ),
 m{i} AS (
   SELECT list(' '||l||'  '||r||' ' || '|' || l || r
@@ -1935,11 +1967,12 @@ def _bpe_train_batched(
     words = persisted(_bpe_words(spark, sf_dir) if words is None else words)
     cur = words
     rows: list[tuple] = []
+    pool = 8 * batch_cap
     for sweep in range(1, sweeps + 1):
         pairs = _bpe_pair_counts(cur)
         if select == "local_maxima":
             w = Window.partitionBy("sym").orderBy(F.col("cnt").desc(), "l", "r")
-            sel = (
+            maxima = (
                 pairs.select(
                     F.explode(F.array_distinct(F.array("l", "r"))).alias("sym"),
                     "l",
@@ -1951,21 +1984,45 @@ def _bpe_train_batched(
                 .agg(F.max("rn").alias("mx"))
                 .filter(F.col("mx") == 1)
                 .orderBy(F.col("cnt").desc(), "l", "r")
-                .limit(batch_cap)
-                .collect()  # bounded: <= batch_cap rows per sweep
+                .limit(pool)
+                .collect()  # bounded: the rank-ordered maxima pool
             )
+            # the concat guard, EXACTLY the oracle's NOT EXISTS over the
+            # rank-prefix of the (unfiltered) pool: drop p when any
+            # higher-ranked pool member q concatenates to one of p's
+            # symbols or p concatenates to one of q's — the
+            # multi-bracketing collision in the module comment. A
+            # guard-dropped q still blocks (non-recursive, same as SQL).
+            sel = []
+            for j, p_ in enumerate(maxima):
+                if any(
+                    q_["l"] + q_["r"] in (p_["l"], p_["r"])
+                    or p_["l"] + p_["r"] in (q_["l"], q_["r"])
+                    for q_ in maxima[:j]
+                ):
+                    continue
+                sel.append(p_)
+                if len(sel) >= batch_cap:
+                    break
         else:
             cands = (
                 pairs.orderBy(F.col("cnt").desc(), "l", "r")
-                .limit(8 * batch_cap)
+                .limit(pool)
                 .collect()  # bounded: the driver-greedy candidate pool
             )
+            # used carries symbols AND their concatenations; a candidate
+            # whose own concatenation is already a used symbol is blocked
+            # too — together this makes the batch fully order-free
             used: set[str] = set()
             sel = []
             for r_ in cands:
-                if r_["l"] in used or r_["r"] in used:
+                if (
+                    r_["l"] in used
+                    or r_["r"] in used
+                    or r_["l"] + r_["r"] in used
+                ):
                     continue
-                used.update((r_["l"], r_["r"]))
+                used.update((r_["l"], r_["r"], r_["l"] + r_["r"]))
                 sel.append(r_)
                 if len(sel) >= batch_cap:
                     break

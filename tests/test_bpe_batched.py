@@ -183,3 +183,66 @@ def test_bpe_batched_reaches_256_merges_in_32_sweeps(spark):
     base.unpersist()
     assert len(merges) >= 256
     assert max(s for s, *_ in merges) <= 32
+
+
+@pytest.mark.parametrize("select", ["local_maxima", "greedy"])
+def test_bpe_batched_multibracketing_collision_guard(spark, select):
+    """r14 self-review: symbol disjointness alone is not enough — pair
+    ('a','ba') CONCATENATES to 'aba', so applying it creates brand-new
+    ' aba  c ' adjacencies and a same-sweep pair ('aba','c') would record
+    a count the replay immediately contradicts. The guard must defer
+    ('aba','c') to the NEXT sweep, where it counts the post-merge truth."""
+    from mcp_local_rag_spark.queries.curation import _bpe_train_batched
+
+    # injected state: 'aba' already a symbol (earlier ('ab','a')-style
+    # derivation); ('a','ba') outranks ('aba','c') by count
+    rows = [
+        ("w1", "  a  ba  c  ", 7),   # 7x ' a  ba ' and, post-merge, ' aba  c '
+        ("w2", "  aba  c  ", 6),     # 6x ' aba  c ' in the snapshot
+        ("w3", "  a  ba  q  ", 1),   # keeps ('a','ba') strictly best for 'a'
+    ]
+    words = spark.createDataFrame(rows, "w string, s string, wcnt long")
+    merges, _, base = _bpe_train_batched(
+        spark, None, sweeps=2, batch_cap=8, words=words, select=select
+    )
+    base.unpersist()
+    by_sweep: dict = {}
+    for s, l, r, _m, c in merges:
+        by_sweep.setdefault(s, []).append((l, r, c))
+    assert ("a", "ba", 8) in by_sweep[1]
+    # the colliding pair is NOT in sweep 1 ...
+    assert all((l, r) != ("aba", "c") for l, r, _ in by_sweep[1])
+    # ... and lands in sweep 2 with the post-merge count: w2's 6 plus the
+    # 7 new adjacencies the ('a','ba') merge created in w1
+    assert ("aba", "c", 13) in by_sweep.get(2, [])
+
+
+def test_bpe_batched_guard_keeps_replay_exactness_on_collision(spark):
+    """The full invariant of the counts test, on the collision fixture:
+    with the guard, every recorded count still equals the python replay."""
+    from mcp_local_rag_spark.queries.curation import _bpe_train_batched
+
+    rows = [
+        ("w1", "  a  ba  c  ", 7),
+        ("w2", "  aba  c  ", 6),
+        ("w3", "  a  ba  q  ", 1),
+    ]
+    words = spark.createDataFrame(rows, "w string, s string, wcnt long")
+    merges, _, base = _bpe_train_batched(
+        spark, None, sweeps=3, batch_cap=8, words=words, select="greedy"
+    )
+    base.unpersist()
+    state = {s: c for _w, s, c in rows}
+    for sweep in sorted({s for s, *_ in merges}):
+        for _s, l, r, _m, c in (m for m in merges if m[0] == sweep):
+            pat = f" {l}  {r} "
+            got = sum(
+                wc * ((len(s) - len(s.replace(pat, ""))) // len(pat))
+                for s, wc in state.items()
+            )
+            assert got == c, (sweep, l, r, got, c)
+            nxt: dict = {}
+            for s, wc in state.items():
+                t = s.replace(pat, f" {l}{r} ")
+                nxt[t] = nxt.get(t, 0) + wc
+            state = nxt
