@@ -24,11 +24,18 @@ Epoch ordering is a pure function of (seed, shard, sample_key):
 md5 (not xxhash64) because both Spark and DuckDB compute identical md5
 hex — the ordering is therefore oracle-checkable bit-for-bit.
 
-At scale the plan is one range-partitioned sort whose leading key is the
-shard rank, so output partitions hold whole shards and a 1000-executor
-reader streams disjoint shard ranges — no shuffle of sample CONTENT ever
-happens (the sort moves rows already grouped by shard; with shard-sized
-input splits the exchange is shard-aligned).
+Scale honesty: ``epoch_order`` is ONE range-partitioned sort — an
+exchange that does move sample rows (content included) once, with the
+shard rank leading so output partitions hold whole shards. That is the
+right shape for a materialized epoch (write the epoch-ordered corpus
+once, stream it N times). A 100 TB reader that must NOT materialize uses
+``epoch_shard_order`` instead: the shard sequence is a pure driver-side
+function of (seed, shard), each worker takes a deterministic slice of
+that list and reads its shards with the within-shard keys applied
+map-side — zero exchanges, the WebDataset consumer pattern. The two
+orders are IDENTICAL by construction (same md5 keys; property-pinned in
+tests), so a pipeline can switch between them without changing what the
+model sees.
 
 Token packing (``pack_token_spans``) is the GPT-style concat-and-chunk:
 within each partition (shard/source), documents concatenate in epoch
@@ -96,6 +103,23 @@ def epoch_order(
         "epoch_block",
         "epoch_intra",
         key_col,
+    )
+
+
+def epoch_shard_order(shard_paths: list[str], *, seed: int) -> list[str]:
+    """The epoch's SHARD sequence as a pure driver-side function — the
+    zero-exchange consumer path (see module docstring): md5(seed | shard)
+    ascending, shard path as tiebreak, bit-identical to the
+    ``epoch_shard_ord`` column ``epoch_order`` computes in-plan (pinned
+    by tests/test_epoch.py). A 1000-worker reader gives worker w the
+    slice ``order[w::1000]`` and every worker's traffic is sequential
+    whole-tar reads."""
+    import hashlib
+
+    s = str(int(seed))
+    return sorted(
+        shard_paths,
+        key=lambda p: (hashlib.md5(f"{s}|{p}".encode()).hexdigest(), p),
     )
 
 

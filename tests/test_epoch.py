@@ -245,3 +245,23 @@ def test_epoch_pack_export_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, got_back)) == sorted(
         tuple(r["toks"]) for r in packs
     )
+
+
+def test_epoch_shard_order_matches_in_plan_rank(spark, tmp_path):
+    """The driver-side zero-exchange shard sequence (epoch_shard_order)
+    is bit-identical to the in-plan epoch_shard_ord ordering — a pipeline
+    can switch between the materialized and the streamed consumer without
+    changing what the model sees."""
+    from mcp_local_rag_spark.plans.epoch import epoch_samples, epoch_shard_order
+
+    paths = _make_shards(tmp_path, n_shards=6, samples=2)
+    for seed in (1, 7, 42):
+        in_plan = []
+        for r in (
+            epoch_samples(spark, paths, seed=seed)
+            .select("shard")
+            .collect()
+        ):
+            if not in_plan or in_plan[-1] != r["shard"]:
+                in_plan.append(r["shard"])
+        assert in_plan == epoch_shard_order(paths, seed=seed), seed
