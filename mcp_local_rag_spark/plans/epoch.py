@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def epoch_order(
+def epoch_keys(
     samples: DataFrame,
     *,
     seed: int,
@@ -62,8 +62,10 @@ def epoch_order(
     key_col: str = "sample_key",
     index_col: str | None = "first_member_index",
 ) -> DataFrame:
-    """Add the epoch-ordering keys and return the frame SORTED into the
-    seeded epoch order. Added columns (callers may drop them):
+    """Add the epoch-ordering key columns WITHOUT sorting — for consumers
+    that only need the keys (a per-shard rank window, the packing cumsum):
+    injecting a global sort between two shard-partitioned windows would
+    break Catalyst's partitioning reuse and cost two extra exchanges.
 
       * ``epoch_shard_ord`` — md5(seed | shard), the shard shuffle rank;
       * ``epoch_block``     — archive-position block (0 when buffer is
@@ -71,10 +73,10 @@ def epoch_order(
       * ``epoch_intra``     — md5(seed | shard | sample_key), the
         within-block shuffle rank.
 
-    Same seed -> identical order (pure hash function of the keys);
-    different seed -> a different order with overwhelming probability.
-    ``index_col`` names the archive-order column (assemble_samples'
-    ``first_member_index``); None disables block bounding."""
+    Same seed -> identical keys (pure hash function); different seed -> a
+    different order with overwhelming probability. ``index_col`` names
+    the archive-order column (assemble_samples' ``first_member_index``);
+    None disables block bounding."""
     sseed = F.lit(str(int(seed)))
     out = samples.withColumn(
         "epoch_shard_ord", F.md5(F.concat_ws("|", sseed, F.col(shard_col)))
@@ -97,7 +99,29 @@ def epoch_order(
         )
     else:
         out = out.withColumn("epoch_block", F.lit(0).cast("long"))
-    return out.orderBy(
+    return out
+
+
+def epoch_order(
+    samples: DataFrame,
+    *,
+    seed: int,
+    buffer: int | None = None,
+    shard_col: str = "shard",
+    key_col: str = "sample_key",
+    index_col: str | None = "first_member_index",
+) -> DataFrame:
+    """``epoch_keys`` + the global sort into the seeded epoch order (the
+    materialized-epoch form; see the module docstring for when to use
+    ``epoch_shard_order`` instead)."""
+    return epoch_keys(
+        samples,
+        seed=seed,
+        buffer=buffer,
+        shard_col=shard_col,
+        key_col=key_col,
+        index_col=index_col,
+    ).orderBy(
         "epoch_shard_ord",
         shard_col,
         "epoch_block",

@@ -2079,15 +2079,17 @@ ORDER BY shard_ord, source, epoch_rank"""
 
 @register("corpus_epoch_order", _EPOCH_SQL)
 def q_corpus_epoch_order(spark, sf_dir):
-    from ..plans.epoch import epoch_order, epoch_rank_in_shard
+    from ..plans.epoch import epoch_keys, epoch_rank_in_shard
 
     docs = load(spark, sf_dir, "documents").select(
         F.col("source").alias("shard"),
         F.col("doc_id").cast("string").alias("sample_key"),
         F.col("doc_id").alias("first_member_index"),
     )
+    # keys only — the rank window shares the archive window's shard hash
+    # partitioning; the one global sort is the final presentation orderBy
     ranked = epoch_rank_in_shard(
-        epoch_order(docs, seed=_EPOCH_SEED, buffer=_EPOCH_BUFFER)
+        epoch_keys(docs, seed=_EPOCH_SEED, buffer=_EPOCH_BUFFER)
     )
     return ranked.select(
         F.col("shard").alias("source"),
@@ -2170,7 +2172,7 @@ FROM fx GROUP BY 1, 2 ORDER BY source, pack_id"""
 
 @register("corpus_pack_sequences", _PACK_SQL)
 def q_corpus_pack_sequences(spark, sf_dir):
-    from ..plans.epoch import epoch_order, pack_token_spans
+    from ..plans.epoch import epoch_keys, pack_token_spans
 
     _, state, _words = _bpe_train(spark, sf_dir)
     # the returned plan reads through the persisted word-state chain —
@@ -2191,7 +2193,9 @@ def q_corpus_pack_sequences(spark, sf_dir):
         .groupBy("doc_id", "source")
         .agg(F.sum("n_tok").alias("n_tokens"))
     )
-    ordered = epoch_order(
+    # keys only (no global sort): the packing cumsum is itself a
+    # shard-partitioned window, so it consumes the keys in place
+    keyed = epoch_keys(
         per_doc.select(
             F.col("source").alias("shard"),
             F.col("doc_id").cast("string").alias("sample_key"),
@@ -2202,7 +2206,7 @@ def q_corpus_pack_sequences(spark, sf_dir):
         buffer=_EPOCH_BUFFER,
     )
     frags = pack_token_spans(
-        ordered,
+        keyed,
         seq_len=_PACK_SEQ_LEN,
         part_col="shard",
         order_cols=["epoch_block", "epoch_intra", "sample_key"],

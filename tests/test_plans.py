@@ -511,3 +511,102 @@ def test_webdataset_assembly_single_exchange(spark):
     assert "hashpartitioning(shard" in p
     assert "partial_" in p  # map-side combine before the exchange
     assert "Sort [" not in p.split("Exchange")[0]  # no global sort
+
+
+def test_tpch_q5_prunes_both_sides_before_the_big_shuffles(spark, qs):
+    """q5's two big shuffles (lineitem><orders, ><customer) must carry
+    only candidate rows: region/nation/supplier resolve broadcast-side
+    and customers are pre-pruned to ASIA nations by a broadcast semi the
+    optimizer cannot infer across c_nationkey = s_nationkey."""
+    p = plan(qs["tpch_q5_local_volume"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "LeftSemi" in p  # the customer-nation pre-prune survives
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # the orders date range reaches the scan
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_tpch_q6_new_lane_full_pushdown(spark, qs):
+    """The r14 q6 lane: every predicate in PushedFilters, single-row
+    partial-agg merge, no join anywhere in the plan."""
+    p = plan(qs["tpch_q6_forecast"](spark, SF_DIR))
+    assert "Join" not in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "GreaterThanOrEqual(l_discount" in p and "LessThanOrEqual(l_discount" in p
+    assert "LessThan(l_quantity" in p
+    read = next(line for line in p.splitlines() if "ReadSchema" in line)
+    assert "l_comment" not in read and "l_partkey" not in read
+
+
+def test_tpch_q18_aggregates_before_joining(spark, qs):
+    """q18: the corpus-sized lineitem aggregation runs FIRST (one
+    exchange on l_orderkey); the HAVING sliver then joins orders and
+    customer — never a pre-aggregation join of lineitem against orders."""
+    p = plan(qs["tpch_q18_large_volume"](spark, SF_DIR))
+    agg_pos = p.find("HashAggregate")
+    join_pos = p.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # in the formatted tree the aggregate subtree appears under the join,
+    # but the SCAN feeding the aggregate must be lineitem and the
+    # aggregate must sit between the lineitem scan and any join input
+    assert "TakeOrderedAndProject" in p  # top-100 never a global sort
+    assert "CartesianProduct" not in p
+
+
+def test_epoch_order_is_two_exchanges_shard_rank_leading(spark, qs):
+    """corpus_epoch_order: exactly TWO exchanges — the shard-hash
+    partition shared by the archive-index and rank windows (epoch_keys
+    adds no mid-plan sort, so Catalyst reuses it), and the final
+    presentation range sort with the shard rank leading (output
+    partitions hold whole shards). Was 4 before the epoch_keys refactor
+    — the sort injected between the two windows broke partition reuse."""
+    import re
+
+    p = _simple(qs["corpus_epoch_order"](spark, SF_DIR))
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert p.count("Exchange") <= 2, p
+    assert re.search(r"rangepartitioning\(shard_ord", p), p
+    # both windows partition by the shard axis — never the empty list
+    for m in re.finditer(r"Window \[[^\n]*?\], \[([^\]]*)\],", p):
+        assert "shard" in m.group(1), m.group(0)
+
+
+def test_pack_sequences_cumsum_is_partitioned_by_shard(spark, qs):
+    """corpus_pack_sequences: the packing cumsum is a PARTITIONED window
+    (by the shard axis), never a global running sum — the unpartitioned-
+    window single-task collapse is the scale killer this lane must not
+    have; pack-id expansion is a Generate (explode of sequence), not a
+    join."""
+    import re
+
+    p = _simple(qs["corpus_pack_sequences"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    wins = re.findall(r"Window \[[^\n]*?\], \[([^\]]*)\],", p)
+    assert wins, p
+    for spec in wins:
+        assert "shard" in spec, spec
+    assert "Generate explode" in p
+
+
+def _simple(df) -> str:
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    return jqe.explainString(mode)
+
+
+def test_bpe_batched_pair_count_shuffle_budget(spark, qs):
+    """One sweep's pair-count plan: corpus word-count aggregate + pair
+    aggregate — at most three exchanges end to end (words groupBy, pair
+    groupBy, and the base explode's pre-shuffle), no join anywhere; the
+    selection windows run over the vocabulary-sized maxima frame, never
+    the corpus."""
+    from mcp_local_rag_spark.queries.curation import (
+        _bpe_pair_counts,
+        _bpe_words,
+    )
+
+    p = _simple(_bpe_pair_counts(_bpe_words(spark, SF_DIR)))
+    assert "Join" not in p
+    assert p.count("Exchange") <= 3, p
