@@ -362,6 +362,44 @@ COMMENTARY = {
         "of independently-readable tars, no cross-shard coordination "
         "until the caller aggregates."
     ),
+    "tpch_q5_local_volume": (
+        "Round 14: the canonical join-order showcase. region->nation->"
+        "supplier all resolve broadcast-side, customers are PRE-PRUNED "
+        "to ASIA nations by a broadcast semi the optimizer cannot infer "
+        "across the c_nationkey = s_nationkey constraint, so the two "
+        "big shuffles (lineitem><orders, ><customer) carry only "
+        "candidate rows. At 100 TB orders/customer shuffle-join on "
+        "their keys; the dimension chain stays broadcast at any SF."
+    ),
+    "text_bpe_merges_batched": (
+        "Round 14: batched BPE training. Per sweep: ONE corpus-free "
+        "pair-count aggregate over the persisted distinct-word table "
+        "(the corpus is scanned once, at the word-count groupBy), a "
+        "vocabulary-sized local-maxima selection (windows over symbols, "
+        "concat-collision guard over a capped rank pool), and one "
+        "chained replace pass. Job waves ~vocab/batch instead of the "
+        "sequential trainer's one wave per merge — the difference "
+        "between 32k waves and ~1k for a production vocabulary."
+    ),
+    "corpus_epoch_order": (
+        "Round 14: the training-consumer's seeded epoch. TWO exchanges "
+        "total: one shard-hash partition SHARED by the archive-index "
+        "and rank windows (epoch_keys adds no mid-plan sort, so "
+        "Catalyst reuses the partitioning), and the final presentation "
+        "range sort with the shard rank leading — output partitions "
+        "hold whole shards. The zero-exchange streamed form "
+        "(epoch_shard_order) is a pure driver function pinned equal to "
+        "the in-plan order."
+    ),
+    "corpus_pack_sequences": (
+        "Round 14: concat-and-chunk token packing composed over the BPE "
+        "vocabulary and the seeded epoch order. The packing cumsum is a "
+        "SHARD-partitioned window (never a global running sum — that "
+        "single-task collapse is the scale killer), pack-id expansion "
+        "is a Generate over sequence(), and the token counts come from "
+        "a vocabulary-sized broadcast join, so the corpus is touched "
+        "once, map-only."
+    ),
     "documents_cdf_view": (
         "Round 10: the downstream of the feed. The audited read is just "
         "the view's manifest-listed state files; what matters is what "
