@@ -57,6 +57,20 @@ def _parser() -> argparse.ArgumentParser:
     ss.add_argument("path")
     ss.add_argument("--pattern", default="*.tar*")
 
+    ee = sub.add_parser(
+        "export-epoch",
+        help="materialize one seeded training epoch of a shard directory "
+             "as packed-sequence WebDataset shards (exact token accounting)",
+    )
+    ee.add_argument("shard_dir")
+    ee.add_argument("out_dir")
+    ee.add_argument("--seed", type=int, default=0)
+    ee.add_argument("--seq-len", type=int, default=2048)
+    ee.add_argument("--buffer", type=int, default=None,
+                    help="within-shard shuffle block size (None = full"
+                         " within-shard shuffle)")
+    ee.add_argument("--pattern", default="*.tar*")
+
     nb = sub.add_parser("read-neighbors", help="neighbor frame point read")
     nb.add_argument("path")
     nb.add_argument("index", type=int)
@@ -348,6 +362,27 @@ def run(argv: list[str], engine, out=None) -> int:
     if args.cmd == "sync-shards":
         rep = engine.sync_shards(os.path.abspath(args.path), pattern=args.pattern)
         emit({"counters": rep.counters, "warnings": rep.warnings})
+        return 0
+    if args.cmd == "export-epoch":
+        import glob as _glob
+
+        from .plans.export import export_packed_epoch
+
+        shard_dir = os.path.abspath(args.shard_dir)
+        paths = sorted(
+            p
+            for p in _glob.glob(os.path.join(shard_dir, args.pattern))
+            if os.path.isfile(p)
+        )
+        if not paths:
+            emit({"error": f"no shards match {args.pattern} in {shard_dir}"})
+            return 1
+        rep = export_packed_epoch(
+            engine.spark, paths, os.path.abspath(args.out_dir),
+            seed=args.seed, seq_len=args.seq_len, buffer=args.buffer,
+        )
+        emit({k: v for k, v in rep.items() if k != "manifest"}
+             | {"shards": len(rep["manifest"]["shards"])})
         return 0
     if args.cmd == "read-neighbors":
         from .operators.neighbors import NeighborServer

@@ -453,3 +453,126 @@ def verify_webdataset_export(spark, out_dir: str) -> list[str]:
                 f" ({rec['n_samples']},{rec['n_members']})"
             )
     return problems
+
+
+def export_packed_epoch(
+    spark,
+    shard_paths: list[str],
+    out_dir: str,
+    *,
+    seed: int,
+    seq_len: int,
+    buffer: int | None = None,
+    samples_per_shard: int = 1000,
+) -> dict:
+    """Materialize ONE seeded training epoch of a WebDataset corpus as
+    packed-sequence shards: epoch order (plans/epoch.epoch_keys) ->
+    whitespace tokenization of each sample's text member -> GPT-style
+    concat-and-chunk into ``seq_len``-token sequences -> one tar shard
+    family per SOURCE shard (deterministic re-export, sha256 manifest).
+    The one-command form of the pipeline a training job runs per epoch;
+    the exactness proof rides in the return value: every input token
+    lands in exactly one output pack (``n_tokens_in == n_tokens_out``
+    asserted here, not left to the caller).
+
+    No reference counterpart (consumer-side of the corpus-serving role,
+    src/server/index.ts:471-477 generalized). Shapes: member expansion
+    map-only; text-member pick a window inside (shard, sample_key); the
+    packing cumsum a SHARD-partitioned window; pack assembly one
+    exchange on (shard, pack_id); the tar writes one task per output
+    shard. Sample identity: ``<md5(shard)[:8]>-<pack_id>`` so two source
+    shards sharing a basename can never collide."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources.webdataset import TEXT_SLOTS, read_webdataset
+    from .epoch import epoch_keys, pack_token_spans
+
+    members = read_webdataset(spark, [str(p) for p in shard_paths])
+    fmt = F.element_at(F.split(F.col("slot"), r"\."), -1)
+    priority = F.array_position(
+        F.array(*[F.lit(s) for s in TEXT_SLOTS]), fmt
+    )
+    w = Window.partitionBy("shard", "sample_key").orderBy(
+        priority, "member_index"
+    )
+    texts = (
+        members.filter(fmt.isin(list(TEXT_SLOTS)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "shard",
+            "sample_key",
+            F.col("member_index").alias("first_member_index"),
+            F.expr(
+                r"filter(split(cast(content AS STRING), '\\s+'), x -> x <> '')"
+            ).alias("toks"),
+        )
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+    )
+    keyed = epoch_keys(texts, seed=seed, buffer=buffer)
+    frags = pack_token_spans(
+        keyed,
+        seq_len=seq_len,
+        part_col="shard",
+        order_cols=["epoch_block", "epoch_intra", "sample_key"],
+        token_col="n_tokens",
+    ).withColumn(
+        "frag_toks",
+        F.expr(
+            "slice(toks, cast(doc_tok_offset AS INT) + 1,"
+            " cast(frag_tokens AS INT))"
+        ),
+    )
+    packs = (
+        frags.groupBy("shard", "pack_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("tok_start", "frag_toks"))
+            ).alias("fr"),
+            F.sum("frag_tokens").alias("n_tokens"),
+        )
+        .select(
+            "shard",
+            "pack_id",
+            "n_tokens",
+            F.flatten(F.expr("transform(fr, x -> x.frag_toks)")).alias("toks"),
+        )
+        .persist()  # read twice: member rows + the accounting aggregate
+    )
+    out_members = packs.select(
+        F.element_at(
+            F.split(F.element_at(F.split(F.col("shard"), "/"), -1), r"\."), 1
+        ).alias("pack_shard"),
+        F.concat_ws(
+            "-",
+            F.substring(F.md5("shard"), 1, 8),
+            F.format_string("%06d", F.col("pack_id").cast("int")),
+        ).alias("sample_key"),
+        F.lit("txt").alias("slot"),
+        F.encode(F.concat_ws(" ", F.col("toks")), "utf-8").alias("content"),
+    )
+    manifest = export_webdataset_shards(
+        out_members, out_dir, shard_col="pack_shard",
+        samples_per_shard=samples_per_shard,
+    )
+    acct = packs.agg(
+        F.count("*").alias("n_packs"), F.sum("n_tokens").alias("out_toks")
+    ).first()
+    n_in = texts.filter(F.col("n_tokens") > 0).agg(
+        F.sum("n_tokens")
+    ).first()[0]
+    packs.unpersist()
+    n_out = int(acct["out_toks"] or 0)
+    if int(n_in or 0) != n_out:
+        raise AssertionError(
+            f"packed epoch lost tokens: in={n_in} out={n_out}"
+        )
+    return {
+        "manifest": manifest,
+        "seed": int(seed),
+        "seq_len": int(seq_len),
+        "buffer": buffer,
+        "n_packs": int(acct["n_packs"]),
+        "n_tokens": n_out,
+    }
