@@ -694,10 +694,12 @@ class RagEngine:
         Change detection hashes shard bytes distributed (one bounded row
         per shard back to the driver) WITHOUT expanding unchanged shards;
         a CORRUPT shard keeps its stored rows and surfaces a warning every
-        sync (parse-before-delete, ingest_file's contract), while a
-        cleanly-parsed shard with ZERO text members records its hash —
-        unchanged on later syncs, no re-expansion loop — and replaces any
-        stored rows from a previously text-bearing version."""
+        sync (parse-before-delete, ingest_file's contract), and so does a
+        shard whose TEXT MEMBERS produced no chunks (member-level parse
+        failure / all-garbage rewrite — zero-chunk outcomes never delete);
+        only a cleanly-parsed shard with ZERO text members records its
+        hash — unchanged on later syncs, no re-expansion loop — and
+        replaces any stored rows from a previously text-bearing version."""
         import glob as _glob
 
         from .plans.ingest import delete_documents_df, ingest_webdataset
@@ -744,32 +746,57 @@ class RagEngine:
             produced = {
                 r["s"] for r in chunks.select(shard_of.alias("s")).distinct().collect()
             }
-            # a shard that produced nothing is either CORRUPT (tar parse
-            # failed — keep its stored rows, keep warning every sync:
-            # parse-before-delete) or a CLEANLY-parsed shard with zero
-            # text members — a legitimate state whose hash must persist,
-            # else every later sync re-classifies it as new and re-expands
-            # it forever just to re-emit the same warning. One bounded
-            # re-expand of only the non-producing shards tells them apart
-            # via the errors='record' corrupt-marker rows.
+            # a shard that produced nothing is one of THREE states, told
+            # apart by one bounded re-expand of only the non-producing
+            # shards: CORRUPT (tar parse failed — keep stored rows, keep
+            # warning every sync: parse-before-delete); cleanly parsed
+            # with ZERO text members (a legitimate state whose hash must
+            # persist, else every later sync re-expands it forever just
+            # to re-warn); or cleanly parsed WITH text members that
+            # produced no chunks — a member-level parse failure or an
+            # all-garbage rewrite, which must KEEP the stored rows and
+            # keep warning (ingest_file's contract: zero-chunk outcomes
+            # fail fast before any destructive write), never masquerade
+            # as 'no text members' and silently delete (r14 review).
             not_produced = [p for p in upserts if p not in produced]
+            text_no_chunks: set[str] = set()
             if not_produced:
-                from .sources.webdataset import CORRUPT_SLOT, expand_shards
+                from .sources.webdataset import (
+                    CORRUPT_SLOT,
+                    TEXT_SLOTS,
+                    expand_shards,
+                )
 
-                corrupt = {
-                    r["shard"]
+                fmt = F.element_at(F.split(F.col("slot"), r"\."), -1)
+                info = {
+                    r["shard"]: (bool(r["corrupt"]), bool(r["has_text"]))
                     for r in expand_shards(
                         read_files(spark, not_produced), errors="record"
                     )
-                    .filter(F.col("slot") == F.lit(CORRUPT_SLOT))
-                    .select("shard")
-                    .distinct()
+                    .groupBy("shard")
+                    .agg(
+                        F.max(
+                            (F.col("slot") == F.lit(CORRUPT_SLOT)).cast("int")
+                        ).alias("corrupt"),
+                        F.max(fmt.isin(list(TEXT_SLOTS)).cast("int")).alias(
+                            "has_text"
+                        ),
+                    )
                     .collect()
                 }
-                clean_empty = set(not_produced) - corrupt
+                corrupt = {s for s, (c, _t) in info.items() if c}
+                clean_empty = {
+                    s for s, (c, t) in info.items() if not c and not t
+                }
+                text_no_chunks = set(not_produced) - corrupt - clean_empty
                 for p in sorted(corrupt):
                     warnings.append(
                         f"shard upsert skipped (corrupt), stored rows kept: {p}"
+                    )
+                for p in sorted(text_no_chunks):
+                    warnings.append(
+                        "shard upsert skipped (text members produced no"
+                        f" chunks), stored rows kept: {p}"
                     )
                 # a warning on FIRST sight only — the persisted hash makes
                 # later syncs classify the shard as unchanged

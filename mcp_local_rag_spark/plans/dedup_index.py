@@ -79,19 +79,40 @@ def index_stamp(path: str) -> tuple[str | None, bool]:
     return (str(c) if c else None, os.path.exists(_refresh_marker(path)))
 
 
-def _stamp_index(path: str, *, covers: str | None) -> None:
+def _stamp_index(
+    path: str,
+    *,
+    covers: str | None,
+    rebuilt: bool = False,
+    n_buckets: int | None = None,
+) -> None:
+    """Post-write stamping. ``rebuilt=True`` marks the completion of an
+    OVERWRITE rebuild: it clears the torn-rebuild marker (ONLY then — an
+    append completing must never silence a marker some crashed rebuild
+    left behind, r14 review finding) and rewrites the covers stamp even
+    when ``covers`` is None — a rebuild from an unstated generation must
+    CLEAR the old stamp, not inherit coverage of a corpus it was not
+    built from. Append paths (rebuilt=False) only advance the stamp when
+    the caller supplies one. ``n_buckets`` records the layout's actual
+    bucket count (write_band_index's 16), never the 64-bucket fallback a
+    fresh meta would guess."""
     import os
 
     from .ingest import table_n_buckets, write_table_meta
 
-    if covers is not None:
+    if rebuilt or covers is not None:
         write_table_meta(
-            path, table_n_buckets(path), extra={"covers_source_stamp": str(covers)}
+            path,
+            n_buckets if n_buckets is not None else table_n_buckets(path),
+            extra={
+                "covers_source_stamp": str(covers) if covers is not None else None
+            },
         )
-    try:
-        os.remove(_refresh_marker(path))
-    except FileNotFoundError:
-        pass
+    if rebuilt:
+        try:
+            os.remove(_refresh_marker(path))
+        except FileNotFoundError:
+            pass
 
 
 def _mark_refreshing(path: str) -> None:
@@ -134,7 +155,7 @@ def write_signatures(
     if mode == "overwrite":
         _mark_refreshing(path)
     sigs.write.mode(mode).parquet(path)
-    _stamp_index(path, covers=covers)
+    _stamp_index(path, covers=covers, rebuilt=(mode == "overwrite"))
 
 
 def read_signatures(spark: SparkSession, path: str) -> DataFrame:
@@ -208,7 +229,7 @@ def write_band_index(
         .mode("overwrite")
         .parquet(path)
     )
-    _stamp_index(path, covers=covers)
+    _stamp_index(path, covers=covers, rebuilt=True, n_buckets=n_buckets)
 
 
 def _equi_join_pairs(src: DataFrame, id_col: str) -> DataFrame:

@@ -482,24 +482,20 @@ def export_packed_epoch(
     exchange on (shard, pack_id); the tar writes one task per output
     shard. Sample identity: ``<md5(shard)[:8]>-<pack_id>`` so two source
     shards sharing a basename can never collide."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..sources.webdataset import TEXT_SLOTS, read_webdataset
+    from ..sources.webdataset import pick_text_rows, read_webdataset
     from .epoch import epoch_keys, pack_token_spans
 
     members = read_webdataset(spark, [str(p) for p in shard_paths])
-    fmt = F.element_at(F.split(F.col("slot"), r"\."), -1)
-    priority = F.array_position(
-        F.array(*[F.lit(s) for s in TEXT_SLOTS]), fmt
-    )
-    w = Window.partitionBy("shard", "sample_key").orderBy(
-        priority, "member_index"
-    )
+    # pick_text_rows is THE slot-matching rule (shared with ingest) — the
+    # epoch export must select the same text member ingest indexes, or
+    # training tokens silently diverge from the searchable corpus.
+    # persisted: the token frame is read twice (the pack/manifest
+    # pipeline and the input-token accounting aggregate) and re-deriving
+    # it would re-decompress and re-walk every source tar.
     texts = (
-        members.filter(fmt.isin(list(TEXT_SLOTS)))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        pick_text_rows(members)
         .select(
             "shard",
             "sample_key",
@@ -509,6 +505,7 @@ def export_packed_epoch(
             ).alias("toks"),
         )
         .withColumn("n_tokens", F.size("toks").cast("long"))
+        .persist()
     )
     keyed = epoch_keys(texts, seed=seed, buffer=buffer)
     frags = pack_token_spans(
@@ -562,6 +559,7 @@ def export_packed_epoch(
     n_in = texts.filter(F.col("n_tokens") > 0).agg(
         F.sum("n_tokens")
     ).first()[0]
+    texts.unpersist()
     packs.unpersist()
     n_out = int(acct["out_toks"] or 0)
     if int(n_in or 0) != n_out:

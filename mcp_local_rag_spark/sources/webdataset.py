@@ -207,22 +207,23 @@ def write_tar_shard(members: list[tuple[str, bytes]]) -> bytes:
 TEXT_SLOTS = ("md", "txt", "html", "htm")
 
 
-def pick_text_members(
+def pick_text_rows(
     members: DataFrame, *, slots: tuple[str, ...] = TEXT_SLOTS
 ) -> DataFrame:
-    """One text member per sample -> (path, content, length) rows with
-    the stable record identity ``<shard>#<sample_key>.<slot>``. Slot
-    priority follows ``slots`` order, ties settled by archive order; the
-    window runs inside (shard, sample_key), so it shares the sample
-    shuffle grain and never sorts globally.
+    """One text member per sample, MEMBER COLUMNS KEPT — the shared slot-
+    matching core (``pick_text_members`` derives the record identity from
+    it; plans/export's epoch packer consumes it directly, so the two can
+    never diverge on what counts as a sample's text).
 
     A WebDataset slot is the FULL post-first-dot extension chain, so
     compound spellings are common (``doc.en.txt`` -> slot ``en.txt``,
     ``caption.txt`` under a dotted stem): matching is therefore by the
     slot's LAST dot-segment (``en.txt`` matches ``txt``), with priority
     taken from that segment too — the segment is what names the format,
-    the earlier segments are sample-local qualifiers. The record identity
-    keeps the full slot, so two qualified text members of one sample
+    the earlier segments are sample-local qualifiers. Priority follows
+    ``slots`` order, ties settled by archive order; the window runs
+    inside (shard, sample_key), so it shares the sample shuffle grain
+    and never sorts globally. Two qualified text members of one sample
     (``en.txt`` vs ``de.txt``) stay distinct candidate rows and the
     window picks exactly one."""
     from pyspark.sql import Window
@@ -236,12 +237,22 @@ def pick_text_members(
     return (
         texts.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(
-            F.concat_ws(
-                "", F.col("shard"), F.lit("#"), F.col("sample_key"),
-                F.lit("."), F.col("slot"),
-            ).alias("path"),
-            "content",
-            F.col("size").alias("length"),
-        )
+        .drop("_rn")
+    )
+
+
+def pick_text_members(
+    members: DataFrame, *, slots: tuple[str, ...] = TEXT_SLOTS
+) -> DataFrame:
+    """One text member per sample -> (path, content, length) rows with
+    the stable record identity ``<shard>#<sample_key>.<slot>`` (the full
+    slot, not the matched segment). Selection semantics live in
+    ``pick_text_rows``."""
+    return pick_text_rows(members, slots=slots).select(
+        F.concat_ws(
+            "", F.col("shard"), F.lit("#"), F.col("sample_key"),
+            F.lit("."), F.col("slot"),
+        ).alias("path"),
+        "content",
+        F.col("size").alias("length"),
     )

@@ -521,14 +521,36 @@ def stream_ingest_shards(
         # membership registration FIRST (see docstring): hash each shard
         # distributed, one bounded row per shard back to the driver
         # (≤ maxFilesPerTrigger rows), then merge into the persisted
-        # property before any row append
-        shard_hashes = {
-            r["path"]: r["sha"]
-            for r in batch.select(
-                "path", F.lower(F.sha2("content", 256)).alias("sha")
-            ).collect()
+        # property before any row append. CORRUPT shards are NOT
+        # registered (r14 review): recording their hash would make every
+        # later batch sync_shards classify them 'unchanged' and the
+        # corruption would become permanently invisible — unregistered,
+        # the batch path re-expands and re-warns, its stated contract.
+        # A corrupt shard contributes no rows, so there is nothing for
+        # the prune shield to protect either.
+        from ..sources.webdataset import CORRUPT_SLOT
+
+        stats = {
+            r["path"]: (r["sha"], bool(r["corrupt"]))
+            for r in expand_shards(batch, errors="record")
+            .groupBy(F.col("shard").alias("path"))
+            .agg(
+                F.max(
+                    (F.col("slot") == F.lit(CORRUPT_SLOT)).cast("int")
+                ).alias("corrupt")
+            )
+            .join(
+                batch.select(
+                    "path", F.lower(F.sha2("content", 256)).alias("sha")
+                ),
+                "path",
+            )
+            .collect()
         }
-        _register_shard_containers(table_path, shard_hashes)
+        _register_shard_containers(
+            table_path,
+            {p: sha for p, (sha, corrupt) in stats.items() if not corrupt},
+        )
         picked = pick_text_members(expand_shards(batch, errors="record"))
         hashed = picked.withColumn(
             "contentHash", F.lower(F.sha2(F.col("content"), 256))

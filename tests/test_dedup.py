@@ -507,3 +507,62 @@ def test_incremental_dedup_advances_the_covers_stamp(spark, tmp_path):
     check_index_fresh(path, at_source="gen-2")  # passes
     with _pytest.raises(StaleServingError, match="stale"):
         check_index_fresh(path, at_source="gen-3")
+
+
+def test_dedup_rebuild_without_covers_clears_stale_stamp(spark, tmp_path):
+    """r14 review: an overwrite rebuild with covers=None must CLEAR the
+    previous stamp — inheriting it would let at_source reads treat a
+    gen-2-built index as proof of gen-1 coverage."""
+    from mcp_local_rag_spark.plans.dedup_index import (
+        banded_candidate_pairs,
+        index_stamp,
+        write_band_index,
+    )
+
+    path = str(tmp_path / "bands")
+    write_band_index(_staleness_docs(spark), path, covers="gen-1")
+    assert index_stamp(path) == ("gen-1", False)
+    write_band_index(_staleness_docs(spark, tag="v2"), path)  # no covers
+    assert index_stamp(path) == (None, False)
+    # unstamped again: no proof, no verdict — at_source passes silently
+    assert banded_candidate_pairs(spark, path, at_source="gen-1").count() >= 0
+    # and the layout's REAL bucket count is what the meta records
+    from mcp_local_rag_spark.plans.ingest import table_n_buckets
+
+    assert table_n_buckets(path) == 16
+
+
+def test_dedup_append_never_clears_a_torn_rebuild_marker(
+    spark, tmp_path, monkeypatch
+):
+    """r14 review: incremental appends must not remove the .refreshing
+    marker a crashed rebuild left — an append completing proves nothing
+    about the torn overwrite underneath it."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.operators.staleness import StaleServingError
+    from mcp_local_rag_spark.plans import dedup_index as di
+
+    path = str(tmp_path / "sigs")
+    di.write_signatures(_staleness_docs(spark), path, covers="gen-1")
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected crash mid-rebuild")
+
+    monkeypatch.setattr(di, "_stamp_index", _boom)
+    with _pytest.raises(RuntimeError, match="injected"):
+        di.write_signatures(_staleness_docs(spark, tag="v2"), path, covers="gen-2")
+    monkeypatch.undo()
+    assert di.index_stamp(path)[1] is True
+
+    batch = spark.range(50, 55).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("appended prose shingle body "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    di.incremental_dedup(spark, path, batch, covers="gen-3")
+    # the marker SURVIVES the append; reads still fail loudly
+    assert di.index_stamp(path)[1] is True
+    with _pytest.raises(StaleServingError, match="mid-rebuild"):
+        di.check_index_fresh(path)

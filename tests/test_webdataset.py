@@ -813,3 +813,69 @@ def test_sync_shards_only_zero_text_shards_first_sync(spark, tmp_path):
     rep3 = eng.sync_shards(str(drop))
     assert rep3.counters["upsert_new"] == 1
     assert {r.fileTitle for r in eng.chunks().collect()} == {"Alpha"}
+
+
+def test_sync_shards_text_members_no_chunks_keeps_rows(spark, tmp_path):
+    """r14 review: a shard rewritten so its TEXT MEMBERS produce no
+    chunks (too short / member-level failure) must keep its stored rows
+    and keep warning — zero-chunk outcomes never delete (ingest_file's
+    contract) and never masquerade as 'no text members'."""
+    from mcp_local_rag_spark.engine import RagEngine
+
+    body = (
+        "Member-failure prose long enough to chunk about zero-chunk "
+        "contracts. A second sentence keeps it past the minimum gate.\n"
+    )
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "t0.tar").write_bytes(
+        write_tar_shard([("a.md", ("# Alpha\n\n" + body).encode())])
+    )
+    eng = RagEngine(spark, str(tmp_path / "table"))
+    eng.sync_shards(str(drop))
+    assert {r.fileTitle for r in eng.chunks().collect()} == {"Alpha"}
+
+    # rewrite: still has a text member, but it chunks to nothing
+    (drop / "t0.tar").write_bytes(write_tar_shard([("a.md", b"hi")]))
+    rep = eng.sync_shards(str(drop))
+    assert any("produced no chunks" in w for w in rep.warnings)
+    spark.catalog.refreshByPath(eng.table_path)
+    assert {r.fileTitle for r in eng.chunks().collect()} == {"Alpha"}
+    # hash NOT recorded: the next sync retries (and re-warns)
+    rep2 = eng.sync_shards(str(drop))
+    assert any("produced no chunks" in w for w in rep2.warnings)
+    assert {r.fileTitle for r in eng.chunks().collect()} == {"Alpha"}
+
+
+def test_stream_ingest_shards_never_registers_corrupt_shards(spark, tmp_path):
+    """r14 review: the watcher must not record a corrupt shard's hash in
+    shard_containers — a registered hash would make every later batch
+    sync_shards classify it 'unchanged' and the corruption would become
+    permanently invisible. Unregistered, sync_shards re-expands and
+    re-warns (its stated contract)."""
+    from mcp_local_rag_spark.engine import RagEngine
+    from mcp_local_rag_spark.streaming.watch import stream_ingest_shards
+
+    body = (
+        "Corrupt-shard prose long enough to chunk about watcher "
+        "contracts. A second sentence keeps it past the minimum gate.\n"
+    )
+    watch = tmp_path / "drop"
+    watch.mkdir()
+    (watch / "good.tar").write_bytes(
+        write_tar_shard([("g.md", ("# Good\n\n" + body).encode())])
+    )
+    (watch / "bad.tar").write_bytes(b"torn bytes" + b"\xff" * 700)
+    table = str(tmp_path / "table")
+    q = stream_ingest_shards(
+        spark, str(watch), table, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    eng = RagEngine(spark, table)
+    containers = eng._shard_containers()
+    assert str(watch / "good.tar") in containers
+    assert str(watch / "bad.tar") not in containers
+    # batch sync over the same dir surfaces the corruption
+    rep = eng.sync_shards(str(watch))
+    assert any("corrupt" in w for w in rep.warnings)
