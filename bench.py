@@ -63,7 +63,7 @@ def main() -> None:
     # bucketed+sorted layout: the serving-path point reader (the SLO
     # analogue — BASELINE.json: "serving requires external system") and the
     # in-plan Spark read (pays Catalyst planning per query).
-    serve_p95_ms, spark_p95_ms, pinned_p95_ms = _neighbor_bench(spark)
+    serve_p95_ms, spark_p95_ms, warm_p95_ms, pinned_p95_ms = _neighbor_bench(spark)
     anchors = _derived_anchors(spark, qs, sf_dir)
     ambient = _ambient_control(spark)
 
@@ -91,6 +91,7 @@ def main() -> None:
                 },
                 "neighbor_read_p95_ms": serve_p95_ms,
                 "neighbor_read_sparkplan_p95_ms": spark_p95_ms,
+                "neighbor_read_warm_p95_ms": warm_p95_ms,
                 "neighbor_read_pinned_p95_ms": pinned_p95_ms,
                 "ambient_control": ambient,
                 **anchors,
@@ -397,20 +398,37 @@ def _neighbor_bench(spark) -> tuple[float, float, float]:
     serve_p95 = serve[int(len(serve) * 0.95) - 1]
 
     chunks = spark.read.parquet(table)
-    # warm EVERY target shape once, untimed: fresh literals defeat the
-    # codegen cache, so the first read of each (lo,hi) pays a Janino
-    # compile the steady state never sees — the reference's perf test is
-    # explicitly "warmed repeated reads" (rag-server.read-neighbors.perf
-    # .test.ts:68-89), so the timed window starts at the warmed state
+    # SLO lane: replicate the REFERENCE perf test's exact shape
+    # (rag-server.read-neighbors.perf.test.ts:68-89) — warm indices
+    # [100, 5000, 9500], then time [50, 2500, 5000, 7500, 9950] x 4.
+    # 4 of the 5 timed positions are FIRST-SIGHT, so the reference's own
+    # p95 (2nd-worst of 20) includes cold planning/compile cost; timing a
+    # fully-pre-warmed set here would exclude exactly the per-shape
+    # Janino-compile cost this repo pays and the reference doesn't
+    # (round-14 advice). This lane is the SLO-comparable number.
+    for idx in (100, 5000, 9500):
+        read_neighbors(chunks, doc, idx).collect()
+    times = []
+    for _round in range(4):
+        for idx in (50, 2500, 5000, 7500, 9950):
+            t0 = time.time()
+            read_neighbors(chunks, doc, idx).collect()
+            times.append((time.time() - t0) * 1000)
+    times.sort()
+    p95 = times[int(len(times) * 0.95) - 1]
+
+    # steady-state lane (NOT the SLO gate): every target shape pre-warmed,
+    # 50 reps — what a server re-reading hot documents sees. Reported
+    # separately so the warm number never masquerades as the SLO.
     for i in range(20):
         read_neighbors(chunks, doc, 100 + i * 400).collect()
-    times = []
+    wtimes = []
     for i in range(50):
         t0 = time.time()
         read_neighbors(chunks, doc, 100 + (i % 20) * 400).collect()
-        times.append((time.time() - t0) * 1000)
-    times.sort()
-    p95 = times[int(len(times) * 0.95) - 1]
+        wtimes.append((time.time() - t0) * 1000)
+    wtimes.sort()
+    warm_p95 = wtimes[int(len(wtimes) * 0.95) - 1]
 
     # the pinned in-plan variant: repeated reads of one document against a
     # persisted single-bucket frame (operators/neighbors.pin_document_frame)
@@ -432,10 +450,11 @@ def _neighbor_bench(spark) -> tuple[float, float, float]:
     pinned_p95 = ptimes[int(len(ptimes) * 0.95) - 1]
     print(
         f"# neighbor_read serve p95={serve_p95:.1f}ms  spark-plan p95={p95:.1f}ms"
-        f"  pinned p95={pinned_p95:.1f}ms",
+        f" (reference protocol: 4/5 timed shapes first-sight)"
+        f"  warm p95={warm_p95:.1f}ms  pinned p95={pinned_p95:.1f}ms",
         file=sys.stderr,
     )
-    return round(serve_p95, 1), round(p95, 1), round(pinned_p95, 1)
+    return round(serve_p95, 1), round(p95, 1), round(warm_p95, 1), round(pinned_p95, 1)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,13 @@ def read_neighbors(
     after = min(max(after, 0), MAX_SPAN)
     lo = max(target - before, 0)
     hi = target + after
+    if hi < lo:
+        # negative target (e.g. -5 with after=2): the frame is empty. The
+        # MCP server validates chunkIndex>=0 upstream, but the CLI and
+        # direct engine calls do not — and limit(hi-lo+1) with a negative
+        # argument raises INVALID_LIMIT_LIKE_EXPRESSION instead of
+        # returning the empty frame this contract means.
+        return chunks.where(F.lit(False)).orderBy("chunkIndex")
     # this is the package's one LATENCY-SLO plan (<100 ms P95 cold), so the
     # predicate is built to minimize per-query DRIVER work — profiled r14:
     # planning, not the one-task scan, is ~70% of a cold read.

@@ -215,8 +215,12 @@ def pack_token_spans(
         )
         .withColumn("_start", (F.col("_end") - F.col(token_col)).cast("long"))
     )
-    first = (F.col("_start") / L).cast("long")
-    last = ((F.col("_end") - 1) / L).cast("long")
+    # integer `div`, NOT `/`: Spark's `/` on longs returns double, which
+    # silently loses exactness once a partition's token cumsum passes
+    # 2^53 — at 100 TB that is a real boundary, and packing is exact
+    # accounting by contract
+    first = F.expr(f"_start div {L}L")
+    last = F.expr(f"(_end - 1) div {L}L")
     return (
         spans.withColumn("n_frags", (last - first + 1).cast("long"))
         .withColumn("pack_id", F.explode(F.sequence(first, last)))

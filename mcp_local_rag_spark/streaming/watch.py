@@ -530,38 +530,46 @@ def stream_ingest_shards(
         # the prune shield to protect either.
         from ..sources.webdataset import CORRUPT_SLOT
 
-        stats = {
-            r["path"]: (r["sha"], bool(r["corrupt"]))
-            for r in expand_shards(batch, errors="record")
-            .groupBy(F.col("shard").alias("path"))
-            .agg(
-                F.max(
-                    (F.col("slot") == F.lit(CORRUPT_SLOT)).cast("int")
-                ).alias("corrupt")
+        # expand ONCE and persist: the corrupt-flag stats aggregate and
+        # pick_text_members both consume the member rows, and expansion
+        # decompresses + walks every shard tar — paying that twice per
+        # micro-batch doubles the stream's dominant cost. The content sha
+        # comes straight from the raw batch bytes (no expansion needed).
+        members = expand_shards(batch, errors="record").persist()
+        try:
+            stats = {
+                r["path"]: (r["sha"], bool(r["corrupt"]))
+                for r in members.groupBy(F.col("shard").alias("path"))
+                .agg(
+                    F.max(
+                        (F.col("slot") == F.lit(CORRUPT_SLOT)).cast("int")
+                    ).alias("corrupt")
+                )
+                .join(
+                    batch.select(
+                        "path", F.lower(F.sha2("content", 256)).alias("sha")
+                    ),
+                    "path",
+                )
+                .collect()
+            }
+            _register_shard_containers(
+                table_path,
+                {p: sha for p, (sha, corrupt) in stats.items() if not corrupt},
             )
-            .join(
-                batch.select(
-                    "path", F.lower(F.sha2("content", 256)).alias("sha")
-                ),
-                "path",
+            picked = pick_text_members(members)
+            hashed = picked.withColumn(
+                "contentHash", F.lower(F.sha2(F.col("content"), 256))
             )
-            .collect()
-        }
-        _register_shard_containers(
-            table_path,
-            {p: sha for p, (sha, corrupt) in stats.items() if not corrupt},
-        )
-        picked = pick_text_members(expand_shards(batch, errors="record"))
-        hashed = picked.withColumn(
-            "contentHash", F.lower(F.sha2(F.col("content"), 256))
-        )
-        parsed = parse_files(hashed).join(
-            hashed.select("path", "contentHash", "length"), "path"
-        )
-        docs = parsed.filter(F.col("parse_error").isNull())
-        chunks = build_chunks(docs, dim=d, backend=b)
-        _append_chunk_batch(chunks, table_path, postings_path, tokenizer)
-        _mark_batch_applied(checkpoint_dir, batch_id)
+            parsed = parse_files(hashed).join(
+                hashed.select("path", "contentHash", "length"), "path"
+            )
+            docs = parsed.filter(F.col("parse_error").isNull())
+            chunks = build_chunks(docs, dim=d, backend=b)
+            _append_chunk_batch(chunks, table_path, postings_path, tokenizer)
+            _mark_batch_applied(checkpoint_dir, batch_id)
+        finally:
+            members.unpersist()
 
     writer = raw.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

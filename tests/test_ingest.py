@@ -127,6 +127,12 @@ def test_neighbor_server(spark, tmp_path):
     df_rows = read_neighbors(spark.read.parquet(table), "/corpus/doc1.md", 10).collect()
     assert [r.chunkIndex for r in df_rows] == [r["chunkIndex"] for r in frame]
 
+    # a negative target (unvalidated CLI / direct engine path) returns an
+    # EMPTY frame, never INVALID_LIMIT_LIKE_EXPRESSION from limit(hi-lo+1)
+    # going negative (round-14 advice)
+    assert read_neighbors(spark.read.parquet(table), "/corpus/doc1.md", -5).collect() == []
+    assert server.read("/corpus/doc1.md", -5) == []
+
 
 def test_neighbor_server_survives_delete_and_compact(spark, tmp_path):
     """Bucket rewrites replace the files behind cached dataset handles; the

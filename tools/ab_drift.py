@@ -75,12 +75,27 @@ for name in names:
 if lanes:
     import bench
     try:
-        s95, sp95, pin95 = bench._neighbor_bench(spark)
-        out["lane:neighbor_serve_p95_ms"] = s95
-        out["lane:neighbor_sparkplan_p95_ms"] = sp95
-        out["lane:neighbor_pinned_p95_ms"] = pin95
+        nb = bench._neighbor_bench(spark)
+        # r15 bench returns (serve, sparkplan, warm, pinned); r14 and
+        # earlier returned (serve, sparkplan, pinned) — unpack by length
+        # so either side of an A/B can be an older checkout
+        out["lane:neighbor_serve_p95_ms"] = nb[0]
+        out["lane:neighbor_sparkplan_p95_ms"] = nb[1]
+        if len(nb) >= 4:
+            out["lane:neighbor_warm_p95_ms"] = nb[2]
+        out["lane:neighbor_pinned_p95_ms"] = nb[-1]
     except Exception as e:
         out["lane:neighbor_err"] = str(e)[:200]
+    # ambient denominators, per pass per ref: every pass carries its own
+    # box-speed reading so the summary can normalize query times against
+    # the machine AT MEASUREMENT TIME (older refs lack _ambient_control)
+    amb_fn = getattr(bench, "_ambient_control", None)
+    if amb_fn is not None:
+        try:
+            for k, v in amb_fn(spark).items():
+                out[f"ambient:{k}"] = v
+        except Exception as e:
+            out["ambient:err"] = str(e)[:200]
     for fname, key in (
         ("_vector_serve_bench", "vector_serve"),
         ("_hybrid_serve_bench", "hybrid_serve"),
@@ -168,7 +183,12 @@ def main(argv: list[str]) -> None:
     def best(ref: str) -> dict:
         out = {}
         keys = list(names) + sorted(
-            {k for r in raw[ref] for k in r if k.startswith("lane:")}
+            {
+                k
+                for r in raw[ref]
+                for k in r
+                if k.startswith("lane:") or k.startswith("ambient:")
+            }
         )
         for n in keys:
             vals = [
@@ -179,17 +199,52 @@ def main(argv: list[str]) -> None:
             out[n] = min(vals) if vals else None
         return out
 
+    summary = {ref_a: best(ref_a), ref_b: best(ref_b)}
+
+    # normalized deltas (round-14 advice #5): divide each measurement by
+    # the SAME ref's job-floor ambient probe, so "is +9% real?" reads off
+    # the artifact — if raw moves but the job-floor-normalized ratio is
+    # flat, the swing is the box; if the ratio moves too, it's the code.
+    # Query times are sec, lanes ms; both become dimensionless ratios.
+    def _norm(ref: str) -> dict:
+        floor = summary[ref].get("ambient:spark_jobfloor_p95_ms")
+        if not floor:
+            return {}
+        out = {}
+        for k, v in summary[ref].items():
+            if k.startswith("ambient:") or not isinstance(v, (int, float)):
+                continue
+            ms = v * 1000.0 if not k.startswith("lane:") else v
+            out[k] = round(ms / floor, 3)
+        return out
+
+    norm_a, norm_b = _norm(ref_a), _norm(ref_b)
+    deltas = {}
+    for k in norm_a:
+        va, vb = summary[ref_a].get(k), summary[ref_b].get(k)
+        if k in norm_b and isinstance(va, (int, float)) and va:
+            deltas[k] = {
+                "raw_pct": round((vb - va) / va * 100.0, 1),
+                "normalized_pct": round(
+                    (norm_b[k] - norm_a[k]) / norm_a[k] * 100.0, 1
+                ),
+            }
+
     result = {
         "metric": f"ab_{ref_a}_vs_{ref_b}",
         "passes": passes,
         "order": order,
         "sf_dir": sf_dir,
-        "summary": {ref_a: best(ref_a), ref_b: best(ref_b)},
+        "summary": summary,
+        "normalized": {ref_a: norm_a, ref_b: norm_b},
+        "deltas": deltas,
         "provenance": (
             f"{ref_a} and {ref_b} git worktrees benched in ONE session on "
             f"the same container, interleaved passes x{passes}, fresh JVM "
             "per pass (subprocess), warmed then timed once per pass, "
-            "min-of-passes; local[32]."
+            "min-of-passes; local[32]. normalized = value / the same "
+            "ref's spark_jobfloor_p95_ms ambient probe (min-of-passes); "
+            "deltas.normalized_pct flat while raw_pct moves => ambient."
         ),
     }
     line = json.dumps(result)
