@@ -70,6 +70,10 @@ def _parser() -> argparse.ArgumentParser:
                     help="within-shard shuffle block size (None = full"
                          " within-shard shuffle)")
     ee.add_argument("--pattern", default="*.tar*")
+    ee.add_argument("--tokenizer", default="whitespace",
+                    choices=["whitespace", "bpe-deep"],
+                    help="bpe-deep = the frozen 320-merge vocabulary"
+                         " artifact (assets/vocab_deep.json)")
 
     nb = sub.add_parser("read-neighbors", help="neighbor frame point read")
     nb.add_argument("path")
@@ -380,6 +384,7 @@ def run(argv: list[str], engine, out=None) -> int:
         rep = export_packed_epoch(
             engine.spark, paths, os.path.abspath(args.out_dir),
             seed=args.seed, seq_len=args.seq_len, buffer=args.buffer,
+            tokenizer=args.tokenizer,
         )
         emit({k: v for k, v in rep.items() if k != "manifest"}
              | {"shards": len(rep["manifest"]["shards"])})

@@ -464,6 +464,7 @@ def export_packed_epoch(
     seq_len: int,
     buffer: int | None = None,
     samples_per_shard: int = 1000,
+    tokenizer: str = "whitespace",
 ) -> dict:
     """Materialize ONE seeded training epoch of a WebDataset corpus as
     packed-sequence shards: epoch order (plans/epoch.epoch_keys) ->
@@ -494,15 +495,31 @@ def export_packed_epoch(
     # persisted: the token frame is read twice (the pack/manifest
     # pipeline and the input-token accounting aggregate) and re-deriving
     # it would re-decompress and re-walk every source tar.
+    if tokenizer == "whitespace":
+        toks_col = F.expr(
+            r"filter(split(cast(content AS STRING), '\\s+'), x -> x <> '')"
+        )
+    elif tokenizer == "bpe-deep":
+        # the frozen deep vocabulary (functions/bpe.py, assets/
+        # vocab_deep.json): tokens are BPE symbols under the committed
+        # 320-merge SentencePiece-style vocab — the production shape
+        # (train once, encode everywhere). Still one map-only fold per
+        # sample; packing/accounting downstream is tokenizer-agnostic.
+        from ..functions import bpe
+
+        v = bpe.load_vocab()
+        unit = bpe.sp_unit_col("cast(content AS STRING)")
+        state = bpe.apply_merges_col(bpe.pad_symbols_col(unit), v["merges"])
+        toks_col = F.filter(F.split(state, "  "), lambda x: x != F.lit(""))
+    else:
+        raise ValueError(f"unknown tokenizer: {tokenizer!r}")
     texts = (
         pick_text_rows(members)
         .select(
             "shard",
             "sample_key",
             F.col("member_index").alias("first_member_index"),
-            F.expr(
-                r"filter(split(cast(content AS STRING), '\\s+'), x -> x <> '')"
-            ).alias("toks"),
+            toks_col.alias("toks"),
         )
         .withColumn("n_tokens", F.size("toks").cast("long"))
         .persist()
@@ -571,6 +588,7 @@ def export_packed_epoch(
         "seed": int(seed),
         "seq_len": int(seq_len),
         "buffer": buffer,
+        "tokenizer": tokenizer,
         "n_packs": int(acct["n_packs"]),
         "n_tokens": n_out,
     }

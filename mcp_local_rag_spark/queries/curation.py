@@ -2390,3 +2390,162 @@ def q_corpus_domain_cap(spark, sf_dir):
         share("chars_all", int(tot["a"])).alias("share_before"),
         share("chars_kept", int(tot["k"])).alias("share_after"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# DEEP-VOCABULARY pipeline lanes (VERDICT r14 item 1): the production
+# split — training happens ONCE (tools/train_vocab.py: batched greedy
+# trainer, 320 merges over the sf0.1 corpus at the SentencePiece doc
+# grain) and ships as a frozen artifact (assets/vocab_deep.json, the
+# vocab.bpe analogue); these lanes are the 100 TB HOT PATH that applies
+# it. Encode is ONE map-only projection — a higher-order aggregate fold
+# of the literal merge list per row, zero shuffles, zero joins, zero
+# Python — so it scales embarrassingly (BENCH_SCALE_r15 pins the
+# exponent). The oracle applies the IDENTICAL merge list via list_reduce
+# (left-to-right non-overlapping replace in both engines), so the lanes
+# are hash-exact at full 320-merge depth, where merge interactions
+# actually occur. Training determinism + batch-vs-sequential exactness
+# at depth are pinned in tests/test_bpe_deep.py.
+
+def _deep_vocab():
+    from ..functions import bpe
+
+    return bpe.load_vocab()
+
+
+def _deep_encode_sql_ctes() -> str:
+    """Shared SQL prefix: documents -> SentencePiece unit -> frozen-vocab
+    symbol state -> per-doc token counts (engine-exact twin of the Spark
+    lanes' fold)."""
+    from ..functions import bpe
+
+    v = _deep_vocab()
+    unit = bpe.sp_unit_sql("text")
+    padded = bpe.PAD_SYMBOLS_SQL.format(unit="w")
+    state = bpe.apply_merges_sql(padded, v["merges"])
+    ntok = bpe.TOKEN_COUNT_SQL.format(state="s")
+    return f"""u AS (
+  SELECT doc_id, source, {unit} AS w FROM documents
+),
+st AS (
+  SELECT doc_id, source, w, {state} AS s FROM u
+),
+pd AS (
+  SELECT doc_id, source, length(w)::BIGINT AS n_chars, {ntok} AS n_tokens
+  FROM st
+)"""
+
+
+def _deep_encode_df(spark, sf_dir):
+    """Spark twin of ``_deep_encode_sql_ctes``'s ``pd``: per-doc unit
+    length + frozen-vocab token count, one shuffle-free projection."""
+    from ..functions import bpe
+
+    v = _deep_vocab()
+    docs = load(spark, sf_dir, "documents")
+    unit = bpe.sp_unit_col("text")
+    state = bpe.apply_merges_col(bpe.pad_symbols_col(unit), v["merges"])
+    return docs.select(
+        "doc_id",
+        "source",
+        F.length(unit).cast("long").alias("n_chars"),
+        bpe.token_count_col(state).alias("n_tokens"),
+    )
+
+
+_DEEP_ENCODE_SQL = (
+    "WITH "
+    + _deep_encode_sql_ctes()
+    + """
+SELECT doc_id, n_chars, n_tokens,
+       round(n_chars * 1000000 // n_tokens / 1000000.0, 6) + 0
+         AS chars_per_token
+FROM pd ORDER BY doc_id"""
+)
+
+
+@register("text_bpe_encode_deep", _DEEP_ENCODE_SQL)
+def q_text_bpe_encode_deep(spark, sf_dir):
+    enc = _deep_encode_df(spark, sf_dir)
+    return enc.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        (
+            F.expr("(n_chars * 1000000L) div n_tokens") / 1000000.0
+            + F.lit(0.0)
+        ).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+_DEEP_PACK_SEQ_LEN = 128
+
+_DEEP_PACK_SQL = (
+    "WITH "
+    + _deep_encode_sql_ctes()
+    + f""",
+ek AS (
+  SELECT doc_id, source, n_tokens,
+         md5('{_EPOCH_SEED}|' || source || '|' || doc_id) AS intra,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+           // {_EPOCH_BUFFER} AS blk
+  FROM pd
+),
+sp AS (
+  SELECT source, doc_id, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY source ORDER BY blk, intra, doc_id
+                              ROWS UNBOUNDED PRECEDING))::BIGINT AS e
+  FROM ek WHERE n_tokens > 0
+),
+fr AS (
+  SELECT source, doc_id, n_tokens, e - n_tokens AS st, e,
+         ((e - 1) // {_DEEP_PACK_SEQ_LEN}) - ((e - n_tokens) // {_DEEP_PACK_SEQ_LEN})
+           + 1 AS n_frags
+  FROM sp
+),
+fx AS (
+  SELECT source, n_frags, p.pack_id,
+         least(e, (p.pack_id + 1) * {_DEEP_PACK_SEQ_LEN})
+           - greatest(st, p.pack_id * {_DEEP_PACK_SEQ_LEN}) AS frag_tokens
+  FROM fr, unnest(range(st // {_DEEP_PACK_SEQ_LEN},
+                        ((e - 1) // {_DEEP_PACK_SEQ_LEN}) + 1)) AS p(pack_id)
+)
+SELECT source, pack_id::BIGINT AS pack_id, count(*)::BIGINT AS n_docs,
+       sum(frag_tokens)::BIGINT AS n_tokens,
+       sum(CASE WHEN n_frags > 1 THEN 1 ELSE 0 END)::BIGINT AS n_split_docs
+FROM fx GROUP BY 1, 2 ORDER BY source, pack_id"""
+)
+
+
+@register("corpus_pack_deep_vocab", _DEEP_PACK_SQL)
+def q_corpus_pack_deep_vocab(spark, sf_dir):
+    from ..plans.epoch import epoch_keys, pack_token_spans
+
+    keyed = epoch_keys(
+        _deep_encode_df(spark, sf_dir).select(
+            F.col("source").alias("shard"),
+            F.col("doc_id").cast("string").alias("sample_key"),
+            F.col("doc_id").alias("first_member_index"),
+            "n_tokens",
+        ),
+        seed=_EPOCH_SEED,
+        buffer=_EPOCH_BUFFER,
+    )
+    frags = pack_token_spans(
+        keyed,
+        seq_len=_DEEP_PACK_SEQ_LEN,
+        part_col="shard",
+        order_cols=["epoch_block", "epoch_intra", "sample_key"],
+        token_col="n_tokens",
+    )
+    return (
+        frags.groupBy(F.col("shard").alias("source"), "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("frag_tokens").alias("n_tokens"),
+            F.sum(F.when(F.col("n_frags") > 1, 1).otherwise(0)).alias(
+                "n_split_docs"
+            ),
+        )
+        .orderBy("source", "pack_id")
+    )
