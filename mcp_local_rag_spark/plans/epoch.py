@@ -241,3 +241,100 @@ def pack_token_spans(
         )
         .drop("_start", "_end")
     )
+
+
+def epoch_after(
+    samples: DataFrame,
+    *,
+    seed: int,
+    cursor_shard: str,
+    cursor_key,
+    buffer: int | None = None,
+    shard_col: str = "shard",
+    key_col: str = "sample_key",
+    index_col: str | None = "first_member_index",
+    validate: bool = True,
+) -> DataFrame:
+    """Sample-exact mid-epoch RESUME: the samples strictly AFTER the
+    cursor in the seeded epoch order — a trainer that died at sample k
+    restarts at k+1 with no replay and no skip (prefix + epoch_after ==
+    the full epoch, list-exact; pinned in tests/test_epoch.py across
+    shard and buffer-block boundaries).
+
+    Scale shape, mirroring ``epoch_shard_order``'s zero-exchange story:
+    every epoch key is a pure hash, so the shard-level cut is a pure
+    DRIVER comparison (md5(seed|shard) vs the cursor shard's) — whole
+    later shards pass with no per-row work beyond the hash compare, and
+    earlier shards prune entirely. Only the cursor's OWN shard needs its
+    in-shard position, and that is resolved inside the same
+    shard-partitioned window ``epoch_keys`` already computes (the
+    cursor's block looked up as a windowed max over the one shard) — no
+    additional exchange anywhere. A streaming consumer does the same cut
+    driver-side: take ``epoch_shard_order(...)`` after the cursor shard,
+    plus the cursor shard re-read with this frame's in-shard predicate.
+
+    ``validate=True`` (one bounded existence probe) rejects a cursor
+    that names no sample: with ``buffer`` set, a missing cursor has no
+    archive position, so its block — and therefore the resume point —
+    would be undefined; failing loudly beats silently skipping or
+    replaying data."""
+    import hashlib
+
+    if validate:
+        hit = (
+            samples.filter(
+                (F.col(shard_col) == cursor_shard)
+                & (F.col(key_col) == cursor_key)
+            )
+            .limit(1)
+            .count()
+        )
+        if not hit:
+            raise ValueError(
+                f"epoch_after cursor names no sample: "
+                f"({cursor_shard!r}, {cursor_key!r})"
+            )
+    keyed = epoch_keys(
+        samples,
+        seed=seed,
+        buffer=buffer,
+        shard_col=shard_col,
+        key_col=key_col,
+        index_col=index_col,
+    )
+    s = str(int(seed))
+    cur_ord = hashlib.md5(f"{s}|{cursor_shard}".encode()).hexdigest()
+    cur_intra = hashlib.md5(
+        f"{s}|{cursor_shard}|{cursor_key}".encode()
+    ).hexdigest()
+    # whole-shard cut: pure hash comparison (shard path as tiebreak,
+    # matching epoch_order's sort)
+    later_shard = (F.col("epoch_shard_ord") > F.lit(cur_ord)) | (
+        (F.col("epoch_shard_ord") == F.lit(cur_ord))
+        & (F.col(shard_col) > F.lit(cursor_shard))
+    )
+    # in-shard cut: the cursor's block comes from the SAME partitioning
+    # epoch_keys' window uses — a windowed lookup, not a new exchange
+    # (materialized as a column first: Spark rejects window functions
+    # inside WHERE)
+    w = Window.partitionBy(shard_col)
+    keyed = keyed.withColumn(
+        "_cur_blk",
+        F.max(
+            F.when(F.col(key_col) == cursor_key, F.col("epoch_block"))
+        ).over(w),
+    )
+    blk = F.col("_cur_blk")
+    tail_of_cursor_shard = (F.col(shard_col) == F.lit(cursor_shard)) & (
+        (F.col("epoch_block") > blk)
+        | (
+            (F.col("epoch_block") == blk)
+            & (F.col("epoch_intra") > F.lit(cur_intra))
+        )
+        | (
+            (F.col("epoch_block") == blk)
+            & (F.col("epoch_intra") == F.lit(cur_intra))
+            & (F.col(key_col) > cursor_key)
+        )
+    )
+    return keyed.filter(later_shard | tail_of_cursor_shard).drop("_cur_blk")

@@ -2549,3 +2549,78 @@ def q_corpus_pack_deep_vocab(spark, sf_dir):
         )
         .orderBy("source", "pack_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-exact mid-epoch resume (VERDICT r14 item 3): a trainer that died
+# at epoch position K restarts at K+1 with no replay and no skip. The
+# Spark side resolves the cursor with a bounded TakeOrdered read (the
+# K-th sample — a one-row control-plane lookup, NOT a global window) and
+# then runs plans/epoch.epoch_after, whose shard-level cut is a pure
+# driver-side hash comparison and whose in-shard cut rides the window
+# partitioning epoch_keys already pays — zero additional exchanges. The
+# oracle computes the same tail via a global row_number filter, so a
+# hash match pins that the resume predicate reproduces the positional
+# semantics EXACTLY (prefix + tail == full epoch; the list-equality twin
+# lives in tests/test_epoch.py across shard/buffer-block boundaries).
+
+_RESUME_AT = 100
+
+_EPOCH_RESUME_SQL = f"""WITH s AS (
+  SELECT source, doc_id,
+         md5('{_EPOCH_SEED}|' || source) AS shard_ord,
+         md5('{_EPOCH_SEED}|' || source || '|' || doc_id) AS intra,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+           // {_EPOCH_BUFFER} AS blk
+  FROM documents
+),
+g AS (
+  SELECT source, doc_id, shard_ord, intra, blk,
+         row_number() OVER (ORDER BY shard_ord, source, blk, intra, doc_id)
+           AS gpos
+  FROM s
+),
+t AS (SELECT * FROM g WHERE gpos > {_RESUME_AT})
+SELECT source, doc_id, shard_ord,
+       row_number() OVER (PARTITION BY source
+                          ORDER BY blk, intra, doc_id)::BIGINT AS epoch_rank
+FROM t ORDER BY shard_ord, source, epoch_rank"""
+
+
+@register("corpus_epoch_resume", _EPOCH_RESUME_SQL)
+def q_corpus_epoch_resume(spark, sf_dir):
+    from ..plans.epoch import epoch_after, epoch_keys, epoch_rank_in_shard
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("source").alias("shard"),
+        F.col("doc_id").cast("string").alias("sample_key"),
+        F.col("doc_id").alias("first_member_index"),
+    )
+    # the cursor: the K-th sample of the epoch — TakeOrderedAndProject
+    # (bounded K-row fetch), the lookup a trainer's checkpoint would
+    # hold; sample_key ties sort as strings here, matching the frame's
+    # key type on both sides of the fence
+    cur = (
+        epoch_keys(docs, seed=_EPOCH_SEED, buffer=_EPOCH_BUFFER)
+        .orderBy(
+            "epoch_shard_ord", "shard", "epoch_block", "epoch_intra",
+            "sample_key",
+        )
+        .select("shard", "sample_key")
+        .limit(_RESUME_AT)
+        .collect()[-1]
+    )
+    tail = epoch_after(
+        docs,
+        seed=_EPOCH_SEED,
+        buffer=_EPOCH_BUFFER,
+        cursor_shard=cur["shard"],
+        cursor_key=cur["sample_key"],
+        validate=False,  # the cursor was just read from the same frame
+    )
+    return epoch_rank_in_shard(tail).select(
+        F.col("shard").alias("source"),
+        F.col("sample_key").cast("long").alias("doc_id"),
+        F.col("epoch_shard_ord").alias("shard_ord"),
+        F.col("epoch_rank").cast("long").alias("epoch_rank"),
+    ).orderBy("shard_ord", "source", "epoch_rank")

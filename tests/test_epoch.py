@@ -320,3 +320,62 @@ def test_export_packed_epoch_cli_roundtrip(spark, tmp_path):
             bytes(r["slots"]["txt"]).decode().split()
         )
     assert got == want
+
+
+def test_epoch_after_prefix_plus_tail_is_the_full_epoch(spark, tmp_path):
+    """Sample-exact resume: for cursors at EVERY interesting position —
+    mid-block, block boundary, shard boundary (last sample of a shard),
+    first and last sample of the epoch — prefix(k) + epoch_after(cursor
+    at k) equals the full epoch order list-exactly. No replay, no skip."""
+    from mcp_local_rag_spark.plans.epoch import epoch_after
+    from mcp_local_rag_spark.sources.webdataset import (
+        assemble_samples,
+        read_webdataset,
+    )
+
+    paths = _make_shards(tmp_path, n_shards=3, samples=7)
+    samples = assemble_samples(read_webdataset(spark, paths))
+    for buffer in (None, 3):
+        full = _order(spark, paths, seed=11, buffer=buffer)
+        n = len(full)
+        # shard-run boundaries in the epoch order
+        boundaries = [
+            i + 1 for i in range(n - 1) if full[i][0] != full[i + 1][0]
+        ]
+        cursors = sorted({1, 2, 5, n - 1, n, *boundaries,
+                          *(b + 1 for b in boundaries if b < n)})
+        for k in cursors:
+            shard, key = full[k - 1]
+            tail = epoch_after(
+                samples, seed=11, buffer=buffer,
+                cursor_shard=shard, cursor_key=key,
+            )
+            got = [
+                (r["shard"], r["sample_key"])
+                for r in tail.orderBy(
+                    "epoch_shard_ord", "shard", "epoch_block",
+                    "epoch_intra", "sample_key",
+                ).select("shard", "sample_key").collect()
+            ]
+            assert full[:k] + got == full, (buffer, k)
+
+
+def test_epoch_after_rejects_unknown_cursor(spark, tmp_path):
+    """A cursor naming no sample has no archive position (its buffer
+    block is undefined) — epoch_after must fail loudly, never silently
+    skip or replay."""
+    import pytest as _pytest
+
+    from mcp_local_rag_spark.plans.epoch import epoch_after
+    from mcp_local_rag_spark.sources.webdataset import (
+        assemble_samples,
+        read_webdataset,
+    )
+
+    paths = _make_shards(tmp_path, n_shards=2, samples=3)
+    samples = assemble_samples(read_webdataset(spark, paths))
+    with _pytest.raises(ValueError, match="cursor names no sample"):
+        epoch_after(
+            samples, seed=1, buffer=2,
+            cursor_shard=paths[0], cursor_key="nope",
+        )
