@@ -2515,3 +2515,59 @@ def q_embedding_drift_psi(spark, sf_dir):
         .select("dim", "n_ref", "n_cand", "psi")
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adversarial-skew dedup (VERDICT r14 item 4): real 100 TB corpora have
+# boilerplate STORMS — one license header in a few percent of all
+# documents puts every one of its band keys into a single mega-bucket,
+# and an unsalted bucket self-join would land that whole quadratic task
+# on one executor. This lane plants exactly that storm (4% identical + 4%
+# near-identical text) and runs the SALTED candidate join with a cap low
+# enough that the salting path is exercised at every sweep scale
+# (bucket_cap=8: the storm bucket is 40 members at sf0.001/sf0.01, 400 at
+# sf0.1). The oracle is the plain UNSALTED SQL pair join — a hash match
+# IS the "salting changes the schedule, never the pair set" proof, at
+# driver-gate scale, every round. The straggler bound itself (max salted
+# task group ~= cap, not storm-size) is pinned in tests/test_dedup.py and
+# measured in the r15 scale probe.
+
+_STORM_LICENSE = (
+    "licensed under the apache license version two point zero you may "
+    "not use this file except in compliance with the license you may "
+    "obtain a copy of the license at the usual location"
+)
+_STORM_VARIANT = _STORM_LICENSE + " or from the mirror"
+
+
+def _skew_corpus(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 25 == 0, F.lit(_STORM_LICENSE))
+        .when(F.col("doc_id") % 25 == 1, F.lit(_STORM_VARIANT))
+        .otherwise(F.col("text")),
+    )
+
+
+_SKEW_CORPUS_CTE = f"""
+corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 25 = 0 THEN '{_STORM_LICENSE}'
+              WHEN doc_id % 25 = 1 THEN '{_STORM_VARIANT}'
+              ELSE text END AS text
+  FROM documents
+)
+"""
+
+
+@register(
+    "dedup_skew_storm",
+    f"WITH {_SKEW_CORPUS_CTE.strip()}, {SHINGLES_CTE.strip()}, {SIGS_CTE.strip()} "
+    "SELECT id1, id2 FROM pairs",
+)
+def q_dedup_skew_storm(spark, sf_dir):
+    return dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures_docs(_skew_corpus(spark, sf_dir)),
+        bucket_cap=8,
+    )

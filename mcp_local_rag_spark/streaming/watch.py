@@ -22,6 +22,7 @@ training-pipeline extension surface).
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -121,7 +122,20 @@ def _append_chunk_batch(
     are never stale postings to replace — the bucket-local rewrite path
     (plans/fts.refresh_postings) is for batch upsert/delete. A first batch
     against a missing index bootstraps it bucket-aligned with the chunks
-    table so later batch refreshes stay document-aligned."""
+    table so later batch refreshes stay document-aligned.
+
+    PARTIAL-REPLAY CLEANSE (round 15): foreachBatch is at-least-once and
+    the applied-batch marker only closes the FULL-replay case. A crash
+    between the chunks append and the marker leaves this batch's rows in
+    the table, and the replayed batch would duplicate them. Because the
+    file source sees each immutable path exactly once, this batch's
+    paths can pre-exist only as such remnants (or as rows a prior BATCH
+    ingest wrote for the same path — where replace-then-append is upsert,
+    the right call), so one bucket-pruned existence probe decides: on a
+    hit, the remnant rows and their postings are removed BEFORE the
+    re-append. Every crash window is therefore duplicate-free, not just
+    the common full-replay one (pinned by the streaming lifecycle fuzz in
+    tests/test_streaming.py)."""
     from contextlib import nullcontext
 
     from ..plans.fts import write_postings
@@ -129,12 +143,37 @@ def _append_chunk_batch(
 
     nb = table_n_buckets(table_path)
     attributed = postings_path is not None
+    # the batch is read several times (remnant probe + intent paths +
+    # chunks append + postings build); without a persist the WHOLE
+    # upstream pipeline — parse, chunk, and the embedding passes, the
+    # dominant cost — would re-execute for each
+    chunks = chunks.persist()
+    batch_paths = {
+        r["filePath"] for r in chunks.select("filePath").distinct().collect()
+    }
+    spark = chunks.sparkSession
+    if batch_paths and glob.glob(os.path.join(table_path, "bucket=*")):
+        from ..functions.spark_hash import bucket_of
+        from ..plans.ingest import delete_documents
+
+        paths = sorted(batch_paths)
+        bks = sorted({bucket_of(p, nb) for p in paths})
+        remnant = (
+            spark.read.parquet(table_path)
+            .filter(F.col("bucket").isin(bks) & F.col("filePath").isin(paths))
+            .limit(1)
+            .count()
+        )
+        if remnant:
+            delete_documents(spark, table_path, paths)
+            if postings_path is not None and os.path.isdir(postings_path):
+                from ..plans.fts import refresh_postings
+
+                refresh_postings(
+                    spark, postings_path,
+                    deleted_paths=paths, tokenizer=tokenizer,
+                )
     if attributed:
-        # the batch is read three times (intent paths + chunks append +
-        # postings build); without a persist the WHOLE upstream pipeline —
-        # parse, chunk, and the embedding passes, the dominant cost —
-        # would re-execute for each
-        chunks = chunks.persist()
         # cooperating-writer protocol (plans/engine_txn, round 13): the
         # watcher records the batch's paths BEFORE mutating and runs its
         # bumps attributed, so a crash between the chunks append and the
@@ -144,9 +183,6 @@ def _append_chunk_batch(
         # covers-mismatch forces
         from ..plans.engine_txn import publish_intent, retire_fts_paths
 
-        batch_paths = {
-            r["filePath"] for r in chunks.select("filePath").distinct().collect()
-        }
         publish_intent(table_path, paths=batch_paths)
     # the SAME append discipline as batch ingest (one sorted file per
     # bucket) — a hand-rolled partitionBy here would write one unsorted
@@ -161,10 +197,9 @@ def _append_chunk_batch(
                 chunks, postings_path, tokenizer=tokenizer, mode=mode, n_buckets=nb
             )
     finally:
-        if attributed:
-            # also on the failure paths: a long-lived watcher must not
-            # accumulate one pinned micro-batch cache per failed batch
-            chunks.unpersist()
+        # also on the failure paths: a long-lived watcher must not
+        # accumulate one pinned micro-batch cache per failed batch
+        chunks.unpersist()
     if postings_path is not None:
         # restart handshake: the appended index covers the just-bumped
         # table version, so an engine opened on this table later trusts

@@ -566,3 +566,83 @@ def test_dedup_append_never_clears_a_torn_rebuild_marker(
     assert di.index_stamp(path)[1] is True
     with _pytest.raises(StaleServingError, match="mid-rebuild"):
         di.check_index_fresh(path)
+
+
+def test_boilerplate_storm_salting_bounds_the_straggler(spark):
+    """VERDICT r14 item 4: the adversarial-skew fixture — a license
+    header planted verbatim into 4% of the REAL corpus (plus 4%
+    near-identical variants), the storm that puts every band key of the
+    header into one mega-bucket. Pins both halves of the salting
+    contract on that fixture:
+
+      * EXACTNESS — the salted pair set equals the unsalted oracle's;
+      * STRAGGLER BOUND — reconstructing the salted join's left-side
+        groups with the operator's own salt assignment, the largest
+        group is ~bucket_cap, not storm-size: the mega-bucket's
+        quadratic work spreads across ~n/cap tasks instead of one."""
+    from mcp_local_rag_spark.queries.ext import _skew_corpus
+
+    # sf0.1: the storm is 200 documents — big enough that the salt-group
+    # distribution concentrates and the straggler ratio is meaningful
+    # (at sf0.001 the 20-member storm over 3 salts can legitimately land
+    # 14 in one group)
+    cap = 8
+    docs = _skew_corpus(spark, "/root/testdata/sf0.1")
+    sigs = dedup.minhash_signatures_docs(docs).persist()
+    sigs.count()
+    salted = {
+        (r.id1, r.id2)
+        for r in dedup.lsh_candidate_pairs(sigs, bucket_cap=cap).collect()
+    }
+    unsalted = {
+        (r.id1, r.id2)
+        for r in dedup.lsh_candidate_pairs(sigs, bucket_cap=10**9).collect()
+    }
+    assert salted == unsalted
+    # the identical-header storm is a full clique in the candidate set
+    storm = [
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id").collect()
+    ]
+    n_storm = len(storm)
+    assert n_storm >= 20
+    assert all(
+        (a, b) in salted
+        for i, a in enumerate(sorted(storm))
+        for b in sorted(storm)[i + 1:]
+    )
+
+    # straggler bound: replicate the operator's own salt assignment over
+    # the hot buckets and measure the largest left-side group
+    bands = dedup.band_keys(sigs).persist()
+    hot = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > cap)
+        .collect()
+    )
+    assert hot, "the storm must actually overflow the cap"
+    assert max(r["n"] for r in hot) >= n_storm  # mega-bucket is real
+    hot_df = spark.createDataFrame(
+        [(r["band"], r["band_key"], int(-(-r["n"] // cap))) for r in hot],
+        "band int, band_key string, _nsalt int",
+    )
+    groups = (
+        bands.join(F.broadcast(hot_df), ["band", "band_key"])
+        .select(
+            "band", "band_key",
+            F.pmod(F.xxhash64("doc_id"), F.col("_nsalt"))
+            .cast("int").alias("_salt"),
+        )
+        .groupBy("band", "band_key", "_salt")
+        .agg(F.count("*").alias("g"))
+        .agg(F.max("g").alias("mx"))
+        .first()
+    )
+    sigs.unpersist()
+    bands.unpersist()
+    # hash unevenness tolerance: the largest salted group must stay
+    # within a small factor of the cap — and far under the storm size
+    assert groups["mx"] <= 4 * cap, groups["mx"]
+    assert groups["mx"] * 2 < n_storm

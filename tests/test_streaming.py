@@ -1,5 +1,6 @@
 """Streaming ingest (availableNow drain) and watermarked windows."""
 
+import os
 import time
 
 
@@ -1166,3 +1167,162 @@ def test_stream_ingest_shards(spark, tmp_path):
     after = spark.read.parquet(table)
     assert after.count() > n1
     assert "Shard Three" in {r.fileTitle for r in after.collect()}
+
+
+def test_stream_shard_lifecycle_crash_fuzz(spark, tmp_path, monkeypatch):
+    """VERDICT r14 item 2: crash-fuzz the STREAMING shard path the way
+    r14 fuzzed batch sync_shards. 50 rounds; each round drops 1-2 new
+    shards (good / corrupt / zero-text — shards are immutable-by-name to
+    the watcher, so the lifecycle is append-only) and runs the watcher
+    with ONE crash injected at a random foreachBatch window — membership
+    registration, the chunks append, the postings append, the
+    applied-marker write — or with the checkpoint COMMIT lost after a
+    clean run (forcing a full redelivery the marker must suppress).
+    After a crash, a routine directory sync() races the wounded state
+    (including the registered-but-rowless window) before the stream
+    restarts and replays.
+
+    Invariants every round: served rows equal the pure model with NO
+    duplicates after any crash-retry (the round-15 partial-replay
+    cleanse makes every window duplicate-free, not just full replays),
+    streamed rows survive the racing sync, the recovery intent is
+    retired, and every 10 rounds the postings index is row-identical to
+    a from-scratch rebuild of the final table."""
+    import random
+
+    import mcp_local_rag_spark.plans.fts as fts_mod
+    import mcp_local_rag_spark.plans.ingest as ingest_mod
+    import mcp_local_rag_spark.streaming.watch as watch_mod
+    from mcp_local_rag_spark.engine import RagEngine
+    from mcp_local_rag_spark.plans.engine_txn import read_intent
+    from mcp_local_rag_spark.plans.fts import read_postings, write_postings
+    from mcp_local_rag_spark.sources.webdataset import write_tar_shard
+    from mcp_local_rag_spark.streaming.watch import stream_ingest_shards
+
+    body = (
+        "Streamed crash-fuzz prose about at-least-once replay windows. "
+        "A second sentence keeps it past the minimum chunk gate.\n"
+    )
+    watch = tmp_path / "drop"
+    watch.mkdir()
+    side = tmp_path / "side"
+    side.mkdir()
+    (side / "side.md").write_text("# Side Doc\n\n" + body)
+    table = str(tmp_path / "table")
+    postings = str(tmp_path / "postings")
+    ckpt = str(tmp_path / "ckpt")
+
+    rng = random.Random(1515)
+    served: set[str] = set()
+    next_id = 0
+
+    def drop_shard(kind: str) -> None:
+        nonlocal next_id
+        name = f"s{next_id}"
+        next_id += 1
+        p = watch / f"{name}.tar"
+        if kind == "good":
+            p.write_bytes(
+                write_tar_shard(
+                    [(f"{name}.md", (f"# {name}\n\n" + body).encode())]
+                )
+            )
+            served.add(name)
+        elif kind == "zerotext":
+            p.write_bytes(write_tar_shard([(f"{name}.json", b"{}")]))
+        else:  # corrupt tar bytes: a __corrupt__ member row, no rows served
+            p.write_bytes(b"\x00garbage" * 64 + b"\xff" * 512)
+
+    def run_stream() -> str | None:
+        q = stream_ingest_shards(
+            spark, str(watch), table, ckpt,
+            postings_path=postings, available_now=True,
+        )
+        try:
+            q.awaitTermination(180)
+            return None
+        except Exception as exc:  # StreamingQueryException wraps the boom
+            return str(exc)
+
+    def boom(msg):
+        def _raise(*a, **k):
+            raise RuntimeError(f"crash:{msg}")
+
+        return _raise
+
+    eng = RagEngine(spark, table, postings_path=postings)
+
+    for rnd in range(50):
+        for _ in range(rng.randint(1, 2)):
+            drop_shard(
+                rng.choice(["good", "good", "good", "zerotext", "corrupt"])
+            )
+        window = rng.choice(
+            ["none", "register", "chunks", "postings", "mark", "commitloss"]
+        )
+        if window == "register":
+            monkeypatch.setattr(
+                watch_mod, "_register_shard_containers", boom("register")
+            )
+        elif window == "chunks":
+            monkeypatch.setattr(ingest_mod, "write_chunks", boom("chunks"))
+        elif window == "postings":
+            monkeypatch.setattr(fts_mod, "write_postings", boom("postings"))
+        elif window == "mark":
+            monkeypatch.setattr(
+                watch_mod, "_mark_batch_applied", boom("mark")
+            )
+
+        err = run_stream()
+        monkeypatch.undo()
+        if window in ("register", "chunks", "postings", "mark"):
+            assert err is not None and "crash:" in err, (rnd, window, err)
+            # the race: a routine directory sync against the wounded
+            # state (registered-but-rowless after a chunks crash; rows
+            # appended but unmarked after a mark crash) must never prune
+            # streamed rows or wedge recovery
+            eng = RagEngine(spark, table, postings_path=postings)
+            eng.sync(str(side))
+        elif window == "commitloss":
+            assert err is None, (rnd, err)
+            commits = sorted(
+                f for f in os.listdir(f"{ckpt}/commits")
+                if not f.startswith(".")
+            )
+            if commits:
+                os.unlink(f"{ckpt}/commits/{commits[-1]}")
+                # Hadoop's ChecksumFs refuses to rename over a stale
+                # sidecar checksum — a real commit loss takes both files
+                crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+                if os.path.exists(crc):
+                    os.unlink(crc)
+
+        err2 = run_stream()  # replay / redelivery
+        assert err2 is None, (rnd, window, err2)
+
+        eng = RagEngine(spark, table, postings_path=postings)
+        eng.sync(str(side))  # quiesce: streamed rows must survive
+        spark.catalog.refreshByPath(table)
+        rows = eng.chunks().select(
+            "filePath", "chunkIndex", "fileTitle"
+        ).collect()
+        got = {r.fileTitle for r in rows}
+        assert got == served | {"Side Doc"}, (rnd, window, got)
+        keys = [(r.filePath, r.chunkIndex) for r in rows]
+        assert len(keys) == len(set(keys)), (rnd, window)
+        assert eng.index_is_fresh(), (rnd, window)
+        assert read_intent(table) is None, (rnd, window)
+
+        if rnd % 10 == 9:
+            ref = str(tmp_path / f"ref_fts_{rnd}")
+            write_postings(eng.chunks(), ref, n_buckets=4)
+            cols = ("term", "filePath", "chunkIndex", "tf")
+            got_p = {
+                tuple(r)
+                for r in read_postings(spark, postings).select(*cols).collect()
+            }
+            want_p = {
+                tuple(r)
+                for r in read_postings(spark, ref).select(*cols).collect()
+            }
+            assert got_p == want_p, (rnd, window)
