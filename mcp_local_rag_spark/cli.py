@@ -57,6 +57,17 @@ def _parser() -> argparse.ArgumentParser:
     ss.add_argument("path")
     ss.add_argument("--pattern", default="*.tar*")
 
+    rp = sub.add_parser(
+        "repack-shards",
+        help="merge sparse/small shards' live samples into full new "
+             "shards (crash-recoverable; samples are re-keyed, so run "
+             "between epochs)",
+    )
+    rp.add_argument("path")
+    rp.add_argument("--pattern", default="*.tar*")
+    rp.add_argument("--samples-per-shard", type=int, default=1000)
+    rp.add_argument("--min-utilization", type=float, default=0.5)
+
     ee = sub.add_parser(
         "export-epoch",
         help="materialize one seeded training epoch of a shard directory "
@@ -366,6 +377,14 @@ def run(argv: list[str], engine, out=None) -> int:
     if args.cmd == "sync-shards":
         rep = engine.sync_shards(os.path.abspath(args.path), pattern=args.pattern)
         emit({"counters": rep.counters, "warnings": rep.warnings})
+        return 0
+    if args.cmd == "repack-shards":
+        rep = engine.repack_shards(
+            os.path.abspath(args.path), pattern=args.pattern,
+            samples_per_shard=args.samples_per_shard,
+            min_utilization=args.min_utilization,
+        )
+        emit(rep)
         return 0
     if args.cmd == "export-epoch":
         import glob as _glob

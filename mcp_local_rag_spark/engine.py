@@ -703,9 +703,15 @@ class RagEngine:
         import glob as _glob
 
         from .plans.ingest import delete_documents_df, ingest_webdataset
+        from .plans.repack import recover_pending_repack
 
         spark = self.spark
         shard_dir = os.path.abspath(shard_dir)
+        # a crashed repack's half-applied file ops would make this sync
+        # double-serve live samples (old and new tars both present) —
+        # complete the pending intent first; the directory is then the
+        # truth and this sync converges normally
+        recover_pending_repack(self, shard_dir)
         listing = sorted(
             p
             for p in _glob.glob(os.path.join(shard_dir, pattern))
@@ -912,6 +918,28 @@ class RagEngine:
             if self._exists():
                 self.optimize()
         return SyncReport(counters=counters, warnings=warnings)
+
+    def repack_shards(
+        self,
+        shard_dir: str,
+        *,
+        pattern: str = "*.tar*",
+        samples_per_shard: int = 1000,
+        min_utilization: float = 0.5,
+    ) -> dict:
+        """Shard-grain compaction: merge sparse/small shards' live samples
+        into full new shards under the repack intent protocol (see
+        plans/repack — crash-recoverable; output samples are re-keyed, so
+        epoch cursors do not survive a repack)."""
+        from .plans.repack import repack_shards
+
+        return repack_shards(
+            self,
+            shard_dir,
+            pattern=pattern,
+            samples_per_shard=samples_per_shard,
+            min_utilization=min_utilization,
+        )
 
     def ingest_file(
         self,

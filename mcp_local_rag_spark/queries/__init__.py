@@ -14,6 +14,7 @@ from . import events  # noqa: F401,E402
 from . import parsing  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
 from . import warehouse  # noqa: F401,E402
+from . import contracts  # noqa: F401,E402
 
 
 # Rotation against the driver's per-round check window (50 queries/round):

@@ -1,0 +1,183 @@
+"""Shard re-pack maintenance (plans/repack.py): sparse/small shards merge
+into full new shards under the intent protocol — liveness from the
+table, zero-text samples preserved, crash recovery convergent from every
+protocol window, identity re-keying documented and provenance-stable."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_local_rag_spark.engine import RagEngine
+from mcp_local_rag_spark.sources.webdataset import write_tar_shard
+
+BODY = (
+    "Repackable prose long enough to clear the minimum chunk gate with "
+    "room. A second sentence keeps the chunker comfortable.\n"
+)
+
+
+def _mk_shard(path, names, *, with_json=False):
+    members = []
+    for n in names:
+        members.append((f"{n}.md", (f"# {n}\n\n" + BODY).encode()))
+        if with_json:
+            members.append((f"{n}.json", b"{}"))
+    path.write_bytes(write_tar_shard(members))
+
+
+def _titles(eng):
+    eng.spark.catalog.refreshByPath(eng.table_path)
+    return {r.fileTitle for r in eng.chunks().collect()}
+
+
+def test_repack_merges_sparse_shards_and_preserves_content(spark, tmp_path):
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    # two shards of 4 samples each; a third healthy one
+    _mk_shard(drop / "a.tar", [f"a{i}" for i in range(4)], with_json=True)
+    _mk_shard(drop / "b.tar", [f"b{i}" for i in range(4)])
+    _mk_shard(drop / "c.tar", [f"c{i}" for i in range(4)])
+    eng = RagEngine(spark, str(tmp_path / "table"))
+    eng.sync_shards(str(drop))
+    assert _titles(eng) == {f"{p}{i}" for p in "abc" for i in range(4)}
+
+    # curate away most of a and b (3 of 4 samples each) -> 25% utilization
+    from mcp_local_rag_spark.plans.ingest import delete_documents
+
+    dead = [
+        r.filePath
+        for r in eng.chunks()
+        .filter(
+            F.col("filePath").rlike("#(a[123]|b[123])\\.md$")
+        )
+        .select("filePath").distinct().collect()
+    ]
+    assert len(dead) == 6
+    delete_documents(spark, eng.table_path, dead)
+    eng.recover_indexes()
+
+    # threshold 0.5, small = samples_per_shard//2 = 2: a and b qualify
+    # (utilization 0.25), c does not (1.0 and size 4 >= 2)
+    rep = eng.repack_shards(str(drop), samples_per_shard=4)
+    assert not rep["noop"]
+    assert sorted(os.path.basename(p) for p in rep["candidates"]) == [
+        "a.tar", "b.tar",
+    ]
+    assert rep["samples_kept"] == 2 and rep["samples_dropped"] == 6
+    assert not (drop / "a.tar").exists() and not (drop / "b.tar").exists()
+    assert (drop / "c.tar").exists()
+    new = [p for p in rep["new_shards"]]
+    assert new and all(os.path.exists(p) for p in new)
+    # a0 + b0 merged into one new shard; text content served identically
+    got = _titles(eng)
+    assert got == {"a0", "b0"} | {f"c{i}" for i in range(4)}
+    # zero-text json member of a0 travels with its sample
+    import tarfile
+
+    names = set()
+    for p in new:
+        with tarfile.open(p) as tf:
+            names |= {m.name for m in tf.getmembers()}
+    md = {n for n in names if n.endswith(".md")}
+    assert len(md) == 2
+    assert any(n.endswith(".json") for n in names)  # a0.json preserved
+    # re-keying contract: <md5(source shard)[:8]>-<key>.<slot>
+    import hashlib
+
+    pref_a = hashlib.md5(str(drop / "a.tar").encode()).hexdigest()[:8]
+    assert f"{pref_a}-a0.md" in names
+
+    # membership reflects the swap; a second repack is a no-op
+    known = eng._shard_containers()
+    assert str(drop / "a.tar") not in known
+    assert all(p in known for p in new)
+    rep2 = eng.repack_shards(str(drop), samples_per_shard=4)
+    assert rep2["noop"]
+    assert _titles(eng) == got
+
+
+def test_repack_crash_windows_converge(spark, tmp_path, monkeypatch):
+    """Crash injection at every repack protocol window; the NEXT entry
+    point (repack or a routine sync) must converge to the same served
+    state with no duplicates and no lost samples."""
+    import mcp_local_rag_spark.plans.repack as repack_mod
+    from mcp_local_rag_spark.plans.ingest import delete_documents
+    from mcp_local_rag_spark.plans.repack import read_repack_intent
+
+    def boom(msg):
+        def _raise(*a, **k):
+            raise RuntimeError(f"crash:{msg}")
+
+        return _raise
+
+    for window in ("stage", "fileops", "postclear"):
+        drop = tmp_path / f"drop_{window}"
+        drop.mkdir()
+        _mk_shard(drop / "a.tar", [f"a{i}" for i in range(4)])
+        _mk_shard(drop / "b.tar", [f"b{i}" for i in range(4)])
+        eng = RagEngine(spark, str(tmp_path / f"table_{window}"))
+        eng.sync_shards(str(drop))
+        dead = [
+            r.filePath
+            for r in eng.chunks()
+            .filter(F.col("filePath").rlike("#(a[123]|b[123])\\.md$"))
+            .select("filePath").distinct().collect()
+        ]
+        delete_documents(spark, eng.table_path, dead)
+        eng.recover_indexes()
+
+        if window == "stage":
+            # crash DURING staging, before the intent exists
+            monkeypatch.setattr(
+                repack_mod, "export_webdataset_shards", boom("stage"),
+                raising=False,
+            )
+            import mcp_local_rag_spark.plans.export as export_mod
+
+            monkeypatch.setattr(
+                export_mod, "export_webdataset_shards", boom("stage")
+            )
+        elif window == "fileops":
+            monkeypatch.setattr(repack_mod, "_apply_file_ops", boom("fileops"))
+        elif window == "postclear":
+            # crash after file ops + marker clear, before the sync
+            real_unlink = os.unlink
+
+            def unlink_then_boom(p, *a, **k):
+                real_unlink(p, *a, **k)
+                if str(p).endswith(repack_mod.INTENT_FILE):
+                    raise RuntimeError("crash:postclear")
+
+            monkeypatch.setattr(repack_mod.os, "unlink", unlink_then_boom)
+
+        with pytest.raises(RuntimeError, match="crash:"):
+            eng.repack_shards(str(drop), samples_per_shard=4)
+        monkeypatch.undo()
+
+        if window == "stage":
+            # no intent was published; the directory is untouched
+            assert read_repack_intent(eng.table_path) is None
+            assert (drop / "a.tar").exists() and (drop / "b.tar").exists()
+        if window == "fileops":
+            # intent holds; a ROUTINE sync must complete the file ops
+            # first (the half-applied race) and converge
+            assert read_repack_intent(eng.table_path) is not None
+            eng.sync_shards(str(drop))
+            assert read_repack_intent(eng.table_path) is None
+        else:
+            # re-entering repack recovers/no-ops; state converges
+            eng.repack_shards(str(drop), samples_per_shard=4)
+        assert read_repack_intent(eng.table_path) is None
+
+        # convergent final state, identical across every crash window:
+        # the two live samples served exactly once from repacked shards
+        rows = eng.chunks().select("filePath", "chunkIndex").collect()
+        keys = [(r.filePath, r.chunkIndex) for r in rows]
+        assert len(keys) == len(set(keys)), window
+        assert _titles(eng) == {"a0", "b0"}, window
+        assert not (drop / "a.tar").exists(), window
+        assert not (drop / "b.tar").exists(), window
+        tars = sorted(os.path.basename(p) for p in glob.glob(str(drop / "*.tar")))
+        assert tars and all(t.startswith("repack-") for t in tars), window
