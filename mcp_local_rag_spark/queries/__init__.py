@@ -231,6 +231,53 @@ _VERIFIED_R12 = {
 }
 
 
+
+_VERIFIED_R13 = {
+    "agg_per_file", "bm25_ngram23", "bm25_unigram", "content_hash",
+    "corpus_domain_cap", "corpus_stats", "corpus_stratified_sample",
+    "customer_balance_deciles", "documents_index_recovery",
+    "embedding_drift_psi", "events_asof_lastclick",
+    "events_click_attribution", "events_error_rate", "events_funnel",
+    "events_moving_avg", "events_range_prev_hour", "events_resample_ffill",
+    "events_retention", "events_rollup", "events_salted_agg",
+    "events_topk_per_group", "hybrid_search_indexed", "keyword_boost",
+    "list_cross_reference", "media_gif_features", "media_png_features",
+    "null_normalization", "parsed_arrow_roundtrip", "parsed_csv_roundtrip",
+    "parsed_docx_roundtrip", "parsed_html_roundtrip",
+    "parsed_jsonl_gz_roundtrip", "parsed_jsonl_roundtrip",
+    "part_fuzzy_pairs", "pdf_visual_detect", "scalar_funcs",
+    "scan_projection", "sync_counters", "sync_plan", "text_bpe_encode",
+    "text_bpe_merges", "text_gopher_filter", "text_nb_source_classifier",
+    "text_pii_redact", "text_repetition", "text_winnowing",
+    "tpch_q11_important_stock", "tpch_q22_idle_rich",
+    "webdataset_multimodal", "webdataset_roundtrip",
+}
+
+
+_VERIFIED_R14 = {
+    "bm25_ngram23", "bm25_unigram", "corpus_domain_cap",
+    "corpus_epoch_order", "corpus_pack_sequences",
+    "corpus_stratified_sample", "customer_balance_deciles",
+    "documents_index_recovery", "embedding_drift_psi",
+    "events_asof_lastclick", "events_click_attribution",
+    "events_error_rate", "events_funnel", "events_moving_avg",
+    "events_range_prev_hour", "events_resample_ffill", "events_retention",
+    "events_rollup", "events_salted_agg", "events_topk_per_group",
+    "hybrid_search_indexed", "keyword_boost", "list_cross_reference",
+    "media_gif_features", "media_png_features", "null_normalization",
+    "parsed_arrow_roundtrip", "parsed_csv_roundtrip",
+    "parsed_docx_roundtrip", "parsed_html_roundtrip",
+    "parsed_jsonl_gz_roundtrip", "parsed_jsonl_roundtrip",
+    "part_fuzzy_pairs", "pdf_visual_detect", "sync_plan", "text_bpe_encode",
+    "text_bpe_merges", "text_bpe_merges_batched", "text_gopher_filter",
+    "text_nb_source_classifier", "text_pii_redact", "text_repetition",
+    "text_winnowing", "tpch_q11_important_stock", "tpch_q18_large_volume",
+    "tpch_q22_idle_rich", "tpch_q5_local_volume", "tpch_q6_forecast",
+    "webdataset_multimodal", "webdataset_roundtrip",
+}
+
+
+
 def _ordered_names():
     """Oracle-paired queries first — never-verified ones leading, then by
     the age of the last green row (oldest round first) — so the driver's
@@ -242,7 +289,8 @@ def _ordered_names():
     names = list(REGISTRY)
     rounds = (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3, _VERIFIED_R4,
               _VERIFIED_R5, _VERIFIED_R7, _VERIFIED_R8, _VERIFIED_R10,
-              _VERIFIED_R11, _VERIFIED_R12)
+              _VERIFIED_R11, _VERIFIED_R12, _VERIFIED_R13,
+              _VERIFIED_R14)
 
     def last_green(n):
         seen = [i + 1 for i, s in enumerate(rounds) if n in s]  # R8 ranks 7th
