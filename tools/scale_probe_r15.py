@@ -50,12 +50,28 @@ PASSES = 3
 PASS_OVERRIDE = {("dedup_skew_storm", "100x"): 1}
 
 
-def time_query(spark, fn, sf_dir: str, passes: int = PASSES) -> tuple[float, int]:
+# count() lets Catalyst PRUNE unreferenced projection work — on a pure
+# map-only lane like the deep encode, a bare count never evaluates the
+# fold and the timing is vacuous (caught in r15: 0.4s for what is
+# actually ~20 s of single-task fold). Lanes here force full evaluation
+# through a checksum aggregate over their value columns.
+FORCE_EVAL = {
+    "text_bpe_encode_deep": lambda df: df.selectExpr(
+        "count(*) AS n", "sum(n_tokens)"
+    ),
+}
+
+
+def time_query(spark, name, fn, sf_dir: str, passes: int = PASSES) -> tuple[float, int]:
     best, n = None, 0
+    force = FORCE_EVAL.get(name)
     for _ in range(passes):
         spark.catalog.clearCache()
         t0 = time.time()
-        n = fn(spark, sf_dir).count()
+        if force:
+            n = int(force(fn(spark, sf_dir)).first()["n"])
+        else:
+            n = fn(spark, sf_dir).count()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     return round(best, 3), n
@@ -72,10 +88,12 @@ def main(dir10: str, dir100: str, out_path: str | None) -> None:
     result: dict = {"metric": "scale_probe_r15", "unit": "sec", "queries": {}}
     for name in QUERIES:
         t10, n10 = time_query(
-            spark, qs[name], dir10, PASS_OVERRIDE.get((name, "10x"), PASSES)
+            spark, name, qs[name], dir10,
+            PASS_OVERRIDE.get((name, "10x"), PASSES),
         )
         t100, n100 = time_query(
-            spark, qs[name], dir100, PASS_OVERRIDE.get((name, "100x"), PASSES)
+            spark, name, qs[name], dir100,
+            PASS_OVERRIDE.get((name, "100x"), PASSES),
         )
         alpha = math.log(t100 / t10) / math.log(10.0)
         entry = {
@@ -123,7 +141,12 @@ def main(dir10: str, dir100: str, out_path: str | None) -> None:
         "Round 15: 10x/100x corpus replicas of /root/testdata/sf0.1 "
         "(tools/make_scaled_sf.py, documents+embeddings), min-of-3 per "
         "point, fresh cache per pass, local[32]. Deep-vocab lanes apply "
-        "the committed 320-merge artifact (assets/vocab_deep.json)."
+        "the committed 320-merge artifact (assets/vocab_deep.json); the "
+        "encode lane is forced through a checksum aggregate (count alone "
+        "prunes a map-only projection). Parallelism caveat: each replica "
+        "is ONE parquet file, so map-only lanes run 1-2 tasks here — "
+        "their absolute walls are single-core throughput; the plans are "
+        "partition-parallel (explain-audited in PLANS.md r15)."
     )
     line = json.dumps(result)
     print(line)
