@@ -153,17 +153,37 @@ def repack_shards(
     if not listing:
         return report
 
-    # one expand pass: per-sample membership + text flag + live check
-    members = expand_shards(read_files(spark, listing)).persist()
+    # one expand pass: per-sample membership + text flag + live check.
+    # errors='record' + corrupt-shard exclusion: a shard that registered
+    # clean but was corrupted on disk afterwards must neither crash the
+    # repack nor have its __corrupt__ marker row repacked as a "sample" —
+    # it keeps its stored rows and stays out of the candidate set, the
+    # same parse-before-delete posture sync_shards takes.
+    from ..sources.webdataset import CORRUPT_SLOT
+
+    members = expand_shards(read_files(spark, listing), errors="record").persist()
     try:
+        corrupt_shards = {
+            r["shard"]
+            for r in members.filter(F.col("slot") == CORRUPT_SLOT)
+            .select("shard")
+            .distinct()
+            .collect()  # bounded: one row per corrupt shard
+        }
+        if corrupt_shards:
+            members_clean = members.filter(
+                ~F.col("shard").isin(sorted(corrupt_shards))
+            )
+        else:
+            members_clean = members
         fmt = F.element_at(F.split(F.col("slot"), r"\."), -1)
         samples = (
-            members.groupBy("shard", "sample_key")
+            members_clean.groupBy("shard", "sample_key")
             .agg(F.max(fmt.isin(list(TEXT_SLOTS)).cast("int")).alias("has_text"))
         )
         # the picked text member's table path — the identity ingest used
         # (pick_text_members' path spelling, with shard/sample_key kept)
-        picked = pick_text_rows(members).select(
+        picked = pick_text_rows(members_clean).select(
             "shard",
             "sample_key",
             F.concat_ws(
@@ -215,7 +235,7 @@ def repack_shards(
         ).select("shard", "sample_key")
         # re-key: md5(source shard)[:8] prefix — see module docstring
         out_members = (
-            members.join(keep_keys, ["shard", "sample_key"], "left_semi")
+            members_clean.join(keep_keys, ["shard", "sample_key"], "left_semi")
             .select(
                 F.concat_ws(
                     "-", F.substring(F.md5("shard"), 1, 8), F.col("sample_key")

@@ -181,3 +181,42 @@ def test_repack_crash_windows_converge(spark, tmp_path, monkeypatch):
         assert not (drop / "b.tar").exists(), window
         tars = sorted(os.path.basename(p) for p in glob.glob(str(drop / "*.tar")))
         assert tars and all(t.startswith("repack-") for t in tars), window
+
+
+def test_repack_skips_disk_corrupted_shards(spark, tmp_path):
+    """A shard that registered clean but was corrupted on disk afterwards
+    must neither crash the repack nor leak its __corrupt__ marker row
+    into an output shard — it keeps its stored rows and stays out of the
+    candidate set (sync_shards' parse-before-delete posture)."""
+    from mcp_local_rag_spark.plans.ingest import delete_documents
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _mk_shard(drop / "a.tar", [f"a{i}" for i in range(4)])
+    _mk_shard(drop / "b.tar", [f"b{i}" for i in range(4)])
+    eng = RagEngine(spark, str(tmp_path / "table"))
+    eng.sync_shards(str(drop))
+
+    # curate most of both shards, then corrupt b ON DISK
+    dead = [
+        r.filePath
+        for r in eng.chunks()
+        .filter(F.col("filePath").rlike("#(a[123]|b[123])\\.md$"))
+        .select("filePath").distinct().collect()
+    ]
+    delete_documents(spark, eng.table_path, dead)
+    eng.recover_indexes()
+    (drop / "b.tar").write_bytes(b"\x00garbage" * 64 + b"\xff" * 512)
+
+    rep = eng.repack_shards(str(drop), samples_per_shard=4)
+    # only a repacked; b (corrupt) untouched on disk, rows kept
+    assert [os.path.basename(p) for p in rep["candidates"]] == ["a.tar"]
+    assert (drop / "b.tar").exists()
+    assert not (drop / "a.tar").exists()
+    got = _titles(eng)
+    assert got == {"a0", "b0"}
+    import tarfile
+
+    for p in rep["new_shards"]:
+        with tarfile.open(p) as tf:
+            assert all("__corrupt__" not in m.name for m in tf.getmembers())
