@@ -365,7 +365,7 @@ def _vector_serve_bench(spark, sf_dir) -> tuple[float, float]:
     )
 
 
-def _neighbor_bench(spark) -> tuple[float, float, float]:
+def _neighbor_bench(spark) -> tuple[float, float, float, float]:
     import tempfile
 
     from pyspark.sql import functions as F

@@ -67,6 +67,12 @@ def _parser() -> argparse.ArgumentParser:
     rp.add_argument("--pattern", default="*.tar*")
     rp.add_argument("--samples-per-shard", type=int, default=1000)
     rp.add_argument("--min-utilization", type=float, default=0.5)
+    rp.add_argument(
+        "--reclaim-rowless", action="store_true",
+        help="also repack registered shards with ZERO live rows (by "
+             "default they are skipped: indistinguishable from a crashed "
+             "streaming micro-batch whose replay still needs the tar)",
+    )
 
     ee = sub.add_parser(
         "export-epoch",
@@ -383,6 +389,7 @@ def run(argv: list[str], engine, out=None) -> int:
             os.path.abspath(args.path), pattern=args.pattern,
             samples_per_shard=args.samples_per_shard,
             min_utilization=args.min_utilization,
+            reclaim_rowless=args.reclaim_rowless,
         )
         emit(rep)
         return 0
@@ -390,8 +397,14 @@ def run(argv: list[str], engine, out=None) -> int:
         import glob as _glob
 
         from .plans.export import export_packed_epoch
+        from .plans.repack import recover_pending_repack
 
         shard_dir = os.path.abspath(args.shard_dir)
+        # a crashed repack's half-applied file ops would double-serve
+        # live samples (old + staged tars both visible to the glob) —
+        # complete the pending intent before reading the directory,
+        # exactly like sync_shards/repack_shards do
+        recover_pending_repack(engine)
         paths = sorted(
             p
             for p in _glob.glob(os.path.join(shard_dir, args.pattern))

@@ -711,7 +711,7 @@ class RagEngine:
         # double-serve live samples (old and new tars both present) —
         # complete the pending intent first; the directory is then the
         # truth and this sync converges normally
-        recover_pending_repack(self, shard_dir)
+        recover_pending_repack(self)
         listing = sorted(
             p
             for p in _glob.glob(os.path.join(shard_dir, pattern))
@@ -926,11 +926,14 @@ class RagEngine:
         pattern: str = "*.tar*",
         samples_per_shard: int = 1000,
         min_utilization: float = 0.5,
+        reclaim_rowless: bool = False,
     ) -> dict:
         """Shard-grain compaction: merge sparse/small shards' live samples
         into full new shards under the repack intent protocol (see
         plans/repack — crash-recoverable; output samples are re-keyed, so
-        epoch cursors do not survive a repack)."""
+        epoch cursors do not survive a repack; wholly-rowless shards are
+        skipped unless ``reclaim_rowless`` vouches no watcher is
+        mid-flight)."""
         from .plans.repack import repack_shards
 
         return repack_shards(
@@ -939,6 +942,7 @@ class RagEngine:
             pattern=pattern,
             samples_per_shard=samples_per_shard,
             min_utilization=min_utilization,
+            reclaim_rowless=reclaim_rowless,
         )
 
     def ingest_file(

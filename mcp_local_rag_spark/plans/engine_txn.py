@@ -80,14 +80,21 @@ def read_intent(table_path: str) -> dict | None:
         return {"full": True}
 
 
-def _write(table_path: str, intent: dict) -> None:
-    os.makedirs(table_path, exist_ok=True)
-    tmp = _intent_path(table_path) + ".tmp"
+def write_json_atomic(path: str, obj: dict) -> None:
+    """Crash-durable JSON sidecar write — tmp + fsync + atomic rename.
+    The one shared copy of the idiom every intent/marker in the package
+    uses (this module's index intent, plans/repack's repack marker)."""
+    tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(intent, f)
+        json.dump(obj, f, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, _intent_path(table_path))
+    os.replace(tmp, path)
+
+
+def _write(table_path: str, intent: dict) -> None:
+    os.makedirs(table_path, exist_ok=True)
+    write_json_atomic(_intent_path(table_path), intent)
 
 
 def publish_intent(

@@ -467,7 +467,12 @@ def export_packed_epoch(
     tokenizer: str = "whitespace",
 ) -> dict:
     """Materialize ONE seeded training epoch of a WebDataset corpus as
-    packed-sequence shards: epoch order (plans/epoch.epoch_keys) ->
+    packed-sequence shards. Callers resolving ``shard_paths`` from a
+    repack-managed directory must run ``plans.repack.recover_pending_repack``
+    first (the CLI ``export-epoch`` verb does): a crashed repack's
+    half-applied file ops leave old and staged tars both visible, and an
+    epoch read over that state double-serves every live sample.
+    Pipeline: epoch order (plans/epoch.epoch_keys) ->
     whitespace tokenization of each sample's text member -> GPT-style
     concat-and-chunk into ``seq_len``-token sequences -> one tar shard
     family per SOURCE shard (deterministic re-export, sha256 manifest).

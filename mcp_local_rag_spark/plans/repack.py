@@ -10,10 +10,26 @@ destructive file ops; recovery converges from any crash point), then
 reconciles the table through the ordinary ``sync_shards`` pass.
 
 Liveness: a sample whose picked TEXT member has chunk rows in the table
-is live; a sample whose text member has NO rows was curated away and is
-dropped; a sample with no text members at all (e.g. json-only metadata)
-was never in the table and is always KEPT — repack must not lose data
-the table never tracked.
+is live. A text sample with NO rows is ambiguous — it was either curated
+away (drop) or it NEVER ingested (member-level parse failure, text below
+the chunker's minimum gate — states ``sync_shards`` keeps-and-warns for,
+never deletes). The two are told apart by re-running the parse+chunk
+pipeline (embedding-free gates; a cheap pseudo backend suffices) on just
+the rowless text samples of candidate shards: a sample that PRODUCES
+chunks now but has none in the table can only have been curated away —
+dropped; a sample that produces nothing could never have contributed
+rows — KEPT, mirroring the sync contract that zero-chunk outcomes never
+destroy source bytes. A sample with no text members at all (e.g.
+json-only metadata) was never in the table and is always KEPT.
+
+A registered shard with text members but ZERO live samples is excluded
+from candidacy entirely (reported under ``skipped_rowless``): the
+streaming watcher registers shards BEFORE their rows land
+(streaming/watch registration-first ordering), so a wholly-rowless shard
+is indistinguishable from a crashed micro-batch whose checkpoint replay
+still needs the original tar on disk. Pass ``reclaim_rowless=True`` only
+when no watcher is mid-flight on the directory (e.g. between epochs,
+watchers quiesced) to let fully-curated shards reclaim.
 
 Sample identity / epoch purity: output members are RE-KEYED as
 ``<md5(source_shard)[:8]>-<sample_key>`` — globally unique across merged
@@ -67,21 +83,37 @@ def _intent_path(table_path: str) -> str:
 
 
 def read_repack_intent(table_path: str) -> dict | None:
+    """The pending repack marker, or None. A torn/unreadable marker RAISES
+    with operator guidance rather than guessing: the marker is the only
+    record of which file ops may be half-applied, so neither 'ignore it'
+    (a routine sync could double-serve samples present in both old and
+    staged tars) nor any automatic fallback is safe — unlike engine_txn's
+    index intent, whose always-safe degradation (full rebuild) has no
+    repack analogue. The write is atomic (tmp+fsync+rename), so this path
+    only fires on filesystem-level damage."""
     p = _intent_path(table_path)
     if not os.path.exists(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    try:
+        with open(p) as f:
+            it = json.load(f)
+        if not isinstance(it, dict):
+            raise ValueError("not a dict")
+        return it
+    except (OSError, ValueError) as e:
+        raise RuntimeError(
+            f"repack intent marker unreadable ({e}): {p}. Staged tars (if"
+            " any) are still under the shard directory's .repack-staging/;"
+            " inspect which of the marker's file ops applied before"
+            " removing the marker — do not sync over it."
+        ) from e
 
 
 def _publish_repack_intent(table_path: str, intent: dict) -> None:
+    from .engine_txn import write_json_atomic
+
     os.makedirs(table_path, exist_ok=True)
-    tmp = _intent_path(table_path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(intent, f, indent=1, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _intent_path(table_path))
+    write_json_atomic(_intent_path(table_path), intent)
 
 
 def _apply_file_ops(intent: dict) -> None:
@@ -97,19 +129,17 @@ def _apply_file_ops(intent: dict) -> None:
             os.unlink(p)
 
 
-def recover_pending_repack(engine, shard_dir: str | None = None) -> bool:
+def recover_pending_repack(engine) -> bool:
     """Complete a crashed repack's file ops and clear the marker. Returns
     True when a pending intent was found (callers then re-sync). MUST be
-    called before any shard reconciliation of the directory — a sync over
-    half-applied file ops would ingest the new tars while the old ones
-    still serve, double-counting every live sample."""
+    called before any shard reconciliation or epoch read of the directory
+    — a read over half-applied file ops would see the new tars while the
+    old ones still serve, double-counting every live sample. The marker
+    is table-global and carries its own shard_dir, so recovery completes
+    regardless of which directory the caller is operating on."""
     intent = read_repack_intent(engine.table_path)
     if intent is None:
         return False
-    if shard_dir is not None and os.path.abspath(shard_dir) != intent["shard_dir"]:
-        # a different directory's sync must still complete the pending
-        # repack — the marker is table-global
-        pass
     _apply_file_ops(intent)
     os.unlink(_intent_path(engine.table_path))
     return True
@@ -122,18 +152,21 @@ def repack_shards(
     pattern: str = "*.tar*",
     samples_per_shard: int = 1000,
     min_utilization: float = 0.5,
+    reclaim_rowless: bool = False,
 ) -> dict:
     """Merge sparse/small registered shards into full new shards. A shard
     is a candidate when its live-sample fraction is below
     ``min_utilization`` or it holds fewer than ``samples_per_shard // 2``
-    samples. Returns a report; a run with nothing to do is a no-op."""
+    samples. Returns a report; a run with nothing to do is a no-op. See
+    the module docstring for the liveness rule (curated-away vs
+    never-ingested) and ``reclaim_rowless``."""
     from ..sources.scan import read_files
     from ..sources.webdataset import TEXT_SLOTS, expand_shards, pick_text_rows
     from .export import export_webdataset_shards
 
     spark = engine.spark
     shard_dir = os.path.abspath(shard_dir)
-    if recover_pending_repack(engine, shard_dir):
+    if recover_pending_repack(engine):
         engine.sync_shards(shard_dir, pattern=pattern)
     staging = os.path.join(shard_dir, STAGING_DIR)
     if os.path.isdir(staging):  # stale staging from a pre-intent crash
@@ -148,7 +181,7 @@ def repack_shards(
     )
     report = {
         "candidates": [], "new_shards": [], "samples_kept": 0,
-        "samples_dropped": 0, "noop": True,
+        "samples_dropped": 0, "skipped_rowless": [], "noop": True,
     }
     if not listing:
         return report
@@ -181,29 +214,36 @@ def repack_shards(
             members_clean.groupBy("shard", "sample_key")
             .agg(F.max(fmt.isin(list(TEXT_SLOTS)).cast("int")).alias("has_text"))
         )
-        # the picked text member's table path — the identity ingest used
+        # the picked text member, content kept (the producibility check
+        # below re-parses it); text_path is the identity ingest used
         # (pick_text_members' path spelling, with shard/sample_key kept)
-        picked = pick_text_rows(members_clean).select(
-            "shard",
-            "sample_key",
+        picked = pick_text_rows(members_clean).withColumn(
+            "text_path",
             F.concat_ws(
                 "", F.col("shard"), F.lit("#"), F.col("sample_key"),
                 F.lit("."), F.col("slot"),
-            ).alias("text_path"),
+            ),
         )
+        picked_ids = picked.select("shard", "sample_key", "text_path")
         if engine._exists():
             stored = (
                 engine.chunks()
                 .select(F.col("filePath").alias("text_path"))
                 .distinct()
             )
-            live_text = picked.join(stored, "text_path", "left_semi").select(
-                "shard", "sample_key", F.lit(1).alias("live")
-            )
+            live_text = picked_ids.join(
+                stored, "text_path", "left_semi"
+            ).select("shard", "sample_key", F.lit(1).alias("live"))
         else:
-            live_text = picked.select(
+            live_text = picked_ids.select(
                 "shard", "sample_key", F.lit(0).alias("live")
             ).limit(0)
+        # optimistic keep (every rowless text sample assumed curated
+        # away) is used for PRELIMINARY candidacy only: the final keep
+        # set can only grow from here (unproducible samples come back),
+        # so no shard outside this candidate set could qualify later —
+        # and the producibility re-parse then runs on just the
+        # candidates' dead samples, not the whole directory
         flags = (
             samples.join(live_text, ["shard", "sample_key"], "left")
             .withColumn(
@@ -212,27 +252,93 @@ def repack_shards(
             )
         )
         stats = {
-            r["shard"]: (int(r["total"]), int(r["kept"]))
+            r["shard"]: (int(r["total"]), int(r["kept"]), int(r["live_n"]))
             for r in flags.groupBy("shard")
             .agg(
                 F.count("*").alias("total"),
                 F.sum(F.col("keep").cast("int")).alias("kept"),
+                F.sum(F.col("live").isNotNull().cast("int")).alias("live_n"),
             )
             .collect()  # bounded: one row per shard
         }
         small = samples_per_shard // 2
-        cands = sorted(
+        prelim = sorted(
             s
-            for s, (total, kept) in stats.items()
+            for s, (total, kept, _live) in stats.items()
             if kept < total * min_utilization or total < small
         )
-        has_dead = any(stats[s][1] < stats[s][0] for s in cands)
+        # wholly-rowless text-bearing shards: indistinguishable from a
+        # crashed streaming micro-batch whose replay still needs the tar
+        # (see module docstring) — excluded unless the caller vouches
+        skipped_rowless = sorted(
+            s
+            for s in prelim
+            if stats[s][2] == 0 and stats[s][1] < stats[s][0]
+        ) if not reclaim_rowless else []
+        report["skipped_rowless"] = skipped_rowless
+        prelim = [s for s in prelim if s not in set(skipped_rowless)]
+        if not prelim:
+            return report
+
+        # producibility: re-run the ingest parse+chunk gates (cheap
+        # pseudo embedding — the gates are backend-independent) on the
+        # candidates' rowless text samples; a sample that yields no
+        # chunks could never have contributed rows, so its absence from
+        # the table is NOT curation and it must be kept
+        from ..sources.parsers import parse_files
+        from .ingest import build_chunks
+
+        dead = picked.filter(F.col("shard").isin(prelim)).join(
+            live_text.select("shard", "sample_key"),
+            ["shard", "sample_key"],
+            "left_anti",
+        )
+        dead_ids = dead.select("shard", "sample_key", "text_path")
+        hashed = dead.select(
+            F.col("text_path").alias("path"),
+            "content",
+            F.col("size").alias("length"),
+        ).withColumn("contentHash", F.lower(F.sha2(F.col("content"), 256)))
+        parsed = parse_files(hashed).join(
+            hashed.select("path", "contentHash", "length"), "path"
+        )
+        producible_paths = (
+            build_chunks(
+                parsed.filter(F.col("parse_error").isNull()),
+                dim=8,
+                backend="pseudo",
+            )
+            .select(F.col("filePath").alias("text_path"))
+            .distinct()
+        )
+        unproducible = dead_ids.join(
+            producible_paths, "text_path", "left_anti"
+        ).select("shard", "sample_key")
+        kept_back = {
+            r["shard"]: int(r["n"])
+            for r in unproducible.groupBy("shard")
+            .agg(F.count("*").alias("n"))
+            .collect()  # bounded: one row per shard
+        }
+        # FINAL candidacy with the corrected kept counts — a shard whose
+        # "dead" samples were all unproducible gains nothing from a
+        # rewrite (and a rewrite re-keys samples, breaking epoch purity)
+        final_kept = {s: stats[s][1] + kept_back.get(s, 0) for s in prelim}
+        cands = sorted(
+            s
+            for s in prelim
+            if final_kept[s] < stats[s][0] * min_utilization
+            or stats[s][0] < small
+        )
+        has_dead = any(final_kept[s] < stats[s][0] for s in cands)
         if not cands or (len(cands) == 1 and not has_dead):
             return report  # nothing to gain
 
-        keep_keys = flags.filter(
-            F.col("shard").isin(cands) & F.col("keep")
-        ).select("shard", "sample_key")
+        keep_keys = (
+            flags.filter(F.col("shard").isin(cands) & F.col("keep"))
+            .select("shard", "sample_key")
+            .unionByName(unproducible.filter(F.col("shard").isin(cands)))
+        )
         # re-key: md5(source shard)[:8] prefix — see module docstring
         out_members = (
             members_clean.join(keep_keys, ["shard", "sample_key"], "left_semi")
@@ -244,8 +350,8 @@ def repack_shards(
                 "content",
             )
         )
-        kept_total = sum(stats[s][1] for s in cands)
-        dropped_total = sum(stats[s][0] - stats[s][1] for s in cands)
+        kept_total = sum(final_kept[s] for s in cands)
+        dropped_total = sum(stats[s][0] - final_kept[s] for s in cands)
         run_id = hashlib.sha256(
             ("|".join(cands) + "|" + str(sorted(known.get(c) for c in cands)))
             .encode()

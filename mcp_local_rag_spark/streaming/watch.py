@@ -152,6 +152,18 @@ def _append_chunk_batch(
         r["filePath"] for r in chunks.select("filePath").distinct().collect()
     }
     spark = chunks.sparkSession
+    if attributed:
+        # cooperating-writer protocol (plans/engine_txn, round 13): the
+        # watcher records the batch's paths BEFORE mutating — including
+        # before the remnant cleanse below, whose delete is a table
+        # mutation like any other — and runs its bumps attributed, so a
+        # crash anywhere between the first mutation and the covers stamp
+        # leaves a PROVEN intent — a restarted engine on this table
+        # recovers with a bounded refresh of these paths instead of the
+        # full O(corpus) rebuild an unattributed covers-mismatch forces
+        from ..plans.engine_txn import publish_intent, retire_fts_paths
+
+        publish_intent(table_path, paths=batch_paths)
     if batch_paths and glob.glob(os.path.join(table_path, "bucket=*")):
         from ..functions.spark_hash import bucket_of
         from ..plans.ingest import delete_documents
@@ -165,7 +177,12 @@ def _append_chunk_batch(
             .count()
         )
         if remnant:
-            delete_documents(spark, table_path, paths)
+            # attributed like every other mutation: the cleanse's bump
+            # must extend the intent's version chain, or a crash between
+            # here and the final covers stamp degrades a restarted
+            # engine's bounded recovery to the full rebuild
+            with attribute_mutations(table_path) if attributed else nullcontext():
+                delete_documents(spark, table_path, paths)
             if postings_path is not None and os.path.isdir(postings_path):
                 from ..plans.fts import refresh_postings
 
@@ -173,17 +190,6 @@ def _append_chunk_batch(
                     spark, postings_path,
                     deleted_paths=paths, tokenizer=tokenizer,
                 )
-    if attributed:
-        # cooperating-writer protocol (plans/engine_txn, round 13): the
-        # watcher records the batch's paths BEFORE mutating and runs its
-        # bumps attributed, so a crash between the chunks append and the
-        # postings append/stamp leaves a PROVEN intent — a restarted
-        # engine on this table recovers with a bounded refresh of these
-        # paths instead of the full O(corpus) rebuild an unattributed
-        # covers-mismatch forces
-        from ..plans.engine_txn import publish_intent, retire_fts_paths
-
-        publish_intent(table_path, paths=batch_paths)
     # the SAME append discipline as batch ingest (one sorted file per
     # bucket) — a hand-rolled partitionBy here would write one unsorted
     # file per (task, bucket) pair each micro-batch and break the

@@ -379,3 +379,64 @@ def test_epoch_after_rejects_unknown_cursor(spark, tmp_path):
             samples, seed=1, buffer=2,
             cursor_shard=paths[0], cursor_key="nope",
         )
+
+def test_export_epoch_recovers_pending_repack_first(spark, tmp_path):
+    """r15 review: a crashed repack's half-applied file ops leave old and
+    staged tars both visible; export-epoch must complete the pending
+    intent before globbing, or the materialized epoch double-serves every
+    live sample of the candidates."""
+    import io
+    import json as _json
+
+    from mcp_local_rag_spark.cli import run
+    from mcp_local_rag_spark.engine import RagEngine
+    from mcp_local_rag_spark.plans.repack import (
+        _publish_repack_intent,
+        read_repack_intent,
+    )
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    a = shard_dir / "a.tar"
+    b = shard_dir / "b.tar"
+    a.write_bytes(write_tar_shard([("a0.txt", b"alpha tokens here")]))
+    b.write_bytes(write_tar_shard([("b0.txt", b"beta tokens here")]))
+    eng = RagEngine(spark, str(tmp_path / "table"))
+
+    # a crashed repack: a.tar was merged into a staged tar; the intent
+    # published but NO file ops applied — both copies of a0 are visible
+    staging = shard_dir / ".repack-staging"
+    staging.mkdir()
+    staged_name = "repack-deadbeef-000000.tar"
+    (staging / staged_name).write_bytes(
+        write_tar_shard([("12345678-a0.txt", b"alpha tokens here")])
+    )
+    _publish_repack_intent(
+        eng.table_path,
+        {
+            "shard_dir": str(shard_dir),
+            "staging": str(staging),
+            "old": [str(a)],
+            "staged": [staged_name],
+            "run_id": "deadbeef",
+        },
+    )
+
+    out_dir = tmp_path / "epoch0"
+    buf = io.StringIO()
+    rc = run(
+        [
+            "export-epoch", str(shard_dir), str(out_dir),
+            "--seed", "1", "--seq-len", "8",
+        ],
+        eng,
+        buf,
+    )
+    assert rc == 0
+    # recovery ran: marker cleared, old tar gone, staged tar moved in
+    assert read_repack_intent(eng.table_path) is None
+    assert not a.exists()
+    assert (shard_dir / staged_name).exists()
+    rep = _json.loads(buf.getvalue().splitlines()[-1])
+    # the epoch serves a0 exactly once: 6 tokens total, never 9
+    assert rep["n_tokens"] == 6, rep

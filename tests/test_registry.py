@@ -28,24 +28,15 @@ def test_registry_order_puts_unverified_first():
     """The driver checks a 50-query window from the head: never-verified
     oracle-paired entries must sort before previously-green ones (and
     rows-only entries sort after everything)."""
-    from mcp_local_rag_spark.queries import (
-        _VERIFIED_R1,
-        _VERIFIED_R2,
-        _VERIFIED_R3,
-        _VERIFIED_R4,
-        _VERIFIED_R5,
-        _VERIFIED_R7,
-        _VERIFIED_R8,
-        _VERIFIED_R10,
-        _VERIFIED_R11,
-        _VERIFIED_R12,
-    )
+    # derive the verified union from the module so a new round's fold
+    # can never silently stale this test (r15: the R13/R14 fold landed
+    # while this import list stopped at R12)
+    import mcp_local_rag_spark.queries as qmod
 
-    seen = (
-        _VERIFIED_R1 | _VERIFIED_R2 | _VERIFIED_R3 | _VERIFIED_R4
-        | _VERIFIED_R5 | _VERIFIED_R7 | _VERIFIED_R8 | _VERIFIED_R10
-        | _VERIFIED_R11 | _VERIFIED_R12
-    )
+    seen = set()
+    for attr in dir(qmod):
+        if attr.startswith("_VERIFIED_R"):
+            seen |= getattr(qmod, attr)
     names = list(queries())
     paired = set(oracle_sql())
     first_seen_idx = min(i for i, n in enumerate(names) if n in seen)

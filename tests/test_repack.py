@@ -220,3 +220,111 @@ def test_repack_skips_disk_corrupted_shards(spark, tmp_path):
     for p in rep["new_shards"]:
         with tarfile.open(p) as tf:
             assert all("__corrupt__" not in m.name for m in tf.getmembers())
+
+
+def test_repack_keeps_never_ingested_text_samples(spark, tmp_path):
+    """r15 review: a text sample with NO table rows is only dropped when
+    it was curated away. A sample that never ingested — its text is below
+    the chunker's minimum gate, so ingest produced zero chunks for it —
+    must travel into the repacked shard, mirroring sync_shards' contract
+    that zero-chunk outcomes never destroy source bytes."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    # a.tar: 5 normal samples + 1 below-gate sample (registered because
+    # the shard as a whole produced chunks); b.tar: 4 normal samples
+    members = [(f"a{i}.md", (f"# a{i}\n\n" + BODY).encode()) for i in range(5)]
+    members.append(("tiny.md", b"hi"))  # below MIN_CHUNK_LENGTH
+    (drop / "a.tar").write_bytes(write_tar_shard(members))
+    _mk_shard(drop / "b.tar", [f"b{i}" for i in range(4)])
+    eng = RagEngine(spark, str(tmp_path / "table"))
+    eng.sync_shards(str(drop))
+    assert _titles(eng) == {f"a{i}" for i in range(5)} | {
+        f"b{i}" for i in range(4)
+    }
+
+    # curate away a1..a4 and b1..b3 -> both shards sparse even with the
+    # kept-back tiny sample (a: 2/6 = 0.33 < 0.5, b: 1/4)
+    from mcp_local_rag_spark.plans.ingest import delete_documents
+
+    dead = [
+        r.filePath
+        for r in eng.chunks()
+        .filter(F.col("filePath").rlike("#(a[1234]|b[123])\\.md$"))
+        .select("filePath").distinct().collect()
+    ]
+    assert len(dead) == 7
+    delete_documents(spark, eng.table_path, dead)
+    eng.recover_indexes()
+
+    rep = eng.repack_shards(str(drop), samples_per_shard=4)
+    assert not rep["noop"]
+    # kept: a0 + b0 (live) + tiny (unproducible, never ingested)
+    assert rep["samples_kept"] == 3 and rep["samples_dropped"] == 7
+    import tarfile
+
+    names = set()
+    for p in rep["new_shards"]:
+        with tarfile.open(p) as tf:
+            names |= {m.name for m in tf.getmembers()}
+    assert any(n.endswith("-tiny.md") for n in names), names
+    # the kept-back sample's bytes are intact in the new shard
+    for p in rep["new_shards"]:
+        with tarfile.open(p) as tf:
+            for m in tf.getmembers():
+                if m.name.endswith("-tiny.md"):
+                    assert tf.extractfile(m).read() == b"hi"
+    # served state unchanged: tiny never had rows, still has none
+    assert _titles(eng) == {"a0", "b0"}
+
+
+def test_repack_excludes_wholly_rowless_shards(spark, tmp_path):
+    """r15 review: a registered shard with text members but ZERO live
+    rows is indistinguishable from a crashed streaming micro-batch whose
+    checkpoint replay still needs the tar — excluded from candidacy by
+    default (reported), reclaimed only under reclaim_rowless=True."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    _mk_shard(drop / "a.tar", [f"a{i}" for i in range(4)])
+    _mk_shard(drop / "b.tar", [f"b{i}" for i in range(4)])
+    eng = RagEngine(spark, str(tmp_path / "table"))
+    eng.sync_shards(str(drop))
+
+    # curate away ALL of a (fully rowless) and most of b
+    from mcp_local_rag_spark.plans.ingest import delete_documents
+
+    dead = [
+        r.filePath
+        for r in eng.chunks()
+        .filter(F.col("filePath").rlike("#(a[0123]|b[123])\\.md$"))
+        .select("filePath").distinct().collect()
+    ]
+    delete_documents(spark, eng.table_path, dead)
+    eng.recover_indexes()
+
+    rep = eng.repack_shards(str(drop), samples_per_shard=4)
+    # a.tar skipped (rowless), untouched on disk; b.tar repacked alone
+    assert [os.path.basename(p) for p in rep["skipped_rowless"]] == ["a.tar"]
+    assert [os.path.basename(p) for p in rep["candidates"]] == ["b.tar"]
+    assert (drop / "a.tar").exists() and not (drop / "b.tar").exists()
+    assert _titles(eng) == {"b0"}
+
+    # the caller vouches (no watcher mid-flight): a.tar reclaims fully
+    rep2 = eng.repack_shards(
+        str(drop), samples_per_shard=4, reclaim_rowless=True
+    )
+    assert str(drop / "a.tar") in rep2["candidates"]
+    assert not (drop / "a.tar").exists()
+    assert _titles(eng) == {"b0"}
+
+
+def test_repack_torn_intent_marker_raises_with_guidance(spark, tmp_path):
+    """A torn repack marker has no safe automatic fallback (the marker is
+    the only record of which file ops may be half-applied) — reads must
+    raise with operator guidance, not guess or crash obscurely."""
+    from mcp_local_rag_spark.plans.repack import read_repack_intent
+
+    table = tmp_path / "table"
+    table.mkdir()
+    (table / "_repack_intent.json").write_text("{\"shard_dir\": tru")
+    with pytest.raises(RuntimeError, match="repack intent marker unreadable"):
+        read_repack_intent(str(table))

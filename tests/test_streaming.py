@@ -1326,3 +1326,102 @@ def test_stream_shard_lifecycle_crash_fuzz(spark, tmp_path, monkeypatch):
                 for r in read_postings(spark, ref).select(*cols).collect()
             }
             assert got_p == want_p, (rnd, window)
+
+
+def test_stream_replay_cleanse_keeps_recovery_bounded(
+    spark, tmp_path, monkeypatch
+):
+    """r15 review: the partial-replay cleanse's remnant delete must run
+    attributed and BEHIND the published intent. A crash between the
+    cleanse and the final covers stamp then leaves a version chain the
+    restarted engine walks back to the stamp (bounded refresh of the
+    batch's paths); an unattributed cleanse bump would break the chain
+    and silently degrade recovery to the full O(corpus) rebuild."""
+    import mcp_local_rag_spark.plans.fts as fts_mod
+    import mcp_local_rag_spark.streaming.watch as watch_mod
+    from mcp_local_rag_spark.engine import RagEngine
+    from mcp_local_rag_spark.plans.engine_txn import chain_reaches, read_intent
+    from mcp_local_rag_spark.plans.fts import read_postings, write_postings
+    from mcp_local_rag_spark.plans.ingest import read_table_meta, table_version
+    from mcp_local_rag_spark.sources.webdataset import write_tar_shard
+    from mcp_local_rag_spark.streaming.watch import stream_ingest_shards
+
+    body = (
+        "Bounded-recovery prose about attributed cleanse mutations. "
+        "A second sentence keeps it past the minimum chunk gate.\n"
+    )
+    watch = tmp_path / "drop"
+    watch.mkdir()
+    table = str(tmp_path / "table")
+    postings = str(tmp_path / "postings")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_ingest_shards(
+            spark, str(watch), table, ckpt,
+            postings_path=postings, available_now=True,
+        )
+        try:
+            q.awaitTermination(180)
+            return None
+        except Exception as exc:
+            return str(exc)
+
+    def boom(msg):
+        def _raise(*a, **k):
+            raise RuntimeError(f"crash:{msg}")
+
+        return _raise
+
+    # batch 1: clean — table + postings + covers stamp exist
+    (watch / "s0.tar").write_bytes(
+        write_tar_shard([("s0.md", ("# s0\n\n" + body).encode())])
+    )
+    assert run() is None
+
+    # batch 2: fully applied, crash at the marker -> replay will find
+    # this batch's rows as remnants
+    (watch / "s1.tar").write_bytes(
+        write_tar_shard([("s1.md", ("# s1\n\n" + body).encode())])
+    )
+    monkeypatch.setattr(watch_mod, "_mark_batch_applied", boom("mark"))
+    err = run()
+    assert err is not None and "crash:mark" in err
+    monkeypatch.undo()
+    covered = read_table_meta(postings).get("covers_table_version")
+    assert covered is not None
+
+    # replay: the cleanse deletes the remnant, the chunks re-append, and
+    # the postings append crashes BEFORE the new covers stamp
+    monkeypatch.setattr(fts_mod, "write_postings", boom("postings"))
+    err = run()
+    assert err is not None and "crash:postings" in err
+    monkeypatch.undo()
+
+    # the sharp claim: every bump since the stamp (cleanse delete +
+    # re-append) is attributed, so the chain reaches and a restarted
+    # engine plans a BOUNDED refresh, not the full rebuild
+    it = read_intent(table)
+    assert it is not None and not it.get("full")
+    assert any(p.startswith(str(watch / "s1.tar")) for p in it.get("paths") or ())
+    tv = table_version(table)
+    assert chain_reaches(it, tv, covered), (tv, covered, it)
+    eng = RagEngine(spark, table, postings_path=postings)
+    assert eng._needs_full_index is False
+
+    # converge: replay completes, served state exact, postings equal a
+    # from-scratch rebuild
+    assert run() is None
+    eng = RagEngine(spark, table, postings_path=postings)
+    eng.recover_indexes()
+    spark.catalog.refreshByPath(table)
+    rows = eng.chunks().select("filePath", "chunkIndex", "fileTitle").collect()
+    assert {r.fileTitle for r in rows} == {"s0", "s1"}
+    keys = [(r.filePath, r.chunkIndex) for r in rows]
+    assert len(keys) == len(set(keys))
+    ref = str(tmp_path / "ref_fts")
+    write_postings(eng.chunks(), ref, n_buckets=4)
+    cols = ("term", "filePath", "chunkIndex", "tf")
+    got = {tuple(r) for r in read_postings(spark, postings).select(*cols).collect()}
+    want = {tuple(r) for r in read_postings(spark, ref).select(*cols).collect()}
+    assert got == want
