@@ -243,6 +243,25 @@ def pack_token_spans(
     )
 
 
+def epoch_universe(shard_paths: list[str]) -> str:
+    """Identity of the shard SET an epoch order is defined over — md5 of
+    the sorted shard paths. Every epoch key is a pure hash of (seed,
+    shard, key), so the epoch order is a pure function of this set: add,
+    remove, or re-key (repack) ONE shard and the order is a different
+    universe — a mid-epoch cursor minted in the old universe does not
+    name a position in the new one (a new shard's samples sort anywhere,
+    including BEFORE the cursor, so a naive resume silently skips them).
+    Mint this alongside the cursor and hand it to ``epoch_after``'s
+    ``universe``/``shard_paths`` pair to fail loudly instead. Shard
+    CONTENT is deliberately not hashed: shards are immutable-by-name
+    (streaming/watch contract; sync_shards replaces a changed shard's
+    rows, and repack re-keys), so the path set is the identity — and the
+    check stays zero-IO on a million-shard corpus."""
+    import hashlib
+
+    return hashlib.md5("\n".join(sorted(shard_paths)).encode()).hexdigest()
+
+
 def epoch_after(
     samples: DataFrame,
     *,
@@ -254,6 +273,8 @@ def epoch_after(
     key_col: str = "sample_key",
     index_col: str | None = "first_member_index",
     validate: bool = True,
+    universe: str | None = None,
+    shard_paths: list[str] | None = None,
 ) -> DataFrame:
     """Sample-exact mid-epoch RESUME: the samples strictly AFTER the
     cursor in the seeded epoch order — a trainer that died at sample k
@@ -277,9 +298,31 @@ def epoch_after(
     that names no sample: with ``buffer`` set, a missing cursor has no
     archive position, so its block — and therefore the resume point —
     would be undefined; failing loudly beats silently skipping or
-    replaying data."""
+    replaying data.
+
+    ``universe`` + ``shard_paths`` (pass both) reject a cursor minted
+    over a DIFFERENT shard set (``epoch_universe``): the existence probe
+    alone cannot catch a shard ADDED since the cursor — its samples sort
+    anywhere in the epoch order, including before the cursor, and a
+    naive resume would silently skip every one of them."""
     import hashlib
 
+    if (universe is None) != (shard_paths is None):
+        raise ValueError(
+            "universe and shard_paths must be passed together (the"
+            " recorded universe is checked against the CURRENT shard set)"
+        )
+    if universe is not None:
+        current = epoch_universe(shard_paths)
+        if current != universe:
+            raise ValueError(
+                "epoch universe changed since the cursor was minted"
+                f" (recorded {universe}, current {current}): the shard"
+                " set gained/lost/re-keyed members, so the cursor does"
+                " not name a position in the current epoch order —"
+                " restart the epoch (or re-mint the cursor) instead of"
+                " resuming"
+            )
     if validate:
         hit = (
             samples.filter(

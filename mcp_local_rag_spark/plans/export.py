@@ -588,6 +588,8 @@ def export_packed_epoch(
         raise AssertionError(
             f"packed epoch lost tokens: in={n_in} out={n_out}"
         )
+    from .epoch import epoch_universe
+
     return {
         "manifest": manifest,
         "seed": int(seed),
@@ -596,4 +598,8 @@ def export_packed_epoch(
         "tokenizer": tokenizer,
         "n_packs": int(acct["n_packs"]),
         "n_tokens": n_out,
+        # identity of the source shard set this epoch order is defined
+        # over — a mid-epoch cursor is only resumable while the current
+        # set still matches (plans/epoch.epoch_universe / epoch_after)
+        "epoch_universe": epoch_universe([str(p) for p in shard_paths]),
     }

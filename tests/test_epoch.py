@@ -440,3 +440,76 @@ def test_export_epoch_recovers_pending_repack_first(spark, tmp_path):
     rep = _json.loads(buf.getvalue().splitlines()[-1])
     # the epoch serves a0 exactly once: 6 tokens total, never 9
     assert rep["n_tokens"] == 6, rep
+
+def test_epoch_universe_guards_resume_across_shard_set_changes(
+    spark, tmp_path
+):
+    """The existence probe alone cannot catch a shard ADDED since the
+    cursor was minted — its samples sort anywhere in the epoch order and
+    a naive resume silently skips the ones before the cursor. The
+    universe stamp (md5 of the sorted shard set) fails loudly instead."""
+    import pytest as _pytest
+
+    from mcp_local_rag_spark.plans.epoch import (
+        epoch_after,
+        epoch_samples,
+        epoch_universe,
+    )
+
+    paths = _make_shards(tmp_path, n_shards=3, samples=4)
+    # identity is the SET: order-insensitive, member-sensitive
+    assert epoch_universe(paths) == epoch_universe(list(reversed(paths)))
+    assert epoch_universe(paths) != epoch_universe(paths[:-1])
+    assert epoch_universe(paths) != epoch_universe(
+        paths + [str(tmp_path / "new.tar")]
+    )
+
+    minted = epoch_universe(paths)
+    order = _order(spark, paths, seed=5)
+    cur_shard, cur_key = order[3]
+
+    # matching universe: resume returns exactly the tail after the cursor
+    def _resume(sample_paths, **kw):
+        from mcp_local_rag_spark.sources.webdataset import (
+            assemble_samples,
+            read_webdataset,
+        )
+
+        samples = assemble_samples(read_webdataset(spark, sample_paths))
+        return epoch_after(
+            samples, seed=5, cursor_shard=cur_shard, cursor_key=cur_key, **kw
+        )
+
+    tail = _resume(paths, universe=minted, shard_paths=paths)
+    got = [
+        (r["shard"], r["sample_key"])
+        for r in tail.orderBy(
+            "epoch_shard_ord", "shard", "epoch_block", "epoch_intra",
+            "sample_key",
+        ).select("shard", "sample_key").collect()
+    ]
+    assert got == order[4:]
+
+    # a shard ADDED since minting: cursor still exists, but the universe
+    # differs -> loud failure instead of a silent skip of the new shard's
+    # pre-cursor samples
+    (tmp_path / "more").mkdir(exist_ok=True)
+    extra = _make_shards(tmp_path / "more", n_shards=1, samples=2)
+    grown = paths + extra
+    with _pytest.raises(ValueError, match="epoch universe changed"):
+        _resume(grown, universe=minted, shard_paths=grown)
+
+    # the pair must travel together
+    with _pytest.raises(ValueError, match="must be passed together"):
+        _resume(paths, universe=minted)
+
+
+def test_export_packed_epoch_records_universe(spark, tmp_path):
+    from mcp_local_rag_spark.plans.epoch import epoch_universe
+    from mcp_local_rag_spark.plans.export import export_packed_epoch
+
+    paths = _make_shards(tmp_path, n_shards=2, samples=3)
+    rep = export_packed_epoch(
+        spark, paths, str(tmp_path / "out"), seed=1, seq_len=8
+    )
+    assert rep["epoch_universe"] == epoch_universe(paths)
