@@ -2624,3 +2624,178 @@ def q_corpus_epoch_resume(spark, sf_dir):
         F.col("epoch_shard_ord").alias("shard_ord"),
         F.col("epoch_rank").cast("long").alias("epoch_rank"),
     ).orderBy("shard_ord", "source", "epoch_rank")
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span REMOVAL (the transform behind text_dedup_spans'
+# measurement — Lee et al. 2022 apply it corpus-wide before training):
+# every occurrence of an 8-token span that is not the CORPUS-WIDE FIRST
+# occurrence (first = smallest (doc_id, position), within-doc repeats
+# included) has its positions removed; the cleaned document is the
+# surviving tokens in order. First-wins beats drop-both: exactly one copy
+# of every duplicated span survives training.
+#
+# Scale posture (100 TB): occurrence construction is map-only (the same
+# codegen shape as text_dedup_spans); the winner rule is min(okey) where
+# okey = doc_id * 1e9 + position — a pure integer, so the decision is ONE
+# partitioned window over the gram hash riding the stream's single
+# exchange (no second shuffle, no collected state); removed starts come
+# back to their documents via one doc_id aggregate, and the rebuild is a
+# per-document higher-order filter (bounded by doc length). No all-pairs
+# step; the only corpus-sized shuffles are the gram exchange and the
+# per-doc regroup.
+
+_REMOVAL_K = 8
+_OKEY_BASE = 1_000_000_000  # > any in-doc position, so min() orders (doc, pos)
+
+@register(
+    "text_dedup_span_removal",
+    f"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, i,
+         md5(array_to_string(t[i:i+{_REMOVAL_K - 1}], ' ')) AS g,
+         doc_id * {_OKEY_BASE} + i AS okey
+  FROM toks, unnest(range(1, len(t) - {_REMOVAL_K - 2})) AS r(i)
+  WHERE len(t) >= {_REMOVAL_K}
+),
+win AS (SELECT g, min(okey) AS wkey FROM occ GROUP BY g),
+removed AS (
+  SELECT occ.doc_id, occ.i FROM occ JOIN win USING (g)
+  WHERE occ.okey <> win.wkey
+),
+rpos AS (
+  SELECT DISTINCT doc_id, pos
+  FROM removed, unnest(range(removed.i, removed.i + {_REMOVAL_K})) AS s(pos)
+),
+pos AS (
+  SELECT toks.doc_id, u.p AS pos, toks.t[u.p] AS tok
+  FROM toks, unnest(range(1, len(toks.t) + 1)) AS u(p)
+),
+kept AS (
+  SELECT pos.doc_id, pos.pos, pos.tok
+  FROM pos ANTI JOIN rpos USING (doc_id, pos)
+),
+agg AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       len(toks.t)::BIGINT AS n_tokens,
+       (len(toks.t) - coalesce(agg.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(agg.cleaned_md5, md5('')) AS cleaned_md5
+FROM toks LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id""",
+)
+def q_text_dedup_span_removal(spark, sf_dir):
+    k = _REMOVAL_K
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("_toks"))
+    occ = (
+        toks.filter(F.size("_toks") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("_toks") - (k - 1))).alias(
+                "i"
+            ),
+            "_toks",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.concat_ws(" ", F.slice("_toks", F.col("i"), k))).alias("g"),
+            (
+                F.col("doc_id") * F.lit(_OKEY_BASE) + F.col("i")
+            ).cast("long").alias("okey"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # winner per gram as a window over the SAME hash partitioning the
+    # stream already crosses the wire with — one exchange total for the
+    # removal decision (the groupBy+join-back form would shuffle the
+    # occurrence stream twice)
+    removed = (
+        occ.repartition("g")
+        .withColumn("_wkey", F.min("okey").over(Window.partitionBy("g")))
+        .filter(F.col("okey") != F.col("_wkey"))
+        .select("doc_id", "i")
+    )
+    rem = removed.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("i")).alias("_starts")
+    )
+    # merge the sorted removed starts into DISJOINT [s, e) intervals
+    # first (the text_dedup_spans interval fold): the per-position
+    # membership test below then scans #intervals, not #starts — on
+    # boilerplate-dense documents (where starts ~ doc length) this takes
+    # the rebuild from O(n^2) to ~O(n) per document
+    ivs_t = "array<struct<s:int,e:int>>"
+    _iv = lambda s, e: F.array(F.struct(s.alias("s"), e.alias("e")))  # noqa: E731
+    intervals = F.aggregate(
+        F.coalesce(F.col("_starts"), F.expr("array()").cast("array<int>")),
+        F.struct(
+            F.expr("array()").cast(ivs_t).alias("ivs"),
+            F.lit(-1).alias("cs"),
+            F.lit(-1).alias("ce"),
+        ),
+        lambda acc, s: F.when(
+            acc["ce"] < 0,
+            F.struct(
+                acc["ivs"].alias("ivs"), s.alias("cs"), (s + F.lit(k)).alias("ce")
+            ),
+        )
+        .when(
+            s <= acc["ce"],
+            F.struct(
+                acc["ivs"].alias("ivs"),
+                acc["cs"].alias("cs"),
+                F.greatest(acc["ce"], s + F.lit(k)).alias("ce"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["ivs"], _iv(acc["cs"], acc["ce"])).alias("ivs"),
+                s.alias("cs"),
+                (s + F.lit(k)).alias("ce"),
+            )
+        ),
+        lambda acc: F.when(acc["ce"] < 0, acc["ivs"]).otherwise(
+            F.concat(acc["ivs"], _iv(acc["cs"], acc["ce"]))
+        ),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("_toks"),
+            lambda t, i: F.struct((i + F.lit(1)).alias("p"), t.alias("t")),
+        ),
+        lambda s: ~F.exists(
+            F.col("_ivs"),
+            lambda iv: (s["p"] >= iv["s"]) & (s["p"] < iv["e"]),
+        ),
+    )
+    return (
+        toks.join(rem, "doc_id", "left")
+        .withColumn("_ivs", intervals)
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            kept.alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.size("_kept")).cast("long").alias(
+                "n_removed"
+            ),
+            F.md5(
+                F.concat_ws(" ", F.transform(F.col("_kept"), lambda s: s["t"]))
+            ).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
