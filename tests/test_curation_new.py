@@ -284,3 +284,41 @@ def test_bpe_encode_accounting(spark, tmp_path):
     assert (out[3].n_words, out[3].n_chars, out[3].n_tokens) == (1, 2, 1)
     assert out[1].chars_per_token == 4.0
     assert out[3].chars_per_token == 2.0
+
+
+def test_dedup_span_removal_first_wins_semantics(spark, tmp_path):
+    """The removal transform's contract, pinned independently of the
+    DuckDB oracle (which only proves cross-engine agreement): the
+    corpus-wide FIRST occurrence of a duplicated 8-token span survives,
+    every later occurrence — cross-doc AND within-doc — is removed."""
+    import hashlib
+
+    from mcp_local_rag_spark.queries.curation import (
+        q_text_dedup_span_removal,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(16))
+    selfrep = " ".join(f"u{i}" for i in range(8))
+    rows = [
+        (1, base, "en", "s", len(base)),                    # owns its spans
+        (2, base, "en", "s", len(base)),                    # exact copy
+        (3, selfrep + " " + selfrep, "en", "s", 2 * len(selfrep) + 1),
+        (4, "short text only", "en", "s", 15),              # < 8 tokens
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    out = {
+        r.doc_id: r for r in q_text_dedup_span_removal(spark, sf_dir).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+
+    # doc 1 wins every gram it shares with doc 2: untouched
+    assert out[1].n_removed == 0 and out[1].cleaned_md5 == md5(base)
+    # doc 2 is a full copy: every position covered, cleaned to empty
+    assert out[2].n_removed == 16 and out[2].cleaned_md5 == md5("")
+    # doc 3 repeats its own 8-gram: the SECOND occurrence (positions
+    # 9-16) is removed, the first survives — within-doc dedup included
+    assert out[3].n_removed == 8 and out[3].cleaned_md5 == md5(selfrep)
+    # sub-gram-length docs pass through untouched
+    assert out[4].n_removed == 0 and out[4].cleaned_md5 == md5(
+        "short text only"
+    )
