@@ -542,24 +542,31 @@ def q_chunk_documents_uax29(spark, sf_dir):
     # SQL twin, so this column is the HARD check for the no-oracle entry:
     # the harness recomputes the digest from the returned rows
     # (tools/check_correctness), and pytest golden-pins exact digests on a
-    # fixed corpus (tests/test_chunking). One extra tiny aggregate over
-    # the already-chunked rows — broadcast back, no second corpus pass.
-    per_doc = out.groupBy("doc_id").agg(
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.array_sort(
-                    F.collect_list(
-                        F.format_string(
-                            "%06d:%d:%d", "chunk_index", "chunk_len", "n_sentences"
-                        )
+    # fixed corpus (tests/test_chunking). Computed as a whole-partition
+    # window over the chunk rows, NOT a groupBy + join-back: both sides of
+    # that join derive from the unpersisted split->embed->Max-Min Python
+    # pipeline, so Catalyst planned the 3-stage pandas pipeline TWICE
+    # (4 FlatMapGroupsInPandas / 8 ArrowEvalPython nodes in the r15
+    # before-plan; 1 / 2 after). One exchange on doc_id replaces
+    # groupBy-exchange + broadcast-join + the duplicated corpus pass.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id")
+    digest = F.md5(
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_list(
+                    F.format_string(
+                        "%06d:%d:%d", "chunk_index", "chunk_len", "n_sentences"
                     )
-                ),
-            )
-        ).alias("boundary_digest")
+                ).over(w)
+            ),
+        )
     )
-    return out.join(F.broadcast(per_doc), "doc_id").select(
-        "doc_id", "chunk_index", "chunk_len", "n_sentences", "boundary_digest"
+    return out.select(
+        "doc_id", "chunk_index", "chunk_len", "n_sentences",
+        digest.alias("boundary_digest"),
     )
 
 
