@@ -643,23 +643,43 @@ def integer_pagerank(
 
     Cost per round: one equi-join of edges to the |nodes|-row rank frame +
     one aggregate on dst — linear in |edges|, never corpus-quadratic.
+
+    Iteration hygiene (same discipline as ``connected_components``):
+    the edges⋈degree join is loop-INVARIANT, so it is computed once and
+    persisted instead of re-joined every round; the node frame feeds
+    every round's left join (and r0) from one persisted copy instead of
+    re-running its upstream scan+distinct per round; and each round's
+    rank frame is ``localCheckpoint``ed — without that the final plan
+    nests every previous round (the r15 before-plan was 7,499 lines /
+    540 Exchange occurrences for 3 rounds over 734 edges, mostly
+    re-planned cached subtrees), and at real depth the optimizer, not
+    the data, becomes the bottleneck. localCheckpoint trades fault
+    tolerance for lineage truncation (a lost executor fails the job
+    instead of recomputing); production at 100 TB would use reliable
+    ``checkpoint()`` to shared storage at the same points.
     """
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ranks = nodes.select(F.col(id_col).alias("id")).withColumn(
-        "rank", F.lit(1_000_000).cast("long")
+    cb = (
+        edges.join(edges.groupBy("src").agg(F.count("*").alias("deg")), "src")
+        .select("src", "dst", "deg")
+        .persist()
     )
-    base = nodes.select(F.col(id_col).alias("id"))
+    base = nodes.select(F.col(id_col).alias("id")).persist()
+    ranks = base.withColumn("rank", F.lit(1_000_000).cast("long"))
     for _ in range(iters):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.id)
-            .join(deg, "src")
-            .select(F.col("dst").alias("id"), F.expr("rank div deg").alias("c"))
+        contrib = cb.join(ranks, cb.src == ranks.id).select(
+            F.col("dst").alias("id"), F.expr("rank div deg").alias("c")
         )
         inc = contrib.groupBy("id").agg(F.sum("c").alias("inc"))
-        ranks = base.join(inc, "id", "left").select(
-            "id",
-            (F.lit(150_000) + F.expr("(85 * coalesce(inc, 0L)) div 100"))
-            .cast("long")
-            .alias("rank"),
+        ranks = (
+            base.join(inc, "id", "left")
+            .select(
+                "id",
+                (F.lit(150_000) + F.expr("(85 * coalesce(inc, 0L)) div 100"))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
         )
+    cb.unpersist()
+    base.unpersist()
     return ranks
