@@ -910,29 +910,33 @@ def q_customer_deciles(spark, sf_dir):
     whole table into ONE partition — the textbook scale-killer. The
     scale-safe twin: range-partition on the ordering key (ranges ascend
     with partition id, so global order = (pid, local order)), per-
-    partition row numbers via a partition-local mapInPandas counter (no
-    shuffle — batches arrive sorted after sortWithinPartitions), tiny
-    per-partition counts collected to cumulative offsets, then the decile
+    partition row numbers from ``monotonically_increasing_id`` — its low
+    33 bits are exactly the partition-local row counter in row order, and
+    the projection sits in the same stage as sortWithinPartitions, so the
+    counter numbers the SORTED order with no shuffle and, unlike the old
+    mapInPandas counter, no JVM->Python round trip of the whole table
+    (r15: MapInPandas node removed from the plan) — then tiny
+    per-partition counts collected to cumulative offsets, and the decile
     from NTILE's rank arithmetic: the first N mod 10 tiles get
     ceil(N/10) rows, the rest floor(N/10). Identical output to the
     DuckDB ntile oracle; the heavy table never converges on one task.
     """
+    # partition count: scale with the session's parallelism rather than a
+    # constant — results are partition-count-invariant (the rank
+    # arithmetic depends only on global order + total count), so this is
+    # purely a fan-out knob
+    n_parts = max(spark.sparkContext.defaultParallelism, 4)
     c = load(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
     ranked_parts = (
-        c.repartitionByRange(32, "c_acctbal", "c_custkey")
+        c.repartitionByRange(n_parts, "c_acctbal", "c_custkey")
         .sortWithinPartitions("c_acctbal", "c_custkey")
         .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "rn",
+            F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+            + F.lit(1),
+        )
     )
-
-    def _local_rn(batches):
-        import pandas as pd  # noqa: F401
-
-        i = 0
-        for pdf in batches:
-            n = len(pdf)
-            pdf = pdf.assign(rn=range(i + 1, i + n + 1))
-            i += n
-            yield pdf
 
     from ..plans.cache import persisted
 
@@ -943,11 +947,7 @@ def q_customer_deciles(spark, sf_dir):
     # a differently-bounded run disagree with the ranks — at sf0.1 this
     # produced uneven tiles and a phantom 11th decile. Persisting the
     # ranked rows makes both consumers read one partitioning.
-    ranked = persisted(
-        ranked_parts.mapInPandas(
-            _local_rn, "c_acctbal double, c_custkey long, pid int, rn long"
-        )
-    )
+    ranked = persisted(ranked_parts)
 
     # per-partition counts: a handful of rows — cumulative offsets are a
     # driver-side fold broadcast back as a tiny join table. Derived from
