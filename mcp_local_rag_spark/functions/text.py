@@ -36,25 +36,46 @@ def char_ngrams(col: Column, n: int) -> Column:
     support. Strings shorter than ``n`` produce an empty array (guarded:
     Spark's ``sequence(1, 0)`` would otherwise produce a descending range).
     """
-    s = F.lower(col)
-    count = F.length(s) - F.lit(n - 1)
-    return F.when(
-        count >= 1,
-        F.transform(F.sequence(F.lit(1), count), lambda i: s.substr(i, F.lit(n))),
-    ).otherwise(F.array().cast("array<string>"))
+    def ngrams_of(s: Column) -> Column:
+        count = F.length(s) - F.lit(n - 1)
+        return F.when(
+            count >= 1,
+            F.transform(
+                F.sequence(F.lit(1), count), lambda i: s.substr(i, F.lit(n))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # let-bind the lowercased string (same discipline as word_shingles):
+    # referencing lower(col) inside the lambda would re-lowercase the
+    # whole string once per ngram position
+    return F.element_at(F.transform(F.array(F.lower(col)), ngrams_of), 1)
 
 
 def word_shingles(col: Column, k: int) -> Column:
-    """k-word shingles (space-joined) over `tokens(col)`; empty if < k tokens."""
-    toks = tokens(col)
-    count = F.size(toks) - F.lit(k - 1)
-    return F.when(
-        count >= 1,
-        F.transform(
-            F.sequence(F.lit(0), count - 1),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1)) for j in range(k)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """k-word shingles (space-joined) over `tokens(col)`; empty if < k tokens.
+
+    The token array is LET-BOUND via a 1-element ``transform`` so the
+    regex split runs once per row: referencing ``tokens(col)`` directly
+    inside the per-shingle lambda would inline the whole split expression
+    at every ``element_at`` site, and higher-order lambdas evaluate
+    interpreted with no common-subexpression elimination — so the text
+    was re-split k x n_shingles times per doc. Measured on
+    text_repetition at sf0.1 (min-of-3): lane 8.1 s -> 1.7 s, with the
+    unbound shingle projection alone accounting for 6.7 s."""
+
+    def shingles_of(toks: Column) -> Column:
+        count = F.size(toks) - F.lit(k - 1)
+        return F.when(
+            count >= 1,
+            F.transform(
+                F.sequence(F.lit(0), count - 1),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j + 1)) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(col)), shingles_of), 1)
 
 
 # ---------------------------------------------------------------------------

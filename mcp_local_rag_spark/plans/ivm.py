@@ -159,13 +159,19 @@ def _mg_compress(m, k: int):
     thresh = F.coalesce(
         F.try_element_at(ents, F.lit(k + 1))["value"], F.lit(0)
     )
-    adj = F.transform(
-        F.slice(ents, 1, k),
-        lambda e: F.struct(
-            e["key"].alias("key"), (e["value"] - thresh).alias("value")
-        ),
-    )
-    return F.map_from_entries(F.filter(adj, lambda e: e["value"] > 0))
+
+    # thresh is let-bound: referenced directly inside the per-entry
+    # lambda it would re-run the whole array_sort once per kept entry
+    def _adjust_by(t):
+        adj = F.transform(
+            F.slice(ents, 1, k),
+            lambda e: F.struct(
+                e["key"].alias("key"), (e["value"] - t).alias("value")
+            ),
+        )
+        return F.map_from_entries(F.filter(adj, lambda e: e["value"] > 0))
+
+    return F.element_at(F.transform(F.array(thresh), _adjust_by), 1)
 
 
 def _hist_partial(
@@ -485,24 +491,29 @@ def hist_quantile(map_col, q: float):
         F.map_values(m), F.lit(0).cast("long"), lambda acc, v: acc + v
     )
     target = F.ceil(F.lit(q) * total.cast("double")).cast("long")
-    found = F.aggregate(
-        ents,
-        F.struct(
-            F.lit(0).cast("long").alias("cum"),
-            F.lit(None).cast("string").alias("ans"),
-        ),
-        lambda acc, e: F.struct(
-            (acc["cum"] + e["value"]).alias("cum"),
-            F.when(
-                acc["ans"].isNull() & (acc["cum"] + e["value"] >= target),
-                e["key"],
-            )
-            .otherwise(acc["ans"])
-            .alias("ans"),
-        ),
-        lambda acc: acc["ans"],
-    )
-    return found
+
+    # target is let-bound: referencing it directly inside the cumulative
+    # lambda would re-run the O(bins) total fold once per bin
+    def _scan_for(tgt):
+        return F.aggregate(
+            ents,
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(None).cast("string").alias("ans"),
+            ),
+            lambda acc, e: F.struct(
+                (acc["cum"] + e["value"]).alias("cum"),
+                F.when(
+                    acc["ans"].isNull() & (acc["cum"] + e["value"] >= tgt),
+                    e["key"],
+                )
+                .otherwise(acc["ans"])
+                .alias("ans"),
+            ),
+            lambda acc: acc["ans"],
+        )
+
+    return F.element_at(F.transform(F.array(target), _scan_for), 1)
 
 
 def ivm_read(

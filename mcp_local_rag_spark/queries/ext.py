@@ -1119,9 +1119,17 @@ def q_embeddings_quantized_topk(spark, sf_dir):
     is a broadcast, so no shuffle anywhere."""
     emb = load(spark, sf_dir, "embeddings")
     dbl = F.transform("embedding", lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(dbl, F.abs))
-    deq = F.transform(
-        dbl, lambda x: F.round(x * 127.0 / scale) * scale / 127.0
+    # scale is let-bound (word_shingles discipline): referencing the
+    # array_max fold inside the dequantize lambda would re-run the whole
+    # O(d) max per element — O(d^2) per row
+    deq = F.element_at(
+        F.transform(
+            F.array(F.array_max(F.transform(dbl, F.abs))),
+            lambda scale: F.transform(
+                dbl, lambda x: F.round(x * 127.0 / scale) * scale / 127.0
+            ),
+        ),
+        1,
     )
     dv = emb.select("vec_id", deq.alias("v"))
     qv = (
@@ -1909,6 +1917,7 @@ def q_dedup_graph_triangles(spark, sf_dir):
         .unionByName(jp.select(F.col("id2").alias("id")))
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
+        .persist()
     )
     d1 = deg.select(F.col("id").alias("id1"), F.col("deg").alias("_d1"))
     d2 = deg.select(F.col("id").alias("id2"), F.col("deg").alias("_d2"))
@@ -1932,14 +1941,26 @@ def q_dedup_graph_triangles(spark, sf_dir):
     # triangle count (each triangle generates exactly one wedge at its
     # lowest-degree vertex under the orientation)
     tris = wedges.join(oriented, ["src", "dst"])
+    # Action order matters: tris.count() FIRST materializes the jp, deg
+    # and oriented caches inside one job (sequentially, in dependency
+    # order); the two follow-up stats actions then read pure cache.
+    # (A single crossJoin-of-aggregates job was tried in r15 and
+    # REGRESSED 8.9 -> 20.9 s: its broadcast subtrees race the main
+    # subtree into the not-yet-materialized caches and duplicate the
+    # whole LSH prefix across concurrent jobs.) deg is persisted — the
+    # old plan inlined the degree groupBy twice into the orientation
+    # join and re-aggregated it twice more for the stats — and
+    # n_vertices/max_degree fold into ONE cached aggregate.
     n_tri = tris.count()
     n_edges = jp.count()
-    n_vertices = deg.count()
-    max_deg = deg.agg(F.max("deg").alias("m")).first()["m"]
+    vrow = deg.agg(
+        F.count("*").alias("n_vertices"), F.max("deg").alias("max_deg")
+    ).first()
     jp.unpersist()
     oriented.unpersist()
+    deg.unpersist()
     return spark.createDataFrame(
-        [(n_tri, n_edges, n_vertices, int(max_deg))],
+        [(n_tri, n_edges, vrow["n_vertices"], int(vrow["max_deg"]))],
         "n_triangles long, n_edges long, n_vertices long, max_degree long",
     )
 

@@ -678,18 +678,23 @@ def q_chunk_documents(spark, sf_dir):
     from ..chunking.maxmin import maxmin_chunk
 
     docs = load(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    n_groups = F.floor((F.size(ws) + F.lit(_MM_WORDS - 1)) / F.lit(_MM_WORDS))
+
     # 8-word pseudo-sentences via pure array ops — no explode-then-
-    # collect_list (whose re-assembly order Spark doesn't guarantee)
+    # collect_list (whose re-assembly order Spark doesn't guarantee).
+    # The word array is let-bound (word_shingles discipline) so the
+    # space-split runs once per document, not once per 8-word group.
+    def _groups_of(ws):
+        n_groups = F.floor((F.size(ws) + F.lit(_MM_WORDS - 1)) / F.lit(_MM_WORDS))
+        return F.transform(
+            F.sequence(F.lit(0), n_groups.cast("int") - 1),
+            lambda g: F.concat_ws(" ", F.slice(ws, g * _MM_WORDS + 1, _MM_WORDS)),
+        )
+
     sents = docs.select(
         F.col("doc_id").cast("string").alias("doc_key"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_groups.cast("int") - 1),
-                lambda g: F.concat_ws(
-                    " ", F.slice(ws, g * _MM_WORDS + 1, _MM_WORDS)
-                ),
+            F.element_at(
+                F.transform(F.array(F.split(F.col("text"), " ")), _groups_of), 1
             )
         ).alias("seq", "text"),
     ).filter((F.length("text") > 0) & F.col("text").rlike("[a-zA-Z0-9]"))
