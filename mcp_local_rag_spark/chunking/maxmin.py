@@ -16,9 +16,11 @@ Semantics reproduced exactly:
     one-char) are dropped.
 
 Execution model: the grouping is inherently sequential per document, so it
-runs as a grouped-map ``applyInPandas`` — parallel across documents (the
-100 TB axis), sequential within one. Vector math is numpy over an Arrow
-batch; no per-row Python round trips.
+runs in Python over doc-sorted Arrow batches (``mapInPandas``, many
+documents per batch — see ``maxmin_chunk``) — parallel across documents
+(the 100 TB axis), sequential within one. Vector math is numpy over an
+Arrow batch; no per-row Python round trips, no per-document Python
+invocations.
 """
 
 from __future__ import annotations
