@@ -657,6 +657,14 @@ def integer_pagerank(
     tolerance for lineage truncation (a lost executor fails the job
     instead of recomputing); production at 100 TB would use reliable
     ``checkpoint()`` to shared storage at the same points.
+
+    ``eager=False``: the Catalyst plan is truncated at construction
+    either way (the checkpointed frame is a LogicalRDD immediately);
+    lazy materialization keeps the whole recursion inside the CALLER'S
+    single action instead of running one driver job per round — on this
+    container's degraded phases each extra driver action costs a full
+    job-submission floor (observed 5 s p95), and eager rounds paid it
+    iters+2 times.
     """
     cb = (
         edges.join(edges.groupBy("src").agg(F.count("*").alias("deg")), "src")
@@ -678,8 +686,9 @@ def integer_pagerank(
                 .cast("long")
                 .alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-    cb.unpersist()
-    base.unpersist()
+    # cb/base stay persisted: the lazy checkpoints materialize inside the
+    # caller's first action, which still needs them (house style — query-
+    # internal persists live until the session cache is cleared).
     return ranks
