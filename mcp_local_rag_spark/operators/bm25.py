@@ -183,6 +183,101 @@ def bm25_scores(
     return scored.groupBy(*id_cols).agg(F.sum("_term_score").alias("_score"))
 
 
+def _regex_literal(term: str) -> str:
+    """``term`` as a Java-regex literal: every non-alphanumeric character
+    is backslash-escaped (safe — a backslash before a non-alnum char is
+    always the literal char; before an alnum it could be a class, so
+    alnums are left bare)."""
+    return "".join(c if c.isalnum() else "\\" + c for c in term)
+
+
+def bm25_scores_ngram_scan(
+    chunks: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    id_cols: Sequence[str] = ("filePath", "chunkIndex"),
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    min_n: int = 2,
+    max_n: int = 3,
+) -> DataFrame:
+    """Index-free BM25 over the ngram(min_n, max_n) tokenizer with NO
+    postings table — the ngram analogue of ``bm25_scores_scan``.
+
+    ``build_postings(tokenizer='ngram23')`` + ``bm25_scores`` explodes
+    EVERY character position of every document twice and shuffles the
+    exploded stream into a (doc, term) tf aggregate — O(corpus chars)
+    rows through an exchange — even though a query only ever needs the
+    tf of its own handful of terms. The same numbers fall out of plain
+    per-row string math (guide §1.2: fix the distributed algorithm, and
+    §2.3: don't shuffle what you throw away):
+
+      * dl       = sum_n max(len - (n-1), 0)    — the tokenizer emits
+                   len-(n-1) n-grams per document, by construction;
+      * tf(t)    = the OVERLAPPING occurrence count of t, i.e. the number
+                   of positions where an |t|-gram equals t: one native
+                   ``regexp_count`` with a lookahead pattern per term;
+      * N, avgdl, df(t) = one shuffle-free aggregate over those columns
+                   (docs with zero tokens — len < min_n — excluded from
+                   N/avgdl exactly like their missing postings rows).
+
+    Terms outside [min_n, max_n] characters can never be tokens and score
+    zero, exactly as in the postings path (no postings row matches them).
+    Scoring arithmetic is ``bm25_term_score``'s, term-summed the same way
+    ``bm25_scores_scan`` sums, and only documents with >= 1 matching term
+    return a row. Two column-pruned map-only passes over ``text_col``,
+    zero explodes, zero joins, zero shuffles at any corpus size.
+    """
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        return chunks.select(
+            *id_cols, F.lit(None).cast("double").alias("_score")
+        ).limit(0)
+    s = F.lower(F.col(text_col))
+    ln = F.length(s)
+    dl = sum(
+        (F.greatest(ln - (n - 1), F.lit(0)) for n in range(min_n, max_n + 1)),
+        F.lit(0),
+    ).cast("long")
+
+    def tf_col(t: str):
+        if not (min_n <= len(t) <= max_n):
+            return F.lit(0).cast("long")
+        # '(?=...)' counts OVERLAPPING starts — one per position i where
+        # substring(s, i, len(t)) == t, the tokenizer's tf definition
+        return F.regexp_count(s, F.lit(f"(?={_regex_literal(t)})")).cast("long")
+
+    d = chunks.select(
+        *id_cols,
+        dl.alias("_dl"),
+        *[tf_col(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    )
+    stats_row = d.filter(F.col("_dl") > 0).agg(
+        F.count("*").alias("__n"),
+        F.coalesce(F.avg("_dl"), F.lit(0.0)).alias("__avgdl"),
+        *[
+            F.coalesce(
+                F.sum((F.col(f"_tf{i}") > 0).cast("long")), F.lit(0)
+            ).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    d = d.crossJoin(F.broadcast(stats_row))
+    score = F.lit(0.0)
+    any_match = F.lit(False)
+    for i in range(len(terms)):
+        tf, df = F.col(f"_tf{i}"), F.col(f"__df{i}")
+        score = score + F.when(
+            (df > 0) & (tf > 0),
+            bm25_term_score(
+                F.col("__n"), F.col("__avgdl"), df, tf, F.col("_dl"), k1=k1, b=b
+            ),
+        ).otherwise(F.lit(0.0))
+        any_match = any_match | (tf > 0)
+    return d.filter(any_match).select(*id_cols, score.alias("_score"))
+
+
 def corpus_stats_scan(
     chunks: DataFrame,
     terms: Sequence[str],

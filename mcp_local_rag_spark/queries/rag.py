@@ -378,9 +378,17 @@ FROM kwscore ORDER BY kw_score DESC, chunkIndex LIMIT 15"""
 
 @register("bm25_ngram23", BM25_NGRAM_SQL)
 def q_bm25_ngram23(spark, sf_dir):
+    # index-free ngram scan scorer (r15 optimization): same numbers as
+    # build_postings(ngram23) + bm25_scores — which exploded every char
+    # position twice and shuffled O(corpus chars) rows — from two map-only
+    # passes (dl is length arithmetic, tf a native overlapping
+    # regexp_count, stats one shuffle-free aggregate). The postings path
+    # stays exercised by bm25_term_bucketed / hybrid_search_indexed and
+    # is pinned equal in tests/test_bm25.py.
     ch = chunks_df(spark, sf_dir)
-    postings = bm25.build_postings(ch, id_cols=("chunkIndex",), tokenizer="ngram23")
-    scores = bm25.bm25_scores(postings, NGRAM_QUERY_TOKENS, id_cols=("chunkIndex",))
+    scores = bm25.bm25_scores_ngram_scan(
+        ch, NGRAM_QUERY_TOKENS, id_cols=("chunkIndex",)
+    )
     return (
         scores.select("chunkIndex", F.round("_score", 6).alias("kw_score"))
         .orderBy(F.col("kw_score").desc(), F.col("chunkIndex").asc())

@@ -95,6 +95,42 @@ def test_ngram23_tokenizer(spark):
     assert terms == {"ab"}  # len 2 -> one 2-gram, no 3-grams
 
 
+def test_ngram_scan_matches_postings_path(spark):
+    """bm25_scores_ngram_scan (map-only, r15 optimization) must score
+    byte-identically to build_postings(ngram23) + bm25_scores across the
+    tokenizer's edge cases: overlapping repeats, 1-char / empty docs (no
+    tokens -> excluded from N/avgdl), uppercase folding, punctuation and
+    regex metacharacters in both text and terms, unicode, and terms
+    outside the 2..3-gram length band."""
+    docs = spark.createDataFrame(
+        [
+            ("/a", 0, "aaaa"),              # overlapping tf("aa")=3, tf("aaa")=2
+            ("/a", 1, "x"),                 # 1 char: zero tokens
+            ("/a", 2, ""),                  # empty: zero tokens
+            ("/b", 0, "Spark JOINs spark"), # case folding
+            ("/b", 1, "a.b a.b"),           # regex metachar in text
+            ("/c", 0, "héllo wörld"),       # unicode
+            ("/c", 1, "ab"),                # exactly one 2-gram
+        ],
+        "filePath string, chunkIndex int, text string",
+    )
+    terms = ["aa", "aaa", "ar", ".b", "a.", "él", "x", "abcd", "AB"]
+    postings = bm25.build_postings(docs, tokenizer="ngram23")
+    via_postings = {
+        (r.filePath, r.chunkIndex): r._score
+        for r in bm25.bm25_scores(postings, terms, materialize=False).collect()
+    }
+    via_scan = {
+        (r.filePath, r.chunkIndex): r._score
+        for r in bm25.bm25_scores_ngram_scan(docs, terms).collect()
+    }
+    assert via_postings.keys() == via_scan.keys()
+    for k in via_postings:
+        assert abs(via_postings[k] - via_scan[k]) < 1e-9
+    # empty term list mirrors the postings path's empty frame
+    assert bm25.bm25_scores_ngram_scan(docs, []).count() == 0
+
+
 def test_empty_query_returns_empty_scores(spark):
     """Whitespace-only query -> no terms: the scan path must return an
     empty scores frame (the postings path's behavior), not raise from
