@@ -124,18 +124,24 @@ def apply_merges_col(state_col: Column, merges: list) -> Column:
     strings: HOF lambdas evaluate per (row x element), so a
     ``substring_index`` re-split inside the lambda would re-parse every
     merge for every row — measured 25% of the whole fold's cost at 50k
-    docs x 320 merges. Struct field access is free."""
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(f" {l}  {r} ").alias("p"), F.lit(f" {l}{r} ").alias("q")
-            )
-            for l, r in merges
-        ]
-    )
+    docs x 320 merges. Struct field access is free.
+
+    The literal array is built as ONE ``F.expr`` parse, not 320
+    ``F.struct(F.lit, F.lit)`` calls: each functions.* call is a py4j
+    round trip, and ~1,300 of them cost ~1.9 s of DRIVER time per query
+    at clean ambient (tens of seconds when the container degrades) —
+    measured as the whole fixed-cost floor of the deep-encode lanes.
+    One parse of the equivalent SQL text is <50 ms and yields the same
+    resolved expression."""
     for l, r in merges:  # same symbol hygiene _merge_elems enforces
-        if " " in l or " " in r:
-            raise ValueError(f"merge symbols must be space-free: {(l, r)!r}")
+        if " " in l or " " in r or "'" in l or "'" in r or "\\" in l or "\\" in r:
+            raise ValueError(
+                f"merge symbols must be space/quote/backslash-free: {(l, r)!r}"
+            )
+    elems = ", ".join(
+        f"struct(' {l}  {r} ' as p, ' {l}{r} ' as q)" for l, r in merges
+    )
+    pairs = F.expr(f"array({elems})")
     return F.aggregate(
         pairs, state_col, lambda acc, m: F.replace(acc, m["p"], m["q"])
     )

@@ -18,8 +18,22 @@ from pyspark.sql import functions as F
 
 
 def vec_lit(values: Sequence[float]) -> Column:
-    """A literal array<double> column for a query vector (broadcast by value)."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    """A literal array<double> column for a query vector (broadcast by value).
+
+    Built as ONE ``F.expr`` parse instead of dim+1 ``F.lit`` py4j round
+    trips: each functions.* call crosses Python->JVM, and at 64-d that
+    construction overhead (~70 ms clean, whole seconds when the
+    container degrades) lands on every query-path caller. ``repr`` of a
+    Python float is the shortest round-trip decimal, and Spark's SQL
+    parser reads ``<decimal>D`` to the nearest double — the same value
+    bit-for-bit. Non-finite values fall back to the per-element path
+    (``repr`` text like 'inf' is not SQL)."""
+    vs = [float(v) for v in values]
+    if not vs:
+        return F.array().cast("array<double>")
+    if all(v == v and v not in (float("inf"), float("-inf")) for v in vs):
+        return F.expr("array(" + ", ".join(f"{v!r}D" for v in vs) + ")")
+    return F.array(*[F.lit(v) for v in vs])
 
 
 def dot(a: Column, b: Column) -> Column:

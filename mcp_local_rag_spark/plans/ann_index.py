@@ -22,6 +22,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.vector import vec_lit
+
 META_FILE = "_ann_meta.json"
 CENTROIDS_FILE = "_centroids.parquet"
 MAINT_LOCK_FILE = "._ivf_maint.lock"
@@ -619,7 +621,7 @@ def split_ivf_cell(
                 F.aggregate(
                     F.zip_with(
                         vec,
-                        F.array(*[F.lit(float(x)) for x in c]),
+                        vec_lit(c),
                         lambda a, b: (a - b) * (a - b),
                     ),
                     F.lit(0.0),

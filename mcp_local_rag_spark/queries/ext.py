@@ -1201,8 +1201,7 @@ def q_knn_truncated_rerank(spark, sf_dir):
     qv = [float(x) for x in qrow["embedding"]]
     qv16 = qv[:16]
 
-    def lit_vec(v):
-        return F.array(*[F.lit(float(x)) for x in v])
+    from ..functions.vector import vec_lit as lit_vec
 
     coarse = (
         emb.filter(F.col("vec_id") != 0)
