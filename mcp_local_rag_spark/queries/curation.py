@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..session import load
+from ..session import load, spread
 from .common import register
 
 # ---------------------------------------------------------------------------
@@ -232,7 +232,7 @@ def q_text_gopher_filter(spark, sf_dir):
     in integer arithmetic so the decision is bit-exact across engines.
     One narrow scan, zero shuffles: every metric is a per-row array
     expression inside whole-stage codegen."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = TX.tokens(F.col("text"))
     n_tok = F.size(toks).cast("long")
     sum_chars = F.aggregate(
@@ -334,7 +334,7 @@ def q_text_winnowing(spark, sf_dir):
     _winnow.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
     udf = pandas_udf(_winnow, "n_fp long, fp_digest string")
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     out = docs.select("doc_id", udf(F.col("text")).alias("_w"))
     return out.select("doc_id", "_w.n_fp", "_w.fp_digest")
 
@@ -418,7 +418,7 @@ ORDER BY n_docs DESC, gram LIMIT 20""",
 def q_corpus_boilerplate_ngrams(spark, sf_dir):
     from ..operators.dedup import shingle_sets
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     grams = shingle_sets(docs, id_col="doc_id", text_col="text", k=5)
     return (
         grams.groupBy(F.col("shingle").alias("gram"))
@@ -599,7 +599,7 @@ SELECT doc_id, n_tokens, round(lp / n_tokens, 6) + 0 AS avg_logprob
 FROM scored ORDER BY doc_id""",
 )
 def q_text_unigram_logprob(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.explode(TX.tokens(F.col("text"))).alias("tok"),
@@ -654,7 +654,7 @@ FROM ranked WHERE rnk <= 1000""",
 def q_corpus_zipf_slope(spark, sf_dir):
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     vocab = docs.select(
         F.explode(TX.tokens(F.col("text"))).alias("tok")
     ).groupBy("tok").agg(F.count("*").alias("freq"))
@@ -741,7 +741,7 @@ SELECT doc_id, n_tokens,
 FROM sums ORDER BY doc_id""",
 )
 def q_corpus_dsir_weights(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     tb = docs.select(
         "doc_id",
         "lang",
@@ -881,7 +881,7 @@ ORDER BY dup_frac DESC, n.doc_id LIMIT 100""",
 )
 def q_text_dedup_spans(spark, sf_dir):
     k = _SPAN_K
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         TX.tokens(F.col("text")).alias("_toks"),
@@ -1045,7 +1045,7 @@ SELECT doc_id, lang, disposition,
 FROM d ORDER BY doc_id""",
 )
 def q_corpus_curation_pipeline(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     tok_col = TX.tokens(F.col("text"))
     from ..operators.dedup import shingle_sets
 
@@ -1282,7 +1282,7 @@ FROM scored ORDER BY doc_id""",
 )
 def q_text_bigram_logprob(spark, sf_dir):
     lam = _JM_LAMBDA
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("_t"))
     big = (
         toks.filter(F.size("_t") >= 2)
@@ -1410,7 +1410,7 @@ GROUP BY c.doc_id, t.n
 ORDER BY c.doc_id""",
 )
 def q_text_char_entropy(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = spread(load(spark, sf_dir, "documents").filter(F.length("text") > 0))
     chars = docs.select(
         "doc_id", F.explode(F.split("text", "")).alias("ch")
     ).filter(F.col("ch") != "")
@@ -1476,7 +1476,7 @@ WHERE rk = 1 ORDER BY doc_id""",
 def q_text_nb_source_classifier(spark, sf_dir):
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", "source", F.explode(TX.tokens(F.col("text"))).alias("tok")
     )
@@ -1574,7 +1574,7 @@ FROM scored ORDER BY doc_id""",
 def q_corpus_perplexity_buckets(spark, sf_dir):
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("tok")
     )
@@ -2442,7 +2442,9 @@ def _deep_encode_df(spark, sf_dir):
     from ..functions import bpe
 
     v = _deep_vocab()
-    docs = load(spark, sf_dir, "documents")
+    # spread: the 320-merge fold is the per-row cost; on the single-split
+    # scan it ran on ONE core (measured 5.1 -> 1.0 s) — session.spread
+    docs = spread(load(spark, sf_dir, "documents"))
     unit = bpe.sp_unit_col("text")
     state = bpe.apply_merges_col(bpe.pad_symbols_col(unit), v["merges"])
     return docs.select(
@@ -2695,7 +2697,7 @@ ORDER BY doc_id""",
 )
 def q_text_dedup_span_removal(spark, sf_dir):
     k = _REMOVAL_K
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("_toks"))
     occ = (
         toks.filter(F.size("_toks") >= k)

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..operators import dedup, similarity
-from ..session import load
+from ..session import load, spread
 from .common import REGISTRY, register
 
 # ---------------------------------------------------------------------------
@@ -25,7 +25,11 @@ def _dedup_corpus(spark, sf_dir):
     planted = docs.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    return docs.unionByName(planted)
+    # spread: every dedup lane roots a map-heavy stream here (tokenize,
+    # shingle explode, md5, simhash bit math) that the single-split scan
+    # would otherwise run on ONE core; all consumers are hash/aggregate
+    # shaped, i.e. partition-invariant (session.spread).
+    return spread(docs.unionByName(planted))
 
 
 CORPUS_CTE = """
@@ -1507,7 +1511,7 @@ ORDER BY doc_id, rk""",
 def q_text_tfidf_keywords(spark, sf_dir):
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.explode(TX.tokens(F.col("text"))).alias("tok"),
@@ -2017,7 +2021,7 @@ FROM jac WHERE jaccard >= 0.7
 ORDER BY id1, id2""",
 )
 def q_corpus_decontaminate_fuzzy(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     planted = docs.filter(F.col("doc_id") % 97 == 0).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" appended leak marker tail words")).alias(
@@ -2150,7 +2154,7 @@ SELECT doc_id, n_shingles, novel,
 FROM per_doc ORDER BY doc_id""",
 )
 def q_corpus_ngram_novelty(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = dedup.shingle_sets(docs).persist()
     sh.count()
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("fd"))
@@ -2561,7 +2565,7 @@ _STORM_VARIANT = _STORM_LICENSE + " or from the mirror"
 
 
 def _skew_corpus(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.withColumn(
         "text",
         F.when(F.col("doc_id") % 25 == 0, F.lit(_STORM_LICENSE))

@@ -25,7 +25,7 @@ from xml.sax.saxutils import escape as xml_escape
 import pandas as pd
 from pyspark.sql import functions as F
 
-from ..session import load
+from ..session import load, spread
 from .common import register
 
 _OUT_SCHEMA = (
@@ -94,7 +94,7 @@ def q_parsed_docx_roundtrip(spark, sf_dir):
     and emit offsets the oracle derives from the template."""
     from ..sources.docx import parse_docx_bytes
 
-    docs = (
+    docs = spread(
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)
         .select("doc_id", "text", "n_chars")
@@ -172,7 +172,7 @@ def q_parsed_pdf_roundtrip(spark, sf_dir):
     a broken title chain shifts the values (S6-pdf / T5 / T7 gate)."""
     from ..sources.pdf_mini import parse_pdf_mini
 
-    docs = (
+    docs = spread(
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 2)
         .select(
@@ -243,7 +243,7 @@ def q_parsed_html_roundtrip(spark, sf_dir):
     broken title chain shifts the values."""
     from ..sources.html import parse_html_text
 
-    docs = (
+    docs = spread(
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 1)
         .select("doc_id", "text")
@@ -525,9 +525,9 @@ def q_pdf_visual_detect(spark, sf_dir):
     from ..operators.multimodal import pdf_blocks
     from ..operators.pdf_layout import visual_candidates
 
-    docs = load(spark, sf_dir, "documents").filter(
+    docs = spread(load(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 5 == 1
-    ).select("doc_id")
+    ).select("doc_id"))
 
     def _mk(batches):
         from ..sources.pdf_mini import build_pdf
@@ -603,9 +603,9 @@ SELECT doc_id,
 FROM px ORDER BY doc_id""",
 )
 def q_media_image_features(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").filter(
+    docs = spread(load(spark, sf_dir, "documents").filter(
         (F.col("doc_id") % 4 == 0) | (F.col("doc_id") % 4 == 1)
-    ).select("doc_id")
+    ).select("doc_id"))
 
     def _mk(batches):
         import numpy as np
@@ -696,7 +696,7 @@ SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height, n_colors, sum_px,
 FROM px ORDER BY doc_id""",
 )
 def q_media_gif_features(spark, sf_dir):
-    docs = (
+    docs = spread(
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 4 == 2)
         .select("doc_id")
@@ -786,7 +786,7 @@ SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height, 4::BIGINT AS channels,
 FROM px ORDER BY doc_id""",
 )
 def q_media_png_features(spark, sf_dir):
-    docs = (
+    docs = spread(
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 4 == 3)
         .select("doc_id")
@@ -873,9 +873,9 @@ SELECT doc_id, wdx::BIGINT AS window_index, count(*)::BIGINT AS n_samples,
 FROM p GROUP BY doc_id, wdx ORDER BY doc_id, window_index""",
 )
 def q_media_audio_features(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").filter(
+    docs = spread(load(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 3 == 0
-    ).select("doc_id")
+    ).select("doc_id"))
 
     def _mk(batches):
         import io
@@ -969,9 +969,9 @@ FROM px ORDER BY doc_id, frame_index""",
 def q_media_video_frames(spark, sf_dir):
     from ..operators.multimodal import media_table, sample_frames
 
-    docs = load(spark, sf_dir, "documents").filter(
+    docs = spread(load(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 6 == 2
-    ).select("doc_id")
+    ).select("doc_id"))
 
     def _mk(batches):
         import numpy as np

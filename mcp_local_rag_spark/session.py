@@ -49,6 +49,31 @@ TABLES = (
 ).split()
 
 
+def spread(df):
+    """Widen a parallelism-STARVED frame before map-heavy work.
+
+    The bench tables are single-file single-row-group parquet, so every
+    scan plans as ONE task and any map-heavy pipeline rooted at it
+    (tokenize/shingle/md5 streams, the BPE merge fold, vector-distance
+    folds, Arrow decode stages) runs on 1 of the session's cores — the
+    guide §2.6 idle-capacity failure. Round-robin repartition to
+    ``defaultParallelism`` ONLY when the planned partition count is
+    below it: at real scale inputs arrive in >= cores splits and this
+    inserts no exchange at all, so the fix is scale-adaptive rather
+    than tuned to the bench layout. (AQE never coalesces an explicit
+    ``repartition(n)``, so the width sticks.)
+
+    Use only where the consumer is partition-INVARIANT (hashes,
+    aggregates, joins, total-order limits) — never in front of
+    ``monotonically_increasing_id``/``repartitionByRange`` pipelines or
+    writes whose file layout is part of the contract.
+    """
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str):
     """Load one driver-generated parquet table (TESTDATA.md).
 
