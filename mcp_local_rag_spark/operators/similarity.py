@@ -25,8 +25,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
-from ..session import spread
-
 
 def _np_matrix(cells) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in cells])
@@ -63,16 +61,16 @@ def cosine_knn(
     qnorm = np.linalg.norm(qmat, axis=1)
     qblocks = [r[block_col] for r in q_rows] if block_col else None
 
-    # spread: the Arrow kernel below does the corpus-proportional work;
-    # on a single-split scan it runs as ONE task (guide §2.6 idle
-    # capacity). Partial top-k under a total order is partition-count
-    # invariant, so widening is result-neutral (session.spread is a
-    # no-op once inputs arrive in >= cores splits).
-    c = spread(corpus.select(
+    # NOT spread: interleaved A/B (5 swapped passes) measured the
+    # round-robin exchange of the vector column costing more than the
+    # widened Arrow kernel saves at bench scale (knn_bruteforce +41%
+    # raw); at real scale the corpus arrives in >= cores splits anyway,
+    # so the exchange would buy nothing there either.
+    c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("_cvec"),
         *([F.col(block_col).alias("_cblock")] if block_col else []),
-    ))
+    )
     out_schema = StructType(
         [
             StructField(query_id, queries.schema[query_id].dataType),

@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load, spread
+from ..session import load
 
 REGISTRY: dict[str, dict] = {}
 
@@ -32,13 +32,13 @@ def register(name: str, sql: str | None):
 # filePath = /corpus/<source>/doc<doc_id>.md, vector = its embedding.
 
 def chunks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread: the single-split documents scan otherwise pins every
-    # chunks-rooted map pipeline (vector-distance folds, BM25 tokenize,
-    # text analytics) to ONE task; the broadcast join preserves the
-    # stream side's parallelism, so widen the stream side first.
-    # Partition-invariant consumers only (hashes/aggregates/total-order
-    # limits) — see session.spread.
-    docs = spread(load(spark, sf_dir, "documents"))
+    # NOT spread: interleaved A/B (AB_DRIFT: ec148ae vs spread-everywhere
+    # HEAD, 5 swapped passes) showed every chunks-rooted headline lane
+    # pays MORE for the round-robin exchange of the full text+vector rows
+    # than the widened map side saves (hybrid_search +49%, bm25_unigram
+    # +33%, vector_topk +24% raw). The heavy dedup/BPE lanes that do win
+    # spread have their own roots (_dedup_corpus, _deep_encode_df).
+    docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
     return (
         docs.join(emb, docs.doc_id == emb.vec_id)

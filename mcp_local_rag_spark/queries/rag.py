@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..operators import bm25, search
 from ..operators.sync import plan_sync
 from ..functions.paths import base64url_decode, base64url_encode
-from ..session import load, spread
+from ..session import load
 from .common import CHUNKS_CTE, chunks_df, query_vector, qvec_sql, register
 
 TERMS = ["spark", "join", "filter", "merge"]
@@ -812,11 +812,12 @@ def _indexed_corpus(spark, sf_dir):
     ppath = _scratch_path(sf_dir, "fts")
     if not os.path.isdir(cpath):
         chunks_df(spark, sf_dir).write.mode("overwrite").parquet(cpath)
-    # spread: the stored chunks table may be a single small file, which
-    # would pin the vector-distance scan to one task (session.spread is
-    # a no-op when the table already has >= cores splits). The postings
-    # table is NOT spread — its bucket layout is the access path.
-    chunks = spread(spark.read.parquet(cpath))
+    # NOT spread: the exchange baked into every consumer plan (including
+    # the pinned serve plans, which pay it per request) measured worse
+    # than the single-split scan in the interleaved A/B (vector_serve
+    # p50 2x, hybrid_search_indexed +10% raw). The postings table keeps
+    # its bucket layout — that IS the access path.
+    chunks = spark.read.parquet(cpath)
     if not os.path.isdir(ppath):
         n_docs = pq.ParquetFile(
             os.path.join(sf_dir, "documents.parquet")

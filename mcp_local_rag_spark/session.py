@@ -67,6 +67,16 @@ def spread(df):
     aggregates, joins, total-order limits) — never in front of
     ``monotonically_increasing_id``/``repartitionByRange`` pipelines or
     writes whose file layout is part of the contract.
+
+    Apply ONLY where an interleaved A/B proved the widened map side
+    beats the exchange it inserts (the shingle/md5 dedup streams, the
+    320-merge BPE fold, Python decode mapInPandas stages, explode->agg
+    token pipelines). Frames whose downstream per-row work is light or
+    already vectorized (chunks_df, cosine_knn's corpus side, the stored
+    chunks read behind the pinned serve plans) measured WORSE with the
+    exchange — see AB_DRIFT r15 and OPTIMIZATION_r15.md. Note the
+    ``df.rdd`` probe itself costs a driver-side plan conversion per
+    call, which pinned per-request serve paths must never pay.
     """
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
