@@ -387,55 +387,23 @@ def bm25_scores_scan(
         # rows instead of .first()'d to the driver: stats + scoring stay ONE
         # DAG / one job submission, and no eager round trip sits between a
         # caller's candidate materialization and the final top-k.
-        cand = cand.crossJoin(F.broadcast(scan_stats_row(chunks, terms, text_col)))
+        stats_row = (
+            chunks.select(toks.alias("_st")).filter(F.size("_st") > 0).agg(
+                F.count("*").alias("__n"),
+                F.coalesce(F.avg(F.size("_st")), F.lit(0.0)).alias("__avgdl"),
+                *[
+                    F.coalesce(
+                        F.sum(F.array_contains("_st", t).cast("long")), F.lit(0)
+                    ).alias(f"__df{i}")
+                    for i, t in enumerate(terms)
+                ],
+            )
+        )
+        cand = cand.crossJoin(F.broadcast(stats_row))
         n_col = F.col("__n")
         avgdl_col = F.col("__avgdl")
         df_cols = {t: F.col(f"__df{i}") for i, t in enumerate(terms)}
 
-    score, any_match = scan_score_exprs(
-        terms, n_col, avgdl_col, df_cols, k1=k1, b=b
-    )
-    return (
-        cand.filter(any_match)
-        .select(*id_cols, score.alias("_score"))
-    )
-
-
-def scan_stats_row(chunks: DataFrame, terms: Sequence[str], text_col: str) -> DataFrame:
-    """The scan scorer's 1-row global-statistics aggregate over the corpus:
-    ``(__n, __avgdl, __df{i})`` — shuffle-free (partial+final agg over one
-    column-pruned string column), zero-token docs excluded to match the
-    postings path. Shared by ``bm25_scores_scan`` and the fused hybrid
-    tail; callers broadcast it onto bounded candidate rows."""
-    toks = F.array_remove(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), "")
-    return (
-        chunks.select(toks.alias("_st")).filter(F.size("_st") > 0).agg(
-            F.count("*").alias("__n"),
-            F.coalesce(F.avg(F.size("_st")), F.lit(0.0)).alias("__avgdl"),
-            *[
-                F.coalesce(
-                    F.sum(F.array_contains("_st", t).cast("long")), F.lit(0)
-                ).alias(f"__df{i}")
-                for i, t in enumerate(terms)
-            ],
-        )
-    )
-
-
-def scan_score_exprs(
-    terms: Sequence[str],
-    n_col,
-    avgdl_col,
-    df_cols: dict,
-    *,
-    k1: float = K1,
-    b: float = B,
-):
-    """The scan scorer's per-ROW expressions over (`_toks`, `_dl`) columns:
-    ``(score, any_match)``. The ONE definition shared by
-    ``bm25_scores_scan`` and the fused hybrid tail
-    (operators/search.hybrid_search) — formula changes cannot
-    desynchronize the two paths."""
     score = F.lit(0.0)
     for t in terms:
         df = df_cols[t]
@@ -457,4 +425,7 @@ def scan_score_exprs(
     for t in terms:
         m = F.array_contains("_toks", t)
         any_match = m if any_match is None else (any_match | m)
-    return score, any_match
+    return (
+        cand.filter(any_match)
+        .select(*id_cols, score.alias("_score"))
+    )

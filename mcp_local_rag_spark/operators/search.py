@@ -287,59 +287,26 @@ def file_topn_filter(
     ``part_cols`` applies the ranking PER GROUP (the batch shape: one
     file ranking per query_id).
 
-    ONE window, no join (r15): the per-file min + dense_rank pair of
-    windows partitioned by (part_cols, file) and (part_cols) forced TWO
-    exchanges of the candidate frame — each its own AQE job on a tail
-    that is job-submission-bound, not data-bound. Instead gather the
-    (score, file) pairs once per ``part_cols`` group — the SAME
-    partitioning every other tail window uses, so the whole post-top-k
-    tail shares one exchange — and evaluate per-file best and the
-    dense rank as bounded array expressions: the input here is always a
-    post-top-k candidate set (<= k*overfetch rows per group by
-    construction), so the O(files x rows) array scans are a few hundred
-    comparisons. dense_rank(best asc, file asc) == 1 + the count of
-    DISTINCT files whose (best, file) key sorts strictly lower, because
-    (best, file) is unique per file. NULL ``file_col`` rows are dropped
-    explicitly, preserving the original semi-join shape's semantics (a
-    NULL join key never matched)."""
+    Two windows, no join: best = min(score) over the file's rows, then
+    dense_rank over (best, file) — equal to row_number over the DISTINCT
+    files because (best, file) is unique per file. The aggregate +
+    row_number + semi-join shape this replaces carried three exchanges
+    (each its own AQE job); the input here is always a post-top-k
+    candidate set, so the windows are bounded. NULL ``file_col`` rows
+    are dropped explicitly, preserving the semi-join shape's semantics
+    (a NULL join key never matched)."""
     if max_files is None:
         return hits
-    w = Window.partitionBy(*part_cols)
-    pairs = F.collect_list(
-        F.struct(F.col(score_col).alias("s"), F.col(file_col).alias("f"))
-    ).over(w)
-    out = hits.filter(F.col(file_col).isNotNull()).withColumn("_ftf_pairs", pairs)
-
-    def _best(fexpr):
-        # min score among the group's rows of file `fexpr`
-        return F.array_min(
-            F.transform(
-                F.filter(F.col("_ftf_pairs"), lambda p: p["f"] == fexpr),
-                lambda p: p["s"],
-            )
-        )
-
-    out = out.withColumn("_ftf_best", _best(F.col(file_col)))
-    files = F.array_distinct(
-        F.transform(F.col("_ftf_pairs"), lambda p: p["f"])
-    )
-    rank = (
-        F.size(
-            F.filter(
-                files,
-                lambda f2: (_best(f2) < F.col("_ftf_best"))
-                | (
-                    (_best(f2) == F.col("_ftf_best"))
-                    & (f2 < F.col(file_col))
-                ),
-            )
-        )
-        + F.lit(1)
+    per_file = Window.partitionBy(*part_cols, file_col)
+    rank_w = Window.partitionBy(*part_cols).orderBy(
+        F.col("_ftf_best").asc(), F.col(file_col).asc()
     )
     return (
-        out.withColumn("_ftf_rank", rank)
+        hits.filter(F.col(file_col).isNotNull())
+        .withColumn("_ftf_best", F.min(score_col).over(per_file))
+        .withColumn("_ftf_rank", F.dense_rank().over(rank_w))
         .filter(F.col("_ftf_rank") <= max_files)
-        .drop("_ftf_pairs", "_ftf_best", "_ftf_rank")
+        .drop("_ftf_best", "_ftf_rank")
     )
 
 
@@ -400,82 +367,38 @@ def hybrid_search(
     candidate rows only — far cheaper than building a full postings table
     for a single query.
     """
-    from .bm25 import bm25_scores, scan_score_exprs, scan_stats_row
+    from .bm25 import bm25_scores, bm25_scores_scan
 
     cands = persisted(vector_topk(
         chunks, query_vec, k, vec_col=vec_col, id_cols=id_cols,
         scope=scope, max_distance=max_distance,
     ))
     cands.count()
-    grouped = grouping_filter(cands, grouping, id_cols=id_cols)
+    # grouped derives from the persisted <=2k candidate rows; persist keeps
+    # its window result stable across the three downstream uses but an
+    # eager count() would only add a job (recompute off the cache is
+    # window-over-20-rows cheap).
+    grouped = persisted(grouping_filter(cands, grouping, id_cols=id_cols))
     if postings is not None:
         # bm25_stats here is the index's PERSISTED corpus statistics
         # (plans/fts.read_fts_stats): with them the per-query plan touches
         # only the matched terms' row groups; without them it pays a
-        # full-index distinct+aggregate for N/avgdl every query.
-        # grouped persists: the postings restriction AND the boost join
-        # both consume it (recompute off the cands cache is cheap but the
-        # broadcast-build future racing it re-plans the window chain).
-        grouped = persisted(grouped)
+        # full-index distinct+aggregate for N/avgdl every query
         kw = bm25_scores(
             postings, query_terms, id_cols=id_cols, candidates=grouped,
             materialize=False, stats=bm25_stats,
         )
-        # no persist on boosted (round 13): since the r12 window-chain
-        # file filter, the tail is one LINEAR consumer
-        boosted = keyword_boost(grouped, kw, on=id_cols, weight=weight)
     else:
-        # FUSED scan-scorer tail (r15): bm25_scores_scan's kw frame
-        # derived ROW-WISE from `grouped` itself (same rows — the
-        # candidates carry their text), so the left boost join was a
-        # self-join. Score the terms as columns on the candidate rows and
-        # normalize with one more window over the SAME single-partition
-        # frame: the kw exchange + broadcast-join jobs disappear and the
-        # whole post-candidate tail plans as one window chain over one
-        # exchange. The only corpus-sized work left is the global-stats
-        # aggregate (skipped entirely when `bm25_stats` — a
-        # corpus_stats_scan snapshot — is passed). Values are pinned to
-        # the join path: same scan_score_exprs, same when/otherwise
-        # null-handling as keyword_boost (matched rows normalize by the
-        # max POSITIVE score, unmatched rows boost by exactly 0).
-        terms = list(dict.fromkeys(query_terms))
-        if terms:
-            toks = F.array_remove(
-                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
-            )
-            g = grouped.withColumn("_toks", toks).withColumn(
-                "_dl", F.size("_toks")
-            )
-            if bm25_stats is not None:
-                n_col = F.lit(int(bm25_stats["n"]))
-                avgdl_col = F.lit(float(bm25_stats["avgdl"] or 0.0))
-                df_cols = {
-                    t: F.lit(int(bm25_stats["df"].get(t, 0))) for t in terms
-                }
-                drop_stats = ()
-            else:
-                g = g.crossJoin(F.broadcast(scan_stats_row(chunks, terms, text_col)))
-                n_col = F.col("__n")
-                avgdl_col = F.col("__avgdl")
-                df_cols = {t: F.col(f"__df{i}") for i, t in enumerate(terms)}
-                drop_stats = (
-                    "__n", "__avgdl", *[f"__df{i}" for i in range(len(terms))]
-                )
-            s, any_match = scan_score_exprs(terms, n_col, avgdl_col, df_cols)
-            mx = F.max(F.when(any_match, s)).over(Window.partitionBy())
-            kw_norm = F.when(
-                any_match & (mx > 0), s / mx
-            ).otherwise(F.lit(0.0))
-            boosted = g.withColumn(
-                "score",
-                _rounded(F.col("score") / (F.lit(1.0) + kw_norm * F.lit(weight))),
-            ).drop("_toks", "_dl", *drop_stats)
-        else:
-            # empty/whitespace query: the kw frame was empty, every row
-            # boosted by 0 — the same rounded identity division
-            boosted = grouped.withColumn(
-                "score", _rounded(F.col("score") / F.lit(1.0))
-            )
+        # bm25_stats (corpus_stats_scan result, computed once per corpus
+        # snapshot) removes the per-query stats job of the index-free path
+        kw = bm25_scores_scan(
+            chunks, query_terms, id_cols=id_cols, text_col=text_col,
+            candidates=grouped, stats=bm25_stats,
+        )
+    # no persist on boosted (round 13): since the r12 window-chain file
+    # filter, the tail — file rank, file cut, final top-k — is one LINEAR
+    # consumer, so the persist only added a materialization job
+    boosted = keyword_boost(grouped, kw, on=id_cols, weight=weight)
     filtered = file_topn_filter(boosted, max_files, file_col=file_col)
     return final_topk(filtered, k, id_cols=id_cols)
 
