@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from .embedder import embed_query, embed_text_column, pseudo_embed  # noqa: F401
 from .operators import search
+from .session import read_parquet
 from .operators.bm25 import bm25_scores, build_postings
 from .functions.paths import sync_path_key
 from .operators.neighbors import read_neighbors
@@ -318,7 +319,7 @@ class RagEngine:
         migration), and empty-string values in those columns normalize to
         null (LanceDB seeds nullable strings with '' because it cannot
         infer Arrow types from nulls; read converters undo it — P6)."""
-        df = self.spark.read.parquet(self.table_path)
+        df = read_parquet(self.spark, self.table_path)
         for col in ("fileTitle", "contentHash"):
             if col not in df.columns:
                 df = df.withColumn(col, F.lit(None).cast("string"))

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..session import read_parquet
+
 PQ_CODEBOOKS_FILE = "_pq_codebooks.parquet"
 PQ_CODES_DIR = "_pq_codes"
 
@@ -216,7 +218,7 @@ def encode_index_codes(
     books = read_pq_sidecar(index_path)
     cells, cents = read_cell_centroids(index_path)
     cell_col = read_index_meta(index_path)["cell_col"]
-    df = spark.read.parquet(index_path).select(cell_col, id_col, vec_col)
+    df = read_parquet(spark, index_path).select(cell_col, id_col, vec_col)
     id_type = dict(df.dtypes)[id_col]
     out_schema = (
         f"{cell_col} long, {id_col} {id_type}, pq_code binary, pq_norm double"

@@ -22,6 +22,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import read_parquet
+
 from ..functions.vector import vec_lit
 
 META_FILE = "_ann_meta.json"
@@ -235,7 +237,7 @@ def compact_ivf_cells(
     if not fragmented:
         return 0
     df = (
-        spark.read.parquet(path)
+        read_parquet(spark, path)
         .filter(F.col(cell_col).isin(fragmented))
         .repartition(len(fragmented), cell_col)
         .sortWithinPartitions(cell_col, *sort_cols)
@@ -273,7 +275,7 @@ def read_ivf_cells(
     into the scan, which is strictly stronger than row-group skipping.
     """
     meta = read_index_meta(path)
-    df = spark.read.parquet(path)
+    df = read_parquet(spark, path)
     if cells is not None:
         df = df.filter(F.col(meta["cell_col"]).isin([int(c) for c in cells]))
     return df
@@ -306,7 +308,7 @@ def build_chunks_ivf(
     """
     from ..operators.similarity import ivf_assign
 
-    chunks = spark.read.parquet(table_path).select(
+    chunks = read_parquet(spark, table_path).select(
         "id", "filePath", "chunkIndex", "vector"
     )
     n_rows = chunks.count()
@@ -352,7 +354,7 @@ def ivf_cell_stats(
             f"{cell_col} int, _centroid array<double>",
         )
     )
-    df = spark.read.parquet(path).join(spark_cents, cell_col)
+    df = read_parquet(spark, path).join(spark_cents, cell_col)
     d2 = F.aggregate(
         F.zip_with(
             F.col(vec_col).cast("array<double>"),
@@ -596,7 +598,7 @@ def split_ivf_cell(
     cell_dir = os.path.join(path, f"{cell_col}={cell}")
     if not os.path.isdir(cell_dir):
         raise ValueError(f"no cell {cell} in {path}")
-    df = spark.read.parquet(cell_dir).persist()
+    df = read_parquet(spark, cell_dir).persist()
     try:
         vec = F.col(vec_col).cast("array<double>")
         order = (

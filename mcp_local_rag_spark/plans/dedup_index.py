@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import read_parquet
+
 from ..operators.dedup import (
     band_keys,
     incremental_candidate_pairs,
@@ -159,7 +161,7 @@ def write_signatures(
 
 
 def read_signatures(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    return read_parquet(spark, path)
 
 
 def append_signature_batch(
@@ -290,7 +292,7 @@ def banded_candidate_pairs(
     raises; ``stale_ok=True`` downgrades both to read-as-is. Unstamped
     legacy indexes carry no proof and serve as before."""
     check_index_fresh(path, at_source=at_source, stale_ok=stale_ok)
-    bands = spark.read.parquet(path).drop("bband")
+    bands = read_parquet(spark, path).drop("bband")
     # strategy pass: a COUNT aggregate over the band table — map-side
     # partials make its shuffle a few bytes per distinct bucket, and it
     # yields BOTH the small-bucket pair-volume estimate and the

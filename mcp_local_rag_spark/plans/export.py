@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from ..session import read_parquet
+
 DEFAULT_BIN_BUDGET = 8192  # chars per packed context bin (pack_bins rule)
 
 
@@ -144,7 +146,7 @@ def write_export_manifest(
     import json
     import os
 
-    df = spark.read.json(path) if fmt == "json" else spark.read.parquet(path)
+    df = spark.read.json(path) if fmt == "json" else read_parquet(spark, path)
     cols = sorted(c for c in df.columns)
     row_hash = F.pmod(
         F.xxhash64(*[F.col(c).cast("string") for c in cols]), F.lit(2**32)
@@ -187,7 +189,7 @@ def verify_export_manifest(spark, path: str) -> list[str]:
     df = (
         spark.read.json(path)
         if want["format"] == "json"
-        else spark.read.parquet(path)
+        else read_parquet(spark, path)
     )
     cols = sorted(df.columns)
     problems: list[str] = []

@@ -25,6 +25,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import read_parquet
+
 from ..operators.bm25 import build_postings
 from .ingest import N_BUCKETS, atomic_rewrite, table_n_buckets, write_table_meta
 
@@ -121,7 +123,7 @@ def _aggregate_fts_stats(spark: SparkSession, path: str) -> dict | None:
     if not index_has_data(path):
         return None
     row = (
-        spark.read.parquet(path)
+        read_parquet(spark, path)
         .select("filePath", "chunkIndex", "dl").distinct()
         .agg(F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tdl"))
         .first()
@@ -133,7 +135,7 @@ def _aggregate_fts_stats(spark: SparkSession, path: str) -> dict | None:
 
 
 def read_postings(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).drop("bucket")
+    return read_parquet(spark, path).drop("bucket")
 
 
 def write_term_postings(
@@ -174,7 +176,7 @@ def read_term_postings(
     """Read the term-bucketed copy; with ``terms`` given, the returned
     frame carries the tbucket IN-filter so Catalyst prunes partitions —
     only the query terms' directories are listed and scanned."""
-    df = spark.read.parquet(path)
+    df = read_parquet(spark, path)
     if terms:
         nb = table_n_buckets(path)
         import pyspark.sql.functions as _F
@@ -222,7 +224,7 @@ def compact_postings(spark: SparkSession, path: str) -> None:
     # replayed appends that slipped past the batch markers can only leave
     # full-row duplicates ((filePath, chunkIndex, term) carries one (tf, dl)
     # per document version) — compaction is the declared dedup cover
-    df = spark.read.parquet(path).dropDuplicates(
+    df = read_parquet(spark, path).dropDuplicates(
         ["filePath", "chunkIndex", "term"]
     )
 
@@ -317,7 +319,7 @@ def refresh_postings(
         )
         buckets |= {
             r["bucket"]
-            for r in spark.read.parquet(path)
+            for r in read_parquet(spark, path)
             .join(del_df, "filePath", "left_semi")
             .select("bucket")
             .distinct()
@@ -338,7 +340,7 @@ def refresh_postings(
     # in the output. localCheckpoint materializes the result first, so
     # reading and overwriting the same path cannot race.
     if index_has_data(path):
-        existing = spark.read.parquet(path)
+        existing = read_parquet(spark, path)
         keep = (
             existing.filter(F.col("bucket").isin(sorted(buckets)))
             .drop("bucket")

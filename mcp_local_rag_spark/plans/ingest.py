@@ -22,6 +22,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import read_parquet
+
 from ..chunking.maxmin import maxmin_chunk
 from ..chunking.splitter import split_units_udf
 from ..embedder import embed_text_column
@@ -419,7 +421,7 @@ def compact_chunks(spark: SparkSession, table_path: str, target_files_per_bucket
     if not need:
         return
     df = (
-        spark.read.parquet(table_path)
+        read_parquet(spark, table_path)
         .filter(F.col("bucket").isin(sorted(need)))
         .dropDuplicates(["filePath", "chunkIndex"])
     )
@@ -491,7 +493,7 @@ def delete_documents(
     targets = sorted(set(file_paths))
     if not targets:
         return 0
-    df = spark.read.parquet(table_path)
+    df = read_parquet(spark, table_path)
     # touched buckets come from the rows that actually MATCH, not from the
     # targets' hashes: a stale path (already deleted, never ingested) must
     # not trigger a byte-identical rewrite of an innocent bucket. One
@@ -541,7 +543,7 @@ def delete_documents_df(
     from ..functions.paths import sync_path_key
 
     keys = targets.toDF("_target_key").distinct()
-    df = spark.read.parquet(table_path)
+    df = read_parquet(spark, table_path)
     tagged = df.withColumn(
         "_k", sync_path_key(F.col("filePath"), case_fold=case_fold)
     )

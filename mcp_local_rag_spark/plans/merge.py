@@ -45,6 +45,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import read_parquet
+
 _TS_WRITE_LOCK = threading.Lock()
 
 _SNAP_DIR = "_snapshots"
@@ -600,7 +602,7 @@ def read_snapshot(
         # every row deleted: keep the snapshot READABLE-EMPTY with v1's
         # schema (v1 data dirs are immutable and never removed)
         full = os.path.join(table_path, "data_v1")
-        empty = spark.read.option("basePath", full).parquet(full).limit(0)
+        empty = read_parquet(spark, full, base_path=full).limit(0)
         return _apply_schema_log(empty, 1, schema_log)
     parts = []
     n_wanted = sum(len(bs) for bs in by_dir.values())
@@ -619,8 +621,8 @@ def read_snapshot(
         # one cheap listing.
         for d, buckets in sorted(by_dir.items()):
             for b in sorted(buckets):
-                one = spark.read.parquet(
-                    os.path.join(table_path, d, f"bucket={b}")
+                one = read_parquet(
+                    spark, os.path.join(table_path, d, f"bucket={b}")
                 ).withColumn("bucket", F.lit(b).cast("int"))
                 parts.append(
                     _apply_schema_log(one, _dir_version(d), schema_log)
@@ -628,10 +630,8 @@ def read_snapshot(
     else:
         for d, buckets in sorted(by_dir.items()):
             full = os.path.join(table_path, d)
-            part = (
-                spark.read.option("basePath", full)
-                .parquet(full)
-                .filter(F.col("bucket").isin(buckets))
+            part = read_parquet(spark, full, base_path=full).filter(
+                F.col("bucket").isin(buckets)
             )
             # renames/drops committed after this dir was written adapt
             # its files to the CURRENT schema — metadata-only evolution
@@ -729,7 +729,7 @@ def key_lookup(
     # otherwise ride the table's total file count, which is exactly
     # what a point read must not do); the typed equality pushes to the
     # scan, so the key-sorted row groups inside the file prune too
-    one = spark.read.parquet(os.path.join(table_path, d, f"bucket={b}"))
+    one = read_parquet(spark, os.path.join(table_path, d, f"bucket={b}"))
     one = _apply_schema_log(
         one, _dir_version(d), manifest.get("schema_log", [])
     )

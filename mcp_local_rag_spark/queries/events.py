@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..session import load
+from ..session import load, read_parquet
 from .common import register
 
 DEC6 = "decimal(18,6)"
@@ -986,7 +986,7 @@ def q_events_zorder_read(spark, sf_dir):
             load(spark, sf_dir, "events"), path, ["user_id", "ts"],
             bits=6, n_files=16, curve="hilbert",
         )
-    z = spark.read.parquet(path)
+    z = read_parquet(spark, path)
     t0, t1, umax = z.agg(
         F.min(F.unix_micros("ts")),
         F.max(F.unix_micros("ts")),

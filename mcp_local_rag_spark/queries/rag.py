@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..operators import bm25, search
 from ..operators.sync import plan_sync
 from ..functions.paths import base64url_decode, base64url_encode
-from ..session import load
+from ..session import load, read_parquet
 from .common import CHUNKS_CTE, chunks_df, query_vector, qvec_sql, register
 
 TERMS = ["spark", "join", "filter", "merge"]
@@ -817,7 +817,7 @@ def _indexed_corpus(spark, sf_dir):
     # than the single-split scan in the interleaved A/B (vector_serve
     # p50 2x, hybrid_search_indexed +10% raw). The postings table keeps
     # its bucket layout — that IS the access path.
-    chunks = spark.read.parquet(cpath)
+    chunks = read_parquet(spark, cpath)
     if not os.path.isdir(ppath):
         n_docs = pq.ParquetFile(
             os.path.join(sf_dir, "documents.parquet")

@@ -21,7 +21,7 @@ import os
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import load
+from ..session import load, read_parquet
 from .common import register
 from .rag import _scratch_path
 
@@ -1467,7 +1467,7 @@ GROUP BY grp ORDER BY grp""",
 def q_documents_index_recovery(spark, sf_dir):
     table = _recovered_engine_table(spark, sf_dir)
     dids = (
-        spark.read.parquet(table)
+        read_parquet(spark, table)
         .select(
             F.regexp_extract("filePath", r"d(\d+)\.md$", 1)
             .cast("long")

@@ -84,6 +84,43 @@ def spread(df):
     return df
 
 
+# Process-local parquet schema cache. Spark 4 runs schema inference for
+# every schema-less `spark.read.parquet(path)` as a 1-task footer-reading
+# job — one job-floor (~40-100 ms here) of pure driver latency per read
+# call, paid again on every re-read of the same immutable path. Keyed on
+# the path's stat signature: every table dir in this engine is either
+# write-once-per-version (snapshot data_vN dirs; scratch indexes rebuilt
+# via rmtree+rewrite, which replaces the dir and its mtime) or
+# append-only with a fixed schema, so a signature hit always returns the
+# schema a fresh inference of the same path would. This caches SCHEMAS
+# only — file listing and row reads still happen per query, so no result
+# ever comes from a stale state.
+_PQ_SCHEMA_CACHE: dict = {}
+
+
+def read_parquet(spark: SparkSession, path: str, *, base_path: str | None = None):
+    """`spark.read.parquet` minus the per-call schema-inference job (see
+    _PQ_SCHEMA_CACHE). `base_path` mirrors `.option("basePath", ...)` and
+    is part of the cache key — partitioned reads infer partition columns
+    into the schema."""
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), base_path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    if key is not None:
+        sch = _PQ_SCHEMA_CACHE.get(key)
+        if sch is not None:
+            return reader.schema(sch).parquet(path)
+    df = reader.parquet(path)
+    if key is not None:
+        _PQ_SCHEMA_CACHE[key] = df.schema
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str):
     """Load one driver-generated parquet table (TESTDATA.md).
 
@@ -99,11 +136,11 @@ def load(spark: SparkSession, sf_dir: str, name: str):
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
         # integer div: epoch-nanos exceed 2^53, float division would lose
         # microsecond exactness
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))

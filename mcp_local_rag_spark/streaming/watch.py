@@ -28,6 +28,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import read_parquet
+
 
 def _uri_to_path_py(uri: str) -> str:
     from urllib.parse import unquote, urlparse
@@ -171,7 +173,7 @@ def _append_chunk_batch(
         paths = sorted(batch_paths)
         bks = sorted({bucket_of(p, nb) for p in paths})
         remnant = (
-            spark.read.parquet(table_path)
+            read_parquet(spark, table_path)
             .filter(F.col("bucket").isin(bks) & F.col("filePath").isin(paths))
             .limit(1)
             .count()
