@@ -95,29 +95,67 @@ def spread(df):
 # schema a fresh inference of the same path would. This caches SCHEMAS
 # only — file listing and row reads still happen per query, so no result
 # ever comes from a stale state.
+#
+# Keyed by (abspath, base_path) -> (signature, schema): a rewrite mints a
+# new signature and REPLACES the old entry, so long-lived processes (e.g.
+# streaming watch loops re-reading per batch) hold one entry per live
+# path, not one per historical version.
 _PQ_SCHEMA_CACHE: dict = {}
+
+
+def _path_sig(path: str):
+    """Stat signature for the schema-cache key. For a directory the top
+    dir's stat alone is weak (st_size is constant on most filesystems and
+    mtime granularity can be coarse), so fold in a first-level listing
+    fingerprint — names, sizes, mtimes of the dir's entries. That also
+    catches a writer that appends or rewrites INSIDE a nested partition
+    dir (bucket=N subdir mtime changes) without touching the top dir."""
+    st = os.stat(path)
+    import stat as _stat
+
+    if not _stat.S_ISDIR(st.st_mode):
+        return (st.st_mtime_ns, st.st_size)
+    entries = []
+    with os.scandir(path) as it:
+        for e in it:
+            try:
+                es = e.stat()
+            except OSError:
+                continue
+            entries.append((e.name, es.st_mtime_ns, es.st_size))
+    entries.sort()
+    return (st.st_mtime_ns, st.st_size, tuple(entries))
 
 
 def read_parquet(spark: SparkSession, path: str, *, base_path: str | None = None):
     """`spark.read.parquet` minus the per-call schema-inference job (see
     _PQ_SCHEMA_CACHE). `base_path` mirrors `.option("basePath", ...)` and
     is part of the cache key — partitioned reads infer partition columns
-    into the schema."""
+    into the schema.
+
+    Constraint (cheap insurance, not load-bearing today): the cache is
+    global across SparkSessions and ignores read-affecting confs. The one
+    conf-sensitive path in the package is ``events.parquet`` (TIMESTAMP
+    NANOS read under ``spark.sql.legacy.parquet.nanosAsLong``), and
+    ``load()`` sets that conf before EVERY read — both the inference and
+    any schema-replay therefore see the same conf state. A new
+    conf-sensitive read path must either set its conf unconditionally the
+    same way or bypass this helper."""
     try:
-        st = os.stat(path)
-        key = (os.path.abspath(path), base_path, st.st_mtime_ns, st.st_size)
+        cache_key = (os.path.abspath(path), base_path)
+        sig = _path_sig(path)
     except OSError:
-        key = None
+        cache_key = sig = None
     reader = spark.read
     if base_path is not None:
         reader = reader.option("basePath", base_path)
-    if key is not None:
-        sch = _PQ_SCHEMA_CACHE.get(key)
-        if sch is not None:
-            return reader.schema(sch).parquet(path)
+    if cache_key is not None:
+        hit = _PQ_SCHEMA_CACHE.get(cache_key)
+        if hit is not None and hit[0] == sig:
+            return reader.schema(hit[1]).parquet(path)
     df = reader.parquet(path)
-    if key is not None:
-        _PQ_SCHEMA_CACHE[key] = df.schema
+    if cache_key is not None:
+        _PQ_SCHEMA_CACHE[cache_key] = (sig, df.schema)
     return df
 
 
