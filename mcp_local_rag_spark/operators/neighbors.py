@@ -16,6 +16,15 @@ DEFAULT_BEFORE = 2  # reference src/server/tool-input.ts:186-213
 DEFAULT_AFTER = 2
 MAX_SPAN = 50
 
+# Codegen-shape quantum for the pushed chunkIndex range (see read_neighbors):
+# the int literals of the coarse BETWEEN are rounded to this block, so a
+# document produces at most ceil(n_chunks / block) distinct generated-code
+# shapes instead of one per (lo, hi). 64k rows is a small fraction of one
+# parquet row group here, so the coarse filter still prunes row groups on
+# tables whose documents span several.
+_INDEX_BLOCK = 65536
+_INT_MAX = 2_147_483_647  # chunkIndex is a 32-bit int (plans/ingest)
+
 
 def read_neighbors(
     chunks: DataFrame,
@@ -49,6 +58,27 @@ def read_neighbors(
     #     a Column (never string-spliced — paths may contain quotes or
     #     backslashes that SQL literal parsing would mangle).
     # Measured together: ~175 ms -> ~95 ms per cold read on the bench box.
+    #
+    # r16: the EXACT (lo, hi) bounds are compared as zero-padded strings,
+    # not int literals. Int literals are inlined into the generated Java
+    # source, so every first-sight (lo, hi) paid a fresh Janino compile
+    # (~25-40 ms — the dominant first-sight-only cost of a cold read);
+    # string literals land in the codegen ``references`` array, making
+    # the generated source byte-identical across positions — one compile
+    # per document, then every position is a codegen-cache hit. A coarse
+    # BETWEEN with block-rounded int literals (at most one shape per
+    # _INDEX_BLOCK chunks) stays in the plan so parquet row-group pruning
+    # on chunkIndex min/max still applies at scale; zero-padding makes
+    # string order equal numeric order for 0 <= chunkIndex <= _INT_MAX,
+    # and the coarse bound pins chunkIndex >= 0.
+    lo_c, hi_c = min(lo, _INT_MAX), min(hi, _INT_MAX)
+    blo = (lo_c // _INDEX_BLOCK) * _INDEX_BLOCK
+    bhi = min((hi_c // _INDEX_BLOCK + 1) * _INDEX_BLOCK - 1, _INT_MAX)
+    exact = (
+        f"chunkIndex BETWEEN {blo} AND {bhi} AND "
+        f"lpad(cast(chunkIndex AS string), 10, '0') "
+        f"BETWEEN '{lo_c:010d}' AND '{hi_c:010d}'"
+    )
     pred = F.col("filePath") == F.lit(file_path)
     if "bucket" in chunks.columns:
         # partition pruning: only the document's hash bucket is scanned.
@@ -59,11 +89,9 @@ def read_neighbors(
 
         nb = n_buckets if n_buckets is not None else N_BUCKETS
         b = bucket_of(file_path, int(nb))
-        pred = pred & F.expr(
-            f"bucket = {int(b)} AND chunkIndex BETWEEN {int(lo)} AND {int(hi)}"
-        )
+        pred = pred & F.expr(f"bucket = {int(b)} AND {exact}")
     else:
-        pred = pred & F.expr(f"chunkIndex BETWEEN {int(lo)} AND {int(hi)}")
+        pred = pred & F.expr(exact)
     # orderBy + limit(frame size) keeps the ascending-order contract as a
     # single TakeOrderedAndProject — no range-partitioner sampling job
     # (the limit caps it to a per-partition top-k + driver merge) and one

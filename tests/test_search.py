@@ -168,6 +168,60 @@ def test_pin_document_frame_neighbors_identical(spark, tmp_path):
         pinned.unpersist()
 
 
+def test_read_neighbors_string_bounds_equal_plain_between(spark, tmp_path):
+    """The r16 predicate (block-rounded coarse BETWEEN + zero-padded
+    string bounds, one codegen shape per document) must select exactly
+    the rows of a plain integer BETWEEN — including across the
+    _INDEX_BLOCK boundary, at index 0, with targets past the table end,
+    with negative targets (empty frame), and near the int32 clamp."""
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.operators import neighbors as N
+    from mcp_local_rag_spark.plans.ingest import write_chunks
+
+    table = str(tmp_path / "chunks_sb")
+    doc = "/sb/doc.md"
+    blk = N._INDEX_BLOCK
+    # sparse indices straddling the block boundary and the int32 edge
+    idxs = [0, 1, 2, 5, blk - 2, blk - 1, blk, blk + 1, N._INT_MAX - 1, N._INT_MAX]
+    rows = spark.createDataFrame(
+        [(doc, i, f"text {i}") for i in idxs],
+        "filePath string, chunkIndex int, text string",
+    )
+    write_chunks(rows, table)
+    chunks = spark.read.parquet(table)
+
+    def plain(target, before, after):
+        lo = max(target - before, 0)
+        hi = target + after
+        if hi < lo:
+            return []
+        got = (
+            chunks.where(
+                (F.col("filePath") == doc)
+                & (F.col("chunkIndex") >= lo)
+                & (F.col("chunkIndex") <= min(hi, N._INT_MAX))
+            )
+            .orderBy("chunkIndex")
+            .collect()
+        )
+        return [tuple(r) for r in got]
+
+    cases = [
+        (0, 2, 2), (1, 2, 2), (blk - 1, 2, 2), (blk, 2, 2), (blk + 1, 1, 1),
+        (blk - 1, 0, 0), (10**7, 2, 2), (-5, 2, 2), (-1, 0, 0),
+        (N._INT_MAX, 2, 2), (N._INT_MAX - 1, 1, 50), (3, 50, 50),
+    ]
+    for target, before, after in cases:
+        got = [
+            tuple(r)
+            for r in N.read_neighbors(
+                chunks, doc, target, before=before, after=after
+            ).collect()
+        ]
+        assert got == plain(target, before, after), (target, before, after)
+
+
 def test_hybrid_search_batch_matches_single_calls(spark):
     """The batched full-hybrid pipeline must be row-identical per query to
     N separate hybrid_search calls — including grouping, BM25 boost with
