@@ -305,6 +305,7 @@ def test_banded_index_pairs_identical_to_join_path(spark, tmp_path):
             assert got == want, f"cap={cap} pv_cap={pv_cap}"
 
 
+@pytest.mark.slow
 def test_banded_routes_agree_on_random_corpora(spark, tmp_path):
     """Randomized route-parity fuzz: on seeded random corpora (mixed
     duplicate cliques, near-dups, singletons) every strategy combination

@@ -491,7 +491,14 @@ def test_intent_algebra_fuzz(tmp_path):
                 assert has_file
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.parametrize(
+    "seed",
+    [
+        11,
+        pytest.param(23, marks=pytest.mark.slow),
+        pytest.param(47, marks=pytest.mark.slow),
+    ],
+)
 def test_engine_mutation_storm_crash_fuzz(spark, tmp_path, docs_dir, seed, monkeypatch):
     """Randomized mutation storm with ONE crash at a random window:
     a sequence of ingest/update/delete ops, optimize() at random points,

@@ -150,6 +150,7 @@ def test_term_bucketed_copy_gives_identical_results(engine, spark, tmp_path):
         ), q
 
 
+@pytest.mark.slow
 def test_randomized_parity_sweep(engine):
     """Seeded randomized sweep: 12 random query/settings combinations —
     the broadest guard on the grouping float-recurrence replication and

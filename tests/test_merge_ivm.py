@@ -1366,6 +1366,7 @@ def test_hist_quantile_log_bins_bound_true_quantile(spark, tmp_path):
     check(ev.filter(F.col("x") >= 32))
 
 
+@pytest.mark.slow
 def test_ivm_randomized_fold_converges(spark, tmp_path):
     """Seeded randomized history over the full measure algebra: random
     batch partitioning + interleaved random retractions of previously
@@ -2643,6 +2644,7 @@ def test_cdf_across_rename(spark, table):
     assert ch["update_postimage"]["val"] == 500
 
 
+@pytest.mark.slow
 def test_schema_log_randomized_against_model(spark, tmp_path):
     """Seeded random walk of warehouse ops — upsert, delete, ADD column
     (schema-evolving merge), RENAME, DROP, re-add of dropped names —

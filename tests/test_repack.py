@@ -98,6 +98,7 @@ def test_repack_merges_sparse_shards_and_preserves_content(spark, tmp_path):
     assert _titles(eng) == got
 
 
+@pytest.mark.slow
 def test_repack_crash_windows_converge(spark, tmp_path, monkeypatch):
     """Crash injection at every repack protocol window; the NEXT entry
     point (repack or a routine sync) must converge to the same served

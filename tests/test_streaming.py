@@ -1252,7 +1252,10 @@ def test_stream_shard_lifecycle_crash_fuzz(spark, tmp_path, monkeypatch):
 
     eng = RagEngine(spark, table, postings_path=postings)
 
-    for rnd in range(50):
+    # fast default runs a PREFIX of the seeded sweep (same seed/order);
+    # SPARK_GRAFT_FULL_TESTS=1 restores the full 50 rounds
+    n_rounds = 50 if os.environ.get("SPARK_GRAFT_FULL_TESTS") else 10
+    for rnd in range(n_rounds):
         for _ in range(rng.randint(1, 2)):
             drop_shard(
                 rng.choice(["good", "good", "good", "zerotext", "corrupt"])

@@ -313,6 +313,7 @@ def test_transactions_do_not_nest(spark, tmp_path):
                 pass
 
 
+@pytest.mark.slow
 def test_txn_crash_matrix_every_window_converges(spark, tmp_path):
     """Systematic crash injection: kill the coordinator at EVERY distinct
     protocol point — after intent, after the first prepare, between

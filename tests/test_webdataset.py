@@ -388,6 +388,7 @@ def test_sync_shards_new_shard_crash_retry_no_duplicates(spark, tmp_path):
     assert eng.chunks().count() == n1  # replaced, never duplicated
 
 
+@pytest.mark.slow
 def test_sync_shards_randomized_model(spark, tmp_path):
     """Model-based fuzz: random per-round shard edits (add / rewrite /
     corrupt / delete) against a pure-python model of the engine's served
@@ -682,7 +683,10 @@ def test_shard_lifecycle_crash_fuzz(spark, tmp_path, monkeypatch):
 
     BOUNDED_WINDOWS = ("delete", "append", "property", "refresh")
 
-    for rnd in range(50):
+    # fast default runs a PREFIX of the seeded sweep (same seed/order);
+    # SPARK_GRAFT_FULL_TESTS=1 restores the full 50 rounds
+    n_rounds = 50 if os.environ.get("SPARK_GRAFT_FULL_TESTS") else 10
+    for rnd in range(n_rounds):
         for _ in range(rng.randint(1, 2)):
             op = rng.choice(["add", "rewrite", "corrupt", "delete"])
             live = sorted(disk)
@@ -767,7 +771,7 @@ def test_shard_lifecycle_crash_fuzz(spark, tmp_path, monkeypatch):
         # empty-corpus posture); freshness resumes with the next ingest
         assert read_intent(table) is None, (rnd, window)
 
-        if want and (rnd % 10 == 9 or rnd == 49):
+        if want and (rnd % 10 == 9 or rnd == n_rounds - 1):
             ref = str(tmp_path / f"ref_fts_{rnd}")
             write_postings(eng.chunks(), ref, n_buckets=4)
             cols = ("term", "filePath", "chunkIndex", "tf")
