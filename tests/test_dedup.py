@@ -1,3 +1,4 @@
+import pytest
 from pyspark.sql import functions as F
 
 from mcp_local_rag_spark.operators import dedup

@@ -64,10 +64,17 @@ def test_epoch_shards_stay_contiguous_and_shuffled(spark, tmp_path):
         return runs
 
     r7 = shard_runs(_order(spark, paths, seed=7))
-    r9 = shard_runs(_order(spark, paths, seed=9))
     assert len(r7) == len(paths)  # contiguous: one run per shard
-    assert len(r9) == len(paths)
-    assert r7 != r9  # shard shuffle responds to the seed
+    # shard rank is md5(seed | absolute shard path), so with 4 shards two
+    # specific seeds collide on the same permutation for ~1/24 of tmp
+    # paths — probe seeds until one differs instead of betting on one
+    for alt_seed in (9, 10, 11):
+        r_alt = shard_runs(_order(spark, paths, seed=alt_seed))
+        assert len(r_alt) == len(paths)
+        if r_alt != r7:
+            break
+    else:
+        raise AssertionError("shard shuffle ignored three distinct seeds")
 
 
 def test_epoch_buffer_bounds_displacement(spark, tmp_path):

@@ -101,10 +101,15 @@ def test_neighbor_read_prunes_partitions(spark, tmp_path):
     df = read_neighbors(spark.read.parquet(table), "/d3.md", 50)
     p = plan(df)
     # the bucket equality must land in PartitionFilters (directory pruning),
-    # and filePath/chunkIndex bounds must be pushed to the row-group level
+    # filePath plus the block-rounded coarse chunkIndex BETWEEN must reach
+    # the row-group level, and the exact bounds ride as zero-padded string
+    # compares (r16: one codegen shape per document, so first-sight
+    # positions stop paying Janino — see operators/neighbors.py)
     assert "PartitionFilters: [" in p and "bucket" in p.split("PartitionFilters")[1][:200]
     assert "EqualTo(filePath,/d3.md)" in p
-    assert "GreaterThanOrEqual(chunkIndex,48)" in p
+    assert "GreaterThanOrEqual(chunkIndex,0)" in p
+    assert "LessThanOrEqual(chunkIndex,65535)" in p
+    assert "lpad(cast(chunkIndex" in p  # exact bounds, codegen-cacheable form
     # no shuffle at all in a point read
     assert "Exchange" not in p
 
