@@ -603,9 +603,17 @@ SELECT doc_id,
 FROM px ORDER BY doc_id""",
 )
 def q_media_image_features(spark, sf_dir):
-    docs = spread(load(spark, sf_dir, "documents").filter(
+    # NO spread here (r16 A/B): the media fixture rows are tiny (few-px
+    # synthetic images), so the per-row Python work never amortizes the
+    # round-robin exchange — and each 32-wide chained-Python stage forks
+    # a 64-96-process worker fleet whose cold import cost dominated the
+    # whole media family in the sweep (video 7.8 s cold -> 1.4 s warm;
+    # warm spread-off -62%). parsed_pdf_roundtrip keeps spread: its real
+    # per-row Flate work measured 4x WORSE single-split. At real scale
+    # media blobs arrive in >= cores splits and spread is a no-op anyway.
+    docs = load(spark, sf_dir, "documents").filter(
         (F.col("doc_id") % 4 == 0) | (F.col("doc_id") % 4 == 1)
-    ).select("doc_id"))
+    ).select("doc_id")
 
     def _mk(batches):
         import numpy as np
@@ -696,7 +704,8 @@ SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height, n_colors, sum_px,
 FROM px ORDER BY doc_id""",
 )
 def q_media_gif_features(spark, sf_dir):
-    docs = spread(
+    # no spread: tiny fixture rows — see q_media_image_features (r16 A/B)
+    docs = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 4 == 2)
         .select("doc_id")
@@ -786,7 +795,8 @@ SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height, 4::BIGINT AS channels,
 FROM px ORDER BY doc_id""",
 )
 def q_media_png_features(spark, sf_dir):
-    docs = spread(
+    # no spread: tiny fixture rows — see q_media_image_features (r16 A/B)
+    docs = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 4 == 3)
         .select("doc_id")
@@ -873,9 +883,10 @@ SELECT doc_id, wdx::BIGINT AS window_index, count(*)::BIGINT AS n_samples,
 FROM p GROUP BY doc_id, wdx ORDER BY doc_id, window_index""",
 )
 def q_media_audio_features(spark, sf_dir):
-    docs = spread(load(spark, sf_dir, "documents").filter(
+    # no spread: tiny fixture rows — see q_media_image_features (r16 A/B)
+    docs = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 3 == 0
-    ).select("doc_id"))
+    ).select("doc_id")
 
     def _mk(batches):
         import io
@@ -969,9 +980,12 @@ FROM px ORDER BY doc_id, frame_index""",
 def q_media_video_frames(spark, sf_dir):
     from ..operators.multimodal import media_table, sample_frames
 
-    docs = spread(load(spark, sf_dir, "documents").filter(
+    # no spread: tiny fixture rows — see q_media_image_features (r16 A/B).
+    # This lane chains THREE Python stages, so the 32-wide spread forked a
+    # ~96-process worker fleet: the family's worst cold number (9.9 s).
+    docs = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 6 == 2
-    ).select("doc_id"))
+    ).select("doc_id")
 
     def _mk(batches):
         import numpy as np
