@@ -331,25 +331,36 @@ def jaccard_verify(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs; keep pairs >= threshold.
+    ``shingles`` must be DISTINCT per (id, shingle) — ``shingle_sets``'
+    contract.
 
-    |A ∩ B| via a shingle equi-join restricted to the pairs; |A ∪ B| from
-    per-doc set sizes. Quadratic work only on LSH candidates.
+    r16 shape: each document's shingle set is packed into ONE array row
+    (``collect_set`` — one map-side-combined shuffle of the stream, same
+    keying as the old per-doc size aggregate), then |A ∩ B| is a per-pair
+    ``array_intersect`` after two narrow id joins. The previous form
+    expanded every candidate pair into |A| (id2, shingle) rows and
+    shuffled THAT through a second equi-join plus a per-pair re-aggregate
+    — O(pairs x shingles) rows through two exchanges (guide §2.3). Packed
+    arrays move strictly fewer bytes (no per-row id/shingle duplication),
+    the pair-expanded exchange and the re-aggregate disappear, and the
+    per-pair intersection is a linear hash-set pass. Integer counts and
+    the identical round() arithmetic keep the scores bit-for-bit equal to
+    the join form (pytest-pinned); ``c >= 1`` reproduces the old inner
+    join's drop of zero-intersection pairs for any threshold.
     """
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
-    s1 = shingles.select(F.col(id_col).alias("id1"), "shingle")
-    s2 = shingles.select(F.col(id_col).alias("id2"), "shingle")
-    inter = (
-        pairs.join(s1, "id1")
-        .join(s2, ["id2", "shingle"])
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("c"))
-    )
+    sets_ = shingles.groupBy(id_col).agg(F.collect_set("shingle").alias("_sh"))
+    s1 = sets_.select(F.col(id_col).alias("id1"), F.col("_sh").alias("_sh1"))
+    s2 = sets_.select(F.col(id_col).alias("id2"), F.col("_sh").alias("_sh2"))
+    c = F.size(F.array_intersect("_sh1", "_sh2"))
+    n1, n2 = F.size("_sh1"), F.size("_sh2")
     jac = (
-        inter.join(sizes.select(F.col(id_col).alias("id1"), F.col("n").alias("n1")), "id1")
-        .join(sizes.select(F.col(id_col).alias("id2"), F.col("n").alias("n2")), "id2")
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("c", c)
+        .filter(F.col("c") >= 1)
         .withColumn(
             "jaccard",
-            F.round(F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")), 6),
+            F.round(F.col("c").cast("double") / (n1 + n2 - F.col("c")), 6),
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("id1", "id2", "jaccard")

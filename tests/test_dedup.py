@@ -33,6 +33,48 @@ def test_jaccard_verify_scores_identical_as_one(spark):
     assert exact and exact[0].jaccard == 1.0
 
 
+def test_jaccard_verify_array_form_matches_join_form(spark):
+    """The r16 array_intersect form must reproduce the exploded-join form
+    bit-for-bit — including partial overlaps, zero-intersection candidate
+    pairs (dropped even at threshold 0, the old inner join's semantics),
+    and pairs whose doc has no shingles row."""
+    from pyspark.sql import functions as F
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),   # high overlap with 1
+        (3, "one two three four five six seven"),     # no overlap with 1/2
+        (4, "alpha beta gamma nine ten eleven"),      # partial overlap
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    shingles = dedup.shingle_sets(docs).persist()
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 4), (2, 5)],  # (2,5): id2 absent
+        "id1 long, id2 long",
+    )
+
+    def join_form(pairs, shingles, threshold):
+        sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+        s1 = shingles.select(F.col("doc_id").alias("id1"), "shingle")
+        s2 = shingles.select(F.col("doc_id").alias("id2"), "shingle")
+        inter = (
+            pairs.join(s1, "id1").join(s2, ["id2", "shingle"])
+            .groupBy("id1", "id2").agg(F.count("*").alias("c"))
+        )
+        jac = (
+            inter.join(sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1")), "id1")
+            .join(sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2")), "id2")
+            .withColumn("jaccard", F.round(F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")), 6))
+        )
+        return jac.filter(F.col("jaccard") >= threshold).select("id1", "id2", "jaccard")
+
+    for thr in (0.0, 0.2, 0.7):
+        got = {tuple(r) for r in dedup.jaccard_verify(pairs, shingles, threshold=thr).collect()}
+        want = {tuple(r) for r in join_form(pairs, shingles, thr).collect()}
+        assert got == want, (thr, got, want)
+    shingles.unpersist()
+
+
 def test_simhash_identical_docs_equal_signatures(spark):
     out = {r.doc_id: r.simhash for r in dedup.simhash(_docs(spark)).collect()}
     assert out[1] == out[2]
