@@ -347,10 +347,27 @@ def jaccard_verify(
     the identical round() arithmetic keep the scores bit-for-bit equal to
     the join form (pytest-pinned); ``c >= 1`` reproduces the old inner
     join's drop of zero-intersection pairs for any threshold.
+
+    Callers that already hold packed sets (``doc_profiles``) skip the
+    ``collect_set`` and call ``jaccard_verify_sets`` directly.
     """
     sets_ = shingles.groupBy(id_col).agg(F.collect_set("shingle").alias("_sh"))
-    s1 = sets_.select(F.col(id_col).alias("id1"), F.col("_sh").alias("_sh1"))
-    s2 = sets_.select(F.col(id_col).alias("id2"), F.col("_sh").alias("_sh2"))
+    return jaccard_verify_sets(pairs, sets_, id_col=id_col, threshold=threshold)
+
+
+def jaccard_verify_sets(
+    pairs: DataFrame,
+    sets_: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    set_col: str = "_sh",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """``jaccard_verify`` over PRE-PACKED sets: (id, set_col array) rows,
+    one per document (``doc_profiles`` / a prior ``collect_set``). Same
+    semantics, same rounding, same ``c >= 1`` inner-join reproduction."""
+    s1 = sets_.select(F.col(id_col).alias("id1"), F.col(set_col).alias("_sh1"))
+    s2 = sets_.select(F.col(id_col).alias("id2"), F.col(set_col).alias("_sh2"))
     c = F.size(F.array_intersect("_sh1", "_sh2"))
     n1, n2 = F.size("_sh1"), F.size("_sh2")
     jac = (
@@ -364,6 +381,47 @@ def jaccard_verify(
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("id1", "id2", "jaccard")
+
+
+def doc_profiles(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """Packed per-doc dedup profile in ONE shuffle: (id, _sh, sig0..sig{n-1}).
+
+    The verify-tier lanes need BOTH the distinct shingle set (packed, for
+    ``jaccard_verify_sets``' array_intersect) and the MinHash signature
+    per document. Built separately that is THREE shuffles of the exploded
+    shingle stream (the ``shingle_sets`` distinct, then two ``groupBy(id)``
+    aggregates); here ``collect_set`` performs the dedup itself and the
+    affine mins are duplicate-insensitive, so one map-side-combined
+    ``groupBy(id)`` over the NON-distinct ``shingle_stream`` produces both
+    at once (guide §2.3/§2.4 — aggregate before you shuffle, remove
+    shuffles outright). The persisted frame is one row per document
+    instead of the exploded stream, so the lane cache is smaller too.
+    Downstream: ``lsh_candidate_pairs``/``band_keys`` read the sig*
+    columns and ignore ``_sh``; ``jaccard_verify_sets`` reads (id, _sh).
+    """
+    if n_hashes > len(MINHASH_A):
+        raise ValueError(
+            f"n_hashes={n_hashes} exceeds the fixed affine hash family "
+            f"({len(MINHASH_A)} functions; extend MINHASH_A/MINHASH_B to go wider)"
+        )
+    stream = shingle_stream(docs, id_col=id_col, text_col=text_col, k=k)
+    base = stream.select(
+        F.col(id_col), "shingle", shingle_hash(F.col("shingle")).alias("h")
+    )
+    aggs = [F.collect_set("shingle").alias("_sh")] + [
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % P_MINHASH).alias(
+            f"sig{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return base.groupBy(id_col).agg(*aggs)
 
 
 # ---------------------------------------------------------------------------

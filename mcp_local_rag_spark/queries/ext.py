@@ -217,14 +217,14 @@ jac AS (
 SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.7""",
 )
 def q_dedup_jaccard(spark, sf_dir):
-    # shingles feed four subtrees (minhash, sizes, both intersection sides)
-    # — persist once instead of re-running the shingle transform each time
-    corpus = _dedup_corpus(spark, sf_dir)
-    shingles = dedup.shingle_sets(corpus).persist()
-    shingles.count()
-    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(shingles)).persist()
+    # ONE shuffle builds the packed set + signature profile (r16,
+    # dedup.doc_profiles) — the old prefix paid three passes over the
+    # exploded shingle stream (distinct, minhash agg, size/collect agg)
+    prof = dedup.doc_profiles(_dedup_corpus(spark, sf_dir)).persist()
+    prof.count()
+    pairs = dedup.lsh_candidate_pairs(prof).persist()
     pairs.count()
-    return dedup.jaccard_verify(pairs, shingles, threshold=0.7)
+    return dedup.jaccard_verify_sets(pairs, prof.select("doc_id", "_sh"), threshold=0.7)
 
 
 # Duplicate-GROUP clustering: connected components over the verified pairs,
@@ -269,12 +269,13 @@ SELECT id AS doc_id, min(lab)::BIGINT AS cluster_id
 FROM reach GROUP BY id""",
 )
 def q_dedup_clusters(spark, sf_dir):
-    corpus = _dedup_corpus(spark, sf_dir)
-    shingles = dedup.shingle_sets(corpus).persist()
-    shingles.count()
-    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(shingles)).persist()
+    prof = dedup.doc_profiles(_dedup_corpus(spark, sf_dir)).persist()
+    prof.count()
+    pairs = dedup.lsh_candidate_pairs(prof).persist()
     pairs.count()
-    verified = dedup.jaccard_verify(pairs, shingles, threshold=0.7)
+    verified = dedup.jaccard_verify_sets(
+        pairs, prof.select("doc_id", "_sh"), threshold=0.7
+    )
     labels = dedup.connected_components(verified)
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
@@ -309,11 +310,13 @@ ORDER BY c.doc_id""",
 )
 def q_dedup_keep_list(spark, sf_dir):
     corpus = _dedup_corpus(spark, sf_dir)
-    shingles = dedup.shingle_sets(corpus).persist()
-    shingles.count()
-    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(shingles)).persist()
+    prof = dedup.doc_profiles(corpus).persist()
+    prof.count()
+    pairs = dedup.lsh_candidate_pairs(prof).persist()
     pairs.count()
-    verified = dedup.jaccard_verify(pairs, shingles, threshold=0.7)
+    verified = dedup.jaccard_verify_sets(
+        pairs, prof.select("doc_id", "_sh"), threshold=0.7
+    )
     labels = dedup.connected_components(verified)
     return (
         corpus.select("doc_id")
@@ -1661,11 +1664,13 @@ r0 AS (SELECT id, 1000000::BIGINT AS rank FROM nodes)"""
 @register("dedup_graph_pagerank", _pagerank_sql())
 def q_dedup_graph_pagerank(spark, sf_dir):
     corpus = _dedup_corpus(spark, sf_dir)
-    shingles = dedup.shingle_sets(corpus).persist()
-    shingles.count()
-    cpairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(shingles)).persist()
+    prof = dedup.doc_profiles(corpus).persist()
+    prof.count()
+    cpairs = dedup.lsh_candidate_pairs(prof).persist()
     cpairs.count()
-    jp = dedup.jaccard_verify(cpairs, shingles, threshold=0.7).select("id1", "id2")
+    jp = dedup.jaccard_verify_sets(
+        cpairs, prof.select("doc_id", "_sh"), threshold=0.7
+    ).select("id1", "id2")
     edges = (
         jp.union(jp.select(F.col("id2"), F.col("id1")))
         .toDF("src", "dst")
@@ -1906,12 +1911,12 @@ FROM tris t""",
 )
 def q_dedup_graph_triangles(spark, sf_dir):
     corpus = _dedup_corpus(spark, sf_dir)
-    shingles = dedup.shingle_sets(corpus).persist()
-    shingles.count()
-    cpairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(shingles)).persist()
+    prof = dedup.doc_profiles(corpus).persist()
+    prof.count()
+    cpairs = dedup.lsh_candidate_pairs(prof).persist()
     cpairs.count()
     jp = (
-        dedup.jaccard_verify(cpairs, shingles, threshold=0.7)
+        dedup.jaccard_verify_sets(cpairs, prof.select("doc_id", "_sh"), threshold=0.7)
         .select("id1", "id2")
         .persist()
     )
@@ -2029,11 +2034,10 @@ def q_corpus_decontaminate_fuzzy(spark, sf_dir):
         ),
     )
     corpus = docs.unionByName(planted)
-    shingles = dedup.shingle_sets(corpus).persist()
-    shingles.count()
+    prof = dedup.doc_profiles(corpus).persist()
+    prof.count()
     is_bench = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 2_000_000)
-    sigs = dedup.minhash_signatures(shingles)
-    bands = dedup.band_keys(sigs)
+    bands = dedup.band_keys(prof)
     bench_b = bands.filter(is_bench).select(
         F.col("doc_id").alias("_b"), "band", "band_key"
     )
@@ -2047,7 +2051,7 @@ def q_corpus_decontaminate_fuzzy(spark, sf_dir):
         )
         .distinct()
     )
-    out = dedup.jaccard_verify(cand, shingles, threshold=0.7)
+    out = dedup.jaccard_verify_sets(cand, prof.select("doc_id", "_sh"), threshold=0.7)
     return out.select(
         F.col("id1").alias("bench_or_train_lo"),
         F.col("id2").alias("bench_or_train_hi"),
@@ -2085,19 +2089,29 @@ JOIN sizes z2 ON z2.doc_id = i.id2
 ORDER BY id1, id2""",
 )
 def q_dedup_containment(spark, sf_dir):
+    # same r16 shape as jaccard_verify_sets: packed sets from the one-
+    # shuffle doc_profiles, |A∩B| as a per-pair array_intersect, sizes as
+    # F.size of the packed array — the pair-expanded shingle join and the
+    # separate size aggregate are gone. `i >= 1` reproduces the old inner
+    # intersection join's drop of zero-overlap candidates.
     corpus = _dedup_corpus(spark, sf_dir)
-    sh = dedup.shingle_sets(corpus).persist()
-    sh.count()
-    sigs = dedup.minhash_signatures(sh)
-    pairs = dedup.lsh_candidate_pairs(sigs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    s1 = sh.select(F.col("doc_id").alias("id1"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("id2"), "shingle")
+    prof = dedup.doc_profiles(corpus).persist()
+    prof.count()
+    pairs = dedup.lsh_candidate_pairs(prof)
+    sets_ = prof.select("doc_id", "_sh")
+    s1 = sets_.select(F.col("doc_id").alias("id1"), F.col("_sh").alias("_sh1"))
+    s2 = sets_.select(F.col("doc_id").alias("id2"), F.col("_sh").alias("_sh2"))
     inter = (
         pairs.join(s1, "id1")
-        .join(s2, ["id2", "shingle"])
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("i"))
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("_sh1", "_sh2")).cast("long").alias("i"),
+            F.size("_sh1").cast("long").alias("_z1"),
+            F.size("_sh2").cast("long").alias("_z2"),
+        )
+        .filter(F.col("i") >= 1)
     )
 
     def _micro(i_col, sz_col):
@@ -2108,9 +2122,7 @@ def q_dedup_containment(spark, sf_dir):
         ) + F.lit(0.0)
 
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("_z1")), "id1")
-        .join(sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("_z2")), "id2")
-        .select(
+        inter.select(
             "id1",
             "id2",
             _micro("i", "_z1").alias("containment_1in2"),

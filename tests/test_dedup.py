@@ -33,6 +33,35 @@ def test_jaccard_verify_scores_identical_as_one(spark):
     assert exact and exact[0].jaccard == 1.0
 
 
+def test_doc_profiles_matches_separate_builds(spark):
+    """The one-shuffle doc_profiles frame must equal the pieces built
+    separately: _sh == shingle_sets packed (set equality), sig* ==
+    minhash_signatures over the distinct sets (minhash over the raw
+    stream must be identical — min() is duplicate-insensitive)."""
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta alpha beta gamma"),  # dup shingles
+        (2, "one two three four five"),
+        (3, "alpha beta gamma alpha beta gamma"),  # heavy repetition
+        (4, "too short"),  # below k tokens: no shingles at all
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    prof = {r["doc_id"]: r for r in dedup.doc_profiles(docs).collect()}
+
+    sh = dedup.shingle_sets(docs).persist()
+    want_sets = {
+        r["doc_id"]: set(r["s"])
+        for r in sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s")).collect()
+    }
+    want_sigs = {r["doc_id"]: r for r in dedup.minhash_signatures(sh).collect()}
+    sh.unpersist()
+
+    assert set(prof) == set(want_sets)
+    for did, row in prof.items():
+        assert set(row["_sh"]) == want_sets[did], did
+        for i in range(dedup.N_HASHES):
+            assert row[f"sig{i}"] == want_sigs[did][f"sig{i}"], (did, i)
+
+
 def test_jaccard_verify_array_form_matches_join_form(spark):
     """The r16 array_intersect form must reproduce the exploded-join form
     bit-for-bit — including partial overlaps, zero-intersection candidate
