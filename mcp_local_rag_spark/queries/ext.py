@@ -2170,15 +2170,22 @@ def q_corpus_ngram_novelty(spark, sf_dir):
     sh = dedup.shingle_sets(docs).persist()
     sh.count()
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("fd"))
+    # r16: `novel` falls straight out of the first-occurrence aggregate
+    # (#shingles whose min doc IS this doc) — the old form joined the full
+    # shingle stream back against the |vocab| first_seen table and
+    # re-aggregated the stream (two corpus-sized exchanges) to compute
+    # numbers both available from per-doc rollups of frames already built
+    # (guide §2.3 — don't shuffle what you throw away). sh is DISTINCT,
+    # so count-of-rows == the old sum-of-matches exactly; docs whose every
+    # shingle was seen earlier get novel = 0 via the left join.
+    novel = first.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count("*").alias("novel")
+    )
     per_doc = (
-        sh.join(first, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
-            ).cast("long").alias("novel"),
-        )
+        sh.groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"))
+        .join(novel, "doc_id", "left")
+        .withColumn("novel", F.coalesce(F.col("novel"), F.lit(0).cast("long")))
     )
     return per_doc.select(
         "doc_id",

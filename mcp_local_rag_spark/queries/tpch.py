@@ -617,13 +617,25 @@ def q_tpch_q21(spark, sf_dir):
     lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "is_late", li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")
     )
-    order_stats = lo.groupBy(li.l_orderkey.alias("os_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    # ONE grouped pass over lineitem⋈orders feeds both EXISTS arms (r16):
+    # the old plan referenced `lo` from two subtrees — the join ran twice —
+    # and the double countDistinct paid Spark's expand fan-out. Per
+    # (order, supplier) rows make n_supp a plain count and n_late a sum of
+    # booleans (exact integer semantics of the countDistincts), and `late`
+    # is the same frame filtered. Persisted: both consumers materialize
+    # inside the caller's single action, so the join+shuffle runs once.
+    grp = (
+        lo.groupBy(
+            li.l_orderkey.alias("l_orderkey"), li.l_suppkey.alias("l_suppkey")
+        )
+        .agg(F.max("is_late").alias("_any_late"))
+        .persist()
     )
-    late = (
-        lo.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    order_stats = grp.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("_any_late").cast("long")).alias("n_late"),
     )
+    late = grp.filter(F.col("_any_late")).select("l_orderkey", "l_suppkey")
     return (
         late.join(
             order_stats,
