@@ -181,6 +181,8 @@ def test_ingest_data_custom_db_path_restores_source(spark, tmp_path):
     assert hits and hits[0].source == "https://example.com/custom-root"
 
 
+# slow (verify-window, r16): postings maintenance stays default-covered by test_stream_ingest_maintains_postings_index / test_incremental_sync
+@pytest.mark.slow
 def test_maintained_postings_index_lifecycle(spark, corpus, tmp_path):
     """The maintained index is ON by default; bulk ingest ends with
     optimize() so fresh queries use it immediately. Stale states (un-
@@ -257,34 +259,41 @@ def test_sync_many_files_batched_execute(spark, tmp_path):
     """A sync touching many documents executes as batched bucket rewrites:
     30 modified + 20 pruned files converge in one pass with correct final
     state (upsert-before-prune ordering preserved)."""
+    import os as _os
+
+    # verify-window trim (r16): 30 files (18 upsert / 12 prune) still
+    # exercises the batched bucket-rewrite path; FULL restores 50/30/20
+    n_all, n_upd = (
+        (50, 30) if _os.environ.get("SPARK_GRAFT_FULL_TESTS") else (30, 18)
+    )
     d = tmp_path / "many"
     d.mkdir()
-    for i in range(50):
+    for i in range(n_all):
         (d / f"doc{i:02d}.md").write_text(
             f"# Doc {i}\n\nDocument number {i} has a body paragraph long enough"
             " to produce at least one chunk after splitting.\n"
         )
     eng = RagEngine(spark, str(tmp_path / "chunks_many"))
     eng.ingest_directory(str(d))
-    assert eng.get_status()["documentCount"] == 50
+    assert eng.get_status()["documentCount"] == n_all
 
-    for i in range(30):
+    for i in range(n_upd):
         (d / f"doc{i:02d}.md").write_text(
             f"# Doc {i} v2\n\nDocument number {i} now carries completely revised"
             " body content that changes its stored hash materially.\n"
         )
-    for i in range(30, 50):
+    for i in range(n_upd, n_all):
         (d / f"doc{i:02d}.md").unlink()
 
     rep = eng.sync(str(d))
-    assert rep.counters.get("upsert", 0) == 30
-    assert rep.counters.get("prune", 0) == 20
-    assert eng.get_status()["documentCount"] == 30
+    assert rep.counters.get("upsert", 0) == n_upd
+    assert rep.counters.get("prune", 0) == n_all - n_upd
+    assert eng.get_status()["documentCount"] == n_upd
     titles = {r.fileTitle for r in eng.list_documents().collect()}
-    assert titles == {f"Doc {i} v2" for i in range(30)}
+    assert titles == {f"Doc {i} v2" for i in range(n_upd)}
 
     rep2 = eng.sync(str(d))
-    assert rep2.counters.get("skip", 0) == 30
+    assert rep2.counters.get("skip", 0) == n_upd
 
 
 def test_delete_documents_batched(spark, tmp_path, corpus):

@@ -351,6 +351,13 @@ def test_epoch_after_prefix_plus_tail_is_the_full_epoch(spark, tmp_path):
         ]
         cursors = sorted({1, 2, 5, n - 1, n, *boundaries,
                           *(b + 1 for b in boundaries if b < n)})
+        if not os.environ.get("SPARK_GRAFT_FULL_TESTS"):
+            # verify-window trim (r16): one representative per cursor
+            # CLASS — epoch start, mid-block, first shard boundary, the
+            # position after it, epoch end. Each epoch_after call is a
+            # full windowed Spark job; FULL restores every position.
+            b0 = boundaries[0] if boundaries else 2
+            cursors = sorted({1, 5, b0, min(b0 + 1, n), n})
         for k in cursors:
             shard, key = full[k - 1]
             tail = epoch_after(

@@ -184,6 +184,8 @@ def test_repack_crash_windows_converge(spark, tmp_path, monkeypatch):
         assert tars and all(t.startswith("repack-") for t in tars), window
 
 
+# slow (verify-window, r16): corrupt-shard handling stays default-covered by test_stream_survives_corrupt_shard
+@pytest.mark.slow
 def test_repack_skips_disk_corrupted_shards(spark, tmp_path):
     """A shard that registered clean but was corrupted on disk afterwards
     must neither crash the repack nor leak its __corrupt__ marker row
@@ -223,6 +225,8 @@ def test_repack_skips_disk_corrupted_shards(spark, tmp_path):
             assert all("__corrupt__" not in m.name for m in tf.getmembers())
 
 
+# slow (verify-window, r16): sample-preservation stays default-covered by test_repack_merges_sparse_shards_and_preserves_content
+@pytest.mark.slow
 def test_repack_keeps_never_ingested_text_samples(spark, tmp_path):
     """r15 review: a text sample with NO table rows is only dropped when
     it was curated away. A sample that never ingested — its text is below
@@ -278,6 +282,8 @@ def test_repack_keeps_never_ingested_text_samples(spark, tmp_path):
     assert _titles(eng) == {"a0", "b0"}
 
 
+# slow (verify-window, r16): repack core stays default-covered by test_repack_merges_sparse_shards_and_preserves_content; the rowless edge is storm-depth
+@pytest.mark.slow
 def test_repack_excludes_wholly_rowless_shards(spark, tmp_path):
     """r15 review: a registered shard with text members but ZERO live
     rows is indistinguishable from a crashed streaming micro-batch whose

@@ -4,11 +4,18 @@ it, so a single mismatch opens the wrong bucket directory."""
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from mcp_local_rag_spark.functions.spark_hash import bucket_of, xxhash64
+
+# each hypothesis example is a full 1-row Spark job (~0.5 s); the
+# deterministic edge-length test above the property already covers every
+# xxHash64 code path, so the default randomized depth stays small
+_EXAMPLES = 30 if os.environ.get("SPARK_GRAFT_FULL_TESTS") else 8
 
 
 def _spark_hashes(spark, samples: list[str]) -> dict[str, int]:
@@ -29,7 +36,7 @@ def test_matches_spark_on_edge_lengths_and_unicode(spark):
         assert xxhash64(s.encode("utf-8")) == got[s], repr(s)
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_EXAMPLES, deadline=None)
 @given(st.text(min_size=0, max_size=120))
 def test_matches_spark_property(spark, s):
     df = spark.createDataFrame([(s,)], "s string")
